@@ -1,13 +1,461 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Bucketing
+import graft.lake.{Database, LakeDataset}
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), with a DuckDB-equivalent oracle where SQL-expressible.
+  *
+  * Determinism note: Spark and DuckDB both sum doubles in nondeterministic
+  * order, so every floating aggregate here is accumulated EXACTLY as
+  * `DECIMAL(38,s)` and only cast back to double at the end — both engines
+  * then produce bit-identical results. Inputs are 2-decimal monetary doubles
+  * (products of two of them have <=4 decimals), so the decimal cast is
+  * lossless.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  import Fixtures.table
+
+  /** Exact (order-independent) sum of a monetary double column. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(38, scale))).cast(DoubleType)
+
+  /** Oracle-side spelling of [[dsum]]. */
+  private def osum(expr: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(38,$scale))) AS DOUBLE)"
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Exercises the whole lake core: partition+bucket split, upsert
+    * (outer-join-coalesce), union view, aggregate.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("lake_upsert")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------------ SQL surface (§2.B)
+    "q01_pricing_summary" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q02_filter_pushdown" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 49 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    }),
+
+    "q03_top_orders" -> ((s, dir) => {
+      val c = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = table(s, dir, "orders")
+      val l = table(s, dir, "lineitem")
+      broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .filter(o("o_orderdate") < lit("1997-01-01").cast("timestamp") &&
+          l("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+        .groupBy(o("o_orderkey"), o("o_orderdate"))
+        .agg(dsum(l("l_extendedprice") * (lit(1) - l("l_discount")), 4).as("revenue"))
+        .orderBy(desc("revenue"), asc("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q04_semi_join" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val l = table(s, dir, "lineitem").filter(col("l_quantity") >= 48)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q05_revenue_by_nation" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      val l = table(s, dir, "lineitem")
+      val sup = table(s, dir, "supplier")
+      val n = table(s, dir, "nation")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_name"))
+        .agg(dsum(l("l_extendedprice") * (lit(1) - l("l_discount")), 4).as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    }),
+
+    "q06_forecast_revenue" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.05 &&
+          col("l_quantity") < 24)
+        .agg(
+          dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    "q07_cte_union" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val hi = o.filter(col("o_totalprice") > 300000)
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(lit("high").as("tier"), col("n"), col("total"))
+      val lo = o.filter(col("o_totalprice") < 5000)
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(lit("low").as("tier"), col("n"), col("total"))
+      hi.unionByName(lo).orderBy("tier")
+    }),
+
+    "q08_sort_limit" -> ((s, dir) => {
+      table(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+        .limit(20)
+    }),
+
+    "q09_distinct_agg" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("distinct_supp"),
+          countDistinct(col("l_partkey")).as("distinct_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q10_case_arith" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .select(
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 200000, "medium")
+            .otherwise("large").as("size_tier"),
+          col("o_totalprice"))
+        .groupBy("size_tier")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("size_tier")
+    }),
+
+    "q11_string_fns" -> ((s, dir) => {
+      table(s, dir, "part").select(
+        col("p_partkey"),
+        lower(col("p_name")).as("name_lower"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+    }),
+
+    "q12_date_parts" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          month(col("o_orderdate")).cast("long").as("o_month"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_year", "o_month")
+    }),
+
+    "q13_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      table(s, dir, "customer")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("c_nationkey", "rk", "c_custkey", "c_acctbal")
+    }),
+
+    "q14_rollup" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    "q15_events_daily" -> ((s, dir) => {
+      table(s, dir, "events")
+        .groupBy(
+          date_trunc("day", col("ts")).as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("total_value"))
+        .orderBy("day", "event_type")
+    }),
+
+    "q16_anti_join" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_nationkey")
+    }),
+
+    "q17_json_extract" -> ((s, dir) => {
+      table(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+    }),
+
+    // ------------------------------------------- catalog + SQL execution (§2.A)
+    "sql_via_catalog" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("graft_orders", LakeDataset.fromDataFrame(s, table(s, dir, "orders")))
+      db.executeSql(
+        """SELECT o_orderstatus,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+          |FROM graft_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // -------------------------------------------------- lake lifecycle (§2.A)
+    // Upsert = full outer join on keys + per-column coalesce(incoming, old);
+    // incoming NULL preserves the old value (l_tax is nulled in the delta and
+    // must survive). Routed per partition×bucket cell.
+    "lake_upsert" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val ds = LakeDataset.fromDataFrame(s, o,
+        partitionCols = Seq("o_orderstatus"), bucketCols = Seq("o_custkey"), nBuckets = 5)
+      val delta = o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        .withColumn("o_orderpriority", lit(null).cast("string"))
+      ds.upsert(delta, Seq("o_orderkey"))
+      // n_priority == n proves incoming NULLs preserved the old values.
+      ds.toDF.groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          count(col("o_orderpriority")).as("n_priority"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "lake_insert" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val ds = LakeDataset.fromDataFrame(s, o)
+      ds.insert(o.filter(col("o_orderkey") % 10 === 0))
+      ds.toDF.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "lake_delete" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val ds = LakeDataset.fromDataFrame(s, o)
+      ds.delete(o.filter(col("o_orderkey") % 5 === 0), Seq("o_orderkey"))
+      ds.toDF.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "lake_storage_roundtrip" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val root = Files.createTempDirectory("graft_rt").toString
+      val ds = LakeDataset.fromDataFrame(s, li,
+        partitionCols = Seq("l_returnflag"), bucketCols = Seq("l_partkey"),
+        nBuckets = 5, storage = Some(graft.model.StorageSpec(root)))
+      ds.toStorage()
+      val back = LakeDataset.fromStorage(s, root)
+      back.toDF.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+        .orderBy("l_returnflag")
+    }),
+
+    "lake_part_pruning" -> ((s, dir) => {
+      Fixtures.lineitemLake(s, dir)
+        .prunedDF(Map("l_returnflag" -> "R"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    "bucket_numeric" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      li.groupBy(Bucketing.bucketExprFor(li, "l_partkey", 5).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
+    // String bucketing uses xxhash64 — not reproducible in DuckDB, so no
+    // oracle (rows-only check). Asserts stay in BucketingSpec.
+    "bucket_string" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      li.groupBy(Bucketing.bucketExprFor(li, "l_linestatus", 5).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${osum("l_quantity")} AS sum_qty,
+         |  ${osum("l_extendedprice")} AS sum_base_price,
+         |  ${osum("l_extendedprice*(1-l_discount)", 4)} AS sum_disc_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem WHERE l_quantity >= 49 AND l_returnflag = 'R'""".stripMargin,
+
+    "q03_top_orders" ->
+      s"""SELECT o_orderkey, o_orderdate,
+         |  ${osum("l_extendedprice*(1-l_discount)", 4)} AS revenue
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         |  AND o_orderkey = l_orderkey
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |  AND l_shipdate > TIMESTAMP '1997-01-01'
+         |GROUP BY o_orderkey, o_orderdate
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q05_revenue_by_nation" ->
+      s"""SELECT n_name, ${osum("l_extendedprice*(1-l_discount)", 4)} AS revenue
+         |FROM customer, orders, lineitem, supplier, nation
+         |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey
+         |GROUP BY n_name""".stripMargin,
+
+    "q06_forecast_revenue" ->
+      s"""SELECT ${osum("l_extendedprice*l_discount", 4)} AS revenue,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount >= 0.03 AND l_discount <= 0.05
+         |  AND l_quantity < 24""".stripMargin,
+
+    "q07_cte_union" ->
+      s"""WITH hi AS (SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |            FROM orders WHERE o_totalprice > 300000),
+         |     lo AS (SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |            FROM orders WHERE o_totalprice < 5000)
+         |SELECT 'high' AS tier, n, total FROM hi
+         |UNION ALL
+         |SELECT 'low' AS tier, n, total FROM lo""".stripMargin,
+
+    "q08_sort_limit" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q09_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_suppkey) AS distinct_supp,
+        |  COUNT(DISTINCT l_partkey) AS distinct_part,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q10_case_arith" ->
+      s"""SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+         |            WHEN o_totalprice < 200000 THEN 'medium'
+         |            ELSE 'large' END AS size_tier,
+         |  COUNT(*) AS n_orders, ${osum("o_totalprice")} AS total
+         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q11_string_fns" ->
+      """SELECT p_partkey,
+        |  LOWER(p_name) AS name_lower,
+        |  UPPER(p_brand) AS brand_upper,
+        |  SUBSTR(p_type, 1, 5) AS type_prefix,
+        |  CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+        |  p_brand || '|' || p_type AS brand_type
+        |FROM part""".stripMargin,
+
+    "q12_date_parts" ->
+      s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS o_month,
+         |  COUNT(*) AS n_orders, ${osum("o_totalprice")} AS total
+         |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q13_window_rank" ->
+      """SELECT c_nationkey, rk, c_custkey, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer) t
+        |WHERE rk <= 3""".stripMargin,
+
+    "q14_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${osum("l_quantity")} AS qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q15_events_daily" ->
+      s"""SELECT date_trunc('day', ts) AS day, event_type,
+         |  COUNT(*) AS n, ${osum("value", 4)} AS total_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q16_anti_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY c_nationkey""".stripMargin,
+
+    "q17_json_extract" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k_val
+        |FROM events""".stripMargin,
+
+    "sql_via_catalog" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "lake_upsert" ->
+      s"""WITH delta AS (
+         |  SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice,
+         |         CAST(NULL AS VARCHAR) AS o_orderpriority
+         |  FROM orders WHERE o_orderkey % 7 = 0),
+         |merged AS (
+         |  SELECT l.o_orderstatus AS o_orderstatus,
+         |         COALESCE(d.o_totalprice, l.o_totalprice) AS o_totalprice,
+         |         COALESCE(d.o_orderpriority, l.o_orderpriority) AS o_orderpriority
+         |  FROM orders l FULL OUTER JOIN delta d ON l.o_orderkey = d.o_orderkey)
+         |SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${osum("o_totalprice")} AS sum_price,
+         |  COUNT(o_orderpriority) AS n_priority
+         |FROM merged GROUP BY o_orderstatus""".stripMargin,
+
+    "lake_insert" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM (SELECT * FROM orders
+         |      UNION ALL SELECT * FROM orders WHERE o_orderkey % 10 = 0) t
+         |GROUP BY o_orderstatus""".stripMargin,
+
+    "lake_delete" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM orders WHERE o_orderkey % 5 <> 0
+         |GROUP BY o_orderstatus""".stripMargin,
+
+    "lake_storage_roundtrip" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n, ${osum("l_extendedprice")} AS total
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "lake_part_pruning" ->
+      s"""SELECT COUNT(*) AS n, ${osum("l_quantity")} AS sum_qty
+         |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+
+    "bucket_numeric" ->
+      """SELECT CAST(l_partkey % 5 AS INTEGER) AS bucket, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin
+  )
 }

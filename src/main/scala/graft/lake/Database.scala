@@ -1,0 +1,68 @@
+package graft.lake
+
+import scala.collection.concurrent.TrieMap
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.TableName
+
+/** Named-table catalog + SQL execution — the Spark re-expression of the
+  * reference's `Database` (reference: src/database.rs:27-63).
+  *
+  * The reference rebuilds a fresh SQLContext per query, re-registering every
+  * table's union view (src/database.rs:42-48). That is O(tables) per query;
+  * we instead refresh a table's temp view when the table MUTATES (register /
+  * insert / upsert / materialize all call [[refresh]]), so query planning
+  * pays nothing extra.
+  */
+final class Database(val spark: SparkSession) {
+
+  private val tables = TrieMap[String, LakeDataset]()
+
+  /** Register a dataset under a name and expose it to SQL
+    * (reference `Database::register`, src/database.rs:37-40).
+    */
+  def register(name: TableName, ds: LakeDataset): Unit = {
+    tables.put(name.handle, ds)
+    refresh(name.handle)
+  }
+
+  def register(name: String, ds: LakeDataset): Unit =
+    register(TableName("public", name), ds)
+
+  def get(name: String): Option[LakeDataset] = tables.get(name)
+
+  /** Re-point the temp view at the table's current union-of-parts plan.
+    * Call after any mutation (the view captures the plan at registration).
+    */
+  def refresh(name: String): Unit =
+    tables.get(name).foreach(_.toDF.createOrReplaceTempView(name))
+
+  /** Refresh all views — cheap (plan-only, no jobs). */
+  def refreshAll(): Unit = tables.keys.foreach(refresh)
+
+  /** Execute one SQL statement (reference `Database::execute_sql`,
+    * src/database.rs:50-56). Lazy — returns the planned DataFrame.
+    */
+  def executeSql(sql: String): DataFrame = spark.sql(sql)
+
+  /** Execute a batch of SQL statements: dedupe identical strings, run the
+    * distinct ones concurrently on the shared session (reference
+    * `Database::execute_sqls` + polars `collect_all` CSE,
+    * src/database.rs:58-63). Spark's scheduler interleaves the jobs; with
+    * `spark.scheduler.mode=FAIR` they time-share the cluster.
+    */
+  def executeSqls(sqls: Seq[String])(implicit ec: ExecutionContext): Map[String, Array[org.apache.spark.sql.Row]] = {
+    val distinct = sqls.distinct
+    val futures = distinct.map(s => s -> Future(spark.sql(s).collect()))
+    futures.map { case (s, f) => s -> Await.result(f, Duration.Inf) }.toMap
+  }
+
+  /** Columns, dtypes, row count, part count for a table (reference
+    * `get_table_info`, src/server.rs:210-232).
+    */
+  def tableInfo(name: String): Option[(List[(String, String)], Long, Int)] =
+    tables.get(name).map(_.schemaInfo)
+}

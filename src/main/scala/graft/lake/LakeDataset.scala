@@ -1,0 +1,281 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bucketing
+import graft.model.{Manifest, PartKey, StorageSpec}
+
+/** A partitioned + hash-bucketed mutable table: the Spark re-expression of
+  * the reference's `Dataset` (reference: src/dataset.rs:182-409).
+  *
+  * The table is a map of [[LakePart]] cells keyed by (partition values,
+  * bucket nr). The queryable view is the union of every part's
+  * bucket-filtered view; Catalyst pushes query predicates through the union
+  * into each part's scan (the behavior the reference demonstrates with
+  * polars in test.py:14-18 — free in Spark via `PushDownPredicates`).
+  *
+  * Scale notes (100 TB / 1000 executors):
+  *  - partition+bucket routing turns a giant upsert-join into many small
+  *    per-cell joins that shuffle only the incoming slice — the incoming
+  *    batch is split ONCE (hash on partition cols + bucket expr) and each
+  *    cell join is pre-co-located, the same effect as a bucketed join;
+  *  - partition pruning happens at the engine level ([[prunedDF]]) before
+  *    Catalyst ever sees non-matching parts' plans;
+  *  - parts persist as independent directory trees, so save/load of one
+  *    partition never touches the others (incremental save via
+  *    [[savePart]]).
+  */
+final class LakeDataset private (
+    val spark: SparkSession,
+    val partitionCols: List[String],
+    val bucketCols: List[String],
+    val nBuckets: Int,
+    @volatile var storage: Option[StorageSpec]) {
+
+  private val parts = new ConcurrentHashMap[PartKey, LakePart]()
+
+  def partKeys: List[PartKey] = parts.keySet().asScala.toList.sortBy(_.relPath)
+  def part(key: PartKey): Option[LakePart] = Option(parts.get(key))
+  def numParts: Int = parts.size()
+
+  // ---------------------------------------------------------------- querying
+
+  /** Union-of-parts view (reference `Dataset::to_lazyframe`,
+    * src/dataset.rs:240-243). Lazy: no job runs until an action.
+    */
+  def toDF: DataFrame = {
+    val views = parts.values().asScala.toList.map(_.view)
+    require(views.nonEmpty, "dataset has no parts")
+    views.reduce(_ unionByName (_, allowMissingColumns = true))
+  }
+
+  /** Engine-level partition pruning: only parts whose partition values match
+    * every supplied (col -> value) filter contribute to the plan. The
+    * reference leaves this commented out (src/dataset.rs:66-71); at scale it
+    * is essential — Catalyst cannot prune what is already unioned in.
+    */
+  def prunedDF(partFilters: Map[String, String]): DataFrame = {
+    val views = parts.asScala.collect {
+      case (key, part) if partFilters.forall { case (c, v) =>
+        key.partValues.exists { case (kc, kv) => kc == c && kv == v }
+      } => part.view
+    }.toList
+    require(views.nonEmpty, s"no parts match $partFilters")
+    views.reduce(_ unionByName (_, allowMissingColumns = true))
+  }
+
+  /** Bucket pruning: for an equality predicate on the (single) bucket column,
+    * only the one matching bucket cell per partition needs scanning.
+    */
+  def bucketPrunedDF(bucketColValue: Column): DataFrame = {
+    val sample = parts.values().asScala.headOption.map(_.df)
+    require(sample.nonEmpty, "dataset has no parts")
+    val dt = sample.get.schema(bucketCols.head).dataType
+    val targetBucket = spark.range(1)
+      .select(Bucketing.bucketExpr(bucketColValue, dt, nBuckets).as("b"))
+      .head().getInt(0)
+    val views = parts.asScala.collect {
+      case (key, part) if key.bucketNr.forall(_ == targetBucket) => part.view
+    }.toList
+    views.reduce(_ unionByName (_, allowMissingColumns = true))
+  }
+
+  /** Maintained row count — sum of per-part counters; stale after upserts
+    * until materialize, by design (reference src/dataset.rs:245-253).
+    */
+  def rowsCount: Long = parts.values().asScala.map(_.rows.get).sum
+
+  def schemaInfo: (List[(String, String)], Long, Int) = {
+    val sample = parts.values().asScala.headOption
+      .getOrElse(throw new IllegalStateException("dataset has no parts"))
+    val cols = sample.df.schema.fields.map(f => (f.name, f.dataType.simpleString)).toList
+    (cols, rowsCount, numParts)
+  }
+
+  // ---------------------------------------------------------- mutation paths
+
+  /** Split an incoming DataFrame into per-(partition,bucket) slices.
+    *
+    * One pass collects the distinct cell keys (tiny: bounded by the number of
+    * cells, not rows); the incoming frame is cached so each slice filter
+    * reuses the same scan, then every slice is snapshotted via
+    * `localCheckpoint` — the incoming batch may be ephemeral (a streaming
+    * micro-batch), so the routed slices must not keep a live plan reference
+    * to it. Mirrors the reference's eager `Dataset::from_dataframe` split
+    * (src/dataset.rs:196-238). Each returned slice carries its row count.
+    */
+  private def splitByCell(df: DataFrame): List[(PartKey, DataFrame, Long)] = {
+    val withBucket =
+      if (bucketCols.nonEmpty)
+        df.withColumn(LakeDataset.BucketCol,
+          Bucketing.bucketExprFor(df, bucketCols.head, nBuckets))
+      else df
+
+    val cached = withBucket.cache()
+    try {
+      if (partitionCols.isEmpty && bucketCols.isEmpty) {
+        val snap = cached.localCheckpoint(true)
+        return List((PartKey(Nil, None), snap, snap.count()))
+      }
+      val keyCols = partitionCols ++
+        (if (bucketCols.nonEmpty) List(LakeDataset.BucketCol) else Nil)
+      val distinctKeys: Array[Row] =
+        cached.select(keyCols.map(col): _*).distinct().collect()
+
+      distinctKeys.toList.map { row =>
+        val partVals = partitionCols.zipWithIndex.map { case (c, i) =>
+          c -> Option(row.get(i)).map(_.toString).orNull
+        }
+        val bucketNr =
+          if (bucketCols.nonEmpty) Some(row.getInt(keyCols.length - 1)) else None
+        val cond = partitionCols.zipWithIndex.map { case (c, i) =>
+          if (row.isNullAt(i)) cached(c).isNull
+          else cached(c) === lit(row.get(i))
+        } ++ bucketNr.map(b => cached(LakeDataset.BucketCol) === lit(b))
+        val slice = cond.reduce(_ && _)
+        val snap = cached.filter(slice).drop(LakeDataset.BucketCol).localCheckpoint(true)
+        (PartKey(partVals.sortBy(_._1), bucketNr), snap, snap.count())
+      }
+    } finally cached.unpersist()
+  }
+
+  /** Append: route each incoming slice to its cell; unseen keys create new
+    * parts (reference `Dataset::insert`, src/dataset.rs:271-295).
+    */
+  def insert(df: DataFrame, save: Boolean = false): Unit = {
+    splitByCell(df).foreach { case (key, slice, n) =>
+      parts.compute(key, (_, existing) =>
+        if (existing == null) new LakePart(slice, key, bucketCols, nBuckets, n)
+        else { existing.insert(slice, n); existing })
+    }
+    if (save) toStorage()
+  }
+
+  /** Merge on `keys`: per-cell outer-join-coalesce (reference
+    * `Dataset::upsert`, src/dataset.rs:298-322). Cells untouched by the
+    * incoming batch are not replanned at all.
+    */
+  def upsert(df: DataFrame, keys: Seq[String], save: Boolean = false): Unit = {
+    splitByCell(df).foreach { case (key, slice, n) =>
+      parts.compute(key, (_, existing) =>
+        if (existing == null) new LakePart(slice, key, bucketCols, nBuckets, n)
+        else { existing.upsert(slice, keys, n); existing })
+    }
+    if (save) toStorage()
+  }
+
+  /** Delete rows matching incoming keys — the reference's own TODO
+    * (src/main.rs:31) implemented as per-cell left-anti joins.
+    */
+  def delete(keysDf: DataFrame, keys: Seq[String]): Unit = {
+    splitByCell(keysDf).foreach { case (key, slice, _) =>
+      Option(parts.get(key)).foreach(_.delete(slice, keys))
+    }
+  }
+
+  /** Materialize every part (reference `Dataset::collect` + RPC
+    * MaterializeTable, src/dataset.rs:260-269, src/server.rs:192-208).
+    */
+  def materialize(): Unit = parts.values().asScala.foreach(_.materialize())
+
+  // ----------------------------------------------------------------- storage
+
+  /** Persist: wipe root, write manifest.json, save every part under its
+    * Hive path (reference `Dataset::to_storage`, src/dataset.rs:330-353).
+    */
+  def toStorage(): Unit = {
+    val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
+    LakeDataset.deleteRecursively(Paths.get(spec.root))
+    Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec), spec.root)
+    parts.values().asScala.foreach(_.save(spec))
+  }
+
+  /** Incremental save of a single cell — at scale you save the cells an
+    * ingest touched, not the world.
+    */
+  def savePart(key: PartKey): Unit = {
+    val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
+    Option(parts.get(key)).foreach(_.save(spec))
+  }
+}
+
+object LakeDataset {
+  /** Internal bucket-id column, dropped before any user-visible output
+    * (reference `$bucket`, src/dataset.rs:200-204).
+    */
+  val BucketCol = "__graft_bucket"
+
+  /** Build a dataset from a DataFrame (reference `Dataset::from_dataframe`,
+    * src/dataset.rs:196-238). Parts snapshot the input via localCheckpoint,
+    * so later mutations of the source don't leak in.
+    */
+  def fromDataFrame(
+      spark: SparkSession,
+      df: DataFrame,
+      partitionCols: Seq[String] = Nil,
+      bucketCols: Seq[String] = Nil,
+      nBuckets: Int = 5,
+      storage: Option[StorageSpec] = None): LakeDataset = {
+    val ds = new LakeDataset(spark, partitionCols.toList, bucketCols.toList, nBuckets, storage)
+    ds.insert(df)
+    ds
+  }
+
+  /** Load a dataset from storage: read manifest, walk the directory tree for
+    * part directories, rebuild parts (reference `Dataset::from_storage`,
+    * src/dataset.rs:355-409). `eager=true` materializes each part on load.
+    */
+  def fromStorage(spark: SparkSession, root: String, eager: Boolean = false): LakeDataset = {
+    val manifest = Manifest.read(root)
+    val ds = new LakeDataset(spark, manifest.partitions, manifest.buckets,
+      manifest.nBuckets, Some(manifest.storage.copy(root = root)))
+
+    val leafDirs = discoverLeafDirs(Paths.get(root))
+    leafDirs.foreach { dir =>
+      val rel = Paths.get(root).relativize(dir).toString
+      val segs = if (rel.isEmpty) Nil else rel.split('/').toList
+      val kvs = segs.flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }
+      }
+      val bucketNr = kvs.collectFirst { case ("bucket", v) => v.toInt }
+      val partVals = kvs.filter(_._1 != "bucket").sortBy(_._1)
+      val df0 = spark.read.format(manifest.storage.format).load(dir.toString)
+      val df = if (eager) df0.localCheckpoint(true) else df0
+      val key = PartKey(partVals, bucketNr)
+      ds.parts.put(key, new LakePart(df, key, manifest.buckets, manifest.nBuckets, -1L))
+    }
+    require(!ds.parts.isEmpty, s"no parts found under $root")
+    ds
+  }
+
+  /** Directories that directly contain data files (recursive walk —
+    * reference `extract_files`, src/storage.rs:38-53).
+    */
+  private def discoverLeafDirs(root: Path): List[Path] = {
+    val out = mutable.ListBuffer[Path]()
+    def walk(dir: Path): Unit = {
+      val entries = Files.list(dir).iterator().asScala.toList
+      val hasData = entries.exists(p =>
+        Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      if (hasData) out += dir
+      entries.filter(Files.isDirectory(_)).foreach(walk)
+    }
+    walk(root)
+    out.toList
+  }
+
+  private[lake] def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+}

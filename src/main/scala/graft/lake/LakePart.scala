@@ -1,0 +1,151 @@
+package graft.lake
+
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bucketing
+import graft.model.{PartKey, StorageSpec}
+
+/** One partition×bucket cell of a [[LakeDataset]].
+  *
+  * Spark DataFrames are immutable; what mutates is the `AtomicReference` that
+  * holds the part's current (lazily planned) DataFrame — the same design as
+  * the reference's `Mutex<LazyFrame>` plan-rewrite (reference:
+  * src/dataset.rs:16-25, 82-147). All mutations run under a per-part lock.
+  *
+  * Plan-growth management: repeated lazy insert/upsert grows the logical plan
+  * without bound (the Spark analogue of the reference's uncollected LazyFrame
+  * chains). We auto-compact via `localCheckpoint` once `changes` crosses
+  * [[LakePart.AutoCompactThreshold]] — the policy the reference sketched but
+  * left disabled (src/dataset.rs:95, :136). At cluster scale this is what
+  * keeps driver-side analysis O(1) per query instead of O(mutations).
+  */
+final class LakePart private[lake] (
+    initial: DataFrame,
+    val key: PartKey,
+    val bucketCols: Seq[String],
+    val nBuckets: Int,
+    initialRows: Long) {
+
+  private val ref = new AtomicReference[DataFrame](initial)
+  /** Maintained row counter; deliberately stale after upsert until the next
+    * materialize, matching reference semantics (src/dataset.rs:144). */
+  val rows = new AtomicLong(initialRows)
+  /** Rows mutated since the last materialize. */
+  val changes = new AtomicLong(0L)
+  /** Mutation operations since the last materialize — plan DEPTH, not volume.
+    * A thousand 1-row upserts is few changed rows but a 1000-deep join chain;
+    * depth is what blows up Catalyst analysis, so we compact on either axis.
+    */
+  val mutationOps = new AtomicLong(0L)
+  private val lock = new Object
+
+  def df: DataFrame = ref.get
+
+  /** Bucket-filtered view: re-filters to this part's bucket id so overlapping
+    * ingest stays partition-correct (reference: src/dataset.rs:63-80). Parts
+    * without buckets return the plan as-is.
+    */
+  def view: DataFrame = key.bucketNr match {
+    case Some(b) if bucketCols.nonEmpty =>
+      val d = ref.get
+      d.filter(Bucketing.bucketExprFor(d, bucketCols.head, nBuckets) === lit(b))
+    case _ => ref.get
+  }
+
+  /** Append rows (reference: src/dataset.rs:82-106). Schema evolution is
+    * tolerated via `allowMissingColumns` (the reference's TODO at
+    * src/main.rs:33).
+    */
+  def insert(other: DataFrame, otherRows: Long, collectNow: Boolean = false): Unit =
+    lock.synchronized {
+      ref.set(ref.get.unionByName(other, allowMissingColumns = true))
+      rows.addAndGet(otherRows)
+      changes.addAndGet(otherRows)
+      maybeCompact(collectNow)
+    }
+
+  /** Merge rows on `keys`: full outer join then per-column
+    * `coalesce(incoming, existing)` — incoming wins, but a NULL in the
+    * incoming column preserves the existing value (reference:
+    * src/dataset.rs:108-147). Keys surviving only on one side are taken from
+    * that side. Columns present only in the incoming frame are appended
+    * (schema evolution — null for pre-existing rows); columns missing from
+    * the incoming frame keep their existing values.
+    */
+  def upsert(other: DataFrame, keys: Seq[String], otherRows: Long, collectNow: Boolean = false): Unit =
+    lock.synchronized {
+      val old = ref.get
+      val l = old.alias("l")
+      val r = other.alias("r")
+      val cond: Column = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+      val joined = l.join(r, cond, "full_outer")
+      val otherCols = other.columns.toSet
+      val existing = old.columns.map { c =>
+        if (otherCols.contains(c)) coalesce(col(s"r.$c"), col(s"l.$c")).as(c)
+        else col(s"l.$c").as(c)
+      }
+      val added = other.columns.filterNot(old.columns.contains).map(c => col(s"r.$c").as(c))
+      ref.set(joined.select(existing ++ added: _*))
+      changes.addAndGet(otherRows)
+      // rows counter intentionally unchanged (stale until materialize),
+      // mirroring reference src/dataset.rs:144.
+      maybeCompact(collectNow)
+    }
+
+  /** Delete rows matching the incoming keys — left ANTI join. This is the
+    * reference's own "delete == anti right" TODO (src/main.rs:31) made real.
+    */
+  def delete(keysDf: DataFrame, keys: Seq[String]): Unit = lock.synchronized {
+    ref.set(ref.get.join(keysDf.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+    changes.addAndGet(1L)
+    rows.set(-1L) // unknown until materialize
+  }
+
+  /** Collect the accumulated plan into materialized form and reset lineage
+    * (reference `DatasetPart::collect`, src/dataset.rs:47-52). We use an
+    * eager `localCheckpoint`, which truncates the logical plan — the closest
+    * Spark analogue of polars' collect-then-re-lazy.
+    */
+  def materialize(): Unit = lock.synchronized {
+    val m = ref.get.localCheckpoint(true)
+    ref.set(m)
+    rows.set(m.count())
+    changes.set(0L)
+    mutationOps.set(0L)
+  }
+
+  private def maybeCompact(collectNow: Boolean): Unit = {
+    mutationOps.incrementAndGet()
+    if (collectNow ||
+        changes.get >= LakePart.AutoCompactThreshold ||
+        mutationOps.get >= LakePart.AutoCompactDepth) materialize()
+  }
+
+  /** Persist this part under `root` at its Hive-style path (reference:
+    * src/dataset.rs:149-179). Unlike the reference's single file per part, we
+    * let Spark write one file per task — at 100 TB a part is written by many
+    * executors in parallel; single-file parts would serialize the write.
+    */
+  def save(storage: StorageSpec): Unit = {
+    val path = s"${storage.root}/${key.relPath}"
+    view.write
+      .mode("overwrite")
+      .format(storage.format)
+      .option("compression", storage.compression)
+      .save(path)
+  }
+}
+
+object LakePart {
+  /** Auto-compaction threshold in mutated rows. The reference sketched 10_000
+    * then commented it out (src/dataset.rs:95); we enable it because unbounded
+    * union/join chains eventually stack-overflow Catalyst analysis.
+    */
+  val AutoCompactThreshold: Long = 10_000_000L
+
+  /** Max chained mutations before forced compaction (plan-depth guard). */
+  val AutoCompactDepth: Long = 24L
+}

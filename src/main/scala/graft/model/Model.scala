@@ -1,0 +1,94 @@
+package graft.model
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Qualified table name. The reference keys its catalog by (schema, name) but
+  * resolves SQL by bare name (reference: src/database.rs:10-25); we keep the
+  * same behavior: `handle` is the SQL-visible identifier.
+  */
+final case class TableName(schema: String, name: String) {
+  def handle: String = name
+  override def toString: String = s"$schema.$name"
+}
+
+/** Storage descriptor: root directory, file format and compression codec
+  * (reference: src/storage.rs:5-36). Formats map onto Spark's built-in
+  * writers; `arrow`/IPC persistence is intentionally replaced by parquet
+  * (Spark has no built-in IPC file sink and parquet is strictly better for
+  * a lake layout).
+  */
+final case class StorageSpec(
+    root: String,
+    format: String = "parquet",
+    compression: String = "snappy")
+
+/** Identity of one partition×bucket cell of a dataset.
+  *
+  * `partValues` is SORTED by column name so that the path layout is
+  * deterministic (the reference iterates a HashMap and gets nondeterministic
+  * multi-column paths — src/dataset.rs:150-156; we deliberately fix that,
+  * see SURVEY.md §7.4.4).
+  */
+final case class PartKey(partValues: List[(String, String)], bucketNr: Option[Int]) {
+  /** Hive-style relative path, e.g. `l_returnflag=R/bucket=3`. */
+  def relPath: String = {
+    val segs = partValues.map { case (k, v) => s"$k=${PartKey.escape(v)}" } ++
+      bucketNr.map(b => f"bucket=$b%06d").toList
+    segs.mkString("/")
+  }
+}
+
+object PartKey {
+  val NullMarker = "__null__"
+  def escape(v: String): String =
+    if (v == null) NullMarker
+    else v.replaceAll("[/\\\\:\\s]", "_")
+}
+
+/** Dataset manifest, persisted as `manifest.json` at the dataset root
+  * (reference: src/dataset.rs:182-189, 330-353). Parts are NOT listed in the
+  * manifest — they are rediscovered by walking the directory tree, exactly
+  * like the reference (src/dataset.rs:355-409).
+  */
+final case class Manifest(
+    partitions: List[String],
+    buckets: List[String],
+    nBuckets: Int,
+    storage: StorageSpec)
+
+object Manifest {
+  private val om = new ObjectMapper()
+
+  def write(m: Manifest, root: String): Unit = {
+    val node: ObjectNode = om.createObjectNode()
+    val parts = node.putArray("partitions")
+    m.partitions.foreach(parts.add)
+    val buckets = node.putArray("buckets")
+    m.buckets.foreach(buckets.add)
+    node.put("n_buckets", m.nBuckets)
+    val st = node.putObject("storage")
+    st.put("root", m.storage.root)
+    st.put("format", m.storage.format)
+    st.put("compression", m.storage.compression)
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(Paths.get(root, "manifest.json"), om.writerWithDefaultPrettyPrinter().writeValueAsString(node))
+  }
+
+  def read(root: String): Manifest = {
+    val node = om.readTree(Files.readString(Paths.get(root, "manifest.json")))
+    val parts = node.get("partitions").elements().asScala.map(_.asText()).toList
+    val buckets = node.get("buckets").elements().asScala.map(_.asText()).toList
+    val st = node.get("storage")
+    Manifest(
+      partitions = parts,
+      buckets = buckets,
+      nBuckets = node.get("n_buckets").asInt(),
+      storage = StorageSpec(
+        root = st.get("root").asText(),
+        format = st.get("format").asText(),
+        compression = st.get("compression").asText()))
+  }
+}
