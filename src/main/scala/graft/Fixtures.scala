@@ -3,7 +3,7 @@ package graft
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions._
 
 import graft.lake.LakeDataset
 
@@ -39,6 +39,36 @@ object Fixtures {
       partitionCols = Seq("l_returnflag"),
       bucketCols = Seq("l_partkey"),
       nBuckets = 5))
+
+  /** documents ∪ exact copies of every 10th doc (new ids) — a corpus with
+    * known exact duplicates for the dedup operators.
+    */
+  def dupDocuments(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000))
+  }
+
+  /** documents ∪ slightly mutated copies of every 10th doc (a few appended
+    * words) — known NEAR duplicates with high n-gram Jaccard.
+    */
+  def nearDupDocuments(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat(col("text"), lit(" graft near dup suffix"))))
+  }
+
+  /** embeddings ∪ jittered copies of every 10th vector (×1.001 per element,
+    * cosine ≈ 1 with the original) — known embedding near-duplicates.
+    */
+  def jitteredEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings")
+    e.unionByName(e.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x * lit(1.001f)).cast("float"))))
+  }
 
   def clear(): Unit = cache.clear()
 }

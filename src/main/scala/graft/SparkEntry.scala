@@ -9,6 +9,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Bucketing
 import graft.lake.{Database, LakeDataset}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), with a DuckDB-equivalent oracle where SQL-expressible.
@@ -292,6 +293,93 @@ object SparkEntry {
       li.groupBy(Bucketing.bucketExprFor(li, "l_linestatus", 5).as("bucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket")
+    }),
+
+    // ------------------------------------- training-data pipeline operators
+    "text_stats" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        length(trim(col("text"))).cast("long").as("n_chars_trim"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.stopwordCount(col("text")).as("n_stop"))
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
+
+    // Heuristic language ID — engine-deterministic, no SQL oracle.
+    "text_langid" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"), col("lang"))
+    }),
+
+    // xxhash64-based fingerprint — engine-deterministic, no SQL oracle.
+    "text_fingerprint" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Fixtures.dupDocuments(s, dir), "text", "doc_id")
+        .select(col("canonical_id"), col("dup_count"))
+        .orderBy("canonical_id")
+    }),
+
+    // MinHash-LSH near-dup with exact-Jaccard verify — no SQL oracle
+    // (xxhash64 signatures); DedupSpec asserts the planted pairs are found.
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashDedup(Fixtures.nearDupDocuments(s, dir), "text", "doc_id",
+          threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashDedup(Fixtures.nearDupDocuments(s, dir), "text", "doc_id")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "dedup_embedding" -> ((s, dir) => {
+      Dedup.embeddingNearDup(Fixtures.jitteredEmbeddings(s, dir),
+          "embedding", "vec_id", threshold = 0.9)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "ann_brute_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .head().getSeq[Float](1).toSeq
+      Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10)
+    }),
+
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .head().getSeq[Float](1).toSeq
+      val (centroids, assigned) = Similarity.buildIvf(e, "embedding", "vec_id", 16, 64)
+      Similarity.ivfTopK(assigned, centroids, "embedding", "vec_id", q, 10, nprobe = 4)
+    }),
+
+    "multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(table(s, dir, "documents"))
+        .as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("n_bytes"), col("feature"))
+        .orderBy("media_id")
+    }),
+
+    "multimodal_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(table(s, dir, "documents"))
+        .as[Multimodal.MediaRow]
+      Multimodal.sampleFrames(media, n = 4)
+        .select(col("media_id"), col("frame_nr").cast("long").as("frame_nr"),
+          length(col("frame")).cast("long").as("frame_bytes"))
+        .orderBy("media_id", "frame_nr")
     })
   )
 
@@ -456,6 +544,56 @@ object SparkEntry {
 
     "bucket_numeric" ->
       """SELECT CAST(l_partkey % 5 AS INTEGER) AS bucket, COUNT(*) AS n
-        |FROM lineitem GROUP BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "text_stats" -> {
+      val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
+         |  CAST(LENGTH(TRIM(text)) AS BIGINT) AS n_chars_trim,
+         |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+         |       ELSE CAST(LENGTH(TRIM(text))
+         |            - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 AS BIGINT)
+         |  END AS n_tokens,
+         |  CAST(len(list_filter(string_split(TRIM(text), ' '),
+         |       w -> list_contains([$stops], w))) AS BIGINT) AS n_stop
+         |FROM documents""".stripMargin
+    },
+
+    "text_quality" -> {
+      val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CAST(LENGTH(TRIM(text)) AS DOUBLE) AS chars,
+         |    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0.0
+         |         ELSE CAST(LENGTH(TRIM(text))
+         |              - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 AS DOUBLE)
+         |    END AS tokens,
+         |    CAST(len(list_filter(string_split(TRIM(text), ' '),
+         |         w -> list_contains([$stops], w))) AS DOUBLE) AS stops
+         |  FROM documents)
+         |SELECT doc_id,
+         |  0.4 * LEAST(1.0, tokens / 100.0)
+         |  + 0.3 * LEAST(1.0, (CASE WHEN tokens > 0 THEN stops / tokens ELSE 0.0 END) * 4.0)
+         |  + 0.3 * LEAST(1.0, chars / 500.0) AS quality
+         |FROM c""".stripMargin
+    },
+
+    "dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+        |FROM corpus GROUP BY text""".stripMargin,
+
+    "multimodal_frames" ->
+      """SELECT media_id, frame_nr,
+        |  LEAST(start + 32, len) - start AS frame_bytes
+        |FROM (
+        |  SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_nr,
+        |         (CAST(LENGTH(text) AS BIGINT) * i) // 4 AS start,
+        |         CAST(LENGTH(text) AS BIGINT) AS len
+        |  FROM documents, generate_series(0, 3) t(i)
+        |  WHERE LENGTH(text) > 0) s""".stripMargin
   )
 }

@@ -42,6 +42,13 @@ final class LakeDataset private (
 
   private val parts = new ConcurrentHashMap[PartKey, LakePart]()
 
+  /** Single-scan view of the whole dataset, set by [[LakeDataset.fromStorage]]
+    * and valid until the first mutation. Lets [[toDF]] plan ONE file scan
+    * (partition-pruned via parquet stats) instead of a union of per-part
+    * scans — at thousands of parts the union plan alone would dominate.
+    */
+  @volatile private[lake] var cleanScan: Option[DataFrame] = None
+
   def partKeys: List[PartKey] = parts.keySet().asScala.toList.sortBy(_.relPath)
   def part(key: PartKey): Option[LakePart] = Option(parts.get(key))
   def numParts: Int = parts.size()
@@ -51,11 +58,13 @@ final class LakeDataset private (
   /** Union-of-parts view (reference `Dataset::to_lazyframe`,
     * src/dataset.rs:240-243). Lazy: no job runs until an action.
     */
-  def toDF: DataFrame = {
+  def toDF: DataFrame = cleanScan.getOrElse {
     val views = parts.values().asScala.toList.map(_.view)
     require(views.nonEmpty, "dataset has no parts")
     views.reduce(_ unionByName (_, allowMissingColumns = true))
   }
+
+  private def markDirty(): Unit = cleanScan = None
 
   /** Engine-level partition pruning: only parts whose partition values match
     * every supplied (col -> value) filter contribute to the plan. The
@@ -119,38 +128,42 @@ final class LakeDataset private (
           Bucketing.bucketExprFor(df, bucketCols.head, nBuckets))
       else df
 
-    val cached = withBucket.cache()
-    try {
-      if (partitionCols.isEmpty && bucketCols.isEmpty) {
-        val snap = cached.localCheckpoint(true)
-        return List((PartKey(Nil, None), snap, snap.count()))
-      }
-      val keyCols = partitionCols ++
-        (if (bucketCols.nonEmpty) List(LakeDataset.BucketCol) else Nil)
-      val distinctKeys: Array[Row] =
-        cached.select(keyCols.map(col): _*).distinct().collect()
+    // ONE materialization of the whole incoming batch (also decouples the
+    // routed slices from an ephemeral source, e.g. a streaming micro-batch),
+    // then ONE aggregation job that yields the distinct cell keys AND the
+    // per-cell row counts. Slices are lazy filters over the snapshot —
+    // in-memory scans with the cell predicate pushed into them.
+    val snap = withBucket.localCheckpoint(true)
 
-      distinctKeys.toList.map { row =>
-        val partVals = partitionCols.zipWithIndex.map { case (c, i) =>
-          c -> Option(row.get(i)).map(_.toString).orNull
-        }
-        val bucketNr =
-          if (bucketCols.nonEmpty) Some(row.getInt(keyCols.length - 1)) else None
-        val cond = partitionCols.zipWithIndex.map { case (c, i) =>
-          if (row.isNullAt(i)) cached(c).isNull
-          else cached(c) === lit(row.get(i))
-        } ++ bucketNr.map(b => cached(LakeDataset.BucketCol) === lit(b))
-        val slice = cond.reduce(_ && _)
-        val snap = cached.filter(slice).drop(LakeDataset.BucketCol).localCheckpoint(true)
-        (PartKey(partVals.sortBy(_._1), bucketNr), snap, snap.count())
+    if (partitionCols.isEmpty && bucketCols.isEmpty)
+      return List((PartKey(Nil, None), snap, snap.count()))
+
+    val keyCols = partitionCols ++
+      (if (bucketCols.nonEmpty) List(LakeDataset.BucketCol) else Nil)
+    val cellCounts: Array[Row] =
+      snap.groupBy(keyCols.map(col): _*).count().collect()
+
+    cellCounts.toList.map { row =>
+      val partVals = partitionCols.zipWithIndex.map { case (c, i) =>
+        c -> Option(row.get(i)).map(_.toString).orNull
       }
-    } finally cached.unpersist()
+      val bucketNr =
+        if (bucketCols.nonEmpty) Some(row.getInt(keyCols.length - 1)) else None
+      val n = row.getLong(keyCols.length)
+      val cond = partitionCols.zipWithIndex.map { case (c, i) =>
+        if (row.isNullAt(i)) snap(c).isNull
+        else snap(c) === lit(row.get(i))
+      } ++ bucketNr.map(b => snap(LakeDataset.BucketCol) === lit(b))
+      val slice = snap.filter(cond.reduce(_ && _)).drop(LakeDataset.BucketCol)
+      (PartKey(partVals.sortBy(_._1), bucketNr), slice, n)
+    }
   }
 
   /** Append: route each incoming slice to its cell; unseen keys create new
     * parts (reference `Dataset::insert`, src/dataset.rs:271-295).
     */
   def insert(df: DataFrame, save: Boolean = false): Unit = {
+    markDirty()
     splitByCell(df).foreach { case (key, slice, n) =>
       parts.compute(key, (_, existing) =>
         if (existing == null) new LakePart(slice, key, bucketCols, nBuckets, n)
@@ -164,6 +177,7 @@ final class LakeDataset private (
     * incoming batch are not replanned at all.
     */
   def upsert(df: DataFrame, keys: Seq[String], save: Boolean = false): Unit = {
+    markDirty()
     splitByCell(df).foreach { case (key, slice, n) =>
       parts.compute(key, (_, existing) =>
         if (existing == null) new LakePart(slice, key, bucketCols, nBuckets, n)
@@ -176,6 +190,7 @@ final class LakeDataset private (
     * (src/main.rs:31) implemented as per-cell left-anti joins.
     */
   def delete(keysDf: DataFrame, keys: Seq[String]): Unit = {
+    markDirty()
     splitByCell(keysDf).foreach { case (key, slice, _) =>
       Option(parts.get(key)).foreach(_.delete(slice, keys))
     }
@@ -195,7 +210,14 @@ final class LakeDataset private (
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
     LakeDataset.deleteRecursively(Paths.get(spec.root))
     Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec), spec.root)
-    parts.values().asScala.foreach(_.save(spec))
+    // Concurrent per-part write jobs: Spark schedules them over the shared
+    // executor pool (the rayon-parallel save in the reference,
+    // src/dataset.rs:342-348, re-expressed as concurrent Spark jobs).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = LakeDataset.ioPool
+    val jobs = parts.values().asScala.toList.map(p => Future(p.save(spec)))
+    jobs.foreach(Await.result(_, Duration.Inf))
   }
 
   /** Incremental save of a single cell — at scale you save the cells an
@@ -239,6 +261,15 @@ object LakeDataset {
       manifest.nBuckets, Some(manifest.storage.copy(root = root)))
 
     val leafDirs = discoverLeafDirs(Paths.get(root))
+    require(leafDirs.nonEmpty, s"no parts found under $root")
+    // ONE multi-path scan relation covering every part: whole-table queries
+    // plan a single file scan (no union), and its schema is reused for the
+    // per-part directory scans so loading N parts costs no extra schema-
+    // inference jobs. Data files keep every column incl. partition values
+    // (reference include_keys semantics, src/dataset.rs:206).
+    val whole = spark.read.format(manifest.storage.format)
+      .load(leafDirs.map(_.toString): _*)
+
     leafDirs.foreach { dir =>
       val rel = Paths.get(root).relativize(dir).toString
       val segs = if (rel.isEmpty) Nil else rel.split('/').toList
@@ -250,12 +281,13 @@ object LakeDataset {
       }
       val bucketNr = kvs.collectFirst { case ("bucket", v) => v.toInt }
       val partVals = kvs.filter(_._1 != "bucket").sortBy(_._1)
-      val df0 = spark.read.format(manifest.storage.format).load(dir.toString)
+      val df0 = spark.read.schema(whole.schema)
+        .format(manifest.storage.format).load(dir.toString)
       val df = if (eager) df0.localCheckpoint(true) else df0
       val key = PartKey(partVals, bucketNr)
       ds.parts.put(key, new LakePart(df, key, manifest.buckets, manifest.nBuckets, -1L))
     }
-    require(!ds.parts.isEmpty, s"no parts found under $root")
+    if (!eager) ds.cleanScan = Some(whole)
     ds
   }
 
@@ -275,7 +307,18 @@ object LakeDataset {
     out.toList
   }
 
-  private[lake] def deleteRecursively(p: Path): Unit =
+  def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+
+  /** Driver-side pool for concurrent per-part Spark jobs (save/materialize).
+    * Daemon threads — the pool must never keep the JVM alive after main.
+    */
+  private[lake] lazy val ioPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+        val t = new Thread(r, "graft-io")
+        t.setDaemon(true)
+        t
+      }))
 }

@@ -1,0 +1,279 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, from exact to
+  * near-duplicate:
+  *
+  *  - exact: hash-groupBy on the content column;
+  *  - MinHash + LSH banding: shingle → k minhashes → band hashes → bucket
+  *    join → candidate pairs → exact Jaccard verify;
+  *  - SimHash: 64-bit signature, chunk-bucketed hamming candidates;
+  *  - n-gram Jaccard: exact verify used on its own for small candidate sets;
+  *  - embedding cosine: random-hyperplane LSH buckets → in-bucket cosine.
+  *
+  * Scale design: every stage is a DataFrame transform whose only wide
+  * operations are groupBy/join on bucket keys — the classic "explode by
+  * band, shuffle by (band, hash)" MinHash-LSH layout that web-scale dedup
+  * pipelines use. Nothing collects to the driver; candidate generation is
+  * O(sum of bucket sizes²) not O(n²). All hashing is `xxhash64` inside
+  * codegen — no UDFs.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------ exact
+
+  /** Exact dedup: group identical `contentCol` values, keep the minimum id
+    * as canonical representative.
+    */
+  def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(col(contentCol))
+      .agg(
+        min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("dup_count"))
+
+  // --------------------------------------------------------------- shingles
+
+  /** Word n-gram shingles of the text (distinct). Documents shorter than n
+    * words yield their whole text as the single shingle.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(trim(text), " ")
+    val grams = transform(
+      sequence(lit(0), greatest(size(words) - n, lit(0))),
+      i => array_join(slice(words, i + 1, lit(n)), " "))
+    array_distinct(grams)
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  /** k-permutation MinHash signature over the shingle set. Permutation i is
+    * simulated by hashing the shingle salted with i (standard
+    * one-hash-function trick).
+    *
+    * Shaped as ONE `aggregate` fold over the shingle array — the shingle
+    * expression is evaluated once per row. (The naive
+    * `transform(0..k, i -> array_min(transform(shingles, ...)))` nesting
+    * re-evaluates the whole shingle build k times per row once Catalyst
+    * collapses projects — a 30× slowdown measured at sf0.1.)
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    aggregate(
+      shingleCol,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(k - 1)), i => xxhash64(s, i)),
+        (a, h) => least(a, h)))
+
+  /** MinHash signatures as a DataFrame op: explode shingles, hash each
+    * shingle once per permutation, take k codegen'd `min` aggregates, and
+    * reassemble the signature array. The groupBy benefits from map-side
+    * partial mins, so the shuffle carries one k-long row per doc — the
+    * scalable shape for billion-document corpora. Docs with empty text have
+    * no shingles and drop out (they cannot be near-duplicates).
+    */
+  def minhashSignatures(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int, shingleSize: Int): DataFrame = {
+    val exploded = df.select(
+      col(idCol).as("doc"),
+      explode(shingles(col(textCol), shingleSize)).as("s"))
+    val mins = (0 until k).map(i => min(xxhash64(col("s"), lit(i))).as(s"m$i"))
+    exploded.groupBy("doc")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
+    * and hash each band. Docs sharing ANY band hash become candidates.
+    */
+  def bandHashes(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.as("band"),
+        xxhash64(
+          array_join(transform(
+            slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string")), ","),
+          b).as("bh")))
+
+  /** Candidate near-duplicate pairs (idA < idB) from MinHash-LSH plus their
+    * signature-estimated Jaccard. `df` must contain `idCol` and `textCol`.
+    *
+    * Pipeline: shingle → sign → explode bands → self-join on (band, hash)
+    * → distinct pairs → estimate Jaccard from signature agreement.
+    */
+  def minhashCandidates(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    // Signatures are computed once and cached: they feed both sides of the
+    // band self-join and the post-candidate estimate. (At warehouse scale
+    // this cache is a persisted signature table.)
+    val signed = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
+      .cache()
+    // The band join carries only (band, bh, doc) — signatures are re-attached
+    // AFTER candidate dedup so the shuffle stays narrow.
+    val banded = signed
+      .select(col("doc"), explode(bandHashes(col("sig"), bands, r)).as("b"))
+      .select(col("doc"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val cands = banded.as("x")
+      .join(banded.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .filter(col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .distinct()
+    cands
+      .join(signed.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(signed.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / lit(numHashes.toDouble))
+      .drop("sig_a", "sig_b")
+  }
+
+  /** Exact n-gram Jaccard verification of candidate pairs: joins the shingle
+    * sets back and computes |A∩B| / |A∪B| from integer sizes (deterministic
+    * double division).
+    */
+  def jaccardVerify(
+      candidates: DataFrame, df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val sets = df.select(col(idCol).as("doc"),
+      shingles(col(textCol), shingleSize).as("sh")).cache()
+    candidates
+      .join(sets.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sets.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni",
+        size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard",
+        when(col("uni") > 0, col("inter").cast("double") / col("uni"))
+          .otherwise(lit(1.0)))
+      .drop("sh_a", "sh_b", "inter", "uni")
+  }
+
+  /** End-to-end MinHash-LSH near-dup detection: candidates → verify →
+    * threshold. Returns (doc_a, doc_b, est_jaccard, jaccard).
+    */
+  def minhashDedup(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.7, numHashes: Int = 32, bands: Int = 8,
+      shingleSize: Int = 3): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol, numHashes, bands, shingleSize)
+    jaccardVerify(cands, df, textCol, idCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash of the word multiset: bit j of the signature is the sign
+    * of Σ_words (±1 by bit j of xxhash64(word)).
+    *
+    * One `aggregate` pass over the words: fold ±1 counts for all 64 bit
+    * positions (zip_with on a 64-long accumulator), then collapse the counts
+    * to the signature in the aggregate's finish lambda — each input word is
+    * hashed exactly once per row.
+    */
+  def simhash(text: Column): Column =
+    aggregate(
+      // hash each word once; `h` below is a bound array element, not a
+      // re-evaluated expression
+      transform(split(trim(text), " "), w => xxhash64(w)),
+      array_repeat(lit(0L), 64),
+      (acc, h) =>
+        zip_with(
+          acc,
+          transform(sequence(lit(0), lit(63)),
+            j => when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1L)
+              .otherwise(-1L)),
+          (a, d) => a + d),
+      counts => aggregate(
+        zip_with(
+          counts,
+          sequence(lit(0), lit(63)),
+          (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc.bitwiseOR(b)))
+
+  /** SimHash signatures as a DataFrame op: explode words, hash each once,
+    * 64 codegen'd conditional-sum aggregates (one per bit), reassemble the
+    * long. Same map-side-combine shape as [[minhashSignatures]] — the
+    * per-row `aggregate` fold in [[simhash]] allocates a 64-long array per
+    * word and is ~30× slower at corpus scale.
+    */
+  def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val words = df.select(
+      col(idCol).as("doc"),
+      explode(split(trim(col(textCol)), " ")).as("w"))
+      .select(col("doc"), xxhash64(col("w")).as("h"))
+    val sums = (0 until 64).map(j =>
+      sum(when(call_function("shiftright", col("h"), lit(j)).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"b$j"))
+    val sig = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    words.groupBy("doc")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc"), sig.as("sh"))
+  }
+
+  /** SimHash near-dup candidates: docs sharing any of the four 16-bit chunks
+    * of their signature, verified by hamming distance <= maxHamming
+    * (`bit_count` of XOR).
+    */
+  def simhashDedup(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    val signed = simhashSignatures(df, textCol, idCol)
+    val chunked = signed.select(col("doc"), col("sh"),
+      explode(transform(sequence(lit(0), lit(3)),
+        c => struct(c.as("chunk"),
+          call_function("shiftright", col("sh"), c * 16).bitwiseAND(0xFFFFL).as("ch")))).as("b"))
+      .select(col("doc"), col("sh"), col("b.chunk").as("chunk"), col("b.ch").as("ch"))
+    val a = chunked.select(col("chunk"), col("ch"), col("doc").as("doc_a"), col("sh").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("ch"), col("doc").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk", "ch"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  // ----------------------------------------------------- embedding near-dup
+
+  /** Near-duplicate detection on an embedding column via random-hyperplane
+    * LSH: `planes` fixed pseudo-random hyperplanes (deterministic seed) give
+    * each vector a sign-bit signature; vectors sharing the signature land in
+    * one bucket; in-bucket pairs are verified by exact cosine >= threshold.
+    *
+    * At scale the bucket join is the only shuffle and bucket sizes are
+    * ~n/2^planes — tune `planes` to the corpus size.
+    */
+  def embeddingNearDup(
+      df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double = 0.95, planes: Int = 8, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planeVecs: Seq[Seq[Double]] =
+      Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val sigBits = planeVecs.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      val dot = aggregate(
+        zip_with(col(vecCol), planeLit, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    val bucketed = df.select(col(idCol).as("doc"), col(vecCol).as("v"),
+      sigBits.reduce((a, b) => a.bitwiseOR(b)).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("doc").as("doc_a"), col("v").as("v_a"))
+    val b = bucketed.select(col("bucket"), col("doc").as("doc_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("doc_a", "doc_b", "cosine")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video payloads travel as opaque
+  * `binary` columns next to typed metadata, and per-batch decode /
+  * feature-extraction runs as partition-local iterator transforms.
+  *
+  * The decode step itself is a STUB — this container has no image/audio
+  * codecs — implemented as a deterministic fake so the Spark-side plumbing
+  * (schema, batching, partitioning, feature shapes) is real and testable.
+  * A production deployment swaps [[decodeStub]] for a real codec without
+  * touching anything else.
+  */
+object Multimodal {
+
+  /** One media row: payload + typed metadata. */
+  final case class MediaRow(
+      media_id: Long,
+      payload: Array[Byte],
+      format: String,
+      width: Int,
+      height: Int)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      format: String,
+      n_bytes: Long,
+      feature: Array[Float])
+
+  val FeatureDim = 16
+
+  /** STUB decoder: a real implementation would decode the payload with an
+    * image/audio library and run feature extraction. This deterministic fake
+    * derives a fixed-size feature vector from payload bytes so tests can
+    * assert shape, determinism and partition behavior.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < payload.length) {
+      out(i % FeatureDim) += (payload(i) & 0xFF) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Batch feature extraction: partition-local iterator transform (the Scala
+    * analogue of `mapInPandas` batches) — no shuffle, codecs initialized
+    * once per partition, rows streamed through.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // Per-partition init seam: a real codec would be constructed here,
+      // once, and reused for every row in the partition.
+      rows.map { r =>
+        MediaFeatures(r.media_id, r.format, r.payload.length.toLong, decodeStub(r.payload))
+      }
+    }
+  }
+
+  /** Deterministic frame sampling for "video" payloads: pick `n` evenly
+    * spaced byte-windows as stand-in frames. Real decoders plug in at the
+    * same seam.
+    */
+  def sampleFrames(media: Dataset[MediaRow], n: Int, frameBytes: Int = 32): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val len = r.payload.length
+      if (len == 0) Iterator.empty
+      else (0 until n).iterator.map { i =>
+        val start = (len.toLong * i / n).toInt
+        val end = math.min(start + frameBytes, len)
+        (r.media_id, i, r.payload.slice(start, end))
+      }
+    }.toDF("media_id", "frame_nr", "frame")
+  }
+
+  /** Build a media table from the documents fixture: the text bytes stand in
+    * for an encoded payload; metadata is derived. Real pipelines read the
+    * binary column straight from parquet.
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      lit("fake/raw").as("format"),
+      length(col("text")).as("width"),
+      lit(1).as("height"))
+}

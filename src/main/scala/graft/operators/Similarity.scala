@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — one narrow scan, no shuffle, the
+  * dot product runs as codegen'd higher-order array functions.
+  *
+  * Scale path: IVF (inverted-file) index — k centroids (deterministic
+  * sample + one Lloyd refinement, all as DataFrame ops), every vector
+  * assigned to its nearest centroid; queries probe only the `nprobe` nearest
+  * centroids' lists, cutting the scan to ~nprobe/k of the corpus. At 100 TB
+  * the assignment column becomes the partition key so a probe touches only
+  * matching files.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Cosine of a vector column against a fixed query vector. */
+  def cosineToQuery(vec: Column, query: Seq[Float]): Column =
+    cosine(vec, array(query.map(q => lit(q)): _*))
+
+  /** Brute-force cosine top-k: exact baseline. TakeOrdered over the scan —
+    * no shuffle, no materialization beyond k rows per partition.
+    */
+  def bruteForceTopK(
+      df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int): DataFrame =
+    df.select(col(idCol), cosineToQuery(col(vecCol), query).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+
+  /** Assign every vector to its nearest centroid (id of the argmax-cosine
+    * centroid). `centroids` is a small broadcast list (cid, vector).
+    */
+  def assignToCentroids(
+      df: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val scored = centroids.map { case (cid, cv) =>
+      val cvLit = array(cv.map(lit): _*)
+      struct(cosine(col(vecCol), cvLit).as("score"), lit(cid).as("cid"))
+    }
+    df.withColumn("centroid",
+      array_max(array(scored: _*)).getField("cid"))
+  }
+
+  /** Build an IVF "index": pick `numCentroids` deterministic seed vectors
+    * (every n/k-th row by id — a deterministic stand-in for k-means++ init),
+    * then one Lloyd refinement: assign all vectors, recompute centroids as
+    * element-wise means (posexplode + groupBy position — fully distributed).
+    * Returns (centroids, assignedDf with `centroid` column).
+    */
+  def buildIvf(
+      df: DataFrame, vecCol: String, idCol: String,
+      numCentroids: Int, dim: Int): (Seq[(Int, Seq[Double])], DataFrame) = {
+    val n = df.count()
+    val stride = math.max(n / numCentroids, 1L)
+    val seeds = df
+      .filter(col(idCol) % stride === 0 && col(idCol) < stride * numCentroids)
+      .select(col(idCol), col(vecCol)).collect()
+      .sortBy(_.getLong(0))
+      .zipWithIndex.map { case (row, i) =>
+        i -> row.getSeq[Float](1).map(_.toDouble).toSeq
+      }.toSeq
+
+    val assigned0 = assignToCentroids(df, vecCol, seeds)
+    // One Lloyd step: mean per (centroid, position) — a single shuffle.
+    val means = assigned0
+      .select(col("centroid"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("centroid", "pos")
+      .agg(avg(col("v").cast("double")).as("m"))
+      .groupBy("centroid")
+      .agg(map_from_arrays(collect_list("pos"), collect_list("m")).as("mm"))
+      .collect()
+      .map { row =>
+        val cid = row.getInt(0)
+        val mm = row.getMap[Int, Double](1)
+        cid -> (0 until dim).map(i => mm.getOrElse(i, 0.0)).toSeq
+      }.toSeq.sortBy(_._1)
+
+    (means, assignToCentroids(df, vecCol, means))
+  }
+
+  /** IVF top-k: probe only the `nprobe` centroids closest to the query,
+    * scan just their inverted lists, exact cosine inside.
+    */
+  def ivfTopK(
+      assigned: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      vecCol: String, idCol: String,
+      query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+    val qd = query.map(_.toDouble)
+    def cos(c: Seq[Double]): Double = {
+      val dot = c.zip(qd).map { case (x, y) => x * y }.sum
+      val nc = math.sqrt(c.map(x => x * x).sum)
+      val nq = math.sqrt(qd.map(x => x * x).sum)
+      if (nc == 0 || nq == 0) 0.0 else dot / (nc * nq)
+    }
+    val probes = centroids.sortBy { case (cid, c) => (-cos(c), cid) }
+      .take(nprobe).map(_._1)
+    assigned
+      .filter(col("centroid").isin(probes: _*))
+      .select(col(idCol), cosineToQuery(col(vecCol), query).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines: token counting,
+  * quality scoring, language ID, document fingerprinting.
+  *
+  * Everything is built from codegen'd Catalyst built-ins (string ops +
+  * higher-order array functions) — no UDFs — so the operators stay inside
+  * whole-stage codegen and scale linearly with input splits.
+  *
+  * Token/char counts use pure string arithmetic (`length`/`replace`) chosen
+  * to be expressible IDENTICALLY in the DuckDB oracle, so the correctness
+  * gate can hash-compare them.
+  */
+object TextAnalysis {
+
+  /** Stopword set used for quality scoring (tiny, English-centric — the
+    * ratio is a quality signal, not linguistics).
+    */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this")
+
+  /** Naive whitespace token count: #spaces + 1 on the trimmed text (0 for
+    * empty). Deliberately simple string arithmetic — same formula runs in
+    * the oracle.
+    */
+  def tokenCount(text: Column): Column = {
+    val t = trim(text)
+    when(length(t) === 0, lit(0L))
+      .otherwise((length(t) - length(replace(t, lit(" "), lit(""))) + 1).cast("long"))
+  }
+
+  /** Count of words that are in the stopword list. */
+  def stopwordCount(text: Column): Column =
+    size(filter(split(trim(text), " "),
+      w => array_contains(array(Stopwords.map(lit): _*), w))).cast("long")
+
+  /** Quality score in [0,1]: length signal + stopword-ratio signal + char
+    * signal. All arithmetic on integer-derived doubles → deterministic and
+    * oracle-reproducible.
+    */
+  def qualityScore(text: Column): Column = {
+    val tokens = tokenCount(text).cast("double")
+    val stops = stopwordCount(text).cast("double")
+    val chars = length(trim(text)).cast("double")
+    val stopRatio = when(tokens > 0, stops / tokens).otherwise(lit(0.0))
+    lit(0.4) * least(lit(1.0), tokens / lit(100.0)) +
+      lit(0.3) * least(lit(1.0), stopRatio * lit(4.0)) +
+      lit(0.3) * least(lit(1.0), chars / lit(500.0))
+  }
+
+  /** Per-language marker words for the n-gram-free language-ID heuristic.
+    * Real pipelines plug in fastText-style models at this seam; the operator
+    * shape (score-per-language, deterministic argmax) is the same.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "it"),
+    "de" -> Seq("der", "die", "und", "ist", "das", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "et", "est", "les", "des", "une"),
+    "es" -> Seq("el", "la", "y", "es", "los", "una", "del"))
+
+  /** Heuristic language ID: count marker-word hits per language, take the
+    * argmax (ties broken by language code, deterministically) — "und" when
+    * nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val words = split(lower(trim(text)), " ")
+    val scored = LangMarkers.map { case (lang, markers) =>
+      val hits = size(filter(words, w => array_contains(array(markers.map(lit): _*), w)))
+      struct(hits.as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Normalized-text fingerprint: lower-case, strip non-alphanumerics,
+    * collapse whitespace, then xxhash64 — a cheap rolling-hash-style content
+    * id for exact-after-normalization dedup.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(normalize(text))
+
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.lake.{Database, LakeDataset}
+
+/** Structured-Streaming front-end for the lake.
+  *
+  * The reference's "streaming" is chunked ingest over gRPC/TCP (reference:
+  * src/server.rs:48-88) — its Spark-idiomatic upgrade is a streaming query
+  * whose `foreachBatch` applies each micro-batch through the SAME
+  * insert/upsert path the batch API uses (SURVEY.md §3.2). Use:
+  *
+  * {{{
+  * stream.writeStream
+  *   .foreachBatch(StreamingIngest.upsertBatches(ds, keys, Some(db -> "t")))
+  *   .start()
+  * }}}
+  *
+  * Unlike the reference (whose upsert stream final-flushes with insert —
+  * src/server.rs:81-87), every batch here applies the declared operation.
+  */
+object StreamingIngest {
+
+  /** foreachBatch sink: upsert each micro-batch, then refresh the SQL view. */
+  def upsertBatches(
+      ds: LakeDataset, keys: Seq[String],
+      refresh: Option[(Database, String)] = None): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      ds.upsert(batch, keys)
+      refresh.foreach { case (db, name) => db.refresh(name) }
+    }
+
+  /** foreachBatch sink: append each micro-batch. */
+  def insertBatches(
+      ds: LakeDataset,
+      refresh: Option[(Database, String)] = None): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      ds.insert(batch)
+      refresh.foreach { case (db, name) => db.refresh(name) }
+    }
+
+  /** Watermarked tumbling-window aggregation — the stream-relational
+    * operator set the reference lacks entirely (SURVEY.md §2.B last row),
+    * provided as the engine's native stream-analytics path. Works on both
+    * streaming and batch DataFrames.
+    */
+  def windowedAgg(
+      events: DataFrame, tsCol: String, valueCol: String, keyCol: String,
+      windowLen: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+}

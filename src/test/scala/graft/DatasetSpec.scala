@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.LakeDataset
+import graft.model.{Manifest, StorageSpec}
+
+class DatasetSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fromDataFrame creates one part per partition×bucket cell") {
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val ds = LakeDataset.fromDataFrame(spark, li,
+      partitionCols = Seq("l_returnflag"), bucketCols = Seq("l_partkey"), nBuckets = 5)
+    val expected = li
+      .select(col("l_returnflag"), pmod(col("l_partkey"), lit(5)).as("b"))
+      .distinct().count()
+    assert(ds.numParts == expected)
+    assert(ds.toDF.count() == li.count())
+  }
+
+  test("insert with unseen partition value creates a new part") {
+    val ds = LakeDataset.fromDataFrame(spark,
+      Seq(("A", 1L, 1.0)).toDF("p", "k", "v"), partitionCols = Seq("p"))
+    assert(ds.numParts == 1)
+    ds.insert(Seq(("B", 2L, 2.0)).toDF("p", "k", "v"))
+    assert(ds.numParts == 2)
+    assert(ds.toDF.count() == 2)
+  }
+
+  test("storage round-trip preserves data and layout") {
+    val root = Files.createTempDirectory("graft_ds_spec").toString
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val ds = LakeDataset.fromDataFrame(spark, li,
+      partitionCols = Seq("l_returnflag"), bucketCols = Seq("l_partkey"),
+      nBuckets = 5, storage = Some(StorageSpec(root)))
+    ds.toStorage()
+
+    // Layout: Hive-style dirs with sorted partition cols + zero-padded bucket
+    val dirs = new java.io.File(root).listFiles().map(_.getName).sorted
+    assert(dirs.exists(_.startsWith("l_returnflag=")))
+    assert(new java.io.File(root, "manifest.json").exists())
+
+    val back = LakeDataset.fromStorage(spark, root)
+    assert(back.numParts == ds.numParts)
+    assert(back.toDF.count() == li.count())
+    val a = ds.toDF.agg(sum(col("l_extendedprice").cast("decimal(38,2)"))).head().getDecimal(0)
+    val b = back.toDF.agg(sum(col("l_extendedprice").cast("decimal(38,2)"))).head().getDecimal(0)
+    assert(a == b)
+    LakeDataset.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("manifest round-trips partitions, buckets, storage") {
+    val root = Files.createTempDirectory("graft_manifest").toString
+    val m = Manifest(List("a", "b"), List("c"), 7, StorageSpec(root, "parquet", "snappy"))
+    Manifest.write(m, root)
+    assert(Manifest.read(root) == m)
+  }
+
+  test("partition pruning selects only matching parts") {
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val ds = LakeDataset.fromDataFrame(spark, li,
+      partitionCols = Seq("l_returnflag"), bucketCols = Seq("l_partkey"), nBuckets = 5)
+    val pruned = ds.prunedDF(Map("l_returnflag" -> "R"))
+    val direct = li.filter(col("l_returnflag") === "R")
+    assert(pruned.count() == direct.count())
+    // The pruned plan unions only the R-cells (≤ nBuckets parts), not all parts.
+    val planParts = pruned.queryExecution.optimizedPlan.collectLeaves().size
+    assert(planParts <= 5, s"pruned plan has $planParts leaves, expected <= 5")
+  }
+
+  test("filters over the union view push into parquet scans (reference test.py behavior)") {
+    val root = Files.createTempDirectory("graft_pushdown").toString
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val ds = LakeDataset.fromDataFrame(spark, li,
+      partitionCols = Seq("l_returnflag"),
+      storage = Some(StorageSpec(root)))
+    ds.toStorage()
+    val back = LakeDataset.fromStorage(spark, root)
+    val q = back.toDF.filter(col("l_quantity") > 49).select("l_orderkey", "l_quantity")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,49"),
+      s"expected pushed filter in plan:\n$physical")
+    // Column pruning: scan must read only the two projected columns (+filter col)
+    assert(physical.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"expected pruned read schema in plan:\n$physical")
+    LakeDataset.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("rows counter matches data after insert; schemaInfo sane") {
+    val ds = LakeDataset.fromDataFrame(spark, Seq((1L, "x")).toDF("k", "s"))
+    ds.insert(Seq((2L, "y"), (3L, "z")).toDF("k", "s"))
+    assert(ds.rowsCount == 3)
+    val (cols, rows, parts) = ds.schemaInfo
+    assert(cols == List("k" -> "bigint", "s" -> "string"))
+    assert(rows == 3 && parts == 1)
+  }
+}

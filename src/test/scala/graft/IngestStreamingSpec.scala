@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.lake.{Database, Ingestor, LakeDataset}
+import graft.model.TableName
+import graft.streaming.StreamingIngest
+
+class IngestStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ingestor buffers below threshold, flush applies the declared op (upsert)") {
+    val ds = LakeDataset.fromDataFrame(spark,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+    var flushes = 0
+    val ing = new Ingestor(ds, Some(Seq("k")), flushThresholdRows = 1000,
+      onFlush = () => flushes += 1)
+    ing.offer(Seq((1L, 11.0)).toDF("k", "v"), 1)
+    ing.offer(Seq((3L, 30.0)).toDF("k", "v"), 1)
+    assert(flushes == 0, "below threshold: nothing applied yet")
+    assert(ds.toDF.count() == 2)
+    ing.flush() // stream end — must apply UPSERT (not the reference's insert quirk)
+    assert(flushes == 1)
+    val got = ds.toDF.orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 11.0), (2L, 20.0), (3L, 30.0)))
+  }
+
+  test("ingestor auto-flushes when buffered rows cross the threshold") {
+    val ds = LakeDataset.fromDataFrame(spark, Seq((1L, 1.0)).toDF("k", "v"))
+    val ing = new Ingestor(ds, None, flushThresholdRows = 3)
+    ing.offer(Seq((2L, 2.0), (3L, 3.0)).toDF("k", "v"), 2)
+    assert(ds.toDF.count() == 1)
+    ing.offer(Seq((4L, 4.0)).toDF("k", "v"), 1) // 3 rows buffered -> flush
+    assert(ds.toDF.count() == 4)
+  }
+
+  test("structured streaming foreachBatch upserts micro-batches into the lake") {
+    implicit val sqlCtx = spark.sqlContext
+    val ds = LakeDataset.fromDataFrame(spark,
+      Seq((1L, "init", 0.0), (2L, "init", 0.0)).toDF("k", "tag", "v"))
+    val db = new Database(spark)
+    db.register(TableName("public", "stream_t"), ds)
+
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = mem.toDF().toDF("k", "tag", "v").writeStream
+      .foreachBatch(StreamingIngest.upsertBatches(ds, Seq("k"), Some(db -> "stream_t")))
+      .start()
+    try {
+      mem.addData((1L, "b1", 1.0), (3L, "b1", 3.0))
+      q.processAllAvailable()
+      mem.addData((1L, "b2", 10.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.sql("SELECT k, tag, v FROM stream_t ORDER BY k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "b2", 10.0), (2L, "init", 0.0), (3L, "b1", 3.0)))
+  }
+
+  test("windowed aggregation with watermark over the events table (batch run)") {
+    val ev = Fixtures.table(spark, sf(), "events")
+    val agg = StreamingIngest.windowedAgg(ev, "ts", "value", "event_type",
+      windowLen = "1 hour", watermark = "2 hours")
+    val n = agg.agg(sum("n")).head().getLong(0)
+    assert(n == ev.count(), "window totals must cover every event")
+  }
+
+  test("executeSqls dedupes identical statements and runs concurrently") {
+    implicit val ec = scala.concurrent.ExecutionContext.global
+    val db = new Database(spark)
+    db.register(TableName("public", "sqls_t"),
+      LakeDataset.fromDataFrame(spark, Seq((1L, "x"), (2L, "y")).toDF("k", "s")))
+    val res = db.executeSqls(Seq(
+      "SELECT COUNT(*) AS n FROM sqls_t",
+      "SELECT COUNT(*) AS n FROM sqls_t",
+      "SELECT MAX(k) AS m FROM sqls_t"))
+    assert(res.size == 2)
+    assert(res("SELECT COUNT(*) AS n FROM sqls_t").head.getLong(0) == 2L)
+    assert(res("SELECT MAX(k) AS m FROM sqls_t").head.getLong(0) == 2L)
+  }
+}

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------------ dedup
+
+  test("exact dedup groups identical texts under min id") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("id", "text")
+    val got = Dedup.exact(df, "text", "id")
+      .select("canonical_id", "dup_count").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("minhash LSH finds planted near-duplicates with high jaccard") {
+    val pairs = Dedup.minhashDedup(
+      Fixtures.nearDupDocuments(spark, sf()), "text", "doc_id", threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    val planted = pairs.filter { case (a, b, _) => b == a + 100000 }
+    assert(planted.length >= 45, s"expected >=45 of 50 planted pairs, got ${planted.length}")
+    assert(planted.forall(_._3 >= 0.5))
+  }
+
+  test("jaccard verify computes the exact set jaccard") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("id", "text")
+    val cands = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val j = Dedup.jaccardVerify(cands, df, "text", "id", shingleSize = 1)
+      .select("jaccard").as[Double].head()
+    // shingle sets {a,b,c,d} vs {a,b,c,e}: |∩|=3, |∪|=5
+    assert(math.abs(j - 0.6) < 1e-12)
+  }
+
+  test("simhash: identical texts hamming 0, planted near-dups found") {
+    val sh = Seq((1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5")).toDF("id", "text")
+      .select(Dedup.simhash(col("text")).as("s")).as[Long].collect()
+    assert(sh(0) == sh(1))
+    val found = Dedup.simhashDedup(
+      Fixtures.nearDupDocuments(spark, sf()), "text", "doc_id")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .count { case (a, b) => b == a + 100000 }
+    assert(found >= 40, s"expected >=40 of 50 planted simhash pairs, got $found")
+  }
+
+  test("embedding LSH near-dup finds all jittered copies") {
+    val got = Dedup.embeddingNearDup(
+      Fixtures.jitteredEmbeddings(spark, sf()), "embedding", "vec_id", threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val expected = (0L until 500L by 10).map(i => (i, i + 100000)).toSet
+    assert(expected.subsetOf(got), s"missing: ${expected -- got}")
+  }
+
+  test("DataFrame-level signatures agree with expression-level implementations") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(50)
+    val fastM = Dedup.minhashSignatures(docs, "text", "doc_id", 16, 3)
+    val exprM = docs.select(col("doc_id").as("doc"),
+      Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 16).as("sig2"))
+    val diffM = fastM.join(exprM, "doc")
+      .filter(col("sig") =!= col("sig2")).count()
+    assert(diffM == 0, "minhash implementations disagree")
+
+    val fastS = Dedup.simhashSignatures(docs, "text", "doc_id")
+    val exprS = docs.select(col("doc_id").as("doc"), Dedup.simhash(col("text")).as("sh2"))
+    val diffS = fastS.join(exprS, "doc")
+      .filter(col("sh") =!= col("sh2")).count()
+    assert(diffS == 0, "simhash implementations disagree")
+  }
+
+  // ------------------------------------------------------------- similarity
+
+  test("cosine: identical=1, orthogonal=0") {
+    val df = Seq((Seq(1f, 0f), Seq(1f, 0f), Seq(0f, 1f))).toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")).as("same"),
+      Similarity.cosine(col("a"), col("c")).as("orth")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("brute-force top-k: self is rank 1; k rows returned") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 3).head().getSeq[Float](1).toSeq
+    val top = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 5)
+      .as[(Long, Double)].collect()
+    assert(top.length == 5)
+    assert(top.head._1 == 3L && math.abs(top.head._2 - 1.0) < 1e-9)
+  }
+
+  test("IVF top-k achieves >=60% recall@10 vs brute force with nprobe=4/16") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 3).head().getSeq[Float](1).toSeq
+    val brute = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val (centroids, assigned) = Similarity.buildIvf(e, "embedding", "vec_id", 16, 64)
+    val ivf = Similarity.ivfTopK(assigned, centroids, "embedding", "vec_id", q, 10, 4)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (brute & ivf).size / 10.0
+    assert(recall >= 0.6, s"recall@10 = $recall")
+  }
+
+  // ------------------------------------------------------------------- text
+
+  test("token count: empty, single, multi") {
+    val df = Seq("", "one", "one two three", "  padded  words  ").toDF("t")
+    val got = df.select(TextAnalysis.tokenCount(col("t")).as("n")).as[Long].collect().toSeq
+    // "padded  words" has a double space -> naive count 3; deterministic + documented
+    assert(got == Seq(0L, 1L, 3L, 3L))
+  }
+
+  test("langId picks marker-dominant language deterministically") {
+    val df = Seq(
+      "the cat and the dog is on the mat",
+      "der hund und die katze ist nicht da",
+      "le chat et la souris est dans les champs",
+      "xyzzy qwerty").toDF("t")
+    val got = df.select(TextAnalysis.langId(col("t"))).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "fr", "und"))
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val df = Seq(("Hello,  World!", "hello world")).toDF("a", "b")
+    val r = df.select(
+      TextAnalysis.fingerprint(col("a")).as("fa"),
+      TextAnalysis.fingerprint(col("b")).as("fb")).head()
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
+  // ------------------------------------------------------------- multimodal
+
+  test("multimodal feature extraction: deterministic, fixed dim, partition-local") {
+    val media = Multimodal.mediaFromDocuments(
+      spark.read.parquet(s"${sf()}/documents.parquet")).as[Multimodal.MediaRow]
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media.repartition(7)).collect().sortBy(_.media_id)
+    assert(f1.length == 500)
+    assert(f1.forall(_.feature.length == Multimodal.FeatureDim))
+    // partitioning must not change results
+    assert(f1.zip(f2).forall { case (a, b) => a.feature.sameElements(b.feature) })
+  }
+
+  test("frame sampling yields n frames of bounded size") {
+    val media = Multimodal.mediaFromDocuments(
+      spark.read.parquet(s"${sf()}/documents.parquet")).as[Multimodal.MediaRow]
+    val frames = Multimodal.sampleFrames(media, n = 4)
+    assert(frames.count() == 4 * 500)
+    val maxLen = frames.select(max(length(col("frame")))).head().getInt(0)
+    assert(maxLen <= 32)
+  }
+}
