@@ -210,6 +210,91 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("long").as("k_val"))
     }),
 
+    "q18_math_fns" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 97 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          abs(col("l_extendedprice") - 30000).as("abs_delta"),
+          ceil(col("l_extendedprice")).as("price_ceil"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          // ROUND to integer only: 2-decimal inputs make the .5 boundary
+          // exactly representable, so HALF_UP (Spark) and round-half-away
+          // (DuckDB) agree; fractional ROUND would diverge on binary doubles.
+          round(col("l_extendedprice")).as("price_round"),
+          sqrt(col("l_quantity")).as("qty_sqrt"),
+          signum(col("l_discount") - 0.05).cast("double").as("disc_sign"),
+          (col("l_orderkey") % 7).as("key_mod"))
+    }),
+
+    "q19_in_like_between" -> ((s, dir) => {
+      table(s, dir, "part")
+        .filter(
+          col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+          col("p_name").like("%red%") &&
+          col("p_size").between(10, 40) &&
+          col("p_retailprice").isNotNull)
+        .select("p_partkey", "p_brand", "p_name", "p_size")
+    }),
+
+    "q20_conditional_fns" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 101 === 0)
+        .selectExpr(
+          "l_orderkey", "l_linenumber",
+          "nullif(l_tax, 0.0) AS tax_or_null",
+          "coalesce(nullif(l_tax, 0.0), -1.0) AS tax_coalesced",
+          "ifnull(nullif(l_returnflag, 'N'), 'none') AS flag_or_none",
+          "CAST(l_quantity AS INT) AS qty_int")
+    }),
+
+    "q21_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      table(s, dir, "orders")
+        .filter(col("o_custkey") % 50 === 0)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(38, 2)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_total"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          rank().over(Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey")))
+            .cast("long").as("price_rank"))
+    }),
+
+    "q22_grouping_sets" -> ((s, dir) => {
+      table(s, dir, "lineitem").createOrReplaceTempView("graft_gs_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS qty
+          |FROM graft_gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    }),
+
+    "q23_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      table(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("brk",
+          when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(
+          (sum(col("brk")) + 1).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // HLL-sketch distinct counts — estimates are engine-specific, so
+    // rows-only check; OperatorsSpec asserts <5% error vs exact.
+    "q24_approx_distinct" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+        .orderBy("l_returnflag")
+    }),
+
     // ------------------------------------------- catalog + SQL execution (§2.A)
     "sql_via_catalog" -> ((s, dir) => {
       val db = new Database(s)
@@ -277,6 +362,39 @@ object SparkEntry {
       Fixtures.lineitemLake(s, dir)
         .prunedDF(Map("l_returnflag" -> "R"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    "lake_materialize" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val ds = LakeDataset.fromDataFrame(s, ev, partitionCols = Seq("event_type"))
+      ds.insert(ev.filter(col("event_id") % 13 === 0))
+      ds.materialize() // collapse plans; counters refresh (reference collect)
+      ds.toDF.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("total_value"))
+        .orderBy("event_type")
+    }),
+
+    // End-to-end through the service verbs (reference proto/db.proto:20-35):
+    // CreateTable -> UpsertTable (chunked) -> MaterializeTable -> SelectIpc.
+    "lake_server_flow" -> ((s, dir) => {
+      import graft.lake.LakeServer
+      import graft.model.TableName
+      val srv = new LakeServer(s)
+      val o = table(s, dir, "orders")
+      val t = TableName("public", "graft_srv_orders")
+      srv.createTable(t, Iterator(o),
+        partitions = Seq("o_orderstatus"), buckets = Seq("o_custkey"))
+      val delta = o.filter(col("o_orderkey") % 9 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 500)
+      // two chunks exercise the micro-batcher buffering + final flush
+      srv.upsertTable(t, Seq("o_orderkey"),
+        Iterator(delta.filter(col("o_orderkey") % 2 === 0),
+          delta.filter(col("o_orderkey") % 2 =!= 0)))
+      srv.materializeTable(t)
+      srv.select(
+        """SELECT o_orderstatus, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+          |FROM graft_srv_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
 
     "bucket_numeric" -> ((s, dir) => {
@@ -545,6 +663,78 @@ object SparkEntry {
     "bucket_numeric" ->
       """SELECT CAST(l_partkey % 5 AS INTEGER) AS bucket, COUNT(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q18_math_fns" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        |  ABS(l_extendedprice - 30000) AS abs_delta,
+        |  CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+        |  ROUND(l_extendedprice) AS price_round,
+        |  SQRT(l_quantity) AS qty_sqrt,
+        |  CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+        |  l_orderkey % 7 AS key_mod
+        |FROM lineitem WHERE l_orderkey % 97 = 0""".stripMargin,
+
+    "q19_in_like_between" ->
+      """SELECT p_partkey, p_brand, p_name, p_size
+        |FROM part
+        |WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |  AND p_name LIKE '%red%'
+        |  AND p_size BETWEEN 10 AND 40
+        |  AND p_retailprice IS NOT NULL""".stripMargin,
+
+    "q20_conditional_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  NULLIF(l_tax, 0.0) AS tax_or_null,
+        |  COALESCE(NULLIF(l_tax, 0.0), -1.0) AS tax_coalesced,
+        |  IFNULL(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none,
+        |  CAST(l_quantity AS INTEGER) AS qty_int
+        |FROM lineitem WHERE l_orderkey % 101 = 0""".stripMargin,
+
+    "q21_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       AS DOUBLE) AS running_total,
+        |  LAG(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_order,
+        |  CAST(RANK() OVER (PARTITION BY o_custkey
+        |                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank
+        |FROM orders WHERE o_custkey % 50 = 0""".stripMargin,
+
+    "q22_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${osum("l_quantity")} AS qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q23_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1)
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events)
+        |SELECT user_id, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM t GROUP BY user_id""".stripMargin,
+
+    "lake_materialize" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${osum("value", 4)} AS total_value
+         |FROM (SELECT * FROM events
+         |      UNION ALL SELECT * FROM events WHERE event_id % 13 = 0) t
+         |GROUP BY event_type""".stripMargin,
+
+    "lake_server_flow" ->
+      s"""WITH delta AS (
+         |  SELECT o_orderkey, o_totalprice + 500 AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 9 = 0),
+         |merged AS (
+         |  SELECT l.o_orderstatus AS o_orderstatus,
+         |         COALESCE(d.o_totalprice, l.o_totalprice) AS o_totalprice
+         |  FROM orders l FULL OUTER JOIN delta d ON l.o_orderkey = d.o_orderkey)
+         |SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM merged GROUP BY o_orderstatus""".stripMargin,
 
     "text_stats" -> {
       val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")

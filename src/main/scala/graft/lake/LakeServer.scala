@@ -1,0 +1,94 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.{StorageSpec, TableName}
+
+/** Table lifecycle summary served by GetTableInfo (reference:
+  * src/server.rs:210-232, proto/db.proto:50-55).
+  */
+final case class TableInfo(
+    columns: List[(String, String)],
+    rows: Long,
+    parts: Int)
+
+/** The reference's service surface — its six gRPC verbs (reference:
+  * proto/db.proto:20-35, impls src/server.rs:92-304) — as an in-process
+  * Scala API embedding the SparkSession. Wire transport (the reference
+  * exchanges Arrow IPC bytes in protobuf envelopes) is a deliberate
+  * non-goal: Spark's Arrow interchange classes are private, and every
+  * consumer of this engine is in-process with the session (SURVEY.md §7.4.6).
+  *
+  * Chunked ingest semantics match the reference: chunks buffer in an
+  * [[Ingestor]] and flush into the table at the 10M-row threshold
+  * (src/server.rs:48-88), except that an upsert stream's final flush
+  * correctly upserts (the reference final-flushes with insert —
+  * src/server.rs:81-87 — a bug we do not replicate).
+  */
+final class LakeServer(val spark: SparkSession) {
+
+  val db = new Database(spark)
+
+  /** CreateTable: build a partitioned/bucketed dataset from the (already
+    * concatenated) ingest chunks and register it (src/server.rs:92-141).
+    */
+  def createTable(
+      name: TableName,
+      chunks: Iterator[DataFrame],
+      partitions: Seq[String] = Nil,
+      buckets: Seq[String] = Nil,
+      nBuckets: Int = 5,
+      storage: Option[StorageSpec] = None): Unit = {
+    val all = chunks.reduce(_ unionByName (_, allowMissingColumns = true))
+    val ds = LakeDataset.fromDataFrame(spark, all, partitions, buckets, nBuckets, storage)
+    db.register(name, ds)
+  }
+
+  /** InsertTable: stream chunks through the micro-batcher (append). */
+  def insertTable(name: TableName, chunks: Iterator[DataFrame], save: Boolean = false): Unit =
+    ingest(name, chunks, None, save)
+
+  /** UpsertTable: stream chunks through the micro-batcher (merge on keys). */
+  def upsertTable(name: TableName, keys: Seq[String], chunks: Iterator[DataFrame],
+      save: Boolean = false): Unit =
+    ingest(name, chunks, Some(keys), save)
+
+  private def ingest(name: TableName, chunks: Iterator[DataFrame],
+      keys: Option[Seq[String]], save: Boolean): Unit = {
+    val ds = db.get(name.handle)
+      .getOrElse(throw new NoSuchElementException(s"no table ${name.handle}"))
+    val ing = new Ingestor(ds, keys)
+    chunks.foreach(ing.offer(_))
+    ing.flush()
+    if (save) ds.toStorage()
+    db.refresh(name.handle)
+  }
+
+  /** MaterializeTable (src/server.rs:192-208). */
+  def materializeTable(name: TableName): Unit = {
+    db.get(name.handle).foreach(_.materialize())
+    db.refresh(name.handle)
+  }
+
+  /** GetTableInfo (src/server.rs:210-232). */
+  def getTableInfo(name: TableName): TableInfo = {
+    val (cols, rows, parts) = db.get(name.handle)
+      .getOrElse(throw new NoSuchElementException(s"no table ${name.handle}"))
+      .schemaInfo
+    TableInfo(cols, rows, parts)
+  }
+
+  /** SelectIpc minus the wire: one SQL statement → DataFrame
+    * (src/server.rs:276-304).
+    */
+  def select(sql: String): DataFrame = db.executeSql(sql)
+
+  /** Batch select with dedupe + concurrent execution (the commented-out
+    * SelectsIpc RPC, src/server.rs:234-274 / src/database.rs:58-63).
+    */
+  def selectMany(sqls: Seq[String]): Map[String, Array[org.apache.spark.sql.Row]] = {
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    db.executeSqls(sqls)
+  }
+}
