@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Catalyst codegen emits one class per plan stage; across many distinct
+  // query plans the default 240m JIT code cache fills and HotSpot silently
+  // stops compiling, making later queries run interpreted (observed 5x
+  // slowdowns mid-benchmark).
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

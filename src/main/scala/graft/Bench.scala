@@ -26,7 +26,11 @@ object Bench {
     // Warm-up: JVM, codegen, parquet footer caches.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional filter for ad-hoc runs: SPARK_GRAFT_ONLY=q01,dedup_minhash
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -37,13 +37,43 @@ object Dedup {
 
   /** Word n-gram shingles of the text (distinct). Documents shorter than n
     * words yield their whole text as the single shingle.
+    *
+    * Built from `element_at` + `concat_ws` (null-skipping) rather than
+    * `slice` + `array_join` — higher-order array functions run interpreted,
+    * so each avoided per-element allocation counts.
     */
   def shingles(text: Column, n: Int): Column = {
     val words = split(trim(text), " ")
     val grams = transform(
       sequence(lit(0), greatest(size(words) - n, lit(0))),
-      i => array_join(slice(words, i + 1, lit(n)), " "))
+      i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))
     array_distinct(grams)
+  }
+
+  /** Distinct (doc, shingle) pairs — the relational form of [[shingles]]
+    * that the signature and verify paths build on.
+    *
+    * Built with posexplode + window `lead` instead of higher-order array
+    * functions: HOF lambdas run interpreted and contend badly across many
+    * executor threads (measured 10× slower with 32 threads than with 1 —
+    * worse than serial). Window + join/agg stay in codegen and shuffle once
+    * by doc. Short documents (< n words) keep their pos-0 row, whose
+    * null-skipping concat reproduces the whole-text fallback shingle.
+    */
+  def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(
+      col(idCol).as("doc"),
+      posexplode(split(trim(col(textCol)), " ")).as(Seq("pos", "w")))
+    if (n == 1) return words.select(col("doc"), col("w").as("s")).distinct()
+    val w = Window.partitionBy("doc").orderBy("pos")
+    val leadCols = (1 until n).map(j => lead(col("w"), j).over(w).as(s"w$j"))
+    words
+      .select(Seq(col("doc"), col("pos"), col("w")) ++ leadCols: _*)
+      .filter(col(s"w${n - 1}").isNotNull || col("pos") === 0)
+      .select(col("doc"),
+        concat_ws(" ", col("w") +: (1 until n).map(j => col(s"w$j")): _*).as("s"))
+      .distinct()
   }
 
   // ---------------------------------------------------------------- minhash
@@ -77,9 +107,7 @@ object Dedup {
   def minhashSignatures(
       df: DataFrame, textCol: String, idCol: String,
       k: Int, shingleSize: Int): DataFrame = {
-    val exploded = df.select(
-      col(idCol).as("doc"),
-      explode(shingles(col(textCol), shingleSize)).as("s"))
+    val exploded = shingleRows(df, textCol, idCol, shingleSize)
     val mins = (0 until k).map(i => min(xxhash64(col("s"), lit(i))).as(s"m$i"))
     exploded.groupBy("doc")
       .agg(mins.head, mins.tail: _*)
@@ -135,25 +163,32 @@ object Dedup {
       .drop("sig_a", "sig_b")
   }
 
-  /** Exact n-gram Jaccard verification of candidate pairs: joins the shingle
-    * sets back and computes |A∩B| / |A∪B| from integer sizes (deterministic
-    * double division).
+  /** Exact n-gram Jaccard verification of candidate pairs, fully relational:
+    * explode shingles, count |A∩B| with a join on (doc_b, shingle), combine
+    * with per-doc set sizes for |A∪B| = |A|+|B|-|A∩B|. No array columns
+    * cross a shuffle and every step is a codegen'd join/aggregate — the
+    * array-intersect formulation runs interpreted and was 5-10× slower.
+    * Jaccard is an integer ratio → deterministic double division.
     */
   def jaccardVerify(
       candidates: DataFrame, df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3): DataFrame = {
-    val sets = df.select(col(idCol).as("doc"),
-      shingles(col(textCol), shingleSize).as("sh")).cache()
+    val expl = shingleRows(df, textCol, idCol, shingleSize).cache()
+    val sizes = expl.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(expl.select(col("doc").as("doc_a"), col("s").as("s_a")), "doc_a")
+      .join(expl.select(col("doc").as("doc_b"), col("s").as("s_a")), Seq("doc_b", "s_a"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     candidates
-      .join(sets.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(sets.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni",
-        size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("doc").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
       .withColumn("jaccard",
         when(col("uni") > 0, col("inter").cast("double") / col("uni"))
           .otherwise(lit(1.0)))
-      .drop("sh_a", "sh_b", "inter", "uni")
+      .drop("s_a", "sz_a", "sz_b", "inter", "uni")
   }
 
   /** End-to-end MinHash-LSH near-dup detection: candidates → verify →
