@@ -34,6 +34,13 @@ object Smoke {
       case e: Exception =>
         println(s"PROBE_BADKEY_ERR=${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next().take(120)}")
     }
+    // Probe: IPC bytes written here are validated cross-language (pyarrow)
+    // by the verify flow.
+    val ipc = sources.ArrowInterchange.toIpcBytes(
+      spark.read.parquet("/root/testdata/sf0.001/nation.parquet"))
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_ipc_sample.arrow"), ipc)
+    println(s"PROBE_IPC_BYTES=${ipc.length}")
+
     spark.stop()
   }
 }

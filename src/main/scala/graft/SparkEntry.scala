@@ -284,6 +284,54 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "q25_setops" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val rich = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+      val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      rich.intersect(building).withColumn("op", lit("intersect"))
+        .unionByName(rich.except(building).withColumn("op", lit("except")))
+        .orderBy("op", "c_custkey")
+    }),
+
+    "q26_dedup_keys" -> ((s, dir) => {
+      Dedup.keepFirst(
+        table(s, dir, "lineitem"),
+        keys = Seq("l_orderkey", "l_linenumber"),
+        orderBy = Seq(col("l_partkey"), col("l_suppkey")))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
+    // Tumbling-window aggregation — the Structured Streaming operator shape
+    // run over the batch events table (window() is identical in both modes).
+    "q27_stream_window" -> ((s, dir) => {
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("total_value"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total_value"))
+        .orderBy("ws", "event_type")
+    }),
+
+    // Audit-stamped upsert with an injected deterministic clock: changed
+    // rows carry changed_at > created_at, so the post-merge audit counts are
+    // SQL-expressible.
+    "lake_audit_upsert" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val t0 = lit("2030-01-01 00:00:00").cast("timestamp")
+      val t1 = lit("2030-01-02 00:00:00").cast("timestamp")
+      val clock = new java.util.concurrent.atomic.AtomicReference[Column](t0)
+      val ds = LakeDataset.fromDataFrame(s, o,
+        partitionCols = Seq("o_orderstatus"),
+        auditColumns = true, auditClock = () => clock.get())
+      clock.set(t1)
+      ds.upsert(o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1), Seq("o_orderkey"))
+      ds.toDF.groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("changed_at") > col("created_at"), 1)).as("n_changed"))
+        .orderBy("o_orderstatus")
+    }),
+
     // HLL-sketch distinct counts — estimates are engine-specific, so
     // rows-only check; OperatorsSpec asserts <5% error vs exact.
     "q24_approx_distinct" -> ((s, dir) => {
@@ -718,6 +766,35 @@ object SparkEntry {
         |SELECT user_id, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions,
         |  COUNT(*) AS n_events
         |FROM t GROUP BY user_id""".stripMargin,
+
+    "q25_setops" ->
+      """SELECT c_custkey, 'intersect' AS op FROM (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |  INTERSECT
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') a
+        |UNION ALL
+        |SELECT c_custkey, 'except' AS op FROM (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |  EXCEPT
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') b""".stripMargin,
+
+    "q26_dedup_keys" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber
+        |                       ORDER BY l_partkey, l_suppkey) AS rn
+        |  FROM lineitem) t
+        |WHERE rn = 1""".stripMargin,
+
+    "q27_stream_window" ->
+      s"""SELECT date_trunc('hour', ts) AS ws, event_type,
+         |  COUNT(*) AS n, ${osum("value", 4)} AS total_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "lake_audit_upsert" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  COUNT(CASE WHEN o_orderkey % 7 = 0 THEN 1 END) AS n_changed
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "lake_materialize" ->
       s"""SELECT event_type, COUNT(*) AS n, ${osum("value", 4)} AS total_value

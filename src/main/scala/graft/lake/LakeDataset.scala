@@ -38,7 +38,14 @@ final class LakeDataset private (
     val partitionCols: List[String],
     val bucketCols: List[String],
     val nBuckets: Int,
-    @volatile var storage: Option[StorageSpec]) {
+    @volatile var storage: Option[StorageSpec],
+    /** When set, maintain CREATED_AT/CHANGED_AT audit stamps (the
+      * reference's own TODO, src/main.rs:34): every ingested row is stamped
+      * with this clock; upserts preserve the original `created_at` and renew
+      * `changed_at` only on touched rows. Injectable for deterministic
+      * tests; defaults to `current_timestamp()` via [[LakeDataset.fromDataFrame]].
+      */
+    val auditClock: Option[() => Column] = None) {
 
   private val parts = new ConcurrentHashMap[PartKey, LakePart]()
 
@@ -121,7 +128,13 @@ final class LakeDataset private (
     * to it. Mirrors the reference's eager `Dataset::from_dataframe` split
     * (src/dataset.rs:196-238). Each returned slice carries its row count.
     */
-  private def splitByCell(df: DataFrame): List[(PartKey, DataFrame, Long)] = {
+  private def splitByCell(df0: DataFrame): List[(PartKey, DataFrame, Long)] = {
+    val df = auditClock match {
+      case Some(clock) =>
+        df0.withColumn(LakeDataset.CreatedAtCol, clock())
+          .withColumn(LakeDataset.ChangedAtCol, clock())
+      case None => df0
+    }
     val withBucket =
       if (bucketCols.nonEmpty)
         df.withColumn(LakeDataset.BucketCol,
@@ -178,10 +191,12 @@ final class LakeDataset private (
     */
   def upsert(df: DataFrame, keys: Seq[String], save: Boolean = false): Unit = {
     markDirty()
+    val leftWins: Set[String] =
+      if (auditClock.isDefined) Set(LakeDataset.CreatedAtCol) else Set.empty
     splitByCell(df).foreach { case (key, slice, n) =>
       parts.compute(key, (_, existing) =>
         if (existing == null) new LakePart(slice, key, bucketCols, nBuckets, n)
-        else { existing.upsert(slice, keys, n); existing })
+        else { existing.upsert(slice, keys, n, leftWins = leftWins); existing })
     }
     if (save) toStorage()
   }
@@ -235,6 +250,10 @@ object LakeDataset {
     */
   val BucketCol = "__graft_bucket"
 
+  /** Audit stamp columns (reference TODO, src/main.rs:34). */
+  val CreatedAtCol = "created_at"
+  val ChangedAtCol = "changed_at"
+
   /** Build a dataset from a DataFrame (reference `Dataset::from_dataframe`,
     * src/dataset.rs:196-238). Parts snapshot the input via localCheckpoint,
     * so later mutations of the source don't leak in.
@@ -245,8 +264,11 @@ object LakeDataset {
       partitionCols: Seq[String] = Nil,
       bucketCols: Seq[String] = Nil,
       nBuckets: Int = 5,
-      storage: Option[StorageSpec] = None): LakeDataset = {
-    val ds = new LakeDataset(spark, partitionCols.toList, bucketCols.toList, nBuckets, storage)
+      storage: Option[StorageSpec] = None,
+      auditColumns: Boolean = false,
+      auditClock: () => Column = () => current_timestamp()): LakeDataset = {
+    val ds = new LakeDataset(spark, partitionCols.toList, bucketCols.toList, nBuckets,
+      storage, if (auditColumns) Some(auditClock) else None)
     ds.insert(df)
     ds
   }

@@ -75,7 +75,8 @@ final class LakePart private[lake] (
     * (schema evolution — null for pre-existing rows); columns missing from
     * the incoming frame keep their existing values.
     */
-  def upsert(other: DataFrame, keys: Seq[String], otherRows: Long, collectNow: Boolean = false): Unit =
+  def upsert(other: DataFrame, keys: Seq[String], otherRows: Long, collectNow: Boolean = false,
+      leftWins: Set[String] = Set.empty): Unit =
     lock.synchronized {
       val old = ref.get
       val l = old.alias("l")
@@ -84,8 +85,11 @@ final class LakePart private[lake] (
       val joined = l.join(r, cond, "full_outer")
       val otherCols = other.columns.toSet
       val existing = old.columns.map { c =>
-        if (otherCols.contains(c)) coalesce(col(s"r.$c"), col(s"l.$c")).as(c)
-        else col(s"l.$c").as(c)
+        if (!otherCols.contains(c)) col(s"l.$c").as(c)
+        // leftWins columns keep the EXISTING value on matched rows (used for
+        // created_at audit stamps); everything else is right-wins coalesce.
+        else if (leftWins.contains(c)) coalesce(col(s"l.$c"), col(s"r.$c")).as(c)
+        else coalesce(col(s"r.$c"), col(s"l.$c")).as(c)
       }
       val added = other.columns.filterNot(old.columns.contains).map(c => col(s"r.$c").as(c))
       ref.set(joined.select(existing ++ added: _*))

@@ -91,4 +91,25 @@ final class LakeServer(val spark: SparkSession) {
       scala.concurrent.ExecutionContext.global
     db.executeSqls(sqls)
   }
+
+  // ------------------------------------------------ Arrow IPC wire parity
+
+  /** SelectIpc with the actual wire encoding: result rows as one Arrow IPC
+    * stream (reference: src/server.rs:288-297).
+    */
+  def selectIpc(sql: String): Array[Byte] =
+    graft.sources.ArrowInterchange.toIpcBytes(select(sql))
+
+  /** Streaming ingest from Arrow IPC chunks (reference `read_source`,
+    * src/server.rs:36-46).
+    */
+  def insertTableIpc(name: TableName, chunks: Iterator[Array[Byte]],
+      save: Boolean = false): Unit =
+    insertTable(name,
+      chunks.map(graft.sources.ArrowInterchange.fromIpcBytes(spark, _)), save)
+
+  def upsertTableIpc(name: TableName, keys: Seq[String],
+      chunks: Iterator[Array[Byte]], save: Boolean = false): Unit =
+    upsertTable(name, keys,
+      chunks.map(graft.sources.ArrowInterchange.fromIpcBytes(spark, _)), save)
 }

@@ -33,6 +33,19 @@ object Dedup {
         min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("dup_count"))
 
+  /** Deterministic drop-duplicates on key columns: keep the first row per
+    * key group under `orderBy` (the reference's drop-duplicates TODO,
+    * src/main.rs:32 — Spark's own `dropDuplicates` keeps an arbitrary row,
+    * which would be irreproducible).
+    */
+  def keepFirst(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
   // --------------------------------------------------------------- shingles
 
   /** Word n-gram shingles of the text (distinct). Documents shorter than n

@@ -1,0 +1,171 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.Collections
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit => ArrowTimeUnit}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.arrow.vector.util.Text
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Arrow IPC stream interchange — the reference's wire format (reference:
+  * src/server.rs:36-46 decodes `SourceIpc.data` IPC bytes; src/server.rs:
+  * 293-297 replies with IPC-serialized results). Spark's internal Arrow
+  * converters are private API, so this speaks the PUBLIC Arrow Java API
+  * (`arrow-vector` ships with Spark) for flat schemas: boolean, int/long,
+  * float/double, string, binary, timestamp-µs, date.
+  *
+  * Driver-side by design: the reference serializes query RESULTS (already
+  * collected) and decodes ingest CHUNKS (micro-batch sized) — both bounded;
+  * bulk data movement stays on the parquet path.
+  */
+object ArrowInterchange {
+
+  private def arrowField(f: StructField): Field = {
+    val t: ArrowType = f.dataType match {
+      case BooleanType => ArrowType.Bool.INSTANCE
+      case IntegerType => new ArrowType.Int(32, true)
+      case LongType => new ArrowType.Int(64, true)
+      case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+      case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      case StringType => ArrowType.Utf8.INSTANCE
+      case BinaryType => ArrowType.Binary.INSTANCE
+      case TimestampType => new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, "UTC")
+      case TimestampNTZType => new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, null)
+      case DateType => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
+      case other => throw new IllegalArgumentException(s"unsupported IPC type: $other")
+    }
+    new Field(f.name, new FieldType(f.nullable, t, null), Collections.emptyList())
+  }
+
+  private def sparkField(f: Field): StructField = {
+    val dt: DataType = f.getType match {
+      case _: ArrowType.Bool => BooleanType
+      case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+      case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+      case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+      case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+      case _: ArrowType.Utf8 => StringType
+      case _: ArrowType.Binary => BinaryType
+      case t: ArrowType.Timestamp if t.getTimezone == null => TimestampNTZType
+      case _: ArrowType.Timestamp => TimestampType
+      case _: ArrowType.Date => DateType
+      case other => throw new IllegalArgumentException(s"unsupported IPC type: $other")
+    }
+    StructField(f.getName, dt, f.isNullable)
+  }
+
+  /** Serialize a DataFrame's rows to one Arrow IPC stream. */
+  def toIpcBytes(df: DataFrame): Array[Byte] = {
+    val schema = df.schema
+    val rows = df.collect()
+    val allocator = new RootAllocator()
+    try {
+      val arrowSchema = new ArrowSchema(schema.fields.map(arrowField).toList.asJava)
+      val root = VectorSchemaRoot.create(arrowSchema, allocator)
+      try {
+        root.allocateNew()
+        schema.fields.zipWithIndex.foreach { case (f, c) =>
+          val v = root.getVector(c)
+          rows.zipWithIndex.foreach { case (row, r) =>
+            if (row.isNullAt(c)) setNull(v, r) else setValue(v, r, f.dataType, row, c)
+          }
+          v.setValueCount(rows.length)
+        }
+        root.setRowCount(rows.length)
+        val out = new ByteArrayOutputStream()
+        val writer = new ArrowStreamWriter(root, null, out)
+        writer.start(); writer.writeBatch(); writer.end(); writer.close()
+        out.toByteArray
+      } finally root.close()
+    } finally allocator.close()
+  }
+
+  /** Decode an Arrow IPC stream into a DataFrame (all batches). */
+  def fromIpcBytes(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
+    val allocator = new RootAllocator()
+    try {
+      val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), allocator)
+      try {
+        val root = reader.getVectorSchemaRoot
+        val schema = StructType(root.getSchema.getFields.asScala.map(sparkField).toArray)
+        val out = scala.collection.mutable.ArrayBuffer[Row]()
+        while (reader.loadNextBatch()) {
+          (0 until root.getRowCount).foreach { r =>
+            out += Row.fromSeq(schema.fields.indices.map { c =>
+              getValue(root.getVector(c), r, schema.fields(c).dataType)
+            })
+          }
+        }
+        spark.createDataFrame(out.asJava, schema)
+      } finally reader.close()
+    } finally allocator.close()
+  }
+
+  private def setNull(v: FieldVector, r: Int): Unit = v match {
+    case x: BitVector => x.setNull(r)
+    case x: IntVector => x.setNull(r)
+    case x: BigIntVector => x.setNull(r)
+    case x: Float4Vector => x.setNull(r)
+    case x: Float8Vector => x.setNull(r)
+    case x: VarCharVector => x.setNull(r)
+    case x: VarBinaryVector => x.setNull(r)
+    case x: TimeStampMicroTZVector => x.setNull(r)
+    case x: TimeStampMicroVector => x.setNull(r)
+    case x: DateDayVector => x.setNull(r)
+    case other => throw new IllegalArgumentException(s"unsupported vector: $other")
+  }
+
+  private def setValue(v: FieldVector, r: Int, dt: DataType, row: Row, c: Int): Unit =
+    (v, dt) match {
+      case (x: BitVector, BooleanType) => x.setSafe(r, if (row.getBoolean(c)) 1 else 0)
+      case (x: IntVector, IntegerType) => x.setSafe(r, row.getInt(c))
+      case (x: BigIntVector, LongType) => x.setSafe(r, row.getLong(c))
+      case (x: Float4Vector, FloatType) => x.setSafe(r, row.getFloat(c))
+      case (x: Float8Vector, DoubleType) => x.setSafe(r, row.getDouble(c))
+      case (x: VarCharVector, StringType) => x.setSafe(r, new Text(row.getString(c)))
+      case (x: VarBinaryVector, BinaryType) => x.setSafe(r, row.getAs[Array[Byte]](c))
+      case (x: TimeStampMicroTZVector, TimestampType) =>
+        val ts = row.getTimestamp(c)
+        x.setSafe(r, ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L)
+      case (x: TimeStampMicroVector, TimestampNTZType) =>
+        val ldt = row.getAs[java.time.LocalDateTime](c)
+        val us = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+        x.setSafe(r, us)
+      case (x: DateDayVector, DateType) =>
+        x.setSafe(r, row.getDate(c).toLocalDate.toEpochDay.toInt)
+      case (other, t) => throw new IllegalArgumentException(s"unsupported: $other/$t")
+    }
+
+  private def getValue(v: FieldVector, r: Int, dt: DataType): Any =
+    if (v.isNull(r)) null
+    else (v, dt) match {
+      case (x: BitVector, BooleanType) => x.get(r) == 1
+      case (x: IntVector, IntegerType) => x.get(r)
+      case (x: BigIntVector, LongType) => x.get(r)
+      case (x: Float4Vector, FloatType) => x.get(r)
+      case (x: Float8Vector, DoubleType) => x.get(r)
+      case (x: VarCharVector, StringType) => new String(x.get(r), java.nio.charset.StandardCharsets.UTF_8)
+      case (x: VarBinaryVector, BinaryType) => x.get(r)
+      case (x: TimeStampMicroTZVector, TimestampType) =>
+        val us = x.get(r)
+        val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        ts
+      case (x: TimeStampMicroVector, TimestampNTZType) =>
+        val us = x.get(r)
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case (x: DateDayVector, DateType) =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.get(r).toLong))
+      case (other, t) => throw new IllegalArgumentException(s"unsupported: $other/$t")
+    }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.LakeServer
+import graft.model.TableName
+import graft.sources.ArrowInterchange
+
+class ArrowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IPC round-trip preserves schema, values, and nulls") {
+    val df = Seq(
+      (1L, Some(1.5), Some("a"), Some(true)),
+      (2L, None, None, None))
+      .toDF("k", "d", "s", "b")
+      .withColumn("ts", lit("2024-03-01 12:34:56.789").cast("timestamp"))
+      .withColumn("bin", col("s").cast("binary"))
+    val bytes = ArrowInterchange.toIpcBytes(df)
+    assert(bytes.length > 0)
+    val back = ArrowInterchange.fromIpcBytes(spark, bytes)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("k").collect().toSeq == df.orderBy("k").collect().toSeq)
+  }
+
+  test("IPC round-trip on a real table slice") {
+    val o = spark.read.parquet(s"${sf()}/orders.parquet").limit(200)
+    val back = ArrowInterchange.fromIpcBytes(spark, ArrowInterchange.toIpcBytes(o))
+    assert(back.count() == 200)
+    val a = o.agg(sum(col("o_totalprice").cast("decimal(38,2)"))).head().getDecimal(0)
+    val b = back.agg(sum(col("o_totalprice").cast("decimal(38,2)"))).head().getDecimal(0)
+    assert(a == b)
+  }
+
+  test("server ingests IPC chunks and serves IPC results") {
+    val srv = new LakeServer(spark)
+    val o = spark.read.parquet(s"${sf()}/orders.parquet")
+    srv.createTable(TableName("test", "ipc_orders"), Iterator(o))
+    val delta = o.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 10)
+    srv.upsertTableIpc(TableName("test", "ipc_orders"), Seq("o_orderkey"),
+      Iterator(ArrowInterchange.toIpcBytes(delta)))
+    val resultBytes = srv.selectIpc("SELECT COUNT(*) AS n FROM ipc_orders")
+    val n = ArrowInterchange.fromIpcBytes(spark, resultBytes).head().getLong(0)
+    assert(n == o.count())
+  }
+
+  test("unsupported nested type rejected cleanly") {
+    val df = Seq(Tuple1(Seq(1, 2))).toDF("arr")
+    intercept[IllegalArgumentException] { ArrowInterchange.toIpcBytes(df) }
+  }
+}

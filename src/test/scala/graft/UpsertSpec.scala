@@ -78,6 +78,30 @@ class UpsertSpec extends SparkSpec {
     assert(row.getString(1) == "n30" && row.getDouble(2) == 30.0)
   }
 
+  test("audit columns: created_at preserved, changed_at renewed on touched rows") {
+    val t0 = lit("2030-01-01 00:00:00").cast("timestamp")
+    val t1 = lit("2030-01-02 00:00:00").cast("timestamp")
+    val clock = new java.util.concurrent.atomic.AtomicReference(t0)
+    val ds = LakeDataset.fromDataFrame(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
+      auditColumns = true, auditClock = () => clock.get())
+    clock.set(t1)
+    ds.upsert(Seq((2L, "B"), (3L, "c")).toDF("k", "s"), Seq("k"))
+    val rows = ds.toDF.orderBy("k")
+      .select(col("k"), col("s"), col("created_at").cast("string"), col("changed_at").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(rows(0) == ((1L, "a", "2030-01-01 00:00:00", "2030-01-01 00:00:00")), "untouched")
+    assert(rows(1) == ((2L, "B", "2030-01-01 00:00:00", "2030-01-02 00:00:00")), "updated")
+    assert(rows(2) == ((3L, "c", "2030-01-02 00:00:00", "2030-01-02 00:00:00")), "inserted")
+  }
+
+  test("keepFirst drops key-duplicates deterministically") {
+    val df = Seq((1L, "z", 3), (1L, "a", 2), (2L, "m", 1)).toDF("k", "s", "v")
+    val got = graft.operators.Dedup.keepFirst(df, Seq("k"), Seq(col("s")))
+      .orderBy("k").as[(Long, String, Int)].collect().toSeq
+    assert(got == Seq((1L, "a", 2), (2L, "m", 1)))
+  }
+
   test("upsert routed per partition+bucket cell stays correct") {
     val base = spark.read.parquet(s"${sf()}/orders.parquet")
     val ds = LakeDataset.fromDataFrame(spark, base,
