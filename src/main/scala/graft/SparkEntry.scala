@@ -44,7 +44,7 @@ object SparkEntry {
     // ------------------------------------------------------ SQL surface (§2.B)
     "q01_pricing_summary" -> ((s, dir) => {
       table(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
@@ -66,8 +66,8 @@ object SparkEntry {
       val l = table(s, dir, "lineitem")
       broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
         .join(l, o("o_orderkey") === l("l_orderkey"))
-        .filter(o("o_orderdate") < lit("1997-01-01").cast("timestamp") &&
-          l("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+        .filter(o("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+          l("l_shipdate") > lit("1997-01-01").cast("timestamp_ntz"))
         .groupBy(o("o_orderkey"), o("o_orderdate"))
         .agg(dsum(l("l_extendedprice") * (lit(1) - l("l_discount")), 4).as("revenue"))
         .orderBy(desc("revenue"), asc("o_orderkey"))
@@ -101,8 +101,8 @@ object SparkEntry {
 
     "q06_forecast_revenue" -> ((s, dir) => {
       table(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
           col("l_discount") >= 0.03 && col("l_discount") <= 0.05 &&
           col("l_quantity") < 24)
         .agg(

@@ -1,0 +1,60 @@
+package graft
+
+/** Physical-plan assertions for headline queries — the ".explain and iterate"
+  * contract: broadcasts where a side is small, pushdown/pruning reaching the
+  * scans, no exchange where none is needed.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  /** Columns of the (single) parquet ReadSchema in the plan. */
+  private def readSchemaCols(p: String): Set[String] = {
+    val re = "ReadSchema: struct<([^>]*)>".r
+    re.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.takeWhile(_ != ':')).filter(_.nonEmpty).toSet
+  }
+
+  test("q03: dimension side broadcast joined") {
+    val p = plan("q03_top_orders")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("q05: supplier and nation broadcast joined") {
+    val p = plan("q05_revenue_by_nation")
+    assert(p.split("BroadcastHashJoin").length >= 3,
+      s"expected >=2 broadcast joins:\n$p")
+  }
+
+  test("q02: filter pushed to parquet, projection pruned, no exchange") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"), s"no pushdown:\n$p")
+    assert(!p.contains("Exchange"), s"filter+project must not shuffle:\n$p")
+    assert(readSchemaCols(p) ==
+      Set("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_returnflag"),
+      s"scan must read only projected+filter columns, got ${readSchemaCols(p)}")
+  }
+
+  test("q06: scan reads only the filter/agg columns") {
+    val p = plan("q06_forecast_revenue")
+    // plan toString truncates long filter lists — match the stable prefix
+    assert(p.contains("GreaterThanOrEqual(l_shipda"), s"shipdate filter not pushed:\n$p")
+    assert(readSchemaCols(p) ==
+      Set("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"),
+      s"column pruning failed, got ${readSchemaCols(p)}")
+  }
+
+  test("q01: partial+final hash aggregate, single data shuffle (plus sort)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.split("HashAggregate").length >= 3, s"expected partial+final agg:\n$p")
+    // one shuffle for the aggregate, one range exchange for the orderBy — no more
+    val exchanges = "Exchange (hashpartitioning|rangepartitioning)".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("*(1)"), s"no whole-stage codegen span:\n$p")
+  }
+}
