@@ -468,6 +468,7 @@ object SparkEntry {
         col("doc_id"),
         length(trim(col("text"))).cast("long").as("n_chars_trim"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).as("n_tokens_re"),
         TextAnalysis.stopwordCount(col("text")).as("n_stop"))
     }),
 
@@ -821,6 +822,7 @@ object SparkEntry {
          |       ELSE CAST(LENGTH(TRIM(text))
          |            - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 AS BIGINT)
          |  END AS n_tokens,
+         |  CAST(len(regexp_extract_all(LOWER(text), '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens_re,
          |  CAST(len(list_filter(string_split(TRIM(text), ' '),
          |       w -> list_contains([$stops], w))) AS BIGINT) AS n_stop
          |FROM documents""".stripMargin

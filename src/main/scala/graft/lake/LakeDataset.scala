@@ -224,7 +224,8 @@ final class LakeDataset private (
   def toStorage(): Unit = {
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
     LakeDataset.deleteRecursively(Paths.get(spec.root))
-    Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec), spec.root)
+    val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
+    Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl), spec.root)
     // Concurrent per-part write jobs: Spark schedules them over the shared
     // executor pool (the rayon-parallel save in the reference,
     // src/dataset.rs:342-348, re-expressed as concurrent Spark jobs).
@@ -289,8 +290,14 @@ object LakeDataset {
     // per-part directory scans so loading N parts costs no extra schema-
     // inference jobs. Data files keep every column incl. partition values
     // (reference include_keys semantics, src/dataset.rs:206).
-    val whole = spark.read.format(manifest.storage.format)
-      .load(leafDirs.map(_.toString): _*)
+    val reader0 = spark.read.format(manifest.storage.format)
+    // Parquet is self-describing; csv/json load with the manifest schema.
+    val reader = manifest.schemaDdl match {
+      case Some(ddl) if manifest.storage.format != "parquet" =>
+        reader0.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      case _ => reader0
+    }
+    val whole = reader.load(leafDirs.map(_.toString): _*)
 
     leafDirs.foreach { dir =>
       val rel = Paths.get(root).relativize(dir).toString
@@ -320,8 +327,13 @@ object LakeDataset {
     val out = mutable.ListBuffer[Path]()
     def walk(dir: Path): Unit = {
       val entries = Files.list(dir).iterator().asScala.toList
-      val hasData = entries.exists(p =>
-        Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      val hasData = entries.exists { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) &&
+          !n.startsWith(".") && !n.startsWith("_") && n != "manifest.json" &&
+          (n.startsWith("part-") ||
+            n.endsWith(".parquet") || n.endsWith(".csv") || n.endsWith(".json"))
+      }
       if (hasData) out += dir
       entries.filter(Files.isDirectory(_)).foreach(walk)
     }

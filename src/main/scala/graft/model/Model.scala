@@ -57,7 +57,11 @@ final case class Manifest(
     partitions: List[String],
     buckets: List[String],
     nBuckets: Int,
-    storage: StorageSpec)
+    storage: StorageSpec,
+    /** Spark DDL of the table schema. Parquet is self-describing, but
+      * schema-light formats (csv/json) need it to load with correct types.
+      */
+    schemaDdl: Option[String] = None)
 
 object Manifest {
   private val om = new ObjectMapper()
@@ -69,6 +73,7 @@ object Manifest {
     val buckets = node.putArray("buckets")
     m.buckets.foreach(buckets.add)
     node.put("n_buckets", m.nBuckets)
+    m.schemaDdl.foreach(node.put("schema", _))
     val st = node.putObject("storage")
     st.put("root", m.storage.root)
     st.put("format", m.storage.format)
@@ -89,6 +94,7 @@ object Manifest {
       storage = StorageSpec(
         root = st.get("root").asText(),
         format = st.get("format").asText(),
-        compression = st.get("compression").asText()))
+        compression = st.get("compression").asText()),
+      schemaDdl = Option(node.get("schema")).map(_.asText()))
   }
 }

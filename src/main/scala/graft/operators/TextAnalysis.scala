@@ -33,6 +33,15 @@ object TextAnalysis {
       .otherwise((length(t) - length(replace(t, lit(" "), lit(""))) + 1).cast("long"))
   }
 
+  /** BPE-ish token count: alphanumeric runs and individual punctuation
+    * marks each count as one token (the usual pre-tokenizer split), via
+    * `regexp_count` — closer to an LLM tokenizer's budget than whitespace
+    * counting. Pattern avoids lookarounds so RE2-based engines (the DuckDB
+    * oracle) agree.
+    */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z0-9]+|[^a-z0-9 ]")).cast("long")
+
   /** Count of words that are in the stopword list. */
   def stopwordCount(text: Column): Column =
     size(filter(split(trim(text), " "),

@@ -52,6 +52,22 @@ class DatasetSpec extends SparkSpec {
     LakeDataset.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("csv storage round-trip via schema-bearing manifest") {
+    val root = Files.createTempDirectory("graft_csv").toString
+    val o = spark.read.parquet(s"${sf()}/orders.parquet")
+    val ds = LakeDataset.fromDataFrame(spark, o,
+      partitionCols = Seq("o_orderstatus"),
+      storage = Some(StorageSpec(root, format = "csv", compression = "gzip")))
+    ds.toStorage()
+    val back = LakeDataset.fromStorage(spark, root)
+    assert(back.toDF.schema == o.schema, "csv types must come back via manifest schema")
+    assert(back.toDF.count() == o.count())
+    val a = o.agg(sum(col("o_totalprice").cast("decimal(38,2)"))).head().getDecimal(0)
+    val b = back.toDF.agg(sum(col("o_totalprice").cast("decimal(38,2)"))).head().getDecimal(0)
+    assert(a == b)
+    LakeDataset.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("manifest round-trips partitions, buckets, storage") {
     val root = Files.createTempDirectory("graft_manifest").toString
     val m = Manifest(List("a", "b"), List("c"), 7, StorageSpec(root, "parquet", "snappy"))

@@ -101,6 +101,22 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@10 = $recall")
   }
 
+  // ------------------------------------------------------------------ joins
+
+  test("salted join equals plain join on skewed data") {
+    import graft.operators.Joins
+    // heavily skewed: 90% of rows share key 1
+    val big = spark.range(0, 2000)
+      .selectExpr("IF(id % 10 = 0, id, 1) AS key", "id AS payload")
+    val small = Seq((1L, "hot"), (10L, "a"), (20L, "b")).toDF("key", "tag")
+    val plain = big.join(small, "key")
+    val salted = Joins.saltedJoin(big, small, "key", factor = 8, saltSource = col("payload"))
+    assert(salted.count() == plain.count())
+    val a = plain.agg(sum("payload")).head().getLong(0)
+    val b = salted.agg(sum("payload")).head().getLong(0)
+    assert(a == b)
+  }
+
   // ------------------------------------------------------------------- text
 
   test("token count: empty, single, multi") {
