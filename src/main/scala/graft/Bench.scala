@@ -18,6 +18,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Tungsten page size defaults to heap-proportional (up to 64m); with
+      // many threads and small partitions that allocates GBs of pages per
+      // query and turns the run GC-bound (observed 5-10x bimodal stalls on
+      // large heaps). 2m keeps allocation proportional to the data.
+      .config("spark.buffer.pageSize", "2m")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -30,13 +35,22 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Min over N runs per query (default 2): single-JVM timings at this
+    // scale carry multi-second scheduler/GC noise; the minimum is the
+    // reproducible cost.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      Fixtures.clear()
-      name -> dt
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val d = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        Fixtures.clear()
+        d
+      }
+      if (debug) System.err.println(f"[bench] $name: ${times.map(t => f"$t%.2f").mkString(", ")}")
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

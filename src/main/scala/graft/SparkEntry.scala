@@ -477,10 +477,14 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
     }),
 
-    // Heuristic language ID — engine-deterministic, no SQL oracle.
+    // Heuristic language ID (word-marker + char-trigram variants) —
+    // engine-deterministic, no SQL oracle.
     "text_langid" -> ((s, dir) => {
       table(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"), col("lang"))
+        .select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.langIdNgram(col("text")).as("lang_pred_ngram"),
+          col("lang"))
     }),
 
     // xxhash64-based fingerprint — engine-deterministic, no SQL oracle.
@@ -500,7 +504,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) => {
       Dedup.minhashDedup(Fixtures.nearDupDocuments(s, dir), "text", "doc_id",
           threshold = 0.5)
-        .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy("doc_a", "doc_b")
     }),
 

@@ -141,6 +141,29 @@ object Dedup {
             x => x.cast("string")), ","),
           b).as("bh")))
 
+  /** (doc, band, bandhash) rows computed straight from the per-permutation
+    * min columns — no higher-order functions anywhere in the plan. HOF
+    * lambdas run interpreted when codegen falls back, with classloader lock
+    * contention across executor threads (observed intermittent 5× stalls);
+    * this path is plain function calls + one generator. Band-hash values
+    * are identical to [[bandHashes]] over the assembled signature.
+    */
+  def minhashBands(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val exploded = shingleRows(df, textCol, idCol, shingleSize)
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"m$i"))
+    val agg = exploded.groupBy("doc").agg(mins.head, mins.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => col(s"m$i").cast("string"))
+      struct(lit(b).as("band"), xxhash64(concat_ws(",", cols: _*), lit(b)).as("bh"))
+    }
+    agg.select(col("doc"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
   /** Candidate near-duplicate pairs (idA < idB) from MinHash-LSH plus their
     * signature-estimated Jaccard. `df` must contain `idCol` and `textCol`.
     *
@@ -149,31 +172,29 @@ object Dedup {
     */
   def minhashCandidates(
       df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      withEstimate: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    // Signatures are computed once and cached: they feed both sides of the
-    // band self-join and the post-candidate estimate. (At warehouse scale
-    // this cache is a persisted signature table.)
-    val signed = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
-      .cache()
-    // The band join carries only (band, bh, doc) — signatures are re-attached
-    // AFTER candidate dedup so the shuffle stays narrow.
-    val banded = signed
-      .select(col("doc"), explode(bandHashes(col("sig"), bands, r)).as("b"))
-      .select(col("doc"), col("b.band").as("band"), col("b.bh").as("bh"))
+    // The band self-join carries only (band, bh, doc); both sides are the
+    // same subplan, so Spark's ReuseExchange computes signatures once.
+    val banded = minhashBands(df, textCol, idCol, numHashes, bands, shingleSize)
     val cands = banded.as("x")
       .join(banded.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .filter(col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
       .distinct()
-    cands
-      .join(signed.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(signed.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / lit(numHashes.toDouble))
-      .drop("sig_a", "sig_b")
+    if (!withEstimate) cands
+    else {
+      val signed = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
+      cands
+        .join(signed.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(signed.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .withColumn("est_jaccard",
+          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+            .cast("double") / lit(numHashes.toDouble))
+        .drop("sig_a", "sig_b")
+    }
   }
 
   /** Exact n-gram Jaccard verification of candidate pairs, fully relational:
@@ -211,7 +232,10 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.7, numHashes: Int = 32, bands: Int = 8,
       shingleSize: Int = 3): DataFrame = {
-    val cands = minhashCandidates(df, textCol, idCol, numHashes, bands, shingleSize)
+    // No signature estimate on the end-to-end path: the exact Jaccard
+    // verify supersedes it, and skipping it removes two joins.
+    val cands = minhashCandidates(df, textCol, idCol, numHashes, bands, shingleSize,
+      withEstimate = false)
     jaccardVerify(cands, df, textCol, idCol, shingleSize)
       .filter(col("jaccard") >= threshold)
   }

@@ -85,6 +85,32 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Character-trigram profiles per language for [[langIdNgram]]. Tiny,
+    * hand-picked high-frequency trigrams (spaces matter); a production
+    * system learns these from corpora — the operator shape is identical.
+    */
+  val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", " th", "he ", "ing", "and", " an", "ion"),
+    "de" -> Seq("der", "ich", "sch", "ein", "und", " de", "en "),
+    "fr" -> Seq("es ", " de", "le ", "ent", "que", " le", "ais"),
+    "es" -> Seq(" de", "os ", "la ", " la", "que", "ado", "ión"))
+
+  /** Character n-gram language ID: count profile-trigram occurrences via
+    * pure string arithmetic (`(len - len(replace)) / 3` per trigram — the
+    * same formula an oracle can run), argmax with deterministic tie-break.
+    */
+  def langIdNgram(text: Column): Column = {
+    val t = lower(text)
+    val scored = TrigramProfiles.map { case (lang, tris) =>
+      val score = tris.map { tri =>
+        (length(t) - length(replace(t, lit(tri), lit("")))) / lit(3)
+      }.reduce(_ + _)
+      struct(score.as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
   /** Normalized-text fingerprint: lower-case, strip non-alphanumerics,
     * collapse whitespace, then xxhash64 — a cheap rolling-hash-style content
     * id for exact-after-normalization dedup.

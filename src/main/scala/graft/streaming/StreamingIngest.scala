@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.lake.{Database, LakeDataset}
 
@@ -53,4 +54,38 @@ object StreamingIngest {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+
+  /** One event on the stateful-sessionization path. */
+  final case class SessionEvent(user_id: Long, ts_us: Long)
+
+  /** Per-user session state carried across micro-batches. */
+  final case class SessionState(lastTsUs: Long, sessions: Long, events: Long)
+
+  /** Running per-user session stats. */
+  final case class SessionUpdate(user_id: Long, sessions: Long, events: Long)
+
+  /** Custom stateful stream processing via `mapGroupsWithState` (SURVEY.md
+    * §2.B streaming row — absent from the reference entirely): per-user
+    * session counting where a gap above `gapMinutes` starts a new session.
+    * State (last event time, running counts) persists across micro-batches.
+    * Use with OutputMode.Update; also runs on batch Datasets for tests.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Long)
+      : Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
+        (user, batch, state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(_.ts_us)
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val newSession = st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > gapUs
+            st = SessionState(e.ts_us,
+              st.sessions + (if (newSession) 1 else 0), st.events + 1)
+          }
+          state.update(st)
+          SessionUpdate(user, st.sessions, st.events)
+      }
+  }
 }

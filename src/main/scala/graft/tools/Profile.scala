@@ -18,6 +18,7 @@ object Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.buffer.pageSize", "2m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -33,12 +34,9 @@ object Profile {
     val corpus = Fixtures.nearDupDocuments(spark, sfDir).localCheckpoint(true)
     println(s"[profile] corpus rows: ${corpus.count()}")
 
-    val signed = Dedup.minhashSignatures(corpus, "text", "doc_id", 32, 3).cache()
-    time("minhash signatures")(signed.count())
+    val banded = Dedup.minhashBands(corpus, "text", "doc_id", 32, 8, 3).cache()
+    time("minhash bands")(banded.count())
 
-    val banded = signed
-      .select(col("doc"), explode(Dedup.bandHashes(col("sig"), 8, 4)).as("b"))
-      .select(col("doc"), col("b.band").as("band"), col("b.bh").as("bh"))
     val cands = banded.as("x")
       .join(banded.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .filter(col("x.doc") < col("y.doc"))
@@ -60,9 +58,12 @@ object Profile {
     time("end-to-end minhashDedup") {
       Dedup.minhashDedup(corpus, "text", "doc_id", threshold = 0.5).count()
     }
-    time("end-to-end on RAW corpus (bench shape)") {
-      Dedup.minhashDedup(Fixtures.nearDupDocuments(spark, sfDir),
-        "text", "doc_id", threshold = 0.5).count()
+    (1 to 4).foreach { i =>
+      time(s"end-to-end RAW corpus run $i") {
+        Dedup.minhashDedup(Fixtures.nearDupDocuments(spark, sfDir),
+          "text", "doc_id", threshold = 0.5).count()
+      }
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

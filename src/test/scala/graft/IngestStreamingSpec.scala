@@ -66,6 +66,29 @@ class IngestStreamingSpec extends SparkSpec {
     assert(n == ev.count(), "window totals must cover every event")
   }
 
+  test("stateful sessionization carries state across micro-batches") {
+    import graft.streaming.StreamingIngest.{SessionEvent, SessionUpdate}
+    implicit val sqlCtx = spark.sqlContext
+    val min = 60L * 1000000L
+    val mem = MemoryStream[SessionEvent]
+    val q = StreamingIngest.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("update").format("memory").queryName("sessions").start()
+    try {
+      // batch 1: user 1 -> two events 10 min apart (one session)
+      mem.addData(SessionEvent(1L, 0L), SessionEvent(1L, 10 * min))
+      q.processAllAvailable()
+      // batch 2: user 1 -> 40 min later (new session); user 2 first event
+      mem.addData(SessionEvent(1L, 50 * min), SessionEvent(2L, 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT user_id, sessions, events FROM sessions")
+      .as[(Long, Long, Long)].collect().groupBy(_._1).map { case (u, rows) =>
+        u -> rows.maxBy(_._3) // latest update per user
+      }
+    assert(got(1L) == ((1L, 2L, 3L)), s"user 1: $got")
+    assert(got(2L) == ((2L, 1L, 1L)), s"user 2: $got")
+  }
+
   test("executeSqls dedupes identical statements and runs concurrently") {
     implicit val ec = scala.concurrent.ExecutionContext.global
     val db = new Database(spark)

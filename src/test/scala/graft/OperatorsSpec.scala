@@ -126,6 +126,16 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq(0L, 1L, 3L, 3L))
   }
 
+  test("char-trigram langId classifies obvious sentences") {
+    val df = Seq(
+      "the thing and the other thing going along",
+      "ich bin ein berliner und der hund schlaeft",
+      "le chat est dans les champs avec que des souris",
+      "zz qq xx").toDF("t")
+    val got = df.select(TextAnalysis.langIdNgram(col("t"))).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "fr", "und"))
+  }
+
   test("langId picks marker-dominant language deterministically") {
     val df = Seq(
       "the cat and the dog is on the mat",
