@@ -62,16 +62,87 @@ final class LakeDataset private (
 
   // ---------------------------------------------------------------- querying
 
+  /** Mutations since the last dataset-level compaction. A union-of-parts
+    * read scans every part's underlying snapshot once per part; after enough
+    * mutations it is cheaper to compact into ONE snapshot first.
+    */
+  private val sinceCompact = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Union-of-parts view (reference `Dataset::to_lazyframe`,
-    * src/dataset.rs:240-243). Lazy: no job runs until an action.
+    * src/dataset.rs:240-243). Lazy when clean; after enough mutations the
+    * read triggers [[compact]] so queries see one materialized relation
+    * instead of N-scans-of-N-snapshots.
     */
   def toDF: DataFrame = cleanScan.getOrElse {
+    if (sinceCompact.get >= LakeDataset.CompactReadThreshold) {
+      compact()
+      cleanScan.get
+    } else unionParts
+  }
+
+  private def unionParts: DataFrame = {
     val views = parts.values().asScala.toList.map(_.view)
     require(views.nonEmpty, "dataset has no parts")
     views.reduce(_ unionByName (_, allowMissingColumns = true))
   }
 
-  private def markDirty(): Unit = cleanScan = None
+  /** Dataset-level compaction: execute the current union-of-parts ONCE into
+    * a single materialized snapshot, then rebuild every part as a cell
+    * filter over it. Reads afterwards plan one scan; part views stay
+    * available for pruning and incremental save. This is the scale-critical
+    * complement to per-part compaction: per-cell plans each re-scan their
+    * source snapshot, so N parts × M mutations would otherwise cost N×M
+    * scans per query.
+    */
+  def compact(): Unit = this.synchronized {
+    val snap = unionParts.localCheckpoint(true)
+    rebuildFromSnapshot(snap)
+  }
+
+  /** Point the dataset at one materialized snapshot: recompute cell keys and
+    * counters in a single aggregation, rebuild parts as slices of the
+    * snapshot, set the clean-scan fast path.
+    */
+  private def rebuildFromSnapshot(snap: DataFrame): Unit = {
+    val cells: Array[Row] =
+      if (partitionCols.isEmpty && bucketCols.isEmpty) Array.empty
+      else {
+        val keyCols = partitionCols.map(col) ++
+          (if (bucketCols.nonEmpty)
+            List(Bucketing.bucketExprFor(snap, bucketCols.head, nBuckets).as(LakeDataset.BucketCol))
+          else Nil)
+        snap.groupBy(keyCols: _*).count().collect()
+      }
+    parts.clear()
+    if (cells.isEmpty) {
+      val key = PartKey(Nil, None)
+      parts.put(key, new LakePart(snap, key, bucketCols, nBuckets, snap.count()))
+    } else {
+      val nKeyCols = partitionCols.length + (if (bucketCols.nonEmpty) 1 else 0)
+      cells.foreach { row =>
+        val partVals = partitionCols.zipWithIndex.map { case (c, i) =>
+          c -> Option(row.get(i)).map(_.toString).orNull
+        }
+        val bucketNr =
+          if (bucketCols.nonEmpty) Some(row.getInt(nKeyCols - 1)) else None
+        val n = row.getLong(nKeyCols)
+        val cond = partitionCols.zipWithIndex.map { case (c, i) =>
+          if (row.isNullAt(i)) snap(c).isNull else snap(c) === lit(row.get(i))
+        } ++ bucketNr.map(b =>
+          Bucketing.bucketExprFor(snap, bucketCols.head, nBuckets) === lit(b))
+        val key = PartKey(partVals.sortBy(_._1), bucketNr)
+        parts.put(key,
+          new LakePart(snap.filter(cond.reduce(_ && _)), key, bucketCols, nBuckets, n))
+      }
+    }
+    cleanScan = Some(snap)
+    sinceCompact.set(0L)
+  }
+
+  private def markDirty(): Unit = {
+    cleanScan = None
+    sinceCompact.incrementAndGet()
+  }
 
   /** Engine-level partition pruning: only parts whose partition values match
     * every supplied (col -> value) filter contribute to the plan. The
@@ -128,7 +199,7 @@ final class LakeDataset private (
     * to it. Mirrors the reference's eager `Dataset::from_dataframe` split
     * (src/dataset.rs:196-238). Each returned slice carries its row count.
     */
-  private def splitByCell(df0: DataFrame): List[(PartKey, DataFrame, Long)] = {
+  private def splitByCell(df0: DataFrame): (DataFrame, List[(PartKey, DataFrame, Long)]) = {
     val df = auditClock match {
       case Some(clock) =>
         df0.withColumn(LakeDataset.CreatedAtCol, clock())
@@ -145,18 +216,20 @@ final class LakeDataset private (
     // routed slices from an ephemeral source, e.g. a streaming micro-batch),
     // then ONE aggregation job that yields the distinct cell keys AND the
     // per-cell row counts. Slices are lazy filters over the snapshot —
-    // in-memory scans with the cell predicate pushed into them.
+    // in-memory scans with the cell predicate pushed into them. Returns the
+    // batch snapshot (sans routing column) alongside the slices.
     val snap = withBucket.localCheckpoint(true)
+    val batch = snap.drop(LakeDataset.BucketCol)
 
     if (partitionCols.isEmpty && bucketCols.isEmpty)
-      return List((PartKey(Nil, None), snap, snap.count()))
+      return (batch, List((PartKey(Nil, None), snap, snap.count())))
 
     val keyCols = partitionCols ++
       (if (bucketCols.nonEmpty) List(LakeDataset.BucketCol) else Nil)
     val cellCounts: Array[Row] =
       snap.groupBy(keyCols.map(col): _*).count().collect()
 
-    cellCounts.toList.map { row =>
+    val slices = cellCounts.toList.map { row =>
       val partVals = partitionCols.zipWithIndex.map { case (c, i) =>
         c -> Option(row.get(i)).map(_.toString).orNull
       }
@@ -170,17 +243,26 @@ final class LakeDataset private (
       val slice = snap.filter(cond.reduce(_ && _)).drop(LakeDataset.BucketCol)
       (PartKey(partVals.sortBy(_._1), bucketNr), slice, n)
     }
+    (batch, slices)
   }
 
   /** Append: route each incoming slice to its cell; unseen keys create new
     * parts (reference `Dataset::insert`, src/dataset.rs:271-295).
     */
   def insert(df: DataFrame, save: Boolean = false): Unit = {
+    val wasEmpty = parts.isEmpty
     markDirty()
-    splitByCell(df).foreach { case (key, slice, n) =>
+    val (batch, slices) = splitByCell(df)
+    slices.foreach { case (key, slice, n) =>
       parts.compute(key, (_, existing) =>
         if (existing == null) new LakePart(slice, key, bucketCols, nBuckets, n)
         else { existing.insert(slice, n); existing })
+    }
+    // Creating from one batch: every part slices the same snapshot, so the
+    // snapshot itself IS the whole-table view — reads plan one scan.
+    if (wasEmpty) {
+      cleanScan = Some(batch)
+      sinceCompact.set(0L)
     }
     if (save) toStorage()
   }
@@ -190,13 +272,28 @@ final class LakeDataset private (
     * incoming batch are not replanned at all.
     */
   def upsert(df: DataFrame, keys: Seq[String], save: Boolean = false): Unit = {
-    markDirty()
     val leftWins: Set[String] =
       if (auditClock.isDefined) Set(LakeDataset.CreatedAtCol) else Set.empty
-    splitByCell(df).foreach { case (key, slice, n) =>
-      parts.compute(key, (_, existing) =>
-        if (existing == null) new LakePart(slice, key, bucketCols, nBuckets, n)
-        else { existing.upsert(slice, keys, n, leftWins = leftWins); existing })
+    val old = if (parts.isEmpty) null else cleanScan.getOrElse(unionParts)
+    val (batch, slices) = splitByCell(df)
+    // Wide merges (touching at least half the cells) run as ONE global
+    // outer join against the whole table instead of per-cell joins: N
+    // per-cell joins each re-scan their source snapshot, costing N full
+    // scans; the global join scans old + delta once and the rebuilt cells
+    // slice one fresh snapshot. Narrow merges keep the per-cell path so an
+    // incremental batch never replans untouched cells.
+    val wide = numParts > 0 && slices.size >= math.max(2, numParts / 2)
+    if (wide) this.synchronized {
+      markDirty()
+      val merged = LakePart.upsertJoin(old, batch, keys, leftWins)
+      rebuildFromSnapshot(merged.localCheckpoint(true))
+    } else {
+      markDirty()
+      slices.foreach { case (key, slice, n) =>
+        parts.compute(key, (_, existing) =>
+          if (existing == null) new LakePart(slice, key, bucketCols, nBuckets, n)
+          else { existing.upsert(slice, keys, n, leftWins = leftWins); existing })
+      }
     }
     if (save) toStorage()
   }
@@ -206,7 +303,7 @@ final class LakeDataset private (
     */
   def delete(keysDf: DataFrame, keys: Seq[String]): Unit = {
     markDirty()
-    splitByCell(keysDf).foreach { case (key, slice, _) =>
+    splitByCell(keysDf)._2.foreach { case (key, slice, _) =>
       Option(parts.get(key)).foreach(_.delete(slice, keys))
     }
   }
@@ -254,6 +351,9 @@ object LakeDataset {
   /** Audit stamp columns (reference TODO, src/main.rs:34). */
   val CreatedAtCol = "created_at"
   val ChangedAtCol = "changed_at"
+
+  /** Mutations tolerated before a read triggers dataset-level compaction. */
+  val CompactReadThreshold: Long = 4L
 
   /** Build a dataset from a DataFrame (reference `Dataset::from_dataframe`,
     * src/dataset.rs:196-238). Parts snapshot the input via localCheckpoint,

@@ -78,21 +78,7 @@ final class LakePart private[lake] (
   def upsert(other: DataFrame, keys: Seq[String], otherRows: Long, collectNow: Boolean = false,
       leftWins: Set[String] = Set.empty): Unit =
     lock.synchronized {
-      val old = ref.get
-      val l = old.alias("l")
-      val r = other.alias("r")
-      val cond: Column = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
-      val joined = l.join(r, cond, "full_outer")
-      val otherCols = other.columns.toSet
-      val existing = old.columns.map { c =>
-        if (!otherCols.contains(c)) col(s"l.$c").as(c)
-        // leftWins columns keep the EXISTING value on matched rows (used for
-        // created_at audit stamps); everything else is right-wins coalesce.
-        else if (leftWins.contains(c)) coalesce(col(s"l.$c"), col(s"r.$c")).as(c)
-        else coalesce(col(s"r.$c"), col(s"l.$c")).as(c)
-      }
-      val added = other.columns.filterNot(old.columns.contains).map(c => col(s"r.$c").as(c))
-      ref.set(joined.select(existing ++ added: _*))
+      ref.set(LakePart.upsertJoin(ref.get, other, keys, leftWins))
       changes.addAndGet(otherRows)
       // rows counter intentionally unchanged (stale until materialize),
       // mirroring reference src/dataset.rs:144.
@@ -152,4 +138,28 @@ object LakePart {
 
   /** Max chained mutations before forced compaction (plan-depth guard). */
   val AutoCompactDepth: Long = 24L
+
+  /** The upsert merge plan: full outer join on `keys`, then per-column
+    * `coalesce(incoming, existing)` — incoming wins, but NULL in the
+    * incoming column preserves the existing value (reference:
+    * src/dataset.rs:108-147). `leftWins` columns keep the EXISTING value on
+    * matched rows (audit created_at). Columns only in the incoming frame
+    * are appended (schema evolution); columns missing from it keep their
+    * existing values. Shared by the per-cell and dataset-global paths.
+    */
+  def upsertJoin(old: DataFrame, incoming: DataFrame,
+      keys: Seq[String], leftWins: Set[String]): DataFrame = {
+    val l = old.alias("l")
+    val r = incoming.alias("r")
+    val cond: Column = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val joined = l.join(r, cond, "full_outer")
+    val otherCols = incoming.columns.toSet
+    val existing = old.columns.map { c =>
+      if (!otherCols.contains(c)) col(s"l.$c").as(c)
+      else if (leftWins.contains(c)) coalesce(col(s"l.$c"), col(s"r.$c")).as(c)
+      else coalesce(col(s"r.$c"), col(s"l.$c")).as(c)
+    }
+    val added = incoming.columns.filterNot(old.columns.contains).map(c => col(s"r.$c").as(c))
+    joined.select(existing ++ added: _*)
+  }
 }

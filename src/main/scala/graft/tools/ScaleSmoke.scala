@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.lake.LakeDataset
+
+/** Scale-headroom smoke: blow sf0.1 lineitem up 10× (~6M rows) in memory
+  * (distinct keys per copy), then run the lake's write path end-to-end —
+  * create partitioned+bucketed, upsert a 1/7 slice, aggregate, save, load.
+  * Prints per-phase seconds. Exercises the same code paths the driver
+  * benches, one order of magnitude up.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.buffer.pageSize", "2m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $label%-26s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      r
+    }
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val big = (0 until copies).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 10000000L))
+    }.reduce(_ unionByName _)
+    val n = time("materialize 10x corpus")(big.localCheckpoint(true).count())
+    println(s"[scale] rows: $n")
+    val corpus = big
+
+    val ds = time("create (partition+bucket)") {
+      LakeDataset.fromDataFrame(spark, corpus,
+        partitionCols = Seq("l_returnflag"), bucketCols = Seq("l_partkey"), nBuckets = 5)
+    }
+    time("upsert 1/7 slice") {
+      ds.upsert(corpus.filter(col("l_orderkey") % 7 === 0)
+        .withColumn("l_quantity", col("l_quantity") + 100),
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+    }
+    val agg = time("aggregate over union view") {
+      ds.toDF.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(38,2)")).as("q"))
+        .collect()
+    }
+    println(s"[scale] agg rows: ${agg.length}, total n: ${agg.map(_.getLong(1)).sum}")
+
+    val root = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    ds.storage = Some(graft.model.StorageSpec(root))
+    time("save to storage")(ds.toStorage())
+    val back = time("load from storage")(LakeDataset.fromStorage(spark, root))
+    val cnt = time("count loaded")(back.toDF.count())
+    println(s"[scale] loaded rows: $cnt")
+    LakeDataset.deleteRecursively(java.nio.file.Paths.get(root))
+    spark.stop()
+  }
+}
