@@ -445,6 +445,15 @@ object SparkEntry {
           |FROM graft_srv_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
 
+    // Bucket pruning: an equality predicate on the bucket column scans only
+    // the one matching bucket cell per partition (5x less data at 5 buckets).
+    "lake_bucket_pruning" -> ((s, dir) => {
+      val ds = Fixtures.lineitemLake(s, dir)
+      ds.bucketPrunedDF(lit(1042L))
+        .filter(col("l_partkey") === 1042L)
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+    }),
+
     "bucket_numeric" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
       li.groupBy(Bucketing.bucketExprFor(li, "l_partkey", 5).as("bucket"))
@@ -712,6 +721,10 @@ object SparkEntry {
     "lake_part_pruning" ->
       s"""SELECT COUNT(*) AS n, ${osum("l_quantity")} AS sum_qty
          |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+
+    "lake_bucket_pruning" ->
+      s"""SELECT COUNT(*) AS n, ${osum("l_extendedprice")} AS total
+         |FROM lineitem WHERE l_partkey = 1042""".stripMargin,
 
     "bucket_numeric" ->
       """SELECT CAST(l_partkey % 5 AS INTEGER) AS bucket, COUNT(*) AS n

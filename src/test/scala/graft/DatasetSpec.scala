@@ -105,6 +105,19 @@ class DatasetSpec extends SparkSpec {
     LakeDataset.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("bucket pruning scans only the matching bucket's cells") {
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val ds = LakeDataset.fromDataFrame(spark, li,
+      partitionCols = Seq("l_returnflag"), bucketCols = Seq("l_partkey"), nBuckets = 5)
+    val key = 42L
+    val pruned = ds.bucketPrunedDF(lit(key)).filter(col("l_partkey") === key)
+    val direct = li.filter(col("l_partkey") === key)
+    assert(pruned.count() == direct.count())
+    // only one bucket id (x3 partitions) contributes to the pruned plan
+    val leaves = pruned.queryExecution.optimizedPlan.collectLeaves().size
+    assert(leaves <= 3, s"expected <=3 leaves after bucket pruning, got $leaves")
+  }
+
   test("rows counter matches data after insert; schemaInfo sane") {
     val ds = LakeDataset.fromDataFrame(spark, Seq((1L, "x")).toDF("k", "s"))
     ds.insert(Seq((2L, "y"), (3L, "z")).toDF("k", "s"))
