@@ -332,6 +332,16 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Mergeable DataSketches HLL: per-group sketches unioned into a global
+    // estimate — the sketch algebra a 1000-executor rollup relies on.
+    // Estimates are engine-specific → rows-only; ServerSpec bounds the error.
+    "q28_hll_union" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      li.groupBy("l_returnflag")
+        .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("distinct_parts_global"))
+    }),
+
     // HLL-sketch distinct counts — estimates are engine-specific, so
     // rows-only check; OperatorsSpec asserts <5% error vs exact.
     "q24_approx_distinct" -> ((s, dir) => {

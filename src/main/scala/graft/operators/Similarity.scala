@@ -56,13 +56,14 @@ object Similarity {
 
   /** Build an IVF "index": pick `numCentroids` deterministic seed vectors
     * (every n/k-th row by id — a deterministic stand-in for k-means++ init),
-    * then one Lloyd refinement: assign all vectors, recompute centroids as
-    * element-wise means (posexplode + groupBy position — fully distributed).
-    * Returns (centroids, assignedDf with `centroid` column).
+    * then `lloydIters` refinement steps: assign all vectors, recompute
+    * centroids as element-wise means (posexplode + groupBy position — fully
+    * distributed, one shuffle per iteration). Returns (centroids, assignedDf
+    * with `centroid` column).
     */
   def buildIvf(
       df: DataFrame, vecCol: String, idCol: String,
-      numCentroids: Int, dim: Int): (Seq[(Int, Seq[Double])], DataFrame) = {
+      numCentroids: Int, dim: Int, lloydIters: Int = 2): (Seq[(Int, Seq[Double])], DataFrame) = {
     val n = df.count()
     val stride = math.max(n / numCentroids, 1L)
     val seeds = df
@@ -73,22 +74,22 @@ object Similarity {
         i -> row.getSeq[Float](1).map(_.toDouble).toSeq
       }.toSeq
 
-    val assigned0 = assignToCentroids(df, vecCol, seeds)
-    // One Lloyd step: mean per (centroid, position) — a single shuffle.
-    val means = assigned0
-      .select(col("centroid"), posexplode(col(vecCol)).as(Seq("pos", "v")))
-      .groupBy("centroid", "pos")
-      .agg(avg(col("v").cast("double")).as("m"))
-      .groupBy("centroid")
-      .agg(map_from_arrays(collect_list("pos"), collect_list("m")).as("mm"))
-      .collect()
-      .map { row =>
-        val cid = row.getInt(0)
-        val mm = row.getMap[Int, Double](1)
-        cid -> (0 until dim).map(i => mm.getOrElse(i, 0.0)).toSeq
-      }.toSeq.sortBy(_._1)
-
-    (means, assignToCentroids(df, vecCol, means))
+    val centroids = (1 to lloydIters).foldLeft(seeds) { (cs, _) =>
+      val assigned = assignToCentroids(df, vecCol, cs)
+      assigned
+        .select(col("centroid"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy("centroid", "pos")
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy("centroid")
+        .agg(map_from_arrays(collect_list("pos"), collect_list("m")).as("mm"))
+        .collect()
+        .map { row =>
+          val cid = row.getInt(0)
+          val mm = row.getMap[Int, Double](1)
+          cid -> (0 until dim).map(i => mm.getOrElse(i, 0.0)).toSeq
+        }.toSeq.sortBy(_._1)
+    }
+    (centroids, assignToCentroids(df, vecCol, centroids))
   }
 
   /** IVF top-k: probe only the `nprobe` centroids closest to the query,

@@ -45,6 +45,15 @@ class ServerSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketch union estimate within 5% of exact (q28 contract)") {
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val est = li.groupBy("l_returnflag")
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).head().getLong(0).toDouble
+    val exact = li.agg(countDistinct(col("l_partkey"))).head().getLong(0).toDouble
+    assert(math.abs(est - exact) / exact < 0.05, s"est=$est exact=$exact")
+  }
+
   test("approx_count_distinct within 5% of exact (q24 contract)") {
     val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
     val r = li.agg(
