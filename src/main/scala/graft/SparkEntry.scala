@@ -332,6 +332,18 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Native session-window aggregation (gap-merged event-time sessions).
+    // Output times as epoch micros: both engines truncate ns identically.
+    "q29_session_window" -> ((s, dir) => {
+      table(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("total_value"))
+        .select(
+          unix_micros(col("session_window.start")).as("sess_start_us"),
+          col("user_id"), col("n"), col("total_value"))
+        .orderBy("user_id", "sess_start_us")
+    }),
+
     // Mergeable DataSketches HLL: per-group sketches unioned into a global
     // estimate — the sketch algebra a 1000-executor rollup relies on.
     // Estimates are engine-specific → rows-only; ServerSpec bounds the error.
@@ -823,6 +835,22 @@ object SparkEntry {
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  COUNT(CASE WHEN o_orderkey % 7 = 0 THEN 1 END) AS n_changed
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q29_session_window" ->
+      s"""WITH t AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+         |           (PARTITION BY user_id ORDER BY ts, event_id)
+         |         >= 1800000000 THEN 1 ELSE 0 END AS brk
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |                   ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM t)
+         |SELECT epoch_us(MIN(ts)) AS sess_start_us, user_id,
+         |  COUNT(*) AS n, ${osum("value", 4)} AS total_value
+         |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "lake_materialize" ->
       s"""SELECT event_type, COUNT(*) AS n, ${osum("value", 4)} AS total_value

@@ -61,6 +61,23 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: deterministic byte subsampling to a target payload size
+    * with metadata updated accordingly — stands in for an image resample.
+    * A real implementation decodes, resizes, re-encodes at this seam.
+    */
+  def resizeStub(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val len = r.payload.length
+        val out =
+          if (len <= targetBytes) r.payload
+          else Array.tabulate(targetBytes)(i => r.payload((i.toLong * len / targetBytes).toInt))
+        r.copy(payload = out, width = out.length, format = r.format + ";resized")
+      }
+    }
+  }
+
   /** Deterministic frame sampling for "video" payloads: pick `n` evenly
     * spaced byte-windows as stand-in frames. Real decoders plug in at the
     * same seam.

@@ -64,6 +64,45 @@ object StreamingIngest {
   /** Running per-user session stats. */
   final case class SessionUpdate(user_id: Long, sessions: Long, events: Long)
 
+  /** A finished session emitted by [[closedSessions]]. */
+  final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** In-flight session state (public: Catalyst encoders cannot generate
+    * code against private classes).
+    */
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+
+  /** Append-mode stateful sessionization via `flatMapGroupsWithState`: emits
+    * a session as soon as a later event proves it closed (gap exceeded);
+    * the still-open session rides in state across micro-batches.
+    */
+  def closedSessions(events: Dataset[SessionEvent], gapMinutes: Long)
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, batch, state: GroupState[OpenSession]) =>
+          val sorted = batch.toSeq.sortBy(_.ts_us)
+          val closed = scala.collection.mutable.ListBuffer[ClosedSession]()
+          var open = state.getOption
+          sorted.foreach { e =>
+            open match {
+              case Some(o) if e.ts_us - o.lastUs <= gapUs =>
+                open = Some(o.copy(lastUs = e.ts_us, n = o.n + 1))
+              case Some(o) =>
+                closed += ClosedSession(user, o.startUs, o.lastUs, o.n)
+                open = Some(OpenSession(e.ts_us, e.ts_us, 1L))
+              case None =>
+                open = Some(OpenSession(e.ts_us, e.ts_us, 1L))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   /** Custom stateful stream processing via `mapGroupsWithState` (SURVEY.md
     * §2.B streaming row — absent from the reference entirely): per-user
     * session counting where a gap above `gapMinutes` starts a new session.

@@ -89,6 +89,25 @@ class IngestStreamingSpec extends SparkSpec {
     assert(got(2L) == ((2L, 1L, 1L)), s"user 2: $got")
   }
 
+  test("flatMapGroupsWithState emits closed sessions in append mode") {
+    import graft.streaming.StreamingIngest.{ClosedSession, SessionEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val min = 60L * 1000000L
+    val mem = MemoryStream[SessionEvent]
+    val q = StreamingIngest.closedSessions(mem.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("closed").start()
+    try {
+      mem.addData(SessionEvent(1L, 0L), SessionEvent(1L, 10 * min))
+      q.processAllAvailable() // session still open -> nothing emitted
+      assert(spark.sql("SELECT * FROM closed").count() == 0)
+      mem.addData(SessionEvent(1L, 50 * min)) // gap 40min closes it
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT user_id, start_us, end_us, n_events FROM closed")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 10 * min, 2L)))
+  }
+
   test("executeSqls dedupes identical statements and runs concurrently") {
     implicit val ec = scala.concurrent.ExecutionContext.global
     val db = new Database(spark)

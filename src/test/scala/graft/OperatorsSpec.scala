@@ -167,6 +167,17 @@ class OperatorsSpec extends SparkSpec {
     assert(f1.zip(f2).forall { case (a, b) => a.feature.sameElements(b.feature) })
   }
 
+  test("resize stub subsamples deterministically to the target size") {
+    val media = Multimodal.mediaFromDocuments(
+      spark.read.parquet(s"${sf()}/documents.parquet")).as[Multimodal.MediaRow]
+    val resized = Multimodal.resizeStub(media, targetBytes = 32).collect()
+    assert(resized.forall(_.payload.length <= 32))
+    assert(resized.forall(_.format.endsWith(";resized")))
+    val again = Multimodal.resizeStub(media, targetBytes = 32).collect()
+    assert(resized.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+      .forall { case (a, b) => a.payload.sameElements(b.payload) })
+  }
+
   test("frame sampling yields n frames of bounded size") {
     val media = Multimodal.mediaFromDocuments(
       spark.read.parquet(s"${sf()}/documents.parquet")).as[Multimodal.MediaRow]
