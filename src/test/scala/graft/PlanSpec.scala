@@ -57,4 +57,14 @@ class PlanSpec extends SparkSpec {
     val p = plan("q02_filter_pushdown")
     assert(p.contains("*(1)"), s"no whole-stage codegen span:\n$p")
   }
+
+  test("no query plans a cartesian product or nested-loop join") {
+    val offenders = SparkEntry.queries.keys.toList.sorted.flatMap { name =>
+      val p = plan(name)
+      if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+        Some(name)
+      else None
+    }
+    assert(offenders.isEmpty, s"quadratic join in: $offenders")
+  }
 }
