@@ -524,6 +524,16 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
     }),
 
+    // Winnowing rolling-hash fingerprints — engine-deterministic, no oracle;
+    // OperatorsSpec asserts near-dup overlap guarantees.
+    "text_winnow" -> ((s, dir) => {
+      TextAnalysis.winnowFingerprints(
+        table(s, dir, "documents"), "text", "doc_id")
+        .groupBy("doc")
+        .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"), max("fp").as("max_fp"))
+        .orderBy("doc")
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(Fixtures.dupDocuments(s, dir), "text", "doc_id")
         .select(col("canonical_id"), col("dup_count"))

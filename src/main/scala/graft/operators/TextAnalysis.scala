@@ -120,4 +120,33 @@ object TextAnalysis {
 
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Winnowing fingerprints (the rolling-hash document-fingerprint scheme):
+    * hash every word k-gram, then keep the minimum hash of each sliding
+    * window of `window` consecutive k-grams; the distinct kept hashes are
+    * the document's fingerprint set. Guarantees any shared run of
+    * `k + window - 1` words between two documents shares a fingerprint.
+    * Relational shape: posexplode + window-lead k-gram build + windowed min
+    * — one shuffle by doc, no higher-order functions.
+    */
+  def winnowFingerprints(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 4, window: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val words = df.select(
+      col(idCol).as("doc"),
+      posexplode(split(trim(col(textCol)), " ")).as(Seq("pos", "w")))
+    val byPos = W.partitionBy("doc").orderBy("pos")
+    val leadCols = (1 until k).map(j => lead(col("w"), j).over(byPos).as(s"w$j"))
+    val grams = words
+      .select(Seq(col("doc"), col("pos"), col("w")) ++ leadCols: _*)
+      .filter(col(s"w${k - 1}").isNotNull || col("pos") === 0)
+      .select(col("doc"), col("pos"),
+        xxhash64(concat_ws(" ", col("w") +: (1 until k).map(j => col(s"w$j")): _*)).as("h"))
+    grams
+      .withColumn("fp",
+        min(col("h")).over(byPos.rowsBetween(0, window - 1)))
+      .select(col("doc"), col("fp"))
+      .distinct()
+  }
 }

@@ -146,6 +146,21 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq("en", "de", "fr", "und"))
   }
 
+  test("winnowing: near-dup docs share most fingerprints, unrelated docs few") {
+    import graft.operators.TextAnalysis
+    val fps = TextAnalysis.winnowFingerprints(
+      Fixtures.nearDupDocuments(spark, sf()), "text", "doc_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def overlap(a: Long, b: Long): Double = {
+      val (fa, fb) = (fps(a), fps(b))
+      (fa & fb).size.toDouble / math.min(fa.size, fb.size)
+    }
+    // planted near-dup (same text + short suffix) must share ~all fingerprints
+    assert(overlap(0L, 100000L) > 0.8, s"planted overlap: ${overlap(0L, 100000L)}")
+    // unrelated docs share few
+    assert(overlap(1L, 2L) < 0.5, s"unrelated overlap: ${overlap(1L, 2L)}")
+  }
+
   test("fingerprint is normalization-invariant") {
     val df = Seq(("Hello,  World!", "hello world")).toDF("a", "b")
     val r = df.select(
