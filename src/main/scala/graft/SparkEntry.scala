@@ -560,6 +560,11 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "embed_mean_pool" -> ((s, dir) => {
+      Similarity.meanPoolRows(table(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label", "pos")
+    }),
+
     "ann_brute_topk" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
@@ -919,6 +924,13 @@ object SparkEntry {
         |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
         |SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
         |FROM corpus GROUP BY text""".stripMargin,
+
+    "embed_mean_pool" ->
+      """SELECT label, CAST(i AS BIGINT) AS pos,
+        |  CAST(CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 100000) AS BIGINT))
+        |       AS BIGINT) AS DOUBLE) / (COUNT(*) * 100000.0) AS m
+        |FROM embeddings, range(1, 65) t(i)
+        |GROUP BY label, i""".stripMargin,
 
     "multimodal_frames" ->
       """SELECT media_id, frame_nr,

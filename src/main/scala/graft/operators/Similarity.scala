@@ -40,6 +40,20 @@ object Similarity {
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)
 
+  /** Per-group mean-pooled embedding, exploded form: one row per (group,
+    * position) with the element mean — the distributed shape for class
+    * centroids / document pooling. Elements are quantized to a 1e-5 grid
+    * (`round` of identical doubles — engine-portable, unlike float→decimal
+    * casts whose shortest-vs-exact representation rounding diverges) and
+    * summed exactly as longs, so the mean is aggregation-order independent
+    * and oracle-reproducible.
+    */
+  def meanPoolRows(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos0", "v")))
+      .groupBy(col(groupCol), (col("pos0") + 1).cast("long").as("pos"))
+      .agg((sum(round(col("v").cast("double") * 100000).cast("long")).cast("double")
+        / (count(lit(1)) * 100000.0)).as("m"))
+
   /** Assign every vector to its nearest centroid (id of the argmax-cosine
     * centroid). `centroids` is a small broadcast list (cid, vector).
     */
