@@ -365,6 +365,49 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "q30_corr_manual" -> ((s, dir) => {
+      // Pearson correlation from exact decimal moments: built-in corr() is
+      // summation-order dependent; this formulation is reproducible anywhere.
+      val li = table(s, dir, "lineitem")
+      li.groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("l_quantity").cast(DecimalType(38, 2))).cast("double").as("sx"),
+          sum(col("l_extendedprice").cast(DecimalType(38, 2))).cast("double").as("sy"),
+          sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(38, 4)))
+            .cast("double").as("sxy"),
+          sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(38, 4)))
+            .cast("double").as("sxx"),
+          sum((col("l_extendedprice") * col("l_extendedprice")).cast(DecimalType(38, 4)))
+            .cast("double").as("syy"))
+        .select(col("l_returnflag"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q31_percentiles" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "text_docfreq" -> ((s, dir) => {
+      TextAnalysis.documentFrequency(table(s, dir, "documents"), "text", "doc_id")
+        .orderBy("w")
+    }),
+
+    // TF-IDF: ln() differs at ulp level across libm implementations — no
+    // SQL oracle; OperatorsSpec pins the ranking behavior.
+    "text_tfidf" -> ((s, dir) => {
+      TextAnalysis.tfIdfTopTerms(table(s, dir, "documents"), "text", "doc_id", k = 5)
+        .orderBy("doc", "rk")
+    }),
+
     // ------------------------------------------- catalog + SQL execution (§2.A)
     "sql_via_catalog" -> ((s, dir) => {
       val db = new Database(s)
@@ -720,6 +763,33 @@ object SparkEntry {
       """SELECT event_id,
         |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k_val
         |FROM events""".stripMargin,
+
+    "q30_corr_manual" ->
+      s"""WITH m AS (
+         |  SELECT l_returnflag,
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${osum("l_quantity")} AS sx,
+         |    ${osum("l_extendedprice")} AS sy,
+         |    ${osum("l_quantity*l_extendedprice", 4)} AS sxy,
+         |    ${osum("l_quantity*l_quantity", 4)} AS sxx,
+         |    ${osum("l_extendedprice*l_extendedprice", 4)} AS syy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag,
+         |  (n*sxy - sx*sy) / (SQRT(n*sxx - sx*sx) * SQRT(n*syy - sy*sy))
+         |    AS corr_qty_price
+         |FROM m""".stripMargin,
+
+    "q31_percentiles" ->
+      """SELECT o_orderstatus,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "text_docfreq" ->
+      """SELECT w, COUNT(*) AS df FROM (
+        |  SELECT DISTINCT doc_id, unnest(string_split(TRIM(text), ' ')) AS w
+        |  FROM documents) t
+        |GROUP BY w""".stripMargin,
 
     "sql_via_catalog" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total

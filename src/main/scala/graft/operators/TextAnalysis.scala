@@ -121,6 +121,32 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
+  /** Per-word document frequency over a corpus: (word, df). */
+  def documentFrequency(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc"), explode(split(trim(col(textCol)), " ")).as("w"))
+      .distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+
+  /** Top-k TF-IDF terms per document: tf(word, doc) × ln(N / df(word)),
+    * ranked by score with deterministic tie-break on the word. All
+    * joins/aggregations — the corpus-scale shape (df table is reusable and
+    * incrementally maintainable).
+    */
+  def tfIdfTopTerms(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val tf = df.select(col(idCol).as("doc"), explode(split(trim(col(textCol)), " ")).as("w"))
+      .groupBy("doc", "w").agg(count(lit(1)).as("tf"))
+    val idf = documentFrequency(df, textCol, idCol)
+      .withColumn("idf", log(lit(n.toDouble) / col("df")))
+    val rank = Window.partitionBy("doc").orderBy(desc("score"), asc("w"))
+    tf.join(idf, "w")
+      .withColumn("score", col("tf") * col("idf"))
+      .withColumn("rk", row_number().over(rank))
+      .filter(col("rk") <= k)
+      .select("doc", "w", "tf", "df", "score", "rk")
+  }
+
   /** Winnowing fingerprints (the rolling-hash document-fingerprint scheme):
     * hash every word k-gram, then keep the minimum hash of each sliding
     * window of `window` consecutive k-grams; the distinct kept hashes are

@@ -146,6 +146,18 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq("en", "de", "fr", "und"))
   }
 
+  test("tf-idf: corpus-wide common terms rank below distinctive terms") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "common common unicorn common"),
+      (2L, "common stuff here"),
+      (3L, "common other words")).toDF("id", "text")
+    val top = TextAnalysis.tfIdfTopTerms(df, "text", "id", k = 1)
+      .filter(col("doc") === 1L).select("w").as[String].head()
+    // "common" appears in every doc (idf=0); "unicorn" only in doc 1
+    assert(top == "unicorn")
+  }
+
   test("winnowing: near-dup docs share most fingerprints, unrelated docs few") {
     import graft.operators.TextAnalysis
     val fps = TextAnalysis.winnowFingerprints(
