@@ -17,8 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two float-array columns, computed in double —
+    * dispatches to the native codegen'd [[graft.functions.CosineF32]]
+    * expression (the composed HOF formulation, kept below as
+    * [[cosineHof]], runs interpreted; see SCALING.md).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineF32(a, b)
+
+  /** Reference HOF formulation of cosine — works on any numeric array type
+    * (used where one side is an `array<double>` centroid literal); bit-
+    * identical to [[cosine]] on float arrays.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
@@ -61,8 +72,8 @@ object Similarity {
       df: DataFrame, vecCol: String,
       centroids: Seq[(Int, Seq[Double])]): DataFrame = {
     val scored = centroids.map { case (cid, cv) =>
-      val cvLit = array(cv.map(lit): _*)
-      struct(cosine(col(vecCol), cvLit).as("score"), lit(cid).as("cid"))
+      val cvLit = array(cv.map(lit): _*) // array<double> literal -> HOF path
+      struct(cosineHof(col(vecCol), cvLit).as("score"), lit(cid).as("cid"))
     }
     df.withColumn("centroid",
       array_max(array(scored: _*)).getField("cid"))

@@ -71,6 +71,24 @@ class OperatorsSpec extends SparkSpec {
 
   // ------------------------------------------------------------- similarity
 
+  test("native CosineF32 expression is bit-identical to the HOF formulation") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val paired = e.as("a").join(e.as("b"),
+      col("a.vec_id") === col("b.vec_id") - 250)
+    val diff = paired.select(
+      Similarity.cosine(col("a.embedding"), col("b.embedding")).as("native"),
+      Similarity.cosineHof(col("a.embedding"), col("b.embedding")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0, "native and HOF cosine disagree")
+  }
+
+  test("CosineF32 rejects non-float-array inputs at analysis") {
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0f, 2.0f))).toDF("d", "f")
+    intercept[Exception] {
+      df.select(graft.functions.CosineF32(col("d"), col("f"))).collect()
+    }
+  }
+
   test("cosine: identical=1, orthogonal=0") {
     val df = Seq((Seq(1f, 0f), Seq(1f, 0f), Seq(0f, 1f))).toDF("a", "b", "c")
     val r = df.select(
