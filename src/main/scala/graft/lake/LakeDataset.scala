@@ -74,10 +74,16 @@ final class LakeDataset private (
     * instead of N-scans-of-N-snapshots.
     */
   def toDF: DataFrame = cleanScan.getOrElse {
-    if (sinceCompact.get >= LakeDataset.CompactReadThreshold) {
-      compact()
-      cleanScan.get
-    } else unionParts
+    // Under the dataset monitor: a union built mid-mutation would see some
+    // cells updated and others not (compact()'s parts.clear() in particular).
+    this.synchronized {
+      cleanScan.getOrElse {
+        if (sinceCompact.get >= LakeDataset.CompactReadThreshold) {
+          compact()
+          cleanScan.get
+        } else unionParts
+      }
+    }
   }
 
   private def unionParts: DataFrame = {
@@ -124,12 +130,17 @@ final class LakeDataset private (
           c -> Option(row.get(i)).map(_.toString).orNull
         }
         val bucketNr =
-          if (bucketCols.nonEmpty) Some(row.getInt(nKeyCols - 1)) else None
+          if (bucketCols.nonEmpty) {
+            if (row.isNullAt(nKeyCols - 1)) Some(LakeDataset.NullBucket)
+            else Some(row.getInt(nKeyCols - 1))
+          } else None
         val n = row.getLong(nKeyCols)
         val cond = partitionCols.zipWithIndex.map { case (c, i) =>
           if (row.isNullAt(i)) snap(c).isNull else snap(c) === lit(row.get(i))
-        } ++ bucketNr.map(b =>
-          Bucketing.bucketExprFor(snap, bucketCols.head, nBuckets) === lit(b))
+        } ++ bucketNr.map { b =>
+          val e = Bucketing.bucketExprFor(snap, bucketCols.head, nBuckets)
+          if (b == LakeDataset.NullBucket) e.isNull else e === lit(b)
+        }
         val key = PartKey(partVals.sortBy(_._1), bucketNr)
         parts.put(key,
           new LakePart(snap.filter(cond.reduce(_ && _)), key, bucketCols, nBuckets, n))
@@ -155,8 +166,10 @@ final class LakeDataset private (
         key.partValues.exists { case (kc, kv) => kc == c && kv == v }
       } => part.view
     }.toList
-    require(views.nonEmpty, s"no parts match $partFilters")
-    views.reduce(_ unionByName (_, allowMissingColumns = true))
+    // No matching parts is a legitimate result (pruning a value with no
+    // data), not an error: an empty frame with the table schema.
+    if (views.isEmpty) emptyLike else
+      views.reduce(_ unionByName (_, allowMissingColumns = true))
   }
 
   /** Bucket pruning: for an equality predicate on the (single) bucket column,
@@ -172,13 +185,36 @@ final class LakeDataset private (
     val views = parts.asScala.collect {
       case (key, part) if key.bucketNr.forall(_ == targetBucket) => part.view
     }.toList
-    views.reduce(_ unionByName (_, allowMissingColumns = true))
+    // A bucket id with no cells (sparse layout, or a freshly pruned load) is
+    // a legitimately empty result, not an error.
+    if (views.isEmpty) emptyLike else
+      views.reduce(_ unionByName (_, allowMissingColumns = true))
+  }
+
+  /** Empty DataFrame with the table schema (for prune paths matching zero parts). */
+  private def emptyLike: DataFrame = {
+    val sample = parts.values().asScala.headOption
+      .getOrElse(throw new IllegalStateException("dataset has no parts"))
+    sample.df.limit(0)
   }
 
   /** Maintained row count — sum of per-part counters; stale after upserts
-    * until materialize, by design (reference src/dataset.rs:245-253).
+    * until materialize, by design (reference src/dataset.rs:245-253). Parts
+    * whose counter is unknown (-1: loaded lazily from storage, or after a
+    * delete) are recounted once — concurrently, one Spark job per unknown
+    * part — instead of silently poisoning the sum with the sentinel.
     */
-  def rowsCount: Long = parts.values().asScala.map(_.rows.get).sum
+  def rowsCount: Long = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = LakeDataset.ioPool
+    val futures = parts.values().asScala.toList.map { p =>
+      val r = p.rows.get
+      if (r >= 0L) Future.successful(r)
+      else Future { val n = p.view.count(); p.rows.set(n); n }
+    }
+    futures.map(Await.result(_, Duration.Inf)).sum
+  }
 
   def schemaInfo: (List[(String, String)], Long, Int) = {
     val sample = parts.values().asScala.headOption
@@ -199,13 +235,27 @@ final class LakeDataset private (
     * to it. Mirrors the reference's eager `Dataset::from_dataframe` split
     * (src/dataset.rs:196-238). Each returned slice carries its row count.
     */
+  /** Apply audit stamps (when configured) to an incoming batch. */
+  private def stamped(df0: DataFrame): DataFrame = auditClock match {
+    case Some(clock) =>
+      df0.withColumn(LakeDataset.CreatedAtCol, clock())
+        .withColumn(LakeDataset.ChangedAtCol, clock())
+    case None => df0
+  }
+
+  /** True when a row's cell is a function of `keys`: every partition and
+    * bucket column appears in the key set, so two rows with equal keys land
+    * in the same cell and a merge/delete can never need to move a row
+    * between cells. Per-cell routing is only correct under this condition —
+    * otherwise a delta row carrying a NEW partition/bucket value for an
+    * existing key would be inserted into its new cell while the old row
+    * survives in the old one (a duplicate key).
+    */
+  private def cellStable(keys: Seq[String]): Boolean =
+    (partitionCols ++ bucketCols).forall(keys.contains)
+
   private def splitByCell(df0: DataFrame): (DataFrame, List[(PartKey, DataFrame, Long)]) = {
-    val df = auditClock match {
-      case Some(clock) =>
-        df0.withColumn(LakeDataset.CreatedAtCol, clock())
-          .withColumn(LakeDataset.ChangedAtCol, clock())
-      case None => df0
-    }
+    val df = stamped(df0)
     val withBucket =
       if (bucketCols.nonEmpty)
         df.withColumn(LakeDataset.BucketCol,
@@ -234,12 +284,21 @@ final class LakeDataset private (
         c -> Option(row.get(i)).map(_.toString).orNull
       }
       val bucketNr =
-        if (bucketCols.nonEmpty) Some(row.getInt(keyCols.length - 1)) else None
+        if (bucketCols.nonEmpty) {
+          // A NULL in the bucket column hashes to a null bucket id (numeric
+          // and temporal types); such rows get a dedicated sentinel cell,
+          // mirroring the null-partition-value handling.
+          if (row.isNullAt(keyCols.length - 1)) Some(LakeDataset.NullBucket)
+          else Some(row.getInt(keyCols.length - 1))
+        } else None
       val n = row.getLong(keyCols.length)
       val cond = partitionCols.zipWithIndex.map { case (c, i) =>
         if (row.isNullAt(i)) snap(c).isNull
         else snap(c) === lit(row.get(i))
-      } ++ bucketNr.map(b => snap(LakeDataset.BucketCol) === lit(b))
+      } ++ bucketNr.map { b =>
+        if (b == LakeDataset.NullBucket) snap(LakeDataset.BucketCol).isNull
+        else snap(LakeDataset.BucketCol) === lit(b)
+      }
       val slice = snap.filter(cond.reduce(_ && _)).drop(LakeDataset.BucketCol)
       (PartKey(partVals.sortBy(_._1), bucketNr), slice, n)
     }
@@ -248,21 +307,29 @@ final class LakeDataset private (
 
   /** Append: route each incoming slice to its cell; unseen keys create new
     * parts (reference `Dataset::insert`, src/dataset.rs:271-295).
+    *
+    * The batch split (the expensive Spark jobs) runs outside the dataset
+    * monitor; the table read-modify-write — including the wasEmpty check and
+    * clean-scan publication — holds it, so concurrent inserts/upserts/
+    * compactions serialize instead of interleaving with parts.clear() or
+    * double-publishing cleanScan.
     */
   def insert(df: DataFrame, save: Boolean = false): Unit = {
-    val wasEmpty = parts.isEmpty
-    markDirty()
     val (batch, slices) = splitByCell(df)
-    slices.foreach { case (key, slice, n) =>
-      parts.compute(key, (_, existing) =>
-        if (existing == null) new LakePart(slice, key, bucketCols, nBuckets, n)
-        else { existing.insert(slice, n); existing })
-    }
-    // Creating from one batch: every part slices the same snapshot, so the
-    // snapshot itself IS the whole-table view — reads plan one scan.
-    if (wasEmpty) {
-      cleanScan = Some(batch)
-      sinceCompact.set(0L)
+    this.synchronized {
+      val wasEmpty = parts.isEmpty
+      markDirty()
+      slices.foreach { case (key, slice, n) =>
+        parts.compute(key, (_, existing) =>
+          if (existing == null) new LakePart(slice, key, bucketCols, nBuckets, n)
+          else { existing.insert(slice, n); existing })
+      }
+      // Creating from one batch: every part slices the same snapshot, so the
+      // snapshot itself IS the whole-table view — reads plan one scan.
+      if (wasEmpty) {
+        cleanScan = Some(batch)
+        sinceCompact.set(0L)
+      }
     }
     if (save) toStorage()
   }
@@ -270,48 +337,147 @@ final class LakeDataset private (
   /** Merge on `keys`: per-cell outer-join-coalesce (reference
     * `Dataset::upsert`, src/dataset.rs:298-322). Cells untouched by the
     * incoming batch are not replanned at all.
+    *
+    * Path selection:
+    *  - wide merges (touching at least half the cells) run as ONE global
+    *    outer join: N per-cell joins each re-scan their source snapshot,
+    *    costing N full scans, while the global join scans old + delta once
+    *    and the rebuilt cells slice one fresh snapshot;
+    *  - narrow merges keep the per-cell path so an incremental batch never
+    *    replans untouched cells;
+    *  - when the cell columns are NOT all contained in `keys`
+    *    ([[cellStable]]), a delta row may move an existing key to a
+    *    different cell — per-cell routing would then insert the row into its
+    *    new cell while the old row survives in the old one (a duplicate
+    *    key). A narrow merge in that regime first runs a cheap probe
+    *    ([[hasMigratingKeys]]: the table projected to keys + cell columns,
+    *    joined against the delta) and falls back to the global join only
+    *    when a key actually migrates, so the common stable-cell-values case
+    *    keeps its incremental cost.
+    *
+    * The pre-merge snapshot (`old`) is captured INSIDE the dataset monitor —
+    * two concurrent upserts serialize, each seeing the other's completed
+    * changes (no lost updates).
     */
   def upsert(df: DataFrame, keys: Seq[String], save: Boolean = false): Unit = {
     val leftWins: Set[String] =
       if (auditClock.isDefined) Set(LakeDataset.CreatedAtCol) else Set.empty
-    val old = if (parts.isEmpty) null else cleanScan.getOrElse(unionParts)
     val (batch, slices) = splitByCell(df)
-    // Wide merges (touching at least half the cells) run as ONE global
-    // outer join against the whole table instead of per-cell joins: N
-    // per-cell joins each re-scan their source snapshot, costing N full
-    // scans; the global join scans old + delta once and the rebuilt cells
-    // slice one fresh snapshot. Narrow merges keep the per-cell path so an
-    // incremental batch never replans untouched cells.
-    val wide = numParts > 0 && slices.size >= math.max(2, numParts / 2)
-    if (wide) this.synchronized {
+    this.synchronized {
       markDirty()
-      val merged = LakePart.upsertJoin(old, batch, keys, leftWins)
-      rebuildFromSnapshot(merged.localCheckpoint(true))
-    } else {
-      markDirty()
-      slices.foreach { case (key, slice, n) =>
-        parts.compute(key, (_, existing) =>
-          if (existing == null) new LakePart(slice, key, bucketCols, nBuckets, n)
-          else { existing.upsert(slice, keys, n, leftWins = leftWins); existing })
+      val wide = numParts > 0 && slices.size >= math.max(2, numParts / 2)
+      val global = wide ||
+        (numParts > 0 && !cellStable(keys) && hasMigratingKeys(batch, keys))
+      if (global) {
+        val old = cleanScan.getOrElse(unionParts)
+        rebuildFromSnapshot(
+          LakePart.upsertJoin(old, batch, keys, leftWins).localCheckpoint(true))
+      } else {
+        slices.foreach { case (key, slice, n) =>
+          parts.compute(key, (_, existing) =>
+            if (existing == null) new LakePart(slice, key, bucketCols, nBuckets, n)
+            else { existing.upsert(slice, keys, n, leftWins = leftWins); existing })
+        }
       }
     }
     if (save) toStorage()
   }
 
+  /** Probe for cell-migrating keys: join the table (projected to keys + cell
+    * columns — parquet column pruning makes this a key-index scan, not a
+    * table scan) against the delta on `keys` and test whether any matched
+    * key's partition values or bucket id differ null-safely. Must run inside
+    * the dataset monitor (it reads the live part set).
+    */
+  private def hasMigratingKeys(batch: DataFrame, keys: Seq[String]): Boolean = {
+    val old = cleanScan.getOrElse(unionParts)
+    val cellCols = partitionCols ++
+      (if (bucketCols.nonEmpty) List(LakeDataset.BucketCol) else Nil)
+    def loc(d: DataFrame, tag: String): DataFrame = {
+      val withB =
+        if (bucketCols.nonEmpty)
+          d.withColumn(LakeDataset.BucketCol,
+            Bucketing.bucketExprFor(d, bucketCols.head, nBuckets))
+        else d
+      withB.select(keys.map(col) ++
+        cellCols.map(c => col(c).as(s"${tag}_$c")): _*)
+    }
+    val moved = loc(old, "o").join(loc(batch, "d"), keys.toSeq)
+      .filter(cellCols.map(c => !(col(s"o_$c") <=> col(s"d_$c"))).reduce(_ || _))
+    !moved.isEmpty
+  }
+
   /** Delete rows matching incoming keys — the reference's own TODO
-    * (src/main.rs:31) implemented as per-cell left-anti joins.
+    * (src/main.rs:31) implemented as left-anti joins. When the cell is a
+    * function of the keys ([[cellStable]]) the key rows route directly to
+    * the only cells that could hold them; otherwise the keys are first
+    * LOCATED (projected key+cell-column scan) and only the cells that
+    * actually hold them get an anti join — never a whole-table rebuild.
     */
   def delete(keysDf: DataFrame, keys: Seq[String]): Unit = {
-    markDirty()
-    splitByCell(keysDf)._2.foreach { case (key, slice, _) =>
-      Option(parts.get(key)).foreach(_.delete(slice, keys))
+    if (cellStable(keys)) {
+      val slices = splitByCell(keysDf)._2
+      this.synchronized {
+        markDirty()
+        slices.foreach { case (key, slice, _) =>
+          Option(parts.get(key)).foreach(_.delete(slice, keys))
+        }
+      }
+    } else {
+      val keyRows = keysDf.select(keys.map(col): _*).distinct().localCheckpoint(true)
+      this.synchronized {
+        if (!parts.isEmpty) {
+          markDirty()
+          locateCells(keyRows, keys).foreach { key =>
+            Option(parts.get(key)).foreach(_.delete(keyRows, keys))
+          }
+        }
+      }
+    }
+  }
+
+  /** Which cells currently hold any of the given keys: the table projected
+    * to keys + cell columns, semi-joined against the key rows, grouped by
+    * cell. Runs inside the dataset monitor.
+    */
+  private def locateCells(keyRows: DataFrame, keys: Seq[String]): List[PartKey] = {
+    val old = cleanScan.getOrElse(unionParts)
+    val withB =
+      if (bucketCols.nonEmpty)
+        old.withColumn(LakeDataset.BucketCol,
+          Bucketing.bucketExprFor(old, bucketCols.head, nBuckets))
+      else old
+    val cellCols = partitionCols ++
+      (if (bucketCols.nonEmpty) List(LakeDataset.BucketCol) else Nil)
+    if (cellCols.isEmpty) return List(PartKey(Nil, None))
+    val cells = withB.join(keyRows, keys.toSeq, "left_semi")
+      .select(cellCols.map(col): _*).distinct().collect()
+    cells.toList.map { row =>
+      val partVals = partitionCols.zipWithIndex.map { case (c, i) =>
+        c -> Option(row.get(i)).map(_.toString).orNull
+      }
+      val bucketNr =
+        if (bucketCols.nonEmpty) {
+          if (row.isNullAt(cellCols.length - 1)) Some(LakeDataset.NullBucket)
+          else Some(row.getInt(cellCols.length - 1))
+        } else None
+      PartKey(partVals.sortBy(_._1), bucketNr)
     }
   }
 
   /** Materialize every part (reference `Dataset::collect` + RPC
     * MaterializeTable, src/dataset.rs:260-269, src/server.rs:192-208).
+    * Parts materialize concurrently — the reference's rayon `par_iter`
+    * re-expressed as concurrent Spark jobs over the shared executor pool.
     */
-  def materialize(): Unit = parts.values().asScala.foreach(_.materialize())
+  def materialize(): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = LakeDataset.ioPool
+    parts.values().asScala.toList
+      .map(p => Future(p.materialize()))
+      .foreach(Await.result(_, Duration.Inf))
+  }
 
   // ----------------------------------------------------------------- storage
 
@@ -347,6 +513,13 @@ object LakeDataset {
     * (reference `$bucket`, src/dataset.rs:200-204).
     */
   val BucketCol = "__graft_bucket"
+
+  /** Sentinel bucket id for rows whose bucket column value hashes to NULL
+    * (null numeric/temporal values). Such rows live in a dedicated cell per
+    * partition whose view filters on `bucketExpr IS NULL`, mirroring the
+    * null-partition-value cells.
+    */
+  val NullBucket: Int = -1
 
   /** Audit stamp columns (reference TODO, src/main.rs:34). */
   val CreatedAtCol = "created_at"

@@ -46,12 +46,15 @@ final class LakePart private[lake] (
 
   /** Bucket-filtered view: re-filters to this part's bucket id so overlapping
     * ingest stays partition-correct (reference: src/dataset.rs:63-80). Parts
-    * without buckets return the plan as-is.
+    * without buckets return the plan as-is. The [[LakeDataset.NullBucket]]
+    * sentinel cell filters on a NULL bucket expression (rows whose bucket
+    * column value hashes to null) — mirroring the null-partition-value cells.
     */
   def view: DataFrame = key.bucketNr match {
     case Some(b) if bucketCols.nonEmpty =>
       val d = ref.get
-      d.filter(Bucketing.bucketExprFor(d, bucketCols.head, nBuckets) === lit(b))
+      val e = Bucketing.bucketExprFor(d, bucketCols.head, nBuckets)
+      d.filter(if (b == LakeDataset.NullBucket) e.isNull else e === lit(b))
     case _ => ref.get
   }
 
@@ -87,11 +90,15 @@ final class LakePart private[lake] (
 
   /** Delete rows matching the incoming keys — left ANTI join. This is the
     * reference's own "delete == anti right" TODO (src/main.rs:31) made real.
+    * Runs the same auto-compaction guard as insert/upsert: a long chain of
+    * deletes is a join chain like any other and must not grow the plan
+    * without bound.
     */
   def delete(keysDf: DataFrame, keys: Seq[String]): Unit = lock.synchronized {
     ref.set(ref.get.join(keysDf.select(keys.map(col): _*).distinct(), keys, "left_anti"))
     changes.addAndGet(1L)
-    rows.set(-1L) // unknown until materialize
+    rows.set(-1L) // unknown until materialize/recount
+    maybeCompact(false)
   }
 
   /** Collect the accumulated plan into materialized form and reset lineage
