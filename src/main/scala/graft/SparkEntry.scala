@@ -592,6 +592,14 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Exact all-pairs n-gram Jaccard (no hashing) — the oracle-checked
+    // ground truth the MinHash-LSH path is measured against.
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Fixtures.nearDupDocuments(s, dir), "text", "doc_id",
+          shingleSize = 3, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashDedup(Fixtures.nearDupDocuments(s, dir), "text", "doc_id")
         .orderBy("doc_a", "doc_b")
@@ -615,6 +623,16 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10)
     }),
 
+    // Oracle-checkable exact ANN: double cosine quantized to a 1e-6 grid
+    // (engine-portable; see Similarity.exactTopKQuantized). The float32
+    // CosineF32 fast path keeps its own rows-only entry above.
+    "ann_exact_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .head().getSeq[Float](1).toSeq
+      Similarity.exactTopKQuantized(e, "embedding", "vec_id", q, 10)
+    }),
+
     "ann_ivf_topk" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
@@ -623,13 +641,18 @@ object SparkEntry {
       Similarity.ivfTopK(assigned, centroids, "embedding", "vec_id", q, 10, nprobe = 4)
     }),
 
+    // Integer byte-slot features through the typed mapPartitions decode seam
+    // — exactly reproducible in SQL (the float feature path stays spec-only:
+    // float accumulation order isn't portable, and an array column can't
+    // hash-compare anyway).
     "multimodal_features" -> ((s, dir) => {
       import s.implicits._
       val media = Multimodal.mediaFromDocuments(table(s, dir, "documents"))
         .as[Multimodal.MediaRow]
-      Multimodal.extractFeatures(media).toDF()
-        .select(col("media_id"), col("n_bytes"), col("feature"))
-        .orderBy("media_id")
+      Multimodal.byteSlotFeatures(media).toDF()
+        .select(col("media_id"), col("n_bytes"), col("slot").cast("long").as("slot"),
+          col("byte_sum"))
+        .orderBy("media_id", "slot")
     }),
 
     "multimodal_frames" -> ((s, dir) => {
@@ -986,6 +1009,77 @@ object SparkEntry {
          |  + 0.3 * LEAST(1.0, chars / 500.0) AS quality
          |FROM c""".stripMargin
     },
+
+    "text_langid" -> {
+      // Generated from the same constants as the Spark operator. Tie-break
+      // mirrors Spark's array_max over struct(score, lang): highest score,
+      // then lexicographically LARGEST language code.
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val langsDesc = langs.sorted.reverse
+      def mk(lang: String, markers: Seq[String]): String = {
+        val lst = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(lower(trim(text)), ' '), w -> list_contains([$lst], w))) AS mk_$lang"
+      }
+      def ng(lang: String, tris: Seq[String]): String = {
+        val terms = tris.map(t =>
+          s"(LENGTH(lower(text)) - LENGTH(replace(lower(text), '$t', ''))) / 3").mkString(" + ")
+        s"($terms) AS ng_$lang"
+      }
+      def pick(prefix: String): String = {
+        val m = s"greatest(${langs.map(l => s"${prefix}_$l").mkString(", ")})"
+        val cases = langsDesc.init.map(l => s"WHEN ${prefix}_$l = $m THEN '$l'").mkString(" ")
+        s"CASE WHEN $m <= 0 THEN 'und' $cases ELSE '${langsDesc.last}' END"
+      }
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |    ${TextAnalysis.LangMarkers.map { case (l, ms) => mk(l, ms) }.mkString(",\n    ")},
+         |    ${TextAnalysis.TrigramProfiles.map { case (l, ts) => ng(l, ts) }.mkString(",\n    ")}
+         |  FROM documents)
+         |SELECT doc_id, ${pick("mk")} AS lang_pred,
+         |  ${pick("ng")} AS lang_pred_ngram, lang
+         |FROM s""".stripMargin
+    },
+
+    "ann_exact_topk" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) * 1000000)
+        |       AS BIGINT) AS cos_q
+        |FROM embeddings, q
+        |ORDER BY cos_q DESC, vec_id LIMIT 10""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graft near dup suffix' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |words AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM corpus),
+        |idx AS (SELECT doc_id, ws,
+        |        unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM words),
+        |grams AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM grams x JOIN grams y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
+
+    "multimodal_features" ->
+      """WITH pos AS (
+        |  SELECT doc_id, LENGTH(text) AS len, text,
+        |         unnest(generate_series(1, LENGTH(text))) AS i
+        |  FROM documents)
+        |SELECT doc_id AS media_id, CAST(len AS BIGINT) AS n_bytes,
+        |       CAST((i - 1) % 16 AS BIGINT) AS slot,
+        |       CAST(SUM(ascii(substr(text, CAST(i AS INTEGER), 1))) AS BIGINT) AS byte_sum
+        |FROM pos GROUP BY 1, 2, 3""".stripMargin,
 
     "dedup_exact" ->
       """WITH corpus AS (

@@ -225,6 +225,36 @@ object Dedup {
       .drop("s_a", "sz_a", "sz_b", "inter", "uni")
   }
 
+  /** ALL-pairs exact n-gram Jaccard above a threshold — no hashing anywhere,
+    * so the result is exactly reproducible by a SQL oracle. Pairs are
+    * generated by the shingle-equality self-join (pairs sharing no shingle
+    * have Jaccard 0 and cannot pass a positive threshold); Jaccard is an
+    * integer ratio → deterministic double.
+    *
+    * Scale note: the shingle self-join is O(Σ bucket²) over shingle groups —
+    * fine for a verify/eval corpus, but the production near-dup path at
+    * corpus scale is [[minhashDedup]], whose LSH banding bounds candidate
+    * generation. This operator is the exact ground truth the LSH path is
+    * measured against (OperatorsSpec recall tests do exactly that).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val expl = shingleRows(df, textCol, idCol, shingleSize)
+    val sizes = expl.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val inter = expl.select(col("doc").as("doc_a"), col("s"))
+      .join(expl.select(col("doc").as("doc_b"), col("s")), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** End-to-end MinHash-LSH near-dup detection: candidates → verify →
     * threshold. Returns (doc_a, doc_b, est_jaccard, jaccard).
     */

@@ -61,6 +61,38 @@ object Multimodal {
     }
   }
 
+  /** One (media, slot) feature row: integer byte-sum per slot. */
+  final case class MediaSlotFeature(
+      media_id: Long,
+      n_bytes: Long,
+      slot: Int,
+      byte_sum: Long)
+
+  /** Integer byte-slot features: slot j accumulates the unsigned byte values
+    * at payload positions ≡ j (mod `slots`). Same partition-local iterator
+    * shape as [[extractFeatures]], but integer arithmetic end-to-end, so the
+    * result is exactly reproducible by the DuckDB oracle (float accumulation
+    * order is not). Only slots that receive at least one byte emit a row —
+    * matching a relational GROUP BY over byte positions.
+    */
+  def byteSlotFeatures(media: Dataset[MediaRow], slots: Int = FeatureDim): Dataset[MediaSlotFeature] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val len = r.payload.length
+      val n = math.min(slots, len)
+      if (n == 0) Iterator.empty
+      else {
+        val sums = new Array[Long](n)
+        var i = 0
+        while (i < len) {
+          sums(i % slots) += (r.payload(i) & 0xFF).toLong
+          i += 1
+        }
+        (0 until n).iterator.map(j => MediaSlotFeature(r.media_id, len.toLong, j, sums(j)))
+      }
+    }
+  }
+
   /** STUB resize: deterministic byte subsampling to a target payload size
     * with metadata updated accordingly — stands in for an image resample.
     * A real implementation decodes, resizes, re-encodes at this seam.

@@ -41,6 +41,22 @@ object Similarity {
   def cosineToQuery(vec: Column, query: Seq[Float]): Column =
     cosine(vec, array(query.map(q => lit(q)): _*))
 
+  /** Exact top-k by QUANTIZED double cosine: the similarity is computed in
+    * double precision and rounded to a 1e-6 grid, which puts the result on
+    * an engine-portable lattice (double summation-order differences are
+    * ~1e-15, six orders below the grid) — this is the oracle-checkable
+    * variant of [[bruteForceTopK]]. Ordering ties on the grid break by id.
+    */
+  def exactTopKQuantized(
+      df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val qLit = array(query.map(q => lit(q.toDouble)): _*)
+    df.select(col(idCol),
+        round(cosineHof(col(vecCol), qLit) * 1000000).cast("long").as("cos_q"))
+      .orderBy(desc("cos_q"), col(idCol))
+      .limit(k)
+  }
+
   /** Brute-force cosine top-k: exact baseline. TakeOrdered over the scan —
     * no shuffle, no materialization beyond k rows per partition.
     */
