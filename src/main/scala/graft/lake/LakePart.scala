@@ -107,11 +107,18 @@ final class LakePart private[lake] (
     * Spark analogue of polars' collect-then-re-lazy.
     */
   def materialize(): Unit = lock.synchronized {
-    val m = ref.get.localCheckpoint(true)
-    ref.set(m)
-    rows.set(m.count())
-    changes.set(0L)
-    mutationOps.set(0L)
+    // Already compact: every creation path with a known row count builds the
+    // part as a slice of a just-checkpointed snapshot (splitByCell /
+    // rebuildFromSnapshot), so with zero mutations since there is nothing to
+    // collapse and nothing to recount. (Lazily loaded parts carry rows = -1
+    // and still materialize eagerly.)
+    if (changes.get != 0L || mutationOps.get != 0L || rows.get < 0L) {
+      val m = ref.get.localCheckpoint(true)
+      ref.set(m)
+      rows.set(m.count())
+      changes.set(0L)
+      mutationOps.set(0L)
+    }
   }
 
   private def maybeCompact(collectNow: Boolean): Unit = {

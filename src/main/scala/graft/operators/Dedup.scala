@@ -150,10 +150,17 @@ object Dedup {
     */
   def minhashBands(
       df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
+      numHashes: Int, bands: Int, shingleSize: Int): DataFrame =
+    bandsFromShingles(shingleRows(df, textCol, idCol, shingleSize), numHashes, bands)
+
+  /** [[minhashBands]] over a precomputed (doc, s) shingle table — lets the
+    * end-to-end dedup pipeline shingle ONCE for both the banding and the
+    * verify stages.
+    */
+  private def bandsFromShingles(
+      exploded: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val exploded = shingleRows(df, textCol, idCol, shingleSize)
     val mins = (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"m$i"))
     val agg = exploded.groupBy("doc").agg(mins.head, mins.tail: _*)
     val bandStructs = (0 until bands).map { b =>
@@ -206,8 +213,17 @@ object Dedup {
     */
   def jaccardVerify(
       candidates: DataFrame, df: DataFrame, textCol: String, idCol: String,
-      shingleSize: Int = 3): DataFrame = {
-    val expl = shingleRows(df, textCol, idCol, shingleSize).cache()
+      shingleSize: Int = 3): DataFrame =
+    jaccardVerifyFromShingles(candidates, shingleRows(df, textCol, idCol, shingleSize))
+
+  /** [[jaccardVerify]] over a precomputed (doc, s) shingle table. */
+  def jaccardVerifyFromShingles(candidates: DataFrame, shingled: DataFrame): DataFrame = {
+    // Join/shuffle on the 8-byte shingle hash, not the shingle string —
+    // identical counts modulo a 2^-64 collision, at a fraction of the
+    // shuffle volume.
+    val expl = shingled
+      .select(col("doc"), xxhash64(col("s")).as("s"))
+      .cache()
     val sizes = expl.groupBy("doc").agg(count(lit(1)).as("sz"))
     val inter = candidates
       .join(expl.select(col("doc").as("doc_a"), col("s").as("s_a")), "doc_a")
@@ -240,7 +256,9 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // Self-join on the 8-byte shingle hash (see jaccardVerify).
     val expl = shingleRows(df, textCol, idCol, shingleSize)
+      .select(col("doc"), xxhash64(col("s")).as("s"))
     val sizes = expl.groupBy("doc").agg(count(lit(1)).as("sz"))
     val inter = expl.select(col("doc").as("doc_a"), col("s"))
       .join(expl.select(col("doc").as("doc_b"), col("s")), "s")
@@ -263,10 +281,19 @@ object Dedup {
       threshold: Double = 0.7, numHashes: Int = 32, bands: Int = 8,
       shingleSize: Int = 3): DataFrame = {
     // No signature estimate on the end-to-end path: the exact Jaccard
-    // verify supersedes it, and skipping it removes two joins.
-    val cands = minhashCandidates(df, textCol, idCol, numHashes, bands, shingleSize,
-      withEstimate = false)
-    jaccardVerify(cands, df, textCol, idCol, shingleSize)
+    // verify supersedes it, and skipping it removes two joins. The shingle
+    // table is computed ONCE (cached) and feeds both the banding and the
+    // verify stages; candidates are cached because the verify left-joins
+    // them back twice.
+    val expl = shingleRows(df, textCol, idCol, shingleSize).cache()
+    val banded = bandsFromShingles(expl, numHashes, bands)
+    val cands = banded.as("x")
+      .join(banded.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .filter(col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .distinct()
+      .cache()
+    jaccardVerifyFromShingles(cands, expl)
       .filter(col("jaccard") >= threshold)
   }
 

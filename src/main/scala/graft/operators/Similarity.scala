@@ -83,13 +83,21 @@ object Similarity {
 
   /** Assign every vector to its nearest centroid (id of the argmax-cosine
     * centroid). `centroids` is a small broadcast list (cid, vector).
+    *
+    * The per-centroid cosine goes through the codegen'd [[cosine]]
+    * expression with the centroid cast to a float-array literal — k
+    * interpreted HOF folds per row made this the dominant cost of
+    * buildIvf/ivfTopK (each evaluation re-walks the vector; at k=16 that is
+    * 16 interpreted loops per row per pass). Float-rounding the centroid
+    * moves an assignment only on near-exact ties, which IVF tolerates by
+    * construction (nprobe > 1).
     */
   def assignToCentroids(
       df: DataFrame, vecCol: String,
       centroids: Seq[(Int, Seq[Double])]): DataFrame = {
     val scored = centroids.map { case (cid, cv) =>
-      val cvLit = array(cv.map(lit): _*) // array<double> literal -> HOF path
-      struct(cosineHof(col(vecCol), cvLit).as("score"), lit(cid).as("cid"))
+      val cvLit = array(cv.map(x => lit(x.toFloat)): _*)
+      struct(cosine(col(vecCol), cvLit).as("score"), lit(cid).as("cid"))
     }
     df.withColumn("centroid",
       array_max(array(scored: _*)).getField("cid"))
