@@ -408,6 +408,13 @@ object SparkEntry {
         .orderBy("doc", "rk")
     }),
 
+    // Integer-idf TF-IDF ranking — exact integer arithmetic end-to-end, so
+    // the full ranking (not just tf/df counts) is oracle-checked.
+    "text_tfidf_int" -> ((s, dir) => {
+      TextAnalysis.tfIdfTopTermsInt(table(s, dir, "documents"), "text", "doc_id", k = 5)
+        .orderBy("doc", "rk")
+    }),
+
     // ------------------------------------------- catalog + SQL execution (§2.A)
     "sql_via_catalog" -> ((s, dir) => {
       val db = new Database(s)
@@ -607,6 +614,14 @@ object SparkEntry {
 
     "dedup_embedding" -> ((s, dir) => {
       Dedup.embeddingNearDup(Fixtures.jitteredEmbeddings(s, dir),
+          "embedding", "vec_id", threshold = 0.9)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // All-pairs exact cosine near-dup (quantized double) — the oracle-checked
+    // ground truth for the LSH-bucketed dedup_embedding above.
+    "dedup_embedding_exact" -> ((s, dir) => {
+      Dedup.embeddingExactPairs(Fixtures.jitteredEmbeddings(s, dir),
           "embedding", "vec_id", threshold = 0.9)
         .orderBy("doc_a", "doc_b")
     }),
@@ -1039,6 +1054,40 @@ object SparkEntry {
          |  ${pick("ng")} AS lang_pred_ngram, lang
          |FROM s""".stripMargin
     },
+
+    "text_tfidf_int" ->
+      """WITH tfc AS (
+        |  SELECT doc, w, COUNT(*) AS tf FROM (
+        |    SELECT doc_id AS doc, unnest(string_split(trim(text), ' ')) AS w
+        |    FROM documents) t
+        |  GROUP BY doc, w),
+        |idf AS (
+        |  SELECT w, COUNT(*) AS df,
+        |         (1000 * (SELECT COUNT(*) FROM documents)) // COUNT(*) AS idf_int
+        |  FROM (SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS w
+        |        FROM documents) t
+        |  GROUP BY w),
+        |scored AS (
+        |  SELECT doc, tfc.w AS w, tf, df, tf * idf_int AS score_int,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY doc
+        |              ORDER BY tf * idf_int DESC, tfc.w) AS BIGINT) AS rk
+        |  FROM tfc JOIN idf ON tfc.w = idf.w)
+        |SELECT doc, w, tf, df, score_int, rk FROM scored WHERE rk <= 5""".stripMargin,
+
+    "dedup_embedding_exact" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |         list_transform(embedding, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT))
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |pairs AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |    CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                      CAST(b.embedding AS DOUBLE[])) * 1000000)
+        |         AS BIGINT) AS cos_q
+        |  FROM corpus a, corpus b WHERE a.vec_id < b.vec_id)
+        |SELECT doc_a, doc_b, cos_q FROM pairs WHERE cos_q >= 900000""".stripMargin,
 
     "ann_exact_topk" ->
       """WITH q AS (

@@ -373,6 +373,25 @@ object Dedup {
 
   // ----------------------------------------------------- embedding near-dup
 
+  /** ALL-pairs exact embedding near-dup: quantized double cosine over the
+    * full pair cross — no LSH, so the result is exactly reproducible by a
+    * SQL oracle (the codegen'd cosine accumulates in double; rounding to a
+    * 1e-6 grid absorbs engine summation-order differences). O(n²) by
+    * construction: this is the ground truth [[embeddingNearDup]]'s LSH
+    * buckets are measured against, not the scale path.
+    */
+  def embeddingExactPairs(
+      df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double = 0.9): DataFrame = {
+    val a = df.select(col(idCol).as("doc_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("doc_b"), col(vecCol).as("v_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("cos_q",
+        round(Similarity.cosine(col("v_a"), col("v_b")) * 1000000).cast("long"))
+      .filter(col("cos_q") >= math.round(threshold * 1000000))
+      .select("doc_a", "doc_b", "cos_q")
+  }
+
   /** Near-duplicate detection on an embedding column via random-hyperplane
     * LSH: `planes` fixed pseudo-random hyperplanes (deterministic seed) give
     * each vector a sign-bit signature; vectors sharing the signature land in

@@ -147,6 +147,29 @@ object TextAnalysis {
       .select("doc", "w", "tf", "df", "score", "rk")
   }
 
+  /** TF-IDF ranking with an INTEGER idf surrogate, `idf_int = (1000·N) div
+    * df` — monotone in the real idf, and every score/compare is exact
+    * integer arithmetic, so the ranking is oracle-reproducible (the ln-based
+    * [[tfIdfTopTerms]] ranks by a libm-dependent double). The div-by-df
+    * double division cannot misround across an integer boundary: quotients
+    * are either exact or at least 1/df away from an integer, far beyond
+    * double error.
+    */
+  def tfIdfTopTermsInt(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val tf = df.select(col(idCol).as("doc"), explode(split(trim(col(textCol)), " ")).as("w"))
+      .groupBy("doc", "w").agg(count(lit(1)).as("tf"))
+    val idf = documentFrequency(df, textCol, idCol)
+      .withColumn("idf_int", floor(lit(1000.0 * n) / col("df")).cast("long"))
+    val rank = Window.partitionBy("doc").orderBy(desc("score_int"), asc("w"))
+    tf.join(idf, "w")
+      .withColumn("score_int", col("tf") * col("idf_int"))
+      .withColumn("rk", row_number().over(rank).cast("long"))
+      .filter(col("rk") <= k)
+      .select("doc", "w", "tf", "df", "score_int", "rk")
+  }
+
   /** Winnowing fingerprints (the rolling-hash document-fingerprint scheme):
     * hash every word k-gram, then keep the minimum hash of each sliding
     * window of `window` consecutive k-grams; the distinct kept hashes are

@@ -34,6 +34,30 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(j - 0.6) < 1e-12)
   }
 
+  test("exact n-gram Jaccard pairs: LSH path finds a subset of the exact ground truth") {
+    val exact = Dedup.ngramJaccardPairs(
+      Fixtures.nearDupDocuments(spark, sf()), "text", "doc_id", threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashDedup(
+      Fixtures.nearDupDocuments(spark, sf()), "text", "doc_id", threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"LSH produced pairs not in ground truth: ${lsh -- exact}")
+    val planted = exact.count { case (a, b) => b == a + 100000 }
+    assert(planted >= 45, s"expected >=45 of 50 planted pairs in ground truth, got $planted")
+  }
+
+  test("exact embedding pairs: LSH near-dup agrees with the exact all-pairs result") {
+    val exact = Dedup.embeddingExactPairs(
+      Fixtures.jitteredEmbeddings(spark, sf()), "embedding", "vec_id", threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDup(
+      Fixtures.jitteredEmbeddings(spark, sf()), "embedding", "vec_id", threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    val planted = (0L until 500L by 10).map(i => (i, i + 100000)).toSet
+    assert(planted.subsetOf(exact), s"missing planted: ${planted -- exact}")
+  }
+
   test("simhash: identical texts hamming 0, planted near-dups found") {
     val sh = Seq((1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5")).toDF("id", "text")
       .select(Dedup.simhash(col("text")).as("s")).as[Long].collect()
