@@ -59,12 +59,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("no query plans a cartesian product or nested-loop join") {
-    val offenders = SparkEntry.queries.keys.toList.sorted.flatMap { name =>
-      val p = plan(name)
-      if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
-        Some(name)
-      else None
-    }
+    // dedup_embedding_exact is all-pairs BY CONTRACT (the exact ground truth
+    // the LSH path is measured against) — its nested-loop join is the point,
+    // not an accident. Everything else must stay out of quadratic plans.
+    val quadraticByDesign = Set("dedup_embedding_exact")
+    val offenders = SparkEntry.queries.keys.toList.sorted
+      .filterNot(quadraticByDesign)
+      .flatMap { name =>
+        val p = plan(name)
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
     assert(offenders.isEmpty, s"quadratic join in: $offenders")
   }
 }
