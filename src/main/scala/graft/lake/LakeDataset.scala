@@ -481,22 +481,55 @@ final class LakeDataset private (
 
   // ----------------------------------------------------------------- storage
 
-  /** Persist: wipe root, write manifest.json, save every part under its
-    * Hive path (reference `Dataset::to_storage`, src/dataset.rs:330-353).
+  /** Persist: wipe root, write the whole table as ONE partitioned write job,
+    * then manifest.json (reference `Dataset::to_storage`,
+    * src/dataset.rs:330-353 — which saves part-by-part; at 10k cells that is
+    * 10k driver-scheduled jobs, so we hand the whole layout to Spark's
+    * `partitionBy` writer instead: one job, every executor writing its own
+    * cells' files, identical `k=v/bucket=N` directories). Partition and
+    * bucket columns live in the directory names, not the data files; the
+    * loader restores them (with manifest-DDL types), and the reloaded
+    * whole-table scan gets NATIVE Hive partition pruning from the layout.
     */
   def toStorage(): Unit = {
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
     LakeDataset.deleteRecursively(Paths.get(spec.root))
+    if (parts.isEmpty) {
+      Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, None), spec.root)
+      return
+    }
     val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
+    val df = toDF
+    val dirCols = partitionCols.sorted ++ (if (bucketCols.nonEmpty) List("bucket") else Nil)
+    if (dirCols.isEmpty) {
+      df.write.mode("overwrite").format(spec.format)
+        .option("compression", spec.compression).save(spec.root)
+    } else if (numParts <= LakeDataset.OnePassSaveCells) {
+      // Few cells: concurrent per-part write jobs (the reference's
+      // rayon-parallel save, src/dataset.rs:342-348, as concurrent Spark
+      // jobs) avoid the per-task partition sort of the dynamic writer.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = LakeDataset.ioPool
+      val jobs = parts.values().asScala.toList
+        .map(p => Future(p.save(spec, dropCols = partitionCols)))
+      jobs.foreach(Await.result(_, Duration.Inf))
+    } else {
+      // Many cells: ONE partitionBy job — 10k cells as 10k driver-scheduled
+      // jobs would serialize on the driver; the dynamic writer hands the
+      // whole layout to the executors. Identical directories either way.
+      require(!df.columns.contains("bucket") || bucketCols.isEmpty,
+        "a data column named 'bucket' collides with the bucket directory layout")
+      val withB =
+        if (bucketCols.nonEmpty)
+          df.withColumn("bucket", Bucketing.bucketExprFor(df, bucketCols.head, nBuckets))
+        else df
+      withB.write.mode("overwrite").format(spec.format)
+        .option("compression", spec.compression)
+        .partitionBy(dirCols: _*)
+        .save(spec.root)
+    }
     Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl), spec.root)
-    // Concurrent per-part write jobs: Spark schedules them over the shared
-    // executor pool (the rayon-parallel save in the reference,
-    // src/dataset.rs:342-348, re-expressed as concurrent Spark jobs).
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: scala.concurrent.ExecutionContext = LakeDataset.ioPool
-    val jobs = parts.values().asScala.toList.map(p => Future(p.save(spec)))
-    jobs.foreach(Await.result(_, Duration.Inf))
   }
 
   /** Incremental save of a single cell — at scale you save the cells an
@@ -504,7 +537,7 @@ final class LakeDataset private (
     */
   def savePart(key: PartKey): Unit = {
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
-    Option(parts.get(key)).foreach(_.save(spec))
+    Option(parts.get(key)).foreach(_.save(spec, dropCols = partitionCols))
   }
 }
 
@@ -527,6 +560,12 @@ object LakeDataset {
 
   /** Mutations tolerated before a read triggers dataset-level compaction. */
   val CompactReadThreshold: Long = 4L
+
+  /** Cell count above which toStorage switches from concurrent per-part
+    * write jobs to one dynamic-partition write job (driver job scheduling
+    * stops scaling long before the executors do).
+    */
+  val OnePassSaveCells: Int = 64
 
   /** Build a dataset from a DataFrame (reference `Dataset::from_dataframe`,
     * src/dataset.rs:196-238). Parts snapshot the input via localCheckpoint,
@@ -552,25 +591,35 @@ object LakeDataset {
     * src/dataset.rs:355-409). `eager=true` materializes each part on load.
     */
   def fromStorage(spark: SparkSession, root: String, eager: Boolean = false): LakeDataset = {
+    import org.apache.spark.sql.types.StructType
     val manifest = Manifest.read(root)
     val ds = new LakeDataset(spark, manifest.partitions, manifest.buckets,
       manifest.nBuckets, Some(manifest.storage.copy(root = root)))
 
     val leafDirs = discoverLeafDirs(Paths.get(root))
     require(leafDirs.nonEmpty, s"no parts found under $root")
+    val target: Option[StructType] = manifest.schemaDdl.map(StructType.fromDDL)
+    // Partition values and bucket ids live in the directory names (the
+    // one-pass partitionBy layout); data files hold the remaining columns.
+    val fileSchema: Option[StructType] = target.map(t =>
+      StructType(t.fields.filterNot(f => manifest.partitions.contains(f.name))))
+
     // ONE multi-path scan relation covering every part: whole-table queries
-    // plan a single file scan (no union), and its schema is reused for the
-    // per-part directory scans so loading N parts costs no extra schema-
-    // inference jobs. Data files keep every column incl. partition values
-    // (reference include_keys semantics, src/dataset.rs:206).
+    // plan a single file scan (no union) with NATIVE Hive partition pruning
+    // from the directory layout (basePath turns `k=v` segments back into
+    // columns). The manifest DDL restores exact column order and types.
     val reader0 = spark.read.format(manifest.storage.format)
-    // Parquet is self-describing; csv/json load with the manifest schema.
-    val reader = manifest.schemaDdl match {
-      case Some(ddl) if manifest.storage.format != "parquet" =>
-        reader0.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .option("basePath", root)
+    // Parquet is self-describing; csv/json load with the manifest file schema.
+    val reader = fileSchema match {
+      case Some(fs) if manifest.storage.format != "parquet" => reader0.schema(fs)
       case _ => reader0
     }
-    val whole = reader.load(leafDirs.map(_.toString): _*)
+    val whole0 = reader.load(leafDirs.map(_.toString): _*)
+    val whole = target match {
+      case Some(t) => whole0.select(t.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      case None => if (whole0.columns.contains("bucket")) whole0.drop("bucket") else whole0
+    }
 
     leafDirs.foreach { dir =>
       val rel = Paths.get(root).relativize(dir).toString
@@ -581,10 +630,26 @@ object LakeDataset {
           case _ => None
         }
       }
-      val bucketNr = kvs.collectFirst { case ("bucket", v) => v.toInt }
+      val bucketNr = kvs.collectFirst { case ("bucket", v) =>
+        if (v == PartKey.NullMarker) LakeDataset.NullBucket else v.toInt
+      }
       val partVals = kvs.filter(_._1 != "bucket").sortBy(_._1)
-      val df0 = spark.read.schema(whole.schema)
-        .format(manifest.storage.format).load(dir.toString)
+        .map { case (k, v) => k -> (if (v == PartKey.NullMarker) null else v) }
+      val raw0 = fileSchema
+        .fold(spark.read.format(manifest.storage.format))(fs =>
+          spark.read.schema(fs).format(manifest.storage.format))
+        .load(dir.toString)
+      // Restore the partition columns (directory values, manifest types) and
+      // the exact column order.
+      val restored = partVals.foldLeft(raw0) { case (d, (k, v)) =>
+        val dt = target.flatMap(t => t.fields.find(_.name == k)).map(_.dataType)
+          .getOrElse(org.apache.spark.sql.types.StringType)
+        d.withColumn(k, lit(v).cast(dt))
+      }
+      val df0 = target match {
+        case Some(t) => restored.select(t.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        case None => restored
+      }
       val df = if (eager) df0.localCheckpoint(true) else df0
       val key = PartKey(partVals, bucketNr)
       ds.parts.put(key, new LakePart(df, key, manifest.buckets, manifest.nBuckets, -1L))

@@ -132,10 +132,14 @@ final class LakePart private[lake] (
     * src/dataset.rs:149-179). Unlike the reference's single file per part, we
     * let Spark write one file per task — at 100 TB a part is written by many
     * executors in parallel; single-file parts would serialize the write.
+    *
+    * `dropCols` are the dataset's partition columns: they live in the
+    * directory name, not the data files, matching the layout of the one-pass
+    * `LakeDataset.toStorage` writer so incremental and full saves interleave.
     */
-  def save(storage: StorageSpec): Unit = {
+  def save(storage: StorageSpec, dropCols: Seq[String] = Nil): Unit = {
     val path = s"${storage.root}/${key.relPath}"
-    view.write
+    view.drop(dropCols: _*).write
       .mode("overwrite")
       .format(storage.format)
       .option("compression", storage.compression)

@@ -33,16 +33,21 @@ final case class StorageSpec(
   * see SURVEY.md §7.4.4).
   */
 final case class PartKey(partValues: List[(String, String)], bucketNr: Option[Int]) {
-  /** Hive-style relative path, e.g. `l_returnflag=R/bucket=3`. */
+  /** Hive-style relative path, e.g. `l_returnflag=R/bucket=3`. Naming matches
+    * what Spark's own `partitionBy` writer produces (unpadded bucket ids,
+    * Hive default-partition marker for nulls) so the one-pass dataset save
+    * and the incremental per-part save land in the SAME directories.
+    */
   def relPath: String = {
     val segs = partValues.map { case (k, v) => s"$k=${PartKey.escape(v)}" } ++
-      bucketNr.map(b => f"bucket=$b%06d").toList
+      bucketNr.map(b => s"bucket=$b").toList
     segs.mkString("/")
   }
 }
 
 object PartKey {
-  val NullMarker = "__null__"
+  /** Hive's spelling for a null partition value — shared with Spark's writer. */
+  val NullMarker = "__HIVE_DEFAULT_PARTITION__"
   def escape(v: String): String =
     if (v == null) NullMarker
     else v.replaceAll("[/\\\\:\\s]", "_")

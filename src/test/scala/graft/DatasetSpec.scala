@@ -68,6 +68,45 @@ class DatasetSpec extends SparkSpec {
     LakeDataset.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("one-pass partitionBy save round-trips above the cell threshold") {
+    val root = Files.createTempDirectory("graft_onepass").toString
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    // 3 returnflags x 25 buckets = ~75 cells > OnePassSaveCells -> single job
+    val ds = LakeDataset.fromDataFrame(spark, li,
+      partitionCols = Seq("l_returnflag"), bucketCols = Seq("l_partkey"),
+      nBuckets = 25, storage = Some(StorageSpec(root)))
+    assert(ds.numParts > LakeDataset.OnePassSaveCells)
+    ds.toStorage()
+    val back = LakeDataset.fromStorage(spark, root)
+    assert(back.numParts == ds.numParts)
+    assert(back.toDF.count() == li.count())
+    assert(back.toDF.schema == li.schema, "column order and types must survive")
+    val a = li.agg(sum(col("l_extendedprice").cast("decimal(38,2)"))).head().getDecimal(0)
+    val b = back.toDF.agg(sum(col("l_extendedprice").cast("decimal(38,2)"))).head().getDecimal(0)
+    assert(a == b)
+    LakeDataset.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("incremental savePart interleaves with the one-pass save layout") {
+    val root = Files.createTempDirectory("graft_inc").toString
+    val o = spark.read.parquet(s"${sf()}/orders.parquet")
+    val ds = LakeDataset.fromDataFrame(spark, o,
+      partitionCols = Seq("o_orderstatus"), storage = Some(StorageSpec(root)))
+    ds.toStorage() // one-pass partitionBy write
+    // mutate ONE cell, save only it — must land in the same directory scheme
+    val delta = o.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 11 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 7)
+    ds.upsert(delta, Seq("o_orderkey"))
+    val fKey = ds.partKeys.find(_.partValues.exists(_._2 == "F")).get
+    ds.savePart(fKey)
+    val back = LakeDataset.fromStorage(spark, root)
+    assert(back.toDF.count() == o.count(), "no duplicate rows after interleaved saves")
+    val got = back.toDF.agg(sum(col("o_totalprice").cast("decimal(38,2)"))).head().getDecimal(0)
+    val exp = ds.toDF.agg(sum(col("o_totalprice").cast("decimal(38,2)"))).head().getDecimal(0)
+    assert(got == exp, "incrementally saved cell must carry the upsert")
+    LakeDataset.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("manifest round-trips partitions, buckets, storage") {
     val root = Files.createTempDirectory("graft_manifest").toString
     val m = Manifest(List("a", "b"), List("c"), 7, StorageSpec(root, "parquet", "snappy"))
