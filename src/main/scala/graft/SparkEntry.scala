@@ -517,6 +517,36 @@ object SparkEntry {
           |FROM graft_srv_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
 
+    // REAL Structured Streaming ingest through the correctness gate: two
+    // deterministic MemoryStream micro-batches of delta keys run through a
+    // streaming query whose foreachBatch applies the SAME upsert path the
+    // batch API uses (StreamingIngest.upsertBatches shape); the merged table
+    // state is SQL-expressible.
+    "stream_ingest_upsert" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val o = table(s, dir, "orders")
+      val ds = LakeDataset.fromDataFrame(s, o, partitionCols = Seq("o_orderstatus"))
+      val keys = o.select("o_orderkey").as[Long].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val apply: (DataFrame, Long) => Unit = (batch, _) => {
+        val delta = o.join(broadcast(batch), o("o_orderkey") === col("delta_key"))
+          .drop("delta_key")
+          .withColumn("o_totalprice", col("o_totalprice") + 250)
+        ds.upsert(delta, Seq("o_orderkey"))
+      }
+      val q = mem.toDF().toDF("delta_key").writeStream.foreachBatch(apply).start()
+      try {
+        mem.addData(keys.filter(_ % 13 == 1).toSeq)
+        q.processAllAvailable()
+        mem.addData(keys.filter(_ % 13 == 2).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      ds.toDF.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Bucket pruning: an equality predicate on the bucket column scans only
     // the one matching bucket cell per partition (5x less data at 5 buckets).
     "lake_bucket_pruning" -> ((s, dir) => {
@@ -980,6 +1010,15 @@ object SparkEntry {
          |FROM (SELECT * FROM events
          |      UNION ALL SELECT * FROM events WHERE event_id % 13 = 0) t
          |GROUP BY event_type""".stripMargin,
+
+    "stream_ingest_upsert" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM (
+         |  SELECT o_orderstatus,
+         |         o_totalprice + CASE WHEN o_orderkey % 13 IN (1, 2)
+         |                             THEN 250 ELSE 0 END AS o_totalprice
+         |  FROM orders) t
+         |GROUP BY o_orderstatus""".stripMargin,
 
     "lake_server_flow" ->
       s"""WITH delta AS (
