@@ -10,6 +10,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.graftbridge.Bridge
+
 import graft.functions.Bucketing
 import graft.model.{Manifest, PartKey, StorageSpec}
 
@@ -68,6 +70,61 @@ final class LakeDataset private (
     */
   private val sinceCompact = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  // ------------------------------------------- checkpoint storage ledger
+  // Every snapshot this dataset checkpoints is tracked so that a rebuild
+  // (wide merge / compaction) can RELEASE the superseded generation's
+  // block-store storage. Without this, every mutation's checkpoint lives
+  // until the JVM dies; measured as 4.9s vs 28s for the same save depending
+  // on how much dead data the block manager was evicting around.
+  // Two-phase: a checkpoint starts PENDING (its mutation may still be
+  // waiting on the monitor — a concurrent rebuild must not free it) and is
+  // moved to RETAINED once its mutation has applied; only RETAINED entries
+  // are releasable.
+
+  private val pendingCkpts = mutable.ListBuffer[org.apache.spark.rdd.RDD[_]]()
+  private val retainedCkpts = mutable.ListBuffer[org.apache.spark.rdd.RDD[_]]()
+
+  /** Eagerly checkpoint and track as pending. */
+  private def ckpt(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint(true)
+    val rdds = Bridge.checkpointRdds(c)
+    pendingCkpts.synchronized { pendingCkpts ++= rdds }
+    c
+  }
+
+  /** Move a mutation's own checkpoints from pending to the releasable set —
+    * called under the dataset monitor once the mutation has applied.
+    */
+  private def retain(dfs: DataFrame*): Unit = {
+    val ids = dfs.flatMap(Bridge.checkpointRdds).map(_.id).toSet
+    pendingCkpts.synchronized {
+      val (move, keep) = pendingCkpts.partition(r => ids.contains(r.id))
+      pendingCkpts.clear(); pendingCkpts ++= keep
+      retainedCkpts ++= move
+    }
+  }
+
+  /** Track an externally created checkpoint as immediately releasable. */
+  private def retainDirect(df: DataFrame): Unit =
+    pendingCkpts.synchronized { retainedCkpts ++= Bridge.checkpointRdds(df) }
+
+  /** Release every retained checkpoint except those backing `keep` — the
+    * rebuilt cells slice `keep` alone, so prior generations are dead to the
+    * engine. Callers holding pre-mutation DataFrames must re-read via toDF
+    * (same contract as the reference, whose plan swap drops old frames).
+    */
+  private def releaseSuperseded(keep: DataFrame): Unit = {
+    val keepIds = Bridge.checkpointRdds(keep).map(_.id).toSet
+    val dead = pendingCkpts.synchronized {
+      val (k, d) = retainedCkpts.partition(r => keepIds.contains(r.id))
+      retainedCkpts.clear(); retainedCkpts ++= k
+      d.toList
+    }
+    dead.foreach(r =>
+      try r.unpersist(false)
+      catch { case scala.util.control.NonFatal(_) => () })
+  }
+
   /** Union-of-parts view (reference `Dataset::to_lazyframe`,
     * src/dataset.rs:240-243). Lazy when clean; after enough mutations the
     * read triggers [[compact]] so queries see one materialized relation
@@ -101,8 +158,9 @@ final class LakeDataset private (
     * scans per query.
     */
   def compact(): Unit = this.synchronized {
-    val snap = unionParts.localCheckpoint(true)
+    val snap = ckpt(unionParts)
     rebuildFromSnapshot(snap)
+    retain(snap)
   }
 
   /** Point the dataset at one materialized snapshot: recompute cell keys and
@@ -122,7 +180,7 @@ final class LakeDataset private (
     parts.clear()
     if (cells.isEmpty) {
       val key = PartKey(Nil, None)
-      parts.put(key, new LakePart(snap, key, bucketCols, nBuckets, snap.count()))
+      parts.put(key, new LakePart(snap, key, bucketCols, nBuckets, snap.count(), retainDirect))
     } else {
       val nKeyCols = partitionCols.length + (if (bucketCols.nonEmpty) 1 else 0)
       cells.foreach { row =>
@@ -143,11 +201,14 @@ final class LakeDataset private (
         }
         val key = PartKey(partVals.sortBy(_._1), bucketNr)
         parts.put(key,
-          new LakePart(snap.filter(cond.reduce(_ && _)), key, bucketCols, nBuckets, n))
+          new LakePart(snap.filter(cond.reduce(_ && _)), key, bucketCols, nBuckets, n,
+            retainDirect))
       }
     }
     cleanScan = Some(snap)
     sinceCompact.set(0L)
+    // Prior generations are dead to the engine: every cell now slices `snap`.
+    releaseSuperseded(snap)
   }
 
   private def markDirty(): Unit = {
@@ -268,7 +329,7 @@ final class LakeDataset private (
     // per-cell row counts. Slices are lazy filters over the snapshot —
     // in-memory scans with the cell predicate pushed into them. Returns the
     // batch snapshot (sans routing column) alongside the slices.
-    val snap = withBucket.localCheckpoint(true)
+    val snap = ckpt(withBucket)
     val batch = snap.drop(LakeDataset.BucketCol)
 
     if (partitionCols.isEmpty && bucketCols.isEmpty)
@@ -321,7 +382,8 @@ final class LakeDataset private (
       markDirty()
       slices.foreach { case (key, slice, n) =>
         parts.compute(key, (_, existing) =>
-          if (existing == null) new LakePart(slice, key, bucketCols, nBuckets, n)
+          if (existing == null)
+            new LakePart(slice, key, bucketCols, nBuckets, n, retainDirect)
           else { existing.insert(slice, n); existing })
       }
       // Creating from one batch: every part slices the same snapshot, so the
@@ -330,6 +392,7 @@ final class LakeDataset private (
         cleanScan = Some(batch)
         sinceCompact.set(0L)
       }
+      retain(batch)
     }
     if (save) toStorage()
   }
@@ -364,20 +427,26 @@ final class LakeDataset private (
       if (auditClock.isDefined) Set(LakeDataset.CreatedAtCol) else Set.empty
     val (batch, slices) = splitByCell(df)
     this.synchronized {
-      markDirty()
+      // Decide the path and capture the pre-merge snapshot BEFORE markDirty:
+      // markDirty drops cleanScan, and rebuilding `old` from unionParts
+      // instead costs one bucket-filtered scan of the snapshot PER CELL.
       val wide = numParts > 0 && slices.size >= math.max(2, numParts / 2)
       val global = wide ||
         (numParts > 0 && !cellStable(keys) && hasMigratingKeys(batch, keys))
+      val old = if (global) cleanScan.getOrElse(unionParts) else null
+      markDirty()
       if (global) {
-        val old = cleanScan.getOrElse(unionParts)
-        rebuildFromSnapshot(
-          LakePart.upsertJoin(old, batch, keys, leftWins).localCheckpoint(true))
+        val merged = ckpt(LakePart.upsertJoin(old, batch, keys, leftWins))
+        rebuildFromSnapshot(merged)
+        retain(merged, batch)
       } else {
         slices.foreach { case (key, slice, n) =>
           parts.compute(key, (_, existing) =>
-            if (existing == null) new LakePart(slice, key, bucketCols, nBuckets, n)
+            if (existing == null)
+              new LakePart(slice, key, bucketCols, nBuckets, n, retainDirect)
             else { existing.upsert(slice, keys, n, leftWins = leftWins); existing })
         }
+        retain(batch)
       }
     }
     if (save) toStorage()
@@ -416,21 +485,25 @@ final class LakeDataset private (
     */
   def delete(keysDf: DataFrame, keys: Seq[String]): Unit = {
     if (cellStable(keys)) {
-      val slices = splitByCell(keysDf)._2
+      val (batch, slices) = splitByCell(keysDf)
       this.synchronized {
         markDirty()
         slices.foreach { case (key, slice, _) =>
           Option(parts.get(key)).foreach(_.delete(slice, keys))
         }
+        retain(batch)
       }
     } else {
-      val keyRows = keysDf.select(keys.map(col): _*).distinct().localCheckpoint(true)
+      val keyRows = ckpt(keysDf.select(keys.map(col): _*).distinct())
       this.synchronized {
         if (!parts.isEmpty) {
+          // locate BEFORE markDirty — the probe scans cleanScan when present
+          val located = locateCells(keyRows, keys)
           markDirty()
-          locateCells(keyRows, keys).foreach { key =>
+          located.foreach { key =>
             Option(parts.get(key)).foreach(_.delete(keyRows, keys))
           }
+          retain(keyRows)
         }
       }
     }
@@ -470,7 +543,7 @@ final class LakeDataset private (
     * Parts materialize concurrently — the reference's rayon `par_iter`
     * re-expressed as concurrent Spark jobs over the shared executor pool.
     */
-  def materialize(): Unit = {
+  def materialize(): Unit = this.synchronized {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext = LakeDataset.ioPool
@@ -650,9 +723,10 @@ object LakeDataset {
         case Some(t) => restored.select(t.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
         case None => restored
       }
-      val df = if (eager) df0.localCheckpoint(true) else df0
+      val df = if (eager) { val c = df0.localCheckpoint(true); ds.retainDirect(c); c } else df0
       val key = PartKey(partVals, bucketNr)
-      ds.parts.put(key, new LakePart(df, key, manifest.buckets, manifest.nBuckets, -1L))
+      ds.parts.put(key,
+        new LakePart(df, key, manifest.buckets, manifest.nBuckets, -1L, ds.retainDirect))
     }
     if (!eager) ds.cleanScan = Some(whole)
     ds

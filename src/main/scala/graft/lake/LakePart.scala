@@ -27,7 +27,11 @@ final class LakePart private[lake] (
     val key: PartKey,
     val bucketCols: Seq[String],
     val nBuckets: Int,
-    initialRows: Long) {
+    initialRows: Long,
+    /** Reports checkpoints this part creates to the owning dataset's storage
+      * ledger, so superseded generations can be released on rebuild.
+      */
+    onCheckpoint: DataFrame => Unit = _ => ()) {
 
   private val ref = new AtomicReference[DataFrame](initial)
   /** Maintained row counter; deliberately stale after upsert until the next
@@ -114,6 +118,7 @@ final class LakePart private[lake] (
     // and still materialize eagerly.)
     if (changes.get != 0L || mutationOps.get != 0L || rows.get < 0L) {
       val m = ref.get.localCheckpoint(true)
+      onCheckpoint(m)
       ref.set(m)
       rows.set(m.count())
       changes.set(0L)
