@@ -91,9 +91,11 @@ object Dedup {
 
   // ---------------------------------------------------------------- minhash
 
-  /** k-permutation MinHash signature over the shingle set. Permutation i is
-    * simulated by hashing the shingle salted with i (standard
-    * one-hash-function trick).
+  /** k-permutation MinHash signature over the shingle set. The shingle
+    * string is hashed ONCE to a 64-bit base hash; permutation i re-hashes
+    * the base salted with i (standard one-hash-function trick — permuting
+    * the 8-byte hash instead of re-hashing the string k times cuts the
+    * dominant cost of signature building k-fold).
     *
     * Shaped as ONE `aggregate` fold over the shingle array — the shingle
     * expression is evaluated once per row. (The naive
@@ -107,7 +109,7 @@ object Dedup {
       array_repeat(lit(Long.MaxValue), k),
       (acc, s) => zip_with(
         acc,
-        transform(sequence(lit(0), lit(k - 1)), i => xxhash64(s, i)),
+        transform(sequence(lit(0), lit(k - 1)), i => xxhash64(xxhash64(s), i)),
         (a, h) => least(a, h)))
 
   /** MinHash signatures as a DataFrame op: explode shingles, hash each
@@ -121,7 +123,8 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       k: Int, shingleSize: Int): DataFrame = {
     val exploded = shingleRows(df, textCol, idCol, shingleSize)
-    val mins = (0 until k).map(i => min(xxhash64(col("s"), lit(i))).as(s"m$i"))
+      .select(col("doc"), xxhash64(col("s")).as("h"))
+    val mins = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
     exploded.groupBy("doc")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
@@ -158,10 +161,11 @@ object Dedup {
     * verify stages.
     */
   private def bandsFromShingles(
-      exploded: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+      exploded0: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val mins = (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"m$i"))
+    val exploded = exploded0.select(col("doc"), xxhash64(col("s")).as("h"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
     val agg = exploded.groupBy("doc").agg(mins.head, mins.tail: _*)
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"m$i").cast("string"))
@@ -256,9 +260,11 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // Self-join on the 8-byte shingle hash (see jaccardVerify).
+    // Self-join on the 8-byte shingle hash (see jaccardVerify); cached —
+    // the plan reads it three times (two join sides + set sizes).
     val expl = shingleRows(df, textCol, idCol, shingleSize)
       .select(col("doc"), xxhash64(col("s")).as("s"))
+      .cache()
     val sizes = expl.groupBy("doc").agg(count(lit(1)).as("sz"))
     val inter = expl.select(col("doc").as("doc_a"), col("s"))
       .join(expl.select(col("doc").as("doc_b"), col("s")), "s")
@@ -383,7 +389,11 @@ object Dedup {
   def embeddingExactPairs(
       df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.9): DataFrame = {
-    val a = df.select(col(idCol).as("doc_a"), col(vecCol).as("v_a"))
+    // The streamed side of the nested-loop join inherits the source's split
+    // count (often 1-2 parquet splits for a small table) — repartition so
+    // the O(n²) cosine work spreads across every core.
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    val a = df.repartition(n).select(col(idCol).as("doc_a"), col(vecCol).as("v_a"))
     val b = df.select(col(idCol).as("doc_b"), col(vecCol).as("v_b"))
     a.join(b, col("doc_a") < col("doc_b"))
       .withColumn("cos_q",

@@ -103,25 +103,56 @@ object Similarity {
       array_max(array(scored: _*)).getField("cid"))
   }
 
-  /** Build an IVF "index": pick `numCentroids` deterministic seed vectors
-    * (every n/k-th row by id — a deterministic stand-in for k-means++ init),
-    * then `lloydIters` refinement steps: assign all vectors, recompute
-    * centroids as element-wise means (posexplode + groupBy position — fully
-    * distributed, one shuffle per iteration). Returns (centroids, assignedDf
-    * with `centroid` column).
+  /** Deterministic k-means++-style seeding: greedy farthest-point selection
+    * (maximin on cosine distance) over a hash-ordered sample. Farthest-point
+    * is the derandomized ++ variant — same spread guarantee (2-approx of the
+    * k-center objective), no RNG, so the index is reproducible run to run.
+    * Driver-side over `sampleSize` vectors: O(sample · k · dim), trivial
+    * next to one corpus pass.
+    */
+  def farthestPointSeeds(
+      df: DataFrame, vecCol: String, idCol: String,
+      numCentroids: Int, sampleSize: Int = 1024): Seq[(Int, Seq[Double])] = {
+    val sample: Array[Array[Double]] = df
+      .orderBy(pmod(xxhash64(col(idCol)), lit(999983L)), col(idCol))
+      .select(col(vecCol)).limit(sampleSize).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "cannot seed centroids from an empty table")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(0)
+    val minDist = Array.fill(sample.length)(Double.MaxValue)
+    while (chosen.size < math.min(numCentroids, sample.length)) {
+      val last = sample(chosen.last)
+      var best = -1; var bestD = -1.0
+      var i = 0
+      while (i < sample.length) {
+        val d = 1.0 - cos(sample(i), last)
+        if (d < minDist(i)) minDist(i) = d
+        if (minDist(i) > bestD && !chosen.contains(i)) { bestD = minDist(i); best = i }
+        i += 1
+      }
+      if (best < 0) return chosen.zipWithIndex.map { case (si, ci) => ci -> sample(si).toSeq }.toSeq
+      chosen += best
+    }
+    chosen.zipWithIndex.map { case (si, ci) => ci -> sample(si).toSeq }.toSeq
+  }
+
+  /** Build an IVF "index": `numCentroids` farthest-point seed vectors
+    * ([[farthestPointSeeds]]), then `lloydIters` refinement steps: assign
+    * all vectors, recompute centroids as element-wise means (posexplode +
+    * groupBy position — fully distributed, one shuffle per iteration).
+    * Returns (centroids, assignedDf with `centroid` column).
     */
   def buildIvf(
       df: DataFrame, vecCol: String, idCol: String,
       numCentroids: Int, dim: Int, lloydIters: Int = 2): (Seq[(Int, Seq[Double])], DataFrame) = {
-    val n = df.count()
-    val stride = math.max(n / numCentroids, 1L)
-    val seeds = df
-      .filter(col(idCol) % stride === 0 && col(idCol) < stride * numCentroids)
-      .select(col(idCol), col(vecCol)).collect()
-      .sortBy(_.getLong(0))
-      .zipWithIndex.map { case (row, i) =>
-        i -> row.getSeq[Float](1).map(_.toDouble).toSeq
-      }.toSeq
+    val seeds = farthestPointSeeds(df, vecCol, idCol, numCentroids)
 
     val centroids = (1 to lloydIters).foldLeft(seeds) { (cs, _) =>
       val assigned = assignToCentroids(df, vecCol, cs)
