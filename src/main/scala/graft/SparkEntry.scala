@@ -465,6 +465,35 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // A delta that CHANGES the partition value of existing keys: per-cell
+    // routing alone would duplicate those keys (the old row would survive in
+    // its old cell). The migration probe detects it and the merge takes the
+    // global join; n stays constant and every moved key lands exactly once.
+    "lake_migrating_upsert" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val ds = LakeDataset.fromDataFrame(s, o, partitionCols = Seq("o_orderstatus"))
+      val delta = o.filter(col("o_orderkey") % 17 === 0)
+        .withColumn("o_orderstatus", lit("F"))
+        .withColumn("o_totalprice", col("o_totalprice") + 50)
+      ds.upsert(delta, Seq("o_orderkey"))
+      ds.toDF.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Delete by bare keys on a partitioned+bucketed table: the key rows name
+    // neither partition nor bucket, so the engine first LOCATES the cells
+    // holding the keys (projected key+cell scan) and anti-joins only those.
+    "lake_located_delete" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val ds = LakeDataset.fromDataFrame(s, o,
+        partitionCols = Seq("o_orderstatus"), bucketCols = Seq("o_custkey"), nBuckets = 5)
+      ds.delete(o.filter(col("o_orderkey") % 6 === 0).select("o_orderkey"), Seq("o_orderkey"))
+      ds.toDF.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     "lake_storage_roundtrip" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
       val root = Files.createTempDirectory("graft_rt").toString
@@ -887,6 +916,21 @@ object SparkEntry {
     "lake_delete" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total
          |FROM orders WHERE o_orderkey % 5 <> 0
+         |GROUP BY o_orderstatus""".stripMargin,
+
+    "lake_migrating_upsert" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM (
+         |  SELECT CASE WHEN o_orderkey % 17 = 0 THEN 'F' ELSE o_orderstatus END
+         |           AS o_orderstatus,
+         |         o_totalprice + CASE WHEN o_orderkey % 17 = 0 THEN 50 ELSE 0 END
+         |           AS o_totalprice
+         |  FROM orders) t
+         |GROUP BY o_orderstatus""".stripMargin,
+
+    "lake_located_delete" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM orders WHERE o_orderkey % 6 <> 0
          |GROUP BY o_orderstatus""".stripMargin,
 
     "lake_storage_roundtrip" ->
