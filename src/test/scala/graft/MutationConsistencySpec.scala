@@ -136,6 +136,33 @@ class MutationConsistencySpec extends SparkSpec {
     assert(ds.toDF.count() == 70)
   }
 
+  test("empty batches are no-ops for insert, upsert, and delete") {
+    val base = Seq((1L, "A", 1.0), (2L, "B", 2.0)).toDF("k", "p", "v")
+    val ds = LakeDataset.fromDataFrame(spark, base, partitionCols = Seq("p"))
+    val empty = base.limit(0)
+    ds.insert(empty)
+    ds.upsert(empty, Seq("k"))
+    ds.delete(empty.select("k"), Seq("k"))
+    assert(ds.toDF.count() == 2)
+    assert(ds.numParts == 2)
+  }
+
+  test("NULL partition values survive mutation and storage round-trips") {
+    val root = Files.createTempDirectory("graft_nullp").toString
+    val base = Seq((1L, Some("A"), 1.0), (2L, None, 2.0), (3L, None, 3.0))
+      .toDF("k", "p", "v")
+    val ds = LakeDataset.fromDataFrame(spark, base,
+      partitionCols = Seq("p"), storage = Some(StorageSpec(root)))
+    assert(ds.numParts == 2)
+    ds.upsert(Seq((2L, Option.empty[String], 22.0)).toDF("k", "p", "v"), Seq("k"))
+    assert(ds.toDF.filter(col("k") === 2).head().getDouble(2) == 22.0)
+    ds.toStorage()
+    val back = LakeDataset.fromStorage(spark, root)
+    assert(back.toDF.count() == 3)
+    assert(back.toDF.filter(col("p").isNull).count() == 2)
+    LakeDataset.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("concurrent upserts on disjoint keys lose no updates") {
     val base = (1L to 80L).map(i => (i, 0.0)).toDF("k", "v")
     val ds = LakeDataset.fromDataFrame(spark, base, bucketCols = Seq("k"), nBuckets = 4)
