@@ -46,6 +46,33 @@ class ArrowSpec extends SparkSpec {
     assert(n == o.count())
   }
 
+  test("raw-TCP Arrow IPC ingest upserts over a socket (reference main.rs path)") {
+    import graft.lake.TcpIngestServer
+    val srv = new LakeServer(spark)
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val t = TableName("test", "tcp_t")
+    srv.createTable(t, Iterator(base))
+    val tcp = new TcpIngestServer(srv, t, Seq("k"))
+    try {
+      val delta = Seq((2L, 222.0), (9L, 90.0)).toDF("k", "v")
+      val conn = new java.net.Socket("127.0.0.1", tcp.boundPort)
+      try {
+        conn.getOutputStream.write(ArrowInterchange.toIpcBytes(delta))
+        conn.getOutputStream.flush()
+      } finally conn.close()
+      // the handler applies the upsert asynchronously after producer close
+      val deadline = System.nanoTime() + 30_000_000_000L
+      def merged: Seq[(Long, Double)] = {
+        srv.db.refresh(t.handle)
+        srv.select(s"SELECT k, v FROM ${t.handle} ORDER BY k")
+          .as[(Long, Double)].collect().toSeq
+      }
+      while (merged != Seq((1L, 10.0), (2L, 222.0), (3L, 30.0), (9L, 90.0)) &&
+          System.nanoTime() < deadline) Thread.sleep(100)
+      assert(merged == Seq((1L, 10.0), (2L, 222.0), (3L, 30.0), (9L, 90.0)))
+    } finally tcp.close()
+  }
+
   test("unsupported nested type rejected cleanly") {
     val df = Seq(Tuple1(Seq(1, 2))).toDF("arr")
     intercept[IllegalArgumentException] { ArrowInterchange.toIpcBytes(df) }
