@@ -70,59 +70,116 @@ final class LakeDataset private (
     */
   private val sinceCompact = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  // ------------------------------------------- checkpoint storage ledger
-  // Every snapshot this dataset checkpoints is tracked so that a rebuild
+  // ------------------------------------------- snapshot storage ledger
+  // Every snapshot this dataset materializes is tracked so that a rebuild
   // (wide merge / compaction) can RELEASE the superseded generation's
-  // block-store storage. Without this, every mutation's checkpoint lives
-  // until the JVM dies; measured as 4.9s vs 28s for the same save depending
-  // on how much dead data the block manager was evicting around.
-  // Two-phase: a checkpoint starts PENDING (its mutation may still be
-  // waiting on the monitor — a concurrent rebuild must not free it) and is
-  // moved to RETAINED once its mutation has applied; only RETAINED entries
-  // are releasable.
+  // storage. Without this, every mutation's checkpoint lives until the JVM
+  // dies; measured as 4.9s vs 28s for the same save depending on how much
+  // dead data the block manager was evicting around.
+  // Two-phase for checkpoints: an entry starts PENDING (its mutation may
+  // still be waiting on the monitor — a concurrent rebuild must not free
+  // it) and is moved to RETAINED once its mutation has applied; only
+  // RETAINED entries are releasable. Parquet-spilled snapshots are created
+  // under the monitor and go straight to RETAINED.
 
-  private val pendingCkpts = mutable.ListBuffer[org.apache.spark.rdd.RDD[_]]()
-  private val retainedCkpts = mutable.ListBuffer[org.apache.spark.rdd.RDD[_]]()
+  private sealed trait SnapRef {
+    def matches(keepIds: Set[Int], keepPaths: Seq[String]): Boolean
+    def release(): Unit
+  }
+  private final class RddRef(val rdd: org.apache.spark.rdd.RDD[_]) extends SnapRef {
+    def matches(keepIds: Set[Int], keepPaths: Seq[String]): Boolean =
+      keepIds.contains(rdd.id)
+    def release(): Unit =
+      try rdd.unpersist(false) catch { case scala.util.control.NonFatal(_) => () }
+  }
+  private final class DirRef(dir: String) extends SnapRef {
+    def matches(keepIds: Set[Int], keepPaths: Seq[String]): Boolean =
+      keepPaths.exists(p => p == dir || p.endsWith(dir))
+    def release(): Unit =
+      try LakeDataset.deleteRecursively(Paths.get(dir))
+      catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  private val pendingSnaps = mutable.ListBuffer[SnapRef]()
+  private val retainedSnaps = mutable.ListBuffer[SnapRef]()
+
+  private def idsAndPaths(dfs: Seq[DataFrame]): (Set[Int], Seq[String]) =
+    (dfs.flatMap(Bridge.checkpointRdds).map(_.id).toSet,
+      dfs.flatMap(Bridge.scanRootPaths))
 
   /** Eagerly checkpoint and track as pending. */
   private def ckpt(df: DataFrame): DataFrame = {
     val c = df.localCheckpoint(true)
-    val rdds = Bridge.checkpointRdds(c)
-    pendingCkpts.synchronized { pendingCkpts ++= rdds }
+    val refs = Bridge.checkpointRdds(c).map(new RddRef(_))
+    pendingSnaps.synchronized { pendingSnaps ++= refs }
     c
   }
 
-  /** Move a mutation's own checkpoints from pending to the releasable set —
+  /** Spill directory for big snapshots — deliberately NOT under the storage
+    * root (toStorage wipes the root). On a cluster this is scratch space /
+    * HDFS; locally a temp dir.
+    */
+  private lazy val spillDir: String =
+    Files.createTempDirectory("graft-snap-").toString
+  private val snapshotGen = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Materialize a whole-table or batch snapshot. Small data checkpoints
+    * into the block store; big data spills to parquet — the block store
+    * collapses under multi-GB snapshots (measured 104s checkpoint vs 5s
+    * parquet write for the same 18M-row merge, and the parquet read-back
+    * gets column pruning + filter pushdown for free). Tracked as pending
+    * until the owning mutation retains it.
+    */
+  private def materializeSnapshot(df: DataFrame, estRows: Long): DataFrame =
+    if (estRows >= 0 && estRows <= LakeDataset.SpillSnapshotRows) ckpt(df)
+    else {
+      val dir = s"$spillDir/gen-${snapshotGen.incrementAndGet()}"
+      df.write.mode("overwrite").parquet(dir)
+      val back = spark.read.parquet(dir)
+      pendingSnaps.synchronized { pendingSnaps += new DirRef(dir) }
+      back
+    }
+
+  /** Rows currently in the table if every counter is known, else
+    * Long.MaxValue (conservative: unknown size spills to parquet).
+    */
+  private def knownRowsEstimate: Long = {
+    val counters = parts.values().asScala.map(_.rows.get)
+    if (counters.exists(_ < 0L)) Long.MaxValue
+    else counters.sum
+  }
+
+  /** Move a mutation's own snapshots from pending to the releasable set —
     * called under the dataset monitor once the mutation has applied.
     */
   private def retain(dfs: DataFrame*): Unit = {
-    val ids = dfs.flatMap(Bridge.checkpointRdds).map(_.id).toSet
-    pendingCkpts.synchronized {
-      val (move, keep) = pendingCkpts.partition(r => ids.contains(r.id))
-      pendingCkpts.clear(); pendingCkpts ++= keep
-      retainedCkpts ++= move
+    val (ids, paths) = idsAndPaths(dfs)
+    pendingSnaps.synchronized {
+      val (move, keep) = pendingSnaps.partition(_.matches(ids, paths))
+      pendingSnaps.clear(); pendingSnaps ++= keep
+      retainedSnaps ++= move
     }
   }
 
   /** Track an externally created checkpoint as immediately releasable. */
   private def retainDirect(df: DataFrame): Unit =
-    pendingCkpts.synchronized { retainedCkpts ++= Bridge.checkpointRdds(df) }
+    pendingSnaps.synchronized {
+      retainedSnaps ++= Bridge.checkpointRdds(df).map(new RddRef(_))
+    }
 
-  /** Release every retained checkpoint except those backing `keep` — the
+  /** Release every retained snapshot except those backing `keep` — the
     * rebuilt cells slice `keep` alone, so prior generations are dead to the
     * engine. Callers holding pre-mutation DataFrames must re-read via toDF
     * (same contract as the reference, whose plan swap drops old frames).
     */
   private def releaseSuperseded(keep: DataFrame): Unit = {
-    val keepIds = Bridge.checkpointRdds(keep).map(_.id).toSet
-    val dead = pendingCkpts.synchronized {
-      val (k, d) = retainedCkpts.partition(r => keepIds.contains(r.id))
-      retainedCkpts.clear(); retainedCkpts ++= k
+    val (keepIds, keepPaths) = idsAndPaths(Seq(keep))
+    val dead = pendingSnaps.synchronized {
+      val (k, d) = retainedSnaps.partition(_.matches(keepIds, keepPaths))
+      retainedSnaps.clear(); retainedSnaps ++= k
       d.toList
     }
-    dead.foreach(r =>
-      try r.unpersist(false)
-      catch { case scala.util.control.NonFatal(_) => () })
+    dead.foreach(_.release())
   }
 
   /** Union-of-parts view (reference `Dataset::to_lazyframe`,
@@ -158,7 +215,7 @@ final class LakeDataset private (
     * scans per query.
     */
   def compact(): Unit = this.synchronized {
-    val snap = ckpt(unionParts)
+    val snap = materializeSnapshot(unionParts, knownRowsEstimate)
     rebuildFromSnapshot(snap)
     retain(snap)
   }
@@ -315,31 +372,54 @@ final class LakeDataset private (
   private def cellStable(keys: Seq[String]): Boolean =
     (partitionCols ++ bucketCols).forall(keys.contains)
 
-  private def splitByCell(df0: DataFrame): (DataFrame, List[(PartKey, DataFrame, Long)]) = {
+  /** Stamp audit columns and add the internal routing bucket id. */
+  private def prepared(df0: DataFrame): DataFrame = {
     val df = stamped(df0)
-    val withBucket =
-      if (bucketCols.nonEmpty)
-        df.withColumn(LakeDataset.BucketCol,
-          Bucketing.bucketExprFor(df, bucketCols.head, nBuckets))
-      else df
+    if (bucketCols.nonEmpty)
+      df.withColumn(LakeDataset.BucketCol,
+        Bucketing.bucketExprFor(df, bucketCols.head, nBuckets))
+    else df
+  }
 
-    // ONE materialization of the whole incoming batch (also decouples the
-    // routed slices from an ephemeral source, e.g. a streaming micro-batch),
-    // then ONE aggregation job that yields the distinct cell keys AND the
-    // per-cell row counts. Slices are lazy filters over the snapshot —
-    // in-memory scans with the cell predicate pushed into them. Returns the
-    // batch snapshot (sans routing column) alongside the slices.
-    val snap = ckpt(withBucket)
+  private def cellKeyCols: List[String] = partitionCols ++
+    (if (bucketCols.nonEmpty) List(LakeDataset.BucketCol) else Nil)
+
+  /** Distinct cell keys + per-cell row counts of a prepared batch — one
+    * aggregation pass, no materialization; null for the single-cell case.
+    */
+  private def cellCountsOf(p: DataFrame): Array[Row] =
+    if (cellKeyCols.isEmpty) null
+    else p.groupBy(cellKeyCols.map(col): _*).count().collect()
+
+  private def splitByCell(df0: DataFrame): (DataFrame, List[(PartKey, DataFrame, Long)]) = {
+    val p = prepared(df0)
+    splitPrepared(p, cellCountsOf(p))
+  }
+
+  /** Checkpoint a prepared batch and slice it per cell using precomputed
+    * cell counts.
+    *
+    * ONE materialization of the whole incoming batch (also decouples the
+    * routed slices from an ephemeral source, e.g. a streaming micro-batch);
+    * slices are lazy filters over the snapshot — in-memory scans with the
+    * cell predicate pushed into them. Returns the batch snapshot (sans
+    * routing column) alongside the slices. Mirrors the reference's eager
+    * `Dataset::from_dataframe` split (src/dataset.rs:196-238).
+    */
+  private def splitPrepared(
+      p: DataFrame, cellCounts: Array[Row]): (DataFrame, List[(PartKey, DataFrame, Long)]) = {
+    // Big batches spill to parquet like whole-table snapshots (the cell
+    // counts give the size for free); partition-less datasets have no
+    // pre-count and keep the checkpoint path.
+    val snap =
+      if (cellCounts == null) ckpt(p)
+      else materializeSnapshot(p, cellCounts.map(_.getLong(cellKeyCols.length)).sum)
     val batch = snap.drop(LakeDataset.BucketCol)
 
-    if (partitionCols.isEmpty && bucketCols.isEmpty)
+    if (cellCounts == null)
       return (batch, List((PartKey(Nil, None), snap, snap.count())))
 
-    val keyCols = partitionCols ++
-      (if (bucketCols.nonEmpty) List(LakeDataset.BucketCol) else Nil)
-    val cellCounts: Array[Row] =
-      snap.groupBy(keyCols.map(col): _*).count().collect()
-
+    val keyCols = cellKeyCols
     val slices = cellCounts.toList.map { row =>
       val partVals = partitionCols.zipWithIndex.map { case (c, i) =>
         c -> Option(row.get(i)).map(_.toString).orNull
@@ -425,21 +505,35 @@ final class LakeDataset private (
   def upsert(df: DataFrame, keys: Seq[String], save: Boolean = false): Unit = {
     val leftWins: Set[String] =
       if (auditClock.isDefined) Set(LakeDataset.CreatedAtCol) else Set.empty
-    val (batch, slices) = splitByCell(df)
+    // One aggregation pass over the RAW batch yields the cell counts that
+    // drive path selection — the batch is NOT materialized yet: the global
+    // path feeds it straight into the merge join (its output materializes
+    // immediately, so nothing retains a live reference to the source),
+    // skipping a full batch write+read through the block store.
+    val p = prepared(df)
+    val counts = cellCountsOf(p)
+    val nCells = if (counts == null) 1 else counts.length
     this.synchronized {
       // Decide the path and capture the pre-merge snapshot BEFORE markDirty:
       // markDirty drops cleanScan, and rebuilding `old` from unionParts
       // instead costs one bucket-filtered scan of the snapshot PER CELL.
-      val wide = numParts > 0 && slices.size >= math.max(2, numParts / 2)
+      val batchLazy = p.drop(LakeDataset.BucketCol)
+      val wide = numParts > 0 && nCells >= math.max(2, numParts / 2)
       val global = wide ||
-        (numParts > 0 && !cellStable(keys) && hasMigratingKeys(batch, keys))
+        (numParts > 0 && !cellStable(keys) && hasMigratingKeys(batchLazy, keys))
       val old = if (global) cleanScan.getOrElse(unionParts) else null
       markDirty()
       if (global) {
-        val merged = ckpt(LakePart.upsertJoin(old, batch, keys, leftWins))
+        val est = knownRowsEstimate match {
+          case Long.MaxValue => Long.MaxValue
+          case n => n + counts.map(_.getLong(cellKeyCols.length)).sum
+        }
+        val merged =
+          materializeSnapshot(LakePart.upsertJoin(old, batchLazy, keys, leftWins), est)
         rebuildFromSnapshot(merged)
-        retain(merged, batch)
+        retain(merged)
       } else {
+        val (batch, slices) = splitPrepared(p, counts)
         slices.foreach { case (key, slice, n) =>
           parts.compute(key, (_, existing) =>
             if (existing == null)
@@ -577,10 +671,14 @@ final class LakeDataset private (
     if (dirCols.isEmpty) {
       df.write.mode("overwrite").format(spec.format)
         .option("compression", spec.compression).save(spec.root)
-    } else if (numParts <= LakeDataset.OnePassSaveCells) {
-      // Few cells: concurrent per-part write jobs (the reference's
-      // rayon-parallel save, src/dataset.rs:342-348, as concurrent Spark
-      // jobs) avoid the per-task partition sort of the dynamic writer.
+    } else if (numParts <= LakeDataset.OnePassSaveCells &&
+        knownRowsEstimate <= LakeDataset.SpillSnapshotRows) {
+      // Few cells AND small data: concurrent per-part write jobs (the
+      // reference's rayon-parallel save, src/dataset.rs:342-348, as
+      // concurrent Spark jobs) avoid the per-task partition sort of the
+      // dynamic writer. Each per-part job re-scans its source snapshot, so
+      // for big tables (or many cells) the one-pass writer below wins even
+      // with the sort.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: scala.concurrent.ExecutionContext = LakeDataset.ioPool
@@ -639,6 +737,12 @@ object LakeDataset {
     * stops scaling long before the executors do).
     */
   val OnePassSaveCells: Int = 64
+
+  /** Snapshot rows above which a rebuild materializes to parquet spill
+    * instead of the block store (which collapses under multi-GB snapshots:
+    * 104s checkpoint vs 5s parquet write for the same 18M-row merge).
+    */
+  val SpillSnapshotRows: Long = 2_000_000L
 
   /** Build a dataset from a DataFrame (reference `Dataset::from_dataframe`,
     * src/dataset.rs:196-238). Parts snapshot the input via localCheckpoint,

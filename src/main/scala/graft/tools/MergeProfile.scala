@@ -53,6 +53,17 @@ object MergeProfile {
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
       p.count()
     }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mergeprof").toString
+    val back = time("join + parquet spill write") {
+      LakePart.upsertJoin(old, delta, keys, Set.empty)
+        .write.mode("overwrite").parquet(s"$tmp/snap")
+      spark.read.parquet(s"$tmp/snap")
+    }
+    time("read spilled snapshot (count)")(println(s"[merge]   -> ${back.count()}"))
+    time("aggregate over spilled snapshot") {
+      back.groupBy("l_returnflag").agg(count(lit(1))).collect()
+    }
+    graft.lake.LakeDataset.deleteRecursively(java.nio.file.Paths.get(tmp))
     spark.stop()
   }
 }

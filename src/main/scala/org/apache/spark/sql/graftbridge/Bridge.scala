@@ -31,4 +31,17 @@ object Bridge {
     */
   def unpersistCheckpoint(df: Dataset[_], blocking: Boolean = false): Unit =
     checkpointRdds(df).foreach(_.unpersist(blocking))
+
+  /** Root paths of the file-source scans a Dataset's plan reads — lets the
+    * lake identify which parquet-spilled snapshot directories back a plan.
+    */
+  def scanRootPaths(df: Dataset[_]): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
 }
