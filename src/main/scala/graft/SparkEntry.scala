@@ -284,6 +284,24 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // PIVOT (Spark superset; reference dialect has none) — wide per-status
+    // counts/sums per returnflag.
+    "q32_pivot" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // UNPIVOT via stack() — long-form (measure, value) rows.
+    "q33_unpivot" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 191 === 0)
+        .selectExpr("l_orderkey", "l_linenumber",
+          "stack(2, 'qty', l_quantity, 'price', l_extendedprice) AS (measure, value)")
+    }),
+
     "q25_setops" -> ((s, dir) => {
       val c = table(s, dir, "customer")
       val rich = c.filter(col("c_acctbal") > 5000).select("c_custkey")
@@ -1003,6 +1021,23 @@ object SparkEntry {
         |SELECT user_id, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions,
         |  COUNT(*) AS n_events
         |FROM t GROUP BY user_id""".stripMargin,
+
+    "q32_pivot" ->
+      s"""SELECT l_returnflag,
+         |  COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F_n,
+         |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+         |       THEN CAST(l_quantity AS DECIMAL(38,2)) END) AS DOUBLE) AS F_qty,
+         |  COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O_n,
+         |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+         |       THEN CAST(l_quantity AS DECIMAL(38,2)) END) AS DOUBLE) AS O_qty
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q33_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'qty' AS measure, l_quantity AS value
+        |FROM lineitem WHERE l_orderkey % 191 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'price' AS measure, l_extendedprice AS value
+        |FROM lineitem WHERE l_orderkey % 191 = 0""".stripMargin,
 
     "q25_setops" ->
       """SELECT c_custkey, 'intersect' AS op FROM (
