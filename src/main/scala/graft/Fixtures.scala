@@ -40,6 +40,16 @@ object Fixtures {
       bucketCols = Seq("l_partkey"),
       nBuckets = 5))
 
+  /** orders partitioned by `o_orderkey div 6000` — cells with DISJOINT
+    * orderkey ranges, the layout where zone-map pruning on a non-partition
+    * column skips every cell a range predicate cannot touch.
+    */
+  def ordersZoneLake(s: SparkSession, dir: String): LakeDataset =
+    cache.getOrElseUpdate(s"$dir#orders_zone", LakeDataset.fromDataFrame(
+      s, table(s, dir, "orders")
+        .withColumn("o_batch", (col("o_orderkey") / 6000).cast("int")),
+      partitionCols = Seq("o_batch")))
+
   /** documents ∪ exact copies of every 10th doc (new ids) — a corpus with
     * known exact duplicates for the dedup operators.
     */

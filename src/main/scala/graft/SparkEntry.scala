@@ -596,6 +596,17 @@ object SparkEntry {
 
     // Bucket pruning: an equality predicate on the bucket column scans only
     // the one matching bucket cell per partition (5x less data at 5 buckets).
+    // Zone-map data skipping (engine extension beyond SURVEY §4's manual
+    // partition layout): per-part [min,max] catalog statistics answer which
+    // cells a range predicate can touch BEFORE planning — only those parts
+    // are scanned; the rest never enter the plan.
+    "lake_zone_pruning" -> ((s, dir) => {
+      Fixtures.ordersZoneLake(s, dir)
+        .zoneRangePrunedDF("o_orderkey", 1000L, 2000L)
+        .filter(col("o_orderkey").between(1000L, 2000L))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    }),
+
     "lake_bucket_pruning" -> ((s, dir) => {
       val ds = Fixtures.lineitemLake(s, dir)
       ds.bucketPrunedDF(lit(1042L))
@@ -962,6 +973,10 @@ object SparkEntry {
     "lake_bucket_pruning" ->
       s"""SELECT COUNT(*) AS n, ${osum("l_extendedprice")} AS total
          |FROM lineitem WHERE l_partkey = 1042""".stripMargin,
+
+    "lake_zone_pruning" ->
+      s"""SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin,
 
     "bucket_numeric" ->
       """SELECT CAST(l_partkey % 5 AS INTEGER) AS bucket, COUNT(*) AS n

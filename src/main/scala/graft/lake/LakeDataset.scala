@@ -225,6 +225,9 @@ final class LakeDataset private (
     * snapshot, set the clean-scan fast path.
     */
   private def rebuildFromSnapshot(snap: DataFrame): Unit = {
+    // Zone maps recompute TIGHT here (mutations in between only widen).
+    val zc = ZoneMap.zoneCols(snap.schema, Set(LakeDataset.BucketCol))
+    val statAggs = count(lit(1)) +: ZoneMap.aggs(zc)
     val cells: Array[Row] =
       if (partitionCols.isEmpty && bucketCols.isEmpty) Array.empty
       else {
@@ -232,12 +235,14 @@ final class LakeDataset private (
           (if (bucketCols.nonEmpty)
             List(Bucketing.bucketExprFor(snap, bucketCols.head, nBuckets).as(LakeDataset.BucketCol))
           else Nil)
-        snap.groupBy(keyCols: _*).count().collect()
+        snap.groupBy(keyCols: _*).agg(statAggs.head, statAggs.tail: _*).collect()
       }
     parts.clear()
     if (cells.isEmpty) {
       val key = PartKey(Nil, None)
-      parts.put(key, new LakePart(snap, key, bucketCols, nBuckets, snap.count(), retainDirect))
+      val row = snap.agg(statAggs.head, statAggs.tail: _*).head()
+      parts.put(key, new LakePart(snap, key, bucketCols, nBuckets, row.getLong(0),
+        retainDirect, initialZones = Some(ZoneMap.fromRow(row, 1, zc))))
     } else {
       val nKeyCols = partitionCols.length + (if (bucketCols.nonEmpty) 1 else 0)
       cells.foreach { row =>
@@ -250,6 +255,7 @@ final class LakeDataset private (
             else Some(row.getInt(nKeyCols - 1))
           } else None
         val n = row.getLong(nKeyCols)
+        val zones = ZoneMap.fromRow(row, nKeyCols + 1, zc)
         val cond = partitionCols.zipWithIndex.map { case (c, i) =>
           if (row.isNullAt(i)) snap(c).isNull else snap(c) === lit(row.get(i))
         } ++ bucketNr.map { b =>
@@ -259,7 +265,7 @@ final class LakeDataset private (
         val key = PartKey(partVals.sortBy(_._1), bucketNr)
         parts.put(key,
           new LakePart(snap.filter(cond.reduce(_ && _)), key, bucketCols, nBuckets, n,
-            retainDirect))
+            retainDirect, initialZones = Some(zones)))
       }
     }
     cleanScan = Some(snap)
@@ -307,6 +313,33 @@ final class LakeDataset private (
     // a legitimately empty result, not an error.
     if (views.isEmpty) emptyLike else
       views.reduce(_ unionByName (_, allowMissingColumns = true))
+  }
+
+  /** Zone-map pruning (engine-level data skipping): for an equality
+    * predicate on any tracked column, only parts whose [min,max] interval
+    * may contain the value contribute to the plan. Complements [[prunedDF]]
+    * (partition columns) and [[bucketPrunedDF]] (bucket column) with
+    * arbitrary-column statistics — the lakehouse file-skipping design, kept
+    * in the catalog so pruning costs zero I/O. Parts without statistics
+    * (lazily loaded) always scan: pruning fails open, never closed.
+    */
+  def zonePrunedDF(colName: String, value: Any): DataFrame =
+    zoneFiltered(z => z.get(colName).forall(_.mayContain(value)))
+
+  /** Range variant of [[zonePrunedDF]]: parts whose [min,max] overlaps
+    * [lo, hi] (inclusive).
+    */
+  def zoneRangePrunedDF(colName: String, lo: Any, hi: Any): DataFrame = {
+    val q = Zone(Option(lo), Option(hi))
+    zoneFiltered(z => z.get(colName).forall(_.overlaps(q)))
+  }
+
+  private def zoneFiltered(keep: Map[String, Zone] => Boolean): DataFrame = {
+    val views = parts.values().asScala.toList.collect {
+      case part if part.zones.forall(keep) => part.view
+    }
+    if (views.isEmpty) emptyLike
+    else views.reduce(_ unionByName (_, allowMissingColumns = true))
   }
 
   /** Empty DataFrame with the table schema (for prune paths matching zero parts). */
@@ -384,16 +417,24 @@ final class LakeDataset private (
   private def cellKeyCols: List[String] = partitionCols ++
     (if (bucketCols.nonEmpty) List(LakeDataset.BucketCol) else Nil)
 
-  /** Distinct cell keys + per-cell row counts of a prepared batch — one
-    * aggregation pass, no materialization; null for the single-cell case.
+  /** Distinct cell keys + per-cell row counts AND zone maps (min/max per
+    * tracked column) of a prepared batch — ONE aggregation pass, no
+    * materialization; null rows for the single-cell case. Row layout:
+    * cell key columns, count, then min/max pairs in `zoneCols` order.
     */
-  private def cellCountsOf(p: DataFrame): Array[Row] =
-    if (cellKeyCols.isEmpty) null
-    else p.groupBy(cellKeyCols.map(col): _*).count().collect()
+  private def cellCountsOf(p: DataFrame): (Array[Row], Seq[String]) =
+    if (cellKeyCols.isEmpty) (null, Nil)
+    else {
+      val zc = ZoneMap.zoneCols(p.schema, Set(LakeDataset.BucketCol))
+      val aggCols = count(lit(1)) +: ZoneMap.aggs(zc)
+      (p.groupBy(cellKeyCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*).collect(), zc)
+    }
 
-  private def splitByCell(df0: DataFrame): (DataFrame, List[(PartKey, DataFrame, Long)]) = {
+  private def splitByCell(df0: DataFrame)
+      : (DataFrame, List[(PartKey, DataFrame, Long, Map[String, Zone])]) = {
     val p = prepared(df0)
-    splitPrepared(p, cellCountsOf(p))
+    val (counts, zc) = cellCountsOf(p)
+    splitPrepared(p, counts, zc)
   }
 
   /** Checkpoint a prepared batch and slice it per cell using precomputed
@@ -406,8 +447,8 @@ final class LakeDataset private (
     * routing column) alongside the slices. Mirrors the reference's eager
     * `Dataset::from_dataframe` split (src/dataset.rs:196-238).
     */
-  private def splitPrepared(
-      p: DataFrame, cellCounts: Array[Row]): (DataFrame, List[(PartKey, DataFrame, Long)]) = {
+  private def splitPrepared(p: DataFrame, cellCounts: Array[Row], zoneCols: Seq[String])
+      : (DataFrame, List[(PartKey, DataFrame, Long, Map[String, Zone])]) = {
     // Big batches spill to parquet like whole-table snapshots (the cell
     // counts give the size for free); partition-less datasets have no
     // pre-count and keep the checkpoint path.
@@ -416,8 +457,15 @@ final class LakeDataset private (
       else materializeSnapshot(p, cellCounts.map(_.getLong(cellKeyCols.length)).sum)
     val batch = snap.drop(LakeDataset.BucketCol)
 
-    if (cellCounts == null)
-      return (batch, List((PartKey(Nil, None), snap, snap.count())))
+    if (cellCounts == null) {
+      // Single-cell dataset: count + zones in ONE aggregation job over the
+      // snapshot (was a bare count).
+      val zc = ZoneMap.zoneCols(snap.schema, Set(LakeDataset.BucketCol))
+      val aggCols = count(lit(1)) +: ZoneMap.aggs(zc)
+      val row = snap.agg(aggCols.head, aggCols.tail: _*).head()
+      return (batch,
+        List((PartKey(Nil, None), snap, row.getLong(0), ZoneMap.fromRow(row, 1, zc))))
+    }
 
     val keyCols = cellKeyCols
     val slices = cellCounts.toList.map { row =>
@@ -433,6 +481,7 @@ final class LakeDataset private (
           else Some(row.getInt(keyCols.length - 1))
         } else None
       val n = row.getLong(keyCols.length)
+      val zones = ZoneMap.fromRow(row, keyCols.length + 1, zoneCols)
       val cond = partitionCols.zipWithIndex.map { case (c, i) =>
         if (row.isNullAt(i)) snap(c).isNull
         else snap(c) === lit(row.get(i))
@@ -441,7 +490,7 @@ final class LakeDataset private (
         else snap(LakeDataset.BucketCol) === lit(b)
       }
       val slice = snap.filter(cond.reduce(_ && _)).drop(LakeDataset.BucketCol)
-      (PartKey(partVals.sortBy(_._1), bucketNr), slice, n)
+      (PartKey(partVals.sortBy(_._1), bucketNr), slice, n, zones)
     }
     (batch, slices)
   }
@@ -460,11 +509,12 @@ final class LakeDataset private (
     this.synchronized {
       val wasEmpty = parts.isEmpty
       markDirty()
-      slices.foreach { case (key, slice, n) =>
+      slices.foreach { case (key, slice, n, z) =>
         parts.compute(key, (_, existing) =>
           if (existing == null)
-            new LakePart(slice, key, bucketCols, nBuckets, n, retainDirect)
-          else { existing.insert(slice, n); existing })
+            new LakePart(slice, key, bucketCols, nBuckets, n, retainDirect,
+              initialZones = Some(z))
+          else { existing.insert(slice, n); existing.widenZones(z); existing })
       }
       // Creating from one batch: every part slices the same snapshot, so the
       // snapshot itself IS the whole-table view — reads plan one scan.
@@ -511,7 +561,7 @@ final class LakeDataset private (
     // immediately, so nothing retains a live reference to the source),
     // skipping a full batch write+read through the block store.
     val p = prepared(df)
-    val counts = cellCountsOf(p)
+    val (counts, zoneCols) = cellCountsOf(p)
     val nCells = if (counts == null) 1 else counts.length
     this.synchronized {
       // Decide the path and capture the pre-merge snapshot BEFORE markDirty:
@@ -533,18 +583,54 @@ final class LakeDataset private (
         rebuildFromSnapshot(merged)
         retain(merged)
       } else {
-        val (batch, slices) = splitPrepared(p, counts)
-        slices.foreach { case (key, slice, n) =>
+        val (batch, slices) = splitPrepared(p, counts, zoneCols)
+        slices.foreach { case (key, slice, n, z) =>
           parts.compute(key, (_, existing) =>
             if (existing == null)
-              new LakePart(slice, key, bucketCols, nBuckets, n, retainDirect)
-            else { existing.upsert(slice, keys, n, leftWins = leftWins); existing })
+              new LakePart(slice, key, bucketCols, nBuckets, n, retainDirect,
+                initialZones = Some(z))
+            else {
+              existing.upsert(slice, keys, n, leftWins = leftWins)
+              // Sound widening: surviving values ⊆ old ∪ delta.
+              existing.widenZones(z)
+              existing
+            })
         }
         retain(batch)
       }
     }
     if (save) toStorage()
   }
+
+  /** The table view a key probe scans: the single clean scan when present;
+    * otherwise the union of ONLY the parts whose key-column zones overlap
+    * the delta's key ranges (one tiny min/max aggregation over the delta buys
+    * skipping entire parts from the probe plan — at 10k parts the difference
+    * between a full-table probe and a handful of scans). Runs inside the
+    * dataset monitor.
+    */
+  private def probeBase(delta: DataFrame, keys: Seq[String]): DataFrame =
+    cleanScan.getOrElse {
+      val zoneableKeys = keys.filter(k =>
+        delta.columns.contains(k) && ZoneMap.zoneable(delta.schema(k).dataType))
+      val deltaRanges: Map[String, Zone] =
+        if (zoneableKeys.isEmpty) Map.empty
+        else {
+          val aggCols = ZoneMap.aggs(zoneableKeys)
+          ZoneMap.fromRow(delta.agg(aggCols.head, aggCols.tail: _*).head(), 0, zoneableKeys)
+        }
+      // A key column whose delta range and part zone are BOTH known and
+      // disjoint proves no delta key lives in that part; any unknown side
+      // keeps the part (fail open). An empty delta yields empty zones which
+      // overlap nothing: the probe sees an empty frame and reports no work.
+      val views = parts.values().asScala.toList.collect {
+        case part if part.zones.forall(zs =>
+          deltaRanges.forall { case (c, dz) => zs.get(c).forall(_.overlaps(dz)) }) =>
+          part.view
+      }
+      if (views.isEmpty) emptyLike
+      else views.reduce(_ unionByName (_, allowMissingColumns = true))
+    }
 
   /** Probe for cell-migrating keys: join the table (projected to keys + cell
     * columns — parquet column pruning makes this a key-index scan, not a
@@ -553,7 +639,7 @@ final class LakeDataset private (
     * the dataset monitor (it reads the live part set).
     */
   private def hasMigratingKeys(batch: DataFrame, keys: Seq[String]): Boolean = {
-    val old = cleanScan.getOrElse(unionParts)
+    val old = probeBase(batch, keys)
     val cellCols = partitionCols ++
       (if (bucketCols.nonEmpty) List(LakeDataset.BucketCol) else Nil)
     def loc(d: DataFrame, tag: String): DataFrame = {
@@ -582,7 +668,9 @@ final class LakeDataset private (
       val (batch, slices) = splitByCell(keysDf)
       this.synchronized {
         markDirty()
-        slices.foreach { case (key, slice, _) =>
+        // Zones intentionally untouched: post-delete data is a subset, so
+        // the existing interval stays a sound (if loose) superset.
+        slices.foreach { case (key, slice, _, _) =>
           Option(parts.get(key)).foreach(_.delete(slice, keys))
         }
         retain(batch)
@@ -608,7 +696,7 @@ final class LakeDataset private (
     * cell. Runs inside the dataset monitor.
     */
   private def locateCells(keyRows: DataFrame, keys: Seq[String]): List[PartKey] = {
-    val old = cleanScan.getOrElse(unionParts)
+    val old = probeBase(keyRows, keys)
     val withB =
       if (bucketCols.nonEmpty)
         old.withColumn(LakeDataset.BucketCol,

@@ -31,9 +31,29 @@ final class LakePart private[lake] (
     /** Reports checkpoints this part creates to the owning dataset's storage
       * ledger, so superseded generations can be released on rebuild.
       */
-    onCheckpoint: DataFrame => Unit = _ => ()) {
+    onCheckpoint: DataFrame => Unit = _ => (),
+    /** Per-column [min,max] zone maps of this part's data, or None when
+      * unknown (lazily loaded parts). Maintained conservatively: mutations
+      * only ever WIDEN the interval (deletes and upsert-replaced rows leave
+      * it a sound superset); a dataset-level rebuild recomputes it tight.
+      */
+    initialZones: Option[Map[String, Zone]] = None) {
 
   private val ref = new AtomicReference[DataFrame](initial)
+  private val zonesRef =
+    new AtomicReference[Option[Map[String, Zone]]](initialZones)
+
+  /** Current zone maps; None = no statistics (pruning fails open). */
+  def zones: Option[Map[String, Zone]] = zonesRef.get
+
+  /** Widen this part's zones with an incoming batch's cell zones. A part
+    * with unknown zones stays unknown (there is nothing sound to widen).
+    */
+  private[lake] def widenZones(delta: Map[String, Zone]): Unit =
+    zonesRef.updateAndGet {
+      case Some(old) => Some(ZoneMap.widen(old, delta))
+      case None => None
+    }
   /** Maintained row counter; deliberately stale after upsert until the next
     * materialize, matching reference semantics (src/dataset.rs:144). */
   val rows = new AtomicLong(initialRows)

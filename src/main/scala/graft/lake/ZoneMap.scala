@@ -1,0 +1,126 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.functions.{col, max, min}
+import org.apache.spark.sql.types._
+
+/** Per-column [min, max] interval of one part's data — the engine's zone
+  * maps (a.k.a. data skipping / file-skipping statistics, the design parquet
+  * row-group stats and lakehouse formats use per file; here kept per cell in
+  * the catalog so pruning needs no file I/O at all).
+  *
+  * `(None, None)` means "the column holds no non-null values" — such a part
+  * can never match an equality/range predicate. A column with UNKNOWN stats
+  * is simply absent from the part's zone map (and a part with no statistics
+  * at all carries `zones = None`) — absence always disables pruning, never
+  * enables it, so stale-but-widened zones stay sound.
+  *
+  * Scale note: zones are maintained as a by-product of the cell-routing
+  * aggregation every mutation already runs (two extra codegen'd min/max
+  * aggregates per tracked column — map-side combined, so the shuffle carries
+  * one pair per cell), and they prune BEFORE planning: a 10k-part table
+  * probes only the parts whose key interval overlaps the delta instead of
+  * unioning 10k scans.
+  */
+final case class Zone(min: Option[Any], max: Option[Any]) {
+
+  def widen(o: Zone): Zone =
+    Zone(ZoneMap.bound(min, o.min, keepIfLess = true),
+      ZoneMap.bound(max, o.max, keepIfLess = false))
+
+  /** No non-null values at all (min/max over an all-null column). */
+  def isEmptyZone: Boolean = min.isEmpty && max.isEmpty
+
+  /** Could a row with (non-null) value `v` fall in this zone? Unknown or
+    * incomparable bounds answer true — pruning must fail open; only the
+    * empty zone (no non-null values) and a disjoint interval answer false.
+    */
+  def mayContain(v: Any): Boolean = (min, max) match {
+    case (Some(mn), Some(mx)) =>
+      ZoneMap.cmp(v, mn).forall(_ >= 0) && ZoneMap.cmp(v, mx).forall(_ <= 0)
+    case (None, None) => false // no non-null values at all
+    case _ => true // half-unknown bound (incomparable widen): fail open
+  }
+
+  /** Could this zone and `o` share a value? ([mn,mx] ∩ [omn,omx] ≠ ∅) */
+  def overlaps(o: Zone): Boolean =
+    if (isEmptyZone || o.isEmptyZone) false
+    else (min, max, o.min, o.max) match {
+      case (Some(mn), Some(mx), Some(omn), Some(omx)) =>
+        ZoneMap.cmp(omx, mn).forall(_ >= 0) && ZoneMap.cmp(omn, mx).forall(_ <= 0)
+      case _ => true // half-unknown bound: fail open
+    }
+}
+
+object ZoneMap {
+
+  /** Max tracked columns per table — bounds catalog memory and the width of
+    * the per-mutation routing aggregation on very wide schemas.
+    */
+  val MaxZoneColumns = 32
+
+  /** Orderable atomic types whose JVM row values implement Comparable.
+    * Strings are deliberately NOT tracked: min/max over long text columns
+    * measurably doubles the per-mutation routing aggregation (per-row string
+    * compares across every text column), while the pruning they buy is thin —
+    * categorical strings are partition columns (covered by `prunedDF`) and
+    * range predicates cluster on numeric/time columns. The tracked set must
+    * be IDENTICAL on the routing and rebuild paths (widening relies on it).
+    */
+  def zoneable(dt: DataType): Boolean = dt match {
+    case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** The columns of `schema` that get zone maps, in schema order. */
+  def zoneCols(schema: StructType, exclude: Set[String] = Set.empty): Seq[String] =
+    schema.fields.iterator
+      .filter(f => zoneable(f.dataType) && !exclude.contains(f.name))
+      .map(_.name).take(MaxZoneColumns).toSeq
+
+  /** min/max aggregate pairs for the zone columns, to append to a routing
+    * groupBy. Row layout contract: pairs appear at consecutive positions in
+    * `cols` order — parse back with [[fromRow]] at the matching offset.
+    */
+  def aggs(cols: Seq[String]): Seq[Column] =
+    cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+
+  /** Parse the min/max pairs appended by [[aggs]] from a collected row. */
+  def fromRow(row: Row, offset: Int, cols: Seq[String]): Map[String, Zone] =
+    cols.zipWithIndex.map { case (c, i) =>
+      c -> Zone(Option(row.get(offset + 2 * i)), Option(row.get(offset + 2 * i + 1)))
+    }.toMap
+
+  /** Widen two zone maps column-wise. A column tracked on one side only
+    * keeps that side's zone: the other side's batch either lacked the column
+    * entirely (rows read as NULL — no effect on min/max) or gained it via
+    * schema evolution (pre-existing rows are NULL for it).
+    */
+  def widen(a: Map[String, Zone], b: Map[String, Zone]): Map[String, Zone] =
+    (a.keySet ++ b.keySet).iterator.map { c =>
+      c -> ((a.get(c), b.get(c)) match {
+        case (Some(x), Some(y)) => x.widen(y)
+        case (Some(x), None) => x
+        case (None, Some(y)) => y
+        case _ => Zone(None, None)
+      })
+    }.toMap
+
+  /** Runtime comparison via Comparable; None when the JVM types don't line
+    * up (caller must fail open).
+    */
+  def cmp(a: Any, b: Any): Option[Int] =
+    try Some(a.asInstanceOf[Comparable[Any]].compareTo(b))
+    catch { case _: ClassCastException => None }
+
+  private[lake] def bound(a: Option[Any], b: Option[Any], keepIfLess: Boolean): Option[Any] =
+    (a, b) match {
+      case (Some(x), Some(y)) => cmp(x, y) match {
+        case Some(c) => if ((c <= 0) == keepIfLess) Some(x) else Some(y)
+        case None => None // incomparable: drop the bound (fails open via Zone match)
+      }
+      case (Some(x), None) => Some(x)
+      case (None, Some(y)) => Some(y)
+      case _ => None
+    }
+}

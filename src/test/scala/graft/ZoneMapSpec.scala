@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.{LakeDataset, Zone, ZoneMap}
+
+/** Zone maps (per-part min/max statistics): maintenance through the mutation
+  * paths and the pruning they buy.
+  */
+class ZoneMapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDs() = {
+    // Three partitions with DISJOINT id ranges — the layout where zone
+    // pruning on a non-partition column actually bites.
+    val df = Seq(
+      (1L, "a", 10.0), (2L, "a", 11.0), (3L, "a", 12.0),
+      (101L, "b", 20.0), (102L, "b", 21.0),
+      (201L, "c", 30.0), (202L, "c", 31.0)
+    ).toDF("id", "grp", "v")
+    LakeDataset.fromDataFrame(spark, df, partitionCols = Seq("grp"))
+  }
+
+  test("fromDataFrame computes tight per-part zones") {
+    val ds = freshDs()
+    val aKey = ds.partKeys.find(_.partValues.exists(_._2 == "a")).get
+    val zones = ds.part(aKey).get.zones.get
+    assert(zones("id") === Zone(Some(1L), Some(3L)))
+    assert(zones("v") === Zone(Some(10.0), Some(12.0)))
+    // Strings are not tracked (cost/benefit — see ZoneMap.zoneable).
+    assert(!zones.contains("grp"))
+  }
+
+  test("insert widens zones; untouched columns keep bounds") {
+    val ds = freshDs()
+    ds.insert(Seq((0L, "a", 99.0)).toDF("id", "grp", "v"))
+    val aKey = ds.partKeys.find(_.partValues.exists(_._2 == "a")).get
+    val zones = ds.part(aKey).get.zones.get
+    assert(zones("id") === Zone(Some(0L), Some(3L)))
+    assert(zones("v") === Zone(Some(10.0), Some(99.0)))
+  }
+
+  test("upsert widens; delete leaves a sound superset") {
+    val ds = freshDs()
+    ds.upsert(Seq((3L, "a", 555.0)).toDF("id", "grp", "v"), keys = Seq("id", "grp"))
+    val aKey = ds.partKeys.find(_.partValues.exists(_._2 == "a")).get
+    assert(ds.part(aKey).get.zones.get("v") === Zone(Some(10.0), Some(555.0)))
+    ds.delete(Seq((1L, "a")).toDF("id", "grp"), keys = Seq("id", "grp"))
+    // Still a superset interval; the data no longer reaches id=1.
+    assert(ds.part(aKey).get.zones.get("id") === Zone(Some(1L), Some(3L)))
+    assert(ds.toDF.agg(min("id")).head().getLong(0) === 2L)
+  }
+
+  test("zonePrunedDF scans only overlapping parts and stays correct") {
+    val ds = freshDs()
+    val pruned = ds.zonePrunedDF("id", 102L)
+    val leaves = pruned.queryExecution.optimizedPlan.collectLeaves().size
+    assert(leaves === 1, s"expected 1 leaf after zone pruning, got $leaves")
+    assert(pruned.filter($"id" === 102L).count() === 1L)
+    // A value outside every zone: empty result, no scans of real parts.
+    assert(ds.zonePrunedDF("id", 99999L).count() === 0L)
+    // Range variant spanning two parts.
+    val r = ds.zoneRangePrunedDF("id", 100L, 300L)
+    assert(r.queryExecution.optimizedPlan.collectLeaves().size === 2)
+    assert(r.filter($"id".between(100L, 300L)).count() === 4L)
+  }
+
+  test("compaction recomputes tight zones after widening") {
+    val ds = freshDs()
+    ds.upsert(Seq((3L, "a", 555.0)).toDF("id", "grp", "v"), keys = Seq("id", "grp"))
+    ds.compact()
+    val aKey = ds.partKeys.find(_.partValues.exists(_._2 == "a")).get
+    assert(ds.part(aKey).get.zones.get("v") === Zone(Some(10.0), Some(555.0)))
+    ds.delete(Seq((3L, "a")).toDF("id", "grp"), keys = Seq("id", "grp"))
+    ds.compact()
+    // The widened 555.0 bound is gone after the rebuild.
+    assert(ds.part(aKey).get.zones.get("v") === Zone(Some(10.0), Some(11.0)))
+  }
+
+  test("lazily loaded parts have no zones and never prune") {
+    val root = java.nio.file.Files.createTempDirectory("graft-zone-").toString
+    val ds = freshDs()
+    ds.storage = Some(graft.model.StorageSpec(root, "parquet", "snappy"))
+    ds.toStorage()
+    val loaded = LakeDataset.fromStorage(spark, root)
+    assert(loaded.partKeys.nonEmpty)
+    assert(loaded.partKeys.flatMap(k => loaded.part(k).get.zones).isEmpty)
+    // Pruning fails open: every part scans, result matches the plain filter.
+    assert(loaded.zonePrunedDF("id", 102L).filter($"id" === 102L).count() === 1L)
+    LakeDataset.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("probe pruning: migrating upsert and located delete stay correct with zones") {
+    val ds = freshDs()
+    // Key NOT covering the partition column → migration probe path. Move id
+    // 101 from grp b to grp c; its key range only overlaps part b (and c).
+    ds.upsert(Seq((101L, "c", 77.0)).toDF("id", "grp", "v"), keys = Seq("id"))
+    val out = ds.toDF.filter($"id" === 101L).collect()
+    assert(out.length === 1 && out.head.getString(1) === "c" && out.head.getDouble(2) === 77.0)
+    assert(ds.toDF.count() === 7L)
+    // Keys-only delete (locate path) with zones present.
+    ds.delete(Seq(Tuple1(202L)).toDF("id"), keys = Seq("id"))
+    assert(ds.toDF.count() === 6L)
+    assert(ds.toDF.filter($"id" === 202L).count() === 0L)
+  }
+
+  test("Zone algebra: empty zones, fail-open bounds, widen") {
+    val e = Zone(None, None)
+    assert(!e.mayContain(5L))
+    assert(!e.overlaps(Zone(Some(1L), Some(9L))))
+    val half = Zone(None, Some(9L))
+    assert(half.mayContain(5L)) // fail open
+    assert(half.overlaps(Zone(Some(100L), Some(200L))))
+    assert(Zone(Some(1L), Some(3L)).widen(e) === Zone(Some(1L), Some(3L)))
+    assert(ZoneMap.widen(Map("a" -> Zone(Some(1L), Some(2L))), Map("b" -> Zone(Some(9L), Some(9L))))
+      === Map("a" -> Zone(Some(1L), Some(2L)), "b" -> Zone(Some(9L), Some(9L))))
+    // Incomparable values: no pruning decisions.
+    assert(Zone(Some("x"), Some("y")).mayContain(5L))
+  }
+}
