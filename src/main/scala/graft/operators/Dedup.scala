@@ -66,26 +66,26 @@ object Dedup {
   /** Distinct (doc, shingle) pairs — the relational form of [[shingles]]
     * that the signature and verify paths build on.
     *
-    * Built with posexplode + window `lead` instead of higher-order array
-    * functions: HOF lambdas run interpreted and contend badly across many
-    * executor threads (measured 10× slower with 32 threads than with 1 —
-    * worse than serial). Window + join/agg stay in codegen and shuffle once
-    * by doc. Short documents (< n words) keep their pos-0 row, whose
-    * null-skipping concat reproduces the whole-text fallback shingle.
+    * Overlapping n-word windows are extracted in ONE codegen'd pass with a
+    * lookahead regex anchored at word starts (`(?<!\S)(?=(\S+ ... \S+))`) —
+    * no window function, so no per-doc sort, and no higher-order array
+    * lambdas (HOFs run interpreted and contend across many executor threads;
+    * an earlier window+lead formulation was correct but paid a partition
+    * sort). The explicit repartition by doc means the distinct AND the
+    * downstream per-doc signature aggregation both reuse one exchange
+    * (hash(doc) co-locates every (doc, s) group).
+    *
+    * Documents shorter than n words contribute their whole text as the
+    * single fallback shingle; whitespace runs are treated as one separator.
     */
   def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val words = df.select(
-      col(idCol).as("doc"),
-      posexplode(split(trim(col(textCol)), " ")).as(Seq("pos", "w")))
-    if (n == 1) return words.select(col("doc"), col("w").as("s")).distinct()
-    val w = Window.partitionBy("doc").orderBy("pos")
-    val leadCols = (1 until n).map(j => lead(col("w"), j).over(w).as(s"w$j"))
-    words
-      .select(Seq(col("doc"), col("pos"), col("w")) ++ leadCols: _*)
-      .filter(col(s"w${n - 1}").isNotNull || col("pos") === 0)
-      .select(col("doc"),
-        concat_ws(" ", col("w") +: (1 until n).map(j => col(s"w$j")): _*).as("s"))
+    val pat = "(?<!\\S)(?=(" + Seq.fill(n)("\\S+").mkString(" ") + "))"
+    val grams = regexp_extract_all(trim(col(textCol)), lit(pat), lit(1))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        explode(when(size(grams) > 0, grams)
+          .otherwise(array(trim(col(textCol))))).as("s"))
+      .repartition(col("doc"))
       .distinct()
   }
 
@@ -280,27 +280,56 @@ object Dedup {
   }
 
   /** End-to-end MinHash-LSH near-dup detection: candidates → verify →
-    * threshold. Returns (doc_a, doc_b, est_jaccard, jaccard).
+    * threshold. Returns (doc_a, doc_b, jaccard).
+    *
+    * Leaner than composing [[minhashCandidates]] + [[jaccardVerify]]:
+    *  - no signature estimate (the exact verify supersedes it);
+    *  - ONE cached (doc, shingle-hash) table feeds signatures AND verify
+    *    (8-byte join keys, shingle strings never cross a shuffle);
+    *  - the per-doc set size |A| rides the signature aggregation and is
+    *    carried THROUGH the band join, so the Jaccard denominator needs no
+    *    extra aggregation and no joins back to size tables;
+    *  - with a positive threshold, candidate pairs sharing zero shingles
+    *    (Jaccard 0) can never pass, so the intersection inner-join replaces
+    *    the candidates left-join + fill of the general verify path.
     */
   def minhashDedup(
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.7, numHashes: Int = 32, bands: Int = 8,
       shingleSize: Int = 3): DataFrame = {
-    // No signature estimate on the end-to-end path: the exact Jaccard
-    // verify supersedes it, and skipping it removes two joins. The shingle
-    // table is computed ONCE (cached) and feeds both the banding and the
-    // verify stages; candidates are cached because the verify left-joins
-    // them back twice.
-    val expl = shingleRows(df, textCol, idCol, shingleSize).cache()
-    val banded = bandsFromShingles(expl, numHashes, bands)
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are skipped)")
+    val r = numHashes / bands
+    val expl = shingleRows(df, textCol, idCol, shingleSize)
+      .select(col("doc"), xxhash64(col("s")).as("h"))
+      .cache()
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val agg = expl.groupBy("doc")
+      .agg(count(lit(1)).as("sz"), mins: _*)
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => col(s"m$i").cast("string"))
+      struct(lit(b).as("band"), xxhash64(concat_ws(",", cols: _*), lit(b)).as("bh"))
+    }
+    val banded = agg
+      .select(col("doc"), col("sz"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc"), col("sz"), col("b.band").as("band"), col("b.bh").as("bh"))
+    // sz is functionally dependent on doc, so carrying it through the join,
+    // the distinct, and the groupBy changes no cardinalities.
     val cands = banded.as("x")
       .join(banded.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .filter(col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
       .distinct()
-      .cache()
-    jaccardVerifyFromShingles(cands, expl)
+    cands
+      .join(expl.select(col("doc").as("doc_a"), col("h")), "doc_a")
+      .join(expl.select(col("doc").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   // ---------------------------------------------------------------- simhash
