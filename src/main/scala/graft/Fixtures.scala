@@ -40,6 +40,15 @@ object Fixtures {
       bucketCols = Seq("l_partkey"),
       nBuckets = 5))
 
+  /** part hash-bucketed by p_partkey into 5 buckets — the co-located join
+    * partner of [[lineitemLake]] (same bucket function, same count).
+    */
+  def partLake(s: SparkSession, dir: String): LakeDataset =
+    cache.getOrElseUpdate(s"$dir#part", LakeDataset.fromDataFrame(
+      s, table(s, dir, "part"),
+      bucketCols = Seq("p_partkey"),
+      nBuckets = 5))
+
   /** orders partitioned by `o_orderkey div 6000` — cells with DISJOINT
     * orderkey ranges, the layout where zone-map pruning on a non-partition
     * column skips every cell a range predicate cannot touch.

@@ -596,6 +596,19 @@ object SparkEntry {
 
     // Bucket pruning: an equality predicate on the bucket column scans only
     // the one matching bucket cell per partition (5x less data at 5 buckets).
+    // Co-located bucket join (SURVEY §4 "bucketed layout" row): lineitem and
+    // part are hash-bucketed on the join key with the same bucket count, so
+    // the join runs bucket-by-bucket — each sub-join sees 1/5 of either side.
+    "lake_colocated_join" -> ((s, dir) => {
+      import graft.operators.Joins
+      Joins.coLocatedJoin(
+          Fixtures.lineitemLake(s, dir), Fixtures.partLake(s, dir),
+          "l_partkey", "p_partkey")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("p_brand")
+    }),
+
     // Zone-map data skipping (engine extension beyond SURVEY §4's manual
     // partition layout): per-part [min,max] catalog statistics answer which
     // cells a range predicate can touch BEFORE planning — only those parts
@@ -977,6 +990,11 @@ object SparkEntry {
     "lake_zone_pruning" ->
       s"""SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
          |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin,
+
+    "lake_colocated_join" ->
+      s"""SELECT p_brand, COUNT(*) AS n, ${osum("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand""".stripMargin,
 
     "bucket_numeric" ->
       """SELECT CAST(l_partkey % 5 AS INTEGER) AS bucket, COUNT(*) AS n

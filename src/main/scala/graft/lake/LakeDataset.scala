@@ -334,6 +334,21 @@ final class LakeDataset private (
     zoneFiltered(z => z.get(colName).forall(_.overlaps(q)))
   }
 
+  /** Union of the cells holding bucket id `b` (across all partitions) — the
+    * building block of co-located bucket joins (graft.operators.Joins): two
+    * datasets hash-bucketed the same way join bucket-by-bucket, so each
+    * sub-join only handles 1/nBuckets of either side. Rows whose bucket
+    * column is NULL live in the sentinel cells and are not part of any
+    * numbered bucket.
+    */
+  def bucketCells(b: Int): DataFrame = {
+    val views = parts.asScala.collect {
+      case (key, part) if key.bucketNr.contains(b) => part.view
+    }.toList
+    if (views.isEmpty) emptyLike
+    else views.reduce(_ unionByName (_, allowMissingColumns = true))
+  }
+
   private def zoneFiltered(keep: Map[String, Zone] => Boolean): DataFrame = {
     val views = parts.values().asScala.toList.collect {
       case part if part.zones.forall(keep) => part.view

@@ -30,4 +30,41 @@ object Joins {
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(exploded, Seq(key, "__graft_salt")).drop("__graft_salt")
   }
+
+  /** Co-located inner equi-join of two lake datasets hash-bucketed on their
+    * join keys with the SAME bucket count: join bucket-by-bucket and union.
+    * Each sub-join handles only 1/nBuckets of either side, so AQE sizes (and
+    * can broadcast) every bucket independently, and with cells stored
+    * co-located the per-bucket shuffles are node-local — the in-memory
+    * mutable-table analogue of Spark's metastore bucketed-join (which is
+    * unavailable for live [[LakeDataset]] parts). This mirrors how the
+    * dataset's own upsert routing turns one giant merge join into per-cell
+    * joins (SURVEY §4 "bucketed layout" row).
+    *
+    * Inner-only by design: rows with NULL keys live in the sentinel bucket
+    * cells and never match an inner join, so skipping them is exact; outer
+    * variants would need the null cells re-attached and are not offered.
+    *
+    * Correctness rests on both sides using the same bucket function —
+    * enforced by requiring each dataset's bucket column to BE its join key
+    * and the bucket counts to match ([[graft.functions.Bucketing]] hashes by
+    * column type, so the key columns must share a type; mismatched types
+    * fail the join analysis anyway).
+    */
+  def coLocatedJoin(
+      left: graft.lake.LakeDataset, right: graft.lake.LakeDataset,
+      leftKey: String, rightKey: String): DataFrame = {
+    require(left.bucketCols.headOption.contains(leftKey),
+      s"left dataset must be bucketed by $leftKey (is: ${left.bucketCols})")
+    require(right.bucketCols.headOption.contains(rightKey),
+      s"right dataset must be bucketed by $rightKey (is: ${right.bucketCols})")
+    require(left.nBuckets == right.nBuckets,
+      s"bucket counts differ: ${left.nBuckets} vs ${right.nBuckets}")
+    (0 until left.nBuckets).map { b =>
+      val l = left.bucketCells(b)
+      val r = right.bucketCells(b)
+      if (leftKey == rightKey) l.join(r, Seq(leftKey))
+      else l.join(r, l(leftKey) === r(rightKey))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -159,6 +159,24 @@ class OperatorsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("coLocatedJoin matches the plain join; null keys drop; guards fire") {
+    import graft.lake.LakeDataset
+    import graft.operators.Joins
+    val l = Seq((1L, "a"), (2L, "b"), (7L, "c"), (12L, "d"))
+      .toDF("k", "lv")
+      .unionByName(Seq((Option.empty[Long], "nul")).toDF("k", "lv"))
+    val r = Seq((1L, 10.0), (7L, 70.0), (99L, 990.0)).toDF("k", "rv")
+    val dl = LakeDataset.fromDataFrame(spark, l, bucketCols = Seq("k"), nBuckets = 5)
+    val dr = LakeDataset.fromDataFrame(spark, r, bucketCols = Seq("k"), nBuckets = 5)
+    val got = Joins.coLocatedJoin(dl, dr, "k", "k")
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSet
+    val want = l.join(r, Seq("k")).select("k", "lv", "rv").collect().map(_.toSeq).toSet
+    assert(got === want && got.size === 2)
+    val dr3 = LakeDataset.fromDataFrame(spark, r, bucketCols = Seq("k"), nBuckets = 3)
+    intercept[IllegalArgumentException](Joins.coLocatedJoin(dl, dr3, "k", "k"))
+    intercept[IllegalArgumentException](Joins.coLocatedJoin(dl, dr, "lv", "k"))
+  }
+
   // ------------------------------------------------------------------- text
 
   test("token count: empty, single, multi") {
