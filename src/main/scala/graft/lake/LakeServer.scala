@@ -94,11 +94,13 @@ final class LakeServer(val spark: SparkSession) {
 
   // ------------------------------------------------ Arrow IPC wire parity
 
-  /** SelectIpc with the actual wire encoding: result rows as one Arrow IPC
-    * stream (reference: src/server.rs:288-297).
+  /** SelectIpc with the actual wire encoding: result rows as one
+    * ZSTD-compressed Arrow IPC stream, matching the reference's response
+    * encoding exactly (src/server.rs:293-297 `IpcWriter...with_compression
+    * (ZSTD)`). Pass `codec = None` for an uncompressed stream.
     */
-  def selectIpc(sql: String): Array[Byte] =
-    graft.sources.ArrowInterchange.toIpcBytes(select(sql))
+  def selectIpc(sql: String, codec: Option[String] = Some("zstd")): Array[Byte] =
+    graft.sources.ArrowInterchange.toIpcBytes(select(sql), codec)
 
   /** Streaming ingest from Arrow IPC chunks (reference `read_source`,
     * src/server.rs:36-46).

@@ -5,8 +5,10 @@ import java.util.Collections
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.arrow.compression.CommonsCompressionFactory
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
+import org.apache.arrow.vector.compression.CompressionUtil
 import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
 import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit => ArrowTimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
@@ -62,8 +64,14 @@ object ArrowInterchange {
     StructField(f.getName, dt, f.isNullable)
   }
 
-  /** Serialize a DataFrame's rows to one Arrow IPC stream. */
-  def toIpcBytes(df: DataFrame): Array[Byte] = {
+  /** Serialize a DataFrame's rows to one Arrow IPC stream.
+    *
+    * `codec` compresses the record-batch buffers (reference: responses are
+    * IPC + ZSTD, src/server.rs:293-297): "zstd" or "lz4"; None writes
+    * uncompressed. [[fromIpcBytes]] auto-detects either form — the codec
+    * travels in the IPC batch metadata.
+    */
+  def toIpcBytes(df: DataFrame, codec: Option[String] = None): Array[Byte] = {
     val schema = df.schema
     val rows = df.collect()
     val allocator = new RootAllocator()
@@ -81,7 +89,20 @@ object ArrowInterchange {
         }
         root.setRowCount(rows.length)
         val out = new ByteArrayOutputStream()
-        val writer = new ArrowStreamWriter(root, null, out)
+        val writer = codec match {
+          case None => new ArrowStreamWriter(root, null, out)
+          case Some(c) =>
+            val codecType = c.toLowerCase match {
+              case "zstd" => CompressionUtil.CodecType.ZSTD
+              case "lz4" => CompressionUtil.CodecType.LZ4_FRAME
+              case other => throw new IllegalArgumentException(
+                s"unsupported IPC codec: $other (zstd, lz4)")
+            }
+            new ArrowStreamWriter(root, null,
+              java.nio.channels.Channels.newChannel(out),
+              org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+              CommonsCompressionFactory.INSTANCE, codecType)
+        }
         writer.start(); writer.writeBatch(); writer.end(); writer.close()
         out.toByteArray
       } finally root.close()
@@ -92,7 +113,10 @@ object ArrowInterchange {
   def fromIpcBytes(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
     val allocator = new RootAllocator()
     try {
-      val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), allocator)
+      // The compression factory makes the reader transparently decompress
+      // zstd/lz4 record batches; uncompressed streams read unchanged.
+      val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), allocator,
+        CommonsCompressionFactory.INSTANCE)
       try {
         val root = reader.getVectorSchemaRoot
         val schema = StructType(root.getSchema.getFields.asScala.map(sparkField).toArray)

@@ -33,6 +33,20 @@ class ArrowSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("compressed IPC (zstd/lz4) round-trips and compresses real data") {
+    val o = spark.read.parquet(s"${sf()}/orders.parquet").limit(500)
+    val plain = ArrowInterchange.toIpcBytes(o)
+    Seq("zstd", "lz4").foreach { c =>
+      val packed = ArrowInterchange.toIpcBytes(o, Some(c))
+      // Real text-bearing rows compress; the codec rides in batch metadata.
+      assert(packed.length < plain.length, s"$c did not shrink the stream")
+      val back = ArrowInterchange.fromIpcBytes(spark, packed)
+      assert(back.orderBy("o_orderkey").collect().toSeq ==
+        o.orderBy("o_orderkey").collect().toSeq)
+    }
+    intercept[IllegalArgumentException](ArrowInterchange.toIpcBytes(o, Some("gzip")))
+  }
+
   test("server ingests IPC chunks and serves IPC results") {
     val srv = new LakeServer(spark)
     val o = spark.read.parquet(s"${sf()}/orders.parquet")
