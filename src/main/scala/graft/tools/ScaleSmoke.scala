@@ -64,6 +64,37 @@ object ScaleSmoke {
     val cnt = time("count loaded")(back.toDF.count())
     println(s"[scale] loaded rows: $cnt")
     LakeDataset.deleteRecursively(java.nio.file.Paths.get(root))
+
+    // ---- zone-map pruning at many-part scale -------------------------------
+    // orders scaled `copies`x, range-partitioned into ~10 cells per copy so
+    // every cell has a disjoint o_orderkey interval. A mutation drops the
+    // clean scan, so reads plan the union — the regime where engine-level
+    // pruning decides the plan size.
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val bigO = (0 until copies).map { i =>
+      o.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 10000000L))
+    }.reduce(_ unionByName _)
+      .withColumn("o_batch", (col("o_orderkey") / 60000L).cast("long"))
+    val dz = time("create range-partitioned") {
+      LakeDataset.fromDataFrame(spark, bigO, partitionCols = Seq("o_batch"))
+    }
+    dz.insert(bigO.limit(1)) // drop cleanScan: reads now union all parts
+    println(s"[scale] zone dataset parts: ${dz.numParts}")
+    val loKey = 1000L
+    val hiKey = 60000L
+    time("zone-pruned range agg") {
+      dz.zoneRangePrunedDF("o_orderkey", loKey, hiKey)
+        .filter(col("o_orderkey").between(loKey, hiKey))
+        .agg(count(lit(1))).collect()
+    }
+    time("unpruned range agg") {
+      dz.toDF.filter(col("o_orderkey").between(loKey, hiKey))
+        .agg(count(lit(1))).collect()
+    }
+    time("keys-only located delete") {
+      import spark.implicits._
+      dz.delete((loKey to loKey + 500L).toDF("o_orderkey"), Seq("o_orderkey"))
+    }
     spark.stop()
   }
 }
