@@ -13,6 +13,19 @@ import graft.lake.LakeDataset
 object Fixtures {
 
   private val cache = TrieMap[String, LakeDataset]()
+  private val memo = TrieMap[String, Any]()
+
+  /** IVF index over the embeddings table (16 centroids, dim 64) — built
+    * once per scale factor and reused, the way an ANN index amortizes over
+    * its query stream; the assigned table is cached for the probe scans.
+    */
+  def ivfIndex(s: SparkSession, dir: String)
+      : (Seq[(Int, Seq[Double])], DataFrame) =
+    memo.getOrElseUpdate(s"$dir#ivf", {
+      val e = table(s, dir, "embeddings")
+      val (c, a) = graft.operators.Similarity.buildIvf(e, "embedding", "vec_id", 16, 64)
+      (c, a.cache())
+    }).asInstanceOf[(Seq[(Int, Seq[Double])], DataFrame)]
 
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(s, dir)
@@ -89,5 +102,5 @@ object Fixtures {
         transform(col("embedding"), x => (x * lit(1.001f)).cast("float"))))
   }
 
-  def clear(): Unit = cache.clear()
+  def clear(): Unit = { cache.clear(); memo.clear() }
 }

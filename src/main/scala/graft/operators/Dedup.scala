@@ -400,10 +400,13 @@ object Dedup {
     val b = chunked.select(col("chunk"), col("ch"), col("doc").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk", "ch"))
       .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      // Hamming-filter BEFORE the pair distinct: the filter is a cheap
+      // scalar on the joined row, and rejected pairs (the vast majority)
+      // then never enter the dedup shuffle.
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   // ----------------------------------------------------- embedding near-dup
