@@ -92,6 +92,28 @@ final class LakeServer(val spark: SparkSession) {
     db.executeSqls(sqls)
   }
 
+  /** Attach a Structured Streaming source to a registered table: every
+    * micro-batch applies the declared operation through the SAME mutation
+    * path the batch verbs use (insert, or upsert on `keys`) and refreshes
+    * the SQL view — the stream-native upgrade of the reference's chunked
+    * ingest RPCs (src/server.rs:48-88), with the correct final-flush
+    * semantics on every batch. Returns the query handle; the caller owns
+    * its lifecycle (`stop()`, `awaitTermination()`).
+    */
+  def ingestStream(name: TableName, stream: DataFrame,
+      keys: Option[Seq[String]] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ds = db.get(name.handle)
+      .getOrElse(throw new NoSuchElementException(s"no table ${name.handle}"))
+    val sink = keys match {
+      case Some(k) =>
+        graft.streaming.StreamingIngest.upsertBatches(ds, k, Some(db -> name.handle))
+      case None =>
+        graft.streaming.StreamingIngest.insertBatches(ds, Some(db -> name.handle))
+    }
+    stream.writeStream.foreachBatch(sink).start()
+  }
+
   // ------------------------------------------------ Arrow IPC wire parity
 
   /** SelectIpc with the actual wire encoding: result rows as one

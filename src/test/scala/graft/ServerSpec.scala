@@ -38,6 +38,31 @@ class ServerSpec extends SparkSpec {
     assert(res.size == 1, "identical SQL deduped")
   }
 
+  test("ingestStream verb upserts micro-batches and refreshes the SQL view") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val srv = new LakeServer(spark)
+    val o = spark.read.parquet(s"${sf()}/orders.parquet")
+    val t = TableName("test", "stream_orders")
+    srv.createTable(t, Iterator(o), partitions = Seq("o_orderstatus"))
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    // Stream-static join: the stream carries keys, the static table the rows.
+    val deltas = mem.toDF().toDF("delta_key")
+      .join(o, col("delta_key") === col("o_orderkey"))
+      .drop("delta_key")
+      .withColumn("o_totalprice", col("o_totalprice") + 1000000000d)
+    val q = srv.ingestStream(t, deltas, keys = Some(Seq("o_orderkey")))
+    val keys = o.select("o_orderkey").as[Long].take(5)
+    try {
+      mem.addData(keys.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val bumped = srv.select(
+      s"SELECT COUNT(*) AS n FROM ${t.handle} WHERE o_totalprice > 500000000").head().getLong(0)
+    assert(bumped == keys.length)
+    assert(srv.select(s"SELECT COUNT(*) AS n FROM ${t.handle}").head().getLong(0) == o.count())
+  }
+
   test("ingest into unknown table fails cleanly") {
     val srv = new LakeServer(spark)
     intercept[NoSuchElementException] {
