@@ -103,6 +103,69 @@ object StreamingIngest {
       }
   }
 
+  /** [[SessionEvent]] plus its event-time column (the watermark rides on a
+    * real timestamp column; Catalyst encoders need the case class public).
+    */
+  final case class SessionEventT(user_id: Long, ts_us: Long,
+      event_time: java.sql.Timestamp)
+
+  /** [[closedSessions]] with BOUNDED state: an event-time watermark plus
+    * `EventTimeTimeout` evicts sessions that can no longer be extended.
+    *
+    * The NoTimeout variant keeps one state entry per user forever — at
+    * 100 TB / billions of users that state store grows without bound and
+    * checkpointing it dominates the micro-batch. Here every open session
+    * arms a timeout at `lastUs + gap`; once the watermark passes it, no
+    * non-late event can extend the session, so it is emitted closed and its
+    * state REMOVED. State size becomes O(users active within the watermark
+    * horizon), independent of stream lifetime.
+    */
+  def closedSessionsBounded(
+      events: Dataset[SessionEvent], gapMinutes: Long,
+      watermarkDelay: String = "1 hour"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val wm = events
+      .withColumn("event_time", expr("timestamp_micros(ts_us)"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[SessionEventT]
+    wm.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, batch, state: GroupState[OpenSession]) =>
+          val closed = scala.collection.mutable.ListBuffer[ClosedSession]()
+          if (state.hasTimedOut) {
+            // Watermark passed lastUs + gap: the session is provably closed.
+            state.getOption.foreach(o =>
+              closed += ClosedSession(user, o.startUs, o.lastUs, o.n))
+            state.remove()
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts_us)
+            var open = state.getOption
+            sorted.foreach { e =>
+              open match {
+                case Some(o) if e.ts_us - o.lastUs <= gapUs =>
+                  open = Some(o.copy(lastUs = e.ts_us, n = o.n + 1))
+                case Some(o) =>
+                  closed += ClosedSession(user, o.startUs, o.lastUs, o.n)
+                  open = Some(OpenSession(e.ts_us, e.ts_us, 1L))
+                case None =>
+                  open = Some(OpenSession(e.ts_us, e.ts_us, 1L))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              // Arm eviction for when the watermark proves the session dead;
+              // the timestamp must sit above the current watermark.
+              val deadlineMs = (o.lastUs + gapUs) / 1000L
+              state.setTimeoutTimestamp(
+                math.max(deadlineMs, state.getCurrentWatermarkMs() + 1L))
+            }
+          }
+          closed.iterator
+      }
+  }
+
   /** Custom stateful stream processing via `mapGroupsWithState` (SURVEY.md
     * §2.B streaming row — absent from the reference entirely): per-user
     * session counting where a gap above `gapMinutes` starts a new session.

@@ -108,6 +108,35 @@ class IngestStreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 0L, 10 * min, 2L)))
   }
 
+  test("bounded sessions: watermark timeout evicts and emits stale state") {
+    import graft.streaming.StreamingIngest.SessionEvent
+    implicit val sqlCtx = spark.sqlContext
+    val min = 60L * 1000000L
+    val mem = MemoryStream[SessionEvent]
+    val q = StreamingIngest.closedSessionsBounded(mem.toDS(), gapMinutes = 30,
+        watermarkDelay = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("bounded").start()
+    // Keep clear of epoch 0: the initial watermark is 0 and an event AT it
+    // would be dropped as late.
+    val t0 = 10000 * min
+    try {
+      // batch 1: user 1, two events -> open session, timeout armed at +30min
+      mem.addData(SessionEvent(1L, t0), SessionEvent(1L, t0 + 10 * min))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM bounded").count() == 0)
+      // batch 2: user 2 far in the future -> watermark jumps to t0+2h
+      mem.addData(SessionEvent(2L, t0 + 180 * min))
+      q.processAllAvailable()
+      // batch 3: any trigger after the watermark update fires user 1's
+      // timeout: the session emits WITHOUT any further user-1 event.
+      mem.addData(SessionEvent(3L, t0 + 181 * min))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT user_id, start_us, end_us, n_events FROM bounded")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, t0, t0 + 10 * min, 2L)), s"got $got")
+  }
+
   test("executeSqls dedupes identical statements and runs concurrently") {
     implicit val ec = scala.concurrent.ExecutionContext.global
     val db = new Database(spark)
