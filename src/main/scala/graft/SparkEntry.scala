@@ -596,6 +596,22 @@ object SparkEntry {
 
     // Bucket pruning: an equality predicate on the bucket column scans only
     // the one matching bucket cell per partition (5x less data at 5 buckets).
+    // As-of join (training-pipeline operator Spark lacks natively): every
+    // event picks up the latest at-or-before budget snapshot of its user.
+    // One shuffle+sort — no inequality-join blowup.
+    "asof_join" -> ((s, dir) => {
+      import graft.operators.Joins
+      val ev = table(s, dir, "events")
+      val snaps = ev.filter(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("ts").as("snap_ts"), col("value").as("budget"))
+      Joins.asofJoin(
+          ev.select("event_id", "user_id", "ts", "value"),
+          snaps, Seq("user_id"), "ts", "snap_ts", Seq("budget"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"), col("budget"))
+        .orderBy("event_id")
+    }),
+
     // Co-located bucket join (SURVEY §4 "bucketed layout" row): lineitem and
     // part are hash-bucketed on the join key with the same bucket count, so
     // the join runs bucket-by-bucket — each sub-join sees 1/5 of either side.
@@ -997,6 +1013,14 @@ object SparkEntry {
       s"""SELECT p_brand, COUNT(*) AS n, ${osum("l_extendedprice")} AS revenue
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY p_brand""".stripMargin,
+
+    "asof_join" ->
+      """WITH snaps AS (
+        |  SELECT user_id, ts AS snap_ts, value AS budget
+        |  FROM events WHERE event_id % 10 = 0)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.value, s.budget
+        |FROM events e ASOF LEFT JOIN snaps s
+        |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts""".stripMargin,
 
     "bucket_numeric" ->
       """SELECT CAST(l_partkey % 5 AS INTEGER) AS bucket, COUNT(*) AS n

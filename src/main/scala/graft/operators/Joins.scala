@@ -31,6 +31,54 @@ object Joins {
     salted.join(exploded, Seq(key, "__graft_salt")).drop("__graft_salt")
   }
 
+  /** As-of join: attach to each left row the LATEST right row per key whose
+    * timestamp is at-or-before the left row's timestamp (the event ×
+    * feature-snapshot join training pipelines run constantly; Spark has no
+    * native operator). Left semantics: left rows with no qualifying
+    * snapshot keep NULL payloads.
+    *
+    * Implementation is the union + running-`last` formulation: tag both
+    * sides, sort within each key by (ts, side) — right rows first on ties,
+    * so a snapshot AT the event time qualifies — and carry the most recent
+    * payload forward with `last(..., ignoreNulls) OVER (ROWS UNBOUNDED
+    * PRECEDING)`. Payloads travel as ONE struct so the carried snapshot is
+    * row-atomic (per-column `last` would stitch fields from different
+    * snapshots when a snapshot holds genuine NULLs).
+    *
+    * Scale shape: ONE shuffle + sort by key — the same cost as the
+    * sort-merge join Spark would run for a plain equi-join, with no
+    * inequality-join blowup (a naive `l.ts >= r.ts` join is O(events ×
+    * snapshots) per key before its row_number filter).
+    *
+    * Right rows sharing (key, ts) are tie-broken arbitrarily — deduplicate
+    * first (e.g. [[Dedup.keepFirst]]) when that matters.
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = "__graft_asof_ts"
+    val side = "__graft_asof_side"
+    val snap = "__graft_asof_snap"
+    val l = left
+      .withColumn(ts, col(leftTs))
+      .withColumn(side, lit(1))
+      .withColumn(snap, lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.select(payload.map(col): _*).schema.fields)))
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as(ts), lit(0).as(side),
+        struct(payload.map(col): _*).as(snap)): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts), col(side))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(snap, last(col(snap), ignoreNulls = true).over(w))
+      .filter(col(side) === 1)
+      .select(left.columns.map(col) ++ payload.map(p => col(s"$snap.$p").as(p)): _*)
+  }
+
   /** Co-located inner equi-join of two lake datasets hash-bucketed on their
     * join keys with the SAME bucket count: join bucket-by-bucket and union.
     * Each sub-join handles only 1/nBuckets of either side, so AQE sizes (and

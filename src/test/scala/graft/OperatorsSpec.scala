@@ -177,6 +177,26 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Joins.coLocatedJoin(dl, dr, "lv", "k"))
   }
 
+  test("asofJoin: latest at-or-before snapshot, ties, no-snapshot nulls, row-atomicity") {
+    import graft.operators.Joins
+    val events = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 35L, "c"), (2L, 5L, "d"))
+      .toDF("uid", "ts", "tag")
+    val snaps = Seq(
+      (1L, 10L, Some(100.0), Some("x")), // ties with event at ts=10 -> qualifies
+      (1L, 30L, None, Some("y")),        // genuine NULL field must NOT stitch
+      (3L, 1L, Some(9.0), Some("z")))    // other key only
+      .toDF("uid", "sts", "budget", "label")
+    val got = Joins.asofJoin(events, snaps, Seq("uid"), "ts", "sts", Seq("budget", "label"))
+      .orderBy("uid", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)), Option(r.get(4)))).toSeq
+    assert(got == Seq(
+      (1L, 10L, "a", Some(100.0), Some("x")), // snapshot AT event time
+      (1L, 20L, "b", Some(100.0), Some("x")),
+      (1L, 35L, "c", None, Some("y")),        // row-atomic: budget really NULL
+      (2L, 5L, "d", None, None)))             // no snapshot for uid 2
+  }
+
   // ------------------------------------------------------------------- text
 
   test("token count: empty, single, multi") {
