@@ -612,6 +612,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Range join (grid-binned equi-join, not a nested-loop inequality join):
+    // events matched to same-user value bands around budget snapshots.
+    "range_join" -> ((s, dir) => {
+      import graft.operators.Joins
+      val ev = table(s, dir, "events")
+      val bands = ev.filter(col("event_id") % 10 === 0)
+        .select(col("event_id").as("snap_id"), col("user_id"),
+          (col("value") - 10).as("lo"), (col("value") + 10).as("hi"))
+      Joins.rangeJoin(
+          ev.select("event_id", "user_id", "value"), "value",
+          bands, "lo", "hi", keys = Seq("user_id"), binSize = 16L)
+        .select("event_id", "snap_id", "user_id", "value", "lo", "hi")
+        .orderBy("event_id", "snap_id")
+    }),
+
     // Co-located bucket join (SURVEY §4 "bucketed layout" row): lineitem and
     // part are hash-bucketed on the join key with the same bucket count, so
     // the join runs bucket-by-bucket — each sub-join sees 1/5 of either side.
@@ -1013,6 +1028,14 @@ object SparkEntry {
       s"""SELECT p_brand, COUNT(*) AS n, ${osum("l_extendedprice")} AS revenue
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY p_brand""".stripMargin,
+
+    "range_join" ->
+      """WITH bands AS (
+        |  SELECT event_id AS snap_id, user_id, value - 10 AS lo, value + 10 AS hi
+        |  FROM events WHERE event_id % 10 = 0)
+        |SELECT e.event_id, b.snap_id, e.user_id, e.value, b.lo, b.hi
+        |FROM events e JOIN bands b
+        |  ON e.user_id = b.user_id AND e.value BETWEEN b.lo AND b.hi""".stripMargin,
 
     "asof_join" ->
       """WITH snaps AS (

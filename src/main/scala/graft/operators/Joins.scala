@@ -79,6 +79,33 @@ object Joins {
       .select(left.columns.map(col) ++ payload.map(p => col(s"$snap.$p").as(p)): _*)
   }
 
+  /** Range (interval) join: pair each left row with the right intervals
+    * `[loCol, hiCol]` containing its `pointCol`, with optional equi-keys —
+    * the second inequality-join shape pipelines hit constantly (value-band
+    * lookups, IP ranges, time windows).
+    *
+    * Grid-binned: each interval explodes into the fixed-width bins it
+    * covers, each point computes its single bin, and the join becomes a
+    * pure EQUI-join on (keys, bin) + an exact BETWEEN filter. A matching
+    * pair meets in exactly one bin (the point's), so no dedup is needed —
+    * and Spark never falls back to the O(n×m) broadcast-nested-loop plan an
+    * inequality join would get. `binSize` ~ the typical interval width:
+    * wider bins explode fewer rows but test more false candidates.
+    */
+  def rangeJoin(
+      left: DataFrame, pointCol: String,
+      right: DataFrame, loCol: String, hiCol: String,
+      keys: Seq[String] = Nil, binSize: Long = 16L): DataFrame = {
+    require(binSize > 0, "binSize must be positive")
+    val bin = "__graft_bin"
+    val l = left.withColumn(bin, floor(col(pointCol) / binSize))
+    val r = right.withColumn(bin,
+      explode(sequence(floor(col(loCol) / binSize), floor(col(hiCol) / binSize))))
+    l.join(r, (keys :+ bin).toSeq)
+      .filter(col(pointCol).between(col(loCol), col(hiCol)))
+      .drop(bin)
+  }
+
   /** Co-located inner equi-join of two lake datasets hash-bucketed on their
     * join keys with the SAME bucket count: join bucket-by-bucket and union.
     * Each sub-join handles only 1/nBuckets of either side, so AQE sizes (and

@@ -177,6 +177,20 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Joins.coLocatedJoin(dl, dr, "lv", "k"))
   }
 
+  test("rangeJoin equals the naive inequality join across bin boundaries") {
+    import graft.operators.Joins
+    val pts = (0L to 100L).map(v => (v % 3, v.toDouble)).toDF("k", "x")
+    val iv = Seq((0L, 1L, -5.0, 3.0), (1L, 2L, 10.0, 47.0), (2L, 3L, 90.0, 200.0),
+      (0L, 4L, 31.9, 32.1), (1L, 5L, 200.0, 300.0))
+      .toDF("k", "iid", "lo", "hi")
+    val got = Joins.rangeJoin(pts, "x", iv, "lo", "hi", keys = Seq("k"), binSize = 16L)
+      .select("k", "iid", "x").collect().map(_.toSeq).toSet
+    val want = pts.join(iv, Seq("k"))
+      .filter(col("x").between(col("lo"), col("hi")))
+      .select("k", "iid", "x").collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("asofJoin: latest at-or-before snapshot, ties, no-snapshot nulls, row-atomicity") {
     import graft.operators.Joins
     val events = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 35L, "c"), (2L, 5L, "d"))
