@@ -761,6 +761,19 @@ final class LakeDataset private (
     * loader restores them (with manifest-DDL types), and the reloaded
     * whole-table scan gets NATIVE Hive partition pruning from the layout.
     */
+  /** Current per-part zone maps serialized for the manifest — the engine's
+    * statistics survive a save/load cycle (a loaded table prunes like a
+    * live one; reference manifests carry no stats at all).
+    */
+  private def serializedStats: Map[String, Map[String, (Option[String], Option[String])]] =
+    parts.asScala.flatMap { case (key, part) =>
+      part.zones.map { zs =>
+        key.relPath -> zs.map { case (c, z) =>
+          c -> (z.min.map(ZoneMap.encodeValue), z.max.map(ZoneMap.encodeValue))
+        }
+      }
+    }.toMap
+
   def toStorage(): Unit = {
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
     LakeDataset.deleteRecursively(Paths.get(spec.root))
@@ -803,15 +816,23 @@ final class LakeDataset private (
         .partitionBy(dirCols: _*)
         .save(spec.root)
     }
-    Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl), spec.root)
+    Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats),
+      spec.root)
   }
 
   /** Incremental save of a single cell — at scale you save the cells an
-    * ingest touched, not the world.
+    * ingest touched, not the world. The manifest rewrites too, so its
+    * per-part stats stay in sync with the refreshed files (a stale zone on
+    * disk would be an UNSOUND zone on the next load).
     */
   def savePart(key: PartKey): Unit = {
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
-    Option(parts.get(key)).foreach(_.save(spec, dropCols = partitionCols))
+    Option(parts.get(key)).foreach { p =>
+      p.save(spec, dropCols = partitionCols)
+      val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
+      Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats),
+        spec.root)
+    }
   }
 }
 
@@ -932,8 +953,27 @@ object LakeDataset {
       }
       val df = if (eager) { val c = df0.localCheckpoint(true); ds.retainDirect(c); c } else df0
       val key = PartKey(partVals, bucketNr)
+      // Restore this part's zone maps from the manifest (typed via the
+      // schema DDL). A bound that fails to decode drops its COLUMN — stats
+      // degrade to unknown (fail open), never to wrong.
+      val zones: Option[Map[String, Zone]] = target.flatMap { t =>
+        manifest.partStats.get(key.relPath).map { cols =>
+          cols.flatMap { case (c, (mnS, mxS)) =>
+            t.fields.find(_.name == c).map(_.dataType) match {
+              case Some(dt) if ZoneMap.zoneable(dt) =>
+                val mn = mnS.flatMap(ZoneMap.decodeValue(_, dt))
+                val mx = mxS.flatMap(ZoneMap.decodeValue(_, dt))
+                if (mn.isDefined == mnS.isDefined && mx.isDefined == mxS.isDefined)
+                  Some(c -> Zone(mn, mx))
+                else None
+              case _ => None
+            }
+          }
+        }
+      }
       ds.parts.put(key,
-        new LakePart(df, key, manifest.buckets, manifest.nBuckets, -1L, ds.retainDirect))
+        new LakePart(df, key, manifest.buckets, manifest.nBuckets, -1L, ds.retainDirect,
+          initialZones = zones))
     }
     if (!eager) ds.cleanScan = Some(whole)
     ds

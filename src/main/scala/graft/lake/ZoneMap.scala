@@ -106,6 +106,37 @@ object ZoneMap {
       })
     }.toMap
 
+  /** Serialize a zone bound for the manifest — timezone-independent forms
+    * for temporal types (Timestamp.toString would bake in the writer JVM's
+    * zone and silently SHIFT bounds when loaded elsewhere — an unsound
+    * zone, the one thing stats must never be).
+    */
+  def encodeValue(v: Any): String = v match {
+    case t: java.sql.Timestamp => t.toInstant.toString
+    case d: java.sql.Date => d.toLocalDate.toString
+    case ldt: java.time.LocalDateTime => ldt.toString
+    case other => other.toString
+  }
+
+  /** Parse a manifest zone bound back to the JVM type Spark rows carry for
+    * `dt`. None for unparseable/unsupported — the column's stats then stay
+    * unknown (fail open), never wrong.
+    */
+  def decodeValue(s: String, dt: DataType): Option[Any] =
+    try dt match {
+      case LongType => Some(java.lang.Long.valueOf(s))
+      case IntegerType => Some(Integer.valueOf(s))
+      case ShortType => Some(java.lang.Short.valueOf(s))
+      case ByteType => Some(java.lang.Byte.valueOf(s))
+      case DoubleType => Some(java.lang.Double.valueOf(s))
+      case FloatType => Some(java.lang.Float.valueOf(s))
+      case _: DecimalType => Some(new java.math.BigDecimal(s))
+      case DateType => Some(java.sql.Date.valueOf(java.time.LocalDate.parse(s)))
+      case TimestampType => Some(java.sql.Timestamp.from(java.time.Instant.parse(s)))
+      case TimestampNTZType => Some(java.time.LocalDateTime.parse(s))
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Runtime comparison via Comparable; None when the JVM types don't line
     * up (caller must fail open).
     */

@@ -66,7 +66,14 @@ final case class Manifest(
     /** Spark DDL of the table schema. Parquet is self-describing, but
       * schema-light formats (csv/json) need it to load with correct types.
       */
-    schemaDdl: Option[String] = None)
+    schemaDdl: Option[String] = None,
+    /** Per-part zone maps (engine statistics, serialized): part relPath →
+      * column → (min, max) as strings; both bounds absent = column holds no
+      * non-null values. Parts missing from the map load without stats
+      * (pruning fails open). Old manifests without the field load the same
+      * way.
+      */
+    partStats: Map[String, Map[String, (Option[String], Option[String])]] = Map.empty)
 
 object Manifest {
   private val om = new ObjectMapper()
@@ -79,6 +86,17 @@ object Manifest {
     m.buckets.foreach(buckets.add)
     node.put("n_buckets", m.nBuckets)
     m.schemaDdl.foreach(node.put("schema", _))
+    if (m.partStats.nonEmpty) {
+      val stats = node.putObject("part_stats")
+      m.partStats.foreach { case (rel, cols) =>
+        val pn = stats.putObject(rel)
+        cols.foreach { case (c, (mn, mx)) =>
+          val cn = pn.putObject(c)
+          mn.foreach(cn.put("min", _))
+          mx.foreach(cn.put("max", _))
+        }
+      }
+    }
     val st = node.putObject("storage")
     st.put("root", m.storage.root)
     st.put("format", m.storage.format)
@@ -100,6 +118,16 @@ object Manifest {
         root = st.get("root").asText(),
         format = st.get("format").asText(),
         compression = st.get("compression").asText()),
-      schemaDdl = Option(node.get("schema")).map(_.asText()))
+      schemaDdl = Option(node.get("schema")).map(_.asText()),
+      partStats = Option(node.get("part_stats")).map { stats =>
+        stats.fieldNames().asScala.map { rel =>
+          val pn = stats.get(rel)
+          rel -> pn.fieldNames().asScala.map { c =>
+            val cn = pn.get(c)
+            c -> (Option(cn.get("min")).map(_.asText()),
+              Option(cn.get("max")).map(_.asText()))
+          }.toMap
+        }.toMap
+      }.getOrElse(Map.empty))
   }
 }

@@ -77,16 +77,34 @@ class ZoneMapSpec extends SparkSpec {
     assert(ds.part(aKey).get.zones.get("v") === Zone(Some(10.0), Some(11.0)))
   }
 
-  test("lazily loaded parts have no zones and never prune") {
+  test("zones survive the storage round-trip; stripped manifests fail open") {
     val root = java.nio.file.Files.createTempDirectory("graft-zone-").toString
     val ds = freshDs()
     ds.storage = Some(graft.model.StorageSpec(root, "parquet", "snappy"))
     ds.toStorage()
+
+    // Stats restore from the manifest: the loaded table prunes like a live one.
     val loaded = LakeDataset.fromStorage(spark, root)
-    assert(loaded.partKeys.nonEmpty)
-    assert(loaded.partKeys.flatMap(k => loaded.part(k).get.zones).isEmpty)
-    // Pruning fails open: every part scans, result matches the plain filter.
-    assert(loaded.zonePrunedDF("id", 102L).filter($"id" === 102L).count() === 1L)
+    val aKey = loaded.partKeys.find(_.partValues.exists(_._2 == "a")).get
+    assert(loaded.part(aKey).get.zones.get("id") === Zone(Some(1L), Some(3L)))
+    assert(loaded.part(aKey).get.zones.get("v") === Zone(Some(10.0), Some(12.0)))
+    // Drop cleanScan via an insert whose widened interval ([201,500] on part
+    // c) still excludes the probe value.
+    loaded.insert(Seq((500L, "c", 1.0)).toDF("id", "grp", "v"))
+    val pruned = loaded.zonePrunedDF("id", 102L)
+    assert(pruned.queryExecution.optimizedPlan.collectLeaves().size === 1)
+    assert(pruned.filter($"id" === 102L).count() === 1L)
+
+    // A manifest without part_stats (older layout / external writer): parts
+    // load without zones and pruning fails open.
+    val mPath = java.nio.file.Paths.get(root, "manifest.json")
+    val stripped = new String(java.nio.file.Files.readAllBytes(mPath))
+    val m = graft.model.Manifest.read(root)
+    graft.model.Manifest.write(m.copy(partStats = Map.empty), root)
+    val noStats = LakeDataset.fromStorage(spark, root)
+    assert(noStats.partKeys.flatMap(k => noStats.part(k).get.zones).isEmpty)
+    assert(noStats.zonePrunedDF("id", 102L).filter($"id" === 102L).count() === 1L)
+    assert(stripped.contains("part_stats")) // the original really carried stats
     LakeDataset.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
