@@ -58,6 +58,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)"), s"no whole-stage codegen span:\n$p")
   }
 
+  test("asof_join: one data shuffle (the window), no join operator at all") {
+    val p = plan("asof_join")
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(dataExchanges == 1, s"expected exactly 1 hash exchange, got $dataExchanges:\n$p")
+    assert(!p.contains("Join"), s"union+running-last formulation must not plan a join:\n$p")
+  }
+
+  test("range_join: equi-join on the grid bin, never an inequality plan") {
+    val p = plan("range_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join operator:\n$p")
+  }
+
   test("no query plans a cartesian product or nested-loop join") {
     // dedup_embedding_exact is all-pairs BY CONTRACT (the exact ground truth
     // the LSH path is measured against) — its nested-loop join is the point,
