@@ -140,7 +140,15 @@ final class LakePart private[lake] (
       val m = ref.get.localCheckpoint(true)
       onCheckpoint(m)
       ref.set(m)
-      rows.set(m.count())
+      // The recount job doubles as a stats pass: zones recompute TIGHT here
+      // (mutations in between only ever widened them), and parts that had
+      // no stats at all (lazily loaded) gain them.
+      import org.apache.spark.sql.functions.{count, lit}
+      val zc = ZoneMap.zoneCols(m.schema)
+      val statAggs = count(lit(1)) +: ZoneMap.aggs(zc)
+      val row = m.agg(statAggs.head, statAggs.tail: _*).head()
+      rows.set(row.getLong(0))
+      zonesRef.set(Some(ZoneMap.fromRow(row, 1, zc)))
       changes.set(0L)
       mutationOps.set(0L)
     }

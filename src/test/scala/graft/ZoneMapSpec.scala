@@ -65,6 +65,19 @@ class ZoneMapSpec extends SparkSpec {
     assert(r.filter($"id".between(100L, 300L)).count() === 4L)
   }
 
+  test("materialize recomputes tight zones and seeds stat-less parts") {
+    val ds = freshDs()
+    ds.upsert(Seq((3L, "a", 555.0)).toDF("id", "grp", "v"), keys = Seq("id", "grp"))
+    val aKey = ds.partKeys.find(_.partValues.exists(_._2 == "a")).get
+    assert(ds.part(aKey).get.zones.get("v") === Zone(Some(10.0), Some(555.0)))
+    ds.materialize()
+    // Tight again: v for part a is now {10, 11, 555}.
+    assert(ds.part(aKey).get.zones.get("v") === Zone(Some(10.0), Some(555.0)))
+    ds.delete(Seq((3L, "a")).toDF("id", "grp"), keys = Seq("id", "grp"))
+    ds.materialize()
+    assert(ds.part(aKey).get.zones.get("v") === Zone(Some(10.0), Some(11.0)))
+  }
+
   test("compaction recomputes tight zones after widening") {
     val ds = freshDs()
     ds.upsert(Seq((3L, "a", 555.0)).toDF("id", "grp", "v"), keys = Seq("id", "grp"))
