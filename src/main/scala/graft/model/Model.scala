@@ -53,7 +53,7 @@ object PartKey {
     else v.replaceAll("[/\\\\:\\s]", "_")
 }
 
-/** Dataset manifest, persisted as `manifest.json` at the dataset root
+/** Dataset manifest, persisted as `_manifest.json` at the dataset root
   * (reference: src/dataset.rs:182-189, 330-353). Parts are NOT listed in the
   * manifest — they are rediscovered by walking the directory tree, exactly
   * like the reference (src/dataset.rs:355-409).
@@ -76,6 +76,10 @@ final case class Manifest(
     partStats: Map[String, Map[String, (Option[String], Option[String])]] = Map.empty)
 
 object Manifest {
+  val FileName = "_manifest.json"
+  /** Pre-underscore layouts (and the reference's own naming) still load. */
+  val LegacyFileName = "manifest.json"
+
   private val om = new ObjectMapper()
 
   def write(m: Manifest, root: String): Unit = {
@@ -102,11 +106,19 @@ object Manifest {
     st.put("format", m.storage.format)
     st.put("compression", m.storage.compression)
     Files.createDirectories(Paths.get(root))
-    Files.writeString(Paths.get(root, "manifest.json"), om.writerWithDefaultPrettyPrinter().writeValueAsString(node))
+    // Underscore prefix: Spark's file index ignores `_*`, so a partition-less
+    // dataset whose data files share the root directory never tries to parse
+    // the manifest as data. (A bare `manifest.json` beside part files made
+    // the parquet footer reader abort the whole-table scan.)
+    Files.writeString(Paths.get(root, FileName),
+      om.writerWithDefaultPrettyPrinter().writeValueAsString(node))
   }
 
   def read(root: String): Manifest = {
-    val node = om.readTree(Files.readString(Paths.get(root, "manifest.json")))
+    val path = Seq(FileName, LegacyFileName).map(Paths.get(root, _))
+      .find(Files.exists(_))
+      .getOrElse(throw new java.nio.file.NoSuchFileException(s"$root/$FileName"))
+    val node = om.readTree(Files.readString(path))
     val parts = node.get("partitions").elements().asScala.map(_.asText()).toList
     val buckets = node.get("buckets").elements().asScala.map(_.asText()).toList
     val st = node.get("storage")

@@ -41,7 +41,7 @@ class DatasetSpec extends SparkSpec {
     // Layout: Hive-style dirs with sorted partition cols + zero-padded bucket
     val dirs = new java.io.File(root).listFiles().map(_.getName).sorted
     assert(dirs.exists(_.startsWith("l_returnflag=")))
-    assert(new java.io.File(root, "manifest.json").exists())
+    assert(new java.io.File(root, graft.model.Manifest.FileName).exists())
 
     val back = LakeDataset.fromStorage(spark, root)
     assert(back.numParts == ds.numParts)

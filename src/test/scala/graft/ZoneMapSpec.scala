@@ -110,7 +110,7 @@ class ZoneMapSpec extends SparkSpec {
 
     // A manifest without part_stats (older layout / external writer): parts
     // load without zones and pruning fails open.
-    val mPath = java.nio.file.Paths.get(root, "manifest.json")
+    val mPath = java.nio.file.Paths.get(root, graft.model.Manifest.FileName)
     val stripped = new String(java.nio.file.Files.readAllBytes(mPath))
     val m = graft.model.Manifest.read(root)
     graft.model.Manifest.write(m.copy(partStats = Map.empty), root)
@@ -133,6 +133,28 @@ class ZoneMapSpec extends SparkSpec {
     ds.delete(Seq(Tuple1(202L)).toDF("id"), keys = Seq("id"))
     assert(ds.toDF.count() === 6L)
     assert(ds.toDF.filter($"id" === 202L).count() === 0L)
+  }
+
+  test("temporal and date zone bounds survive the manifest round-trip exactly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-zone-ts-").toString
+    val df = Seq(
+      (1L, "2024-03-01 12:34:56.789", "2024-03-01"),
+      (2L, "2024-07-15 01:02:03.004", "2024-09-30"))
+      .toDF("id", "ts_s", "d_s")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+      .withColumn("d", $"d_s".cast("date")).drop("d_s")
+    val ds = LakeDataset.fromDataFrame(spark, df,
+      storage = Some(graft.model.StorageSpec(root)))
+    ds.toStorage()
+    val want = ds.partKeys.map(k => ds.part(k).get.zones.get).head
+    val got = {
+      val loaded = LakeDataset.fromStorage(spark, root)
+      loaded.partKeys.map(k => loaded.part(k).get.zones.get).head
+    }
+    assert(got("ts") === want("ts"))
+    assert(got("d") === want("d"))
+    assert(got("id") === Zone(Some(1L), Some(2L)))
+    LakeDataset.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
   test("Zone algebra: empty zones, fail-open bounds, widen") {
