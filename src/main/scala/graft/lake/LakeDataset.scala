@@ -58,6 +58,43 @@ final class LakeDataset private (
     */
   @volatile private[lake] var cleanScan: Option[DataFrame] = None
 
+  /** The zone-tracked column SET, fixed when the table first gains a schema
+    * (first batch, manifest DDL, or a rebuild) — NOT recomputed per batch.
+    * Widening's soundness requires the routing aggregation, rebuilds and
+    * per-part materializations to track the same set whenever a column is
+    * present: with > [[ZoneMap.MaxZoneColumns]] zoneable columns and a batch
+    * whose column ORDER differs from the table's, per-schema recomputation
+    * would track different sets and a widen could keep a stale bound for a
+    * column the batch holds values for (an unsound, too-narrow zone).
+    * Columns a later batch adds by schema evolution stay untracked (absence
+    * = unknown = fail open) until the next rebuild refreshes the set.
+    */
+  @volatile private[lake] var trackedZoneSet: Option[Set[String]] = None
+
+  /** Zone columns for a frame: the table's fixed tracked set, restricted to
+    * columns the frame actually has, in the frame's schema order.
+    */
+  private[lake] def zoneColsFor(schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    val tracked = trackedZoneSet match {
+      case Some(t) => t
+      case None =>
+        val t = ZoneMap.zoneCols(schema, Set(LakeDataset.BucketCol)).toSet
+        trackedZoneSet = Some(t)
+        t
+    }
+    schema.fields.iterator.map(_.name).filter(tracked.contains).toSeq
+  }
+
+  /** Refresh the tracked set from a full-table schema (rebuild paths only:
+    * every part's zones recompute from the same aggregation there, so no
+    * stale per-part set can survive the switch).
+    */
+  private def retrackZones(schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    val zc = ZoneMap.zoneCols(schema, Set(LakeDataset.BucketCol))
+    trackedZoneSet = Some(zc.toSet)
+    zc
+  }
+
   def partKeys: List[PartKey] = parts.keySet().asScala.toList.sortBy(_.relPath)
   def part(key: PartKey): Option[LakePart] = Option(parts.get(key))
   def numParts: Int = parts.size()
@@ -225,8 +262,10 @@ final class LakeDataset private (
     * snapshot, set the clean-scan fast path.
     */
   private def rebuildFromSnapshot(snap: DataFrame): Unit = {
-    // Zone maps recompute TIGHT here (mutations in between only widen).
-    val zc = ZoneMap.zoneCols(snap.schema, Set(LakeDataset.BucketCol))
+    // Zone maps recompute TIGHT here (mutations in between only widen); the
+    // tracked set refreshes too — safe on this path because every part's
+    // zones come from this same aggregation.
+    val zc = retrackZones(snap.schema)
     val statAggs = count(lit(1)) +: ZoneMap.aggs(zc)
     val cells: Array[Row] =
       if (partitionCols.isEmpty && bucketCols.isEmpty) Array.empty
@@ -242,7 +281,8 @@ final class LakeDataset private (
       val key = PartKey(Nil, None)
       val row = snap.agg(statAggs.head, statAggs.tail: _*).head()
       parts.put(key, new LakePart(snap, key, bucketCols, nBuckets, row.getLong(0),
-        retainDirect, initialZones = Some(ZoneMap.fromRow(row, 1, zc))))
+        retainDirect, initialZones = Some(ZoneMap.fromRow(row, 1, zc)),
+        zoneColsOf = zoneColsFor))
     } else {
       val nKeyCols = partitionCols.length + (if (bucketCols.nonEmpty) 1 else 0)
       cells.foreach { row =>
@@ -265,7 +305,7 @@ final class LakeDataset private (
         val key = PartKey(partVals.sortBy(_._1), bucketNr)
         parts.put(key,
           new LakePart(snap.filter(cond.reduce(_ && _)), key, bucketCols, nBuckets, n,
-            retainDirect, initialZones = Some(zones)))
+            retainDirect, initialZones = Some(zones), zoneColsOf = zoneColsFor))
       }
     }
     cleanScan = Some(snap)
@@ -440,7 +480,7 @@ final class LakeDataset private (
   private def cellCountsOf(p: DataFrame): (Array[Row], Seq[String]) =
     if (cellKeyCols.isEmpty) (null, Nil)
     else {
-      val zc = ZoneMap.zoneCols(p.schema, Set(LakeDataset.BucketCol))
+      val zc = zoneColsFor(p.schema)
       val aggCols = count(lit(1)) +: ZoneMap.aggs(zc)
       (p.groupBy(cellKeyCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*).collect(), zc)
     }
@@ -475,7 +515,7 @@ final class LakeDataset private (
     if (cellCounts == null) {
       // Single-cell dataset: count + zones in ONE aggregation job over the
       // snapshot (was a bare count).
-      val zc = ZoneMap.zoneCols(snap.schema, Set(LakeDataset.BucketCol))
+      val zc = zoneColsFor(snap.schema)
       val aggCols = count(lit(1)) +: ZoneMap.aggs(zc)
       val row = snap.agg(aggCols.head, aggCols.tail: _*).head()
       return (batch,
@@ -528,7 +568,7 @@ final class LakeDataset private (
         parts.compute(key, (_, existing) =>
           if (existing == null)
             new LakePart(slice, key, bucketCols, nBuckets, n, retainDirect,
-              initialZones = Some(z))
+              initialZones = Some(z), zoneColsOf = zoneColsFor)
           else { existing.insert(slice, n); existing.widenZones(z); existing })
       }
       // Creating from one batch: every part slices the same snapshot, so the
@@ -603,7 +643,7 @@ final class LakeDataset private (
           parts.compute(key, (_, existing) =>
             if (existing == null)
               new LakePart(slice, key, bucketCols, nBuckets, n, retainDirect,
-                initialZones = Some(z))
+                initialZones = Some(z), zoneColsOf = zoneColsFor)
             else {
               existing.upsert(slice, keys, n, leftWins = leftWins)
               // Sound widening: surviving values ⊆ old ∪ delta.
@@ -774,11 +814,36 @@ final class LakeDataset private (
       }
     }.toMap
 
+  /** True when any live plan (clean scan or a part's frame) reads files
+    * under `rootDir` — i.e. the dataset was lazily loaded from the same root
+    * it is about to overwrite.
+    */
+  private def dfReadsUnder(d: DataFrame, rootDir: String): Boolean = {
+    val rootPath = Paths.get(rootDir).toAbsolutePath.normalize.toString
+    Bridge.scanRootPaths(d).exists { p =>
+      val norm = p.stripPrefix("file:")
+      norm == rootPath || norm.startsWith(rootPath + "/")
+    }
+  }
+
+  private def backedByRoot(rootDir: String): Boolean =
+    cleanScan.exists(dfReadsUnder(_, rootDir)) ||
+      parts.values().asScala.exists(p => dfReadsUnder(p.df, rootDir))
+
   def toStorage(): Unit = {
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
+    // A lazily loaded dataset's plans read the files this save is about to
+    // delete — wiping first would make the write job scan a hole (a
+    // load-then-save round trip silently losing the table). Materialize the
+    // union into the snapshot store/spill dir (NOT under the root) and
+    // rebuild parts over it, so nothing references the root before the wipe.
+    if (!parts.isEmpty && backedByRoot(spec.root)) compact()
     LakeDataset.deleteRecursively(Paths.get(spec.root))
     if (parts.isEmpty) {
-      Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, None), spec.root)
+      // Manifest-only layout; keep the schema (from the clean scan an empty
+      // insert published) so fromStorage can rebuild the empty table.
+      val emptyDdl = cleanScan.map(_.schema.toDDL)
+      Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, emptyDdl), spec.root)
       return
     }
     val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
@@ -828,6 +893,9 @@ final class LakeDataset private (
   def savePart(key: PartKey): Unit = {
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
     Option(parts.get(key)).foreach { p =>
+      // A lazily loaded part reads the very directory the overwrite-mode
+      // write below deletes first — collect it off the files before saving.
+      if (dfReadsUnder(p.df, spec.root)) p.materialize()
       p.save(spec, dropCols = partitionCols)
       val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
       Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats),
@@ -898,8 +966,20 @@ object LakeDataset {
       manifest.nBuckets, Some(manifest.storage.copy(root = root)))
 
     val leafDirs = discoverLeafDirs(Paths.get(root))
-    require(leafDirs.nonEmpty, s"no parts found under $root")
     val target: Option[StructType] = manifest.schemaDdl.map(StructType.fromDDL)
+    // Fix the tracked zone set from the manifest schema up front, so loaded
+    // part stats and every future batch aggregation agree on the same set.
+    target.foreach(t =>
+      ds.trackedZoneSet = Some(ZoneMap.zoneCols(t, Set(LakeDataset.BucketCol)).toSet))
+    if (leafDirs.isEmpty) {
+      // A saved EMPTY table is a manifest-only layout: reconstruct an empty
+      // dataset (schema from the manifest DDL) instead of refusing to load
+      // what toStorage legitimately wrote.
+      val t = target.getOrElse(
+        throw new IllegalStateException(s"no parts and no schema DDL under $root"))
+      ds.cleanScan = Some(spark.createDataFrame(new java.util.ArrayList[Row](), t))
+      return ds
+    }
     // Partition values and bucket ids live in the directory names (the
     // one-pass partitionBy layout); data files hold the remaining columns.
     val fileSchema: Option[StructType] = target.map(t =>
@@ -960,7 +1040,11 @@ object LakeDataset {
         manifest.partStats.get(key.relPath).map { cols =>
           cols.flatMap { case (c, (mnS, mxS)) =>
             t.fields.find(_.name == c).map(_.dataType) match {
-              case Some(dt) if ZoneMap.zoneable(dt) =>
+              // Restrict to the session's tracked set: a stat column a
+              // PREVIOUS session tracked but this one won't would otherwise
+              // keep a stale bound through future widens (unsound).
+              case Some(dt) if ZoneMap.zoneable(dt) &&
+                  ds.trackedZoneSet.forall(_.contains(c)) =>
                 val mn = mnS.flatMap(ZoneMap.decodeValue(_, dt))
                 val mx = mxS.flatMap(ZoneMap.decodeValue(_, dt))
                 if (mn.isDefined == mnS.isDefined && mx.isDefined == mxS.isDefined)
@@ -973,7 +1057,7 @@ object LakeDataset {
       }
       ds.parts.put(key,
         new LakePart(df, key, manifest.buckets, manifest.nBuckets, -1L, ds.retainDirect,
-          initialZones = zones))
+          initialZones = zones, zoneColsOf = ds.zoneColsFor))
     }
     if (!eager) ds.cleanScan = Some(whole)
     ds

@@ -37,7 +37,14 @@ final class LakePart private[lake] (
       * only ever WIDEN the interval (deletes and upsert-replaced rows leave
       * it a sound superset); a dataset-level rebuild recomputes it tight.
       */
-    initialZones: Option[Map[String, Zone]] = None) {
+    initialZones: Option[Map[String, Zone]] = None,
+    /** The owning dataset's FIXED tracked-zone-column selector. Materialize
+      * recomputes stats through it so the part never tracks a different set
+      * than the routing aggregation widens with (set drift is unsound — see
+      * LakeDataset.trackedZoneSet).
+      */
+    zoneColsOf: org.apache.spark.sql.types.StructType => Seq[String] =
+      s => ZoneMap.zoneCols(s)) {
 
   private val ref = new AtomicReference[DataFrame](initial)
   private val zonesRef =
@@ -144,7 +151,7 @@ final class LakePart private[lake] (
       // (mutations in between only ever widened them), and parts that had
       // no stats at all (lazily loaded) gain them.
       import org.apache.spark.sql.functions.{count, lit}
-      val zc = ZoneMap.zoneCols(m.schema)
+      val zc = zoneColsOf(m.schema)
       val statAggs = count(lit(1)) +: ZoneMap.aggs(zc)
       val row = m.agg(statAggs.head, statAggs.tail: _*).head()
       rows.set(row.getLong(0))

@@ -24,9 +24,20 @@ import org.apache.spark.sql.types._
   */
 final case class Zone(min: Option[Any], max: Option[Any]) {
 
-  def widen(o: Zone): Zone =
-    Zone(ZoneMap.bound(min, o.min, keepIfLess = true),
-      ZoneMap.bound(max, o.max, keepIfLess = false))
+  /** Widen with `o`; None when any bound pair is INCOMPARABLE (mixed JVM box
+    * types, e.g. an Integer batch bound against a Long part bound after an
+    * int->bigint coercion). The caller must then drop the COLUMN from the
+    * zone map entirely — "unknown" is absence, never a bound: a widened
+    * `Zone(None, None)` would read as "provably no values" and prune a part
+    * that does hold matches (fail-closed — the one thing stats must never
+    * do), and a half-dropped bound could later be resurrected into a falsely
+    * tight interval.
+    */
+  def widen(o: Zone): Option[Zone] =
+    for {
+      mn <- ZoneMap.bound(min, o.min, keepIfLess = true)
+      mx <- ZoneMap.bound(max, o.max, keepIfLess = false)
+    } yield Zone(mn, mx)
 
   /** No non-null values at all (min/max over an all-null column). */
   def isEmptyZone: Boolean = min.isEmpty && max.isEmpty
@@ -91,19 +102,27 @@ object ZoneMap {
       c -> Zone(Option(row.get(offset + 2 * i)), Option(row.get(offset + 2 * i + 1)))
     }.toMap
 
-  /** Widen two zone maps column-wise. A column tracked on one side only
-    * keeps that side's zone: the other side's batch either lacked the column
-    * entirely (rows read as NULL — no effect on min/max) or gained it via
-    * schema evolution (pre-existing rows are NULL for it).
+  /** Widen a part's CURRENT zone map with an incoming DELTA's — directional:
+    *
+    *  - tracked in both: interval widen; incomparable bounds (mixed JVM box
+    *    types) DROP the column — absent = unknown = fail open, never a bound
+    *    that reads as the empty zone;
+    *  - current-only: keep the current zone (the delta lacked the column
+    *    entirely, so its rows read as NULL — no effect on min/max; sound
+    *    because [[graft.lake.LakeDataset]] fixes one tracked set per table,
+    *    so a column the delta HAS is always in its zone map too);
+    *  - delta-only: DROPPED. The part having no zone for a column does not
+    *    mean its data holds no values for it — the zone may have been
+    *    dropped by an earlier incomparable widen or a manifest decode
+    *    failure — so adopting the delta's interval alone would be a falsely
+    *    tight zone. Unknown stays unknown until a rebuild recomputes tight.
     */
-  def widen(a: Map[String, Zone], b: Map[String, Zone]): Map[String, Zone] =
-    (a.keySet ++ b.keySet).iterator.map { c =>
-      c -> ((a.get(c), b.get(c)) match {
-        case (Some(x), Some(y)) => x.widen(y)
-        case (Some(x), None) => x
-        case (None, Some(y)) => y
-        case _ => Zone(None, None)
-      })
+  def widen(current: Map[String, Zone], delta: Map[String, Zone]): Map[String, Zone] =
+    current.iterator.flatMap { case (c, x) =>
+      (delta.get(c) match {
+        case Some(y) => x.widen(y)
+        case None => Some(x)
+      }).map(c -> _)
     }.toMap
 
   /** Serialize a zone bound for the manifest — timezone-independent forms
@@ -144,14 +163,19 @@ object ZoneMap {
     try Some(a.asInstanceOf[Comparable[Any]].compareTo(b))
     catch { case _: ClassCastException => None }
 
-  private[lake] def bound(a: Option[Any], b: Option[Any], keepIfLess: Boolean): Option[Any] =
+  /** Widen one bound pair. Outer None = INCOMPARABLE (caller drops the whole
+    * column); Some(None) = both sides tracked no non-null values; Some(v) =
+    * the widened bound.
+    */
+  private[lake] def bound(a: Option[Any], b: Option[Any], keepIfLess: Boolean)
+      : Option[Option[Any]] =
     (a, b) match {
       case (Some(x), Some(y)) => cmp(x, y) match {
-        case Some(c) => if ((c <= 0) == keepIfLess) Some(x) else Some(y)
-        case None => None // incomparable: drop the bound (fails open via Zone match)
+        case Some(c) => Some(Some(if ((c <= 0) == keepIfLess) x else y))
+        case None => None // incomparable: the whole column must be dropped
       }
-      case (Some(x), None) => Some(x)
-      case (None, Some(y)) => Some(y)
-      case _ => None
+      case (Some(x), None) => Some(Some(x))
+      case (None, Some(y)) => Some(Some(y))
+      case _ => Some(None)
     }
 }

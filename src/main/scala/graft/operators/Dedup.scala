@@ -56,7 +56,7 @@ object Dedup {
     * so each avoided per-element allocation counts.
     */
   def shingles(text: Column, n: Int): Column = {
-    val words = split(trim(text), " ")
+    val words = split(trim(regexp_replace(text, "\\s+", " ")), " ")
     val grams = transform(
       sequence(lit(0), greatest(size(words) - n, lit(0))),
       i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))
@@ -79,12 +79,16 @@ object Dedup {
     * single fallback shingle; whitespace runs are treated as one separator.
     */
   def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    // Canonicalize whitespace FIRST (tabs/newlines/runs → one space): the
+    // single-space lookahead pattern below would otherwise form no n-gram
+    // across a tab or newline, silently dropping those windows.
+    val norm = trim(regexp_replace(col(textCol), "\\s+", " "))
     val pat = "(?<!\\S)(?=(" + Seq.fill(n)("\\S+").mkString(" ") + "))"
-    val grams = regexp_extract_all(trim(col(textCol)), lit(pat), lit(1))
+    val grams = regexp_extract_all(norm, lit(pat), lit(1))
     df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc"),
         explode(when(size(grams) > 0, grams)
-          .otherwise(array(trim(col(textCol))))).as("s"))
+          .otherwise(array(norm))).as("s"))
       .repartition(col("doc"))
       .distinct()
   }

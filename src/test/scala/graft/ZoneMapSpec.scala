@@ -164,10 +164,26 @@ class ZoneMapSpec extends SparkSpec {
     val half = Zone(None, Some(9L))
     assert(half.mayContain(5L)) // fail open
     assert(half.overlaps(Zone(Some(100L), Some(200L))))
-    assert(Zone(Some(1L), Some(3L)).widen(e) === Zone(Some(1L), Some(3L)))
+    assert(Zone(Some(1L), Some(3L)).widen(e) === Some(Zone(Some(1L), Some(3L))))
+    // Directional widen: current-only columns keep their zone (the delta
+    // lacked the column — its rows read NULL); delta-only columns are
+    // DROPPED (no current zone ≠ no current values: it may have been
+    // dropped by an earlier incomparable widen or a decode failure, so
+    // adopting the delta interval alone would be falsely tight).
     assert(ZoneMap.widen(Map("a" -> Zone(Some(1L), Some(2L))), Map("b" -> Zone(Some(9L), Some(9L))))
-      === Map("a" -> Zone(Some(1L), Some(2L)), "b" -> Zone(Some(9L), Some(9L))))
+      === Map("a" -> Zone(Some(1L), Some(2L))))
     // Incomparable values: no pruning decisions.
     assert(Zone(Some("x"), Some("y")).mayContain(5L))
+    // Incomparable WIDEN (mixed JVM box types, e.g. Integer batch bound vs
+    // Long part bound) drops the whole column: a Zone(None, None) result
+    // would read as "provably empty" and prune a part that holds matches.
+    assert(Zone(Some(1L), Some(3L)).widen(Zone(Some(2), Some(4))) === None)
+    assert(ZoneMap.widen(
+      Map("a" -> Zone(Some(1L), Some(3L)), "b" -> Zone(Some(1L), Some(2L))),
+      Map("a" -> Zone(Some(2), Some(4)), "b" -> Zone(Some(5L), Some(9L))))
+      === Map("b" -> Zone(Some(1L), Some(9L))))
+    // ... and a later widen cannot resurrect a falsely tight bound: the
+    // dropped column stays absent through any further widens.
+    assert(ZoneMap.widen(Map.empty, Map("a" -> Zone(Some(7L), Some(8L)))) === Map.empty)
   }
 }

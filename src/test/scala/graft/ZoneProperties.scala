@@ -78,4 +78,41 @@ object ZoneProperties extends Properties("ZoneMaps") {
         boundsHold && pruneExact
       }
     }
+
+  // ---- pure zone algebra under mixed JVM box types (ADVICE r2): an
+  // Integer batch bound widened against a Long part zone is incomparable;
+  // the column must DROP (unknown, fail open) — never become a Zone that
+  // prunes, and never resurrect into a falsely tight interval.
+  import graft.lake.{Zone, ZoneMap}
+
+  private val mixedVal: Gen[Any] = Gen.oneOf(
+    Gen.choose(-50, 50).map(Integer.valueOf),
+    Gen.choose(-50L, 50L).map(java.lang.Long.valueOf),
+    Gen.choose(-50.0, 50.0).map(java.lang.Double.valueOf))
+
+  private val mixedZone: Gen[Zone] = for {
+    a <- mixedVal; b <- mixedVal
+  } yield {
+    val lo = if (ZoneMap.cmp(a, b).exists(_ <= 0)) a else b
+    val hi = if (lo == a) b else a
+    Zone(Some(lo), Some(hi))
+  }
+
+  property("mixed-box widen never prunes a value either side contains") =
+    Prop.forAll(mixedZone, mixedZone, mixedVal) { (za, zb, v) =>
+      val widened = ZoneMap.widen(Map("c" -> za), Map("c" -> zb))
+      // Every value the un-widened zones may contain must still be allowed
+      // by the widened map (absence = fail open).
+      val inEither = za.mayContain(v) || zb.mayContain(v)
+      !inEither || widened.get("c").forall(_.mayContain(v))
+    }
+
+  property("incomparable widen drops the column for good") =
+    Prop.forAll(Gen.choose(-50L, 50L), Gen.choose(-50, 50)) { (l, i) =>
+      val part = Map("c" -> Zone(Some(java.lang.Long.valueOf(l)), Some(java.lang.Long.valueOf(l))))
+      val delta = Map("c" -> Zone(Some(Integer.valueOf(i)), Some(Integer.valueOf(i))))
+      val dropped = ZoneMap.widen(part, delta)
+      val after = ZoneMap.widen(dropped, Map("c" -> Zone(Some(0L), Some(0L))))
+      dropped.get("c").isEmpty && after.get("c").isEmpty
+    }
 }
