@@ -19,6 +19,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // Tungsten page size defaults to heap-proportional (up to 64m); with
       // many threads and small partitions that allocates GBs of pages per
       // query and turns the run GC-bound (observed 5-10x bimodal stalls on

@@ -653,9 +653,35 @@ object SparkEntry {
 
     "lake_bucket_pruning" -> ((s, dir) => {
       val ds = Fixtures.lineitemLake(s, dir)
-      ds.bucketPrunedDF(lit(1042L))
+      ds.bucketPrunedDF(1042L)
         .filter(col("l_partkey") === 1042L)
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+    }),
+
+    // SQL-surface pruning: the SAME skipping the Scala API gets, but driven
+    // entirely by `spark.sql` over a registered view. The view's plan is one
+    // LakeScan leaf; LakePruneRule (SparkSessionExtensions) sees the pushed
+    // WHERE during optimization and plans only the parts whose zone
+    // intervals overlap the range — PlanSpec asserts the leaf count.
+    "lake_sql_zone_pruning" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("orders_zoned", Fixtures.ordersZoneLake(s, dir))
+      db.executeSql(
+        """SELECT COUNT(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+          |FROM orders_zoned WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin)
+    }),
+
+    // Partition-value + bucket-id equality through the SQL surface: the rule
+    // prunes on BOTH axes from the catalog (no I/O) before Catalyst plans.
+    "lake_sql_part_pruning" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("lineitem_lake", Fixtures.lineitemLake(s, dir))
+      db.executeSql(
+        """SELECT COUNT(*) AS n,
+          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+          |FROM lineitem_lake
+          |WHERE l_returnflag = 'R' AND l_partkey = 1042""".stripMargin)
     }),
 
     "bucket_numeric" -> ((s, dir) => {
@@ -1023,6 +1049,14 @@ object SparkEntry {
     "lake_zone_pruning" ->
       s"""SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
          |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin,
+
+    "lake_sql_zone_pruning" ->
+      s"""SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin,
+
+    "lake_sql_part_pruning" ->
+      s"""SELECT COUNT(*) AS n, ${osum("l_extendedprice")} AS total
+         |FROM lineitem WHERE l_returnflag = 'R' AND l_partkey = 1042""".stripMargin,
 
     "lake_colocated_join" ->
       s"""SELECT p_brand, COUNT(*) AS n, ${osum("l_extendedprice")} AS revenue

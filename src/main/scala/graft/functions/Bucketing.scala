@@ -41,4 +41,28 @@ object Bucketing {
   /** Convenience: bucket expression resolved against a DataFrame's schema. */
   def bucketExprFor(df: org.apache.spark.sql.DataFrame, colName: String, n: Int): Column =
     bucketExpr(df(colName), df.schema(colName).dataType, n)
+
+  /** Bucket id of ONE literal value, evaluated DRIVER-SIDE — no Spark job.
+    * Same Catalyst expressions as [[bucketExpr]] (`XxHash64` seed and all),
+    * just eval'd against an empty row, so a pruning decision costs
+    * microseconds instead of a scheduled job per lookup. None for a null
+    * value (the NULL-bucket sentinel cell) or an unsupported type.
+    */
+  def localBucketId(value: Any, dt: DataType, n: Int): Option[Int] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.expressions._
+    if (value == null) return None
+    val in = Literal.create(CatalystTypeConverters.convertToCatalyst(value), dt)
+    val asLong: Expression = dt match {
+      case BooleanType => Cast(Cast(in, IntegerType), LongType)
+      case ByteType | ShortType | IntegerType | LongType => Cast(in, LongType)
+      case FloatType | DoubleType => Cast(in, LongType)
+      case _: DecimalType => Cast(in, LongType)
+      case DateType => Cast(UnixDate(in), LongType)
+      case TimestampType => UnixMicros(in)
+      case StringType | BinaryType => new XxHash64(Seq(in))
+      case _ => return None
+    }
+    Option(Pmod(asLong, Literal(n.toLong)).eval(null)).map(_.asInstanceOf[Long].toInt)
+  }
 }

@@ -34,11 +34,19 @@ final class Database(val spark: SparkSession) {
 
   def get(name: String): Option[LakeDataset] = tables.get(name)
 
-  /** Re-point the temp view at the table's current union-of-parts plan.
-    * Call after any mutation (the view captures the plan at registration).
+  /** (Re-)register the table's SQL view. The view plan is ONE
+    * `graft.plans.LakeScan` leaf that `LakePruneRule` resolves to the
+    * engine-pruned, always-CURRENT scan at each query's optimization — so
+    * `spark.sql` sees every mutation without per-mutation refresh calls, and
+    * a `WHERE` on partition/bucket/zone columns plans only the parts that
+    * can match (the fixed union-of-parts plan the view used to capture gave
+    * SQL none of the engine's pruning). Re-registration is only needed when
+    * the table's SCHEMA changes (the leaf's attributes are fixed at
+    * registration); mutation paths keep calling it — it is plan-only, no
+    * jobs.
     */
   def refresh(name: String): Unit =
-    tables.get(name).foreach(_.toDF.createOrReplaceTempView(name))
+    tables.get(name).foreach(_.scanDF.createOrReplaceTempView(name))
 
   /** Refresh all views — cheap (plan-only, no jobs). */
   def refreshAll(): Unit = tables.keys.foreach(refresh)

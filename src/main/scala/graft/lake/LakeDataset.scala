@@ -186,6 +186,15 @@ final class LakeDataset private (
     else counters.sum
   }
 
+  /** Maintained row count when every part's counter is known — NO job runs.
+    * Feeds `LakeScan.computeStats` so Catalyst sizes lake tables honestly.
+    */
+  private[graft] def knownRowsOption: Option[Long] =
+    knownRowsEstimate match {
+      case Long.MaxValue => None
+      case n => Some(n)
+    }
+
   /** Move a mutation's own snapshots from pending to the releasable set —
     * called under the dataset monitor once the mutation has applied.
     */
@@ -337,15 +346,16 @@ final class LakeDataset private (
   }
 
   /** Bucket pruning: for an equality predicate on the (single) bucket column,
-    * only the one matching bucket cell per partition needs scanning.
+    * only the one matching bucket cell per partition needs scanning. The
+    * bucket id of the probe value evaluates DRIVER-SIDE (same Catalyst
+    * expressions, eval'd locally) — no Spark job before the pruned scan.
     */
-  def bucketPrunedDF(bucketColValue: Column): DataFrame = {
+  def bucketPrunedDF(bucketValue: Any): DataFrame = {
     val sample = parts.values().asScala.headOption.map(_.df)
     require(sample.nonEmpty, "dataset has no parts")
     val dt = sample.get.schema(bucketCols.head).dataType
-    val targetBucket = spark.range(1)
-      .select(Bucketing.bucketExpr(bucketColValue, dt, nBuckets).as("b"))
-      .head().getInt(0)
+    val targetBucket = Bucketing.localBucketId(bucketValue, dt, nBuckets)
+      .getOrElse(LakeDataset.NullBucket)
     val views = parts.asScala.collect {
       case (key, part) if key.bucketNr.forall(_ == targetBucket) => part.view
     }.toList
@@ -387,6 +397,70 @@ final class LakeDataset private (
     }.toList
     if (views.isEmpty) emptyLike
     else views.reduce(_ unionByName (_, allowMissingColumns = true))
+  }
+
+  /** The table's current schema without running a job. */
+  def tableSchema: org.apache.spark.sql.types.StructType =
+    parts.values().asScala.headOption.map(_.df.schema)
+      .orElse(cleanScan.map(_.schema))
+      .getOrElse(throw new IllegalStateException("dataset has no schema yet"))
+
+  /** A DataFrame whose plan is ONE [[graft.plans.LakeScan]] leaf — the plan
+    * [[Database]] registers as the table's SQL temp view. The leaf resolves
+    * to the real (engine-pruned, always-current) scan during logical
+    * optimization via `graft.plans.LakePruneRule`; requires the session to
+    * carry `spark.sql.extensions=graft.plans.GraftExtensions`.
+    */
+  def scanDF: DataFrame = {
+    val attrs = tableSchema.fields.toSeq.map(f =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        f.name, f.dataType, f.nullable)())
+    Bridge.ofRows(spark, graft.plans.LakeScan(this, attrs))
+  }
+
+  /** Union of only the parts that can satisfy a conjunctive predicate set —
+    * the engine-side prune the SQL path calls from `LakePruneRule`. All
+    * three axes apply at once from the catalog (no I/O, no jobs):
+    * partition-directory values and the bucket id for equality constraints,
+    * zone intervals for both equalities and [lo, hi] ranges.
+    *
+    * Falls back to [[toDF]] when nothing was pruned, or when the table has a
+    * single clean snapshot and the prune would keep MOST parts — each kept
+    * part re-scans that same snapshot, so k re-scans only beat the one
+    * clean scan when k is small.
+    */
+  private[graft] def prunedByConstraints(
+      eq: Map[String, Any],
+      ranges: Map[String, (Option[Any], Option[Any])]): DataFrame = this.synchronized {
+    if (parts.isEmpty || (eq.isEmpty && ranges.isEmpty)) return toDF
+
+    val partEq: Map[String, String] = eq.collect {
+      case (c, v) if partitionCols.contains(c) => c -> String.valueOf(v)
+    }
+    val bucketTarget: Option[Int] =
+      if (bucketCols.isEmpty) None
+      else eq.get(bucketCols.head).flatMap { v =>
+        val dt = tableSchema(bucketCols.head).dataType
+        Bucketing.localBucketId(v, dt, nBuckets)
+      }
+    val qZones: Map[String, Zone] =
+      eq.map { case (c, v) => c -> Zone(Option(v), Option(v)) } ++
+        ranges.map { case (c, (lo, hi)) => c -> Zone(lo, hi) }
+
+    val all = parts.asScala.toList
+    val kept = all.collect {
+      case (key, part) if
+        partEq.forall { case (c, v) =>
+          key.partValues.forall { case (kc, kv) => kc != c || kv == v } } &&
+        bucketTarget.forall(b => key.bucketNr.forall(_ == b)) &&
+        part.zones.forall(zs => qZones.forall { case (c, qz) =>
+          zs.get(c).forall(_.overlaps(qz)) }) =>
+        part.view
+    }
+    if (kept.size == all.size) toDF
+    else if (kept.isEmpty) emptyLike
+    else if (cleanScan.isDefined && kept.size * 2 > all.size) toDF
+    else kept.reduce(_ unionByName (_, allowMissingColumns = true))
   }
 
   private def zoneFiltered(keep: Map[String, Zone] => Boolean): DataFrame = {

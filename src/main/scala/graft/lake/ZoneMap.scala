@@ -53,14 +53,23 @@ final case class Zone(min: Option[Any], max: Option[Any]) {
     case _ => true // half-unknown bound (incomparable widen): fail open
   }
 
-  /** Could this zone and `o` share a value? ([mn,mx] ∩ [omn,omx] ≠ ∅) */
-  def overlaps(o: Zone): Boolean =
-    if (isEmptyZone || o.isEmptyZone) false
-    else (min, max, o.min, o.max) match {
-      case (Some(mn), Some(mx), Some(omn), Some(omx)) =>
-        ZoneMap.cmp(omx, mn).forall(_ >= 0) && ZoneMap.cmp(omn, mx).forall(_ <= 0)
-      case _ => true // half-unknown bound: fail open
+  /** Could this PART zone and the QUERY interval `o` share a value?
+    * ([mn,mx] ∩ [omn,omx] ≠ ∅). Asymmetric by design: `o` is a query
+    * interval, so a missing bound there is an OPEN end (±∞) — one-sided
+    * predicates (`col >= v`) still prune — while a half-known bound on this
+    * (part) side fails open: part zones are maintained fully-known-or-absent,
+    * so a half zone means something degraded and must never prune.
+    * Incomparable values (mixed JVM types) always fail open.
+    */
+  def overlaps(o: Zone): Boolean = {
+    if (isEmptyZone || o.isEmptyZone) return false
+    (min, max) match {
+      case (Some(mn), Some(mx)) =>
+        o.min.forall(om => ZoneMap.cmp(om, mx).forall(_ <= 0)) &&
+          o.max.forall(om => ZoneMap.cmp(om, mn).forall(_ >= 0))
+      case _ => true // defensively fail open on a half-known part zone
     }
+  }
 }
 
 object ZoneMap {

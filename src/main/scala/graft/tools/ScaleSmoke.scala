@@ -18,6 +18,7 @@ object ScaleSmoke {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -95,6 +96,22 @@ object ScaleSmoke {
       import spark.implicits._
       dz.delete((loKey to loKey + 500L).toDF("o_orderkey"), Seq("o_orderkey"))
     }
+
+    // ---- the SAME range query through the SQL surface ----------------------
+    // The view resolves to a LakeScan leaf; LakePruneRule rewrites it to the
+    // zone-pruned union at optimization time — spark.sql now pays the pruned
+    // cost, not the full union the old fixed-plan views captured.
+    val db = new graft.lake.Database(spark)
+    db.register("orders_scaled", dz)
+    time("SQL zone-pruned range agg") {
+      spark.sql(
+        s"SELECT COUNT(*) FROM orders_scaled WHERE o_orderkey BETWEEN $loKey AND $hiKey")
+        .collect()
+    }
+    val sqlLeaves = spark.sql(
+      s"SELECT COUNT(*) FROM orders_scaled WHERE o_orderkey BETWEEN $loKey AND $hiKey")
+      .queryExecution.optimizedPlan.collectLeaves().size
+    println(s"[scale] SQL plan leaves: $sqlLeaves of ${dz.numParts} parts")
     spark.stop()
   }
 }

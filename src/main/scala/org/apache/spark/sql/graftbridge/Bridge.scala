@@ -32,6 +32,15 @@ object Bridge {
   def unpersistCheckpoint(df: Dataset[_], blocking: Boolean = false): Unit =
     checkpointRdds(df).foreach(_.unpersist(blocking))
 
+  /** Wrap a logical plan as a DataFrame — the seam that lets the lake
+    * register a custom leaf node (graft.plans.LakeScan) as a SQL temp view.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Root paths of the file-source scans a Dataset's plan reads — lets the
     * lake identify which parquet-spilled snapshot directories back a plan.
     */

@@ -191,7 +191,7 @@ class DatasetSpec extends SparkSpec {
     val ds = LakeDataset.fromDataFrame(spark, li,
       partitionCols = Seq("l_returnflag"), bucketCols = Seq("l_partkey"), nBuckets = 5)
     val key = 42L
-    val pruned = ds.bucketPrunedDF(lit(key)).filter(col("l_partkey") === key)
+    val pruned = ds.bucketPrunedDF(key).filter(col("l_partkey") === key)
     val direct = li.filter(col("l_partkey") === key)
     assert(pruned.count() == direct.count())
     // only one bucket id (x3 partitions) contributes to the pruned plan

@@ -106,7 +106,7 @@ class MutationConsistencySpec extends SparkSpec {
     val ds = LakeDataset.fromDataFrame(spark, base,
       partitionCols = Seq("p"), bucketCols = Seq("k"), nBuckets = 5)
     // bucket id 3 has no cell (keys 1 and 6 hash to 1); must not throw
-    val empty = ds.bucketPrunedDF(lit(3L))
+    val empty = ds.bucketPrunedDF(3L)
     assert(empty.count() == 0)
     assert(empty.schema.fieldNames.toSeq == Seq("k", "p", "v"))
     val emptyP = ds.prunedDF(Map("p" -> "Z"))

@@ -71,6 +71,28 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"expected an equi-join operator:\n$p")
   }
 
+  test("lake_sql_zone_pruning: the SQL plan unions only zone-overlapping parts") {
+    // sf0.01: orderkeys 0-14999 → 3 o_batch cells; the queried range
+    // 1000-2000 lives in batch 0 alone. sf0.001 has a single cell, so the
+    // assertion only bites at this scale.
+    val dir = sf("sf0.01")
+    val ds = graft.Fixtures.ordersZoneLake(spark, dir)
+    val q = SparkEntry.queries("lake_sql_zone_pruning")(spark, dir)
+    val leaves = q.queryExecution.optimizedPlan.collectLeaves().size
+    assert(leaves == 1 && ds.numParts == 3,
+      s"SQL zone pruning planned $leaves of ${ds.numParts} parts:\n" +
+        q.queryExecution.optimizedPlan.treeString)
+  }
+
+  test("lake_sql_part_pruning: partition+bucket equality keeps one cell") {
+    val q = SparkEntry.queries("lake_sql_part_pruning")(spark, sf())
+    val leaves = q.queryExecution.optimizedPlan.collectLeaves().size
+    val total = graft.Fixtures.lineitemLake(spark, sf()).numParts
+    assert(leaves == 1 && total > 1,
+      s"SQL part pruning planned $leaves of $total parts:\n" +
+        q.queryExecution.optimizedPlan.treeString)
+  }
+
   test("no query plans a cartesian product or nested-loop join") {
     // dedup_embedding_exact is all-pairs BY CONTRACT (the exact ground truth
     // the LSH path is measured against) — its nested-loop join is the point,

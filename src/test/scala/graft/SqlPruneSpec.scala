@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bucketing
+import graft.lake.{Database, LakeDataset}
+
+/** The SQL surface gets ENGINE pruning: temp views resolve to a LakeScan
+  * leaf that LakePruneRule (installed via spark.sql.extensions) rewrites to
+  * the pruned part union during each query's optimization — so a
+  * `spark.sql(... WHERE ...)` between mutations plans only the parts that
+  * can match, instead of the fixed union-of-every-part the old views
+  * captured (VERDICT r2's one remaining scale-killer).
+  */
+class SqlPruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def leafCount(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collectLeaves().size
+
+  test("SQL WHERE on a partition column plans only the matching parts") {
+    val db = new Database(spark)
+    val rows = (0 until 100).map(i => (('A' + i % 4).toChar.toString, i.toLong, i * 1.5))
+    val ds = LakeDataset.fromDataFrame(spark, rows.toDF("p", "k", "v"),
+      partitionCols = Seq("p"))
+    db.register("t_part", ds)
+
+    val q = spark.sql("SELECT COUNT(*) AS n, SUM(k) AS s FROM t_part WHERE p = 'B'")
+    // 4 parts exist; the pruned plan must touch exactly the one for p='B'.
+    assert(ds.numParts == 4)
+    assert(leafCount(q) == 1, q.queryExecution.optimizedPlan.treeString)
+    val row = q.head()
+    val want = rows.filter(_._1 == "B")
+    assert(row.getLong(0) == want.size && row.getLong(1) == want.map(_._2).sum)
+  }
+
+  test("SQL range WHERE prunes via zone maps; equality prunes via bucket id") {
+    val db = new Database(spark)
+    // Disjoint k-ranges per partition cell: zones can skip whole parts.
+    val rows = (0 until 400).map(i => (i / 100, i.toLong, s"r$i"))
+    val zoned = LakeDataset.fromDataFrame(spark, rows.toDF("cell", "k", "s"),
+      partitionCols = Seq("cell"))
+    db.register("t_zone", zoned)
+    val q = spark.sql("SELECT COUNT(*) AS n FROM t_zone WHERE k BETWEEN 150 AND 249")
+    assert(zoned.numParts == 4)
+    assert(leafCount(q) == 2, q.queryExecution.optimizedPlan.treeString)
+    assert(q.head().getLong(0) == 100)
+
+    // Bucketed table: equality on the bucket column keeps one cell.
+    val bucketed = LakeDataset.fromDataFrame(spark, rows.toDF("cell", "k", "s"),
+      bucketCols = Seq("k"), nBuckets = 5)
+    db.register("t_bucket", bucketed)
+    val qb = spark.sql("SELECT s FROM t_bucket WHERE k = 42")
+    assert(bucketed.numParts == 5)
+    assert(leafCount(qb) == 1, qb.queryExecution.optimizedPlan.treeString)
+    assert(qb.collect().map(_.getString(0)).toSeq == Seq("r42"))
+  }
+
+  test("SQL sees mutations immediately — no view refresh required") {
+    val db = new Database(spark)
+    val ds = LakeDataset.fromDataFrame(spark,
+      Seq(("A", 1L), ("B", 2L)).toDF("p", "k"), partitionCols = Seq("p"))
+    db.register("t_live", ds)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM t_live").head().getLong(0) == 2)
+    // Mutate WITHOUT calling db.refresh: the LakeScan leaf resolves to the
+    // live part set at each query's optimization.
+    ds.insert(Seq(("C", 3L)).toDF("p", "k"))
+    assert(spark.sql("SELECT COUNT(*) AS n FROM t_live").head().getLong(0) == 3)
+    ds.upsert(Seq(("C", 30L)).toDF("p", "k"), Seq("p"))
+    assert(spark.sql("SELECT SUM(k) AS s FROM t_live").head().getLong(0) == 33)
+  }
+
+  test("joins against lake views still prune each side's pushed filters") {
+    val db = new Database(spark)
+    val facts = (0 until 60).map(i => (('A' + i % 3).toChar.toString, i.toLong, i * 2.0))
+    val dims = Seq(("A", "alpha"), ("B", "beta"), ("C", "gamma"))
+    db.register("facts", LakeDataset.fromDataFrame(spark, facts.toDF("p", "k", "v"),
+      partitionCols = Seq("p")))
+    db.register("dims", LakeDataset.fromDataFrame(spark, dims.toDF("p", "label"),
+      partitionCols = Seq("p")))
+    val q = spark.sql(
+      """SELECT f.k, d.label FROM facts f JOIN dims d ON f.p = d.p
+        |WHERE f.p = 'A' AND f.k < 10""".stripMargin)
+    // facts: 1 of 3 parts; dims: 1 of 3 parts (p='A' infers to both sides).
+    assert(leafCount(q) == 2, q.queryExecution.optimizedPlan.treeString)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 3L, 6L, 9L))
+  }
+
+  test("self-join of one lake view resolves both branches independently") {
+    val db = new Database(spark)
+    db.register("t_self", LakeDataset.fromDataFrame(spark,
+      Seq(("A", 1L), ("A", 2L), ("B", 3L)).toDF("p", "k"), partitionCols = Seq("p")))
+    val q = spark.sql(
+      "SELECT a.k, b.k FROM t_self a JOIN t_self b ON a.p = b.p WHERE a.k <> b.k")
+    assert(q.count() == 2)
+  }
+
+  test("localBucketId matches the distributed bucket expression per type") {
+    import org.apache.spark.sql.types._
+    val samples: Seq[(Any, DataType)] = Seq(
+      (42L, LongType), (7, IntegerType), (3.9, DoubleType),
+      ("hello", StringType), (java.sql.Date.valueOf("2024-03-01"), DateType),
+      (java.sql.Timestamp.valueOf("2024-03-01 12:00:00"), TimestampType),
+      (true, BooleanType))
+    samples.foreach { case (v, dt) =>
+      val local = Bucketing.localBucketId(v, dt, 7).get
+      val dist = spark.range(1)
+        .select(Bucketing.bucketExpr(lit(v).cast(dt), dt, 7)).head().getInt(0)
+      assert(local == dist, s"bucket id mismatch for $v: local=$local dist=$dist")
+    }
+    assert(Bucketing.localBucketId(null, LongType, 7).isEmpty)
+  }
+}

@@ -163,7 +163,13 @@ class ZoneMapSpec extends SparkSpec {
     assert(!e.overlaps(Zone(Some(1L), Some(9L))))
     val half = Zone(None, Some(9L))
     assert(half.mayContain(5L)) // fail open
+    // A half-known PART zone fails open (parts maintain fully-known-or-absent,
+    // so a half zone is degraded state and must never prune)...
     assert(half.overlaps(Zone(Some(100L), Some(200L))))
+    // ...but a half-known QUERY interval is a one-sided range with an open
+    // end, and prunes exactly: [1,9] ∩ [100,∞) = ∅, [1,9] ∩ (-∞,5] ≠ ∅.
+    assert(!Zone(Some(1L), Some(9L)).overlaps(Zone(Some(100L), None)))
+    assert(Zone(Some(1L), Some(9L)).overlaps(Zone(None, Some(5L))))
     assert(Zone(Some(1L), Some(3L)).widen(e) === Some(Zone(Some(1L), Some(3L))))
     // Directional widen: current-only columns keep their zone (the delta
     // lacked the column — its rows read NULL); delta-only columns are
