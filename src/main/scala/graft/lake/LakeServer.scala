@@ -54,11 +54,19 @@ final class LakeServer(val spark: SparkSession) {
     ingest(name, chunks, Some(keys), save)
 
   private def ingest(name: TableName, chunks: Iterator[DataFrame],
+      keys: Option[Seq[String]], save: Boolean): Unit =
+    ingestCounted(name, chunks.map(_ -> -1L), keys, save)
+
+  /** Ingest with per-chunk row counts when the caller knows them (the IPC
+    * path reads them from batch metadata) — skips the one-Spark-job-per-
+    * chunk count the micro-batcher runs for unknown sizes.
+    */
+  private def ingestCounted(name: TableName, chunks: Iterator[(DataFrame, Long)],
       keys: Option[Seq[String]], save: Boolean): Unit = {
     val ds = db.get(name.handle)
       .getOrElse(throw new NoSuchElementException(s"no table ${name.handle}"))
     val ing = new Ingestor(ds, keys)
-    chunks.foreach(ing.offer(_))
+    chunks.foreach { case (chunk, n) => ing.offer(chunk, n) }
     ing.flush()
     if (save) ds.toStorage()
     db.refresh(name.handle)
@@ -129,11 +137,13 @@ final class LakeServer(val spark: SparkSession) {
     */
   def insertTableIpc(name: TableName, chunks: Iterator[Array[Byte]],
       save: Boolean = false): Unit =
-    insertTable(name,
-      chunks.map(graft.sources.ArrowInterchange.fromIpcBytes(spark, _)), save)
+    ingestCounted(name,
+      chunks.map(graft.sources.ArrowInterchange.fromIpcBytesWithCount(spark, _)),
+      None, save)
 
   def upsertTableIpc(name: TableName, keys: Seq[String],
       chunks: Iterator[Array[Byte]], save: Boolean = false): Unit =
-    upsertTable(name, keys,
-      chunks.map(graft.sources.ArrowInterchange.fromIpcBytes(spark, _)), save)
+    ingestCounted(name,
+      chunks.map(graft.sources.ArrowInterchange.fromIpcBytesWithCount(spark, _)),
+      Some(keys), save)
 }

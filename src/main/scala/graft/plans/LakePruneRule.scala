@@ -39,19 +39,17 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       aligned(scan, fragment(scan.ds.toDF))
   }
 
-  /** The engine plan as an optimizer-ready fragment. The dataset's plans are
-    * ANALYZED, but the optimizer's once-only "Finish Analysis" batch has
-    * already run for this query — apply its relevant members by hand, or a
-    * `SubqueryAlias` / `RuntimeReplaceable` / current-time expression inside
-    * a part's merge plan would survive to physical planning (no strategy →
-    * internal error). The surrounding fixed point handles all the rest.
+  /** The engine plan as an optimizer-ready fragment: the dataset plan FULLY
+    * optimized on its own. Splicing a merely-analyzed plan into
+    * mid-optimization leaves behind nodes whose handling ran in earlier
+    * once-only batches (`SubqueryAlias` from merge aliases, `Deduplicate`
+    * from delete's distinct, RuntimeReplaceable expressions) — none of which
+    * have a physical strategy. A fragment can't contain a LakeScan (part
+    * views never reference the SQL surface), so the nested optimize cannot
+    * recurse into this rule.
     */
-  private def fragment(df: org.apache.spark.sql.DataFrame): LogicalPlan = {
-    import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
-    import org.apache.spark.sql.catalyst.optimizer.{ComputeCurrentTime, ReplaceExpressions}
-    ComputeCurrentTime(ReplaceExpressions(EliminateSubqueryAliases(
-      df.queryExecution.analyzed)))
-  }
+  private def fragment(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.queryExecution.optimizedPlan
 
   /** Re-expose the replacement plan under the scan's original attribute ids
     * (the enclosing query references those), aligning columns by name.

@@ -64,6 +64,11 @@ object ArrowInterchange {
     StructField(f.getName, dt, f.isNullable)
   }
 
+  /** Rows per IPC record batch — bounds driver memory: the writer holds one
+    * batch of vectors at a time, never the whole result.
+    */
+  val BatchRows: Int = 16384
+
   /** Serialize a DataFrame's rows to one Arrow IPC stream.
     *
     * `codec` compresses the record-batch buffers (reference: responses are
@@ -71,23 +76,24 @@ object ArrowInterchange {
     * uncompressed. [[fromIpcBytes]] auto-detects either form — the codec
     * travels in the IPC batch metadata.
     */
-  def toIpcBytes(df: DataFrame, codec: Option[String] = None): Array[Byte] = {
+  def toIpcBytes(df: DataFrame, codec: Option[String] = None): Array[Byte] =
+    toIpcBytesWithCount(df, codec)._1
+
+  /** Streamed encode: rows arrive via `toLocalIterator` (one partition
+    * resident at a time, not a whole-result `collect`) and leave as a
+    * SEQUENCE of record batches of [[BatchRows]] each — a 100×-scale SELECT
+    * through the wire keeps the driver at O(batch), and IPC readers (ours
+    * and pyarrow) already consume multi-batch streams. Also returns the row
+    * count (the wire's `SqlResults.rows`) without a second job.
+    */
+  def toIpcBytesWithCount(df: DataFrame, codec: Option[String] = None): (Array[Byte], Long) = {
     val schema = df.schema
-    val rows = df.collect()
+    val it = df.toLocalIterator().asScala
     val allocator = new RootAllocator()
     try {
       val arrowSchema = new ArrowSchema(schema.fields.map(arrowField).toList.asJava)
       val root = VectorSchemaRoot.create(arrowSchema, allocator)
       try {
-        root.allocateNew()
-        schema.fields.zipWithIndex.foreach { case (f, c) =>
-          val v = root.getVector(c)
-          rows.zipWithIndex.foreach { case (row, r) =>
-            if (row.isNullAt(c)) setNull(v, r) else setValue(v, r, f.dataType, row, c)
-          }
-          v.setValueCount(rows.length)
-        }
-        root.setRowCount(rows.length)
         val out = new ByteArrayOutputStream()
         val writer = codec match {
           case None => new ArrowStreamWriter(root, null, out)
@@ -103,14 +109,41 @@ object ArrowInterchange {
               org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
               CommonsCompressionFactory.INSTANCE, codecType)
         }
-        writer.start(); writer.writeBatch(); writer.end(); writer.close()
-        out.toByteArray
+        writer.start()
+        var total = 0L
+        val buf = new scala.collection.mutable.ArrayBuffer[Row](BatchRows)
+        while (it.hasNext) {
+          buf.clear()
+          while (it.hasNext && buf.length < BatchRows) buf += it.next()
+          root.allocateNew()
+          schema.fields.zipWithIndex.foreach { case (f, c) =>
+            val v = root.getVector(c)
+            var r = 0
+            buf.foreach { row =>
+              if (row.isNullAt(c)) setNull(v, r) else setValue(v, r, f.dataType, row, c)
+              r += 1
+            }
+            v.setValueCount(buf.length)
+          }
+          root.setRowCount(buf.length)
+          writer.writeBatch()
+          total += buf.length
+        }
+        writer.end(); writer.close()
+        (out.toByteArray, total)
       } finally root.close()
     } finally allocator.close()
   }
 
   /** Decode an Arrow IPC stream into a DataFrame (all batches). */
-  def fromIpcBytes(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
+  def fromIpcBytes(spark: SparkSession, bytes: Array[Byte]): DataFrame =
+    fromIpcBytesWithCount(spark, bytes)._1
+
+  /** [[fromIpcBytes]] plus the decoded row count — the count is known from
+    * the batch metadata, so ingest paths can skip the one-job-per-chunk
+    * `count()` the micro-batcher would otherwise run.
+    */
+  def fromIpcBytesWithCount(spark: SparkSession, bytes: Array[Byte]): (DataFrame, Long) = {
     val allocator = new RootAllocator()
     try {
       // The compression factory makes the reader transparently decompress
@@ -128,7 +161,7 @@ object ArrowInterchange {
             })
           }
         }
-        spark.createDataFrame(out.asJava, schema)
+        (spark.createDataFrame(out.asJava, schema), out.length.toLong)
       } finally reader.close()
     } finally allocator.close()
   }

@@ -87,6 +87,30 @@ class ArrowSpec extends SparkSpec {
     } finally tcp.close()
   }
 
+  test("multi-batch streamed encode: bounded batches, exact round-trip, count") {
+    // 3× BatchRows + a remainder → 4 record batches through toLocalIterator;
+    // the driver only ever holds one batch of vectors.
+    val n = ArrowInterchange.BatchRows * 3 + 17
+    val df = spark.range(n.toLong).select(
+      col("id").as("k"), (col("id") % 1000).cast("double").as("v"),
+      concat(lit("s"), col("id")).as("s"))
+    val (bytes, rows) = ArrowInterchange.toIpcBytesWithCount(df, Some("zstd"))
+    assert(rows == n.toLong)
+    // Batch count is visible to any IPC reader — pin it to prove the stream
+    // really is multiple batches, not one giant allocation.
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), new org.apache.arrow.memory.RootAllocator(),
+      org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
+    var batches = 0
+    while (reader.loadNextBatch()) batches += 1
+    reader.close()
+    assert(batches == 4, s"expected 4 record batches, got $batches")
+    val (back, backRows) = ArrowInterchange.fromIpcBytesWithCount(spark, bytes)
+    assert(backRows == n.toLong)
+    assert(back.agg(sum(col("k"))).head().getLong(0) == (n.toLong - 1) * n.toLong / 2)
+    assert(back.filter(col("s") === s"s${n - 1}").count() == 1)
+  }
+
   test("unsupported nested type rejected cleanly") {
     val df = Seq(Tuple1(Seq(1, 2))).toDF("arr")
     intercept[IllegalArgumentException] { ArrowInterchange.toIpcBytes(df) }

@@ -1,0 +1,134 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import scala.collection.mutable.ListBuffer
+
+import org.sparkproject.connect.grpc.CallOptions
+import org.sparkproject.connect.grpc.netty.NettyChannelBuilder
+import org.sparkproject.connect.grpc.stub.{ClientCalls, StreamObserver}
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.{GrpcLakeServer, LakeServer}
+import graft.sources.ArrowInterchange
+import graft.sources.ProtoCodec._
+
+/** End-to-end gRPC over a real localhost socket: a client built from the
+  * same MethodDescriptors (bytes marshaller + hand protobuf — what a
+  * protoc-generated stub would send) drives create → insert → upsert →
+  * materialize → info → select against [[GrpcLakeServer]].
+  */
+class GrpcSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Collect a response stream synchronously. */
+  private final class Collector extends StreamObserver[Array[Byte]] {
+    val items = ListBuffer[Array[Byte]]()
+    @volatile var error: Throwable = _
+    private val done = new CountDownLatch(1)
+    override def onNext(v: Array[Byte]): Unit = items += v
+    override def onError(t: Throwable): Unit = { error = t; done.countDown() }
+    override def onCompleted(): Unit = done.countDown()
+    def await(): Seq[Array[Byte]] = {
+      assert(done.await(60, TimeUnit.SECONDS), "rpc timed out")
+      if (error != null) throw error
+      items.toSeq
+    }
+  }
+
+  test("six verbs drive a full table lifecycle over the wire") {
+    val server = new GrpcLakeServer(new LakeServer(spark))
+    val channel = NettyChannelBuilder.forAddress("localhost", server.port)
+      .usePlaintext().build()
+    try {
+      def streamCall(md: org.sparkproject.connect.grpc.MethodDescriptor[Array[Byte], Array[Byte]],
+          msgs: Seq[Array[Byte]]): Seq[Array[Byte]] = {
+        val out = new Collector
+        val req = ClientCalls.asyncClientStreamingCall(
+          channel.newCall(md, CallOptions.DEFAULT), out)
+        msgs.foreach(req.onNext)
+        req.onCompleted()
+        out.await()
+      }
+      def unaryCall(md: org.sparkproject.connect.grpc.MethodDescriptor[Array[Byte], Array[Byte]],
+          msg: Array[Byte]): Array[Byte] =
+        ClientCalls.blockingUnaryCall(channel, md, CallOptions.DEFAULT, msg)
+
+      // CreateTable: two SourceIpc chunks, partitioned by status.
+      val chunk1 = Seq((1L, "O", 10.0), (2L, "F", 20.0)).toDF("k", "status", "v")
+      val chunk2 = Seq((3L, "O", 30.0)).toDF("k", "status", "v")
+      val created = streamCall(GrpcLakeServer.CreateTableMethod, Seq(
+        PbSourceIpc("public", "wire_t", ArrowInterchange.toIpcBytes(chunk1),
+          partitions = Seq("status")).encode,
+        PbSourceIpc("public", "wire_t", ArrowInterchange.toIpcBytes(chunk2),
+          partitions = Seq("status")).encode))
+      assert(PbMessage.decode(created.head).message.contains("wire_t"))
+
+      // InsertTable: one more row.
+      streamCall(GrpcLakeServer.InsertTableMethod, Seq(
+        PbSourceIpc("public", "wire_t",
+          ArrowInterchange.toIpcBytes(Seq((4L, "P", 40.0)).toDF("k", "status", "v"))).encode))
+
+      // UpsertTable on k: update k=1, add k=5.
+      streamCall(GrpcLakeServer.UpsertTableMethod, Seq(
+        PbSourceIpc("public", "wire_t",
+          ArrowInterchange.toIpcBytes(
+            Seq((1L, "O", 11.0), (5L, "F", 50.0)).toDF("k", "status", "v")),
+          keys = Seq("k")).encode))
+
+      // MaterializeTable + GetTableInfo.
+      val mat = unaryCall(GrpcLakeServer.MaterializeTableMethod,
+        PbTable("public", "wire_t").encode)
+      assert(PbMessage.decode(mat).message.contains("wire_t"))
+      val info = PbTableInfo.decode(
+        unaryCall(GrpcLakeServer.GetTableInfoMethod, PbTable("public", "wire_t").encode))
+      assert(info.columns == Seq("k", "status", "v"))
+      assert(info.rows == 5L, s"info: $info")
+      assert(info.parts == 3) // statuses O, F, P
+
+      // SelectIpc (bidi): two queries with qids; responses carry zstd IPC.
+      val out = new Collector
+      val req = ClientCalls.asyncBidiStreamingCall(
+        channel.newCall(GrpcLakeServer.SelectIpcMethod, CallOptions.DEFAULT), out)
+      req.onNext(PbSql("SELECT k, v FROM wire_t ORDER BY k", Some(1)).encode)
+      req.onNext(PbSql(
+        "SELECT status, COUNT(*) AS n FROM wire_t GROUP BY status ORDER BY status",
+        Some(2)).encode)
+      req.onCompleted()
+      val results = out.await().map(PbSqlResults.decode)
+      assert(results.map(_.qid) == Seq(Some(1), Some(2)))
+      val r1 = results.head
+      assert(r1.rows == 5L && r1.columns == Seq("k", "v"))
+      val decoded = ArrowInterchange.fromIpcBytes(spark, r1.data)
+      assert(decoded.select("k").as[Long].collect().toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(decoded.filter($"k" === 1L).select("v").as[Double].head() == 11.0)
+      val r2 = results(1)
+      assert(r2.rows == 3L && r2.dtypes == Seq("string", "bigint"))
+    } finally {
+      channel.shutdownNow()
+      server.close()
+    }
+  }
+
+  test("wire errors surface as gRPC status, not hangs") {
+    val server = new GrpcLakeServer(new LakeServer(spark))
+    val channel = NettyChannelBuilder.forAddress("localhost", server.port)
+      .usePlaintext().build()
+    try {
+      // Insert into a table that does not exist: client-streaming call must
+      // fail with INTERNAL, carrying the message.
+      val out = new Collector
+      val req = ClientCalls.asyncClientStreamingCall(
+        channel.newCall(GrpcLakeServer.InsertTableMethod, CallOptions.DEFAULT), out)
+      req.onNext(PbSourceIpc("public", "nope",
+        ArrowInterchange.toIpcBytes(Seq((1L, 1.0)).toDF("k", "v"))).encode)
+      req.onCompleted()
+      val e = intercept[Exception] { out.await() }
+      assert(e.getMessage.contains("no table nope"), e.getMessage)
+    } finally {
+      channel.shutdownNow()
+      server.close()
+    }
+  }
+}
