@@ -499,6 +499,22 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Located delete on a table with per-part key BLOOM filters: the keys
+    // are hash-scattered across partitions, so zone ranges cannot skip any
+    // part — the bloom membership probe is what narrows the located-delete
+    // scan. The oracle proves the pruned probe deletes exactly the right
+    // rows (a false "provably absent" would leave survivors and mismatch).
+    "lake_bloom_pruning" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val ds = LakeDataset.fromDataFrame(s, o,
+        partitionCols = Seq("o_orderstatus"), bloomCols = Seq("o_orderkey"))
+      ds.delete(o.filter(col("o_orderkey") % 1000 === 0).select("o_orderkey"),
+        Seq("o_orderkey"))
+      ds.toDF.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Delete by bare keys on a partitioned+bucketed table: the key rows name
     // neither partition nor bucket, so the engine first LOCATES the cells
     // holding the keys (projected key+cell scan) and anti-joins only those.
@@ -1032,6 +1048,11 @@ object SparkEntry {
     "lake_located_delete" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total
          |FROM orders WHERE o_orderkey % 6 <> 0
+         |GROUP BY o_orderstatus""".stripMargin,
+
+    "lake_bloom_pruning" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM orders WHERE o_orderkey % 1000 <> 0
          |GROUP BY o_orderstatus""".stripMargin,
 
     "lake_storage_roundtrip" ->

@@ -41,6 +41,13 @@ final class LakeDataset private (
     val bucketCols: List[String],
     val nBuckets: Int,
     @volatile var storage: Option[StorageSpec],
+    /** Columns with per-part key Bloom filters ([[Bloom]]) — opt-in,
+      * typically the table's upsert/delete key. Zones give ranges; scattered
+      * or hash-distributed keys span every part's whole interval, so the
+      * migration probe and located delete need a MEMBERSHIP summary to skip
+      * parts. Maintained in the same routing aggregation as counts + zones.
+      */
+    val bloomCols: List[String] = Nil,
     /** When set, maintain CREATED_AT/CHANGED_AT audit stamps (the
       * reference's own TODO, src/main.rs:34): every ingested row is stamped
       * with this clock; upserts preserve the original `created_at` and renew
@@ -94,6 +101,17 @@ final class LakeDataset private (
     trackedZoneSet = Some(zc.toSet)
     zc
   }
+
+  /** Declared bloom columns present in a frame's schema. */
+  private[lake] def bloomColsFor(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    bloomCols.filter(schema.fieldNames.contains)
+
+  /** (zone columns, bloom columns) for a frame — the per-part stat selector
+    * threaded into [[LakePart]] so materialize recomputes the same sets.
+    */
+  private[lake] def statColsFor(schema: org.apache.spark.sql.types.StructType)
+      : (Seq[String], Seq[String]) =
+    (zoneColsFor(schema), bloomColsFor(schema))
 
   def partKeys: List[PartKey] = parts.keySet().asScala.toList.sortBy(_.relPath)
   def part(key: PartKey): Option[LakePart] = Option(parts.get(key))
@@ -271,11 +289,14 @@ final class LakeDataset private (
     * snapshot, set the clean-scan fast path.
     */
   private def rebuildFromSnapshot(snap: DataFrame): Unit = {
-    // Zone maps recompute TIGHT here (mutations in between only widen); the
-    // tracked set refreshes too — safe on this path because every part's
-    // zones come from this same aggregation.
+    // Zone maps + blooms recompute TIGHT here (mutations in between only
+    // widen); the tracked set refreshes too — safe on this path because
+    // every part's stats come from this same aggregation.
     val zc = retrackZones(snap.schema)
-    val statAggs = count(lit(1)) +: ZoneMap.aggs(zc)
+    val bc = bloomColsFor(snap.schema)
+    val statAggs = count(lit(1)) +: (ZoneMap.aggs(zc) ++ Bloom.aggs(bc))
+    def bloomsAt(row: Row, offset: Int): Option[Map[String, Bloom]] =
+      if (bc.isEmpty) None else Some(Bloom.fromRow(row, offset, bc))
     val cells: Array[Row] =
       if (partitionCols.isEmpty && bucketCols.isEmpty) Array.empty
       else {
@@ -291,7 +312,7 @@ final class LakeDataset private (
       val row = snap.agg(statAggs.head, statAggs.tail: _*).head()
       parts.put(key, new LakePart(snap, key, bucketCols, nBuckets, row.getLong(0),
         retainDirect, initialZones = Some(ZoneMap.fromRow(row, 1, zc)),
-        zoneColsOf = zoneColsFor))
+        statColsOf = statColsFor, initialBlooms = bloomsAt(row, 1 + 2 * zc.length)))
     } else {
       val nKeyCols = partitionCols.length + (if (bucketCols.nonEmpty) 1 else 0)
       cells.foreach { row =>
@@ -314,7 +335,8 @@ final class LakeDataset private (
         val key = PartKey(partVals.sortBy(_._1), bucketNr)
         parts.put(key,
           new LakePart(snap.filter(cond.reduce(_ && _)), key, bucketCols, nBuckets, n,
-            retainDirect, initialZones = Some(zones), zoneColsOf = zoneColsFor))
+            retainDirect, initialZones = Some(zones), statColsOf = statColsFor,
+            initialBlooms = bloomsAt(row, nKeyCols + 1 + 2 * zc.length)))
       }
     }
     cleanScan = Some(snap)
@@ -446,6 +468,12 @@ final class LakeDataset private (
     val qZones: Map[String, Zone] =
       eq.map { case (c, v) => c -> Zone(Option(v), Option(v)) } ++
         ranges.map { case (c, (lo, hi)) => c -> Zone(lo, hi) }
+    // Equality on a bloom-tracked column additionally prunes by MEMBERSHIP —
+    // the axis zones cannot see for hash-scattered keys.
+    val qBloomHashes: Map[String, Seq[Long]] = eq.iterator.collect {
+      case (c, v) if bloomCols.contains(c) =>
+        Bloom.hashesOf(v, tableSchema(c).dataType).map(c -> _)
+    }.flatten.toMap
 
     val all = parts.asScala.toList
     val kept = all.collect {
@@ -454,7 +482,9 @@ final class LakeDataset private (
           key.partValues.forall { case (kc, kv) => kc != c || kv == v } } &&
         bucketTarget.forall(b => key.bucketNr.forall(_ == b)) &&
         part.zones.forall(zs => qZones.forall { case (c, qz) =>
-          zs.get(c).forall(_.overlaps(qz)) }) =>
+          zs.get(c).forall(_.overlaps(qz)) }) &&
+        part.blooms.forall(bs => qBloomHashes.forall { case (c, hs) =>
+          bs.get(c).forall(_.mightContainHashes(hs)) }) =>
         part.view
     }
     if (kept.size == all.size) toDF
@@ -551,19 +581,19 @@ final class LakeDataset private (
     * materialization; null rows for the single-cell case. Row layout:
     * cell key columns, count, then min/max pairs in `zoneCols` order.
     */
-  private def cellCountsOf(p: DataFrame): (Array[Row], Seq[String]) =
-    if (cellKeyCols.isEmpty) (null, Nil)
+  private def cellCountsOf(p: DataFrame): (Array[Row], Seq[String], Seq[String]) =
+    if (cellKeyCols.isEmpty) (null, Nil, Nil)
     else {
-      val zc = zoneColsFor(p.schema)
-      val aggCols = count(lit(1)) +: ZoneMap.aggs(zc)
-      (p.groupBy(cellKeyCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*).collect(), zc)
+      val (zc, bc) = statColsFor(p.schema)
+      val aggCols = count(lit(1)) +: (ZoneMap.aggs(zc) ++ Bloom.aggs(bc))
+      (p.groupBy(cellKeyCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*).collect(), zc, bc)
     }
 
   private def splitByCell(df0: DataFrame)
-      : (DataFrame, List[(PartKey, DataFrame, Long, Map[String, Zone])]) = {
+      : (DataFrame, List[LakeDataset.Slice]) = {
     val p = prepared(df0)
-    val (counts, zc) = cellCountsOf(p)
-    splitPrepared(p, counts, zc)
+    val (counts, zc, bc) = cellCountsOf(p)
+    splitPrepared(p, counts, zc, bc)
   }
 
   /** Checkpoint a prepared batch and slice it per cell using precomputed
@@ -576,8 +606,9 @@ final class LakeDataset private (
     * routing column) alongside the slices. Mirrors the reference's eager
     * `Dataset::from_dataframe` split (src/dataset.rs:196-238).
     */
-  private def splitPrepared(p: DataFrame, cellCounts: Array[Row], zoneCols: Seq[String])
-      : (DataFrame, List[(PartKey, DataFrame, Long, Map[String, Zone])]) = {
+  private def splitPrepared(p: DataFrame, cellCounts: Array[Row],
+      zoneCols: Seq[String], bloomColsIn: Seq[String])
+      : (DataFrame, List[LakeDataset.Slice]) = {
     // Big batches spill to parquet like whole-table snapshots (the cell
     // counts give the size for free); partition-less datasets have no
     // pre-count and keep the checkpoint path.
@@ -586,14 +617,18 @@ final class LakeDataset private (
       else materializeSnapshot(p, cellCounts.map(_.getLong(cellKeyCols.length)).sum)
     val batch = snap.drop(LakeDataset.BucketCol)
 
+    def bloomsAt(row: Row, offset: Int, bc: Seq[String]): Option[Map[String, Bloom]] =
+      if (bc.isEmpty) None else Some(Bloom.fromRow(row, offset, bc))
+
     if (cellCounts == null) {
-      // Single-cell dataset: count + zones in ONE aggregation job over the
-      // snapshot (was a bare count).
-      val zc = zoneColsFor(snap.schema)
-      val aggCols = count(lit(1)) +: ZoneMap.aggs(zc)
+      // Single-cell dataset: count + zones + blooms in ONE aggregation job
+      // over the snapshot (was a bare count).
+      val (zc, bc) = statColsFor(snap.schema)
+      val aggCols = count(lit(1)) +: (ZoneMap.aggs(zc) ++ Bloom.aggs(bc))
       val row = snap.agg(aggCols.head, aggCols.tail: _*).head()
       return (batch,
-        List((PartKey(Nil, None), snap, row.getLong(0), ZoneMap.fromRow(row, 1, zc))))
+        List(LakeDataset.Slice(PartKey(Nil, None), snap, row.getLong(0),
+          ZoneMap.fromRow(row, 1, zc), bloomsAt(row, 1 + 2 * zc.length, bc))))
     }
 
     val keyCols = cellKeyCols
@@ -611,6 +646,7 @@ final class LakeDataset private (
         } else None
       val n = row.getLong(keyCols.length)
       val zones = ZoneMap.fromRow(row, keyCols.length + 1, zoneCols)
+      val blooms = bloomsAt(row, keyCols.length + 1 + 2 * zoneCols.length, bloomColsIn)
       val cond = partitionCols.zipWithIndex.map { case (c, i) =>
         if (row.isNullAt(i)) snap(c).isNull
         else snap(c) === lit(row.get(i))
@@ -619,7 +655,7 @@ final class LakeDataset private (
         else snap(LakeDataset.BucketCol) === lit(b)
       }
       val slice = snap.filter(cond.reduce(_ && _)).drop(LakeDataset.BucketCol)
-      (PartKey(partVals.sortBy(_._1), bucketNr), slice, n, zones)
+      LakeDataset.Slice(PartKey(partVals.sortBy(_._1), bucketNr), slice, n, zones, blooms)
     }
     (batch, slices)
   }
@@ -638,12 +674,18 @@ final class LakeDataset private (
     this.synchronized {
       val wasEmpty = parts.isEmpty
       markDirty()
-      slices.foreach { case (key, slice, n, z) =>
-        parts.compute(key, (_, existing) =>
+      slices.foreach { s =>
+        parts.compute(s.key, (_, existing) =>
           if (existing == null)
-            new LakePart(slice, key, bucketCols, nBuckets, n, retainDirect,
-              initialZones = Some(z), zoneColsOf = zoneColsFor)
-          else { existing.insert(slice, n); existing.widenZones(z); existing })
+            new LakePart(s.df, s.key, bucketCols, nBuckets, s.rows, retainDirect,
+              initialZones = Some(s.zones), statColsOf = statColsFor,
+              initialBlooms = s.blooms)
+          else {
+            existing.insert(s.df, s.rows)
+            existing.widenZones(s.zones)
+            s.blooms.foreach(existing.widenBlooms)
+            existing
+          })
       }
       // Creating from one batch: every part slices the same snapshot, so the
       // snapshot itself IS the whole-table view — reads plan one scan.
@@ -690,7 +732,7 @@ final class LakeDataset private (
     // immediately, so nothing retains a live reference to the source),
     // skipping a full batch write+read through the block store.
     val p = prepared(df)
-    val (counts, zoneCols) = cellCountsOf(p)
+    val (counts, zoneCols, bloomColsP) = cellCountsOf(p)
     val nCells = if (counts == null) 1 else counts.length
     this.synchronized {
       // Decide the path and capture the pre-merge snapshot BEFORE markDirty:
@@ -712,16 +754,18 @@ final class LakeDataset private (
         rebuildFromSnapshot(merged)
         retain(merged)
       } else {
-        val (batch, slices) = splitPrepared(p, counts, zoneCols)
-        slices.foreach { case (key, slice, n, z) =>
-          parts.compute(key, (_, existing) =>
+        val (batch, slices) = splitPrepared(p, counts, zoneCols, bloomColsP)
+        slices.foreach { s =>
+          parts.compute(s.key, (_, existing) =>
             if (existing == null)
-              new LakePart(slice, key, bucketCols, nBuckets, n, retainDirect,
-                initialZones = Some(z), zoneColsOf = zoneColsFor)
+              new LakePart(s.df, s.key, bucketCols, nBuckets, s.rows, retainDirect,
+                initialZones = Some(s.zones), statColsOf = statColsFor,
+                initialBlooms = s.blooms)
             else {
-              existing.upsert(slice, keys, n, leftWins = leftWins)
+              existing.upsert(s.df, keys, s.rows, leftWins = leftWins)
               // Sound widening: surviving values ⊆ old ∪ delta.
-              existing.widenZones(z)
+              existing.widenZones(s.zones)
+              s.blooms.foreach(existing.widenBlooms)
               existing
             })
         }
@@ -740,26 +784,57 @@ final class LakeDataset private (
     */
   private def probeBase(delta: DataFrame, keys: Seq[String]): DataFrame =
     cleanScan.getOrElse {
-      val zoneableKeys = keys.filter(k =>
-        delta.columns.contains(k) && ZoneMap.zoneable(delta.schema(k).dataType))
-      val deltaRanges: Map[String, Zone] =
-        if (zoneableKeys.isEmpty) Map.empty
-        else {
-          val aggCols = ZoneMap.aggs(zoneableKeys)
-          ZoneMap.fromRow(delta.agg(aggCols.head, aggCols.tail: _*).head(), 0, zoneableKeys)
-        }
-      // A key column whose delta range and part zone are BOTH known and
-      // disjoint proves no delta key lives in that part; any unknown side
-      // keeps the part (fail open). An empty delta yields empty zones which
-      // overlap nothing: the probe sees an empty frame and reports no work.
-      val views = parts.values().asScala.toList.collect {
-        case part if part.zones.forall(zs =>
-          deltaRanges.forall { case (c, dz) => zs.get(c).forall(_.overlaps(dz)) }) =>
-          part.view
-      }
+      val views = probeKeptParts(delta, keys).map(_.view)
       if (views.isEmpty) emptyLike
       else views.reduce(_ unionByName (_, allowMissingColumns = true))
     }
+
+  /** The parts a key probe must scan for `delta`'s keys — both stat axes:
+    *
+    *  - ZONES: a key column whose delta [min,max] and part zone are BOTH
+    *    known and disjoint proves no delta key lives in the part (one tiny
+    *    min/max aggregation over the delta);
+    *  - BLOOMS: for a bloom-tracked key column, the delta's DISTINCT values
+    *    (collected only when ≤ [[LakeDataset.MaxBloomProbeKeys]] — a
+    *    `distinct().limit(n+1)` early-terminating job) test against each
+    *    part's planes driver-side; a part where NO delta key might be
+    *    present is skipped. This is what range stats can never do for
+    *    hash-scattered keys spanning every part's whole interval.
+    *
+    * Any unknown side keeps the part (fail open). An empty delta yields
+    * empty zones which overlap nothing: the probe sees an empty frame and
+    * reports no work. Runs inside the dataset monitor.
+    */
+  private[graft] def probeKeptParts(delta: DataFrame, keys: Seq[String]): List[LakePart] = {
+    val zoneableKeys = keys.filter(k =>
+      delta.columns.contains(k) && ZoneMap.zoneable(delta.schema(k).dataType))
+    val deltaRanges: Map[String, Zone] =
+      if (zoneableKeys.isEmpty) Map.empty
+      else {
+        val aggCols = ZoneMap.aggs(zoneableKeys)
+        ZoneMap.fromRow(delta.agg(aggCols.head, aggCols.tail: _*).head(), 0, zoneableKeys)
+      }
+    val bloomHashes: Map[String, Seq[Seq[Long]]] = keys.iterator
+      .filter(k => bloomCols.contains(k) && delta.columns.contains(k))
+      .flatMap { k =>
+        val dt = delta.schema(k).dataType
+        val vals = delta.select(col(k)).filter(col(k).isNotNull).distinct()
+          .limit(LakeDataset.MaxBloomProbeKeys + 1).collect()
+        if (vals.length > LakeDataset.MaxBloomProbeKeys) None // too many: fail open
+        else {
+          val hs = vals.toSeq.flatMap(r => Bloom.hashesOf(r.get(0), dt))
+          if (hs.length == vals.length) Some(k -> hs) else None
+        }
+      }.toMap
+    parts.values().asScala.toList.filter { part =>
+      part.zones.forall(zs =>
+        deltaRanges.forall { case (c, dz) => zs.get(c).forall(_.overlaps(dz)) }) &&
+      part.blooms.forall(bs =>
+        bloomHashes.forall { case (c, hashes) =>
+          bs.get(c).forall(b => hashes.exists(b.mightContainHashes))
+        })
+    }
+  }
 
   /** Probe for cell-migrating keys: join the table (projected to keys + cell
     * columns — parquet column pruning makes this a key-index scan, not a
@@ -797,10 +872,10 @@ final class LakeDataset private (
       val (batch, slices) = splitByCell(keysDf)
       this.synchronized {
         markDirty()
-        // Zones intentionally untouched: post-delete data is a subset, so
-        // the existing interval stays a sound (if loose) superset.
-        slices.foreach { case (key, slice, _, _) =>
-          Option(parts.get(key)).foreach(_.delete(slice, keys))
+        // Zones/blooms intentionally untouched: post-delete data is a
+        // subset, so the existing stats stay a sound (if loose) superset.
+        slices.foreach { s =>
+          Option(parts.get(s.key)).foreach(_.delete(s.df, keys))
         }
         retain(batch)
       }
@@ -888,6 +963,16 @@ final class LakeDataset private (
       }
     }.toMap
 
+  /** Current per-part key blooms serialized for the manifest — membership
+    * stats survive a save/load cycle like zones do.
+    */
+  private def serializedBlooms: Map[String, Map[String, String]] =
+    parts.asScala.flatMap { case (key, part) =>
+      part.blooms.filter(_.nonEmpty).map { bs =>
+        key.relPath -> bs.map { case (c, b) => c -> b.encode }
+      }
+    }.toMap
+
   /** True when any live plan (clean scan or a part's frame) reads files
     * under `rootDir` — i.e. the dataset was lazily loaded from the same root
     * it is about to overwrite.
@@ -917,7 +1002,8 @@ final class LakeDataset private (
       // Manifest-only layout; keep the schema (from the clean scan an empty
       // insert published) so fromStorage can rebuild the empty table.
       val emptyDdl = cleanScan.map(_.schema.toDDL)
-      Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, emptyDdl), spec.root)
+      Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, emptyDdl,
+        bloomCols = bloomCols), spec.root)
       return
     }
     val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
@@ -955,8 +1041,8 @@ final class LakeDataset private (
         .partitionBy(dirCols: _*)
         .save(spec.root)
     }
-    Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats),
-      spec.root)
+    Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
+      bloomCols, serializedBlooms), spec.root)
   }
 
   /** Incremental save of a single cell — at scale you save the cells an
@@ -972,13 +1058,20 @@ final class LakeDataset private (
       if (dfReadsUnder(p.df, spec.root)) p.materialize()
       p.save(spec, dropCols = partitionCols)
       val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
-      Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats),
-        spec.root)
+      Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
+        bloomCols, serializedBlooms), spec.root)
     }
   }
 }
 
 object LakeDataset {
+  /** One routed cell of an incoming batch: key, lazy slice, row count, and
+    * the cell's stats (zones + blooms) from the routing aggregation.
+    */
+  private[lake] final case class Slice(
+      key: PartKey, df: DataFrame, rows: Long,
+      zones: Map[String, Zone], blooms: Option[Map[String, Bloom]])
+
   /** Internal bucket-id column, dropped before any user-visible output
     * (reference `$bucket`, src/dataset.rs:200-204).
     */
@@ -997,6 +1090,14 @@ object LakeDataset {
 
   /** Mutations tolerated before a read triggers dataset-level compaction. */
   val CompactReadThreshold: Long = 4L
+
+  /** Max distinct delta keys collected for a Bloom membership probe — above
+    * this the probe skips blooms (fail open) rather than hold an unbounded
+    * key list on the driver. Small deltas (point deletes, trickle upserts)
+    * are exactly where membership pruning pays; big deltas take the
+    * wide-merge path anyway.
+    */
+  val MaxBloomProbeKeys: Int = 256
 
   /** Cell count above which toStorage switches from concurrent per-part
     * write jobs to one dynamic-partition write job (driver job scheduling
@@ -1022,9 +1123,11 @@ object LakeDataset {
       nBuckets: Int = 5,
       storage: Option[StorageSpec] = None,
       auditColumns: Boolean = false,
-      auditClock: () => Column = () => current_timestamp()): LakeDataset = {
+      auditClock: () => Column = () => current_timestamp(),
+      bloomCols: Seq[String] = Nil): LakeDataset = {
     val ds = new LakeDataset(spark, partitionCols.toList, bucketCols.toList, nBuckets,
-      storage, if (auditColumns) Some(auditClock) else None)
+      storage, bloomCols = bloomCols.toList,
+      auditClock = if (auditColumns) Some(auditClock) else None)
     ds.insert(df)
     ds
   }
@@ -1037,7 +1140,8 @@ object LakeDataset {
     import org.apache.spark.sql.types.StructType
     val manifest = Manifest.read(root)
     val ds = new LakeDataset(spark, manifest.partitions, manifest.buckets,
-      manifest.nBuckets, Some(manifest.storage.copy(root = root)))
+      manifest.nBuckets, Some(manifest.storage.copy(root = root)),
+      bloomCols = manifest.bloomCols)
 
     val leafDirs = discoverLeafDirs(Paths.get(root))
     val target: Option[StructType] = manifest.schemaDdl.map(StructType.fromDDL)
@@ -1129,9 +1233,17 @@ object LakeDataset {
           }
         }
       }
+      // Restore the part's key blooms (restricted to the declared set; a
+      // bad decode drops its column — stats degrade to unknown, fail open).
+      val blooms: Option[Map[String, Bloom]] =
+        manifest.partBlooms.get(key.relPath).map { cols =>
+          cols.flatMap { case (c, b64) =>
+            if (manifest.bloomCols.contains(c)) Bloom.decode(b64).map(c -> _) else None
+          }
+        }.filter(_.nonEmpty)
       ds.parts.put(key,
         new LakePart(df, key, manifest.buckets, manifest.nBuckets, -1L, ds.retainDirect,
-          initialZones = zones, zoneColsOf = ds.zoneColsFor))
+          initialZones = zones, statColsOf = ds.statColsFor, initialBlooms = blooms))
     }
     if (!eager) ds.cleanScan = Some(whole)
     ds

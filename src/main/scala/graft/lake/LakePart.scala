@@ -38,20 +38,31 @@ final class LakePart private[lake] (
       * it a sound superset); a dataset-level rebuild recomputes it tight.
       */
     initialZones: Option[Map[String, Zone]] = None,
-    /** The owning dataset's FIXED tracked-zone-column selector. Materialize
-      * recomputes stats through it so the part never tracks a different set
-      * than the routing aggregation widens with (set drift is unsound — see
+    /** The owning dataset's FIXED tracked-stat-column selector, returning
+      * (zone columns, bloom columns) for a schema. Materialize recomputes
+      * stats through it so the part never tracks a different set than the
+      * routing aggregation widens with (set drift is unsound — see
       * LakeDataset.trackedZoneSet).
       */
-    zoneColsOf: org.apache.spark.sql.types.StructType => Seq[String] =
-      s => ZoneMap.zoneCols(s)) {
+    statColsOf: org.apache.spark.sql.types.StructType => (Seq[String], Seq[String]) =
+      s => (ZoneMap.zoneCols(s), Nil),
+    /** Per-column key Bloom filters of this part's data (see [[Bloom]]);
+      * None = no statistics (membership pruning fails open). Mutations OR
+      * plane bits (sound superset); rebuilds recompute tight.
+      */
+    initialBlooms: Option[Map[String, Bloom]] = None) {
 
   private val ref = new AtomicReference[DataFrame](initial)
   private val zonesRef =
     new AtomicReference[Option[Map[String, Zone]]](initialZones)
+  private val bloomsRef =
+    new AtomicReference[Option[Map[String, Bloom]]](initialBlooms)
 
   /** Current zone maps; None = no statistics (pruning fails open). */
   def zones: Option[Map[String, Zone]] = zonesRef.get
+
+  /** Current key blooms; None = no statistics (pruning fails open). */
+  def blooms: Option[Map[String, Bloom]] = bloomsRef.get
 
   /** Widen this part's zones with an incoming batch's cell zones. A part
     * with unknown zones stays unknown (there is nothing sound to widen).
@@ -59,6 +70,15 @@ final class LakePart private[lake] (
   private[lake] def widenZones(delta: Map[String, Zone]): Unit =
     zonesRef.updateAndGet {
       case Some(old) => Some(ZoneMap.widen(old, delta))
+      case None => None
+    }
+
+  /** OR this part's blooms with an incoming batch's cell blooms (same
+    * directional soundness as [[widenZones]]).
+    */
+  private[lake] def widenBlooms(delta: Map[String, Bloom]): Unit =
+    bloomsRef.updateAndGet {
+      case Some(old) => Some(Bloom.widen(old, delta))
       case None => None
     }
   /** Maintained row counter; deliberately stale after upsert until the next
@@ -151,11 +171,12 @@ final class LakePart private[lake] (
       // (mutations in between only ever widened them), and parts that had
       // no stats at all (lazily loaded) gain them.
       import org.apache.spark.sql.functions.{count, lit}
-      val zc = zoneColsOf(m.schema)
-      val statAggs = count(lit(1)) +: ZoneMap.aggs(zc)
+      val (zc, bc) = statColsOf(m.schema)
+      val statAggs = count(lit(1)) +: (ZoneMap.aggs(zc) ++ Bloom.aggs(bc))
       val row = m.agg(statAggs.head, statAggs.tail: _*).head()
       rows.set(row.getLong(0))
       zonesRef.set(Some(ZoneMap.fromRow(row, 1, zc)))
+      if (bc.nonEmpty) bloomsRef.set(Some(Bloom.fromRow(row, 1 + 2 * zc.length, bc)))
       changes.set(0L)
       mutationOps.set(0L)
     }

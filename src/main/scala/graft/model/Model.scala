@@ -73,7 +73,15 @@ final case class Manifest(
       * (pruning fails open). Old manifests without the field load the same
       * way.
       */
-    partStats: Map[String, Map[String, (Option[String], Option[String])]] = Map.empty)
+    partStats: Map[String, Map[String, (Option[String], Option[String])]] = Map.empty,
+    /** Columns carrying per-part key Bloom filters (engine membership
+      * statistics, opt-in at table creation). */
+    bloomCols: List[String] = Nil,
+    /** Per-part key blooms: part relPath → column → base64 plane bytes.
+      * Parts missing from the map load without membership stats (pruning
+      * fails open). Old manifests without the field load the same way.
+      */
+    partBlooms: Map[String, Map[String, String]] = Map.empty)
 
 object Manifest {
   val FileName = "_manifest.json"
@@ -99,6 +107,17 @@ object Manifest {
           mn.foreach(cn.put("min", _))
           mx.foreach(cn.put("max", _))
         }
+      }
+    }
+    if (m.bloomCols.nonEmpty) {
+      val bc = node.putArray("bloom_cols")
+      m.bloomCols.foreach(bc.add)
+    }
+    if (m.partBlooms.nonEmpty) {
+      val blooms = node.putObject("part_blooms")
+      m.partBlooms.foreach { case (rel, cols) =>
+        val pn = blooms.putObject(rel)
+        cols.foreach { case (c, b64) => pn.put(c, b64) }
       }
     }
     val st = node.putObject("storage")
@@ -139,6 +158,14 @@ object Manifest {
             c -> (Option(cn.get("min")).map(_.asText()),
               Option(cn.get("max")).map(_.asText()))
           }.toMap
+        }.toMap
+      }.getOrElse(Map.empty),
+      bloomCols = Option(node.get("bloom_cols"))
+        .map(_.elements().asScala.map(_.asText()).toList).getOrElse(Nil),
+      partBlooms = Option(node.get("part_blooms")).map { blooms =>
+        blooms.fieldNames().asScala.map { rel =>
+          val pn = blooms.get(rel)
+          rel -> pn.fieldNames().asScala.map(c => c -> pn.get(c).asText()).toMap
         }.toMap
       }.getOrElse(Map.empty))
   }
