@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Bucketing
 import graft.lake.{Database, LakeDataset}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, MinhashIndex, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), with a DuckDB-equivalent oracle where SQL-expressible.
@@ -758,6 +758,17 @@ object SparkEntry {
         .orderBy("doc")
     }),
 
+    // Winnowing with an integer modular rolling hash — the oracle-checked
+    // exact twin of text_winnow (same k-gram/min-window/distinct machinery,
+    // SQL-reproducible hash).
+    "text_winnow_int" -> ((s, dir) => {
+      TextAnalysis.winnowFingerprintsInt(
+        table(s, dir, "documents"), "text", "doc_id")
+        .groupBy("doc")
+        .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"), max("fp").as("max_fp"))
+        .orderBy("doc")
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(Fixtures.dupDocuments(s, dir), "text", "doc_id")
         .select(col("canonical_id"), col("dup_count"))
@@ -768,6 +779,24 @@ object SparkEntry {
     // (xxhash64 signatures); DedupSpec asserts the planted pairs are found.
     "dedup_minhash" -> ((s, dir) => {
       Dedup.minhashDedup(Fixtures.nearDupDocuments(s, dir), "text", "doc_id",
+          threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Incremental MinHash through the PERSISTED index: the corpus index is
+    // bootstrapped once (Fixtures); the measured query reopens a copy and
+    // adds ONE small batch (the near-dup copies) — signing only the batch
+    // and band-joining new-vs-all, so the cost is ∝ batch, not corpus
+    // (compare dedup_minhash, the full recompute, in the same bench).
+    // IncrementalDedupSpec asserts batched pair sets equal the recompute.
+    // xxhash-based → rows-only; dedup_ngram_jaccard is the exact twin.
+    "dedup_minhash_incr" -> ((s, dir) => {
+      val corpus = Fixtures.nearDupDocuments(s, dir)
+      val root = Files.createTempDirectory("graft_mh_incr").toString
+      Fixtures.copyDir(Fixtures.minhashIndexRoot(s, dir), root)
+      val idx = MinhashIndex.open(s, root)
+      idx.addBatch(corpus.filter(col("doc_id") >= 100000), "text", "doc_id",
           threshold = 0.5)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy("doc_a", "doc_b")
@@ -830,6 +859,20 @@ object SparkEntry {
       // amortize over their query stream.
       val (centroids, assigned) = Fixtures.ivfIndex(s, dir)
       Similarity.ivfTopK(assigned, centroids, "embedding", "vec_id", q, 10, nprobe = 4)
+    }),
+
+    // PERSISTED IVF: the index saved as a centroid-partitioned lake dataset,
+    // loaded back (no rebuild), then probed across ALL centroids on the
+    // quantized-cosine grid — which must equal the exact top-k, so the whole
+    // save -> load -> prune -> probe path is oracle-checked (same SQL as
+    // ann_exact_topk).
+    "ann_ivf_persisted" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .head().getSeq[Float](1).toSeq
+      val index = Fixtures.ivfLake(s, dir)
+      Similarity.ivfTopKLake(index, "embedding", "vec_id", q, 10,
+        nprobe = index.centroids.size, quantize = true)
     }),
 
     // Integer byte-slot features through the typed mapPartitions decode seam
@@ -1329,6 +1372,35 @@ object SparkEntry {
         |  FROM tfc JOIN idf ON tfc.w = idf.w)
         |SELECT doc, w, tf, df, score_int, rk FROM scored WHERE rk <= 5""".stripMargin,
 
+    "text_winnow_int" ->
+      """WITH words AS (
+        |  SELECT doc_id AS doc,
+        |         generate_subscripts(string_split(trim(text), ' '), 1) AS pos,
+        |         unnest(string_split(trim(text), ' ')) AS w
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT w, ROW_NUMBER() OVER (ORDER BY w) AS wid
+        |  FROM (SELECT DISTINCT w FROM words) t),
+        |grams AS (
+        |  SELECT doc, pos,
+        |    wid AS id0,
+        |    LEAD(wid, 1) OVER (PARTITION BY doc ORDER BY pos) AS id1,
+        |    LEAD(wid, 2) OVER (PARTITION BY doc ORDER BY pos) AS id2,
+        |    LEAD(wid, 3) OVER (PARTITION BY doc ORDER BY pos) AS id3
+        |  FROM words JOIN vocab USING (w)),
+        |hashed AS (
+        |  SELECT doc, pos,
+        |    ((((((id0 % 2147483647) * 1000003 + id1) % 2147483647) * 1000003
+        |       + id2) % 2147483647) * 1000003 + id3) % 2147483647 AS h
+        |  FROM grams WHERE id3 IS NOT NULL),
+        |fps AS (
+        |  SELECT DISTINCT doc,
+        |    MIN(h) OVER (PARTITION BY doc ORDER BY pos
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM hashed)
+        |SELECT doc, COUNT(*) AS n_fp, MIN(fp) AS min_fp, MAX(fp) AS max_fp
+        |FROM fps GROUP BY doc ORDER BY doc""".stripMargin,
+
     "dedup_embedding_exact" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding FROM embeddings
@@ -1345,6 +1417,17 @@ object SparkEntry {
         |SELECT doc_a, doc_b, cos_q FROM pairs WHERE cos_q >= 900000""".stripMargin,
 
     "ann_exact_topk" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) * 1000000)
+        |       AS BIGINT) AS cos_q
+        |FROM embeddings, q
+        |ORDER BY cos_q DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Probing ALL inverted lists of the persisted index on the quantized
+    // grid IS the exact top-k — same oracle as ann_exact_topk.
+    "ann_ivf_persisted" ->
       """WITH q AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,

@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.lake.LakeDataset
+import graft.model.StorageSpec
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -172,13 +175,11 @@ object Similarity {
     (centroids, assignToCentroids(df, vecCol, centroids))
   }
 
-  /** IVF top-k: probe only the `nprobe` centroids closest to the query,
-    * scan just their inverted lists, exact cosine inside.
+  /** The `nprobe` centroid ids closest to the query by cosine (driver-side
+    * over the small centroid list; ties break by id).
     */
-  def ivfTopK(
-      assigned: DataFrame, centroids: Seq[(Int, Seq[Double])],
-      vecCol: String, idCol: String,
-      query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+  def probeCentroids(
+      centroids: Seq[(Int, Seq[Double])], query: Seq[Float], nprobe: Int): Seq[Int] = {
     val qd = query.map(_.toDouble)
     def cos(c: Seq[Double]): Double = {
       val dot = c.zip(qd).map { case (x, y) => x * y }.sum
@@ -186,12 +187,82 @@ object Similarity {
       val nq = math.sqrt(qd.map(x => x * x).sum)
       if (nc == 0 || nq == 0) 0.0 else dot / (nc * nq)
     }
-    val probes = centroids.sortBy { case (cid, c) => (-cos(c), cid) }
-      .take(nprobe).map(_._1)
+    centroids.sortBy { case (cid, c) => (-cos(c), cid) }.take(nprobe).map(_._1)
+  }
+
+  /** IVF top-k: probe only the `nprobe` centroids closest to the query,
+    * scan just their inverted lists, exact cosine inside.
+    */
+  def ivfTopK(
+      assigned: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      vecCol: String, idCol: String,
+      query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+    val probes = probeCentroids(centroids, query, nprobe)
     assigned
       .filter(col("centroid").isin(probes: _*))
       .select(col(idCol), cosineToQuery(col(vecCol), query).as("cosine"))
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)
+  }
+
+  /** A PERSISTED IVF index: the driver-side centroid list plus the
+    * centroid-assigned corpus as a lake dataset PARTITIONED BY `centroid` —
+    * the 100 TB layout, where each inverted list is a partition directory
+    * and a probe plans only its `nprobe` directories (engine part pruning;
+    * nothing else is even opened). Both halves live under one root
+    * (`root/centroids`, `root/assigned`) with manifests, so the index
+    * amortizes across SESSIONS, not just across queries within one.
+    */
+  final case class IvfLake(centroids: Seq[(Int, Seq[Double])], assigned: LakeDataset)
+
+  /** Persist a built IVF index ([[buildIvf]] output) under `root`. */
+  def saveIvf(
+      spark: SparkSession, root: String,
+      centroids: Seq[(Int, Seq[Double])], assigned: DataFrame): Unit = {
+    import spark.implicits._
+    val cdf = centroids.toDF("cid", "cvec")
+    LakeDataset.fromDataFrame(spark, cdf,
+      storage = Some(StorageSpec(s"$root/centroids"))).toStorage()
+    LakeDataset.fromDataFrame(spark, assigned,
+      partitionCols = Seq("centroid"),
+      storage = Some(StorageSpec(s"$root/assigned"))).toStorage()
+  }
+
+  /** Load a persisted IVF index — no rebuild, no Lloyd pass: the centroid
+    * table collects (it is `numCentroids` rows) and the inverted lists stay
+    * on disk until a probe prunes to them.
+    */
+  def loadIvf(spark: SparkSession, root: String): IvfLake = {
+    val centroids = LakeDataset.fromStorage(spark, s"$root/centroids").toDF
+      .select("cid", "cvec").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1).toSeq
+    IvfLake(centroids, LakeDataset.fromStorage(spark, s"$root/assigned"))
+  }
+
+  /** IVF top-k over a persisted index: the probe list prunes at the PART
+    * level (each probed centroid is one partition directory), so the scan
+    * unions exactly `nprobe` inverted lists. `quantize=true` scores on the
+    * engine-portable 1e-6 cosine grid of [[exactTopKQuantized]] (column
+    * `cos_q`) — with `nprobe = numCentroids` that result is the exact top-k,
+    * which is how the persisted path gets an oracle-checked gate query.
+    */
+  def ivfTopKLake(
+      index: IvfLake, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int, nprobe: Int,
+      quantize: Boolean = false): DataFrame = {
+    val probes = probeCentroids(index.centroids, query, nprobe)
+    val scan = probes
+      .map(p => index.assigned.prunedDF(Map("centroid" -> p.toString)))
+      .reduce(_ unionByName _)
+    val scored =
+      if (quantize) {
+        val qLit = array(query.map(q => lit(q.toDouble)): _*)
+        scan.select(col(idCol),
+          round(cosineHof(col(vecCol), qLit) * 1000000).cast("long").as("cos_q"))
+      } else
+        scan.select(col(idCol), cosineToQuery(col(vecCol), query).as("cosine"))
+    val scoreCol = if (quantize) "cos_q" else "cosine"
+    scored.orderBy(desc(scoreCol), col(idCol)).limit(k)
   }
 }

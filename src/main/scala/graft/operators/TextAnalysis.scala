@@ -198,4 +198,47 @@ object TextAnalysis {
       .select(col("doc"), col("fp"))
       .distinct()
   }
+
+  /** [[winnowFingerprints]] with an INTEGER rolling hash instead of
+    * xxhash64, so the whole scheme — k-gram build, min-of-window selection,
+    * distinct fingerprint set — is reproducible in an ANSI-SQL oracle.
+    *
+    * Words get dense integer ids from a vocabulary table (row_number over
+    * the sorted distinct words — a single-partition sort bounded by VOCAB
+    * size, not corpus size; this is the documented eval-path trade, the
+    * production path is the shuffle-free xxhash64 variant above). Each
+    * k-gram hashes by the modular polynomial `h = fold((acc*B + id) % M)`
+    * with B=1000003, M=2^31-1: acc < M and B·M < 2^63 keep every
+    * intermediate exact in int64 arithmetic for Spark and the oracle alike.
+    *
+    * Divergence from the xxhash64 variant: only COMPLETE k-grams hash (a
+    * document shorter than k words yields no fingerprints) — partial-gram
+    * fallback would need null-handling the SQL mirror can't express
+    * identically. Same shared-run guarantee for docs ≥ k+window-1 words.
+    */
+  def winnowFingerprintsInt(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 4, window: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val B = 1000003L
+    val M = 2147483647L
+    val words = df.select(
+      col(idCol).as("doc"),
+      posexplode(split(trim(col(textCol)), " ")).as(Seq("pos", "w")))
+    val vocab = words.select("w").distinct()
+      .withColumn("wid", row_number().over(W.orderBy("w")).cast("long"))
+    val byPos = W.partitionBy("doc").orderBy("pos")
+    val ids = words.join(vocab, "w").select(col("doc"), col("pos"), col("wid"))
+    val idCols = col("wid").as("id0") +:
+      (1 until k).map(j => lead(col("wid"), j).over(byPos).as(s"id$j"))
+    val h = (1 until k).foldLeft(col("id0") % M) { (acc, j) =>
+      (acc * B + col(s"id$j")) % M
+    }
+    ids.select(Seq(col("doc"), col("pos")) ++ idCols: _*)
+      .filter(col(s"id${k - 1}").isNotNull)
+      .select(col("doc"), col("pos"), h.as("h"))
+      .withColumn("fp", min(col("h")).over(byPos.rowsBetween(0, window - 1)))
+      .select(col("doc"), col("fp"))
+      .distinct()
+  }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, MinhashIndex}
+
+/** Incremental MinHash index vs the full recompute: the union of per-batch
+  * pair sets must EQUAL minhashDedup over the whole corpus (same hashes,
+  * banding, verify), and the persisted state must survive a reopen.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+
+  test("batched ingest reproduces the full-recompute pair set exactly") {
+    val corpus = Fixtures.nearDupDocuments(spark, sf())
+    val full = pairs(Dedup.minhashDedup(corpus, "text", "doc_id", threshold = 0.5))
+    assert(full.nonEmpty, "fixture must contain planted near-dups")
+
+    val root = Files.createTempDirectory("graft_mh_idx").toString
+    val idx = MinhashIndex.open(spark, root)
+    val b0 = corpus.filter(col("doc_id") < 200)
+    val b1 = corpus.filter(col("doc_id") >= 200 && col("doc_id") < 100000)
+    val b2 = corpus.filter(col("doc_id") >= 100000)
+    val incremental =
+      pairs(idx.addBatch(b0, "text", "doc_id", threshold = 0.5)) ++
+      pairs(idx.addBatch(b1, "text", "doc_id", threshold = 0.5)) ++
+      pairs(idx.addBatch(b2, "text", "doc_id", threshold = 0.5))
+    assert(incremental == full)
+    assert(idx.batches == 3)
+  }
+
+  test("index persists: a reopened session sees prior batches' documents") {
+    val corpus = Fixtures.nearDupDocuments(spark, sf())
+    val root = Files.createTempDirectory("graft_mh_idx2").toString
+
+    val first = MinhashIndex.open(spark, root)
+    first.addBatch(corpus.filter(col("doc_id") < 100000), "text", "doc_id",
+      threshold = 0.5)
+
+    // New handle, fresh state read from disk: batch numbering continues and
+    // the near-dup copies must pair with ORIGINALS ingested by `first`.
+    val reopened = MinhashIndex.open(spark, root)
+    assert(reopened.batches == 1)
+    val p = pairs(reopened.addBatch(
+      corpus.filter(col("doc_id") >= 100000), "text", "doc_id", threshold = 0.5))
+    assert(reopened.batches == 2)
+    val crossBatch = p.filter { case (a, b, _) => a < 100000 && b >= 100000 }
+    assert(crossBatch.nonEmpty, "cross-batch pairs must come from persisted state")
+    // planted pairs: every 10th doc has a near-dup copy at id+100000
+    assert(crossBatch.exists { case (a, b, _) => b == a + 100000 })
+  }
+
+  test("per-batch work scales with the batch: second batch signs only new docs") {
+    val corpus = Fixtures.nearDupDocuments(spark, sf())
+    val root = Files.createTempDirectory("graft_mh_idx3").toString
+    val idx = MinhashIndex.open(spark, root)
+    idx.addBatch(corpus.filter(col("doc_id") < 100000), "text", "doc_id")
+    // the persisted band table holds one batch=0 directory; adding a tiny
+    // batch must append a batch=1 directory without rewriting batch=0
+    val bands0 = java.nio.file.Paths.get(s"$root/bands/batch=0")
+    val before = Files.walk(bands0).filter(_.toString.endsWith(".parquet"))
+      .map[String](_.toString).toArray
+    idx.addBatch(corpus.filter(col("doc_id") >= 100000).limit(10), "text", "doc_id")
+    val after = Files.walk(bands0).filter(_.toString.endsWith(".parquet"))
+      .map[String](_.toString).toArray
+    assert(before.sameElements(after), "batch=0 files must be untouched")
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/bands/batch=1")))
+  }
+}

@@ -143,6 +143,31 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@10 = $recall")
   }
 
+  test("persisted IVF: save/load round trip probes identically, no rebuild") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 3).head().getSeq[Float](1).toSeq
+    val (centroids, assigned) = Similarity.buildIvf(e, "embedding", "vec_id", 16, 64)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    Similarity.saveIvf(spark, root, centroids, assigned)
+    val index = Similarity.loadIvf(spark, root)
+    // centroids survive byte-exact
+    assert(index.centroids == centroids)
+    // the loaded index's inverted lists are one partition directory each
+    assert(index.assigned.numParts == centroids.size)
+    // probing the loaded index returns the same rows as the in-memory one
+    val mem = Similarity.ivfTopK(assigned, centroids, "embedding", "vec_id", q, 10, 4)
+      .select("vec_id").as[Long].collect().toSet
+    val disk = Similarity.ivfTopKLake(index, "embedding", "vec_id", q, 10, 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(disk == mem)
+    // all-lists quantized probe == exact top-k (the gate query's invariant)
+    val exact = Similarity.exactTopKQuantized(e, "embedding", "vec_id", q, 10)
+      .as[(Long, Long)].collect().toSeq
+    val allProbe = Similarity.ivfTopKLake(index, "embedding", "vec_id", q, 10,
+      nprobe = 16, quantize = true).as[(Long, Long)].collect().toSeq
+    assert(allProbe == exact)
+  }
+
   // ------------------------------------------------------------------ joins
 
   test("salted join equals plain join on skewed data") {
@@ -265,6 +290,21 @@ class OperatorsSpec extends SparkSpec {
     assert(overlap(0L, 100000L) > 0.8, s"planted overlap: ${overlap(0L, 100000L)}")
     // unrelated docs share few
     assert(overlap(1L, 2L) < 0.5, s"unrelated overlap: ${overlap(1L, 2L)}")
+  }
+
+  test("winnowing int twin: same guarantees, hashes bounded by the modulus") {
+    import graft.operators.TextAnalysis
+    val fps = TextAnalysis.winnowFingerprintsInt(
+      Fixtures.nearDupDocuments(spark, sf()), "text", "doc_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def overlap(a: Long, b: Long): Double = {
+      val (fa, fb) = (fps(a), fps(b))
+      (fa & fb).size.toDouble / math.min(fa.size, fb.size)
+    }
+    assert(overlap(0L, 100000L) > 0.8, s"planted overlap: ${overlap(0L, 100000L)}")
+    assert(overlap(1L, 2L) < 0.5, s"unrelated overlap: ${overlap(1L, 2L)}")
+    // every fingerprint is a valid modular-polynomial residue
+    assert(fps.values.flatten.forall(h => h >= 0L && h < 2147483647L))
   }
 
   test("fingerprint is normalization-invariant") {
