@@ -162,36 +162,85 @@ final class LakeDataset private (
     (dfs.flatMap(Bridge.checkpointRdds).map(_.id).toSet,
       dfs.flatMap(Bridge.scanRootPaths))
 
-  /** Eagerly checkpoint and track as pending. */
-  private def ckpt(df: DataFrame): DataFrame = {
-    val c = df.localCheckpoint(true)
-    val refs = Bridge.checkpointRdds(c).map(new RddRef(_))
-    pendingSnaps.synchronized { pendingSnaps ++= refs }
-    c
-  }
+  /** Snapshot reliability mode (`spark.graft.snapshot.mode`):
+    *
+    *  - `local` (default): small snapshots use `localCheckpoint`, which pins
+    *    blocks in THIS executor set — fast, but lost on executor death and
+    *    meaningless with dynamic allocation;
+    *  - `reliable`: every snapshot (whole-table, batch, per-part compaction)
+    *    spills to parquet under [[spillDir]] instead. Point
+    *    `spark.graft.snapshot.dir` at cluster scratch space (HDFS/S3) and
+    *    compaction state survives any executor: the cluster-mode setting.
+    *
+    * Read per call, so tests and sessions can flip it between lifecycles.
+    */
+  private def reliableSnapshots: Boolean =
+    spark.conf.get("spark.graft.snapshot.mode", "local") == "reliable"
+
+  /** Eagerly checkpoint and track as pending. In reliable mode this is a
+    * parquet spill — same ledger, directory-backed refs.
+    */
+  private def ckpt(df: DataFrame): DataFrame =
+    if (reliableSnapshots) spillSnapshot(df)
+    else {
+      val c = df.localCheckpoint(true)
+      val refs = Bridge.checkpointRdds(c).map(new RddRef(_))
+      pendingSnaps.synchronized { pendingSnaps ++= refs }
+      c
+    }
 
   /** Spill directory for big snapshots — deliberately NOT under the storage
-    * root (toStorage wipes the root). On a cluster this is scratch space /
-    * HDFS; locally a temp dir.
+    * root (toStorage wipes the root). On a cluster set
+    * `spark.graft.snapshot.dir` to shared scratch space (each dataset takes
+    * a unique subdirectory, so generation names never collide); locally a
+    * temp dir.
     */
   private lazy val spillDir: String =
-    Files.createTempDirectory("graft-snap-").toString
+    spark.conf.getOption("spark.graft.snapshot.dir") match {
+      case Some(base) =>
+        val d = Paths.get(base, s"ds-${java.util.UUID.randomUUID()}")
+        Files.createDirectories(d)
+        d.toString
+      case None => Files.createTempDirectory("graft-snap-").toString
+    }
   private val snapshotGen = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Spill a snapshot to parquet and track it as pending. */
+  private def spillSnapshot(df: DataFrame): DataFrame = {
+    val dir = s"$spillDir/gen-${snapshotGen.incrementAndGet()}"
+    df.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    pendingSnaps.synchronized { pendingSnaps += new DirRef(dir) }
+    back
+  }
 
   /** Materialize a whole-table or batch snapshot. Small data checkpoints
     * into the block store; big data spills to parquet — the block store
     * collapses under multi-GB snapshots (measured 104s checkpoint vs 5s
     * parquet write for the same 18M-row merge, and the parquet read-back
     * gets column pruning + filter pushdown for free). Tracked as pending
-    * until the owning mutation retains it.
+    * until the owning mutation retains it. Reliable mode always spills.
     */
   private def materializeSnapshot(df: DataFrame, estRows: Long): DataFrame =
-    if (estRows >= 0 && estRows <= LakeDataset.SpillSnapshotRows) ckpt(df)
+    if (!reliableSnapshots &&
+        estRows >= 0 && estRows <= LakeDataset.SpillSnapshotRows) ckpt(df)
+    else spillSnapshot(df)
+
+  /** Snapshot function handed to parts for their own compaction
+    * ([[LakePart.materialize]]): local checkpoint normally, parquet spill in
+    * reliable mode. Part snapshots are live state the moment they exist, so
+    * the spill ref registers as RETAINED (releasable once a later rebuild
+    * supersedes it) — the RDD path gets the same treatment from the part's
+    * `onCheckpoint = retainDirect` callback, which no-ops for spill-backed
+    * frames (they carry no checkpoint RDDs).
+    */
+  private[lake] def partSnapshot(df: DataFrame): DataFrame =
+    if (!reliableSnapshots) df.localCheckpoint(true)
     else {
       val dir = s"$spillDir/gen-${snapshotGen.incrementAndGet()}"
       df.write.mode("overwrite").parquet(dir)
       val back = spark.read.parquet(dir)
-      pendingSnaps.synchronized { pendingSnaps += new DirRef(dir) }
+      pendingSnaps.synchronized { retainedSnaps += new DirRef(dir) }
       back
     }
 
@@ -312,7 +361,8 @@ final class LakeDataset private (
       val row = snap.agg(statAggs.head, statAggs.tail: _*).head()
       parts.put(key, new LakePart(snap, key, bucketCols, nBuckets, row.getLong(0),
         retainDirect, initialZones = Some(ZoneMap.fromRow(row, 1, zc)),
-        statColsOf = statColsFor, initialBlooms = bloomsAt(row, 1 + 2 * zc.length)))
+        statColsOf = statColsFor, initialBlooms = bloomsAt(row, 1 + 2 * zc.length),
+        snapshot = partSnapshot))
     } else {
       val nKeyCols = partitionCols.length + (if (bucketCols.nonEmpty) 1 else 0)
       cells.foreach { row =>
@@ -336,7 +386,8 @@ final class LakeDataset private (
         parts.put(key,
           new LakePart(snap.filter(cond.reduce(_ && _)), key, bucketCols, nBuckets, n,
             retainDirect, initialZones = Some(zones), statColsOf = statColsFor,
-            initialBlooms = bloomsAt(row, nKeyCols + 1 + 2 * zc.length)))
+            initialBlooms = bloomsAt(row, nKeyCols + 1 + 2 * zc.length),
+            snapshot = partSnapshot))
       }
     }
     cleanScan = Some(snap)
@@ -679,7 +730,7 @@ final class LakeDataset private (
           if (existing == null)
             new LakePart(s.df, s.key, bucketCols, nBuckets, s.rows, retainDirect,
               initialZones = Some(s.zones), statColsOf = statColsFor,
-              initialBlooms = s.blooms)
+              initialBlooms = s.blooms, snapshot = partSnapshot)
           else {
             existing.insert(s.df, s.rows)
             existing.widenZones(s.zones)
@@ -760,7 +811,7 @@ final class LakeDataset private (
             if (existing == null)
               new LakePart(s.df, s.key, bucketCols, nBuckets, s.rows, retainDirect,
                 initialZones = Some(s.zones), statColsOf = statColsFor,
-                initialBlooms = s.blooms)
+                initialBlooms = s.blooms, snapshot = partSnapshot)
             else {
               existing.upsert(s.df, keys, s.rows, leftWins = leftWins)
               // Sound widening: surviving values ⊆ old ∪ delta.
@@ -1209,7 +1260,7 @@ object LakeDataset {
         case Some(t) => restored.select(t.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
         case None => restored
       }
-      val df = if (eager) { val c = df0.localCheckpoint(true); ds.retainDirect(c); c } else df0
+      val df = if (eager) { val c = ds.partSnapshot(df0); ds.retainDirect(c); c } else df0
       val key = PartKey(partVals, bucketNr)
       // Restore this part's zone maps from the manifest (typed via the
       // schema DDL). A bound that fails to decode drops its COLUMN — stats
@@ -1243,7 +1294,8 @@ object LakeDataset {
         }.filter(_.nonEmpty)
       ds.parts.put(key,
         new LakePart(df, key, manifest.buckets, manifest.nBuckets, -1L, ds.retainDirect,
-          initialZones = zones, statColsOf = ds.statColsFor, initialBlooms = blooms))
+          initialZones = zones, statColsOf = ds.statColsFor, initialBlooms = blooms,
+          snapshot = ds.partSnapshot))
     }
     if (!eager) ds.cleanScan = Some(whole)
     ds

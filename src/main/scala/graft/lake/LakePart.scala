@@ -50,7 +50,12 @@ final class LakePart private[lake] (
       * None = no statistics (membership pruning fails open). Mutations OR
       * plane bits (sound superset); rebuilds recompute tight.
       */
-    initialBlooms: Option[Map[String, Bloom]] = None) {
+    initialBlooms: Option[Map[String, Bloom]] = None,
+    /** How this part materializes its accumulated plan — the owning
+      * dataset's snapshot policy (local checkpoint, or parquet spill in
+      * reliable mode; see `LakeDataset.partSnapshot`).
+      */
+    snapshot: DataFrame => DataFrame = _.localCheckpoint(true)) {
 
   private val ref = new AtomicReference[DataFrame](initial)
   private val zonesRef =
@@ -164,7 +169,7 @@ final class LakePart private[lake] (
     // collapse and nothing to recount. (Lazily loaded parts carry rows = -1
     // and still materialize eagerly.)
     if (changes.get != 0L || mutationOps.get != 0L || rows.get < 0L) {
-      val m = ref.get.localCheckpoint(true)
+      val m = snapshot(ref.get)
       onCheckpoint(m)
       ref.set(m)
       // The recount job doubles as a stats pass: zones recompute TIGHT here
