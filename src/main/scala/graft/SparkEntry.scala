@@ -541,6 +541,25 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Same lifecycle through the Arrow IPC FILE format (reference
+    // storage.rs Format::Ipc) — the graft `arrowipc` FileFormat writes
+    // zstd-compressed .arrow stream files per part (pyarrow-readable;
+    // ArrowIpcFormatSpec round-trips them cross-tool).
+    "lake_ipc_roundtrip" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val root = Files.createTempDirectory("graft_rt_ipc").toString
+      val ds = LakeDataset.fromDataFrame(s, li,
+        partitionCols = Seq("l_returnflag"), bucketCols = Seq("l_partkey"),
+        nBuckets = 5,
+        storage = Some(graft.model.StorageSpec(root, format = "arrowipc",
+          compression = "zstd")))
+      ds.toStorage()
+      val back = LakeDataset.fromStorage(s, root)
+      back.toDF.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+        .orderBy("l_returnflag")
+    }),
+
     "lake_part_pruning" -> ((s, dir) => {
       Fixtures.lineitemLake(s, dir)
         .prunedDF(Map("l_returnflag" -> "R"))
@@ -1099,6 +1118,10 @@ object SparkEntry {
          |GROUP BY o_orderstatus""".stripMargin,
 
     "lake_storage_roundtrip" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n, ${osum("l_extendedprice")} AS total
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "lake_ipc_roundtrip" ->
       s"""SELECT l_returnflag, COUNT(*) AS n, ${osum("l_extendedprice")} AS total
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 

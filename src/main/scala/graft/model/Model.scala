@@ -15,10 +15,12 @@ final case class TableName(schema: String, name: String) {
 }
 
 /** Storage descriptor: root directory, file format and compression codec
-  * (reference: src/storage.rs:5-36). Formats map onto Spark's built-in
-  * writers; `arrow`/IPC persistence is intentionally replaced by parquet
-  * (Spark has no built-in IPC file sink and parquet is strictly better for
-  * a lake layout).
+  * (reference: src/storage.rs:5-36). Formats map onto Spark writers:
+  * built-ins (`parquet`, `csv`, ...) plus graft's own `arrowipc`
+  * FileFormat for the reference's `Format::Ipc` persistence
+  * (zstd-compressed `.arrow` stream files, pyarrow-readable). Parquet
+  * stays the default — strictly better for a lake layout (splittable,
+  * indexed footers, column stats).
   */
 final case class StorageSpec(
     root: String,
