@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Bucketing
 import graft.lake.{Database, LakeDataset}
-import graft.operators.{Dedup, MinhashIndex, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, MinhashIndex, Multimodal, Similarity, StringCache, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), with a DuckDB-equivalent oracle where SQL-expressible.
@@ -442,6 +442,26 @@ object SparkEntry {
           |       COUNT(*) AS n,
           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
           |FROM graft_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // Categorical dtype / global string cache (reference enable_string_cache,
+    // src/server.rs:312): a persisted dictionary gives every table encoded
+    // against it the same deterministic string->id mapping. The second table
+    // encodes through a REOPENED cache, so the oracle also proves the
+    // dictionary survives a save/load cycle.
+    "cat_encode" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft_cat").toString
+      val c1 = StringCache.open(s, root)
+      val seg = c1.encode(
+          table(s, dir, "customer").select(col("c_mktsegment")), "c_mktsegment")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .select(lit("seg").as("src"), col("c_mktsegment").as("id"), col("n"))
+      val c2 = StringCache.open(s, root) // fresh handle, state from disk
+      val pri = c2.encode(
+          table(s, dir, "orders").select(col("o_orderpriority")), "o_orderpriority")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .select(lit("pri").as("src"), col("o_orderpriority").as("id"), col("n"))
+      seg.unionByName(pri).orderBy("src", "id")
     }),
 
     // -------------------------------------------------- lake lifecycle (§2.A)
@@ -1124,6 +1144,27 @@ object SparkEntry {
     "lake_ipc_roundtrip" ->
       s"""SELECT l_returnflag, COUNT(*) AS n, ${osum("l_extendedprice")} AS total
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // The deterministic id assignment: first batch = row_number over sorted
+    // distinct values; the second batch's UNSEEN values continue after the
+    // current max id, again in sorted order.
+    "cat_encode" ->
+      """WITH seg AS (SELECT DISTINCT c_mktsegment AS value FROM customer),
+        |seg_id AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS id FROM seg),
+        |pri AS (SELECT DISTINCT o_orderpriority AS value FROM orders),
+        |pri_new AS (
+        |  SELECT value FROM pri WHERE value NOT IN (SELECT value FROM seg_id)),
+        |pri_id AS (
+        |  SELECT value,
+        |         (SELECT COUNT(*) FROM seg_id) + ROW_NUMBER() OVER (ORDER BY value) AS id
+        |  FROM pri_new),
+        |dict AS (SELECT * FROM seg_id UNION ALL SELECT * FROM pri_id)
+        |SELECT 'seg' AS src, d.id AS id, COUNT(*) AS n
+        |FROM customer c JOIN dict d ON c.c_mktsegment = d.value GROUP BY d.id
+        |UNION ALL
+        |SELECT 'pri' AS src, d.id AS id, COUNT(*) AS n
+        |FROM orders o JOIN dict d ON o.o_orderpriority = d.value GROUP BY d.id
+        |ORDER BY src, id""".stripMargin,
 
     "lake_part_pruning" ->
       s"""SELECT COUNT(*) AS n, ${osum("l_quantity")} AS sum_qty
