@@ -914,6 +914,28 @@ object SparkEntry {
         nprobe = index.centroids.size, quantize = true)
     }),
 
+    // Batch ANN, exact: top-k for a whole query TABLE on the quantized
+    // grid — oracle-checked ground truth for the IVF similarity join below.
+    "ann_batch_exact" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.exactBatchTopKQuantized(
+          e.filter(col("vec_id") % 25 === 0), e, "embedding", "vec_id", k = 5)
+        .orderBy("query_id", "rk")
+    }),
+
+    // Batch ANN through the IVF lists: every query meets only its nprobe
+    // probed lists via a centroid equi-join — a similarity JOIN, not
+    // |queries| single scans. Float cosine + probe subset → rows-only;
+    // OperatorsSpec measures recall against ann_batch_exact.
+    "ann_batch_ivf" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val (centroids, assigned) = Fixtures.ivfIndex(s, dir)
+      Similarity.ivfBatchTopK(
+          e.filter(col("vec_id") % 25 === 0), assigned, centroids,
+          "embedding", "vec_id", k = 5, nprobe = 5)
+        .orderBy("query_id", "rk")
+    }),
+
     // Integer byte-slot features through the typed mapPartitions decode seam
     // — exactly reproducible in SQL (the float feature path stays spec-only:
     // float accumulation order isn't portable, and an array column can't
@@ -1488,6 +1510,23 @@ object SparkEntry {
         |       AS BIGINT) AS cos_q
         |FROM embeddings, q
         |ORDER BY cos_q DESC, vec_id LIMIT 10""".stripMargin,
+
+    "ann_batch_exact" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+        |         * 1000000) AS BIGINT) AS cos_q
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos_q,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |         ORDER BY cos_q DESC, vec_id) AS BIGINT) AS rk
+        |  FROM scored)
+        |SELECT query_id, vec_id, cos_q, rk FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
 
     // Probing ALL inverted lists of the persisted index on the quantized
     // grid IS the exact top-k — same oracle as ann_exact_topk.

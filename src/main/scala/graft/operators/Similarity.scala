@@ -240,6 +240,64 @@ object Similarity {
     IvfLake(centroids, LakeDataset.fromStorage(spark, s"$root/assigned"))
   }
 
+  /** Exact top-k for a whole TABLE of queries at once, on the quantized
+    * 1e-6 cosine grid (oracle-reproducible, like [[exactTopKQuantized]]).
+    * The corpus broadcasts against the query stream when small; the
+    * per-query ranking is one window. O(|queries|·|corpus|) by contract —
+    * the ground truth [[ivfBatchTopK]] is measured against.
+    */
+  def exactBatchTopKQuantized(
+      queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_q"), col("vec_id"))
+    q.join(c, col("query_id") =!= col("vec_id"))
+      .withColumn("cos_q",
+        round(cosineHof(col("qv"), col("cv")) * 1000000).cast("long"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "cos_q", "rk")
+  }
+
+  /** Batched IVF top-k: every query probes its `nprobe` nearest centroids;
+    * queries meet ONLY their probed inverted lists through an equi-join on
+    * the centroid id — the scale shape for "embed a new corpus, find
+    * nearest neighbors for all of it" (a similarity JOIN, not n single-query
+    * scans). One shuffle on the centroid id, one per-query window for the
+    * ranking; candidate work is Σ|probed lists|, never |queries|·|corpus|.
+    *
+    * Centroid assignment of queries runs through the same codegen'd
+    * [[cosine]] expression as corpus assignment, so a vector used as a
+    * query probes the list it would be indexed into.
+    */
+  def ivfBatchTopK(
+      queries: DataFrame, assigned: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      vecCol: String, idCol: String, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // rank centroids per query (same scoring as assignToCentroids), keep
+    // the nprobe best — all codegen'd array ops, one explode
+    val scored = centroids.map { case (cid, cv) =>
+      val cvLit = array(cv.map(x => lit(x.toFloat)): _*)
+      struct((-cosine(col(vecCol), cvLit)).as("neg"), lit(cid).as("cid"))
+    }
+    val probes = slice(array_sort(array(scored: _*)), 1, nprobe)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(transform(probes, p => p.getField("cid"))).as("centroid"))
+    val c = assigned.select(col("centroid"), col(idCol).as("vec_id"),
+      col(vecCol).as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("vec_id"))
+    q.join(c, Seq("centroid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "cosine", "rk")
+  }
+
   /** IVF top-k over a persisted index: the probe list prunes at the PART
     * level (each probed centroid is one partition directory), so the scan
     * unions exactly `nprobe` inverted lists. `quantize=true` scores on the

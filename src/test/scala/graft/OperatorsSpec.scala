@@ -143,6 +143,26 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@10 = $recall")
   }
 
+  test("batch ANN: IVF similarity join reaches >=60% mean recall@5 vs exact") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val queries = e.filter(col("vec_id") % 25 === 0)
+    val exact = Similarity.exactBatchTopKQuantized(queries, e, "embedding", "vec_id", 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (centroids, assigned) = Similarity.buildIvf(e, "embedding", "vec_id", 16, 64)
+    val ivf = Similarity.ivfBatchTopK(queries, assigned, centroids,
+        "embedding", "vec_id", 5, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // every query got answers, each k-deep or list-limited
+    assert(ivf.keySet == exact.keySet)
+    val recalls = exact.map { case (q, ex) =>
+      (ex & ivf.getOrElse(q, Set.empty)).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@5 = $mean")
+  }
+
   test("persisted IVF: save/load round trip probes identically, no rebuild") {
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val q = e.filter(col("vec_id") === 3).head().getSeq[Float](1).toSeq

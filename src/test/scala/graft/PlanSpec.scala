@@ -93,11 +93,34 @@ class PlanSpec extends SparkSpec {
         q.queryExecution.optimizedPlan.treeString)
   }
 
+  test("persisted IVF probe plans exactly nprobe inverted-list directories") {
+    val index = graft.Fixtures.ivfLake(spark, sf())
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .head().getSeq[Float](1).toSeq
+    val probe = graft.operators.Similarity.ivfTopKLake(index, "embedding", "vec_id", q, 10, 4)
+    val leaves = probe.queryExecution.optimizedPlan.collectLeaves().size
+    assert(leaves == 4 && index.assigned.numParts == 16,
+      s"probe planned $leaves of ${index.assigned.numParts} lists")
+  }
+
+  test("string-cache encode broadcasts the dictionary; data side does not shuffle") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_plan").toString
+    val cache = graft.operators.StringCache.open(spark, root)
+    val enc = cache.encode(
+      spark.read.parquet(s"${sf()}/orders.parquet"), "o_orderpriority")
+    val p = enc.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast encode join:\n$p")
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(dataExchanges == 0, s"encode must not shuffle the data side:\n$p")
+  }
+
   test("no query plans a cartesian product or nested-loop join") {
-    // dedup_embedding_exact is all-pairs BY CONTRACT (the exact ground truth
-    // the LSH path is measured against) — its nested-loop join is the point,
-    // not an accident. Everything else must stay out of quadratic plans.
-    val quadraticByDesign = Set("dedup_embedding_exact")
+    // dedup_embedding_exact and ann_batch_exact are all-pairs BY CONTRACT
+    // (the exact ground truths the LSH/IVF paths are measured against) —
+    // their nested-loop joins are the point, not an accident. Everything
+    // else must stay out of quadratic plans.
+    val quadraticByDesign = Set("dedup_embedding_exact", "ann_batch_exact")
     val offenders = SparkEntry.queries.keys.toList.sorted
       .filterNot(quadraticByDesign)
       .flatMap { name =>
