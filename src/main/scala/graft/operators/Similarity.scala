@@ -240,6 +240,27 @@ object Similarity {
     IvfLake(centroids, LakeDataset.fromStorage(spark, s"$root/assigned"))
   }
 
+  /** Incremental index maintenance: route NEW vectors to their nearest
+    * existing centroid and append them to the matching inverted lists — no
+    * re-clustering, no rebuild, cost ∝ batch. Only the touched partition
+    * directories save (the lake's incremental per-part save); untouched
+    * lists keep their files byte-identical. This is how a production IVF
+    * index absorbs a continuous embedding stream — re-clustering is a
+    * periodic offline job ([[buildIvf]]), not an ingest-path one.
+    */
+  def addToIvf(index: IvfLake, batch: DataFrame, vecCol: String): Unit = {
+    val routed = assignToCentroids(batch, vecCol, index.centroids)
+    val before = index.assigned.partKeys.toSet
+    index.assigned.insert(routed)
+    // save touched cells: new parts, plus existing parts the batch routed into
+    val touched = routed.select("centroid").distinct().collect()
+      .map(_.get(0).toString).toSet
+    index.assigned.partKeys
+      .filter(k => !before.contains(k) ||
+        k.partValues.exists { case (c, v) => c == "centroid" && touched(v) })
+      .foreach(index.assigned.savePart)
+  }
+
   /** Exact top-k for a whole TABLE of queries at once, on the quantized
     * 1e-6 cosine grid (oracle-reproducible, like [[exactTopKQuantized]]).
     * The corpus broadcasts against the query stream when small; the

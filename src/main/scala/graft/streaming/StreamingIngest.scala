@@ -42,6 +42,23 @@ object StreamingIngest {
       refresh.foreach { case (db, name) => db.refresh(name) }
     }
 
+  /** foreachBatch sink maintaining an incremental MinHash near-dup index
+    * ([[graft.operators.MinhashIndex]]): each micro-batch of documents signs
+    * only its own rows, band-joins against the whole persisted corpus, and
+    * hands the VERIFIED new near-dup pairs to `onPairs` (alerting, a pairs
+    * lake, a quarantine queue). This is continuous dedup of a document
+    * stream with per-batch cost ∝ batch — the full-recompute operator can
+    * never sit on an ingest path.
+    */
+  def dedupBatches(
+      index: graft.operators.MinhashIndex,
+      textCol: String, idCol: String, threshold: Double = 0.7,
+      onPairs: DataFrame => Unit = _ => ()): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      if (!batch.isEmpty)
+        onPairs(index.addBatch(batch, textCol, idCol, threshold))
+    }
+
   /** Watermarked tumbling-window aggregation — the stream-relational
     * operator set the reference lacks entirely (SURVEY.md §2.B last row),
     * provided as the engine's native stream-analytics path. Works on both

@@ -55,6 +55,38 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(crossBatch.exists { case (a, b, _) => b == a + 100000 })
   }
 
+  test("streaming near-dup maintenance: micro-batches through the index find cross-batch pairs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Fixtures.nearDupDocuments(spark, sf())
+    val root = Files.createTempDirectory("graft_mh_stream").toString
+    val idx = MinhashIndex.open(spark, root)
+    val collected = scala.collection.mutable.Set[(Long, Long)]()
+
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch(graft.streaming.StreamingIngest.dedupBatches(
+        idx, "text", "doc_id", threshold = 0.5,
+        onPairs = p => collected ++=
+          p.select("doc_a", "doc_b").as[(Long, Long)].collect()))
+      .start()
+    try {
+      val docs = corpus.select("doc_id", "text").as[(Long, String)].collect()
+      mem.addData(docs.filter(_._1 < 100000).toSeq: _*)
+      q.processAllAvailable()
+      val afterFirst = collected.size
+      mem.addData(docs.filter(_._1 >= 100000).toSeq: _*)
+      q.processAllAvailable()
+      // planted pairs span the two micro-batches — only the persisted index
+      // state can produce them
+      val planted = collected.count { case (a, b) => b == a + 100000 }
+      assert(planted >= 45, s"found $planted of 50 planted cross-batch pairs")
+      assert(idx.batches == 2)
+      assert(afterFirst < collected.size)
+    } finally q.stop()
+  }
+
   test("per-batch work scales with the batch: second batch signs only new docs") {
     val corpus = Fixtures.nearDupDocuments(spark, sf())
     val root = Files.createTempDirectory("graft_mh_idx3").toString

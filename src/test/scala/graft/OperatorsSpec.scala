@@ -188,6 +188,47 @@ class OperatorsSpec extends SparkSpec {
     assert(allProbe == exact)
   }
 
+  test("incremental IVF add: new vectors land in their lists, no rebuild, persisted") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val held = e.filter(col("vec_id") < 5)
+    val rest = e.filter(col("vec_id") >= 5)
+    val (centroids, assigned) = Similarity.buildIvf(rest, "embedding", "vec_id", 16, 64)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_add").toString
+    Similarity.saveIvf(spark, root, centroids, assigned)
+    val index = Similarity.loadIvf(spark, root)
+
+    def dirFiles(): Map[String, Set[String]] = {
+      import scala.jdk.CollectionConverters._
+      index.assigned.partKeys.map { k =>
+        val d = java.nio.file.Paths.get(s"$root/assigned/${k.relPath}")
+        k.relPath -> java.nio.file.Files.list(d).iterator().asScala
+          .map(_.getFileName.toString).toSet
+      }.toMap
+    }
+    val before = dirFiles()
+
+    Similarity.addToIvf(index, held, "embedding")
+    // the index was NOT re-clustered
+    assert(index.centroids == centroids)
+    // an added vector is now findable — self is rank 1 through its own list
+    val q = held.filter(col("vec_id") === 3).head().getSeq[Float](1).toSeq
+    val top = Similarity.ivfTopKLake(index, "embedding", "vec_id", q, 1, nprobe = 1)
+      .select("vec_id").as[Long].head()
+    assert(top == 3L)
+    // untouched inverted lists keep their files byte-for-byte
+    val touched = Similarity.assignToCentroids(held, "embedding", centroids)
+      .select("centroid").distinct().as[Int].collect().map(c => s"centroid=$c").toSet
+    val after = dirFiles()
+    val untouched = before.keySet.filterNot(touched)
+    assert(untouched.nonEmpty)
+    untouched.foreach(k => assert(after(k) == before(k), s"$k files changed"))
+    // and the addition survives a fresh load from disk
+    val reloaded = Similarity.loadIvf(spark, root)
+    val top2 = Similarity.ivfTopKLake(reloaded, "embedding", "vec_id", q, 1, nprobe = 1)
+      .select("vec_id").as[Long].head()
+    assert(top2 == 3L)
+  }
+
   // ------------------------------------------------------------------ joins
 
   test("salted join equals plain join on skewed data") {
