@@ -112,6 +112,31 @@ object ScaleSmoke {
       s"SELECT COUNT(*) FROM orders_scaled WHERE o_orderkey BETWEEN $loKey AND $hiKey")
       .queryExecution.optimizedPlan.collectLeaves().size
     println(s"[scale] SQL plan leaves: $sqlLeaves of ${dz.numParts} parts")
+
+    // ---- incremental MinHash: marginal batch cost vs full recompute --------
+    // documents scaled `copies`×; the index bootstraps over (copies-1)
+    // batches' worth, then ONE batch (1/copies of the corpus) is added.
+    // The claim under test: addBatch cost ∝ batch, full recompute ∝ corpus.
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bigDocs = (0 until copies).map { i =>
+      docs0.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    println(s"[scale] documents: ${bigDocs.count()} rows")
+    val mhRoot = java.nio.file.Files.createTempDirectory("graft_scale_mh").toString
+    val idx = graft.operators.MinhashIndex.open(spark, mhRoot)
+    time(s"index bootstrap (${copies - 1}/$copies)") {
+      idx.addBatch(bigDocs.filter(col("doc_id") < (copies - 1).toLong * 1000000L),
+        "text", "doc_id", threshold = 0.5).count()
+    }
+    time(s"addBatch (1/$copies of corpus)") {
+      idx.addBatch(bigDocs.filter(col("doc_id") >= (copies - 1).toLong * 1000000L),
+        "text", "doc_id", threshold = 0.5).count()
+    }
+    time("full recompute (whole corpus)") {
+      graft.operators.Dedup.minhashDedup(bigDocs, "text", "doc_id",
+        threshold = 0.5).count()
+    }
+    LakeDataset.deleteRecursively(java.nio.file.Paths.get(mhRoot))
     spark.stop()
   }
 }

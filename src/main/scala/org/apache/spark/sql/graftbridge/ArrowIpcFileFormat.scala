@@ -20,9 +20,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
 import org.apache.spark.sql.execution.arrow.ArrowWriter
 import org.apache.spark.sql.execution.datasources.{FileFormat, OutputWriter, OutputWriterFactory, PartitionedFile}
-import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+import org.apache.spark.sql.execution.vectorized.{ColumnVectorUtils, ConstantColumnVector}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.ArrowUtils
 import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch, ColumnVector}
 import org.apache.spark.util.SerializableConfiguration
@@ -58,6 +58,22 @@ final class ArrowIpcFileFormat extends FileFormat with DataSourceRegister with S
       options: Map[String, String],
       path: Path): Boolean = false
 
+  /** Vectorized output: the data already IS columnar (Arrow vectors), so
+    * batches flow to ColumnarToRow without the per-row copy of the fallback
+    * path. Enabled for atomic and array-of-atomic schemas; anything deeper
+    * falls back to the row reader.
+    */
+  override def supportBatch(sparkSession: SparkSession, schema: StructType): Boolean = {
+    def atomic(dt: DataType): Boolean = dt match {
+      case _: StructType | _: MapType | _: ArrayType => false
+      case _ => true
+    }
+    schema.fields.forall(f => f.dataType match {
+      case ArrayType(et, _) => atomic(et)
+      case dt => atomic(dt)
+    })
+  }
+
   override def inferSchema(
       sparkSession: SparkSession,
       options: Map[String, String],
@@ -89,6 +105,88 @@ final class ArrowIpcFileFormat extends FileFormat with DataSourceRegister with S
           path: String, dataSchema: StructType,
           context: TaskAttemptContext): OutputWriter =
         new ArrowIpcOutputWriter(path, dataSchema, context, codec, timeZoneId)
+    }
+  }
+
+  override def buildReaderWithPartitionValues(
+      sparkSession: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[Filter],
+      options: Map[String, String],
+      hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] = {
+    // Must mirror FileSourceScanExec's decision exactly: it plans
+    // ColumnarToRow iff supportBatch on (required ++ partition) — we emit
+    // ColumnarBatch in that case and rows otherwise.
+    val vectorized =
+      supportBatch(sparkSession, StructType(requiredSchema.fields ++ partitionSchema.fields))
+    if (!vectorized)
+      super.buildReaderWithPartitionValues(sparkSession, dataSchema, partitionSchema,
+        requiredSchema, filters, options, hadoopConf)
+    else {
+      val confBc: Broadcast[SerializableConfiguration] =
+        sparkSession.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
+      val required = requiredSchema
+      val partSchema = partitionSchema
+      (file: PartitionedFile) => {
+        if (file.length == 0) Iterator.empty
+        else batchIterator(file, confBc.value.value, required, partSchema)
+          .asInstanceOf[Iterator[InternalRow]]
+      }
+    }
+  }
+
+  /** Batches straight off the IPC stream: required data columns as
+    * [[ArrowColumnVector]]s (zero copy out of the stream's own vectors),
+    * partition values and evolution-missing columns as constant vectors.
+    * Vector memory is reused across `loadNextBatch`, matching the parquet
+    * vectorized reader's contract with ColumnarToRow.
+    */
+  private def batchIterator(
+      file: PartitionedFile, conf: Configuration,
+      required: StructType, partSchema: StructType): Iterator[ColumnarBatch] = {
+    val path = file.toPath
+    val in = path.getFileSystem(conf).open(path)
+    val allocator = new RootAllocator()
+    val reader = new ArrowStreamReader(in, allocator, CommonsCompressionFactory.INSTANCE)
+    val root = reader.getVectorSchemaRoot
+    val fileSchema = ArrowUtils.fromArrowSchema(root.getSchema)
+    val sources: Array[Either[Int, Int]] = required.fields.zipWithIndex.map {
+      case (f, i) =>
+        if (fileSchema.fieldNames.contains(f.name)) Left(fileSchema.fieldIndex(f.name))
+        else Right(i)
+    }
+    def close(): Unit = { reader.close(); allocator.close() }
+    Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => close()))
+
+    new Iterator[ColumnarBatch] {
+      private var batch: ColumnarBatch = _
+      private var exhausted = false
+      private def advance(): Unit =
+        while (batch == null && !exhausted) {
+          if (reader.loadNextBatch()) {
+            val n = root.getRowCount
+            if (n > 0) {
+              val dataCols: Array[ColumnVector] = sources.map {
+                case Left(fi) => new ArrowColumnVector(root.getVector(fi))
+                case Right(ri) =>
+                  val c = new ConstantColumnVector(n, required.fields(ri).dataType)
+                  c.setNull()
+                  c
+              }
+              val partCols: Array[ColumnVector] =
+                partSchema.fields.zipWithIndex.map { case (f, i) =>
+                  val c = new ConstantColumnVector(n, f.dataType)
+                  ColumnVectorUtils.populate(c, file.partitionValues, i)
+                  c: ColumnVector
+                }
+              batch = new ColumnarBatch(dataCols ++ partCols, n)
+            }
+          } else { exhausted = true; close() }
+        }
+      override def hasNext: Boolean = { advance(); batch != null }
+      override def next(): ColumnarBatch = { advance(); val b = batch; batch = null; b }
     }
   }
 
