@@ -110,6 +110,16 @@ object Fixtures {
         .withColumn("o_batch", (col("o_orderkey") / 6000).cast("int")),
       partitionCols = Seq("o_batch")))
 
+  /** Same layout at finer grain (4 cells at sf0.01) — an IN-list over two
+    * NON-ADJACENT cells keeps 2 of 4, past the clean-scan-beats-most-parts
+    * fallback, so the per-value prune is visible in the plan.
+    */
+  def ordersZoneLake4(s: SparkSession, dir: String): LakeDataset =
+    cache.getOrElseUpdate(s"$dir#orders_zone4", LakeDataset.fromDataFrame(
+      s, table(s, dir, "orders")
+        .withColumn("o_batch", (col("o_orderkey") / 4000).cast("int")),
+      partitionCols = Seq("o_batch")))
+
   /** documents ∪ exact copies of every 10th doc (new ids) — a corpus with
     * known exact duplicates for the dedup operators.
     */

@@ -739,6 +739,18 @@ object SparkEntry {
           |WHERE l_returnflag = 'R' AND l_partkey = 1042""".stripMargin)
     }),
 
+    // IN-list pruning through the SQL surface: the rule prunes per listed
+    // VALUE (disjunction over all axes), so the parts between the two listed
+    // batches are skipped — a covering interval would scan them.
+    "lake_sql_in_pruning" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("orders_zoned_in", Fixtures.ordersZoneLake4(s, dir))
+      db.executeSql(
+        """SELECT COUNT(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+          |FROM orders_zoned_in WHERE o_batch IN (0, 3)""".stripMargin)
+    }),
+
     "bucket_numeric" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
       li.groupBy(Bucketing.bucketExprFor(li, "l_partkey", 5).as("bucket"))
@@ -1207,6 +1219,13 @@ object SparkEntry {
     "lake_sql_part_pruning" ->
       s"""SELECT COUNT(*) AS n, ${osum("l_extendedprice")} AS total
          |FROM lineitem WHERE l_returnflag = 'R' AND l_partkey = 1042""".stripMargin,
+
+    // o_batch = trunc(o_orderkey / 4000) — orderkeys are positive, so FLOOR
+    // mirrors Spark's double-division + int cast truncation exactly.
+    "lake_sql_in_pruning" ->
+      s"""SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM orders
+         |WHERE CAST(FLOOR(o_orderkey / 4000.0) AS INT) IN (0, 3)""".stripMargin,
 
     "lake_colocated_join" ->
       s"""SELECT p_brand, COUNT(*) AS n, ${osum("l_extendedprice")} AS revenue

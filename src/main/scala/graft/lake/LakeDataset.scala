@@ -493,9 +493,14 @@ final class LakeDataset private (
 
   /** Union of only the parts that can satisfy a conjunctive predicate set —
     * the engine-side prune the SQL path calls from `LakePruneRule`. All
-    * three axes apply at once from the catalog (no I/O, no jobs):
+    * axes apply at once from the catalog (no I/O, no jobs):
     * partition-directory values and the bucket id for equality constraints,
-    * zone intervals for both equalities and [lo, hi] ranges.
+    * zone intervals for both equalities and [lo, hi] ranges, bloom
+    * membership for equalities on bloom-tracked columns, and — for IN-lists
+    * (`ins`) — the DISJUNCTION of the same per-value checks: a part
+    * survives an IN if ANY listed value might live in it, which skips the
+    * directories/buckets/zones between scattered IN values that a covering
+    * interval would keep.
     *
     * Falls back to [[toDF]] when nothing was pruned, or when the table has a
     * single clean snapshot and the prune would keep MOST parts — each kept
@@ -504,8 +509,9 @@ final class LakeDataset private (
     */
   private[graft] def prunedByConstraints(
       eq: Map[String, Any],
-      ranges: Map[String, (Option[Any], Option[Any])]): DataFrame = this.synchronized {
-    if (parts.isEmpty || (eq.isEmpty && ranges.isEmpty)) return toDF
+      ranges: Map[String, (Option[Any], Option[Any])],
+      ins: Map[String, Seq[Any]] = Map.empty): DataFrame = this.synchronized {
+    if (parts.isEmpty || (eq.isEmpty && ranges.isEmpty && ins.isEmpty)) return toDF
 
     val partEq: Map[String, String] = eq.collect {
       case (c, v) if partitionCols.contains(c) => c -> String.valueOf(v)
@@ -526,6 +532,28 @@ final class LakeDataset private (
         Bloom.hashesOf(v, tableSchema(c).dataType).map(c -> _)
     }.flatten.toMap
 
+    // One prepared check per IN column: (key, part) => any value matches on
+    // every axis. Everything literal-derived precomputes once, not per part.
+    val inChecks: Seq[(PartKey, LakePart) => Boolean] = ins.toSeq.map { case (c, vs) =>
+      val isPartCol = partitionCols.contains(c)
+      val isBucketCol = bucketCols.headOption.contains(c)
+      val dt = tableSchema(c).dataType
+      val strs = vs.map(String.valueOf(_))
+      val bucketIds: Seq[Option[Int]] =
+        if (isBucketCol) vs.map(v => Bucketing.localBucketId(v, dt, nBuckets)) else Nil
+      val hashes: Seq[Option[Seq[Long]]] =
+        if (bloomCols.contains(c)) vs.map(v => Bloom.hashesOf(v, dt)) else Nil
+      (key: PartKey, part: LakePart) => vs.indices.exists { i =>
+        (!isPartCol ||
+          key.partValues.forall { case (kc, kv) => kc != c || kv == strs(i) }) &&
+        (!isBucketCol ||
+          bucketIds(i).forall(b => key.bucketNr.forall(_ == b))) &&
+        part.zones.forall(_.get(c).forall(_.mayContain(vs(i)))) &&
+        (hashes.isEmpty || part.blooms.forall(bs =>
+          bs.get(c).forall(b => hashes(i).forall(b.mightContainHashes))))
+      }
+    }
+
     val all = parts.asScala.toList
     val kept = all.collect {
       case (key, part) if
@@ -535,7 +563,8 @@ final class LakeDataset private (
         part.zones.forall(zs => qZones.forall { case (c, qz) =>
           zs.get(c).forall(_.overlaps(qz)) }) &&
         part.blooms.forall(bs => qBloomHashes.forall { case (c, hs) =>
-          bs.get(c).forall(_.mightContainHashes(hs)) }) =>
+          bs.get(c).forall(_.mightContainHashes(hs)) }) &&
+        inChecks.forall(_(key, part)) =>
         part.view
     }
     if (kept.size == all.size) toDF

@@ -30,10 +30,10 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case Filter(cond, scan: LakeScan) =>
-      val (eqs, ranges) = constraintsOf(cond, scan)
+      val (eqs, ranges, ins) = constraintsOf(cond, scan)
       val pruned =
-        if (eqs.isEmpty && ranges.isEmpty) scan.ds.toDF
-        else scan.ds.prunedByConstraints(eqs, ranges)
+        if (eqs.isEmpty && ranges.isEmpty && ins.isEmpty) scan.ds.toDF
+        else scan.ds.prunedByConstraints(eqs, ranges, ins)
       Filter(cond, aligned(scan, fragment(pruned)))
     case scan: LakeScan =>
       aligned(scan, fragment(scan.ds.toDF))
@@ -65,17 +65,25 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     Project(projections, child)
   }
 
-  /** Split a pushed-down condition into per-column equality values and
-    * [lo, hi] interval bounds the engine can prune with. Unrecognized
-    * conjuncts are simply ignored — pruning stays a sound superset.
-    * Strict inequalities are relaxed to inclusive bounds (sound: at most
-    * one extra boundary part survives).
+  /** Over this many IN values the per-value disjunctive prune falls back to
+    * the covering interval — bounds driver-side planning work (values ×
+    * parts checks).
+    */
+  private val MaxInPruneValues = 256
+
+  /** Split a pushed-down condition into per-column equality values,
+    * [lo, hi] interval bounds, and IN-list value sets the engine can prune
+    * with. Unrecognized conjuncts are simply ignored — pruning stays a
+    * sound superset. Strict inequalities are relaxed to inclusive bounds
+    * (sound: at most one extra boundary part survives).
     */
   private def constraintsOf(cond: Expression, scan: LakeScan)
-      : (Map[String, Any], Map[String, (Option[Any], Option[Any])]) = {
+      : (Map[String, Any], Map[String, (Option[Any], Option[Any])],
+         Map[String, Seq[Any]]) = {
     val eqs = scala.collection.mutable.Map[String, Any]()
     val lows = scala.collection.mutable.Map[String, Any]()
     val highs = scala.collection.mutable.Map[String, Any]()
+    val ins = scala.collection.mutable.Map[String, Seq[Any]]()
 
     def name(e: Expression): Option[String] = e match {
       case a: Attribute if scan.outputSet.contains(a) => Some(a.name)
@@ -99,6 +107,18 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case And(l, r) => split(l) ++ split(r)
       case other => Seq(other)
     }
+
+    // Small IN lists prune per-value (disjunction of full axis checks —
+    // skips the gaps BETWEEN scattered values); oversized ones fall back to
+    // the covering interval.
+    def addIn(c: String, vs: Seq[Any]): Unit =
+      if (vs.size <= MaxInPruneValues) ins(c) = vs
+      else {
+        vs.reduceOption((x, y) => if (ZoneMap.cmp(x, y).exists(_ <= 0)) x else y)
+          .foreach(addLo(c, _))
+        vs.reduceOption((x, y) => if (ZoneMap.cmp(x, y).exists(_ >= 0)) x else y)
+          .foreach(addHi(c, _))
+      }
 
     split(cond).foreach {
       case EqualTo(a, l: Literal) if name(a).isDefined && l.value != null =>
@@ -124,16 +144,17 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         addLo(name(a).get, ext(l))
       case In(a, vs) if name(a).isDefined && vs.nonEmpty &&
           vs.forall(v => v.isInstanceOf[Literal] && v.asInstanceOf[Literal].value != null) =>
-        // IN-list prunes as the values' covering interval.
-        val ext2 = vs.map(v => ext(v.asInstanceOf[Literal]))
-        val c = name(a).get
-        ext2.reduceOption((x, y) => if (ZoneMap.cmp(x, y).exists(_ <= 0)) x else y)
-          .foreach(addLo(c, _))
-        ext2.reduceOption((x, y) => if (ZoneMap.cmp(x, y).exists(_ >= 0)) x else y)
-          .foreach(addHi(c, _))
+        addIn(name(a).get, vs.map(v => ext(v.asInstanceOf[Literal])))
+      // Catalyst rewrites larger IN lists to InSet (internal values) inside
+      // the same optimization batch — handle both spellings.
+      case InSet(a: Attribute, hset) if name(a).isDefined && hset.nonEmpty &&
+          !hset.contains(null) =>
+        addIn(name(a).get, hset.toSeq.map(v =>
+          CatalystTypeConverters.convertToScala(v, a.dataType)))
       case _ => ()
     }
+
     (eqs.toMap, (lows.keySet ++ highs.keySet).iterator
-      .map(c => c -> (lows.get(c), highs.get(c))).toMap)
+      .map(c => c -> (lows.get(c), highs.get(c))).toMap, ins.toMap)
   }
 }

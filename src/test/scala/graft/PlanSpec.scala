@@ -84,6 +84,18 @@ class PlanSpec extends SparkSpec {
         q.queryExecution.optimizedPlan.treeString)
   }
 
+  test("lake_sql_in_pruning: per-value IN prune skips the parts BETWEEN the values") {
+    // sf0.01: 4 o_batch cells (0-3); IN (0, 3) must skip cells 1 and 2 — a
+    // covering-interval prune would keep all four.
+    val dir = sf("sf0.01")
+    val ds = graft.Fixtures.ordersZoneLake4(spark, dir)
+    val q = SparkEntry.queries("lake_sql_in_pruning")(spark, dir)
+    val leaves = q.queryExecution.optimizedPlan.collectLeaves().size
+    assert(leaves == 2 && ds.numParts == 4,
+      s"SQL IN pruning planned $leaves of ${ds.numParts} parts:\n" +
+        q.queryExecution.optimizedPlan.treeString)
+  }
+
   test("lake_sql_part_pruning: partition+bucket equality keeps one cell") {
     val q = SparkEntry.queries("lake_sql_part_pruning")(spark, sf())
     val leaves = q.queryExecution.optimizedPlan.collectLeaves().size

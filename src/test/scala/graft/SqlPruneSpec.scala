@@ -57,6 +57,35 @@ class SqlPruneSpec extends SparkSpec {
     assert(qb.collect().map(_.getString(0)).toSeq == Seq("r42"))
   }
 
+  test("SQL IN-list prunes per value on every axis; big lists fall back to interval") {
+    val db = new Database(spark)
+    val rows = (0 until 100).map(i => (('A' + i % 4).toChar.toString, i.toLong, i * 1.5))
+    val ds = LakeDataset.fromDataFrame(spark, rows.toDF("p", "k", "v"),
+      partitionCols = Seq("p"))
+    db.register("t_in", ds)
+
+    // partition-column IN: exactly the listed directories plan ('A' and 'D'
+    // straddle 'B'/'C' — an interval prune would keep all four)
+    val q = spark.sql("SELECT COUNT(*) AS n FROM t_in WHERE p IN ('A', 'D')")
+    assert(ds.numParts == 4)
+    assert(leafCount(q) == 2, q.queryExecution.optimizedPlan.treeString)
+    assert(q.head().getLong(0) == rows.count(r => r._1 == "A" || r._1 == "D"))
+
+    // zone axis: disjoint k-ranges per cell; IN (10, 310) skips cells 1-2
+    val zoned = LakeDataset.fromDataFrame(spark,
+      (0 until 400).map(i => (i / 100, i.toLong)).toDF("cell", "k"),
+      partitionCols = Seq("cell"))
+    db.register("t_in_zone", zoned)
+    val qz = spark.sql("SELECT COUNT(*) AS n FROM t_in_zone WHERE k IN (10, 310)")
+    assert(leafCount(qz) == 2, qz.queryExecution.optimizedPlan.treeString)
+    assert(qz.head().getLong(0) == 2)
+
+    // an InSet-sized list (> inSetConversionThreshold) still prunes
+    val vals = (0L until 15L).map(_ * 25).mkString(", ") // all inside cells 0-3
+    val qs = spark.sql(s"SELECT COUNT(*) AS n FROM t_in_zone WHERE k IN ($vals)")
+    assert(qs.head().getLong(0) == 15)
+  }
+
   test("SQL sees mutations immediately — no view refresh required") {
     val db = new Database(spark)
     val ds = LakeDataset.fromDataFrame(spark,
