@@ -3,7 +3,6 @@ package graft.operators
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.lake.LakeDataset
@@ -53,9 +52,10 @@ final class StringCache private (
 
   /** Extend the cache with any UNSEEN values of `df.col(colName)` —
     * deterministic: new values rank after all existing ids in sorted order.
-    * Returns the number of values added. (The rank window is bounded by the
-    * NEW distinct values of one batch, not the corpus — same single-
-    * partition trade as every dictionary builder, documented eval-shape.)
+    * Returns the number of values added. Ranking is a DISTRIBUTED sort +
+    * `zipWithIndex` (partition sizes + offsets, no data movement beyond the
+    * sort) — a giant first batch never funnels through one task the way a
+    * global row_number window would.
     */
   def extend(df: DataFrame, colName: String): Long = this.synchronized {
     val incoming = df.select(col(colName).cast("string").as("value"))
@@ -66,9 +66,18 @@ final class StringCache private (
       case None => incoming
     }
     val base = size
-    val stamped = fresh
-      .withColumn("id", row_number().over(Window.orderBy("value")) + base)
-      .withColumn("batch", lit(nextBatch))
+    val b = nextBatch
+    val stamped = spark.createDataFrame(
+      fresh.orderBy("value").rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.getString(0), base + i + 1, b)
+      },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("batch",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     val n = dictDs match {
       case Some(ds) =>
         ds.insert(stamped)
