@@ -129,8 +129,23 @@ final class LakeServer(val spark: SparkSession) {
     * encoding exactly (src/server.rs:293-297 `IpcWriter...with_compression
     * (ZSTD)`). Pass `codec = None` for an uncompressed stream.
     */
-  def selectIpc(sql: String, codec: Option[String] = Some("zstd")): Array[Byte] =
-    graft.sources.ArrowInterchange.toIpcBytes(select(sql), codec)
+  /** Rows above which [[selectIpc]] switches from the zstd driver-side
+    * encoder to the executor-parallel one: conversion cost distributes
+    * across the cluster, the driver only concatenates framed batches
+    * (uncompressed — at this size the funnel matters more than the codec;
+    * readers auto-detect either form). Override per session via
+    * `spark.graft.wire.parallelEncodeRows`.
+    */
+  private def parallelEncodeRows: Long =
+    spark.conf.get("spark.graft.wire.parallelEncodeRows", "262144").toLong
+
+  def selectIpc(sql: String, codec: Option[String] = Some("zstd")): Array[Byte] = {
+    val df = select(sql)
+    // Cheap upper-bound probe: scan at most threshold+1 rows, no full count.
+    val big = df.limit((parallelEncodeRows + 1).toInt).count() > parallelEncodeRows
+    if (big) org.apache.spark.sql.graftbridge.ArrowParallel.toIpcBytesDistributed(df)._1
+    else graft.sources.ArrowInterchange.toIpcBytes(df, codec)
+  }
 
   /** Streaming ingest from Arrow IPC chunks (reference `read_source`,
     * src/server.rs:36-46).

@@ -111,6 +111,47 @@ class ArrowSpec extends SparkSpec {
     assert(back.filter(col("s") === s"s${n - 1}").count() == 1)
   }
 
+  test("executor-parallel encode: partitions serialize their own batches, exact round-trip") {
+    val n = 40000L
+    val df = spark.range(n).repartition(6).select(
+      col("id").as("k"), (col("id") % 7).cast("double").as("v"),
+      concat(lit("p"), col("id")).as("s"))
+    val (bytes, rows) =
+      org.apache.spark.sql.graftbridge.ArrowParallel.toIpcBytesDistributed(df, batchRows = 4096)
+    assert(rows == n)
+    // every partition contributed at least one framed batch
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), new org.apache.arrow.memory.RootAllocator())
+    var batches = 0
+    var seen = 0L
+    while (reader.loadNextBatch()) {
+      batches += 1
+      seen += reader.getVectorSchemaRoot.getRowCount
+    }
+    reader.close()
+    assert(seen == n)
+    assert(batches >= 6, s"expected >=6 batches (one per partition), got $batches")
+    // our own reader decodes the concatenated stream like any other
+    val (back, backRows) = ArrowInterchange.fromIpcBytesWithCount(spark, bytes)
+    assert(backRows == n)
+    assert(back.agg(sum(col("k"))).head().getLong(0) == (n - 1) * n / 2)
+  }
+
+  test("selectIpc switches to the parallel encoder above the row threshold") {
+    import graft.lake.LakeServer
+    import graft.model.TableName
+    val srv = new LakeServer(spark)
+    val t = TableName("public", "graft_wire_big")
+    srv.createTable(t, Iterator(spark.range(5000).selectExpr("id AS k", "id * 2 AS v")))
+    spark.conf.set("spark.graft.wire.parallelEncodeRows", "1000")
+    try {
+      val bytes = srv.selectIpc("SELECT k, v FROM graft_wire_big")
+      val (back, rows) = ArrowInterchange.fromIpcBytesWithCount(spark, bytes)
+      assert(rows == 5000L)
+      assert(back.agg(sum(col("v"))).head().getLong(0) == 4999L * 5000L)
+    } finally spark.conf.unset("spark.graft.wire.parallelEncodeRows")
+  }
+
   test("unsupported nested type rejected cleanly") {
     val df = Seq(Tuple1(Seq(1, 2))).toDF("arr")
     intercept[IllegalArgumentException] { ArrowInterchange.toIpcBytes(df) }
