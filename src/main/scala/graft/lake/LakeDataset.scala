@@ -594,6 +594,15 @@ final class LakeDataset private (
     * delete) are recounted once — concurrently, one Spark job per unknown
     * part — instead of silently poisoning the sum with the sentinel.
     */
+  /** One part's row count: the maintained counter when known, else one
+    * count job over the part view (lazily loaded parts carry -1).
+    */
+  def partRows(key: PartKey): Long =
+    Option(parts.get(key)).map { p =>
+      val r = p.rows.get
+      if (r >= 0L) r else p.view.count()
+    }.getOrElse(0L)
+
   def rowsCount: Long = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration

@@ -319,6 +319,31 @@ object Similarity {
       .select("query_id", "vec_id", "cosine", "rk")
   }
 
+  /** Per-list sizes of a persisted index — maintained part counters, no
+    * job when the lake is clean. The balance signal for [[needsRecluster]].
+    */
+  def ivfListSizes(index: IvfLake): Map[Int, Long] =
+    index.assigned.partKeys.flatMap { k =>
+      k.partValues.collectFirst { case ("centroid", v) =>
+        v.toInt -> index.assigned.partRows(k)
+      }
+    }.toMap
+
+  /** True when incremental adds ([[addToIvf]]) have skewed the inverted
+    * lists past `maxSkew` (largest list vs the ideal even split) — the
+    * signal to schedule an offline [[buildIvf]] re-cluster. Probing cost is
+    * proportional to the probed lists' sizes, so a list at k× the ideal
+    * makes its probes k× the work the index was tuned for.
+    */
+  def needsRecluster(index: IvfLake, maxSkew: Double = 4.0): Boolean = {
+    val sizes = ivfListSizes(index).values
+    if (sizes.isEmpty || sizes.sum == 0) false
+    else {
+      val ideal = sizes.sum.toDouble / index.centroids.size
+      sizes.max.toDouble / ideal > maxSkew
+    }
+  }
+
   /** IVF top-k over a persisted index: the probe list prunes at the PART
     * level (each probed centroid is one partition directory), so the scan
     * unions exactly `nprobe` inverted lists. `quantize=true` scores on the

@@ -227,6 +227,15 @@ class OperatorsSpec extends SparkSpec {
     val top2 = Similarity.ivfTopKLake(reloaded, "embedding", "vec_id", q, 1, nprobe = 1)
       .select("vec_id").as[Long].head()
     assert(top2 == 3L)
+    // drift monitor: balanced after one tiny add; a pathological pile-up
+    // onto one list trips the re-cluster signal
+    assert(Similarity.ivfListSizes(index).values.sum == 500L)
+    assert(!Similarity.needsRecluster(index))
+    val hot = e.limit(1).head().getSeq[Float](1)
+    val pile = spark.range(3000).select(col("id").as("vec_id"),
+      typedLit(hot).as("embedding"))
+    Similarity.addToIvf(index, pile, "embedding")
+    assert(Similarity.needsRecluster(index), "3000 identical vectors must skew one list")
   }
 
   // ------------------------------------------------------------------ joins
