@@ -272,12 +272,14 @@ object Similarity {
       vecCol: String, idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("vec_id"),
-      transform(col(vecCol), x => x.cast("double")).as("cv"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos_q"), col("vec_id"))
+    // codegen'd CosineF32 (double accumulation, bit-identical to the HOF
+    // form — OperatorsSpec pins it) keeps the |q|·|corpus| hot loop inside
+    // whole-stage codegen.
     q.join(c, col("query_id") =!= col("vec_id"))
       .withColumn("cos_q",
-        round(cosineHof(col("qv"), col("cv")) * 1000000).cast("long"))
+        round(cosine(col("qv"), col("cv")) * 1000000).cast("long"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select("query_id", "vec_id", "cos_q", "rk")
