@@ -144,16 +144,34 @@ final class MinhashIndex private (
 object MinhashIndex {
 
   /** Open the index at `root`: load the persisted state if a prior session
-    * saved one, else start empty. Parameters must match the ones the
-    * persisted hashes were built with.
+    * saved one, else start empty. The hash parameters persist beside the
+    * state (`params.json`) and are VALIDATED on reopen — signatures built
+    * with different (numHashes, bands, shingleSize) live in a different
+    * hash space, and mixing them would silently produce garbage candidates
+    * rather than an error.
     */
   def open(
       spark: SparkSession, root: String,
       numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3): MinhashIndex = {
+    val paramsPath = Paths.get(s"$root/params.json")
     val hasState = Files.exists(Paths.get(s"$root/bands/_manifest.json"))
-    if (!hasState)
+    if (!hasState) {
+      Files.createDirectories(Paths.get(root))
+      Files.writeString(paramsPath,
+        s"""{"numHashes":$numHashes,"bands":$bands,"shingleSize":$shingleSize}""")
       new MinhashIndex(spark, root, numHashes, bands, shingleSize, None, None, 0L)
-    else {
+    } else {
+      if (Files.exists(paramsPath)) {
+        val saved = Files.readString(paramsPath)
+        def field(k: String): Option[Int] =
+          s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(saved).map(_.group(1).toInt)
+        val ok = field("numHashes").forall(_ == numHashes) &&
+          field("bands").forall(_ == bands) &&
+          field("shingleSize").forall(_ == shingleSize)
+        require(ok, s"MinhashIndex at $root was built with $saved — " +
+          s"reopening with (numHashes=$numHashes, bands=$bands, " +
+          s"shingleSize=$shingleSize) would mix incompatible hash spaces")
+      }
       val sh = LakeDataset.fromStorage(spark, s"$root/shingles")
       val bd = LakeDataset.fromStorage(spark, s"$root/bands")
       val next = bd.partKeys

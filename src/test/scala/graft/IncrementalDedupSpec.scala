@@ -87,6 +87,17 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("reopening with mismatched hash parameters is refused") {
+    val root = Files.createTempDirectory("graft_mh_params").toString
+    val idx = MinhashIndex.open(spark, root)
+    idx.addBatch(Fixtures.nearDupDocuments(spark, sf()).limit(20), "text", "doc_id")
+    // same params reopen fine; different params must throw, not mix spaces
+    MinhashIndex.open(spark, root)
+    intercept[IllegalArgumentException] {
+      MinhashIndex.open(spark, root, numHashes = 64, bands = 16)
+    }
+  }
+
   test("per-batch work scales with the batch: second batch signs only new docs") {
     val corpus = Fixtures.nearDupDocuments(spark, sf())
     val root = Files.createTempDirectory("graft_mh_idx3").toString
