@@ -129,12 +129,11 @@ final class LakeServer(val spark: SparkSession) {
     * encoding exactly (src/server.rs:293-297 `IpcWriter...with_compression
     * (ZSTD)`). Pass `codec = None` for an uncompressed stream.
     */
-  /** Rows above which [[selectIpc]] switches from the zstd driver-side
-    * encoder to the executor-parallel one: conversion cost distributes
-    * across the cluster, the driver only concatenates framed batches
-    * (uncompressed — at this size the funnel matters more than the codec;
-    * readers auto-detect either form). Override per session via
-    * `spark.graft.wire.parallelEncodeRows`.
+  /** Rows above which [[selectIpc]] switches from the driver-side encoder
+    * to the executor-parallel one: conversion AND batch compression
+    * distribute across the cluster, the driver only concatenates framed
+    * messages. Same codec, byte-compatible streams either way. Override per
+    * session via `spark.graft.wire.parallelEncodeRows`.
     */
   private def parallelEncodeRows: Long =
     spark.conf.get("spark.graft.wire.parallelEncodeRows", "262144").toLong
@@ -143,7 +142,9 @@ final class LakeServer(val spark: SparkSession) {
     val df = select(sql)
     // Cheap upper-bound probe: scan at most threshold+1 rows, no full count.
     val big = df.limit((parallelEncodeRows + 1).toInt).count() > parallelEncodeRows
-    if (big) org.apache.spark.sql.graftbridge.ArrowParallel.toIpcBytesDistributed(df)._1
+    if (big)
+      org.apache.spark.sql.graftbridge.ArrowParallel
+        .toIpcBytesDistributed(df, codec = codec)._1
     else graft.sources.ArrowInterchange.toIpcBytes(df, codec)
   }
 

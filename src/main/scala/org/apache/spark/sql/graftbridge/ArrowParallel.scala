@@ -1,50 +1,97 @@
 package org.apache.spark.sql.graftbridge
 
 import java.io.ByteArrayOutputStream
+import java.nio.channels.Channels
 
-import org.apache.spark.TaskContext
+import org.apache.arrow.compression.CommonsCompressionFactory
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.{VectorSchemaRoot, VectorUnloader}
+import org.apache.arrow.vector.compression.CompressionUtil
+import org.apache.arrow.vector.ipc.{ArrowStreamWriter, WriteChannel}
+import org.apache.arrow.vector.ipc.message.{IpcOption, MessageSerializer}
+
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.execution.arrow.{ArrowBatchStreamWriter, ArrowConverters}
+import org.apache.spark.sql.execution.arrow.ArrowWriter
+import org.apache.spark.sql.util.ArrowUtils
 
 /** Executor-parallel Arrow IPC encode for the wire path.
   *
   * The driver-side encoder (`graft.sources.ArrowInterchange`) streams rows
   * through `toLocalIterator` and builds every vector on ONE thread — bounded
   * memory, but a 100×-scale SELECT funnels all conversion work through the
-  * driver. Here each PARTITION serializes its own record batches with
-  * Spark's InternalRow→Arrow converter (the machinery behind `toPandas`),
-  * and the driver only concatenates the already-framed batch messages
-  * behind one schema header. Conversion cost is distributed across the
-  * cluster; driver work drops to a byte copy per batch.
-  *
-  * Batches are uncompressed (Spark's converter has no batch-level codec) —
-  * the trade documented on `LakeServer.selectIpc`, which keeps the
-  * zstd driver path for small results.
+  * driver. Here each PARTITION converts its own rows (Spark's
+  * InternalRow→Arrow writer) and serializes FRAMED record-batch messages —
+  * zstd/lz4-compressed at the batch level, exactly like the single-stream
+  * encoder, since the codec rides in each batch's own metadata. The driver
+  * only concatenates: one schema header, every partition's framed messages
+  * in partition order, one end-of-stream marker. Conversion AND compression
+  * cost distribute across the cluster; driver work drops to a byte copy per
+  * batch.
   */
 object ArrowParallel {
 
-  /** Serialize `df` to one Arrow IPC stream, encoding on the executors.
-    * Returns (stream bytes, row count) — the count rides the same job.
+  /** Serialize `df` to one Arrow IPC stream, encoding (and compressing) on
+    * the executors. Returns (stream bytes, row count) — the count rides the
+    * same job.
     */
   def toIpcBytesDistributed(
-      df: DataFrame, batchRows: Int = 16384): (Array[Byte], Long) = {
+      df: DataFrame, batchRows: Int = 16384,
+      codec: Option[String] = Some("zstd")): (Array[Byte], Long) = {
     val spark = df.sparkSession
     val schema = df.schema
     val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val codecName = codec.map(_.toLowerCase)
+
     val perPartition: Array[(Array[Array[Byte]], Long)] =
       df.queryExecution.toRdd.mapPartitions { rows =>
-        var n = 0L
-        val counting = rows.map { r: InternalRow => n += 1; r }
-        val batches = ArrowConverters.toBatchIterator(
-          counting, schema, batchRows.toLong, tz,
-          true, false, TaskContext.get()).toArray
-        Iterator.single((batches, n))
+        val allocator = new RootAllocator()
+        val arrowSchema = ArrowUtils.toArrowSchema(schema, tz, true, false)
+        val root = VectorSchemaRoot.create(arrowSchema, allocator)
+        try {
+          val writer = ArrowWriter.create(root)
+          val unloader = codecName match {
+            case None => new VectorUnloader(root)
+            case Some(c) =>
+              val codecType = c match {
+                case "zstd" => CompressionUtil.CodecType.ZSTD
+                case "lz4" => CompressionUtil.CodecType.LZ4_FRAME
+                case other => throw new IllegalArgumentException(
+                  s"unsupported IPC codec: $other (zstd, lz4)")
+              }
+              new VectorUnloader(root, true,
+                CommonsCompressionFactory.INSTANCE.createCodec(codecType), true)
+          }
+          val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+          var n = 0L
+          var inBatch = 0
+          def flush(): Unit = if (inBatch > 0) {
+            writer.finish()
+            val rb = unloader.getRecordBatch
+            try {
+              val buf = new ByteArrayOutputStream()
+              MessageSerializer.serialize(
+                new WriteChannel(Channels.newChannel(buf)), rb)
+              out += buf.toByteArray
+            } finally rb.close()
+            writer.reset()
+            inBatch = 0
+          }
+          rows.foreach { r =>
+            writer.write(r)
+            n += 1
+            inBatch += 1
+            if (inBatch >= batchRows) flush()
+          }
+          flush()
+          Iterator.single((out.toArray, n))
+        } finally { root.close(); allocator.close() }
       }.collect()
+
     val out = new ByteArrayOutputStream()
-    val writer = new ArrowBatchStreamWriter(schema, out, tz, true, false)
-    writer.writeBatches(perPartition.iterator.flatMap(_._1))
-    writer.end()
+    val ch = new WriteChannel(Channels.newChannel(out))
+    MessageSerializer.serialize(ch, ArrowUtils.toArrowSchema(schema, tz, true, false))
+    perPartition.iterator.flatMap(_._1).foreach(b => ch.write(b))
+    ArrowStreamWriter.writeEndOfStream(ch, IpcOption.DEFAULT)
     (out.toByteArray, perPartition.map(_._2).sum)
   }
 }

@@ -119,9 +119,16 @@ class ArrowSpec extends SparkSpec {
     val (bytes, rows) =
       org.apache.spark.sql.graftbridge.ArrowParallel.toIpcBytesDistributed(df, batchRows = 4096)
     assert(rows == n)
+    // executors compress their own batches — the stream must be smaller
+    // than the uncompressed form of the same data
+    val (plain, _) = org.apache.spark.sql.graftbridge.ArrowParallel
+      .toIpcBytesDistributed(df, batchRows = 4096, codec = None)
+    assert(bytes.length < plain.length,
+      s"zstd stream ${bytes.length} not smaller than plain ${plain.length}")
     // every partition contributed at least one framed batch
     val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
-      new java.io.ByteArrayInputStream(bytes), new org.apache.arrow.memory.RootAllocator())
+      new java.io.ByteArrayInputStream(bytes), new org.apache.arrow.memory.RootAllocator(),
+      org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
     var batches = 0
     var seen = 0L
     while (reader.loadNextBatch()) {
