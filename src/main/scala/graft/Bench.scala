@@ -69,7 +69,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // The driver captures stdout with a bounded tail that truncates the
+    // LEADING per-query times once the run has 80+ entries — persist the
+    // same payload to a file so regression checks always have the complete
+    // machine-readable map.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $out: $e")
+    }
     spark.stop()
   }
 }

@@ -57,11 +57,13 @@ object Fixtures {
   def copyDir(from: String, to: String): Unit = {
     val src = java.nio.file.Paths.get(from)
     val dst = java.nio.file.Paths.get(to)
-    java.nio.file.Files.walk(src).forEach { p =>
-      val t = dst.resolve(src.relativize(p))
-      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
-      else java.nio.file.Files.copy(p, t,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    scala.util.Using.resource(java.nio.file.Files.walk(src)) { walk =>
+      walk.forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     }
   }
 

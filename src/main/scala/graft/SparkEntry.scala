@@ -629,7 +629,13 @@ object SparkEntry {
       import s.implicits._
       val o = table(s, dir, "orders")
       val ds = LakeDataset.fromDataFrame(s, o, partitionCols = Seq("o_orderstatus"))
-      val keys = o.select("o_orderkey").as[Long].collect()
+      // Delta keys for the MemoryStream: a BOUNDED, deterministic collect —
+      // the driver array is the harness's stream source, not the operator,
+      // and must not grow O(table). The cap covers every matching key at
+      // gate scale factors, so the oracle's %13 predicate stays exact.
+      def streamKeys(m: Int): Seq[Long] =
+        o.select("o_orderkey").filter(col("o_orderkey") % 13 === m)
+          .orderBy("o_orderkey").limit(100000).as[Long].collect().toSeq
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
       val apply: (DataFrame, Long) => Unit = (batch, _) => {
         val delta = o.join(broadcast(batch), o("o_orderkey") === col("delta_key"))
@@ -639,9 +645,9 @@ object SparkEntry {
       }
       val q = mem.toDF().toDF("delta_key").writeStream.foreachBatch(apply).start()
       try {
-        mem.addData(keys.filter(_ % 13 == 1).toSeq)
+        mem.addData(streamKeys(1))
         q.processAllAvailable()
-        mem.addData(keys.filter(_ % 13 == 2).toSeq)
+        mem.addData(streamKeys(2))
         q.processAllAvailable()
       } finally q.stop()
       ds.toDF.groupBy("o_orderstatus")
@@ -749,6 +755,20 @@ object SparkEntry {
         """SELECT COUNT(*) AS n,
           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
           |FROM orders_zoned_in WHERE o_batch IN (0, 3)""".stripMargin)
+    }),
+
+    // OR-predicate pruning through the SQL surface: the rule expands the
+    // disjunction into DNF branches and unions the per-branch kept part
+    // sets, so only the two named batches' cells plan — the parts between
+    // them are skipped (a conjunctive-only extraction would fall back to the
+    // full union on any OR). PlanSpec asserts the leaf count.
+    "lake_sql_or_pruning" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("orders_zoned_or", Fixtures.ordersZoneLake4(s, dir))
+      db.executeSql(
+        """SELECT COUNT(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+          |FROM orders_zoned_or WHERE o_batch = 0 OR o_batch = 3""".stripMargin)
     }),
 
     "bucket_numeric" -> ((s, dir) => {
@@ -1226,6 +1246,12 @@ object SparkEntry {
       s"""SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
          |FROM orders
          |WHERE CAST(FLOOR(o_orderkey / 4000.0) AS INT) IN (0, 3)""".stripMargin,
+
+    "lake_sql_or_pruning" ->
+      s"""SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM orders
+         |WHERE CAST(FLOOR(o_orderkey / 4000.0) AS INT) = 0
+         |   OR CAST(FLOOR(o_orderkey / 4000.0) AS INT) = 3""".stripMargin,
 
     "lake_colocated_join" ->
       s"""SELECT p_brand, COUNT(*) AS n, ${osum("l_extendedprice")} AS revenue

@@ -109,6 +109,21 @@ object Bloom {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** [[hashesOf]] specialized to BIGINT keys: the same bits the Catalyst
+    * `xxhash64(col, plane)` aggregation produced (seed 42, LONG then INT
+    * chaining), computed without per-value expression construction — the
+    * incremental-index batch probe tests 100k+ keys, where building a
+    * Literal + XxHash64 per key dominates.
+    */
+  def hashesOfLong(v: Long): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val h = XXH64.hashLong(v, 42L)
+    val out = new Array[Long](Planes)
+    var p = 0
+    while (p < Planes) { out(p) = XXH64.hashInt(p, h); p += 1 }
+    out
+  }
+
   /** Union maps column-wise with the same directional soundness as
     * [[ZoneMap.widen]]: both → OR; current-only → keep; delta-only → DROP
     * (the current side's absence may mean an earlier degrade, and adopting

@@ -171,9 +171,15 @@ final class GrpcLakeServer(val server: LakeServer, requestedPort: Int = 0)
         resp.onCompleted()
       } catch { case scala.util.control.NonFatal(e) => fail(resp, e) }
 
-  /** SelectIpc: every incoming Sql answers immediately with one SqlResults —
-    * a zstd Arrow IPC stream like the reference's responses
-    * (src/server.rs:276-304).
+  /** SelectIpc: every incoming Sql answers with one OR MORE SqlResults — the
+    * proto return is `stream SqlResults`, which the reference only ever uses
+    * one message deep (src/server.rs:276-304, whole result in one zstd IPC
+    * payload). Small results keep that shape. Big results (plan-statistics
+    * routed, like the in-process encoder) CHUNK: each message carries a
+    * standalone zstd IPC stream of ~`spark.graft.wire.chunkRows` rows with
+    * the same qid, so driver and client each hold O(chunk), not O(result).
+    * Clients correlate by qid, sum `rows`, and concatenate the decoded
+    * tables; each chunk on its own is a pyarrow-readable stream.
     */
   private def selectIpc
       : StreamObserver[Array[Byte]] => StreamObserver[Array[Byte]] = resp =>
@@ -183,12 +189,37 @@ final class GrpcLakeServer(val server: LakeServer, requestedPort: Int = 0)
         try {
           val q = PbSql.decode(bytes)
           val df = server.select(q.sql)
-          val (data, rows) = ArrowInterchange.toIpcBytesWithCount(df, Some("zstd"))
-          resp.onNext(PbSqlResults(
-            data, rows,
-            df.schema.fields.map(_.name).toSeq,
-            df.schema.fields.map(_.dataType.simpleString).toSeq,
-            q.qid).encode)
+          val names = df.schema.fields.map(_.name).toSeq
+          val dtypes = df.schema.fields.map(_.dataType.simpleString).toSeq
+          if (!server.estimateBig(df)) {
+            val (data, rows) = ArrowInterchange.toIpcBytesWithCount(df, Some("zstd"))
+            resp.onNext(PbSqlResults(data, rows, names, dtypes, q.qid).encode)
+          } else {
+            import org.apache.spark.sql.graftbridge.ArrowParallel
+            val schemaMsg = ArrowParallel.schemaMessage(df)
+            val eos = ArrowParallel.eosMessage()
+            val maxRows = server.chunkRows
+            val frames = ListBuffer[Array[Byte]]()
+            var rows = 0L
+            var sent = false
+            def flush(): Unit = if (frames.nonEmpty || !sent) {
+              val out = new java.io.ByteArrayOutputStream()
+              out.write(schemaMsg)
+              frames.foreach(out.write)
+              out.write(eos)
+              resp.onNext(PbSqlResults(out.toByteArray, rows, names, dtypes, q.qid).encode)
+              sent = true
+              frames.clear()
+              rows = 0L
+            }
+            // One partition's frames on the driver at a time (toLocalIterator).
+            ArrowParallel.framedPartitions(df).foreach { case (fs, n) =>
+              frames ++= fs
+              rows += n
+              if (rows >= maxRows) flush()
+            }
+            flush() // final partial chunk, or the empty-result message
+          }
         } catch { case scala.util.control.NonFatal(e) => dead = true; fail(resp, e) }
       }
       override def onError(t: Throwable): Unit = ()

@@ -512,7 +512,132 @@ final class LakeDataset private (
       ranges: Map[String, (Option[Any], Option[Any])],
       ins: Map[String, Seq[Any]] = Map.empty): DataFrame = this.synchronized {
     if (parts.isEmpty || (eq.isEmpty && ranges.isEmpty && ins.isEmpty)) return toDF
+    val all = parts.asScala.toList
+    assembleKept(all, keptBy(all, eq, ranges, ins))
+  }
 
+  /** Disjunctive prune: the union of parts any BRANCH keeps — the engine
+    * side of `WHERE a OR b` where each branch is itself a conjunction the
+    * single-branch prune understands. A branch with no usable constraints
+    * keeps everything (sound fail-open), collapsing to [[toDF]].
+    */
+  private[graft] def prunedByDisjunction(
+      branches: Seq[(Map[String, Any], Map[String, (Option[Any], Option[Any])],
+        Map[String, Seq[Any]])]): DataFrame = this.synchronized {
+    if (parts.isEmpty || branches.isEmpty) return toDF
+    if (branches.exists { case (e, r, i) => e.isEmpty && r.isEmpty && i.isEmpty })
+      return toDF
+    val all = parts.asScala.toList
+    val keptKeys = branches.iterator
+      .flatMap { case (e, r, i) => keptBy(all, e, r, i).iterator.map(_._1) }
+      .toSet
+    assembleKept(all, all.filter { case (k, _) => keptKeys.contains(k) })
+  }
+
+  /** Membership prune for a LARGE probe-key set on a BIGINT column — the
+    * incremental-index batch probe. Semantically identical to
+    * [[prunedByConstraints]] with `ins = Map(keyCol -> keys)`, but built for
+    * 100k+ keys: keys group by bucket id ONCE (each cell then consults only
+    * its own bucket's keys), and the per-key Bloom plane hashes compute
+    * without per-value Catalyst expression construction
+    * ([[Bloom.hashesOfLong]]). Keeps every part that may hold ANY probe key;
+    * a part is skipped only when zones/blooms PROVE all its candidates
+    * absent — fail open, never closed.
+    */
+  private[graft] def prunedByLongKeys(keyCol: String, keys: Array[Long]): DataFrame =
+    this.synchronized {
+      if (parts.isEmpty) return toDF
+      if (keys.isEmpty) return emptyLike
+      require(tableSchema(keyCol).dataType ==
+        org.apache.spark.sql.types.LongType, s"$keyCol is not BIGINT")
+      val isBucketKey = bucketCols.headOption.contains(keyCol)
+      val isBloomKey = bloomCols.contains(keyCol)
+      val hashes: Array[Array[Long]] =
+        if (isBloomKey) keys.map(Bloom.hashesOfLong) else null
+      val allIdx = keys.indices.toArray
+      // Key indices per bucket id (the driver-side mirror of the routing
+      // expression: Pmod(key, nBuckets), matching Bucketing.localBucketId
+      // for BIGINT). Non-null keys never land in the null-bucket sentinel.
+      val idxByBucket: Map[Int, Array[Int]] =
+        if (isBucketKey)
+          allIdx.groupBy(i => (((keys(i) % nBuckets) + nBuckets) % nBuckets).toInt)
+        else Map.empty
+      val all = parts.asScala.toList
+      val kept = all.filter { case (key, part) =>
+        val idxs: Array[Int] =
+          if (!isBucketKey) allIdx
+          else key.bucketNr match {
+            case Some(LakeDataset.NullBucket) => Array.emptyIntArray
+            case Some(b) => idxByBucket.getOrElse(b, Array.emptyIntArray)
+            case None => allIdx
+          }
+        val zone = part.zones.flatMap(_.get(keyCol))
+        val bloom = if (isBloomKey) part.blooms.flatMap(_.get(keyCol)) else None
+        var i = 0
+        var found = false
+        while (i < idxs.length && !found) {
+          val k = keys(idxs(i))
+          found = zone.forall(_.mayContain(k)) &&
+            bloom.forall(_.mightContainHashes(hashes(idxs(i))))
+          i += 1
+        }
+        found
+      }
+      assembleKept(all, kept)
+    }
+
+  /** Drop whole cells — the engine's DROP PARTITION. Removes the cells from
+    * the catalog, deletes their directories when persisted, and republishes
+    * the manifest. The caller owns the replacement semantics (e.g. an IVF
+    * recluster that re-assigned a list's vectors into new cells before
+    * dropping the old one).
+    */
+  def dropParts(keys: Seq[PartKey]): Unit = this.synchronized {
+    val removed = keys.flatMap(k => Option(parts.remove(k)).map(_ => k))
+    if (removed.isEmpty) return
+    markDirty()
+    storage.foreach { spec =>
+      removed.foreach(k =>
+        LakeDataset.deleteRecursively(Paths.get(s"${spec.root}/${k.relPath}")))
+      writeManifest()
+    }
+  }
+
+  /** Rewrite the manifest from the current in-memory catalog (counts, zones,
+    * blooms) — for callers that persisted cell FILES themselves (e.g. the
+    * incremental index's one-pass batch write) and need the stats published.
+    */
+  def writeManifest(): Unit = {
+    val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
+    val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
+    Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
+      bloomCols, serializedBlooms), spec.root)
+  }
+
+  /** Shared plan assembly + fallbacks for the prune paths: everything kept →
+    * the (possibly clean-scan) whole table; nothing kept → a legitimately
+    * empty result; a clean snapshot where the prune keeps MOST parts → the
+    * one clean scan (k re-scans of the same snapshot only beat it when k is
+    * small).
+    */
+  private def assembleKept(
+      all: List[(PartKey, LakePart)], kept: List[(PartKey, LakePart)]): DataFrame =
+    if (kept.size == all.size) toDF
+    else if (kept.isEmpty) emptyLike
+    else if (cleanScan.isDefined && kept.size * 2 > all.size) toDF
+    else kept.map(_._2.view).reduce(_ unionByName (_, allowMissingColumns = true))
+
+  /** The parts one conjunction keeps — every axis checked from the catalog
+    * (no I/O, no jobs): partition-directory values and the bucket id for
+    * equality constraints, zone intervals for equalities and ranges, bloom
+    * membership for equalities on bloom-tracked columns, and the per-value
+    * disjunction of the same checks for IN-lists.
+    */
+  private def keptBy(
+      all: List[(PartKey, LakePart)],
+      eq: Map[String, Any],
+      ranges: Map[String, (Option[Any], Option[Any])],
+      ins: Map[String, Seq[Any]]): List[(PartKey, LakePart)] = {
     val partEq: Map[String, String] = eq.collect {
       case (c, v) if partitionCols.contains(c) => c -> String.valueOf(v)
     }
@@ -554,23 +679,16 @@ final class LakeDataset private (
       }
     }
 
-    val all = parts.asScala.toList
-    val kept = all.collect {
-      case (key, part) if
-        partEq.forall { case (c, v) =>
-          key.partValues.forall { case (kc, kv) => kc != c || kv == v } } &&
-        bucketTarget.forall(b => key.bucketNr.forall(_ == b)) &&
-        part.zones.forall(zs => qZones.forall { case (c, qz) =>
-          zs.get(c).forall(_.overlaps(qz)) }) &&
-        part.blooms.forall(bs => qBloomHashes.forall { case (c, hs) =>
-          bs.get(c).forall(_.mightContainHashes(hs)) }) &&
-        inChecks.forall(_(key, part)) =>
-        part.view
+    all.filter { case (key, part) =>
+      partEq.forall { case (c, v) =>
+        key.partValues.forall { case (kc, kv) => kc != c || kv == v } } &&
+      bucketTarget.forall(b => key.bucketNr.forall(_ == b)) &&
+      part.zones.forall(zs => qZones.forall { case (c, qz) =>
+        zs.get(c).forall(_.overlaps(qz)) }) &&
+      part.blooms.forall(bs => qBloomHashes.forall { case (c, hs) =>
+        bs.get(c).forall(_.mightContainHashes(hs)) }) &&
+      inChecks.forall(_(key, part))
     }
-    if (kept.size == all.size) toDF
-    else if (kept.isEmpty) emptyLike
-    else if (cleanScan.isDefined && kept.size * 2 > all.size) toDF
-    else kept.reduce(_ unionByName (_, allowMissingColumns = true))
   }
 
   private def zoneFiltered(keep: Map[String, Zone] => Boolean): DataFrame = {
@@ -1150,6 +1268,27 @@ final class LakeDataset private (
       Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
         bloomCols, serializedBlooms), spec.root)
     }
+  }
+
+  /** Incremental save of SEVERAL cells: concurrent per-part write jobs (the
+    * same ioPool fan-out as [[toStorage]]'s few-cells path) and ONE manifest
+    * rewrite at the end — [[savePart]] in a loop would rewrite the manifest
+    * once per cell, and a bucketed ingest touches nBuckets cells per batch.
+    */
+  def saveParts(keys: Seq[PartKey]): Unit = {
+    val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
+    val ps = keys.flatMap(k => Option(parts.get(k)))
+    if (ps.isEmpty) return
+    // Lazily loaded parts read the directories the overwrite deletes first.
+    ps.foreach(p => if (dfReadsUnder(p.df, spec.root)) p.materialize())
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = LakeDataset.ioPool
+    ps.map(p => Future(p.save(spec, dropCols = partitionCols)))
+      .foreach(Await.result(_, Duration.Inf))
+    val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
+    Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
+      bloomCols, serializedBlooms), spec.root)
   }
 }
 

@@ -129,20 +129,45 @@ final class LakeServer(val spark: SparkSession) {
     * encoding exactly (src/server.rs:293-297 `IpcWriter...with_compression
     * (ZSTD)`). Pass `codec = None` for an uncompressed stream.
     */
-  /** Rows above which [[selectIpc]] switches from the driver-side encoder
-    * to the executor-parallel one: conversion AND batch compression
-    * distribute across the cluster, the driver only concatenates framed
-    * messages. Same codec, byte-compatible streams either way. Override per
-    * session via `spark.graft.wire.parallelEncodeRows`.
+  /** Estimated result size above which [[selectIpc]] switches from the
+    * driver-side encoder to the executor-parallel one: conversion AND batch
+    * compression distribute across the cluster, the driver only concatenates
+    * framed messages. Same codec, byte-compatible streams either way.
+    * Override per session via `spark.graft.wire.parallelEncodeRows` /
+    * `.parallelEncodeBytes`.
     */
   private def parallelEncodeRows: Long =
     spark.conf.get("spark.graft.wire.parallelEncodeRows", "262144").toLong
+  private def parallelEncodeBytes: Long =
+    spark.conf.get("spark.graft.wire.parallelEncodeBytes", (64L << 20).toString).toLong
+
+  /** Rows per wire chunk on the chunked SELECT path ([[GrpcLakeServer]]):
+    * each `SqlResults` message carries a standalone IPC stream of about this
+    * many rows, so the driver AND the client hold O(chunk), not O(result).
+    */
+  private[lake] def chunkRows: Long =
+    spark.conf.get("spark.graft.wire.chunkRows", "262144").toLong
+
+  /** Job-free size routing for the wire encoders: Catalyst's plan statistics
+    * — the row count when available, the size-in-bytes estimate otherwise.
+    * The old probe (`df.limit(n+1).count()`) executed every expensive query
+    * TWICE (limit does not short-circuit aggregates/joins) and could route a
+    * nondeterministic query on a different result than it encoded.
+    * Estimates err toward BIG (unknown leaves report the default size), which
+    * costs one distributed encode job on a small result — never driver
+    * memory on a big one.
+    */
+  private[lake] def estimateBig(df: DataFrame): Boolean = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount match {
+      case Some(n) => n > BigInt(parallelEncodeRows)
+      case None => stats.sizeInBytes > BigInt(parallelEncodeBytes)
+    }
+  }
 
   def selectIpc(sql: String, codec: Option[String] = Some("zstd")): Array[Byte] = {
     val df = select(sql)
-    // Cheap upper-bound probe: scan at most threshold+1 rows, no full count.
-    val big = df.limit((parallelEncodeRows + 1).toInt).count() > parallelEncodeRows
-    if (big)
+    if (estimateBig(df))
       org.apache.spark.sql.graftbridge.ArrowParallel
         .toIpcBytesDistributed(df, codec = codec)._1
     else graft.sources.ArrowInterchange.toIpcBytes(df, codec)

@@ -97,6 +97,21 @@ final class StringCache private (
     n
   }
 
+  /** The dictionary side of the encode/decode joins, HINTED broadcast only
+    * while the dictionary is PROVABLY small (maintained counters under
+    * `spark.graft.cat.broadcastMaxRows`, default 2M). An unconditional hint
+    * would force a driver-sized build of an arbitrarily large dictionary —
+    * Spark honors explicit hints past every size check — instead of
+    * degrading to a shuffle join; above the threshold (or with unknown
+    * counters) the planner decides, and AQE still broadcasts when runtime
+    * stats allow. Ids are join results either way, so the encoding is
+    * byte-identical across strategies (CategoricalSpec pins this).
+    */
+  private def dictSide(d: DataFrame): DataFrame = {
+    val maxRows = spark.conf.get("spark.graft.cat.broadcastMaxRows", "2000000").toLong
+    if (dictDs.flatMap(_.knownRowsOption).exists(_ <= maxRows)) broadcast(d) else d
+  }
+
   /** Replace string column `colName` with its dictionary id (extending the
     * cache first, so encode never drops a value). NULL stays NULL — the
     * reference's categorical semantics.
@@ -106,7 +121,7 @@ final class StringCache private (
     // internal names so a data column called "value"/"id" can't collide
     val d = dict.select(col("value").as("__graft_cat_val"), col("id").as("__graft_cat_id"))
     df.withColumn("__graft_cat_key", col(colName).cast("string"))
-      .join(broadcast(d), col("__graft_cat_key") === col("__graft_cat_val"), "left")
+      .join(dictSide(d), col("__graft_cat_key") === col("__graft_cat_val"), "left")
       .drop(colName, "__graft_cat_key", "__graft_cat_val")
       .withColumnRenamed("__graft_cat_id", colName)
   }
@@ -115,7 +130,7 @@ final class StringCache private (
   def decode(df: DataFrame, colName: String): DataFrame = {
     val d = dict.select(col("value").as("__graft_cat_val"), col("id").as("__graft_cat_id"))
     df.withColumnRenamed(colName, "__graft_cat_lookup")
-      .join(broadcast(d), col("__graft_cat_lookup") === col("__graft_cat_id"), "left")
+      .join(dictSide(d), col("__graft_cat_lookup") === col("__graft_cat_id"), "left")
       .drop("__graft_cat_lookup", "__graft_cat_id")
       .withColumnRenamed("__graft_cat_val", colName)
   }

@@ -1,6 +1,8 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -18,29 +20,48 @@ import graft.model.StorageSpec
   *   - `root/shingles`: (doc, h)            — 8-byte shingle hashes
   *   - `root/bands`:    (doc, sz, band, bh) — banded signatures + set size
   *
-  * both PARTITIONED BY an ingest batch number, so each [[addBatch]]:
+  * both PARTITIONED BY an ingest batch number and HASH-BUCKETED (bands by
+  * `bh`, shingles by `doc`) with per-cell Bloom filters on the bucket key,
+  * so each [[addBatch]]:
   *
   *   1. shingles + signs ONLY the new documents (cost ∝ batch);
-  *   2. band-joins new-vs-all with the small new side BROADCAST — the
-  *      corpus-side band table streams through the join with no shuffle
-  *      and no re-signing;
-  *   3. Jaccard-verifies candidates against the persisted shingle table
-  *      (again broadcast-filtered to candidate docs only);
-  *   4. appends the batch's rows as a NEW partition directory — the
-  *      incremental save writes one `batch=N` directory per table, never
-  *      rewriting prior batches.
+  *   2. collects the batch's band hashes (capped) and band-joins new vs a
+  *      PRUNED corpus read — bucket ids + Bloom membership skip every
+  *      persisted cell provably holding none of the batch's band hashes.
+  *      Band hashes only collide for near-duplicates, so almost every cell
+  *      prunes and the probe cost tracks the batch, not the corpus (the
+  *      pre-bucketing design re-scanned the whole band table per batch);
+  *   3. Jaccard-verifies candidates against the shingle table, read with
+  *      the same per-value prune on the candidates' doc ids;
+  *   4. appends the batch's rows as NEW cells (`batch=N/bucket=B`) — the
+  *      incremental save writes only this batch's directories and commits
+  *      the batch count to `params.json` AFTER both tables saved, so a
+  *      crash between the two saves is reconciled (not silently
+  *      double-ingested) on the next open.
   *
   * Returned pairs are exactly the [[Dedup.minhashDedup]] pairs that involve
   * at least one new document (same hashes, same banding, same verify —
-  * IncrementalDedupSpec asserts set equality with the full recompute).
+  * IncrementalDedupSpec asserts set equality with the full recompute), and
+  * are spilled to `root/pairs/batch=N` before returning: the result must
+  * survive executor loss and later index mutations, which a cache()'d
+  * lineage over superseded snapshots does not.
+  *
+  * Bloom pruning degrades gracefully, never wrongly: a cell is only skipped
+  * when the filter PROVES none of the probe keys live in it, and batches
+  * whose probe-key set exceeds `spark.graft.minhash.maxProbeKeys` fall back
+  * to the full corpus read (a big batch amortizes the scan it pays for).
+  * Per-cell filters stay sharp while a cell holds ≲10k distinct keys —
+  * `nBuckets` splits each batch's keys that many ways, so size it to the
+  * expected batch (default 32 ⇒ sharp up to ~300k band rows per batch).
   *
   * Contract: `doc` ids must be globally unique across batches (re-ingesting
-  * an id would double its shingle rows) and (numHashes, bands, shingleSize)
-  * must match across sessions — they parameterize the persisted hashes.
+  * an id would double its shingle rows) and (numHashes, bands, shingleSize,
+  * nBuckets) must match across sessions — they parameterize the persisted
+  * hashes and layout.
   */
 final class MinhashIndex private (
     spark: SparkSession, root: String,
-    val numHashes: Int, val bands: Int, val shingleSize: Int,
+    val numHashes: Int, val bands: Int, val shingleSize: Int, val nBuckets: Int,
     private var shingleDs: Option[LakeDataset],
     private var bandDs: Option[LakeDataset],
     private var nextBatch: Long) {
@@ -57,15 +78,47 @@ final class MinhashIndex private (
   def bandRows: Option[DataFrame] =
     bandDs.map(_.toDF.select("doc", "sz", "band", "bh"))
 
+  /** Max probe keys collected driver-side for the pruned corpus reads; above
+    * the cap the read falls back to the full table (fail open — a batch that
+    * big amortizes the scan it pays for). 256k longs is ~2 MB on the driver
+    * and covers ~32k-document batches at the default 8 bands.
+    */
+  private def maxProbeKeys: Int =
+    spark.conf.get("spark.graft.minhash.maxProbeKeys", "262144").toInt
+
+  /** Distinct single-column values of `df`, or None above `cap`. */
+  private def probeValues(df: DataFrame, cap: Int): Option[Seq[Any]] = {
+    val vals = df.distinct().limit(cap + 1).collect()
+    if (vals.length > cap) None else Some(vals.toSeq.map(_.get(0)))
+  }
+
+  /** A persisted table read pruned to cells that may hold any of the probe
+    * values of `keyCol` (bucket id + Bloom membership + zones, all from the
+    * catalog — no I/O before the pruned scan), or the full table when the
+    * probe set is over the cap. BIGINT keys (both hash tables) take the
+    * grouped fast path; other id types the generic per-value IN prune.
+    */
+  private def prunedRead(ds: LakeDataset, keyCol: String, probe: => Option[Seq[Any]])
+      : DataFrame = probe match {
+    case Some(keys) if keys.nonEmpty =>
+      if (ds.tableSchema(keyCol).dataType == org.apache.spark.sql.types.LongType)
+        ds.prunedByLongKeys(keyCol,
+          keys.iterator.map(_.asInstanceOf[Number].longValue).toArray)
+      else ds.prunedByConstraints(Map.empty, Map.empty, Map(keyCol -> keys))
+    case Some(_) => ds.toDF.limit(0)
+    case None => ds.toDF
+  }
+
   /** Ingest one batch of documents; returns the verified near-dup pairs
     * (doc_a, doc_b, jaccard) involving at least one batch document. The
-    * result is materialized before this method returns (it must survive the
-    * index mutating on later batches).
+    * result is parquet-backed under the index root before this method
+    * returns — durable across executor loss and later index mutations.
     */
   def addBatch(
       batch: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.7): DataFrame = this.synchronized {
     require(threshold > 0.0, "threshold must be positive")
+    val cap = maxProbeKeys
     val expl = Dedup.shingleRows(batch, textCol, idCol, shingleSize)
       .select(col("doc"), xxhash64(col("s")).as("h"))
       .cache()
@@ -80,13 +133,18 @@ final class MinhashIndex private (
       .select(col("doc"), col("sz"), col("b.band").as("band"), col("b.bh").as("bh"))
       .cache()
 
-    val bandedAll = bandRows.map(_.unionByName(bandedNew)).getOrElse(bandedNew)
-    val shinglesAll = shingleRows.map(_.unionByName(expl)).getOrElse(expl)
+    // Corpus side read PRUNED by the batch's band hashes — matching hashes
+    // are rare (only near-dups collide), so nearly every cell's Bloom proves
+    // absence and the probe reads cells ∝ matches, not ∝ corpus.
+    val corpusBands = bandDs.map(ds =>
+      prunedRead(ds, "bh", probeValues(bandedNew.select("bh"), cap))
+        .select("doc", "sz", "band", "bh"))
+    val bandedAll = corpusBands.map(_.unionByName(bandedNew)).getOrElse(bandedNew)
 
-    // New side broadcast: the corpus band table streams through the join —
-    // a scan, not a shuffle. Pair order normalizes via conditional swap so
-    // new-old pairs come out (old, new) when the old id is smaller; new-new
-    // pairs appear from both sides and collapse in the distinct.
+    // New side broadcast: the (pruned) corpus band table streams through the
+    // join — a scan, not a shuffle. Pair order normalizes via conditional
+    // swap so new-old pairs come out (old, new) when the old id is smaller;
+    // new-new pairs appear from both sides and collapse in the distinct.
     val swap = col("x.doc") > col("y.doc")
     val cands = broadcast(bandedNew).as("x")
       .join(bandedAll.as("y"),
@@ -98,6 +156,17 @@ final class MinhashIndex private (
         when(swap, col("y.sz")).otherwise(col("x.sz")).as("sz_a"),
         when(swap, col("x.sz")).otherwise(col("y.sz")).as("sz_b"))
       .distinct()
+      .cache()
+
+    // Shingle verify against the same per-value prune: all of a doc's
+    // shingle rows live in ONE (batch, bucket-of-doc) cell, so keeping every
+    // cell that may hold a candidate doc keeps every row the Jaccard needs.
+    val corpusShingles = shingleDs.map(ds =>
+      prunedRead(ds, "doc", probeValues(
+        cands.select(explode(array(col("doc_a"), col("doc_b"))).as("doc")), cap))
+        .select("doc", "h"))
+    val shinglesAll = corpusShingles.map(_.unionByName(expl)).getOrElse(expl)
+
     val verified = cands
       .join(shinglesAll.select(col("doc").as("doc_a"), col("h")), "doc_a")
       .join(shinglesAll.select(col("doc").as("doc_b"), col("h")), Seq("doc_b", "h"))
@@ -107,78 +176,156 @@ final class MinhashIndex private (
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-      .cache()
-    verified.count() // force while expl/bandedNew are still the live state
 
-    // Append the batch as a new partition directory in each table.
+    // Durable result: executes the verify while expl/bandedNew are still the
+    // live state, and survives both executor loss and later addBatch calls
+    // releasing the snapshots this lineage reads.
     val b = nextBatch
-    appendBatch(expl, "shingles", b, ds => shingleDs = Some(ds))
-    appendBatch(bandedNew, "bands", b, ds => bandDs = Some(ds))
+    val pairsDir = s"$root/pairs/batch=$b"
+    val resultSchema = verified.schema
+    verified.write.mode("overwrite").parquet(pairsDir)
+    val result = spark.read.schema(resultSchema).parquet(pairsDir)
+
+    // Append the batch as new cells in each table; the batch COMMITS (and
+    // open() will replay it) only once both tables saved.
+    appendBatch(expl, "shingles", "doc", b, ds => shingleDs = Some(ds))
+    appendBatch(bandedNew, "bands", "bh", b, ds => bandDs = Some(ds))
+    MinhashIndex.writeParams(root, numHashes, bands, shingleSize, nBuckets, b + 1)
     nextBatch = b + 1
     expl.unpersist()
     bandedNew.unpersist()
-    verified
+    cands.unpersist()
+    result
   }
 
   private def appendBatch(
-      rows: DataFrame, table: String, batchNr: Long,
+      rows: DataFrame, table: String, bucketKey: String, batchNr: Long,
       set: LakeDataset => Unit): Unit = {
     val stamped = rows.withColumn("batch", lit(batchNr))
     (if (table == "shingles") shingleDs else bandDs) match {
       case Some(ds) =>
         ds.insert(stamped)
-        // Save ONLY the new batch's cell — prior directories are untouched.
-        ds.partKeys
-          .filter(_.partValues.contains("batch" -> batchNr.toString))
-          .foreach(ds.savePart)
+        writeBatchFiles(ds, stamped, bucketKey)
       case None =>
         val ds = LakeDataset.fromDataFrame(spark, stamped,
           partitionCols = Seq("batch"),
+          bucketCols = Seq(bucketKey), nBuckets = nBuckets,
+          bloomCols = Seq(bucketKey),
           storage = Some(StorageSpec(s"$root/$table")))
-        ds.toStorage()
+        writeBatchFiles(ds, stamped, bucketKey)
         set(ds)
     }
+  }
+
+  /** Persist ONE batch's cells in a single dynamic-layout write job — the
+    * per-part save path schedules a driver job per bucket cell, and at
+    * nBuckets cells × two tables that scheduling dominates small batches.
+    * `batch=N` is a fresh directory, so append mode touches no prior batch;
+    * the manifest then refreshes once from the in-memory catalog the insert
+    * maintained. A crash mid-write leaves a partial directory PAST the
+    * committed batch count, which open() drops.
+    */
+  private def writeBatchFiles(
+      ds: LakeDataset, stamped: DataFrame, bucketKey: String): Unit = {
+    val spec = ds.storage.getOrElse(throw new IllegalStateException("no storage"))
+    stamped
+      .withColumn("bucket",
+        graft.functions.Bucketing.bucketExprFor(stamped, bucketKey, ds.nBuckets))
+      .write.mode("append").format(spec.format)
+      .option("compression", spec.compression)
+      .partitionBy("batch", "bucket")
+      .save(spec.root)
+    ds.writeManifest()
   }
 }
 
 object MinhashIndex {
 
   /** Open the index at `root`: load the persisted state if a prior session
-    * saved one, else start empty. The hash parameters persist beside the
-    * state (`params.json`) and are VALIDATED on reopen — signatures built
-    * with different (numHashes, bands, shingleSize) live in a different
-    * hash space, and mixing them would silently produce garbage candidates
-    * rather than an error.
+    * saved one, else start empty. The hash/layout parameters persist beside
+    * the state (`params.json`) and are VALIDATED on reopen — signatures
+    * built with different (numHashes, bands, shingleSize) live in a
+    * different hash space, and mixing them would silently produce garbage
+    * candidates rather than an error. `params.json` also carries the
+    * COMMITTED batch count, written only after both tables save: open drops
+    * any batch directory past it (a crash between the two saves), so the
+    * reopened index re-ingests that batch instead of double-counting its
+    * shingle rows.
     */
   def open(
       spark: SparkSession, root: String,
-      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3): MinhashIndex = {
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      nBuckets: Int = 32): MinhashIndex = {
     val paramsPath = Paths.get(s"$root/params.json")
     val hasState = Files.exists(Paths.get(s"$root/bands/_manifest.json"))
     if (!hasState) {
       Files.createDirectories(Paths.get(root))
-      Files.writeString(paramsPath,
-        s"""{"numHashes":$numHashes,"bands":$bands,"shingleSize":$shingleSize}""")
-      new MinhashIndex(spark, root, numHashes, bands, shingleSize, None, None, 0L)
+      writeParams(root, numHashes, bands, shingleSize, nBuckets, 0L)
+      new MinhashIndex(spark, root, numHashes, bands, shingleSize, nBuckets,
+        None, None, 0L)
     } else {
+      var committedOpt: Option[Long] = None
       if (Files.exists(paramsPath)) {
         val saved = Files.readString(paramsPath)
-        def field(k: String): Option[Int] =
-          s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(saved).map(_.group(1).toInt)
+        def field(k: String): Option[Long] =
+          s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(saved).map(_.group(1).toLong)
         val ok = field("numHashes").forall(_ == numHashes) &&
           field("bands").forall(_ == bands) &&
-          field("shingleSize").forall(_ == shingleSize)
+          field("shingleSize").forall(_ == shingleSize) &&
+          field("nBuckets").forall(_ == nBuckets)
         require(ok, s"MinhashIndex at $root was built with $saved — " +
           s"reopening with (numHashes=$numHashes, bands=$bands, " +
-          s"shingleSize=$shingleSize) would mix incompatible hash spaces")
+          s"shingleSize=$shingleSize, nBuckets=$nBuckets) would mix " +
+          "incompatible hash spaces")
+        committedOpt = field("batches")
       }
+      // Committed count: the marker when present; legacy indexes (no marker)
+      // trust the bands table, reproducing the old nextBatch inference.
+      val committed = committedOpt.getOrElse(
+        batchDirs(s"$root/bands").maxOption.map(_ + 1).getOrElse(0L))
+      dropUncommitted(root, committed)
       val sh = LakeDataset.fromStorage(spark, s"$root/shingles")
       val bd = LakeDataset.fromStorage(spark, s"$root/bands")
-      val next = bd.partKeys
-        .flatMap(_.partValues.collect { case ("batch", v) => v.toLong })
-        .maxOption.map(_ + 1).getOrElse(0L)
-      new MinhashIndex(spark, root, numHashes, bands, shingleSize,
-        Some(sh), Some(bd), next)
+      new MinhashIndex(spark, root, numHashes, bands, shingleSize, nBuckets,
+        Some(sh), Some(bd), committed)
     }
   }
+
+  /** Atomically (re)write the params + committed-batch-count marker. */
+  private[operators] def writeParams(
+      root: String, numHashes: Int, bands: Int, shingleSize: Int,
+      nBuckets: Int, batches: Long): Unit = {
+    val tmp = Paths.get(s"$root/params.json.tmp")
+    Files.writeString(tmp,
+      s"""{"numHashes":$numHashes,"bands":$bands,"shingleSize":$shingleSize,""" +
+        s""""nBuckets":$nBuckets,"batches":$batches}""")
+    Files.move(tmp, Paths.get(s"$root/params.json"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Batch numbers present as `batch=N` directories under a table root. */
+  private def batchDirs(tableRoot: String): List[Long] = {
+    val dir = Paths.get(tableRoot)
+    if (!Files.isDirectory(dir)) return Nil
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .filter(Files.isDirectory(_))
+      .flatMap(p => p.getFileName.toString match {
+        case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLongOption
+        case _ => None
+      }).toList
+    finally stream.close()
+  }
+
+  /** Drop any `batch=N` directory at-or-past the committed count from both
+    * tables — state a crash left half-saved. The reopened index re-ingests
+    * that batch; keeping it would double its (doc, h) rows and silently
+    * inflate every Jaccard it participates in.
+    */
+  private def dropUncommitted(root: String, committed: Long): Unit =
+    Seq("shingles", "bands").foreach { t =>
+      batchDirs(s"$root/$t").filter(_ >= committed).foreach { n =>
+        LakeDataset.deleteRecursively(Paths.get(s"$root/$t/batch=$n"))
+      }
+    }
 }

@@ -346,6 +346,64 @@ object Similarity {
     }
   }
 
+  /** The remedy [[needsRecluster]] signals for: split each OVERFLOWING
+    * inverted list (size > maxSkew × the ideal even share) into `splitInto`
+    * new lists, seeding + assigning over ONLY that list's vectors — cost ∝
+    * the overflowing lists, never a full [[buildIvf]] over the corpus.
+    * Untouched lists keep their files byte-identical; each split list's
+    * directory is replaced by its sub-lists' directories and the (k×dim)
+    * centroid table rewrites. Returns the rebalanced index.
+    *
+    * Sub-list vectors stay under their old list's sub-centroids (the
+    * hierarchical-split compromise): a vector is no longer guaranteed to
+    * sit under its globally nearest centroid, which IVF absorbs the same
+    * way it absorbs quantization error — through nprobe > 1. The recall
+    * spec and the all-lists == exact invariant both hold across a split.
+    *
+    * Crash windows are benign-by-ordering: new sub-list cells write FIRST,
+    * the centroid table second, the old directory drops last — a crash
+    * leaves either a superseded centroid table (old cid still routes to the
+    * old, still-present list) or an orphaned old directory (its cid is gone
+    * from the centroid table, so no probe plans it); re-running the
+    * recluster converges either way.
+    */
+  def reclusterOverflowing(
+      root: String, index: IvfLake, vecCol: String, idCol: String,
+      maxSkew: Double = 4.0, splitInto: Int = 4): IvfLake = {
+    val spark = index.assigned.spark
+    val sizes = ivfListSizes(index)
+    if (sizes.isEmpty || sizes.values.sum == 0) return index
+    val ideal = sizes.values.sum.toDouble / index.centroids.size
+    val overflowing = sizes.filter(_._2 > maxSkew * ideal).keys.toSeq.sorted
+    if (overflowing.isEmpty) return index
+    val dim = index.centroids.head._2.length
+    var centroids = index.centroids.filterNot(c => overflowing.contains(c._1))
+    var nextId = index.centroids.map(_._1).max + 1
+
+    overflowing.foreach { cid =>
+      val listDf = index.assigned
+        .prunedDF(Map("centroid" -> cid.toString)).drop("centroid")
+      // Seed + one Lloyd pass over just this list; local sub-centroid ids
+      // 0..splitInto-1 shift into fresh global ids.
+      val (sub, subAssigned) =
+        buildIvf(listDf, vecCol, idCol, splitInto, dim, lloydIters = 1)
+      val base = nextId
+      centroids = centroids ++ sub.map { case (lid, v) => (base + lid) -> v }
+      nextId += sub.size
+      val before = index.assigned.partKeys.toSet
+      index.assigned.insert(
+        subAssigned.withColumn("centroid", col("centroid") + lit(base)))
+      index.assigned.saveParts(index.assigned.partKeys.filterNot(before))
+    }
+    // Rewrite the centroid table, then drop the superseded lists.
+    import spark.implicits._
+    LakeDataset.fromDataFrame(spark, centroids.sortBy(_._1).toDF("cid", "cvec"),
+      storage = Some(StorageSpec(s"$root/centroids"))).toStorage()
+    index.assigned.dropParts(index.assigned.partKeys.filter(_.partValues
+      .exists { case (c, v) => c == "centroid" && overflowing.contains(v.toInt) }))
+    IvfLake(centroids.sortBy(_._1), index.assigned)
+  }
+
   /** IVF top-k over a persisted index: the probe list prunes at the PART
     * level (each probed centroid is one partition directory), so the scan
     * unions exactly `nprobe` inverted lists. `quantize=true` scores on the

@@ -30,13 +30,44 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case Filter(cond, scan: LakeScan) =>
-      val (eqs, ranges, ins) = constraintsOf(cond, scan)
-      val pruned =
-        if (eqs.isEmpty && ranges.isEmpty && ins.isEmpty) scan.ds.toDF
-        else scan.ds.prunedByConstraints(eqs, ranges, ins)
+      val pruned = dnfBranches(cond) match {
+        // A disjunctive condition (`p='a' OR p='b'`, possibly AND-mixed):
+        // prune per DNF branch and union the kept part sets — each branch is
+        // a conjunction the single-branch machinery understands.
+        case Some(branches) if branches.size > 1 =>
+          scan.ds.prunedByDisjunction(branches.map(constraintsOf(_, scan)))
+        case _ =>
+          val (eqs, ranges, ins) = constraintsOf(cond, scan)
+          if (eqs.isEmpty && ranges.isEmpty && ins.isEmpty) scan.ds.toDF
+          else scan.ds.prunedByConstraints(eqs, ranges, ins)
+      }
       Filter(cond, aligned(scan, fragment(pruned)))
     case scan: LakeScan =>
       aligned(scan, fragment(scan.ds.toDF))
+  }
+
+  /** Over this many DNF branches the disjunctive prune falls back to the
+    * conjunctive extraction (which soundly ignores OR conjuncts) — bounds
+    * the driver-side expansion of nested OR-of-AND conditions.
+    */
+  private val MaxDnfBranches = 16
+
+  /** The condition as a bounded disjunction of conjunctions: `Or` splits
+    * into branches, `And` distributes across them. None when the expansion
+    * would exceed [[MaxDnfBranches]].
+    */
+  private def dnfBranches(e: Expression): Option[Seq[Expression]] = e match {
+    case Or(l, r) =>
+      for {
+        a <- dnfBranches(l); b <- dnfBranches(r)
+        if a.size + b.size <= MaxDnfBranches
+      } yield a ++ b
+    case And(l, r) =>
+      for {
+        a <- dnfBranches(l); b <- dnfBranches(r)
+        if a.size * b.size <= MaxDnfBranches
+      } yield for { x <- a; y <- b } yield And(x, y)
+    case other => Some(Seq(other))
   }
 
   /** The engine plan as an optimizer-ready fragment: the dataset plan FULLY

@@ -33,6 +33,9 @@ object ScaleSmoke {
       r
     }
 
+    // SPARK_GRAFT_ONLY_MH=1 skips straight to the MinHash-index curve.
+    val runAll = !sys.env.contains("SPARK_GRAFT_ONLY_MH")
+    if (runAll) {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val big = (0 until copies).map { i =>
       li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 10000000L))
@@ -112,26 +115,45 @@ object ScaleSmoke {
       s"SELECT COUNT(*) FROM orders_scaled WHERE o_orderkey BETWEEN $loKey AND $hiKey")
       .queryExecution.optimizedPlan.collectLeaves().size
     println(s"[scale] SQL plan leaves: $sqlLeaves of ${dz.numParts} parts")
+    }
 
-    // ---- incremental MinHash: marginal batch cost vs full recompute --------
-    // documents scaled `copies`×; the index bootstraps over (copies-1)
-    // batches' worth, then ONE batch (1/copies of the corpus) is added.
-    // The claim under test: addBatch cost ∝ batch, full recompute ∝ corpus.
+    // ---- incremental MinHash: per-batch cost vs a GROWING corpus -----------
+    // documents scaled `copies`×, ingested as `copies` equal batches. Every
+    // token is salted PER COPY so the copies are genuinely distinct
+    // documents (verbatim copies would make batch N a true near-dup of all
+    // N-1 prior batches — linear growth in real match work, which is the
+    // corpus's fault, not the operator's). With the band/shingle tables
+    // bucketed + bloom'd, each addBatch prunes its corpus probe to the
+    // cells that may hold a matching hash, so per-batch time should stay
+    // ~flat while the index grows `copies`× (the pre-bucketing design
+    // re-scanned the whole band table: linear growth).
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
     val bigDocs = (0 until copies).map { i =>
       docs0.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+        .withColumn("text", regexp_replace(col("text"), "\\w+", s"$$0c$i"))
     }.reduce(_ unionByName _).localCheckpoint(true)
     println(s"[scale] documents: ${bigDocs.count()} rows")
     val mhRoot = java.nio.file.Files.createTempDirectory("graft_scale_mh").toString
     val idx = graft.operators.MinhashIndex.open(spark, mhRoot)
-    time(s"index bootstrap (${copies - 1}/$copies)") {
-      idx.addBatch(bigDocs.filter(col("doc_id") < (copies - 1).toLong * 1000000L),
-        "text", "doc_id", threshold = 0.5).count()
+    (0 until copies).foreach { i =>
+      time(f"addBatch ${i + 1}%2d/$copies (index holds $i)") {
+        idx.addBatch(
+          bigDocs.filter(col("doc_id") >= i.toLong * 1000000L &&
+            col("doc_id") < (i + 1).toLong * 1000000L),
+          "text", "doc_id", threshold = 0.5).count()
+      }
     }
-    time(s"addBatch (1/$copies of corpus)") {
-      idx.addBatch(bigDocs.filter(col("doc_id") >= (copies - 1).toLong * 1000000L),
-        "text", "doc_id", threshold = 0.5).count()
+    // The money probe: a TINY batch of planted near-dups of copy-0 docs
+    // against the full `copies`× index. The prune must route it to the
+    // matching cells — cost ∝ batch + matches, nowhere near a corpus scan.
+    val planted = bigDocs
+      .filter(col("doc_id") < 1000000L && col("doc_id") % 100 === 0)
+      .withColumn("doc_id", col("doc_id") + 900000000L)
+      .withColumn("text", concat(col("text"), lit(" graft near dup suffix")))
+    val found = time(s"addBatch tiny planted batch vs ${copies}x index") {
+      idx.addBatch(planted, "text", "doc_id", threshold = 0.5).count()
     }
+    println(s"[scale] planted-batch pairs found: $found")
     time("full recompute (whole corpus)") {
       graft.operators.Dedup.minhashDedup(bigDocs, "text", "doc_id",
         threshold = 0.5).count()

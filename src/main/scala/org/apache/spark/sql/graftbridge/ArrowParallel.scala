@@ -37,13 +37,56 @@ object ArrowParallel {
   def toIpcBytesDistributed(
       df: DataFrame, batchRows: Int = 16384,
       codec: Option[String] = Some("zstd")): (Array[Byte], Long) = {
+    val perPartition: Array[(Array[Array[Byte]], Long)] =
+      encodedRdd(df, batchRows, codec).collect()
+    val out = new ByteArrayOutputStream()
+    val ch = new WriteChannel(Channels.newChannel(out))
+    ch.write(schemaMessage(df))
+    perPartition.iterator.flatMap(_._1).foreach(b => ch.write(b))
+    ArrowStreamWriter.writeEndOfStream(ch, IpcOption.DEFAULT)
+    (out.toByteArray, perPartition.map(_._2).sum)
+  }
+
+  /** The chunked wire path: executor-encoded framed batches surfaced as a
+    * LOCAL iterator of (framed messages, row count) per partition — the
+    * driver holds ONE partition's frames at a time and wraps bounded groups
+    * into standalone IPC streams with [[schemaMessage]] + [[eosMessage]].
+    */
+  def framedPartitions(
+      df: DataFrame, batchRows: Int = 16384,
+      codec: Option[String] = Some("zstd")): Iterator[(Array[Array[Byte]], Long)] =
+    encodedRdd(df, batchRows, codec).toLocalIterator
+
+  /** The serialized Arrow schema message that opens every stream of `df`. */
+  def schemaMessage(df: DataFrame): Array[Byte] = {
+    val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+    val out = new ByteArrayOutputStream()
+    MessageSerializer.serialize(new WriteChannel(Channels.newChannel(out)),
+      ArrowUtils.toArrowSchema(df.schema, tz, true, false))
+    out.toByteArray
+  }
+
+  /** The end-of-stream marker that closes every IPC stream. */
+  def eosMessage(): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ArrowStreamWriter.writeEndOfStream(
+      new WriteChannel(Channels.newChannel(out)), IpcOption.DEFAULT)
+    out.toByteArray
+  }
+
+  /** Per-partition framed, (optionally) compressed record-batch messages +
+    * row counts — the executor-side encoder shared by the one-shot and
+    * chunked paths.
+    */
+  private def encodedRdd(
+      df: DataFrame, batchRows: Int,
+      codec: Option[String]): org.apache.spark.rdd.RDD[(Array[Array[Byte]], Long)] = {
     val spark = df.sparkSession
     val schema = df.schema
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val codecName = codec.map(_.toLowerCase)
 
-    val perPartition: Array[(Array[Array[Byte]], Long)] =
-      df.queryExecution.toRdd.mapPartitions { rows =>
+    df.queryExecution.toRdd.mapPartitions { rows =>
         val allocator = new RootAllocator()
         val arrowSchema = ArrowUtils.toArrowSchema(schema, tz, true, false)
         val root = VectorSchemaRoot.create(arrowSchema, allocator)
@@ -85,13 +128,6 @@ object ArrowParallel {
           flush()
           Iterator.single((out.toArray, n))
         } finally { root.close(); allocator.close() }
-      }.collect()
-
-    val out = new ByteArrayOutputStream()
-    val ch = new WriteChannel(Channels.newChannel(out))
-    MessageSerializer.serialize(ch, ArrowUtils.toArrowSchema(schema, tz, true, false))
-    perPartition.iterator.flatMap(_._1).foreach(b => ch.write(b))
-    ArrowStreamWriter.writeEndOfStream(ch, IpcOption.DEFAULT)
-    (out.toByteArray, perPartition.map(_._2).sum)
+      }
   }
 }

@@ -26,6 +26,16 @@ class BloomSpec extends SparkSpec {
       partitionCols = Seq("p"), bloomCols = Seq("k"))
   }
 
+  test("hashesOfLong matches the Catalyst-eval'd hashesOf bit-for-bit") {
+    val values = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue,
+      0x9e3779b97f4a7c15L) ++ (0 until 100).map(i => i * 2654435761L)
+    values.foreach { v =>
+      val slow = Bloom.hashesOf(v, org.apache.spark.sql.types.LongType)
+      assert(slow.isDefined)
+      assert(Bloom.hashesOfLong(v).toSeq == slow.get, s"mismatch for $v")
+    }
+  }
+
   test("no false negatives: every present key tests positive, absent keys mostly negative") {
     val ds = scatteredDs()
     import org.apache.spark.sql.types.LongType

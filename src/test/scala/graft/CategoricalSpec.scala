@@ -30,6 +30,40 @@ class CategoricalSpec extends SparkSpec {
     assert(back == orig)
   }
 
+  test("encode/decode ids are unchanged when the dictionary cannot broadcast") {
+    val nation = spark.read.parquet(s"${sf()}/nation.parquet")
+    val rootA = Files.createTempDirectory("graft_cat_bc").toString
+    val baseline = StringCache.open(spark, rootA).encode(nation, "n_name")
+      .select("n_nationkey", "n_name").as[(Long, Long)].collect().toSet
+
+    // Kill BOTH broadcast routes: the planner's (autoBroadcastJoinThreshold)
+    // and the cache's own hint (broadcastMaxRows=0). The encode join must
+    // degrade to a shuffle join and produce the identical ids.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.graft.cat.broadcastMaxRows", "0")
+    try {
+      val rootB = Files.createTempDirectory("graft_cat_bc2").toString
+      val cache = StringCache.open(spark, rootB)
+      val enc = cache.encode(nation, "n_name")
+      // The pre-AQE physical plan must NOT contain a broadcast join — this
+      // pins that a dictionary past the hint threshold degrades instead of
+      // forcing a driver-sized build.
+      assert(!enc.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        enc.queryExecution.sparkPlan.toString)
+      val got = enc.select("n_nationkey", "n_name").as[(Long, Long)].collect().toSet
+      assert(got == baseline)
+      // decode round-trips through the same shuffle-join path
+      val back = cache.decode(enc, "n_name")
+        .select("n_nationkey", "n_name").as[(Long, String)].collect().toSet
+      val orig = nation.select("n_nationkey", "n_name").as[(Long, String)].collect().toSet
+      assert(back == orig)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.unset("spark.graft.cat.broadcastMaxRows")
+    }
+  }
+
   test("cross-table consistency and deterministic extension; cache persists across reopen") {
     val root = Files.createTempDirectory("graft_cat2").toString
     val c1 = StringCache.open(spark, root)

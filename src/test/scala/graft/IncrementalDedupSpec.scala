@@ -98,6 +98,34 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("a batch half-saved by a crash is dropped and re-ingested on open") {
+    val corpus = Fixtures.nearDupDocuments(spark, sf())
+    val root = Files.createTempDirectory("graft_mh_crash").toString
+    val idx = MinhashIndex.open(spark, root)
+    idx.addBatch(corpus.filter(col("doc_id") < 100000), "text", "doc_id",
+      threshold = 0.5)
+    val expected = pairs(idx.addBatch(
+      corpus.filter(col("doc_id") >= 100000), "text", "doc_id", threshold = 0.5))
+
+    // Simulate a crash between batch 1's shingle save and band save: the
+    // commit marker still says one batch, shingles/batch=1 is on disk,
+    // bands/batch=1 is not.
+    Files.writeString(java.nio.file.Paths.get(s"$root/params.json"),
+      """{"numHashes":32,"bands":8,"shingleSize":3,"nBuckets":32,"batches":1}""")
+    graft.lake.LakeDataset.deleteRecursively(
+      java.nio.file.Paths.get(s"$root/bands/batch=1"))
+
+    val reopened = MinhashIndex.open(spark, root)
+    assert(reopened.batches == 1)
+    // The stale shingle rows must be gone BEFORE the replay — keeping them
+    // would double batch 1's (doc, h) rows and inflate every Jaccard.
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/shingles/batch=1")))
+    val replayed = pairs(reopened.addBatch(
+      corpus.filter(col("doc_id") >= 100000), "text", "doc_id", threshold = 0.5))
+    assert(replayed == expected)
+    assert(replayed.forall(_._3 <= 1.0))
+  }
+
   test("per-batch work scales with the batch: second batch signs only new docs") {
     val corpus = Fixtures.nearDupDocuments(spark, sf())
     val root = Files.createTempDirectory("graft_mh_idx3").toString
@@ -106,11 +134,13 @@ class IncrementalDedupSpec extends SparkSpec {
     // the persisted band table holds one batch=0 directory; adding a tiny
     // batch must append a batch=1 directory without rewriting batch=0
     val bands0 = java.nio.file.Paths.get(s"$root/bands/batch=0")
-    val before = Files.walk(bands0).filter(_.toString.endsWith(".parquet"))
-      .map[String](_.toString).toArray
+    def parquetFiles(): Array[AnyRef] =
+      scala.util.Using.resource(Files.walk(bands0)) { w =>
+        w.filter(_.toString.endsWith(".parquet")).map[String](_.toString).sorted().toArray
+      }
+    val before = parquetFiles()
     idx.addBatch(corpus.filter(col("doc_id") >= 100000).limit(10), "text", "doc_id")
-    val after = Files.walk(bands0).filter(_.toString.endsWith(".parquet"))
-      .map[String](_.toString).toArray
+    val after = parquetFiles()
     assert(before.sameElements(after), "batch=0 files must be untouched")
     assert(Files.exists(java.nio.file.Paths.get(s"$root/bands/batch=1")))
   }

@@ -238,6 +238,67 @@ class OperatorsSpec extends SparkSpec {
     assert(Similarity.needsRecluster(index), "3000 identical vectors must skew one list")
   }
 
+  test("recluster splits the overflowing list; untouched lists byte-identical; probes stay exact") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val (centroids, assigned) = Similarity.buildIvf(e, "embedding", "vec_id", 8, 64)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_recl").toString
+    Similarity.saveIvf(spark, root, centroids, assigned)
+    val index = Similarity.loadIvf(spark, root)
+
+    // Skew one list with near-but-DISTINCT vectors (identical vectors are
+    // cosine-indistinguishable — no split could separate them).
+    val hot = e.limit(1).head().getSeq[Float](1)
+    val pile = spark.range(1000000, 1003000).select(col("id").as("vec_id"),
+      transform(typedLit(hot), (x, i) =>
+        (x + when(i === 0, (col("id") % 97).cast("float") / lit(50.0f))
+          .otherwise(lit(0.0f))).cast("float")).as("embedding"))
+    Similarity.addToIvf(index, pile, "embedding")
+    assert(Similarity.needsRecluster(index), "the pile must skew one list")
+    val sizesBefore = Similarity.ivfListSizes(index)
+    val overflowing = sizesBefore.filter(_._2 > 4.0 *
+      sizesBefore.values.sum / index.centroids.size).keys.map(c => s"centroid=$c").toSet
+
+    def dirFiles(): Map[String, Set[String]] = {
+      import scala.jdk.CollectionConverters._
+      index.assigned.partKeys.map { k =>
+        val d = java.nio.file.Paths.get(s"$root/assigned/${k.relPath}")
+        k.relPath -> scala.util.Using.resource(java.nio.file.Files.list(d))(
+          _.iterator().asScala.map(_.getFileName.toString).toSet)
+      }.toMap
+    }
+    val before = dirFiles()
+
+    val re = Similarity.reclusterOverflowing(root, index, "embedding", "vec_id")
+    // the monitor stands down and the split lists actually shrank
+    val sizesAfter = Similarity.ivfListSizes(re)
+    assert(sizesAfter.values.max < sizesBefore.values.max,
+      s"before=$sizesBefore after=$sizesAfter")
+    assert(!Similarity.needsRecluster(re), s"after=$sizesAfter")
+    assert(sizesAfter.values.sum == sizesBefore.values.sum)
+    // untouched lists keep their files byte-for-byte
+    val after = dirFiles()
+    val untouched = before.keySet.filterNot(overflowing)
+    assert(untouched.nonEmpty)
+    untouched.foreach(k => assert(after(k) == before(k), s"$k files changed"))
+    assert(overflowing.forall(k => !after.contains(k)), "split dirs must be gone")
+
+    // probing every list still reproduces the EXACT top-k over the full
+    // corpus — the split moved rows, never lost or duplicated them
+    val full = e.unionByName(pile)
+    val q = e.filter(col("vec_id") === 3).head().getSeq[Float](1).toSeq
+    val exact = Similarity.exactTopKQuantized(full, "embedding", "vec_id", q, 10)
+      .as[(Long, Long)].collect().toSeq
+    val allProbe = Similarity.ivfTopKLake(re, "embedding", "vec_id", q, 10,
+      nprobe = re.centroids.size, quantize = true).as[(Long, Long)].collect().toSeq
+    assert(allProbe == exact)
+
+    // a fresh load from disk sees the post-split layout
+    val reloaded = Similarity.loadIvf(spark, root)
+    assert(reloaded.centroids == re.centroids)
+    assert(reloaded.assigned.numParts == re.assigned.numParts)
+  }
+
   // ------------------------------------------------------------------ joins
 
   test("salted join equals plain join on skewed data") {

@@ -86,6 +86,34 @@ class SqlPruneSpec extends SparkSpec {
     assert(qs.head().getLong(0) == 15)
   }
 
+  test("SQL OR of equalities prunes per DNF branch; unprunable branches fail open") {
+    val db = new Database(spark)
+    val rows = (0 until 100).map(i => (('A' + i % 4).toChar.toString, i.toLong, i * 1.5))
+    val ds = LakeDataset.fromDataFrame(spark, rows.toDF("p", "k", "v"),
+      partitionCols = Seq("p"))
+    db.register("t_or", ds)
+
+    // 'A' and 'D' straddle 'B'/'C' — only the two listed directories plan.
+    val q = spark.sql("SELECT COUNT(*) AS n FROM t_or WHERE p = 'A' OR p = 'D'")
+    assert(ds.numParts == 4)
+    assert(leafCount(q) == 2, q.queryExecution.optimizedPlan.treeString)
+    assert(q.head().getLong(0) == rows.count(r => r._1 == "A" || r._1 == "D"))
+
+    // AND-mixed disjunction: the DNF distributes the conjuncts per branch.
+    val qm = spark.sql(
+      "SELECT COUNT(*) AS n FROM t_or WHERE (p = 'A' AND k < 10) OR p = 'D'")
+    assert(leafCount(qm) == 2, qm.queryExecution.optimizedPlan.treeString)
+    assert(qm.head().getLong(0) ==
+      rows.count(r => (r._1 == "A" && r._2 < 10) || r._1 == "D"))
+
+    // A branch with no extractable constraint keeps everything — the prune
+    // fails open, never filters rows the predicate would keep.
+    val qf = spark.sql(
+      "SELECT COUNT(*) AS n FROM t_or WHERE p = 'A' OR v + 1.0 > 1000.0")
+    assert(qf.head().getLong(0) ==
+      rows.count(r => r._1 == "A" || r._3 + 1.0 > 1000.0))
+  }
+
   test("SQL sees mutations immediately — no view refresh required") {
     val db = new Database(spark)
     val ds = LakeDataset.fromDataFrame(spark,
