@@ -58,22 +58,35 @@ case class CosineF32(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // Fresh names: several CosineF32 instances routinely share one
+      // codegen function (assignToCentroids emits one per centroid in a
+      // single projection); raw names would collide and demote the whole
+      // stage to interpreted eval.
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
       s"""
-      int n = java.lang.Math.min($a.numElements(), $b.numElements());
-      double dot = 0.0, nx = 0.0, ny = 0.0;
-      for (int i = 0; i < n; i++) {
-        double xv = (double) $a.getFloat(i);
-        double yv = (double) $b.getFloat(i);
-        dot += xv * yv; nx += xv * xv; ny += yv * yv;
+      int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+      for (int $i = 0; $i < $n; $i++) {
+        double $xv = (double) $a.getFloat($i);
+        double $yv = (double) $b.getFloat($i);
+        $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
       }
-      for (int j = n; j < $a.numElements(); j++) {
-        double v = (double) $a.getFloat(j); nx += v * v;
+      for (int $j = $n; $j < $a.numElements(); $j++) {
+        double $v = (double) $a.getFloat($j); $nx += $v * $v;
       }
-      for (int j = n; j < $b.numElements(); j++) {
-        double v = (double) $b.getFloat(j); ny += v * v;
+      for (int $j = $n; $j < $b.numElements(); $j++) {
+        double $v = (double) $b.getFloat($j); $ny += $v * $v;
       }
-      ${ev.value} = (nx == 0.0 || ny == 0.0)
-        ? 0.0 : dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny));
+      ${ev.value} = ($nx == 0.0 || $ny == 0.0)
+        ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
       """
     })
 

@@ -347,9 +347,13 @@ object Similarity {
   }
 
   /** The remedy [[needsRecluster]] signals for: split each OVERFLOWING
-    * inverted list (size > maxSkew × the ideal even share) into `splitInto`
-    * new lists, seeding + assigning over ONLY that list's vectors — cost ∝
-    * the overflowing lists, never a full [[buildIvf]] over the corpus.
+    * inverted list (size > maxSkew × the ideal even share) into new lists
+    * (`splitInto` is the minimum fan-out; the actual fan-out adapts to the
+    * list's size — see [[splitPass]]), seeding + assigning over ONLY that
+    * list's vectors — cost ∝ the overflowing lists, never a full
+    * [[buildIvf]] over the corpus. Passes repeat (bounded by `maxPasses`,
+    * with a no-progress guard for cosine-degenerate lists that cannot
+    * separate) until no list overflows.
     * Untouched lists keep their files byte-identical; each split list's
     * directory is replaced by its sub-lists' directories and the (k×dim)
     * centroid table rewrites. Returns the rebalanced index.
@@ -369,24 +373,65 @@ object Similarity {
     */
   def reclusterOverflowing(
       root: String, index: IvfLake, vecCol: String, idCol: String,
-      maxSkew: Double = 4.0, splitInto: Int = 4): IvfLake = {
+      maxSkew: Double = 4.0, splitInto: Int = 4, maxPasses: Int = 6): IvfLake = {
+    var cur = index
+    var lastMax = Long.MaxValue
+    var pass = 0
+    while (pass < maxPasses) {
+      val sizes = ivfListSizes(cur)
+      if (sizes.isEmpty || sizes.values.sum == 0) return cur
+      val ideal = sizes.values.sum.toDouble / cur.centroids.size
+      val overflowing = sizes.filter(_._2 > maxSkew * ideal).keys.toSeq.sorted
+      if (overflowing.isEmpty) return cur
+      // No-progress guard: a list of cosine-identical vectors can never
+      // separate — splitting it again only mints empty centroids (which
+      // shrink `ideal` and make the monitor HARDER to satisfy). Stop and
+      // leave the monitor honest rather than loop.
+      if (sizes.values.max >= lastMax) return cur
+      lastMax = sizes.values.max
+      cur = splitPass(root, cur, vecCol, idCol, overflowing, splitInto, maxSkew)
+      pass += 1
+    }
+    cur
+  }
+
+  /** One split pass of [[reclusterOverflowing]]: replace each list in
+    * `overflowing` with sub-lists clustered over only that list's vectors.
+    * The fan-out is ADAPTIVE, not fixed: splitting grows the centroid count,
+    * which shrinks the monitor's ideal share (total/ncentroids) — a fixed
+    * small fan-out therefore chases a receding threshold and can drag
+    * untouched lists over it. Instead pick the smallest n whose even split
+    * lands sub-lists at ~(maxSkew/2)× the POST-split ideal (self-consistent
+    * in the grown count), so one pass usually suffices and the centroid
+    * count stays minimal. Degenerate seeds that attract no vectors are
+    * dropped from the centroid table: an empty list owns no data but would
+    * deflate the ideal and waste probe slots.
+    *
+    * Crash-safe ordering per the contract above: sub-list cells first,
+    * centroid table second, old directories last.
+    */
+  private def splitPass(
+      root: String, index: IvfLake, vecCol: String, idCol: String,
+      overflowing: Seq[Int], splitInto: Int, maxSkew: Double): IvfLake = {
     val spark = index.assigned.spark
-    val sizes = ivfListSizes(index)
-    if (sizes.isEmpty || sizes.values.sum == 0) return index
-    val ideal = sizes.values.sum.toDouble / index.centroids.size
-    val overflowing = sizes.filter(_._2 > maxSkew * ideal).keys.toSeq.sorted
-    if (overflowing.isEmpty) return index
     val dim = index.centroids.head._2.length
+    val sizes = ivfListSizes(index)
+    val total = sizes.values.sum.toDouble
     var centroids = index.centroids.filterNot(c => overflowing.contains(c._1))
     var nextId = index.centroids.map(_._1).max + 1
+    var cCount = index.centroids.size
 
     overflowing.foreach { cid =>
       val listDf = index.assigned
         .prunedDF(Map("centroid" -> cid.toString)).drop("centroid")
-      // Seed + one Lloyd pass over just this list; local sub-centroid ids
-      // 0..splitInto-1 shift into fresh global ids.
+      val listSize = sizes.getOrElse(cid, 0L).toDouble
+      var n = math.max(2, splitInto)
+      while (n < 64 && listSize / n > (maxSkew / 2.0) * total / (cCount + n - 1))
+        n += 1
+      // Seed + Lloyd over just this list; local sub-centroid ids
+      // 0..n-1 shift into fresh global ids.
       val (sub, subAssigned) =
-        buildIvf(listDf, vecCol, idCol, splitInto, dim, lloydIters = 1)
+        buildIvf(listDf, vecCol, idCol, n, dim, lloydIters = 2)
       val base = nextId
       centroids = centroids ++ sub.map { case (lid, v) => (base + lid) -> v }
       nextId += sub.size
@@ -394,7 +439,15 @@ object Similarity {
       index.assigned.insert(
         subAssigned.withColumn("centroid", col("centroid") + lit(base)))
       index.assigned.saveParts(index.assigned.partKeys.filterNot(before))
+      cCount += sub.size - 1
     }
+    // Drop newly-minted sub-centroids that attracted no vectors (their cell
+    // never materialized); original ids keep their table entry regardless.
+    val populated: Set[Int] = index.assigned.partKeys.flatMap(_.partValues
+      .collectFirst { case ("centroid", v) => v.toInt }).toSet
+    val origIds = index.centroids.map(_._1).toSet
+    centroids = centroids.filter { case (id, _) =>
+      origIds.contains(id) || populated.contains(id) }
     // Rewrite the centroid table, then drop the superseded lists.
     import spark.implicits._
     LakeDataset.fromDataFrame(spark, centroids.sortBy(_._1).toDF("cid", "cvec"),
