@@ -58,6 +58,15 @@ final class LakeDataset private (
 
   private val parts = new ConcurrentHashMap[PartKey, LakePart]()
 
+  /** Cells whose CURRENT content is exactly one on-disk directory (loaded
+    * from storage, written by [[insertWritten]], or just saved). Reads over
+    * only such cells can plan ONE multi-path file scan instead of a
+    * union-of-part-views — at hundreds of cells the union's driver-side
+    * analysis alone dominates small probes. Any in-memory mutation of a
+    * cell evicts it here (its directory is stale until the next save).
+    */
+  private val diskDirs = new ConcurrentHashMap[PartKey, String]()
+
   /** Single-scan view of the whole dataset, set by [[LakeDataset.fromStorage]]
     * and valid until the first mutation. Lets [[toDF]] plan ONE file scan
     * (partition-pruned via parquet stats) instead of a union of per-part
@@ -305,12 +314,55 @@ final class LakeDataset private (
     // cells updated and others not (compact()'s parts.clear() in particular).
     this.synchronized {
       cleanScan.getOrElse {
-        if (sinceCompact.get >= LakeDataset.CompactReadThreshold) {
-          compact()
-          cleanScan.get
-        } else unionParts
+        diskScan().getOrElse {
+          if (sinceCompact.get >= LakeDataset.CompactReadThreshold) {
+            compact()
+            cleanScan.get
+          } else unionParts
+        }
       }
     }
+  }
+
+  /** When EVERY cell is disk-resident, the whole table is one multi-path
+    * file scan — no union, no compaction (appending fresh directories never
+    * grows a plan the way chained in-memory mutations do). Cached as the
+    * clean scan until the next mutation. Callers hold the dataset monitor.
+    */
+  private def diskScan(): Option[DataFrame] =
+    if (storage.isDefined && !parts.isEmpty &&
+        parts.keySet().asScala.forall(diskDirs.containsKey) &&
+        uniformSchema(parts.values().asScala.toList)) {
+      val scan = multiPathScan(partKeys.map(diskDirs.get))
+      cleanScan = Some(scan)
+      sinceCompact.set(0L)
+      Some(scan)
+    } else None
+
+  /** All parts plan the same schema (a schema-evolved subset would read
+    * wrong through one shared file scan — fall back to unionByName).
+    */
+  private def uniformSchema(ps: List[LakePart]): Boolean =
+    ps.map(_.df.schema).distinct.sizeIs <= 1
+
+  /** ONE multi-path file scan over disk-resident cell directories: Hive
+    * partition discovery (`basePath`) restores the partition and bucket
+    * directory values, the table schema restores column order and types
+    * (and drops the internal bucket directory column). The same relation
+    * shape [[LakeDataset.fromStorage]] plans for a whole loaded table,
+    * here over any subset of cells.
+    */
+  private def multiPathScan(dirs: Seq[String]): DataFrame = {
+    val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
+    val target = tableSchema
+    val reader0 = spark.read.format(spec.format).option("basePath", spec.root)
+    // Parquet is self-describing; csv/json load with the file schema.
+    val reader =
+      if (spec.format == "parquet") reader0
+      else reader0.schema(org.apache.spark.sql.types.StructType(
+        target.fields.filterNot(f => partitionCols.contains(f.name))))
+    reader.load(dirs: _*)
+      .select(target.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
   }
 
   private def unionParts: DataFrame = {
@@ -356,6 +408,7 @@ final class LakeDataset private (
         snap.groupBy(keyCols: _*).agg(statAggs.head, statAggs.tail: _*).collect()
       }
     parts.clear()
+    diskDirs.clear()
     if (cells.isEmpty) {
       val key = PartKey(Nil, None)
       val row = snap.agg(statAggs.head, statAggs.tail: _*).head()
@@ -595,6 +648,7 @@ final class LakeDataset private (
   def dropParts(keys: Seq[PartKey]): Unit = this.synchronized {
     val removed = keys.flatMap(k => Option(parts.remove(k)).map(_ => k))
     if (removed.isEmpty) return
+    removed.foreach(diskDirs.remove)
     markDirty()
     storage.foreach { spec =>
       removed.foreach(k =>
@@ -625,7 +679,16 @@ final class LakeDataset private (
     if (kept.size == all.size) toDF
     else if (kept.isEmpty) emptyLike
     else if (cleanScan.isDefined && kept.size * 2 > all.size) toDF
-    else kept.map(_._2.view).reduce(_ unionByName (_, allowMissingColumns = true))
+    else {
+      // Disk-resident kept set → ONE multi-path scan: at batches×buckets
+      // cells, planning a union of per-part views costs more driver time
+      // than the pruned read itself (the incremental-index probe profile).
+      val dirs = kept.map { case (k, _) => diskDirs.get(k) }
+      if (storage.isDefined && dirs.forall(_ != null) &&
+          uniformSchema(kept.map(_._2)))
+        multiPathScan(dirs)
+      else kept.map(_._2.view).reduce(_ unionByName (_, allowMissingColumns = true))
+    }
 
   /** The parts one conjunction keeps — every axis checked from the catalog
     * (no I/O, no jobs): partition-directory values and the bucket id for
@@ -882,6 +945,7 @@ final class LakeDataset private (
       val wasEmpty = parts.isEmpty
       markDirty()
       slices.foreach { s =>
+        diskDirs.remove(s.key)
         parts.compute(s.key, (_, existing) =>
           if (existing == null)
             new LakePart(s.df, s.key, bucketCols, nBuckets, s.rows, retainDirect,
@@ -963,6 +1027,7 @@ final class LakeDataset private (
       } else {
         val (batch, slices) = splitPrepared(p, counts, zoneCols, bloomColsP)
         slices.foreach { s =>
+          diskDirs.remove(s.key)
           parts.compute(s.key, (_, existing) =>
             if (existing == null)
               new LakePart(s.df, s.key, bucketCols, nBuckets, s.rows, retainDirect,
@@ -980,6 +1045,77 @@ final class LakeDataset private (
       }
     }
     if (save) toStorage()
+  }
+
+  /** Append a batch whose cells are all FRESH directories, in ONE write job.
+    *
+    * The insert-then-save path plans the batch twice (an in-memory snapshot
+    * for the catalog, then a second job for the files) — for an incremental
+    * index ingesting small batches the doubled fixed cost dominates the
+    * batch itself. Here the routing aggregation computes the catalog stats
+    * (counts, zones, blooms), the dynamic-partition write lays the cells
+    * out exactly as [[toStorage]] would, and each written directory
+    * registers as a DISK-BACKED part — no in-memory copy of the batch
+    * survives the call, and reads plan multi-path file scans
+    * ([[diskScan]]/[[assembleKept]]).
+    *
+    * Caller contract: every cell the batch routes to must be NEW (e.g. a
+    * fresh `batch=N` partition value) — the append-mode write cannot merge
+    * into an existing cell's directory, so colliding keys are refused.
+    */
+  def insertWritten(df: DataFrame): Unit = {
+    val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
+    val p = prepared(df)
+    val (counts, zc, bc) = cellCountsOf(p)
+    require(counts != null,
+      "insertWritten needs a partitioned or bucketed layout (fresh cells)")
+    require(!p.columns.contains("bucket") || bucketCols.isEmpty,
+      "a data column named 'bucket' collides with the bucket directory layout")
+    val dirCols = partitionCols ++ (if (bucketCols.nonEmpty) List("bucket") else Nil)
+    p.withColumnRenamed(LakeDataset.BucketCol, "bucket")
+      .write.mode("append").format(spec.format)
+      .option("compression", spec.compression)
+      .partitionBy(dirCols: _*)
+      .save(spec.root)
+    val target = org.apache.spark.sql.types.StructType(
+      p.schema.fields.filterNot(_.name == LakeDataset.BucketCol))
+    val fileSchema = org.apache.spark.sql.types.StructType(
+      target.fields.filterNot(f => partitionCols.contains(f.name)))
+    val nKey = cellKeyCols.length
+    this.synchronized {
+      markDirty()
+      counts.foreach { row =>
+        val partVals = partitionCols.zipWithIndex.map { case (c, i) =>
+          c -> Option(row.get(i)).map(_.toString).orNull
+        }
+        val bucketNr =
+          if (bucketCols.nonEmpty) {
+            if (row.isNullAt(nKey - 1)) Some(LakeDataset.NullBucket)
+            else Some(row.getInt(nKey - 1))
+          } else None
+        val key = PartKey(partVals.sortBy(_._1), bucketNr)
+        require(!parts.containsKey(key),
+          s"insertWritten cell $key already exists — append cannot merge it")
+        val dir = s"${spec.root}/${key.relPath}"
+        require(Files.isDirectory(Paths.get(dir)),
+          s"written cell directory missing: $dir (partition value escaping mismatch?)")
+        val raw =
+          (if (spec.format == "parquet") spark.read.format(spec.format)
+           else spark.read.schema(fileSchema).format(spec.format)).load(dir)
+        val restored = partVals.foldLeft(raw) { case (d, (k, v)) =>
+          d.withColumn(k, lit(v).cast(target(k).dataType))
+        }.select(target.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        val zones = ZoneMap.fromRow(row, nKey + 1, zc)
+        val blooms =
+          if (bc.isEmpty) None else Some(Bloom.fromRow(row, nKey + 1 + 2 * zc.length, bc))
+        parts.put(key,
+          new LakePart(restored, key, bucketCols, nBuckets, row.getLong(nKey),
+            retainDirect, initialZones = Some(zones), statColsOf = statColsFor,
+            initialBlooms = blooms, snapshot = partSnapshot))
+        diskDirs.put(key, dir)
+      }
+    }
+    writeManifest()
   }
 
   /** The table view a key probe scans: the single clean scan when present;
@@ -1082,7 +1218,10 @@ final class LakeDataset private (
         // Zones/blooms intentionally untouched: post-delete data is a
         // subset, so the existing stats stay a sound (if loose) superset.
         slices.foreach { s =>
-          Option(parts.get(s.key)).foreach(_.delete(s.df, keys))
+          Option(parts.get(s.key)).foreach { p =>
+            diskDirs.remove(s.key)
+            p.delete(s.df, keys)
+          }
         }
         retain(batch)
       }
@@ -1094,7 +1233,10 @@ final class LakeDataset private (
           val located = locateCells(keyRows, keys)
           markDirty()
           located.foreach { key =>
-            Option(parts.get(key)).foreach(_.delete(keyRows, keys))
+            Option(parts.get(key)).foreach { p =>
+              diskDirs.remove(key)
+              p.delete(keyRows, keys)
+            }
           }
           retain(keyRows)
         }
@@ -1250,6 +1392,14 @@ final class LakeDataset private (
     }
     Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
       bloomCols, serializedBlooms), spec.root)
+    // Every cell's directory now mirrors its content exactly. Existence
+    // check: Spark's dynamic writer escapes special characters in partition
+    // values differently than PartKey.relPath — an unmatched name must not
+    // register (reads would throw on the missing path).
+    parts.keySet().asScala.foreach { k =>
+      val dir = s"${spec.root}/${k.relPath}"
+      if (Files.isDirectory(Paths.get(dir))) diskDirs.put(k, dir)
+    }
   }
 
   /** Incremental save of a single cell — at scale you save the cells an
@@ -1264,6 +1414,7 @@ final class LakeDataset private (
       // write below deletes first — collect it off the files before saving.
       if (dfReadsUnder(p.df, spec.root)) p.materialize()
       p.save(spec, dropCols = partitionCols)
+      diskDirs.put(key, s"${spec.root}/${key.relPath}")
       val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
       Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
         bloomCols, serializedBlooms), spec.root)
@@ -1286,6 +1437,7 @@ final class LakeDataset private (
     implicit val ec: scala.concurrent.ExecutionContext = LakeDataset.ioPool
     ps.map(p => Future(p.save(spec, dropCols = partitionCols)))
       .foreach(Await.result(_, Duration.Inf))
+    ps.foreach(p => diskDirs.put(p.key, s"${spec.root}/${p.key.relPath}"))
     val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
     Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
       bloomCols, serializedBlooms), spec.root)
@@ -1359,6 +1511,21 @@ object LakeDataset {
     ds.insert(df)
     ds
   }
+
+  /** An EMPTY dataset bound to a storage root — cells arrive via
+    * [[LakeDataset#insertWritten]] (the one-job ingest of incremental
+    * indexes) or [[LakeDataset#insert]]. The layout (partitions, bucketing,
+    * blooms) is fixed up front so every future batch routes identically.
+    */
+  def forStorage(
+      spark: SparkSession,
+      partitionCols: Seq[String],
+      bucketCols: Seq[String],
+      nBuckets: Int,
+      bloomCols: Seq[String],
+      storage: StorageSpec): LakeDataset =
+    new LakeDataset(spark, partitionCols.toList, bucketCols.toList, nBuckets,
+      Some(storage), bloomCols = bloomCols.toList)
 
   /** Load a dataset from storage: read manifest, walk the directory tree for
     * part directories, rebuild parts (reference `Dataset::from_storage`,
@@ -1473,6 +1640,7 @@ object LakeDataset {
         new LakePart(df, key, manifest.buckets, manifest.nBuckets, -1L, ds.retainDirect,
           initialZones = zones, statColsOf = ds.statColsFor, initialBlooms = blooms,
           snapshot = ds.partSnapshot))
+      ds.diskDirs.put(key, dir.toString)
     }
     if (!eager) ds.cleanScan = Some(whole)
     ds

@@ -198,44 +198,28 @@ final class MinhashIndex private (
     result
   }
 
+  /** Persist ONE batch as fresh `batch=N/bucket=B` cells via
+    * [[LakeDataset#insertWritten]]: one routing aggregation + one
+    * dynamic-layout write job, the written directories registering directly
+    * as disk-backed parts. (The previous design ran the in-memory insert
+    * routing AND a second write job per table — the doubled fixed cost was
+    * the measured per-batch floor.) A crash mid-write leaves a partial
+    * directory PAST the committed batch count, which open() drops.
+    */
   private def appendBatch(
       rows: DataFrame, table: String, bucketKey: String, batchNr: Long,
       set: LakeDataset => Unit): Unit = {
     val stamped = rows.withColumn("batch", lit(batchNr))
-    (if (table == "shingles") shingleDs else bandDs) match {
-      case Some(ds) =>
-        ds.insert(stamped)
-        writeBatchFiles(ds, stamped, bucketKey)
-      case None =>
-        val ds = LakeDataset.fromDataFrame(spark, stamped,
-          partitionCols = Seq("batch"),
-          bucketCols = Seq(bucketKey), nBuckets = nBuckets,
-          bloomCols = Seq(bucketKey),
-          storage = Some(StorageSpec(s"$root/$table")))
-        writeBatchFiles(ds, stamped, bucketKey)
-        set(ds)
+    val ds = (if (table == "shingles") shingleDs else bandDs).getOrElse {
+      val d = LakeDataset.forStorage(spark,
+        partitionCols = Seq("batch"),
+        bucketCols = Seq(bucketKey), nBuckets = nBuckets,
+        bloomCols = Seq(bucketKey),
+        storage = StorageSpec(s"$root/$table"))
+      set(d)
+      d
     }
-  }
-
-  /** Persist ONE batch's cells in a single dynamic-layout write job — the
-    * per-part save path schedules a driver job per bucket cell, and at
-    * nBuckets cells × two tables that scheduling dominates small batches.
-    * `batch=N` is a fresh directory, so append mode touches no prior batch;
-    * the manifest then refreshes once from the in-memory catalog the insert
-    * maintained. A crash mid-write leaves a partial directory PAST the
-    * committed batch count, which open() drops.
-    */
-  private def writeBatchFiles(
-      ds: LakeDataset, stamped: DataFrame, bucketKey: String): Unit = {
-    val spec = ds.storage.getOrElse(throw new IllegalStateException("no storage"))
-    stamped
-      .withColumn("bucket",
-        graft.functions.Bucketing.bucketExprFor(stamped, bucketKey, ds.nBuckets))
-      .write.mode("append").format(spec.format)
-      .option("compression", spec.compression)
-      .partitionBy("batch", "bucket")
-      .save(spec.root)
-    ds.writeManifest()
+    ds.insertWritten(stamped)
   }
 }
 
