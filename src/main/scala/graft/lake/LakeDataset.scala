@@ -1063,26 +1063,42 @@ final class LakeDataset private (
     * fresh `batch=N` partition value) — the append-mode write cannot merge
     * into an existing cell's directory, so colliding keys are refused.
     */
+  private def profiled[T](label: String)(f: => T): T =
+    if (spark.conf.get("spark.graft.lake.profile", "false") != "true") f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(
+        f"[lake] $label%-24s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      r
+    }
+
   def insertWritten(df: DataFrame): Unit = {
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
     val p = prepared(df)
-    val (counts, zc, bc) = cellCountsOf(p)
+    val (counts, zc, bc) = profiled("iw:route")(cellCountsOf(p))
     require(counts != null,
       "insertWritten needs a partitioned or bucketed layout (fresh cells)")
     require(!p.columns.contains("bucket") || bucketCols.isEmpty,
       "a data column named 'bucket' collides with the bucket directory layout")
     val dirCols = partitionCols ++ (if (bucketCols.nonEmpty) List("bucket") else Nil)
-    p.withColumnRenamed(LakeDataset.BucketCol, "bucket")
-      .write.mode("append").format(spec.format)
-      .option("compression", spec.compression)
-      .partitionBy(dirCols: _*)
-      .save(spec.root)
+    profiled("iw:write")(
+      p.withColumnRenamed(LakeDataset.BucketCol, "bucket")
+        // One writer task per cell: without this, every input partition
+        // opens a file in every cell directory it touches — a cached
+        // shuffle output (32 partitions × 32 buckets) writes ~1000 tiny
+        // files where 32 suffice, and the commit protocol pays per file
+        // (measured 4.2s → sub-second on a 4k-row batch).
+        .repartition(dirCols.map(col): _*)
+        .write.mode("append").format(spec.format)
+        .option("compression", spec.compression)
+        .partitionBy(dirCols: _*)
+        .save(spec.root))
     val target = org.apache.spark.sql.types.StructType(
       p.schema.fields.filterNot(_.name == LakeDataset.BucketCol))
     val fileSchema = org.apache.spark.sql.types.StructType(
       target.fields.filterNot(f => partitionCols.contains(f.name)))
     val nKey = cellKeyCols.length
-    this.synchronized {
+    profiled("iw:register")(this.synchronized {
       markDirty()
       counts.foreach { row =>
         val partVals = partitionCols.zipWithIndex.map { case (c, i) =>
@@ -1099,9 +1115,10 @@ final class LakeDataset private (
         val dir = s"${spec.root}/${key.relPath}"
         require(Files.isDirectory(Paths.get(dir)),
           s"written cell directory missing: $dir (partition value escaping mismatch?)")
-        val raw =
-          (if (spec.format == "parquet") spark.read.format(spec.format)
-           else spark.read.schema(fileSchema).format(spec.format)).load(dir)
+        // The files were written from `p` this call — their schema IS
+        // fileSchema; passing it skips a per-cell footer/inference read
+        // (32 cells × 2 tables of driver-side listing adds whole seconds).
+        val raw = spark.read.schema(fileSchema).format(spec.format).load(dir)
         val restored = partVals.foldLeft(raw) { case (d, (k, v)) =>
           d.withColumn(k, lit(v).cast(target(k).dataType))
         }.select(target.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
@@ -1114,8 +1131,8 @@ final class LakeDataset private (
             initialBlooms = blooms, snapshot = partSnapshot))
         diskDirs.put(key, dir)
       }
-    }
-    writeManifest()
+    })
+    profiled("iw:manifest")(writeManifest())
   }
 
   /** The table view a key probe scans: the single clean scan when present;

@@ -86,11 +86,18 @@ final class MinhashIndex private (
   private def maxProbeKeys: Int =
     spark.conf.get("spark.graft.minhash.maxProbeKeys", "262144").toInt
 
-  /** Distinct single-column values of `df`, or None above `cap`. */
-  private def probeValues(df: DataFrame, cap: Int): Option[Seq[Any]] = {
-    val vals = df.distinct().limit(cap + 1).collect()
-    if (vals.length > cap) None else Some(vals.toSeq.map(_.get(0)))
-  }
+  /** Stage timing on stderr when `spark.graft.minhash.profile=true` — the
+    * per-batch floor is a sum of fixed driver/job costs, and cutting it
+    * needs per-stage attribution, not end-to-end numbers.
+    */
+  private def timed[T](label: String)(f: => T): T =
+    if (spark.conf.get("spark.graft.minhash.profile", "false") != "true") f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(
+        f"[mh] $label%-24s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      r
+    }
 
   /** A persisted table read pruned to cells that may hold any of the probe
     * values of `keyCol` (bucket id + Bloom membership + zones, all from the
@@ -135,10 +142,15 @@ final class MinhashIndex private (
 
     // Corpus side read PRUNED by the batch's band hashes — matching hashes
     // are rare (only near-dups collide), so nearly every cell's Bloom proves
-    // absence and the probe reads cells ∝ matches, not ∝ corpus.
+    // absence and the probe reads cells ∝ matches, not ∝ corpus. The raw
+    // (non-distinct) collect spares the probe job a distinct shuffle; the
+    // row count is 8×docs, so the cap trips at the same batch sizes, and
+    // the driver dedups a bounded array.
     val corpusBands = bandDs.map(ds =>
-      prunedRead(ds, "bh", probeValues(bandedNew.select("bh"), cap))
-        .select("doc", "sz", "band", "bh"))
+      prunedRead(ds, "bh", timed("probe:bands") {
+        val rows = bandedNew.select("bh").limit(cap + 1).collect()
+        if (rows.length > cap) None else Some(rows.iterator.map(_.get(0)).toSet.toSeq)
+      }).select("doc", "sz", "band", "bh"))
     val bandedAll = corpusBands.map(_.unionByName(bandedNew)).getOrElse(bandedNew)
 
     // New side broadcast: the (pruned) corpus band table streams through the
@@ -161,10 +173,15 @@ final class MinhashIndex private (
     // Shingle verify against the same per-value prune: all of a doc's
     // shingle rows live in ONE (batch, bucket-of-doc) cell, so keeping every
     // cell that may hold a candidate doc keeps every row the Jaccard needs.
+    // Candidate docs collected as the (already-distinct) pairs themselves —
+    // two ids per row, so half the cap bounds the collect and the explode +
+    // distinct job the old probe ran disappears into a driver-side flatten.
     val corpusShingles = shingleDs.map(ds =>
-      prunedRead(ds, "doc", probeValues(
-        cands.select(explode(array(col("doc_a"), col("doc_b"))).as("doc")), cap))
-        .select("doc", "h"))
+      prunedRead(ds, "doc", timed("probe:cands") {
+        val rows = cands.select("doc_a", "doc_b").limit(cap / 2 + 1).collect()
+        if (rows.length > cap / 2) None
+        else Some(rows.iterator.flatMap(r => Iterator(r.get(0), r.get(1))).toSet.toSeq)
+      }).select("doc", "h"))
     val shinglesAll = corpusShingles.map(_.unionByName(expl)).getOrElse(expl)
 
     val verified = cands
@@ -177,19 +194,38 @@ final class MinhashIndex private (
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
 
-    // Durable result: executes the verify while expl/bandedNew are still the
-    // live state, and survives both executor loss and later addBatch calls
-    // releasing the snapshots this lineage reads.
+    // Three independent write pipelines — the pairs verify, the shingle
+    // append, the band append — all read only the cached batch tables (and
+    // disjoint pruned corpus cells) and write disjoint directories, so they
+    // overlap on the shared scheduler: each alone is mostly fixed job
+    // overhead, and the wall-clock floor drops to the slowest of the three.
+    // Commit semantics survive the overlap: the batch COMMITS only when
+    // writeParams runs AFTER all three complete, and a crash or failure
+    // before it leaves uncommitted `batch=N` directories that open() drops
+    // from both tables (the pairs dir is overwritten on re-ingest).
+    //
+    // Durable result: the verify executes while expl/bandedNew are still
+    // the live state, and the parquet-backed read survives both executor
+    // loss and later addBatch calls releasing the snapshots this lineage
+    // reads.
     val b = nextBatch
     val pairsDir = s"$root/pairs/batch=$b"
     val resultSchema = verified.schema
-    verified.write.mode("overwrite").parquet(pairsDir)
+    timed("write:all3") {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val fp = Future(timed("verify+write:pairs")(
+        verified.write.mode("overwrite").parquet(pairsDir)))
+      val fs = Future(timed("append:shingles")(
+        appendBatch(expl, "shingles", "doc", b, ds => shingleDs = Some(ds))))
+      val fb = Future(timed("append:bands")(
+        appendBatch(bandedNew, "bands", "bh", b, ds => bandDs = Some(ds))))
+      Await.result(fp, Duration.Inf)
+      Await.result(fs, Duration.Inf); Await.result(fb, Duration.Inf)
+    }
     val result = spark.read.schema(resultSchema).parquet(pairsDir)
-
-    // Append the batch as new cells in each table; the batch COMMITS (and
-    // open() will replay it) only once both tables saved.
-    appendBatch(expl, "shingles", "doc", b, ds => shingleDs = Some(ds))
-    appendBatch(bandedNew, "bands", "bh", b, ds => bandDs = Some(ds))
     MinhashIndex.writeParams(root, numHashes, bands, shingleSize, nBuckets, b + 1)
     nextBatch = b + 1
     expl.unpersist()

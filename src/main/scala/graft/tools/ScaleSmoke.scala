@@ -150,6 +150,10 @@ object ScaleSmoke {
       .filter(col("doc_id") < 1000000L && col("doc_id") % 100 === 0)
       .withColumn("doc_id", col("doc_id") + 900000000L)
       .withColumn("text", concat(col("text"), lit(" graft near dup suffix")))
+    if (sys.env.contains("SPARK_GRAFT_MH_PROFILE")) {
+      spark.conf.set("spark.graft.minhash.profile", "true")
+      spark.conf.set("spark.graft.lake.profile", "true")
+    }
     val found = time(s"addBatch tiny planted batch vs ${copies}x index") {
       idx.addBatch(planted, "text", "doc_id", threshold = 0.5).count()
     }
