@@ -192,15 +192,25 @@ final class GrpcLakeServer(val server: LakeServer, requestedPort: Int = 0)
           val names = df.schema.fields.map(_.name).toSeq
           val dtypes = df.schema.fields.map(_.dataType.simpleString).toSeq
           if (!server.estimateBig(df)) {
-            val (data, rows) = ArrowInterchange.toIpcBytesWithCount(df, Some("zstd"))
-            resp.onNext(PbSqlResults(data, rows, names, dtypes, q.qid).encode)
+            // Driver-side encode with rows + bytes backstops: the estimate
+            // routed this result small, but size-only plan statistics can
+            // undershoot (joins/explode keep ~child size) — a misrouted big
+            // result degrades to MORE chunks, never an unbounded driver
+            // buffer. Results under both caps still emit the reference's
+            // single-message shape.
+            ArrowInterchange.toIpcChunked(df, Some("zstd"),
+                server.chunkRows, server.chunkBytes) { (data, rows) =>
+              resp.onNext(PbSqlResults(data, rows, names, dtypes, q.qid).encode)
+            }
           } else {
             import org.apache.spark.sql.graftbridge.ArrowParallel
             val schemaMsg = ArrowParallel.schemaMessage(df)
             val eos = ArrowParallel.eosMessage()
             val maxRows = server.chunkRows
+            val maxBytes = server.chunkBytes
             val frames = ListBuffer[Array[Byte]]()
             var rows = 0L
+            var bytes = 0L
             var sent = false
             def flush(): Unit = if (frames.nonEmpty || !sent) {
               val out = new java.io.ByteArrayOutputStream()
@@ -211,12 +221,19 @@ final class GrpcLakeServer(val server: LakeServer, requestedPort: Int = 0)
               sent = true
               frames.clear()
               rows = 0L
+              bytes = 0L
             }
-            // One partition's frames on the driver at a time (toLocalIterator).
-            ArrowParallel.framedPartitions(df).foreach { case (fs, n) =>
-              frames ++= fs
-              rows += n
-              if (rows >= maxRows) flush()
+            // One partition's frames on the driver at a time
+            // (toLocalIterator); chunk cuts fall at record-batch
+            // granularity, so a result AQE coalesced into one partition
+            // still honors the rows/bytes-per-chunk contract.
+            ArrowParallel.framedPartitions(df).foreach { case (fs, _) =>
+              fs.foreach { case (frame, n) =>
+                frames += frame
+                rows += n
+                bytes += frame.length
+                if (rows >= maxRows || bytes >= maxBytes) flush()
+              }
             }
             flush() // final partial chunk, or the empty-result message
           }

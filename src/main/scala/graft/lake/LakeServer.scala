@@ -148,6 +148,14 @@ final class LakeServer(val spark: SparkSession) {
   private[lake] def chunkRows: Long =
     spark.conf.get("spark.graft.wire.chunkRows", "262144").toLong
 
+  /** Byte backstop per wire chunk — the driver-side encoder flushes a chunk
+    * once its encoded bytes cross this even mid-`chunkRows`, so a result the
+    * plan statistics UNDER-estimated (joins and explode keep ~child size
+    * without CBO) still cannot buffer whole on the driver.
+    */
+  private[lake] def chunkBytes: Long =
+    spark.conf.get("spark.graft.wire.chunkBytes", parallelEncodeBytes.toString).toLong
+
   /** Job-free size routing for the wire encoders: Catalyst's plan statistics
     * — the row count when available, the size-in-bytes estimate otherwise.
     * The old probe (`df.limit(n+1).count()`) executed every expensive query

@@ -87,32 +87,67 @@ object ArrowInterchange {
     * count (the wire's `SqlResults.rows`) without a second job.
     */
   def toIpcBytesWithCount(df: DataFrame, codec: Option[String] = None): (Array[Byte], Long) = {
+    var result: (Array[Byte], Long) = (Array.emptyByteArray, 0L)
+    toIpcChunked(df, codec, Long.MaxValue, Long.MaxValue) { (b, n) => result = (b, n) }
+    result
+  }
+
+  private def mkWriter(root: VectorSchemaRoot, codec: Option[String],
+      out: ByteArrayOutputStream): ArrowStreamWriter = codec match {
+    case None => new ArrowStreamWriter(root, null, out)
+    case Some(c) =>
+      val codecType = c.toLowerCase match {
+        case "zstd" => CompressionUtil.CodecType.ZSTD
+        case "lz4" => CompressionUtil.CodecType.LZ4_FRAME
+        case other => throw new IllegalArgumentException(
+          s"unsupported IPC codec: $other (zstd, lz4)")
+      }
+      new ArrowStreamWriter(root, null,
+        java.nio.channels.Channels.newChannel(out),
+        org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+        CommonsCompressionFactory.INSTANCE, codecType)
+  }
+
+  /** Incremental chunked encode: emits a STANDALONE IPC stream (schema →
+    * batches → EOS) with its row count whenever the running chunk crosses
+    * `maxRows` rows OR `maxBytes` encoded bytes — whichever first. A result
+    * under both caps emits exactly ONE chunk, and an empty result emits one
+    * empty stream, so single-message consumers are unaffected until a
+    * result actually needs chunking. The byte cap is the HARD backstop for
+    * size-estimate misroutes: plan statistics can undershoot (joins,
+    * explode), and without it an "estimated small" result would buffer
+    * whole on the driver — here it degrades to more chunks, each decodable
+    * on its own. Returns the number of chunks emitted (≥ 1).
+    */
+  def toIpcChunked(df: DataFrame, codec: Option[String], maxRows: Long, maxBytes: Long)
+      (emit: (Array[Byte], Long) => Unit): Int = {
     val schema = df.schema
     val it = df.toLocalIterator().asScala
     val allocator = new RootAllocator()
+    var chunks = 0
     try {
       val arrowSchema = new ArrowSchema(schema.fields.map(arrowField).toList.asJava)
       val root = VectorSchemaRoot.create(arrowSchema, allocator)
       try {
-        val out = new ByteArrayOutputStream()
-        val writer = codec match {
-          case None => new ArrowStreamWriter(root, null, out)
-          case Some(c) =>
-            val codecType = c.toLowerCase match {
-              case "zstd" => CompressionUtil.CodecType.ZSTD
-              case "lz4" => CompressionUtil.CodecType.LZ4_FRAME
-              case other => throw new IllegalArgumentException(
-                s"unsupported IPC codec: $other (zstd, lz4)")
-            }
-            new ArrowStreamWriter(root, null,
-              java.nio.channels.Channels.newChannel(out),
-              org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
-              CommonsCompressionFactory.INSTANCE, codecType)
+        var out: ByteArrayOutputStream = null
+        var writer: ArrowStreamWriter = null
+        var rows = 0L
+        def open(): Unit = {
+          out = new ByteArrayOutputStream()
+          writer = mkWriter(root, codec, out)
+          writer.start()
+          rows = 0L
         }
-        writer.start()
-        var total = 0L
+        def closeAndEmit(): Unit = {
+          writer.end(); writer.close()
+          emit(out.toByteArray, rows)
+          chunks += 1
+          writer = null; out = null
+        }
+        open()
         val buf = new scala.collection.mutable.ArrayBuffer[Row](BatchRows)
         while (it.hasNext) {
+          if (writer == null) open()
           buf.clear()
           while (it.hasNext && buf.length < BatchRows) buf += it.next()
           root.allocateNew()
@@ -127,10 +162,11 @@ object ArrowInterchange {
           }
           root.setRowCount(buf.length)
           writer.writeBatch()
-          total += buf.length
+          rows += buf.length
+          if (rows >= maxRows || out.size() >= maxBytes) closeAndEmit()
         }
-        writer.end(); writer.close()
-        (out.toByteArray, total)
+        if (writer != null) closeAndEmit() // final partial, or the empty stream
+        chunks
       } finally root.close()
     } finally allocator.close()
   }

@@ -60,7 +60,13 @@ object ProtoCodec {
     def skip(wt: Int): Unit = wt match {
       case 0 => varint(); ()
       case 1 => pos += 8
-      case 2 => pos += varint().toInt
+      case 2 =>
+        // NOT `pos += varint().toInt`: += reads the old pos BEFORE varint()
+        // advances it, silently dropping the length prefix's own width and
+        // desyncing every later field (caught by ProtoGoldenSpec's
+        // unknown-field pin).
+        val n = varint().toInt
+        pos += n
       case 5 => pos += 4
       case other => throw new IllegalArgumentException(s"wire type $other")
     }

@@ -37,24 +37,27 @@ object ArrowParallel {
   def toIpcBytesDistributed(
       df: DataFrame, batchRows: Int = 16384,
       codec: Option[String] = Some("zstd")): (Array[Byte], Long) = {
-    val perPartition: Array[(Array[Array[Byte]], Long)] =
+    val perPartition: Array[(Array[(Array[Byte], Long)], Long)] =
       encodedRdd(df, batchRows, codec).collect()
     val out = new ByteArrayOutputStream()
     val ch = new WriteChannel(Channels.newChannel(out))
     ch.write(schemaMessage(df))
-    perPartition.iterator.flatMap(_._1).foreach(b => ch.write(b))
+    perPartition.iterator.flatMap(_._1).foreach(b => ch.write(b._1))
     ArrowStreamWriter.writeEndOfStream(ch, IpcOption.DEFAULT)
     (out.toByteArray, perPartition.map(_._2).sum)
   }
 
   /** The chunked wire path: executor-encoded framed batches surfaced as a
-    * LOCAL iterator of (framed messages, row count) per partition — the
-    * driver holds ONE partition's frames at a time and wraps bounded groups
-    * into standalone IPC streams with [[schemaMessage]] + [[eosMessage]].
+    * LOCAL iterator of ((framed message, its row count)*, partition row
+    * count) per partition — the driver holds ONE partition's frames at a
+    * time and wraps bounded groups into standalone IPC streams with
+    * [[schemaMessage]] + [[eosMessage]]. Per-FRAME counts let the consumer
+    * cut chunks at record-batch granularity: a result AQE coalesced into
+    * one big partition must still honor a rows-per-chunk contract.
     */
   def framedPartitions(
       df: DataFrame, batchRows: Int = 16384,
-      codec: Option[String] = Some("zstd")): Iterator[(Array[Array[Byte]], Long)] =
+      codec: Option[String] = Some("zstd")): Iterator[(Array[(Array[Byte], Long)], Long)] =
     encodedRdd(df, batchRows, codec).toLocalIterator
 
   /** The serialized Arrow schema message that opens every stream of `df`. */
@@ -80,7 +83,7 @@ object ArrowParallel {
     */
   private def encodedRdd(
       df: DataFrame, batchRows: Int,
-      codec: Option[String]): org.apache.spark.rdd.RDD[(Array[Array[Byte]], Long)] = {
+      codec: Option[String]): org.apache.spark.rdd.RDD[(Array[(Array[Byte], Long)], Long)] = {
     val spark = df.sparkSession
     val schema = df.schema
     val tz = spark.sessionState.conf.sessionLocalTimeZone
@@ -104,7 +107,7 @@ object ArrowParallel {
               new VectorUnloader(root, true,
                 CommonsCompressionFactory.INSTANCE.createCodec(codecType), true)
           }
-          val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+          val out = scala.collection.mutable.ArrayBuffer[(Array[Byte], Long)]()
           var n = 0L
           var inBatch = 0
           def flush(): Unit = if (inBatch > 0) {
@@ -114,7 +117,7 @@ object ArrowParallel {
               val buf = new ByteArrayOutputStream()
               MessageSerializer.serialize(
                 new WriteChannel(Channels.newChannel(buf)), rb)
-              out += buf.toByteArray
+              out += ((buf.toByteArray, inBatch.toLong))
             } finally rb.close()
             writer.reset()
             inBatch = 0

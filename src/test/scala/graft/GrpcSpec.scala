@@ -111,6 +111,98 @@ class GrpcSpec extends SparkSpec {
     }
   }
 
+  test("chunked SelectIpc: multi-message results reassemble to the one-shot result") {
+    val server = new GrpcLakeServer(new LakeServer(spark))
+    val channel = NettyChannelBuilder.forAddress("localhost", server.port)
+      .usePlaintext().build()
+    try {
+      // 40k rows — three 16384-row encoder batches, so both routes have
+      // room to chunk. Created over the wire like any client table.
+      val n = 40000
+      val df = spark.range(n.toLong).select(
+        $"id".as("k"), ($"id" % 7).cast("double").as("v"))
+      val out0 = new Collector
+      val req0 = ClientCalls.asyncClientStreamingCall(
+        channel.newCall(GrpcLakeServer.CreateTableMethod, CallOptions.DEFAULT), out0)
+      req0.onNext(PbSourceIpc("public", "chunk_t",
+        ArrowInterchange.toIpcBytes(df)).encode)
+      req0.onCompleted()
+      out0.await()
+
+      def selectAll(qid: Int): Seq[PbSqlResults] = {
+        val out = new Collector
+        val req = ClientCalls.asyncBidiStreamingCall(
+          channel.newCall(GrpcLakeServer.SelectIpcMethod, CallOptions.DEFAULT), out)
+        req.onNext(PbSql("SELECT k, v FROM chunk_t ORDER BY k", Some(qid)).encode)
+        req.onCompleted()
+        out.await().map(PbSqlResults.decode)
+      }
+
+      // Baseline: default confs, single message.
+      val single = selectAll(1)
+      assert(single.size == 1 && single.head.rows == n.toLong)
+      val oneShot = ArrowInterchange.fromIpcBytes(spark, single.head.data)
+        .select("k").as[Long].collect().toSeq
+
+      def reassemble(chunks: Seq[PbSqlResults], qid: Int): Seq[Long] = {
+        assert(chunks.size > 1, s"expected >1 chunks, got ${chunks.size}")
+        assert(chunks.forall(_.qid.contains(qid)))
+        assert(chunks.map(_.rows).sum == n.toLong)
+        chunks.flatMap { c =>
+          // Every chunk is a standalone IPC stream, decodable on its own,
+          // and carries its own row count.
+          val t = ArrowInterchange.fromIpcBytes(spark, c.data)
+          val rows = t.select("k").as[Long].collect().toSeq
+          assert(rows.length.toLong == c.rows)
+          rows
+        }
+      }
+
+      // Big route (plan-statistics estimate over the threshold): chunks of
+      // ~chunkRows rows, qid-correlated, concatenating to the one-shot rows.
+      spark.conf.set("spark.graft.wire.parallelEncodeRows", "0")
+      spark.conf.set("spark.graft.wire.parallelEncodeBytes", "0")
+      spark.conf.set("spark.graft.wire.chunkRows", "15000")
+      try assert(reassemble(selectAll(2), 2) == oneShot)
+      finally {
+        spark.conf.unset("spark.graft.wire.parallelEncodeRows")
+        spark.conf.unset("spark.graft.wire.parallelEncodeBytes")
+        spark.conf.unset("spark.graft.wire.chunkRows")
+      }
+
+      // Small route with the BYTES backstop: the estimate says small (caps
+      // untouched), but a tiny chunkBytes forces the driver-side encoder to
+      // flush per encoded batch — a size-estimate misroute degrades to more
+      // chunks, never an unbounded driver buffer.
+      spark.conf.set("spark.graft.wire.chunkBytes", "1000")
+      try assert(reassemble(selectAll(3), 3) == oneShot)
+      finally spark.conf.unset("spark.graft.wire.chunkBytes")
+
+      // Empty result: exactly one message, zero rows, decodable schema —
+      // on the big route too (non-foldable predicate keeps the scan; zero
+      // caps route it big, and the chunker still sends the one message).
+      spark.conf.set("spark.graft.wire.parallelEncodeRows", "0")
+      spark.conf.set("spark.graft.wire.parallelEncodeBytes", "0")
+      try {
+        val out = new Collector
+        val req = ClientCalls.asyncBidiStreamingCall(
+          channel.newCall(GrpcLakeServer.SelectIpcMethod, CallOptions.DEFAULT), out)
+        req.onNext(PbSql("SELECT k, v FROM chunk_t WHERE v < -1", Some(4)).encode)
+        req.onCompleted()
+        val empties = out.await().map(PbSqlResults.decode)
+        assert(empties.size == 1 && empties.head.rows == 0L)
+        val t = ArrowInterchange.fromIpcBytes(spark, empties.head.data)
+        assert(t.columns.toSeq == Seq("k", "v") && t.count() == 0L)
+      } finally {
+        spark.conf.unset("spark.graft.wire.parallelEncodeRows")
+        spark.conf.unset("spark.graft.wire.parallelEncodeBytes")
+      }
+    } finally {
+      channel.shutdownNow()
+      server.close()
+    }
+  }
+
   test("wire errors surface as gRPC status, not hangs") {
     val server = new GrpcLakeServer(new LakeServer(spark))
     val channel = NettyChannelBuilder.forAddress("localhost", server.port)
