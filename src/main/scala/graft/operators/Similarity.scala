@@ -261,6 +261,29 @@ object Similarity {
       .foreach(index.assigned.savePart)
   }
 
+  /** [[addToIvf]] with the maintenance loop CLOSED: after the batch lands,
+    * if incremental adds have skewed the lists past `maxSkew`, run the
+    * bounded [[reclusterOverflowing]] and return the healed handle —
+    * otherwise return the index unchanged. Continuous ingest then heals
+    * drift without operator intervention: the monitor fires, only the
+    * overflowing lists split (cost ∝ overflow, never a corpus rebuild), and
+    * the monitor stands down. `onHeal` observes each heal (metrics,
+    * logging). The streaming sink ([[graft.streaming.StreamingIngest
+    * .ivfBatches]]) threads the returned handle into the next micro-batch.
+    */
+  def addToIvfMaintained(
+      root: String, index: IvfLake, batch: DataFrame,
+      vecCol: String, idCol: String,
+      maxSkew: Double = 4.0, splitInto: Int = 4,
+      onHeal: IvfLake => Unit = _ => ()): IvfLake = {
+    addToIvf(index, batch, vecCol)
+    if (needsRecluster(index, maxSkew)) {
+      val healed = reclusterOverflowing(root, index, vecCol, idCol, maxSkew, splitInto)
+      onHeal(healed)
+      healed
+    } else index
+  }
+
   /** Exact top-k for a whole TABLE of queries at once, on the quantized
     * 1e-6 cosine grid (oracle-reproducible, like [[exactTopKQuantized]]).
     * The corpus broadcasts against the query stream when small; the

@@ -59,6 +59,30 @@ object StreamingIngest {
         onPairs(index.addBatch(batch, textCol, idCol, threshold))
     }
 
+  /** foreachBatch sink maintaining a persisted IVF ANN index
+    * ([[graft.operators.Similarity.IvfLake]]): each micro-batch routes to
+    * its nearest centroids and appends to the matching inverted lists (cost
+    * ∝ batch, only touched list directories save). When a drifting stream
+    * skews the lists past `maxSkew`, the sink SELF-HEALS: the bounded
+    * incremental recluster splits only the overflowing lists and the next
+    * micro-batch routes against the healed centroids — monitor fires, index
+    * heals, monitor stands down, no operator intervention. `current` always
+    * holds the live handle (probe-able mid-stream); `onHeal` observes heals.
+    */
+  def ivfBatches(
+      root: String, initial: graft.operators.Similarity.IvfLake,
+      vecCol: String, idCol: String,
+      maxSkew: Double = 4.0, splitInto: Int = 4,
+      onHeal: graft.operators.Similarity.IvfLake => Unit = _ => ())
+      : ((DataFrame, Long) => Unit, () => graft.operators.Similarity.IvfLake) = {
+    val cur = new java.util.concurrent.atomic.AtomicReference(initial)
+    val sink: (DataFrame, Long) => Unit = (batch, _) =>
+      if (!batch.isEmpty)
+        cur.set(graft.operators.Similarity.addToIvfMaintained(
+          root, cur.get, batch, vecCol, idCol, maxSkew, splitInto, onHeal))
+    (sink, () => cur.get)
+  }
+
   /** Watermarked tumbling-window aggregation — the stream-relational
     * operator set the reference lacks entirely (SURVEY.md §2.B last row),
     * provided as the engine's native stream-analytics path. Works on both

@@ -58,6 +58,63 @@ class IngestStreamingSpec extends SparkSpec {
     assert(got == Seq((1L, "b2", 10.0), (2L, "init", 0.0), (3L, "b1", 3.0)))
   }
 
+  test("streaming IVF maintenance self-heals: monitor fires, index heals, monitor quiet") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val held = e.filter(col("vec_id") < 5)
+    val rest = e.filter(col("vec_id") >= 5)
+    val (centroids, assigned) = Similarity.buildIvf(rest, "embedding", "vec_id", 8, 64)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString
+    Similarity.saveIvf(spark, root, centroids, assigned)
+    val index = Similarity.loadIvf(spark, root)
+
+    var heals = 0
+    val (sink, current) = StreamingIngest.ivfBatches(root, index,
+      "embedding", "vec_id", onHeal = _ => heals += 1)
+
+    val heldRows = held.as[(Long, Seq[Float])].collect().toSeq
+    // Near-but-DISTINCT drift pile aimed at one centroid (identical vectors
+    // are cosine-inseparable — no split could succeed on them).
+    val hot = e.limit(1).head().getSeq[Float](1)
+    val pile = (0 until 3000).map { i =>
+      (1000000L + i, hot.updated(0, hot(0) + (i % 97) / 50.0f): Seq[Float])
+    }
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(sink).start()
+    try {
+      // Benign micro-batch: routes to existing lists, no heal.
+      mem.addData(heldRows: _*)
+      q.processAllAvailable()
+      assert(heals == 0 && current().centroids == centroids)
+      assert(!Similarity.needsRecluster(current()))
+      // Drifting micro-batch: skews one list past the monitor — the sink
+      // must heal in the SAME batch, no operator in the loop.
+      mem.addData(pile: _*)
+      q.processAllAvailable()
+      assert(heals == 1, "drift batch must trigger exactly one heal")
+      assert(!Similarity.needsRecluster(current()), "monitor must stand down")
+      assert(current().centroids.size > centroids.size, "overflow list split")
+    } finally q.stop()
+
+    // The healed handle is LIVE: probing every list reproduces the exact
+    // top-k over everything ever streamed — heal moved rows, lost none.
+    val pileDf = pile.toDF("vec_id", "embedding")
+    val full = rest.unionByName(held).unionByName(pileDf)
+    val qv = e.filter(col("vec_id") === 3).head().getSeq[Float](1).toSeq
+    val exact = Similarity.exactTopKQuantized(full, "embedding", "vec_id", qv, 10)
+      .as[(Long, Long)].collect().toSeq
+    val healed = current()
+    val allProbe = Similarity.ivfTopKLake(healed, "embedding", "vec_id", qv, 10,
+      nprobe = healed.centroids.size, quantize = true).as[(Long, Long)].collect().toSeq
+    assert(allProbe == exact)
+    // And the heal persisted: a fresh load sees the post-split layout.
+    assert(Similarity.loadIvf(spark, root).centroids == healed.centroids)
+  }
+
   test("windowed aggregation with watermark over the events table (batch run)") {
     val ev = Fixtures.table(spark, sf(), "events")
     val agg = StreamingIngest.windowedAgg(ev, "ts", "value", "event_type",
