@@ -644,11 +644,19 @@ object SparkEntry {
       val ds = LakeDataset.fromDataFrame(s, o, partitionCols = Seq("o_orderstatus"))
       // Delta keys for the MemoryStream: a BOUNDED, deterministic collect —
       // the driver array is the harness's stream source, not the operator,
-      // and must not grow O(table). The cap covers every matching key at
-      // gate scale factors, so the oracle's %13 predicate stays exact.
-      def streamKeys(m: Int): Seq[Long] =
-        o.select("o_orderkey").filter(col("o_orderkey") % 13 === m)
-          .orderBy("o_orderkey").limit(100000).as[Long].collect().toSeq
+      // and must not grow O(table). The cap is a loud FAILURE, not a silent
+      // limit(): truncating would quietly diverge from the oracle's
+      // unbounded %13 predicate at sf >= 1 (~115k keys/class there).
+      def streamKeys(m: Int): Seq[Long] = {
+        val cap = 1000000
+        val keys = o.select("o_orderkey").filter(col("o_orderkey") % 13 === m)
+          .orderBy("o_orderkey").limit(cap + 1).as[Long].collect().toSeq
+        require(keys.length <= cap,
+          s"stream_ingest_upsert fixture: > $cap delta keys at this scale " +
+            "factor; the MemoryStream harness (driver-resident by design) " +
+            "stops here rather than silently diverge from the oracle")
+        keys
+      }
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
       val apply: (DataFrame, Long) => Unit = (batch, _) => {
         val delta = o.join(broadcast(batch), o("o_orderkey") === col("delta_key"))

@@ -163,8 +163,14 @@ class GrpcSpec extends SparkSpec {
       spark.conf.set("spark.graft.wire.parallelEncodeRows", "0")
       spark.conf.set("spark.graft.wire.parallelEncodeBytes", "0")
       spark.conf.set("spark.graft.wire.chunkRows", "15000")
-      try assert(reassemble(selectAll(2), 2) == oneShot)
-      finally {
+      try {
+        val chunks = selectAll(2)
+        assert(reassemble(chunks, 2) == oneShot)
+        // The published client contract does the same reassembly.
+        val (df, total) = graft.lake.WireClient.reassemble(spark, chunks)
+        assert(total == n.toLong)
+        assert(df.select("k").as[Long].collect().toSeq.sorted == oneShot)
+      } finally {
         spark.conf.unset("spark.graft.wire.parallelEncodeRows")
         spark.conf.unset("spark.graft.wire.parallelEncodeBytes")
         spark.conf.unset("spark.graft.wire.chunkRows")
