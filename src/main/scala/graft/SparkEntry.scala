@@ -824,6 +824,33 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
     }),
 
+    // Benchmark decontamination: every 50th document plays the eval set;
+    // training docs sharing any word trigram with it are flagged with
+    // their contamination ratio (integer ratio -> oracle-exact double).
+    // The benchmark gram set broadcasts; the corpus never reshuffles.
+    "text_decontaminate" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Dedup.decontaminate(d, d.filter(col("doc_id") % 50 === 0),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // PII scrub: emails and phone-shaped numbers redacted to placeholder
+    // tokens with a per-doc redaction count. PII is INJECTED onto every
+    // 7th document (the synthetic corpus has none), same expression on
+    // the oracle side; patterns are RE2-compatible so DuckDB runs the
+    // identical regexes.
+    "text_pii_scrub" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val withPii = d.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"),
+            lit("@example.com or 555-123-4567")))
+          .otherwise(col("text")))
+      TextAnalysis.piiScrub(withPii, "text", "doc_id").orderBy("doc_id")
+    }),
+
     // Heuristic language ID (word-marker + char-trigram variants) —
     // engine-deterministic, no SQL oracle.
     "text_langid" -> ((s, dir) => {
@@ -1473,6 +1500,39 @@ object SparkEntry {
          |  + 0.3 * LEAST(1.0, (CASE WHEN tokens > 0 THEN stops / tokens ELSE 0.0 END) * 4.0)
          |  + 0.3 * LEAST(1.0, chars / 500.0) AS quality
          |FROM c""".stripMargin
+    },
+
+    "text_decontaminate" ->
+      """WITH words AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        |idx AS (SELECT doc_id, ws,
+        |        unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM words),
+        |grams AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s FROM idx),
+        |bench AS (SELECT DISTINCT s FROM grams WHERE doc_id % 50 = 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS total_grams FROM grams GROUP BY doc_id),
+        |shared AS (
+        |  SELECT g.doc_id, COUNT(*) AS shared_grams
+        |  FROM grams g JOIN bench b ON g.s = b.s GROUP BY g.doc_id)
+        |SELECT sh.doc_id, shared_grams, total_grams,
+        |  CAST(shared_grams AS DOUBLE) / total_grams AS contamination
+        |FROM shared sh JOIN sizes sz ON sh.doc_id = sz.doc_id
+        |ORDER BY sh.doc_id""".stripMargin,
+
+    "text_pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |           || '@example.com or 555-123-4567'
+         |      ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+         |                 '$phone', '<PHONE>', 'g') AS clean_text,
+         |  CAST(len(regexp_extract_all(text, '$email'))
+         |     + len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_redacted
+         |FROM corpus ORDER BY doc_id""".stripMargin
     },
 
     "text_langid" -> {

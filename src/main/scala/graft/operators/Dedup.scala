@@ -283,6 +283,39 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Benchmark DECONTAMINATION: flag every training document sharing at
+    * least one word n-gram with a benchmark/eval set — the "did the eval
+    * leak into the training set" check every serious training-data pipeline
+    * runs before a model sees the corpus. Returns
+    * (doc_id, shared_grams, total_grams, contamination) for flagged docs,
+    * where contamination = shared/total distinct n-grams (an integer ratio
+    * → deterministic double, SQL-oracle reproducible; no hashing anywhere).
+    *
+    * Scale shape: the benchmark side is an eval suite — thousands of
+    * documents against a 100 TB corpus — so its DISTINCT n-gram set
+    * BROADCASTS and the corpus grams stream through a broadcast semi-join:
+    * no corpus shuffle for the match, and the per-doc count is a map-side
+    * partial aggregation on the shingle exchange [[shingleRows]] already
+    * pays. A benchmark too big to broadcast degrades to a shuffled join on
+    * the gram string, never to wrong results.
+    */
+  def decontaminate(
+      corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, shingleSize: Int = 3): DataFrame = {
+    val corpusGrams = shingleRows(corpus, textCol, idCol, shingleSize)
+    val benchGrams = shingleRows(bench, textCol, idCol, shingleSize)
+      .select("s").distinct()
+    val sizes = corpusGrams.groupBy("doc").agg(count(lit(1)).as("total_grams"))
+    corpusGrams
+      .join(broadcast(benchGrams), "s")
+      .groupBy("doc").agg(count(lit(1)).as("shared_grams"))
+      .join(sizes, "doc")
+      .withColumn("contamination",
+        col("shared_grams").cast("double") / col("total_grams"))
+      .select(col("doc").as("doc_id"), col("shared_grams"),
+        col("total_grams"), col("contamination"))
+  }
+
   /** End-to-end MinHash-LSH near-dup detection: candidates → verify →
     * threshold. Returns (doc_a, doc_b, jaccard).
     *

@@ -241,4 +241,29 @@ object TextAnalysis {
       .select(col("doc"), col("fp"))
       .distinct()
   }
+
+  /** Email-address pattern shared by scrub and count — kept RE2-compatible
+    * (no lookaround/backrefs) so a SQL oracle and any non-JVM reimplementation
+    * match byte-for-byte.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** US-shaped phone pattern (`555-123-4567` / `555.123.4567`), word-bounded. */
+  val PhonePattern: String = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII scrubbing for a training corpus: redact email addresses and
+    * phone-shaped numbers to fixed placeholder tokens and report how many
+    * redactions each document took (the audit trail a data-governance
+    * pipeline keeps). Pure codegen'd `regexp_replace`/`regexp_count` —
+    * embarrassingly parallel, no shuffle, no UDF; patterns are
+    * RE2-compatible so the DuckDB oracle runs the identical regexes.
+    */
+  def piiScrub(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      regexp_replace(
+        regexp_replace(col(textCol), lit(EmailPattern), lit("<EMAIL>")),
+        lit(PhonePattern), lit("<PHONE>")).as("clean_text"),
+      (regexp_count(col(textCol), lit(EmailPattern)) +
+        regexp_count(col(textCol), lit(PhonePattern))).cast("long").as("n_redacted"))
 }

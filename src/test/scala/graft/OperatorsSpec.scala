@@ -396,6 +396,39 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq("en", "de", "fr", "und"))
   }
 
+  test("decontamination flags benchmark-overlapping docs, clean docs pass") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text about spark engines here"),
+      (3L, "quick brown fox appears in this training document too"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.decontaminate(docs, bench, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1 shares 3 trigrams with the bench sentence, doc 3 shares 1,
+    // doc 2 none (and is therefore absent, not zero-scored).
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L)._1 == 3L, s"doc1: ${out(1L)}")
+    assert(out(3L)._1 == 1L, s"doc3: ${out(3L)}")
+    // total_grams is the doc's own distinct trigram count (9-word doc -> 7)
+    assert(out(1L)._2 == 7L)
+  }
+
+  test("pii scrub redacts emails and phones with per-doc counts") {
+    val docs = Seq(
+      (1L, "reach me at alice@example.org or 555-123-4567 thanks"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.co c.d@e.io and 111.222.3333"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs, "text", "doc_id").orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out(0)._2 == "reach me at <EMAIL> or <PHONE> thanks")
+    assert(out(0)._3 == 2L)
+    assert(out(1)._2 == "no pii here at all" && out(1)._3 == 0L)
+    assert(out(2)._2 == "two mails <EMAIL> <EMAIL> and <PHONE>")
+    assert(out(2)._3 == 3L)
+  }
+
   test("tf-idf: corpus-wide common terms rank below distinctive terms") {
     import graft.operators.TextAnalysis
     val df = Seq(
