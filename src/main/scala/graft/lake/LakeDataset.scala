@@ -1606,22 +1606,27 @@ object LakeDataset {
       }
       val partVals = kvs.filter(_._1 != "bucket").sortBy(_._1)
         .map { case (k, v) => k -> (if (v == PartKey.NullMarker) null else v) }
-      val raw0 = fileSchema
-        .fold(spark.read.format(manifest.storage.format))(fs =>
-          spark.read.schema(fs).format(manifest.storage.format))
-        .load(dir.toString)
-      // Restore the partition columns (directory values, manifest types) and
-      // the exact column order.
-      val restored = partVals.foldLeft(raw0) { case (d, (k, v)) =>
-        val dt = target.flatMap(t => t.fields.find(_.name == k)).map(_.dataType)
-          .getOrElse(org.apache.spark.sql.types.StringType)
-        d.withColumn(k, lit(v).cast(dt))
+      // Deferred until the part's plan is first touched: building one
+      // DataFrame per cell (a directory listing + analysis each) eagerly
+      // makes loading O(cells) driver work, and the pruned/multi-path read
+      // paths never need per-part plans at all.
+      def partDf(): DataFrame = {
+        val raw0 = fileSchema
+          .fold(spark.read.format(manifest.storage.format))(fs =>
+            spark.read.schema(fs).format(manifest.storage.format))
+          .load(dir.toString)
+        // Restore the partition columns (directory values, manifest types)
+        // and the exact column order.
+        val restored = partVals.foldLeft(raw0) { case (d, (k, v)) =>
+          val dt = target.flatMap(t => t.fields.find(_.name == k)).map(_.dataType)
+            .getOrElse(org.apache.spark.sql.types.StringType)
+          d.withColumn(k, lit(v).cast(dt))
+        }
+        target match {
+          case Some(t) => restored.select(t.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+          case None => restored
+        }
       }
-      val df0 = target match {
-        case Some(t) => restored.select(t.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-        case None => restored
-      }
-      val df = if (eager) { val c = ds.partSnapshot(df0); ds.retainDirect(c); c } else df0
       val key = PartKey(partVals, bucketNr)
       // Restore this part's zone maps from the manifest (typed via the
       // schema DDL). A bound that fails to decode drops its COLUMN — stats
@@ -1653,8 +1658,16 @@ object LakeDataset {
             if (manifest.bloomCols.contains(c)) Bloom.decode(b64).map(c -> _) else None
           }
         }.filter(_.nonEmpty)
-      ds.parts.put(key,
-        new LakePart(df, key, manifest.buckets, manifest.nBuckets, -1L, ds.retainDirect,
+      if (eager) {
+        // Eager load: materialize NOW by contract (the caller asked for
+        // resident parts); the thunk runs here, not on first touch.
+        val c = ds.partSnapshot(partDf()); ds.retainDirect(c)
+        ds.parts.put(key,
+          new LakePart(c, key, manifest.buckets, manifest.nBuckets, -1L, ds.retainDirect,
+            initialZones = zones, statColsOf = ds.statColsFor, initialBlooms = blooms,
+            snapshot = ds.partSnapshot))
+      } else ds.parts.put(key,
+        new LakePart(partDf(), key, manifest.buckets, manifest.nBuckets, -1L, ds.retainDirect,
           initialZones = zones, statColsOf = ds.statColsFor, initialBlooms = blooms,
           snapshot = ds.partSnapshot))
       ds.diskDirs.put(key, dir.toString)

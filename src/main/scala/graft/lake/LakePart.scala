@@ -23,7 +23,7 @@ import graft.model.{PartKey, StorageSpec}
   * keeps driver-side analysis O(1) per query instead of O(mutations).
   */
 final class LakePart private[lake] (
-    initial: DataFrame,
+    initial: => DataFrame,
     val key: PartKey,
     val bucketCols: Seq[String],
     val nBuckets: Int,
@@ -57,7 +57,21 @@ final class LakePart private[lake] (
       */
     snapshot: DataFrame => DataFrame = _.localCheckpoint(true)) {
 
-  private val ref = new AtomicReference[DataFrame](initial)
+  // `initial` stays UNEVALUATED until first touch: a loaded table registers
+  // one part per cell, and building each cell's plan (a directory listing +
+  // analysis) eagerly makes open() O(parts) driver work that a pruned read
+  // never needs — multi-path pruned scans bypass part plans entirely.
+  private val ref = new AtomicReference[DataFrame](null)
+
+  /** The part's current plan, constructing the initial one on first touch. */
+  private def cur: DataFrame = {
+    var d = ref.get
+    if (d == null) lock.synchronized {
+      d = ref.get
+      if (d == null) { d = initial; ref.set(d) }
+    }
+    d
+  }
   private val zonesRef =
     new AtomicReference[Option[Map[String, Zone]]](initialZones)
   private val bloomsRef =
@@ -98,7 +112,7 @@ final class LakePart private[lake] (
   val mutationOps = new AtomicLong(0L)
   private val lock = new Object
 
-  def df: DataFrame = ref.get
+  def df: DataFrame = cur
 
   /** Bucket-filtered view: re-filters to this part's bucket id so overlapping
     * ingest stays partition-correct (reference: src/dataset.rs:63-80). Parts
@@ -108,10 +122,10 @@ final class LakePart private[lake] (
     */
   def view: DataFrame = key.bucketNr match {
     case Some(b) if bucketCols.nonEmpty =>
-      val d = ref.get
+      val d = cur
       val e = Bucketing.bucketExprFor(d, bucketCols.head, nBuckets)
       d.filter(if (b == LakeDataset.NullBucket) e.isNull else e === lit(b))
-    case _ => ref.get
+    case _ => cur
   }
 
   /** Append rows (reference: src/dataset.rs:82-106). Schema evolution is
@@ -120,7 +134,7 @@ final class LakePart private[lake] (
     */
   def insert(other: DataFrame, otherRows: Long, collectNow: Boolean = false): Unit =
     lock.synchronized {
-      ref.set(ref.get.unionByName(other, allowMissingColumns = true))
+      ref.set(cur.unionByName(other, allowMissingColumns = true))
       rows.addAndGet(otherRows)
       changes.addAndGet(otherRows)
       maybeCompact(collectNow)
@@ -137,7 +151,7 @@ final class LakePart private[lake] (
   def upsert(other: DataFrame, keys: Seq[String], otherRows: Long, collectNow: Boolean = false,
       leftWins: Set[String] = Set.empty): Unit =
     lock.synchronized {
-      ref.set(LakePart.upsertJoin(ref.get, other, keys, leftWins))
+      ref.set(LakePart.upsertJoin(cur, other, keys, leftWins))
       changes.addAndGet(otherRows)
       // rows counter intentionally unchanged (stale until materialize),
       // mirroring reference src/dataset.rs:144.
@@ -151,7 +165,7 @@ final class LakePart private[lake] (
     * without bound.
     */
   def delete(keysDf: DataFrame, keys: Seq[String]): Unit = lock.synchronized {
-    ref.set(ref.get.join(keysDf.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+    ref.set(cur.join(keysDf.select(keys.map(col): _*).distinct(), keys, "left_anti"))
     changes.addAndGet(1L)
     rows.set(-1L) // unknown until materialize/recount
     maybeCompact(false)
@@ -169,7 +183,7 @@ final class LakePart private[lake] (
     // collapse and nothing to recount. (Lazily loaded parts carry rows = -1
     // and still materialize eagerly.)
     if (changes.get != 0L || mutationOps.get != 0L || rows.get < 0L) {
-      val m = snapshot(ref.get)
+      val m = snapshot(cur)
       onCheckpoint(m)
       ref.set(m)
       // The recount job doubles as a stats pass: zones recompute TIGHT here
