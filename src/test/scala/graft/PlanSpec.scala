@@ -116,6 +116,34 @@ class PlanSpec extends SparkSpec {
       s"probe planned $leaves of ${index.assigned.numParts} lists")
   }
 
+  test("disk-resident pruned probe plans ONE multi-path scan, not a union of parts") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val root = java.nio.file.Files.createTempDirectory("graft_mp_plan").toString
+    val ds = graft.lake.LakeDataset.fromDataFrame(spark,
+      spark.range(1000).selectExpr("id AS k", "id % 10 AS part", "id * 2 AS v"),
+      partitionCols = Seq("part"),
+      storage = Some(graft.model.StorageSpec(root)))
+    ds.toStorage()
+    val loaded = graft.lake.LakeDataset.fromStorage(spark, root)
+    // A 3-value IN probe keeps 3 of 10 disk-resident cells: the plan must
+    // be ONE file-scan relation over exactly those directories — at
+    // batches × buckets cells a union of per-part views costs more driver
+    // analysis than the read (the incremental-index probe profile).
+    val probe = loaded.prunedByConstraints(Map.empty, Map.empty,
+      Map("part" -> Seq(1L, 4L, 7L)))
+    val plan = probe.queryExecution.optimizedPlan
+    assert(plan.collectLeaves().size == 1,
+      s"expected one multi-path leaf:\n${plan.treeString}")
+    val files = plan.collect { case lr: LogicalRelation => lr }
+      .flatMap(_.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        .location.inputFiles)
+    val dirs = files.map(f => f.split('/').init.last).toSet
+    assert(dirs == Set("part=1", "part=4", "part=7"),
+      s"scan must cover exactly the kept cells, got $dirs")
+    assert(probe.agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0) ==
+      (0L until 1000L).filter(i => Set(1L, 4L, 7L)(i % 10)).map(_ * 2).sum)
+  }
+
   test("string-cache encode broadcasts the dictionary; data side does not shuffle") {
     val root = java.nio.file.Files.createTempDirectory("graft_cat_plan").toString
     val cache = graft.operators.StringCache.open(spark, root)
