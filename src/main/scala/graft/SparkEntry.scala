@@ -824,6 +824,14 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
     }),
 
+    // Sequence packing: shard-parallel token-budget binning in id order —
+    // pure integer arithmetic, windowed per shard (never a global window).
+    "text_pack_sequences" -> ((s, dir) => {
+      TextAnalysis.packSequences(table(s, dir, "documents"),
+          "text", "doc_id", budgetTokens = 2048, nShards = 8)
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: every 50th document plays the eval set;
     // training docs sharing any word trigram with it are flagged with
     // their contamination ratio (integer ratio -> oracle-exact double).
@@ -1501,6 +1509,22 @@ object SparkEntry {
          |  + 0.3 * LEAST(1.0, chars / 500.0) AS quality
          |FROM c""".stripMargin
     },
+
+    "text_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |         ELSE LENGTH(TRIM(text))
+        |              - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+        |  FROM t)
+        |SELECT doc_id, CAST(shard AS INTEGER) AS shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(shard * 4294967296 + CAST(FLOOR(start_off / 2048.0) AS BIGINT) AS BIGINT) AS pack
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "text_decontaminate" ->
       """WITH words AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),

@@ -251,6 +251,40 @@ object TextAnalysis {
   /** US-shaped phone pattern (`555-123-4567` / `555.123.4567`), word-bounded. */
   val PhonePattern: String = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
 
+  /** SEQUENCE PACKING for pretraining: assign each document to a
+    * fixed-token-budget pack (the "fill each context window" step between
+    * a cleaned corpus and a trainer). Documents are packed in deterministic
+    * id order WITHIN a shard (`doc_id % nShards`); a document belongs to
+    * the pack its running-token-offset starts in, so packs are contiguous
+    * id ranges and every row's assignment is pure integer arithmetic —
+    * reproducible by the SQL oracle and by any re-run (no RNG, no
+    * first-fit heuristics whose output depends on visit order).
+    *
+    * Returns (doc_id, shard, n_tokens, pack): `pack` is globally unique
+    * (shard * 2^32 + in-shard bin).
+    *
+    * Scale shape: packing is a running sum — a GLOBAL window would funnel
+    * 100 TB through one partition. Sharding first makes it a window
+    * PARTITIONED BY shard (each executor packs its shard independently),
+    * which is also how a real pipeline wants packs laid out: one writer
+    * task per shard, packs local to their shard's files.
+    */
+  def packSequences(
+      df: DataFrame, textCol: String, idCol: String,
+      budgetTokens: Long, nShards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol).as("doc_id"),
+        pmod(col(idCol), lit(nShards)).cast("int").as("shard"),
+        tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack",
+        col("shard").cast("long") * lit(1L << 32) +
+          floor(col("start_off") / lit(budgetTokens)).cast("long"))
+      .select("doc_id", "shard", "n_tokens", "pack")
+  }
+
   /** PII scrubbing for a training corpus: redact email addresses and
     * phone-shaped numbers to fixed placeholder tokens and report how many
     * redactions each document took (the audit trail a data-governance

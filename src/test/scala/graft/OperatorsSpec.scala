@@ -414,6 +414,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L)._2 == 7L)
   }
 
+  test("sequence packing: contiguous id-order packs per shard, budget honored at starts") {
+    // One shard (nShards=1), budget 10: token counts 4,4,4,4 -> start
+    // offsets 0,4,8,12 -> packs 0,0,0,1 (a doc belongs to the pack its
+    // offset STARTS in; doc 3 starts at 8 < 10 so it stays in pack 0).
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "e f g h"), (3L, "i j k l"), (4L, "m n o p"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(docs, "text", "doc_id",
+        budgetTokens = 10, nShards = 1)
+      .orderBy("doc_id").as[(Long, Int, Long, Long)].collect().toSeq
+    assert(out.map(_._3) == Seq(4L, 4L, 4L, 4L))
+    assert(out.map(_._4) == Seq(0L, 0L, 0L, 1L), s"packs: $out")
+    // Sharded: packs are disjoint across shards (global uniqueness via the
+    // shard * 2^32 offset) and ids within a pack share the shard.
+    val sharded = TextAnalysis.packSequences(docs, "text", "doc_id",
+        budgetTokens = 10, nShards = 2)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(sharded.groupBy(_._4).forall(_._2.map(_._2).distinct.sizeIs == 1))
+    assert(sharded.filter(_._2 == 0).map(_._4).forall(_ < (1L << 32)))
+    assert(sharded.filter(_._2 == 1).map(_._4).forall(_ >= (1L << 32)))
+  }
+
   test("pii scrub redacts emails and phones with per-doc counts") {
     val docs = Seq(
       (1L, "reach me at alice@example.org or 555-123-4567 thanks"),
