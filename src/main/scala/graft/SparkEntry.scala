@@ -929,6 +929,17 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Duplicate GROUPS from the exact near-dup pairs: connected components
+    // by iterative min-label propagation; component = min doc id (the
+    // canonical keeper). Recursive-CTE oracle reproduces it exactly.
+    "dedup_components" -> ((s, dir) => {
+      Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(Fixtures.nearDupDocuments(s, dir),
+            "text", "doc_id", shingleSize = 3, threshold = 0.5),
+          "doc_a", "doc_b")
+        .orderBy("doc_id")
+    }),
+
     // Exact all-pairs n-gram Jaccard (no hashing) — the oracle-checked
     // ground truth the MinHash-LSH path is measured against.
     "dedup_ngram_jaccard" -> ((s, dir) => {
@@ -1720,6 +1731,36 @@ object SparkEntry {
         |       CAST((i - 1) % 16 AS BIGINT) AS slot,
         |       CAST(SUM(ascii(substr(text, CAST(i AS INTEGER), 1))) AS BIGINT) AS byte_sum
         |FROM pos GROUP BY 1, 2, 3""".stripMargin,
+
+    "dedup_components" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graft near dup suffix' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |words AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM corpus),
+        |idx AS (SELECT doc_id, ws,
+        |        unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM words),
+        |grams AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM grams x JOIN grams y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(v, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v)
+        |SELECT v AS doc_id, MIN(r) AS component
+        |FROM reach GROUP BY v ORDER BY v""".stripMargin,
 
     "dedup_exact" ->
       """WITH corpus AS (

@@ -283,6 +283,57 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Connected components over a near-dup PAIR table: the step that turns
+    * pairwise matches into duplicate GROUPS so a pipeline can keep one
+    * canonical document per group (pairs alone can't — near-duplication is
+    * transitive through chains A~B~C that no single pair shows). Returns
+    * (doc_id, component) for every endpoint, component = the group's
+    * minimum id (deterministic canonical choice, SQL-oracle reproducible
+    * via a recursive CTE).
+    *
+    * Iterative min-label propagation: each round every vertex takes the
+    * minimum label among itself and its neighbors; labels are monotonically
+    * non-increasing and bounded, so the label SUM is a convergence witness
+    * (unchanged sum == fixed point — no join-based equality check). Rounds
+    * needed = graph diameter, and near-dup graphs are shallow (dup clusters
+    * are cliques or short chains). Each round is one shuffle join + one
+    * aggregation; lineage is cut with a snapshot every few rounds so a
+    * 50-round worst case cannot grow an unanalyzable plan. `maxIters`
+    * bounds pathological chains; the fixed point reached by then is still
+    * a sound OVER-segmentation (labels only ever merge downward).
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val e0 = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    var comp = edges.select(col("a").as("v")).distinct()
+      .withColumn("comp", col("v")).cache()
+    var prevSum = comp.agg(sum("comp")).head().getLong(0)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIters) {
+      val viaNeighbor = edges
+        .join(comp.select(col("v").as("b"), col("comp")), "b")
+        .select(col("a").as("v"), col("comp"))
+      val next0 = comp.unionByName(viaNeighbor)
+        .groupBy("v").agg(min("comp").as("comp"))
+      // Snapshot every 3 rounds: each round stacks a join on the lineage,
+      // and Catalyst analysis of an unbounded chain would dominate long
+      // convergences (same policy as LakePart auto-compaction).
+      val next = (if (i % 3 == 2) next0.localCheckpoint(true) else next0).cache()
+      val s = next.agg(sum("comp")).head().getLong(0)
+      comp.unpersist()
+      comp = next
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    edges.unpersist()
+    comp.select(col("v").as("doc_id"), col("comp").as("component"))
+  }
+
   /** Benchmark DECONTAMINATION: flag every training document sharing at
     * least one word n-gram with a benchmark/eval set — the "did the eval
     * leak into the training set" check every serious training-data pipeline

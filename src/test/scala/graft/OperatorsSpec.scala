@@ -396,6 +396,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq("en", "de", "fr", "und"))
   }
 
+  test("connected components: chains group transitively, singleton pairs keep min id") {
+    import graft.operators.Dedup
+    // 1-2-3-4 is a CHAIN (no direct 1-4 pair), 10-11 a pair, 20-21-22 a
+    // triangle: components must be {1,2,3,4}->1, {10,11}->10, {20,21,22}->20.
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L), s"got $got")
+    // A LONG chain (diameter 12) still converges to one component — the
+    // snapshot-every-3-rounds lineage cut is exercised, not just the
+    // 2-round easy case.
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val longGot = Dedup.connectedComponents(chain, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(longGot.values.toSet == Set(0L) && longGot.size == 13)
+  }
+
   test("decontamination flags benchmark-overlapping docs, clean docs pass") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
