@@ -334,6 +334,25 @@ object Dedup {
     comp.select(col("v").as("doc_id"), col("comp").as("component"))
   }
 
+  /** The end of the dedup pipeline: keep ONE canonical document per
+    * near-dup group and every untouched document. `pairs` is any pair
+    * table ([[ngramJaccardPairs]], [[minhashDedup]], [[simhashDedup]],
+    * [[embeddingNearDup]], or an incremental index's output); groups are
+    * its transitive closure ([[connectedComponents]]); the keeper is the
+    * group's minimum id. Docs in no pair pass through via the left
+    * anti-ish join (components is ∝ matched docs — corpus-scale rows never
+    * join against more than the duplicate set, which BROADCASTS when the
+    * duplicate fraction is small, the common case).
+    */
+  def keepCanonical(
+      corpus: DataFrame, pairs: DataFrame,
+      idCol: String, aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as(idCol))
+    corpus.join(comp, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark DECONTAMINATION: flag every training document sharing at
     * least one word n-gram with a benchmark/eval set — the "did the eval
     * leak into the training set" check every serious training-data pipeline

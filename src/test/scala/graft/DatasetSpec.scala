@@ -199,6 +199,34 @@ class DatasetSpec extends SparkSpec {
     assert(leaves <= 3, s"expected <=3 leaves after bucket pruning, got $leaves")
   }
 
+  test("concurrent inserts and reads: every row lands exactly once, counters agree") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val ds = LakeDataset.fromDataFrame(spark,
+      Seq((0L, "p0", 0.0)).toDF("k", "part", "v"), partitionCols = Seq("part"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // 4 writers × 5 single-row inserts, interleaved with reads: the
+      // dataset monitor serializes routing/plan swaps, so no insert is
+      // lost and no read sees a torn multi-cell update.
+      val writers = (1 to 4).map { t =>
+        Future {
+          (0 until 5).foreach { i =>
+            ds.insert(Seq((t * 1000L + i, s"p$t", 1.0)).toDF("k", "part", "v"))
+          }
+        }
+      }
+      val reader = Future {
+        (0 until 5).foreach(_ => assert(ds.toDF.count() >= 1L))
+      }
+      Await.result(Future.sequence(writers :+ reader), Duration.Inf)
+    } finally pool.shutdown()
+    assert(ds.toDF.count() == 21L)
+    assert(ds.toDF.select("k").distinct().count() == 21L)
+    assert(ds.rowsCount == 21L)
+  }
+
   test("rows counter matches data after insert; schemaInfo sane") {
     val ds = LakeDataset.fromDataFrame(spark, Seq((1L, "x")).toDF("k", "s"))
     ds.insert(Seq((2L, "y"), (3L, "z")).toDF("k", "s"))
