@@ -291,7 +291,11 @@ object Dedup {
     * minimum id (deterministic canonical choice, SQL-oracle reproducible
     * via a recursive CTE).
     *
-    * Iterative min-label propagation: each round every vertex takes the
+    * Two execution paths, same semantics: a pair table under
+    * `spark.graft.dedup.driverEdgeCap` (default 1M edges ≈ 16 MB — pair
+    * tables scale with the DUPLICATE set, not the corpus) runs a driver
+    * union-find in milliseconds; larger graphs fail open to distributed
+    * iterative min-label propagation: each round every vertex takes the
     * minimum label among itself and its neighbors; labels are monotonically
     * non-increasing and bounded, so the label SUM is a convergence witness
     * (unchanged sum == fixed point — no join-based equality check). Rounds
@@ -305,7 +309,44 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
     val e0 = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    // Small-graph fast path: near-dup pair tables are ∝ the DUPLICATE set,
+    // not the corpus — usually far below the cap even when the corpus is
+    // 100 TB. Under it, a driver union-find (union-by-min + path
+    // compression) replaces a multi-job iterative fixpoint with
+    // milliseconds of local work and IDENTICAL output (min id per
+    // component). Over the cap (~16 MB of edges at the default), fail
+    // open to the distributed propagation below.
+    val cap = spark.conf.get("spark.graft.dedup.driverEdgeCap", (1 << 20).toString).toInt
+    val bounded = e0.limit(cap + 1).collect()
+    if (bounded.length <= cap) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      bounded.foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb)) // union by MIN
+      }
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      val seen = new java.util.HashSet[Long]()
+      bounded.foreach { row =>
+        Seq(row.getLong(0), row.getLong(1)).foreach { v =>
+          if (seen.add(v))
+            rows.add(org.apache.spark.sql.Row(v, find(v)))
+        }
+      }
+      return spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("component",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    }
     val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
     var comp = edges.select(col("a").as("v")).distinct()

@@ -409,13 +409,19 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L), s"got $got")
-    // A LONG chain (diameter 12) still converges to one component — the
-    // snapshot-every-3-rounds lineage cut is exercised, not just the
-    // 2-round easy case.
-    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val longGot = Dedup.connectedComponents(chain, "doc_a", "doc_b")
-      .as[(Long, Long)].collect().toMap
-    assert(longGot.values.toSet == Set(0L) && longGot.size == 13)
+    // The DISTRIBUTED path (cap forced to 0) must agree exactly, and a
+    // LONG chain (diameter 12) exercises the snapshot-every-3-rounds
+    // lineage cut, not just the 2-round easy case.
+    spark.conf.set("spark.graft.dedup.driverEdgeCap", "0")
+    try {
+      val distGot = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      assert(distGot == got, s"distributed path diverged: $distGot")
+      val chain = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val longGot = Dedup.connectedComponents(chain, "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      assert(longGot.values.toSet == Set(0L) && longGot.size == 13)
+    } finally spark.conf.unset("spark.graft.dedup.driverEdgeCap")
   }
 
   test("decontamination flags benchmark-overlapping docs, clean docs pass") {
