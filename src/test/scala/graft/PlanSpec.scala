@@ -144,6 +144,21 @@ class PlanSpec extends SparkSpec {
       (0L until 1000L).filter(i => Set(1L, 4L, 7L)(i % 10)).map(_ * 2).sum)
   }
 
+  test("decontaminate broadcasts the benchmark gram set; packing windows per shard") {
+    import org.apache.spark.sql.functions.col
+    val docs = Fixtures.table(spark, sf(), "documents")
+    val deconPlan = graft.operators.Dedup.decontaminate(
+      docs, docs.filter(col("doc_id") % 50 === 0), "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(deconPlan.contains("BroadcastHashJoin"),
+      s"benchmark grams must broadcast (corpus side never reshuffles for the match):\n$deconPlan")
+    val packPlan = graft.operators.TextAnalysis.packSequences(
+      docs, "text", "doc_id", budgetTokens = 2048, nShards = 8)
+      .queryExecution.executedPlan.toString
+    assert(packPlan.contains("windowspecdefinition(shard#"),
+      s"packing must window PER SHARD, never globally:\n$packPlan")
+  }
+
   test("string-cache encode broadcasts the dictionary; data side does not shuffle") {
     val root = java.nio.file.Files.createTempDirectory("graft_cat_plan").toString
     val cache = graft.operators.StringCache.open(spark, root)
