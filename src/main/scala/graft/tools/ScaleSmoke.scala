@@ -33,8 +33,10 @@ object ScaleSmoke {
       r
     }
 
-    // SPARK_GRAFT_ONLY_MH=1 skips straight to the MinHash-index curve.
-    val runAll = !sys.env.contains("SPARK_GRAFT_ONLY_MH")
+    // SPARK_GRAFT_ONLY_MH=1 skips straight to the MinHash-index curve;
+    // SPARK_GRAFT_ONLY_IVF=1 runs just the ANN section.
+    val runAll = !sys.env.contains("SPARK_GRAFT_ONLY_MH") &&
+      !sys.env.contains("SPARK_GRAFT_ONLY_IVF")
     if (runAll) {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val big = (0 until copies).map { i =>
@@ -116,6 +118,42 @@ object ScaleSmoke {
       .queryExecution.optimizedPlan.collectLeaves().size
     println(s"[scale] SQL plan leaves: $sqlLeaves of ${dz.numParts} parts")
     }
+
+    // ---- IVF ANN: probe cost vs corpus growth ------------------------------
+    // The scale claim: an IVF probe reads nprobe inverted LISTS, whose size
+    // stays ~constant when the list count grows with the corpus — so probe
+    // cost stays flat at N× vectors while the brute-force scan grows ∝ N.
+    // Gated out of SPARK_GRAFT_ONLY_MH runs; SPARK_GRAFT_ONLY_IVF=1 runs
+    // just this section.
+    val onlyIvf = sys.env.contains("SPARK_GRAFT_ONLY_IVF")
+    if (runAll || onlyIvf) {
+      import graft.operators.Similarity
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val qv = emb0.filter(col("vec_id") === 7).head().getSeq[Float](1).toSeq
+      Seq(1, copies).foreach { nCopies =>
+        val e = (0 until nCopies).map { i =>
+          emb0.select((col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+            transform(col("embedding"),
+              x => (x * (lit(1.0f) + lit(i.toFloat) * lit(1e-4f))).cast("float"))
+              .as("embedding"))
+        }.reduce(_ unionByName _).localCheckpoint(true)
+        val nVec = e.count()
+        // lists ∝ corpus keeps per-list size ~constant — the probe contract
+        val kLists = 16 * math.max(1, math.sqrt(nCopies.toDouble).toInt)
+        val root = java.nio.file.Files.createTempDirectory(s"graft_ivf_sc$nCopies").toString
+        val (c, a) = time(f"IVF build ${nCopies}x ($nVec vecs, $kLists lists)")(
+          Similarity.buildIvf(e, "embedding", "vec_id", kLists, 64))
+        time(s"IVF save ${nCopies}x")(Similarity.saveIvf(spark, root, c, a))
+        val idx = time(s"IVF load ${nCopies}x")(Similarity.loadIvf(spark, root))
+        time(s"IVF probe nprobe=4 ${nCopies}x")(
+          Similarity.ivfTopKLake(idx, "embedding", "vec_id", qv, 10, nprobe = 4).count())
+        time(s"brute exact top-k ${nCopies}x")(
+          Similarity.bruteForceTopK(e, "embedding", "vec_id", qv, 10).count())
+        LakeDataset.deleteRecursively(java.nio.file.Paths.get(root))
+      }
+    }
+    if (onlyIvf) { spark.stop(); return }
 
     // ---- incremental MinHash: per-batch cost vs a GROWING corpus -----------
     // documents scaled `copies`×, ingested as `copies` equal batches. Every

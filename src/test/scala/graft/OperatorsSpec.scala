@@ -106,6 +106,33 @@ class OperatorsSpec extends SparkSpec {
     assert(diff == 0, "native and HOF cosine disagree")
   }
 
+  test("CentroidArgmax matches the composed array_max form bit-for-bit, sparse ids, ties") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    // Sparse, unsorted-at-call-site ids (the post-recluster shape): the
+    // expression must return the ID of the nearest centroid, not its row.
+    val cents: Seq[(Int, Seq[Double])] = Seq(3, 17, 64, 200).zipWithIndex.map {
+      case (cid, i) =>
+        cid -> e.filter(col("vec_id") === i * 100).head().getSeq[Float](1)
+          .map(_.toDouble).toSeq
+    }
+    val composed = e.withColumn("centroid", array_max(array(cents.map { case (cid, cv) =>
+      struct(Similarity.cosine(col("embedding"),
+        array(cv.map(x => lit(x.toFloat)): _*)).as("score"), lit(cid).as("cid"))
+    }: _*)).getField("cid"))
+    val native = e.withColumn("centroid",
+      graft.functions.CentroidArgmax(col("embedding"), cents))
+    val diff = composed.select(col("vec_id"), col("centroid").as("c1"))
+      .join(native.select(col("vec_id"), col("centroid").as("c2")), "vec_id")
+      .filter(col("c1") =!= col("c2")).count()
+    assert(diff == 0, "native argmax and composed form disagree")
+    // Tie-break: a vector equidistant from two identical centroids must
+    // take the LARGER id (array_max lexicographic semantics).
+    val twin = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val tied = twin.select(graft.functions.CentroidArgmax(col("embedding"),
+      Seq(5 -> Seq(1.0, 0.0), 9 -> Seq(1.0, 0.0))).as("c")).head().getInt(0)
+    assert(tied == 9, s"tie must pick the larger id, got $tied")
+  }
+
   test("CosineF32 rejects non-float-array inputs at analysis") {
     val df = Seq((Seq(1.0, 2.0), Seq(1.0f, 2.0f))).toDF("d", "f")
     intercept[Exception] {
