@@ -378,15 +378,13 @@ object Similarity {
       centroids: Seq[(Int, Seq[Double])],
       vecCol: String, idCol: String, k: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // rank centroids per query (same scoring as assignToCentroids), keep
-    // the nprobe best — all codegen'd array ops, one explode
-    val scored = centroids.map { case (cid, cv) =>
-      val cvLit = array(cv.map(x => lit(x.toFloat)): _*)
-      struct((-cosine(col(vecCol), cvLit)).as("neg"), lit(cid).as("cid"))
-    }
-    val probes = slice(array_sort(array(scored: _*)), 1, nprobe)
+    // rank centroids per query with ONE codegen'd top-nprobe expression
+    // (the composed sort-of-k-structs form falls out of JIT past ~80
+    // lists — same story as assignToCentroids; CentroidProbes pins
+    // order-equality to the composed form in its spec), one explode
+    val probes = graft.functions.CentroidProbes(col(vecCol), centroids, nprobe)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        explode(transform(probes, p => p.getField("cid"))).as("centroid"))
+        explode(probes).as("centroid"))
     val c = assigned.select(col("centroid"), col(idCol).as("vec_id"),
       col(vecCol).as("cv"))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("vec_id"))

@@ -133,6 +133,32 @@ class OperatorsSpec extends SparkSpec {
     assert(tied == 9, s"tie must pick the larger id, got $tied")
   }
 
+  test("CentroidProbes matches the composed sort-of-structs probe order exactly") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val cents: Seq[(Int, Seq[Double])] = Seq(2, 9, 31, 77, 150).zipWithIndex.map {
+      case (cid, i) =>
+        cid -> e.filter(col("vec_id") === i * 97).head().getSeq[Float](1)
+          .map(_.toDouble).toSeq
+    }
+    val nprobe = 3
+    val scored = cents.map { case (cid, cv) =>
+      struct((-Similarity.cosine(col("embedding"),
+        array(cv.map(x => lit(x.toFloat)): _*))).as("neg"), lit(cid).as("cid"))
+    }
+    val composed = e.select(col("vec_id"),
+      transform(slice(array_sort(array(scored: _*)), 1, nprobe),
+        p => p.getField("cid")).as("p1"))
+    val native = e.select(col("vec_id"),
+      graft.functions.CentroidProbes(col("embedding"), cents, nprobe).as("p2"))
+    val diff = composed.join(native, "vec_id")
+      .filter(col("p1") =!= col("p2")).count()
+    assert(diff == 0, "native probe selection diverges from the composed form")
+    // nprobe beyond the list count returns every id, best-first
+    val all = e.limit(1).select(graft.functions.CentroidProbes(
+      col("embedding"), cents, 99)).head().getSeq[Int](0)
+    assert(all.length == cents.size && all.toSet == cents.map(_._1).toSet)
+  }
+
   test("CosineF32 rejects non-float-array inputs at analysis") {
     val df = Seq((Seq(1.0, 2.0), Seq(1.0f, 2.0f))).toDF("d", "f")
     intercept[Exception] {
