@@ -597,15 +597,12 @@ object Dedup {
     val rnd = new scala.util.Random(seed)
     val planeVecs: Seq[Seq[Double]] =
       Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
-    val sigBits = planeVecs.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      val dot = aggregate(
-        zip_with(col(vecCol), planeLit, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
+    // ONE codegen'd signature expression — the per-plane
+    // aggregate(zip_with(...)) HOFs evaluated interpreted on the corpus
+    // pass (SCALING.md's measured cross-thread contention pathology);
+    // OperatorsSpec pins bit-equality between the two forms.
     val bucketed = df.select(col(idCol).as("doc"), col(vecCol).as("v"),
-      sigBits.reduce((a, b) => a.bitwiseOR(b)).as("bucket"))
+      graft.functions.HyperplaneSig(col(vecCol), planeVecs).as("bucket"))
     val a = bucketed.select(col("bucket"), col("doc").as("doc_a"), col("v").as("v_a"))
     val b = bucketed.select(col("bucket"), col("doc").as("doc_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))

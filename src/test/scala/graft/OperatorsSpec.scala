@@ -159,6 +159,24 @@ class OperatorsSpec extends SparkSpec {
     assert(all.length == cents.size && all.toSet == cents.map(_._1).toSet)
   }
 
+  test("HyperplaneSig is bit-identical to the per-plane HOF formulation") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val rnd = new scala.util.Random(42L)
+    val planeVecs: Seq[Seq[Double]] = Seq.fill(8)(Seq.fill(64)(rnd.nextGaussian()))
+    val hofBits = planeVecs.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(col("embedding"), array(p.map(lit): _*),
+          (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    val diff = e.select(col("vec_id"),
+        hofBits.reduce((a, b) => a.bitwiseOR(b)).as("hof"),
+        graft.functions.HyperplaneSig(col("embedding"), planeVecs).as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(diff == 0, "native and HOF hyperplane signatures disagree")
+  }
+
   test("CosineF32 rejects non-float-array inputs at analysis") {
     val df = Seq((Seq(1.0, 2.0), Seq(1.0f, 2.0f))).toDF("d", "f")
     intercept[Exception] {
