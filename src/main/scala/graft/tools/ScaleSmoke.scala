@@ -196,6 +196,22 @@ object ScaleSmoke {
       idx.addBatch(planted, "text", "doc_id", threshold = 0.5).count()
     }
     println(s"[scale] planted-batch pairs found: $found")
+
+    // ---- one-pass training-pipeline operators over the same corpus ------
+    // Each is a single scan with no shuffle beyond a bounded aggregation —
+    // the shapes that stay ∝ data at 100 TB.
+    time(s"decontaminate ${copies}x (broadcast bench grams)") {
+      graft.operators.Dedup.decontaminate(bigDocs,
+        bigDocs.filter(col("doc_id") % 500 === 0), "text", "doc_id").count()
+    }
+    time(s"pack sequences ${copies}x (per-shard windows)") {
+      graft.operators.TextAnalysis.packSequences(
+        bigDocs, "text", "doc_id", budgetTokens = 2048).count()
+    }
+    time(s"pii scrub ${copies}x (codegen'd regex)") {
+      graft.operators.TextAnalysis.piiScrub(bigDocs, "text", "doc_id")
+        .agg(sum("n_redacted")).head()
+    }
     time("full recompute (whole corpus)") {
       graft.operators.Dedup.minhashDedup(bigDocs, "text", "doc_id",
         threshold = 0.5).count()
