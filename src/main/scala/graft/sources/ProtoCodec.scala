@@ -32,7 +32,16 @@ object ProtoCodec {
       if (b != null && b.nonEmpty) { tag(field, 2); varint(b.length.toLong); out.write(b) }
     def str(field: Int, s: String): Unit =
       if (s != null && s.nonEmpty) bytes(field, s.getBytes(UTF_8))
-    def strs(field: Int, ss: Seq[String]): Unit = ss.foreach(s => bytes(field, s.getBytes(UTF_8)))
+    /** Repeated string field: EVERY element encodes, including empty ones —
+      * proto3's skip-defaults rule applies to singular fields only; protoc
+      * encodes a length-0 element for "" in a repeated field, and dropping
+      * it would silently shift the receiver's element positions
+      * (ProtoProperties pins the round trip).
+      */
+    def strs(field: Int, ss: Seq[String]): Unit = ss.foreach { s =>
+      val b = s.getBytes(UTF_8)
+      tag(field, 2); varint(b.length.toLong); out.write(b)
+    }
   }
 
   final class Reader(buf: Array[Byte]) {

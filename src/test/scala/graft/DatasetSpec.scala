@@ -227,6 +227,25 @@ class DatasetSpec extends SparkSpec {
     assert(ds.rowsCount == 21L)
   }
 
+  test("insertWritten refuses a colliding cell instead of corrupting it") {
+    val root = java.nio.file.Files.createTempDirectory("graft_iw_col").toString
+    val ds = graft.lake.LakeDataset.forStorage(spark,
+      partitionCols = Seq("part"), bucketCols = Nil, nBuckets = 0,
+      bloomCols = Nil, storage = graft.model.StorageSpec(root))
+    ds.insertWritten(Seq((1L, "p0", 1.0)).toDF("k", "part", "v"))
+    assert(ds.toDF.count() == 1L)
+    // Same cell again: the append-mode write cannot merge a directory, so
+    // the router must refuse rather than double the cell's files.
+    val e = intercept[Exception] {
+      ds.insertWritten(Seq((2L, "p0", 2.0)).toDF("k", "part", "v"))
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // A FRESH cell is fine, and the refused batch left no partial state
+    // registered (the table still reads consistently).
+    ds.insertWritten(Seq((3L, "p1", 3.0)).toDF("k", "part", "v"))
+    assert(ds.toDF.select("part").distinct().count() == 2L)
+  }
+
   test("rows counter matches data after insert; schemaInfo sane") {
     val ds = LakeDataset.fromDataFrame(spark, Seq((1L, "x")).toDF("k", "s"))
     ds.insert(Seq((2L, "y"), (3L, "z")).toDF("k", "s"))

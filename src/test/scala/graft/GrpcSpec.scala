@@ -209,6 +209,28 @@ class GrpcSpec extends SparkSpec {
     }
   }
 
+  test("WireClient.decodeAll regroups interleaved chunked responses by qid") {
+    val t1 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val t2 = Seq((3L, 30.0)).toDF("k", "v")
+    def chunk(df: org.apache.spark.sql.DataFrame, qid: Int): Array[Byte] =
+      PbSqlResults(ArrowInterchange.toIpcBytes(df), df.count(),
+        Seq("k", "v"), Seq("bigint", "double"), Some(qid)).encode
+    // Two queries' chunks interleaved on the wire — a defensive client
+    // regroups by qid before concatenating.
+    val raw = Seq(chunk(t1.limit(1), 7), chunk(t2, 9),
+      chunk(t1.orderBy($"k".desc).limit(1), 7))
+    val byQid = graft.lake.WireClient.decodeAll(spark, raw)
+    assert(byQid.keySet == Set(Some(7), Some(9)))
+    val (df7, n7) = byQid(Some(7))
+    assert(n7 == 2L && df7.select("k").as[Long].collect().toSet == Set(1L, 2L))
+    val (df9, n9) = byQid(Some(9))
+    assert(n9 == 1L && df9.select("k").as[Long].head() == 3L)
+    // Mixed qids in one direct reassemble call are refused loudly.
+    intercept[IllegalArgumentException] {
+      graft.lake.WireClient.reassemble(spark, raw.map(PbSqlResults.decode))
+    }
+  }
+
   test("wire errors surface as gRPC status, not hangs") {
     val server = new GrpcLakeServer(new LakeServer(spark))
     val channel = NettyChannelBuilder.forAddress("localhost", server.port)
