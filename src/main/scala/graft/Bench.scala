@@ -48,7 +48,10 @@ object Bench {
       // track the operator (e.g. one addBatch against an existing index),
       // not the corpus-sized one-off the previous query's Fixtures.clear()
       // evicted. Min-of-N already hid this for runs 2+; this fixes run 1.
-      SparkEntry.prewarm.get(name).foreach(f => f(spark, sfDir))
+      try SparkEntry.prewarm.get(name).foreach(f => f(spark, sfDir))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] prewarm $name failed: $e") // fn records -1
+      }
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -70,7 +70,10 @@ case class CentroidArgmax(
       while (j < cv.length) { val v = cv(j).toDouble; ny += v * v; j += 1 }
       val s = if (nx == 0.0 || ny == 0.0) 0.0
         else dot / (math.sqrt(nx) * math.sqrt(ny))
-      if (s >= bestScore) { bestScore = s; best = c }
+      // Double.compare, not >=: array_max orders doubles by the total
+      // order (NaN greatest, 0.0 > -0.0), and a corrupt NaN embedding must
+      // route identically to the composed form.
+      if (java.lang.Double.compare(s, bestScore) >= 0) { bestScore = s; best = c }
       c += 1
     }
     ids(best)
@@ -114,7 +117,7 @@ case class CentroidArgmax(
         }
         double $s = ($nx == 0.0 || $ny == 0.0)
           ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
-        if ($s >= $bestScore) { $bestScore = $s; $best = $c; }
+        if (java.lang.Double.compare($s, $bestScore) >= 0) { $bestScore = $s; $best = $c; }
       }
       ${ev.value} = $idArr[$best];
       """

@@ -69,9 +69,15 @@ case class CentroidProbes(
     while (c < centroids.length) {
       val s = cosineTo(x, centroids(c))
       val id = ids(c)
-      // insertion position: better = higher score, ties smaller id
+      // insertion position: better = higher score, ties smaller id —
+      // compared through the NEGATED total order so NaN scores rank WORST,
+      // exactly like the composed sort on (-score, cid) (Spark sorts NaN
+      // greatest; negating a NaN keeps it NaN, so it lands last there too).
       var p = filled
-      while (p > 0 && (topS(p - 1) < s || (topS(p - 1) == s && topI(p - 1) > id))) p -= 1
+      while (p > 0 && {
+        val cmp = java.lang.Double.compare(-topS(p - 1), -s)
+        cmp > 0 || (cmp == 0 && topI(p - 1) > id)
+      }) p -= 1
       if (p < m) {
         val last = math.min(filled, m - 1)
         var q = last
@@ -132,8 +138,10 @@ case class CentroidProbes(
           ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
         int $id = $idArr[$c];
         int $p = $filled;
-        while ($p > 0 && ($topS[$p - 1] < $s
-            || ($topS[$p - 1] == $s && $topI[$p - 1] > $id))) $p--;
+        while ($p > 0) {
+          int cmp$p = java.lang.Double.compare(-$topS[$p - 1], -$s);
+          if (cmp$p > 0 || (cmp$p == 0 && $topI[$p - 1] > $id)) $p--; else break;
+        }
         if ($p < $m) {
           int $last = java.lang.Math.min($filled, $m - 1);
           for (int $q = $last; $q > $p; $q--) {

@@ -67,6 +67,14 @@ final class LakeDataset private (
     */
   private val diskDirs = new ConcurrentHashMap[PartKey, String]()
 
+  /** Known schema of a disk-resident cell, recorded WITHOUT forcing the
+    * part's (lazy) plan — [[uniformSchema]] consults this first, so the
+    * multi-path read paths stay O(cells-without-known-schema) instead of
+    * materializing every deferred part plan just to compare schemas.
+    */
+  private val diskSchemas =
+    new ConcurrentHashMap[PartKey, org.apache.spark.sql.types.StructType]()
+
   /** Single-scan view of the whole dataset, set by [[LakeDataset.fromStorage]]
     * and valid until the first mutation. Lets [[toDF]] plan ONE file scan
     * (partition-pruned via parquet stats) instead of a union of per-part
@@ -332,7 +340,7 @@ final class LakeDataset private (
   private def diskScan(): Option[DataFrame] =
     if (storage.isDefined && !parts.isEmpty &&
         parts.keySet().asScala.forall(diskDirs.containsKey) &&
-        uniformSchema(parts.values().asScala.toList)) {
+        uniformSchema(parts.asScala.toList)) {
       val scan = multiPathScan(partKeys.map(diskDirs.get))
       cleanScan = Some(scan)
       sinceCompact.set(0L)
@@ -342,8 +350,10 @@ final class LakeDataset private (
   /** All parts plan the same schema (a schema-evolved subset would read
     * wrong through one shared file scan — fall back to unionByName).
     */
-  private def uniformSchema(ps: List[LakePart]): Boolean =
-    ps.map(_.df.schema).distinct.sizeIs <= 1
+  private def uniformSchema(ps: List[(PartKey, LakePart)]): Boolean =
+    ps.map { case (k, p) =>
+      Option(diskSchemas.get(k)).getOrElse(p.df.schema)
+    }.distinct.sizeIs <= 1
 
   /** ONE multi-path file scan over disk-resident cell directories: Hive
     * partition discovery (`basePath`) restores the partition and bucket
@@ -409,6 +419,7 @@ final class LakeDataset private (
       }
     parts.clear()
     diskDirs.clear()
+    diskSchemas.clear()
     if (cells.isEmpty) {
       val key = PartKey(Nil, None)
       val row = snap.agg(statAggs.head, statAggs.tail: _*).head()
@@ -648,7 +659,7 @@ final class LakeDataset private (
   def dropParts(keys: Seq[PartKey]): Unit = this.synchronized {
     val removed = keys.flatMap(k => Option(parts.remove(k)).map(_ => k))
     if (removed.isEmpty) return
-    removed.foreach(diskDirs.remove)
+    removed.foreach { k => diskDirs.remove(k); diskSchemas.remove(k) }
     markDirty()
     storage.foreach { spec =>
       removed.foreach(k =>
@@ -685,7 +696,7 @@ final class LakeDataset private (
       // than the pruned read itself (the incremental-index probe profile).
       val dirs = kept.map { case (k, _) => diskDirs.get(k) }
       if (storage.isDefined && dirs.forall(_ != null) &&
-          uniformSchema(kept.map(_._2)))
+          uniformSchema(kept))
         multiPathScan(dirs)
       else kept.map(_._2.view).reduce(_ unionByName (_, allowMissingColumns = true))
     }
@@ -945,7 +956,7 @@ final class LakeDataset private (
       val wasEmpty = parts.isEmpty
       markDirty()
       slices.foreach { s =>
-        diskDirs.remove(s.key)
+        diskDirs.remove(s.key); diskSchemas.remove(s.key)
         parts.compute(s.key, (_, existing) =>
           if (existing == null)
             new LakePart(s.df, s.key, bucketCols, nBuckets, s.rows, retainDirect,
@@ -1027,7 +1038,7 @@ final class LakeDataset private (
       } else {
         val (batch, slices) = splitPrepared(p, counts, zoneCols, bloomColsP)
         slices.foreach { s =>
-          diskDirs.remove(s.key)
+          diskDirs.remove(s.key); diskSchemas.remove(s.key)
           parts.compute(s.key, (_, existing) =>
             if (existing == null)
               new LakePart(s.df, s.key, bucketCols, nBuckets, s.rows, retainDirect,
@@ -1047,6 +1058,15 @@ final class LakeDataset private (
     if (save) toStorage()
   }
 
+  private def profiled[T](label: String)(f: => T): T =
+    if (spark.conf.get("spark.graft.lake.profile", "false") != "true") f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(
+        f"[lake] $label%-24s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      r
+    }
+
   /** Append a batch whose cells are all FRESH directories, in ONE write job.
     *
     * The insert-then-save path plans the batch twice (an in-memory snapshot
@@ -1061,17 +1081,14 @@ final class LakeDataset private (
     *
     * Caller contract: every cell the batch routes to must be NEW (e.g. a
     * fresh `batch=N` partition value) — the append-mode write cannot merge
-    * into an existing cell's directory, so colliding keys are refused.
+    * into an existing cell's directory, so colliding keys are refused, and
+    * refused BEFORE any file is written: an append cannot be undone, so a
+    * post-write refusal would leave the refused rows inside the existing
+    * directory for every later disk-backed read. NULL bucket-key values are
+    * likewise refused up front (the dynamic writer's null directory and the
+    * catalog's sentinel cell disagree on the path) — route such batches
+    * through [[insert]] instead.
     */
-  private def profiled[T](label: String)(f: => T): T =
-    if (spark.conf.get("spark.graft.lake.profile", "false") != "true") f
-    else {
-      val t0 = System.nanoTime(); val r = f
-      System.err.println(
-        f"[lake] $label%-24s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
-      r
-    }
-
   def insertWritten(df: DataFrame): Unit = {
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
     val p = prepared(df)
@@ -1080,6 +1097,24 @@ final class LakeDataset private (
       "insertWritten needs a partitioned or bucketed layout (fresh cells)")
     require(!p.columns.contains("bucket") || bucketCols.isEmpty,
       "a data column named 'bucket' collides with the bucket directory layout")
+    val nKey = cellKeyCols.length
+    // Derive and validate EVERY cell key before the write job touches disk.
+    val keyed: Seq[(PartKey, Row)] = counts.toSeq.map { row =>
+      val partVals = partitionCols.zipWithIndex.map { case (c, i) =>
+        c -> Option(row.get(i)).map(_.toString).orNull
+      }
+      val bucketNr =
+        if (bucketCols.nonEmpty) {
+          require(!row.isNullAt(nKey - 1),
+            "insertWritten cannot route NULL bucket-key values (writer null " +
+              "directory != catalog sentinel cell) — use insert() for this batch")
+          Some(row.getInt(nKey - 1))
+        } else None
+      val key = PartKey(partVals.sortBy(_._1), bucketNr)
+      require(!parts.containsKey(key),
+        s"insertWritten cell $key already exists — append cannot merge it")
+      key -> row
+    }
     val dirCols = partitionCols ++ (if (bucketCols.nonEmpty) List("bucket") else Nil)
     profiled("iw:write")(
       p.withColumnRenamed(LakeDataset.BucketCol, "bucket")
@@ -1097,21 +1132,12 @@ final class LakeDataset private (
       p.schema.fields.filterNot(_.name == LakeDataset.BucketCol))
     val fileSchema = org.apache.spark.sql.types.StructType(
       target.fields.filterNot(f => partitionCols.contains(f.name)))
-    val nKey = cellKeyCols.length
     profiled("iw:register")(this.synchronized {
       markDirty()
-      counts.foreach { row =>
-        val partVals = partitionCols.zipWithIndex.map { case (c, i) =>
-          c -> Option(row.get(i)).map(_.toString).orNull
-        }
-        val bucketNr =
-          if (bucketCols.nonEmpty) {
-            if (row.isNullAt(nKey - 1)) Some(LakeDataset.NullBucket)
-            else Some(row.getInt(nKey - 1))
-          } else None
-        val key = PartKey(partVals.sortBy(_._1), bucketNr)
-        require(!parts.containsKey(key),
-          s"insertWritten cell $key already exists — append cannot merge it")
+      keyed.foreach { case (key, row) =>
+        val partVals = key.partValues
+        require(!parts.containsKey(key), // re-check under the monitor
+          s"insertWritten cell $key raced a concurrent mutation")
         val dir = s"${spec.root}/${key.relPath}"
         require(Files.isDirectory(Paths.get(dir)),
           s"written cell directory missing: $dir (partition value escaping mismatch?)")
@@ -1130,6 +1156,7 @@ final class LakeDataset private (
             retainDirect, initialZones = Some(zones), statColsOf = statColsFor,
             initialBlooms = blooms, snapshot = partSnapshot))
         diskDirs.put(key, dir)
+        diskSchemas.put(key, target)
       }
     })
     profiled("iw:manifest")(writeManifest())
@@ -1236,7 +1263,7 @@ final class LakeDataset private (
         // subset, so the existing stats stay a sound (if loose) superset.
         slices.foreach { s =>
           Option(parts.get(s.key)).foreach { p =>
-            diskDirs.remove(s.key)
+            diskDirs.remove(s.key); diskSchemas.remove(s.key)
             p.delete(s.df, keys)
           }
         }
@@ -1251,7 +1278,7 @@ final class LakeDataset private (
           markDirty()
           located.foreach { key =>
             Option(parts.get(key)).foreach { p =>
-              diskDirs.remove(key)
+              diskDirs.remove(key); diskSchemas.remove(key)
               p.delete(keyRows, keys)
             }
           }
@@ -1432,6 +1459,7 @@ final class LakeDataset private (
       if (dfReadsUnder(p.df, spec.root)) p.materialize()
       p.save(spec, dropCols = partitionCols)
       diskDirs.put(key, s"${spec.root}/${key.relPath}")
+      diskSchemas.put(key, p.df.schema)
       val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
       Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
         bloomCols, serializedBlooms), spec.root)
@@ -1454,7 +1482,10 @@ final class LakeDataset private (
     implicit val ec: scala.concurrent.ExecutionContext = LakeDataset.ioPool
     ps.map(p => Future(p.save(spec, dropCols = partitionCols)))
       .foreach(Await.result(_, Duration.Inf))
-    ps.foreach(p => diskDirs.put(p.key, s"${spec.root}/${p.key.relPath}"))
+    ps.foreach { p =>
+      diskDirs.put(p.key, s"${spec.root}/${p.key.relPath}")
+      diskSchemas.put(p.key, p.df.schema)
+    }
     val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
     Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
       bloomCols, serializedBlooms), spec.root)
@@ -1671,6 +1702,7 @@ object LakeDataset {
           initialZones = zones, statColsOf = ds.statColsFor, initialBlooms = blooms,
           snapshot = ds.partSnapshot))
       ds.diskDirs.put(key, dir.toString)
+      target.foreach(t => ds.diskSchemas.put(key, t))
     }
     if (!eager) ds.cleanScan = Some(whole)
     ds

@@ -372,7 +372,14 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
-    comp.select(col("v").as("doc_id"), col("comp").as("component"))
+    // Pin the result to its own snapshot and release the loop's cache —
+    // repeated calls (a per-batch streaming dedup) must not accumulate
+    // cached generations in executor storage.
+    val result = comp
+      .select(col("v").as("doc_id"), col("comp").as("component"))
+      .localCheckpoint(true)
+    comp.unpersist()
+    result
   }
 
   /** The end of the dedup pipeline: keep ONE canonical document per
@@ -404,11 +411,11 @@ object Dedup {
     *
     * Scale shape: the benchmark side is an eval suite — thousands of
     * documents against a 100 TB corpus — so its DISTINCT n-gram set
-    * BROADCASTS and the corpus grams stream through a broadcast semi-join:
-    * no corpus shuffle for the match, and the per-doc count is a map-side
-    * partial aggregation on the shingle exchange [[shingleRows]] already
-    * pays. A benchmark too big to broadcast degrades to a shuffled join on
-    * the gram string, never to wrong results.
+    * BROADCASTS (by contract: the hint is explicit, so the caller owns the
+    * bench side staying driver-sized; an eval suite always is) and the
+    * corpus grams stream through a broadcast semi-join: no corpus shuffle
+    * for the match, and the per-doc count is a map-side partial aggregation
+    * on the shingle exchange [[shingleRows]] already pays.
     */
   def decontaminate(
       corpus: DataFrame, bench: DataFrame,

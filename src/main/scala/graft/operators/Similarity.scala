@@ -164,9 +164,11 @@ object Similarity {
   }
 
   /** One local Lloyd step over the sample: assign each sample vector to its
-    * nearest centroid (cosine, ties to the lower id like the distributed
-    * assigner), recompute element-wise means; a centroid whose cluster is
-    * empty keeps its previous position (never silently dropped).
+    * nearest centroid (cosine; ties keep the LOWER index — refinement-only
+    * arithmetic, so it need not mirror the corpus assigner's larger-id
+    * tie-break: the final distributed assignment pass alone decides list
+    * membership), recompute element-wise means; a centroid whose cluster
+    * is empty keeps its previous position (never silently dropped).
     */
   private def localLloydStep(
       sample: Array[Array[Double]], centroids: Seq[Array[Double]], dim: Int)
@@ -271,11 +273,14 @@ object Similarity {
     val cdf = centroids.toDF("cid", "cvec")
     LakeDataset.fromDataFrame(spark, cdf,
       storage = Some(StorageSpec(s"$root/centroids"))).toStorage()
-    LakeDataset.deleteRecursively(java.nio.file.Paths.get(s"$root/assigned"))
-    // insertWritten runs a routing aggregation AND the write over its
-    // input; `assigned` is usually the (expensive) centroid-argmax plan, so
-    // materialize it ONCE rather than re-running the assignment per job.
+    // Materialize BEFORE wiping the root: a save-over-own-root (e.g.
+    // re-saving a loaded index's table) has a plan whose file scan reads
+    // the very directory about to be deleted — the snapshot must execute
+    // while those files still exist (the generic toStorage path guards the
+    // same hazard with backedByRoot + compact()). It also runs the
+    // expensive centroid-argmax plan ONCE instead of per insertWritten job.
     val snap = assigned.localCheckpoint(true)
+    LakeDataset.deleteRecursively(java.nio.file.Paths.get(s"$root/assigned"))
     LakeDataset.forStorage(spark,
         partitionCols = Seq("centroid"), bucketCols = Nil, nBuckets = 0,
         bloomCols = Nil, storage = StorageSpec(s"$root/assigned"))

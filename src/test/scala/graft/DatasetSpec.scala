@@ -235,15 +235,30 @@ class DatasetSpec extends SparkSpec {
     ds.insertWritten(Seq((1L, "p0", 1.0)).toDF("k", "part", "v"))
     assert(ds.toDF.count() == 1L)
     // Same cell again: the append-mode write cannot merge a directory, so
-    // the router must refuse rather than double the cell's files.
+    // the router must refuse BEFORE any file lands — a post-write refusal
+    // would leave the refused rows inside the existing directory for every
+    // later disk-backed read.
     val e = intercept[Exception] {
       ds.insertWritten(Seq((2L, "p0", 2.0)).toDF("k", "part", "v"))
     }
     assert(e.getMessage.contains("already exists"), e.getMessage)
+    assert(ds.toDF.count() == 1L, "refused batch must leave zero rows behind")
+    assert(ds.toDF.select("k").as[Long].collect().toSeq == Seq(1L))
     // A FRESH cell is fine, and the refused batch left no partial state
     // registered (the table still reads consistently).
     ds.insertWritten(Seq((3L, "p1", 3.0)).toDF("k", "part", "v"))
     assert(ds.toDF.select("part").distinct().count() == 2L)
+    // NULL bucket keys are refused up front on bucketed layouts (writer
+    // null directory and catalog sentinel cell disagree on the path).
+    val root2 = java.nio.file.Files.createTempDirectory("graft_iw_nb").toString
+    val bds = graft.lake.LakeDataset.forStorage(spark,
+      partitionCols = Nil, bucketCols = Seq("k"), nBuckets = 4,
+      bloomCols = Nil, storage = graft.model.StorageSpec(root2))
+    val e2 = intercept[Exception] {
+      bds.insertWritten(Seq((Option.empty[java.lang.Long], 1.0))
+        .toDF("k", "v"))
+    }
+    assert(e2.getMessage.contains("NULL bucket"), e2.getMessage)
   }
 
   test("rows counter matches data after insert; schemaInfo sane") {

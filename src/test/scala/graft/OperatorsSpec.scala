@@ -107,7 +107,14 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("CentroidArgmax matches the composed array_max form bit-for-bit, sparse ids, ties") {
+    // Include a corrupt NaN embedding: array_max orders doubles by the
+    // TOTAL order (NaN greatest), and the native expression must route the
+    // corrupt vector to the same list.
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .unionByName(spark.sql(
+        "SELECT 999999L AS vec_id, " +
+          "array(cast('NaN' as float), cast(1.0 as float)) AS embedding"))
     // Sparse, unsorted-at-call-site ids (the post-recluster shape): the
     // expression must return the ID of the nearest centroid, not its row.
     val cents: Seq[(Int, Seq[Double])] = Seq(3, 17, 64, 200).zipWithIndex.map {
