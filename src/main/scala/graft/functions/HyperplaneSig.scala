@@ -18,7 +18,9 @@ import org.apache.spark.sql.types._
   * (the measured 10× pathology in SCALING.md), and the signature is the
   * full-corpus pass of embedding near-dup. Dot products accumulate
   * element-by-element in double, in plane order — identical bits to the
-  * HOF form (spec-pinned on real embeddings).
+  * HOF form (spec-pinned on real embeddings), INCLUDING on dimension
+  * mismatch: a vector whose length differs from the plane's leaves the bit
+  * clear, as the null-padded zip_with dot does.
   */
 case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
     extends UnaryExpression {
@@ -38,11 +40,17 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
     var p = 0
     while (p < planes.length) {
       val pl = planes(p)
-      val n = math.min(x.numElements(), pl.length)
-      var dot = 0.0
-      var i = 0
-      while (i < n) { dot += x.getFloat(i).toDouble * pl(i); i += 1 }
-      if (dot >= 0.0) sig |= 1L << p
+      // Dimension mismatch leaves bit p CLEAR — the HOF form's semantics
+      // (zip_with pads the shorter side with null, the aggregate dot goes
+      // null, and `null >= 0` is not true). Dotting over min(length) here
+      // would bucket a truncated/overlong vector differently than the
+      // composed form this expression replaces.
+      if (x.numElements() == pl.length) {
+        var dot = 0.0
+        var i = 0
+        while (i < pl.length) { dot += x.getFloat(i).toDouble * pl(i); i += 1 }
+        if (dot >= 0.0) sig |= 1L << p
+      }
       p += 1
     }
     sig
@@ -54,19 +62,19 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
       val sig = ctx.freshName("sig")
       val p = ctx.freshName("p")
       val pl = ctx.freshName("pl")
-      val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val i = ctx.freshName("i")
       s"""
       long $sig = 0L;
       for (int $p = 0; $p < $mat.length; $p++) {
         double[] $pl = $mat[$p];
-        int $n = java.lang.Math.min($a.numElements(), $pl.length);
-        double $dot = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $dot += ((double) $a.getFloat($i)) * $pl[$i];
+        if ($a.numElements() == $pl.length) {
+          double $dot = 0.0;
+          for (int $i = 0; $i < $pl.length; $i++) {
+            $dot += ((double) $a.getFloat($i)) * $pl[$i];
+          }
+          if ($dot >= 0.0) $sig |= 1L << $p;
         }
-        if ($dot >= 0.0) $sig |= 1L << $p;
       }
       ${ev.value} = $sig;
       """

@@ -1098,6 +1098,18 @@ final class LakeDataset private (
     require(!p.columns.contains("bucket") || bucketCols.isEmpty,
       "a data column named 'bucket' collides with the bucket directory layout")
     val nKey = cellKeyCols.length
+    // Timestamp partition values render differently on the two sides of the
+    // registration handshake (JDBC toString carries a trailing ".0"; the
+    // writer's cast does not) — refuse BEFORE any file lands rather than
+    // strand an appended directory the catalog can't name.
+    partitionCols.foreach { c =>
+      val dt = p.schema(c).dataType
+      require(dt != org.apache.spark.sql.types.TimestampType &&
+        dt != org.apache.spark.sql.types.TimestampNTZType,
+        s"insertWritten cannot route timestamp partition column '$c' " +
+          "(driver/writer value rendering diverges) — use insert(), or " +
+          "partition by a date/string derivation of it")
+    }
     // Derive and validate EVERY cell key before the write job touches disk.
     val keyed: Seq[(PartKey, Row)] = counts.toSeq.map { row =>
       val partVals = partitionCols.zipWithIndex.map { case (c, i) =>
@@ -1115,7 +1127,12 @@ final class LakeDataset private (
         s"insertWritten cell $key already exists — append cannot merge it")
       key -> row
     }
-    val dirCols = partitionCols ++ (if (bucketCols.nonEmpty) List("bucket") else Nil)
+    // Sorted to match PartKey.relPath (which sorts partValues by column
+    // name): the dynamic writer nests directories in partitionBy ORDER, so
+    // an unsorted multi-column spec would write a=.../b=... while relPath
+    // derives b=.../a=... — and the divergence would surface only at the
+    // post-write registration check, after files already landed.
+    val dirCols = partitionCols.sorted ++ (if (bucketCols.nonEmpty) List("bucket") else Nil)
     profiled("iw:write")(
       p.withColumnRenamed(LakeDataset.BucketCol, "bucket")
         // One writer task per cell: without this, every input partition
@@ -1436,10 +1453,10 @@ final class LakeDataset private (
     }
     Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
       bloomCols, serializedBlooms), spec.root)
-    // Every cell's directory now mirrors its content exactly. Existence
-    // check: Spark's dynamic writer escapes special characters in partition
-    // values differently than PartKey.relPath — an unmatched name must not
-    // register (reads would throw on the missing path).
+    // Every cell's directory now mirrors its content exactly. PartKey.escape
+    // IS Spark's escapePathName, so the writer's directory and relPath agree
+    // by construction; the existence check stays as a backstop (a mismatch
+    // must degrade to "not disk-backed", never to a read of a missing path).
     parts.keySet().asScala.foreach { k =>
       val dir = s"${spec.root}/${k.relPath}"
       if (Files.isDirectory(Paths.get(dir))) diskDirs.put(k, dir)
@@ -1636,7 +1653,7 @@ object LakeDataset {
         if (v == PartKey.NullMarker) LakeDataset.NullBucket else v.toInt
       }
       val partVals = kvs.filter(_._1 != "bucket").sortBy(_._1)
-        .map { case (k, v) => k -> (if (v == PartKey.NullMarker) null else v) }
+        .map { case (k, v) => k -> PartKey.unescape(v) }
       // Deferred until the part's plan is first touched: building one
       // DataFrame per cell (a directory listing + analysis each) eagerly
       // makes loading O(cells) driver work, and the pruned/multi-path read

@@ -50,9 +50,23 @@ final case class PartKey(partValues: List[(String, String)], bucketNr: Option[In
 object PartKey {
   /** Hive's spelling for a null partition value — shared with Spark's writer. */
   val NullMarker = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Spark's own partition-path escaping (percent-encoding of `/`, `:`,
+    * `%`, `=`, ... — `ExternalCatalogUtils.escapePathName`). Using the
+    * writer's exact spelling is what makes the per-part save (relPath) and
+    * the dynamic `partitionBy` writer land in the SAME directory for ANY
+    * partition value — a home-grown replacement scheme diverges on
+    * escapable values and the mismatch surfaces only after files are on
+    * disk.
+    */
   def escape(v: String): String =
     if (v == null) NullMarker
-    else v.replaceAll("[/\\\\:\\s]", "_")
+    else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+
+  /** Inverse of [[escape]] for directory-name parsing on load. */
+  def unescape(dir: String): String =
+    if (dir == NullMarker) null
+    else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(dir)
 }
 
 /** Dataset manifest, persisted as `_manifest.json` at the dataset root

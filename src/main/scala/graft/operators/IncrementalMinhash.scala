@@ -211,27 +211,52 @@ final class MinhashIndex private (
     val b = nextBatch
     val pairsDir = s"$root/pairs/batch=$b"
     val resultSchema = verified.schema
-    timed("write:all3") {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.global
-      val fp = Future(timed("verify+write:pairs")(
-        verified.write.mode("overwrite").parquet(pairsDir)))
-      val fs = Future(timed("append:shingles")(
-        appendBatch(expl, "shingles", "doc", b, ds => shingleDs = Some(ds))))
-      val fb = Future(timed("append:bands")(
-        appendBatch(bandedNew, "bands", "bh", b, ds => bandDs = Some(ds))))
-      Await.result(fp, Duration.Inf)
-      Await.result(fs, Duration.Inf); Await.result(fb, Duration.Inf)
+    try {
+      timed("write:all3") {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        val fp = Future(timed("verify+write:pairs")(
+          verified.write.mode("overwrite").parquet(pairsDir)))
+        val fs = Future(timed("append:shingles")(
+          appendBatch(expl, "shingles", "doc", b, ds => shingleDs = Some(ds))))
+        val fb = Future(timed("append:bands")(
+          appendBatch(bandedNew, "bands", "bh", b, ds => bandDs = Some(ds))))
+        val done = Seq(fp, fs, fb).map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+        done.collectFirst { case scala.util.Failure(e) => e }.foreach { e =>
+          // A failed sibling must not leave THIS batch registered in the
+          // live index: a completed append already put its batch=N cells
+          // into the in-memory dataset, so later probes in this process
+          // would serve rows the commit marker never covers, and retrying
+          // the same batch number would collide with them. Every future
+          // has resolved by here (Try-awaited), so nothing registers after
+          // the rollback; dropParts removes catalog entries AND their
+          // directories, leaving the retry's insertWritten clean cells.
+          def rollback(get: Option[LakeDataset], reset: () => Unit): Unit =
+            get.foreach { ds =>
+              val ks = ds.partKeys.filter(_.partValues.contains("batch" -> b.toString))
+              if (ks.nonEmpty) ds.dropParts(ks)
+              // A first-batch failure leaves a zero-part dataset that the
+              // probe path can't plan against — forget the handle entirely,
+              // as if the batch had never created it.
+              if (ds.partKeys.isEmpty) reset()
+            }
+          rollback(shingleDs, () => shingleDs = None)
+          rollback(bandDs, () => bandDs = None)
+          LakeDataset.deleteRecursively(Paths.get(pairsDir))
+          throw e
+        }
+      }
+      val result = spark.read.schema(resultSchema).parquet(pairsDir)
+      MinhashIndex.writeParams(root, numHashes, bands, shingleSize, nBuckets, b + 1)
+      nextBatch = b + 1
+      result
+    } finally {
+      expl.unpersist()
+      bandedNew.unpersist()
+      cands.unpersist()
     }
-    val result = spark.read.schema(resultSchema).parquet(pairsDir)
-    MinhashIndex.writeParams(root, numHashes, bands, shingleSize, nBuckets, b + 1)
-    nextBatch = b + 1
-    expl.unpersist()
-    bandedNew.unpersist()
-    cands.unpersist()
-    result
   }
 
   /** Persist ONE batch as fresh `batch=N/bucket=B` cells via

@@ -261,6 +261,47 @@ class DatasetSpec extends SparkSpec {
     assert(e2.getMessage.contains("NULL bucket"), e2.getMessage)
   }
 
+  test("insertWritten: unsorted multi-column specs and escapable values land at relPath") {
+    val root = java.nio.file.Files.createTempDirectory("graft_iw_esc").toString
+    // Partition columns DECLARED out of name order, values Spark's writer
+    // percent-encodes (colon, percent, equals): the writer's directory and
+    // PartKey.relPath must agree BEFORE registration — under the old
+    // home-grown escaping ('_' substitution, declaration-order nesting) the
+    // mismatch surfaced only after the append had written files.
+    val ds = graft.lake.LakeDataset.forStorage(spark,
+      partitionCols = Seq("zone", "area"), bucketCols = Nil, nBuckets = 0,
+      bloomCols = Nil, storage = graft.model.StorageSpec(root))
+    ds.insertWritten(Seq(
+      (1L, "b:2", "a 1", 1.0),
+      (2L, "d%x", "c=4", 2.0)).toDF("k", "zone", "area", "v"))
+    assert(ds.toDF.count() == 2L)
+    ds.partKeys.foreach { k =>
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$root/${k.relPath}")),
+        s"registered cell not on disk at its relPath: ${k.relPath}")
+    }
+    // Values round-trip UNESCAPED through the manifest + directory parse.
+    val back = graft.lake.LakeDataset.fromStorage(spark, root)
+    assert(back.toDF.select("zone", "area").as[(String, String)].collect().toSet ==
+      Set(("b:2", "a 1"), ("d%x", "c=4")))
+    // Timestamp partition values render differently driver-side vs in the
+    // writer (trailing ".0") — refused before any file lands.
+    val root2 = java.nio.file.Files.createTempDirectory("graft_iw_ts").toString
+    val tds = graft.lake.LakeDataset.forStorage(spark,
+      partitionCols = Seq("ts"), bucketCols = Nil, nBuckets = 0,
+      bloomCols = Nil, storage = graft.model.StorageSpec(root2))
+    val e3 = intercept[Exception] {
+      tds.insertWritten(
+        Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+          .toDF("k", "ts", "v"))
+    }
+    assert(e3.getMessage.contains("timestamp partition column"), e3.getMessage)
+    import scala.jdk.CollectionConverters._
+    val leftover = java.nio.file.Files.list(java.nio.file.Paths.get(root2))
+      .iterator().asScala.filter(_.getFileName.toString.startsWith("ts=")).toList
+    assert(leftover.isEmpty, s"refused batch wrote partition dirs: $leftover")
+  }
+
   test("rows counter matches data after insert; schemaInfo sane") {
     val ds = LakeDataset.fromDataFrame(spark, Seq((1L, "x")).toDF("k", "s"))
     ds.insert(Seq((2L, "y"), (3L, "z")).toDF("k", "s"))

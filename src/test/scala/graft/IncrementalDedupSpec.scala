@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, MinhashIndex}
@@ -96,6 +98,40 @@ class IncrementalDedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       MinhashIndex.open(spark, root, numHashes = 64, bands = 16)
     }
+  }
+
+  test("a failed sibling write rolls the batch back; the same batch retries cleanly") {
+    val corpus = Fixtures.nearDupDocuments(spark, sf()).filter(col("doc_id") < 300)
+    val root = Files.createTempDirectory("graft_mh_rb").toString
+    val idx = MinhashIndex.open(spark, root)
+    // Plant a regular FILE where the pairs directory tree must go: the
+    // pairs write fails while the two table appends race ahead — the
+    // failure path must then UNREGISTER whatever its siblings committed,
+    // or the live index serves rows the commit marker never covers.
+    Files.write(java.nio.file.Paths.get(root, "pairs"), Array[Byte](1))
+    intercept[Exception] { idx.addBatch(corpus, "text", "doc_id", threshold = 0.5) }
+    assert(idx.batches == 0)
+    // dropParts removes the leaf bucket cells (an empty batch=0 shell may
+    // remain — discovery ignores dirs without data files): assert no DATA
+    // survived the rollback.
+    for (t <- Seq("shingles", "bands")) {
+      val dir = java.nio.file.Paths.get(root, t, "batch=0")
+      val files =
+        if (!Files.isDirectory(dir)) Nil
+        else {
+          val s = Files.walk(dir)
+          try s.iterator().asScala.filter(p =>
+            Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")).toList
+          finally s.close()
+        }
+      assert(files.isEmpty, s"$t/batch=0 data survived the rollback: $files")
+    }
+    // Same process, same batch number: the retry must not collide with a
+    // leftover registration and must produce the full pair set.
+    Files.delete(java.nio.file.Paths.get(root, "pairs"))
+    val expected = pairs(Dedup.minhashDedup(corpus, "text", "doc_id", threshold = 0.5))
+    assert(pairs(idx.addBatch(corpus, "text", "doc_id", threshold = 0.5)) == expected)
+    assert(idx.batches == 1)
   }
 
   test("a batch half-saved by a crash is dropped and re-ingested on open") {

@@ -182,6 +182,16 @@ class OperatorsSpec extends SparkSpec {
         graft.functions.HyperplaneSig(col("embedding"), planeVecs).as("native"))
       .filter(col("hof") =!= col("native")).count()
     assert(diff == 0, "native and HOF hyperplane signatures disagree")
+    // Dimension mismatch: zip_with pads the shorter side with null, the
+    // aggregate dot goes null, and `null >= 0` sets nothing — a short (or
+    // overlong) vector must leave every bit clear in BOTH forms.
+    val short = Seq((1L, Seq(0.5f, -0.25f, 1.5f))).toDF("vec_id", "embedding")
+    val m = short.select(
+      hofBits.reduce((a, b) => a.bitwiseOR(b)).as("hof"),
+      graft.functions.HyperplaneSig(col("embedding"), planeVecs).as("native")).head()
+    assert(m.getLong(0) == 0L && m.getLong(1) == 0L,
+      s"dimension-mismatched vector must bucket as signature 0 in both forms, " +
+        s"got hof=${m.getLong(0)} native=${m.getLong(1)}")
   }
 
   test("CosineF32 rejects non-float-array inputs at analysis") {
