@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Bucketing
 import graft.lake.{Database, LakeDataset}
-import graft.operators.{Dedup, MinhashIndex, Multimodal, Similarity, StringCache, TextAnalysis}
+import graft.operators.{Dedup, MinhashIndex, Multimodal, Sampling, Similarity, StringCache, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), with a DuckDB-equivalent oracle where SQL-expressible.
@@ -896,6 +896,67 @@ object SparkEntry {
         .orderBy("doc")
     }),
 
+    // Gopher-style line-repetition signals; boilerplate INJECTED onto every
+    // 5th doc (the synthetic corpus has no repeated lines), identical
+    // expression on the oracle side.
+    "text_repetition" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val injected = d.withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"),
+            lit("\nrepeat me line\nrepeat me line\nrepeat me line")))
+          .otherwise(col("text")))
+      TextAnalysis.lineRepetition(injected, "text", "doc_id").orderBy("doc")
+    }),
+
+    // Top-bigram concentration — natural repetition exists in the corpus,
+    // no injection needed.
+    "text_top_bigram" -> ((s, dir) =>
+      TextAnalysis.topBigramFrac(table(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc")),
+
+    // Deterministic ~10% hash sample (md5 is oracle-portable).
+    "sample_hash" -> ((s, dir) =>
+      Sampling.hashSample(table(s, dir, "documents"), "doc_id", "1999")
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
+
+    // Language-rebalancing stratified sample: keep ~50% of English, ~10%
+    // of everything else.
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(table(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> "7fff"), default = "1999")
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // Per-source token shares and the sampling weights for a uniform blend.
+    "text_mixture_weights" -> ((s, dir) =>
+      Sampling.mixtureWeights(table(s, dir, "documents"), "source",
+          TextAnalysis.tokenCount(col("text")))
+        .orderBy("source")),
+
+    // Exact dedup after normalization: noisy copies (case flip +
+    // punctuation + whitespace noise) injected for every 9th doc — exact
+    // dedup misses them, normalization folds them.
+    "dedup_normalized" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val noisy = d.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(upper(col("text")), lit("  !!")).as("text"))
+      Dedup.exactNormalized(
+          d.select("doc_id", "text").unionByName(noisy), "text", "doc_id")
+        .filter(col("dup_count") > 1)
+        .select("canonical_id", "dup_count")
+        .orderBy("canonical_id")
+    }),
+
+    // Curation: keep the 3 longest documents per language (deterministic
+    // tie-break on doc_id) — the rank filter rides WindowGroupLimit, so
+    // each map task ships only its local top-k.
+    "curate_topk_per_lang" -> ((s, dir) =>
+      Sampling.topKPerGroup(table(s, dir, "documents"), Seq("lang"),
+          Seq(col("n_chars").desc, col("doc_id").asc), k = 3)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")),
+
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(Fixtures.dupDocuments(s, dir), "text", "doc_id")
         .select(col("canonical_id"), col("dup_count"))
@@ -1611,6 +1672,81 @@ object SparkEntry {
          |  ${pick("ng")} AS lang_pred_ngram, lang
          |FROM s""".stripMargin
     },
+
+    "text_repetition" ->
+      """WITH injected AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN text || chr(10) || 'repeat me line' || chr(10) || 'repeat me line'
+        |         || chr(10) || 'repeat me line'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM injected),
+        |lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+        |       FROM lines WHERE line <> '' GROUP BY doc_id, line)
+        |SELECT doc_id AS doc,
+        |  1.0 - count(*)::DOUBLE / sum(c) AS dup_line_frac,
+        |  coalesce(sum(CASE WHEN c > 1 THEN c*len END), 0)::DOUBLE / sum(c*len)
+        |    AS dup_line_char_frac
+        |FROM lc GROUP BY doc_id ORDER BY doc""".stripMargin,
+
+    "text_top_bigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS l FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z FROM toks),
+        |bc AS (SELECT doc_id, z[1] || ' ' || z[2] AS bigram, count(*) AS c
+        |       FROM bg GROUP BY doc_id, bigram)
+        |SELECT doc_id AS doc, max(c)::DOUBLE / sum(c) AS top_bigram_frac,
+        |  CAST(sum(c) AS BIGINT) AS n_bigrams
+        |FROM bc GROUP BY doc_id ORDER BY doc""".stripMargin,
+
+    "sample_hash" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= '1999'
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <=
+        |  CASE WHEN lang = 'en' THEN '7fff' ELSE '1999' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_mixture_weights" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |         ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1
+        |    END AS n_tokens
+        |  FROM documents),
+        |a AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS stratum_weight
+        |      FROM t GROUP BY source)
+        |SELECT source, stratum_weight,
+        |  stratum_weight::DOUBLE / sum(stratum_weight) OVER () AS share,
+        |  1.0 / count(*) OVER () AS target_share,
+        |  (1.0 / count(*) OVER ())
+        |    / (stratum_weight::DOUBLE / sum(stratum_weight) OVER ()) AS sample_weight
+        |FROM a ORDER BY source""".stripMargin,
+
+    "dedup_normalized" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, upper(text) || '  !!' AS text
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |         ' +', ' ', 'g')) AS norm_text
+        |  FROM corpus)
+        |SELECT min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS dup_count
+        |FROM n GROUP BY norm_text HAVING count(*) > 1 ORDER BY canonical_id""".stripMargin,
+
+    "curate_topk_per_lang" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang, doc_id, n_chars FROM r WHERE rk <= 3
+        |ORDER BY lang, doc_id""".stripMargin,
 
     "text_tfidf_int" ->
       """WITH tfc AS (

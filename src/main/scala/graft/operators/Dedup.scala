@@ -33,6 +33,20 @@ object Dedup {
         min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("dup_count"))
 
+  /** Exact dedup after text normalization (lowercase, strip
+    * non-alphanumerics, collapse whitespace): catches the trivially-edited
+    * duplicates — case changes, punctuation noise, reflowed whitespace —
+    * that byte-exact dedup misses, without any of MinHash's probabilistic
+    * machinery. Same one-shuffle groupBy shape as [[exact]]; the normalized
+    * text itself is the group key (at 100 TB swap in its xxhash64 to shrink
+    * the shuffle key — [[TextAnalysis.fingerprint]] is that composition).
+    */
+  def exactNormalized(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(TextAnalysis.normalize(col(contentCol)).as("norm_text"))
+      .agg(
+        min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("dup_count"))
+
   /** Deterministic drop-duplicates on key columns: keep the first row per
     * key group under `orderBy` (the reference's drop-duplicates TODO,
     * src/main.rs:32 — Spark's own `dropDuplicates` keeps an arbitrary row,
@@ -319,8 +333,20 @@ object Dedup {
     // component). Over the cap (~16 MB of edges at the default), fail
     // open to the distributed propagation below.
     val cap = spark.conf.get("spark.graft.dedup.driverEdgeCap", (1 << 20).toString).toInt
-    val bounded = e0.limit(cap + 1).collect()
-    if (bounded.length <= cap) {
+    // Drain into two primitive long arrays as rows arrive: a collect() of
+    // cap+1 GenericRows would retain ~10× the edges' nominal bytes in Row
+    // object headers before the union-find even starts; the iterator frees
+    // each Row after its two longs are copied out, so retained driver
+    // memory is exactly 16 bytes/edge.
+    val (ea, eb, nEdges) = {
+      val it = e0.limit(cap + 1).toLocalIterator()
+      val ab = new scala.collection.mutable.ArrayBuilder.ofLong
+      val bb = new scala.collection.mutable.ArrayBuilder.ofLong
+      var n = 0
+      while (it.hasNext) { val r = it.next(); ab += r.getLong(0); bb += r.getLong(1); n += 1 }
+      (ab.result(), bb.result(), n)
+    }
+    if (nEdges <= cap) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -329,17 +355,20 @@ object Dedup {
         while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
         r
       }
-      bounded.foreach { row =>
-        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+      var i = 0
+      while (i < nEdges) {
+        val (ra, rb) = (find(ea(i)), find(eb(i)))
         if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb)) // union by MIN
+        i += 1
       }
       val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
       val seen = new java.util.HashSet[Long]()
-      bounded.foreach { row =>
-        Seq(row.getLong(0), row.getLong(1)).foreach { v =>
-          if (seen.add(v))
-            rows.add(org.apache.spark.sql.Row(v, find(v)))
-        }
+      i = 0
+      while (i < nEdges) {
+        val a = ea(i); val b = eb(i)
+        if (seen.add(a)) rows.add(org.apache.spark.sql.Row(a, find(a)))
+        if (seen.add(b)) rows.add(org.apache.spark.sql.Row(b, find(b)))
+        i += 1
       }
       return spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling and curation operators for training-data
+  * pipelines.
+  *
+  * Everything here is hash- or window-based and fully deterministic: the
+  * same corpus always yields the same sample, independent of partitioning,
+  * executor count, or run order. That property — not randomness quality —
+  * is what a 100 TB training pipeline needs: reruns reproduce the dataset
+  * bit-for-bit, ablations share the holdout split, and a resumed job never
+  * double-samples. (Spark's `df.sample` is seed-stable only for a FIXED
+  * partitioning; these operators survive repartitioning.)
+  *
+  * Beyond-reference superset: the reference engine (TomScheffers/polars-lake)
+  * has no sampling surface; these compose with its scan/SQL operators.
+  */
+object Sampling {
+
+  /** Keep-decision hash: first 4 hex chars of md5 of the id rendered as a
+    * string — 16 bits of uniform hash, string-comparable against a hex
+    * threshold. md5-of-decimal-string is deliberately engine-portable (the
+    * DuckDB oracle computes the identical digest), unlike xxhash64.
+    */
+  def hashKey(id: Column): Column = substring(md5(id.cast("string")), 1, 4)
+
+  /** Deterministic ~rate sample: keep rows whose [[hashKey]] is <= the
+    * given 4-hex-digit threshold ("1999" ≈ 10%, "7fff" ≈ 50%). A pure
+    * narrow filter — no shuffle, no state, embarrassingly parallel, and
+    * membership of a given id never changes as the corpus grows (the
+    * property that keeps holdout sets stable across dataset versions).
+    */
+  def hashSample(df: DataFrame, idCol: String, hexThreshold: String): DataFrame = {
+    require(hexThreshold.matches("[0-9a-f]{4}"), s"bad hex threshold: $hexThreshold")
+    df.filter(hashKey(col(idCol)) <= lit(hexThreshold))
+  }
+
+  /** Stratified deterministic sample: a different keep-rate per stratum
+    * value (e.g. keep 50% of English, 10% of everything else — the usual
+    * language-rebalancing pass). Same narrow-filter shape as
+    * [[hashSample]]; the per-stratum threshold resolves via one chained
+    * CASE, so the plan stays a single codegen'd filter over the scan.
+    */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, strataCol: String,
+      thresholds: Map[String, String], default: String): DataFrame = {
+    (thresholds.values.toSeq :+ default).foreach(t =>
+      require(t.matches("[0-9a-f]{4}"), s"bad hex threshold: $t"))
+    val thr = thresholds.toSeq.sortBy(_._1).foldRight(lit(default): Column) {
+      case ((v, t), acc) => when(col(strataCol) === v, lit(t)).otherwise(acc)
+    }
+    df.filter(hashKey(col(idCol)) <= thr)
+  }
+
+  /** Top-k rows per group under a deterministic order — the curation pass
+    * that keeps the k best documents per language/source/domain. Expressed
+    * as a rank-filter window so Spark's WindowGroupLimit optimization
+    * (Spark 3.5+) pushes the k-bound INTO the shuffle: each map task ships
+    * only its local top-k per group, never the full group — the difference
+    * between shuffling k rows and shuffling 100 TB.
+    */
+  def topKPerGroup(
+      df: DataFrame, groupCols: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("__graft_rank", row_number().over(w))
+      .filter(col("__graft_rank") <= k)
+      .drop("__graft_rank")
+  }
+
+  /** Per-stratum mixture weights for a target blend: given a weight column
+    * (token counts, usually) and a target share per stratum (uniform when
+    * omitted), emit each stratum's actual share and the sampling weight
+    * `target_share / actual_share` that a downstream weighted sampler
+    * applies to hit the target blend. One tiny aggregation (#strata rows)
+    * plus an unpartitioned window over it — the window is over the
+    * AGGREGATE, never the corpus, so the single-partition stage holds a
+    * handful of rows at any scale.
+    */
+  def mixtureWeights(
+      df: DataFrame, strataCol: String, weight: Column,
+      targetShares: Map[String, Double] = Map.empty): DataFrame = {
+    val agg = df.groupBy(col(strataCol))
+      .agg(sum(weight).as("stratum_weight"))
+    val total = Window.partitionBy()
+    val target =
+      if (targetShares.isEmpty)
+        lit(1.0) / count(lit(1)).over(total).cast("double")
+      else targetShares.toSeq.sortBy(_._1).foldRight(lit(0.0): Column) {
+        case ((v, s), acc) => when(col(strataCol) === v, lit(s)).otherwise(acc)
+      }
+    agg
+      .withColumn("share",
+        col("stratum_weight").cast("double") / sum("stratum_weight").over(total))
+      .withColumn("target_share", target)
+      .withColumn("sample_weight", col("target_share") / col("share"))
+  }
+}

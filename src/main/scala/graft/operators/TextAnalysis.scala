@@ -121,6 +121,57 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
+  /** Gopher-style line-repetition quality signals, per document:
+    *
+    *   - `dup_line_frac`: fraction of non-empty lines that are repeats of
+    *     another line in the same document;
+    *   - `dup_line_char_frac`: fraction of non-empty-line CHARACTERS that
+    *     sit inside repeated lines.
+    *
+    * Boilerplate-heavy pages (nav bars, cookie banners, scraped templates)
+    * score high and get filtered. Two-level aggregation — (doc, line)
+    * counts, then per-doc ratios — so map-side partial aggregation does the
+    * heavy dedup before the shuffle; cost stays one corpus pass at any
+    * scale. Ratios divide exact integers, so the doubles are
+    * oracle-reproducible bit-for-bit. Documents with no non-empty lines
+    * drop from the output (no lines to judge).
+    */
+  def lineRepetition(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .filter(col("line") =!= "")
+      .groupBy("doc", "line")
+      .agg(count(lit(1)).as("c"), length(col("line")).as("len"))
+      .groupBy("doc")
+      .agg(
+        (lit(1.0) - count(lit(1)).cast("double") / sum("c")).as("dup_line_frac"),
+        (coalesce(sum(when(col("c") > 1, col("c") * col("len"))), lit(0L))
+          .cast("double") / sum(col("c") * col("len"))).as("dup_line_char_frac"))
+
+  /** Top-bigram concentration, per document: the fraction of word bigrams
+    * taken by the single most frequent one (`top_bigram_frac`), plus the
+    * bigram count. Degenerate repetition ("buy now buy now buy now…")
+    * concentrates mass on one bigram; natural text stays low. Bigrams pair
+    * adjacent lowercased whitespace tokens via slice+zip (no self-join);
+    * same two-level aggregation shape as [[lineRepetition]]. Documents
+    * with fewer than two tokens have no bigrams and drop from the output.
+    */
+  def topBigramFrac(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = split(lower(col(textCol)), "\\s+")
+    df.select(col(idCol).as("doc"),
+        explode(arrays_zip(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1))).as("z"))
+      .select(col("doc"),
+        concat_ws(" ", col("z.0"), col("z.1")).as("bigram"))
+      .groupBy("doc", "bigram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc")
+      .agg(
+        (max("c").cast("double") / sum("c")).as("top_bigram_frac"),
+        sum("c").as("n_bigrams"))
+  }
+
   /** Per-word document frequency over a corpus: (word, df). */
   def documentFrequency(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol).as("doc"), explode(split(trim(col(textCol)), " ")).as("w"))
