@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Bucketing
 import graft.lake.{Database, LakeDataset}
-import graft.operators.{Dedup, MinhashIndex, Multimodal, Sampling, Similarity, StringCache, TextAnalysis}
+import graft.operators.{Dedup, ExactDedupIndex, MinhashIndex, Multimodal, Sampling, Similarity, StringCache, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), with a DuckDB-equivalent oracle where SQL-expressible.
@@ -957,6 +957,28 @@ object SparkEntry {
         .select("lang", "doc_id", "n_chars")
         .orderBy("lang", "doc_id")),
 
+    // Incremental exact dedup: batch 1 is the first 250 docs; batch 2 is
+    // the rest plus normalized-noisy copies of batch-1 docs — the copies
+    // must come back as already-seen, everything else as new. Unlike the
+    // MinHash index this one's output is doc ids, so the whole incremental
+    // path is oracle-checked.
+    "dedup_incr_exact" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val root = Files.createTempDirectory("graft_exact_idx").toString
+      val idx = ExactDedupIndex.open(s, root)
+      val b1 = d.filter(col("doc_id") < 250).select("doc_id", "text")
+      val noisy = d.filter(col("doc_id") < 250 && col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(upper(col("text")), lit("  !!")).as("text"))
+      val b2 = d.filter(col("doc_id") >= 250).select("doc_id", "text")
+        .unionByName(noisy)
+      val r1 = idx.addBatch(b1, "text", "doc_id")
+        .select(lit(0L).as("batch"), col("doc").as("doc_id"))
+      val r2 = idx.addBatch(b2, "text", "doc_id")
+        .select(lit(1L).as("batch"), col("doc").as("doc_id"))
+      r1.unionByName(r2).orderBy("batch", "doc_id")
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(Fixtures.dupDocuments(s, dir), "text", "doc_id")
         .select(col("canonical_id"), col("dup_count"))
@@ -1725,6 +1747,29 @@ object SparkEntry {
         |  (1.0 / count(*) OVER ())
         |    / (stratum_weight::DOUBLE / sum(stratum_weight) OVER ()) AS sample_weight
         |FROM a ORDER BY source""".stripMargin,
+
+    "dedup_incr_exact" ->
+      """WITH b1 AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |b2 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) || '  !!'
+        |  FROM documents WHERE doc_id < 250 AND doc_id % 9 = 0),
+        |n1 AS (
+        |  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |              ' +', ' ', 'g')) AS norm,
+        |         min(doc_id) AS doc_id
+        |  FROM b1 GROUP BY norm),
+        |n2 AS (
+        |  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |              ' +', ' ', 'g')) AS norm,
+        |         min(doc_id) AS doc_id
+        |  FROM b2 GROUP BY norm)
+        |SELECT CAST(0 AS BIGINT) AS batch, doc_id FROM n1
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), n2.doc_id FROM n2
+        |WHERE norm NOT IN (SELECT norm FROM n1)
+        |ORDER BY batch, doc_id""".stripMargin,
 
     "dedup_normalized" ->
       """WITH corpus AS (

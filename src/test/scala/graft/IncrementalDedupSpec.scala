@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, MinhashIndex}
+import graft.operators.{Dedup, ExactDedupIndex, MinhashIndex}
 
 /** Incremental MinHash index vs the full recompute: the union of per-batch
   * pair sets must EQUAL minhashDedup over the whole corpus (same hashes,
@@ -97,6 +97,39 @@ class IncrementalDedupSpec extends SparkSpec {
     MinhashIndex.open(spark, root)
     intercept[IllegalArgumentException] {
       MinhashIndex.open(spark, root, numHashes = 64, bands = 16)
+    }
+  }
+
+  test("exact index: batched new-unique sets equal the one-shot normalized dedup") {
+    val corpus = Fixtures.table(spark, sf(), "documents").select("doc_id", "text")
+    val root = Files.createTempDirectory("graft_ex_idx").toString
+    val idx = ExactDedupIndex.open(spark, root)
+    val b1 = corpus.filter(col("doc_id") < 200)
+    // Batch 2 re-ingests noisy copies of some batch-1 docs plus fresh docs.
+    val noisy = b1.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 50000).as("doc_id"),
+        concat(upper(col("text")), lit(" ??")).as("text"))
+    val b2 = corpus.filter(col("doc_id") >= 200).unionByName(noisy)
+    val r1 = idx.addBatch(b1, "text", "doc_id").select("doc").as[Long].collect().toSet
+    val r2 = idx.addBatch(b2, "text", "doc_id").select("doc").as[Long].collect().toSet
+    assert(idx.batches == 2)
+    assert(r2.forall(_ >= 200), "no batch-2 noisy copy may count as new")
+    assert((r1 & r2).isEmpty)
+    // Union of per-batch new-uniques == one-shot normalized canonicals over
+    // the full corpus (batch-1 ids win ties because they ingested first and
+    // are smaller).
+    val oneShot = Dedup.exactNormalized(b1.unionByName(b2), "text", "doc_id")
+      .select("canonical_id").as[Long].collect().toSet
+    assert((r1 ++ r2) == oneShot)
+    // Reopen: persisted state still refuses previously seen content, and
+    // mismatched key-space parameters are refused outright.
+    val reopened = ExactDedupIndex.open(spark, root)
+    assert(reopened.batches == 2)
+    val r3 = reopened.addBatch(
+      b1.limit(20).withColumn("doc_id", col("doc_id") + 90000), "text", "doc_id")
+    assert(r3.count() == 0, "re-ingest of seen content must return nothing")
+    intercept[IllegalArgumentException] {
+      ExactDedupIndex.open(spark, root, normalized = false)
     }
   }
 
