@@ -965,7 +965,9 @@ object SparkEntry {
     "dedup_incr_exact" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       val root = Files.createTempDirectory("graft_exact_idx").toString
-      val idx = ExactDedupIndex.open(s, root)
+      // 8 bucket cells is right-sized for this SF; a real corpus opens with
+      // a larger key space (the parameter persists with the index).
+      val idx = ExactDedupIndex.open(s, root, nBuckets = 8)
       val b1 = d.filter(col("doc_id") < 250).select("doc_id", "text")
       val noisy = d.filter(col("doc_id") < 250 && col("doc_id") % 9 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),

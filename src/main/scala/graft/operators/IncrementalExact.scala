@@ -66,11 +66,14 @@ final class ExactDedupIndex private (
   def addBatch(batch: DataFrame, textCol: String, idCol: String): DataFrame =
     this.synchronized {
       val b = nextBatch
-      val keyed = batch
+      val keyedPlan = batch
         .select(keyOf(col(textCol)).as("t"), col(idCol).cast("long").as("doc"))
         .groupBy("t").agg(min("doc").as("doc"))
         .select(xxhash64(col("t")).as("h"), col("t"), col("doc"))
-        .cache()
+      // The first batch consumes the plan exactly once (the write job);
+      // later batches read it three times (probe collect, anti-join build,
+      // write), so only those pay for a cache.
+      val keyed = if (docsDs.isEmpty) keyedPlan else keyedPlan.cache()
       val fresh = docsDs match {
         case None => keyed
         case Some(ds) =>
