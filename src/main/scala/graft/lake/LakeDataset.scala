@@ -1127,6 +1127,10 @@ final class LakeDataset private (
         s"insertWritten cell $key already exists — append cannot merge it")
       key -> row
     }
+    // An all-empty batch routes to zero cells: nothing to write, register,
+    // or republish — skip the write job entirely (an incremental index
+    // ingesting an all-duplicates batch hits this on every probe).
+    if (keyed.isEmpty) return
     // Sorted to match PartKey.relPath (which sorts partValues by column
     // name): the dynamic writer nests directories in partitionBy ORDER, so
     // an unsorted multi-column spec would write a=.../b=... while relPath

@@ -43,7 +43,8 @@ final class ExactDedupIndex private (
     spark: SparkSession, root: String,
     val normalized: Boolean, val nBuckets: Int,
     private var docsDs: Option[LakeDataset],
-    private var nextBatch: Long) {
+    private var nextBatch: Long,
+    private var compactedBelow: Long) {
 
   /** Number of batches ingested so far. */
   def batches: Long = nextBatch
@@ -102,7 +103,7 @@ final class ExactDedupIndex private (
       }
       try {
         ds.insertWritten(fresh.withColumn("batch", lit(b)))
-        ExactDedupIndex.writeParams(root, normalized, nBuckets, b + 1)
+        ExactDedupIndex.writeParams(root, normalized, nBuckets, b + 1, compactedBelow)
         nextBatch = b + 1
       } catch {
         case e: Throwable =>
@@ -115,12 +116,50 @@ final class ExactDedupIndex private (
           }
           throw e
       } finally keyed.unpersist()
-      // Disk-backed result: partition-pruned read of exactly this batch's
-      // cells. An all-duplicates batch registered no cells — return the
-      // empty frame with the right schema.
-      if (ds.partKeys.isEmpty) keyed.select("doc", "h").limit(0)
-      else ds.toDF.filter(col("batch") === b).select("doc", "h")
+      // Disk-backed result: a scan planned over exactly this batch's cells
+      // (driver-side partition prune — not a full-catalog scan filtered
+      // after the fact). An all-duplicates batch registered no cells —
+      // return the empty frame with the right schema without any job.
+      val mine = ds.partKeys.filter(_.partValues.contains("batch" -> b.toString))
+      if (mine.isEmpty) keyed.select("doc", "h").limit(0)
+      else ds.prunedByConstraints(Map("batch" -> b), Map.empty)
+        .filter(col("batch") === b).select("doc", "h")
     }
+
+  /** Fold every committed batch into ONE fresh batch partition. A
+    * long-lived index accumulates one directory set per ingest, and the
+    * per-probe driver prune walks every cell's Bloom — folding restores
+    * O(nBuckets) cells without changing any answer. Crash-safe in the same
+    * currency as [[addBatch]]: the folded copy lands as a NEW batch (a
+    * crash before the params commit replays as an uncommitted batch and the
+    * originals are untouched); `compactedBelow` persists strictly AFTER the
+    * copy, so a crash mid-deletion finishes on the next [[open]]. Batch
+    * numbering continues past the fold; result frames returned by earlier
+    * addBatch calls reference the dropped cells and must not be re-read
+    * after compaction (collect them first — same contract as any
+    * materialize/compact in this engine).
+    */
+  def compact(): Unit = this.synchronized {
+    docsDs.foreach { ds =>
+      val old = ds.partKeys
+      val k = nextBatch
+      if (old.nonEmpty && k > 1) {
+        try {
+          ds.insertWritten(
+            ds.toDF.select("h", "t", "doc").withColumn("batch", lit(k)))
+          ExactDedupIndex.writeParams(root, normalized, nBuckets, k + 1, k)
+        } catch {
+          case e: Throwable =>
+            val ks = ds.partKeys.filter(_.partValues.contains("batch" -> k.toString))
+            if (ks.nonEmpty) ds.dropParts(ks)
+            throw e
+        }
+        nextBatch = k + 1
+        compactedBelow = k
+        ds.dropParts(old)
+      }
+    }
+  }
 }
 
 object ExactDedupIndex {
@@ -139,10 +178,11 @@ object ExactDedupIndex {
     val hasState = Files.exists(Paths.get(s"$root/docs/_manifest.json"))
     if (!hasState) {
       Files.createDirectories(Paths.get(root))
-      writeParams(root, normalized, nBuckets, 0L)
-      new ExactDedupIndex(spark, root, normalized, nBuckets, None, 0L)
+      writeParams(root, normalized, nBuckets, 0L, 0L)
+      new ExactDedupIndex(spark, root, normalized, nBuckets, None, 0L, 0L)
     } else {
       var committed = 0L
+      var compactedBelow = 0L
       if (Files.exists(paramsPath)) {
         val saved = Files.readString(paramsPath)
         def field(k: String): Option[Long] =
@@ -154,23 +194,33 @@ object ExactDedupIndex {
           s"ExactDedupIndex at $root was built with $saved — reopening with " +
             s"(normalized=$normalized, nBuckets=$nBuckets) mixes key spaces")
         committed = field("batches").getOrElse(0L)
+        compactedBelow = field("compactedBelow").getOrElse(0L)
       }
-      dropUncommitted(root, committed)
+      dropStale(root, committed, compactedBelow)
       val ds = LakeDataset.fromStorage(spark, s"$root/docs")
-      new ExactDedupIndex(spark, root, normalized, nBuckets, Some(ds), committed)
+      new ExactDedupIndex(
+        spark, root, normalized, nBuckets, Some(ds), committed, compactedBelow)
     }
   }
 
   private[operators] def writeParams(
-      root: String, normalized: Boolean, nBuckets: Int, batches: Long): Unit = {
+      root: String, normalized: Boolean, nBuckets: Int,
+      batches: Long, compactedBelow: Long): Unit = {
     val tmp = Paths.get(s"$root/params.json.tmp")
     Files.writeString(tmp,
-      s"""{"normalized":$normalized,"nBuckets":$nBuckets,"batches":$batches}""")
+      s"""{"normalized":$normalized,"nBuckets":$nBuckets,""" +
+        s""""batches":$batches,"compactedBelow":$compactedBelow}""")
     Files.move(tmp, Paths.get(s"$root/params.json"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def dropUncommitted(root: String, committed: Long): Unit = {
+  /** Delete batch directories the params commit does not cover: at-or-past
+    * the committed count (a half-saved crash leftover — replayed by the
+    * caller re-ingesting the batch) and below `compactedBelow` (originals
+    * a crash interrupted [[ExactDedupIndex.compact]] while deleting — their
+    * folded copy IS committed, so deletion just finishes the fold).
+    */
+  private def dropStale(root: String, committed: Long, compactedBelow: Long): Unit = {
     val dir = Paths.get(s"$root/docs")
     if (!Files.isDirectory(dir)) return
     val stream = Files.list(dir)
@@ -180,7 +230,8 @@ object ExactDedupIndex {
         .filter { p =>
           p.getFileName.toString match {
             case s if s.startsWith("batch=") =>
-              s.stripPrefix("batch=").toLongOption.exists(_ >= committed)
+              s.stripPrefix("batch=").toLongOption
+                .exists(n => n >= committed || n < compactedBelow)
             case _ => false
           }
         }.toList

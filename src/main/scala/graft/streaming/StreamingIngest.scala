@@ -59,6 +59,31 @@ object StreamingIngest {
         onPairs(index.addBatch(batch, textCol, idCol, threshold))
     }
 
+  /** foreachBatch sink maintaining an incremental EXACT dedup index
+    * ([[graft.operators.ExactDedupIndex]]): each micro-batch anti-joins its
+    * fingerprints against the whole persisted corpus and hands the batch's
+    * NEW-unique documents to `onFresh` (write a training shard, feed a
+    * downstream queue) — continuous "has the corpus ever seen this
+    * content?" filtering at per-batch cost. `onFresh` must CONSUME its
+    * frame inside the call (collect or write): with `compactEvery` > 0 the
+    * sink folds the accumulated batch partitions every that-many ingests
+    * (see [[graft.operators.ExactDedupIndex.compact]]), which invalidates
+    * earlier batches' result frames while keeping the cell count the
+    * per-probe driver prune walks O(nBuckets) on an unbounded stream.
+    */
+  def exactDedupBatches(
+      index: graft.operators.ExactDedupIndex,
+      textCol: String, idCol: String,
+      compactEvery: Int = 0,
+      onFresh: DataFrame => Unit = _ => ()): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      if (!batch.isEmpty) {
+        onFresh(index.addBatch(batch, textCol, idCol))
+        if (compactEvery > 0 && index.batches % compactEvery == 0)
+          index.compact()
+      }
+    }
+
   /** foreachBatch sink maintaining a persisted IVF ANN index
     * ([[graft.operators.Similarity.IvfLake]]): each micro-batch routes to
     * its nearest centroids and appends to the matching inverted lists (cost

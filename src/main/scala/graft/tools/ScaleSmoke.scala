@@ -34,9 +34,11 @@ object ScaleSmoke {
     }
 
     // SPARK_GRAFT_ONLY_MH=1 skips straight to the MinHash-index curve;
-    // SPARK_GRAFT_ONLY_IVF=1 runs just the ANN section.
+    // SPARK_GRAFT_ONLY_IVF=1 runs just the ANN section;
+    // SPARK_GRAFT_ONLY_EX=1 runs just the exact-index curve.
+    val onlyEx = sys.env.contains("SPARK_GRAFT_ONLY_EX")
     val runAll = !sys.env.contains("SPARK_GRAFT_ONLY_MH") &&
-      !sys.env.contains("SPARK_GRAFT_ONLY_IVF")
+      !sys.env.contains("SPARK_GRAFT_ONLY_IVF") && !onlyEx
     if (runAll) {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val big = (0 until copies).map { i =>
@@ -171,6 +173,43 @@ object ScaleSmoke {
         .withColumn("text", regexp_replace(col("text"), "\\w+", s"$$0c$i"))
     }.reduce(_ unionByName _).localCheckpoint(true)
     println(s"[scale] documents: ${bigDocs.count()} rows")
+
+    // ---- incremental EXACT index: per-batch cost vs a GROWING corpus ------
+    // Same contract as the MinHash curve below, but for the fingerprint
+    // anti-join: each batch's probe prunes the corpus read to the bucket
+    // cells whose Blooms admit one of the batch's hashes, so per-batch time
+    // stays ~flat while the index grows `copies`×. The money probe is a
+    // tiny batch of NOISY re-ingests of copy-0 docs — normalization folds
+    // the noise away, so every key is already present and the batch must
+    // come back empty at ∝ batch cost.
+    if (runAll || onlyEx) {
+      val exRoot = java.nio.file.Files.createTempDirectory("graft_scale_ex").toString
+      val exIdx = graft.operators.ExactDedupIndex.open(spark, exRoot, nBuckets = 64)
+      (0 until copies).foreach { i =>
+        time(f"exact addBatch ${i + 1}%2d/$copies (index holds $i)") {
+          exIdx.addBatch(
+            bigDocs.filter(col("doc_id") >= i.toLong * 1000000L &&
+              col("doc_id") < (i + 1).toLong * 1000000L),
+            "text", "doc_id").count()
+        }
+      }
+      if (sys.env.contains("SPARK_GRAFT_MH_PROFILE"))
+        spark.conf.set("spark.graft.lake.profile", "true")
+      val plantedEx = bigDocs
+        .filter(col("doc_id") < 1000000L && col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          concat(upper(col("text")), lit("  !!")).as("text"))
+      val newDocs = time(s"exact addBatch tiny noisy batch vs ${copies}x index") {
+        exIdx.addBatch(plantedEx, "text", "doc_id").count()
+      }
+      println(s"[scale] tiny-batch new uniques: $newDocs (expect 0)")
+      time("exact full recompute (whole corpus)") {
+        graft.operators.Dedup.exactNormalized(bigDocs, "text", "doc_id").count()
+      }
+      LakeDataset.deleteRecursively(java.nio.file.Paths.get(exRoot))
+    }
+    if (onlyEx) { spark.stop(); return }
+
     val mhRoot = java.nio.file.Files.createTempDirectory("graft_scale_mh").toString
     val idx = graft.operators.MinhashIndex.open(spark, mhRoot)
     (0 until copies).foreach { i =>

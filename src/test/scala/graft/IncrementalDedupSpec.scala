@@ -133,6 +133,76 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("streaming exact-dedup maintenance: cross-batch repeats filtered, index self-compacts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Fixtures.table(spark, sf(), "documents").select("doc_id", "text")
+    val root = Files.createTempDirectory("graft_ex_stream").toString
+    val idx = ExactDedupIndex.open(spark, root, nBuckets = 8)
+    val fresh = scala.collection.mutable.Set[Long]()
+
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch(graft.streaming.StreamingIngest.exactDedupBatches(
+        idx, "text", "doc_id", compactEvery = 1,
+        onFresh = f => fresh ++= f.select("doc").as[Long].collect()))
+      .start()
+    try {
+      val docs = corpus.as[(Long, String)].collect()
+      mem.addData(docs.filter(_._1 < 250).toSeq: _*)
+      q.processAllAvailable()
+      // Second micro-batch re-sends noisy copies of first-batch docs plus
+      // genuinely new ones — only the new ones may come through.
+      val noisy = docs.filter(t => t._1 < 250 && t._1 % 5 == 0)
+        .map { case (id, t) => (id + 80000L, t.toUpperCase + "  !") }
+      mem.addData((docs.filter(_._1 >= 250) ++ noisy).toSeq: _*)
+      q.processAllAvailable()
+      assert(fresh.forall(_ < 80000L), "no noisy cross-batch repeat may pass")
+      val oneShot = Dedup.exactNormalized(corpus, "text", "doc_id")
+        .select("canonical_id").as[Long].collect().toSet
+      assert(fresh.toSet == oneShot)
+      // compactEvery=1 folded after each micro-batch: cells stay O(nBuckets)
+      assert(idx.docRows.get.inputFiles.length <= 8,
+        "self-compaction must keep the folded cell count bounded")
+    } finally q.stop()
+  }
+
+  test("exact index compaction folds batches without changing any answer") {
+    val corpus = Fixtures.table(spark, sf(), "documents").select("doc_id", "text")
+    val root = Files.createTempDirectory("graft_ex_cp").toString
+    val idx = ExactDedupIndex.open(spark, root, nBuckets = 8)
+    val b1 = corpus.filter(col("doc_id") < 150)
+    val b2 = corpus.filter(col("doc_id") >= 150 && col("doc_id") < 300)
+    val b3 = corpus.filter(col("doc_id") >= 300)
+    val r1 = idx.addBatch(b1, "text", "doc_id").select("doc").as[Long].collect().toSet
+    val r2 = idx.addBatch(b2, "text", "doc_id").select("doc").as[Long].collect().toSet
+    val rowsBefore = idx.docRows.get.count()
+    idx.compact()
+    assert(idx.batches == 3, "the fold consumes one batch number")
+    assert(idx.docRows.get.count() == rowsBefore, "folding must not add or drop rows")
+    // Seen content (noisy, folded away by normalization) is still refused.
+    val noisy = b1.limit(30)
+      .select((col("doc_id") + 70000).as("doc_id"),
+        concat(upper(col("text")), lit("  .")).as("text"))
+    assert(idx.addBatch(noisy, "text", "doc_id").count() == 0)
+    // Numbering continues past the fold and later batches dedup against
+    // the folded corpus — union of new-uniques still equals the one-shot.
+    val r3 = idx.addBatch(b3, "text", "doc_id").select("doc").as[Long].collect().toSet
+    val oneShot = Dedup.exactNormalized(corpus, "text", "doc_id")
+      .select("canonical_id").as[Long].collect().toSet
+    assert((r1 ++ r2 ++ r3) == oneShot)
+    // Crash window: an original batch dir the interrupted deletion left
+    // behind is finished off on open (its folded copy IS committed).
+    val reopened0 = ExactDedupIndex.open(spark, root, nBuckets = 8)
+    val total = reopened0.docRows.get.count()
+    val foldDir = java.nio.file.Paths.get(s"$root/docs/batch=2")
+    Fixtures.copyDir(foldDir.toString, s"$root/docs/batch=0")
+    val reopened = ExactDedupIndex.open(spark, root, nBuckets = 8)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/docs/batch=0")))
+    assert(reopened.docRows.get.count() == total)
+  }
+
   test("a failed sibling write rolls the batch back; the same batch retries cleanly") {
     val corpus = Fixtures.nearDupDocuments(spark, sf()).filter(col("doc_id") < 300)
     val root = Files.createTempDirectory("graft_mh_rb").toString
