@@ -71,15 +71,24 @@ object Fixtures {
     if (name == "events") events(s, dir)
     else s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries a TIMESTAMP(NANOS) parquet column, which Spark
-    * refuses by default (PARQUET_TYPE_ILLEGAL). Read it as a long of nanos
-    * (legacy conf) and convert to a microsecond timestamp with integer
-    * division — a double division would lose precision above 2^53 ns.
+  /** The events table's `ts` column has shipped in two generations: a
+    * TIMESTAMP(NANOS) parquet type, which Spark only reads as a long of
+    * nanos (legacy conf), and a plain timestamp[us], which Spark reads as
+    * TIMESTAMP_NTZ. Normalize both to a session-zone TimestampType of
+    * microseconds so every downstream operator sees one schema. The nanos
+    * branch uses integer division — a double division would lose precision
+    * above 2^53 ns.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
-    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** lineitem partitioned by l_returnflag, hash-bucketed by l_partkey into 5

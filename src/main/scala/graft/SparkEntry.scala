@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Bucketing
 import graft.lake.{Database, LakeDataset}
-import graft.operators.{Dedup, ExactDedupIndex, MinhashIndex, Multimodal, Sampling, Similarity, StringCache, TextAnalysis}
+import graft.operators.{Clustering, Dedup, ExactDedupIndex, MaterializedAgg, MinhashIndex, Multimodal, Sampling, Similarity, StringCache, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), with a DuckDB-equivalent oracle where SQL-expressible.
@@ -792,6 +792,68 @@ object SparkEntry {
           |FROM orders_zoned_or WHERE o_batch = 0 OR o_batch = 3""".stripMargin)
     }),
 
+    // Same lifecycle through Spark's built-in ORC writer/reader — the
+    // format axis of StorageSpec is generic (parquet / csv / arrowipc /
+    // orc), so a lake can live in whichever columnar format the estate
+    // standardizes on; the oracle checks content fidelity against the
+    // parquet original.
+    "lake_orc_roundtrip" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val root = Files.createTempDirectory("graft_rt_orc").toString
+      val ds = LakeDataset.fromDataFrame(s, li,
+        partitionCols = Seq("l_returnflag"), bucketCols = Seq("l_partkey"),
+        nBuckets = 5,
+        storage = Some(graft.model.StorageSpec(root, format = "orc",
+          compression = "zstd")))
+      ds.toStorage()
+      val back = LakeDataset.fromStorage(s, root)
+      back.toDF.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Z-order clustering: orders binned by the interleaved quantile-rank
+    // bits of (o_custkey, o_totalprice) — the catalog's per-bin zone
+    // intervals are then tight on BOTH columns, so this 2-D range query
+    // plans only the Z-curve regions the rectangle intersects (a layout
+    // sorted by either column alone prunes only that column's dimension).
+    // ClusteringSpec asserts the planned-cell counts per dimension.
+    "lake_zorder_pruning" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val ds = Clustering.zorderLake(s, o,
+        Seq("o_custkey", "o_totalprice"), bits = 6, nBins = 16)
+      ds.prunedByConstraints(Map.empty, Map(
+          "o_custkey" -> (Some(100L), Some(500L)),
+          "o_totalprice" -> (Some(50000.0), Some(150000.0))))
+        .filter(col("o_custkey").between(100L, 500L) &&
+          col("o_totalprice").between(50000.0, 150000.0))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    }),
+
+    // Incrementally-maintained aggregate view: after the initial build the
+    // base table is never rescanned — each insert folds a group-keyed
+    // partial into the |groups|-sized state (decimal sums, so the merged
+    // totals are bit-equal to the oracle's one-shot aggregate over the same
+    // final contents regardless of batching).
+    "lake_mat_view" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val base = o.filter(col("o_orderkey") % 3 === 0)
+      val ds = LakeDataset.fromDataFrame(s, base, partitionCols = Seq("o_orderstatus"))
+      val mv = MaterializedAgg.build(base, Seq("o_orderstatus"), Seq(
+        MaterializedAgg.count("n"),
+        MaterializedAgg.sumDecimal("o_totalprice", "total"),
+        MaterializedAgg.min("o_totalprice", "mn"),
+        MaterializedAgg.max("o_totalprice", "mx")))
+      val d1 = o.filter(col("o_orderkey") % 3 === 1)
+      ds.insert(d1); mv.applyInsert(d1)
+      val d2 = o.filter(col("o_orderkey") % 3 === 2 && col("o_custkey") % 2 === 0)
+      ds.insert(d2); mv.applyInsert(d2)
+      mv.state
+        .select(col("o_orderstatus"), col("n"),
+          col("total").cast(DoubleType).as("total"), col("mn"), col("mx"))
+        .orderBy("o_orderstatus")
+    }),
+
     "bucket_numeric" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
       li.groupBy(Bucketing.bucketExprFor(li, "l_partkey", 5).as("bucket"))
@@ -1416,6 +1478,25 @@ object SparkEntry {
          |FROM orders
          |WHERE CAST(FLOOR(o_orderkey / 4000.0) AS INT) = 0
          |   OR CAST(FLOOR(o_orderkey / 4000.0) AS INT) = 3""".stripMargin,
+
+    "lake_orc_roundtrip" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n, ${osum("l_extendedprice")} AS total
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "lake_zorder_pruning" ->
+      s"""SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM orders
+         |WHERE o_custkey BETWEEN 100 AND 500
+         |  AND o_totalprice BETWEEN 50000 AND 150000""".stripMargin,
+
+    // Final view contents = base (%3=0) plus the two inserted deltas.
+    "lake_mat_view" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total,
+         |       MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+         |FROM orders
+         |WHERE o_orderkey % 3 = 0 OR o_orderkey % 3 = 1
+         |   OR (o_orderkey % 3 = 2 AND o_custkey % 2 = 0)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "lake_colocated_join" ->
       s"""SELECT p_brand, COUNT(*) AS n, ${osum("l_extendedprice")} AS revenue

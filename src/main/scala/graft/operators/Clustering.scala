@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.functions.ZOrderKey
+import graft.lake.LakeDataset
+import graft.model.StorageSpec
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional clustering layouts (Z-order), the write-side half of
+  * zone-map data skipping.
+  *
+  * A table partitioned (or sorted) by ONE column gives tight per-part
+  * [min,max] intervals on that column only — range queries on any other
+  * column scan everything. Z-ordering interleaves the quantile-rank bits of
+  * N columns into one layout key ([[graft.functions.ZOrderKey]]) and bins
+  * rows by its top bits: each bin is a contiguous region of the Z-curve, so
+  * every clustered column's values inside one bin span only ~1/2^(bits used
+  * for that column) of its range — the per-cell zone maps
+  * ([[graft.lake.ZoneMap]]) become selective on ALL clustered columns at
+  * once, and the existing engine pruning (Scala and SQL paths alike) skips
+  * bins with no further machinery.
+  *
+  * Scale shape: one `approxQuantile` pass for the boundaries (driver holds
+  * 2^bits doubles per column), then the layout key is a codegen'd per-row
+  * expression and the binning rides the dataset's normal cell routing — one
+  * shuffle by bin, no global sort (a total `orderBy` would range-partition
+  * and sort 100 TB; Z-binning only exchanges by the computed bin id).
+  */
+object Clustering {
+
+  /** Quantile cut points for each clustered column — ONE statistics pass over
+    * all columns. `relativeError` trades pass cost for boundary precision;
+    * boundaries only steer layout, never query answers.
+    */
+  def zorderBounds(df: DataFrame, cols: Seq[String], bits: Int,
+      relativeError: Double = 0.001): Array[Array[Double]] = {
+    require(cols.nonEmpty, "need at least one clustering column")
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    val casted = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val raw = casted.stat.approxQuantile(cols.toArray, probs, relativeError)
+    // A column with no non-null values yields an empty array — substitute
+    // all-zero cut points (every value ranks 0; the column contributes no
+    // layout bits, which is exactly right for an empty column).
+    raw.map(b => if (b.length == probs.length) b else Array.fill(probs.length)(0.0))
+  }
+
+  /** The Z-order layout key for `cols` with precomputed boundaries. */
+  def zorderKey(cols: Seq[String], bounds: Array[Array[Double]], bits: Int): Column =
+    ZOrderKey(cols.map(col), bounds, bits)
+
+  /** Build a Z-order-clustered [[LakeDataset]]: rows are binned by the top
+    * `log2(nBins)` bits of their Z-key into a `binCol` partition column, so
+    * each bin is one partition directory with tight zone intervals on every
+    * clustered column. `nBins` must be a power of two and is the layout's
+    * file-count knob — at cluster scale pick `nBins` so a bin is a few GB.
+    */
+  def zorderLake(
+      spark: SparkSession,
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int = 8,
+      nBins: Int = 64,
+      binCol: String = "zbin",
+      storage: Option[StorageSpec] = None,
+      relativeError: Double = 0.001): LakeDataset = {
+    require(nBins >= 2 && (nBins & (nBins - 1)) == 0, s"nBins must be a power of two, got $nBins")
+    val binBits = java.lang.Integer.numberOfTrailingZeros(nBins)
+    val totalBits = bits * cols.length
+    require(binBits <= totalBits,
+      s"log2(nBins)=$binBits exceeds the $totalBits z-key bits")
+    require(!df.columns.contains(binCol),
+      s"clustered input already has a '$binCol' column")
+    val bounds = zorderBounds(df, cols, bits, relativeError)
+    val zk = zorderKey(cols, bounds, bits)
+    val binned = df.withColumn(binCol,
+      shiftright(zk, totalBits - binBits).cast("int"))
+    LakeDataset.fromDataFrame(spark, binned,
+      partitionCols = Seq(binCol), storage = storage)
+  }
+}
