@@ -40,6 +40,27 @@ object Fixtures {
       graft.operators.Similarity.loadIvf(s, root)
     }).asInstanceOf[graft.operators.Similarity.IvfLake]
 
+  /** PQ codebooks over the embeddings table (dim 64, 16 subspaces of 4
+    * elements, 256 sub-centroids) — trained once per scale factor from the
+    * deterministic bounded sample; a PQ model amortizes over every encode
+    * and query like any ANN index.
+    */
+  def pqModel(s: SparkSession, dir: String): graft.operators.Pq.PqModel =
+    memo.getOrElseUpdate(s"$dir#pq", {
+      graft.operators.Pq.train(table(s, dir, "embeddings"),
+        "embedding", "vec_id", dim = 64, m = 16, ksub = 256)
+    }).asInstanceOf[graft.operators.Pq.PqModel]
+
+  /** The persisted IVF index's inverted lists re-materialized WITH PQ codes
+    * (full IVF-PQ layout) — encoded once per scale factor.
+    */
+  def ivfPqLists(s: SparkSession, dir: String): LakeDataset =
+    memo.getOrElseUpdate(s"$dir#ivfpq", {
+      val root = java.nio.file.Files.createTempDirectory("graft_ivfpq_fix").toString
+      graft.operators.Pq.encodeIvfLists(s, root, ivfLake(s, dir),
+        pqModel(s, dir), "embedding")
+    }).asInstanceOf[LakeDataset]
+
   /** A bootstrapped MinHash index root holding the ORIGINAL documents —
     * built once per scale factor. Queries copy the root and add their delta
     * batch, so each run measures the MARGINAL per-batch cost against an

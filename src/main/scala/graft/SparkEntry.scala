@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Bucketing
 import graft.lake.{Database, LakeDataset}
-import graft.operators.{Clustering, Dedup, ExactDedupIndex, MaterializedAgg, MinhashIndex, Multimodal, Sampling, Similarity, StringCache, TextAnalysis}
+import graft.operators.{Clustering, Dedup, ExactDedupIndex, MaterializedAgg, MinhashIndex, Multimodal, Pq, Sampling, Similarity, StringCache, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), with a DuckDB-equivalent oracle where SQL-expressible.
@@ -50,7 +50,10 @@ object SparkEntry {
     "dedup_minhash_incr" -> ((s, dir) => { Fixtures.minhashIndexRoot(s, dir); () }),
     "ann_ivf_persisted" -> ((s, dir) => { Fixtures.ivfLake(s, dir); () }),
     "ann_ivf_topk" -> ((s, dir) => { Fixtures.ivfIndex(s, dir); () }),
-    "ann_batch_ivf" -> ((s, dir) => { Fixtures.ivfIndex(s, dir); () })
+    "ann_batch_ivf" -> ((s, dir) => { Fixtures.ivfIndex(s, dir); () }),
+    "ann_pq_topk" -> ((s, dir) => { Fixtures.pqModel(s, dir); () }),
+    "ann_pq_rerank" -> ((s, dir) => { Fixtures.pqModel(s, dir); () }),
+    "ann_ivfpq_topk" -> ((s, dir) => { Fixtures.ivfPqLists(s, dir); () })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1172,6 +1175,44 @@ object SparkEntry {
         nprobe = index.centroids.size, quantize = true)
     }),
 
+    // Product quantization, ADC-only: 16-byte codes stand in for 256-byte
+    // vectors; the scan reads codes alone. Approximate by construction →
+    // rows-only; PqSpec pins recall and ann_pq_rerank below is the
+    // oracle-checked exact twin.
+    "ann_pq_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .head().getSeq[Float](1).toSeq
+      val model = Fixtures.pqModel(s, dir)
+      Pq.adcTopK(Pq.encode(e, "embedding", model), "vec_id", model, q, 10)
+    }),
+
+    // Two-stage PQ search: ADC narrows to k*refine candidates, exact
+    // quantized cosine ranks the winners — recovers the exact top-k, so the
+    // whole train -> encode -> ADC -> rerank path shares ann_exact_topk's
+    // oracle.
+    "ann_pq_rerank" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .head().getSeq[Float](1).toSeq
+      val model = Fixtures.pqModel(s, dir)
+      Pq.rerankTopK(Pq.encode(e, "embedding", model), "embedding", "vec_id",
+        model, q, k = 10, refine = 10)
+    }),
+
+    // Full IVF-PQ: probes prune to nprobe list DIRECTORIES (engine part
+    // pruning), ADC-scan 16-byte codes inside them, exact-rerank the
+    // survivors. Probe-subset approximate → rows-only; PqSpec pins the
+    // all-lists probe == exact top-k.
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .head().getSeq[Float](1).toSeq
+      val index = Fixtures.ivfLake(s, dir)
+      Pq.ivfPqTopK(Fixtures.ivfPqLists(s, dir), index.centroids,
+        Fixtures.pqModel(s, dir), "embedding", "vec_id", q, 10, nprobe = 4)
+    }),
+
     // Batch ANN, exact: top-k for a whole query TABLE on the quantized
     // grid — oracle-checked ground truth for the IVF similarity join below.
     "ann_batch_exact" -> ((s, dir) => {
@@ -1964,6 +2005,16 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, vec_id, cos_q, rk FROM ranked WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+
+    // PQ rerank recovers the exact top-k — same oracle as ann_exact_topk.
+    "ann_pq_rerank" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) * 1000000)
+        |       AS BIGINT) AS cos_q
+        |FROM embeddings, q
+        |ORDER BY cos_q DESC, vec_id LIMIT 10""".stripMargin,
 
     // Probing ALL inverted lists of the persisted index on the quantized
     // grid IS the exact top-k — same oracle as ann_exact_topk.

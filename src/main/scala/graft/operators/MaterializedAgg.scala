@@ -58,7 +58,41 @@ final class MaterializedAgg private (
       else merged
   }
 
-  /** Recompute from the full base — the escape hatch after upsert/delete. */
+  /** Targeted refresh after a DELETE (or update): recompute ONLY the groups
+    * the mutation touched, from the post-mutation base pruned to those
+    * groups; every other group's state is untouched. MIN/MAX are not
+    * invertible and a SUM's null-ness depends on whether any non-null value
+    * remains — so subtraction alone cannot maintain them, but a per-touched-
+    * group recompute is exact for every aggregate, and costs base rows of
+    * the touched groups, not the table. (The standard partial-refresh
+    * design for non-invertible aggregates.)
+    *
+    * `touchedRows` needs only the group columns of the mutated rows;
+    * `postMutationBase` is the base AFTER the mutation. Groups that lost
+    * their last row disappear from the view.
+    */
+  def refreshGroups(postMutationBase: DataFrame, touchedRows: DataFrame): Unit =
+    this.synchronized {
+      val touched = touchedRows.select(groupCols.map(col): _*).distinct()
+        .localCheckpoint(true) // small; read twice below
+      def keyCond(l: DataFrame, r: DataFrame) =
+        groupCols.map(c => l(c) <=> r(c)).reduce(_ && _)
+      // null-safe joins: a NULL group key is a group like any other
+      val kept = state0.join(touched, keyCond(state0, touched), "left_anti")
+      val refreshed = MaterializedAgg.aggregate(
+        postMutationBase.join(broadcast(touched),
+          keyCond(postMutationBase, touched), "left_semi"),
+        groupCols, aggs)
+      merges += 1
+      val merged = kept.unionByName(refreshed)
+      state0 =
+        if (merges % MaterializedAgg.CheckpointEvery == 0) merged.localCheckpoint(true)
+        else merged
+    }
+
+  /** Recompute from the full base — the escape hatch when the touched-group
+    * set is unknown.
+    */
   def rebuild(base: DataFrame): Unit = this.synchronized {
     state0 = MaterializedAgg.aggregate(base, groupCols, aggs).localCheckpoint(true)
     merges = 0

@@ -42,6 +42,21 @@ object StreamingIngest {
       refresh.foreach { case (db, name) => db.refresh(name) }
     }
 
+  /** foreachBatch sink maintaining the base lake AND an incremental
+    * aggregate view ([[graft.operators.MaterializedAgg]]) in the same
+    * micro-batch: the view folds the batch's group partials into its
+    * |groups|-sized state, so a streaming dashboard aggregate stays current
+    * at per-batch cost — the base table is never rescanned.
+    */
+  def insertWithView(
+      ds: LakeDataset, view: graft.operators.MaterializedAgg,
+      refresh: Option[(Database, String)] = None): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      ds.insert(batch)
+      view.applyInsert(batch)
+      refresh.foreach { case (db, name) => db.refresh(name) }
+    }
+
   /** foreachBatch sink maintaining an incremental MinHash near-dup index
     * ([[graft.operators.MinhashIndex]]): each micro-batch of documents signs
     * only its own rows, band-joins against the whole persisted corpus, and

@@ -82,6 +82,22 @@ class ClusteringSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("zorder pruning reaches the SQL surface through LakePruneRule") {
+    val o = Fixtures.table(spark, sf(), "orders")
+    val ds = Clustering.zorderLake(spark, o,
+      Seq("o_custkey", "o_totalprice"), bits = 6, nBins = 16)
+    val db = new graft.lake.Database(spark)
+    db.register("orders_zorder", ds)
+    val q = spark.sql(
+      """SELECT COUNT(*) AS n FROM orders_zorder
+        |WHERE o_totalprice BETWEEN 100000 AND 120000""".stripMargin)
+    // the rule must plan fewer bins than the table holds — from a range on a
+    // column that is NOT the partition axis (that's what z-order bought)
+    assert(leafCount(q) < ds.numParts, q.queryExecution.optimizedPlan.treeString)
+    assert(q.head().getLong(0) ==
+      o.filter(col("o_totalprice").between(100000.0, 120000.0)).count())
+  }
+
   test("zorder lake survives a storage round trip with pruning intact") {
     val o = Fixtures.table(spark, sf(), "orders")
     val root = java.nio.file.Files.createTempDirectory("graft_zorder").toString

@@ -94,6 +94,29 @@ class MatViewSpec extends SparkSpec {
       s"state plan holds $depth leaves after 21 merges")
   }
 
+  test("streaming foreachBatch maintains base lake and view together") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Seq(("a", 1.0), ("b", 2.0)).toDF("g", "v")
+    val ds = graft.lake.LakeDataset.fromDataFrame(spark, base)
+    val mv = MaterializedAgg.build(base, Seq("g"), specs)
+    val mem = MemoryStream[(String, Double)]
+    val q = mem.toDF().toDF("g", "v").writeStream
+      .foreachBatch(graft.streaming.StreamingIngest.insertWithView(ds, mv))
+      .start()
+    try {
+      mem.addData(("a", 5.0), ("c", 3.0))
+      q.processAllAvailable()
+      mem.addData(("c", -1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = oneShot(base.union(
+      Seq(("a", 5.0), ("c", 3.0), ("c", -1.0)).toDF("g", "v")))
+    assert(mv.state.orderBy("g").collect().toSeq == want)
+    // the base lake saw the same rows the view folded
+    assert(ds.toDF.count() == 5)
+  }
+
   test("rebuild resets after non-insert mutations") {
     val base = Seq(("a", 1.0), ("b", 2.0)).toDF("g", "v")
     val mv = MaterializedAgg.build(base, Seq("g"), specs)
@@ -101,5 +124,31 @@ class MatViewSpec extends SparkSpec {
     val newBase = Seq(("a", 1.0)).toDF("g", "v")
     mv.rebuild(newBase)
     assert(mv.state.orderBy("g").collect().toSeq == oneShot(newBase))
+  }
+
+  test("delete: targeted group refresh is exact; untouched groups keep state") {
+    val base = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0), ("b", 20.0),
+      ("c", 5.0), (null.asInstanceOf[String], 7.0)).toDF("g", "v")
+    val mv = MaterializedAgg.build(base, Seq("g"), specs)
+    // delete one 'a' row, ALL of 'c', and the null-group row
+    val deleted = Seq(("a", 2.0), ("c", 5.0),
+      (null.asInstanceOf[String], 7.0)).toDF("g", "v")
+    val after = Seq(("a", 1.0), ("b", 10.0), ("b", 20.0)).toDF("g", "v")
+    mv.refreshGroups(after, deleted)
+    val got = mv.state.orderBy("g").collect().toSeq
+    assert(got == oneShot(after))
+    assert(!got.exists(r => r.getString(0) == "c" || r.isNullAt(0)),
+      "fully-deleted groups (incl. the null group) must disappear")
+  }
+
+  test("delete then insert keeps composing correctly") {
+    val base = Seq(("a", 1.0), ("b", 2.0), ("b", 4.0)).toDF("g", "v")
+    val mv = MaterializedAgg.build(base, Seq("g"), specs)
+    val deleted = Seq(("b", 2.0)).toDF("g", "v")
+    val afterDel = Seq(("a", 1.0), ("b", 4.0)).toDF("g", "v")
+    mv.refreshGroups(afterDel, deleted)
+    mv.applyInsert(Seq(("b", -1.0), ("d", 0.5)).toDF("g", "v"))
+    val want = oneShot(afterDel.union(Seq(("b", -1.0), ("d", 0.5)).toDF("g", "v")))
+    assert(mv.state.orderBy("g").collect().toSeq == want)
   }
 }
