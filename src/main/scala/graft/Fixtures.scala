@@ -51,6 +51,16 @@ object Fixtures {
         "embedding", "vec_id", dim = 64, m = 16, ksub = 256)
     }).asInstanceOf[graft.operators.Pq.PqModel]
 
+  /** The embeddings table with its PQ code column materialized — encoding
+    * is index-BUILD work (one corpus pass), amortized like any index;
+    * queries measure the ADC scan.
+    */
+  def pqEncoded(s: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate(s"$dir#pq_encoded", {
+      graft.operators.Pq.encode(table(s, dir, "embeddings"), "embedding",
+        pqModel(s, dir)).localCheckpoint(true)
+    }).asInstanceOf[DataFrame]
+
   /** The persisted IVF index's inverted lists re-materialized WITH PQ codes
     * (full IVF-PQ layout) — encoded once per scale factor.
     */

@@ -51,8 +51,8 @@ object SparkEntry {
     "ann_ivf_persisted" -> ((s, dir) => { Fixtures.ivfLake(s, dir); () }),
     "ann_ivf_topk" -> ((s, dir) => { Fixtures.ivfIndex(s, dir); () }),
     "ann_batch_ivf" -> ((s, dir) => { Fixtures.ivfIndex(s, dir); () }),
-    "ann_pq_topk" -> ((s, dir) => { Fixtures.pqModel(s, dir); () }),
-    "ann_pq_rerank" -> ((s, dir) => { Fixtures.pqModel(s, dir); () }),
+    "ann_pq_topk" -> ((s, dir) => { Fixtures.pqEncoded(s, dir); () }),
+    "ann_pq_rerank" -> ((s, dir) => { Fixtures.pqEncoded(s, dir); () }),
     "ann_ivfpq_topk" -> ((s, dir) => { Fixtures.ivfPqLists(s, dir); () })
   )
 
@@ -824,7 +824,7 @@ object SparkEntry {
     "lake_zorder_pruning" -> ((s, dir) => {
       val o = table(s, dir, "orders")
       val ds = Clustering.zorderLake(s, o,
-        Seq("o_custkey", "o_totalprice"), bits = 6, nBins = 16)
+        Seq("o_custkey", "o_totalprice"), bits = 6, nBins = 16).dataset
       ds.prunedByConstraints(Map.empty, Map(
           "o_custkey" -> (Some(100L), Some(500L)),
           "o_totalprice" -> (Some(50000.0), Some(150000.0))))
@@ -1184,7 +1184,7 @@ object SparkEntry {
       val q = e.filter(col("vec_id") === 0)
         .head().getSeq[Float](1).toSeq
       val model = Fixtures.pqModel(s, dir)
-      Pq.adcTopK(Pq.encode(e, "embedding", model), "vec_id", model, q, 10)
+      Pq.adcTopK(Fixtures.pqEncoded(s, dir), "vec_id", model, q, 10)
     }),
 
     // Two-stage PQ search: ADC narrows to k*refine candidates, exact
@@ -1196,7 +1196,7 @@ object SparkEntry {
       val q = e.filter(col("vec_id") === 0)
         .head().getSeq[Float](1).toSeq
       val model = Fixtures.pqModel(s, dir)
-      Pq.rerankTopK(Pq.encode(e, "embedding", model), "embedding", "vec_id",
+      Pq.rerankTopK(Fixtures.pqEncoded(s, dir), "embedding", "vec_id",
         model, q, k = 10, refine = 10)
     }),
 

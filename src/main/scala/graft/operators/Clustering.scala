@@ -48,6 +48,37 @@ object Clustering {
   def zorderKey(cols: Seq[String], bounds: Array[Array[Double]], bits: Int): Column =
     ZOrderKey(cols.map(col), bounds, bits)
 
+  /** A Z-order-clustered lake plus the layout recipe that built it. Later
+    * batches must bin with the SAME boundary snapshot: zones widen soundly
+    * either way, but rows binned against different boundaries land outside
+    * their Z-region and erode pruning selectivity. [[insert]] routes new
+    * rows with the build-time recipe — continuous ingest keeps the
+    * clustered layout at cost ∝ batch, never a re-sort. (If the data
+    * distribution drifts far from the boundary snapshot, rebuild the
+    * layout offline — the same recluster-is-maintenance stance as IVF.)
+    */
+  final case class ZOrderedLake(
+      dataset: LakeDataset,
+      cols: Seq[String],
+      bounds: Array[Array[Double]],
+      bits: Int,
+      nBins: Int,
+      binCol: String) {
+
+    /** Append the bin column to a new batch using the build-time recipe. */
+    def bin(df: DataFrame): DataFrame = {
+      val totalBits = bits * cols.length
+      val binBits = java.lang.Integer.numberOfTrailingZeros(nBins)
+      df.withColumn(binCol,
+        shiftright(zorderKey(cols, bounds, bits), totalBits - binBits).cast("int"))
+    }
+
+    /** Ingest a batch: route rows to their Z-region (one exchange by bin,
+      * cost ∝ batch — never a layout rebuild).
+      */
+    def insert(df: DataFrame): Unit = dataset.insert(bin(df))
+  }
+
   /** Build a Z-order-clustered [[LakeDataset]]: rows are binned by the top
     * `log2(nBins)` bits of their Z-key into a `binCol` partition column, so
     * each bin is one partition directory with tight zone intervals on every
@@ -62,7 +93,7 @@ object Clustering {
       nBins: Int = 64,
       binCol: String = "zbin",
       storage: Option[StorageSpec] = None,
-      relativeError: Double = 0.001): LakeDataset = {
+      relativeError: Double = 0.001): ZOrderedLake = {
     require(nBins >= 2 && (nBins & (nBins - 1)) == 0, s"nBins must be a power of two, got $nBins")
     val binBits = java.lang.Integer.numberOfTrailingZeros(nBins)
     val totalBits = bits * cols.length
@@ -71,10 +102,9 @@ object Clustering {
     require(!df.columns.contains(binCol),
       s"clustered input already has a '$binCol' column")
     val bounds = zorderBounds(df, cols, bits, relativeError)
-    val zk = zorderKey(cols, bounds, bits)
-    val binned = df.withColumn(binCol,
-      shiftright(zk, totalBits - binBits).cast("int"))
-    LakeDataset.fromDataFrame(spark, binned,
+    val recipe = ZOrderedLake(null, cols, bounds, bits, nBins, binCol)
+    val ds = LakeDataset.fromDataFrame(spark, recipe.bin(df),
       partitionCols = Seq(binCol), storage = storage)
+    recipe.copy(dataset = ds)
   }
 }

@@ -35,10 +35,12 @@ object ScaleSmoke {
 
     // SPARK_GRAFT_ONLY_MH=1 skips straight to the MinHash-index curve;
     // SPARK_GRAFT_ONLY_IVF=1 runs just the ANN section;
-    // SPARK_GRAFT_ONLY_EX=1 runs just the exact-index curve.
+    // SPARK_GRAFT_ONLY_EX=1 runs just the exact-index curve;
+    // SPARK_GRAFT_ONLY_R7=1 runs just the z-order / PQ / mat-view section.
     val onlyEx = sys.env.contains("SPARK_GRAFT_ONLY_EX")
+    val onlyR7 = sys.env.contains("SPARK_GRAFT_ONLY_R7")
     val runAll = !sys.env.contains("SPARK_GRAFT_ONLY_MH") &&
-      !sys.env.contains("SPARK_GRAFT_ONLY_IVF") && !onlyEx
+      !sys.env.contains("SPARK_GRAFT_ONLY_IVF") && !onlyEx && !onlyR7
     if (runAll) {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val big = (0 until copies).map { i =>
@@ -120,6 +122,119 @@ object ScaleSmoke {
       .queryExecution.optimizedPlan.collectLeaves().size
     println(s"[scale] SQL plan leaves: $sqlLeaves of ${dz.numParts} parts")
     }
+
+    // ---- round 7: z-order layout, PQ codes, materialized view --------------
+    if (runAll || onlyR7) {
+      import graft.operators.{Clustering, MaterializedAgg, Pq, Similarity}
+
+      // Z-ORDER: orders scaled `copies`x, clustered on (o_custkey,
+      // o_totalprice). The claim: range queries on EITHER column prune to
+      // few bins — a single-column layout prunes one dimension only.
+      val o7 = spark.read.parquet(s"$sfDir/orders.parquet")
+      val bigO7 = (0 until copies).map { i =>
+        o7.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 10000000L))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      println(s"[scale] r7 orders: ${bigO7.count()} rows")
+      val zlake = time(s"zorder create ${copies}x (64 bins)") {
+        Clustering.zorderLake(spark, bigO7,
+          Seq("o_custkey", "o_totalprice"), bits = 8, nBins = 64)
+      }
+      // continuous-ingest path: a tiny batch routes through the build-time
+      // recipe
+      time("zorder ingest tiny batch") {
+        zlake.insert(bigO7.filter(col("o_orderkey") % 99991 === 0))
+      }
+      // The honest pruning measurement is DISK-backed: each kept bin reads
+      // its own directory only (in-memory parts are slices of one shared
+      // snapshot — every kept part would re-scan the whole snapshot, which
+      // overstates pruned cost and has no 100 TB analogue).
+      val zroot = java.nio.file.Files.createTempDirectory("graft_scale_z").toString
+      zlake.dataset.storage = Some(graft.model.StorageSpec(zroot))
+      time("zorder save")(zlake.dataset.toStorage())
+      val zds = time("zorder load")(LakeDataset.fromStorage(spark, zroot))
+      zds.insert(zlake.bin(bigO7.limit(1))) // drop cleanScan: plan the union
+      def leaves(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collectLeaves().size
+      val custPrune = zds.prunedByConstraints(Map.empty,
+        Map("o_custkey" -> (Some(100L), Some(800L))))
+      time("zorder custkey-range agg (pruned)") {
+        custPrune.filter(col("o_custkey").between(100L, 800L))
+          .agg(count(lit(1))).collect()
+      }
+      println(s"[scale] custkey prune: ${leaves(custPrune)} of ${zds.numParts} bins")
+      val pricePrune = zds.prunedByConstraints(Map.empty,
+        Map("o_totalprice" -> (Some(100000.0), Some(110000.0))))
+      time("zorder price-range agg (pruned)") {
+        pricePrune.filter(col("o_totalprice").between(100000.0, 110000.0))
+          .agg(count(lit(1))).collect()
+      }
+      println(s"[scale] price prune: ${leaves(pricePrune)} of ${zds.numParts} bins")
+      time("zorder price-range agg (unpruned)") {
+        zds.toDF.filter(col("o_totalprice").between(100000.0, 110000.0))
+          .agg(count(lit(1))).collect()
+      }
+      LakeDataset.deleteRecursively(java.nio.file.Paths.get(zroot))
+
+      // PQ: embeddings scaled `copies`x. One encode pass, then the ADC scan
+      // (reads 16-byte codes) vs the exact cosine scan (reads 256-byte
+      // vectors); rerank adds the exact pass over k*refine candidates only.
+      val emb7 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val embCopies = copies * 10 // vectors are small; 10x more shows scan-volume separation
+      val bigE = (0 until embCopies).map { i =>
+        emb7.select((col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+          transform(col("embedding"),
+            x => (x * (lit(1.0f) + lit(i.toFloat) * lit(1e-4f))).cast("float"))
+            .as("embedding"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      println(s"[scale] r7 embeddings: ${bigE.count()} vectors (${embCopies}x)")
+      val qv7 = emb7.filter(col("vec_id") === 7).head().getSeq[Float](1).toSeq
+      val model7 = time(s"pq train (bounded sample)") {
+        Pq.train(bigE, "embedding", "vec_id", dim = 64, m = 16, ksub = 256)
+      }
+      val coded = time(s"pq encode ${embCopies}x (one corpus pass)") {
+        Pq.encode(bigE, "embedding", model7).select("vec_id", "pq_code")
+          .localCheckpoint(true)
+      }
+      time(s"pq adc top-10 ${embCopies}x (codes only)") {
+        Pq.adcTopK(coded, "vec_id", model7, qv7, 10).count()
+      }
+      time(s"exact cosine top-10 ${embCopies}x (full vectors)") {
+        Similarity.bruteForceTopK(bigE, "embedding", "vec_id", qv7, 10).count()
+      }
+      val codedFull = Pq.encode(bigE, "embedding", model7).localCheckpoint(true)
+      time(s"pq rerank top-10 ${embCopies}x (adc + exact over 100)") {
+        Pq.rerankTopK(codedFull, "embedding", "vec_id", model7, qv7,
+          k = 10, refine = 10).count()
+      }
+
+      // MATERIALIZED VIEW: build once over the corpus, then a tiny insert's
+      // maintenance vs the full recompute it replaces.
+      // 4x the z-order corpus so the recompute the view replaces is
+      // visibly corpus-proportional while maintenance stays flat
+      val mvBase = (0 until 4).map { i =>
+        bigO7.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 1000000000L))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      println(s"[scale] matview base: ${mvBase.count()} rows")
+      val mv = time(s"matview build ${copies * 4}x") {
+        MaterializedAgg.build(mvBase, Seq("o_orderstatus"), Seq(
+          MaterializedAgg.count("n"),
+          MaterializedAgg.sumDecimal("o_totalprice", "total"),
+          MaterializedAgg.min("o_totalprice", "mn"),
+          MaterializedAgg.max("o_totalprice", "mx")))
+      }
+      val tiny = mvBase.filter(col("o_orderkey") % 9999 === 0).localCheckpoint(true)
+      println(s"[scale] tiny insert batch: ${tiny.count()} rows")
+      time("matview maintain tiny insert") {
+        mv.applyInsert(tiny); mv.state.collect()
+      }
+      time("full aggregate recompute (what the view replaces)") {
+        mvBase.unionByName(tiny).groupBy("o_orderstatus")
+          .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(38,2)")),
+            min("o_totalprice"), max("o_totalprice")).collect()
+      }
+    }
+    if (onlyR7) { spark.stop(); return }
 
     // ---- IVF ANN: probe cost vs corpus growth ------------------------------
     // The scale claim: an IVF probe reads nprobe inverted LISTS, whose size

@@ -54,7 +54,7 @@ class ClusteringSpec extends SparkSpec {
   test("zorder lake: pruning keeps few bins on EITHER dimension; results exact") {
     val o = Fixtures.table(spark, sf(), "orders")
     val ds = Clustering.zorderLake(spark, o,
-      Seq("o_custkey", "o_totalprice"), bits = 6, nBins = 16)
+      Seq("o_custkey", "o_totalprice"), bits = 6, nBins = 16).dataset
     val total = ds.numParts
     assert(total > 8, s"expected most of 16 bins populated, got $total")
 
@@ -85,7 +85,7 @@ class ClusteringSpec extends SparkSpec {
   test("zorder pruning reaches the SQL surface through LakePruneRule") {
     val o = Fixtures.table(spark, sf(), "orders")
     val ds = Clustering.zorderLake(spark, o,
-      Seq("o_custkey", "o_totalprice"), bits = 6, nBins = 16)
+      Seq("o_custkey", "o_totalprice"), bits = 6, nBins = 16).dataset
     val db = new graft.lake.Database(spark)
     db.register("orders_zorder", ds)
     val q = spark.sql(
@@ -98,13 +98,34 @@ class ClusteringSpec extends SparkSpec {
       o.filter(col("o_totalprice").between(100000.0, 120000.0)).count())
   }
 
+  test("zorder ingest routes later batches through the build-time recipe") {
+    val o = Fixtures.table(spark, sf(), "orders")
+    val build = o.filter(col("o_orderkey") % 2 === 0)
+    val late = o.filter(col("o_orderkey") % 2 =!= 0)
+    val zlake = Clustering.zorderLake(spark, build,
+      Seq("o_custkey", "o_totalprice"), bits = 6, nBins = 16)
+    val before = zlake.dataset.numParts
+    zlake.insert(late)
+    // no new bins appear: the recipe routes rows into the existing regions
+    assert(zlake.dataset.numParts == before,
+      s"ingest created bins: $before -> ${zlake.dataset.numParts}")
+    // pruning still selective and results exact over the combined contents
+    val ranges = Map[String, (Option[Any], Option[Any])](
+      "o_totalprice" -> (Some(100000.0), Some(120000.0)))
+    assert(leafCount(zlake.dataset.prunedByConstraints(Map.empty, ranges))
+      < zlake.dataset.numParts)
+    val got = zlake.dataset.prunedByConstraints(Map.empty, ranges)
+      .filter(col("o_totalprice").between(100000.0, 120000.0)).count()
+    assert(got == o.filter(col("o_totalprice").between(100000.0, 120000.0)).count())
+  }
+
   test("zorder lake survives a storage round trip with pruning intact") {
     val o = Fixtures.table(spark, sf(), "orders")
     val root = java.nio.file.Files.createTempDirectory("graft_zorder").toString
     try {
       val ds = Clustering.zorderLake(spark, o,
         Seq("o_custkey", "o_totalprice"), bits = 6, nBins = 16,
-        storage = Some(graft.model.StorageSpec(root)))
+        storage = Some(graft.model.StorageSpec(root))).dataset
       ds.toStorage()
       val back = graft.lake.LakeDataset.fromStorage(spark, root)
       val ranges = Map[String, (Option[Any], Option[Any])](
