@@ -857,6 +857,28 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Row-level change feed: every mutation logs stamped image batches
+    // (insert rows, upsert PRE- and POST-images, delete pre-images) into a
+    // log that is itself a lake table — seq zone maps make tail reads
+    // incremental. The whole feed content is SQL-derivable from orders.
+    "lake_change_feed" -> ((s, dir) => {
+      import graft.lake.TrackedLake
+      val o = table(s, dir, "orders")
+      val base = o.filter(col("o_orderkey") % 4 === 0)
+      val t = TrackedLake(s, LakeDataset.fromDataFrame(s, base,
+        partitionCols = Seq("o_orderstatus")))
+      t.insert(o.filter(col("o_orderkey") % 4 === 1))
+      t.upsert(o.filter(col("o_custkey") % 3 === 0 &&
+          (col("o_orderkey") % 4 === 0 || col("o_orderkey") % 4 === 2))
+        .withColumn("o_totalprice", col("o_totalprice") + 100), Seq("o_orderkey"))
+      t.delete(o.filter(col("o_orderkey") % 4 === 1 && col("o_custkey") % 5 === 0)
+        .select("o_orderkey"), Seq("o_orderkey"))
+      t.changesSince(0L)
+        .groupBy(col(TrackedLake.OpCol).as("op"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("op")
+    }),
+
     "bucket_numeric" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
       li.groupBy(Bucketing.bucketExprFor(li, "l_partkey", 5).as("bucket"))
@@ -1529,6 +1551,26 @@ object SparkEntry {
          |FROM orders
          |WHERE o_custkey BETWEEN 100 AND 500
          |  AND o_totalprice BETWEEN 50000 AND 150000""".stripMargin,
+
+    // The feed's images, reconstructed relationally: I = the inserted
+    // slice; U- = the matched (existing) upsert keys as they were; U+ =
+    // every upsert key after the merge (+100); D = the deleted keys'
+    // post-insert rows. Op codes sort in binary ('+' < '-') in both
+    // engines.
+    "lake_change_feed" ->
+      s"""WITH ch AS (
+         |  SELECT 'I' AS op, o_totalprice FROM orders WHERE o_orderkey % 4 = 1
+         |  UNION ALL
+         |  SELECT 'U-', o_totalprice FROM orders
+         |  WHERE o_orderkey % 4 = 0 AND o_custkey % 3 = 0
+         |  UNION ALL
+         |  SELECT 'U+', o_totalprice + 100 FROM orders
+         |  WHERE o_custkey % 3 = 0 AND (o_orderkey % 4 = 0 OR o_orderkey % 4 = 2)
+         |  UNION ALL
+         |  SELECT 'D', o_totalprice FROM orders
+         |  WHERE o_orderkey % 4 = 1 AND o_custkey % 5 = 0)
+         |SELECT op, COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM ch GROUP BY op ORDER BY op""".stripMargin,
 
     // Final view contents = base (%3=0) plus the two inserted deltas.
     "lake_mat_view" ->

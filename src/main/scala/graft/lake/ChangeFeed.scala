@@ -1,0 +1,156 @@
+package graft.lake
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.StorageSpec
+import graft.operators.MaterializedAgg
+
+/** Row-level change feed for a lake table. Every mutation appends stamped
+  * batches (`_seq`, `_op`, payload columns) to a LOG that is itself a lake
+  * dataset — so the log inherits persistence, manifests, and above all
+  * ZONE MAPS on `_seq`: reading "changes since N" prunes to the log cells
+  * whose seq interval overlaps (N, ∞) and never rescans history.
+  *
+  * Ops follow the change-data-feed convention:
+  *  - `I`  — inserted rows
+  *  - `U-` / `U+` — an upsert's PRE- and POST-image of the matched keys
+  *    (captured by a key semi-join before/after the merge; the reference's
+  *    null-preserves-old semantics make the post-image a merge product, so
+  *    it must be read back, not inferred from the incoming batch). Keys new
+  *    to the table appear in `U+` only.
+  *  - `D`  — a delete's PRE-image rows (the deleted data; logging keys
+  *    alone would lose the information every consumer needs, because the
+  *    rows are gone from the table afterwards).
+  *
+  * Pre/post capture costs one key semi-join per mutation — bounded by the
+  * batch's keys, pruned by the same zone/bloom machinery as any keyed
+  * probe. At 100 TB the feed is what makes downstream consumers (view
+  * maintenance, replication, audits) incremental instead of
+  * snapshot-diffing the world.
+  */
+final class TrackedLake private (
+    val table: LakeDataset,
+    val log: LakeDataset,
+    seq: AtomicLong) {
+
+  import TrackedLake.{OpCol, SeqCol}
+
+  /** Highest sequence number assigned to a mutation so far. */
+  def currentSeq: Long = seq.get()
+
+  private def stamped(df: DataFrame, op: String, n: Long): DataFrame =
+    df.withColumn(SeqCol, lit(n)).withColumn(OpCol, lit(op))
+
+  private def keyImage(keyRows: DataFrame, keys: Seq[String]): DataFrame =
+    table.toDF.join(broadcast(keyRows), keys.toSeq, "left_semi")
+      .localCheckpoint(true)
+
+  def insert(df: DataFrame): Long = this.synchronized {
+    table.insert(df)
+    val n = seq.incrementAndGet()
+    log.insert(stamped(df, "I", n))
+    n
+  }
+
+  def upsert(df: DataFrame, keys: Seq[String]): Long = this.synchronized {
+    val keyRows = df.select(keys.map(col): _*).distinct().localCheckpoint(true)
+    val pre = keyImage(keyRows, keys)
+    table.upsert(df, keys)
+    val post = keyImage(keyRows, keys)
+    val n = seq.incrementAndGet()
+    log.insert(stamped(pre, "U-", n))
+    log.insert(stamped(post, "U+", n))
+    n
+  }
+
+  def delete(keysDf: DataFrame, keys: Seq[String]): Long = this.synchronized {
+    val keyRows = keysDf.select(keys.map(col): _*).distinct().localCheckpoint(true)
+    val pre = keyImage(keyRows, keys)
+    table.delete(keyRows, keys)
+    val n = seq.incrementAndGet()
+    log.insert(stamped(pre, "D", n))
+    n
+  }
+
+  /** Log rows with `_seq` > `sinceSeq` — a seq-zone-pruned read: cost ∝
+    * new changes, not ∝ history.
+    */
+  def changesSince(sinceSeq: Long): DataFrame =
+    log.prunedByConstraints(Map.empty,
+        Map(SeqCol -> (Some(sinceSeq + 1L), None)))
+      .filter(col(SeqCol) > sinceSeq)
+
+  /** Drive a [[MaterializedAgg]] view from the feed alone. Replay rule:
+    * groups touched by any U/D change get ONE exact recompute against the
+    * CURRENT table (`refreshGroups` — final-state recompute is idempotent
+    * and order-free); inserted rows fold incrementally, EXCLUDING rows
+    * whose group the refresh already covers (folding them too would double
+    * count: the refresh reads the final table, which contains them).
+    * Returns the new high-water mark.
+    */
+  def applyChangesTo(view: MaterializedAgg, fromSeq: Long): Long = {
+    val changes = changesSince(fromSeq).localCheckpoint(true)
+    val high = changes.agg(max(col(SeqCol))).head()
+    if (high.isNullAt(0)) return fromSeq
+    val payload = changes.drop(SeqCol)
+    val ud = payload.filter(col(OpCol) =!= "I").drop(OpCol)
+      .localCheckpoint(true)
+    val inserts = payload.filter(col(OpCol) === "I").drop(OpCol)
+    if (ud.isEmpty) {
+      if (!inserts.isEmpty) view.applyInsert(inserts)
+    } else {
+      val touched = ud.select(view.groupColumns.map(col): _*).distinct()
+      val cond = view.groupColumns.map(c => inserts(c) <=> touched(c))
+        .reduce(_ && _)
+      val freshInserts = inserts.join(broadcast(touched), cond, "left_anti")
+      if (!freshInserts.isEmpty) view.applyInsert(freshInserts)
+      view.refreshGroups(table.toDF, ud)
+    }
+    high.getLong(0)
+  }
+}
+
+object TrackedLake {
+  val SeqCol = "_seq"
+  val OpCol = "_op"
+
+  /** Wrap a dataset with a change feed. The log is partitioned by op (audit
+    * scans of one kind prune by directory) with seq zones per cell (tail
+    * reads prune by interval); give `logRoot` to persist it like any lake
+    * dataset — a reopened feed continues numbering after the highest
+    * persisted seq.
+    */
+  def apply(spark: SparkSession, table: LakeDataset,
+      logRoot: Option[String] = None): TrackedLake = {
+    require(!table.tableSchema.fieldNames.contains(SeqCol) &&
+      !table.tableSchema.fieldNames.contains(OpCol),
+      s"table already has a $SeqCol/$OpCol column")
+    val log = logRoot match {
+      case Some(root) if java.nio.file.Files.exists(
+          java.nio.file.Paths.get(root, graft.model.Manifest.FileName)) =>
+        LakeDataset.fromStorage(spark, root)
+      case _ =>
+        val schema = org.apache.spark.sql.types.StructType(
+          table.tableSchema.fields.toSeq :+
+            org.apache.spark.sql.types.StructField(SeqCol,
+              org.apache.spark.sql.types.LongType, nullable = false) :+
+            org.apache.spark.sql.types.StructField(OpCol,
+              org.apache.spark.sql.types.StringType, nullable = false))
+        val empty = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        LakeDataset.fromDataFrame(spark, empty,
+          partitionCols = Seq(OpCol),
+          storage = logRoot.map(StorageSpec(_)))
+    }
+    val high =
+      if (log.numParts == 0) 0L
+      else log.toDF.agg(max(col(SeqCol))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    new TrackedLake(table, log, new AtomicLong(high))
+  }
+}

@@ -35,9 +35,17 @@ final class MaterializedAgg private (
   /** Current view contents: one row per group, `groupCols ++ aliases`. */
   def state: DataFrame = state0
 
+  /** The view's grouping columns (for consumers routing changes by group). */
+  def groupColumns: Seq[String] = groupCols
+
   /** Fold one inserted batch into the view. */
   def applyInsert(batch: DataFrame): Unit = this.synchronized {
+    // The partial is |touched groups| rows — checkpoint it NOW so the view's
+    // plan never references the batch's (caller-owned) data: a lake-backed
+    // batch frame can have its snapshot released by the table's next
+    // mutation, and a lazy reference from here would read freed blocks.
     val delta = MaterializedAgg.aggregate(batch, groupCols, aggs)
+      .localCheckpoint(true)
     // Qualified string columns, not df(col): state and delta often share
     // lineage (both aggregate the same source), and df-bound references
     // trip Spark's ambiguous-self-join detection.
@@ -79,10 +87,14 @@ final class MaterializedAgg private (
         groupCols.map(c => l(c) <=> r(c)).reduce(_ && _)
       // null-safe joins: a NULL group key is a group like any other
       val kept = state0.join(touched, keyCond(state0, touched), "left_anti")
+      // Checkpoint eagerly (|touched groups| rows): the recompute reads the
+      // base AS OF NOW — captured lazily, the base's next mutation would
+      // release the snapshot this plan reads (freed-block reads), and a
+      // late evaluation would see the WRONG table state anyway.
       val refreshed = MaterializedAgg.aggregate(
         postMutationBase.join(broadcast(touched),
           keyCond(postMutationBase, touched), "left_semi"),
-        groupCols, aggs)
+        groupCols, aggs).localCheckpoint(true)
       merges += 1
       val merged = kept.unionByName(refreshed)
       state0 =
