@@ -75,13 +75,28 @@ final class TrackedLake private (
     n
   }
 
-  /** Log rows with `_seq` > `sinceSeq` — a seq-zone-pruned read: cost ∝
-    * new changes, not ∝ history.
+  /** Log rows with `_seq` > `sinceSeq`. The log is PARTITIONED by `_seq`
+    * (one cell per mutation, so each cell's seq zone is the tight [n, n]) —
+    * this read prunes to the tail cells and costs ∝ new changes, not ∝
+    * history. ChangeFeedSpec pins the plan leaf count.
     */
   def changesSince(sinceSeq: Long): DataFrame =
     log.prunedByConstraints(Map.empty,
         Map(SeqCol -> (Some(sinceSeq + 1L), None)))
       .filter(col(SeqCol) > sinceSeq)
+
+  /** Retention: drop whole log cells with `_seq` <= `throughSeq` (every
+    * consumer has moved past them). Cell-level DROP PARTITION — no data
+    * rewrite, directories delete when the log is persisted. The log
+    * otherwise grows one cell per mutation forever.
+    */
+  def vacuum(throughSeq: Long): Unit = {
+    val old = log.partKeys.filter(_.partValues.exists {
+      case (c, v) => c == SeqCol && v != null &&
+        scala.util.Try(v.toLong).toOption.exists(_ <= throughSeq)
+    })
+    if (old.nonEmpty) log.dropParts(old)
+  }
 
   /** Drive a [[MaterializedAgg]] view from the feed alone. Replay rule:
     * groups touched by any U/D change get ONE exact recompute against the
@@ -117,10 +132,12 @@ object TrackedLake {
   val SeqCol = "_seq"
   val OpCol = "_op"
 
-  /** Wrap a dataset with a change feed. The log is partitioned by op (audit
-    * scans of one kind prune by directory) with seq zones per cell (tail
-    * reads prune by interval); give `logRoot` to persist it like any lake
-    * dataset — a reopened feed continues numbering after the highest
+  /** Wrap a dataset with a change feed. The log is partitioned by `_seq`
+    * — one cell per mutation with a tight seq zone, so tail reads prune to
+    * exactly the unconsumed cells (an op-partitioned layout was rejected:
+    * each op's single cell would widen its seq zone over ALL history and
+    * nothing would ever prune). Give `logRoot` to persist the log like any
+    * lake dataset — a reopened feed continues numbering after the highest
     * persisted seq.
     */
   def apply(spark: SparkSession, table: LakeDataset,
@@ -142,7 +159,7 @@ object TrackedLake {
         val empty = spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
         LakeDataset.fromDataFrame(spark, empty,
-          partitionCols = Seq(OpCol),
+          partitionCols = Seq(SeqCol),
           storage = logRoot.map(StorageSpec(_)))
     }
     val high =

@@ -37,13 +37,23 @@ class ChangeFeedSpec extends SparkSpec {
     assert(t.currentSeq == 3L)
   }
 
-  test("changesSince prunes by seq zones and returns only the tail") {
+  test("changesSince prunes to the tail cells; vacuum drops consumed ones") {
     val t = TrackedLake(spark, mkTable())
     val s1 = t.insert(Seq((10L, "c", 1.0)).toDF("k", "g", "v"))
     val s2 = t.insert(Seq((11L, "c", 2.0)).toDF("k", "g", "v"))
     val tail = t.changesSince(s1)
     assert(tail.select("k").as[Long].collect().toSeq == Seq(11L))
+    // one cell per mutation: the tail read PLANS only the unconsumed cell
+    assert(t.log.numParts == 2)
+    assert(t.changesSince(s1).queryExecution.optimizedPlan
+      .collectLeaves().size == 1)
     assert(t.changesSince(s2).isEmpty)
+    // retention: consumed cells drop wholesale; numbering continues
+    t.vacuum(s1)
+    assert(t.log.numParts == 1)
+    assert(t.changesSince(0L).select("k").as[Long].collect().toSeq == Seq(11L))
+    val s3 = t.insert(Seq((12L, "c", 3.0)).toDF("k", "g", "v"))
+    assert(s3 == s2 + 1)
   }
 
   test("log-driven view maintenance equals a rebuilt view (incl. group moves)") {
