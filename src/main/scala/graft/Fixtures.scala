@@ -71,6 +71,28 @@ object Fixtures {
         pqModel(s, dir), "embedding")
     }).asInstanceOf[LakeDataset]
 
+  /** A change-feed-tracked orders table after a fixed mutation history
+    * (base logged, an insert, a group-touching upsert, a delete) — built
+    * once per scale factor; the feed queries read the log/time-travel
+    * reconstruction, the way consumers of a long-lived feed do. Returns
+    * the feed and the seq mark taken right after the insert.
+    */
+  def trackedOrders(s: SparkSession, dir: String): (graft.lake.TrackedLake, Long) =
+    memo.getOrElseUpdate(s"$dir#cdf", {
+      val o = table(s, dir, "orders")
+      val t = graft.lake.TrackedLake(s,
+        LakeDataset.fromDataFrame(s, o.filter(col("o_orderkey") % 4 === 0),
+          partitionCols = Seq("o_orderstatus")),
+        logBase = true)
+      val mark = t.insert(o.filter(col("o_orderkey") % 4 === 1))
+      t.upsert(o.filter(col("o_custkey") % 3 === 0 &&
+          (col("o_orderkey") % 4 === 0 || col("o_orderkey") % 4 === 2))
+        .withColumn("o_totalprice", col("o_totalprice") + 100), Seq("o_orderkey"))
+      t.delete(o.filter(col("o_orderkey") % 4 === 1 && col("o_custkey") % 5 === 0)
+        .select("o_orderkey"), Seq("o_orderkey"))
+      (t, mark)
+    }).asInstanceOf[(graft.lake.TrackedLake, Long)]
+
   /** A bootstrapped MinHash index root holding the ORIGINAL documents —
     * built once per scale factor. Queries copy the root and add their delta
     * batch, so each run measures the MARGINAL per-batch cost against an

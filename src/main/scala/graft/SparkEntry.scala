@@ -53,7 +53,9 @@ object SparkEntry {
     "ann_batch_ivf" -> ((s, dir) => { Fixtures.ivfIndex(s, dir); () }),
     "ann_pq_topk" -> ((s, dir) => { Fixtures.pqEncoded(s, dir); () }),
     "ann_pq_rerank" -> ((s, dir) => { Fixtures.pqEncoded(s, dir); () }),
-    "ann_ivfpq_topk" -> ((s, dir) => { Fixtures.ivfPqLists(s, dir); () })
+    "ann_ivfpq_topk" -> ((s, dir) => { Fixtures.ivfPqLists(s, dir); () }),
+    "lake_change_feed" -> ((s, dir) => { Fixtures.trackedOrders(s, dir); () }),
+    "lake_time_travel" -> ((s, dir) => { Fixtures.trackedOrders(s, dir); () })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -858,25 +860,28 @@ object SparkEntry {
     }),
 
     // Row-level change feed: every mutation logs stamped image batches
-    // (insert rows, upsert PRE- and POST-images, delete pre-images) into a
-    // log that is itself a lake table — seq zone maps make tail reads
-    // incremental. The whole feed content is SQL-derivable from orders.
+    // (insert rows incl. the base commit, upsert PRE- and POST-images,
+    // delete pre-images) into a log that is itself a lake table — one cell
+    // per mutation, seq zones make tail reads incremental. The whole feed
+    // content is SQL-derivable from orders.
     "lake_change_feed" -> ((s, dir) => {
       import graft.lake.TrackedLake
-      val o = table(s, dir, "orders")
-      val base = o.filter(col("o_orderkey") % 4 === 0)
-      val t = TrackedLake(s, LakeDataset.fromDataFrame(s, base,
-        partitionCols = Seq("o_orderstatus")))
-      t.insert(o.filter(col("o_orderkey") % 4 === 1))
-      t.upsert(o.filter(col("o_custkey") % 3 === 0 &&
-          (col("o_orderkey") % 4 === 0 || col("o_orderkey") % 4 === 2))
-        .withColumn("o_totalprice", col("o_totalprice") + 100), Seq("o_orderkey"))
-      t.delete(o.filter(col("o_orderkey") % 4 === 1 && col("o_custkey") % 5 === 0)
-        .select("o_orderkey"), Seq("o_orderkey"))
+      val (t, _) = Fixtures.trackedOrders(s, dir)
       t.changesSince(0L)
         .groupBy(col(TrackedLake.OpCol).as("op"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy("op")
+    }),
+
+    // Time travel via the feed: the table AS OF the post-insert mark —
+    // the later upsert (+100) and delete must NOT appear, which is exactly
+    // what the oracle (original prices, no deletions) checks.
+    "lake_time_travel" -> ((s, dir) => {
+      val (t, mark) = Fixtures.trackedOrders(s, dir)
+      t.tableAsOf(mark, Seq("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
     }),
 
     "bucket_numeric" -> ((s, dir) => {
@@ -1559,7 +1564,8 @@ object SparkEntry {
     // engines.
     "lake_change_feed" ->
       s"""WITH ch AS (
-         |  SELECT 'I' AS op, o_totalprice FROM orders WHERE o_orderkey % 4 = 1
+         |  SELECT 'I' AS op, o_totalprice FROM orders
+         |  WHERE o_orderkey % 4 = 0 OR o_orderkey % 4 = 1
          |  UNION ALL
          |  SELECT 'U-', o_totalprice FROM orders
          |  WHERE o_orderkey % 4 = 0 AND o_custkey % 3 = 0
@@ -1571,6 +1577,14 @@ object SparkEntry {
          |  WHERE o_orderkey % 4 = 1 AND o_custkey % 5 = 0)
          |SELECT op, COUNT(*) AS n, ${osum("o_totalprice")} AS total
          |FROM ch GROUP BY op ORDER BY op""".stripMargin,
+
+    // As of the post-insert mark: base + insert, ORIGINAL prices, nothing
+    // deleted.
+    "lake_time_travel" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM orders
+         |WHERE o_orderkey % 4 = 0 OR o_orderkey % 4 = 1
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // Final view contents = base (%3=0) plus the two inserted deltas.
     "lake_mat_view" ->

@@ -36,6 +36,8 @@ final class TrackedLake private (
     val log: LakeDataset,
     seq: AtomicLong) {
 
+  private[lake] def seqRef: AtomicLong = seq
+
   import TrackedLake.{OpCol, SeqCol}
 
   /** Highest sequence number assigned to a mutation so far. */
@@ -85,10 +87,35 @@ final class TrackedLake private (
         Map(SeqCol -> (Some(sinceSeq + 1L), None)))
       .filter(col(SeqCol) > sinceSeq)
 
+  /** TIME TRAVEL: reconstruct the table as of sequence `asOfSeq` from the
+    * log alone — per key, the LATEST image at or before the mark decides
+    * (`I`/`U+` rows are states, `D` means absent, `U-` is evidence, not
+    * state). Exact whenever the log covers the table's full history: wrap
+    * with `logBase = true` (or start from an empty table) and don't vacuum
+    * below the marks you want to visit — the same contract as any
+    * CDF-based time travel. One window over the log prefix: this is a
+    * reconstruction path (audits, debugging, reproducing a training
+    * snapshot), not a serving path.
+    *
+    * `keys` are the table's mutation keys (what upserts/deletes identify
+    * rows by).
+    */
+  def tableAsOf(asOfSeq: Long, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = log.toDF
+      .filter(col(SeqCol) <= asOfSeq && col(OpCol) =!= "U-")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(SeqCol).desc)
+    hist.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(OpCol) =!= "D")
+      .drop("__rn", SeqCol, OpCol)
+  }
+
   /** Retention: drop whole log cells with `_seq` <= `throughSeq` (every
     * consumer has moved past them). Cell-level DROP PARTITION — no data
     * rewrite, directories delete when the log is persisted. The log
-    * otherwise grows one cell per mutation forever.
+    * otherwise grows one cell per mutation forever. NB vacuuming below a
+    * mark makes [[tableAsOf]] at that mark unreconstructable — retention
+    * and time travel trade off exactly as in any log-structured design.
     */
   def vacuum(throughSeq: Long): Unit = {
     val old = log.partKeys.filter(_.partValues.exists {
@@ -140,8 +167,13 @@ object TrackedLake {
     * lake dataset — a reopened feed continues numbering after the highest
     * persisted seq.
     */
+  /** `logBase = true` logs the table's CURRENT contents as the first `I`
+    * batch, so the log covers full history and [[TrackedLake#tableAsOf]]
+    * is exact from seq 0 — the one-time cost is one pass over the table
+    * (the same initial-commit cost every log-structured format pays).
+    */
   def apply(spark: SparkSession, table: LakeDataset,
-      logRoot: Option[String] = None): TrackedLake = {
+      logRoot: Option[String] = None, logBase: Boolean = false): TrackedLake = {
     require(!table.tableSchema.fieldNames.contains(SeqCol) &&
       !table.tableSchema.fieldNames.contains(OpCol),
       s"table already has a $SeqCol/$OpCol column")
@@ -168,6 +200,12 @@ object TrackedLake {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
-    new TrackedLake(table, log, new AtomicLong(high))
+    val t = new TrackedLake(table, log, new AtomicLong(high))
+    if (logBase && high == 0L && table.numParts > 0) {
+      val n = t.seqRef.incrementAndGet()
+      log.insert(table.toDF
+        .withColumn(SeqCol, lit(n)).withColumn(OpCol, lit("I")))
+    }
+    t
   }
 }

@@ -82,6 +82,28 @@ class ChangeFeedSpec extends SparkSpec {
     assert(t.applyChangesTo(mv, mark) == mark, "no changes -> same mark")
   }
 
+  test("time travel: tableAsOf reproduces every intermediate state") {
+    val t = TrackedLake(spark, mkTable(), logBase = true)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "g", "v").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val states = scala.collection.mutable.Map(t.currentSeq -> snap(t.table.toDF))
+    val s1 = t.insert(Seq((4L, "c", 40.0)).toDF("k", "g", "v"))
+    states(s1) = snap(t.table.toDF)
+    // group move + value change + brand-new key
+    val s2 = t.upsert(Seq((1L, "c", 11.0), (5L, "d", 50.0)).toDF("k", "g", "v"),
+      Seq("k"))
+    states(s2) = snap(t.table.toDF)
+    val s3 = t.delete(Seq(2L, 4L).toDF("k"), Seq("k"))
+    states(s3) = snap(t.table.toDF)
+    // re-insert a previously deleted key: later seq must win
+    val s4 = t.insert(Seq((2L, "e", 2.0)).toDF("k", "g", "v"))
+    states(s4) = snap(t.table.toDF)
+    states.foreach { case (mark, want) =>
+      assert(snap(t.tableAsOf(mark, Seq("k"))) == want, s"as of $mark")
+    }
+  }
+
   test("persisted log reopens and continues numbering; seq survives") {
     val root = java.nio.file.Files.createTempDirectory("graft_cdf").toString
     try {

@@ -31,4 +31,5 @@ class GateSmokeR7Spec extends SparkSpec {
   test("lake_zorder_pruning matches its oracle") { check("lake_zorder_pruning") }
   test("lake_mat_view matches its oracle") { check("lake_mat_view") }
   test("lake_change_feed matches its oracle") { check("lake_change_feed") }
+  test("lake_time_travel matches its oracle") { check("lake_time_travel") }
 }
