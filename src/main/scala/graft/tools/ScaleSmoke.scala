@@ -208,6 +208,43 @@ object ScaleSmoke {
           k = 10, refine = 10).count()
       }
 
+      // CHANGE FEED: after a run of mutations, a consumer's tail read
+      // (changes since the second-to-last mark) must plan ~one cell and
+      // cost ∝ the tail, independent of history length.
+      {
+        import graft.lake.{LakeDataset => LD, TrackedLake}
+        val cdfBase = o7.limit(200000).localCheckpoint(true)
+        val t = TrackedLake(spark,
+          LD.fromDataFrame(spark, cdfBase, partitionCols = Seq("o_orderstatus")))
+        val marks = time("cdf 24 mutations (20 I, 2 U, 2 D)") {
+          val ins = (0 until 20).map { i =>
+            t.insert(cdfBase.limit(1000)
+              .withColumn("o_orderkey", col("o_orderkey") + lit(1e9.toLong * (i + 1))))
+          }
+          val ups = (0 until 2).map { i =>
+            t.upsert(cdfBase.limit(500)
+              .withColumn("o_totalprice", col("o_totalprice") + (i + 1)),
+              Seq("o_orderkey"))
+          }
+          val dels = (0 until 2).map { i =>
+            t.delete(cdfBase.limit(100).select("o_orderkey")
+              .withColumn("o_orderkey", col("o_orderkey") + lit(1e9.toLong * (i + 1))),
+              Seq("o_orderkey"))
+          }
+          (ins ++ ups ++ dels).toList
+        }
+        val last = marks.max
+        time("cdf tail read (1 of 24 cells)") {
+          t.changesSince(last - 1).count()
+        }
+        println(s"[scale] cdf tail leaves: " +
+          s"${t.changesSince(last - 1).queryExecution.optimizedPlan.collectLeaves().size}" +
+          s" of ${t.log.numParts} log cells")
+        time("cdf full-history read") { t.changesSince(0L).count() }
+        time("cdf vacuum below tail") { t.vacuum(last - 1) }
+        println(s"[scale] cdf cells after vacuum: ${t.log.numParts}")
+      }
+
       // MATERIALIZED VIEW: build once over the corpus, then a tiny insert's
       // maintenance vs the full recompute it replaces.
       // 4x the z-order corpus so the recompute the view replaces is
