@@ -46,8 +46,13 @@ final class TrackedLake private (
   private def stamped(df: DataFrame, op: String, n: Long): DataFrame =
     df.withColumn(SeqCol, lit(n)).withColumn(OpCol, lit(op))
 
+  /** The table's current rows matching the mutation's keys. No broadcast
+    * hint: a small delta broadcasts by Catalyst's own sizing, while a huge
+    * one (backfills routinely rewrite whole partitions) must shuffle — a
+    * forced broadcast of an unbounded key set is a driver OOM at scale.
+    */
   private def keyImage(keyRows: DataFrame, keys: Seq[String]): DataFrame =
-    table.toDF.join(broadcast(keyRows), keys.toSeq, "left_semi")
+    table.toDF.join(keyRows, keys.toSeq, "left_semi")
       .localCheckpoint(true)
 
   def insert(df: DataFrame): Long = this.synchronized {
