@@ -93,6 +93,29 @@ object Fixtures {
       (t, mark)
     }).asInstanceOf[(graft.lake.TrackedLake, Long)]
 
+  /** A feed whose log was CHECKPOINTED at the post-insert mark — the base
+    * commit and the insert collapse into ONE base cell — and then mutated
+    * further. Reconstruction queries must compose the base cell with the
+    * post-checkpoint tail (the checkpoint-plus-log read every
+    * log-structured format serves).
+    */
+  def checkpointedOrders(s: SparkSession, dir: String): graft.lake.TrackedLake =
+    memo.getOrElseUpdate(s"$dir#cdf_ckpt", {
+      val o = table(s, dir, "orders")
+      val t = graft.lake.TrackedLake(s,
+        LakeDataset.fromDataFrame(s, o.filter(col("o_orderkey") % 4 === 0),
+          partitionCols = Seq("o_orderstatus")),
+        logBase = true)
+      val mark = t.insert(o.filter(col("o_orderkey") % 4 === 1))
+      t.checkpoint(mark, Seq("o_orderkey"))
+      t.upsert(o.filter(col("o_custkey") % 3 === 0 &&
+          (col("o_orderkey") % 4 === 0 || col("o_orderkey") % 4 === 2))
+        .withColumn("o_totalprice", col("o_totalprice") + 100), Seq("o_orderkey"))
+      t.delete(o.filter(col("o_orderkey") % 4 === 1 && col("o_custkey") % 5 === 0)
+        .select("o_orderkey"), Seq("o_orderkey"))
+      t
+    }).asInstanceOf[graft.lake.TrackedLake]
+
   /** A bootstrapped MinHash index root holding the ORIGINAL documents —
     * built once per scale factor. Queries copy the root and add their delta
     * batch, so each run measures the MARGINAL per-batch cost against an

@@ -55,7 +55,8 @@ object SparkEntry {
     "ann_pq_rerank" -> ((s, dir) => { Fixtures.pqEncoded(s, dir); () }),
     "ann_ivfpq_topk" -> ((s, dir) => { Fixtures.ivfPqLists(s, dir); () }),
     "lake_change_feed" -> ((s, dir) => { Fixtures.trackedOrders(s, dir); () }),
-    "lake_time_travel" -> ((s, dir) => { Fixtures.trackedOrders(s, dir); () })
+    "lake_time_travel" -> ((s, dir) => { Fixtures.trackedOrders(s, dir); () }),
+    "lake_feed_checkpoint" -> ((s, dir) => { Fixtures.checkpointedOrders(s, dir); () })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -884,6 +885,20 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Log checkpoint: the prefix (base commit + insert) collapsed into ONE
+    // base cell BEFORE the upsert/delete landed; reconstructing the final
+    // state composes the base cell with the post-checkpoint tail across
+    // the boundary. The oracle derives the same final state from orders
+    // directly — matched upsert keys (+100), new upsert keys inserted
+    // (+100), deleted keys absent.
+    "lake_feed_checkpoint" -> ((s, dir) => {
+      val t = Fixtures.checkpointedOrders(s, dir)
+      t.tableAsOf(t.currentSeq, Seq("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     "bucket_numeric" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
       li.groupBy(Bucketing.bucketExprFor(li, "l_partkey", 5).as("bucket"))
@@ -1577,6 +1592,23 @@ object SparkEntry {
          |  WHERE o_orderkey % 4 = 1 AND o_custkey % 5 = 0)
          |SELECT op, COUNT(*) AS n, ${osum("o_totalprice")} AS total
          |FROM ch GROUP BY op ORDER BY op""".stripMargin,
+
+    // Final state across the checkpoint boundary: %4=0 base rows (+100
+    // where the upsert matched), %4=1 inserted rows minus the deleted
+    // slice, %4=2 rows the upsert created (+100).
+    "lake_feed_checkpoint" ->
+      s"""WITH st AS (
+         |  SELECT o_orderstatus,
+         |         o_totalprice + CASE WHEN o_custkey % 3 = 0 THEN 100 ELSE 0 END AS p
+         |  FROM orders WHERE o_orderkey % 4 = 0
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderkey % 4 = 1 AND o_custkey % 5 <> 0
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice + 100 FROM orders
+         |  WHERE o_orderkey % 4 = 2 AND o_custkey % 3 = 0)
+         |SELECT o_orderstatus, COUNT(*) AS n, ${osum("p")} AS total
+         |FROM st GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // As of the post-insert mark: base + insert, ORIGINAL prices, nothing
     // deleted.

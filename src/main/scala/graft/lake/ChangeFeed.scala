@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.model.StorageSpec
+import graft.model.{PartKey, StorageSpec}
 import graft.operators.MaterializedAgg
 
 /** Row-level change feed for a lake table. Every mutation appends stamped
@@ -46,14 +46,43 @@ final class TrackedLake private (
   private def stamped(df: DataFrame, op: String, n: Long): DataFrame =
     df.withColumn(SeqCol, lit(n)).withColumn(OpCol, lit(op))
 
-  /** The table's current rows matching the mutation's keys. No broadcast
-    * hint: a small delta broadcasts by Catalyst's own sizing, while a huge
-    * one (backfills routinely rewrite whole partitions) must shuffle — a
+  /** Driver-side copy of the batch's key values when the mutation key is a
+    * single BIGINT column and the batch is small enough to hold — the
+    * precondition for routing the image scans through
+    * [[LakeDataset#prunedByLongKeys]] (zones + blooms + bucket routing skip
+    * every cell that provably holds none of the keys). Over the cap, or for
+    * composite / non-long keys, `None` = fall back to the full-table
+    * semi-join, which a batch that big amortizes anyway (fail open).
+    */
+  private def probeKeys(
+      keyRows: DataFrame, keys: Seq[String]): Option[Array[Long]] =
+    keys match {
+      case Seq(k) if table.tableSchema(k).dataType ==
+          org.apache.spark.sql.types.LongType =>
+        val rows = keyRows.limit(TrackedLake.MaxProbeKeys + 1).collect()
+        if (rows.length > TrackedLake.MaxProbeKeys) None
+        // NULL keys never equality-match in the semi-join, so dropping
+        // them from the probe set loses nothing.
+        else Some(rows.iterator.filterNot(_.isNullAt(0))
+          .map(_.getLong(0)).toArray)
+      case _ => None
+    }
+
+  /** The table's current rows matching the mutation's keys. `probe`
+    * (when available) prunes the scan to the cells that may hold the keys;
+    * the semi-join then narrows to the exact rows. No broadcast hint: a
+    * small delta broadcasts by Catalyst's own sizing, while a huge one
+    * (backfills routinely rewrite whole partitions) must shuffle — a
     * forced broadcast of an unbounded key set is a driver OOM at scale.
     */
-  private def keyImage(keyRows: DataFrame, keys: Seq[String]): DataFrame =
-    table.toDF.join(keyRows, keys.toSeq, "left_semi")
-      .localCheckpoint(true)
+  private def keyImage(keyRows: DataFrame, keys: Seq[String],
+      probe: Option[Array[Long]]): DataFrame = {
+    val base = probe match {
+      case Some(ks) => table.prunedByLongKeys(keys.head, ks)
+      case None => table.toDF
+    }
+    base.join(keyRows, keys.toSeq, "left_semi").localCheckpoint(true)
+  }
 
   def insert(df: DataFrame): Long = this.synchronized {
     table.insert(df)
@@ -64,9 +93,10 @@ final class TrackedLake private (
 
   def upsert(df: DataFrame, keys: Seq[String]): Long = this.synchronized {
     val keyRows = df.select(keys.map(col): _*).distinct().localCheckpoint(true)
-    val pre = keyImage(keyRows, keys)
+    val probe = probeKeys(keyRows, keys)
+    val pre = keyImage(keyRows, keys, probe)
     table.upsert(df, keys)
-    val post = keyImage(keyRows, keys)
+    val post = keyImage(keyRows, keys, probe)
     val n = seq.incrementAndGet()
     log.insert(stamped(pre, "U-", n))
     log.insert(stamped(post, "U+", n))
@@ -75,7 +105,7 @@ final class TrackedLake private (
 
   def delete(keysDf: DataFrame, keys: Seq[String]): Long = this.synchronized {
     val keyRows = keysDf.select(keys.map(col): _*).distinct().localCheckpoint(true)
-    val pre = keyImage(keyRows, keys)
+    val pre = keyImage(keyRows, keys, probeKeys(keyRows, keys))
     table.delete(keyRows, keys)
     val n = seq.incrementAndGet()
     log.insert(stamped(pre, "D", n))
@@ -123,11 +153,48 @@ final class TrackedLake private (
     * and time travel trade off exactly as in any log-structured design.
     */
   def vacuum(throughSeq: Long): Unit = {
-    val old = log.partKeys.filter(_.partValues.exists {
+    val old = cellsThrough(throughSeq)
+    if (old.nonEmpty) log.dropParts(old)
+  }
+
+  private def cellsThrough(throughSeq: Long): List[PartKey] =
+    log.partKeys.filter(_.partValues.exists {
       case (c, v) => c == SeqCol && v != null &&
         scala.util.Try(v.toLong).toOption.exists(_ <= throughSeq)
     })
-    if (old.nonEmpty) log.dropParts(old)
+
+  /** CHECKPOINT the log: collapse every cell with `_seq` <= `atSeq` into
+    * ONE base cell — the table AS OF `atSeq` reconstructed from the log
+    * itself, stamped (`_seq` = `atSeq`, `_op` = "I"). The log's cell count
+    * drops to 1 + (mutations since `atSeq`) while everything a consumer at
+    * or past the mark can ask for is unchanged:
+    *  - [[tableAsOf]] at any mark >= `atSeq` is exact — the base cell IS
+    *    the latest image per key at `atSeq` (deleted keys absent), and
+    *    later cells override it in the per-key window;
+    *  - [[changesSince]] at any mark >= `atSeq` never sees the base cell
+    *    (its tight seq zone [atSeq, atSeq] prunes out);
+    *  - a NEW consumer bootstraps with `changesSince(atSeq - 1)`: base
+    *    state + tail, the checkpoint-plus-log read every log-structured
+    *    format serves.
+    * Marks BELOW `atSeq` become unvisitable and mid-prefix consumers
+    * would double-count the base cell — the same retention contract as
+    * [[vacuum]], with history replaced by its net effect instead of
+    * dropped. Exactness needs the log to cover full history up to `atSeq`
+    * (`logBase = true` or an empty start). On a persisted log the swap is
+    * not atomic across a process kill (drop, then insert + save) — rerun
+    * the checkpoint after a crash-restore from the table.
+    */
+  def checkpoint(atSeq: Long, keys: Seq[String]): Unit = this.synchronized {
+    require(atSeq <= seq.get(),
+      s"checkpoint($atSeq) is above currentSeq ${seq.get()}")
+    val old = cellsThrough(atSeq)
+    if (old.isEmpty) return
+    // Materialize BEFORE dropping: the reconstruction reads the very
+    // cells about to be dropped.
+    val base = stamped(tableAsOf(atSeq, keys), "I", atSeq).localCheckpoint(true)
+    log.dropParts(old)
+    log.insert(base)
+    if (log.storage.isDefined) log.saveParts(cellsThrough(atSeq))
   }
 
   /** Drive a [[MaterializedAgg]] view from the feed alone. Replay rule:
@@ -163,6 +230,13 @@ final class TrackedLake private (
 object TrackedLake {
   val SeqCol = "_seq"
   val OpCol = "_op"
+
+  /** Largest key batch collected to the driver for the pruned image probe
+    * (8 B/key → ≤ ~800 KB driver-side). Bigger mutations fall back to the
+    * full-table semi-join they amortize anyway — same stance as the
+    * incremental exact index's capped probe.
+    */
+  val MaxProbeKeys = 100000
 
   /** Wrap a dataset with a change feed. The log is partitioned by `_seq`
     * — one cell per mutation with a tight seq zone, so tail reads prune to

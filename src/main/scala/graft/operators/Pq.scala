@@ -187,15 +187,23 @@ object Pq {
       index: Similarity.IvfLake, model: PqModel, vecCol: String,
       codeCol: String = "pq_code"): graft.lake.LakeDataset = {
     val coded = encode(index.assigned.toDF, vecCol, model, codeCol)
-    // Snapshot before wiping: the coded plan may read the directory being
-    // replaced (same hazard and remedy as saveIvf).
-    val snap = coded.localCheckpoint(true)
+    val target = s"$root/assigned_pq"
+    // The saveIvf hazard — the coded plan reading the directory about to be
+    // wiped — only exists when the source lists live AT the target (a
+    // re-encode over a previously coded lake) or the source has no storage
+    // at all (an arbitrary in-memory plan whose lineage we can't inspect).
+    // The normal build reads `root/assigned` and writes `root/assigned_pq`:
+    // disjoint trees, so the write job can stream the encode straight to
+    // disk without first materializing the whole coded corpus as a
+    // checkpoint — one corpus pass instead of two.
+    val sourceDisjoint = index.assigned.storage.exists(_.root != target)
+    val toWrite = if (sourceDisjoint) coded else coded.localCheckpoint(true)
     graft.lake.LakeDataset.deleteRecursively(
-      java.nio.file.Paths.get(s"$root/assigned_pq"))
+      java.nio.file.Paths.get(target))
     val ds = graft.lake.LakeDataset.forStorage(spark,
       partitionCols = Seq("centroid"), bucketCols = Nil, nBuckets = 0,
-      bloomCols = Nil, storage = graft.model.StorageSpec(s"$root/assigned_pq"))
-    ds.insertWritten(snap)
+      bloomCols = Nil, storage = graft.model.StorageSpec(target))
+    ds.insertWritten(toWrite)
     save(model, s"$root/assigned_pq") // codebooks travel with the lists
     ds
   }

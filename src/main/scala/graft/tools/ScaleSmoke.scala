@@ -243,6 +243,59 @@ object ScaleSmoke {
         time("cdf full-history read") { t.changesSince(0L).count() }
         time("cdf vacuum below tail") { t.vacuum(last - 1) }
         println(s"[scale] cdf cells after vacuum: ${t.log.numParts}")
+
+        // Pruned capture probe: on a DISK-backed, partitioned + key-bloomed
+        // table, a bigint-keyed mutation's image scan routes through
+        // prunedByLongKeys — cells whose zones/blooms exclude every batch
+        // key are never opened. Compare against the full-table semi-join
+        // the capture used to pay.
+        val cdfRoot = java.nio.file.Files.createTempDirectory("graft_scale_cdf").toString
+        try {
+          LD.fromDataFrame(spark, cdfBase,
+            partitionCols = Seq("o_orderstatus"), bloomCols = Seq("o_orderkey"),
+            storage = Some(graft.model.StorageSpec(cdfRoot))).toStorage()
+          val disk = LD.fromStorage(spark, cdfRoot)
+          val t2 = TrackedLake(spark, disk)
+          val batch = cdfBase.filter(col("o_orderstatus") === "F").limit(2000)
+            .withColumn("o_totalprice", col("o_totalprice") + 1)
+            .localCheckpoint(true)
+          val keyRows = batch.select("o_orderkey").distinct().localCheckpoint(true)
+          val keys = keyRows.collect().map(_.getLong(0))
+          val pruned = disk.prunedByLongKeys("o_orderkey", keys)
+          println(s"[scale] capture probe leaves: " +
+            s"${pruned.queryExecution.optimizedPlan.collectLeaves().size}" +
+            s" of ${disk.numParts} cells")
+          time("capture image probe (pruned cells)") {
+            pruned.join(keyRows, Seq("o_orderkey"), "left_semi").count()
+          }
+          time("capture image probe (full-table semi-join)") {
+            disk.toDF.join(keyRows, Seq("o_orderkey"), "left_semi").count()
+          }
+          time("cdf upsert with pruned capture (pre+post images)") {
+            t2.upsert(batch, Seq("o_orderkey"))
+          }
+
+          // Checkpoint: collapse the whole prefix into one base cell; tail
+          // reads and later time travel survive, cell count resets.
+          val t3 = TrackedLake(spark,
+            LD.fromDataFrame(spark, cdfBase, partitionCols = Seq("o_orderstatus")),
+            logBase = true)
+          val ms = (0 until 12).map { i =>
+            t3.insert(cdfBase.limit(500)
+              .withColumn("o_orderkey", col("o_orderkey") + lit(1e9.toLong * (i + 1))))
+          }
+          val ckptAt = ms(9)
+          time(s"cdf checkpoint at mark 10 of 13 (${t3.log.numParts} cells)") {
+            t3.checkpoint(ckptAt, Seq("o_orderkey"))
+          }
+          println(s"[scale] cdf cells after checkpoint: ${t3.log.numParts}")
+          time("cdf tail read after checkpoint") {
+            t3.changesSince(ckptAt).count()
+          }
+          time("cdf bootstrap read (base cell + tail)") {
+            t3.changesSince(ckptAt - 1).count()
+          }
+        } finally LD.deleteRecursively(java.nio.file.Paths.get(cdfRoot))
       }
 
       // MATERIALIZED VIEW: build once over the corpus, then a tiny insert's
