@@ -244,33 +244,52 @@ object ScaleSmoke {
         time("cdf vacuum below tail") { t.vacuum(last - 1) }
         println(s"[scale] cdf cells after vacuum: ${t.log.numParts}")
 
-        // Pruned capture probe: on a DISK-backed, partitioned + key-bloomed
-        // table, a bigint-keyed mutation's image scan routes through
-        // prunedByLongKeys — cells whose zones/blooms exclude every batch
-        // key are never opened. Compare against the full-table semi-join
-        // the capture used to pay.
+        // Pruned capture probe: a DISK-backed corpus ingested as key-range
+        // batches (keys correlate with arrival, the log-append norm), one
+        // cell per batch with a tight disjoint o_orderkey zone. A
+        // bigint-keyed mutation's image scan routes through
+        // prunedByLongKeys — cells whose zones exclude every batch key are
+        // never opened. Compare against the full-table semi-join the
+        // capture used to pay, which reads all cells.
         val cdfRoot = java.nio.file.Files.createTempDirectory("graft_scale_cdf").toString
         try {
-          LD.fromDataFrame(spark, cdfBase,
-            partitionCols = Seq("o_orderstatus"), bloomCols = Seq("o_orderkey"),
+          val kcells = 12
+          val capBase = (0 until kcells).map { i =>
+            o7.select(
+              (col("o_orderkey") + lit(i.toLong * 10000000L)).as("o_orderkey"),
+              col("o_orderstatus"), col("o_totalprice"))
+              .withColumn("kcell", lit(i))
+          }.reduce(_ unionByName _)
+          LD.fromDataFrame(spark, capBase,
+            partitionCols = Seq("kcell"),
             storage = Some(graft.model.StorageSpec(cdfRoot))).toStorage()
           val disk = LD.fromStorage(spark, cdfRoot)
+          println(s"[scale] capture corpus: ${disk.rowsCount} rows, " +
+            s"${disk.numParts} key-range cells")
           val t2 = TrackedLake(spark, disk)
-          val batch = cdfBase.filter(col("o_orderstatus") === "F").limit(2000)
-            .withColumn("o_totalprice", col("o_totalprice") + 1)
+          val batch = o7.limit(2000).select(
+            (col("o_orderkey") + lit(7L * 10000000L)).as("o_orderkey"),
+            col("o_orderstatus"), (col("o_totalprice") + 1).as("o_totalprice"))
+            .withColumn("kcell", lit(7))
             .localCheckpoint(true)
           val keyRows = batch.select("o_orderkey").distinct().localCheckpoint(true)
           val keys = keyRows.collect().map(_.getLong(0))
           val pruned = disk.prunedByLongKeys("o_orderkey", keys)
-          println(s"[scale] capture probe leaves: " +
-            s"${pruned.queryExecution.optimizedPlan.collectLeaves().size}" +
+          println(s"[scale] capture probe dirs: " +
+            s"${org.apache.spark.sql.graftbridge.Bridge.scanRootPaths(pruned).size}" +
             s" of ${disk.numParts} cells")
-          time("capture image probe (pruned cells)") {
-            pruned.join(keyRows, Seq("o_orderkey"), "left_semi").count()
+          // Materialize FULL image rows (what capture checkpoints) — a
+          // count() would let Catalyst prune to the key column and hide
+          // the scan-volume difference.
+          val img1 = time("capture image probe (pruned cells)") {
+            pruned.join(keyRows, Seq("o_orderkey"), "left_semi")
+              .localCheckpoint(true)
           }
-          time("capture image probe (full-table semi-join)") {
-            disk.toDF.join(keyRows, Seq("o_orderkey"), "left_semi").count()
+          val img2 = time("capture image probe (full-table semi-join)") {
+            disk.toDF.join(keyRows, Seq("o_orderkey"), "left_semi")
+              .localCheckpoint(true)
           }
+          img1.unpersist(); img2.unpersist()
           time("cdf upsert with pruned capture (pre+post images)") {
             t2.upsert(batch, Seq("o_orderkey"))
           }
