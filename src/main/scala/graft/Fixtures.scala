@@ -93,6 +93,27 @@ object Fixtures {
       (t, mark)
     }).asInstanceOf[(graft.lake.TrackedLake, Long)]
 
+  /** A DURABLE feed (autoSave: every mutation's cell persisted as it
+    * lands) with the same mutation recipe as [[trackedOrders]] — the
+    * streaming gate tails its log root with a file-stream query.
+    */
+  def streamedOrders(s: SparkSession, dir: String): graft.lake.TrackedLake =
+    memo.getOrElseUpdate(s"$dir#cdf_stream", {
+      val root = java.nio.file.Files.createTempDirectory("graft_cdf_sfx").toString
+      val o = table(s, dir, "orders")
+      val t = graft.lake.TrackedLake(s,
+        LakeDataset.fromDataFrame(s, o.filter(col("o_orderkey") % 4 === 0),
+          partitionCols = Seq("o_orderstatus")),
+        logRoot = Some(root), logBase = true, autoSave = true)
+      t.insert(o.filter(col("o_orderkey") % 4 === 1))
+      t.upsert(o.filter(col("o_custkey") % 3 === 0 &&
+          (col("o_orderkey") % 4 === 0 || col("o_orderkey") % 4 === 2))
+        .withColumn("o_totalprice", col("o_totalprice") + 100), Seq("o_orderkey"))
+      t.delete(o.filter(col("o_orderkey") % 4 === 1 && col("o_custkey") % 5 === 0)
+        .select("o_orderkey"), Seq("o_orderkey"))
+      t
+    }).asInstanceOf[graft.lake.TrackedLake]
+
   /** A feed whose log was CHECKPOINTED at the post-insert mark — the base
     * commit and the insert collapse into ONE base cell — and then mutated
     * further. Reconstruction queries must compose the base cell with the

@@ -56,7 +56,8 @@ object SparkEntry {
     "ann_ivfpq_topk" -> ((s, dir) => { Fixtures.ivfPqLists(s, dir); () }),
     "lake_change_feed" -> ((s, dir) => { Fixtures.trackedOrders(s, dir); () }),
     "lake_time_travel" -> ((s, dir) => { Fixtures.trackedOrders(s, dir); () }),
-    "lake_feed_checkpoint" -> ((s, dir) => { Fixtures.checkpointedOrders(s, dir); () })
+    "lake_feed_checkpoint" -> ((s, dir) => { Fixtures.checkpointedOrders(s, dir); () }),
+    "feed_stream_read" -> ((s, dir) => { Fixtures.streamedOrders(s, dir); () })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -885,6 +886,25 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Streaming feed consumer: a Structured Streaming file source tails
+    // the DURABLE feed's log root (each mutation = one new cell
+    // directory), delivering every image row through a real streaming
+    // query — the same feed content the batch reader sees, so the
+    // lake_change_feed oracle applies verbatim.
+    "feed_stream_read" -> ((s, dir) => {
+      import graft.lake.TrackedLake
+      val t = Fixtures.streamedOrders(s, dir)
+      s.catalog.dropTempView("graft_feed_stream")
+      val q = t.streamChanges().writeStream
+        .format("memory").queryName("graft_feed_stream")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_feed_stream")
+        .groupBy(col(TrackedLake.OpCol).as("op"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("op")
+    }),
+
     // Log checkpoint: the prefix (base commit + insert) collapsed into ONE
     // base cell BEFORE the upsert/delete landed; reconstructing the final
     // state composes the base cell with the post-checkpoint tail across
@@ -1578,6 +1598,24 @@ object SparkEntry {
     // post-insert rows. Op codes sort in binary ('+' < '-') in both
     // engines.
     "lake_change_feed" ->
+      s"""WITH ch AS (
+         |  SELECT 'I' AS op, o_totalprice FROM orders
+         |  WHERE o_orderkey % 4 = 0 OR o_orderkey % 4 = 1
+         |  UNION ALL
+         |  SELECT 'U-', o_totalprice FROM orders
+         |  WHERE o_orderkey % 4 = 0 AND o_custkey % 3 = 0
+         |  UNION ALL
+         |  SELECT 'U+', o_totalprice + 100 FROM orders
+         |  WHERE o_custkey % 3 = 0 AND (o_orderkey % 4 = 0 OR o_orderkey % 4 = 2)
+         |  UNION ALL
+         |  SELECT 'D', o_totalprice FROM orders
+         |  WHERE o_orderkey % 4 = 1 AND o_custkey % 5 = 0)
+         |SELECT op, COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM ch GROUP BY op ORDER BY op""".stripMargin,
+
+    // The streaming tail delivers the same feed content as the batch
+    // reader — the lake_change_feed reconstruction applies verbatim.
+    "feed_stream_read" ->
       s"""WITH ch AS (
          |  SELECT 'I' AS op, o_totalprice FROM orders
          |  WHERE o_orderkey % 4 = 0 OR o_orderkey % 4 = 1

@@ -34,7 +34,13 @@ import graft.operators.MaterializedAgg
 final class TrackedLake private (
     val table: LakeDataset,
     val log: LakeDataset,
-    seq: AtomicLong) {
+    seq: AtomicLong,
+    /** Persist each mutation's log cell as it lands (one-pass
+      * [[LakeDataset#insertWritten]] straight to the log root) — the
+      * durable-feed mode [[streamChanges]] requires: a crash loses no
+      * acknowledged change, and external tailers see cells appear.
+      */
+    autoPersist: Boolean = false) {
 
   private[lake] def seqRef: AtomicLong = seq
 
@@ -45,6 +51,12 @@ final class TrackedLake private (
 
   private def stamped(df: DataFrame, op: String, n: Long): DataFrame =
     df.withColumn(SeqCol, lit(n)).withColumn(OpCol, lit(op))
+
+  /** Append one mutation's stamped batch to the log: durable one-pass
+    * write in autoSave mode, in-memory catalog append otherwise.
+    */
+  private def logAppend(batch: DataFrame): Unit =
+    if (autoPersist) log.insertWritten(batch) else log.insert(batch)
 
   /** Driver-side copy of the batch's key values when the mutation key is a
     * single BIGINT column and the batch is small enough to hold — the
@@ -87,7 +99,7 @@ final class TrackedLake private (
   def insert(df: DataFrame): Long = this.synchronized {
     table.insert(df)
     val n = seq.incrementAndGet()
-    log.insert(stamped(df, "I", n))
+    logAppend(stamped(df, "I", n))
     n
   }
 
@@ -98,8 +110,9 @@ final class TrackedLake private (
     table.upsert(df, keys)
     val post = keyImage(keyRows, keys, probe)
     val n = seq.incrementAndGet()
-    log.insert(stamped(pre, "U-", n))
-    log.insert(stamped(post, "U+", n))
+    // One append for both images: they share the mutation's cell, and the
+    // durable path writes each cell exactly once.
+    logAppend(stamped(pre, "U-", n).unionByName(stamped(post, "U+", n)))
     n
   }
 
@@ -108,7 +121,7 @@ final class TrackedLake private (
     val pre = keyImage(keyRows, keys, probeKeys(keyRows, keys))
     table.delete(keyRows, keys)
     val n = seq.incrementAndGet()
-    log.insert(stamped(pre, "D", n))
+    logAppend(stamped(pre, "D", n))
     n
   }
 
@@ -193,8 +206,33 @@ final class TrackedLake private (
     // cells about to be dropped.
     val base = stamped(tableAsOf(atSeq, keys), "I", atSeq).localCheckpoint(true)
     log.dropParts(old)
-    log.insert(base)
-    if (log.storage.isDefined) log.saveParts(cellsThrough(atSeq))
+    logAppend(base)
+    if (!autoPersist && log.storage.isDefined) log.saveParts(cellsThrough(atSeq))
+  }
+
+  /** Structured Streaming view of a DURABLE feed (`autoSave`): each
+    * mutation lands as a new cell directory under the log root, so
+    * Spark's file stream source tails the log — new cells are discovered
+    * per micro-batch and delivered exactly once per query. Feed consumers
+    * become ordinary streaming queries (windowed aggregates, foreachBatch
+    * replication to another system, alerting) with checkpointed progress
+    * and no bespoke consumer machinery; `_seq` arrives as a column
+    * (parsed from the cell directory), so a consumer can still filter or
+    * order by mark. Batch readers keep using [[changesSince]].
+    */
+  def streamChanges(): DataFrame = {
+    require(autoPersist,
+      "streamChanges needs a durable feed: TrackedLake(..., logRoot = " +
+        "Some(root), autoSave = true) — unsaved mutations would be " +
+        "invisible to the file stream")
+    val spec = log.storage.getOrElse(throw new IllegalStateException(
+      "streamChanges: autoSave feed has no storage root"))
+    // Glob the cell dirs (skips manifest.json at the root); basePath makes
+    // the source parse `_seq=N` as a partition value of the given schema.
+    log.spark.readStream
+      .schema(log.tableSchema)
+      .option("basePath", spec.root)
+      .parquet(s"${spec.root}/${TrackedLake.SeqCol}=*")
   }
 
   /** Drive a [[MaterializedAgg]] view from the feed alone. Replay rule:
@@ -252,10 +290,13 @@ object TrackedLake {
     * (the same initial-commit cost every log-structured format pays).
     */
   def apply(spark: SparkSession, table: LakeDataset,
-      logRoot: Option[String] = None, logBase: Boolean = false): TrackedLake = {
+      logRoot: Option[String] = None, logBase: Boolean = false,
+      autoSave: Boolean = false): TrackedLake = {
     require(!table.tableSchema.fieldNames.contains(SeqCol) &&
       !table.tableSchema.fieldNames.contains(OpCol),
       s"table already has a $SeqCol/$OpCol column")
+    require(!autoSave || logRoot.isDefined,
+      "autoSave needs a logRoot to persist into")
     val log = logRoot match {
       case Some(root) if java.nio.file.Files.exists(
           java.nio.file.Paths.get(root, graft.model.Manifest.FileName)) =>
@@ -279,11 +320,12 @@ object TrackedLake {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
-    val t = new TrackedLake(table, log, new AtomicLong(high))
+    val t = new TrackedLake(table, log, new AtomicLong(high), autoSave)
     if (logBase && high == 0L && table.numParts > 0) {
       val n = t.seqRef.incrementAndGet()
-      log.insert(table.toDF
-        .withColumn(SeqCol, lit(n)).withColumn(OpCol, lit("I")))
+      val base = table.toDF
+        .withColumn(SeqCol, lit(n)).withColumn(OpCol, lit("I"))
+      if (autoSave) log.insertWritten(base) else log.insert(base)
     }
     t
   }

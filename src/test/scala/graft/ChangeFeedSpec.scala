@@ -182,6 +182,41 @@ class ChangeFeedSpec extends SparkSpec {
     } finally LakeDataset.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("streamChanges tails a durable (autoSave) log as a file stream") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf_stream").toString
+    try {
+      val t = TrackedLake(spark, mkTable(), logRoot = Some(root),
+        logBase = true, autoSave = true)
+      spark.catalog.dropTempView("feedstream")
+      val q = t.streamChanges().writeStream
+        .format("memory").queryName("feedstream").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // base commit (3 rows) is already on disk and arrives in batch 0
+        assert(spark.table("feedstream").count() == 3)
+        // live mutations land as new cells and are discovered incrementally
+        t.insert(Seq((4L, "b", 40.0)).toDF("k", "g", "v"))
+        t.upsert(Seq((1L, "b", 11.0), (5L, "c", 50.0)).toDF("k", "g", "v"),
+          Seq("k"))
+        t.delete(Seq(2L).toDF("k"), Seq("k"))
+        q.processAllAvailable()
+        def rows(df: org.apache.spark.sql.DataFrame) = df
+          .select("_seq", "_op", "k", "g", "v").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getString(3), r.getDouble(4))).toSet
+        // the stream delivered exactly the feed's batch-read truth
+        assert(rows(spark.table("feedstream")) == rows(t.changesSince(0L)))
+        assert(spark.table("feedstream").count() == 3 + 1 + 3 + 1)
+      } finally q.stop()
+      // durability: a reopened feed continues from the persisted cells
+      // with no manual save anywhere
+      val t2 = TrackedLake(spark, mkTable(), logRoot = Some(root),
+        autoSave = true)
+      assert(t2.currentSeq == 4L)
+      assert(t2.changesSince(0L).count() == 8)
+    } finally LakeDataset.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("persisted log reopens and continues numbering; seq survives") {
     val root = java.nio.file.Files.createTempDirectory("graft_cdf").toString
     try {
