@@ -57,7 +57,8 @@ object SparkEntry {
     "lake_change_feed" -> ((s, dir) => { Fixtures.trackedOrders(s, dir); () }),
     "lake_time_travel" -> ((s, dir) => { Fixtures.trackedOrders(s, dir); () }),
     "lake_feed_checkpoint" -> ((s, dir) => { Fixtures.checkpointedOrders(s, dir); () }),
-    "feed_stream_read" -> ((s, dir) => { Fixtures.streamedOrders(s, dir); () })
+    "feed_stream_read" -> ((s, dir) => { Fixtures.streamedOrders(s, dir); () }),
+    "feed_replicate" -> ((s, dir) => { Fixtures.streamedOrders(s, dir); () })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -905,6 +906,25 @@ object SparkEntry {
         .orderBy("op")
     }),
 
+    // CDC replication: a streaming query applies the feed to an initially
+    // EMPTY replica lake (inserts/post-images merge by key, deletes
+    // anti-join out, in seq order) — the replica must equal the source
+    // table's final state, which the oracle derives from orders directly.
+    "feed_replicate" -> ((s, dir) => {
+      val t = Fixtures.streamedOrders(s, dir)
+      val replica = LakeDataset.fromDataFrame(s,
+        table(s, dir, "orders").limit(0),
+        partitionCols = Seq("o_orderstatus"))
+      val q = t.streamChanges().writeStream
+        .foreachBatch(graft.streaming.StreamingIngest
+          .applyFeedBatches(replica, Seq("o_orderkey")))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      replica.toDF.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Log checkpoint: the prefix (base commit + insert) collapsed into ONE
     // base cell BEFORE the upsert/delete landed; reconstructing the final
     // state composes the base cell with the post-checkpoint tail across
@@ -1630,6 +1650,23 @@ object SparkEntry {
          |  WHERE o_orderkey % 4 = 1 AND o_custkey % 5 = 0)
          |SELECT op, COUNT(*) AS n, ${osum("o_totalprice")} AS total
          |FROM ch GROUP BY op ORDER BY op""".stripMargin,
+
+    // The replica equals the source's final state: %4=0 base rows (+100
+    // where the upsert matched), %4=1 inserted rows minus the deleted
+    // slice, %4=2 rows the upsert created (+100).
+    "feed_replicate" ->
+      s"""WITH st AS (
+         |  SELECT o_orderstatus,
+         |         o_totalprice + CASE WHEN o_custkey % 3 = 0 THEN 100 ELSE 0 END AS p
+         |  FROM orders WHERE o_orderkey % 4 = 0
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderkey % 4 = 1 AND o_custkey % 5 <> 0
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice + 100 FROM orders
+         |  WHERE o_orderkey % 4 = 2 AND o_custkey % 3 = 0)
+         |SELECT o_orderstatus, COUNT(*) AS n, ${osum("p")} AS total
+         |FROM st GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // Final state across the checkpoint boundary: %4=0 base rows (+100
     // where the upsert matched), %4=1 inserted rows minus the deleted

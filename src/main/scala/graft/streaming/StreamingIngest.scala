@@ -57,6 +57,45 @@ object StreamingIngest {
       refresh.foreach { case (db, name) => db.refresh(name) }
     }
 
+  /** foreachBatch sink APPLYING a change feed
+    * ([[graft.lake.TrackedLake#streamChanges]]) to a REPLICA lake — CDC
+    * replication from feed + streaming + merge, no bespoke machinery.
+    * Mutations apply in ascending `_seq` (a delete must not land before
+    * the insert it follows); per mutation, insert images and upsert
+    * POST-images merge by `keys`, delete pre-images anti-join out by
+    * `keys`, and `U-` evidence rows are skipped. Inserts apply as merges
+    * deliberately: every step is then idempotent, so the file stream's
+    * at-least-once delivery (a batch can replay after a crash) still
+    * yields an exactly-once replica. Requires `keys` unique in the source
+    * table — the same contract its upserts/deletes already assume.
+    */
+  def applyFeedBatches(
+      replica: LakeDataset, keys: Seq[String]): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      import graft.lake.TrackedLake.{OpCol, SeqCol}
+      if (!batch.isEmpty) {
+        // One materialization; each per-mutation filter below re-slices it
+        // instead of re-reading the batch's files.
+        val b = batch.localCheckpoint(true)
+        // One pass discovers every (mutation, op) present — the loop below
+        // then runs only the applies that exist, with no per-seq probing.
+        val present = b.select(SeqCol, OpCol).distinct().collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        val opsBySeq = present.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+        present.map(_._1).distinct.sorted.foreach { n =>
+          val m = b.filter(col(SeqCol) === n)
+          val ops = opsBySeq(n)
+          if (ops.contains("I"))
+            replica.upsert(m.filter(col(OpCol) === "I").drop(SeqCol, OpCol), keys)
+          if (ops.contains("U+"))
+            replica.upsert(m.filter(col(OpCol) === "U+").drop(SeqCol, OpCol), keys)
+          if (ops.contains("D"))
+            replica.delete(m.filter(col(OpCol) === "D")
+              .select(keys.map(col): _*), keys)
+        }
+      }
+    }
+
   /** foreachBatch sink maintaining an incremental MinHash near-dup index
     * ([[graft.operators.MinhashIndex]]): each micro-batch of documents signs
     * only its own rows, band-joins against the whole persisted corpus, and

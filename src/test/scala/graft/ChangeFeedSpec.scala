@@ -217,6 +217,37 @@ class ChangeFeedSpec extends SparkSpec {
     } finally LakeDataset.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("feed replication: streaming apply keeps a replica equal to the source") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf_repl").toString
+    try {
+      val t = TrackedLake(spark, mkTable(), logRoot = Some(root),
+        logBase = true, autoSave = true)
+      t.insert(Seq((4L, "c", 40.0)).toDF("k", "g", "v"))
+      t.upsert(Seq((1L, "b", 11.0), (5L, "d", 50.0)).toDF("k", "g", "v"), Seq("k"))
+      t.delete(Seq(2L).toDF("k"), Seq("k"))
+      val replica = LakeDataset.fromDataFrame(spark,
+        Seq.empty[(Long, String, Double)].toDF("k", "g", "v"))
+      def follow() = t.streamChanges().writeStream
+        .foreachBatch(graft.streaming.StreamingIngest
+          .applyFeedBatches(replica, Seq("k")))
+        .start()
+      def snap(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "g", "v").collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      val q = follow()
+      try q.processAllAvailable() finally q.stop()
+      assert(snap(replica.toDF) == snap(t.table.toDF))
+      // more mutations, then a FRESH query (no checkpoint) that replays the
+      // whole log over the already-populated replica: the merge-based apply
+      // is idempotent, so history replay cannot duplicate or corrupt
+      t.upsert(Seq((4L, "c", 44.0)).toDF("k", "g", "v"), Seq("k"))
+      t.delete(Seq(3L).toDF("k"), Seq("k"))
+      val q2 = follow()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(snap(replica.toDF) == snap(t.table.toDF))
+    } finally LakeDataset.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("persisted log reopens and continues numbering; seq survives") {
     val root = java.nio.file.Files.createTempDirectory("graft_cdf").toString
     try {
