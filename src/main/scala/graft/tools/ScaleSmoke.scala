@@ -314,6 +314,36 @@ object ScaleSmoke {
           time("cdf bootstrap read (base cell + tail)") {
             t3.changesSince(ckptAt - 1).count()
           }
+
+          // Durable feed: autoSave persists each mutation's cell as a
+          // one-pass write; a streaming query then tails the log root and
+          // replicates it into an EMPTY lake (CDC apply: merge I/U+ by
+          // key, anti-join D out, seq order).
+          val sroot = java.nio.file.Files.createTempDirectory("graft_scale_sfx").toString
+          try {
+            val t4 = TrackedLake(spark,
+              LD.fromDataFrame(spark, cdfBase, partitionCols = Seq("o_orderstatus")),
+              logRoot = Some(sroot), logBase = true, autoSave = true)
+            time("cdf durable mutations (1 I + 1 U + 1 D, autoSave)") {
+              t4.insert(cdfBase.limit(2000)
+                .withColumn("o_orderkey", col("o_orderkey") + lit(5e9.toLong)))
+              t4.upsert(cdfBase.limit(1000)
+                .withColumn("o_totalprice", col("o_totalprice") + 1),
+                Seq("o_orderkey"))
+              t4.delete(cdfBase.limit(200).select("o_orderkey"), Seq("o_orderkey"))
+            }
+            val replica = LD.fromDataFrame(spark, cdfBase.limit(0),
+              partitionCols = Seq("o_orderstatus"))
+            time("cdf streaming replication (log -> empty replica)") {
+              val q = t4.streamChanges().writeStream
+                .foreachBatch(graft.streaming.StreamingIngest
+                  .applyFeedBatches(replica, Seq("o_orderkey")))
+                .start()
+              try q.processAllAvailable() finally q.stop()
+            }
+            val (srcN, repN) = (t4.table.toDF.count(), replica.toDF.count())
+            println(s"[scale] cdf replica rows: $repN (source $srcN)")
+          } finally LD.deleteRecursively(java.nio.file.Paths.get(sroot))
         } finally LD.deleteRecursively(java.nio.file.Paths.get(cdfRoot))
       }
 
