@@ -71,6 +71,32 @@ object Fixtures {
         pqModel(s, dir), "embedding")
     }).asInstanceOf[LakeDataset]
 
+  /** BM25 inverted index over the documents table — built and persisted
+    * once per scale factor, then REOPENED from disk so gate queries
+    * exercise the production path: driver-side bucket pruning into the
+    * persisted postings cells (TextSearch scaladoc has the layout).
+    */
+  def bm25Index(s: SparkSession, dir: String): graft.operators.TextSearch.Bm25Index =
+    memo.getOrElseUpdate(s"$dir#bm25", {
+      val root = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+      graft.operators.TextSearch.buildIndex(s, table(s, dir, "documents"),
+        "text", "doc_id", nBuckets = 16,
+        storage = Some(graft.model.StorageSpec(root)))
+      graft.operators.TextSearch.open(s, root)
+    }).asInstanceOf[graft.operators.TextSearch.Bm25Index]
+
+  /** Positional (phrase) index over documents — persisted once per scale
+    * factor and reopened, same stance as [[bm25Index]].
+    */
+  def posIndex(s: SparkSession, dir: String): graft.operators.TextSearch.PositionalIndex =
+    memo.getOrElseUpdate(s"$dir#posidx", {
+      val root = java.nio.file.Files.createTempDirectory("graft_posidx").toString
+      graft.operators.TextSearch.buildPositional(s, table(s, dir, "documents"),
+        "text", "doc_id", nBuckets = 16,
+        storage = Some(graft.model.StorageSpec(root)))
+      graft.operators.TextSearch.openPositional(s, root)
+    }).asInstanceOf[graft.operators.TextSearch.PositionalIndex]
+
   /** A change-feed-tracked orders table after a fixed mutation history
     * (base logged, an insert, a group-touching upsert, a delete) — built
     * once per scale factor; the feed queries read the log/time-travel

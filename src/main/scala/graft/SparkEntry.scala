@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Bucketing
 import graft.lake.{Database, LakeDataset}
-import graft.operators.{Clustering, Dedup, ExactDedupIndex, MaterializedAgg, MinhashIndex, Multimodal, Pq, Sampling, Similarity, StringCache, TextAnalysis}
+import graft.operators.{Clustering, DataQuality, Dedup, ExactDedupIndex, MaterializedAgg, MinhashIndex, Multimodal, Pq, Sampling, Similarity, StringCache, TextAnalysis, TextSearch}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), with a DuckDB-equivalent oracle where SQL-expressible.
@@ -57,8 +57,12 @@ object SparkEntry {
     "lake_change_feed" -> ((s, dir) => { Fixtures.trackedOrders(s, dir); () }),
     "lake_time_travel" -> ((s, dir) => { Fixtures.trackedOrders(s, dir); () }),
     "lake_feed_checkpoint" -> ((s, dir) => { Fixtures.checkpointedOrders(s, dir); () }),
+    "lake_scd2" -> ((s, dir) => { Fixtures.trackedOrders(s, dir); () }),
     "feed_stream_read" -> ((s, dir) => { Fixtures.streamedOrders(s, dir); () }),
-    "feed_replicate" -> ((s, dir) => { Fixtures.streamedOrders(s, dir); () })
+    "feed_replicate" -> ((s, dir) => { Fixtures.streamedOrders(s, dir); () }),
+    "text_bm25_topk" -> ((s, dir) => { Fixtures.bm25Index(s, dir); () }),
+    "text_bm25_int" -> ((s, dir) => { Fixtures.bm25Index(s, dir); () }),
+    "text_phrase_search" -> ((s, dir) => { Fixtures.posIndex(s, dir); () })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -887,6 +891,43 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Data-quality profile (DataQuality.profile): every column's stats in
+    // ONE aggregate over ONE scan — spec-pinned single leaf. Exact
+    // distinct here for the oracle; approxDistinct=true is the 100 TB
+    // path. Long-typed columns only so min/max casts are portable.
+    "dq_profile" -> ((s, dir) =>
+      DataQuality.profile(table(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus")).orderBy("column")),
+
+    // Constraint suite (DataQuality.check): row-local checks share one
+    // scan; uniqueness adds one groupBy; referential integrity one
+    // broadcast anti-join. Exact violation counts, oracle-mirrored.
+    "dq_checks" -> ((s, dir) => {
+      import graft.operators.DataQuality._
+      DataQuality.check(table(s, dir, "orders"), Seq(
+        NotNull("o_custkey"),
+        InRange("o_totalprice", 0.0, 400000.0),
+        MatchesRegex("o_orderpriority", "^[1-5]-[A-Z ]+$"),
+        IsIn("o_orderstatus", Seq("O", "F")),
+        Unique(Seq("o_orderkey")),
+        RefIntegrity("o_custkey", table(s, dir, "customer"), "c_custkey")))
+    }),
+
+    // SCD Type-2 dimension history from the feed: one interval row per
+    // state, one window pass over the log. The report aggregates interval
+    // counts + the CURRENT slice's prices per status; the oracle derives
+    // both from orders and the fixture's known mutation recipe.
+    "lake_scd2" -> ((s, dir) => {
+      val (t, _) = Fixtures.trackedOrders(s, dir)
+      val h = t.scdHistory(Seq("o_orderkey"))
+      h.groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_hist"),
+          sum(when(col("_current"), 1L).otherwise(0L)).as("n_current"),
+          dsum(when(col("_current"), col("o_totalprice"))).as("total_current"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Streaming feed consumer: a Structured Streaming file source tails
     // the DURABLE feed's log root (each mutation = one new cell
     // directory), delivering every image row through a real streaming
@@ -1061,6 +1102,28 @@ object SparkEntry {
     "text_top_bigram" -> ((s, dir) =>
       TextAnalysis.topBigramFrac(table(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc")),
+
+    // BM25 full-text search over the persisted inverted index: the query's
+    // terms prune the postings lake to ≤3 of 16 bucket cells (driver-side
+    // bucket ids, zero I/O) — query cost ∝ queried terms' postings, never
+    // corpus size. Float scorer: ln() is libm-dependent, so rows-only;
+    // the exact-integer twin below is the hash-checked ranking.
+    "text_bm25_topk" -> ((s, dir) =>
+      TextSearch.searchTopK(Fixtures.bm25Index(s, dir), "spark join window", 20)),
+
+    // Integer-surrogate BM25 (same pruned plan, integer idf/saturation
+    // ladders — TextSearch.searchTopKInt scaladoc) — oracle-checked
+    // end-to-end including the ranking.
+    "text_bm25_int" -> ((s, dir) =>
+      TextSearch.searchTopKInt(Fixtures.bm25Index(s, dir), "spark join window", 20)),
+
+    // Exact phrase search over the positional index: each phrase slot
+    // votes for its start position (pos − idx) — one broadcast join + one
+    // aggregation, no |phrase|-way self-join; overlapping and
+    // repeated-word occurrences exact ("batch batch" exercises both).
+    // All-integer, so the full ranking is oracle-checked.
+    "text_phrase_search" -> ((s, dir) =>
+      TextSearch.phraseSearchTopK(Fixtures.posIndex(s, dir), "batch batch", 20)),
 
     // Deterministic ~10% hash sample (md5 is oracle-portable).
     "sample_hash" -> ((s, dir) =>
@@ -1633,6 +1696,74 @@ object SparkEntry {
          |SELECT op, COUNT(*) AS n, ${osum("o_totalprice")} AS total
          |FROM ch GROUP BY op ORDER BY op""".stripMargin,
 
+    "dq_profile" ->
+      """SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+        |       COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+        |       COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |       MIN(o_orderkey) AS min_long, MAX(o_orderkey) AS max_long
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+        |       COUNT(DISTINCT o_custkey), MIN(o_custkey), MAX(o_custkey)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+        |       COUNT(DISTINCT o_orderstatus),
+        |       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM orders""".stripMargin,
+
+    "dq_checks" ->
+      """WITH rep AS (
+        |  SELECT 'not_null(o_custkey)' AS c, COUNT(*) AS n,
+        |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v FROM orders
+        |  UNION ALL
+        |  SELECT 'in_range(o_totalprice)', COUNT(*),
+        |    SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 400000
+        |        THEN 1 ELSE 0 END) FROM orders
+        |  UNION ALL
+        |  SELECT 'matches_regex(o_orderpriority)', COUNT(*),
+        |    SUM(CASE WHEN o_orderpriority IS NOT NULL AND
+        |        NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+        |        THEN 1 ELSE 0 END) FROM orders
+        |  UNION ALL
+        |  SELECT 'is_in(o_orderstatus)', COUNT(*),
+        |    SUM(CASE WHEN o_orderstatus IS NOT NULL AND
+        |        o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) FROM orders
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)', CAST(SUM(g) AS BIGINT),
+        |    CAST(SUM(g - 1) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS g FROM orders GROUP BY o_orderkey)
+        |  UNION ALL
+        |  SELECT 'ref_integrity(o_custkey)',
+        |    (SELECT COUNT(*) FROM orders),
+        |    (SELECT COUNT(*) FROM orders o
+        |     WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+        |       SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)))
+        |SELECT c AS "constraint", CAST(n AS BIGINT) AS n_rows,
+        |       CAST(v AS BIGINT) AS n_violations, v = 0 AS passed
+        |FROM rep""".stripMargin,
+
+    // SCD2 intervals from the fixture recipe: base %4=0 images (closed
+    // where the upsert re-imaged them), the upsert's post-images (all
+    // current), inserted %4=1 rows (closed where the delete hit).
+    "lake_scd2" ->
+      s"""WITH hist AS (
+         |  SELECT o_orderstatus, o_totalprice AS p,
+         |         CASE WHEN o_custkey % 3 = 0 THEN 0 ELSE 1 END AS cur
+         |  FROM orders WHERE o_orderkey % 4 = 0
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice + 100, 1
+         |  FROM orders
+         |  WHERE o_custkey % 3 = 0 AND (o_orderkey % 4 = 0 OR o_orderkey % 4 = 2)
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice,
+         |         CASE WHEN o_custkey % 5 = 0 THEN 0 ELSE 1 END
+         |  FROM orders WHERE o_orderkey % 4 = 1)
+         |SELECT o_orderstatus, COUNT(*) AS n_hist,
+         |       CAST(SUM(cur) AS BIGINT) AS n_current,
+         |       ${osum("CASE WHEN cur = 1 THEN p END")} AS total_current
+         |FROM hist GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     // The streaming tail delivers the same feed content as the batch
     // reader — the lake_change_feed reconstruction applies verbatim.
     "feed_stream_read" ->
@@ -2098,6 +2229,47 @@ object SparkEntry {
         |              ORDER BY tf * idf_int DESC, tfc.w) AS BIGINT) AS rk
         |  FROM tfc JOIN idf ON tfc.w = idf.w)
         |SELECT doc, w, tf, df, score_int, rk FROM scored WHERE rk <= 5""".stripMargin,
+
+    // Exact-integer BM25 (TextSearch.searchTopKInt): every division is
+    // integer division (`div` in Spark, `//` here), so the full ranking
+    // hash-matches. dl/l/score sums CAST from DuckDB's HUGEINT to BIGINT.
+    "text_bm25_int" ->
+      """WITH tf AS (
+        |  SELECT doc, w, COUNT(*) AS tf FROM (
+        |    SELECT doc_id AS doc, unnest(string_split(TRIM(text), ' ')) AS w
+        |    FROM documents) t
+        |  GROUP BY doc, w),
+        |dl AS (SELECT doc, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc),
+        |corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |                  CAST(SUM(dl) AS BIGINT) AS l FROM dl),
+        |q AS (SELECT UNNEST(['spark', 'join', 'window']) AS w),
+        |p AS (SELECT tf.doc, tf.w, tf.tf, dl.dl
+        |      FROM tf JOIN dl USING (doc)
+        |      WHERE tf.w IN (SELECT w FROM q)),
+        |dft AS (SELECT w, COUNT(*) AS df FROM p GROUP BY w)
+        |SELECT p.doc AS doc,
+        |  CAST(SUM(((1000 * (2 * n - 2 * df + 1)) // (2 * df + 1)) *
+        |           ((44 * l * tf * 1000000) //
+        |            (20 * l * tf + 6 * l + 18 * dl * n))) AS BIGINT) AS score_int
+        |FROM p JOIN dft USING (w) CROSS JOIN corpus
+        |GROUP BY p.doc
+        |ORDER BY score_int DESC, doc
+        |LIMIT 20""".stripMargin,
+
+    // Exact phrase occurrences via the same slot-vote scheme in SQL
+    // (positions are 1-based here, 0-based in Spark — only differences
+    // matter, and the start column never leaves the query).
+    "text_phrase_search" ->
+      """WITH words AS (
+        |  SELECT doc_id AS doc,
+        |         generate_subscripts(string_split(TRIM(text), ' '), 1) AS pos,
+        |         unnest(string_split(TRIM(text), ' ')) AS w
+        |  FROM documents),
+        |ph AS (SELECT * FROM (VALUES ('batch', 0), ('batch', 1)) t(w, idx)),
+        |cand AS (SELECT doc, pos - idx AS s FROM words JOIN ph USING (w)),
+        |occ AS (SELECT doc, s FROM cand GROUP BY doc, s HAVING COUNT(*) = 2)
+        |SELECT doc, COUNT(*) AS n_occ FROM occ
+        |GROUP BY doc ORDER BY n_occ DESC, doc LIMIT 20""".stripMargin,
 
     "text_winnow_int" ->
       """WITH words AS (

@@ -158,6 +158,43 @@ final class TrackedLake private (
       .drop("__rn", SeqCol, OpCol)
   }
 
+  /** SCD TYPE-2 dimension history derived from the log: one row per state
+    * INTERVAL of each key — `_valid_from`/`_valid_to` are the feed's seq
+    * marks (`_valid_to` NULL = still current). `I`/`U+` images open
+    * intervals; the key's next change closes the previous one; a `D`
+    * closes without opening (the key has no current row until
+    * re-inserted); `U-` pre-images are evidence, not state. Exact under
+    * the same contract as [[tableAsOf]] (full-history log: `logBase =
+    * true` or empty start; no vacuum below visited marks).
+    *
+    * Shape: ONE window over the log ordered by seq within key — one
+    * shuffle by key, history length per key is mutation count, never
+    * corpus size. `historyAsOf(seq)` (the interval filter) reproduces
+    * [[tableAsOf]] row-for-row — spec-pinned, and the standard way SCD2
+    * serves point-in-time dimension joins without replaying the log.
+    */
+  def scdHistory(keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(SeqCol).asc)
+    log.toDF.filter(col(OpCol) =!= "U-")
+      .withColumn("_valid_to", lead(col(SeqCol), 1).over(w))
+      .filter(col(OpCol) =!= "D")
+      .withColumn("_current", col("_valid_to").isNull)
+      .withColumnRenamed(SeqCol, "_valid_from")
+      .drop(OpCol)
+  }
+
+  /** The dimension as of `asOfSeq`, served FROM the interval table —
+    * `[[scdHistory]]` filtered to intervals covering the mark. Equivalent
+    * to [[tableAsOf]] but reusable: materialize the history once, answer
+    * any number of point-in-time joins with a plain filter.
+    */
+  def historyAsOf(history: DataFrame, asOfSeq: Long): DataFrame =
+    history
+      .filter(col("_valid_from") <= asOfSeq &&
+        (col("_valid_to").isNull || col("_valid_to") > asOfSeq))
+      .drop("_valid_from", "_valid_to", "_current")
+
   /** Retention: drop whole log cells with `_seq` <= `throughSeq` (every
     * consumer has moved past them). Cell-level DROP PARTITION — no data
     * rewrite, directories delete when the log is persisted. The log

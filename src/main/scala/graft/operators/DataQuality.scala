@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+/** Data-quality profiling and constraint validation — the admission gate of
+  * a training-data pipeline (and of any lakehouse ingest): before a batch
+  * joins the corpus, measure it and verify the contract.
+  *
+  * Scale shape (the Deequ design, re-expressed):
+  *   - [[profile]] computes EVERY per-column statistic in ONE aggregate
+  *     over ONE scan — k columns do not cost k jobs. The wide one-row
+  *     aggregate is unpivoted to a (column, stat...) report driver-side
+  *     (the row is k-sized, not data-sized).
+  *   - [[check]] partitions constraints by shape: all ROW-LOCAL predicates
+  *     (not-null, range, regex, custom) fold into the same single-scan
+  *     aggregate as conditional counts; uniqueness is one groupBy on the
+  *     key; referential integrity is one anti-join (broadcast when the
+  *     referenced side is a dimension). A 12-constraint suite costs one
+  *     scan + one shuffle per non-local constraint, never 12 scans.
+  *
+  * Everything is exact integer counting, so the full report is
+  * reproducible by the DuckDB oracle (hash-compared in the gate). At
+  * 100 TB the only count worth approximating is `n_distinct`; [[profile]]
+  * takes `approxDistinct = true` for that path (HLL, one pass, no
+  * shuffle-heavy exact distinct) — the gate pins the exact variant.
+  */
+object DataQuality {
+
+  // ---------------------------------------------------------------- profile
+
+  /** Per-column profile: row count, null count, exact distinct count, and
+    * (numeric columns) min/max — one aggregate, one scan. `n_distinct`
+    * counts non-null values; min/max are NULL for non-numeric columns
+    * (type-stable LONG report so the unpivot is a clean union).
+    */
+  def profile(
+      df: DataFrame,
+      columns: Seq[String],
+      approxDistinct: Boolean = false): DataFrame = {
+    val schema = df.schema
+    val aggs: Seq[Column] = columns.flatMap { c =>
+      val distinctC =
+        if (approxDistinct) approx_count_distinct(col(c)).as(s"__d_$c")
+        else count_distinct(col(c)).as(s"__d_$c")
+      val (mn, mx) = schema(c).dataType match {
+        case _: NumericType =>
+          (min(col(c)).cast("long").as(s"__mn_$c"),
+           max(col(c)).cast("long").as(s"__mx_$c"))
+        case _ =>
+          (lit(null).cast("long").as(s"__mn_$c"),
+           lit(null).cast("long").as(s"__mx_$c"))
+      }
+      Seq(count(col(c)).as(s"__c_$c"), distinctC, mn, mx)
+    }
+    val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    // Unpivot the one k-wide row into k report rows: stack() keeps it in
+    // the same job; the input to stack is the single aggregate row.
+    val stacked = columns.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__c_$c")).as("n_nulls"),
+        col(s"__d_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_long"),
+        col(s"__mx_$c").as("max_long"))
+    }
+    wide.select(explode(array(stacked: _*)).as("r")).select("r.*")
+  }
+
+  // ------------------------------------------------------------ constraints
+
+  /** One verifiable expectation over a table. `name` keys the report row. */
+  sealed trait Constraint { def name: String }
+
+  /** Column must never be NULL. Row-local. */
+  final case class NotNull(column: String) extends Constraint {
+    def name = s"not_null($column)"
+  }
+
+  /** Numeric column must lie in [lo, hi] (NULLs don't violate — pair with
+    * [[NotNull]] for that). Row-local.
+    */
+  final case class InRange(column: String, lo: Double, hi: Double) extends Constraint {
+    def name = s"in_range($column)"
+  }
+
+  /** String column must fully match the regex (NULLs don't violate). */
+  final case class MatchesRegex(column: String, regex: String) extends Constraint {
+    def name = s"matches_regex($column)"
+  }
+
+  /** String column's values must come from the allowed set. */
+  final case class IsIn(column: String, allowed: Seq[String]) extends Constraint {
+    def name = s"is_in($column)"
+  }
+
+  /** Arbitrary row predicate (violation = rows where it is false/null). */
+  final case class Satisfies(name: String, predicate: Column) extends Constraint
+
+  /** The key must identify rows uniquely (violations = rows in excess of
+    * one per key, the count a dedup would remove). One groupBy shuffle.
+    */
+  final case class Unique(columns: Seq[String]) extends Constraint {
+    def name = s"unique(${columns.mkString(",")})"
+  }
+
+  /** Every non-null FK value must exist in the referenced column
+    * (violations = rows whose FK misses). One anti-join; the referenced
+    * side is broadcast when it is dimension-sized.
+    */
+  final case class RefIntegrity(
+      column: String, ref: DataFrame, refColumn: String,
+      broadcastRef: Boolean = true) extends Constraint {
+    def name = s"ref_integrity($column)"
+  }
+
+  /** Run a constraint suite. Report: one row per constraint —
+    * `(constraint, n_rows, n_violations, passed)` — deterministic order
+    * (suite order). All row-local constraints share ONE aggregate scan;
+    * each Unique/RefIntegrity adds its one shuffle. The per-constraint
+    * results are unioned as single-row frames (k-sized, not data-sized).
+    */
+  def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    val spark = df.sparkSession
+    val rowLocal = constraints.collect {
+      case c: NotNull => c.name -> col(c.column).isNull
+      case c: InRange =>
+        c.name -> (col(c.column).isNotNull &&
+          !col(c.column).cast("double").between(c.lo, c.hi))
+      case c: MatchesRegex =>
+        c.name -> (col(c.column).isNotNull && !col(c.column).rlike(c.regex))
+      case c: IsIn =>
+        c.name -> (col(c.column).isNotNull && !col(c.column).isin(c.allowed: _*))
+      case c: Satisfies => c.name -> !coalesce(c.predicate, lit(false))
+    }
+    val localReport: Option[DataFrame] =
+      if (rowLocal.isEmpty) None
+      else {
+        val aggs = rowLocal.map { case (n, viol) =>
+          sum(when(viol, 1L).otherwise(0L)).as(n)
+        }
+        val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+        val rows = rowLocal.map { case (n, _) =>
+          struct(lit(n).as("constraint"), col("__rows").as("n_rows"),
+            coalesce(col(s"`$n`"), lit(0L)).as("n_violations"))
+        }
+        Some(wide.select(explode(array(rows: _*)).as("r")).select("r.*"))
+      }
+    val heavies: Seq[DataFrame] = constraints.collect {
+      case c: Unique =>
+        val keys = c.columns.map(col)
+        df.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+          .agg(coalesce(sum(col("__n") - 1), lit(0L)).as("n_violations"),
+            coalesce(sum("__n"), lit(0L)).as("n_rows"))
+          .select(lit(c.name).as("constraint"), col("n_rows"), col("n_violations"))
+      case c: RefIntegrity =>
+        val refSide0 = c.ref.select(col(c.refColumn).as("__ref")).distinct()
+        val refSide = if (c.broadcastRef) broadcast(refSide0) else refSide0
+        val total = df.agg(count(lit(1)).as("n_rows"))
+        val miss = df.filter(col(c.column).isNotNull)
+          .join(refSide, col(c.column) === col("__ref"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+        total.crossJoin(miss)
+          .select(lit(c.name).as("constraint"), col("n_rows"), col("n_violations"))
+    }
+    val pieces = localReport.toSeq ++ heavies
+    val all = pieces.reduce(_ unionByName _)
+    // Restore suite order (the local block floated its members together).
+    val order = constraints.map(_.name).zipWithIndex.toMap
+    val orderUdf = map(order.toSeq.flatMap { case (n, i) =>
+      Seq(lit(n), lit(i))
+    }: _*)
+    all
+      .withColumn("__ord", element_at(orderUdf, col("constraint")))
+      .orderBy("__ord")
+      .select(col("constraint"), col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0L).as("passed"))
+  }
+}

@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.functions.Bucketing
+import graft.lake.LakeDataset
+import graft.model.StorageSpec
+
+/** Full-text search over a document corpus through a LAKE-BACKED inverted
+  * index — the retrieval half of a training-data pipeline (corpus search,
+  * example mining, decontamination probes) at shapes where scanning the
+  * text column per query is not an option.
+  *
+  * Index layout: one postings table `(w, doc, tf, dl)` — term, document id,
+  * term frequency, document length — stored as a [[graft.lake.LakeDataset]]
+  * hash-BUCKETED on `w`. Every posting of a term lives in exactly one of
+  * `nBuckets` bucket cells, so a query's scan is the union of at most
+  * |distinct query terms| cells, pruned from the catalog with zero I/O
+  * (driver-side bucket ids — [[Bucketing.localBucketId]]). That is the
+  * 100 TB story: query cost is proportional to the postings of the queried
+  * terms (÷ nBuckets of the index), never to corpus size. Because a term's
+  * postings are CO-LOCATED in one cell, per-term document frequencies are
+  * computable from the pruned scan alone — no separate df table to keep
+  * consistent.
+  *
+  * Scoring is BM25 (Robertson-Spärck Jones): idf(t) · tf·(k1+1) /
+  * (tf + k1·(1−b+b·dl/avgdl)). The float scorer is the production path;
+  * [[searchTopKInt]] is an exact-integer surrogate (same shape, integer
+  * idf/saturation ladders) whose every division is integer division, so the
+  * DuckDB oracle reproduces it bit-for-bit (same stance as
+  * [[TextAnalysis.tfIdfTopTermsInt]]; ln() differs at ulp level across
+  * libms).
+  *
+  * The reference repo has no text search; tokenization deliberately matches
+  * its whitespace convention used throughout this repo's text operators.
+  */
+object TextSearch {
+
+  /** A built index: the postings lake plus the two corpus scalars BM25
+    * needs (document count and total token count — avgdl = totalLen/n).
+    */
+  final case class Bm25Index(postings: LakeDataset, n: Long, totalLen: Long) {
+    def nBuckets: Int = postings.nBuckets
+  }
+
+  /** One posting row per (document, term): tf, plus the document length
+    * denormalized onto every posting (dl via a window over the tf frame —
+    * no second corpus scan, and queries never need a doc-side join).
+    */
+  def postings(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol).as("doc"), explode(split(trim(col(textCol)), " ")).as("w"))
+      .groupBy("doc", "w").agg(count(lit(1)).as("tf"))
+    tf.withColumn("dl", sum("tf").over(Window.partitionBy("doc")))
+  }
+
+  /** Build the index: one pass corpus → postings, one tiny aggregate for
+    * the corpus scalars, one bucketed ingest. With `storage` set the
+    * postings persist under its root (manifest + bucket cells) and
+    * [[open]] can rebuild the index without the corpus.
+    */
+  def buildIndex(
+      spark: SparkSession,
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      nBuckets: Int = 16,
+      storage: Option[StorageSpec] = None): Bm25Index = {
+    val posts = postings(df, textCol, idCol)
+    val lake = LakeDataset.fromDataFrame(spark, posts,
+      bucketCols = Seq("w"), nBuckets = nBuckets, storage = storage)
+    storage.foreach(_ => lake.toStorage())
+    withStats(lake)
+  }
+
+  /** Reopen a persisted index. The corpus scalars are re-derived from the
+    * postings themselves (n = distinct docs, totalLen = Σtf — one small
+    * aggregate over the index, not the corpus), so no side metadata file
+    * can drift from the data.
+    */
+  def open(spark: SparkSession, root: String): Bm25Index =
+    withStats(LakeDataset.fromStorage(spark, root))
+
+  private def withStats(lake: LakeDataset): Bm25Index = {
+    // Each doc's dl repeats on every posting; sum tf once per doc instead.
+    val row = lake.toDF
+      .groupBy("doc").agg(sum("tf").as("len"))
+      .agg(count(lit(1)).as("n"), sum("len").as("l"))
+      .head()
+    Bm25Index(lake, row.getLong(0), row.getLong(1))
+  }
+
+  /** Whitespace tokenization of a query, mirroring the index's convention. */
+  def queryTerms(query: String): Seq[String] =
+    query.trim.split(" ").toSeq.filter(_.nonEmpty).distinct
+
+  /** The pruned postings scan for a term set: bucket ids resolve on the
+    * driver (no job), distinct cells union once, then an `IN` filter drops
+    * hash-neighbor terms sharing a bucket. Plan = at most |terms| cells of
+    * the index, regardless of corpus size.
+    */
+  def prunedPostings(index: Bm25Index, terms: Seq[String]): DataFrame = {
+    val cells = terms
+      .flatMap(t => Bucketing.localBucketId(t, StringType, index.nBuckets))
+      .distinct
+    val scans = cells.map(index.postings.bucketCells)
+    val base =
+      if (scans.isEmpty) index.postings.toDF.limit(0)
+      else scans.reduce(_ unionByName _)
+    base.filter(col("w").isin(terms: _*))
+  }
+
+  /** BM25 top-k: df per term from the pruned scan (a term's postings are
+    * co-located, so the count is exact), broadcast the |terms|-row df table
+    * back, score, sum per doc, deterministic top-k (score desc, doc asc via
+    * TakeOrdered — no global sort).
+    */
+  def searchTopK(
+      index: Bm25Index,
+      query: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val terms = queryTerms(query)
+    val p = prunedPostings(index, terms)
+    val dfTab = p.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = index.n.toDouble
+    val avgdl = index.totalLen.toDouble / index.n
+    p.join(broadcast(dfTab), "w")
+      .withColumn("idf", log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("s",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b / avgdl) * col("dl"))))
+      .groupBy("doc").agg(sum("s").as("score"))
+      .orderBy(desc("score"), asc("doc"))
+      .limit(k)
+  }
+
+  // ------------------------------------------------------- phrase search
+
+  /** A positional index: `(doc, w, pos)` — one row per token OCCURRENCE,
+    * bucketed on `w` like the BM25 postings. Bigger than the tf index
+    * (corpus token count vs distinct (doc,term) count) — the standard
+    * positional-index trade for exact phrase queries.
+    */
+  final case class PositionalIndex(postings: LakeDataset) {
+    def nBuckets: Int = postings.nBuckets
+  }
+
+  /** One row per token occurrence with its 0-based position. */
+  def positionalPostings(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+        posexplode(split(trim(col(textCol)), " ")).as(Seq("pos", "w")))
+      .select(col("doc"), col("w"), col("pos").cast("long").as("pos"))
+
+  def buildPositional(
+      spark: SparkSession,
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      nBuckets: Int = 16,
+      storage: Option[StorageSpec] = None): PositionalIndex = {
+    val lake = LakeDataset.fromDataFrame(spark, positionalPostings(df, textCol, idCol),
+      bucketCols = Seq("w"), nBuckets = nBuckets, storage = storage)
+    storage.foreach(_ => lake.toStorage())
+    PositionalIndex(lake)
+  }
+
+  def openPositional(spark: SparkSession, root: String): PositionalIndex =
+    PositionalIndex(LakeDataset.fromStorage(spark, root))
+
+  private def prunedPositional(index: PositionalIndex, terms: Seq[String]): DataFrame = {
+    val cells = terms.distinct
+      .flatMap(t => Bucketing.localBucketId(t, StringType, index.nBuckets))
+      .distinct
+    val scans = cells.map(index.postings.bucketCells)
+    val base =
+      if (scans.isEmpty) index.postings.toDF.limit(0)
+      else scans.reduce(_ unionByName _)
+    base.filter(col("w").isin(terms.distinct: _*))
+  }
+
+  /** Every exact occurrence of the phrase: `(doc, start)` rows. The
+    * alignment trick is join-free per term pair — each phrase slot `(w,
+    * idx)` joins the pruned postings once (broadcast |phrase| rows), every
+    * matched token votes for the start position `pos − idx`, and a start
+    * with |phrase| votes is an occurrence: one aggregation, no |phrase|-way
+    * self-join, repeated words handled exactly ((doc,pos) rows are unique,
+    * so each slot contributes at most one vote per start).
+    */
+  def phraseOccurrences(index: PositionalIndex, phrase: String): DataFrame = {
+    val spark = index.postings.spark
+    import spark.implicits._
+    val terms = phrase.trim.split(" ").toSeq.filter(_.nonEmpty)
+    require(terms.nonEmpty, "empty phrase")
+    val slots = terms.zipWithIndex.toDF("w", "idx")
+    prunedPositional(index, terms)
+      .join(broadcast(slots), "w")
+      .select(col("doc"), (col("pos") - col("idx")).as("start"))
+      .groupBy("doc", "start").agg(count(lit(1)).as("votes"))
+      .filter(col("votes") === terms.length)
+      .select("doc", "start")
+  }
+
+  /** Docs ranked by exact phrase-occurrence count (desc, doc-id
+    * tie-break). All-integer — the DuckDB oracle checks the full ranking.
+    */
+  def phraseSearchTopK(index: PositionalIndex, phrase: String, k: Int): DataFrame =
+    phraseOccurrences(index, phrase)
+      .groupBy("doc").agg(count(lit(1)).as("n_occ"))
+      .orderBy(desc("n_occ"), asc("doc"))
+      .limit(k)
+
+  /** Exact-integer BM25 surrogate (k1=1.2, b=0.75 folded into integer
+    * ladders; L = total corpus tokens, N = docs):
+    *
+    *   idf_int = (1000·(2N − 2·df + 1)) div (2·df + 1)      — monotone in
+    *     the real idf's (N−df+0.5)/(df+0.5) odds ratio, exact integers;
+    *   sat_int = (44·L·tf·10^6) div (20·L·tf + 6·L + 18·dl·N) — the BM25
+    *     saturation term times 2·10^6, derived by multiplying numerator and
+    *     denominator by 20·L (so k1=1.2, b=0.75 become the integer
+    *     constants 44 = 20·(k1+1), 6 = 20·k1·(1−b), 18 = 20·k1·b);
+    *   score_int = Σ_terms idf_int · sat_int.
+    *
+    * Every step is 64-bit integer arithmetic (`div`), reproducible
+    * bit-for-bit by the DuckDB oracle's `//`. Headroom: the sat numerator
+    * 44·L·tf·10^6 caps the surrogate at roughly L·tf ≤ 2·10^11 — ample for
+    * gate scales; the float [[searchTopK]] is the production scorer.
+    */
+  def searchTopKInt(index: Bm25Index, query: String, k: Int): DataFrame = {
+    val terms = queryTerms(query)
+    val p = prunedPostings(index, terms)
+    val dfTab = p.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = index.n
+    val l = index.totalLen
+    p.join(broadcast(dfTab), "w")
+      .withColumn("idf_int",
+        expr(s"(1000L * (2L * $n - 2L * df + 1L)) div (2L * df + 1L)"))
+      .withColumn("sat_int",
+        expr(s"(44L * $l * tf * 1000000L) div (20L * $l * tf + 6L * $l + 18L * dl * $n)"))
+      .groupBy("doc").agg(sum(col("idf_int") * col("sat_int")).as("score_int"))
+      .orderBy(desc("score_int"), asc("doc"))
+      .limit(k)
+  }
+}

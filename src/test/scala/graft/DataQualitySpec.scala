@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DataQuality
+import graft.operators.DataQuality._
+
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (1L, Some("a@x.com"), Some(10.0), "URGENT"),
+    (2L, None, Some(-5.0), "LOW"),
+    (2L, Some("b@y.org"), Some(200.0), "urgent"),
+    (3L, Some("not-an-email"), None, "LOW"),
+    (4L, Some("c@z.io"), Some(50.0), "MEDIUM")
+  ).toDF("id", "email", "amount", "prio")
+
+  test("profile computes every column's stats in one scan") {
+    val p = DataQuality.profile(fixture, Seq("id", "email", "amount")).collect()
+      .map(r => r.getAs[String]("column") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"),
+         r.getAs[Long]("n_distinct"))).toMap
+    assert(p("id") == ((5L, 0L, 4L)))
+    assert(p("email") == ((5L, 1L, 4L)))
+    assert(p("amount") == ((5L, 1L, 4L)))
+    val amount = DataQuality.profile(fixture, Seq("amount"))
+      .filter($"column" === "amount").head()
+    assert(amount.getAs[Long]("min_long") == -5L)
+    assert(amount.getAs[Long]("max_long") == 200L)
+    // Non-numeric: min/max stay NULL rather than changing the report type.
+    val email = DataQuality.profile(fixture, Seq("email")).head()
+    assert(email.isNullAt(email.fieldIndex("min_long")))
+  }
+
+  test("profile is one job: single scan leaf for many columns") {
+    val plan = DataQuality.profile(fixture, Seq("id", "email", "amount", "prio"))
+      .queryExecution.optimizedPlan
+    val leaves = plan.collectLeaves().size
+    assert(leaves == 1, s"profile must not re-scan per column, got $leaves leaves")
+  }
+
+  test("constraint suite reports exact violation counts in suite order") {
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    val report = DataQuality.check(fixture, Seq(
+      NotNull("email"),
+      InRange("amount", 0.0, 100.0),
+      MatchesRegex("email", "^[^@]+@[^@]+\\.[a-z]+$"),
+      IsIn("prio", Seq("URGENT", "MEDIUM", "LOW")),
+      Unique(Seq("id")),
+      RefIntegrity("id", dim, "k"),
+      Satisfies("amount_covers_id", $"amount" >= $"id")
+    )).collect().map(r =>
+      (r.getAs[String]("constraint"), r.getAs[Long]("n_rows"),
+       r.getAs[Long]("n_violations"), r.getAs[Boolean]("passed")))
+    assert(report.map(_._1).toSeq == Seq(
+      "not_null(email)", "in_range(amount)", "matches_regex(email)",
+      "is_in(prio)", "unique(id)", "ref_integrity(id)", "amount_covers_id"))
+    val byName = report.map(r => r._1 -> r).toMap
+    assert(byName("not_null(email)")._3 == 1L)        // row 2
+    assert(byName("in_range(amount)")._3 == 2L)       // -5, 200
+    assert(byName("matches_regex(email)")._3 == 1L)   // not-an-email
+    assert(byName("is_in(prio)")._3 == 1L)            // "urgent"
+    assert(byName("unique(id)")._3 == 1L)             // id=2 twice
+    assert(byName("ref_integrity(id)")._3 == 1L)      // id=4
+    assert(byName("amount_covers_id")._3 == 2L)       // null amount + (-5 < 2)
+    assert(report.forall(_._2 == 5L))
+    assert(report.count(_._4) == 0)
+  }
+
+  test("row-local constraints share one scan; all-green suite passes") {
+    val suite = Seq(NotNull("id"), InRange("amount", -10.0, 1000.0),
+      IsIn("prio", Seq("URGENT", "MEDIUM", "LOW", "urgent")))
+    val report = DataQuality.check(fixture, suite)
+    val leaves = report.queryExecution.optimizedPlan.collectLeaves().size
+    assert(leaves == 1, s"row-local suite must be one scan, got $leaves leaves")
+    assert(report.collect().forall(_.getAs[Boolean]("passed")))
+  }
+
+  test("empty table: zero rows, zero violations, everything passes") {
+    val empty = fixture.limit(0)
+    val report = DataQuality.check(empty,
+      Seq(NotNull("email"), Unique(Seq("id")))).collect()
+    assert(report.forall(r => r.getAs[Long]("n_rows") == 0L &&
+      r.getAs[Long]("n_violations") == 0L && r.getAs[Boolean]("passed")))
+  }
+}

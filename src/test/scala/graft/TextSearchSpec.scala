@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.operators.TextSearch
+import graft.model.StorageSpec
+
+class TextSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark join window join join"),
+    (2L, "spark filter"),
+    (3L, "window window window batch merge sort"),
+    (4L, "join"),
+    (5L, "batch merge sort table scan row column vector agg"),
+    (6L, "spark spark spark spark")
+  ).toDF("doc_id", "text")
+
+  /** Brute-force BM25 computed independently in plain Scala. */
+  private def bruteBm25(
+      docs: Seq[(Long, String)], query: String, k1: Double = 1.2, b: Double = 0.75)
+      : Map[Long, Double] = {
+    val toks = docs.map { case (id, t) => id -> t.trim.split(" ").toSeq }
+    val n = docs.size.toDouble
+    val avgdl = toks.map(_._2.size).sum / n
+    val terms = query.split(" ").distinct.toSeq
+    val dfMap = terms.map(t => t -> toks.count(_._2.contains(t))).toMap
+    toks.map { case (id, ws) =>
+      val dl = ws.size.toDouble
+      id -> terms.map { t =>
+        val tf = ws.count(_ == t).toDouble
+        val df = dfMap(t)
+        if (tf == 0 || df == 0) 0.0
+        else {
+          val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+          idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        }
+      }.sum
+    }.toMap.filter(_._2 > 0)
+  }
+
+  test("postings carry tf and denormalized dl") {
+    val p = TextSearch.postings(corpus, "text", "doc_id")
+      .filter($"doc" === 1L).collect()
+      .map(r => (r.getAs[String]("w"), r.getAs[Long]("tf"), r.getAs[Long]("dl"))).toSet
+    assert(p == Set(("spark", 1L, 5L), ("join", 3L, 5L), ("window", 1L, 5L)))
+  }
+
+  test("BM25 top-k matches an independent in-memory scorer") {
+    val idx = TextSearch.buildIndex(spark, corpus, "text", "doc_id", nBuckets = 8)
+    assert(idx.n == 6 && idx.totalLen == 5 + 2 + 6 + 1 + 9 + 4)
+    val got = TextSearch.searchTopK(idx, "spark join", 10).collect()
+      .map(r => r.getAs[Long]("doc") -> r.getAs[Double]("score"))
+    val want = bruteBm25(
+      corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq, "spark join")
+    assert(got.map(_._1).toSeq ==
+      want.toSeq.sortBy { case (d, s) => (-s, d) }.map(_._1))
+    got.foreach { case (d, s) => assert(math.abs(s - want(d)) < 1e-9, s"doc $d") }
+  }
+
+  test("query scan prunes to the queried terms' bucket cells") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ftidx").toString
+    TextSearch.buildIndex(spark, corpus, "text", "doc_id",
+      nBuckets = 8, storage = Some(StorageSpec(root)))
+    // Pruning evidence needs the DISK-backed table: each bucket cell is a
+    // directory, and scanRootPaths counts the directories a plan reads.
+    val idx = TextSearch.open(spark, root)
+    val all = Bridge.scanRootPaths(idx.postings.toDF).size
+    val one = Bridge.scanRootPaths(
+      TextSearch.prunedPostings(idx, TextSearch.queryTerms("spark"))).size
+    val two = Bridge.scanRootPaths(
+      TextSearch.prunedPostings(idx, TextSearch.queryTerms("spark join"))).size
+    assert(all > 2, s"fixture vocabulary should spread over >2 buckets, got $all")
+    assert(one == 1)
+    assert(two <= 2)
+  }
+
+  test("persisted index reopens and answers identically") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ftidx2").toString
+    val built = TextSearch.buildIndex(spark, corpus, "text", "doc_id",
+      nBuckets = 8, storage = Some(StorageSpec(root)))
+    val reopened = TextSearch.open(spark, root)
+    assert(reopened.n == built.n && reopened.totalLen == built.totalLen)
+    val a = TextSearch.searchTopK(built, "window merge", 10).collect().toSeq
+    val b = TextSearch.searchTopK(reopened, "window merge", 10).collect().toSeq
+    assert(a == b)
+  }
+
+  test("integer surrogate preserves the float ranking on the fixture") {
+    val idx = TextSearch.buildIndex(spark, corpus, "text", "doc_id", nBuckets = 8)
+    for (q <- Seq("spark join", "window merge sort", "vector", "spark")) {
+      val f = TextSearch.searchTopK(idx, q, 10).collect().map(_.getAs[Long]("doc")).toSeq
+      val i = TextSearch.searchTopKInt(idx, q, 10).collect().map(_.getAs[Long]("doc")).toSeq
+      assert(f == i, s"query '$q': float $f vs int $i")
+    }
+  }
+
+  test("phrase search finds exact occurrences, repeated words included") {
+    val docs = Seq(
+      (1L, "the quick fox and the quick fox again"),
+      (2L, "quick fox"),
+      (3L, "the fox quick"),           // words present, order wrong
+      (4L, "batch batch batch"),       // overlapping repeated-word phrase
+      (5L, "quick quick fox")
+    ).toDF("doc_id", "text")
+    val idx = TextSearch.buildPositional(spark, docs, "text", "doc_id", nBuckets = 8)
+
+    val qf = TextSearch.phraseSearchTopK(idx, "quick fox", 10).collect()
+      .map(r => (r.getAs[Long]("doc"), r.getAs[Long]("n_occ"))).toSeq
+    assert(qf == Seq((1L, 2L), (2L, 1L), (5L, 1L)))
+
+    // "batch batch" occurs at starts 0 and 1 in doc 4 — overlap counts.
+    val bb = TextSearch.phraseSearchTopK(idx, "batch batch", 10).collect()
+      .map(r => (r.getAs[Long]("doc"), r.getAs[Long]("n_occ"))).toSeq
+    assert(bb == Seq((4L, 2L)))
+
+    val occ = TextSearch.phraseOccurrences(idx, "the quick fox").collect()
+      .map(r => (r.getAs[Long]("doc"), r.getAs[Long]("start"))).toSet
+    assert(occ == Set((1L, 0L), (1L, 4L)))
+
+    assert(TextSearch.phraseSearchTopK(idx, "fox the", 10).count() == 0)
+  }
+
+  test("positional phrase query prunes to the phrase terms' bucket cells") {
+    val root = java.nio.file.Files.createTempDirectory("graft_posidx").toString
+    TextSearch.buildPositional(spark, corpus, "text", "doc_id",
+      nBuckets = 8, storage = Some(StorageSpec(root)))
+    val idx = TextSearch.openPositional(spark, root)
+    val all = Bridge.scanRootPaths(idx.postings.toDF).size
+    val pruned = Bridge.scanRootPaths(
+      TextSearch.phraseOccurrences(idx, "batch merge sort")).size
+    assert(all > 3, s"vocabulary should spread over >3 buckets, got $all")
+    assert(pruned <= 3)
+    // And the pruned plan still answers correctly (docs 3 and 5 contain it).
+    val hits = TextSearch.phraseSearchTopK(idx, "batch merge sort", 10).collect()
+      .map(r => (r.getAs[Long]("doc"), r.getAs[Long]("n_occ"))).toSeq
+    assert(hits == Seq((3L, 1L), (5L, 1L)))
+  }
+
+  test("terms absent from the corpus contribute nothing; all-absent is empty") {
+    val idx = TextSearch.buildIndex(spark, corpus, "text", "doc_id", nBuckets = 8)
+    val withGhost = TextSearch.searchTopK(idx, "spark zzz_ghost", 10).collect()
+      .map(r => r.getAs[Long]("doc") -> r.getAs[Double]("score"))
+    val plain = TextSearch.searchTopK(idx, "spark", 10).collect()
+      .map(r => r.getAs[Long]("doc") -> r.getAs[Double]("score"))
+    assert(withGhost.toSeq == plain.toSeq)
+    assert(TextSearch.searchTopK(idx, "zzz_ghost", 10).count() == 0)
+  }
+}
