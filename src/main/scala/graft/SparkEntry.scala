@@ -586,6 +586,28 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // VACUUM: a crashed writer's leftover cell would be walked back into
+    // the table by the next load (discovery trusts the layout) — the
+    // writer's catalog deletes it. The oracle is the CLEAN aggregate, so
+    // an unvacuumed (or over-vacuumed) root fails the hash.
+    "lake_vacuum_orphans" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val root = Files.createTempDirectory("graft_vac_gate").toString
+      val ds = LakeDataset.fromDataFrame(s, o,
+        partitionCols = Seq("o_orderstatus"),
+        storage = Some(graft.model.StorageSpec(root)))
+      ds.toStorage()
+      o.limit(100).drop("o_orderstatus")
+        .withColumn("o_totalprice", col("o_totalprice") * 1000)
+        .write.parquet(java.nio.file.Paths.get(root, "o_orderstatus=CRASHED").toString)
+      ds.vacuumOrphans()
+      LakeDataset.fromStorage(s, root).toDF
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Same lifecycle through the Arrow IPC FILE format (reference
     // storage.rs Format::Ipc) — the graft `arrowipc` FileFormat writes
     // zstd-compressed .arrow stream files per part (pyarrow-readable;
@@ -1610,6 +1632,10 @@ object SparkEntry {
     "lake_ipc_roundtrip" ->
       s"""SELECT l_returnflag, COUNT(*) AS n, ${osum("l_extendedprice")} AS total
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "lake_vacuum_orphans" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // The deterministic id assignment: first batch = row_number over sorted
     // distinct values; the second batch's UNSEEN values continue after the

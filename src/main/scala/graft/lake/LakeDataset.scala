@@ -1403,6 +1403,41 @@ final class LakeDataset private (
     cleanScan.exists(dfReadsUnder(_, rootDir)) ||
       parts.values().asScala.exists(p => dfReadsUnder(p.df, rootDir))
 
+  /** VACUUM for the storage root: delete physical cell directories the
+    * catalog no longer references — leftovers of crashed dynamic writes,
+    * cells dropped by delete/checkpoint, or junk a foreign writer parked
+    * under the root. Without this, the next [[LakeDataset.fromStorage]]
+    * would WALK those directories back into the table (discovery trusts
+    * the layout), so orphan hygiene is a correctness matter for any
+    * crash-recovery story, not just a space matter. Returns the deleted
+    * root-relative paths.
+    *
+    * Contract (the standard VACUUM trade): call on a quiesced table whose
+    * catalog reflects storage — right after [[toStorage]] or on a freshly
+    * loaded table. Concurrent lazy plans over dropped cells would read a
+    * hole, exactly as in any lakehouse VACUUM.
+    */
+  def vacuumOrphans(): List[String] = this.synchronized {
+    val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
+    val rootP = Paths.get(spec.root)
+    if (!Files.isDirectory(rootP)) return Nil
+    // The catalog key → on-disk directory mapping: partition values use
+    // Spark's writer escaping (PartKey.escape), the NULL bucket sentinel
+    // lands in Hive's default-partition directory.
+    val live: Set[String] = parts.keySet().asScala.map { key =>
+      val segs = key.partValues.map { case (k, v) => s"$k=${PartKey.escape(v)}" } ++
+        key.bucketNr.map { b =>
+          "bucket=" + (if (b == LakeDataset.NullBucket) PartKey.NullMarker else b.toString)
+        }.toList
+      segs.mkString("/")
+    }.toSet
+    val orphans = LakeDataset.discoverLeafDirs(rootP).filter { dir =>
+      !live.contains(rootP.relativize(dir).toString)
+    }
+    orphans.foreach(LakeDataset.deleteRecursively)
+    orphans.map(d => rootP.relativize(d).toString)
+  }
+
   def toStorage(): Unit = {
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
     // A lazily loaded dataset's plans read the files this save is about to

@@ -45,6 +45,9 @@ object TextSearch {
     def nBuckets: Int = postings.nBuckets
   }
 
+  /** Batch-number partition column of the BM25 postings lake. */
+  val BatchCol = "_b"
+
   /** One posting row per (document, term): tf, plus the document length
     * denormalized onto every posting (dl via a window over the tf frame —
     * no second corpus scan, and queries never need a doc-side join).
@@ -69,8 +72,14 @@ object TextSearch {
       idCol: String,
       nBuckets: Int = 16,
       storage: Option[StorageSpec] = None): Bm25Index = {
-    val posts = postings(df, textCol, idCol)
+    // Partitioned by batch number on top of the term bucketing: every
+    // append lands in FRESH (_b, bucket) cells, so incremental adds are
+    // durable one-pass writes that never rewrite existing cells (the
+    // incremental-index layout used across this repo; compact() folds
+    // batches when they accumulate).
+    val posts = postings(df, textCol, idCol).withColumn(BatchCol, lit(0L))
     val lake = LakeDataset.fromDataFrame(spark, posts,
+      partitionCols = Seq(BatchCol),
       bucketCols = Seq("w"), nBuckets = nBuckets, storage = storage)
     storage.foreach(_ => lake.toStorage())
     withStats(lake)
@@ -91,6 +100,36 @@ object TextSearch {
       .agg(count(lit(1)).as("n"), sum("len").as("l"))
       .head()
     Bm25Index(lake, row.getLong(0), row.getLong(1))
+  }
+
+  /** Incremental maintenance: append a batch of NEW documents to the
+    * index. The batch's postings route into the existing bucket cells
+    * (durable one-pass append when the index is storage-backed — no
+    * rewrite of existing cells), and the corpus scalars update from one
+    * tiny batch aggregate. Per-term df needs no maintenance at all: it is
+    * derived from the pruned scan at query time, so it is correct the
+    * moment the cells land. Contract: doc ids must be new (re-adding a
+    * document double-counts — dedup upstream, as with any append-only
+    * search index).
+    */
+  def addToIndex(
+      index: Bm25Index,
+      df: DataFrame,
+      textCol: String,
+      idCol: String): Bm25Index = {
+    val nextB = index.postings.partKeys
+      .flatMap(_.partValues.collect { case (BatchCol, v) => v.toLong })
+      .foldLeft(-1L)(math.max) + 1L
+    val posts = postings(df, textCol, idCol).withColumn(BatchCol, lit(nextB))
+    val row = posts
+      .groupBy("doc").agg(sum("tf").as("len"))
+      .agg(count(lit(1)).as("n"), sum("len").as("l"))
+      .head()
+    if (row.getLong(0) == 0L) return index
+    if (index.postings.storage.isDefined) index.postings.insertWritten(posts)
+    else index.postings.insert(posts)
+    Bm25Index(index.postings, index.n + row.getLong(0),
+      index.totalLen + row.getLong(1))
   }
 
   /** Whitespace tokenization of a query, mirroring the index's convention. */

@@ -40,7 +40,8 @@ object ScaleSmoke {
     val onlyEx = sys.env.contains("SPARK_GRAFT_ONLY_EX")
     val onlyR7 = sys.env.contains("SPARK_GRAFT_ONLY_R7")
     val runAll = !sys.env.contains("SPARK_GRAFT_ONLY_MH") &&
-      !sys.env.contains("SPARK_GRAFT_ONLY_IVF") && !onlyEx && !onlyR7
+      !sys.env.contains("SPARK_GRAFT_ONLY_IVF") && !onlyEx && !onlyR7 &&
+      !sys.env.contains("SPARK_GRAFT_ONLY_R8")
     if (runAll) {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val big = (0 until copies).map { i =>
@@ -374,6 +375,143 @@ object ScaleSmoke {
       }
     }
     if (onlyR7) { spark.stop(); return }
+
+    // ---- Round-8 additions: text search / data quality / SCD2 -------------
+    // SPARK_GRAFT_ONLY_R8=1 runs just this section.
+    val onlyR8 = sys.env.contains("SPARK_GRAFT_ONLY_R8")
+    if (runAll || onlyR8) {
+      import graft.operators.{DataQuality, TextSearch}
+      import graft.lake.{LakeDataset => LD, TrackedLake}
+
+      // BM25 over a COPIES× documents corpus. The claims: (a) the index
+      // build is one corpus pass + one bucketed write; (b) a query's scan
+      // is |terms| of 64 bucket cells of the POSTINGS (not the corpus),
+      // vs the no-index alternative that re-derives postings from every
+      // document per query; (c) a small append maintains the index
+      // without touching existing cells.
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val docCopies = copies
+      val bigDocs = (0 until docCopies).map { i =>
+        docs0.select((col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      println(s"[scale] r8 documents: ${bigDocs.count()} docs (${docCopies}x)")
+      val ftRoot = java.nio.file.Files.createTempDirectory("graft_scale_ft").toString
+      try {
+        time(s"bm25 index build ${docCopies}x (64 buckets)") {
+          TextSearch.buildIndex(spark, bigDocs, "text", "doc_id",
+            nBuckets = 64, storage = Some(graft.model.StorageSpec(ftRoot)))
+        }
+        val idx = time("bm25 index open")(TextSearch.open(spark, ftRoot))
+        val q = "spark join window"
+        val prunedDirs = org.apache.spark.sql.graftbridge.Bridge.scanRootPaths(
+          TextSearch.prunedPostings(idx, TextSearch.queryTerms(q))).size
+        println(s"[scale] bm25 query scans $prunedDirs of 64 postings cells")
+        time("bm25 top-20 (pruned index)") {
+          TextSearch.searchTopK(idx, q, 20).collect()
+        }
+        time("bm25 top-20 (no index: re-derive postings)") {
+          // What every query pays without the index: tokenize + aggregate
+          // the whole corpus, then score.
+          val posts = TextSearch.postings(bigDocs, "text", "doc_id")
+            .filter(col("w").isin(TextSearch.queryTerms(q): _*))
+          val dfTab = posts.groupBy("w").agg(count(lit(1)).as("df"))
+          val n = idx.n.toDouble
+          val avgdl = idx.totalLen.toDouble / idx.n
+          posts.join(broadcast(dfTab), "w")
+            .withColumn("idf",
+              log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+            .withColumn("s", col("idf") * (col("tf") * 2.2) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75 / avgdl) * col("dl"))))
+            .groupBy("doc").agg(sum("s").as("score"))
+            .orderBy(desc("score"), asc("doc")).limit(20).collect()
+        }
+        val batch = docs0.limit(500)
+          .select((col("doc_id") + lit(77L * 100000000L)).as("doc_id"), col("text"))
+        time("bm25 append 500-doc batch") {
+          TextSearch.addToIndex(idx, batch, "text", "doc_id")
+        }
+      } finally LD.deleteRecursively(java.nio.file.Paths.get(ftRoot))
+
+      // Phrase search: positional index, slot-vote alignment.
+      val posRoot = java.nio.file.Files.createTempDirectory("graft_scale_pos").toString
+      try {
+        time(s"positional index build ${docCopies}x (64 buckets)") {
+          TextSearch.buildPositional(spark, bigDocs, "text", "doc_id",
+            nBuckets = 64, storage = Some(graft.model.StorageSpec(posRoot)))
+        }
+        val pidx = TextSearch.openPositional(spark, posRoot)
+        val pdirs = org.apache.spark.sql.graftbridge.Bridge.scanRootPaths(
+          TextSearch.phraseOccurrences(pidx, "batch batch")).size
+        println(s"[scale] phrase query scans $pdirs of 64 positional cells")
+        time("phrase top-20 (pruned index)") {
+          TextSearch.phraseSearchTopK(pidx, "batch batch", 20).collect()
+        }
+      } finally LD.deleteRecursively(java.nio.file.Paths.get(posRoot))
+
+      // Data quality at COPIES× orders: the one-scan suite vs what a naive
+      // per-constraint runner pays (k scans) — constraint count must not
+      // multiply corpus scans.
+      val dqBase = (0 until copies).map { i =>
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 1000000000L))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      println(s"[scale] r8 orders: ${dqBase.count()} rows (${copies}x)")
+      import DataQuality._
+      val rowLocalSuite = Seq(
+        NotNull("o_custkey"),
+        InRange("o_totalprice", 0.0, 400000.0),
+        MatchesRegex("o_orderpriority", "^[1-5]-[A-Z ]+$"),
+        IsIn("o_orderstatus", Seq("O", "F")))
+      time("dq 4 row-local constraints (ONE scan)") {
+        DataQuality.check(dqBase, rowLocalSuite).collect()
+      }
+      time("dq same 4 as separate scans (naive)") {
+        rowLocalSuite.foreach(c => DataQuality.check(dqBase, Seq(c)).collect())
+      }
+      time("dq profile 4 columns (one scan)") {
+        DataQuality.profile(dqBase,
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+          approxDistinct = true).collect()
+      }
+      time("dq full suite (+unique, +ref-integrity)") {
+        DataQuality.check(dqBase, rowLocalSuite ++ Seq(
+          Unique(Seq("o_orderkey")),
+          RefIntegrity("o_custkey",
+            spark.read.parquet(s"$sfDir/customer.parquet"), "c_custkey"))).collect()
+      }
+
+      // SCD2: interval table from a 26-mutation feed over a 200k-row base
+      // — one window pass; a point-in-time slice is a filter on the
+      // materialized history, not a log replay.
+      {
+        val scdBase = dqBase.limit(200000)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .localCheckpoint(true)
+        val t = TrackedLake(spark,
+          LD.fromDataFrame(spark, scdBase, partitionCols = Seq("o_orderstatus")),
+          logBase = true)
+        val marks = (0 until 24).map { i =>
+          t.upsert(scdBase.limit(2000)
+            .withColumn("o_totalprice", col("o_totalprice") + (i + 1)),
+            Seq("o_orderkey"))
+        } :+ t.delete(scdBase.limit(300).select("o_orderkey"), Seq("o_orderkey"))
+        val hist = time("scd2 history build (one window pass)") {
+          t.scdHistory(Seq("o_orderkey")).localCheckpoint(true)
+        }
+        println(s"[scale] scd2 intervals: ${hist.count()} " +
+          s"(base ${scdBase.count()}, ${marks.size + 1} mutations)")
+        time("scd2 point-in-time slice (interval filter)") {
+          t.historyAsOf(hist, marks(10)).count()
+        }
+        time("scd2 same mark via log replay (tableAsOf)") {
+          t.tableAsOf(marks(10), Seq("o_orderkey")).count()
+        }
+        hist.unpersist()
+      }
+    }
+    if (onlyR8) { spark.stop(); return }
 
     // ---- IVF ANN: probe cost vs corpus growth ------------------------------
     // The scale claim: an IVF probe reads nprobe inverted LISTS, whose size

@@ -139,6 +139,33 @@ class TextSearchSpec extends SparkSpec {
     assert(hits == Seq((3L, 1L), (5L, 1L)))
   }
 
+  test("incremental add: index + batch answers exactly like a full rebuild") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ftidx3").toString
+    val first = corpus.filter($"doc_id" <= 4L)
+    val second = corpus.filter($"doc_id" > 4L)
+    TextSearch.buildIndex(spark, first, "text", "doc_id",
+      nBuckets = 8, storage = Some(StorageSpec(root)))
+    val incr = TextSearch.addToIndex(
+      TextSearch.open(spark, root), second, "text", "doc_id")
+    val full = TextSearch.buildIndex(spark, corpus, "text", "doc_id", nBuckets = 8)
+    assert(incr.n == full.n && incr.totalLen == full.totalLen)
+    for (q <- Seq("spark join", "batch merge sort", "window")) {
+      val a = TextSearch.searchTopK(incr, q, 10).collect()
+        .map(r => (r.getAs[Long]("doc"), r.getAs[Double]("score"))).toSeq
+      val b = TextSearch.searchTopK(full, q, 10).collect()
+        .map(r => (r.getAs[Long]("doc"), r.getAs[Double]("score"))).toSeq
+      assert(a == b, s"query '$q'")
+    }
+    // The append is durable: a REOPENED index sees the batch.
+    val reopened = TextSearch.open(spark, root)
+    assert(reopened.n == full.n && reopened.totalLen == full.totalLen)
+    val r = TextSearch.searchTopK(reopened, "spark join", 10).collect()
+      .map(_.getAs[Long]("doc")).toSeq
+    val f = TextSearch.searchTopK(full, "spark join", 10).collect()
+      .map(_.getAs[Long]("doc")).toSeq
+    assert(r == f)
+  }
+
   test("terms absent from the corpus contribute nothing; all-absent is empty") {
     val idx = TextSearch.buildIndex(spark, corpus, "text", "doc_id", nBuckets = 8)
     val withGhost = TextSearch.searchTopK(idx, "spark zzz_ghost", 10).collect()
