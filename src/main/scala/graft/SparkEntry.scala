@@ -710,6 +710,42 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // EXACTLY-ONCE streaming append: epoch-partitioned cells, overwrite on
+    // replay (StreamingIngest.exactlyOnceInsert scaladoc). The query
+    // re-delivers epoch 0 after the stream — the oracle (each slice once)
+    // fails if the replay duplicates OR if a batch is lost.
+    "stream_exactly_once" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import graft.streaming.StreamingIngest
+      val o = table(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val root = Files.createTempDirectory("graft_eo_gate").toString
+      val ds = LakeDataset.forStorage(s,
+        partitionCols = Seq(StreamingIngest.EpochCol), bucketCols = Nil,
+        nBuckets = 1, bloomCols = Nil,
+        storage = graft.model.StorageSpec(root))
+      val sink = StreamingIngest.exactlyOnceInsert(ds)
+      def slice(m: Long) = o.filter(col("o_orderkey") % 3 === m)
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val apply: (DataFrame, Long) => Unit = (batch, e) => {
+        val ms = batch.as[Long].collect()
+        require(ms.length == 1)
+        sink(slice(ms.head), e)
+      }
+      val q = mem.toDF().writeStream.foreachBatch(apply).start()
+      try {
+        mem.addData(0L); q.processAllAvailable()
+        mem.addData(1L); q.processAllAvailable()
+      } finally q.stop()
+      // Redelivered epoch (crash after sink, before checkpoint commit).
+      sink(slice(0L), 0L)
+      LakeDataset.fromStorage(s, root).toDF
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Bucket pruning: an equality predicate on the bucket column scans only
     // the one matching bucket cell per partition (5x less data at 5 buckets).
     // As-of join (training-pipeline operator Spark lacks natively): every
@@ -1636,6 +1672,12 @@ object SparkEntry {
     "lake_vacuum_orphans" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Each %3 slice exactly once despite the re-delivered epoch.
+    "stream_exactly_once" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM orders WHERE o_orderkey % 3 <= 1
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // The deterministic id assignment: first batch = row_number over sorted
     // distinct values; the second batch's UNSEEN values continue after the

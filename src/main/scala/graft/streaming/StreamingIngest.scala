@@ -33,6 +33,42 @@ object StreamingIngest {
       refresh.foreach { case (db, name) => db.refresh(name) }
     }
 
+  /** Epoch partition column of [[exactlyOnceInsert]] lakes. */
+  val EpochCol = "_epoch"
+
+  /** EXACTLY-ONCE streaming append. [[insertBatches]] is at-least-once: a
+    * crash between the sink call and the checkpoint commit makes Spark
+    * re-deliver the epoch, duplicating the batch. Here the lake is
+    * PARTITIONED by the epoch id, so each micro-batch is one fresh cell
+    * directory whose presence is the commit record — and on a re-delivered
+    * epoch the sink OVERWRITES the epoch's cells instead of skipping them
+    * (a replayed epoch's cell may be a torn partial from a crash
+    * mid-write; skip-if-present would freeze the tear, overwrite is always
+    * safe). Epoch overwrite + Spark's replay-from-last-commit = every
+    * batch lands exactly once, with no transaction log beyond the layout.
+    *
+    * Requirements: `EpochCol` must be a partition column and (with other
+    * partition columns present) sort first — the wipe removes the epoch's
+    * whole directory subtree, catalog-known or torn alike.
+    */
+  def exactlyOnceInsert(ds: LakeDataset): (DataFrame, Long) => Unit = {
+    require(ds.partitionCols.contains(EpochCol),
+      s"exactlyOnceInsert needs $EpochCol as a partition column")
+    require(ds.partitionCols.sorted.head == EpochCol,
+      s"$EpochCol must sort first among partition columns (directory layout)")
+    (batch, epoch) => {
+      val stale = ds.partKeys.filter(_.partValues.exists {
+        case (k, v) => k == EpochCol && v == epoch.toString
+      })
+      if (stale.nonEmpty) ds.dropParts(stale)
+      ds.storage.foreach { spec =>
+        val d = java.nio.file.Paths.get(spec.root, s"$EpochCol=$epoch")
+        if (java.nio.file.Files.exists(d)) LakeDataset.deleteRecursively(d)
+      }
+      ds.insertWritten(batch.withColumn(EpochCol, lit(epoch)))
+    }
+  }
+
   /** foreachBatch sink: append each micro-batch. */
   def insertBatches(
       ds: LakeDataset,
