@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Bucketing
 import graft.lake.{Database, LakeDataset}
-import graft.operators.{Clustering, DataQuality, Dedup, ExactDedupIndex, MaterializedAgg, MinhashIndex, Multimodal, Pq, Sampling, Similarity, StringCache, TextAnalysis, TextSearch}
+import graft.operators.{Clustering, DataQuality, Dedup, ExactDedupIndex, HeavyHitters, MaterializedAgg, MinhashIndex, Multimodal, Pq, Sampling, Similarity, StringCache, TextAnalysis, TextSearch}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), with a DuckDB-equivalent oracle where SQL-expressible.
@@ -1183,6 +1183,25 @@ object SparkEntry {
     "text_phrase_search" -> ((s, dir) =>
       TextSearch.phraseSearchTopK(Fixtures.posIndex(s, dir), "batch batch", 20)),
 
+    // Heavy hitters: exact global top-k terms (one map-side-combined
+    // aggregation + TakeOrdered).
+    "text_heavy_terms" -> ((s, dir) =>
+      HeavyHitters.topK(
+        table(s, dir, "documents")
+          .select(explode(split(trim(col("text")), " ")).as("w")),
+        "w", 15)),
+
+    // Candidate-pruned variant: per-partition local top-c via mapPartitions
+    // (≤ partitions·c rows shuffle instead of the vocabulary), exact
+    // second-pass counts — exact above the N/(c+1) frequency floor, which
+    // every top-15 term here clears (HeavyHittersSpec pins equality and
+    // the pigeonhole guarantee across layouts).
+    "text_heavy_terms_pruned" -> ((s, dir) =>
+      HeavyHitters.topKCandidates(
+        table(s, dir, "documents")
+          .select(explode(split(trim(col("text")), " ")).as("w")),
+        "w", 15, c = 50)),
+
     // Deterministic ~10% hash sample (md5 is oracle-portable).
     "sample_hash" -> ((s, dir) =>
       Sampling.hashSample(table(s, dir, "documents"), "doc_id", "1999")
@@ -2323,6 +2342,11 @@ object SparkEntry {
         |GROUP BY p.doc
         |ORDER BY score_int DESC, doc
         |LIMIT 20""".stripMargin,
+
+    "text_heavy_terms" ->
+      """SELECT w AS value, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split(TRIM(text), ' ')) AS w FROM documents) t
+        |GROUP BY w ORDER BY cnt DESC, value LIMIT 15""".stripMargin,
 
     // Exact phrase occurrences via the same slot-vote scheme in SQL
     // (positions are 1-based here, 0-based in Spark — only differences
