@@ -62,7 +62,8 @@ object SparkEntry {
     "feed_replicate" -> ((s, dir) => { Fixtures.streamedOrders(s, dir); () }),
     "text_bm25_topk" -> ((s, dir) => { Fixtures.bm25Index(s, dir); () }),
     "text_bm25_int" -> ((s, dir) => { Fixtures.bm25Index(s, dir); () }),
-    "text_phrase_search" -> ((s, dir) => { Fixtures.posIndex(s, dir); () })
+    "text_phrase_search" -> ((s, dir) => { Fixtures.posIndex(s, dir); () }),
+    "text_bm25_batch" -> ((s, dir) => { Fixtures.bm25Index(s, dir); () })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1174,6 +1175,17 @@ object SparkEntry {
     // end-to-end including the ranking.
     "text_bm25_int" -> ((s, dir) =>
       TextSearch.searchTopKInt(Fixtures.bm25Index(s, dir), "spark join window", 20)),
+
+    // BM25 SIMILARITY JOIN: top-5 corpus docs for every row of a query
+    // table in ONE plan (query terms explode into a single equi-join on
+    // the pruned postings, per-query window top-k) — the text analogue of
+    // ann_batch_*. Integer ladders, so the full ranking is oracle-checked;
+    // self-matches kept (each query doc ranks itself first).
+    "text_bm25_batch" -> ((s, dir) =>
+      TextSearch.searchBatchTopKInt(Fixtures.bm25Index(s, dir),
+        table(s, dir, "documents").filter(col("doc_id") <= 5),
+        "text", "doc_id", 5)
+        .orderBy("query_id", "rk")),
 
     // Exact phrase search over the positional index: each phrase slot
     // votes for its start position (pos − idx) — one broadcast join + one
@@ -2347,6 +2359,39 @@ object SparkEntry {
       """SELECT w AS value, COUNT(*) AS cnt FROM (
         |  SELECT unnest(string_split(TRIM(text), ' ')) AS w FROM documents) t
         |GROUP BY w ORDER BY cnt DESC, value LIMIT 15""".stripMargin,
+
+    // Batch BM25: same integer ladders as text_bm25_int, per-query window.
+    "text_bm25_batch" ->
+      """WITH tf AS (
+        |  SELECT doc, w, COUNT(*) AS tf FROM (
+        |    SELECT doc_id AS doc, unnest(string_split(TRIM(text), ' ')) AS w
+        |    FROM documents) t
+        |  GROUP BY doc, w),
+        |dl AS (SELECT doc, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc),
+        |corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |                  CAST(SUM(dl) AS BIGINT) AS l FROM dl),
+        |qt AS (SELECT DISTINCT doc_id AS query_id,
+        |              unnest(string_split(TRIM(text), ' ')) AS w
+        |       FROM documents WHERE doc_id <= 5),
+        |p AS (SELECT tf.doc, tf.w, tf.tf, dl.dl
+        |      FROM tf JOIN dl USING (doc)
+        |      WHERE tf.w IN (SELECT DISTINCT w FROM qt)),
+        |dft AS (SELECT w, COUNT(*) AS df FROM p GROUP BY w),
+        |sc AS (
+        |  SELECT qt.query_id, p.doc,
+        |    CAST(SUM(((1000 * (2 * n - 2 * df + 1)) // (2 * df + 1)) *
+        |             ((44 * l * tf * 1000000) //
+        |              (20 * l * tf + 6 * l + 18 * dl * n))) AS BIGINT)
+        |      AS score_int
+        |  FROM qt JOIN p USING (w) JOIN dft USING (w) CROSS JOIN corpus
+        |  GROUP BY qt.query_id, p.doc),
+        |rk AS (
+        |  SELECT query_id, doc, score_int,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |         ORDER BY score_int DESC, doc) AS BIGINT) AS rk
+        |  FROM sc)
+        |SELECT query_id, doc, score_int, rk FROM rk WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
 
     // Exact phrase occurrences via the same slot-vote scheme in SQL
     // (positions are 1-based here, 0-based in Spark — only differences

@@ -253,6 +253,97 @@ object TextSearch {
       .orderBy(desc("n_occ"), asc("doc"))
       .limit(k)
 
+  // ------------------------------------------------------ batch retrieval
+
+  /** Distinct (query_id, term) pairs of a query TABLE (standard BM25:
+    * query-side term frequency is ignored).
+    */
+  private def queryTermRows(queries: DataFrame, textCol: String, idCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"),
+        explode(array_distinct(split(trim(col(textCol)), " "))).as("w"))
+      .filter(col("w") =!= "")
+
+  /** The postings scan for a whole query table: when the queries' distinct
+    * term set is small enough to hold on the driver (`maxPruneTerms` cap),
+    * prune to those terms' bucket cells exactly like the single-query
+    * path; above the cap, fail OPEN to a full-index semi-join — a batch
+    * that big amortizes the scan (the capped-probe stance used across
+    * this repo's indexes).
+    */
+  private def batchPostings(
+      index: Bm25Index, qterms: DataFrame, maxPruneTerms: Int): DataFrame = {
+    val sample = qterms.select("w").distinct()
+      .limit(maxPruneTerms + 1).collect().map(_.getString(0)).toSeq
+    if (sample.length <= maxPruneTerms) prunedPostings(index, sample)
+    else index.postings.toDF
+      .join(qterms.select("w").distinct(), Seq("w"), "left_semi")
+  }
+
+  /** BM25 SIMILARITY JOIN: top-k corpus documents for EVERY row of a query
+    * table — batch retrieval (mining, decontamination probes, eval-set
+    * matching) as one plan instead of a query loop. Shape: query terms
+    * explode, meet the (pruned) postings in ONE equi-join on the term,
+    * scores sum per (query, doc), and a per-query window keeps k — the
+    * text analogue of the IVF batch ANN join (`Similarity.ivfBatchTopK`).
+    * Self-matches are kept (a query drawn from the corpus ranks itself
+    * first — callers filter if unwanted).
+    */
+  def searchBatchTopK(
+      index: Bm25Index,
+      queries: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      maxPruneTerms: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qterms = queryTermRows(queries, textCol, idCol)
+    val p = batchPostings(index, qterms, maxPruneTerms)
+    val dfTab = p.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = index.n.toDouble
+    val avgdl = index.totalLen.toDouble / index.n
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("doc"))
+    qterms.join(p, "w").join(dfTab, "w")
+      .withColumn("idf", log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("s",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b / avgdl) * col("dl"))))
+      .groupBy("query_id", "doc").agg(sum("s").as("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "doc", "score", "rk")
+  }
+
+  /** Exact-integer batch retrieval (same ladders as [[searchTopKInt]]) —
+    * the oracle-checked ranking for [[searchBatchTopK]]'s plan.
+    */
+  def searchBatchTopKInt(
+      index: Bm25Index,
+      queries: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      maxPruneTerms: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qterms = queryTermRows(queries, textCol, idCol)
+    val p = batchPostings(index, qterms, maxPruneTerms)
+    val dfTab = p.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = index.n
+    val l = index.totalLen
+    val w = Window.partitionBy("query_id").orderBy(desc("score_int"), asc("doc"))
+    qterms.join(p, "w").join(dfTab, "w")
+      .withColumn("idf_int",
+        expr(s"(1000L * (2L * $n - 2L * df + 1L)) div (2L * df + 1L)"))
+      .withColumn("sat_int",
+        expr(s"(44L * $l * tf * 1000000L) div (20L * $l * tf + 6L * $l + 18L * dl * $n)"))
+      .groupBy("query_id", "doc")
+      .agg(sum(col("idf_int") * col("sat_int")).as("score_int"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "doc", "score_int", "rk")
+  }
+
   /** Exact-integer BM25 surrogate (k1=1.2, b=0.75 folded into integer
     * ladders; L = total corpus tokens, N = docs):
     *

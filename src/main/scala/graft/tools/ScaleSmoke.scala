@@ -450,6 +450,8 @@ object ScaleSmoke {
         }
       } finally LD.deleteRecursively(java.nio.file.Paths.get(posRoot))
 
+      bigDocs.unpersist(true)
+
       // Data quality at COPIES× orders: the one-scan suite vs what a naive
       // per-constraint runner pays (k scans) — constraint count must not
       // multiply corpus scans.

@@ -166,6 +166,49 @@ class TextSearchSpec extends SparkSpec {
     assert(r == f)
   }
 
+  test("batch retrieval equals the single-query path for every query row") {
+    val idx = TextSearch.buildIndex(spark, corpus, "text", "doc_id", nBuckets = 8)
+    val queries = Seq(
+      (101L, "spark join"),
+      (102L, "window merge sort"),
+      (103L, "vector"),
+      (104L, "zzz_ghost")
+    ).toDF("qid", "qtext")
+    val batch = TextSearch.searchBatchTopK(idx, queries, "qtext", "qid", 10)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk")) ->
+        (r.getAs[Long]("doc"), r.getAs[Double]("score"))).toMap
+    val batchInt = TextSearch.searchBatchTopKInt(idx, queries, "qtext", "qid", 10)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk")) ->
+        r.getAs[Long]("doc")).toMap
+    for ((qid, qtext) <- Seq((101L, "spark join"), (102L, "window merge sort"),
+        (103L, "vector"))) {
+      val single = TextSearch.searchTopK(idx, qtext, 10).collect()
+        .map(r => (r.getAs[Long]("doc"), r.getAs[Double]("score"))).toSeq
+      val singleInt = TextSearch.searchTopKInt(idx, qtext, 10).collect()
+        .map(_.getAs[Long]("doc")).toSeq
+      single.zipWithIndex.foreach { case ((d, s), i) =>
+        val (bd, bs) = batch((qid, i + 1L))
+        assert(bd == d && math.abs(bs - s) < 1e-9, s"query $qid rank ${i + 1}")
+      }
+      singleInt.zipWithIndex.foreach { case (d, i) =>
+        assert(batchInt((qid, i + 1L)) == d, s"int query $qid rank ${i + 1}")
+      }
+    }
+    assert(!batch.keys.exists(_._1 == 104L), "all-ghost query returns nothing")
+    // Tiny cap forces the fail-open full-index path — same results.
+    val failOpen = TextSearch.searchBatchTopK(idx, queries, "qtext", "qid", 10,
+        maxPruneTerms = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk")) ->
+        (r.getAs[Long]("doc"), r.getAs[Double]("score"))).toMap
+    assert(failOpen.keySet == batch.keySet)
+    failOpen.foreach { case (key, (d, s)) =>
+      val (bd, bs) = batch(key)
+      assert(d == bd && math.abs(s - bs) < 1e-9, s"fail-open diverges at $key")
+    }
+  }
+
   test("terms absent from the corpus contribute nothing; all-absent is empty") {
     val idx = TextSearch.buildIndex(spark, corpus, "text", "doc_id", nBuckets = 8)
     val withGhost = TextSearch.searchTopK(idx, "spark zzz_ghost", 10).collect()
