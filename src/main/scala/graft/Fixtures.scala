@@ -234,6 +234,17 @@ object Fixtures {
       bucketCols = Seq("p_partkey"),
       nBuckets = 5))
 
+  /** lineitem in `l_orderkey div 2000` range cells — the FACT layout for
+    * the catalog-driven DPP join: each cell's l_orderkey zone is a disjoint
+    * range, so a dimension whose filtered keys cluster in a range prunes
+    * whole fact cells before any read.
+    */
+  def lineitemRangeLake(s: SparkSession, dir: String): LakeDataset =
+    cache.getOrElseUpdate(s"$dir#lineitem_range", LakeDataset.fromDataFrame(
+      s, table(s, dir, "lineitem")
+        .withColumn("l_batch", (col("l_orderkey") / 2000).cast("int")),
+      partitionCols = Seq("l_batch")))
+
   /** orders partitioned by `o_orderkey div 6000` — cells with DISJOINT
     * orderkey ranges, the layout where zone-map pruning on a non-partition
     * column skips every cell a range predicate cannot touch.

@@ -529,6 +529,43 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // SQL DML over the catalog: INSERT INTO / DELETE FROM route to engine
+    // mutations (Spark's own SQL can't write a temp view). The INSERT
+    // reads from the target's own view (snapshot-before-mutate), the
+    // DELETE prunes through the catalog like Scala deleteWhere.
+    "lake_sql_dml" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .withColumn("o_batch", (col("o_orderkey") / 6000).cast("int"))
+      val db = new Database(s)
+      db.register("dml_t", LakeDataset.fromDataFrame(s, o, partitionCols = Seq("o_batch")))
+      db.executeDml(
+        """INSERT INTO dml_t
+          |SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, o_totalprice,
+          |       o_orderdate, o_orderpriority,
+          |       CAST(FLOOR((o_orderkey + 1000000) / 6000) AS INT)
+          |FROM dml_t WHERE o_orderkey <= 100""".stripMargin)
+      db.executeDml(
+        "DELETE FROM dml_t WHERE o_orderstatus = 'O' AND o_orderkey BETWEEN 4000 AND 5000")
+      db.executeSql(
+        s"""SELECT COUNT(*) AS n,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+           |FROM dml_t""".stripMargin)
+    }),
+
+    // Predicate delete (SQL `DELETE WHERE`): the predicate's conjuncts
+    // prune through the catalog (zones here — the key range hits a few
+    // range cells), so untouched cells keep their plans and tight stats;
+    // rows where the predicate is NULL survive per SQL semantics
+    // (DeleteWhereSpec pins that and the cell-touch count).
+    "lake_delete_where" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .withColumn("o_batch", (col("o_orderkey") / 6000).cast("int"))
+      val ds = LakeDataset.fromDataFrame(s, o, partitionCols = Seq("o_batch"))
+      ds.deleteWhere(col("o_orderkey").between(2000L, 3000L) &&
+        col("o_orderstatus") === "F")
+      ds.toDF.agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    }),
+
     // A delta that CHANGES the partition value of existing keys: per-cell
     // routing alone would duplicate those keys (the old row would survive in
     // its old cell). The migration probe detects it and the merge takes the
@@ -802,6 +839,58 @@ object SparkEntry {
         .zoneRangePrunedDF("o_orderkey", 1000L, 2000L)
         .filter(col("o_orderkey").between(1000L, 2000L))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    }),
+
+    // Deterministic shard export: documents written as shard=K parquet
+    // dirs (assignment + intra-shard order are pure functions of the
+    // data), summarized from the RE-READ files — the oracle checks the
+    // persisted assignment, not the pre-write plan. Residue mode here
+    // (SQL-recomputable); ExportSpec covers the hashed mode.
+    "export_shards" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_export").toString
+      graft.operators.Export
+        .shardedWrite(table(s, dir, "documents"), "doc_id", 8, root, hashed = false)
+        // partition-dir values read back as int; the oracle's % is bigint
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+    }),
+
+    // Catalog-driven dynamic partition pruning: the dimension's filtered
+    // key set prunes FACT cells (zones+blooms+bucket routing) before any
+    // fact byte is read, then the join broadcasts the driver-small dim.
+    // Spark's native DPP needs the join column to be the Hive partition
+    // column; the engine prunes on any tracked key column.
+    "lake_dpp_join" -> ((s, dir) => {
+      val dim = table(s, dir, "orders").filter(
+        col("o_orderkey").between(3000L, 4800L) &&
+          col("o_orderpriority") === "1-URGENT")
+      graft.operators.Joins.dppJoin(
+        Fixtures.lineitemRangeLake(s, dir), "l_orderkey", dim, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+    }),
+
+    // Metadata-only aggregates: COUNT(*)/MIN/MAX answered from the catalog
+    // (per-part row counters + tight zone maps) with ZERO file scans — the
+    // lakehouse metadata-query property. The same call degrades to one real
+    // aggregation scan whenever exactness can't be vouched (StatsSpec pins
+    // both paths; this fixture's pure-insert history keeps it tight).
+    "lake_stats_meta" -> ((s, dir) => {
+      graft.operators.Stats.tableStats(s, Fixtures.ordersZoneLake(s, dir),
+        Seq("o_orderkey", "o_totalprice", "o_orderdate"))
+    }),
+
+    // The same property on the SQL surface: LakePruneRule collapses the
+    // whole aggregate over the LakeScan view into a LocalRelation.
+    "lake_sql_stats_meta" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("orders_meta", Fixtures.ordersZoneLake(s, dir))
+      db.executeSql(
+        """SELECT COUNT(*) AS cnt,
+          |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+          |       MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+          |FROM orders_meta""".stripMargin)
     }),
 
     "lake_bucket_pruning" -> ((s, dir) => {
@@ -1672,6 +1761,22 @@ object SparkEntry {
          |FROM orders WHERE o_orderkey % 5 <> 0
          |GROUP BY o_orderstatus""".stripMargin,
 
+    "lake_delete_where" ->
+      s"""SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM orders
+         |WHERE NOT (o_orderkey BETWEEN 2000 AND 3000 AND o_orderstatus = 'F')""".stripMargin,
+
+    "lake_sql_dml" ->
+      s"""WITH t AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey + 1000000, o_orderstatus, o_totalprice
+         |  FROM orders WHERE o_orderkey <= 100
+         |)
+         |SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM t
+         |WHERE NOT (o_orderstatus = 'O' AND o_orderkey BETWEEN 4000 AND 5000)""".stripMargin,
+
     "lake_migrating_upsert" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total
          |FROM (
@@ -1742,6 +1847,31 @@ object SparkEntry {
     "lake_zone_pruning" ->
       s"""SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
          |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin,
+
+    "export_shards" ->
+      """SELECT doc_id % 8 AS shard, COUNT(*) AS docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "lake_dpp_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |       ${osum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderkey BETWEEN 3000 AND 4800 AND o_orderpriority = '1-URGENT'
+         |GROUP BY o_orderpriority""".stripMargin,
+
+    "lake_stats_meta" ->
+      """SELECT COUNT(*) AS cnt,
+        |       MIN(o_orderkey) AS min_o_orderkey, MAX(o_orderkey) AS max_o_orderkey,
+        |       MIN(o_totalprice) AS min_o_totalprice, MAX(o_totalprice) AS max_o_totalprice,
+        |       MIN(o_orderdate) AS min_o_orderdate, MAX(o_orderdate) AS max_o_orderdate
+        |FROM orders""".stripMargin,
+
+    "lake_sql_stats_meta" ->
+      """SELECT COUNT(*) AS cnt,
+        |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        |       MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+        |FROM orders""".stripMargin,
 
     "lake_sql_zone_pruning" ->
       s"""SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total

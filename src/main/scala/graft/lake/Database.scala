@@ -73,4 +73,58 @@ final class Database(val spark: SparkSession) {
     */
   def tableInfo(name: String): Option[(List[(String, String)], Long, Int)] =
     tables.get(name).map(_.schemaInfo)
+
+  private val DeleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][\w]*)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  private val DeleteAllRe =
+    """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val InsertRe =
+    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][\w]*)\s+((?:SELECT|VALUES|WITH|TABLE)\b.+?)\s*;?\s*$""".r
+
+  /** SQL DML over the catalog — the write statements Spark temp views
+    * cannot execute (`spark.sql("DELETE ...")` fails on a view; lakehouse
+    * SQL needs them). Two statements route to ENGINE mutations:
+    *
+    *  - `DELETE FROM t [WHERE cond]` → [[LakeDataset.deleteWhere]] — the
+    *    predicate prunes to catalog-overlapping cells; SQL NULL semantics;
+    *    no WHERE deletes every row. Returns cells touched.
+    *  - `INSERT INTO t <query>` → [[LakeDataset.insert]] of the query's
+    *    result (any SELECT/VALUES/WITH), matched to the table's columns BY
+    *    POSITION (arity-checked) like SQL INSERT without a column list.
+    *    Returns 1.
+    *
+    * Reads stay on [[executeSql]]; anything unrecognized here throws with
+    * the supported grammar (never silently executes as a read).
+    */
+  def executeDml(sql: String): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    def ds(name: String): LakeDataset = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown lake table '$name'"))
+    sql match {
+      case DeleteRe(t, cond) =>
+        val n = ds(t).deleteWhere(expr(cond))
+        refresh(t); n.toLong
+      case DeleteAllRe(t) =>
+        val n = ds(t).deleteWhere(org.apache.spark.sql.functions.lit(true))
+        refresh(t); n.toLong
+      case InsertRe(t, query) =>
+        val target = ds(t)
+        val tgt = target.tableSchema
+        val q = spark.sql(query)
+        require(q.columns.length == tgt.fields.length,
+          s"INSERT arity mismatch: table '$t' has ${tgt.fields.length} columns, " +
+            s"query produced ${q.columns.length}")
+        // Positional alignment WITH the target's column types — SQL INSERT
+        // casts values to the column type (a TIMESTAMP literal lands in a
+        // TIMESTAMP_NTZ column, an int in a bigint).
+        val aligned = q.select(q.columns.zip(tgt.fields).map { case (from, f) =>
+          col(s"`$from`").cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+        target.insert(aligned)
+        refresh(t); 1L
+      case _ => throw new IllegalArgumentException(
+        "unsupported DML; expected DELETE FROM <t> [WHERE <cond>] or " +
+          "INSERT INTO <t> <SELECT|VALUES|WITH query>")
+    }
+  }
 }

@@ -676,8 +676,17 @@ final class LakeDataset private (
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
     val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
     Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
-      bloomCols, serializedBlooms), spec.root)
+      bloomCols, serializedBlooms, serializedRows), spec.root)
   }
+
+  /** Exact row counts of the parts whose stats are tight — the manifest's
+    * persisted tightness vouch (see [[graft.model.Manifest.partRows]]).
+    */
+  private def serializedRows: Map[String, Long] =
+    parts.asScala.collect {
+      case (key, part) if part.statsTight.get && part.rows.get >= 0L =>
+        key.relPath -> part.rows.get
+    }.toMap
 
   /** Shared plan assembly + fallbacks for the prune paths: everything kept →
     * the (possibly clean-scan) whole table; nothing kept → a legitimately
@@ -777,7 +786,11 @@ final class LakeDataset private (
   private def emptyLike: DataFrame = {
     val sample = parts.values().asScala.headOption
       .getOrElse(throw new IllegalStateException("dataset has no parts"))
-    sample.df.limit(0)
+    // Schema-only empty relation — `sample.df.limit(0)` would keep the
+    // part's file-scan lineage in the plan (zero rows read, but the scan
+    // still plans, lists and occupies the DAG); a pruned-to-nothing read
+    // should cost NOTHING.
+    spark.createDataFrame(new java.util.ArrayList[Row](), sample.df.schema)
   }
 
   /** Maintained row count — sum of per-part counters; stale after upserts
@@ -806,6 +819,43 @@ final class LakeDataset private (
     }
     futures.map(Await.result(_, Duration.Inf)).sum
   }
+
+  /** Metadata-only aggregate answer: the table's exact row count and exact
+    * per-column [min,max] for `cols`, computed ENTIRELY from the catalog —
+    * zero Spark jobs, zero file reads. Available only while every part's
+    * stats are tight ([[LakePart.statsTight]]): counters exact and zones
+    * equal to the data's true bounds (pure-append history, or recomputed by
+    * materialize, or restored from a vouching manifest). Any part that was
+    * upserted/deleted since its last materialize — or that lacks a zone for
+    * a requested column — makes the whole answer unavailable (None): the
+    * caller must fall back to a real scan. Fail open, never wrong.
+    *
+    * At 100 TB this is the lakehouse metadata-query property: `COUNT(*)`,
+    * `MIN(k)`, `MAX(k)` over a 10k-cell table cost a fold over 10k catalog
+    * entries on the driver instead of a cluster-wide scan.
+    */
+  def metaStats(cols: Seq[String]): Option[(Long, Map[String, Zone])] =
+    this.synchronized {
+      val ps = parts.values().asScala.toList
+      if (ps.isEmpty) return None
+      if (!ps.forall(p => p.statsTight.get && p.rows.get >= 0L)) return None
+      val zoneMaps = ps.map(_.zones)
+      if (cols.nonEmpty && !zoneMaps.forall(z => z.exists(m => cols.forall(m.contains))))
+        return None
+      val cnt = ps.map(_.rows.get).sum
+      val folded = scala.collection.mutable.Map[String, Zone]()
+      for (c <- cols) {
+        val zs: List[Zone] = zoneMaps.map(_.getOrElse(Map.empty)(c))
+        // Fold the per-part intervals; an incomparable pair (corrupt or
+        // type-drifted bound) kills the whole answer — fail open.
+        zs.map(Option(_)).reduce((a, b) =>
+          a.flatMap(x => b.flatMap(y => x.widen(y)))) match {
+          case Some(z) => folded(c) = z
+          case None => return None
+        }
+      }
+      Some((cnt, folded.toMap))
+    }
 
   def schemaInfo: (List[(String, String)], Long, Int) = {
     val sample = parts.values().asScala.headOption
@@ -1309,6 +1359,77 @@ final class LakeDataset private (
     }
   }
 
+  /** Predicate delete — SQL `DELETE FROM t WHERE cond`, pruned to the cells
+    * the predicate can touch. The predicate's conjuncts are mined for
+    * catalog constraints ([[graft.plans.PredicateConstraints]]: partition
+    * values, bucket ids, zone intervals, bloom membership); cells the
+    * catalog PROVES predicate-free keep their plans — and their tight
+    * statistics — completely untouched, so at 10k cells a range-scoped
+    * DELETE rewrites a handful of cell plans, not the table. Returns the
+    * number of cells touched.
+    *
+    * Rows where the predicate evaluates NULL survive (SQL semantics).
+    * Touched cells' zones/blooms stay as sound supersets (post-delete data
+    * is a subset); [[materialize]] recomputes them tight.
+    */
+  def deleteWhere(cond: Column): Int = this.synchronized {
+    if (parts.isEmpty) return 0
+    val names = tableSchema.fieldNames.toSet
+    val (eqs, ranges, ins) = graft.plans.PredicateConstraints.of(
+      resolvedPredicate(cond), names.contains)
+    val all = parts.asScala.toList
+    val touched =
+      if (eqs.isEmpty && ranges.isEmpty && ins.isEmpty) all
+      else keptBy(all, eqs, ranges, ins)
+    if (touched.isEmpty) return 0
+    markDirty()
+    touched.foreach { case (k, p) =>
+      diskDirs.remove(k); diskSchemas.remove(k)
+      p.deleteWhere(cond)
+    }
+    touched.size
+  }
+
+  /** The user's `Column` predicate as a RESOLVED, constant-folded Catalyst
+    * expression against this table's schema. Spark 4 Columns carry node
+    * trees (`UnresolvedFunction("&gt;=", ...)`), not Catalyst comparisons —
+    * analyzing a filter over a zero-row frame of the table schema yields
+    * the same resolved shapes the SQL path's rule sees (typed attributes,
+    * coercion casts), and folding the foldable subtrees turns
+    * `cast(300 as bigint)` back into the literal the constraint extractor
+    * matches. Driver-only plan work; no job runs. Falls back to
+    * `Literal(true)` (no constraints — touch everything, sound) when no
+    * Filter materializes.
+    */
+  private def resolvedPredicate(cond: Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression => CExpr, Literal => CLit}
+    val probe = spark.createDataFrame(new java.util.ArrayList[Row](), tableSchema)
+      .filter(cond)
+    probe.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.map(_.transformUp {
+      // SQL-parsed sugar (`BETWEEN`, `nvl`, ...) survives analysis as
+      // RuntimeReplaceable wrappers; only the optimizer unwraps them —
+      // expand here so the extractor sees the comparison primitives.
+      case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+        r.replacement
+    }.transformUp {
+      // Replacements share subtrees via With/CommonExpressionRef (Spark's
+      // dedup device, normally lowered late in optimization) — inline the
+      // refs so plain comparisons remain.
+      case w: org.apache.spark.sql.catalyst.expressions.With =>
+        val defs = w.defs.map(d => d.id -> d.child).toMap
+        w.child.transformUp {
+          case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+            defs.getOrElse(r.id, r)
+        }
+    }.transformUp {
+      case e: CExpr if e.foldable && !e.isInstanceOf[CLit] =>
+        CLit.create(e.eval(org.apache.spark.sql.catalyst.InternalRow.empty), e.dataType)
+    }).getOrElse(CLit(true))
+  }
+
   /** Which cells currently hold any of the given keys: the table projected
     * to keys + cell columns, semi-joined against the key rows, grouped by
     * cell. Runs inside the dataset monitor.
@@ -1491,7 +1612,7 @@ final class LakeDataset private (
         .save(spec.root)
     }
     Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
-      bloomCols, serializedBlooms), spec.root)
+      bloomCols, serializedBlooms, serializedRows), spec.root)
     // Every cell's directory now mirrors its content exactly. PartKey.escape
     // IS Spark's escapePathName, so the writer's directory and relPath agree
     // by construction; the existence check stays as a backstop (a mismatch
@@ -1745,18 +1866,27 @@ object LakeDataset {
             if (manifest.bloomCols.contains(c)) Bloom.decode(b64).map(c -> _) else None
           }
         }.filter(_.nonEmpty)
+      // The manifest's tightness vouch: a part listed under part_rows was
+      // saved with exact stats — restore its counter and exactness so a
+      // freshly loaded table can answer count/min/max metadata-only, with
+      // ZERO file reads (the flagship lakehouse property at 100 TB: the
+      // stats live in one JSON manifest, not in O(files) footers).
+      val exactRows: Option[Long] = manifest.partRows.get(key.relPath)
+      val tight = exactRows.isDefined && zones.isDefined
       if (eager) {
         // Eager load: materialize NOW by contract (the caller asked for
         // resident parts); the thunk runs here, not on first touch.
         val c = ds.partSnapshot(partDf()); ds.retainDirect(c)
         ds.parts.put(key,
-          new LakePart(c, key, manifest.buckets, manifest.nBuckets, -1L, ds.retainDirect,
+          new LakePart(c, key, manifest.buckets, manifest.nBuckets,
+            exactRows.getOrElse(-1L), ds.retainDirect,
             initialZones = zones, statColsOf = ds.statColsFor, initialBlooms = blooms,
-            snapshot = ds.partSnapshot))
+            snapshot = ds.partSnapshot, initialTight = tight))
       } else ds.parts.put(key,
-        new LakePart(partDf(), key, manifest.buckets, manifest.nBuckets, -1L, ds.retainDirect,
+        new LakePart(partDf(), key, manifest.buckets, manifest.nBuckets,
+          exactRows.getOrElse(-1L), ds.retainDirect,
           initialZones = zones, statColsOf = ds.statColsFor, initialBlooms = blooms,
-          snapshot = ds.partSnapshot))
+          snapshot = ds.partSnapshot, initialTight = tight))
       ds.diskDirs.put(key, dir.toString)
       target.foreach(t => ds.diskSchemas.put(key, t))
     }

@@ -55,7 +55,13 @@ final class LakePart private[lake] (
       * dataset's snapshot policy (local checkpoint, or parquet spill in
       * reliable mode; see `LakeDataset.partSnapshot`).
       */
-    snapshot: DataFrame => DataFrame = _.localCheckpoint(true)) {
+    snapshot: DataFrame => DataFrame = _.localCheckpoint(true),
+    /** Whether the initial statistics (zones, blooms, row counter) reflect
+      * the part's data EXACTLY — true on every in-memory creation path (all
+      * compute stats from the routed batch itself); false for parts loaded
+      * from a manifest that does not vouch for them. See [[statsTight]].
+      */
+    initialTight: Boolean = true) {
 
   // `initial` stays UNEVALUATED until first touch: a loaded table registers
   // one part per cell, and building each cell's plan (a directory listing +
@@ -100,6 +106,20 @@ final class LakePart private[lake] (
       case Some(old) => Some(Bloom.widen(old, delta))
       case None => None
     }
+  /** Stats-exactness flag: true while the part's zones and row counter are
+    * known to reflect its data EXACTLY, not just soundly. Inserts preserve
+    * it (count adds the batch, min/max widen with the batch's exact bounds —
+    * both exact under pure append); upsert and delete clear it (their
+    * widened stats are a sound SUPERSET, and upsert leaves the counter
+    * stale); [[materialize]] restores it by recomputing from data. While
+    * every part of a dataset is tight, aggregate queries of the
+    * count/min/max family can be answered from the CATALOG with zero file
+    * scans (`LakeDataset.metaStats`) — the lakehouse metadata-only-query
+    * property. The flag only ever gates that fast path; pruning soundness
+    * never depends on it.
+    */
+  val statsTight = new java.util.concurrent.atomic.AtomicBoolean(initialTight)
+
   /** Maintained row counter; deliberately stale after upsert until the next
     * materialize, matching reference semantics (src/dataset.rs:144). */
   val rows = new AtomicLong(initialRows)
@@ -152,6 +172,7 @@ final class LakePart private[lake] (
       leftWins: Set[String] = Set.empty): Unit =
     lock.synchronized {
       ref.set(LakePart.upsertJoin(cur, other, keys, leftWins))
+      statsTight.set(false) // superset zones + stale counter until materialize
       changes.addAndGet(otherRows)
       // rows counter intentionally unchanged (stale until materialize),
       // mirroring reference src/dataset.rs:144.
@@ -166,6 +187,19 @@ final class LakePart private[lake] (
     */
   def delete(keysDf: DataFrame, keys: Seq[String]): Unit = lock.synchronized {
     ref.set(cur.join(keysDf.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+    statsTight.set(false) // zones now a superset of the surviving rows
+    changes.addAndGet(1L)
+    rows.set(-1L) // unknown until materialize/recount
+    maybeCompact(false)
+  }
+
+  /** Delete rows matching a predicate — SQL `DELETE WHERE` semantics: rows
+    * where the predicate is TRUE go; rows where it is FALSE **or NULL**
+    * stay (a bare `filter(!cond)` would silently delete the NULL rows too).
+    */
+  def deleteWhere(cond: Column): Unit = lock.synchronized {
+    ref.set(cur.filter(!coalesce(cond, lit(false))))
+    statsTight.set(false) // zones now a superset of the surviving rows
     changes.addAndGet(1L)
     rows.set(-1L) // unknown until materialize/recount
     maybeCompact(false)
@@ -198,6 +232,7 @@ final class LakePart private[lake] (
       if (bc.nonEmpty) bloomsRef.set(Some(Bloom.fromRow(row, 1 + 2 * zc.length, bc)))
       changes.set(0L)
       mutationOps.set(0L)
+      statsTight.set(true) // count + zones just recomputed from data
     }
   }
 

@@ -97,7 +97,17 @@ final case class Manifest(
       * Parts missing from the map load without membership stats (pruning
       * fails open). Old manifests without the field load the same way.
       */
-    partBlooms: Map[String, Map[String, String]] = Map.empty)
+    partBlooms: Map[String, Map[String, String]] = Map.empty,
+    /** EXACT per-part row counts, written only for parts whose statistics
+      * were tight at save time (`LakePart.statsTight`). Presence is the
+      * persisted tightness vouch: a loaded part found here restores its
+      * counter AND its stats-exactness, so metadata-only aggregate answers
+      * (count/min/max from the catalog, zero file scans) survive a
+      * save/load cycle. Parts absent from the map load with an unknown
+      * counter (-1, recounted on demand) and untight stats — fail open to
+      * a real scan, never to a wrong metadata answer.
+      */
+    partRows: Map[String, Long] = Map.empty)
 
 object Manifest {
   val FileName = "_manifest.json"
@@ -135,6 +145,10 @@ object Manifest {
         val pn = blooms.putObject(rel)
         cols.foreach { case (c, b64) => pn.put(c, b64) }
       }
+    }
+    if (m.partRows.nonEmpty) {
+      val rowsN = node.putObject("part_rows")
+      m.partRows.foreach { case (rel, n) => rowsN.put(rel, n) }
     }
     val st = node.putObject("storage")
     st.put("root", m.storage.root)
@@ -183,6 +197,9 @@ object Manifest {
           val pn = blooms.get(rel)
           rel -> pn.fieldNames().asScala.map(c => c -> pn.get(c).asText()).toMap
         }.toMap
+      }.getOrElse(Map.empty),
+      partRows = Option(node.get("part_rows")).map { rows =>
+        rows.fieldNames().asScala.map(rel => rel -> rows.get(rel).asLong()).toMap
       }.getOrElse(Map.empty))
   }
 }

@@ -156,13 +156,16 @@ object DataQuality {
             coalesce(sum("__n"), lit(0L)).as("n_rows"))
           .select(lit(c.name).as("constraint"), col("n_rows"), col("n_violations"))
       case c: RefIntegrity =>
+        // ONE pass: left-outer against the (distinct, usually broadcast)
+        // reference keys, counting rows and unmatched non-null values in
+        // the same aggregate — no second scan, no 1x1 cross join of two
+        // aggregate rows (which physical-plans as a nested-loop join).
         val refSide0 = c.ref.select(col(c.refColumn).as("__ref")).distinct()
         val refSide = if (c.broadcastRef) broadcast(refSide0) else refSide0
-        val total = df.agg(count(lit(1)).as("n_rows"))
-        val miss = df.filter(col(c.column).isNotNull)
-          .join(refSide, col(c.column) === col("__ref"), "left_anti")
-          .agg(count(lit(1)).as("n_violations"))
-        total.crossJoin(miss)
+        df.join(refSide, col(c.column) === col("__ref"), "left_outer")
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(when(col(c.column).isNotNull && col("__ref").isNull, 1L)
+              .otherwise(0L)), lit(0L)).as("n_violations"))
           .select(lit(c.name).as("constraint"), col("n_rows"), col("n_violations"))
     }
     val pieces = localReport.toSeq ++ heavies

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic shard export — the last stage of a training-data pipeline:
+  * write a corpus as N shards whose ASSIGNMENT and per-shard ORDER are pure
+  * functions of the data, so a re-run over the same input produces
+  * comparable shards (resumable exports, reproducible training runs,
+  * diffable re-exports after an upstream fix).
+  *
+  * Scale shape: ONE shuffle (repartition by shard id) and a sorted write —
+  * no global sort, no driver-side pass. Each shard's rows land in exactly
+  * one task (the shard id is the partitioning key), so each `shard=k`
+  * directory holds one deterministic file regardless of cluster size.
+  */
+object Export {
+
+  /** Shard id expression. `hashed=true` spreads arbitrary/clustered ids
+    * uniformly via xxhash64; `hashed=false` uses the id's own residue
+    * (portable arithmetic — any engine can recompute the assignment).
+    */
+  def shardColumn(idCol: Column, nShards: Int, hashed: Boolean = true): Column =
+    if (hashed) pmod(xxhash64(idCol), lit(nShards.toLong))
+    else pmod(idCol, lit(nShards.toLong))
+
+  /** Write `df` as `root/shard=K/` parquet shards, deterministically:
+    * assignment by [[shardColumn]] over `idCol`, rows within a shard
+    * ordered by (xxhash64(id), id) — an order that is stable, input-order-
+    * independent, and uncorrelated with any data column (a free global
+    * shuffle: training consumers reading shards sequentially see
+    * hash-randomized document order, no "sorted by source" bias).
+    * Returns the re-read of the written tree — the caller summarizes or
+    * validates actual persisted bytes, not the pre-write plan.
+    */
+  def shardedWrite(df: DataFrame, idCol: String, nShards: Int, root: String,
+      hashed: Boolean = true): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val withShard = df.withColumn("shard", shardColumn(col(idCol), nShards, hashed))
+    withShard
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), xxhash64(col(idCol)), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(root)
+    df.sparkSession.read.option("basePath", root).parquet(root)
+  }
+}

@@ -31,6 +31,43 @@ object Joins {
     salted.join(exploded, Seq(key, "__graft_salt")).drop("__graft_salt")
   }
 
+  /** Lake-aware dynamic partition pruning: join a lake FACT table to a
+    * (filtered) dimension, pruning fact CELLS by the dimension's actual key
+    * set before any fact byte is read. Spark's own DPP needs the fact's
+    * join column to be its Hive partition column; the engine's catalog
+    * (zone maps + key blooms + bucket routing via
+    * `LakeDataset.prunedByLongKeys`) prunes on ANY tracked BIGINT column —
+    * the common "dimension filter implies a fact key range" shape where a
+    * full fact scan is the whole cost at 100 TB.
+    *
+    * Two-step plan: (1) collect the dimension's distinct join keys to the
+    * driver, bounded by `maxDriverKeys` — dimensions that survive their
+    * filter with MORE keys than that wouldn't prune much anyway, so the
+    * join falls open to the plain whole-fact join (fail open, never wrong);
+    * (2) the kept cells join the dimension with a broadcast hint — the key
+    * set just proved driver-small, and a dimension is keyish by contract
+    * (rows ≈ distinct keys; pass a pre-deduplicated frame if yours is not).
+    *
+    * Inner-join semantics: pruning keeps a SUPERSET of matching cells; the
+    * join itself discards non-matching rows.
+    */
+  def dppJoin(
+      fact: graft.lake.LakeDataset, factKey: String,
+      dim: DataFrame, dimKey: String,
+      maxDriverKeys: Int = 100_000): DataFrame = {
+    val keyRows = dim.select(col(dimKey)).na.drop().distinct()
+      .limit(maxDriverKeys + 1).collect()
+    if (keyRows.length > maxDriverKeys) {
+      // Over the cap: no pruning, no broadcast claim — the plain join, with
+      // Catalyst/AQE picking the strategy from its own statistics.
+      val f = fact.toDF
+      f.join(dim, f(factKey) === dim(dimKey))
+    } else {
+      val pruned = fact.prunedByLongKeys(factKey, keyRows.map(_.getLong(0)))
+      pruned.join(broadcast(dim), pruned(factKey) === dim(dimKey))
+    }
+  }
+
   /** As-of join: attach to each left row the LATEST right row per key whose
     * timestamp is at-or-before the left row's timestamp (the event ×
     * feature-snapshot join training pipelines run constantly; Spark has no

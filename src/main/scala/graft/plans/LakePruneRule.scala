@@ -29,6 +29,17 @@ import graft.lake.ZoneMap
 final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    // Metadata-only aggregates: an ungrouped COUNT(*)/MIN/MAX-only query
+    // over the bare table answers from the engine catalog (per-part row
+    // counters + zone maps) when those are provably exact — the whole query
+    // collapses to a LocalRelation, ZERO scan tasks (Delta/Iceberg's
+    // metadata-only query, driven by the same stats that do the pruning).
+    // Any non-tight part, extra filter, grouping, or unsupported aggregate
+    // leaves the plan alone — fail open to the real scan.
+    case agg @ Aggregate(Seq(), aggExprs, MetaAggChild(scan), _) =>
+      // Unsupported shapes return the node unchanged; transformDown then
+      // descends and the leaf cases below resolve the scan as usual.
+      metaAnswer(aggExprs, scan).getOrElse(agg)
     case Filter(cond, scan: LakeScan) =>
       val pruned = dnfBranches(cond) match {
         // A disjunctive condition (`p='a' OR p='b'`, possibly AND-mixed):
@@ -96,96 +107,66 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     Project(projections, child)
   }
 
-  /** Over this many IN values the per-value disjunctive prune falls back to
-    * the covering interval — bounds driver-side planning work (values ×
-    * parts checks).
+  /** The aggregate child shapes the metadata rewrite sees through: the bare
+    * scan, or the column-pruning `Project` of pass-through attributes that
+    * the surrounding fixed point inserts under an Aggregate. Anything
+    * computed in between (expressions, filters) disqualifies.
     */
-  private val MaxInPruneValues = 256
+  private object MetaAggChild {
+    def unapply(plan: LogicalPlan): Option[LakeScan] = plan match {
+      case scan: LakeScan => Some(scan)
+      case Project(ps, scan: LakeScan)
+          if ps.forall(_.isInstanceOf[AttributeReference]) => Some(scan)
+      case _ => None
+    }
+  }
+
+  /** The LocalRelation carrying the catalog's exact aggregate answer, or
+    * None when any aggregate expression is not of the COUNT(*)/MIN/MAX
+    * family or the dataset cannot vouch for exactness
+    * ([[graft.lake.LakeDataset.metaStats]]).
+    */
+  private def metaAnswer(
+      aggExprs: Seq[NamedExpression], scan: LakeScan): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    // Each output is: count(*) (column = None) | min/max(col).
+    final case class Spec(column: Option[String], wantMin: Boolean)
+    val specs: Seq[Option[Spec]] = aggExprs.map {
+      case Alias(AggregateExpression(fn, Complete, false, None, _), _) => fn match {
+        case Count(Seq(Literal(v, _))) if v != null => Some(Spec(None, false))
+        case Min(a: AttributeReference) if scan.outputSet.contains(a) =>
+          Some(Spec(Some(a.name), true))
+        case Max(a: AttributeReference) if scan.outputSet.contains(a) =>
+          Some(Spec(Some(a.name), false))
+        case _ => None
+      }
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) return None
+    val cols = specs.flatten.flatMap(_.column).distinct
+    scan.ds.metaStats(cols).map { case (cnt, zones) =>
+      val values = specs.flatten.zip(aggExprs).map {
+        case (Spec(None, _), _) => cnt.asInstanceOf[Any]
+        case (Spec(Some(c), wantMin), e) =>
+          val bound = if (wantMin) zones(c).min else zones(c).max
+          bound.map(
+            CatalystTypeConverters.createToCatalystConverter(e.dataType)(_)).orNull
+      }
+      LocalRelation(aggExprs.map(_.toAttribute),
+        Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(values)))
+    }
+  }
 
   /** Split a pushed-down condition into per-column equality values,
     * [lo, hi] interval bounds, and IN-list value sets the engine can prune
-    * with. Unrecognized conjuncts are simply ignored — pruning stays a
-    * sound superset. Strict inequalities are relaxed to inclusive bounds
-    * (sound: at most one extra boundary part survives).
+    * with — the shared [[PredicateConstraints]] extraction, scoped to the
+    * scan's columns. Unrecognized conjuncts are simply ignored — pruning
+    * stays a sound superset.
     */
   private def constraintsOf(cond: Expression, scan: LakeScan)
       : (Map[String, Any], Map[String, (Option[Any], Option[Any])],
          Map[String, Seq[Any]]) = {
-    val eqs = scala.collection.mutable.Map[String, Any]()
-    val lows = scala.collection.mutable.Map[String, Any]()
-    val highs = scala.collection.mutable.Map[String, Any]()
-    val ins = scala.collection.mutable.Map[String, Seq[Any]]()
-
-    def name(e: Expression): Option[String] = e match {
-      case a: Attribute if scan.outputSet.contains(a) => Some(a.name)
-      case _ => None
-    }
-    def ext(l: Literal): Any = CatalystTypeConverters.convertToScala(l.value, l.dataType)
-    // Keep the TIGHTEST of several bounds on one column; on incomparable
-    // values keep the existing one (looser = sound).
-    def addLo(c: String, v: Any): Unit =
-      lows.updateWith(c) {
-        case Some(old) => Some(if (ZoneMap.cmp(v, old).exists(_ > 0)) v else old)
-        case None => Some(v)
-      }
-    def addHi(c: String, v: Any): Unit =
-      highs.updateWith(c) {
-        case Some(old) => Some(if (ZoneMap.cmp(v, old).exists(_ < 0)) v else old)
-        case None => Some(v)
-      }
-
-    def split(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => split(l) ++ split(r)
-      case other => Seq(other)
-    }
-
-    // Small IN lists prune per-value (disjunction of full axis checks —
-    // skips the gaps BETWEEN scattered values); oversized ones fall back to
-    // the covering interval.
-    def addIn(c: String, vs: Seq[Any]): Unit =
-      if (vs.size <= MaxInPruneValues) ins(c) = vs
-      else {
-        vs.reduceOption((x, y) => if (ZoneMap.cmp(x, y).exists(_ <= 0)) x else y)
-          .foreach(addLo(c, _))
-        vs.reduceOption((x, y) => if (ZoneMap.cmp(x, y).exists(_ >= 0)) x else y)
-          .foreach(addHi(c, _))
-      }
-
-    split(cond).foreach {
-      case EqualTo(a, l: Literal) if name(a).isDefined && l.value != null =>
-        eqs(name(a).get) = ext(l)
-      case EqualTo(l: Literal, a) if name(a).isDefined && l.value != null =>
-        eqs(name(a).get) = ext(l)
-      case GreaterThanOrEqual(a, l: Literal) if name(a).isDefined && l.value != null =>
-        addLo(name(a).get, ext(l))
-      case GreaterThan(a, l: Literal) if name(a).isDefined && l.value != null =>
-        addLo(name(a).get, ext(l))
-      case LessThanOrEqual(a, l: Literal) if name(a).isDefined && l.value != null =>
-        addHi(name(a).get, ext(l))
-      case LessThan(a, l: Literal) if name(a).isDefined && l.value != null =>
-        addHi(name(a).get, ext(l))
-      // literal-on-the-left forms flip the comparison direction
-      case GreaterThanOrEqual(l: Literal, a) if name(a).isDefined && l.value != null =>
-        addHi(name(a).get, ext(l))
-      case GreaterThan(l: Literal, a) if name(a).isDefined && l.value != null =>
-        addHi(name(a).get, ext(l))
-      case LessThanOrEqual(l: Literal, a) if name(a).isDefined && l.value != null =>
-        addLo(name(a).get, ext(l))
-      case LessThan(l: Literal, a) if name(a).isDefined && l.value != null =>
-        addLo(name(a).get, ext(l))
-      case In(a, vs) if name(a).isDefined && vs.nonEmpty &&
-          vs.forall(v => v.isInstanceOf[Literal] && v.asInstanceOf[Literal].value != null) =>
-        addIn(name(a).get, vs.map(v => ext(v.asInstanceOf[Literal])))
-      // Catalyst rewrites larger IN lists to InSet (internal values) inside
-      // the same optimization batch — handle both spellings.
-      case InSet(a: Attribute, hset) if name(a).isDefined && hset.nonEmpty &&
-          !hset.contains(null) =>
-        addIn(name(a).get, hset.toSeq.map(v =>
-          CatalystTypeConverters.convertToScala(v, a.dataType)))
-      case _ => ()
-    }
-
-    (eqs.toMap, (lows.keySet ++ highs.keySet).iterator
-      .map(c => c -> (lows.get(c), highs.get(c))).toMap, ins.toMap)
+    val names = scan.output.map(_.name).toSet
+    PredicateConstraints.of(cond, names.contains)
   }
 }

@@ -41,7 +41,8 @@ object ScaleSmoke {
     val onlyR7 = sys.env.contains("SPARK_GRAFT_ONLY_R7")
     val runAll = !sys.env.contains("SPARK_GRAFT_ONLY_MH") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_IVF") && !onlyEx && !onlyR7 &&
-      !sys.env.contains("SPARK_GRAFT_ONLY_R8")
+      !sys.env.contains("SPARK_GRAFT_ONLY_R8") &&
+      !sys.env.contains("SPARK_GRAFT_ONLY_R9")
     if (runAll) {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val big = (0 until copies).map { i =>
@@ -514,6 +515,82 @@ object ScaleSmoke {
       }
     }
     if (onlyR8) { spark.stop(); return }
+
+    // ---- Round-9 additions: metadata stats / catalog DPP join -------------
+    // SPARK_GRAFT_ONLY_R9=1 runs just this section.
+    val onlyR9 = sys.env.contains("SPARK_GRAFT_ONLY_R9")
+    if (runAll || onlyR9) {
+      import graft.operators.{Joins, Stats}
+      import graft.model.StorageSpec
+
+      // Metadata-only aggregates: a COPIES× orders lake saved and RELOADED —
+      // the loaded table answers count/min/max from the manifest's stats
+      // with zero file reads, vs the full aggregation scan it replaces.
+      val mo = (0 until copies).map { i =>
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 1000000L))
+      }.reduce(_ unionByName _)
+        .withColumn("o_batch", (col("o_orderkey") / 500000).cast("int"))
+        .localCheckpoint(true)
+      println(s"[scale] r9 orders: ${mo.count()} rows (${copies}x)")
+      val statsRoot = java.nio.file.Files.createTempDirectory("graft_r9_stats").toString
+      try {
+        val built = time(s"stats lake create+save ${copies}x") {
+          val d = LakeDataset.fromDataFrame(spark, mo,
+            partitionCols = Seq("o_batch"), storage = Some(StorageSpec(statsRoot)))
+          d.toStorage(); d
+        }
+        println(s"[scale] r9 stats cells: ${built.numParts}")
+        val loaded = time("stats lake load")(LakeDataset.fromStorage(spark, statsRoot))
+        val statCols = Seq("o_orderkey", "o_totalprice")
+        require(Stats.metaAnswerable(loaded, statCols), "loaded lake not tight")
+        time("count/min/max METADATA-ONLY") {
+          Stats.tableStats(spark, loaded, statCols).collect()
+        }
+        time("count/min/max full scan") {
+          loaded.toDF.agg(count(lit(1)),
+            min(col("o_orderkey")), max(col("o_orderkey")),
+            min(col("o_totalprice")), max(col("o_totalprice"))).collect()
+        }
+      } finally LakeDataset.deleteRecursively(java.nio.file.Paths.get(statsRoot))
+
+      // Catalog DPP join: a COPIES× lineitem fact in orderkey-range cells
+      // on disk; a key-range dimension filter prunes fact CELLS through
+      // zones before any fact byte is read — vs the whole-fact join.
+      val fact0 = (0 until copies).map { i =>
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select((col("l_orderkey") + lit(i.toLong * 1000000L)).as("l_orderkey"),
+            col("l_extendedprice"), col("l_discount"))
+      }.reduce(_ unionByName _)
+        .withColumn("l_batch", (col("l_orderkey") / 500000).cast("int"))
+        .localCheckpoint(true)
+      println(s"[scale] r9 lineitem: ${fact0.count()} rows (${copies}x)")
+      val dppRoot = java.nio.file.Files.createTempDirectory("graft_r9_dpp").toString
+      try {
+        val w = LakeDataset.fromDataFrame(spark, fact0,
+          partitionCols = Seq("l_batch"), storage = Some(StorageSpec(dppRoot)))
+        time(s"dpp fact save ${copies}x")(w.toStorage())
+        val fact = LakeDataset.fromStorage(spark, dppRoot)
+        val dim = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select((col("o_orderkey") + lit((copies / 2).toLong * 1000000L))
+            .as("o_orderkey"), col("o_orderpriority"))
+          .filter(col("o_orderkey") % 1000000L < 80000L)
+        val joined = Joins.dppJoin(fact, "l_orderkey", dim, "o_orderkey")
+        val opened = org.apache.spark.sql.graftbridge.Bridge
+          .scanRootPaths(joined).count(_.contains("l_batch="))
+        println(s"[scale] dpp join plans $opened of ${fact.numParts} fact cells")
+        time("dpp join (pruned cells + broadcast dim)") {
+          joined.agg(count(lit(1)), sum(col("l_extendedprice"))).collect()
+        }
+        time("plain join (whole fact)") {
+          val f = fact.toDF
+          f.join(dim, f("l_orderkey") === dim("o_orderkey"))
+            .agg(count(lit(1)), sum(col("l_extendedprice"))).collect()
+        }
+      } finally LakeDataset.deleteRecursively(java.nio.file.Paths.get(dppRoot))
+      mo.unpersist(true); fact0.unpersist(true)
+    }
+    if (onlyR9) { spark.stop(); return }
 
     // ---- IVF ANN: probe cost vs corpus growth ------------------------------
     // The scale claim: an IVF probe reads nprobe inverted LISTS, whose size

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.{Database, LakeDataset}
+
+/** SQL DML routing (Database.executeDml): DELETE/INSERT statements become
+  * engine mutations; grammar and arity errors are loud; reads unaffected.
+  */
+class DmlSpec extends SparkSpec {
+
+  private def freshDb(name: String): (Database, LakeDataset) = {
+    val o = Fixtures.table(spark, sf(), "orders")
+      .withColumn("o_batch", (col("o_orderkey") / 200).cast("int"))
+    val db = new Database(spark)
+    val ds = LakeDataset.fromDataFrame(spark, o, partitionCols = Seq("o_batch"))
+    db.register(name, ds)
+    (db, ds)
+  }
+
+  test("DELETE FROM ... WHERE prunes cells and applies SQL semantics") {
+    val (db, ds) = freshDb("dml_del")
+    val total = ds.numParts
+    val touched = db.executeDml(
+      "DELETE FROM dml_del WHERE o_orderkey BETWEEN 300 AND 500 AND o_orderstatus = 'F'")
+    assert(touched > 0 && touched < total / 2)
+    val left = db.executeSql("SELECT COUNT(*) AS n FROM dml_del").head().getLong(0)
+    val expect = Fixtures.table(spark, sf(), "orders")
+      .filter(!(col("o_orderkey").between(300L, 500L) &&
+        col("o_orderstatus") === "F")).count()
+    assert(left == expect)
+  }
+
+  test("DELETE without WHERE empties the table") {
+    val (db, _) = freshDb("dml_all")
+    db.executeDml("DELETE FROM dml_all")
+    assert(db.executeSql("SELECT COUNT(*) AS n FROM dml_all").head().getLong(0) == 0L)
+  }
+
+  test("INSERT INTO aligns by position and lands in the catalog view") {
+    val (db, ds) = freshDb("dml_ins")
+    val before = ds.rowsCount
+    db.executeDml(
+      """INSERT INTO dml_ins VALUES
+        |(9000001, 7, 'O', 12.5, TIMESTAMP '2031-01-01 00:00:00', '1-URGENT', 45000)""".stripMargin)
+    assert(ds.rowsCount == before + 1)
+    // Visible through SQL immediately, with the table's column names.
+    val got = db.executeSql(
+      "SELECT o_custkey FROM dml_ins WHERE o_orderkey = 9000001").head().getLong(0)
+    assert(got == 7L)
+  }
+
+  test("arity mismatch and unknown statements fail loudly") {
+    val (db, _) = freshDb("dml_err")
+    val e1 = intercept[IllegalArgumentException] {
+      db.executeDml("INSERT INTO dml_err SELECT 1, 2")
+    }
+    assert(e1.getMessage.contains("arity"))
+    val e2 = intercept[IllegalArgumentException] {
+      db.executeDml("UPDATE dml_err SET x = 1")
+    }
+    assert(e2.getMessage.contains("unsupported DML"))
+    val e3 = intercept[IllegalArgumentException] {
+      db.executeDml("DELETE FROM no_such WHERE 1 = 1")
+    }
+    assert(e3.getMessage.contains("unknown lake table"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Export
+
+/** Deterministic shard export (Export.shardedWrite): reproducibility,
+  * lossless round trip, assignment law, balance of the hashed mode.
+  */
+class ExportSpec extends SparkSpec {
+
+  private def docs: DataFrame = Fixtures.table(spark, sf(), "documents")
+
+  private def writeOnce(hashed: Boolean): (String, DataFrame) = {
+    val root = java.nio.file.Files.createTempDirectory("graft_export_spec").toString
+    (root, Export.shardedWrite(docs, "doc_id", 8, root, hashed))
+  }
+
+  test("re-read equals the source; residue mode matches id % n exactly") {
+    val (_, out) = writeOnce(hashed = false)
+    assert(out.count() == docs.count())
+    // Lossless: every column survives, content identical.
+    assert(out.drop("shard").exceptAll(docs).count() == 0L)
+    assert(docs.exceptAll(out.drop("shard")).count() == 0L)
+    // Assignment law, recomputable by any engine.
+    assert(out.filter(col("shard").cast("long") =!=
+      pmod(col("doc_id"), lit(8L))).count() == 0L)
+  }
+
+  test("two hashed exports produce identical per-shard ordered content") {
+    val (rootA, _) = writeOnce(hashed = true)
+    // Second run over a differently-ordered input: determinism must come
+    // from the data, not the incoming row order.
+    val rootB = java.nio.file.Files.createTempDirectory("graft_export_spec").toString
+    Export.shardedWrite(docs.orderBy(desc("n_chars")), "doc_id", 8, rootB,
+      hashed = true)
+    for (shard <- 0 until 8) {
+      val a = spark.read.parquet(s"$rootA/shard=$shard")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val b = spark.read.parquet(s"$rootB/shard=$shard")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(a == b, s"shard $shard differs between runs")
+      assert(a.nonEmpty)
+    }
+  }
+
+  test("hashed shards are balanced and each shard is one file") {
+    val (root, out) = writeOnce(hashed = true)
+    val sizes = out.groupBy("shard").count().collect()
+      .map(_.getAs[Long]("count"))
+    assert(sizes.length == 8)
+    val avg = sizes.sum.toDouble / sizes.length
+    assert(sizes.max < 2 * avg, s"skewed shards: ${sizes.toList}")
+    for (shard <- 0 until 8) {
+      val files = new java.io.File(s"$root/shard=$shard")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"shard $shard split across $files files")
+    }
+  }
+}

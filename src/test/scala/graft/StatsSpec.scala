@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.lake.{Database, LakeDataset}
+import graft.operators.Stats
+
+/** Metadata-only aggregate answers (Stats.tableStats + the LakePruneRule
+  * Aggregate→LocalRelation rewrite): exactness gating, both answer paths,
+  * manifest round trip, SQL surface.
+  */
+class StatsSpec extends SparkSpec {
+
+  private def orders: DataFrame =
+    spark.read.parquet(s"${sf()}/orders.parquet")
+
+  private val statCols = Seq("o_orderkey", "o_totalprice", "o_orderdate")
+
+  /** The fixture's timestamp column external type differs by parquet reader
+    * settings (TIMESTAMP vs TIMESTAMP_NTZ) — produce whichever matches.
+    */
+  private def dateLike(df: DataFrame, iso: String): Any = {
+    val ldt = java.time.LocalDateTime.parse(iso)
+    df.schema("o_orderdate").dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType => ldt
+      case _ => java.sql.Timestamp.valueOf(ldt)
+    }
+  }
+
+  /** Ground truth by real aggregation over the dataset's current content. */
+  private def truth(ds: LakeDataset): Seq[Any] = {
+    val aggs = count(lit(1)) +:
+      statCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    ds.toDF.agg(aggs.head, aggs.tail: _*).head().toSeq
+  }
+
+  private def statsRow(ds: LakeDataset): Seq[Any] =
+    Stats.tableStats(spark, ds, statCols).head().toSeq
+
+  private def freshLake(): LakeDataset = {
+    val o = orders.withColumn("o_batch", (col("o_orderkey") / 500).cast("int"))
+    val ds = LakeDataset.fromDataFrame(spark, o.filter(col("o_orderkey") < 600),
+      partitionCols = Seq("o_batch"))
+    ds.insert(o.filter(col("o_orderkey") >= 600))
+    ds
+  }
+
+  test("pure-insert history answers from the catalog with a scan-free plan") {
+    val ds = freshLake()
+    assert(Stats.metaAnswerable(ds, statCols))
+    val df = Stats.tableStats(spark, ds, statCols)
+    // The metadata answer is a LocalRelation-backed one-row frame — no file
+    // relation anywhere in its plan.
+    assert(Bridge.scanRootPaths(df).isEmpty)
+    assert(df.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]))
+    assert(df.head().toSeq == truth(ds))
+    // Another insert keeps exactness: count adds, bounds widen exactly.
+    ds.insert(orders.limit(0)
+      .unionByName(spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(999999L, 7L, "O", 1.5,
+            dateLike(orders, "2031-01-01T00:00:00"), "1-URGENT")),
+        orders.schema))
+      .withColumn("o_batch", (col("o_orderkey") / 500).cast("int")))
+    assert(Stats.metaAnswerable(ds, statCols))
+    val after = statsRow(ds)
+    assert(after == truth(ds))
+    assert(after.head.asInstanceOf[Long] == orders.count() + 1)
+    assert(after(2).asInstanceOf[Long] == 999999L) // new exact max key
+  }
+
+  test("upsert and delete fail open to the scan; materialize re-tightens") {
+    val ds = freshLake()
+    val minKey = orders.agg(min(col("o_orderkey"))).head().getLong(0)
+    // Upsert an existing key: counter goes stale, zones become a superset.
+    ds.upsert(orders.filter(col("o_orderkey") === minKey)
+      .withColumn("o_totalprice", lit(0.25))
+      .withColumn("o_batch", (col("o_orderkey") / 500).cast("int")),
+      keys = Seq("o_orderkey"))
+    assert(!Stats.metaAnswerable(ds, statCols))
+    assert(statsRow(ds) == truth(ds)) // fallback path, still exact
+    ds.materialize()
+    assert(Stats.metaAnswerable(ds, statCols))
+    assert(statsRow(ds) == truth(ds))
+    assert(statsRow(ds)(3).asInstanceOf[Double] == 0.25) // tight new min price
+    // Delete the min-key rows: the stale zone still holds the old min —
+    // the metadata path must refuse until a materialize recomputes.
+    ds.delete(spark.range(minKey, minKey + 1).toDF("o_orderkey"), Seq("o_orderkey"))
+    assert(!Stats.metaAnswerable(ds, statCols))
+    assert(statsRow(ds) == truth(ds))
+    ds.materialize()
+    assert(Stats.metaAnswerable(ds, statCols))
+    val t = truth(ds)
+    assert(statsRow(ds) == t)
+    assert(t(1).asInstanceOf[Long] > minKey) // deletion visible in tight min
+  }
+
+  test("tightness survives the manifest round trip; untight parts stay untight") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stats_rt").toString
+    val o = orders.withColumn("o_batch", (col("o_orderkey") / 500).cast("int"))
+    val ds = LakeDataset.fromDataFrame(spark, o, partitionCols = Seq("o_batch"),
+      storage = Some(graft.model.StorageSpec(root)))
+    ds.toStorage()
+    val loaded = LakeDataset.fromStorage(spark, root)
+    // A freshly loaded table answers count/min/max METADATA-ONLY — zero
+    // file reads; the manifest carried the per-part counts and zones.
+    assert(Stats.metaAnswerable(loaded, statCols))
+    assert(statsRow(loaded) == truth(ds))
+    // Now save a table with an untight part: the manifest must NOT vouch.
+    ds.upsert(o.filter(col("o_orderkey") === 42), keys = Seq("o_orderkey"))
+    ds.toStorage()
+    val loaded2 = LakeDataset.fromStorage(spark, root)
+    assert(!Stats.metaAnswerable(loaded2, statCols))
+    assert(statsRow(loaded2) == truth(ds)) // fallback still exact
+  }
+
+  test("SQL count/min/max over the view collapses to a LocalRelation") {
+    val ds = freshLake()
+    val db = new Database(spark)
+    db.register("stats_sql_t", ds)
+    val df = db.executeSql(
+      """SELECT COUNT(*) AS cnt, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+        |FROM stats_sql_t""".stripMargin)
+    assert(df.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    val expected = ds.toDF
+      .agg(count(lit(1)), min(col("o_orderkey")), max(col("o_orderkey")))
+      .head().toSeq
+    assert(df.head().toSeq == expected)
+  }
+
+  test("SQL shapes outside the family keep their scans and stay correct") {
+    val ds = freshLake()
+    val db = new Database(spark)
+    db.register("stats_sql_n", ds)
+    def notCollapsed(sql: String): DataFrame = {
+      val df = db.executeSql(sql)
+      assert(!df.queryExecution.optimizedPlan.isInstanceOf[LocalRelation], sql)
+      df
+    }
+    // Filtered: must aggregate real rows.
+    val filtered = notCollapsed(
+      "SELECT COUNT(*) AS cnt FROM stats_sql_n WHERE o_orderkey > 1000")
+    assert(filtered.head().getLong(0) ==
+      ds.toDF.filter(col("o_orderkey") > 1000).count())
+    // Grouped: not rewritable.
+    val grouped = db.executeSql(
+      "SELECT o_orderstatus, COUNT(*) AS cnt FROM stats_sql_n GROUP BY o_orderstatus")
+    assert(grouped.count() == ds.toDF.select("o_orderstatus").distinct().count())
+    // COUNT(col) counts non-nulls — zones cannot vouch; must not collapse.
+    notCollapsed("SELECT COUNT(o_orderstatus) AS cnt FROM stats_sql_n")
+    // MIN over an untracked (string) column: no zones, no collapse.
+    val strMin = notCollapsed("SELECT MIN(o_orderstatus) AS mn FROM stats_sql_n")
+    assert(strMin.head().getString(0) ==
+      ds.toDF.agg(min(col("o_orderstatus"))).head().getString(0))
+    // After an upsert the collapse must pause until materialize.
+    ds.upsert(orders.filter(col("o_orderkey") === 7)
+      .withColumn("o_batch", (col("o_orderkey") / 500).cast("int")),
+      keys = Seq("o_orderkey"))
+    val paused = notCollapsed("SELECT COUNT(*) AS cnt FROM stats_sql_n")
+    assert(paused.head().getLong(0) == ds.toDF.count())
+    ds.materialize()
+    val resumed = db.executeSql("SELECT COUNT(*) AS cnt FROM stats_sql_n")
+    assert(resumed.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(resumed.head().getLong(0) == ds.toDF.count())
+  }
+}
