@@ -545,11 +545,25 @@ object SparkEntry {
           |       CAST(FLOOR((o_orderkey + 1000000) / 6000) AS INT)
           |FROM dml_t WHERE o_orderkey <= 100""".stripMargin)
       db.executeDml(
+        "UPDATE dml_t SET o_totalprice = o_totalprice + 5 WHERE o_orderkey <= 50")
+      db.executeDml(
         "DELETE FROM dml_t WHERE o_orderstatus = 'O' AND o_orderkey BETWEEN 4000 AND 5000")
       db.executeSql(
         s"""SELECT COUNT(*) AS n,
            |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
            |FROM dml_t""".stripMargin)
+    }),
+
+    // Predicate update (SQL `UPDATE ... SET ... WHERE`): assignment RHS
+    // sees the OLD row, the predicate prunes to catalog-overlapping
+    // cells, row counts (and every unassigned column's stats) stay exact.
+    "lake_update_where" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .withColumn("o_batch", (col("o_orderkey") / 6000).cast("int"))
+      val ds = LakeDataset.fromDataFrame(s, o, partitionCols = Seq("o_batch"))
+      ds.updateWhere(col("o_orderkey").between(2000L, 3000L),
+        Seq("o_totalprice" -> (col("o_totalprice") + 100)))
+      ds.toDF.agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
     }),
 
     // Predicate delete (SQL `DELETE WHERE`): the predicate's conjuncts
@@ -1772,10 +1786,20 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT o_orderkey + 1000000, o_orderstatus, o_totalprice
          |  FROM orders WHERE o_orderkey <= 100
+         |), u AS (
+         |  SELECT o_orderkey, o_orderstatus,
+         |         CASE WHEN o_orderkey <= 50 THEN o_totalprice + 5
+         |              ELSE o_totalprice END AS o_totalprice
+         |  FROM t
          |)
          |SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
-         |FROM t
+         |FROM u
          |WHERE NOT (o_orderstatus = 'O' AND o_orderkey BETWEEN 4000 AND 5000)""".stripMargin,
+
+    "lake_update_where" ->
+      s"""SELECT COUNT(*) AS n,
+         |       ${osum("CASE WHEN o_orderkey BETWEEN 2000 AND 3000 THEN o_totalprice + 100 ELSE o_totalprice END")} AS total
+         |FROM orders""".stripMargin,
 
     "lake_migrating_upsert" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total

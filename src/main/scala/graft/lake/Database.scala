@@ -80,6 +80,30 @@ final class Database(val spark: SparkSession) {
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][\w]*)\s+((?:SELECT|VALUES|WITH|TABLE)\b.+?)\s*;?\s*$""".r
+  private val UpdateRe =
+    """(?is)^\s*UPDATE\s+([A-Za-z_][\w]*)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+
+  /** Split a SET list on top-level commas (commas inside parens or quotes
+    * belong to the expressions).
+    */
+  private def splitAssignments(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    s.foreach { ch =>
+      if (quote != 0) { cur += ch; if (ch == quote) quote = 0 }
+      else ch match {
+        case '\'' | '"' => quote = ch; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += ch
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
 
   /** SQL DML over the catalog — the write statements Spark temp views
     * cannot execute (`spark.sql("DELETE ...")` fails on a view; lakehouse
@@ -92,6 +116,11 @@ final class Database(val spark: SparkSession) {
     *    result (any SELECT/VALUES/WITH), matched to the table's columns BY
     *    POSITION (arity-checked) like SQL INSERT without a column list.
     *    Returns 1.
+    *  - `UPDATE t SET a = e1, b = e2 [WHERE cond]` →
+    *    [[LakeDataset.updateWhere]] — RHS expressions see the OLD row,
+    *    pruned to catalog-overlapping cells; partition/bucket columns are
+    *    not assignable (cell-migrating changes are upserts). Returns cells
+    *    touched.
     *
     * Reads stay on [[executeSql]]; anything unrecognized here throws with
     * the supported grammar (never silently executes as a read).
@@ -103,6 +132,19 @@ final class Database(val spark: SparkSession) {
     sql match {
       case DeleteRe(t, cond) =>
         val n = ds(t).deleteWhere(expr(cond))
+        refresh(t); n.toLong
+      case UpdateRe(t, setList, condOrNull) =>
+        val assignments = splitAssignments(setList).map { a =>
+          a.split("=", 2) match {
+            case Array(name, rhs) if name.trim.matches("[A-Za-z_][\\w]*") =>
+              name.trim -> expr(rhs.trim)
+            case _ => throw new IllegalArgumentException(
+              s"malformed SET assignment: '$a' (expected <column> = <expression>)")
+          }
+        }
+        val cond = Option(condOrNull).map(expr)
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        val n = ds(t).updateWhere(cond, assignments)
         refresh(t); n.toLong
       case DeleteAllRe(t) =>
         val n = ds(t).deleteWhere(org.apache.spark.sql.functions.lit(true))

@@ -1390,6 +1390,45 @@ final class LakeDataset private (
     touched.size
   }
 
+  /** Predicate update — SQL `UPDATE t SET ... WHERE cond`, pruned to the
+    * cells the predicate can touch exactly like [[deleteWhere]]. SQL
+    * semantics throughout: assignment right-hand sides see the OLD row,
+    * FALSE/NULL-predicate rows are untouched. Assignments to partition or
+    * bucket columns are rejected — an in-place cell rewrite cannot MOVE a
+    * row between cells; a cell-migrating change is an upsert
+    * ([[upsert]] handles key migration correctly). Row counts are
+    * preserved, so count metadata stays exact; only the ASSIGNED columns'
+    * zone/bloom stats go unknown until the next materialize. Returns cells
+    * touched.
+    */
+  def updateWhere(cond: Column, assignments: Seq[(String, Column)]): Int =
+    this.synchronized {
+      if (parts.isEmpty) return 0
+      require(assignments.nonEmpty, "UPDATE with no assignments")
+      val schema = tableSchema
+      val bad = assignments.map(_._1).filterNot(schema.fieldNames.contains)
+      require(bad.isEmpty, s"unknown column(s) in UPDATE: ${bad.mkString(", ")}")
+      val moving = assignments.map(_._1)
+        .filter(c => partitionCols.contains(c) || bucketCols.contains(c))
+      require(moving.isEmpty,
+        s"UPDATE cannot assign partition/bucket column(s) ${moving.mkString(", ")} " +
+          "- rows would change cells; use upsert for cell-migrating changes")
+      val names = schema.fieldNames.toSet
+      val (eqs, ranges, ins) = graft.plans.PredicateConstraints.of(
+        resolvedPredicate(cond), names.contains)
+      val all = parts.asScala.toList
+      val touched =
+        if (eqs.isEmpty && ranges.isEmpty && ins.isEmpty) all
+        else keptBy(all, eqs, ranges, ins)
+      if (touched.isEmpty) return 0
+      markDirty()
+      touched.foreach { case (k, p) =>
+        diskDirs.remove(k); diskSchemas.remove(k)
+        p.updateWhere(cond, assignments)
+      }
+      touched.size
+    }
+
   /** The user's `Column` predicate as a RESOLVED, constant-folded Catalyst
     * expression against this table's schema. Spark 4 Columns carry node
     * trees (`UnresolvedFunction("&gt;=", ...)`), not Catalyst comparisons —

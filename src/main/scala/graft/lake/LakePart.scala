@@ -205,6 +205,35 @@ final class LakePart private[lake] (
     maybeCompact(false)
   }
 
+  /** Update matching rows in place — SQL `UPDATE ... SET` semantics: every
+    * assignment's right-hand side evaluates against the OLD row (one select
+    * computes them all; sequential `withColumn` would let `SET a = b,
+    * b = a` see a half-updated row), and rows where the predicate is FALSE
+    * or NULL are untouched. Row count is preserved; the assigned columns'
+    * zone/bloom entries are DROPPED (new values may lie outside the old
+    * bounds — unknown stats fail open, wrong stats never), while every
+    * other column's statistics stay live. Caller must have excluded
+    * partition/bucket columns from the assignment set (an in-place update
+    * cannot move a row between cells).
+    */
+  def updateWhere(cond: Column, assignments: Seq[(String, Column)]): Unit =
+    lock.synchronized {
+      val c = coalesce(cond, lit(false))
+      val amap = assignments.toMap
+      val d = cur
+      ref.set(d.select(d.columns.map { cn =>
+        amap.get(cn) match {
+          case Some(v) => when(c, v).otherwise(col(cn)).as(cn)
+          case None => col(cn)
+        }
+      }.toSeq: _*))
+      val assigned = assignments.map(_._1).toSet
+      zonesRef.updateAndGet(_.map(_.filterNot { case (k, _) => assigned(k) }))
+      bloomsRef.updateAndGet(_.map(_.filterNot { case (k, _) => assigned(k) }))
+      changes.addAndGet(1L)
+      maybeCompact(false)
+    }
+
   /** Collect the accumulated plan into materialized form and reset lineage
     * (reference `DatasetPart::collect`, src/dataset.rs:47-52). We use an
     * eager `localCheckpoint`, which truncates the logical plan — the closest

@@ -57,9 +57,14 @@ class DmlSpec extends SparkSpec {
     }
     assert(e1.getMessage.contains("arity"))
     val e2 = intercept[IllegalArgumentException] {
-      db.executeDml("UPDATE dml_err SET x = 1")
+      db.executeDml("TRUNCATE TABLE dml_err")
     }
     assert(e2.getMessage.contains("unsupported DML"))
+    // UPDATE routes too — a bad assignment target is loud, not silent.
+    val e4 = intercept[IllegalArgumentException] {
+      db.executeDml("UPDATE dml_err SET nope = 1")
+    }
+    assert(e4.getMessage.contains("unknown column"))
     val e3 = intercept[IllegalArgumentException] {
       db.executeDml("DELETE FROM no_such WHERE 1 = 1")
     }
