@@ -895,6 +895,14 @@ object SparkEntry {
         Seq("o_orderkey", "o_totalprice", "o_orderdate"))
     }),
 
+    // Grouped metadata aggregates: GROUP BY a partition column folds the
+    // per-cell counters/zones by catalog key — per-group counts and
+    // bounds with zero scans (the fallback is the real grouped agg).
+    "lake_stats_meta_grouped" -> ((s, dir) => {
+      graft.operators.Stats.tableStatsBy(s, Fixtures.ordersZoneLake(s, dir),
+        Seq("o_batch"), Seq("o_orderkey")).orderBy("o_batch")
+    }),
+
     // The same property on the SQL surface: LakePruneRule collapses the
     // whole aggregate over the LakeScan view into a LocalRelation.
     "lake_sql_stats_meta" -> ((s, dir) => {
@@ -1358,6 +1366,19 @@ object SparkEntry {
           Seq(col("n_chars").desc, col("doc_id").asc), k = 3)
         .select("lang", "doc_id", "n_chars")
         .orderBy("lang", "doc_id")),
+
+    // Budget-constrained curation: best-scoring docs until the char budget
+    // fills — the window-free distributed prefix sum (range partitions +
+    // driver offsets + per-partition running totals); the oracle is the
+    // single-window spelling it replaces.
+    "curate_budget_select" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("score", (col("doc_id") * 37) % 1000)
+      Sampling.budgetSelect(d, col("score"), col("doc_id"), "n_chars",
+          budget = 50000L, nPartitions = 8)
+        .select("doc_id", "score", "n_chars")
+        .orderBy("doc_id")
+    }),
 
     // Incremental exact dedup: batch 1 is the first 250 docs; batch 2 is
     // the rest plus normalized-noisy copies of batch-1 docs — the copies
@@ -1890,6 +1911,12 @@ object SparkEntry {
         |       MIN(o_totalprice) AS min_o_totalprice, MAX(o_totalprice) AS max_o_totalprice,
         |       MIN(o_orderdate) AS min_o_orderdate, MAX(o_orderdate) AS max_o_orderdate
         |FROM orders""".stripMargin,
+
+    "lake_stats_meta_grouped" ->
+      """SELECT CAST(FLOOR(o_orderkey / 6000.0) AS INT) AS o_batch,
+        |       COUNT(*) AS cnt,
+        |       MIN(o_orderkey) AS min_o_orderkey, MAX(o_orderkey) AS max_o_orderkey
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_sql_stats_meta" ->
       """SELECT COUNT(*) AS cnt,
@@ -2463,6 +2490,17 @@ object SparkEntry {
         |  FROM documents)
         |SELECT lang, doc_id, n_chars FROM r WHERE rk <= 3
         |ORDER BY lang, doc_id""".stripMargin,
+
+    "curate_budget_select" ->
+      """WITH scored AS (
+        |  SELECT doc_id, (doc_id * 37) % 1000 AS score, n_chars FROM documents
+        |), ranked AS (
+        |  SELECT doc_id, score, n_chars,
+        |         SUM(n_chars) OVER (ORDER BY score DESC, doc_id ASC) AS cum
+        |  FROM scored
+        |)
+        |SELECT doc_id, score, n_chars FROM ranked WHERE cum <= 50000
+        |ORDER BY doc_id""".stripMargin,
 
     "text_tfidf_int" ->
       """WITH tfc AS (

@@ -857,6 +857,68 @@ final class LakeDataset private (
       Some((cnt, folded.toMap))
     }
 
+  /** [[metaStats]] grouped by PARTITION columns: exact per-group (count,
+    * zones) folded from the catalog — `GROUP BY partition_col` aggregates
+    * with zero scans. Cells carry their partition values in the catalog
+    * key, so each group folds exactly the cells whose key matches.
+    * Returns None (fall back to a real scan) unless every part is tight,
+    * every requested column has a zone in every part, every grouping
+    * column IS a partition column, and every partition value decodes back
+    * to the column's type (values are strings in the catalog; integral
+    * and string partition columns round-trip — anything else fails open).
+    * Group values are external JVM values; a null partition value is the
+    * SQL NULL group.
+    */
+  def metaStatsGrouped(groupCols: Seq[String], cols: Seq[String])
+      : Option[Seq[(Seq[Any], Long, Map[String, Zone])]] = this.synchronized {
+    if (parts.isEmpty) return None
+    if (groupCols.isEmpty || !groupCols.forall(partitionCols.contains)) return None
+    val schema = tableSchema
+    import org.apache.spark.sql.types._
+    def decode(s: String, dt: DataType): Option[Any] =
+      if (s == null) Some(null)
+      else try dt match {
+        case StringType => Some(s)
+        case IntegerType => Some(Integer.valueOf(s))
+        case LongType => Some(java.lang.Long.valueOf(s))
+        case ShortType => Some(java.lang.Short.valueOf(s))
+        case ByteType => Some(java.lang.Byte.valueOf(s))
+        case BooleanType => Some(java.lang.Boolean.valueOf(s))
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val ps = parts.asScala.toList
+    if (!ps.forall { case (_, p) => p.statsTight.get && p.rows.get >= 0L })
+      return None
+    if (cols.nonEmpty &&
+        !ps.forall { case (_, p) => p.zones.exists(m => cols.forall(m.contains)) })
+      return None
+    val grouped = ps.groupBy { case (key, _) =>
+      groupCols.map(c => key.partValues.collectFirst {
+        case (k, v) if k == c => v
+      }.orNull)
+    }
+    val out = grouped.toSeq.map { case (strVals, members) =>
+      val vals = strVals.zip(groupCols).map { case (s, c) =>
+        decode(s, schema(c).dataType) match {
+          case Some(v) => v
+          case None => return None
+        }
+      }
+      val cnt = members.map(_._2.rows.get).sum
+      val zonesMaps = members.map(_._2.zones.getOrElse(Map.empty))
+      val folded = cols.map { c =>
+        val z = zonesMaps.map(m => Option(m(c)))
+          .reduce((a, b) => a.flatMap(x => b.flatMap(y => x.widen(y))))
+        z match {
+          case Some(zz) => c -> zz
+          case None => return None
+        }
+      }.toMap
+      (vals, cnt, folded)
+    }
+    Some(out)
+  }
+
   def schemaInfo: (List[(String, String)], Long, Int) = {
     val sample = parts.values().asScala.headOption
       .getOrElse(throw new IllegalStateException("dataset has no parts"))

@@ -71,6 +71,72 @@ object Sampling {
       .drop("__graft_rank")
   }
 
+  /** Budget-constrained greedy selection: keep the best-scoring rows whose
+    * cumulative cost fits `budget` — the "fill a token budget with the
+    * highest-quality documents" step of corpus curation. Equivalent to
+    * `SUM(cost) OVER (ORDER BY score DESC, tie) <= budget`, but a global
+    * window would funnel the corpus through ONE task; this runs the
+    * prefix sum distributed:
+    *
+    *  1. range-repartition + sort by (score desc, tie) — partition i holds
+    *     strictly better rows than partition i+1;
+    *  2. one tiny aggregation of per-partition cost totals → driver-side
+    *     prefix offsets (O(partitions) values);
+    *  3. each partition computes its LOCAL running sum imperatively and
+    *     adds its offset — the canonical mapPartitions case: a running
+    *     prefix is inherently sequential within a partition and
+    *     embarrassingly parallel across them.
+    *
+    * Early partitions whose offset already exceeds the budget could be
+    * skipped entirely; rows stream out until the budget line, so the
+    * output task work is ∝ selected rows. Deterministic: `tie` must make
+    * (score, tie) unique (an id column).
+    *
+    * `costCol` must be integral (exact accumulation — a float prefix sum
+    * would make the cut row partitioning-dependent).
+    */
+  def budgetSelect(
+      df: DataFrame, score: Column, tie: Column, costCol: String,
+      budget: Long, nPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(df.schema(costCol).dataType),
+      s"$costCol must be integral for an exact prefix sum")
+    val np = if (nPartitions > 0) nPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // Pin the physical layout: repartitionByRange SAMPLES to choose
+    // bounds, so the offsets job and the selection job must see ONE
+    // materialized layout, not two resamplings.
+    val ranked = df
+      .repartitionByRange(np, score.desc, tie.asc)
+      .sortWithinPartitions(score.desc, tie.asc)
+      .localCheckpoint(true)
+    // Per-partition cost totals: a #partitions-sized aggregate, collected.
+    val sums = ranked
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(sum(col(costCol).cast("long")).as("__cost"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = ranked.rdd.getNumPartitions
+    val offsets: Array[Long] = {
+      val a = new Array[Long](nParts + 1)
+      for (i <- 0 until nParts) a(i + 1) = a(i) + sums.getOrElse(i, 0L)
+      a
+    }
+    val costIdx = ranked.schema.fieldIndex(costCol)
+    val schema = ranked.schema
+    val selected = ranked.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = offsets(pid)
+      if (cum > budget) Iterator.empty
+      else it.takeWhile { row =>
+        cum += row.getAs[Number](costIdx).longValue()
+        cum <= budget
+      }
+    }
+    spark.createDataFrame(selected, schema)
+  }
+
   /** Per-stratum mixture weights for a target blend: given a weight column
     * (token counts, usually) and a target share per stratum (uniform when
     * omitted), emit each stratum's actual share and the sampling weight

@@ -52,4 +52,34 @@ object Stats {
   /** Whether [[tableStats]] would take the metadata-only path right now. */
   def metaAnswerable(ds: LakeDataset, cols: Seq[String]): Boolean =
     ds.metaStats(cols).isDefined
+
+  /** [[tableStats]] grouped by PARTITION columns: one row per group —
+    * group values, `cnt`, (`min_<c>`, `max_<c>`) per requested column.
+    * Metadata-only (cells fold by their catalog partition values) when the
+    * dataset can vouch; otherwise one real grouped aggregation, identical
+    * result.
+    */
+  def tableStatsBy(spark: SparkSession, ds: LakeDataset,
+      groupCols: Seq[String], cols: Seq[String]): DataFrame = {
+    val schema = ds.tableSchema
+    val outSchema = StructType(
+      groupCols.map(g => StructField(g, schema(g).dataType)) ++
+        (StructField("cnt", LongType, nullable = false) +:
+          cols.flatMap(c => Seq(
+            StructField(s"min_$c", schema(c).dataType),
+            StructField(s"max_$c", schema(c).dataType)))))
+    ds.metaStatsGrouped(groupCols, cols) match {
+      case Some(groups) =>
+        val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+        groups.foreach { case (vals, cnt, zones) =>
+          rows.add(Row.fromSeq(vals ++ (cnt +:
+            cols.flatMap(c => Seq(zones(c).min.orNull, zones(c).max.orNull)))))
+        }
+        spark.createDataFrame(rows, outSchema)
+      case None =>
+        val aggs = count(lit(1)).cast(LongType).as("cnt") +:
+          cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        ds.toDF.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+  }
 }

@@ -40,6 +40,12 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // Unsupported shapes return the node unchanged; transformDown then
       // descends and the leaf cases below resolve the scan as usual.
       metaAnswer(aggExprs, scan).getOrElse(agg)
+    case agg @ Aggregate(groupings, aggExprs, MetaAggChild(scan), _)
+        if groupings.nonEmpty =>
+      // GROUP BY partition column(s): cells carry their partition values in
+      // the catalog key, so per-group count/min/max folds from the catalog
+      // exactly like the ungrouped form — one LocalRelation row per group.
+      groupedMetaAnswer(groupings, aggExprs, scan).getOrElse(agg)
     case Filter(cond, scan: LakeScan) =>
       val pruned = dnfBranches(cond) match {
         // A disjunctive condition (`p='a' OR p='b'`, possibly AND-mixed):
@@ -154,6 +160,58 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       LocalRelation(aggExprs.map(_.toAttribute),
         Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(values)))
+    }
+  }
+
+  /** The grouped-by-partition-column analogue of [[metaAnswer]]: every
+    * grouping expression must be a partition-column attribute; every
+    * output is a grouping attribute (bare or aliased) or a
+    * COUNT(*)/MIN/MAX aggregate. None for any other shape or whenever the
+    * dataset cannot vouch ([[graft.lake.LakeDataset.metaStatsGrouped]]).
+    */
+  private def groupedMetaAnswer(
+      groupings: Seq[Expression], aggExprs: Seq[NamedExpression],
+      scan: LakeScan): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    val partCols = scan.ds.partitionCols.toSet
+    val groupAttrs: Seq[AttributeReference] = groupings.map {
+      case a: AttributeReference if partCols.contains(a.name) => a
+      case _ => return None
+    }
+    val groupIdx = groupAttrs.map(_.name).zipWithIndex.toMap
+    // Left = index into the group tuple; Right = aggregate spec
+    // (None column = count; Some(col, wantMin) = min/max).
+    val specs: Seq[Either[Int, (Option[String], Boolean)]] = aggExprs.map {
+      case a: AttributeReference if groupIdx.contains(a.name) =>
+        scala.util.Left(groupIdx(a.name))
+      case Alias(a: AttributeReference, _) if groupIdx.contains(a.name) =>
+        scala.util.Left(groupIdx(a.name))
+      case Alias(AggregateExpression(fn, Complete, false, None, _), _) => fn match {
+        case Count(Seq(Literal(v, _))) if v != null => scala.util.Right((None, false))
+        case Min(a: AttributeReference) if scan.outputSet.contains(a) =>
+          scala.util.Right((Some(a.name), true))
+        case Max(a: AttributeReference) if scan.outputSet.contains(a) =>
+          scala.util.Right((Some(a.name), false))
+        case _ => return None
+      }
+      case _ => return None
+    }
+    val cols = specs.collect { case scala.util.Right((Some(c), _)) => c }.distinct
+    scan.ds.metaStatsGrouped(groupAttrs.map(_.name), cols).map { groups =>
+      val rows = groups.map { case (vals, cnt, zones) =>
+        val values = specs.zip(aggExprs).map {
+          case (scala.util.Left(i), e) =>
+            Option(vals(i)).map(
+              CatalystTypeConverters.createToCatalystConverter(e.dataType)(_)).orNull
+          case (scala.util.Right((None, _)), _) => cnt.asInstanceOf[Any]
+          case (scala.util.Right((Some(c), wantMin)), e) =>
+            val bound = if (wantMin) zones(c).min else zones(c).max
+            bound.map(
+              CatalystTypeConverters.createToCatalystConverter(e.dataType)(_)).orNull
+        }
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(values)
+      }
+      LocalRelation(aggExprs.map(_.toAttribute), rows)
     }
   }
 

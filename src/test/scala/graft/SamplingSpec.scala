@@ -32,6 +32,37 @@ class SamplingSpec extends SparkSpec {
     assert(sub == a.filter(_ < 100))
   }
 
+  test("budgetSelect equals the global-window truth, independent of input partitioning") {
+    val scored = docs.withColumn("score", (col("doc_id") * 37) % 1000)
+    def truthAt(budget: Long): Set[Long] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id").asc)
+      scored.withColumn("cum", sum(col("n_chars")).over(w))
+        .filter(col("cum") <= budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    for (budget <- Seq(0L, 30000L, 10000000L)) {
+      val got = Sampling.budgetSelect(scored, col("score"), col("doc_id"),
+        "n_chars", budget, nPartitions = 7)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == truthAt(budget), s"budget=$budget")
+      // Same result from a perversely re-partitioned input.
+      val got2 = Sampling.budgetSelect(scored.repartition(13, col("n_chars")),
+        col("score"), col("doc_id"), "n_chars", budget, nPartitions = 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got2 == got, s"partitioning changed the selection at budget=$budget")
+    }
+    // Exactly everything when the budget is total chars.
+    val total = docs.agg(sum("n_chars")).head().getLong(0)
+    assert(Sampling.budgetSelect(scored, col("score"), col("doc_id"),
+      "n_chars", total, nPartitions = 5).count() == docs.count())
+    // Float costs are refused (an inexact prefix sum is order-dependent).
+    intercept[IllegalArgumentException] {
+      Sampling.budgetSelect(scored.withColumn("c", col("n_chars").cast("double")),
+        col("score"), col("doc_id"), "c", 1000L)
+    }
+  }
+
   test("stratifiedSample applies per-stratum rates") {
     val kept = Sampling.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> "7fff"), default = "1999")

@@ -132,6 +132,49 @@ class StatsSpec extends SparkSpec {
     assert(df.head().toSeq == expected)
   }
 
+  test("GROUP BY a partition column folds per-cell metadata; SQL shape collapses") {
+    val ds = freshLake()
+    // Scala surface: grouped metadata equals the real grouped aggregation.
+    val meta = Stats.tableStatsBy(spark, ds, Seq("o_batch"), Seq("o_orderkey"))
+      .orderBy("o_batch").collect().toSeq
+    val real = ds.toDF.groupBy("o_batch")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("o_orderkey")).as("min_o_orderkey"),
+        max(col("o_orderkey")).as("max_o_orderkey"))
+      .orderBy("o_batch").collect().toSeq
+    assert(meta == real)
+    assert(meta.size > 1) // genuinely grouped
+    // SQL surface collapses to a LocalRelation…
+    val db = new Database(spark)
+    db.register("stats_grp_t", ds)
+    val df = db.executeSql(
+      """SELECT o_batch, COUNT(*) AS cnt, MIN(o_orderkey) AS mn
+        |FROM stats_grp_t GROUP BY o_batch""".stripMargin)
+    assert(df.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]))
+    assert(df.orderBy("o_batch").collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+      real.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))))
+    // …but NOT for a non-partition grouping column.
+    val other = db.executeSql(
+      "SELECT o_orderstatus, COUNT(*) AS cnt FROM stats_grp_t GROUP BY o_orderstatus")
+    assert(!other.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]))
+    // …and an upsert pauses the grouped collapse until materialize.
+    ds.upsert(orders.filter(col("o_orderkey") === 11L)
+      .withColumn("o_batch", (col("o_orderkey") / 500).cast("int")),
+      keys = Seq("o_orderkey"))
+    assert(ds.metaStatsGrouped(Seq("o_batch"), Nil).isEmpty)
+    val fb = Stats.tableStatsBy(spark, ds, Seq("o_batch"), Seq("o_orderkey"))
+      .orderBy("o_batch").collect().toSeq
+    val realAfter = ds.toDF.groupBy("o_batch")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("o_orderkey")).as("min_o_orderkey"),
+        max(col("o_orderkey")).as("max_o_orderkey"))
+      .orderBy("o_batch").collect().toSeq
+    assert(fb == realAfter)
+  }
+
   test("SQL shapes outside the family keep their scans and stay correct") {
     val ds = freshLake()
     val db = new Database(spark)
