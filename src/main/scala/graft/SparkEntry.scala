@@ -554,6 +554,39 @@ object SparkEntry {
            |FROM dml_t""".stripMargin)
     }),
 
+    // MERGE INTO as the SQL verb for the engine upsert (incoming wins per
+    // column on the key join; unmatched rows insert) — the reference's
+    // core mutation reachable from SQL.
+    "lake_sql_merge" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("merge_t",
+        LakeDataset.fromDataFrame(s, table(s, dir, "orders")))
+      db.executeDml(
+        """MERGE INTO merge_t USING (
+          |  SELECT o_orderkey, o_custkey, o_orderstatus,
+          |         o_totalprice + 50 AS o_totalprice, o_orderdate, o_orderpriority
+          |  FROM merge_t WHERE o_orderkey % 17 = 0) s
+          |ON merge_t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      db.executeSql(
+        """SELECT COUNT(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+          |FROM merge_t""".stripMargin)
+    }),
+
+    // COPY INTO: bulk file ingest into a registered (here: empty) table.
+    "lake_sql_copy" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("copy_t", LakeDataset.fromDataFrame(
+        s, table(s, dir, "orders").limit(0)))
+      db.executeDml(s"COPY INTO copy_t FROM '$dir/orders.parquet'")
+      db.executeSql(
+        """SELECT COUNT(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+          |FROM copy_t""".stripMargin)
+    }),
+
     // Predicate update (SQL `UPDATE ... SET ... WHERE`): assignment RHS
     // sees the OLD row, the predicate prunes to catalog-overlapping
     // cells, row counts (and every unassigned column's stats) stay exact.
@@ -1816,6 +1849,15 @@ object SparkEntry {
          |SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
          |FROM u
          |WHERE NOT (o_orderstatus = 'O' AND o_orderkey BETWEEN 4000 AND 5000)""".stripMargin,
+
+    "lake_sql_merge" ->
+      s"""SELECT COUNT(*) AS n,
+         |       ${osum("o_totalprice + CASE WHEN o_orderkey % 17 = 0 THEN 50 ELSE 0 END")} AS total
+         |FROM orders""".stripMargin,
+
+    "lake_sql_copy" ->
+      s"""SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM orders""".stripMargin,
 
     "lake_update_where" ->
       s"""SELECT COUNT(*) AS n,

@@ -83,6 +83,62 @@ final class Database(val spark: SparkSession) {
   private val UpdateRe =
     """(?is)^\s*UPDATE\s+([A-Za-z_][\w]*)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
 
+  private val CopyRe =
+    """(?is)^\s*COPY\s+INTO\s+([A-Za-z_][\w]*)\s+FROM\s+'([^']+)'(?:\s+FORMAT\s+([A-Za-z]+))?\s*;?\s*$""".r
+
+  /** Parse `MERGE INTO t [alias] USING ( <query> ) [alias] ON <cond>
+    * [WHEN MATCHED THEN UPDATE SET *] [WHEN NOT MATCHED THEN INSERT *]`.
+    * Returns (table, query, keyColumns). The USING query scans with a
+    * paren-depth counter (regexes cannot balance nested parens); the ON
+    * condition must be a conjunction of same-name column equalities
+    * (`a.k = b.k`) — exactly the key-join the engine upsert implements.
+    * Only the `UPDATE SET * / INSERT *` actions exist (engine upsert
+    * semantics: incoming wins per column, NULL preserves, unmatched rows
+    * insert); anything else is rejected loudly.
+    */
+  private def parseMerge(sql: String): Option[(String, String, Seq[String])] = {
+    val m = """(?is)^\s*MERGE\s+INTO\s+([A-Za-z_][\w]*)(?:\s+(?:AS\s+)?[A-Za-z_][\w]*)?\s+USING\s*\(""".r
+      .findFirstMatchIn(sql).getOrElse(return None)
+    val table = m.group(1)
+    var depth = 1
+    var i = m.end
+    while (i < sql.length && depth > 0) {
+      sql.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (depth != 0) return None
+    val query = sql.substring(m.end, i - 1).trim
+    val rest = sql.substring(i)
+    val onM = """(?is)^\s*(?:(?:AS\s+)?[A-Za-z_][\w]*\s+)?ON\s+(.+)$""".r
+      .findFirstMatchIn(rest).getOrElse(return None)
+    val afterOn = onM.group(1)
+    val whenIdx = """(?i)\bWHEN\b""".r.findFirstMatchIn(afterOn).map(_.start)
+    val cond = whenIdx.fold(afterOn)(afterOn.substring(0, _)).trim.stripSuffix(";").trim
+    val actions = whenIdx.map(afterOn.substring(_)).getOrElse("").trim.stripSuffix(";").trim
+    if (actions.nonEmpty && !actions.matches(
+        """(?is)(WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s*)?(WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*)?"""))
+      throw new IllegalArgumentException(
+        "MERGE supports only WHEN MATCHED THEN UPDATE SET * / " +
+          "WHEN NOT MATCHED THEN INSERT * (engine upsert semantics)")
+    val keys = cond.split("""(?i)\s+AND\s+""").toSeq.map { eq =>
+      eq.split("=", 2).map(_.trim) match {
+        case Array(l, r) =>
+          val ln = l.substring(l.lastIndexOf('.') + 1)
+          val rn = r.substring(r.lastIndexOf('.') + 1)
+          if (ln.nonEmpty && ln == rn && ln.matches("[A-Za-z_][\\w]*")) ln
+          else throw new IllegalArgumentException(
+            s"MERGE ON must be same-name column equalities; got '$eq'")
+        case _ => throw new IllegalArgumentException(
+          s"MERGE ON must be same-name column equalities; got '$eq'")
+      }
+    }
+    Some((table, query, keys))
+  }
+
   /** Split a SET list on top-level commas (commas inside parens or quotes
     * belong to the expressions).
     */
@@ -121,6 +177,12 @@ final class Database(val spark: SparkSession) {
     *    pruned to catalog-overlapping cells; partition/bucket columns are
     *    not assignable (cell-migrating changes are upserts). Returns cells
     *    touched.
+    *  - `MERGE INTO t USING (<query>) ON <key equalities>` (with the
+    *    optional `UPDATE SET * / INSERT *` actions) →
+    *    [[LakeDataset.upsert]] — the reference's own merge semantics as
+    *    the SQL verb. Returns 1.
+    *  - `COPY INTO t FROM '<path>' [FORMAT <fmt>]` → bulk file ingest
+    *    (default parquet), positionally type-cast like INSERT. Returns 1.
     *
     * Reads stay on [[executeSql]]; anything unrecognized here throws with
     * the supported grammar (never silently executes as a read).
@@ -129,6 +191,34 @@ final class Database(val spark: SparkSession) {
     import org.apache.spark.sql.functions.{col, expr}
     def ds(name: String): LakeDataset = tables.getOrElse(name,
       throw new IllegalArgumentException(s"unknown lake table '$name'"))
+    parseMerge(sql) match {
+      case Some((t, query, keys)) =>
+        // MERGE INTO → engine upsert: per-column incoming-wins coalesce on
+        // the key join; source columns missing from the table evolve the
+        // schema. Table columns ABSENT from the source become typed NULLs —
+        // engine coalesce then preserves the existing value on matched rows
+        // (SQL's "UPDATE only what SET names"), and the migration probe
+        // routes rows whose delta cell value differs from their current
+        // cell through the global merge, so a source without the partition
+        // column cannot duplicate keys across cells.
+        val target = ds(t)
+        val tgtFields = target.tableSchema.fields
+        val q = spark.sql(query)
+        val srcCols = q.columns.toSet
+        val casted = q.select(q.columns.map { c =>
+          tgtFields.find(_.name == c) match {
+            case Some(f) => col(s"`$c`").cast(f.dataType).as(c)
+            case None => col(s"`$c`")
+          }
+        }.toSeq: _*)
+        val filled = tgtFields.filterNot(f => srcCols.contains(f.name))
+          .foldLeft(casted)((d, f) =>
+            d.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+        target.upsert(filled, keys)
+        refresh(t)
+        return 1L
+      case None =>
+    }
     sql match {
       case DeleteRe(t, cond) =>
         val n = ds(t).deleteWhere(expr(cond))
@@ -164,9 +254,27 @@ final class Database(val spark: SparkSession) {
         }.toSeq: _*)
         target.insert(aligned)
         refresh(t); 1L
+      case CopyRe(t, path, fmtOrNull) =>
+        // COPY INTO: bulk file ingest — read with the given format
+        // (default parquet) and append through the same positional
+        // type-cast alignment as INSERT.
+        val target = ds(t)
+        val tgt = target.tableSchema
+        val fmt = Option(fmtOrNull).map(_.toLowerCase).getOrElse("parquet")
+        val q = spark.read.format(fmt).load(path)
+        require(q.columns.length == tgt.fields.length,
+          s"COPY arity mismatch: table '$t' has ${tgt.fields.length} columns, " +
+            s"file has ${q.columns.length}")
+        val aligned = q.select(q.columns.zip(tgt.fields).map { case (from, f) =>
+          col(s"`$from`").cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+        target.insert(aligned)
+        refresh(t); 1L
       case _ => throw new IllegalArgumentException(
-        "unsupported DML; expected DELETE FROM <t> [WHERE <cond>] or " +
-          "INSERT INTO <t> <SELECT|VALUES|WITH query>")
+        "unsupported DML; expected DELETE FROM <t> [WHERE <cond>], " +
+          "INSERT INTO <t> <query>, UPDATE <t> SET ... [WHERE <cond>], " +
+          "MERGE INTO <t> USING (<query>) ON <key equalities>, or " +
+          "COPY INTO <t> FROM '<path>' [FORMAT <fmt>]")
     }
   }
 }

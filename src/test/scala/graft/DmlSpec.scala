@@ -50,6 +50,54 @@ class DmlSpec extends SparkSpec {
     assert(got == 7L)
   }
 
+  test("MERGE INTO routes to the engine upsert with coalesce semantics") {
+    val (db, ds) = freshDb("dml_merge")
+    val before = Fixtures.table(spark, sf(), "orders")
+    db.executeDml(
+      """MERGE INTO dml_merge USING (
+        |  SELECT o_orderkey, CAST(NULL AS STRING) AS o_orderstatus,
+        |         o_totalprice * 0 + 999.25 AS o_totalprice
+        |  FROM dml_merge WHERE o_orderkey <= 10) src
+        |ON dml_merge.o_orderkey = src.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val merged = db.executeSql(
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM dml_merge WHERE o_orderkey <= 10")
+      .collect()
+    // Incoming price wins; incoming NULL status preserves the old value.
+    assert(merged.forall(_.getDouble(2) == 999.25))
+    val oldStatus = before.filter(col("o_orderkey") <= 10)
+      .select("o_orderkey", "o_orderstatus").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged.forall(r => r.getString(1) == oldStatus(r.getLong(0))))
+    assert(db.executeSql("SELECT COUNT(*) AS n FROM dml_merge").head().getLong(0)
+      == before.count())
+    // Unmatched keys insert.
+    db.executeDml(
+      """MERGE INTO dml_merge USING (
+        |  SELECT CAST(8888888 AS BIGINT) AS o_orderkey, 7.5 AS o_totalprice) s
+        |ON dml_merge.o_orderkey = s.o_orderkey""".stripMargin)
+    assert(db.executeSql(
+      "SELECT COUNT(*) AS n FROM dml_merge WHERE o_orderkey = 8888888")
+      .head().getLong(0) == 1L)
+    // Unsupported action clauses are loud.
+    val e = intercept[IllegalArgumentException] {
+      db.executeDml(
+        "MERGE INTO dml_merge USING (SELECT 1 AS o_orderkey) s " +
+          "ON dml_merge.o_orderkey = s.o_orderkey WHEN MATCHED THEN DELETE")
+    }
+    assert(e.getMessage.contains("MERGE supports only"))
+  }
+
+  test("COPY INTO bulk-ingests a file with positional casts") {
+    val o = Fixtures.table(spark, sf(), "orders")
+    val db = new Database(spark)
+    db.register("dml_copy", LakeDataset.fromDataFrame(spark, o.limit(0)))
+    db.executeDml(s"COPY INTO dml_copy FROM '${sf()}/orders.parquet'")
+    assert(db.executeSql("SELECT COUNT(*) AS n FROM dml_copy").head().getLong(0)
+      == o.count())
+  }
+
   test("arity mismatch and unknown statements fail loudly") {
     val (db, _) = freshDb("dml_err")
     val e1 = intercept[IllegalArgumentException] {
