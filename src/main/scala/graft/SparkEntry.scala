@@ -936,6 +936,19 @@ object SparkEntry {
         Seq("o_batch"), Seq("o_orderkey")).orderBy("o_batch")
     }),
 
+    // Filtered metadata: a WHERE of partition-column equalities selects
+    // WHOLE cells, so the catalog fold stays exact — COUNT/MIN/MAX with a
+    // partition filter still collapses to a LocalRelation (the most common
+    // lakehouse metadata query: count of one date partition).
+    "lake_sql_stats_meta_filtered" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("orders_meta_f", Fixtures.ordersZoneLake(s, dir))
+      db.executeSql(
+        """SELECT COUNT(*) AS cnt,
+          |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+          |FROM orders_meta_f WHERE o_batch = 1""".stripMargin)
+    }),
+
     // The same property on the SQL surface: LakePruneRule collapses the
     // whole aggregate over the LakeScan view into a LocalRelation.
     "lake_sql_stats_meta" -> ((s, dir) => {
@@ -1959,6 +1972,11 @@ object SparkEntry {
         |       COUNT(*) AS cnt,
         |       MIN(o_orderkey) AS min_o_orderkey, MAX(o_orderkey) AS max_o_orderkey
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_sql_stats_meta_filtered" ->
+      """SELECT COUNT(*) AS cnt,
+        |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders WHERE CAST(FLOOR(o_orderkey / 6000.0) AS INT) = 1""".stripMargin,
 
     "lake_sql_stats_meta" ->
       """SELECT COUNT(*) AS cnt,

@@ -834,10 +834,15 @@ final class LakeDataset private (
     * `MIN(k)`, `MAX(k)` over a 10k-cell table cost a fold over 10k catalog
     * entries on the driver instead of a cluster-wide scan.
     */
-  def metaStats(cols: Seq[String]): Option[(Long, Map[String, Zone])] =
+  def metaStats(cols: Seq[String],
+      cellFilter: PartKey => Boolean = _ => true): Option[(Long, Map[String, Zone])] =
     this.synchronized {
-      val ps = parts.values().asScala.toList
-      if (ps.isEmpty) return None
+      if (parts.isEmpty) return None
+      // Cell selection is EXACT for whole-cell predicates (partition-value
+      // equality/IN): a cell contains precisely the rows with its values.
+      val ps = parts.asScala.toList.filter(p => cellFilter(p._1)).map(_._2)
+      if (ps.isEmpty)
+        return Some((0L, cols.map(_ -> Zone(None, None)).toMap))
       if (!ps.forall(p => p.statsTight.get && p.rows.get >= 0L)) return None
       val zoneMaps = ps.map(_.zones)
       if (cols.nonEmpty && !zoneMaps.forall(z => z.exists(m => cols.forall(m.contains))))
@@ -869,7 +874,8 @@ final class LakeDataset private (
     * Group values are external JVM values; a null partition value is the
     * SQL NULL group.
     */
-  def metaStatsGrouped(groupCols: Seq[String], cols: Seq[String])
+  def metaStatsGrouped(groupCols: Seq[String], cols: Seq[String],
+      cellFilter: PartKey => Boolean = _ => true)
       : Option[Seq[(Seq[Any], Long, Map[String, Zone])]] = this.synchronized {
     if (parts.isEmpty) return None
     if (groupCols.isEmpty || !groupCols.forall(partitionCols.contains)) return None
@@ -886,7 +892,8 @@ final class LakeDataset private (
         case BooleanType => Some(java.lang.Boolean.valueOf(s))
         case _ => None
       } catch { case scala.util.control.NonFatal(_) => None }
-    val ps = parts.asScala.toList
+    val ps = parts.asScala.toList.filter(p => cellFilter(p._1))
+    if (ps.isEmpty) return Some(Seq.empty)
     if (!ps.forall { case (_, p) => p.statsTight.get && p.rows.get >= 0L })
       return None
     if (cols.nonEmpty &&

@@ -36,16 +36,16 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // metadata-only query, driven by the same stats that do the pruning).
     // Any non-tight part, extra filter, grouping, or unsupported aggregate
     // leaves the plan alone — fail open to the real scan.
-    case agg @ Aggregate(Seq(), aggExprs, MetaAggChild(scan), _) =>
+    case agg @ Aggregate(Seq(), aggExprs, MetaAggChild((scan, cellF)), _) =>
       // Unsupported shapes return the node unchanged; transformDown then
       // descends and the leaf cases below resolve the scan as usual.
-      metaAnswer(aggExprs, scan).getOrElse(agg)
-    case agg @ Aggregate(groupings, aggExprs, MetaAggChild(scan), _)
+      metaAnswer(aggExprs, scan, cellF).getOrElse(agg)
+    case agg @ Aggregate(groupings, aggExprs, MetaAggChild((scan, cellF)), _)
         if groupings.nonEmpty =>
       // GROUP BY partition column(s): cells carry their partition values in
       // the catalog key, so per-group count/min/max folds from the catalog
       // exactly like the ungrouped form — one LocalRelation row per group.
-      groupedMetaAnswer(groupings, aggExprs, scan).getOrElse(agg)
+      groupedMetaAnswer(groupings, aggExprs, scan, cellF).getOrElse(agg)
     case Filter(cond, scan: LakeScan) =>
       val pruned = dnfBranches(cond) match {
         // A disjunctive condition (`p='a' OR p='b'`, possibly AND-mixed):
@@ -114,17 +114,66 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** The aggregate child shapes the metadata rewrite sees through: the bare
-    * scan, or the column-pruning `Project` of pass-through attributes that
-    * the surrounding fixed point inserts under an Aggregate. Anything
-    * computed in between (expressions, filters) disqualifies.
+    * scan, a column-pruning `Project` of pass-through attributes, and/or a
+    * `Filter` of PARTITION-COLUMN equalities/IN-lists — the one filter
+    * family that selects WHOLE cells, so the catalog fold stays exact
+    * (`COUNT(*) WHERE date = '...'` is the most common metadata query a
+    * lakehouse serves). Returns the scan plus the cell predicate the
+    * filter implies (always-true when no filter). Any other computation in
+    * between disqualifies.
     */
   private object MetaAggChild {
-    def unapply(plan: LogicalPlan): Option[LakeScan] = plan match {
-      case scan: LakeScan => Some(scan)
-      case Project(ps, scan: LakeScan)
-          if ps.forall(_.isInstanceOf[AttributeReference]) => Some(scan)
+    def unapply(plan: LogicalPlan)
+        : Option[(LakeScan, graft.model.PartKey => Boolean)] = plan match {
+      case scan: LakeScan => Some((scan, _ => true))
+      case Project(ps, MetaAggChild((scan, f)))
+          if ps.forall(_.isInstanceOf[AttributeReference]) => Some((scan, f))
+      case Filter(cond, MetaAggChild((scan, f))) =>
+        partitionOnlyFilter(cond, scan).map(g => (scan, k => f(k) && g(k)))
       case _ => None
     }
+  }
+
+  /** The whole-cell predicate a filter condition implies, or None when ANY
+    * conjunct is not a partition-column equality / IN-list — a residual
+    * conjunct would filter rows WITHIN cells, which a catalog fold cannot
+    * see. Values compare as the catalog's partition-value strings (the
+    * same spelling `keptBy` uses).
+    */
+  private def partitionOnlyFilter(
+      cond: Expression, scan: LakeScan): Option[graft.model.PartKey => Boolean] = {
+    val partCols = scan.ds.partitionCols.toSet
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def ext(l: Literal): Any = CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    val perCol = scala.collection.mutable.Map[String, Set[String]]()
+    def add(c: String, vs: Seq[Any]): Unit = {
+      val s = vs.map(String.valueOf(_)).toSet
+      perCol(c) = perCol.get(c).map(_.intersect(s)).getOrElse(s)
+    }
+    conjuncts(cond).foreach {
+      case EqualTo(a: AttributeReference, l: Literal)
+          if partCols.contains(a.name) && l.value != null => add(a.name, Seq(ext(l)))
+      case EqualTo(l: Literal, a: AttributeReference)
+          if partCols.contains(a.name) && l.value != null => add(a.name, Seq(ext(l)))
+      case In(a: AttributeReference, vs)
+          if partCols.contains(a.name) && vs.nonEmpty &&
+            vs.forall(v => v.isInstanceOf[Literal] && v.asInstanceOf[Literal].value != null) =>
+        add(a.name, vs.map(v => ext(v.asInstanceOf[Literal])))
+      case InSet(a: AttributeReference, hset)
+          if partCols.contains(a.name) && hset.nonEmpty && !hset.contains(null) =>
+        add(a.name, hset.toSeq.map(v =>
+          CatalystTypeConverters.convertToScala(v, a.dataType)))
+      case _ => return None // a row-level conjunct: the fold would be wrong
+    }
+    val sets = perCol.toMap
+    Some(key => sets.forall { case (c, allowed) =>
+      key.partValues.forall { case (kc, kv) =>
+        kc != c || (kv != null && allowed.contains(kv))
+      }
+    })
   }
 
   /** The LocalRelation carrying the catalog's exact aggregate answer, or
@@ -133,7 +182,8 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * ([[graft.lake.LakeDataset.metaStats]]).
     */
   private def metaAnswer(
-      aggExprs: Seq[NamedExpression], scan: LakeScan): Option[LogicalPlan] = {
+      aggExprs: Seq[NamedExpression], scan: LakeScan,
+      cellFilter: graft.model.PartKey => Boolean): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate._
     // Each output is: count(*) (column = None) | min/max(col).
     final case class Spec(column: Option[String], wantMin: Boolean)
@@ -150,7 +200,7 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (specs.exists(_.isEmpty)) return None
     val cols = specs.flatten.flatMap(_.column).distinct
-    scan.ds.metaStats(cols).map { case (cnt, zones) =>
+    scan.ds.metaStats(cols, cellFilter).map { case (cnt, zones) =>
       val values = specs.flatten.zip(aggExprs).map {
         case (Spec(None, _), _) => cnt.asInstanceOf[Any]
         case (Spec(Some(c), wantMin), e) =>
@@ -171,7 +221,8 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def groupedMetaAnswer(
       groupings: Seq[Expression], aggExprs: Seq[NamedExpression],
-      scan: LakeScan): Option[LogicalPlan] = {
+      scan: LakeScan,
+      cellFilter: graft.model.PartKey => Boolean): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate._
     val partCols = scan.ds.partitionCols.toSet
     val groupAttrs: Seq[AttributeReference] = groupings.map {
@@ -197,7 +248,7 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     val cols = specs.collect { case scala.util.Right((Some(c), _)) => c }.distinct
-    scan.ds.metaStatsGrouped(groupAttrs.map(_.name), cols).map { groups =>
+    scan.ds.metaStatsGrouped(groupAttrs.map(_.name), cols, cellFilter).map { groups =>
       val rows = groups.map { case (vals, cnt, zones) =>
         val values = specs.zip(aggExprs).map {
           case (scala.util.Left(i), e) =>

@@ -65,11 +65,20 @@ class SqlPruneSpec extends SparkSpec {
     db.register("t_in", ds)
 
     // partition-column IN: exactly the listed directories plan ('A' and 'D'
-    // straddle 'B'/'C' — an interval prune would keep all four)
-    val q = spark.sql("SELECT COUNT(*) AS n FROM t_in WHERE p IN ('A', 'D')")
+    // straddle 'B'/'C' — an interval prune would keep all four). A bare
+    // COUNT(*) with this filter now collapses to catalog METADATA (see
+    // StatsSpec) — the trivial row conjunct keeps this query on the scan
+    // path so the per-value directory prune itself stays pinned.
+    val q = spark.sql(
+      "SELECT COUNT(*) AS n FROM t_in WHERE p IN ('A', 'D') AND v > -1e9")
     assert(ds.numParts == 4)
     assert(leafCount(q) == 2, q.queryExecution.optimizedPlan.treeString)
     assert(q.head().getLong(0) == rows.count(r => r._1 == "A" || r._1 == "D"))
+    // And the bare form is answered with no scan at all.
+    val qMeta = spark.sql("SELECT COUNT(*) AS n FROM t_in WHERE p IN ('A', 'D')")
+    assert(qMeta.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    assert(qMeta.head().getLong(0) == rows.count(r => r._1 == "A" || r._1 == "D"))
 
     // zone axis: disjoint k-ranges per cell; IN (10, 310) skips cells 1-2
     val zoned = LakeDataset.fromDataFrame(spark,

@@ -175,6 +175,46 @@ class StatsSpec extends SparkSpec {
     assert(fb == realAfter)
   }
 
+  test("partition-equality WHERE keeps the collapse; row-level conjuncts break it") {
+    val ds = freshLake()
+    val db = new Database(spark)
+    db.register("stats_f_t", ds)
+    def collapsed(sql: String): DataFrame = {
+      val df = db.executeSql(sql)
+      assert(df.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.isInstanceOf[LocalRelation]), sql)
+      df
+    }
+    // Equality filter: exact per-cell answer, zero scans.
+    val one = collapsed(
+      "SELECT COUNT(*) AS cnt, MIN(o_orderkey) AS mn FROM stats_f_t WHERE o_batch = 1")
+    val real = ds.toDF.filter(col("o_batch") === 1)
+      .agg(count(lit(1)), min(col("o_orderkey"))).head()
+    assert(one.head().toSeq == real.toSeq)
+    // IN filter over two cells.
+    val two = collapsed(
+      "SELECT COUNT(*) AS cnt FROM stats_f_t WHERE o_batch IN (0, 2)")
+    assert(two.head().getLong(0) ==
+      ds.toDF.filter(col("o_batch").isin(0, 2)).count())
+    // Grouped + filtered.
+    val grp = collapsed(
+      """SELECT o_batch, COUNT(*) AS cnt FROM stats_f_t
+        |WHERE o_batch IN (0, 1) GROUP BY o_batch""".stripMargin)
+    assert(grp.count() == 2)
+    // No matching cell: count 0, NULL min — still metadata.
+    val none = collapsed(
+      "SELECT COUNT(*) AS cnt, MIN(o_orderkey) AS mn FROM stats_f_t WHERE o_batch = 999")
+    assert(none.head().getLong(0) == 0L && none.head().isNullAt(1))
+    // A row-level conjunct next to the partition equality must NOT collapse.
+    val mixed = db.executeSql(
+      """SELECT COUNT(*) AS cnt FROM stats_f_t
+        |WHERE o_batch = 1 AND o_orderkey > 700""".stripMargin)
+    assert(!mixed.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]))
+    assert(mixed.head().getLong(0) ==
+      ds.toDF.filter(col("o_batch") === 1 && col("o_orderkey") > 700).count())
+  }
+
   test("SQL shapes outside the family keep their scans and stay correct") {
     val ds = freshLake()
     val db = new Database(spark)
