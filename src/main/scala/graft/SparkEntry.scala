@@ -554,6 +554,23 @@ object SparkEntry {
            |FROM dml_t""".stripMargin)
     }),
 
+    // Layout evolution: ALTER TABLE rebuilds the table under a new
+    // partition axis (one pass) and swaps the SQL registration — the
+    // read-back here is a grouped+filtered aggregate the NEW layout
+    // answers from the catalog (cells fold by the new partition values).
+    "lake_relayout" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("rel_t", LakeDataset.fromDataFrame(
+        s, table(s, dir, "orders")
+          .withColumn("o_batch", (col("o_orderkey") / 6000).cast("int")),
+        partitionCols = Seq("o_batch")))
+      db.executeDml("ALTER TABLE rel_t PARTITIONED BY (o_orderstatus)")
+      db.executeSql(
+        """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key
+          |FROM rel_t WHERE o_orderstatus IN ('F', 'O')
+          |GROUP BY o_orderstatus""".stripMargin)
+    }),
+
     // MERGE INTO as the SQL verb for the engine upsert (incoming wins per
     // column on the key join; unmatched rows insert) — the reference's
     // core mutation reachable from SQL.
@@ -1862,6 +1879,11 @@ object SparkEntry {
          |SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
          |FROM u
          |WHERE NOT (o_orderstatus = 'O' AND o_orderkey BETWEEN 4000 AND 5000)""".stripMargin,
+
+    "lake_relayout" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |GROUP BY o_orderstatus""".stripMargin,
 
     "lake_sql_merge" ->
       s"""SELECT COUNT(*) AS n,

@@ -85,6 +85,8 @@ final class Database(val spark: SparkSession) {
 
   private val CopyRe =
     """(?is)^\s*COPY\s+INTO\s+([A-Za-z_][\w]*)\s+FROM\s+'([^']+)'(?:\s+FORMAT\s+([A-Za-z]+))?\s*;?\s*$""".r
+  private val AlterRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+(.+?)\s*;?\s*$""".r
 
   /** Parse `MERGE INTO t [alias] USING ( <query> ) [alias] ON <cond>
     * [WHEN MATCHED THEN UPDATE SET *] [WHEN NOT MATCHED THEN INSERT *]`.
@@ -270,11 +272,35 @@ final class Database(val spark: SparkSession) {
         }.toSeq: _*)
         target.insert(aligned)
         refresh(t); 1L
+      case AlterRe(t, clauses) =>
+        // Layout DDL: rebuild under the new partition/bucket layout (one
+        // table pass) and swap the catalog registration — readers of the
+        // view see the new layout on their next query.
+        val old = ds(t)
+        val partsM = """(?is)PARTITIONED\s+BY\s*\(\s*([^)]+?)\s*\)""".r
+          .findFirstMatchIn(clauses)
+        val bucketM = """(?is)BUCKETED\s+BY\s*\(\s*([A-Za-z_][\w]*)\s*,\s*(\d+)\s*\)""".r
+          .findFirstMatchIn(clauses)
+        val residue = """(?is)(PARTITIONED\s+BY\s*\([^)]*\)|BUCKETED\s+BY\s*\([^)]*\))""".r
+          .replaceAllIn(clauses, "").trim
+        if ((partsM.isEmpty && bucketM.isEmpty) || residue.nonEmpty)
+          throw new IllegalArgumentException(
+            "ALTER TABLE supports PARTITIONED BY (cols) and/or BUCKETED BY (col, n)")
+        val newParts = partsM.map(_.group(1).split(",").map(_.trim).toSeq)
+          .getOrElse(Nil)
+        val (newBuckets, n) = bucketM
+          .map(m => (Seq(m.group(1)), m.group(2).toInt))
+          .getOrElse((Nil, 5))
+        val schemaNames = old.tableSchema.fieldNames.toSet
+        tables.put(t, old.relayout(newParts, newBuckets, n,
+          old.bloomCols.filter(schemaNames.contains)))
+        refresh(t); 1L
       case _ => throw new IllegalArgumentException(
         "unsupported DML; expected DELETE FROM <t> [WHERE <cond>], " +
           "INSERT INTO <t> <query>, UPDATE <t> SET ... [WHERE <cond>], " +
-          "MERGE INTO <t> USING (<query>) ON <key equalities>, or " +
-          "COPY INTO <t> FROM '<path>' [FORMAT <fmt>]")
+          "MERGE INTO <t> USING (<query>) ON <key equalities>, " +
+          "COPY INTO <t> FROM '<path>' [FORMAT <fmt>], or " +
+          "ALTER TABLE <t> PARTITIONED BY (...) [BUCKETED BY (col, n)]")
     }
   }
 }

@@ -1498,6 +1498,32 @@ final class LakeDataset private (
       touched.size
     }
 
+  /** Layout evolution — `ALTER TABLE ... PARTITIONED BY / BUCKETED BY` as
+    * an engine operation: rebuild the CURRENT contents under a new
+    * partition/bucket/bloom layout and return the new dataset. The table's
+    * one full snapshot routes through the ordinary creation path (cell
+    * split + tight stats), so the result prunes on the new axes and
+    * answers metadata exactly, like any freshly created table. The storage
+    * binding carries over; the next save rewrites the directory tree in
+    * the new shape (layout changes are rewrites in every lakehouse — the
+    * cost is one table pass, all-executor parallel). The receiver is left
+    * untouched (its plans stay valid); callers swap references — the SQL
+    * catalog's ALTER route re-registers the view.
+    */
+  def relayout(
+      newPartitionCols: Seq[String] = Nil,
+      newBucketCols: Seq[String] = Nil,
+      newNBuckets: Int = 5,
+      newBloomCols: Seq[String] = Nil): LakeDataset = {
+    val schema = tableSchema
+    val missing = (newPartitionCols ++ newBucketCols ++ newBloomCols)
+      .filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty, s"unknown layout column(s): ${missing.mkString(", ")}")
+    LakeDataset.fromDataFrame(spark, toDF,
+      partitionCols = newPartitionCols, bucketCols = newBucketCols,
+      nBuckets = newNBuckets, storage = storage, bloomCols = newBloomCols)
+  }
+
   /** The user's `Column` predicate as a RESOLVED, constant-folded Catalyst
     * expression against this table's schema. Spark 4 Columns carry node
     * trees (`UnresolvedFunction("&gt;=", ...)`), not Catalyst comparisons —

@@ -98,6 +98,34 @@ class DmlSpec extends SparkSpec {
       == o.count())
   }
 
+  test("ALTER TABLE relayouts the table and swaps the registration") {
+    val (db, old) = freshDb("dml_alter")
+    val before = db.executeSql("SELECT COUNT(*) AS n FROM dml_alter").head().getLong(0)
+    db.executeDml(
+      "ALTER TABLE dml_alter PARTITIONED BY (o_orderstatus) BUCKETED BY (o_orderkey, 4)")
+    val nds = db.get("dml_alter").get
+    assert(nds ne old)
+    assert(nds.partitionCols == List("o_orderstatus"))
+    assert(nds.bucketCols == List("o_orderkey") && nds.nBuckets == 4)
+    // Content identical through the view; the old handle stays usable.
+    assert(db.executeSql("SELECT COUNT(*) AS n FROM dml_alter").head().getLong(0) == before)
+    assert(old.toDF.count() == before)
+    // The new layout answers grouped metadata on the NEW partition axis.
+    assert(nds.metaStatsGrouped(Seq("o_orderstatus"), Nil).isDefined)
+    // Round trip through storage in the new shape.
+    val root = java.nio.file.Files.createTempDirectory("graft_alter").toString
+    nds.storage = Some(graft.model.StorageSpec(root))
+    nds.toStorage()
+    val loaded = LakeDataset.fromStorage(spark, root)
+    assert(loaded.partitionCols == List("o_orderstatus"))
+    assert(loaded.toDF.count() == before)
+    // Unsupported ALTER clause is loud.
+    val e = intercept[IllegalArgumentException] {
+      db.executeDml("ALTER TABLE dml_alter ADD COLUMN x INT")
+    }
+    assert(e.getMessage.contains("ALTER TABLE supports"))
+  }
+
   test("arity mismatch and unknown statements fail loudly") {
     val (db, _) = freshDb("dml_err")
     val e1 = intercept[IllegalArgumentException] {
