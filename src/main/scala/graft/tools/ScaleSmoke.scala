@@ -588,6 +588,40 @@ object ScaleSmoke {
             .agg(count(lit(1)), sum(col("l_extendedprice"))).collect()
         }
       } finally LakeDataset.deleteRecursively(java.nio.file.Paths.get(dppRoot))
+
+      // Predicate DELETE/UPDATE: a range-scoped mutation touches O(1)
+      // cells — plan swaps only, with the cost landing on the next scan of
+      // the touched cells, vs a whole-table rewrite.
+      {
+        import graft.operators.Stats
+        val dml = LakeDataset.fromDataFrame(spark, mo,
+          partitionCols = Seq("o_batch"))
+        val touchedU = time("updateWhere (range-scoped)") {
+          dml.updateWhere(col("o_orderkey").between(1000500L, 1002500L),
+            Seq("o_totalprice" -> (col("o_totalprice") + 1)))
+        }
+        println(s"[scale] updateWhere touched $touchedU of ${dml.numParts} cells; " +
+          s"count-metadata still exact: ${Stats.metaAnswerable(dml, Nil)}")
+        val touched = time("deleteWhere (range-scoped)") {
+          dml.deleteWhere(col("o_orderkey").between(1000L, 3000L))
+        }
+        println(s"[scale] deleteWhere touched $touched of ${dml.numParts} cells")
+        time("post-mutation full aggregate") {
+          dml.toDF.agg(count(lit(1)), sum(col("o_totalprice"))).collect()
+        }
+      }
+
+      // Shard export at 30x: one shuffle + sorted one-file-per-shard write.
+      {
+        import graft.operators.Export
+        val exRoot = java.nio.file.Files.createTempDirectory("graft_r9_export").toString
+        try {
+          val out = time(s"shard export ${copies}x (64 shards)") {
+            Export.shardedWrite(mo, "o_orderkey", 64, exRoot)
+          }
+          println(s"[scale] export rows: ${out.count()}")
+        } finally LakeDataset.deleteRecursively(java.nio.file.Paths.get(exRoot))
+      }
       mo.unpersist(true); fact0.unpersist(true)
     }
     if (onlyR9) { spark.stop(); return }

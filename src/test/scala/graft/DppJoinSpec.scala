@@ -45,6 +45,9 @@ class DppJoinSpec extends SparkSpec {
     val opened = Bridge.scanRootPaths(joined).count(_.contains("l_batch="))
     assert(opened > 0 && opened < total / 2,
       s"expected a visible prune: opened $opened of $total cells")
+    // The proven-small dimension must BROADCAST (never shuffle the fact).
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), s"expected broadcast join:\n$phys")
     val got = joined.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
       .orderBy("l_orderkey").collect().toSeq
     assert(got == truth)
