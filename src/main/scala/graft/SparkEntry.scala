@@ -554,6 +554,25 @@ object SparkEntry {
            |FROM dml_t""".stripMargin)
     }),
 
+    // OPTIMIZE as SQL: after an upsert the catalog cannot vouch for
+    // exactness; OPTIMIZE recounts/re-tightens, and the read-back
+    // count/min/max collapses to catalog metadata again — correct AFTER
+    // the mutation (the oracle computes the merged state).
+    "lake_sql_optimize" -> ((s, dir) => {
+      val db = new Database(s)
+      val o = table(s, dir, "orders")
+        .withColumn("o_batch", (col("o_orderkey") / 6000).cast("int"))
+      db.register("opt_t", LakeDataset.fromDataFrame(s, o, partitionCols = Seq("o_batch")))
+      db.executeDml(
+        """UPDATE opt_t SET o_totalprice = o_totalprice + 25
+          |WHERE o_orderkey BETWEEN 100 AND 200""".stripMargin)
+      db.executeDml("OPTIMIZE opt_t")
+      db.executeSql(
+        """SELECT COUNT(*) AS cnt, MIN(o_totalprice) AS min_price,
+          |       MAX(o_totalprice) AS max_price
+          |FROM opt_t""".stripMargin)
+    }),
+
     // Layout evolution: ALTER TABLE rebuilds the table under a new
     // partition axis (one pass) and swaps the SQL registration — the
     // read-back here is a grouped+filtered aggregate the NEW layout
@@ -1879,6 +1898,14 @@ object SparkEntry {
          |SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
          |FROM u
          |WHERE NOT (o_orderstatus = 'O' AND o_orderkey BETWEEN 4000 AND 5000)""".stripMargin,
+
+    "lake_sql_optimize" ->
+      """SELECT COUNT(*) AS cnt,
+        |       MIN(CASE WHEN o_orderkey BETWEEN 100 AND 200
+        |                THEN o_totalprice + 25 ELSE o_totalprice END) AS min_price,
+        |       MAX(CASE WHEN o_orderkey BETWEEN 100 AND 200
+        |                THEN o_totalprice + 25 ELSE o_totalprice END) AS max_price
+        |FROM orders""".stripMargin,
 
     "lake_relayout" ->
       """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key

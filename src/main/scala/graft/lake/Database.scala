@@ -87,6 +87,10 @@ final class Database(val spark: SparkSession) {
     """(?is)^\s*COPY\s+INTO\s+([A-Za-z_][\w]*)\s+FROM\s+'([^']+)'(?:\s+FORMAT\s+([A-Za-z]+))?\s*;?\s*$""".r
   private val AlterRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+(.+?)\s*;?\s*$""".r
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
 
   /** Parse `MERGE INTO t [alias] USING ( <query> ) [alias] ON <cond>
     * [WHEN MATCHED THEN UPDATE SET *] [WHEN NOT MATCHED THEN INSERT *]`.
@@ -272,6 +276,17 @@ final class Database(val spark: SparkSession) {
         }.toSeq: _*)
         target.insert(aligned)
         refresh(t); 1L
+      case OptimizeRe(t) =>
+        // OPTIMIZE: compact every cell's accumulated plan and recompute
+        // its statistics tight (count + zones + blooms from data) — after
+        // this the table answers metadata-only aggregates again and scans
+        // run over collapsed lineage. The engine's materialize, as SQL.
+        ds(t).materialize()
+        refresh(t); 1L
+      case VacuumRe(t) =>
+        // VACUUM: delete physical cell directories the catalog no longer
+        // references (crashed writes, dropped cells, foreign junk).
+        ds(t).vacuumOrphans().length.toLong
       case AlterRe(t, clauses) =>
         // Layout DDL: rebuild under the new partition/bucket layout (one
         // table pass) and swap the catalog registration — readers of the

@@ -126,6 +126,41 @@ class DmlSpec extends SparkSpec {
     assert(e.getMessage.contains("ALTER TABLE supports"))
   }
 
+  test("OPTIMIZE re-tightens the catalog; VACUUM clears orphans") {
+    val (db, ds) = freshDb("dml_opt")
+    db.executeDml(
+      "UPDATE dml_opt SET o_totalprice = o_totalprice + 1 WHERE o_orderkey <= 50")
+    // Update preserves counts and UNASSIGNED columns' metadata; only the
+    // assigned column's bounds go unknown…
+    assert(graft.operators.Stats.metaAnswerable(ds, Seq("o_orderkey")))
+    assert(!graft.operators.Stats.metaAnswerable(ds, Seq("o_totalprice")))
+    val before = db.executeSql("SELECT MIN(o_totalprice) AS m FROM dml_opt")
+    assert(!before.queryExecution.optimizedPlan.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    db.executeDml("OPTIMIZE dml_opt")
+    // …until OPTIMIZE recomputes them tight.
+    assert(graft.operators.Stats.metaAnswerable(ds, Seq("o_totalprice")))
+    val after = db.executeSql("SELECT MIN(o_totalprice) AS m FROM dml_opt")
+    assert(after.queryExecution.optimizedPlan.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    assert(after.head().getDouble(0) == before.head().getDouble(0))
+
+    // VACUUM: save a table, park junk under the root, vacuum removes it.
+    val root = java.nio.file.Files.createTempDirectory("graft_vacuum").toString
+    val o = Fixtures.table(spark, sf(), "orders")
+      .withColumn("o_batch", (col("o_orderkey") / 500).cast("int"))
+    val vds = LakeDataset.fromDataFrame(spark, o, partitionCols = Seq("o_batch"),
+      storage = Some(graft.model.StorageSpec(root)))
+    vds.toStorage()
+    db.register("dml_vac", vds)
+    val junk = java.nio.file.Paths.get(root, "o_batch=999")
+    java.nio.file.Files.createDirectories(junk)
+    java.nio.file.Files.writeString(junk.resolve("junk.parquet"), "not parquet")
+    assert(db.executeDml("VACUUM dml_vac") == 1L)
+    assert(!java.nio.file.Files.exists(junk))
+    assert(db.executeDml("VACUUM dml_vac") == 0L)
+  }
+
   test("arity mismatch and unknown statements fail loudly") {
     val (db, _) = freshDb("dml_err")
     val e1 = intercept[IllegalArgumentException] {
