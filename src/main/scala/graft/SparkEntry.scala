@@ -1449,6 +1449,27 @@ object SparkEntry {
         .select("lang", "doc_id", "n_chars")
         .orderBy("lang", "doc_id")),
 
+    // The composed curation pipeline, end to end in ONE oracle-checked
+    // flow: exact dedup -> quality gate -> budget-constrained selection
+    // (distributed prefix sum) -> deterministic shard export, summarized
+    // from the PERSISTED shards. Each stage is an operator with its own
+    // gate entry; this proves they compose.
+    "pipeline_curate" -> ((s, dir) => {
+      import graft.operators.{Dedup, Export}
+      val corpus = Fixtures.dupDocuments(s, dir)
+      val canon = Dedup.exact(corpus, "text", "doc_id")
+        .select(col("canonical_id").as("doc_id"))
+      val kept = corpus.join(canon, Seq("doc_id"))
+        .filter(col("n_chars") >= 150)
+      val selected = Sampling.budgetSelect(kept,
+        (col("doc_id") * 37) % 1000, col("doc_id"), "n_chars",
+        budget = 30000L, nPartitions = 8)
+      val root = java.nio.file.Files.createTempDirectory("graft_pipeline").toString
+      Export.shardedWrite(selected, "doc_id", 4, root, hashed = false)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+    }),
+
     // Budget-constrained curation: best-scoring docs until the char budget
     // fills — the window-free distributed prefix sum (range partitions +
     // driver offsets + per-partition running totals); the oracle is the
@@ -2599,6 +2620,26 @@ object SparkEntry {
         |  FROM documents)
         |SELECT lang, doc_id, n_chars FROM r WHERE rk <= 3
         |ORDER BY lang, doc_id""".stripMargin,
+
+    "pipeline_curate" ->
+      """WITH corpus AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), canon AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text
+        |), kept AS (
+        |  SELECT c.doc_id, c.n_chars FROM corpus c JOIN canon USING (doc_id)
+        |  WHERE c.n_chars >= 150
+        |), ranked AS (
+        |  SELECT doc_id, n_chars,
+        |         SUM(n_chars) OVER (ORDER BY (doc_id * 37) % 1000 DESC, doc_id) AS cum
+        |  FROM kept
+        |)
+        |SELECT doc_id % 4 AS shard, COUNT(*) AS docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM ranked WHERE cum <= 30000 GROUP BY 1""".stripMargin,
 
     "curate_budget_select" ->
       """WITH scored AS (
