@@ -554,6 +554,37 @@ object SparkEntry {
            |FROM dml_t""".stripMargin)
     }),
 
+    // Keyed snapshot diff: added/removed/changed/unchanged in ONE
+    // full-outer join (null-safe column compare) — the set-ordered
+    // complement of the change feed for tables with no shared history.
+    "lake_diff" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val mutated = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") <= 20)
+          .withColumn("o_orderkey", col("o_orderkey") + 900000))
+      graft.operators.Diff.diffSummary(o, mutated, Seq("o_orderkey"))
+        .orderBy("diff_status")
+    }),
+
+    // Validated ingest (the data contract at the table boundary): clean
+    // rows insert, violating rows come back tagged for quarantine —
+    // never silently dropped, never poisoning the table. The gate reads
+    // the QUARANTINE side; DataQualitySpec pins the accepted side.
+    "lake_validated_ingest" -> ((s, dir) => {
+      import graft.operators.DataQuality
+      val o = table(s, dir, "orders")
+      val ds = LakeDataset.fromDataFrame(s, o.limit(0))
+      val quarantined = DataQuality.insertValidated(ds, o, Seq(
+        DataQuality.InRange("o_totalprice", 0.0, 50000.0),
+        DataQuality.MatchesRegex("o_orderpriority", "^[1-3]-.*$")))
+      quarantined
+        .select(col("o_orderkey"), explode(col("__violations")).as("violation"))
+        .orderBy("o_orderkey", "violation")
+    }),
+
     // OPTIMIZE as SQL: after an upsert the catalog cannot vouch for
     // exactness; OPTIMIZE recounts/re-tightens, and the read-back
     // count/min/max collapses to catalog metadata again — correct AFTER
@@ -1919,6 +1950,28 @@ object SparkEntry {
          |SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
          |FROM u
          |WHERE NOT (o_orderstatus = 'O' AND o_orderkey BETWEEN 4000 AND 5000)""".stripMargin,
+
+    "lake_diff" ->
+      """SELECT * FROM (
+        |  SELECT 'added' AS diff_status, COUNT(*) AS n FROM orders WHERE o_orderkey <= 20
+        |  UNION ALL
+        |  SELECT 'removed', COUNT(*) FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 'changed', COUNT(*) FROM orders
+        |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT 'unchanged', COUNT(*) FROM orders
+        |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0
+        |) ORDER BY diff_status""".stripMargin,
+
+    "lake_validated_ingest" ->
+      """SELECT o_orderkey, v AS violation FROM (
+        |  SELECT o_orderkey, 'in_range(o_totalprice)' AS v FROM orders
+        |  WHERE o_totalprice < 0 OR o_totalprice > 50000
+        |  UNION ALL
+        |  SELECT o_orderkey, 'matches_regex(o_orderpriority)' FROM orders
+        |  WHERE NOT regexp_matches(o_orderpriority, '^[1-3]-.*$')
+        |) ORDER BY o_orderkey, violation""".stripMargin,
 
     "lake_sql_optimize" ->
       """SELECT COUNT(*) AS cnt,

@@ -122,9 +122,9 @@ object DataQuality {
     * each Unique/RefIntegrity adds its one shuffle. The per-constraint
     * results are unioned as single-row frames (k-sized, not data-sized).
     */
-  def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
-    val spark = df.sparkSession
-    val rowLocal = constraints.collect {
+  /** Per-row violation predicates of the ROW-LOCAL constraints. */
+  private def rowViolations(constraints: Seq[Constraint]): Seq[(String, Column)] =
+    constraints.collect {
       case c: NotNull => c.name -> col(c.column).isNull
       case c: InRange =>
         c.name -> (col(c.column).isNotNull &&
@@ -135,6 +135,10 @@ object DataQuality {
         c.name -> (col(c.column).isNotNull && !col(c.column).isin(c.allowed: _*))
       case c: Satisfies => c.name -> !coalesce(c.predicate, lit(false))
     }
+
+  def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    val spark = df.sparkSession
+    val rowLocal = rowViolations(constraints)
     val localReport: Option[DataFrame] =
       if (rowLocal.isEmpty) None
       else {
@@ -180,5 +184,48 @@ object DataQuality {
       .orderBy("__ord")
       .select(col("constraint"), col("n_rows"), col("n_violations"),
         (col("n_violations") === 0L).as("passed"))
+  }
+
+  /** Tag every row with the names of the constraints it violates
+    * (`__violations` array column, empty = clean). Row-local constraints
+    * evaluate inline; [[RefIntegrity]] marks rows via a (broadcast)
+    * left join against the distinct reference keys — still one pass over
+    * `df`. Set-level [[Unique]] is rejected: "which duplicate is the
+    * violation" is a policy, not a row property — run
+    * [[Dedup.keepFirst]] first.
+    */
+  def validate(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(!constraints.exists(_.isInstanceOf[Unique]),
+      "Unique is set-level - dedup first (Dedup.keepFirst), then validate")
+    val refs = constraints.collect { case c: RefIntegrity => c }
+    val withRefs = refs.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      val refSide0 = c.ref.select(col(c.refColumn).as(s"__ref_$i")).distinct()
+      val refSide = if (c.broadcastRef) broadcast(refSide0) else refSide0
+      d.join(refSide, col(c.column) === col(s"__ref_$i"), "left_outer")
+    }
+    val marks: Seq[(String, Column)] = rowViolations(constraints) ++
+      refs.zipWithIndex.map { case (c, i) =>
+        c.name -> (col(c.column).isNotNull && col(s"__ref_$i").isNull)
+      }
+    val tagged = withRefs.withColumn("__violations",
+      filter(array(marks.map { case (n, viol) =>
+        when(viol, lit(n)).otherwise(lit(null).cast("string"))
+      }: _*), v => v.isNotNull))
+    tagged.drop(refs.indices.map(i => s"__ref_$i"): _*)
+  }
+
+  /** Validated ingest — the data-contract gate at the table boundary:
+    * rows passing every constraint insert into the lake; violating rows
+    * are RETURNED (with their `__violations` tags) for the caller to
+    * quarantine, never silently dropped and never poisoning the table.
+    * The tagged batch is snapshotted once, so accept and quarantine split
+    * one evaluation, and the returned frame stays valid after the insert
+    * consumes its half.
+    */
+  def insertValidated(ds: graft.lake.LakeDataset, df: DataFrame,
+      constraints: Seq[Constraint]): DataFrame = {
+    val tagged = validate(df, constraints).localCheckpoint(true)
+    ds.insert(tagged.filter(size(col("__violations")) === 0).drop("__violations"))
+    tagged.filter(size(col("__violations")) > 0)
   }
 }
