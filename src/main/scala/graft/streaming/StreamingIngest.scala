@@ -93,6 +93,29 @@ object StreamingIngest {
       refresh.foreach { case (db, name) => db.refresh(name) }
     }
 
+  /** foreachBatch sink with a DATA CONTRACT at the table boundary
+    * ([[graft.operators.DataQuality.insertValidated]]): each micro-batch's
+    * clean rows insert into the table, violating rows (tagged with the
+    * constraints they broke) land in the QUARANTINE lake — on a stream,
+    * bad rows neither stall the pipeline nor poison the table, and the
+    * quarantine is itself a queryable lake (triage with the same SQL
+    * surface). Per-batch cost is the ordinary validated insert; both
+    * lakes grow by disjoint row sets that reconstruct the input.
+    */
+  def validatedBatches(
+      ds: LakeDataset, quarantine: LakeDataset,
+      constraints: Seq[graft.operators.DataQuality.Constraint])
+      : (DataFrame, Long) => Unit =
+    (batch, _) => {
+      if (!batch.isEmpty) {
+        val rejected = graft.operators.DataQuality
+          .insertValidated(ds, batch, constraints)
+          .withColumn("violations",
+            concat_ws(",", col("__violations"))).drop("__violations")
+        if (!rejected.isEmpty) quarantine.insert(rejected)
+      }
+    }
+
   /** foreachBatch sink APPLYING a change feed
     * ([[graft.lake.TrackedLake#streamChanges]]) to a REPLICA lake — CDC
     * replication from feed + streaming + merge, no bespoke machinery.

@@ -69,4 +69,30 @@ class DiffSpec extends SparkSpec {
     assert(tagged.filter(size(col("__violations")) > 0).count() ==
       o.filter(col("o_orderkey") % 10 === 0).count())
   }
+
+  test("streaming validated ingest: contract holds per micro-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ds = LakeDataset.fromDataFrame(spark,
+      Seq((0L, 10.0)).toDF("k", "v").limit(0))
+    val quarantine = LakeDataset.fromDataFrame(spark,
+      Seq((0L, 10.0, "x")).toDF("k", "v", "violations").limit(0))
+    val sink = graft.streaming.StreamingIngest.validatedBatches(ds, quarantine,
+      Seq(DataQuality.InRange("v", 0.0, 100.0), DataQuality.NotNull("v")))
+    val mem = MemoryStream[(Long, Double)]
+    val q = mem.toDF().toDF("k", "v").writeStream.foreachBatch(sink).start()
+    try {
+      mem.addData((1L, 5.0), (2L, 500.0), (3L, 50.0))
+      q.processAllAvailable()
+      mem.addData((4L, -1.0), (5L, 99.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // Clean rows (1,3,5) in the table; violators (2,4) tagged in quarantine.
+    assert(ds.toDF.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L, 5L))
+    val quar = quarantine.toDF.orderBy("k").collect()
+    assert(quar.map(_.getLong(0)).toSeq == Seq(2L, 4L))
+    assert(quar.forall(_.getString(2) == "in_range(v)"))
+  }
 }
