@@ -64,6 +64,18 @@ class DeleteWhereSpec extends SparkSpec {
     assert(metaMin > minKey + 10L) // deletion visible in the tight bound
   }
 
+  test("bucket-column equality prunes to one bucket's cells") {
+    val ds = LakeDataset.fromDataFrame(spark, orders,
+      bucketCols = Seq("o_orderkey"), nBuckets = 5)
+    val total = ds.numParts
+    // Equality on the bucket column routes through localBucketId: only the
+    // one bucket cell (of 5) can hold key 42.
+    val touched = ds.deleteWhere(col("o_orderkey") === 42L)
+    assert(touched == 1, s"expected 1 bucket cell of $total, got $touched")
+    assert(ds.toDF.filter(col("o_orderkey") === 42L).count() == 0L)
+    assert(ds.toDF.count() == orders.count() - 1)
+  }
+
   test("a provably disjoint predicate touches nothing") {
     val ds = rangeLake()
     assert(ds.deleteWhere(col("o_orderkey") > 100000000L) == 0)
