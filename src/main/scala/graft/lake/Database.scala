@@ -94,15 +94,17 @@ final class Database(val spark: SparkSession) {
 
   /** Parse `MERGE INTO t [alias] USING ( <query> ) [alias] ON <cond>
     * [WHEN MATCHED THEN UPDATE SET *] [WHEN NOT MATCHED THEN INSERT *]`.
-    * Returns (table, query, keyColumns). The USING query scans with a
-    * paren-depth counter (regexes cannot balance nested parens); the ON
-    * condition must be a conjunction of same-name column equalities
-    * (`a.k = b.k`) — exactly the key-join the engine upsert implements.
-    * Only the `UPDATE SET * / INSERT *` actions exist (engine upsert
-    * semantics: incoming wins per column, NULL preserves, unmatched rows
-    * insert); anything else is rejected loudly.
+    * Returns (table, query, keyColumns, updateMatched, insertUnmatched).
+    * The USING query scans with a paren-depth counter (regexes cannot
+    * balance nested parens); the ON condition must be a conjunction of
+    * same-name column equalities (`a.k = b.k`) — exactly the key-join the
+    * engine upsert implements. Only the `UPDATE SET * / INSERT *` action
+    * forms exist; which CLAUSES are present decides the routing (both or
+    * neither → full engine upsert; insert-only → anti-join the source
+    * against existing keys first; update-only → semi-join first).
+    * Anything else is rejected loudly.
     */
-  private def parseMerge(sql: String): Option[(String, String, Seq[String])] = {
+  private def parseMerge(sql: String): Option[(String, String, Seq[String], Boolean, Boolean)] = {
     val m = """(?is)^\s*MERGE\s+INTO\s+([A-Za-z_][\w]*)(?:\s+(?:AS\s+)?[A-Za-z_][\w]*)?\s+USING\s*\(""".r
       .findFirstMatchIn(sql).getOrElse(return None)
     val table = m.group(1)
@@ -130,6 +132,14 @@ final class Database(val spark: SparkSession) {
       throw new IllegalArgumentException(
         "MERGE supports only WHEN MATCHED THEN UPDATE SET * / " +
           "WHEN NOT MATCHED THEN INSERT * (engine upsert semantics)")
+    // Which clauses are present drives the DML semantics: stating no WHEN
+    // clause means the full upsert (the engine's native merge), but a
+    // single stated clause must do ONLY what it says — insert-only must not
+    // overwrite matched rows, update-only must not insert unmatched ones.
+    val updateMatched = actions.isEmpty ||
+      """(?is)WHEN\s+MATCHED""".r.findFirstIn(actions).isDefined
+    val insertUnmatched = actions.isEmpty ||
+      """(?is)WHEN\s+NOT\s+MATCHED""".r.findFirstIn(actions).isDefined
     val keys = cond.split("""(?i)\s+AND\s+""").toSeq.map { eq =>
       eq.split("=", 2).map(_.trim) match {
         case Array(l, r) =>
@@ -142,7 +152,7 @@ final class Database(val spark: SparkSession) {
           s"MERGE ON must be same-name column equalities; got '$eq'")
       }
     }
-    Some((table, query, keys))
+    Some((table, query, keys, updateMatched, insertUnmatched))
   }
 
   /** Split a SET list on top-level commas (commas inside parens or quotes
@@ -198,7 +208,7 @@ final class Database(val spark: SparkSession) {
     def ds(name: String): LakeDataset = tables.getOrElse(name,
       throw new IllegalArgumentException(s"unknown lake table '$name'"))
     parseMerge(sql) match {
-      case Some((t, query, keys)) =>
+      case Some((t, query, keys, updateMatched, insertUnmatched)) =>
         // MERGE INTO → engine upsert: per-column incoming-wins coalesce on
         // the key join; source columns missing from the table evolve the
         // schema. Table columns ABSENT from the source become typed NULLs —
@@ -220,7 +230,19 @@ final class Database(val spark: SparkSession) {
         val filled = tgtFields.filterNot(f => srcCols.contains(f.name))
           .foldLeft(casted)((d, f) =>
             d.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
-        target.upsert(filled, keys)
+        // Single-clause MERGE narrows the source BEFORE the upsert so the
+        // engine merge can only do what the statement asked: insert-only
+        // anti-joins away rows whose keys already exist (matched rows are
+        // untouched), update-only semi-joins to rows whose keys exist
+        // (nothing new inserts). Plain (non-null-safe) join semantics match
+        // SQL's ON: a NULL key never matches, so it inserts under
+        // NOT MATCHED and drops under MATCHED-only.
+        val existingKeys = target.toDF.select(keys.map(col): _*)
+        val source =
+          if (updateMatched && insertUnmatched) filled
+          else if (insertUnmatched) filled.join(existingKeys, keys.toSeq, "left_anti")
+          else filled.join(existingKeys, keys.toSeq, "left_semi")
+        target.upsert(source, keys)
         refresh(t)
         return 1L
       case None =>

@@ -1482,6 +1482,13 @@ final class LakeDataset private (
       require(moving.isEmpty,
         s"UPDATE cannot assign partition/bucket column(s) ${moving.mkString(", ")} " +
           "- rows would change cells; use upsert for cell-migrating changes")
+      // SQL UPDATE casts each value to the COLUMN's type (`SET int_col =
+      // 2.5` stores an int) — without this, LakePart's when/otherwise
+      // coerces to the common type and silently widens the touched parts'
+      // schema away from tableSchema.
+      val typed = assignments.map { case (name, rhs) =>
+        name -> rhs.cast(schema(schema.fieldIndex(name)).dataType)
+      }
       val names = schema.fieldNames.toSet
       val (eqs, ranges, ins) = graft.plans.PredicateConstraints.of(
         resolvedPredicate(cond), names.contains)
@@ -1493,7 +1500,7 @@ final class LakeDataset private (
       markDirty()
       touched.foreach { case (k, p) =>
         diskDirs.remove(k); diskSchemas.remove(k)
-        p.updateWhere(cond, assignments)
+        p.updateWhere(cond, typed)
       }
       touched.size
     }
@@ -1559,8 +1566,16 @@ final class LakeDataset private (
             defs.getOrElse(r.id, r)
         }
     }.transformUp {
+      // current_date()/current_timestamp() are foldable yet Unevaluable in
+      // the ANALYZED plan (ComputeCurrentTime substitutes them later, in the
+      // optimizer) — folding them throws. Leave such subtrees unfolded: the
+      // constraint extractor then simply mines nothing from them, which is
+      // the sound fail-open (touch every cell the rest of the predicate
+      // allows); the predicate itself still EXECUTES correctly because the
+      // per-part rewrite evaluates the original Column, not this probe.
       case e: CExpr if e.foldable && !e.isInstanceOf[CLit] =>
-        CLit.create(e.eval(org.apache.spark.sql.catalyst.InternalRow.empty), e.dataType)
+        try CLit.create(e.eval(org.apache.spark.sql.catalyst.InternalRow.empty), e.dataType)
+        catch { case scala.util.control.NonFatal(_) => e }
     }).getOrElse(CLit(true))
   }
 

@@ -55,9 +55,20 @@ object Joins {
       fact: graft.lake.LakeDataset, factKey: String,
       dim: DataFrame, dimKey: String,
       maxDriverKeys: Int = 100_000): DataFrame = {
-    val keyRows = dim.select(col(dimKey)).na.drop().distinct()
-      .limit(maxDriverKeys + 1).collect()
-    if (keyRows.length > maxDriverKeys) {
+    // Integral-typed keys only (the catalog probe is long-keyed); any other
+    // key type falls open to the plain join like the over-cap path — never
+    // a runtime ClassCastException on e.g. an IntegerType dimension key.
+    val integral = dim.select(col(dimKey)).schema.head.dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val keyRows =
+      if (integral)
+        dim.select(col(dimKey).cast("long")).na.drop().distinct()
+          .limit(maxDriverKeys + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (!integral || keyRows.length > maxDriverKeys) {
       // Over the cap: no pruning, no broadcast claim — the plain join, with
       // Catalyst/AQE picking the strategy from its own statistics.
       val f = fact.toDF

@@ -93,7 +93,12 @@ object Sampling {
     * (score, tie) unique (an id column).
     *
     * `costCol` must be integral (exact accumulation — a float prefix sum
-    * would make the cut row partitioning-dependent).
+    * would make the cut row partitioning-dependent), non-NULL, and >= 0:
+    * a NULL cost has no defined prefix-sum semantics and a negative one
+    * breaks the takeWhile ≡ window-filter equivalence (a later row's
+    * cumulative sum could drop back under budget). Both are enforced by
+    * piggybacking min/null counts on the per-partition totals aggregate —
+    * no extra pass.
     */
   def budgetSelect(
       df: DataFrame, score: Column, tie: Column, costCol: String,
@@ -114,10 +119,22 @@ object Sampling {
       .sortWithinPartitions(score.desc, tie.asc)
       .localCheckpoint(true)
     // Per-partition cost totals: a #partitions-sized aggregate, collected.
-    val sums = ranked
+    // The same job validates the cost precondition (no NULLs, no negatives)
+    // so a bad corpus fails loudly instead of NPE-ing mid-prefix-sum or
+    // silently diverging from the window-sum equivalence.
+    val sumRows = ranked
       .groupBy(spark_partition_id().as("__pid"))
-      .agg(sum(col(costCol).cast("long")).as("__cost"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .agg(sum(col(costCol).cast("long")).as("__cost"),
+        min(col(costCol).cast("long")).as("__min"),
+        count(lit(1)).as("__rows"), count(col(costCol)).as("__nonnull"))
+      .collect()
+    sumRows.foreach { r =>
+      require(r.getLong(4) == r.getLong(3),
+        s"budgetSelect: $costCol contains NULL values — costs must be non-NULL")
+      require(r.getLong(2) >= 0L,
+        s"budgetSelect: $costCol contains negative values — costs must be >= 0")
+    }
+    val sums = sumRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
     val nParts = ranked.rdd.getNumPartitions
     val offsets: Array[Long] = {
       val a = new Array[Long](nParts + 1)

@@ -89,6 +89,62 @@ class DmlSpec extends SparkSpec {
     assert(e.getMessage.contains("MERGE supports only"))
   }
 
+  test("single-clause MERGE does only what the clause says") {
+    // INSERT-only: matched rows must stay untouched.
+    val (db, _) = freshDb("dml_mio")
+    val oldPrices = db.executeSql(
+      "SELECT o_orderkey, o_totalprice FROM dml_mio WHERE o_orderkey <= 10")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    db.executeDml(
+      """MERGE INTO dml_mio USING (
+        |  SELECT o_orderkey, o_totalprice * 0 + 111.5 AS o_totalprice
+        |  FROM dml_mio WHERE o_orderkey <= 10
+        |  UNION ALL SELECT CAST(7777777 AS BIGINT), 222.5) src
+        |ON dml_mio.o_orderkey = src.o_orderkey
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = db.executeSql(
+      "SELECT o_orderkey, o_totalprice FROM dml_mio WHERE o_orderkey <= 10")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after == oldPrices, "insert-only MERGE must not overwrite matched rows")
+    assert(db.executeSql(
+      "SELECT COUNT(*) AS n FROM dml_mio WHERE o_orderkey = 7777777")
+      .head().getLong(0) == 1L)
+
+    // UPDATE-only: unmatched source rows must NOT insert.
+    val (db2, _) = freshDb("dml_muo")
+    val total = db2.executeSql("SELECT COUNT(*) AS n FROM dml_muo").head().getLong(0)
+    db2.executeDml(
+      """MERGE INTO dml_muo USING (
+        |  SELECT o_orderkey, o_totalprice * 0 + 333.25 AS o_totalprice
+        |  FROM dml_muo WHERE o_orderkey <= 10
+        |  UNION ALL SELECT CAST(6666666 AS BIGINT), 444.0) src
+        |ON dml_muo.o_orderkey = src.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    val updated = db2.executeSql(
+      "SELECT o_totalprice FROM dml_muo WHERE o_orderkey <= 10").collect()
+    assert(updated.forall(_.getDouble(0) == 333.25))
+    assert(db2.executeSql("SELECT COUNT(*) AS n FROM dml_muo").head().getLong(0)
+      == total, "update-only MERGE must not insert unmatched rows")
+  }
+
+  test("UPDATE casts the RHS to the column type; current-time predicates execute") {
+    val (db, ds) = freshDb("dml_cast")
+    // SQL UPDATE semantics: SET bigint_col = <decimal> stores the cast
+    // value and the column type is unchanged (no silent schema widening).
+    db.executeDml("UPDATE dml_cast SET o_custkey = 2.9 WHERE o_orderkey <= 5")
+    assert(ds.toDF.schema("o_custkey").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val got = db.executeSql(
+      "SELECT DISTINCT o_custkey FROM dml_cast WHERE o_orderkey <= 5").collect()
+    assert(got.map(_.getLong(0)).toSet == Set(2L))
+    // current_timestamp() is foldable yet Unevaluable in the analyzed plan
+    // — the constraint probe must fail open (extract nothing), not throw.
+    val before = db.executeSql("SELECT COUNT(*) AS n FROM dml_cast").head().getLong(0)
+    db.executeDml("DELETE FROM dml_cast WHERE o_orderdate > current_timestamp()")
+    assert(db.executeSql("SELECT COUNT(*) AS n FROM dml_cast").head().getLong(0)
+      == before, "all order dates are historical - nothing should delete")
+  }
+
   test("COPY INTO bulk-ingests a file with positional casts") {
     val o = Fixtures.table(spark, sf(), "orders")
     val db = new Database(spark)

@@ -61,6 +61,26 @@ class DppJoinSpec extends SparkSpec {
     assert(got == truth)
   }
 
+  test("IntegerType dimension key still prunes; non-integral fails open") {
+    // An int dim key must not ClassCastException — it casts to long for the
+    // catalog probe and prunes identically.
+    val intDim = dim.withColumn("o_orderkey", col("o_orderkey").cast("int"))
+    val joined = Joins.dppJoin(diskFact, "l_orderkey", intDim, "o_orderkey")
+    val opened = Bridge.scanRootPaths(joined).count(_.contains("l_batch="))
+    assert(opened > 0 && opened < diskFact.numParts / 2,
+      s"int-keyed prune missing: opened $opened of ${diskFact.numParts}")
+    val got = joined.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .orderBy("l_orderkey").collect().toSeq
+    assert(got == truth)
+    // A string key cannot route through the long-keyed catalog probe —
+    // fall open to the plain join (same rows), never a runtime cast error.
+    val strDim = dim.withColumn("o_orderkey", col("o_orderkey").cast("string"))
+    val open = Joins.dppJoin(diskFact, "l_orderkey", strDim, "o_orderkey")
+    val gotOpen = open.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .orderBy("l_orderkey").collect().toSeq
+    assert(gotOpen == truth)
+  }
+
   test("empty dimension joins to an empty result without scanning cells") {
     val joined = Joins.dppJoin(diskFact, "l_orderkey",
       dim.filter(lit(false)), "o_orderkey")

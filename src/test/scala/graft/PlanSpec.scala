@@ -170,6 +170,20 @@ class PlanSpec extends SparkSpec {
     assert(dataExchanges == 0, s"encode must not shuffle the data side:\n$p")
   }
 
+  test("events ts predicates reach the parquet scan as pushed filters") {
+    import org.apache.spark.sql.functions.col
+    // The fixture must normalize the µs generation AT THE SCAN (conf-level
+    // NTZ→LTZ), not via a derived column — a post-scan cast silences every
+    // time predicate's pushdown (the r7 5× regression on session windows).
+    val ev = Fixtures.table(spark, sf(), "events")
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType, "ts must be session-zone timestamp")
+    val p = ev.filter(col("ts") >= java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))
+      .select("event_id").queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+      s"ts range predicate not pushed to the events scan:\n$p")
+  }
+
   test("no query plans a cartesian product or nested-loop join") {
     // dedup_embedding_exact and ann_batch_exact are all-pairs BY CONTRACT
     // (the exact ground truths the LSH/IVF paths are measured against) —

@@ -61,6 +61,22 @@ class SamplingSpec extends SparkSpec {
       Sampling.budgetSelect(scored.withColumn("c", col("n_chars").cast("double")),
         col("score"), col("doc_id"), "c", 1000L)
     }
+    // NULL and negative costs are refused loudly (a NULL has no prefix-sum
+    // semantics; a negative breaks the window-filter equivalence).
+    val eNull = intercept[IllegalArgumentException] {
+      Sampling.budgetSelect(
+        scored.withColumn("c",
+          when(col("doc_id") === 7, lit(null)).otherwise(col("n_chars"))),
+        col("score"), col("doc_id"), "c", 100000L)
+    }
+    assert(eNull.getMessage.contains("NULL"))
+    val eNeg = intercept[IllegalArgumentException] {
+      Sampling.budgetSelect(
+        scored.withColumn("c",
+          when(col("doc_id") === 7, lit(-5L)).otherwise(col("n_chars"))),
+        col("score"), col("doc_id"), "c", 100000L)
+    }
+    assert(eNeg.getMessage.contains("negative"))
   }
 
   test("stratifiedSample applies per-stratum rates") {
