@@ -1028,6 +1028,37 @@ object SparkEntry {
           |FROM orders_meta""".stripMargin)
     }),
 
+    // Metadata-only SUM: `count(*) + sum(bigint)` folds from the catalog's
+    // exact per-part decimal sums (LakeDataset.metaSums) — the single most
+    // common dashboard query served with ZERO file reads. Doubles never
+    // take this path (order-dependent sums can't match a scan by contract).
+    "lake_stats_sum" -> ((s, dir) => {
+      graft.operators.Stats.tableSumStats(s, Fixtures.ordersZoneLake(s, dir),
+        Seq("o_custkey", "o_orderkey"))
+    }),
+
+    // The same on the SQL surface: LakePruneRule collapses COUNT/SUM/MIN
+    // mixes over the view into a LocalRelation.
+    "lake_sql_stats_sum" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("orders_sum", Fixtures.ordersZoneLake(s, dir))
+      db.executeSql(
+        """SELECT COUNT(*) AS cnt, SUM(o_custkey) AS sum_cust,
+          |       MIN(o_orderkey) AS min_key
+          |FROM orders_sum""".stripMargin)
+    }),
+
+    // Grouped by the partition column + partition-IN filter: per-group
+    // sums fold per cell, still scan-free.
+    "lake_sql_stats_sum_grouped" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("orders_sum_g", Fixtures.ordersZoneLake(s, dir))
+      db.executeSql(
+        """SELECT o_batch, COUNT(*) AS cnt, SUM(o_custkey) AS sum_cust
+          |FROM orders_sum_g WHERE o_batch IN (0, 1)
+          |GROUP BY o_batch ORDER BY o_batch""".stripMargin)
+    }),
+
     "lake_bucket_pruning" -> ((s, dir) => {
       val ds = Fixtures.lineitemLake(s, dir)
       ds.bucketPrunedDF(1042L)
@@ -2106,6 +2137,23 @@ object SparkEntry {
         |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
         |       MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
         |FROM orders""".stripMargin,
+
+    "lake_stats_sum" ->
+      """SELECT COUNT(*) AS cnt,
+        |       CAST(SUM(o_custkey) AS BIGINT) AS sum_o_custkey,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS sum_o_orderkey
+        |FROM orders""".stripMargin,
+
+    "lake_sql_stats_sum" ->
+      """SELECT COUNT(*) AS cnt, CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+        |       MIN(o_orderkey) AS min_key
+        |FROM orders""".stripMargin,
+
+    "lake_sql_stats_sum_grouped" ->
+      """SELECT CAST(FLOOR(o_orderkey / 6000.0) AS INT) AS o_batch,
+        |       COUNT(*) AS cnt, CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders WHERE CAST(FLOOR(o_orderkey / 6000.0) AS INT) IN (0, 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_sql_zone_pruning" ->
       s"""SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total

@@ -123,12 +123,38 @@ final class LakeDataset private (
   private[lake] def bloomColsFor(schema: org.apache.spark.sql.types.StructType): Seq[String] =
     bloomCols.filter(schema.fieldNames.contains)
 
-  /** (zone columns, bloom columns) for a frame — the per-part stat selector
-    * threaded into [[LakePart]] so materialize recomputes the same sets.
+  /** Tracked SUM columns — same fixed-set discipline as [[trackedZoneSet]]
+    * (a per-schema recomputation could fold a batch's sums into a column
+    * the part never baselined, a falsely exact sum).
+    */
+  @volatile private[lake] var trackedSumSet: Option[Set[String]] = None
+
+  private[lake] def sumColsFor(schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    val tracked = trackedSumSet match {
+      case Some(t) => t
+      case None =>
+        val t = SumMap.sumCols(schema, Set(LakeDataset.BucketCol)).toSet
+        trackedSumSet = Some(t)
+        t
+    }
+    schema.fields.iterator
+      .filter(f => tracked.contains(f.name) && SumMap.summable(f.dataType))
+      .map(_.name).toSeq
+  }
+
+  private def retrackSums(schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    val sc = SumMap.sumCols(schema, Set(LakeDataset.BucketCol))
+    trackedSumSet = Some(sc.toSet)
+    sc
+  }
+
+  /** (zone columns, bloom columns, sum columns) for a frame — the per-part
+    * stat selector threaded into [[LakePart]] so materialize recomputes the
+    * same sets.
     */
   private[lake] def statColsFor(schema: org.apache.spark.sql.types.StructType)
-      : (Seq[String], Seq[String]) =
-    (zoneColsFor(schema), bloomColsFor(schema))
+      : (Seq[String], Seq[String], Seq[String]) =
+    (zoneColsFor(schema), bloomColsFor(schema), sumColsFor(schema))
 
   def partKeys: List[PartKey] = parts.keySet().asScala.toList.sortBy(_.relPath)
   def part(key: PartKey): Option[LakePart] = Option(parts.get(key))
@@ -405,9 +431,13 @@ final class LakeDataset private (
     // every part's stats come from this same aggregation.
     val zc = retrackZones(snap.schema)
     val bc = bloomColsFor(snap.schema)
-    val statAggs = count(lit(1)) +: (ZoneMap.aggs(zc) ++ Bloom.aggs(bc))
+    val sc = retrackSums(snap.schema)
+    val statAggs = count(lit(1)) +:
+      (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(snap.schema, sc))
     def bloomsAt(row: Row, offset: Int): Option[Map[String, Bloom]] =
       if (bc.isEmpty) None else Some(Bloom.fromRow(row, offset, bc))
+    def sumsAt(row: Row, zoneOffset: Int): Option[Map[String, ColSum]] =
+      Some(SumMap.fromRow(row, zoneOffset + 2 * zc.length + Bloom.Planes * bc.length, sc))
     val cells: Array[Row] =
       if (partitionCols.isEmpty && bucketCols.isEmpty) Array.empty
       else {
@@ -426,7 +456,7 @@ final class LakeDataset private (
       parts.put(key, new LakePart(snap, key, bucketCols, nBuckets, row.getLong(0),
         retainDirect, initialZones = Some(ZoneMap.fromRow(row, 1, zc)),
         statColsOf = statColsFor, initialBlooms = bloomsAt(row, 1 + 2 * zc.length),
-        snapshot = partSnapshot))
+        snapshot = partSnapshot, initialSums = sumsAt(row, 1)))
     } else {
       val nKeyCols = partitionCols.length + (if (bucketCols.nonEmpty) 1 else 0)
       cells.foreach { row =>
@@ -451,7 +481,7 @@ final class LakeDataset private (
           new LakePart(snap.filter(cond.reduce(_ && _)), key, bucketCols, nBuckets, n,
             retainDirect, initialZones = Some(zones), statColsOf = statColsFor,
             initialBlooms = bloomsAt(row, nKeyCols + 1 + 2 * zc.length),
-            snapshot = partSnapshot))
+            snapshot = partSnapshot, initialSums = sumsAt(row, nKeyCols + 1)))
       }
     }
     cleanScan = Some(snap)
@@ -676,7 +706,7 @@ final class LakeDataset private (
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
     val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
     Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
-      bloomCols, serializedBlooms, serializedRows), spec.root)
+      bloomCols, serializedBlooms, serializedRows, serializedSums), spec.root)
   }
 
   /** Exact row counts of the parts whose stats are tight — the manifest's
@@ -686,6 +716,17 @@ final class LakeDataset private (
     parts.asScala.collect {
       case (key, part) if part.statsTight.get && part.rows.get >= 0L =>
         key.relPath -> part.rows.get
+    }.toMap
+
+  /** Exact per-part column sums, serialized ONLY for tight parts (a stale
+    * sum is garbage, unlike a superset zone — there is no sound direction
+    * for it, so untight parts simply don't publish one).
+    */
+  private def serializedSums: Map[String, Map[String, (String, Long)]] =
+    parts.asScala.collect {
+      case (key, part) if part.statsTight.get && part.rows.get >= 0L &&
+          part.sums.isDefined =>
+        key.relPath -> part.sums.get.map { case (c, cs) => c -> SumMap.encode(cs) }
     }.toMap
 
   /** Shared plan assembly + fallbacks for the prune paths: everything kept →
@@ -926,6 +967,82 @@ final class LakeDataset private (
     Some(out)
   }
 
+  /** Metadata-only SUM answer: the table's exact row count and exact
+    * per-column sums for `cols`, folded ENTIRELY from the catalog — zero
+    * Spark jobs, zero file reads. Same tightness contract as [[metaStats]]
+    * (every selected part tight with a known counter), plus every part must
+    * carry a sum entry for every requested column (appends fold exactly;
+    * upsert/delete invalidate; materialize recomputes; the manifest
+    * persists sums only for vouched-tight parts). The fold is exact by
+    * construction: per-part sums accumulate as DECIMAL(38, s), whose
+    * addition is associative — any fold order equals the one-shot scan.
+    * Fail open (None) on anything less; never a wrong answer.
+    */
+  def metaSums(cols: Seq[String],
+      cellFilter: PartKey => Boolean = _ => true): Option[(Long, Map[String, ColSum])] =
+    this.synchronized {
+      if (parts.isEmpty) return None
+      val ps = parts.asScala.toList.filter(p => cellFilter(p._1)).map(_._2)
+      if (ps.isEmpty) return Some((0L, cols.map(_ -> SumMap.Zero).toMap))
+      if (!ps.forall(p => p.statsTight.get && p.rows.get >= 0L)) return None
+      val sumMaps = ps.map(_.sums)
+      if (!sumMaps.forall(s => s.exists(m => cols.forall(m.contains)))) return None
+      val maps = sumMaps.map(_.get)
+      val cnt = ps.map(_.rows.get).sum
+      val folded = cols.map { c =>
+        c -> maps.map(_(c)).reduce((a, b) => a.add(b))
+      }.toMap
+      Some((cnt, folded))
+    }
+
+  /** [[metaSums]] grouped by PARTITION columns — the grouped analogue,
+    * mirroring [[metaStatsGrouped]]'s gating and group-value decoding.
+    */
+  def metaSumsGrouped(groupCols: Seq[String], cols: Seq[String],
+      cellFilter: PartKey => Boolean = _ => true)
+      : Option[Seq[(Seq[Any], Long, Map[String, ColSum])]] = this.synchronized {
+    if (parts.isEmpty) return None
+    if (groupCols.isEmpty || !groupCols.forall(partitionCols.contains)) return None
+    val schema = tableSchema
+    import org.apache.spark.sql.types._
+    def decode(s: String, dt: DataType): Option[Any] =
+      if (s == null) Some(null)
+      else try dt match {
+        case StringType => Some(s)
+        case IntegerType => Some(Integer.valueOf(s))
+        case LongType => Some(java.lang.Long.valueOf(s))
+        case ShortType => Some(java.lang.Short.valueOf(s))
+        case ByteType => Some(java.lang.Byte.valueOf(s))
+        case BooleanType => Some(java.lang.Boolean.valueOf(s))
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val ps = parts.asScala.toList.filter(p => cellFilter(p._1))
+    if (ps.isEmpty) return Some(Seq.empty)
+    if (!ps.forall { case (_, p) => p.statsTight.get && p.rows.get >= 0L })
+      return None
+    if (!ps.forall { case (_, p) => p.sums.exists(m => cols.forall(m.contains)) })
+      return None
+    val grouped = ps.groupBy { case (key, _) =>
+      groupCols.map(c => key.partValues.collectFirst {
+        case (k, v) if k == c => v
+      }.orNull)
+    }
+    val out = grouped.toSeq.map { case (strVals, members) =>
+      val vals = strVals.zip(groupCols).map { case (s, c) =>
+        decode(s, schema(c).dataType) match {
+          case Some(v) => v
+          case None => return None
+        }
+      }
+      val cnt = members.map(_._2.rows.get).sum
+      val folded = cols.map { c =>
+        c -> members.map(_._2.sums.get.apply(c)).reduce((a, b) => a.add(b))
+      }.toMap
+      (vals, cnt, folded)
+    }
+    Some(out)
+  }
+
   def schemaInfo: (List[(String, String)], Long, Int) = {
     val sample = parts.values().asScala.headOption
       .getOrElse(throw new IllegalStateException("dataset has no parts"))
@@ -977,23 +1094,28 @@ final class LakeDataset private (
     (if (bucketCols.nonEmpty) List(LakeDataset.BucketCol) else Nil)
 
   /** Distinct cell keys + per-cell row counts AND zone maps (min/max per
-    * tracked column) of a prepared batch — ONE aggregation pass, no
-    * materialization; null rows for the single-cell case. Row layout:
-    * cell key columns, count, then min/max pairs in `zoneCols` order.
+    * tracked column) AND exact column sums of a prepared batch — ONE
+    * aggregation pass, no materialization; null rows for the single-cell
+    * case. Row layout: cell key columns, count, min/max pairs in `zoneCols`
+    * order, bloom planes, then (sum, non-null count) pairs in `sumCols`
+    * order.
     */
-  private def cellCountsOf(p: DataFrame): (Array[Row], Seq[String], Seq[String]) =
-    if (cellKeyCols.isEmpty) (null, Nil, Nil)
+  private def cellCountsOf(p: DataFrame)
+      : (Array[Row], Seq[String], Seq[String], Seq[String]) =
+    if (cellKeyCols.isEmpty) (null, Nil, Nil, Nil)
     else {
-      val (zc, bc) = statColsFor(p.schema)
-      val aggCols = count(lit(1)) +: (ZoneMap.aggs(zc) ++ Bloom.aggs(bc))
-      (p.groupBy(cellKeyCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*).collect(), zc, bc)
+      val (zc, bc, sc) = statColsFor(p.schema)
+      val aggCols = count(lit(1)) +:
+        (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(p.schema, sc))
+      (p.groupBy(cellKeyCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*).collect(),
+        zc, bc, sc)
     }
 
   private def splitByCell(df0: DataFrame)
       : (DataFrame, List[LakeDataset.Slice]) = {
     val p = prepared(df0)
-    val (counts, zc, bc) = cellCountsOf(p)
-    splitPrepared(p, counts, zc, bc)
+    val (counts, zc, bc, sc) = cellCountsOf(p)
+    splitPrepared(p, counts, zc, bc, sc)
   }
 
   /** Checkpoint a prepared batch and slice it per cell using precomputed
@@ -1007,7 +1129,7 @@ final class LakeDataset private (
     * `Dataset::from_dataframe` split (src/dataset.rs:196-238).
     */
   private def splitPrepared(p: DataFrame, cellCounts: Array[Row],
-      zoneCols: Seq[String], bloomColsIn: Seq[String])
+      zoneCols: Seq[String], bloomColsIn: Seq[String], sumColsIn: Seq[String])
       : (DataFrame, List[LakeDataset.Slice]) = {
     // Big batches spill to parquet like whole-table snapshots (the cell
     // counts give the size for free); partition-less datasets have no
@@ -1021,14 +1143,16 @@ final class LakeDataset private (
       if (bc.isEmpty) None else Some(Bloom.fromRow(row, offset, bc))
 
     if (cellCounts == null) {
-      // Single-cell dataset: count + zones + blooms in ONE aggregation job
-      // over the snapshot (was a bare count).
-      val (zc, bc) = statColsFor(snap.schema)
-      val aggCols = count(lit(1)) +: (ZoneMap.aggs(zc) ++ Bloom.aggs(bc))
+      // Single-cell dataset: count + zones + blooms + sums in ONE
+      // aggregation job over the snapshot (was a bare count).
+      val (zc, bc, sc) = statColsFor(snap.schema)
+      val aggCols = count(lit(1)) +:
+        (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(snap.schema, sc))
       val row = snap.agg(aggCols.head, aggCols.tail: _*).head()
       return (batch,
         List(LakeDataset.Slice(PartKey(Nil, None), snap, row.getLong(0),
-          ZoneMap.fromRow(row, 1, zc), bloomsAt(row, 1 + 2 * zc.length, bc))))
+          ZoneMap.fromRow(row, 1, zc), bloomsAt(row, 1 + 2 * zc.length, bc),
+          SumMap.fromRow(row, 1 + 2 * zc.length + Bloom.Planes * bc.length, sc))))
     }
 
     val keyCols = cellKeyCols
@@ -1047,6 +1171,9 @@ final class LakeDataset private (
       val n = row.getLong(keyCols.length)
       val zones = ZoneMap.fromRow(row, keyCols.length + 1, zoneCols)
       val blooms = bloomsAt(row, keyCols.length + 1 + 2 * zoneCols.length, bloomColsIn)
+      val sums = SumMap.fromRow(row,
+        keyCols.length + 1 + 2 * zoneCols.length + Bloom.Planes * bloomColsIn.length,
+        sumColsIn)
       val cond = partitionCols.zipWithIndex.map { case (c, i) =>
         if (row.isNullAt(i)) snap(c).isNull
         else snap(c) === lit(row.get(i))
@@ -1055,7 +1182,7 @@ final class LakeDataset private (
         else snap(LakeDataset.BucketCol) === lit(b)
       }
       val slice = snap.filter(cond.reduce(_ && _)).drop(LakeDataset.BucketCol)
-      LakeDataset.Slice(PartKey(partVals.sortBy(_._1), bucketNr), slice, n, zones, blooms)
+      LakeDataset.Slice(PartKey(partVals.sortBy(_._1), bucketNr), slice, n, zones, blooms, sums)
     }
     (batch, slices)
   }
@@ -1080,11 +1207,13 @@ final class LakeDataset private (
           if (existing == null)
             new LakePart(s.df, s.key, bucketCols, nBuckets, s.rows, retainDirect,
               initialZones = Some(s.zones), statColsOf = statColsFor,
-              initialBlooms = s.blooms, snapshot = partSnapshot)
+              initialBlooms = s.blooms, snapshot = partSnapshot,
+              initialSums = Some(s.sums))
           else {
             existing.insert(s.df, s.rows)
             existing.widenZones(s.zones)
             s.blooms.foreach(existing.widenBlooms)
+            existing.addSums(s.sums) // exact under pure append
             existing
           })
       }
@@ -1133,7 +1262,7 @@ final class LakeDataset private (
     // immediately, so nothing retains a live reference to the source),
     // skipping a full batch write+read through the block store.
     val p = prepared(df)
-    val (counts, zoneCols, bloomColsP) = cellCountsOf(p)
+    val (counts, zoneCols, bloomColsP, sumColsP) = cellCountsOf(p)
     val nCells = if (counts == null) 1 else counts.length
     this.synchronized {
       // Decide the path and capture the pre-merge snapshot BEFORE markDirty:
@@ -1155,17 +1284,22 @@ final class LakeDataset private (
         rebuildFromSnapshot(merged)
         retain(merged)
       } else {
-        val (batch, slices) = splitPrepared(p, counts, zoneCols, bloomColsP)
+        val (batch, slices) = splitPrepared(p, counts, zoneCols, bloomColsP, sumColsP)
         slices.foreach { s =>
           diskDirs.remove(s.key); diskSchemas.remove(s.key)
           parts.compute(s.key, (_, existing) =>
             if (existing == null)
+              // A cell the upsert CREATES holds only fresh rows — its
+              // routed stats (count, zones, sums) are exact.
               new LakePart(s.df, s.key, bucketCols, nBuckets, s.rows, retainDirect,
                 initialZones = Some(s.zones), statColsOf = statColsFor,
-                initialBlooms = s.blooms, snapshot = partSnapshot)
+                initialBlooms = s.blooms, snapshot = partSnapshot,
+                initialSums = Some(s.sums))
             else {
               existing.upsert(s.df, keys, s.rows, leftWins = leftWins)
-              // Sound widening: surviving values ⊆ old ∪ delta.
+              // Sound widening: surviving values ⊆ old ∪ delta. (Sums are
+              // NOT foldable across a merge — LakePart.upsert invalidated
+              // them.)
               existing.widenZones(s.zones)
               s.blooms.foreach(existing.widenBlooms)
               existing
@@ -1211,7 +1345,7 @@ final class LakeDataset private (
   def insertWritten(df: DataFrame): Unit = {
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
     val p = prepared(df)
-    val (counts, zc, bc) = profiled("iw:route")(cellCountsOf(p))
+    val (counts, zc, bc, sc) = profiled("iw:route")(cellCountsOf(p))
     require(counts != null,
       "insertWritten needs a partitioned or bucketed layout (fresh cells)")
     require(!p.columns.contains("bucket") || bucketCols.isEmpty,
@@ -1291,10 +1425,13 @@ final class LakeDataset private (
         val zones = ZoneMap.fromRow(row, nKey + 1, zc)
         val blooms =
           if (bc.isEmpty) None else Some(Bloom.fromRow(row, nKey + 1 + 2 * zc.length, bc))
+        val sums = SumMap.fromRow(row,
+          nKey + 1 + 2 * zc.length + Bloom.Planes * bc.length, sc)
         parts.put(key,
           new LakePart(restored, key, bucketCols, nBuckets, row.getLong(nKey),
             retainDirect, initialZones = Some(zones), statColsOf = statColsFor,
-            initialBlooms = blooms, snapshot = partSnapshot))
+            initialBlooms = blooms, snapshot = partSnapshot,
+            initialSums = Some(sums)))
         diskDirs.put(key, dir)
         diskSchemas.put(key, target)
       }
@@ -1761,7 +1898,7 @@ final class LakeDataset private (
         .save(spec.root)
     }
     Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
-      bloomCols, serializedBlooms, serializedRows), spec.root)
+      bloomCols, serializedBlooms, serializedRows, serializedSums), spec.root)
     // Every cell's directory now mirrors its content exactly. PartKey.escape
     // IS Spark's escapePathName, so the writer's directory and relPath agree
     // by construction; the existence check stays as a backstop (a mismatch
@@ -1820,11 +1957,13 @@ final class LakeDataset private (
 
 object LakeDataset {
   /** One routed cell of an incoming batch: key, lazy slice, row count, and
-    * the cell's stats (zones + blooms) from the routing aggregation.
+    * the cell's stats (zones + blooms + exact sums) from the routing
+    * aggregation.
     */
   private[lake] final case class Slice(
       key: PartKey, df: DataFrame, rows: Long,
-      zones: Map[String, Zone], blooms: Option[Map[String, Bloom]])
+      zones: Map[String, Zone], blooms: Option[Map[String, Bloom]],
+      sums: Map[String, ColSum])
 
   /** Internal bucket-id column, dropped before any user-visible output
     * (reference `$bucket`, src/dataset.rs:200-204).
@@ -1914,10 +2053,13 @@ object LakeDataset {
 
     val leafDirs = discoverLeafDirs(Paths.get(root))
     val target: Option[StructType] = manifest.schemaDdl.map(StructType.fromDDL)
-    // Fix the tracked zone set from the manifest schema up front, so loaded
-    // part stats and every future batch aggregation agree on the same set.
-    target.foreach(t =>
-      ds.trackedZoneSet = Some(ZoneMap.zoneCols(t, Set(LakeDataset.BucketCol)).toSet))
+    // Fix the tracked zone/sum sets from the manifest schema up front, so
+    // loaded part stats and every future batch aggregation agree on the
+    // same sets.
+    target.foreach { t =>
+      ds.trackedZoneSet = Some(ZoneMap.zoneCols(t, Set(LakeDataset.BucketCol)).toSet)
+      ds.trackedSumSet = Some(SumMap.sumCols(t, Set(LakeDataset.BucketCol)).toSet)
+    }
     if (leafDirs.isEmpty) {
       // A saved EMPTY table is a manifest-only layout: reconstruct an empty
       // dataset (schema from the manifest DDL) instead of refusing to load
@@ -2022,6 +2164,23 @@ object LakeDataset {
       // stats live in one JSON manifest, not in O(files) footers).
       val exactRows: Option[Long] = manifest.partRows.get(key.relPath)
       val tight = exactRows.isDefined && zones.isDefined
+      // Sums restore only under the tightness vouch AND for columns this
+      // session tracks with a summable manifest type — anything less
+      // degrades to unknown (metadata-sum fails open), never to wrong.
+      val sums: Option[Map[String, ColSum]] =
+        if (!tight) None
+        else manifest.partSums.get(key.relPath).flatMap { cols =>
+          target.map { t =>
+            cols.flatMap { case (c, (s, n)) =>
+              t.fields.find(_.name == c).map(_.dataType) match {
+                case Some(dt) if SumMap.summable(dt) &&
+                    ds.trackedSumSet.forall(_.contains(c)) =>
+                  SumMap.decode(s, n).map(c -> _)
+                case _ => None
+              }
+            }
+          }
+        }
       if (eager) {
         // Eager load: materialize NOW by contract (the caller asked for
         // resident parts); the thunk runs here, not on first touch.
@@ -2030,12 +2189,12 @@ object LakeDataset {
           new LakePart(c, key, manifest.buckets, manifest.nBuckets,
             exactRows.getOrElse(-1L), ds.retainDirect,
             initialZones = zones, statColsOf = ds.statColsFor, initialBlooms = blooms,
-            snapshot = ds.partSnapshot, initialTight = tight))
+            snapshot = ds.partSnapshot, initialSums = sums, initialTight = tight))
       } else ds.parts.put(key,
         new LakePart(partDf(), key, manifest.buckets, manifest.nBuckets,
           exactRows.getOrElse(-1L), ds.retainDirect,
           initialZones = zones, statColsOf = ds.statColsFor, initialBlooms = blooms,
-          snapshot = ds.partSnapshot, initialTight = tight))
+          snapshot = ds.partSnapshot, initialSums = sums, initialTight = tight))
       ds.diskDirs.put(key, dir.toString)
       target.foreach(t => ds.diskSchemas.put(key, t))
     }

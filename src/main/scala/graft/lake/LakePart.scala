@@ -39,13 +39,13 @@ final class LakePart private[lake] (
       */
     initialZones: Option[Map[String, Zone]] = None,
     /** The owning dataset's FIXED tracked-stat-column selector, returning
-      * (zone columns, bloom columns) for a schema. Materialize recomputes
-      * stats through it so the part never tracks a different set than the
-      * routing aggregation widens with (set drift is unsound — see
+      * (zone columns, bloom columns, sum columns) for a schema. Materialize
+      * recomputes stats through it so the part never tracks a different set
+      * than the routing aggregation widens with (set drift is unsound — see
       * LakeDataset.trackedZoneSet).
       */
-    statColsOf: org.apache.spark.sql.types.StructType => (Seq[String], Seq[String]) =
-      s => (ZoneMap.zoneCols(s), Nil),
+    statColsOf: org.apache.spark.sql.types.StructType => (Seq[String], Seq[String], Seq[String]) =
+      s => (ZoneMap.zoneCols(s), Nil, SumMap.sumCols(s)),
     /** Per-column key Bloom filters of this part's data (see [[Bloom]]);
       * None = no statistics (membership pruning fails open). Mutations OR
       * plane bits (sound superset); rebuilds recompute tight.
@@ -56,6 +56,12 @@ final class LakePart private[lake] (
       * reliable mode; see `LakeDataset.partSnapshot`).
       */
     snapshot: DataFrame => DataFrame = _.localCheckpoint(true),
+    /** Per-column exact SUM state of this part's data (see [[SumMap]]);
+      * None = unknown (metadata-sum answers fail open). Appends FOLD the
+      * batch's sums in; upsert/delete invalidate outright (unlike zones
+      * there is no sound superset to widen to); materialize recomputes.
+      */
+    initialSums: Option[Map[String, ColSum]] = None,
     /** Whether the initial statistics (zones, blooms, row counter) reflect
       * the part's data EXACTLY — true on every in-memory creation path (all
       * compute stats from the routed batch itself); false for parts loaded
@@ -82,6 +88,22 @@ final class LakePart private[lake] (
     new AtomicReference[Option[Map[String, Zone]]](initialZones)
   private val bloomsRef =
     new AtomicReference[Option[Map[String, Bloom]]](initialBlooms)
+  private val sumsRef =
+    new AtomicReference[Option[Map[String, ColSum]]](initialSums)
+
+  /** Current exact column sums; None = unknown (metadata sums fail open).
+    * Meaningful only while [[statsTight]] — consumers must check both.
+    */
+  def sums: Option[Map[String, ColSum]] = sumsRef.get
+
+  /** Fold an appended batch's exact sums in (see [[SumMap.merge]]). A part
+    * with unknown sums stays unknown.
+    */
+  private[lake] def addSums(delta: Map[String, ColSum]): Unit =
+    sumsRef.updateAndGet {
+      case Some(old) => Some(SumMap.merge(old, delta))
+      case None => None
+    }
 
   /** Current zone maps; None = no statistics (pruning fails open). */
   def zones: Option[Map[String, Zone]] = zonesRef.get
@@ -173,6 +195,7 @@ final class LakePart private[lake] (
     lock.synchronized {
       ref.set(LakePart.upsertJoin(cur, other, keys, leftWins))
       statsTight.set(false) // superset zones + stale counter until materialize
+      sumsRef.set(None) // a merge's post-state sum is not derivable
       changes.addAndGet(otherRows)
       // rows counter intentionally unchanged (stale until materialize),
       // mirroring reference src/dataset.rs:144.
@@ -188,6 +211,7 @@ final class LakePart private[lake] (
   def delete(keysDf: DataFrame, keys: Seq[String]): Unit = lock.synchronized {
     ref.set(cur.join(keysDf.select(keys.map(col): _*).distinct(), keys, "left_anti"))
     statsTight.set(false) // zones now a superset of the surviving rows
+    sumsRef.set(None) // deleted rows' contribution is unknown
     changes.addAndGet(1L)
     rows.set(-1L) // unknown until materialize/recount
     maybeCompact(false)
@@ -200,6 +224,7 @@ final class LakePart private[lake] (
   def deleteWhere(cond: Column): Unit = lock.synchronized {
     ref.set(cur.filter(!coalesce(cond, lit(false))))
     statsTight.set(false) // zones now a superset of the surviving rows
+    sumsRef.set(None) // deleted rows' contribution is unknown
     changes.addAndGet(1L)
     rows.set(-1L) // unknown until materialize/recount
     maybeCompact(false)
@@ -230,6 +255,7 @@ final class LakePart private[lake] (
       val assigned = assignments.map(_._1).toSet
       zonesRef.updateAndGet(_.map(_.filterNot { case (k, _) => assigned(k) }))
       bloomsRef.updateAndGet(_.map(_.filterNot { case (k, _) => assigned(k) }))
+      sumsRef.updateAndGet(_.map(_.filterNot { case (k, _) => assigned(k) }))
       changes.addAndGet(1L)
       maybeCompact(false)
     }
@@ -253,12 +279,14 @@ final class LakePart private[lake] (
       // (mutations in between only ever widened them), and parts that had
       // no stats at all (lazily loaded) gain them.
       import org.apache.spark.sql.functions.{count, lit}
-      val (zc, bc) = statColsOf(m.schema)
-      val statAggs = count(lit(1)) +: (ZoneMap.aggs(zc) ++ Bloom.aggs(bc))
+      val (zc, bc, sc) = statColsOf(m.schema)
+      val statAggs = count(lit(1)) +:
+        (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(m.schema, sc))
       val row = m.agg(statAggs.head, statAggs.tail: _*).head()
       rows.set(row.getLong(0))
       zonesRef.set(Some(ZoneMap.fromRow(row, 1, zc)))
       if (bc.nonEmpty) bloomsRef.set(Some(Bloom.fromRow(row, 1 + 2 * zc.length, bc)))
+      sumsRef.set(Some(SumMap.fromRow(row, 1 + 2 * zc.length + Bloom.Planes * bc.length, sc)))
       changes.set(0L)
       mutationOps.set(0L)
       statsTight.set(true) // count + zones just recomputed from data

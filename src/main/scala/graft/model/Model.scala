@@ -107,7 +107,15 @@ final case class Manifest(
       * counter (-1, recounted on demand) and untight stats — fail open to
       * a real scan, never to a wrong metadata answer.
       */
-    partRows: Map[String, Long] = Map.empty)
+    partRows: Map[String, Long] = Map.empty,
+    /** EXACT per-part column sums (decimal string + non-null count),
+      * written only for tight parts — the metadata-SUM half of the
+      * tightness vouch. A part restores its sums only when it ALSO appears
+      * in [[partRows]]; absent or undecodable entries degrade to unknown
+      * (metadata-sum answers fail open to a real scan). Old manifests
+      * without the field load the same way.
+      */
+    partSums: Map[String, Map[String, (String, Long)]] = Map.empty)
 
 object Manifest {
   val FileName = "_manifest.json"
@@ -149,6 +157,17 @@ object Manifest {
     if (m.partRows.nonEmpty) {
       val rowsN = node.putObject("part_rows")
       m.partRows.foreach { case (rel, n) => rowsN.put(rel, n) }
+    }
+    if (m.partSums.nonEmpty) {
+      val sumsN = node.putObject("part_sums")
+      m.partSums.foreach { case (rel, cols) =>
+        val pn = sumsN.putObject(rel)
+        cols.foreach { case (c, (s, n)) =>
+          val cn = pn.putObject(c)
+          cn.put("sum", s)
+          cn.put("n", n)
+        }
+      }
     }
     val st = node.putObject("storage")
     st.put("root", m.storage.root)
@@ -200,6 +219,15 @@ object Manifest {
       }.getOrElse(Map.empty),
       partRows = Option(node.get("part_rows")).map { rows =>
         rows.fieldNames().asScala.map(rel => rel -> rows.get(rel).asLong()).toMap
+      }.getOrElse(Map.empty),
+      partSums = Option(node.get("part_sums")).map { sums =>
+        sums.fieldNames().asScala.map { rel =>
+          val pn = sums.get(rel)
+          rel -> pn.fieldNames().asScala.map { c =>
+            val cn = pn.get(c)
+            c -> (cn.get("sum").asText(), cn.get("n").asLong())
+          }.toMap
+        }.toMap
       }.getOrElse(Map.empty))
   }
 }

@@ -2,9 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DecimalType, LongType, StructField, StructType}
 
-import graft.lake.LakeDataset
+import graft.lake.{ColSum, LakeDataset}
 
 /** Metadata-only table statistics — the lakehouse "answer aggregates from
   * the catalog" property (Delta/Iceberg metadata-only queries; the reference
@@ -52,6 +52,74 @@ object Stats {
   /** Whether [[tableStats]] would take the metadata-only path right now. */
   def metaAnswerable(ds: LakeDataset, cols: Seq[String]): Boolean =
     ds.metaStats(cols).isDefined
+
+  /** Spark's `sum` output type for an input column type: integrals widen to
+    * BIGINT, DECIMAL(p,s) widens to DECIMAL(min(38,p+10), s) — the metadata
+    * answer must land in the SAME type the fallback aggregation produces.
+    */
+  private[graft] def sumResultType(dt: DataType): DataType = dt match {
+    case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
+    case _ => LongType
+  }
+
+  /** A folded [[ColSum]] as the external value of `rt` (Spark sum result
+    * semantics: NULL iff zero non-null inputs). None when the exact total
+    * does not FIT the result type — the real aggregation would overflow
+    * there (ANSI error / legacy wrap), so the caller must fall back to the
+    * scan rather than answer something the scan wouldn't.
+    */
+  private[graft] def sumValue(cs: ColSum, rt: DataType): Option[Option[Any]] =
+    if (cs.nonNulls == 0L) Some(None)
+    else rt match {
+      case LongType =>
+        try Some(Some(java.lang.Long.valueOf(cs.sum.longValueExact())))
+        catch { case _: ArithmeticException => None }
+      case d: DecimalType =>
+        val scaled = cs.sum.setScale(d.scale)
+        if (scaled.precision > d.precision) None else Some(Some(scaled))
+      case _ => None
+    }
+
+  /** One-row frame: `cnt` + `sum_<c>` per requested column — answered from
+    * the catalog's exact per-part sums ([[LakeDataset.metaSums]]) when the
+    * table can vouch, else ONE aggregation scan with the identical result.
+    * Only exactly-summable columns (integral/decimal) ever take the fast
+    * path; double/float columns always scan (their sum is evaluation-order-
+    * dependent, so no maintained value could equal it by contract).
+    */
+  def tableSumStats(spark: SparkSession, ds: LakeDataset, cols: Seq[String]): DataFrame = {
+    val schema = ds.tableSchema
+    val rts = cols.map(c => sumResultType(schema(c).dataType))
+    val outSchema = StructType(
+      StructField("cnt", LongType, nullable = false) +:
+        cols.zip(rts).map { case (c, rt) => StructField(s"sum_$c", rt) })
+    val meta: Option[Row] =
+      if (!cols.forall(c => graft.lake.SumMap.summable(schema(c).dataType))) None
+      else ds.metaSums(cols).flatMap { case (n, sums) =>
+        val vals = cols.zip(rts).foldRight(Option(List.empty[Any])) {
+          case ((c, rt), acc) =>
+            acc.flatMap(rest => sumValue(sums(c), rt).map(_.orNull :: rest))
+        }
+        vals.map(vs => Row.fromSeq(n +: vs))
+      }
+    meta match {
+      case Some(row) =>
+        spark.createDataFrame(java.util.Collections.singletonList(row), outSchema)
+      case None =>
+        val aggs = count(lit(1)).cast(LongType).as("cnt") +:
+          cols.map(c => sum(col(c)).as(s"sum_$c"))
+        ds.toDF.agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
+  /** Whether [[tableSumStats]] would take the metadata-only path right now. */
+  def sumAnswerable(ds: LakeDataset, cols: Seq[String]): Boolean = {
+    val schema = ds.tableSchema
+    cols.forall(c => graft.lake.SumMap.summable(schema(c).dataType)) &&
+      ds.metaSums(cols).exists { case (_, sums) =>
+        cols.forall(c => sumValue(sums(c), sumResultType(schema(c).dataType)).isDefined)
+      }
+  }
 
   /** [[tableStats]] grouped by PARTITION columns: one row per group —
     * group values, `cnt`, (`min_<c>`, `max_<c>`) per requested column.

@@ -176,41 +176,77 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     })
   }
 
+  /** Aggregate shapes the metadata rewrites serve: COUNT(*), MIN/MAX of a
+    * scan column, and SUM of an exactly-summable (integral/decimal) scan
+    * column.
+    */
+  private sealed trait MetaSpec
+  private case object CntSpec extends MetaSpec
+  private final case class MinMaxSpec(column: String, wantMin: Boolean) extends MetaSpec
+  private final case class SumSpec(column: String) extends MetaSpec
+
+  private def specOf(fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction,
+      scan: LakeScan): Option[MetaSpec] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    fn match {
+      case Count(Seq(Literal(v, _))) if v != null => Some(CntSpec)
+      case Min(a: AttributeReference) if scan.outputSet.contains(a) =>
+        Some(MinMaxSpec(a.name, wantMin = true))
+      case Max(a: AttributeReference) if scan.outputSet.contains(a) =>
+        Some(MinMaxSpec(a.name, wantMin = false))
+      case Sum(a: AttributeReference, _)
+          if scan.outputSet.contains(a) && graft.lake.SumMap.summable(a.dataType) =>
+        Some(SumSpec(a.name))
+      case _ => None
+    }
+  }
+
+  /** A folded sum as a CATALYST value of the aggregate's result type, or
+    * None when the exact total would not fit it (the real scan would
+    * overflow there — fail open so the scan's behavior wins).
+    */
+  private def sumCatalystValue(cs: graft.lake.ColSum, dt: org.apache.spark.sql.types.DataType)
+      : Option[Any] =
+    graft.operators.Stats.sumValue(cs, dt).map(_.map(
+      CatalystTypeConverters.createToCatalystConverter(dt)(_)).orNull)
+
   /** The LocalRelation carrying the catalog's exact aggregate answer, or
-    * None when any aggregate expression is not of the COUNT(*)/MIN/MAX
+    * None when any aggregate expression is not of the COUNT(*)/MIN/MAX/SUM
     * family or the dataset cannot vouch for exactness
-    * ([[graft.lake.LakeDataset.metaStats]]).
+    * ([[graft.lake.LakeDataset.metaStats]], [[graft.lake.LakeDataset.metaSums]]).
     */
   private def metaAnswer(
       aggExprs: Seq[NamedExpression], scan: LakeScan,
       cellFilter: graft.model.PartKey => Boolean): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate._
-    // Each output is: count(*) (column = None) | min/max(col).
-    final case class Spec(column: Option[String], wantMin: Boolean)
-    val specs: Seq[Option[Spec]] = aggExprs.map {
-      case Alias(AggregateExpression(fn, Complete, false, None, _), _) => fn match {
-        case Count(Seq(Literal(v, _))) if v != null => Some(Spec(None, false))
-        case Min(a: AttributeReference) if scan.outputSet.contains(a) =>
-          Some(Spec(Some(a.name), true))
-        case Max(a: AttributeReference) if scan.outputSet.contains(a) =>
-          Some(Spec(Some(a.name), false))
-        case _ => None
-      }
+    val specs: Seq[Option[MetaSpec]] = aggExprs.map {
+      case Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
+        specOf(fn, scan)
       case _ => None
     }
     if (specs.exists(_.isEmpty)) return None
-    val cols = specs.flatten.flatMap(_.column).distinct
-    scan.ds.metaStats(cols, cellFilter).map { case (cnt, zones) =>
-      val values = specs.flatten.zip(aggExprs).map {
-        case (Spec(None, _), _) => cnt.asInstanceOf[Any]
-        case (Spec(Some(c), wantMin), e) =>
-          val bound = if (wantMin) zones(c).min else zones(c).max
-          bound.map(
-            CatalystTypeConverters.createToCatalystConverter(e.dataType)(_)).orNull
+    val mmCols = specs.flatten.collect { case MinMaxSpec(c, _) => c }.distinct
+    val sumCols = specs.flatten.collect { case SumSpec(c) => c }.distinct
+    for {
+      (cnt, zones) <- scan.ds.metaStats(mmCols, cellFilter)
+      sums <-
+        if (sumCols.isEmpty) Some(Map.empty[String, graft.lake.ColSum])
+        else scan.ds.metaSums(sumCols, cellFilter).map(_._2)
+      values <- specs.flatten.zip(aggExprs).foldRight(Option(List.empty[Any])) {
+        case ((spec, e), acc) => acc.flatMap { rest =>
+          spec match {
+            case CntSpec => Some(cnt.asInstanceOf[Any] :: rest)
+            case MinMaxSpec(c, wantMin) =>
+              val bound = if (wantMin) zones(c).min else zones(c).max
+              Some(bound.map(
+                CatalystTypeConverters.createToCatalystConverter(e.dataType)(_)).orNull :: rest)
+            case SumSpec(c) =>
+              sumCatalystValue(sums(c), e.dataType).map(_ :: rest)
+          }
+        }
       }
-      LocalRelation(aggExprs.map(_.toAttribute),
-        Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(values)))
-    }
+    } yield LocalRelation(aggExprs.map(_.toAttribute),
+      Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(values)))
   }
 
   /** The grouped-by-partition-column analogue of [[metaAnswer]]: every
@@ -230,40 +266,56 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     val groupIdx = groupAttrs.map(_.name).zipWithIndex.toMap
-    // Left = index into the group tuple; Right = aggregate spec
-    // (None column = count; Some(col, wantMin) = min/max).
-    val specs: Seq[Either[Int, (Option[String], Boolean)]] = aggExprs.map {
+    // Left = index into the group tuple; Right = aggregate spec.
+    val specs: Seq[Either[Int, MetaSpec]] = aggExprs.map {
       case a: AttributeReference if groupIdx.contains(a.name) =>
         scala.util.Left(groupIdx(a.name))
       case Alias(a: AttributeReference, _) if groupIdx.contains(a.name) =>
         scala.util.Left(groupIdx(a.name))
-      case Alias(AggregateExpression(fn, Complete, false, None, _), _) => fn match {
-        case Count(Seq(Literal(v, _))) if v != null => scala.util.Right((None, false))
-        case Min(a: AttributeReference) if scan.outputSet.contains(a) =>
-          scala.util.Right((Some(a.name), true))
-        case Max(a: AttributeReference) if scan.outputSet.contains(a) =>
-          scala.util.Right((Some(a.name), false))
-        case _ => return None
-      }
+      case Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
+        specOf(fn, scan) match {
+          case Some(s) => scala.util.Right(s)
+          case None => return None
+        }
       case _ => return None
     }
-    val cols = specs.collect { case scala.util.Right((Some(c), _)) => c }.distinct
-    scan.ds.metaStatsGrouped(groupAttrs.map(_.name), cols, cellFilter).map { groups =>
-      val rows = groups.map { case (vals, cnt, zones) =>
-        val values = specs.zip(aggExprs).map {
-          case (scala.util.Left(i), e) =>
-            Option(vals(i)).map(
-              CatalystTypeConverters.createToCatalystConverter(e.dataType)(_)).orNull
-          case (scala.util.Right((None, _)), _) => cnt.asInstanceOf[Any]
-          case (scala.util.Right((Some(c), wantMin)), e) =>
-            val bound = if (wantMin) zones(c).min else zones(c).max
-            bound.map(
-              CatalystTypeConverters.createToCatalystConverter(e.dataType)(_)).orNull
+    val cols = specs.collect { case scala.util.Right(MinMaxSpec(c, _)) => c }.distinct
+    val sumCols = specs.collect { case scala.util.Right(SumSpec(c)) => c }.distinct
+    for {
+      groups <- scan.ds.metaStatsGrouped(groupAttrs.map(_.name), cols, cellFilter)
+      // Per-group sums keyed by the decoded group tuple — both folds decode
+      // identically, so the join is exact; any miss fails the whole answer
+      // open.
+      sumsByGroup <-
+        if (sumCols.isEmpty) Some(Map.empty[Seq[Any], Map[String, graft.lake.ColSum]])
+        else scan.ds.metaSumsGrouped(groupAttrs.map(_.name), sumCols, cellFilter)
+          .map(_.map { case (vals, _, sums) => vals -> sums }.toMap)
+      rows <- groups.foldRight(Option(List.empty[org.apache.spark.sql.catalyst.InternalRow])) {
+        case ((vals, cnt, zones), acc) => acc.flatMap { rest =>
+          val values = specs.zip(aggExprs).foldRight(Option(List.empty[Any])) {
+            case ((spec, e), a2) => a2.flatMap { r2 =>
+              spec match {
+                case scala.util.Left(i) =>
+                  Some(Option(vals(i)).map(
+                    CatalystTypeConverters.createToCatalystConverter(e.dataType)(_)).orNull :: r2)
+                case scala.util.Right(CntSpec) => Some(cnt.asInstanceOf[Any] :: r2)
+                case scala.util.Right(MinMaxSpec(c, wantMin)) =>
+                  val bound = if (wantMin) zones(c).min else zones(c).max
+                  Some(bound.map(
+                    CatalystTypeConverters.createToCatalystConverter(e.dataType)(_)).orNull :: r2)
+                case scala.util.Right(SumSpec(c)) =>
+                  for {
+                    gs <- sumsByGroup.get(vals)
+                    v <- sumCatalystValue(gs(c), e.dataType)
+                  } yield v :: r2
+              }
+            }
+          }
+          values.map(vs =>
+            org.apache.spark.sql.catalyst.InternalRow.fromSeq(vs) :: rest)
         }
-        org.apache.spark.sql.catalyst.InternalRow.fromSeq(values)
       }
-      LocalRelation(aggExprs.map(_.toAttribute), rows)
-    }
+    } yield LocalRelation(aggExprs.map(_.toAttribute), rows)
   }
 
   /** Split a pushed-down condition into per-column equality values,

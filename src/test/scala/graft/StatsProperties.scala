@@ -23,12 +23,13 @@ object StatsProperties extends Properties("MetaStats") {
   private lazy val spark = SparkSpec.session
   import spark.implicits._
 
-  private type R = (Long, Option[Double])
+  private type R = (Long, Option[Double], Option[Long])
 
   private val rowGen: Gen[R] = for {
     k <- Gen.choose(0L, 30L)
     v <- Gen.option(Gen.choose(-50.0, 50.0).map(x => math.rint(x * 100) / 100))
-  } yield (k, v)
+    w <- Gen.option(Gen.choose(-1000L, 1000L))
+  } yield (k, v, w)
 
   private val batchGen: Gen[List[R]] =
     Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, rowGen)).map(_.distinctBy(_._1))
@@ -39,6 +40,7 @@ object StatsProperties extends Properties("MetaStats") {
   private case class DelKeys(keys: List[Long]) extends Op
   private case class DelWhere(lo: Long, hi: Long) extends Op
   private case class UpdWhere(lo: Long, hi: Long, delta: Double) extends Op
+  private case class UpdSum(lo: Long, hi: Long, delta: Long) extends Op
   private case object Mat extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
@@ -49,10 +51,12 @@ object StatsProperties extends Properties("MetaStats") {
       yield DelWhere(a, a + w)),
     2 -> (for { a <- Gen.choose(0L, 40L); w <- Gen.choose(0L, 10L)
                 d <- Gen.choose(-5.0, 5.0) } yield UpdWhere(a, a + w, math.rint(d))),
+    2 -> (for { a <- Gen.choose(0L, 40L); w <- Gen.choose(0L, 10L)
+                d <- Gen.choose(-7L, 7L) } yield UpdSum(a, a + w, d)),
     2 -> Gen.const(Mat))
 
   private def toDf(rows: List[R]) =
-    rows.toDF("k", "v").withColumn("p", (col("k") / 8).cast("int"))
+    rows.toDF("k", "v", "w").withColumn("p", (col("k") / 8).cast("int"))
 
   property("tableStats == real aggregation after any mutation mix") =
     Prop.forAll(batchGen, Gen.listOfN(4, opGen)) { (base0, ops) =>
@@ -65,12 +69,19 @@ object StatsProperties extends Properties("MetaStats") {
             min(col("k")), max(col("k")), min(col("v")), max(col("v")))
             .head().toSeq
           val got = Stats.tableStats(spark, ds, Seq("k", "v")).head().toSeq
-          (got == want) :|
-            s"$label: got $got want $want (meta=${Stats.metaAnswerable(ds, Seq("k", "v"))})"
+          // The SUM family rides the same contract: metadata path when the
+          // catalog vouches, scan fallback otherwise, equal either way.
+          val wantSum = ds.toDF.agg(count(lit(1)).cast("long"),
+            sum(col("k")), sum(col("w"))).head().toSeq
+          val gotSum = Stats.tableSumStats(spark, ds, Seq("k", "w")).head().toSeq
+          ((got == want) :|
+            s"$label: got $got want $want (meta=${Stats.metaAnswerable(ds, Seq("k", "v"))})") &&
+          ((gotSum == wantSum) :|
+            s"$label/sum: got $gotSum want $wantSum (meta=${Stats.sumAnswerable(ds, Seq("k", "w"))})")
         }
         val results = ops.map {
           case Ins(rows) if rows.nonEmpty =>
-            val shifted = rows.map { case (k, v) => (k + nextKey, v) }
+            val shifted = rows.map { case (k, v, w) => (k + nextKey, v, w) }
             nextKey += 1000L
             ds.insert(toDf(shifted)); check("ins")
           case Ups(rows) if rows.nonEmpty =>
@@ -82,12 +93,22 @@ object StatsProperties extends Properties("MetaStats") {
           case UpdWhere(lo, hi, d) =>
             ds.updateWhere(col("k").between(lo, hi),
               Seq("v" -> (col("v") + d))); check("updWhere")
+          case UpdSum(lo, hi, d) =>
+            ds.updateWhere(col("k").between(lo, hi),
+              Seq("w" -> (col("w") + d))); check("updSum")
           case Mat =>
             ds.materialize()
-            // After a recount the catalog MUST be answerable again —
-            // and still equal.
-            Prop(Stats.metaAnswerable(ds, Seq("k", "v"))) :| "mat answerable" &&
-              check("mat")
+            // After a recount the catalog MUST be answerable again — and
+            // still equal. Evaluate the flags NOW into vals: `Prop.&&`
+            // takes its argument by name, so an inline call would read the
+            // table's FINAL state at ScalaCheck evaluation time, after
+            // later ops already untightened it (a real flake this suite
+            // had).
+            val zonesOk = Stats.metaAnswerable(ds, Seq("k", "v"))
+            val sumsOk = Stats.sumAnswerable(ds, Seq("k", "w"))
+            val eq = check("mat")
+            (Prop(zonesOk) :| "mat answerable") &&
+              (Prop(sumsOk) :| "mat sum answerable") && eq
           case _ => Prop(true)
         }
         results.foldLeft(check("base"))(_ && _)

@@ -215,6 +215,133 @@ class StatsSpec extends SparkSpec {
       ds.toDF.filter(col("o_batch") === 1 && col("o_orderkey") > 700).count())
   }
 
+  test("metadata SUM: appends fold exactly, plan scan-free; doubles never collapse") {
+    val ds = freshLake()
+    assert(Stats.sumAnswerable(ds, Seq("o_custkey")))
+    val df = Stats.tableSumStats(spark, ds, Seq("o_custkey"))
+    assert(Bridge.scanRootPaths(df).isEmpty)
+    assert(df.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]))
+    val real = ds.toDF
+      .agg(count(lit(1)).cast("long").as("cnt"), sum(col("o_custkey")).as("s"))
+      .head().toSeq
+    assert(df.head().toSeq == real)
+    // Another insert keeps exactness: sums add.
+    ds.insert(orders.filter(col("o_orderkey") < 0) // empty slice, schema only
+      .unionByName(orders.limit(5))
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000)
+      .withColumn("o_batch", lit(7777)))
+    assert(Stats.sumAnswerable(ds, Seq("o_custkey")))
+    assert(Stats.tableSumStats(spark, ds, Seq("o_custkey")).head().toSeq ==
+      ds.toDF.agg(count(lit(1)).cast("long"), sum(col("o_custkey"))).head().toSeq)
+    // A double column can never take the metadata path (order-dependent
+    // sum) — the fallback scan still answers.
+    assert(!Stats.sumAnswerable(ds, Seq("o_totalprice")))
+    val dbl = Stats.tableSumStats(spark, ds, Seq("o_totalprice"))
+    assert(!dbl.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]))
+    assert(dbl.head().getDouble(1) ==
+      ds.toDF.agg(sum(col("o_totalprice"))).head().getDouble(0))
+  }
+
+  test("metadata SUM: null semantics, mutation gating, update drops one column") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // A cell whose column is ALL NULL must fold to SQL SUM's NULL, and a
+    // mixed table must fold to the non-null total.
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("grp", IntegerType),
+      StructField("x", LongType)))
+    val rows = new java.util.ArrayList[Row]()
+    (0L until 10L).foreach(i => rows.add(Row(i, 0, null)))
+    val ds = LakeDataset.fromDataFrame(spark,
+      spark.createDataFrame(rows, schema), partitionCols = Seq("grp"))
+    assert(Stats.sumAnswerable(ds, Seq("x")))
+    val allNull = Stats.tableSumStats(spark, ds, Seq("x")).head()
+    assert(allNull.getLong(0) == 10L && allNull.isNullAt(1))
+    ds.insert(spark.range(5).selectExpr("id AS k", "CAST(1 AS INT) AS grp", "id * 10 AS x"))
+    val mixed = Stats.tableSumStats(spark, ds, Seq("x")).head()
+    assert(mixed.getLong(0) == 15L && mixed.getLong(1) == 100L)
+    assert(mixed.toSeq == ds.toDF.agg(count(lit(1)).cast("long"), sum(col("x"))).head().toSeq)
+
+    // Gating on mutations mirrors count/min/max: upsert pauses, the
+    // fallback stays exact, materialize resumes.
+    val lake = freshLake()
+    lake.upsert(orders.filter(col("o_orderkey") === 42)
+      .withColumn("o_custkey", lit(0L))
+      .withColumn("o_batch", (col("o_orderkey") / 500).cast("int")),
+      keys = Seq("o_orderkey"))
+    assert(!Stats.sumAnswerable(lake, Seq("o_custkey")))
+    assert(Stats.tableSumStats(spark, lake, Seq("o_custkey")).head().toSeq ==
+      lake.toDF.agg(count(lit(1)).cast("long"), sum(col("o_custkey"))).head().toSeq)
+    lake.materialize()
+    assert(Stats.sumAnswerable(lake, Seq("o_custkey")))
+    assert(Stats.tableSumStats(spark, lake, Seq("o_custkey")).head().toSeq ==
+      lake.toDF.agg(count(lit(1)).cast("long"), sum(col("o_custkey"))).head().toSeq)
+
+    // UPDATE on the summed column drops ITS sum only; count (and other
+    // columns' metadata) stays answerable.
+    lake.updateWhere(col("o_orderkey") === 43, Seq("o_custkey" -> lit(1L)))
+    assert(!Stats.sumAnswerable(lake, Seq("o_custkey")))
+    assert(Stats.sumAnswerable(lake, Seq("o_orderkey")))
+    assert(Stats.metaAnswerable(lake, Nil))
+  }
+
+  test("metadata SUM: overflow fails open; manifest round trip preserves sums") {
+    // Two cells whose exact total exceeds Long range: the catalog KNOWS the
+    // exact decimal total but the scan's BIGINT sum would overflow — the
+    // metadata path must refuse (fail open to whatever the scan does).
+    val big = spark.range(2).selectExpr(
+      "id AS k", "CAST(id AS INT) AS grp", s"CAST(${Long.MaxValue} AS BIGINT) - id AS x")
+    val ds = LakeDataset.fromDataFrame(spark, big, partitionCols = Seq("grp"))
+    assert(ds.metaSums(Seq("x")).isDefined) // exact decimal total IS known
+    assert(!Stats.sumAnswerable(ds, Seq("x"))) // but BIGINT can't carry it
+
+    // Round trip: a saved tight table answers sums from ONE manifest read.
+    val root = java.nio.file.Files.createTempDirectory("graft_sum_rt").toString
+    val o = orders.withColumn("o_batch", (col("o_orderkey") / 500).cast("int"))
+    val saved = LakeDataset.fromDataFrame(spark, o, partitionCols = Seq("o_batch"),
+      storage = Some(graft.model.StorageSpec(root)))
+    saved.toStorage()
+    val loaded = LakeDataset.fromStorage(spark, root)
+    assert(Stats.sumAnswerable(loaded, Seq("o_custkey", "o_orderkey")))
+    val metaRow = Stats.tableSumStats(spark, loaded, Seq("o_custkey")).head()
+    assert(metaRow.toSeq ==
+      o.agg(count(lit(1)).cast("long"), sum(col("o_custkey"))).head().toSeq)
+    // An untight save must not vouch sums either.
+    saved.upsert(o.filter(col("o_orderkey") === 42), keys = Seq("o_orderkey"))
+    saved.toStorage()
+    val loaded2 = LakeDataset.fromStorage(spark, root)
+    assert(!Stats.sumAnswerable(loaded2, Seq("o_custkey")))
+  }
+
+  test("SQL count+sum collapses; grouped and filtered shapes too; sum(double) never") {
+    val ds = freshLake()
+    val db = new Database(spark)
+    db.register("stats_sum_t", ds)
+    val df = db.executeSql(
+      "SELECT COUNT(*) AS cnt, SUM(o_custkey) AS s FROM stats_sum_t")
+    assert(df.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      df.queryExecution.optimizedPlan.treeString)
+    assert(df.head().toSeq ==
+      ds.toDF.agg(count(lit(1)), sum(col("o_custkey"))).head().toSeq)
+    // Grouped by the partition column + partition-IN filter: still catalog.
+    val grp = db.executeSql(
+      """SELECT o_batch, COUNT(*) AS cnt, SUM(o_custkey) AS s FROM stats_sum_t
+        |WHERE o_batch IN (0, 1) GROUP BY o_batch""".stripMargin)
+    assert(grp.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]))
+    val realGrp = ds.toDF.filter(col("o_batch").isin(0, 1)).groupBy("o_batch")
+      .agg(count(lit(1)).as("cnt"), sum(col("o_custkey")).as("s"))
+      .orderBy("o_batch").collect().toSeq
+    assert(grp.orderBy("o_batch").collect().toSeq == realGrp)
+    // SUM over a double column keeps its scan (and stays correct).
+    val dbl = db.executeSql("SELECT SUM(o_totalprice) AS s FROM stats_sum_t")
+    assert(!dbl.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(dbl.head().getDouble(0) ==
+      ds.toDF.agg(sum(col("o_totalprice"))).head().getDouble(0))
+  }
+
   test("SQL shapes outside the family keep their scans and stay correct") {
     val ds = freshLake()
     val db = new Database(spark)
