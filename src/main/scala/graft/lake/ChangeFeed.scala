@@ -40,7 +40,19 @@ final class TrackedLake private (
       * durable-feed mode [[streamChanges]] requires: a crash loses no
       * acknowledged change, and external tailers see cells appear.
       */
-    autoPersist: Boolean = false) {
+    autoPersist: Boolean = false,
+    /** `Some((maxCells, keys))` bounds the log's cell count AUTOMATICALLY:
+      * when a mutation pushes it past `maxCells`, the log checkpoints at
+      * the registered consumers' low-water mark ([[ack]]) — the analogue of
+      * the engine's materialize auto-threshold, closing the "long-lived
+      * durable feed with a lazy operator accumulates unbounded cells"
+      * failure mode. `keys` are the mutation keys the checkpoint
+      * reconstructs by. Nothing fires until a consumer has acked (an
+      * unconsumed feed must keep its history), and the bound holds as
+      * 1 + (mutations past the slowest consumer) — a lagging consumer, not
+      * the feed, is then what grows.
+      */
+    autoCheckpoint: Option[(Int, Seq[String])] = None) {
 
   private[lake] def seqRef: AtomicLong = seq
 
@@ -48,6 +60,33 @@ final class TrackedLake private (
 
   /** Highest sequence number assigned to a mutation so far. */
   def currentSeq: Long = seq.get()
+
+  private val consumers =
+    scala.collection.concurrent.TrieMap[String, Long]()
+
+  /** Record a consumer's progress: it has fully processed every change
+    * with `_seq` <= `throughSeq`. The minimum across registered consumers
+    * is the [[lowWaterMark]] auto-checkpointing collapses to — acking is
+    * how a consumer both reports progress and releases history.
+    */
+  def ack(consumer: String, throughSeq: Long): Unit =
+    consumers.put(consumer, throughSeq)
+
+  /** Lowest acked mark across registered consumers; 0 = none registered
+    * (history must be kept — nothing auto-collapses).
+    */
+  def lowWaterMark: Long =
+    if (consumers.isEmpty) 0L else consumers.values.min
+
+  /** Fire the auto-checkpoint when the log's cell count crossed the bound
+    * and the consumers' low-water mark would actually collapse something.
+    */
+  private def maybeAutoCheckpoint(): Unit = autoCheckpoint.foreach {
+    case (maxCells, keys) =>
+      val lw = lowWaterMark
+      if (lw > 0L && log.numParts > maxCells && cellsThrough(lw).size > 1)
+        checkpoint(lw, keys)
+  }
 
   private def stamped(df: DataFrame, op: String, n: Long): DataFrame =
     df.withColumn(SeqCol, lit(n)).withColumn(OpCol, lit(op))
@@ -100,6 +139,7 @@ final class TrackedLake private (
     table.insert(df)
     val n = seq.incrementAndGet()
     logAppend(stamped(df, "I", n))
+    maybeAutoCheckpoint()
     n
   }
 
@@ -113,6 +153,7 @@ final class TrackedLake private (
     // One append for both images: they share the mutation's cell, and the
     // durable path writes each cell exactly once.
     logAppend(stamped(pre, "U-", n).unionByName(stamped(post, "U+", n)))
+    maybeAutoCheckpoint()
     n
   }
 
@@ -122,6 +163,7 @@ final class TrackedLake private (
     table.delete(keyRows, keys)
     val n = seq.incrementAndGet()
     logAppend(stamped(pre, "D", n))
+    maybeAutoCheckpoint()
     n
   }
 
@@ -150,7 +192,12 @@ final class TrackedLake private (
     */
   def tableAsOf(asOfSeq: Long, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = log.toDF
+    // Prune by the seq UPPER bound: after a checkpoint the log is one base
+    // cell + tail, and a reconstruction at a historical mark must plan only
+    // the cells at or below it — not one leaf per post-mark mutation
+    // (ChangeFeedSpec pins the leaf count like the changesSince one).
+    val hist = log
+      .prunedByConstraints(Map.empty, Map(SeqCol -> (None, Some(asOfSeq))))
       .filter(col(SeqCol) <= asOfSeq && col(OpCol) =!= "U-")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(SeqCol).desc)
     hist.withColumn("__rn", row_number().over(w))
@@ -173,10 +220,22 @@ final class TrackedLake private (
     * [[tableAsOf]] row-for-row — spec-pinned, and the standard way SCD2
     * serves point-in-time dimension joins without replaying the log.
     */
-  def scdHistory(keys: Seq[String]): DataFrame = {
+  def scdHistory(keys: Seq[String]): DataFrame = scdHistory(keys, None)
+
+  /** [[scdHistory]] bounded at `throughSeq`: plans only the log cells at or
+    * below the mark (the post-checkpoint base+tail prune), with `_valid_to`
+    * intervals as of that mark.
+    */
+  def scdHistory(keys: Seq[String], throughSeq: Option[Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(SeqCol).asc)
-    log.toDF.filter(col(OpCol) =!= "U-")
+    val hist = throughSeq match {
+      case Some(t) => log
+        .prunedByConstraints(Map.empty, Map(SeqCol -> (None, Some(t))))
+        .filter(col(SeqCol) <= t)
+      case None => log.toDF
+    }
+    hist.filter(col(OpCol) =!= "U-")
       .withColumn("_valid_to", lead(col(SeqCol), 1).over(w))
       .filter(col(OpCol) =!= "D")
       .withColumn("_current", col("_valid_to").isNull)
@@ -328,7 +387,8 @@ object TrackedLake {
     */
   def apply(spark: SparkSession, table: LakeDataset,
       logRoot: Option[String] = None, logBase: Boolean = false,
-      autoSave: Boolean = false): TrackedLake = {
+      autoSave: Boolean = false,
+      autoCheckpoint: Option[(Int, Seq[String])] = None): TrackedLake = {
     require(!table.tableSchema.fieldNames.contains(SeqCol) &&
       !table.tableSchema.fieldNames.contains(OpCol),
       s"table already has a $SeqCol/$OpCol column")
@@ -357,7 +417,8 @@ object TrackedLake {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
-    val t = new TrackedLake(table, log, new AtomicLong(high), autoSave)
+    val t = new TrackedLake(table, log, new AtomicLong(high), autoSave,
+      autoCheckpoint)
     if (logBase && high == 0L && table.numParts > 0) {
       val n = t.seqRef.incrementAndGet()
       val base = table.toDF

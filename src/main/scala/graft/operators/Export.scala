@@ -24,21 +24,52 @@ object Export {
     if (hashed) pmod(xxhash64(idCol), lit(nShards.toLong))
     else pmod(idCol, lit(nShards.toLong))
 
+  /** Per-shard route values whose HASH partition is exactly the shard id.
+    *
+    * `repartition(n, col("shard"))` maps a shard through
+    * `murmur3(shard) % n`, which is NOT the identity — two shard ids can
+    * collide into one task while other tasks sit empty (up to half the
+    * write parallelism lost at large nShards), and range partitioning can't
+    * pin it either (its sampled boundaries merge small shards). Instead,
+    * invert the partitioner on the driver: for each shard k find a long
+    * `r_k` with `murmur3(r_k) % n == k` — the exact Catalyst expression the
+    * exchange evaluates — and route rows through `r_shard`. Expected cost
+    * is n·ln(n) driver-side hash evals (coupon collector); the result is a
+    * bijection, so EVERY task holds exactly one shard, always.
+    */
+  private[graft] def routeFor(nShards: Int): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+    val out = new Array[Long](nShards)
+    val found = new Array[Boolean](nShards)
+    var remaining = nShards
+    var cand = 0L
+    while (remaining > 0) {
+      val part = Pmod(new Murmur3Hash(Seq(Literal(cand))), Literal(nShards))
+        .eval(null).asInstanceOf[Int]
+      if (!found(part)) { found(part) = true; out(part) = cand; remaining -= 1 }
+      cand += 1L
+    }
+    out
+  }
+
   /** Write `df` as `root/shard=K/` parquet shards, deterministically:
     * assignment by [[shardColumn]] over `idCol`, rows within a shard
     * ordered by (xxhash64(id), id) — an order that is stable, input-order-
     * independent, and uncorrelated with any data column (a free global
     * shuffle: training consumers reading shards sequentially see
     * hash-randomized document order, no "sorted by source" bias).
-    * Returns the re-read of the written tree — the caller summarizes or
-    * validates actual persisted bytes, not the pre-write plan.
+    * One shuffle, and via [[routeFor]] exactly one task per shard — full
+    * write parallelism at any nShards. Returns the re-read of the written
+    * tree — the caller summarizes or validates actual persisted bytes, not
+    * the pre-write plan.
     */
   def shardedWrite(df: DataFrame, idCol: String, nShards: Int, root: String,
       hashed: Boolean = true): DataFrame = {
     require(nShards > 0, "nShards must be positive")
     val withShard = df.withColumn("shard", shardColumn(col(idCol), nShards, hashed))
+    val route = routeFor(nShards)
     withShard
-      .repartition(nShards, col("shard"))
+      .repartition(nShards, element_at(lit(route), col("shard").cast("int") + 1))
       .sortWithinPartitions(col("shard"), xxhash64(col(idCol)), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(root)
     df.sparkSession.read.option("basePath", root).parquet(root)

@@ -144,6 +144,68 @@ class ChangeFeedSpec extends SparkSpec {
     assert(s1 < s2 && s3 == s2 + 1)
   }
 
+  test("tableAsOf plans only the cells at or below the mark") {
+    val t = TrackedLake(spark, mkTable(), logBase = true) // seq 1 = base
+    val s2 = t.insert(Seq((4L, "c", 40.0)).toDF("k", "g", "v"))
+    t.checkpoint(s2, Seq("k"))
+    // post-checkpoint tail: two more mutations = two more cells
+    t.insert(Seq((5L, "d", 50.0)).toDF("k", "g", "v"))
+    t.upsert(Seq((1L, "c", 11.0)).toDF("k", "g", "v"), Seq("k"))
+    assert(t.log.numParts == 3)
+    // A reconstruction AT the checkpoint mark must plan the base cell
+    // alone — one leaf, not one per post-mark mutation (the seq upper
+    // bound prunes through the same zone machinery as changesSince).
+    val asOf = t.tableAsOf(s2, Seq("k"))
+    assert(asOf.queryExecution.optimizedPlan.collectLeaves().size == 1,
+      asOf.queryExecution.optimizedPlan.treeString)
+    assert(asOf.select("k").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    // The bounded SCD2 read prunes identically and reproduces the mark.
+    val hist = t.scdHistory(Seq("k"), Some(s2))
+    assert(hist.queryExecution.optimizedPlan.collectLeaves().size == 1)
+    assert(t.historyAsOf(hist, s2).select("k").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L))
+  }
+
+  test("auto-checkpoint bounds the log at the consumers' low-water mark") {
+    val t = TrackedLake(spark, mkTable(), logBase = true,
+      autoCheckpoint = Some((5, Seq("k"))))
+    // No consumer registered: history must accumulate untouched.
+    (0 until 7).foreach(i =>
+      t.insert(Seq((100L + i, "c", i * 1.0)).toDF("k", "g", "v")))
+    assert(t.log.numParts == 8, "nothing may collapse before an ack")
+    // A consumer that acks every change: the log stays bounded from here on
+    // no matter how many mutations land.
+    // The collapse fires on the first mutation AFTER an ack — the existing
+    // backlog drains then; from that point the bound must hold.
+    var maxCells = 0
+    (0 until 20).foreach { i =>
+      val s =
+        if (i % 5 == 4) t.upsert(Seq((100L + i, "e", 1.0)).toDF("k", "g", "v"), Seq("k"))
+        else if (i % 5 == 3) t.delete(Seq(100L + (i % 7)).toDF("k"), Seq("k"))
+        else t.insert(Seq((200L + i, "d", i * 1.0)).toDF("k", "g", "v"))
+      t.ack("replica", s)
+      if (i >= 1) maxCells = math.max(maxCells, t.log.numParts)
+    }
+    assert(maxCells <= 6, s"log grew to $maxCells cells despite the bound of 5")
+    // Everything a caught-up consumer needs survives: the reconstruction at
+    // the current mark equals the table, and the tail read stays empty.
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "g", "v").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(snap(t.tableAsOf(t.currentSeq, Seq("k"))) == snap(t.table.toDF))
+    assert(t.changesSince(t.currentSeq).isEmpty)
+    // A lagging second consumer halts further collapse below its mark.
+    val lag = t.insert(Seq((999L, "z", 9.0)).toDF("k", "g", "v"))
+    t.ack("slow", lag)
+    (0 until 8).foreach { i =>
+      val s = t.insert(Seq((300L + i, "d", 1.0)).toDF("k", "g", "v"))
+      t.ack("replica", s)
+    }
+    assert(t.lowWaterMark == lag)
+    assert(t.changesSince(lag).count() == 8,
+      "the slow consumer's unconsumed tail must survive auto-checkpointing")
+  }
+
   test("bigint-keyed capture routes through pruned cells and stays exact") {
     // Partitioned + bloomed on the mutation key: every part's k-zone spans
     // the whole id range (ids interleave mod 4), so blooms are what prune.

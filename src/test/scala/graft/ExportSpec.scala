@@ -45,6 +45,34 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("the exchange gives one task per shard at wide nShards") {
+    // Hash-partitioning the shard id maps through hash(k) % n (not
+    // identity) — at nShards=64 many tasks would hold 2+ shards while
+    // others sat empty. The inverse-hash route must keep exactly one shard
+    // per task, every task populated. (AQE's small-partition coalescing is
+    // disabled for the assertion — at real shard sizes it never engages.)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      val n = 64
+      val route = Export.routeFor(n)
+      val routed = docs
+        .withColumn("shard", Export.shardColumn(col("doc_id"), n, hashed = true))
+        .repartition(n, element_at(lit(route), col("shard").cast("int") + 1))
+      val perTask = routed
+        .groupBy(spark_partition_id().as("task"))
+        .agg(countDistinct(col("shard")).as("shards"), count(lit(1)).as("rows"))
+        .collect()
+      assert(perTask.forall(_.getAs[Long]("shards") == 1L),
+        s"task holds >1 shard: ${perTask.map(_.toSeq).toList}")
+      assert(perTask.length == n,
+        s"expected $n non-empty tasks, got ${perTask.length}")
+      // The route is what the writer actually uses — and it IS a bijection.
+      assert(route.distinct.length == n)
+    } finally spark.conf.set(coalesceKey, prev)
+  }
+
   test("hashed shards are balanced and each shard is one file") {
     val (root, out) = writeOnce(hashed = true)
     val sizes = out.groupBy("shard").count().collect()
