@@ -78,6 +78,7 @@ final class GrpcLakeServer(val server: LakeServer, requestedPort: Int = 0)
       .addMethod(MaterializeTableMethod, ServerCalls.asyncUnaryCall(unary(materializeTable)))
       .addMethod(GetTableInfoMethod, ServerCalls.asyncUnaryCall(unary(getTableInfo)))
       .addMethod(SelectIpcMethod, ServerCalls.asyncBidiStreamingCall(streaming(selectIpc)))
+      .addMethod(ExecuteDmlMethod, ServerCalls.asyncUnaryCall(unary(executeDml)))
       .build()
 
   private def fail(resp: StreamObserver[Array[Byte]], e: Throwable): Unit =
@@ -158,6 +159,23 @@ final class GrpcLakeServer(val server: LakeServer, requestedPort: Int = 0)
         val t = PbTable.decode(req)
         server.materializeTable(TableName(t.schema, t.table))
         resp.onNext(PbMessage(s"materialized ${t.table}").encode)
+        resp.onCompleted()
+      } catch { case scala.util.control.NonFatal(e) => fail(resp, e) }
+
+  /** ExecuteDml: the SEVENTH verb, beyond the reference's six — write
+    * statements (`DELETE WHERE` / `UPDATE SET` / `INSERT INTO` /
+    * `MERGE INTO` / `COPY INTO` / `ALTER TABLE` / `OPTIMIZE` / `VACUUM`)
+    * routed to [[Database.executeDml]]'s engine mutations. Reads keep
+    * SelectIpc; the reply reuses the `Message` shape (`dml ok: <count>`),
+    * so a protoc client needs only the extra method descriptor. The
+    * reference's own verbs are untouched for parity.
+    */
+  private def executeDml: (Array[Byte], StreamObserver[Array[Byte]]) => Unit =
+    (req, resp) =>
+      try {
+        val q = PbSql.decode(req)
+        val n = server.db.executeDml(q.sql)
+        resp.onNext(PbMessage(s"dml ok: $n").encode)
         resp.onCompleted()
       } catch { case scala.util.control.NonFatal(e) => fail(resp, e) }
 
@@ -276,4 +294,7 @@ object GrpcLakeServer {
     method("GetTableInfo", MethodDescriptor.MethodType.UNARY)
   val SelectIpcMethod: MethodDescriptor[Array[Byte], Array[Byte]] =
     method("SelectIpc", MethodDescriptor.MethodType.BIDI_STREAMING)
+  /** Seventh verb (beyond db.proto): `rpc ExecuteDml(Sql) returns (Message)`. */
+  val ExecuteDmlMethod: MethodDescriptor[Array[Byte], Array[Byte]] =
+    method("ExecuteDml", MethodDescriptor.MethodType.UNARY)
 }

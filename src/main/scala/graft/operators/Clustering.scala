@@ -73,10 +73,66 @@ object Clustering {
         shiftright(zorderKey(cols, bounds, bits), totalBits - binBits).cast("int"))
     }
 
+    // Post-build insert volume per bin — the boundary-health signal.
+    // Maintained from the CATALOG's per-cell counters (a before/after diff
+    // around the insert), so monitoring costs zero extra data passes.
+    private val recentCounts = scala.collection.concurrent.TrieMap[Int, Long]()
+    private val recentTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    private def binRows(): Map[Int, Long] = dataset.partKeys.flatMap { k =>
+      k.partValues.collectFirst {
+        case (c, v) if c == binCol && v != null => v.toInt
+      }.map(b => b -> dataset.partRows(k))
+    }.toMap
+
     /** Ingest a batch: route rows to their Z-region (one exchange by bin,
-      * cost ∝ batch — never a layout rebuild).
+      * cost ∝ batch — never a layout rebuild). Updates the drift monitor
+      * from the catalog's counters.
       */
-    def insert(df: DataFrame): Unit = dataset.insert(bin(df))
+    def insert(df: DataFrame): Unit = this.synchronized {
+      val before = binRows()
+      dataset.insert(bin(df))
+      binRows().foreach { case (b, n) =>
+        val d = n - before.getOrElse(b, 0L)
+        if (d > 0L) {
+          recentCounts.updateWith(b)(old => Some(old.getOrElse(0L) + d))
+          recentTotal.addAndGet(d)
+        }
+      }
+    }
+
+    /** Boundary health: the fraction of POST-BUILD inserted rows that
+      * landed in the `topK` hottest bins. Under the build-time boundary
+      * snapshot a non-drifting stream spreads ~uniformly (score ≈
+      * topK/nBins); a drifted stream (values beyond the old quantiles all
+      * rank into the edge bins) concentrates — the layout still ingests
+      * and prunes SOUNDLY, but the hot bins' zones widen and stop
+      * skipping. Driver-side fold over the monitor map; no jobs.
+      */
+    def driftScore(topK: Int = math.max(1, nBins / 16)): Double = {
+      val total = recentTotal.get
+      if (total == 0L) 0.0
+      else recentCounts.values.toSeq.sortBy(-_).take(topK).sum.toDouble / total
+    }
+
+    /** Whether recent inserts concentrate more than `factor`× the uniform
+      * expectation — the "rebuild the layout" signal.
+      */
+    def drifted(topK: Int = -1, factor: Double = 4.0): Boolean = {
+      val k = if (topK > 0) topK else math.max(1, nBins / 16)
+      recentTotal.get > 0L && driftScore(k) > factor * k.toDouble / nBins
+    }
+
+    /** Rebuild the layout over the CURRENT contents with FRESH quantile
+      * boundaries — the drift answer, mirroring the IVF recluster: one
+      * table pass (statistics + re-bin exchange), no global sort. Returns
+      * the new lake (monitor reset); the receiver stays valid, callers
+      * swap references like [[graft.lake.LakeDataset.relayout]].
+      */
+    def relayout(spark: SparkSession,
+        relativeError: Double = 0.001): ZOrderedLake =
+      zorderLake(spark, dataset.toDF.drop(binCol), cols, bits, nBins, binCol,
+        dataset.storage, relativeError)
   }
 
   /** Build a Z-order-clustered [[LakeDataset]]: rows are binned by the top

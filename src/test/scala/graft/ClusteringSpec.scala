@@ -119,6 +119,43 @@ class ClusteringSpec extends SparkSpec {
     assert(got == o.filter(col("o_totalprice").between(100000.0, 120000.0)).count())
   }
 
+  test("drift monitor fires on boundary-blind inserts; relayout restores pruning") {
+    val o = Fixtures.table(spark, sf(), "orders")
+    val zlake = Clustering.zorderLake(spark, o,
+      Seq("o_custkey", "o_totalprice"), bits = 6, nBins = 16)
+    // In-distribution ingest: spreads across bins, no drift signal.
+    zlake.insert(o.limit(100))
+    assert(!zlake.drifted(), s"uniform ingest flagged: ${zlake.driftScore()}")
+
+    // Drifted stream: custkey/totalprice far beyond the build quantiles —
+    // every row ranks into the top edge bins. Ingest stays correct and
+    // pruning stays SOUND, but the hot bins' zones widen; the monitor must
+    // say so.
+    val drifted = o.limit(200)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+      .withColumn("o_custkey", col("o_custkey") + 100000L)
+      .withColumn("o_totalprice", col("o_totalprice") + 10000000.0)
+    zlake.insert(drifted)
+    assert(zlake.drifted(), s"drift not flagged: ${zlake.driftScore()}")
+
+    // Rebuild: fresh boundaries over the CURRENT contents — the drifted
+    // values get their own quantile range, the monitor resets, and a range
+    // query INSIDE the drifted region prunes again.
+    val rebuilt = zlake.relayout(spark)
+    assert(!rebuilt.drifted())
+    assert(rebuilt.dataset.toDF.count() == zlake.dataset.toDF.count())
+    val ranges = Map[String, (Option[Any], Option[Any])](
+      "o_custkey" -> (Some(100100L), Some(100300L)))
+    assert(leafCount(rebuilt.dataset.prunedByConstraints(Map.empty, ranges))
+      < rebuilt.dataset.numParts,
+      "post-relayout range query over the drifted region must prune")
+    val got = rebuilt.dataset.prunedByConstraints(Map.empty, ranges)
+      .filter(col("o_custkey").between(100100L, 100300L)).count()
+    val want = zlake.dataset.toDF
+      .filter(col("o_custkey").between(100100L, 100300L)).count()
+    assert(got == want && want > 0L)
+  }
+
   test("zorder lake survives a storage round trip with pruning intact") {
     val o = Fixtures.table(spark, sf(), "orders")
     val root = java.nio.file.Files.createTempDirectory("graft_zorder").toString

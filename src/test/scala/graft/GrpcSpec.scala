@@ -231,6 +231,61 @@ class GrpcSpec extends SparkSpec {
     }
   }
 
+  test("ExecuteDml runs MERGE and DELETE WHERE over the wire; end state exact") {
+    val server = new GrpcLakeServer(new LakeServer(spark))
+    val channel = NettyChannelBuilder.forAddress("localhost", server.port)
+      .usePlaintext().build()
+    try {
+      def unaryCall(md: org.sparkproject.connect.grpc.MethodDescriptor[Array[Byte], Array[Byte]],
+          msg: Array[Byte]): Array[Byte] =
+        ClientCalls.blockingUnaryCall(channel, md, CallOptions.DEFAULT, msg)
+      // Create the table over the wire like any client.
+      val out0 = new Collector
+      val req0 = ClientCalls.asyncClientStreamingCall(
+        channel.newCall(GrpcLakeServer.CreateTableMethod, CallOptions.DEFAULT), out0)
+      req0.onNext(PbSourceIpc("public", "dml_t",
+        ArrowInterchange.toIpcBytes(
+          Seq((1L, "O", 10.0), (2L, "F", 20.0), (3L, "O", 30.0))
+            .toDF("k", "status", "v"))).encode)
+      req0.onCompleted()
+      out0.await()
+
+      // MERGE over the wire: update k=1, insert k=9.
+      val merged = PbMessage.decode(unaryCall(GrpcLakeServer.ExecuteDmlMethod,
+        PbSql("""MERGE INTO dml_t USING (
+                |  SELECT CAST(1 AS BIGINT) AS k, 11.5 AS v
+                |  UNION ALL SELECT CAST(9 AS BIGINT), 90.0) src
+                |ON dml_t.k = src.k""".stripMargin).encode))
+      assert(merged.message.startsWith("dml ok"))
+      // DELETE WHERE over the wire.
+      val deleted = PbMessage.decode(unaryCall(GrpcLakeServer.ExecuteDmlMethod,
+        PbSql("DELETE FROM dml_t WHERE status = 'F'").encode))
+      assert(deleted.message.startsWith("dml ok"))
+
+      // End state read back over SelectIpc: merge applied (v=11.5 on k=1,
+      // k=9 present with old status NULL preserved as NULL), F row gone.
+      val out = new Collector
+      val req = ClientCalls.asyncBidiStreamingCall(
+        channel.newCall(GrpcLakeServer.SelectIpcMethod, CallOptions.DEFAULT), out)
+      req.onNext(PbSql("SELECT k, status, v FROM dml_t ORDER BY k", Some(1)).encode)
+      req.onCompleted()
+      val result = out.await().map(PbSqlResults.decode).head
+      val rows = ArrowInterchange.fromIpcBytes(spark, result.data)
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)).orNull, r.getDouble(2))).toSeq
+      assert(rows == Seq((1L, "O", 11.5), (3L, "O", 30.0), (9L, null, 90.0)), rows)
+
+      // A malformed statement is a loud gRPC error, not a hang.
+      val e = intercept[Exception] {
+        unaryCall(GrpcLakeServer.ExecuteDmlMethod,
+          PbSql("TRUNCATE TABLE dml_t").encode)
+      }
+      assert(e.getMessage.contains("unsupported DML"), e.getMessage)
+    } finally {
+      channel.shutdownNow()
+      server.close()
+    }
+  }
+
   test("wire errors surface as gRPC status, not hangs") {
     val server = new GrpcLakeServer(new LakeServer(spark))
     val channel = NettyChannelBuilder.forAddress("localhost", server.port)
