@@ -177,19 +177,24 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Aggregate shapes the metadata rewrites serve: COUNT(*), MIN/MAX of a
-    * scan column, and SUM of an exactly-summable (integral/decimal) scan
-    * column.
+    * scan column, SUM of an exactly-summable (integral/decimal) scan
+    * column, and COUNT(col) of the same column family (the non-null count
+    * rides in the maintained sum state).
     */
   private sealed trait MetaSpec
   private case object CntSpec extends MetaSpec
   private final case class MinMaxSpec(column: String, wantMin: Boolean) extends MetaSpec
   private final case class SumSpec(column: String) extends MetaSpec
+  private final case class CntColSpec(column: String) extends MetaSpec
 
   private def specOf(fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction,
       scan: LakeScan): Option[MetaSpec] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate._
     fn match {
       case Count(Seq(Literal(v, _))) if v != null => Some(CntSpec)
+      case Count(Seq(a: AttributeReference))
+          if scan.outputSet.contains(a) && graft.lake.SumMap.summable(a.dataType) =>
+        Some(CntColSpec(a.name))
       case Min(a: AttributeReference) if scan.outputSet.contains(a) =>
         Some(MinMaxSpec(a.name, wantMin = true))
       case Max(a: AttributeReference) if scan.outputSet.contains(a) =>
@@ -226,7 +231,10 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (specs.exists(_.isEmpty)) return None
     val mmCols = specs.flatten.collect { case MinMaxSpec(c, _) => c }.distinct
-    val sumCols = specs.flatten.collect { case SumSpec(c) => c }.distinct
+    val sumCols = specs.flatten.collect {
+      case SumSpec(c) => c
+      case CntColSpec(c) => c
+    }.distinct
     for {
       (cnt, zones) <- scan.ds.metaStats(mmCols, cellFilter)
       sums <-
@@ -236,6 +244,7 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case ((spec, e), acc) => acc.flatMap { rest =>
           spec match {
             case CntSpec => Some(cnt.asInstanceOf[Any] :: rest)
+            case CntColSpec(c) => Some(sums(c).nonNulls.asInstanceOf[Any] :: rest)
             case MinMaxSpec(c, wantMin) =>
               val bound = if (wantMin) zones(c).min else zones(c).max
               Some(bound.map(
@@ -280,7 +289,10 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     val cols = specs.collect { case scala.util.Right(MinMaxSpec(c, _)) => c }.distinct
-    val sumCols = specs.collect { case scala.util.Right(SumSpec(c)) => c }.distinct
+    val sumCols = specs.collect {
+      case scala.util.Right(SumSpec(c)) => c
+      case scala.util.Right(CntColSpec(c)) => c
+    }.distinct
     for {
       groups <- scan.ds.metaStatsGrouped(groupAttrs.map(_.name), cols, cellFilter)
       // Per-group sums keyed by the decoded group tuple — both folds decode
@@ -299,6 +311,8 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   Some(Option(vals(i)).map(
                     CatalystTypeConverters.createToCatalystConverter(e.dataType)(_)).orNull :: r2)
                 case scala.util.Right(CntSpec) => Some(cnt.asInstanceOf[Any] :: r2)
+                case scala.util.Right(CntColSpec(c)) =>
+                  sumsByGroup.get(vals).map(_(c).nonNulls.asInstanceOf[Any] :: r2)
                 case scala.util.Right(MinMaxSpec(c, wantMin)) =>
                   val bound = if (wantMin) zones(c).min else zones(c).max
                   Some(bound.map(

@@ -42,7 +42,8 @@ object ScaleSmoke {
     val runAll = !sys.env.contains("SPARK_GRAFT_ONLY_MH") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_IVF") && !onlyEx && !onlyR7 &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R8") &&
-      !sys.env.contains("SPARK_GRAFT_ONLY_R9")
+      !sys.env.contains("SPARK_GRAFT_ONLY_R9") &&
+      !sys.env.contains("SPARK_GRAFT_ONLY_R10")
     if (runAll) {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val big = (0 until copies).map { i =>
@@ -625,6 +626,100 @@ object ScaleSmoke {
       mo.unpersist(true); fact0.unpersist(true)
     }
     if (onlyR9) { spark.stop(); return }
+
+    // ---- round-8 additions: metadata SUM, auto-checkpointed feed, --------
+    // ---- exact one-task-per-shard export. SPARK_GRAFT_ONLY_R10=1 runs ----
+    // ---- just this section. ----------------------------------------------
+    val onlyR10 = sys.env.contains("SPARK_GRAFT_ONLY_R10")
+    if (runAll || onlyR10) {
+      import graft.lake.{Database, TrackedLake}
+      import graft.model.StorageSpec
+      import graft.operators.{Export, Stats}
+
+      val mo10 = (0 until copies).map { i =>
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 1000000L))
+      }.reduce(_ unionByName _)
+        .withColumn("o_batch", (col("o_orderkey") / 500000).cast("int"))
+        .localCheckpoint(true)
+      println(s"[scale] r10 orders: ${mo10.count()} rows (${copies}x)")
+
+      // Metadata SUM: the dashboard query `count(*), sum(x)` over a SAVED
+      // and RELOADED lake answers from the manifest's decimal-folded sums —
+      // a LocalRelation plan, zero file reads — vs the aggregation scan.
+      val sumRoot = java.nio.file.Files.createTempDirectory("graft_r10_sum").toString
+      try {
+        val d = LakeDataset.fromDataFrame(spark, mo10,
+          partitionCols = Seq("o_batch"), storage = Some(StorageSpec(sumRoot)))
+        time(s"sum lake save ${copies}x")(d.toStorage())
+        val loaded = time("sum lake load")(LakeDataset.fromStorage(spark, sumRoot))
+        require(Stats.sumAnswerable(loaded, Seq("o_custkey", "o_orderkey")),
+          "loaded lake sums not tight")
+        val db = new Database(spark)
+        db.register("r10_orders", loaded)
+        val q = "SELECT COUNT(*) AS cnt, COUNT(o_custkey) AS nc, " +
+          "SUM(o_custkey) AS sc, SUM(o_orderkey) AS sk FROM r10_orders"
+        val meta = db.executeSql(q)
+        require(meta.queryExecution.optimizedPlan.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+          "count+sum did not collapse")
+        time("count+sum METADATA-ONLY")(meta.collect())
+        time("count+sum full scan") {
+          loaded.toDF.agg(count(lit(1)), count(col("o_custkey")),
+            sum(col("o_custkey")), sum(col("o_orderkey"))).collect()
+        }
+        // Appends keep the answer exact and metadata-only.
+        time("insert batch + metadata re-answer") {
+          loaded.insert(mo10.limit(2000))
+          db.refresh("r10_orders")
+          val after = db.executeSql(q)
+          require(after.queryExecution.optimizedPlan.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+          after.collect()
+        }
+      } finally LakeDataset.deleteRecursively(java.nio.file.Paths.get(sumRoot))
+
+      // Auto-checkpointed feed: 30 mutations with a consumer acking — the
+      // log's cell count stays bounded while tail reads keep pruning.
+      {
+        val base = LakeDataset.fromDataFrame(spark,
+          mo10.filter(col("o_orderkey") % 4 === 0),
+          partitionCols = Seq("o_orderstatus"))
+        val t = TrackedLake(spark, base, logBase = true,
+          autoCheckpoint = Some((8, Seq("o_orderkey"))))
+        var maxCells = 0
+        time("30 mutations + acks (autoCheckpoint=8)") {
+          (0 until 30).foreach { i =>
+            val s = t.insert(mo10.filter(col("o_orderkey") % 4 === 1)
+              .limit(500)
+              .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L + i * 10000L)))
+            t.ack("replica", s)
+            if (i >= 1) maxCells = math.max(maxCells, t.log.numParts)
+          }
+        }
+        println(s"[scale] feed cells max after warmup: $maxCells (bound 8); " +
+          s"final: ${t.log.numParts}")
+        time("tail read at the high-water mark") {
+          t.changesSince(t.currentSeq - 1).count()
+        }
+      }
+
+      // Export: the inverse-hash route holds one shard per task at 64
+      // shards — no hash-collision serialization of the write.
+      {
+        val n = 64
+        val route = Export.routeFor(n)
+        val routed = mo10
+          .withColumn("shard", Export.shardColumn(col("o_orderkey"), n, hashed = true))
+          .repartition(n, element_at(lit(route), col("shard").cast("int") + 1))
+        val perTask = routed.groupBy(spark_partition_id().as("t"))
+          .agg(countDistinct(col("shard")).as("s")).collect()
+        println(s"[scale] export route: ${perTask.length} tasks, " +
+          s"max shards/task ${perTask.map(_.getLong(1)).max}")
+      }
+      mo10.unpersist(true)
+    }
+    if (onlyR10) { spark.stop(); return }
 
     // ---- IVF ANN: probe cost vs corpus growth ------------------------------
     // The scale claim: an IVF probe reads nprobe inverted LISTS, whose size

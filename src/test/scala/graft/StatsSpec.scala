@@ -340,6 +340,36 @@ class StatsSpec extends SparkSpec {
     assert(!dbl.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
     assert(dbl.head().getDouble(0) ==
       ds.toDF.agg(sum(col("o_totalprice"))).head().getDouble(0))
+
+    // COUNT(col) of a sum-tracked column collapses too — the non-null
+    // count rides in the maintained sum state. Exact under nulls: register
+    // a table whose column holds nulls and compare against the scan.
+    val cc = db.executeSql(
+      "SELECT COUNT(o_custkey) AS nc, SUM(o_custkey) AS s FROM stats_sum_t")
+    assert(cc.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(cc.head().toSeq ==
+      ds.toDF.agg(count(col("o_custkey")), sum(col("o_custkey"))).head().toSeq)
+    import org.apache.spark.sql.types._
+    val schema2 = StructType(Seq(
+      StructField("k", LongType), StructField("grp", IntegerType),
+      StructField("x", LongType)))
+    val rows2 = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    (0L until 6L).foreach(i =>
+      rows2.add(org.apache.spark.sql.Row(i, (i % 2).toInt,
+        if (i % 3 == 0) null else java.lang.Long.valueOf(i))))
+    val nullable = LakeDataset.fromDataFrame(spark,
+      spark.createDataFrame(rows2, schema2), partitionCols = Seq("grp"))
+    db.register("stats_nulls_t", nullable)
+    val nc = db.executeSql("SELECT COUNT(x) AS nc FROM stats_nulls_t")
+    assert(nc.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(nc.head().getLong(0) == 4L)
+    val ncg = db.executeSql(
+      "SELECT grp, COUNT(x) AS nc FROM stats_nulls_t GROUP BY grp")
+    assert(ncg.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]))
+    assert(ncg.orderBy("grp").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      nullable.toDF.groupBy("grp").agg(count(col("x")))
+        .orderBy("grp").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq)
   }
 
   test("SQL shapes outside the family keep their scans and stay correct") {
