@@ -1205,6 +1205,35 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Delta-style SQL time travel: a registered feed serves `FROM t
+    // VERSION AS OF n` — the same reconstruction as lake_time_travel,
+    // through the SQL surface.
+    "lake_sql_time_travel" -> ((s, dir) => {
+      val (t, mark) = Fixtures.trackedOrders(s, dir)
+      val db = new Database(s)
+      db.registerFeed("orders_feed", t, Seq("o_orderkey"))
+      db.executeSql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+           |FROM orders_feed VERSION AS OF $mark
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // OPTIMIZE t ZORDER BY (...): the clustering layout as a SQL verb —
+    // rebuild, re-register, and answer a range aggregate that the new
+    // layout serves with multi-dimension pruning (plan pinned in DmlSpec).
+    "lake_sql_zorder" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("orders_zo",
+        LakeDataset.fromDataFrame(s, table(s, dir, "orders")))
+      db.executeDml("OPTIMIZE orders_zo ZORDER BY (o_custkey, o_totalprice)")
+      db.executeSql(
+        """SELECT COUNT(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+          |FROM orders_zo
+          |WHERE o_custkey BETWEEN 100 AND 300""".stripMargin)
+    }),
+
     // Data-quality profile (DataQuality.profile): every column's stats in
     // ONE aggregate over ONE scan — spec-pinned single leaf. Exact
     // distinct here for the oracle; approxDistinct=true is the 100 TB
@@ -2334,6 +2363,16 @@ object SparkEntry {
          |FROM orders
          |WHERE o_orderkey % 4 = 0 OR o_orderkey % 4 = 1
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "lake_sql_time_travel" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM orders
+         |WHERE o_orderkey % 4 = 0 OR o_orderkey % 4 = 1
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "lake_sql_zorder" ->
+      s"""SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM orders WHERE o_custkey BETWEEN 100 AND 300""".stripMargin,
 
     // Final view contents = base (%3=0) plus the two inserted deltas.
     "lake_mat_view" ->

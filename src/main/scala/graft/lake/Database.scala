@@ -20,6 +20,7 @@ import graft.model.TableName
 final class Database(val spark: SparkSession) {
 
   private val tables = TrieMap[String, LakeDataset]()
+  private val feeds = TrieMap[String, (TrackedLake, Seq[String])]()
 
   /** Register a dataset under a name and expose it to SQL
     * (reference `Database::register`, src/database.rs:37-40).
@@ -33,6 +34,38 @@ final class Database(val spark: SparkSession) {
     register(TableName("public", name), ds)
 
   def get(name: String): Option[LakeDataset] = tables.get(name)
+
+  /** Register a change-feed-tracked table: the CURRENT state is queryable
+    * under `name` like any registered table, and the SQL surface
+    * additionally serves Delta-style time travel — `FROM name VERSION AS
+    * OF <seq>` reconstructs the state at that mark from the feed's log
+    * ([[TrackedLake.tableAsOf]]; exact under its full-history contract).
+    * `keys` are the feed's mutation keys.
+    */
+  def registerFeed(name: String, feed: TrackedLake, keys: Seq[String]): Unit = {
+    feeds.put(name, (feed, keys))
+    register(name, feed.table)
+  }
+
+  private val VersionAsOfRe =
+    """(?i)\b([A-Za-z_][\w]*)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+
+  /** Rewrite `name VERSION AS OF n` references to point at a temp view of
+    * the feed's reconstruction at mark n. Names that are not registered
+    * feeds pass through untouched (Spark then reports them as it would any
+    * unknown relation). Plan-only — the reconstruction runs when the query
+    * does, pruned to the log cells at or below the mark.
+    */
+  private def rewriteVersionAsOf(sql: String): String =
+    VersionAsOfRe.replaceAllIn(sql, m => {
+      java.util.regex.Matcher.quoteReplacement(feeds.get(m.group(1)) match {
+        case Some((feed, keys)) =>
+          val view = s"${m.group(1)}__v${m.group(2)}"
+          feed.tableAsOf(m.group(2).toLong, keys).createOrReplaceTempView(view)
+          view
+        case None => m.matched
+      })
+    })
 
   /** (Re-)register the table's SQL view. The view plan is ONE
     * `graft.plans.LakeScan` leaf that `LakePruneRule` resolves to the
@@ -53,8 +86,11 @@ final class Database(val spark: SparkSession) {
 
   /** Execute one SQL statement (reference `Database::execute_sql`,
     * src/database.rs:50-56). Lazy — returns the planned DataFrame.
+    * Registered feeds additionally serve `FROM t VERSION AS OF n`
+    * ([[registerFeed]]).
     */
-  def executeSql(sql: String): DataFrame = spark.sql(sql)
+  def executeSql(sql: String): DataFrame =
+    spark.sql(if (feeds.isEmpty) sql else rewriteVersionAsOf(sql))
 
   /** Execute a batch of SQL statements: dedupe identical strings, run the
     * distinct ones concurrently on the shared session (reference
@@ -89,6 +125,8 @@ final class Database(val spark: SparkSession) {
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+(.+?)\s*;?\s*$""".r
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val OptimizeZorderRe =
+    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][\w]*)\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\)\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
 
@@ -298,6 +336,28 @@ final class Database(val spark: SparkSession) {
         }.toSeq: _*)
         target.insert(aligned)
         refresh(t); 1L
+      case OptimizeZorderRe(t, colsList) =>
+        // OPTIMIZE t ZORDER BY (c1, c2): re-layout the table under a
+        // Z-order clustering — rows bin by the interleaved quantile-rank
+        // key into `zbin` partition cells whose zone maps become selective
+        // on EVERY named column at once. One statistics pass + one
+        // exchange (never a global sort); the rebuilt table registers in
+        // place, so the very next range query on any clustered column
+        // prunes. Re-running with different columns re-layouts from the
+        // current contents.
+        val old = ds(t)
+        val cols = colsList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val schemaNames = old.tableSchema.fieldNames.toSet
+        val missing = cols.filterNot(schemaNames.contains)
+        require(missing.isEmpty,
+          s"unknown ZORDER column(s): ${missing.mkString(", ")}")
+        val base =
+          if (old.tableSchema.fieldNames.contains("zbin")) old.toDF.drop("zbin")
+          else old.toDF
+        val z = graft.operators.Clustering.zorderLake(spark, base, cols,
+          storage = old.storage)
+        tables.put(t, z.dataset)
+        refresh(t); 1L
       case OptimizeRe(t) =>
         // OPTIMIZE: compact every cell's accumulated plan and recompute
         // its statistics tight (count + zones + blooms from data) — after
@@ -336,7 +396,8 @@ final class Database(val spark: SparkSession) {
         "unsupported DML; expected DELETE FROM <t> [WHERE <cond>], " +
           "INSERT INTO <t> <query>, UPDATE <t> SET ... [WHERE <cond>], " +
           "MERGE INTO <t> USING (<query>) ON <key equalities>, " +
-          "COPY INTO <t> FROM '<path>' [FORMAT <fmt>], or " +
+          "COPY INTO <t> FROM '<path>' [FORMAT <fmt>], " +
+          "OPTIMIZE <t> [ZORDER BY (cols)], VACUUM <t>, or " +
           "ALTER TABLE <t> PARTITIONED BY (...) [BUCKETED BY (col, n)]")
     }
   }

@@ -217,6 +217,62 @@ class DmlSpec extends SparkSpec {
     assert(db.executeDml("VACUUM dml_vac") == 0L)
   }
 
+  test("OPTIMIZE ZORDER BY re-layouts; both named dimensions prune in SQL") {
+    val o = Fixtures.table(spark, sf(), "orders")
+    val db = new Database(spark)
+    db.register("dml_zo", LakeDataset.fromDataFrame(spark, o))
+    db.executeDml("OPTIMIZE dml_zo ZORDER BY (o_custkey, o_totalprice)")
+    val nds = db.get("dml_zo").get
+    assert(nds.partitionCols == List("zbin") && nds.numParts > 4)
+    // Range queries on EITHER clustered column plan fewer bins than exist
+    // — the multi-dimension property the verb bought.
+    def leaves(sql: String): Int = {
+      val df = db.executeSql(sql)
+      df.queryExecution.optimizedPlan.collectLeaves().size
+    }
+    assert(leaves(
+      "SELECT COUNT(*) AS n FROM dml_zo WHERE o_custkey BETWEEN 100 AND 300")
+      < nds.numParts)
+    assert(leaves(
+      "SELECT COUNT(*) AS n FROM dml_zo WHERE o_totalprice BETWEEN 100000 AND 120000")
+      < nds.numParts)
+    // Content identical; re-optimizing with other columns works (the
+    // internal zbin column is replaced, not stacked).
+    assert(db.executeSql("SELECT COUNT(*) AS n FROM dml_zo").head().getLong(0)
+      == o.count())
+    db.executeDml("OPTIMIZE dml_zo ZORDER BY (o_orderkey)")
+    assert(db.get("dml_zo").get.tableSchema.fieldNames.count(_ == "zbin") == 1)
+    val e = intercept[IllegalArgumentException] {
+      db.executeDml("OPTIMIZE dml_zo ZORDER BY (nope)")
+    }
+    assert(e.getMessage.contains("unknown ZORDER column"))
+  }
+
+  test("VERSION AS OF serves feed reconstructions through SQL") {
+    val o = Fixtures.table(spark, sf(), "orders")
+    val t = graft.lake.TrackedLake(spark,
+      LakeDataset.fromDataFrame(spark, o.filter(col("o_orderkey") % 2 === 0)),
+      logBase = true)
+    val m1 = t.currentSeq // base mark
+    val m2 = t.insert(o.filter(col("o_orderkey") % 2 === 1))
+    t.delete(o.filter(col("o_orderkey") % 3 === 0).select("o_orderkey"),
+      Seq("o_orderkey"))
+    val db = new Database(spark)
+    db.registerFeed("tt_orders", t, Seq("o_orderkey"))
+    def cnt(sql: String): Long = db.executeSql(sql).head().getLong(0)
+    // Each mark reconstructs its own state; the bare name is the present.
+    assert(cnt(s"SELECT COUNT(*) AS n FROM tt_orders VERSION AS OF $m1") ==
+      o.filter(col("o_orderkey") % 2 === 0).count())
+    assert(cnt(s"SELECT COUNT(*) AS n FROM tt_orders VERSION AS OF $m2") ==
+      o.count())
+    assert(cnt("SELECT COUNT(*) AS n FROM tt_orders") == t.table.toDF.count())
+    // Two versions join in ONE statement (the audit diff query).
+    val drift = db.executeSql(
+      s"""SELECT COUNT(*) AS n FROM tt_orders VERSION AS OF $m2 a
+         |LEFT ANTI JOIN tt_orders b ON a.o_orderkey = b.o_orderkey""".stripMargin)
+    assert(drift.head().getLong(0) == o.filter(col("o_orderkey") % 3 === 0).count())
+  }
+
   test("arity mismatch and unknown statements fail loudly") {
     val (db, _) = freshDb("dml_err")
     val e1 = intercept[IllegalArgumentException] {
