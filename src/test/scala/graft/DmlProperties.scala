@@ -37,6 +37,8 @@ object DmlProperties extends Properties("PredicateDml") {
   private case class DelWhere(lo: Long, hi: Long) extends Op
   private case class DelValueAbove(t: Double) extends Op
   private case class UpdWhere(lo: Long, hi: Long, delta: Double) extends Op
+  /** SQL MERGE through Database.executeDml, with the given WHEN clauses. */
+  private case class Merge(rows: List[R], matched: Boolean, unmatched: Boolean) extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
     3 -> batchGen.map(Ins.apply),
@@ -45,7 +47,13 @@ object DmlProperties extends Properties("PredicateDml") {
       yield DelWhere(a, a + w)),
     2 -> Gen.choose(-40.0, 40.0).map(t => DelValueAbove(math.rint(t))),
     2 -> (for { a <- Gen.choose(0L, 40L); w <- Gen.choose(0L, 10L)
-                d <- Gen.choose(-5.0, 5.0) } yield UpdWhere(a, a + w, math.rint(d))))
+                d <- Gen.choose(-5.0, 5.0) } yield UpdWhere(a, a + w, math.rint(d))),
+    3 -> (for {
+      rows <- batchGen
+      // both clauses, insert-only, or update-only — each must do exactly
+      // what it says
+      shape <- Gen.oneOf((true, true), (false, true), (true, false))
+    } yield Merge(rows, shape._1, shape._2)))
 
   private def toDf(rows: List[R]) =
     rows.toDF("k", "v").withColumn("p", (col("k") / 8).cast("int"))
@@ -56,6 +64,8 @@ object DmlProperties extends Properties("PredicateDml") {
         var nextKey = 1000L
         val ds = LakeDataset.fromDataFrame(spark, toDf(base0),
           partitionCols = Seq("p"))
+        val db = new graft.lake.Database(spark)
+        db.register("pdml_t", ds)
         var model: Map[Long, Option[Double]] = base0.toMap
         ops.foreach {
           case Ins(rows) if rows.nonEmpty =>
@@ -81,6 +91,23 @@ object DmlProperties extends Properties("PredicateDml") {
             model = model.map { case (k, v) =>
               if (k >= lo && k <= hi) k -> v.map(_ + d) else k -> v
             }
+          case Merge(rows, matched, unmatched) if rows.nonEmpty =>
+            rows.toDF("k", "v").createOrReplaceTempView("pdml_src")
+            val actions =
+              (if (matched) " WHEN MATCHED THEN UPDATE SET *" else "") +
+                (if (unmatched) " WHEN NOT MATCHED THEN INSERT *" else "")
+            db.executeDml(
+              "MERGE INTO pdml_t USING (SELECT k, v FROM pdml_src) s " +
+                "ON pdml_t.k = s.k" + actions)
+            // insert-only must not touch matched keys; update-only must not
+            // add unmatched ones; the update half keeps engine coalesce
+            // (incoming NULL preserves the old value).
+            model = model ++ rows.flatMap { case (k, v) =>
+              val exists = model.contains(k)
+              if (exists && matched) Some(k -> v.orElse(model(k)))
+              else if (!exists && unmatched) Some(k -> v)
+              else None
+            }.toMap
           case _ => ()
         }
         val got = ds.toDF.select("k", "v").collect()

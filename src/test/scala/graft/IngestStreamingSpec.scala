@@ -76,6 +76,34 @@ class IngestStreamingSpec extends SparkSpec {
     assert(back.toDF.select("k").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("streamed append-only ingest keeps metadata count+sum answerable") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_eo_sum").toString
+    val ds = LakeDataset.forStorage(spark,
+      partitionCols = Seq(StreamingIngest.EpochCol), bucketCols = Nil,
+      nBuckets = 1, bloomCols = Nil, storage = graft.model.StorageSpec(root))
+    val sink = StreamingIngest.exactlyOnceInsert(ds)
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("k", "x").writeStream.foreachBatch(sink).start()
+    try {
+      mem.addData((1L, 10L), (2L, 20L))
+      q.processAllAvailable()
+      mem.addData((3L, 12L), (4L, 5L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // Every micro-batch landed as a fresh tight cell (insertWritten) — the
+    // dashboard count+sum answers from the catalog over the LIVE table,
+    // and after a fresh load from the manifest alone.
+    import graft.operators.Stats
+    assert(Stats.sumAnswerable(ds, Seq("x")))
+    assert(Stats.tableSumStats(spark, ds, Seq("x")).head().toSeq ==
+      Seq(4L, 47L))
+    val back = LakeDataset.fromStorage(spark, root)
+    assert(Stats.sumAnswerable(back, Seq("x")))
+    assert(Stats.tableSumStats(spark, back, Seq("x")).head().toSeq ==
+      Seq(4L, 47L))
+  }
+
   test("structured streaming foreachBatch upserts micro-batches into the lake") {
     implicit val sqlCtx = spark.sqlContext
     val ds = LakeDataset.fromDataFrame(spark,
