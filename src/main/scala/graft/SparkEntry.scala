@@ -1219,6 +1219,15 @@ object SparkEntry {
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
 
+    // DESCRIBE HISTORY: the feed's per-version audit summary through SQL
+    // (operation kind + affected-row counts, newest first).
+    "lake_sql_history" -> ((s, dir) => {
+      val (t, _) = Fixtures.trackedOrders(s, dir)
+      val db = new Database(s)
+      db.registerFeed("orders_hist", t, Seq("o_orderkey"))
+      db.executeSql("DESCRIBE HISTORY orders_hist")
+    }),
+
     // OPTIMIZE t ZORDER BY (...): the clustering layout as a SQL verb —
     // rebuild, re-register, and answer a range aggregate that the new
     // layout serves with multi-dimension pruning (plan pinned in DmlSpec).
@@ -2373,6 +2382,24 @@ object SparkEntry {
     "lake_sql_zorder" ->
       s"""SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
          |FROM orders WHERE o_custkey BETWEEN 100 AND 300""".stripMargin,
+
+    // The trackedOrders recipe's four versions, recomputed relationally:
+    // base INSERT (%4=0), insert (%4=1), upsert (custkey%3=0 over %4 in
+    // {0,2} — U+ counts include the new %4=2 keys), delete (%4=1 and
+    // custkey%5=0).
+    "lake_sql_history" ->
+      """SELECT CAST(1 AS BIGINT) AS version, 'INSERT' AS operation,
+        |       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 = 0) AS inserted,
+        |       CAST(0 AS BIGINT) AS upserted, CAST(0 AS BIGINT) AS deleted
+        |UNION ALL SELECT 2, 'INSERT',
+        |       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 = 1), 0, 0
+        |UNION ALL SELECT 3, 'UPSERT', 0,
+        |       (SELECT COUNT(*) FROM orders
+        |        WHERE o_custkey % 3 = 0 AND (o_orderkey % 4 = 0 OR o_orderkey % 4 = 2)), 0
+        |UNION ALL SELECT 4, 'DELETE', 0, 0,
+        |       (SELECT COUNT(*) FROM orders
+        |        WHERE o_orderkey % 4 = 1 AND o_custkey % 5 = 0)
+        |ORDER BY version DESC""".stripMargin,
 
     // Final view contents = base (%3=0) plus the two inserted deltas.
     "lake_mat_view" ->

@@ -254,6 +254,25 @@ final class TrackedLake private (
         (col("_valid_to").isNull || col("_valid_to") > asOfSeq))
       .drop("_valid_from", "_valid_to", "_current")
 
+  /** Per-mutation audit summary from the log — the `DESCRIBE HISTORY`
+    * surface: one row per visitable version with its operation kind and
+    * affected-row counts (`inserted` = I images, `upserted` = U+
+    * post-images incl. new keys, `deleted` = D pre-images), newest first.
+    * One aggregation over the log, O(mutations) rows. Versions whose
+    * mutation affected zero rows logged no cell and do not appear;
+    * checkpointed prefixes appear as their collapsed base INSERT.
+    */
+  def history: DataFrame =
+    log.toDF.groupBy(col(SeqCol).as("version"))
+      .agg(
+        max(when(col(OpCol) === "I", lit("INSERT"))
+          .when(col(OpCol) === "D", lit("DELETE"))
+          .otherwise(lit("UPSERT"))).as("operation"),
+        count(when(col(OpCol) === "I", 1)).as("inserted"),
+        count(when(col(OpCol) === "U+", 1)).as("upserted"),
+        count(when(col(OpCol) === "D", 1)).as("deleted"))
+      .orderBy(col("version").desc)
+
   /** Retention: drop whole log cells with `_seq` <= `throughSeq` (every
     * consumer has moved past them). Cell-level DROP PARTITION — no data
     * rewrite, directories delete when the log is persisted. The log

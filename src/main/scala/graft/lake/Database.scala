@@ -84,13 +84,18 @@ final class Database(val spark: SparkSession) {
   /** Refresh all views — cheap (plan-only, no jobs). */
   def refreshAll(): Unit = tables.keys.foreach(refresh)
 
+  private val DescribeHistoryRe =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+
   /** Execute one SQL statement (reference `Database::execute_sql`,
     * src/database.rs:50-56). Lazy — returns the planned DataFrame.
-    * Registered feeds additionally serve `FROM t VERSION AS OF n`
-    * ([[registerFeed]]).
+    * Registered feeds additionally serve `FROM t VERSION AS OF n` and
+    * `DESCRIBE HISTORY t` ([[registerFeed]]).
     */
-  def executeSql(sql: String): DataFrame =
-    spark.sql(if (feeds.isEmpty) sql else rewriteVersionAsOf(sql))
+  def executeSql(sql: String): DataFrame = sql match {
+    case DescribeHistoryRe(t) if feeds.contains(t) => feeds(t)._1.history
+    case _ => spark.sql(if (feeds.isEmpty) sql else rewriteVersionAsOf(sql))
+  }
 
   /** Execute a batch of SQL statements: dedupe identical strings, run the
     * distinct ones concurrently on the shared session (reference
