@@ -1228,6 +1228,32 @@ object SparkEntry {
       db.executeSql("DESCRIBE HISTORY orders_hist")
     }),
 
+    // RESTORE TABLE ... VERSION AS OF: audit-grade rollback through
+    // logged mutations — the restored TABLE (not a reconstruction view)
+    // must match the mark's state. Builds its own feed (the shared
+    // trackedOrders fixture must stay unmutated).
+    "lake_sql_restore" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val t = graft.lake.TrackedLake(s,
+        LakeDataset.fromDataFrame(s, o.filter(col("o_orderkey") % 4 === 0),
+          partitionCols = Seq("o_orderstatus")),
+        logBase = true)
+      val mark = t.insert(o.filter(col("o_orderkey") % 4 === 1))
+      t.upsert(o.filter(col("o_custkey") % 3 === 0 &&
+          (col("o_orderkey") % 4 === 0 || col("o_orderkey") % 4 === 2))
+        .withColumn("o_totalprice", col("o_totalprice") + 100), Seq("o_orderkey"))
+      t.delete(o.filter(col("o_orderkey") % 4 === 1 && col("o_custkey") % 5 === 0)
+        .select("o_orderkey"), Seq("o_orderkey"))
+      val db = new Database(s)
+      db.registerFeed("orders_restore", t, Seq("o_orderkey"))
+      db.executeDml(s"RESTORE TABLE orders_restore VERSION AS OF $mark")
+      db.executeSql(
+        """SELECT o_orderstatus, COUNT(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+          |FROM orders_restore
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // OPTIMIZE t ZORDER BY (...): the clustering layout as a SQL verb —
     // rebuild, re-register, and answer a range aggregate that the new
     // layout serves with multi-dimension pruning (plan pinned in DmlSpec).
@@ -2374,6 +2400,12 @@ object SparkEntry {
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "lake_sql_time_travel" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM orders
+         |WHERE o_orderkey % 4 = 0 OR o_orderkey % 4 = 1
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "lake_sql_restore" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total
          |FROM orders
          |WHERE o_orderkey % 4 = 0 OR o_orderkey % 4 = 1

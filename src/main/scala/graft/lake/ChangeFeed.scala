@@ -254,6 +254,25 @@ final class TrackedLake private (
         (col("_valid_to").isNull || col("_valid_to") > asOfSeq))
       .drop("_valid_from", "_valid_to", "_current")
 
+  /** Roll the TABLE back to its state at `asOfSeq` — as ordinary LOGGED
+    * mutations (one delete of every current key, one insert of the mark's
+    * images), so the feed's history stays linear: consumers see the
+    * restore as changes, `DESCRIBE HISTORY` records it, and time travel
+    * can visit both sides of it. Exact under the same full-history
+    * contract as [[tableAsOf]] — delete-then-insert rather than an upsert
+    * because engine-upsert's NULL-preserves-old coalesce would silently
+    * keep post-mark values in columns that were NULL at the mark. Costs
+    * two table passes and logs both images (audit-grade rollback, not a
+    * hot-path operation). Returns the new high-water mark. (Restoring by
+    * rewriting the table OUTSIDE the feed would fork the log from the
+    * table — the one thing a feed must never allow.)
+    */
+  def restore(asOfSeq: Long, keys: Seq[String]): Long = this.synchronized {
+    val want = tableAsOf(asOfSeq, keys).localCheckpoint(true)
+    delete(table.toDF.select(keys.map(col): _*).localCheckpoint(true), keys)
+    insert(want)
+  }
+
   /** Per-mutation audit summary from the log — the `DESCRIBE HISTORY`
     * surface: one row per visitable version with its operation kind and
     * affected-row counts (`inserted` = I images, `upserted` = U+

@@ -134,6 +134,8 @@ final class Database(val spark: SparkSession) {
     """(?is)^\s*OPTIMIZE\s+([A-Za-z_][\w]*)\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\)\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+TABLE\s+([A-Za-z_][\w]*)\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
 
   /** Parse `MERGE INTO t [alias] USING ( <query> ) [alias] ON <cond>
     * [WHEN MATCHED THEN UPDATE SET *] [WHEN NOT MATCHED THEN INSERT *]`.
@@ -370,6 +372,15 @@ final class Database(val spark: SparkSession) {
         // run over collapsed lineage. The engine's materialize, as SQL.
         ds(t).materialize()
         refresh(t); 1L
+      case RestoreRe(t, seqStr) =>
+        // RESTORE TABLE t VERSION AS OF n: roll a registered FEED's table
+        // back to the mark via logged mutations — the feed's history stays
+        // linear (the restore itself is visitable).
+        val (feed, keys) = feeds.getOrElse(t,
+          throw new IllegalArgumentException(
+            s"RESTORE needs a feed-registered table (registerFeed); '$t' is not one"))
+        val mark = feed.restore(seqStr.toLong, keys)
+        refresh(t); mark
       case VacuumRe(t) =>
         // VACUUM: delete physical cell directories the catalog no longer
         // references (crashed writes, dropped cells, foreign junk).

@@ -273,6 +273,44 @@ class DmlSpec extends SparkSpec {
     assert(drift.head().getLong(0) == o.filter(col("o_orderkey") % 3 === 0).count())
   }
 
+  test("RESTORE rolls the table back through logged mutations") {
+    val o = Fixtures.table(spark, sf(), "orders")
+    val t = graft.lake.TrackedLake(spark,
+      LakeDataset.fromDataFrame(spark, o.filter(col("o_orderkey") % 2 === 0)),
+      logBase = true)
+    val mark = t.currentSeq
+    // Post-mark damage: new rows, changed values, AND a value set to NULL
+    // after the mark (upsert-based restore would silently keep it).
+    t.insert(o.filter(col("o_orderkey") % 2 === 1))
+    t.upsert(o.filter(col("o_orderkey") % 2 === 0).limit(5)
+      .withColumn("o_totalprice", col("o_totalprice") + 999), Seq("o_orderkey"))
+    val db = new Database(spark)
+    db.registerFeed("restore_t", t, Seq("o_orderkey"))
+    val seqAfter = db.executeDml(s"RESTORE TABLE restore_t VERSION AS OF $mark")
+    assert(seqAfter > mark)
+    // The TABLE equals the mark's state exactly.
+    val want = o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val got = db.executeSql(
+      "SELECT o_orderkey, o_totalprice FROM restore_t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == want)
+    // The restore is itself history: both sides stay visitable, and
+    // DESCRIBE HISTORY records its delete+insert pair.
+    assert(t.tableAsOf(t.currentSeq, Seq("o_orderkey")).count() == want.size)
+    val hist = db.executeSql("DESCRIBE HISTORY restore_t")
+      .select("version", "operation").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(hist(seqAfter) == "INSERT" && hist(seqAfter - 1) == "DELETE")
+    // Non-feed tables refuse loudly.
+    db.register("plain_t", LakeDataset.fromDataFrame(spark, o.limit(10)))
+    val e = intercept[IllegalArgumentException] {
+      db.executeDml("RESTORE TABLE plain_t VERSION AS OF 1")
+    }
+    assert(e.getMessage.contains("feed-registered"))
+  }
+
   test("arity mismatch and unknown statements fail loudly") {
     val (db, _) = freshDb("dml_err")
     val e1 = intercept[IllegalArgumentException] {

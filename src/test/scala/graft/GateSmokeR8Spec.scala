@@ -28,6 +28,7 @@ class GateSmokeR8Spec extends SparkSpec {
 
   for (q <- Seq(
     "lake_stats_sum", "lake_sql_stats_sum", "lake_sql_stats_sum_grouped",
-    "lake_sql_time_travel", "lake_sql_zorder", "lake_sql_history"))
+    "lake_sql_time_travel", "lake_sql_zorder", "lake_sql_history",
+    "lake_sql_restore"))
     test(s"$q matches its oracle") { check(q) }
 }
