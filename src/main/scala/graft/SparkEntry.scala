@@ -1254,6 +1254,100 @@ object SparkEntry {
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
 
+    // CTAS: CREATE TABLE ... PARTITIONED/BUCKETED ... AS <query> lays the
+    // result out as a lake table and registers it — the layout axes are
+    // live immediately (partition pruning on the very next query).
+    "lake_sql_ctas" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("ctas_src",
+        LakeDataset.fromDataFrame(s, table(s, dir, "orders")))
+      db.executeDml(
+        """CREATE TABLE ctas_t PARTITIONED BY (o_orderstatus)
+          |BUCKETED BY (o_custkey, 4)
+          |AS SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          |   FROM ctas_src WHERE o_totalprice > 50000""".stripMargin)
+      db.executeSql(
+        """SELECT o_orderstatus, COUNT(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+          |FROM ctas_t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // SHALLOW CLONE: an independent table over the SAME bytes (hard-linked
+    // files, O(files) metadata ops, zero data copied — CatalogDdlSpec pins
+    // shared inodes). Mutating the clone must not touch the source.
+    "lake_sql_clone" -> ((s, dir) => {
+      val srcRoot = Files.createTempDirectory("graft_clone_gate_src").toString
+      val dstRoot = Files.createTempDirectory("graft_clone_gate_dst").toString
+      val src = LakeDataset.fromDataFrame(s, table(s, dir, "orders"),
+        partitionCols = Seq("o_orderstatus"),
+        storage = Some(graft.model.StorageSpec(srcRoot)))
+      src.toStorage()
+      val db = new Database(s)
+      db.register("clone_src_t", src)
+      db.executeDml(s"CREATE TABLE clone_t SHALLOW CLONE clone_src_t LOCATION '$dstRoot'")
+      db.executeDml("DELETE FROM clone_t WHERE o_orderkey % 3 = 0")
+      db.executeSql(
+        """SELECT 'clone' AS side, COUNT(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+          |FROM clone_t
+          |UNION ALL
+          |SELECT 'source' AS side, COUNT(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+          |FROM clone_src_t
+          |ORDER BY side""".stripMargin)
+    }),
+
+    // CHECK constraints: ALTER TABLE ADD CONSTRAINT validates existing
+    // rows, then every ingest enforces at the write boundary — the
+    // violating INSERT is rejected atomically (table unchanged), the
+    // clean one lands.
+    "lake_sql_constraint" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("chk_t",
+        LakeDataset.fromDataFrame(s, table(s, dir, "orders")))
+      db.executeDml(
+        "ALTER TABLE chk_t ADD CONSTRAINT price_pos CHECK (o_totalprice >= 0)")
+      try db.executeDml(
+        """INSERT INTO chk_t VALUES
+          |(9900001, 3, 'O', -10.0, TIMESTAMP '2031-01-01 00:00:00', '1-URGENT')""".stripMargin)
+      catch { case _: IllegalArgumentException => () } // rejected by design
+      db.executeDml(
+        """INSERT INTO chk_t VALUES
+          |(9900001, 3, 'O', 10.5, TIMESTAMP '2031-01-01 00:00:00', '1-URGENT')""".stripMargin)
+      db.executeSql(
+        """SELECT COUNT(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+          |FROM chk_t""".stripMargin)
+    }),
+
+    // DESCRIBE DETAIL: one-row catalog metadata (layout axes, cell count,
+    // exact row count) with ZERO file reads — the cell count and row count
+    // come from the engine catalog, oracle-recomputed from the data.
+    "lake_sql_detail" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("detail_t", LakeDataset.fromDataFrame(
+        s, table(s, dir, "orders"), partitionCols = Seq("o_orderstatus")))
+      db.executeSql("DESCRIBE DETAIL detail_t")
+        .selectExpr("table_name", "format", "partition_columns",
+          "num_cells", "num_rows")
+    }),
+
+    // ANALYZE TABLE: a predicate delete leaves the touched cells unable to
+    // vouch for tight stats (metadata aggregates fail open to a scan);
+    // ANALYZE recomputes them with a read pass — no rewrite — and the
+    // count/min/max family collapses to the catalog again (StatsSpec pins
+    // the plan; here the values are oracle-checked).
+    "lake_sql_analyze" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("an_t", LakeDataset.fromDataFrame(
+        s, table(s, dir, "orders"), partitionCols = Seq("o_orderstatus")))
+      db.executeDml("DELETE FROM an_t WHERE o_custkey % 7 = 0")
+      db.executeDml("ANALYZE TABLE an_t COMPUTE STATISTICS")
+      db.executeSql(
+        """SELECT COUNT(*) AS n, MIN(o_custkey) AS mn, MAX(o_custkey) AS mx
+          |FROM an_t""".stripMargin)
+    }),
+
     // OPTIMIZE t ZORDER BY (...): the clustering layout as a SQL verb —
     // rebuild, re-register, and answer a range aggregate that the new
     // layout serves with multi-dimension pruning (plan pinned in DmlSpec).
@@ -2414,6 +2508,35 @@ object SparkEntry {
     "lake_sql_zorder" ->
       s"""SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
          |FROM orders WHERE o_custkey BETWEEN 100 AND 300""".stripMargin,
+
+    "lake_sql_ctas" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM orders WHERE o_totalprice > 50000
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "lake_sql_clone" ->
+      s"""SELECT 'clone' AS side, COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM orders WHERE o_orderkey % 3 <> 0
+         |UNION ALL
+         |SELECT 'source' AS side, COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM orders
+         |ORDER BY side""".stripMargin,
+
+    "lake_sql_constraint" ->
+      s"""SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM (SELECT o_totalprice FROM orders
+         |      UNION ALL SELECT 10.5) t""".stripMargin,
+
+    "lake_sql_detail" ->
+      """SELECT 'detail_t' AS table_name, 'memory' AS format,
+        |       'o_orderstatus' AS partition_columns,
+        |       COUNT(DISTINCT o_orderstatus) AS num_cells,
+        |       COUNT(*) AS num_rows
+        |FROM orders""".stripMargin,
+
+    "lake_sql_analyze" ->
+      """SELECT COUNT(*) AS n, MIN(o_custkey) AS mn, MAX(o_custkey) AS mx
+        |FROM orders WHERE o_custkey % 7 <> 0""".stripMargin,
 
     // The trackedOrders recipe's four versions, recomputed relationally:
     // base INSERT (%4=0), insert (%4=1), upsert (custkey%3=0 over %4 in

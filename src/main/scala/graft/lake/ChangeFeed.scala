@@ -255,22 +255,55 @@ final class TrackedLake private (
       .drop("_valid_from", "_valid_to", "_current")
 
   /** Roll the TABLE back to its state at `asOfSeq` — as ordinary LOGGED
-    * mutations (one delete of every current key, one insert of the mark's
-    * images), so the feed's history stays linear: consumers see the
-    * restore as changes, `DESCRIBE HISTORY` records it, and time travel
-    * can visit both sides of it. Exact under the same full-history
-    * contract as [[tableAsOf]] — delete-then-insert rather than an upsert
-    * because engine-upsert's NULL-preserves-old coalesce would silently
-    * keep post-mark values in columns that were NULL at the mark. Costs
-    * two table passes and logs both images (audit-grade rollback, not a
-    * hot-path operation). Returns the new high-water mark. (Restoring by
-    * rewriting the table OUTSIDE the feed would fork the log from the
-    * table — the one thing a feed must never allow.)
+    * mutations (one delete, one insert), so the feed's history stays
+    * linear: consumers see the restore as changes, `DESCRIBE HISTORY`
+    * records it, and time travel can visit both sides of it.
+    *
+    * DRIFT-ONLY: one null-safe key join of current-vs-mark finds exactly
+    * the keys whose row differs (including keys added or removed since),
+    * and only THOSE delete + reinsert — the logged volume and the engine
+    * mutation are O(drift), not O(table). Restoring a 100 TB table to
+    * yesterday touches yesterday's changes, not 100 TB. Exact under the
+    * same full-history contract as [[tableAsOf]] — delete-then-insert
+    * rather than an upsert because engine-upsert's NULL-preserves-old
+    * coalesce would silently keep post-mark values in columns that were
+    * NULL at the mark (a drifted row restores ALL its mark columns).
+    * Columns added to the table since the mark count as drift whenever
+    * non-null, and restore nulls them — the mark state is authoritative.
+    * Returns the new high-water mark. (Restoring by rewriting the table
+    * OUTSIDE the feed would fork the log from the table — the one thing a
+    * feed must never allow.)
     */
   def restore(asOfSeq: Long, keys: Seq[String]): Long = this.synchronized {
     val want = tableAsOf(asOfSeq, keys).localCheckpoint(true)
-    delete(table.toDF.select(keys.map(col): _*).localCheckpoint(true), keys)
-    insert(want)
+    val cur = table.toDF
+    // Widen both sides to the union schema (a column missing on one side
+    // compares as NULL) so schema evolution since the mark diffs soundly.
+    val allCols = (cur.columns ++ want.columns).distinct.toSeq
+    // Disambiguate by RENAME (not plan alias — the drift checkpoint below
+    // flattens the plan, and duplicate names would be unresolvable after).
+    def prefixed(d: DataFrame, p: String, tag: String): DataFrame =
+      d.select(allCols.map(c =>
+        (if (d.columns.contains(c)) col(s"`$c`")
+        else lit(null)).as(s"$p$c")): _*).withColumn(tag, lit(true))
+    val l = prefixed(cur, "__l_", "__cur")
+    val r = prefixed(want, "__r_", "__mark")
+    val on = keys.map(k => col(s"`__l_$k`") <=> col(s"`__r_$k`")).reduce(_ && _)
+    val differs = allCols.filterNot(keys.contains)
+      .map(c => !(col(s"`__l_$c`") <=> col(s"`__r_$c`")))
+      .foldLeft(lit(false))(_ || _)
+    // ONE materialization of the drift set; both legs slice it.
+    val drift = l.join(r, on, "full_outer")
+      .withColumn("__del",
+        col("__cur").isNotNull && (col("__mark").isNull || differs))
+      .withColumn("__ins",
+        col("__mark").isNotNull && (col("__cur").isNull || differs))
+      .filter(col("__del") || col("__ins"))
+      .localCheckpoint(true)
+    delete(drift.filter(col("__del"))
+      .select(keys.map(k => col(s"`__l_$k`").as(k)): _*), keys)
+    insert(drift.filter(col("__ins"))
+      .select(want.columns.toSeq.map(c => col(s"`__r_$c`").as(c)): _*))
   }
 
   /** Per-mutation audit summary from the log — the `DESCRIBE HISTORY`

@@ -86,6 +86,43 @@ final class Database(val spark: SparkSession) {
 
   private val DescribeHistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val ShowTablesRe = """(?is)^\s*SHOW\s+TABLES\s*;?\s*$""".r
+  private val DescribeDetailRe =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+
+  /** Catalog listing: every registered table, its layout axes and cell
+    * count — all driver-side metadata, zero jobs.
+    */
+  private def showTables: DataFrame = {
+    import spark.implicits._
+    tables.toSeq.sortBy(_._1).map { case (name, d) =>
+      (name, feeds.contains(name), d.numParts.toLong)
+    }.toDF("table_name", "is_feed", "num_cells")
+  }
+
+  /** One-row table detail (Delta's DESCRIBE DETAIL shape): layout axes,
+    * format, cell count, exact row count when the catalog can vouch for it
+    * (NULL otherwise — never a stale number), constraint count. Metadata
+    * only — zero file reads.
+    */
+  private def describeDetail(name: String): DataFrame = {
+    import spark.implicits._
+    val d = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown lake table '$name'"))
+    Seq((name,
+      d.storage.map(_.format).getOrElse("memory"),
+      d.storage.map(_.root).orNull,
+      d.partitionCols.mkString(","),
+      d.bucketCols.mkString(","),
+      d.nBuckets.toLong,
+      d.numParts.toLong,
+      d.knownRowsOption.map(java.lang.Long.valueOf).orNull,
+      d.checks.size.toLong,
+      feeds.contains(name)))
+      .toDF("table_name", "format", "location", "partition_columns",
+        "bucket_columns", "num_buckets", "num_cells", "num_rows",
+        "num_constraints", "is_feed")
+  }
 
   /** Execute one SQL statement (reference `Database::execute_sql`,
     * src/database.rs:50-56). Lazy — returns the planned DataFrame.
@@ -94,6 +131,8 @@ final class Database(val spark: SparkSession) {
     */
   def executeSql(sql: String): DataFrame = sql match {
     case DescribeHistoryRe(t) if feeds.contains(t) => feeds(t)._1.history
+    case ShowTablesRe() => showTables
+    case DescribeDetailRe(t) if tables.contains(t) => describeDetail(t)
     case _ => spark.sql(if (feeds.isEmpty) sql else rewriteVersionAsOf(sql))
   }
 
@@ -136,6 +175,22 @@ final class Database(val spark: SparkSession) {
     """(?is)^\s*VACUUM\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+TABLE\s+([A-Za-z_][\w]*)\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val AnalyzeRe =
+    """(?is)^\s*ANALYZE\s+TABLE\s+([A-Za-z_][\w]*)\s+COMPUTE\s+STATISTICS\s*;?\s*$""".r
+  private val CreateCloneRe =
+    """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][\w]*)\s+SHALLOW\s+CLONE\s+([A-Za-z_][\w]*)\s+LOCATION\s+'([^']+)'\s*;?\s*$""".r
+  private val CreateTableAsRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][\w]*)""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(\s*([^)]+?)\s*\))?""" +
+      """(?:\s+BUCKETED\s+BY\s*\(\s*([A-Za-z_][\w]*)\s*,\s*(\d+)\s*\))?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?""" +
+      """\s+AS\s+(.+?)\s*;?\s*$""").r
+  private val DropTableRe =
+    """(?is)^\s*DROP\s+TABLE\s+([A-Za-z_][\w]*)(\s+PURGE)?\s*;?\s*$""".r
+  private val AddConstraintRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+ADD\s+CONSTRAINT\s+([A-Za-z_][\w]*)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
+  private val DropConstraintRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+DROP\s+CONSTRAINT\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
 
   /** Parse `MERGE INTO t [alias] USING ( <query> ) [alias] ON <cond>
     * [WHEN MATCHED THEN UPDATE SET *] [WHEN NOT MATCHED THEN INSERT *]`.
@@ -385,6 +440,52 @@ final class Database(val spark: SparkSession) {
         // VACUUM: delete physical cell directories the catalog no longer
         // references (crashed writes, dropped cells, foreign junk).
         ds(t).vacuumOrphans().length.toLong
+      case CreateCloneRe(t, src, loc) =>
+        // CREATE TABLE c SHALLOW CLONE t LOCATION '<path>': an independent,
+        // fully mutable table over the SAME data bytes — O(files) metadata
+        // operations, zero data copied ([[LakeDataset.shallowCloneTo]]).
+        require(!tables.contains(t), s"table '$t' already exists")
+        register(t, ds(src).shallowCloneTo(loc))
+        1L
+      case CreateTableAsRe(t, partsOrNull, bColOrNull, bNOrNull, locOrNull, query) =>
+        // CTAS: run the query, lay the result out as a lake table
+        // (optional partition/bucket axes and storage root), register it.
+        require(!tables.contains(t), s"table '$t' already exists")
+        val pCols = Option(partsOrNull)
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        val bCols = Option(bColOrNull).toSeq
+        val n = Option(bNOrNull).map(_.toInt).getOrElse(5)
+        val spec = Option(locOrNull).map(p => graft.model.StorageSpec(p))
+        val created = LakeDataset.fromDataFrame(spark, executeSql(query),
+          pCols, bCols, n, spec)
+        if (spec.isDefined) created.toStorage()
+        register(t, created)
+        1L
+      case DropTableRe(t, purgeOrNull) =>
+        val dropped = tables.remove(t).getOrElse(
+          throw new IllegalArgumentException(s"unknown lake table '$t'"))
+        feeds.remove(t)
+        spark.catalog.dropTempView(t)
+        // PURGE additionally deletes the storage root — without it the
+        // files survive (an unregister, like dropping an external table).
+        if (purgeOrNull != null)
+          dropped.storage.foreach(s =>
+            LakeDataset.deleteRecursively(java.nio.file.Paths.get(s.root)))
+        1L
+      case AnalyzeRe(t) =>
+        // ANALYZE TABLE t COMPUTE STATISTICS: restore the catalog's
+        // tightness vouch by recomputing stats for untight cells only —
+        // a read pass, never a rewrite (that's OPTIMIZE). Returns cells
+        // analyzed.
+        ds(t).analyze().toLong
+      case AddConstraintRe(t, name, e) =>
+        // ALTER TABLE t ADD CONSTRAINT c CHECK (expr): existing rows must
+        // already satisfy it; afterwards every ingest enforces it against
+        // the incoming batch (write-boundary data contract).
+        ds(t).addCheck(name, e.trim)
+        1L
+      case DropConstraintRe(t, name) =>
+        if (ds(t).dropCheck(name)) 1L else 0L
       case AlterRe(t, clauses) =>
         // Layout DDL: rebuild under the new partition/bucket layout (one
         // table pass) and swap the catalog registration — readers of the
@@ -413,8 +514,13 @@ final class Database(val spark: SparkSession) {
           "INSERT INTO <t> <query>, UPDATE <t> SET ... [WHERE <cond>], " +
           "MERGE INTO <t> USING (<query>) ON <key equalities>, " +
           "COPY INTO <t> FROM '<path>' [FORMAT <fmt>], " +
-          "OPTIMIZE <t> [ZORDER BY (cols)], VACUUM <t>, or " +
-          "ALTER TABLE <t> PARTITIONED BY (...) [BUCKETED BY (col, n)]")
+          "OPTIMIZE <t> [ZORDER BY (cols)], VACUUM <t>, " +
+          "CREATE TABLE <t> [PARTITIONED BY (...)] [BUCKETED BY (col, n)] " +
+          "[LOCATION '<path>'] AS <query>, " +
+          "CREATE TABLE <t> SHALLOW CLONE <src> LOCATION '<path>', " +
+          "DROP TABLE <t> [PURGE], " +
+          "ALTER TABLE <t> ADD CONSTRAINT <c> CHECK (<expr>) | " +
+          "DROP CONSTRAINT <c> | PARTITIONED BY (...) [BUCKETED BY (col, n)]")
     }
   }
 }

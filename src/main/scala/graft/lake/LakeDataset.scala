@@ -705,8 +705,194 @@ final class LakeDataset private (
   def writeManifest(): Unit = {
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
     val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
-    Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
-      bloomCols, serializedBlooms, serializedRows, serializedSums), spec.root)
+    commitManifest(spec)(v =>
+      Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
+        bloomCols, serializedBlooms, serializedRows, serializedSums, checksMap, v))
+  }
+
+  // ------------------------------------------------------------------
+  // Optimistic concurrency — the manifest commit protocol.
+  // ------------------------------------------------------------------
+
+  /** Last manifest version this handle committed or loaded; -1 until the
+    * handle first engages the root (a fresh handle's first save is an
+    * explicit overwrite, like `mode("overwrite")`).
+    */
+  private[lake] val committedVersion =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  private def onDiskVersion(spec: StorageSpec): Long =
+    try Manifest.read(spec.root).version catch { case _: Exception => -1L }
+
+  /** Optimistic-concurrency gate: a handle that has loaded or committed
+    * version V may only commit over version V — anything else on disk
+    * means ANOTHER writer committed since, and proceeding would silently
+    * clobber its changes (lost update). Abort loudly; the caller reloads
+    * and retries, exactly the lakehouse optimistic-commit loop. On an
+    * object store this check-then-write is a conditional put (ETag /
+    * if-match); on a local filesystem it is best-effort TOCTOU — the
+    * detection window is the manifest write itself.
+    */
+  private def checkCommitToken(spec: StorageSpec): Unit = {
+    val expected = committedVersion.get
+    val onDisk = onDiskVersion(spec)
+    if (expected >= 0L && onDisk >= 0L && onDisk != expected)
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit on ${spec.root}: this handle is at manifest " +
+          s"version $expected but disk holds $onDisk — reload and retry")
+  }
+
+  private def commitManifest(spec: StorageSpec)(build: Long => Manifest): Unit = {
+    checkCommitToken(spec)
+    val next = math.max(0L, math.max(onDiskVersion(spec), committedVersion.get)) + 1L
+    Manifest.write(build(next), spec.root)
+    committedVersion.set(next)
+  }
+
+  // ------------------------------------------------------------------
+  // CHECK constraints — the table-level data contract, enforced at the
+  // WRITE boundary (a 100 TB table cannot afford read-time validation;
+  // rejecting a bad batch costs one aggregate over the batch only).
+  // ------------------------------------------------------------------
+
+  /** Active CHECK constraints: name → SQL boolean expression. */
+  @volatile private[lake] var checksMap: Map[String, String] = Map.empty
+  def checks: Map[String, String] = checksMap
+
+  /** Add a CHECK constraint. Existing rows must already satisfy it (one
+    * aggregate scan — ALTER TABLE ADD CONSTRAINT semantics in every SQL
+    * engine); from then on every insert/upsert/update enforces it against
+    * the INCOMING rows only. SQL CHECK semantics: a row violates only when
+    * the expression evaluates to FALSE — NULL passes.
+    */
+  def addCheck(name: String, predicate: String): Unit = this.synchronized {
+    require(name.matches("[A-Za-z_][\\w]*"), s"bad constraint name: '$name'")
+    if (!parts.isEmpty || cleanScan.isDefined) {
+      val n = toDF.filter(expr(predicate) === false).count()
+      require(n == 0L,
+        s"cannot add CHECK constraint '$name': $n existing rows violate ($predicate)")
+    } else {
+      // Empty table: still fail fast on an unparseable expression.
+      spark.sessionState.sqlParser.parseExpression(predicate)
+    }
+    checksMap += name -> predicate
+    if (storage.isDefined) writeManifest()
+  }
+
+  /** Drop a CHECK constraint; true when it existed. */
+  def dropCheck(name: String): Boolean = this.synchronized {
+    val existed = checksMap.contains(name)
+    checksMap -= name
+    if (existed && storage.isDefined) writeManifest()
+    existed
+  }
+
+  /** A constraint applies to a batch only when every column it references
+    * is present — a MISSING column in an upsert delta keeps the old
+    * (already validated) value through the merge coalesce, so there is
+    * nothing to check on the batch. Resolution failures fall through to
+    * analysis, which reports them loudly.
+    */
+  private def checkAppliesTo(predicate: String, cols: Set[String]): Boolean =
+    try {
+      spark.sessionState.sqlParser.parseExpression(predicate).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head.toLowerCase
+      }.forall(cols.contains)
+    } catch { case _: Exception => true }
+
+  /** Reject `df` if any applicable constraint has violating rows — ONE
+    * aggregate job counts every constraint at once (no per-constraint
+    * scans). No-op (zero jobs) when the table has no constraints.
+    */
+  private def enforceChecks(df: DataFrame, what: String): Unit = {
+    if (checksMap.isEmpty) return
+    val cols = df.columns.map(_.toLowerCase).toSet
+    val applicable = checksMap.toSeq.filter(c => checkAppliesTo(c._2, cols))
+    if (applicable.isEmpty) return
+    val aggs = applicable.map { case (n, e) =>
+      count(when(expr(e) === false, 1)).as(s"__chk_$n")
+    }
+    val row = df.select(aggs: _*).head()
+    val bad = applicable.zipWithIndex.collect {
+      case ((n, e), i) if row.getLong(i) > 0L => s"'$n' ($e): ${row.getLong(i)} rows"
+    }
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"$what rejected by CHECK constraint(s) ${bad.mkString("; ")}")
+  }
+
+  /** ANALYZE TABLE: recompute exact statistics for every cell that cannot
+    * currently vouch for tight stats — WITHOUT rewriting any data file
+    * (OPTIMIZE/materialize rewrites; this is the stats-only half). Each
+    * untight cell runs one aggregation job over its own files, fanned out
+    * on the ioPool; afterwards count/min/max/sum aggregates collapse to
+    * the catalog again and the manifest persists the restored vouch. The
+    * 100 TB use case: a table loaded from a foreign or stats-less manifest
+    * becomes metadata-answerable for the cost of one read pass, no write.
+    * Returns the number of cells analyzed.
+    */
+  def analyze(): Int = this.synchronized {
+    val untight = parts.values().asScala
+      .filterNot(p => p.statsTight.get && p.rows.get >= 0L).toList
+    if (untight.isEmpty) return 0
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = LakeDataset.ioPool
+    untight.map(p => Future(p.analyzeStats())).foreach(Await.result(_, Duration.Inf))
+    if (storage.isDefined) writeManifest()
+    untight.size
+  }
+
+  // ------------------------------------------------------------------
+  // SHALLOW CLONE — an independent table over the SAME data bytes.
+  // ------------------------------------------------------------------
+
+  /** Zero-copy SHALLOW CLONE: materialize an independent, fully mutable
+    * table at `newRoot` without copying any data bytes. Data files are
+    * HARD-LINKED into a mirrored directory layout (O(files) metadata
+    * operations — a 100 TB table clones in seconds); the manifest (and any
+    * other `_`-prefixed metadata rewritten in place) is COPIED so the two
+    * tables' catalogs never share an inode. Stats/blooms/rows/sums carry
+    * over exactly — the bytes are identical.
+    *
+    * Isolation falls out of the writer's own mechanics: Spark writes
+    * replace files (new inodes) rather than mutating them, so a mutation
+    * on either side unlinks from the shared inode and the other table is
+    * untouched — copy-on-write at file granularity. On an object store the
+    * same design is a manifest-level pointer or server-side copy (S3
+    * CopyObject is a metadata operation within a bucket); the local-FS
+    * link is its POSIX analogue, with a per-file byte-copy fallback for
+    * filesystems without hard links.
+    *
+    * Clones the CURRENT state: if any cell is ahead of its directory, the
+    * table saves first.
+    */
+  def shallowCloneTo(newRoot: String): LakeDataset = this.synchronized {
+    val spec = storage.getOrElse(throw new IllegalStateException(
+      "shallow clone needs a storage-backed table (set a StorageSpec)"))
+    val rootP = Paths.get(spec.root).toAbsolutePath.normalize
+    val newP = Paths.get(newRoot).toAbsolutePath.normalize
+    require(!newP.startsWith(rootP) && !rootP.startsWith(newP),
+      s"clone root $newP must be disjoint from source root $rootP")
+    val current = Files.exists(rootP.resolve(Manifest.FileName)) &&
+      parts.keySet().asScala.forall(diskDirs.containsKey)
+    if (!current) toStorage()
+    LakeDataset.deleteRecursively(newP)
+    val walk = Files.walk(rootP)
+    try {
+      walk.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
+        val dest = newP.resolve(rootP.relativize(p))
+        Files.createDirectories(dest.getParent)
+        val name = p.getFileName.toString
+        if (name.startsWith("_") || name.startsWith(".") ||
+            name == Manifest.LegacyFileName)
+          Files.copy(p, dest) // in-place-rewritten metadata: never share inodes
+        else
+          try Files.createLink(dest, p)
+          catch { case _: java.io.IOException => Files.copy(p, dest) }
+      }
+    } finally walk.close()
+    LakeDataset.fromStorage(spark, newP.toString)
   }
 
   /** Exact row counts of the parts whose stats are tight — the manifest's
@@ -1197,6 +1383,7 @@ final class LakeDataset private (
     * double-publishing cleanScan.
     */
   def insert(df: DataFrame, save: Boolean = false): Unit = {
+    enforceChecks(df, "insert batch")
     val (batch, slices) = splitByCell(df)
     this.synchronized {
       val wasEmpty = parts.isEmpty
@@ -1261,6 +1448,7 @@ final class LakeDataset private (
     // path feeds it straight into the merge join (its output materializes
     // immediately, so nothing retains a live reference to the source),
     // skipping a full batch write+read through the block store.
+    enforceChecks(df, "upsert batch")
     val p = prepared(df)
     val (counts, zoneCols, bloomColsP, sumColsP) = cellCountsOf(p)
     val nCells = if (counts == null) 1 else counts.length
@@ -1344,6 +1532,7 @@ final class LakeDataset private (
     */
   def insertWritten(df: DataFrame): Unit = {
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
+    enforceChecks(df, "insertWritten batch")
     val p = prepared(df)
     val (counts, zc, bc, sc) = profiled("iw:route")(cellCountsOf(p))
     require(counts != null,
@@ -1626,6 +1815,15 @@ final class LakeDataset private (
       val typed = assignments.map { case (name, rhs) =>
         name -> rhs.cast(schema(schema.fieldIndex(name)).dataType)
       }
+      // CHECK constraints validate the WOULD-BE rows before any part
+      // mutates: one scan of the matching rows with the assignments
+      // applied, only when constraints exist (zero cost otherwise).
+      if (checksMap.nonEmpty) {
+        val preview = typed.foldLeft(toDF.filter(cond)) {
+          case (d, (n, c)) => d.withColumn(n, c)
+        }
+        enforceChecks(preview, "UPDATE result")
+      }
       val names = schema.fieldNames.toSet
       val (eqs, ranges, ins) = graft.plans.PredicateConstraints.of(
         resolvedPredicate(cond), names.contains)
@@ -1852,14 +2050,22 @@ final class LakeDataset private (
     // load-then-save round trip silently losing the table). Materialize the
     // union into the snapshot store/spill dir (NOT under the root) and
     // rebuild parts over it, so nothing references the root before the wipe.
+    // Commit-token check BEFORE the destructive wipe: overwriting a root
+    // a concurrent writer has committed to since we engaged it is exactly
+    // the lost update the protocol exists to stop. A fresh handle adopts
+    // the on-disk version first so the counter stays monotonic across the
+    // wipe (a replace is still a commit in the root's history).
+    checkCommitToken(spec)
+    if (committedVersion.get < 0L) committedVersion.set(onDiskVersion(spec))
     if (!parts.isEmpty && backedByRoot(spec.root)) compact()
     LakeDataset.deleteRecursively(Paths.get(spec.root))
     if (parts.isEmpty) {
       // Manifest-only layout; keep the schema (from the clean scan an empty
       // insert published) so fromStorage can rebuild the empty table.
       val emptyDdl = cleanScan.map(_.schema.toDDL)
-      Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, emptyDdl,
-        bloomCols = bloomCols), spec.root)
+      commitManifest(spec)(v =>
+        Manifest(partitionCols, bucketCols, nBuckets, spec, emptyDdl,
+          bloomCols = bloomCols, checks = checksMap, version = v))
       return
     }
     val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
@@ -1897,8 +2103,9 @@ final class LakeDataset private (
         .partitionBy(dirCols: _*)
         .save(spec.root)
     }
-    Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
-      bloomCols, serializedBlooms, serializedRows, serializedSums), spec.root)
+    commitManifest(spec)(v =>
+      Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
+        bloomCols, serializedBlooms, serializedRows, serializedSums, checksMap, v))
     // Every cell's directory now mirrors its content exactly. PartKey.escape
     // IS Spark's escapePathName, so the writer's directory and relPath agree
     // by construction; the existence check stays as a backstop (a mismatch
@@ -1924,8 +2131,12 @@ final class LakeDataset private (
       diskDirs.put(key, s"${spec.root}/${key.relPath}")
       diskSchemas.put(key, p.df.schema)
       val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
-      Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
-        bloomCols, serializedBlooms), spec.root)
+      // Carry the tightness vouch (exact rows + sums) like toStorage does —
+      // an incremental cell save must not cost every OTHER part its
+      // metadata-answerability on the next load.
+      commitManifest(spec)(v =>
+        Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
+          bloomCols, serializedBlooms, serializedRows, serializedSums, checksMap, v))
     }
   }
 
@@ -1950,8 +2161,9 @@ final class LakeDataset private (
       diskSchemas.put(p.key, p.df.schema)
     }
     val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
-    Manifest.write(Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
-      bloomCols, serializedBlooms), spec.root)
+    commitManifest(spec)(v =>
+      Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
+        bloomCols, serializedBlooms, serializedRows, serializedSums, checksMap, v))
   }
 }
 
@@ -2050,6 +2262,8 @@ object LakeDataset {
     val ds = new LakeDataset(spark, manifest.partitions, manifest.buckets,
       manifest.nBuckets, Some(manifest.storage.copy(root = root)),
       bloomCols = manifest.bloomCols)
+    ds.checksMap = manifest.checks // a reloaded table keeps its data contract
+    ds.committedVersion.set(manifest.version)
 
     val leafDirs = discoverLeafDirs(Paths.get(root))
     val target: Option[StructType] = manifest.schemaDdl.map(StructType.fromDDL)

@@ -293,6 +293,27 @@ final class LakePart private[lake] (
     }
   }
 
+  /** ANALYZE: recompute exact statistics from the part's CURRENT data
+    * without collapsing the plan or touching any file — one aggregation
+    * job, zero writes. Restores [[statsTight]]. For a disk-resident part
+    * the scan reads only this cell's files; for a mutation-deep part
+    * prefer [[materialize]] (it also collapses the plan).
+    */
+  private[lake] def analyzeStats(): Unit = lock.synchronized {
+    if (statsTight.get && rows.get >= 0L) return
+    import org.apache.spark.sql.functions.{count, lit}
+    val d = cur
+    val (zc, bc, sc) = statColsOf(d.schema)
+    val statAggs = count(lit(1)) +:
+      (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(d.schema, sc))
+    val row = d.agg(statAggs.head, statAggs.tail: _*).head()
+    rows.set(row.getLong(0))
+    zonesRef.set(Some(ZoneMap.fromRow(row, 1, zc)))
+    if (bc.nonEmpty) bloomsRef.set(Some(Bloom.fromRow(row, 1 + 2 * zc.length, bc)))
+    sumsRef.set(Some(SumMap.fromRow(row, 1 + 2 * zc.length + Bloom.Planes * bc.length, sc)))
+    statsTight.set(true)
+  }
+
   private def maybeCompact(collectNow: Boolean): Unit = {
     mutationOps.incrementAndGet()
     if (collectNow ||

@@ -115,7 +115,21 @@ final case class Manifest(
       * (metadata-sum answers fail open to a real scan). Old manifests
       * without the field load the same way.
       */
-    partSums: Map[String, Map[String, (String, Long)]] = Map.empty)
+    partSums: Map[String, Map[String, (String, Long)]] = Map.empty,
+    /** Table CHECK constraints: name → SQL boolean expression. Enforced on
+      * every ingest (insert/upsert/update reject violating batches loudly);
+      * persisted so a reloaded table keeps enforcing them. Old manifests
+      * without the field load unconstrained.
+      */
+    checks: Map[String, String] = Map.empty,
+    /** Monotonic commit counter for optimistic concurrency: every manifest
+      * commit increments it, and a writer whose expected version no longer
+      * matches the on-disk one aborts instead of silently clobbering a
+      * concurrent writer's commit (the lakehouse optimistic-commit
+      * protocol; a conditional put on an object store). Old manifests load
+      * as version 0.
+      */
+    version: Long = 0L)
 
 object Manifest {
   val FileName = "_manifest.json"
@@ -169,6 +183,11 @@ object Manifest {
         }
       }
     }
+    if (m.checks.nonEmpty) {
+      val checksN = node.putObject("checks")
+      m.checks.foreach { case (name, e) => checksN.put(name, e) }
+    }
+    node.put("version", m.version)
     val st = node.putObject("storage")
     st.put("root", m.storage.root)
     st.put("format", m.storage.format)
@@ -228,6 +247,10 @@ object Manifest {
             c -> (cn.get("sum").asText(), cn.get("n").asLong())
           }.toMap
         }.toMap
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      checks = Option(node.get("checks")).map { cs =>
+        cs.fieldNames().asScala.map(n => n -> cs.get(n).asText()).toMap
+      }.getOrElse(Map.empty),
+      version = Option(node.get("version")).map(_.asLong()).getOrElse(0L))
   }
 }

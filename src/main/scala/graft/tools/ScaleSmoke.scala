@@ -43,7 +43,8 @@ object ScaleSmoke {
       !sys.env.contains("SPARK_GRAFT_ONLY_IVF") && !onlyEx && !onlyR7 &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R8") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R9") &&
-      !sys.env.contains("SPARK_GRAFT_ONLY_R10")
+      !sys.env.contains("SPARK_GRAFT_ONLY_R10") &&
+      !sys.env.contains("SPARK_GRAFT_ONLY_R11")
     if (runAll) {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val big = (0 until copies).map { i =>
@@ -720,6 +721,93 @@ object ScaleSmoke {
       mo10.unpersist(true)
     }
     if (onlyR10) { spark.stop(); return }
+
+    // ---- round-8 catalog DDL: shallow clone, ANALYZE, drift restore. ------
+    // ---- SPARK_GRAFT_ONLY_R11=1 runs just this section. -------------------
+    val onlyR11 = sys.env.contains("SPARK_GRAFT_ONLY_R11")
+    if (runAll || onlyR11) {
+      import graft.lake.TrackedLake
+      import graft.model.StorageSpec
+
+      val mo11 = (0 until copies).map { i =>
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 1000000L))
+      }.reduce(_ unionByName _)
+        .withColumn("o_batch", (col("o_orderkey") / 500000).cast("int"))
+        .localCheckpoint(true)
+      val nRows = mo11.count()
+      println(s"[scale] r11 orders: $nRows rows (${copies}x)")
+
+      // SHALLOW CLONE: O(files) metadata ops vs the deep-copy alternative
+      // (one full write pass). The claim that matters at 100 TB: clone
+      // cost tracks FILE COUNT, not byte count.
+      val srcRoot = java.nio.file.Files.createTempDirectory("graft_r11_src").toString
+      val cloneRoot = java.nio.file.Files.createTempDirectory("graft_r11_clone").toString
+      val deepRoot = java.nio.file.Files.createTempDirectory("graft_r11_deep").toString
+      try {
+        val d = LakeDataset.fromDataFrame(spark, mo11,
+          partitionCols = Seq("o_batch"), storage = Some(StorageSpec(srcRoot)))
+        time(s"clone-src save ${copies}x")(d.toStorage())
+        val nFiles = {
+          val w = java.nio.file.Files.walk(java.nio.file.Paths.get(srcRoot))
+          try w.filter(java.nio.file.Files.isRegularFile(_)).count()
+          finally w.close()
+        }
+        val clone = time(s"SHALLOW CLONE ($nFiles files, 0 bytes copied)")(
+          d.shallowCloneTo(cloneRoot))
+        require(clone.rowsCount == nRows, "clone row count drift")
+        val deep = LakeDataset.fromStorage(spark, srcRoot)
+        deep.storage = Some(StorageSpec(deepRoot))
+        time(s"deep copy (full rewrite) ${copies}x")(deep.toStorage())
+        // Clone mutation touches only the clone (isolation probe).
+        time("clone-side delete 1 cell") {
+          clone.deleteWhere(col("o_batch") === 0)
+        }
+        require(LakeDataset.fromStorage(spark, srcRoot).rowsCount == nRows,
+          "clone mutation leaked into source")
+      } finally Seq(srcRoot, cloneRoot, deepRoot).foreach(r =>
+        LakeDataset.deleteRecursively(java.nio.file.Paths.get(r)))
+
+      // ANALYZE: untight cells (after a predicate delete) regain the
+      // metadata vouch with a READ pass over ONLY those cells — vs
+      // OPTIMIZE (materialize) which rewrites.
+      {
+        val d = LakeDataset.fromDataFrame(spark, mo11,
+          partitionCols = Seq("o_batch"))
+        val untight = time("predicate delete (untightens cells)") {
+          d.deleteWhere(col("o_custkey") % 97 === 0)
+        }
+        println(s"[scale] untight cells after delete: $untight of ${d.numParts}")
+        val analyzed = time("ANALYZE (read pass, untight only)")(d.analyze())
+        require(analyzed == untight, s"analyzed $analyzed, expected $untight")
+        require(d.metaStats(Seq("o_custkey")).isDefined, "vouch not restored")
+        time("metadata count+min+max after ANALYZE") {
+          d.metaStats(Seq("o_custkey")).get
+        }
+      }
+
+      // Drift-only RESTORE: the logged volume is O(drift), not O(table) —
+      // restore after touching ~1/50 of rows logs ~2/50, not 2 full tables.
+      {
+        val base = LakeDataset.fromDataFrame(spark, mo11,
+          partitionCols = Seq("o_orderstatus"))
+        val t = TrackedLake(spark, base, logBase = true)
+        val mark = t.currentSeq
+        t.upsert(mo11.filter(col("o_orderkey") % 50 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 999),
+          Seq("o_orderkey"))
+        val logBefore = t.log.rowsCount
+        time(s"drift-only RESTORE (${copies}x table, 1/50 touched)") {
+          t.restore(mark, Seq("o_orderkey"))
+        }
+        val logged = t.log.rowsCount - logBefore
+        println(f"[scale] restore logged $logged rows = ${logged.toDouble / nRows}%.3f" +
+          s" of table ($nRows)")
+        require(logged < nRows / 10, "restore logged O(table), not O(drift)")
+      }
+      mo11.unpersist(true)
+    }
+    if (onlyR11) { spark.stop(); return }
 
     // ---- IVF ANN: probe cost vs corpus growth ------------------------------
     // The scale claim: an IVF probe reads nprobe inverted LISTS, whose size

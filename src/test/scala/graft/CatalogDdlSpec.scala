@@ -1,0 +1,289 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.BasicFileAttributes
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.{Database, LakeDataset}
+
+/** Catalog DDL surface: CREATE TABLE AS SELECT, SHALLOW CLONE, DROP TABLE,
+  * SHOW TABLES, DESCRIBE DETAIL, and CHECK constraints (ALTER TABLE
+  * ADD/DROP CONSTRAINT + write-boundary enforcement).
+  */
+class CatalogDdlSpec extends SparkSpec {
+
+  private def db(): Database = new Database(spark)
+
+  private def registerOrders(d: Database, name: String): LakeDataset = {
+    val o = Fixtures.table(spark, sf(), "orders")
+      .withColumn("o_batch", (col("o_orderkey") / 500).cast("int"))
+    val ds = LakeDataset.fromDataFrame(spark, o, partitionCols = Seq("o_batch"))
+    d.register(name, ds)
+    ds
+  }
+
+  // ---------------------------------------------------------------- CTAS
+
+  test("CREATE TABLE AS SELECT lays out, persists, and registers") {
+    val d = db()
+    registerOrders(d, "ddl_src")
+    val root = Files.createTempDirectory("graft_ctas").toString
+    d.executeDml(
+      s"""CREATE TABLE ddl_ctas PARTITIONED BY (o_orderstatus)
+         |BUCKETED BY (o_orderkey, 3) LOCATION '$root'
+         |AS SELECT o_orderkey, o_orderstatus, o_totalprice
+         |   FROM ddl_src WHERE o_totalprice > 1000""".stripMargin)
+    val got = d.executeSql(
+      "SELECT COUNT(*) AS n FROM ddl_ctas").head().getLong(0)
+    val expect = d.executeSql(
+      "SELECT COUNT(*) AS n FROM ddl_src WHERE o_totalprice > 1000").head().getLong(0)
+    assert(got == expect && got > 0)
+    val created = d.get("ddl_ctas").get
+    assert(created.partitionCols == List("o_orderstatus"))
+    assert(created.bucketCols == List("o_orderkey") && created.nBuckets == 3)
+    // LOCATION persisted: a fresh load from the root sees the same rows.
+    assert(LakeDataset.fromStorage(spark, root).toDF.count() == got)
+    // Re-creating under the same name is rejected loudly.
+    intercept[IllegalArgumentException](
+      d.executeDml(s"CREATE TABLE ddl_ctas AS SELECT 1 AS x"))
+  }
+
+  test("CTAS without LOCATION registers an in-memory table") {
+    val d = db()
+    registerOrders(d, "ddl_src_m")
+    d.executeDml(
+      "CREATE TABLE ddl_mem AS SELECT o_orderstatus, COUNT(*) AS n " +
+        "FROM ddl_src_m GROUP BY o_orderstatus")
+    assert(d.executeSql("SELECT SUM(n) AS s FROM ddl_mem").head().getLong(0) ==
+      d.get("ddl_src_m").get.rowsCount)
+    assert(d.get("ddl_mem").get.storage.isEmpty)
+  }
+
+  // ------------------------------------------------------- SHALLOW CLONE
+
+  test("SHALLOW CLONE: same rows, zero data copy, mutation isolation") {
+    val d = db()
+    val srcRoot = Files.createTempDirectory("graft_clone_src").toString
+    val cloneRoot = Files.createTempDirectory("graft_clone_dst").toString
+    val o = Fixtures.table(spark, sf(), "orders").limit(600)
+      .withColumn("o_batch", (col("o_orderkey") % 4).cast("int"))
+    val src = LakeDataset.fromDataFrame(spark, o, partitionCols = Seq("o_batch"),
+      storage = Some(graft.model.StorageSpec(srcRoot)))
+    src.toStorage()
+    d.register("clone_src", src)
+    d.executeDml(s"CREATE TABLE clone_dst SHALLOW CLONE clone_src LOCATION '$cloneRoot'")
+
+    val srcRows = src.rowsCount
+    assert(d.executeSql("SELECT COUNT(*) AS n FROM clone_dst").head().getLong(0) == srcRows)
+
+    // Zero-copy: every data file in the clone shares its inode (fileKey)
+    // with the source file at the same relative path.
+    def dataFiles(root: String): Map[String, Object] = {
+      val rp = Paths.get(root)
+      val walk = Files.walk(rp)
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(p => rp.relativize(p).toString ->
+          Files.readAttributes(p, classOf[BasicFileAttributes]).fileKey())
+        .toMap
+      finally walk.close()
+    }
+    val srcFiles = dataFiles(srcRoot)
+    val cloneFiles = dataFiles(cloneRoot)
+    assert(srcFiles.nonEmpty && srcFiles.keySet == cloneFiles.keySet)
+    srcFiles.foreach { case (rel, key) => assert(cloneFiles(rel) == key, rel) }
+    // Metadata is NOT shared (manifest rewrites in place).
+    assert(Files.readAttributes(Paths.get(srcRoot, "_manifest.json"),
+      classOf[BasicFileAttributes]).fileKey() !=
+      Files.readAttributes(Paths.get(cloneRoot, "_manifest.json"),
+        classOf[BasicFileAttributes]).fileKey())
+
+    // The clone stays metadata-answerable: stats carried over exactly.
+    val clone = d.get("clone_dst").get
+    assert(clone.metaStats(Seq("o_orderkey")).isDefined)
+
+    // Mutation isolation, both directions.
+    d.executeDml("DELETE FROM clone_dst WHERE o_orderkey <= 100")
+    assert(src.rowsCount == srcRows)
+    d.executeDml("DELETE FROM clone_src WHERE o_orderkey > 100")
+    val cloneLeft = d.executeSql("SELECT COUNT(*) AS n FROM clone_dst").head().getLong(0)
+    assert(cloneLeft == o.filter(col("o_orderkey") > 100).count())
+    // Source's own delete is what it should be.
+    assert(src.rowsCount == o.filter(col("o_orderkey") <= 100).count())
+  }
+
+  // --------------------------------------------- DROP / SHOW / DESCRIBE
+
+  test("DROP TABLE unregisters; PURGE also deletes the root") {
+    val d = db()
+    registerOrders(d, "ddl_drop")
+    val root = Files.createTempDirectory("graft_drop").toString
+    d.executeDml(s"CREATE TABLE ddl_drop_p LOCATION '$root' AS SELECT * FROM ddl_drop LIMIT 10")
+    d.executeDml("DROP TABLE ddl_drop")
+    intercept[Exception](d.executeDml("DELETE FROM ddl_drop"))
+    assert(d.get("ddl_drop").isEmpty)
+    d.executeDml("DROP TABLE ddl_drop_p PURGE")
+    assert(!Files.exists(Paths.get(root)))
+    intercept[IllegalArgumentException](d.executeDml("DROP TABLE ddl_drop"))
+  }
+
+  test("SHOW TABLES and DESCRIBE DETAIL serve catalog metadata, zero jobs") {
+    val d = db()
+    val ds = registerOrders(d, "ddl_meta")
+    val shown = d.executeSql("SHOW TABLES").collect()
+    assert(shown.exists(r => r.getString(0) == "ddl_meta" && !r.getBoolean(1)))
+    val det = d.executeSql("DESCRIBE DETAIL ddl_meta").head()
+    assert(det.getAs[String]("table_name") == "ddl_meta")
+    assert(det.getAs[String]("format") == "memory")
+    assert(det.getAs[String]("partition_columns") == "o_batch")
+    assert(det.getAs[Long]("num_cells") == ds.numParts.toLong)
+    assert(det.getAs[Long]("num_rows") == ds.rowsCount)
+  }
+
+  // ------------------------------------------------- CHECK constraints
+
+  test("CHECK constraints: add validates existing rows; ingest enforces") {
+    val d = db()
+    val ds = registerOrders(d, "ddl_chk")
+    // Existing data violates → rejected, nothing stored.
+    intercept[IllegalArgumentException](
+      d.executeDml("ALTER TABLE ddl_chk ADD CONSTRAINT pos CHECK (o_totalprice > 100000)"))
+    assert(ds.checks.isEmpty)
+
+    d.executeDml("ALTER TABLE ddl_chk ADD CONSTRAINT pos CHECK (o_totalprice >= 0)")
+    d.executeDml("ALTER TABLE ddl_chk ADD CONSTRAINT key_pos CHECK (o_orderkey >= 0)")
+    assert(ds.checks.keySet == Set("pos", "key_pos"))
+
+    val before = ds.rowsCount
+    // Violating INSERT rejected atomically — the table is unchanged.
+    val e = intercept[IllegalArgumentException](d.executeDml(
+      """INSERT INTO ddl_chk VALUES
+        |(9000002, 7, 'O', -5.0, TIMESTAMP '2031-01-01 00:00:00', '1-URGENT', 18)""".stripMargin))
+    assert(e.getMessage.contains("pos"))
+    assert(ds.rowsCount == before)
+    // Clean INSERT passes.
+    d.executeDml(
+      """INSERT INTO ddl_chk VALUES
+        |(9000002, 7, 'O', 5.0, TIMESTAMP '2031-01-01 00:00:00', '1-URGENT', 18)""".stripMargin)
+    assert(ds.rowsCount == before + 1)
+
+    // SQL CHECK semantics: NULL passes (no violation).
+    d.executeDml(
+      """INSERT INTO ddl_chk VALUES
+        |(9000003, 7, 'O', NULL, TIMESTAMP '2031-01-01 00:00:00', '1-URGENT', 18)""".stripMargin)
+    assert(ds.rowsCount == before + 2)
+
+    // Violating UPDATE rejected before any part mutates.
+    intercept[IllegalArgumentException](d.executeDml(
+      "UPDATE ddl_chk SET o_totalprice = -1 WHERE o_orderkey = 9000002"))
+    assert(d.executeSql(
+      "SELECT o_totalprice FROM ddl_chk WHERE o_orderkey = 9000002")
+      .head().getDouble(0) == 5.0)
+    // Clean UPDATE passes.
+    d.executeDml("UPDATE ddl_chk SET o_totalprice = 7.5 WHERE o_orderkey = 9000002")
+
+    // An upsert delta MISSING the checked column is fine: the merge keeps
+    // the old (already validated) value, so there is nothing to check.
+    ds.upsert(spark.sql(
+      "SELECT 9000002L AS o_orderkey, 99L AS o_custkey, 18 AS o_batch"),
+      Seq("o_orderkey"))
+    assert(d.executeSql(
+      "SELECT o_custkey FROM ddl_chk WHERE o_orderkey = 9000002").head().getLong(0) == 99L)
+
+    // DROP CONSTRAINT: the negative insert now lands.
+    d.executeDml("ALTER TABLE ddl_chk DROP CONSTRAINT pos")
+    d.executeDml(
+      """INSERT INTO ddl_chk VALUES
+        |(9000004, 7, 'O', -1.0, TIMESTAMP '2031-01-01 00:00:00', '1-URGENT', 18)""".stripMargin)
+    assert(ds.checks.keySet == Set("key_pos"))
+  }
+
+  test("CHECK constraints persist through save/load") {
+    val root = Files.createTempDirectory("graft_chk_persist").toString
+    val o = Fixtures.table(spark, sf(), "orders").limit(50)
+    val ds = LakeDataset.fromDataFrame(spark, o,
+      storage = Some(graft.model.StorageSpec(root)))
+    ds.addCheck("price_pos", "o_totalprice >= 0")
+    ds.toStorage()
+    val loaded = LakeDataset.fromStorage(spark, root)
+    assert(loaded.checks == Map("price_pos" -> "o_totalprice >= 0"))
+    intercept[IllegalArgumentException](
+      loaded.insert(o.withColumn("o_totalprice", lit(-4.0))))
+  }
+
+  test("incremental cell save keeps every part's metadata vouch on reload") {
+    val root = Files.createTempDirectory("graft_vouch").toString
+    val o = Fixtures.table(spark, sf(), "orders").limit(400)
+      .withColumn("o_batch", (col("o_orderkey") % 3).cast("int"))
+    val ds = LakeDataset.fromDataFrame(spark, o, partitionCols = Seq("o_batch"),
+      storage = Some(graft.model.StorageSpec(root)))
+    ds.toStorage()
+    // Mutate ONE cell and save just that cell.
+    val key = ds.partKeys.head
+    ds.insert(o.filter(col("o_batch") ===
+      key.partValues.head._2.toInt).limit(5))
+    ds.saveParts(Seq(key))
+    // A fresh load still answers count+sum metadata-only for the table.
+    val loaded = LakeDataset.fromStorage(spark, root)
+    val stats = loaded.metaStats(Seq("o_totalprice"))
+    assert(stats.isDefined, "tightness vouch lost by incremental save")
+    // Sums track integral/decimal columns only (exact folding).
+    assert(loaded.metaSums(Seq("o_custkey")).isDefined)
+  }
+
+  // ------------------------------------------------------ ANALYZE TABLE
+
+  test("ANALYZE restores the metadata vouch with a read pass, no rewrite") {
+    val root = Files.createTempDirectory("graft_analyze").toString
+    val o = Fixtures.table(spark, sf(), "orders").limit(500)
+      .withColumn("o_batch", (col("o_orderkey") % 3).cast("int"))
+    val ds = LakeDataset.fromDataFrame(spark, o, partitionCols = Seq("o_batch"),
+      storage = Some(graft.model.StorageSpec(root)))
+    ds.toStorage()
+    // Simulate a foreign/legacy manifest that carries no tightness vouch.
+    val m = graft.model.Manifest.read(root)
+    graft.model.Manifest.write(m.copy(partRows = Map.empty, partSums = Map.empty), root)
+    val loaded = LakeDataset.fromStorage(spark, root)
+    assert(loaded.metaStats(Seq("o_custkey")).isEmpty, "no vouch expected")
+
+    def fileTimes(): Map[String, Long] = {
+      val rp = Paths.get(root)
+      val walk = Files.walk(rp)
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_"))
+        .map(p => rp.relativize(p).toString -> Files.getLastModifiedTime(p).toMillis)
+        .toMap
+      finally walk.close()
+    }
+    val before = fileTimes()
+    assert(loaded.analyze() > 0)
+    assert(fileTimes() == before, "ANALYZE must not touch data files")
+    val stats = loaded.metaStats(Seq("o_custkey"))
+    assert(stats.isDefined && stats.get._1 == o.count())
+    assert(loaded.metaSums(Seq("o_custkey")).isDefined)
+    // Idempotent: nothing left to analyze.
+    assert(loaded.analyze() == 0)
+    // The restored vouch persisted: a FRESH load answers metadata-only.
+    assert(LakeDataset.fromStorage(spark, root).metaStats(Seq("o_custkey")).isDefined)
+  }
+
+  test("ANALYZE after a predicate delete re-tightens only touched cells") {
+    val d = db()
+    val ds = registerOrders(d, "ddl_an")
+    d.executeDml("DELETE FROM ddl_an WHERE o_custkey % 5 = 0")
+    assert(ds.metaStats(Seq("o_custkey")).isEmpty)
+    val analyzed = d.executeDml("ANALYZE TABLE ddl_an COMPUTE STATISTICS")
+    assert(analyzed > 0 && analyzed <= ds.numParts)
+    val expect = Fixtures.table(spark, sf(), "orders")
+      .filter(!(col("o_custkey") % 5 === 0)).count()
+    assert(ds.metaStats(Seq("o_custkey")).get._1 == expect)
+  }
+
+  private implicit class IterOps[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.LakeDataset
+import graft.model.{Manifest, StorageSpec}
+
+/** Optimistic concurrency on manifest commits: a handle that loaded
+  * version V may only commit over V — a concurrent writer's commit aborts
+  * the stale handle loudly instead of being silently clobbered (lost
+  * update). The lakehouse optimistic-commit loop: abort → reload → retry.
+  */
+class CommitProtocolSpec extends SparkSpec {
+
+  private def freshLake(root: String): LakeDataset = {
+    val o = Fixtures.table(spark, sf(), "orders").limit(300)
+      .withColumn("o_batch", (col("o_orderkey") % 3).cast("int"))
+    val ds = LakeDataset.fromDataFrame(spark, o, partitionCols = Seq("o_batch"),
+      storage = Some(StorageSpec(root)))
+    ds.toStorage()
+    ds
+  }
+
+  test("stale handle aborts; reload-and-retry commits") {
+    val root = Files.createTempDirectory("graft_occ").toString
+    freshLake(root)
+    val v0 = Manifest.read(root).version
+
+    val a = LakeDataset.fromStorage(spark, root)
+    val b = LakeDataset.fromStorage(spark, root)
+
+    // A commits: version advances.
+    a.deleteWhere(col("o_orderkey") <= 50)
+    a.writeManifest()
+    assert(Manifest.read(root).version == v0 + 1)
+
+    // B (still at v0) must NOT clobber A's commit.
+    b.deleteWhere(col("o_orderkey") > 250)
+    intercept[java.util.ConcurrentModificationException](b.writeManifest())
+    assert(Manifest.read(root).version == v0 + 1, "B's abort left A's commit")
+
+    // The retry loop: reload at A's version, redo, commit.
+    val b2 = LakeDataset.fromStorage(spark, root)
+    b2.deleteWhere(col("o_orderkey") > 250)
+    b2.writeManifest()
+    assert(Manifest.read(root).version == v0 + 2)
+  }
+
+  test("toStorage checks the token BEFORE the destructive wipe") {
+    val root = Files.createTempDirectory("graft_occ_wipe").toString
+    freshLake(root)
+    val a = LakeDataset.fromStorage(spark, root)
+    val b = LakeDataset.fromStorage(spark, root)
+    a.insert(Fixtures.table(spark, sf(), "orders").limit(10)
+      .withColumn("o_batch", lit(9)))
+    a.saveParts(a.partKeys.filter(_.partValues.exists(_._2 == "9")))
+    val committed = Manifest.read(root).version
+    // B's full save would wipe the root — it must abort first, leaving
+    // A's files AND manifest intact.
+    intercept[java.util.ConcurrentModificationException](b.toStorage())
+    assert(Manifest.read(root).version == committed)
+    assert(LakeDataset.fromStorage(spark, root).rowsCount == a.rowsCount)
+  }
+
+  test("a fresh handle's first save is an explicit overwrite (no token)") {
+    val root = Files.createTempDirectory("graft_occ_fresh").toString
+    freshLake(root)
+    val vOld = Manifest.read(root).version
+    // Building a NEW table over the same root (relayout, deliberate
+    // replace) never engaged the root before — allowed, like
+    // mode("overwrite"); the version still advances monotonically.
+    val replacement = LakeDataset.fromDataFrame(spark,
+      Fixtures.table(spark, sf(), "orders").limit(20),
+      storage = Some(StorageSpec(root)))
+    replacement.toStorage()
+    assert(Manifest.read(root).version > vOld)
+    assert(LakeDataset.fromStorage(spark, root).rowsCount == 20L)
+  }
+
+  test("incremental cell saves carry the token too") {
+    val root = Files.createTempDirectory("graft_occ_cell").toString
+    freshLake(root)
+    val a = LakeDataset.fromStorage(spark, root)
+    val b = LakeDataset.fromStorage(spark, root)
+    a.deleteWhere(col("o_orderkey") <= 10)
+    a.writeManifest()
+    b.deleteWhere(col("o_orderkey") > 290)
+    intercept[java.util.ConcurrentModificationException](
+      b.saveParts(b.partKeys))
+  }
+}

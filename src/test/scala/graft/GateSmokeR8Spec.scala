@@ -29,6 +29,8 @@ class GateSmokeR8Spec extends SparkSpec {
   for (q <- Seq(
     "lake_stats_sum", "lake_sql_stats_sum", "lake_sql_stats_sum_grouped",
     "lake_sql_time_travel", "lake_sql_zorder", "lake_sql_history",
-    "lake_sql_restore"))
+    "lake_sql_restore",
+    "lake_sql_ctas", "lake_sql_clone", "lake_sql_constraint",
+    "lake_sql_detail", "lake_sql_analyze"))
     test(s"$q matches its oracle") { check(q) }
 }
