@@ -1332,6 +1332,57 @@ object SparkEntry {
           "num_cells", "num_rows")
     }),
 
+    // SQL-managed materialized view: built once, maintained from each SQL
+    // INSERT's batch alone (O(batch)+O(groups)), rebuilt on non-insert
+    // mutations by the operator contract; the oracle recomputes the final
+    // view relationally (base + inserted rows, minus the deleted slice).
+    "lake_sql_matview" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("mv_base", LakeDataset.fromDataFrame(
+        s, table(s, dir, "orders"), partitionCols = Seq("o_orderstatus")))
+      db.executeDml(
+        """CREATE MATERIALIZED VIEW mv_rev AS
+          |SELECT o_orderstatus, COUNT(*) AS n, SUM(o_totalprice) AS total,
+          |       MAX(o_custkey) AS max_cust
+          |FROM mv_base GROUP BY o_orderstatus""".stripMargin)
+      db.executeDml(
+        """INSERT INTO mv_base VALUES
+          |(9900101, 42, 'O', 1000.5, TIMESTAMP '2031-01-01 00:00:00', '1-URGENT')""".stripMargin)
+      db.executeDml("DELETE FROM mv_base WHERE o_custkey % 9 = 0")
+      db.executeSql(
+        """SELECT o_orderstatus, n, CAST(total AS DOUBLE) AS total, max_cust
+          |FROM mv_rev ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // Column DDL: ADD COLUMN (plan-level, existing rows read NULL) →
+    // populate via UPDATE → RENAME COLUMN → DROP COLUMN, then aggregate
+    // through the evolved schema; the oracle recomputes relationally over
+    // the original table.
+    "lake_sql_alter_columns" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("alt_t", LakeDataset.fromDataFrame(
+        s, table(s, dir, "orders"), partitionCols = Seq("o_orderstatus")))
+      db.executeDml("ALTER TABLE alt_t ADD COLUMN price_tier STRING")
+      db.executeDml(
+        "UPDATE alt_t SET price_tier = CASE WHEN o_totalprice > 100000 " +
+          "THEN 'high' ELSE 'low' END")
+      db.executeDml("ALTER TABLE alt_t RENAME COLUMN o_orderpriority TO priority")
+      db.executeDml("ALTER TABLE alt_t DROP COLUMN o_orderdate")
+      db.executeSql(
+        """SELECT price_tier, COUNT(*) AS n, MIN(priority) AS min_prio
+          |FROM alt_t GROUP BY price_tier ORDER BY price_tier""".stripMargin)
+    }),
+
+    // SHOW PARTITIONS: the cell listing straight from the catalog — one row
+    // per cell with its maintained row counter, zero jobs, zero file reads;
+    // the oracle recomputes the same listing relationally.
+    "lake_sql_show_partitions" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("sp_t", LakeDataset.fromDataFrame(
+        s, table(s, dir, "orders"), partitionCols = Seq("o_orderstatus")))
+      db.executeSql("SHOW PARTITIONS sp_t").orderBy("o_orderstatus")
+    }),
+
     // ANALYZE TABLE: a predicate delete leaves the touched cells unable to
     // vouch for tight stats (metadata aggregates fail open to a scan);
     // ANALYZE recomputes them with a read pass — no rewrite — and the
@@ -2537,6 +2588,26 @@ object SparkEntry {
     "lake_sql_analyze" ->
       """SELECT COUNT(*) AS n, MIN(o_custkey) AS mn, MAX(o_custkey) AS mx
         |FROM orders WHERE o_custkey % 7 <> 0""".stripMargin,
+
+    "lake_sql_show_partitions" ->
+      """SELECT o_orderstatus, COUNT(*) AS num_rows
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "lake_sql_alter_columns" ->
+      """SELECT CASE WHEN o_totalprice > 100000 THEN 'high' ELSE 'low' END
+        |         AS price_tier,
+        |       COUNT(*) AS n, MIN(o_orderpriority) AS min_prio
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_sql_matview" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |       ${osum("o_totalprice")} AS total,
+         |       MAX(o_custkey) AS max_cust
+         |FROM (SELECT o_orderstatus, o_totalprice, o_custkey FROM orders
+         |      UNION ALL
+         |      SELECT 'O', 1000.5, 42) t
+         |WHERE o_custkey % 9 <> 0
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // The trackedOrders recipe's four versions, recomputed relationally:
     // base INSERT (%4=0), insert (%4=1), upsert (custkey%3=0 over %4 in

@@ -190,15 +190,24 @@ final class TrackedLake private (
     * `keys` are the table's mutation keys (what upserts/deletes identify
     * rows by).
     */
-  def tableAsOf(asOfSeq: Long, keys: Seq[String]): DataFrame = {
+  def tableAsOf(asOfSeq: Long, keys: Seq[String]): DataFrame =
+    tableAsOfKeys(asOfSeq, keys, None)
+
+  /** [[tableAsOf]] optionally RESTRICTED to the keys in `onlyKeys`: the
+    * window dedup then runs over those keys' log rows only — O(restricted
+    * keys × their depth), not O(table). [[restore]]'s drift path.
+    */
+  private def tableAsOfKeys(asOfSeq: Long, keys: Seq[String],
+      onlyKeys: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Prune by the seq UPPER bound: after a checkpoint the log is one base
     // cell + tail, and a reconstruction at a historical mark must plan only
     // the cells at or below it — not one leaf per post-mark mutation
     // (ChangeFeedSpec pins the leaf count like the changesSince one).
-    val hist = log
+    val hist0 = log
       .prunedByConstraints(Map.empty, Map(SeqCol -> (None, Some(asOfSeq))))
       .filter(col(SeqCol) <= asOfSeq && col(OpCol) =!= "U-")
+    val hist = onlyKeys.fold(hist0)(k => hist0.join(k, keys.toSeq, "left_semi"))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(SeqCol).desc)
     hist.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col(OpCol) =!= "D")
@@ -275,8 +284,17 @@ final class TrackedLake private (
     * feed must never allow.)
     */
   def restore(asOfSeq: Long, keys: Seq[String]): Long = this.synchronized {
-    val want = tableAsOf(asOfSeq, keys).localCheckpoint(true)
-    val cur = table.toDF
+    // O(drift) end to end: the log TAIL names every key mutated past the
+    // mark (the feed logs every mutation — its core contract), so a key
+    // absent from the tail is bit-identical on both sides and never enters
+    // the diff. The mark-side reconstruction windows over the touched
+    // keys' log rows only; the current side is one semi-join of the table
+    // (broadcastable when the drift is small); the diff joins two
+    // drift-sized sets.
+    val touched = changesSince(asOfSeq)
+      .select(keys.map(col): _*).distinct().localCheckpoint(true)
+    val want = tableAsOfKeys(asOfSeq, keys, Some(touched)).localCheckpoint(true)
+    val cur = table.toDF.join(touched, keys.toSeq, "left_semi")
     // Widen both sides to the union schema (a column missing on one side
     // compares as NULL) so schema evolution since the mark diffs soundly.
     val allCols = (cur.columns ++ want.columns).distinct.toSeq

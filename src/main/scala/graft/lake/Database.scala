@@ -1,6 +1,7 @@
 package graft.lake
 
 import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 
@@ -87,6 +88,8 @@ final class Database(val spark: SparkSession) {
   private val DescribeHistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val ShowTablesRe = """(?is)^\s*SHOW\s+TABLES\s*;?\s*$""".r
+  private val ShowPartitionsRe =
+    """(?is)^\s*SHOW\s+PARTITIONS\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val DescribeDetailRe =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
 
@@ -98,6 +101,34 @@ final class Database(val spark: SparkSession) {
     tables.toSeq.sortBy(_._1).map { case (name, d) =>
       (name, feeds.contains(name), d.numParts.toLong)
     }.toDF("table_name", "is_feed", "num_cells")
+  }
+
+  /** Cell listing from the CATALOG: one row per partition×bucket cell with
+    * its maintained row counter (NULL when the counter is unknown — never
+    * a stale number, and never a triggered recount: listing 10k cells must
+    * stay a driver-side metadata walk, zero jobs).
+    */
+  private def showPartitions(name: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val d = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown lake table '$name'"))
+    require(d.partitionCols.nonEmpty || d.bucketCols.nonEmpty,
+      s"table '$name' has no partition or bucket layout")
+    val pCols = d.partitionCols.sorted
+    val bucketed = d.bucketCols.nonEmpty
+    val schema = StructType(
+      pCols.map(c => StructField(c, StringType)) ++
+        (if (bucketed) Seq(StructField("bucket", IntegerType)) else Nil) :+
+        StructField("num_rows", LongType))
+    val rows = d.partKeys.map { k =>
+      val pv = k.partValues.toMap
+      val n = d.part(k).map(_.rows.get).getOrElse(-1L)
+      org.apache.spark.sql.Row.fromSeq(
+        pCols.map(pv.getOrElse(_, null)) ++
+          (if (bucketed) Seq(k.bucketNr.map(Int.box).orNull) else Nil) :+
+          (if (n >= 0L) java.lang.Long.valueOf(n) else null))
+    }
+    spark.createDataFrame(new java.util.ArrayList(rows.asJava), schema)
   }
 
   /** One-row table detail (Delta's DESCRIBE DETAIL shape): layout axes,
@@ -132,6 +163,7 @@ final class Database(val spark: SparkSession) {
   def executeSql(sql: String): DataFrame = sql match {
     case DescribeHistoryRe(t) if feeds.contains(t) => feeds(t)._1.history
     case ShowTablesRe() => showTables
+    case ShowPartitionsRe(t) if tables.contains(t) => showPartitions(t)
     case DescribeDetailRe(t) if tables.contains(t) => describeDetail(t)
     case _ => spark.sql(if (feeds.isEmpty) sql else rewriteVersionAsOf(sql))
   }
@@ -175,6 +207,8 @@ final class Database(val spark: SparkSession) {
     """(?is)^\s*VACUUM\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+TABLE\s+([A-Za-z_][\w]*)\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val TruncateRe =
+    """(?is)^\s*TRUNCATE\s+TABLE\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val AnalyzeRe =
     """(?is)^\s*ANALYZE\s+TABLE\s+([A-Za-z_][\w]*)\s+COMPUTE\s+STATISTICS\s*;?\s*$""".r
   private val CreateCloneRe =
@@ -187,6 +221,12 @@ final class Database(val spark: SparkSession) {
       """\s+AS\s+(.+?)\s*;?\s*$""").r
   private val DropTableRe =
     """(?is)^\s*DROP\s+TABLE\s+([A-Za-z_][\w]*)(\s+PURGE)?\s*;?\s*$""".r
+  private val AddColumnRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+ADD\s+COLUMN\s+([A-Za-z_][\w]*)\s+([A-Za-z0-9_(),\s]+?)\s*;?\s*$""".r
+  private val DropColumnRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+DROP\s+COLUMN\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val RenameColumnRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+RENAME\s+COLUMN\s+([A-Za-z_][\w]*)\s+TO\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val AddConstraintRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+ADD\s+CONSTRAINT\s+([A-Za-z_][\w]*)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
   private val DropConstraintRe =
@@ -258,6 +298,90 @@ final class Database(val spark: SparkSession) {
   /** Split a SET list on top-level commas (commas inside parens or quotes
     * belong to the expressions).
     */
+  // ------------------------------------------------------------------
+  // Materialized views — SQL-managed incremental aggregates.
+  // ------------------------------------------------------------------
+
+  /** Registered MVs: view name → (base table, maintained state). */
+  private val mviews =
+    TrieMap[String, (String, graft.operators.MaterializedAgg)]()
+
+  private val CreateMvRe =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][\w]*)\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val DropMvRe =
+    """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val RefreshMvRe =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val MvQueryRe =
+    """(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([A-Za-z_][\w]*)\s+GROUP\s+BY\s+(.+?)\s*$""".r
+  private val MvAggRe =
+    """(?i)^(COUNT|SUM|MIN|MAX)\s*\(\s*(\*|[A-Za-z_][\w]*)\s*\)\s+AS\s+([A-Za-z_][\w]*)$""".r
+
+  /** Parse the supported MV shape — `SELECT <group cols + aggregates> FROM
+    * <registered table> GROUP BY <group cols>` with COUNT(*) / SUM / MIN /
+    * MAX aggregates, every aggregate aliased. Anything else is rejected
+    * loudly (the incremental-maintenance contract is exactly this shape).
+    */
+  private def parseMvQuery(q: String)
+      : (String, Seq[String], Seq[graft.operators.MaterializedAgg.AggCol]) = {
+    import graft.operators.MaterializedAgg._
+    val m = MvQueryRe.findFirstMatchIn(q).getOrElse(
+      throw new IllegalArgumentException(
+        "materialized view query must be SELECT <cols+aggs> FROM <table> GROUP BY <cols>"))
+    val base = m.group(2)
+    val baseSchema = tables.getOrElse(base,
+      throw new IllegalArgumentException(s"unknown lake table '$base'")).tableSchema
+    val groupCols = splitAssignments(m.group(3))
+    require(groupCols.forall(_.matches("[A-Za-z_][\\w]*")),
+      "GROUP BY must list plain columns")
+    val aggs = splitAssignments(m.group(1)).flatMap {
+      case item if groupCols.contains(item.trim) => None // group col in SELECT
+      case MvAggRe(fn, arg, alias) => Some(fn.toUpperCase match {
+        case "COUNT" =>
+          require(arg == "*", "only COUNT(*) is maintainable incrementally")
+          count(alias)
+        case "SUM" =>
+          // Decimal accumulation for floating measures: associative, so
+          // the incrementally merged total equals the one-shot aggregate.
+          baseSchema.find(_.name == arg).map(_.dataType) match {
+            case Some(org.apache.spark.sql.types.DoubleType |
+                      org.apache.spark.sql.types.FloatType) => sumDecimal(arg, alias)
+            case _ => sum(arg, alias)
+          }
+        case "MIN" => min(arg, alias)
+        case "MAX" => max(arg, alias)
+      })
+      case other => throw new IllegalArgumentException(
+        s"unsupported MV select item '$other' (COUNT(*)/SUM/MIN/MAX AS alias, " +
+          "or a GROUP BY column)")
+    }
+    require(aggs.nonEmpty, "materialized view needs at least one aggregate")
+    (base, groupCols, aggs)
+  }
+
+  private def publishMv(name: String): Unit =
+    mviews.get(name).foreach(_._2.state.createOrReplaceTempView(name))
+
+  /** Fold an inserted batch into every MV over `table` — `O(batch) +
+    * O(touched groups)` per view, the base is never rescanned.
+    */
+  private def maintainInsert(table: String, batch: org.apache.spark.sql.DataFrame): Unit =
+    mviews.foreach { case (name, (base, mag)) if base == table =>
+      mag.applyInsert(batch); publishMv(name)
+    case _ => ()
+    }
+
+  /** Rebuild every MV over `table` — the non-insert mutations (upsert,
+    * delete, update, restore) break MIN/MAX monotonicity, so the operator
+    * contract says rebuild (same restriction as every MV engine that
+    * limits incremental refresh to insert-only deltas).
+    */
+  private def maintainRebuild(table: String): Unit =
+    mviews.foreach { case (name, (base, mag)) if base == table =>
+      mag.rebuild(tables(base).toDF); publishMv(name)
+    case _ => ()
+    }
+
   private def splitAssignments(s: String): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer[String]()
     val cur = new StringBuilder
@@ -344,13 +468,14 @@ final class Database(val spark: SparkSession) {
           else filled.join(existingKeys, keys.toSeq, "left_semi")
         target.upsert(source, keys)
         refresh(t)
+        maintainRebuild(t)
         return 1L
       case None =>
     }
     sql match {
       case DeleteRe(t, cond) =>
         val n = ds(t).deleteWhere(expr(cond))
-        refresh(t); n.toLong
+        refresh(t); maintainRebuild(t); n.toLong
       case UpdateRe(t, setList, condOrNull) =>
         val assignments = splitAssignments(setList).map { a =>
           a.split("=", 2) match {
@@ -363,10 +488,13 @@ final class Database(val spark: SparkSession) {
         val cond = Option(condOrNull).map(expr)
           .getOrElse(org.apache.spark.sql.functions.lit(true))
         val n = ds(t).updateWhere(cond, assignments)
-        refresh(t); n.toLong
+        refresh(t); maintainRebuild(t); n.toLong
       case DeleteAllRe(t) =>
         val n = ds(t).deleteWhere(org.apache.spark.sql.functions.lit(true))
-        refresh(t); n.toLong
+        refresh(t); maintainRebuild(t); n.toLong
+      case TruncateRe(t) =>
+        val n = ds(t).deleteWhere(org.apache.spark.sql.functions.lit(true))
+        refresh(t); maintainRebuild(t); n.toLong
       case InsertRe(t, query) =>
         val target = ds(t)
         val tgt = target.tableSchema
@@ -381,7 +509,7 @@ final class Database(val spark: SparkSession) {
           col(s"`$from`").cast(f.dataType).as(f.name)
         }.toSeq: _*)
         target.insert(aligned)
-        refresh(t); 1L
+        refresh(t); maintainInsert(t, aligned); 1L
       case CopyRe(t, path, fmtOrNull) =>
         // COPY INTO: bulk file ingest — read with the given format
         // (default parquet) and append through the same positional
@@ -397,7 +525,7 @@ final class Database(val spark: SparkSession) {
           col(s"`$from`").cast(f.dataType).as(f.name)
         }.toSeq: _*)
         target.insert(aligned)
-        refresh(t); 1L
+        refresh(t); maintainInsert(t, aligned); 1L
       case OptimizeZorderRe(t, colsList) =>
         // OPTIMIZE t ZORDER BY (c1, c2): re-layout the table under a
         // Z-order clustering — rows bin by the interleaved quantile-rank
@@ -435,7 +563,7 @@ final class Database(val spark: SparkSession) {
           throw new IllegalArgumentException(
             s"RESTORE needs a feed-registered table (registerFeed); '$t' is not one"))
         val mark = feed.restore(seqStr.toLong, keys)
-        refresh(t); mark
+        refresh(t); maintainRebuild(t); mark
       case VacuumRe(t) =>
         // VACUUM: delete physical cell directories the catalog no longer
         // references (crashed writes, dropped cells, foreign junk).
@@ -466,11 +594,42 @@ final class Database(val spark: SparkSession) {
           throw new IllegalArgumentException(s"unknown lake table '$t'"))
         feeds.remove(t)
         spark.catalog.dropTempView(t)
+        // Dependent materialized views drop with their base (a stale MV
+        // over a vanished table could only serve wrong answers).
+        mviews.filter(_._2._1 == t).keys.foreach { mv =>
+          mviews.remove(mv); spark.catalog.dropTempView(mv)
+        }
         // PURGE additionally deletes the storage root — without it the
         // files survive (an unregister, like dropping an external table).
         if (purgeOrNull != null)
           dropped.storage.foreach(s =>
             LakeDataset.deleteRecursively(java.nio.file.Paths.get(s.root)))
+        1L
+      case CreateMvRe(name, query) =>
+        // CREATE MATERIALIZED VIEW: build the per-group state once, then
+        // every SQL INSERT/COPY folds its batch in (O(batch)+O(groups));
+        // non-insert mutations rebuild by the operator's contract.
+        require(!tables.contains(name) && !mviews.contains(name),
+          s"name '$name' already in use")
+        val (base, groupCols, aggs) = parseMvQuery(query)
+        val mag = graft.operators.MaterializedAgg.build(
+          tables(base).toDF, groupCols, aggs)
+        mviews.put(name, (base, mag))
+        publishMv(name)
+        1L
+      case DropMvRe(name) =>
+        require(mviews.remove(name).isDefined,
+          s"unknown materialized view '$name'")
+        spark.catalog.dropTempView(name)
+        1L
+      case RefreshMvRe(name) =>
+        // Manual full refresh — the escape hatch for base mutations made
+        // through the ENGINE API rather than SQL (the SQL surface
+        // maintains automatically).
+        val (base, mag) = mviews.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown materialized view '$name'"))
+        mag.rebuild(tables(base).toDF)
+        publishMv(name)
         1L
       case AnalyzeRe(t) =>
         // ANALYZE TABLE t COMPUTE STATISTICS: restore the catalog's
@@ -478,6 +637,17 @@ final class Database(val spark: SparkSession) {
         // a read pass, never a rewrite (that's OPTIMIZE). Returns cells
         // analyzed.
         ds(t).analyze().toLong
+      case AddColumnRe(t, c, ddlType) =>
+        // Plan-level schema evolution: existing rows read NULL, no data
+        // pass; the refreshed view serves the new schema immediately.
+        ds(t).addColumn(c, ddlType)
+        refresh(t); 1L
+      case DropColumnRe(t, c) =>
+        ds(t).dropColumn(c)
+        refresh(t); 1L
+      case RenameColumnRe(t, from, to) =>
+        ds(t).renameColumn(from, to)
+        refresh(t); 1L
       case AddConstraintRe(t, name, e) =>
         // ALTER TABLE t ADD CONSTRAINT c CHECK (expr): existing rows must
         // already satisfy it; afterwards every ingest enforces it against

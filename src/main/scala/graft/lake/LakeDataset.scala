@@ -821,6 +821,87 @@ final class LakeDataset private (
       s"$what rejected by CHECK constraint(s) ${bad.mkString("; ")}")
   }
 
+  // ------------------------------------------------------------------
+  // Column DDL — plan-level schema evolution, no data pass.
+  // ------------------------------------------------------------------
+
+  /** Common gate for column DDL: the column must not be a layout axis
+    * (partition/bucket/bloom — those changes are relayouts) and must not
+    * be referenced by a CHECK constraint (drop the constraint first —
+    * silently orphaning it would disable a data contract).
+    */
+  private def alterableColumn(name: String): Unit = {
+    require(!partitionCols.contains(name) && !bucketCols.contains(name),
+      s"column '$name' is a partition/bucket axis - use ALTER TABLE " +
+        "PARTITIONED BY/BUCKETED BY (a relayout) instead")
+    require(!bloomCols.contains(name),
+      s"column '$name' carries key Bloom statistics - relayout to change it")
+    val referencing = checksMap.filter { case (_, e) =>
+      try spark.sessionState.sqlParser.parseExpression(e).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head.toLowerCase
+      }.contains(name.toLowerCase)
+      catch { case _: Exception => false }
+    }
+    require(referencing.isEmpty,
+      s"column '$name' is referenced by CHECK constraint(s) " +
+        s"${referencing.keys.mkString(", ")} - drop them first")
+  }
+
+  /** Apply one plan transform to every cell (and the empty-table clean
+    * scan), evicting disk-backed fast paths — the files no longer match
+    * the live schema until the next save, exactly like any mutation.
+    */
+  private def alterAllParts(f: DataFrame => DataFrame,
+      dropStats: Set[String], renameStats: Map[String, String]): Unit = {
+    if (parts.isEmpty) { cleanScan = cleanScan.map(f); return }
+    markDirty()
+    parts.forEach { (k, p) =>
+      diskDirs.remove(k); diskSchemas.remove(k)
+      p.alterPlan(f, dropStats, renameStats)
+    }
+  }
+
+  /** ADD COLUMN: every existing row reads the column as NULL — a plan-level
+    * projection per cell, zero data passes (Delta's metadata-only ADD
+    * COLUMN, expressed on plans). The new column is deliberately NOT added
+    * to the tracked stat sets: existing parts have no baseline for it, and
+    * folding future batches into a never-baselined column would produce a
+    * falsely exact sum — metadata answers over it fail open until a
+    * relayout retracks. Ingested batches may populate it immediately.
+    */
+  def addColumn(name: String, ddlType: String): Unit = this.synchronized {
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(ddlType)
+    require(!tableSchema.fieldNames.contains(name), s"column '$name' already exists")
+    alterAllParts(_.withColumn(name, lit(null).cast(dt)), Set.empty, Map.empty)
+  }
+
+  /** DROP COLUMN: plan-level projection; the column's stats entries drop
+    * with it (remaining stats still exact — tightness survives).
+    */
+  def dropColumn(name: String): Unit = this.synchronized {
+    require(tableSchema.fieldNames.contains(name), s"unknown column '$name'")
+    alterableColumn(name)
+    trackedZoneSet = trackedZoneSet.map(_ - name)
+    trackedSumSet = trackedSumSet.map(_ - name)
+    alterAllParts(_.drop(name), dropStats = Set(name), renameStats = Map.empty)
+  }
+
+  /** RENAME COLUMN: plan-level rename; stats entries AND the tracked stat
+    * sets remap with it, so zones/sums keep widening under the new name
+    * (a stale entry under the old name would be unsound on the next
+    * insert).
+    */
+  def renameColumn(from: String, to: String): Unit = this.synchronized {
+    require(tableSchema.fieldNames.contains(from), s"unknown column '$from'")
+    require(!tableSchema.fieldNames.contains(to), s"column '$to' already exists")
+    alterableColumn(from)
+    trackedZoneSet = trackedZoneSet.map(s => if (s(from)) s - from + to else s)
+    trackedSumSet = trackedSumSet.map(s => if (s(from)) s - from + to else s)
+    alterAllParts(_.withColumnRenamed(from, to),
+      dropStats = Set.empty, renameStats = Map(from -> to))
+  }
+
   /** ANALYZE TABLE: recompute exact statistics for every cell that cannot
     * currently vouch for tight stats — WITHOUT rewriting any data file
     * (OPTIMIZE/materialize rewrites; this is the stats-only half). Each

@@ -293,6 +293,28 @@ final class LakePart private[lake] (
     }
   }
 
+  /** Column DDL at the PLAN level: apply `f` to the part's plan (add /
+    * drop / rename columns — no data pass, no file touch) and keep the
+    * statistics honest: dropped columns lose their entries, renamed ones
+    * remap, everything else is untouched — the remaining stats still
+    * reflect the data exactly, so [[statsTight]] survives (an ADDED column
+    * simply has no stats yet: metadata answers over it fail open until
+    * the next materialize).
+    */
+  private[lake] def alterPlan(f: DataFrame => DataFrame,
+      dropStats: Set[String] = Set.empty,
+      renameStats: Map[String, String] = Map.empty): Unit = lock.synchronized {
+    ref.set(f(cur))
+    def remap[T](m: Map[String, T]): Map[String, T] =
+      m.collect { case (k, v) if !dropStats(k) =>
+        renameStats.getOrElse(k, k) -> v
+      }
+    zonesRef.updateAndGet(_.map(remap))
+    bloomsRef.updateAndGet(_.map(remap))
+    sumsRef.updateAndGet(_.map(remap))
+    mutationOps.incrementAndGet() // plan depth grew by one
+  }
+
   /** ANALYZE: recompute exact statistics from the part's CURRENT data
     * without collapsing the plan or touching any file — one aggregation
     * job, zero writes. Restores [[statsTight]]. For a disk-resident part

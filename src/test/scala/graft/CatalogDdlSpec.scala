@@ -115,6 +115,31 @@ class CatalogDdlSpec extends SparkSpec {
     assert(src.rowsCount == o.filter(col("o_orderkey") <= 100).count())
   }
 
+  test("CTAS composes with time travel: snapshot a feed AT a version") {
+    val d = db()
+    val o = Fixtures.table(spark, sf(), "orders").limit(400)
+    val t = graft.lake.TrackedLake(spark,
+      LakeDataset.fromDataFrame(spark, o.filter(col("o_orderkey") % 2 === 0)),
+      logBase = true)
+    val mark = t.currentSeq
+    d.registerFeed("ctas_feed", t, Seq("o_orderkey"))
+    // Mutate PAST the mark.
+    t.upsert(o.filter(col("o_orderkey") % 2 === 0).limit(20)
+      .withColumn("o_totalprice", col("o_totalprice") + 999), Seq("o_orderkey"))
+    // Snapshot-at-version: a materialized, independent table of the mark.
+    d.executeDml(s"CREATE TABLE ctas_snap AS SELECT * FROM ctas_feed VERSION AS OF $mark")
+    val want = o.filter(col("o_orderkey") % 2 === 0)
+      .select(sum(col("o_totalprice").cast("decimal(38,2)"))).head().getDecimal(0)
+    val got = d.executeSql(
+      "SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS STRING) AS s FROM ctas_snap")
+      .head().getString(0)
+    assert(new java.math.BigDecimal(got).compareTo(want) == 0)
+    // The snapshot is independent: further feed mutations don't move it.
+    t.delete(o.limit(50).select("o_orderkey"), Seq("o_orderkey"))
+    assert(d.executeSql("SELECT COUNT(*) AS n FROM ctas_snap").head().getLong(0) ==
+      o.filter(col("o_orderkey") % 2 === 0).count())
+  }
+
   // --------------------------------------------- DROP / SHOW / DESCRIBE
 
   test("DROP TABLE unregisters; PURGE also deletes the root") {
@@ -232,6 +257,94 @@ class CatalogDdlSpec extends SparkSpec {
     assert(stats.isDefined, "tightness vouch lost by incremental save")
     // Sums track integral/decimal columns only (exact folding).
     assert(loaded.metaSums(Seq("o_custkey")).isDefined)
+  }
+
+  // -------------------------------------------------- materialized views
+
+  test("SQL materialized view maintains through DML; REFRESH covers engine writes") {
+    val d = db()
+    val ds = registerOrders(d, "mv_t")
+    d.executeDml(
+      """CREATE MATERIALIZED VIEW mv_sum AS
+        |SELECT o_orderstatus, COUNT(*) AS n, SUM(o_totalprice) AS total
+        |FROM mv_t GROUP BY o_orderstatus""".stripMargin)
+    def recompute(): Set[(String, Long, java.math.BigDecimal)] =
+      d.executeSql(
+        """SELECT o_orderstatus, COUNT(*) AS n,
+          |SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS total
+          |FROM mv_t GROUP BY o_orderstatus""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    def mv(): Set[(String, Long, java.math.BigDecimal)] =
+      d.executeSql("SELECT * FROM mv_sum").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    assert(mv() == recompute())
+    // INSERT folds incrementally.
+    d.executeDml(
+      """INSERT INTO mv_t VALUES
+        |(9900201, 5, 'O', 77.25, TIMESTAMP '2031-01-01 00:00:00', '1-URGENT', 18)""".stripMargin)
+    assert(mv() == recompute())
+    // UPDATE (non-insert) rebuilds.
+    d.executeDml("UPDATE mv_t SET o_totalprice = o_totalprice + 10 WHERE o_custkey % 11 = 0")
+    assert(mv() == recompute())
+    // Engine-level write bypasses SQL maintenance → REFRESH is the contract.
+    ds.insert(Fixtures.table(spark, sf(), "orders").limit(3)
+      .withColumn("o_batch", lit(77)))
+    d.executeDml("REFRESH MATERIALIZED VIEW mv_sum")
+    assert(mv() == recompute())
+    // Dropping the base cascades to its MVs.
+    d.executeDml("DROP TABLE mv_t")
+    intercept[Exception](d.executeSql("SELECT * FROM mv_sum").collect())
+    // Unsupported MV shapes are loud.
+    registerOrders(d, "mv_t2")
+    intercept[IllegalArgumentException](d.executeDml(
+      "CREATE MATERIALIZED VIEW bad AS SELECT o_orderstatus, AVG(o_totalprice) AS a " +
+        "FROM mv_t2 GROUP BY o_orderstatus"))
+  }
+
+  // --------------------------------------------------------- column DDL
+
+  test("column DDL: add/rename/drop are plan-level and stats-honest") {
+    val d = db()
+    val ds = registerOrders(d, "ddl_cols")
+    val rows = ds.rowsCount
+
+    // ADD: existing rows read NULL; no data pass, tightness survives.
+    d.executeDml("ALTER TABLE ddl_cols ADD COLUMN tier STRING")
+    assert(d.executeSql("SELECT COUNT(*) AS n FROM ddl_cols WHERE tier IS NULL")
+      .head().getLong(0) == rows)
+    // The untracked new column fails open; existing columns still answer.
+    assert(ds.metaStats(Seq("o_custkey")).isDefined)
+    assert(ds.metaStats(Seq("tier")).isEmpty)
+
+    // RENAME remaps stats AND the tracked sets — zones stay SOUND through
+    // a post-rename insert that widens the range.
+    d.executeDml("ALTER TABLE ddl_cols RENAME COLUMN o_custkey TO cust_id")
+    val preMax = ds.metaStats(Seq("cust_id")).get._2("cust_id").max
+    ds.insert(Fixtures.table(spark, sf(), "orders").limit(1)
+      .withColumn("o_batch", (col("o_orderkey") / 500).cast("int"))
+      .withColumn("o_custkey", lit(99999999L))
+      .withColumnRenamed("o_custkey", "cust_id")
+      .withColumn("tier", lit("x")))
+    val postMax = ds.metaStats(Seq("cust_id")).get._2("cust_id").max
+    assert(preMax != postMax, "renamed column's zone did not widen (stale = unsound)")
+    // Zone-pruned point read finds the new row under the new name.
+    assert(ds.zonePrunedDF("cust_id", 99999999L)
+      .filter(col("cust_id") === 99999999L).count() == 1L)
+
+    // DROP removes the column and its stats; the rest stays answerable.
+    d.executeDml("ALTER TABLE ddl_cols DROP COLUMN o_orderdate")
+    assert(!d.executeSql("SELECT * FROM ddl_cols").columns.contains("o_orderdate"))
+    assert(ds.metaStats(Seq("cust_id")).isDefined)
+
+    // Layout axes and constraint-referenced columns refuse.
+    intercept[IllegalArgumentException](
+      d.executeDml("ALTER TABLE ddl_cols DROP COLUMN o_batch"))
+    d.executeDml("ALTER TABLE ddl_cols ADD CONSTRAINT cp CHECK (o_totalprice >= 0)")
+    val e = intercept[IllegalArgumentException](
+      d.executeDml("ALTER TABLE ddl_cols DROP COLUMN o_totalprice"))
+    assert(e.getMessage.contains("cp"))
+    intercept[IllegalArgumentException](
+      d.executeDml("ALTER TABLE ddl_cols RENAME COLUMN o_totalprice TO tp"))
   }
 
   // ------------------------------------------------------ ANALYZE TABLE

@@ -175,9 +175,10 @@ class DmlSpec extends SparkSpec {
     val loaded = LakeDataset.fromStorage(spark, root)
     assert(loaded.partitionCols == List("o_orderstatus"))
     assert(loaded.toDF.count() == before)
-    // Unsupported ALTER clause is loud.
+    // Unsupported ALTER clause is loud. (ADD/DROP/RENAME COLUMN route to
+    // the column-DDL path now — CatalogDdlSpec covers them.)
     val e = intercept[IllegalArgumentException] {
-      db.executeDml("ALTER TABLE dml_alter ADD COLUMN x INT")
+      db.executeDml("ALTER TABLE dml_alter SET TBLPROPERTIES ('a'='b')")
     }
     assert(e.getMessage.contains("ALTER TABLE supports"))
   }
@@ -318,9 +319,12 @@ class DmlSpec extends SparkSpec {
     }
     assert(e1.getMessage.contains("arity"))
     val e2 = intercept[IllegalArgumentException] {
-      db.executeDml("TRUNCATE TABLE dml_err")
+      db.executeDml("RENAME TABLE dml_err TO dml_err2")
     }
     assert(e2.getMessage.contains("unsupported DML"))
+    // TRUNCATE routes as an empty-the-table engine delete.
+    db.executeDml("TRUNCATE TABLE dml_err")
+    assert(db.executeSql("SELECT COUNT(*) AS n FROM dml_err").head().getLong(0) == 0L)
     // UPDATE routes too — a bad assignment target is loud, not silent.
     val e4 = intercept[IllegalArgumentException] {
       db.executeDml("UPDATE dml_err SET nope = 1")

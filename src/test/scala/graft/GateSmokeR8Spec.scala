@@ -31,6 +31,7 @@ class GateSmokeR8Spec extends SparkSpec {
     "lake_sql_time_travel", "lake_sql_zorder", "lake_sql_history",
     "lake_sql_restore",
     "lake_sql_ctas", "lake_sql_clone", "lake_sql_constraint",
-    "lake_sql_detail", "lake_sql_analyze"))
+    "lake_sql_detail", "lake_sql_analyze", "lake_sql_show_partitions",
+    "lake_sql_alter_columns", "lake_sql_matview"))
     test(s"$q matches its oracle") { check(q) }
 }
