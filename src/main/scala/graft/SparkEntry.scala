@@ -642,6 +642,34 @@ object SparkEntry {
           |FROM merge_t""".stripMargin)
     }),
 
+    // MERGE as CDC-apply: conditional clauses route each source row to the
+    // FIRST clause (statement order) whose condition holds — delete-flagged
+    // matched rows drop, other matched rows update, unflagged unmatched
+    // rows insert. One statement applies a whole CDC batch.
+    "lake_sql_merge_cdc" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val db = new Database(s)
+      val orders = table(s, dir, "orders")
+      db.register("cdc_t", LakeDataset.fromDataFrame(
+        s, orders.filter(col("o_orderkey") % 4 =!= 3),
+        partitionCols = Seq("o_orderstatus")))
+      orders.createOrReplaceTempView("cdc_all")
+      db.executeDml(
+        """MERGE INTO cdc_t USING (
+          |  SELECT o_orderkey, o_custkey, o_orderstatus,
+          |         o_totalprice + 1000 AS o_totalprice, o_orderdate, o_orderpriority,
+          |         CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS op
+          |  FROM cdc_all WHERE o_orderkey % 2 = 0) s
+          |ON cdc_t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s.op = 'D' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *""".stripMargin)
+      db.executeSql(
+        """SELECT COUNT(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+          |FROM cdc_t""".stripMargin)
+    }),
+
     // COPY INTO: bulk file ingest into a registered (here: empty) table.
     "lake_sql_copy" -> ((s, dir) => {
       val db = new Database(s)
@@ -2230,6 +2258,25 @@ object SparkEntry {
       s"""SELECT COUNT(*) AS n,
          |       ${osum("o_totalprice + CASE WHEN o_orderkey % 17 = 0 THEN 50 ELSE 0 END")} AS total
          |FROM orders""".stripMargin,
+
+    "lake_sql_merge_cdc" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+        |              WHERE o_orderkey % 4 <> 3),
+        |     src AS (SELECT o_orderkey, o_totalprice + 1000 AS p,
+        |                    CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS op
+        |             FROM orders WHERE o_orderkey % 2 = 0),
+        |     fin AS (
+        |       SELECT CASE WHEN s.o_orderkey IS NOT NULL THEN s.p
+        |                   ELSE b.o_totalprice END AS price
+        |       FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+        |       WHERE s.o_orderkey IS NULL OR s.op <> 'D'
+        |       UNION ALL
+        |       SELECT s.p AS price FROM src s
+        |       WHERE s.op <> 'D'
+        |         AND s.o_orderkey NOT IN (SELECT o_orderkey FROM base))
+        |SELECT COUNT(*) AS n,
+        |       CAST(SUM(CAST(price AS DECIMAL(38,2))) AS DOUBLE) AS total
+        |FROM fin""".stripMargin,
 
     "lake_sql_copy" ->
       s"""SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total

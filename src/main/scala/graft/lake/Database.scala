@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.model.TableName
 
@@ -232,19 +232,32 @@ final class Database(val spark: SparkSession) {
   private val DropConstraintRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+DROP\s+CONSTRAINT\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
 
+  /** One `WHEN [NOT] MATCHED [AND cond] THEN <action>` clause, in
+    * statement order. `action` is "update" (UPDATE SET *), "delete"
+    * (DELETE — matched only), or "insert" (INSERT * — not-matched only).
+    * The optional condition may reference SOURCE columns (qualified by the
+    * USING alias or bare) — per-row routing picks the FIRST matched clause
+    * whose condition holds, SQL's clause-order semantics.
+    */
+  private case class MergeClause(matched: Boolean, cond: Option[String], action: String)
+
+  private val MergeClauseRe =
+    """(?is)\s*WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+(UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)""".r
+
   /** Parse `MERGE INTO t [alias] USING ( <query> ) [alias] ON <cond>
-    * [WHEN MATCHED THEN UPDATE SET *] [WHEN NOT MATCHED THEN INSERT *]`.
-    * Returns (table, query, keyColumns, updateMatched, insertUnmatched).
+    * [WHEN MATCHED [AND c] THEN UPDATE SET * | DELETE]...
+    * [WHEN NOT MATCHED [AND c] THEN INSERT *]`.
+    * Returns (table, query, sourceAlias, keyColumns, clauses-in-order).
     * The USING query scans with a paren-depth counter (regexes cannot
     * balance nested parens); the ON condition must be a conjunction of
     * same-name column equalities (`a.k = b.k`) — exactly the key-join the
-    * engine upsert implements. Only the `UPDATE SET * / INSERT *` action
-    * forms exist; which CLAUSES are present decides the routing (both or
-    * neither → full engine upsert; insert-only → anti-join the source
-    * against existing keys first; update-only → semi-join first).
-    * Anything else is rejected loudly.
+    * engine upsert implements. Action forms are `UPDATE SET *` /
+    * `INSERT *` / `DELETE` (the CDC-apply triad); clause conditions and
+    * order drive per-row routing in [[executeDml]]. Anything else is
+    * rejected loudly.
     */
-  private def parseMerge(sql: String): Option[(String, String, Seq[String], Boolean, Boolean)] = {
+  private def parseMerge(sql: String)
+      : Option[(String, String, Option[String], Seq[String], Seq[MergeClause])] = {
     val m = """(?is)^\s*MERGE\s+INTO\s+([A-Za-z_][\w]*)(?:\s+(?:AS\s+)?[A-Za-z_][\w]*)?\s+USING\s*\(""".r
       .findFirstMatchIn(sql).getOrElse(return None)
     val table = m.group(1)
@@ -261,25 +274,40 @@ final class Database(val spark: SparkSession) {
     if (depth != 0) return None
     val query = sql.substring(m.end, i - 1).trim
     val rest = sql.substring(i)
-    val onM = """(?is)^\s*(?:(?:AS\s+)?[A-Za-z_][\w]*\s+)?ON\s+(.+)$""".r
+    val onM = """(?is)^\s*(?:(?:AS\s+)?([A-Za-z_][\w]*)\s+)?ON\s+(.+)$""".r
       .findFirstMatchIn(rest).getOrElse(return None)
-    val afterOn = onM.group(1)
+    val srcAlias = Option(onM.group(1)).filterNot(_.equalsIgnoreCase("on"))
+    val afterOn = onM.group(2)
     val whenIdx = """(?i)\bWHEN\b""".r.findFirstMatchIn(afterOn).map(_.start)
     val cond = whenIdx.fold(afterOn)(afterOn.substring(0, _)).trim.stripSuffix(";").trim
     val actions = whenIdx.map(afterOn.substring(_)).getOrElse("").trim.stripSuffix(";").trim
-    if (actions.nonEmpty && !actions.matches(
-        """(?is)(WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s*)?(WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*)?"""))
+    // Scan the WHEN clauses in order and require them to tile the whole
+    // action text — an unparseable clause anywhere is loud, never skipped.
+    val clauseMs = MergeClauseRe.findAllMatchIn(actions).toList
+    val tiled = clauseMs.foldLeft(0) { (pos, m) =>
+      if (m.start != pos) -1000 else m.end
+    }
+    if (actions.nonEmpty && (clauseMs.isEmpty || tiled != actions.length))
       throw new IllegalArgumentException(
-        "MERGE supports only WHEN MATCHED THEN UPDATE SET * / " +
-          "WHEN NOT MATCHED THEN INSERT * (engine upsert semantics)")
-    // Which clauses are present drives the DML semantics: stating no WHEN
-    // clause means the full upsert (the engine's native merge), but a
-    // single stated clause must do ONLY what it says — insert-only must not
-    // overwrite matched rows, update-only must not insert unmatched ones.
-    val updateMatched = actions.isEmpty ||
-      """(?is)WHEN\s+MATCHED""".r.findFirstIn(actions).isDefined
-    val insertUnmatched = actions.isEmpty ||
-      """(?is)WHEN\s+NOT\s+MATCHED""".r.findFirstIn(actions).isDefined
+        "MERGE supports WHEN MATCHED [AND cond] THEN UPDATE SET * | DELETE " +
+          "and WHEN NOT MATCHED [AND cond] THEN INSERT * (engine merge semantics)")
+    val clauses = clauseMs.map { m =>
+      val matched = m.group(1) == null
+      val action = m.group(3).toUpperCase.takeWhile(!_.isWhitespace) match {
+        case "UPDATE" => "update"
+        case "INSERT" => "insert"
+        case "DELETE" => "delete"
+      }
+      if (matched && action == "insert")
+        throw new IllegalArgumentException("WHEN MATCHED cannot INSERT")
+      if (!matched && action != "insert")
+        throw new IllegalArgumentException("WHEN NOT MATCHED supports only INSERT *")
+      MergeClause(matched, Option(m.group(2)).map(_.trim), action)
+    }
+    require(clauses.count(c => c.matched && c.action == "update") <= 1 &&
+      clauses.count(c => c.matched && c.action == "delete") <= 1 &&
+      clauses.count(!_.matched) <= 1,
+      "MERGE allows at most one UPDATE, one DELETE, and one INSERT clause")
     val keys = cond.split("""(?i)\s+AND\s+""").toSeq.map { eq =>
       eq.split("=", 2).map(_.trim) match {
         case Array(l, r) =>
@@ -292,7 +320,7 @@ final class Database(val spark: SparkSession) {
           s"MERGE ON must be same-name column equalities; got '$eq'")
       }
     }
-    Some((table, query, keys, updateMatched, insertUnmatched))
+    Some((table, query, srcAlias, keys, clauses))
   }
 
   /** Split a SET list on top-level commas (commas inside parens or quotes
@@ -432,7 +460,7 @@ final class Database(val spark: SparkSession) {
     def ds(name: String): LakeDataset = tables.getOrElse(name,
       throw new IllegalArgumentException(s"unknown lake table '$name'"))
     parseMerge(sql) match {
-      case Some((t, query, keys, updateMatched, insertUnmatched)) =>
+      case Some((t, query, srcAlias, keys, clauses)) =>
         // MERGE INTO → engine upsert: per-column incoming-wins coalesce on
         // the key join; source columns missing from the table evolve the
         // schema. Table columns ABSENT from the source become typed NULLs —
@@ -451,22 +479,56 @@ final class Database(val spark: SparkSession) {
             case None => col(s"`$c`")
           }
         }.toSeq: _*)
-        val filled = tgtFields.filterNot(f => srcCols.contains(f.name))
+        val filled0 = tgtFields.filterNot(f => srcCols.contains(f.name))
           .foldLeft(casted)((d, f) =>
             d.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
-        // Single-clause MERGE narrows the source BEFORE the upsert so the
-        // engine merge can only do what the statement asked: insert-only
-        // anti-joins away rows whose keys already exist (matched rows are
-        // untouched), update-only semi-joins to rows whose keys exist
-        // (nothing new inserts). Plain (non-null-safe) join semantics match
-        // SQL's ON: a NULL key never matches, so it inserts under
-        // NOT MATCHED and drops under MATCHED-only.
-        val existingKeys = target.toDF.select(keys.map(col): _*)
-        val source =
-          if (updateMatched && insertUnmatched) filled
-          else if (insertUnmatched) filled.join(existingKeys, keys.toSeq, "left_anti")
-          else filled.join(existingKeys, keys.toSeq, "left_semi")
-        target.upsert(source, keys)
+        // Clause conditions reference SOURCE columns — aliasing the frame
+        // with the statement's USING alias makes both `s.op` and bare `op`
+        // resolve (a target-column reference fails analysis loudly).
+        val filled = srcAlias.fold(filled0)(filled0.alias)
+        val matchedClauses = clauses.filter(_.matched)
+        val insertClause = clauses.find(!_.matched)
+        val unconditionalUpsert = clauses.isEmpty || (
+          matchedClauses.forall(c => c.action == "update" && c.cond.isEmpty) &&
+            matchedClauses.nonEmpty &&
+            insertClause.exists(_.cond.isEmpty))
+        if (unconditionalUpsert) {
+          // Fast path — UPDATE+INSERT with no conditions IS the engine's
+          // native merge: one upsert, no extra key joins.
+          target.upsert(filled, keys)
+        } else {
+          // Per-row clause routing, SQL's first-match-in-statement-order
+          // semantics. Plain (non-null-safe) join semantics match SQL's ON:
+          // a NULL key never matches, so it routes as NOT MATCHED.
+          import org.apache.spark.sql.functions.{lit, when}
+          val existingKeys = target.toDF.select(keys.map(col): _*)
+          val matchedSrc = filled.join(existingKeys, keys.toSeq, "left_semi")
+          val unmatchedSrc = filled.join(existingKeys, keys.toSeq, "left_anti")
+          val act = matchedClauses.foldLeft(Option.empty[Column]) { (acc, cl) =>
+            val w = cl.cond.map(expr).getOrElse(lit(true))
+            val v = lit(cl.action)
+            Some(acc.fold(when(w, v))(_.when(w, v)))
+          }.getOrElse(lit(null).cast("string"))
+          val routed = matchedSrc.withColumn("__merge_act", act)
+          val updRows = routed.filter(col("__merge_act") === "update")
+            .drop("__merge_act")
+          val insRows = insertClause.map(cl =>
+            cl.cond.fold(unmatchedSrc)(c => unmatchedSrc.filter(expr(c))))
+          val upserts = (if (matchedClauses.exists(_.action == "update"))
+            Some(updRows) else None, insRows) match {
+            case (Some(u), Some(i)) => Some(u.unionByName(i))
+            case (u, i) => u.orElse(i)
+          }
+          // Routing reads the PRE-state: pin the (drift-sized) delete key
+          // set eagerly before any mutation so the upsert cannot shift it.
+          val delKeys =
+            if (matchedClauses.exists(_.action == "delete"))
+              Some(routed.filter(col("__merge_act") === "delete")
+                .select(keys.map(col): _*).localCheckpoint(true))
+            else None
+          upserts.foreach(target.upsert(_, keys))
+          delKeys.foreach(target.delete(_, keys))
+        }
         refresh(t)
         maintainRebuild(t)
         return 1L

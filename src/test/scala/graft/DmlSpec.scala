@@ -80,13 +80,67 @@ class DmlSpec extends SparkSpec {
     assert(db.executeSql(
       "SELECT COUNT(*) AS n FROM dml_merge WHERE o_orderkey = 8888888")
       .head().getLong(0) == 1L)
-    // Unsupported action clauses are loud.
+    // Unsupported action forms are loud (only SET * / INSERT * / DELETE).
     val e = intercept[IllegalArgumentException] {
       db.executeDml(
         "MERGE INTO dml_merge USING (SELECT 1 AS o_orderkey) s " +
-          "ON dml_merge.o_orderkey = s.o_orderkey WHEN MATCHED THEN DELETE")
+          "ON dml_merge.o_orderkey = s.o_orderkey WHEN MATCHED THEN UPDATE SET o_custkey = 1")
     }
-    assert(e.getMessage.contains("MERGE supports only"))
+    assert(e.getMessage.contains("MERGE supports"))
+    // MATCHED cannot INSERT; NOT MATCHED cannot DELETE.
+    intercept[IllegalArgumentException] {
+      db.executeDml(
+        "MERGE INTO dml_merge USING (SELECT 1 AS o_orderkey) s " +
+          "ON dml_merge.o_orderkey = s.o_orderkey WHEN NOT MATCHED THEN DELETE")
+    }
+  }
+
+  test("MERGE with conditional clauses applies a CDC batch in one statement") {
+    val (db, _) = freshDb("dml_cdc")
+    val before = Fixtures.table(spark, sf(), "orders")
+    val total = before.count()
+    // op routing: keys 1-20 matched — %3=0 delete-flagged, rest update;
+    // 5555551 unmatched+insertable; 5555552 unmatched but delete-flagged
+    // (must NOT insert); clause ORDER matters (delete listed first wins
+    // over the unconditioned update for flagged rows).
+    db.executeDml(
+      """MERGE INTO dml_cdc USING (
+        |  SELECT o_orderkey, o_totalprice * 0 + 555.5 AS o_totalprice,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM dml_cdc WHERE o_orderkey <= 20
+        |  UNION ALL SELECT CAST(5555551 AS BIGINT), 111.0, 'U'
+        |  UNION ALL SELECT CAST(5555552 AS BIGINT), 222.0, 'D') s
+        |ON dml_cdc.o_orderkey = s.o_orderkey
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *""".stripMargin)
+    val matchedKeys = before.filter(col("o_orderkey") <= 20)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val delKeys = matchedKeys.filter(_ % 3 == 0)
+    // Delete-flagged matched rows are gone.
+    assert(db.executeSql(
+      s"SELECT COUNT(*) AS n FROM dml_cdc WHERE o_orderkey IN (${delKeys.mkString(",")})")
+      .head().getLong(0) == 0L)
+    // Other matched rows updated.
+    val upd = db.executeSql(
+      "SELECT o_totalprice FROM dml_cdc WHERE o_orderkey <= 20").collect()
+    assert(upd.nonEmpty && upd.forall(_.getDouble(0) == 555.5))
+    // Insert-eligible unmatched row landed; delete-flagged one did not.
+    assert(db.executeSql(
+      "SELECT COUNT(*) AS n FROM dml_cdc WHERE o_orderkey = 5555551")
+      .head().getLong(0) == 1L)
+    assert(db.executeSql(
+      "SELECT COUNT(*) AS n FROM dml_cdc WHERE o_orderkey = 5555552")
+      .head().getLong(0) == 0L)
+    assert(db.executeSql("SELECT COUNT(*) AS n FROM dml_cdc").head().getLong(0)
+      == total - delKeys.size + 1)
+    // Duplicate action clauses are rejected.
+    intercept[IllegalArgumentException] {
+      db.executeDml(
+        "MERGE INTO dml_cdc USING (SELECT 1 AS o_orderkey) s " +
+          "ON dml_cdc.o_orderkey = s.o_orderkey " +
+          "WHEN MATCHED THEN DELETE WHEN MATCHED THEN DELETE")
+    }
   }
 
   test("single-clause MERGE does only what the clause says") {

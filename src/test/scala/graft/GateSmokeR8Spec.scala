@@ -32,6 +32,6 @@ class GateSmokeR8Spec extends SparkSpec {
     "lake_sql_restore",
     "lake_sql_ctas", "lake_sql_clone", "lake_sql_constraint",
     "lake_sql_detail", "lake_sql_analyze", "lake_sql_show_partitions",
-    "lake_sql_alter_columns", "lake_sql_matview"))
+    "lake_sql_alter_columns", "lake_sql_matview", "lake_sql_merge_cdc"))
     test(s"$q matches its oracle") { check(q) }
 }
