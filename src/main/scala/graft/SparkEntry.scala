@@ -1371,14 +1371,14 @@ object SparkEntry {
       db.executeDml(
         """CREATE MATERIALIZED VIEW mv_rev AS
           |SELECT o_orderstatus, COUNT(*) AS n, SUM(o_totalprice) AS total,
-          |       MAX(o_custkey) AS max_cust
+          |       MAX(o_custkey) AS max_cust, AVG(o_totalprice) AS mean
           |FROM mv_base GROUP BY o_orderstatus""".stripMargin)
       db.executeDml(
         """INSERT INTO mv_base VALUES
           |(9900101, 42, 'O', 1000.5, TIMESTAMP '2031-01-01 00:00:00', '1-URGENT')""".stripMargin)
       db.executeDml("DELETE FROM mv_base WHERE o_custkey % 9 = 0")
       db.executeSql(
-        """SELECT o_orderstatus, n, CAST(total AS DOUBLE) AS total, max_cust
+        """SELECT o_orderstatus, n, CAST(total AS DOUBLE) AS total, max_cust, mean
           |FROM mv_rev ORDER BY o_orderstatus""".stripMargin)
     }),
 
@@ -2649,7 +2649,8 @@ object SparkEntry {
     "lake_sql_matview" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,
          |       ${osum("o_totalprice")} AS total,
-         |       MAX(o_custkey) AS max_cust
+         |       MAX(o_custkey) AS max_cust,
+         |       ${osum("o_totalprice")} / COUNT(o_totalprice) AS mean
          |FROM (SELECT o_orderstatus, o_totalprice, o_custkey FROM orders
          |      UNION ALL
          |      SELECT 'O', 1000.5, 42) t

@@ -209,6 +209,9 @@ final class Database(val spark: SparkSession) {
     """(?is)^\s*RESTORE\s+TABLE\s+([A-Za-z_][\w]*)\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val TruncateRe =
     """(?is)^\s*TRUNCATE\s+TABLE\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val RenameTableRe =
+    ("""(?is)^\s*(?:ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+RENAME\s+TO""" +
+      """|RENAME\s+TABLE\s+([A-Za-z_][\w]*)\s+TO)\s+([A-Za-z_][\w]*)\s*;?\s*$""").r
   private val AnalyzeRe =
     """(?is)^\s*ANALYZE\s+TABLE\s+([A-Za-z_][\w]*)\s+COMPUTE\s+STATISTICS\s*;?\s*$""".r
   private val CreateCloneRe =
@@ -330,9 +333,12 @@ final class Database(val spark: SparkSession) {
   // Materialized views — SQL-managed incremental aggregates.
   // ------------------------------------------------------------------
 
-  /** Registered MVs: view name → (base table, maintained state). */
-  private val mviews =
-    TrieMap[String, (String, graft.operators.MaterializedAgg)]()
+  /** Registered MVs: view name → (base table, maintained state, publish
+    * projection — derives declared columns like AVG from the hidden
+    * sum/count pair and drops the hidden state columns).
+    */
+  private val mviews = TrieMap[String,
+    (String, graft.operators.MaterializedAgg, DataFrame => DataFrame)]()
 
   private val CreateMvRe =
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][\w]*)\s+AS\s+(.+?)\s*;?\s*$""".r
@@ -343,15 +349,18 @@ final class Database(val spark: SparkSession) {
   private val MvQueryRe =
     """(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([A-Za-z_][\w]*)\s+GROUP\s+BY\s+(.+?)\s*$""".r
   private val MvAggRe =
-    """(?i)^(COUNT|SUM|MIN|MAX)\s*\(\s*(\*|[A-Za-z_][\w]*)\s*\)\s+AS\s+([A-Za-z_][\w]*)$""".r
+    """(?i)^(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(\*|[A-Za-z_][\w]*)\s*\)\s+AS\s+([A-Za-z_][\w]*)$""".r
 
   /** Parse the supported MV shape — `SELECT <group cols + aggregates> FROM
     * <registered table> GROUP BY <group cols>` with COUNT(*) / SUM / MIN /
-    * MAX aggregates, every aggregate aliased. Anything else is rejected
-    * loudly (the incremental-maintenance contract is exactly this shape).
+    * MAX / AVG aggregates, every aggregate aliased. Anything else is
+    * rejected loudly (the incremental-maintenance contract is exactly this
+    * shape). AVG decomposes into a hidden exact sum + non-null count pair
+    * (both insert-maintainable; AVG itself is not) and is re-derived at
+    * publish time.
     */
-  private def parseMvQuery(q: String)
-      : (String, Seq[String], Seq[graft.operators.MaterializedAgg.AggCol]) = {
+  private def parseMvQuery(q: String): (String, Seq[String],
+      Seq[graft.operators.MaterializedAgg.AggCol], DataFrame => DataFrame) = {
     import graft.operators.MaterializedAgg._
     val m = MvQueryRe.findFirstMatchIn(q).getOrElse(
       throw new IllegalArgumentException(
@@ -362,39 +371,54 @@ final class Database(val spark: SparkSession) {
     val groupCols = splitAssignments(m.group(3))
     require(groupCols.forall(_.matches("[A-Za-z_][\\w]*")),
       "GROUP BY must list plain columns")
+    def exactSum(arg: String, alias: String): AggCol =
+      // Decimal accumulation for floating measures: associative, so the
+      // incrementally merged total equals the one-shot aggregate.
+      baseSchema.find(_.name == arg).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.DoubleType |
+                  org.apache.spark.sql.types.FloatType) => sumDecimal(arg, alias)
+        case _ => sum(arg, alias)
+      }
+    val derived = scala.collection.mutable.ListBuffer[(String, Column)]()
+    val hidden = scala.collection.mutable.ListBuffer[String]()
     val aggs = splitAssignments(m.group(1)).flatMap {
       case item if groupCols.contains(item.trim) => None // group col in SELECT
-      case MvAggRe(fn, arg, alias) => Some(fn.toUpperCase match {
+      case MvAggRe(fn, arg, alias) => fn.toUpperCase match {
         case "COUNT" =>
           require(arg == "*", "only COUNT(*) is maintainable incrementally")
-          count(alias)
-        case "SUM" =>
-          // Decimal accumulation for floating measures: associative, so
-          // the incrementally merged total equals the one-shot aggregate.
-          baseSchema.find(_.name == arg).map(_.dataType) match {
-            case Some(org.apache.spark.sql.types.DoubleType |
-                      org.apache.spark.sql.types.FloatType) => sumDecimal(arg, alias)
-            case _ => sum(arg, alias)
-          }
-        case "MIN" => min(arg, alias)
-        case "MAX" => max(arg, alias)
-      })
+          Seq(count(alias))
+        case "SUM" => Seq(exactSum(arg, alias))
+        case "MIN" => Seq(min(arg, alias))
+        case "MAX" => Seq(max(arg, alias))
+        case "AVG" =>
+          import org.apache.spark.sql.functions.{col, lit, nullif}
+          require(arg != "*", "AVG needs a column")
+          val (s, c) = (s"__${alias}_sum", s"__${alias}_cnt")
+          hidden ++= Seq(s, c)
+          derived += alias -> (col(s).cast("double") / nullif(col(c), lit(0L)))
+          Seq(exactSum(arg, s), countNonNull(arg, c))
+      }
       case other => throw new IllegalArgumentException(
-        s"unsupported MV select item '$other' (COUNT(*)/SUM/MIN/MAX AS alias, " +
+        s"unsupported MV select item '$other' (COUNT(*)/SUM/MIN/MAX/AVG AS alias, " +
           "or a GROUP BY column)")
     }
     require(aggs.nonEmpty, "materialized view needs at least one aggregate")
-    (base, groupCols, aggs)
+    val derive: DataFrame => DataFrame = df =>
+      derived.foldLeft(df) { case (d, (a, c)) => d.withColumn(a, c) }
+        .drop(hidden.toSeq: _*)
+    (base, groupCols, aggs, derive)
   }
 
   private def publishMv(name: String): Unit =
-    mviews.get(name).foreach(_._2.state.createOrReplaceTempView(name))
+    mviews.get(name).foreach { case (_, mag, derive) =>
+      derive(mag.state).createOrReplaceTempView(name)
+    }
 
   /** Fold an inserted batch into every MV over `table` — `O(batch) +
     * O(touched groups)` per view, the base is never rescanned.
     */
   private def maintainInsert(table: String, batch: org.apache.spark.sql.DataFrame): Unit =
-    mviews.foreach { case (name, (base, mag)) if base == table =>
+    mviews.foreach { case (name, (base, mag, _)) if base == table =>
       mag.applyInsert(batch); publishMv(name)
     case _ => ()
     }
@@ -405,7 +429,7 @@ final class Database(val spark: SparkSession) {
     * limits incremental refresh to insert-only deltas).
     */
   private def maintainRebuild(table: String): Unit =
-    mviews.foreach { case (name, (base, mag)) if base == table =>
+    mviews.foreach { case (name, (base, mag, _)) if base == table =>
       mag.rebuild(tables(base).toDF); publishMv(name)
     case _ => ()
     }
@@ -557,6 +581,22 @@ final class Database(val spark: SparkSession) {
       case TruncateRe(t) =>
         val n = ds(t).deleteWhere(org.apache.spark.sql.functions.lit(true))
         refresh(t); maintainRebuild(t); n.toLong
+      case RenameTableRe(alterName, renameName, to) =>
+        // Catalog-only rename: the engine handle, feed registration, and
+        // every dependent MV's base pointer move together; zero data jobs.
+        val from = Option(alterName).getOrElse(renameName)
+        val d = tables.getOrElse(from,
+          throw new IllegalArgumentException(s"unknown lake table '$from'"))
+        require(!tables.contains(to) && !mviews.contains(to),
+          s"name '$to' already in use")
+        tables.remove(from); tables.put(to, d)
+        feeds.remove(from).foreach(feeds.put(to, _))
+        mviews.foreach { case (mv, (base, mag, derive)) if base == from =>
+          mviews.put(mv, (to, mag, derive))
+        case _ => ()
+        }
+        spark.catalog.dropTempView(from)
+        refresh(to); 1L
       case InsertRe(t, query) =>
         val target = ds(t)
         val tgt = target.tableSchema
@@ -673,10 +713,10 @@ final class Database(val spark: SparkSession) {
         // non-insert mutations rebuild by the operator's contract.
         require(!tables.contains(name) && !mviews.contains(name),
           s"name '$name' already in use")
-        val (base, groupCols, aggs) = parseMvQuery(query)
+        val (base, groupCols, aggs, derive) = parseMvQuery(query)
         val mag = graft.operators.MaterializedAgg.build(
           tables(base).toDF, groupCols, aggs)
-        mviews.put(name, (base, mag))
+        mviews.put(name, (base, mag, derive))
         publishMv(name)
         1L
       case DropMvRe(name) =>
@@ -688,7 +728,7 @@ final class Database(val spark: SparkSession) {
         // Manual full refresh — the escape hatch for base mutations made
         // through the ENGINE API rather than SQL (the SQL surface
         // maintains automatically).
-        val (base, mag) = mviews.getOrElse(name,
+        val (base, mag, _) = mviews.getOrElse(name,
           throw new IllegalArgumentException(s"unknown materialized view '$name'"))
         mag.rebuild(tables(base).toDF)
         publishMv(name)

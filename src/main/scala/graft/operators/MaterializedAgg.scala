@@ -135,6 +135,14 @@ object MaterializedAgg {
     AggCol(alias, org.apache.spark.sql.functions.count(lit(1)),
       (l, r) => nullFreeAdd(l, r).cast("long"))
 
+  /** COUNT(c) — non-null values only (AVG's denominator under SQL null
+    * semantics; decomposing AVG into sumDecimal/countNonNull keeps the
+    * merged average exact and insert-maintainable).
+    */
+  def countNonNull(c: String, alias: String): AggCol =
+    AggCol(alias, org.apache.spark.sql.functions.count(col(c)),
+      (l, r) => nullFreeAdd(l, r).cast("long"))
+
   /** Exact decimal SUM of a (possibly floating-point) measure — associative,
     * so incremental merges reproduce the one-shot aggregate exactly.
     */

@@ -266,17 +266,22 @@ class CatalogDdlSpec extends SparkSpec {
     val ds = registerOrders(d, "mv_t")
     d.executeDml(
       """CREATE MATERIALIZED VIEW mv_sum AS
-        |SELECT o_orderstatus, COUNT(*) AS n, SUM(o_totalprice) AS total
+        |SELECT o_orderstatus, COUNT(*) AS n, SUM(o_totalprice) AS total,
+        |       AVG(o_totalprice) AS mean
         |FROM mv_t GROUP BY o_orderstatus""".stripMargin)
-    def recompute(): Set[(String, Long, java.math.BigDecimal)] =
+    def recompute(): Set[(String, Long, java.math.BigDecimal, Double)] =
       d.executeSql(
         """SELECT o_orderstatus, COUNT(*) AS n,
-          |SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS total
+          |SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS total,
+          |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+          |  / COUNT(o_totalprice) AS mean
           |FROM mv_t GROUP BY o_orderstatus""".stripMargin)
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
-    def mv(): Set[(String, Long, java.math.BigDecimal)] =
-      d.executeSql("SELECT * FROM mv_sum").collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getDecimal(2), r.getDouble(3))).toSet
+    def mv(): Set[(String, Long, java.math.BigDecimal, Double)] =
+      d.executeSql("SELECT o_orderstatus, n, total, mean FROM mv_sum").collect()
+        .map(r =>
+          (r.getString(0), r.getLong(1), r.getDecimal(2), r.getDouble(3))).toSet
     assert(mv() == recompute())
     // INSERT folds incrementally.
     d.executeDml(
@@ -294,10 +299,10 @@ class CatalogDdlSpec extends SparkSpec {
     // Dropping the base cascades to its MVs.
     d.executeDml("DROP TABLE mv_t")
     intercept[Exception](d.executeSql("SELECT * FROM mv_sum").collect())
-    // Unsupported MV shapes are loud.
+    // Unsupported MV shapes are loud (AVG is supported — STDDEV is not).
     registerOrders(d, "mv_t2")
     intercept[IllegalArgumentException](d.executeDml(
-      "CREATE MATERIALIZED VIEW bad AS SELECT o_orderstatus, AVG(o_totalprice) AS a " +
+      "CREATE MATERIALIZED VIEW bad AS SELECT o_orderstatus, STDDEV(o_totalprice) AS a " +
         "FROM mv_t2 GROUP BY o_orderstatus"))
   }
 

@@ -373,9 +373,15 @@ class DmlSpec extends SparkSpec {
     }
     assert(e1.getMessage.contains("arity"))
     val e2 = intercept[IllegalArgumentException] {
-      db.executeDml("RENAME TABLE dml_err TO dml_err2")
+      db.executeDml("GRANT SELECT ON dml_err TO nobody")
     }
     assert(e2.getMessage.contains("unsupported DML"))
+    // RENAME TABLE moves the handle and the SQL view; the old name is gone.
+    val n0 = db.executeSql("SELECT COUNT(*) AS n FROM dml_err").head().getLong(0)
+    db.executeDml("RENAME TABLE dml_err TO dml_err2")
+    assert(db.executeSql("SELECT COUNT(*) AS n FROM dml_err2").head().getLong(0) == n0)
+    intercept[Exception](db.executeDml("DELETE FROM dml_err"))
+    db.executeDml("ALTER TABLE dml_err2 RENAME TO dml_err")
     // TRUNCATE routes as an empty-the-table engine delete.
     db.executeDml("TRUNCATE TABLE dml_err")
     assert(db.executeSql("SELECT COUNT(*) AS n FROM dml_err").head().getLong(0) == 0L)
