@@ -333,12 +333,16 @@ final class Database(val spark: SparkSession) {
   // Materialized views — SQL-managed incremental aggregates.
   // ------------------------------------------------------------------
 
-  /** Registered MVs: view name → (base table, maintained state, publish
-    * projection — derives declared columns like AVG from the hidden
-    * sum/count pair and drops the hidden state columns).
+  /** One registered MV: base table, the DEFINING query text (the durable
+    * representation — save/load re-derives everything from it), maintained
+    * state, and the publish projection (derives declared columns like AVG
+    * from the hidden sum/count pair and drops the hidden state columns).
     */
-  private val mviews = TrieMap[String,
-    (String, graft.operators.MaterializedAgg, DataFrame => DataFrame)]()
+  private case class MvEntry(base: String, query: String,
+      mag: graft.operators.MaterializedAgg, derive: DataFrame => DataFrame)
+
+  /** Registered MVs: view name → entry. */
+  private val mviews = TrieMap[String, MvEntry]()
 
   private val CreateMvRe =
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][\w]*)\s+AS\s+(.+?)\s*;?\s*$""".r
@@ -410,16 +414,15 @@ final class Database(val spark: SparkSession) {
   }
 
   private def publishMv(name: String): Unit =
-    mviews.get(name).foreach { case (_, mag, derive) =>
-      derive(mag.state).createOrReplaceTempView(name)
-    }
+    mviews.get(name).foreach(e =>
+      e.derive(e.mag.state).createOrReplaceTempView(name))
 
   /** Fold an inserted batch into every MV over `table` — `O(batch) +
     * O(touched groups)` per view, the base is never rescanned.
     */
   private def maintainInsert(table: String, batch: org.apache.spark.sql.DataFrame): Unit =
-    mviews.foreach { case (name, (base, mag, _)) if base == table =>
-      mag.applyInsert(batch); publishMv(name)
+    mviews.foreach { case (name, e) if e.base == table =>
+      e.mag.applyInsert(batch); publishMv(name)
     case _ => ()
     }
 
@@ -429,10 +432,56 @@ final class Database(val spark: SparkSession) {
     * limits incremental refresh to insert-only deltas).
     */
   private def maintainRebuild(table: String): Unit =
-    mviews.foreach { case (name, (base, mag, _)) if base == table =>
-      mag.rebuild(tables(base).toDF); publishMv(name)
+    mviews.foreach { case (name, e) if e.base == table =>
+      e.mag.rebuild(tables(e.base).toDF); publishMv(name)
     case _ => ()
     }
+
+  /** Persist every registered MV under `root`: one directory per view with
+    * the O(groups) state as parquet (hidden AVG decomposition columns
+    * included — maintenance resumes exactly) and the DEFINING QUERY as
+    * `_mv.json`. Cost is O(total groups), never a base scan. Returns the
+    * number of views saved.
+    */
+  def saveMaterializedViews(root: String): Int = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    mviews.foreach { case (name, e) =>
+      val dir = java.nio.file.Paths.get(root, name)
+      e.mag.state.coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve("state").toString)
+      val node = om.createObjectNode()
+      node.put("name", name); node.put("base", e.base); node.put("query", e.query)
+      java.nio.file.Files.writeString(dir.resolve("_mv.json"),
+        om.writerWithDefaultPrettyPrinter().writeValueAsString(node))
+    }
+    mviews.size
+  }
+
+  /** Re-register every MV saved under `root` by [[saveMaterializedViews]].
+    * The defining query re-derives the view shape; the persisted state
+    * rehydrates WITHOUT scanning the base (the state is trusted as of the
+    * save — if the base mutated since, run `REFRESH MATERIALIZED VIEW`).
+    * Bases must already be registered. Returns the number loaded.
+    */
+  def loadMaterializedViews(root: String): Int = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rootP = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.isDirectory(rootP)) return 0
+    val dirs = java.nio.file.Files.list(rootP).iterator().asScala
+      .filter(d => java.nio.file.Files.exists(d.resolve("_mv.json"))).toList
+    dirs.foreach { d =>
+      val node = om.readTree(java.nio.file.Files.readString(d.resolve("_mv.json")))
+      val name = node.get("name").asText()
+      val query = node.get("query").asText()
+      require(!tables.contains(name), s"name '$name' already in use by a table")
+      val (base, groupCols, aggs, derive) = parseMvQuery(query)
+      val state = spark.read.parquet(d.resolve("state").toString)
+      val mag = graft.operators.MaterializedAgg.fromState(state, groupCols, aggs)
+      mviews.put(name, MvEntry(base, query, mag, derive))
+      publishMv(name)
+    }
+    dirs.size
+  }
 
   private def splitAssignments(s: String): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer[String]()
@@ -591,8 +640,11 @@ final class Database(val spark: SparkSession) {
           s"name '$to' already in use")
         tables.remove(from); tables.put(to, d)
         feeds.remove(from).foreach(feeds.put(to, _))
-        mviews.foreach { case (mv, (base, mag, derive)) if base == from =>
-          mviews.put(mv, (to, mag, derive))
+        mviews.foreach { case (mv, e) if e.base == from =>
+          // The defining query is the MV's durable form — rewrite its FROM
+          // so a later save/load resolves the renamed base.
+          mviews.put(mv, e.copy(base = to, query = e.query.replaceAll(
+            s"(?i)\\bFROM\\s+$from\\b", s"FROM $to")))
         case _ => ()
         }
         spark.catalog.dropTempView(from)
@@ -698,7 +750,7 @@ final class Database(val spark: SparkSession) {
         spark.catalog.dropTempView(t)
         // Dependent materialized views drop with their base (a stale MV
         // over a vanished table could only serve wrong answers).
-        mviews.filter(_._2._1 == t).keys.foreach { mv =>
+        mviews.filter(_._2.base == t).keys.foreach { mv =>
           mviews.remove(mv); spark.catalog.dropTempView(mv)
         }
         // PURGE additionally deletes the storage root — without it the
@@ -716,7 +768,7 @@ final class Database(val spark: SparkSession) {
         val (base, groupCols, aggs, derive) = parseMvQuery(query)
         val mag = graft.operators.MaterializedAgg.build(
           tables(base).toDF, groupCols, aggs)
-        mviews.put(name, (base, mag, derive))
+        mviews.put(name, MvEntry(base, query, mag, derive))
         publishMv(name)
         1L
       case DropMvRe(name) =>
@@ -728,9 +780,9 @@ final class Database(val spark: SparkSession) {
         // Manual full refresh — the escape hatch for base mutations made
         // through the ENGINE API rather than SQL (the SQL surface
         // maintains automatically).
-        val (base, mag, _) = mviews.getOrElse(name,
+        val e = mviews.getOrElse(name,
           throw new IllegalArgumentException(s"unknown materialized view '$name'"))
-        mag.rebuild(tables(base).toDF)
+        e.mag.rebuild(tables(e.base).toDF)
         publishMv(name)
         1L
       case AnalyzeRe(t) =>

@@ -174,4 +174,19 @@ object MaterializedAgg {
     new MaterializedAgg(groupCols, aggs,
       aggregate(base, groupCols, aggs).localCheckpoint(true), 0)
   }
+
+  /** Rehydrate from a PERSISTED state (one row per group, `groupCols ++
+    * aliases`) — the O(groups) load path: no base scan, maintenance
+    * continues exactly where the saved state left off. The caller vouches
+    * that `state` was produced by a view with the same groupCols/aggs
+    * (the SQL layer persists the defining query alongside and re-derives
+    * both from it).
+    */
+  def fromState(state: DataFrame, groupCols: Seq[String], aggs: Seq[AggCol]): MaterializedAgg = {
+    require(groupCols.nonEmpty && aggs.nonEmpty, "need group columns and aggregates")
+    val want = (groupCols ++ aggs.map(_.alias)).toSet
+    require(state.columns.toSet == want,
+      s"state columns ${state.columns.mkString(",")} do not match the view shape")
+    new MaterializedAgg(groupCols, aggs, state.localCheckpoint(true), 0)
+  }
 }

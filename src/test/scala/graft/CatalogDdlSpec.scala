@@ -306,6 +306,37 @@ class CatalogDdlSpec extends SparkSpec {
         "FROM mv_t2 GROUP BY o_orderstatus"))
   }
 
+  test("materialized views persist: save is O(groups), load resumes maintenance") {
+    val d = db()
+    registerOrders(d, "mvp_t")
+    d.executeDml(
+      """CREATE MATERIALIZED VIEW mvp_v AS
+        |SELECT o_orderstatus, COUNT(*) AS n, SUM(o_totalprice) AS total,
+        |       AVG(o_totalprice) AS mean
+        |FROM mvp_t GROUP BY o_orderstatus""".stripMargin)
+    d.executeDml(
+      """INSERT INTO mvp_t VALUES
+        |(9900301, 3, 'O', 50.25, TIMESTAMP '2031-01-01 00:00:00', '1-URGENT', 19)""".stripMargin)
+    val before = d.executeSql("SELECT * FROM mvp_v").collect().map(_.toString).sorted
+    val root = java.nio.file.Files.createTempDirectory("graft_mv").toString
+    assert(d.saveMaterializedViews(root) == 1)
+
+    // A fresh session-catalog: base re-registers, MV REHYDRATES from the
+    // saved state (no base scan) and keeps maintaining from inserts.
+    val d2 = db()
+    registerOrders(d2, "mvp_t")
+    assert(d2.loadMaterializedViews(root) == 1)
+    val loaded = d2.executeSql("SELECT * FROM mvp_v").collect().map(_.toString).sorted
+    assert(loaded.sameElements(before), "rehydrated view differs from saved state")
+    d2.executeDml(
+      """INSERT INTO mvp_t VALUES
+        |(9900302, 4, 'P', 10.5, TIMESTAMP '2031-01-02 00:00:00', '2-HIGH', 19)""".stripMargin)
+    val n = d2.executeSql("SELECT n FROM mvp_v WHERE o_orderstatus = 'P'").head().getLong(0)
+    val want = d2.executeSql(
+      "SELECT COUNT(*) AS n FROM mvp_t WHERE o_orderstatus = 'P'").head().getLong(0)
+    assert(n == want, "maintenance did not resume after load")
+  }
+
   // --------------------------------------------------------- column DDL
 
   test("column DDL: add/rename/drop are plan-level and stats-honest") {

@@ -35,6 +35,33 @@ class SqlPruneSpec extends SparkSpec {
     assert(row.getLong(0) == want.size && row.getLong(1) == want.map(_._2).sum)
   }
 
+  test("catalog row counters drive join strategy: small lake table broadcasts") {
+    // In-memory lake plans carry no file-size estimate, so without
+    // LakeScan.computeStats a dimension-fact join would default to the
+    // conservative huge size and sort-merge. The maintained row counters
+    // make the small side provably small -> automatic broadcast, the join
+    // strategy a 1000-executor star join depends on.
+    val db = new Database(spark)
+    val dim = (0 until 50).map(i => (i.toLong, s"name_$i"))
+    val fact = (0 until 20000).map(i => (i.toLong % 50, i.toLong, i * 2.0))
+    db.register("bj_dim", LakeDataset.fromDataFrame(spark, dim.toDF("id", "name")))
+    db.register("bj_fact", LakeDataset.fromDataFrame(
+      spark, fact.toDF("id", "k", "v"), bucketCols = Seq("k"), nBuckets = 4))
+    val q = spark.sql(
+      """SELECT d.name, COUNT(*) AS n FROM bj_fact f
+        |JOIN bj_dim d ON f.id = d.id GROUP BY d.name""".stripMargin)
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"),
+      s"small lake table did not broadcast:\n$physical")
+    assert(q.collect().map(_.getLong(1)).sum == fact.size)
+    // The estimate is row-count based, not a guess: the optimized plan's
+    // stats for the dim side must reflect the 50 maintained rows.
+    val scanStats = q.queryExecution.optimizedPlan.collect {
+      case l if l.stats.rowCount.contains(BigInt(50)) => l
+    }
+    assert(scanStats.nonEmpty, "dim side lost its catalog row count")
+  }
+
   test("SQL range WHERE prunes via zone maps; equality prunes via bucket id") {
     val db = new Database(spark)
     // Disjoint k-ranges per partition cell: zones can skip whole parts.
