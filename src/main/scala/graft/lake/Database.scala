@@ -426,16 +426,103 @@ final class Database(val spark: SparkSession) {
     case _ => ()
     }
 
-  /** Rebuild every MV over `table` — the non-insert mutations (upsert,
-    * delete, update, restore) break MIN/MAX monotonicity, so the operator
-    * contract says rebuild (same restriction as every MV engine that
-    * limits incremental refresh to insert-only deltas).
+  /** Rebuild every MV over `table` — the fallback for mutations whose
+    * touched-group set is unknown (upsert/MERGE, RESTORE). Predicate
+    * DELETE/UPDATE go through [[maintainTouched]] instead.
     */
   private def maintainRebuild(table: String): Unit =
     mviews.foreach { case (name, e) if e.base == table =>
       e.mag.rebuild(tables(e.base).toDF); publishMv(name)
     case _ => ()
     }
+
+  /** Targeted maintenance for a predicate DELETE/UPDATE: `preGroups(cols)`
+    * must return the mutation's touched rows projected to `cols` — evaluated
+    * against the PRE-state, including any group the mutation may MOVE rows
+    * into (an UPDATE assigning a group column contributes both old and new
+    * memberships). Each affected view then recomputes ONLY those groups
+    * from the post-state via `MaterializedAgg.refreshGroups` —
+    * O(touched cells) + O(touched groups), never a base rescan. This is the
+    * partial-refresh design every engine with non-invertible aggregates
+    * (MIN/MAX) uses: subtraction cannot maintain them, a per-touched-group
+    * recompute is exact for all of them.
+    */
+  private def maintainTouched(table: String,
+      preGroups: Seq[String] => DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val affected = mviews.filter(_._2.base == table)
+    if (affected.isEmpty) return
+    affected.foreach { case (name, e) =>
+      val touched = preGroups(e.mag.groupColumns).localCheckpoint(true)
+      // The recompute's base read is the targeted path's only full-width
+      // scan — turn a SMALL single-column touched set into a literal
+      // IN-list prefilter so the engine's bucket/zone pruning can skip
+      // cells entirely (a semi-join never prunes the part union; a literal
+      // predicate does). Semantics unchanged: refreshGroups still
+      // semi-joins on the touched groups, the prefilter only narrows what
+      // it reads. NULL groups or wide sets keep the plain semi-join.
+      val base = e.mag.groupColumns match {
+        case Seq(g) =>
+          val vals = touched.limit(1001).collect().map(_.get(0))
+          if (vals.length <= 1000 && !vals.contains(null))
+            tables(table).toDF.filter(col(g).isin(vals: _*))
+          else tables(table).toDF
+        case _ => tables(table).toDF
+      }
+      e.mag.refreshGroups(base, touched)
+      publishMv(name)
+    }
+  }
+
+  /** Capture the touched GROUP memberships of a predicate DELETE/UPDATE
+    * from the PRE-state — must be called BEFORE the mutation. Returns None
+    * when no MV depends on `t` (zero cost). The pin is the distinct
+    * projection onto the union of every affected view's group columns —
+    * O(touched groups), not O(touched rows). For UPDATE, `assigns` applied
+    * to the pre-image rows contribute the groups rows MOVE INTO when a
+    * group column is assigned.
+    */
+  private def touchedGroupsPre(t: String, cond: org.apache.spark.sql.Column,
+      assigns: Seq[(String, org.apache.spark.sql.Column)])
+      : Option[Seq[String] => DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val affectedCols = mviews.values.filter(_.base == t)
+      .flatMap(_.mag.groupColumns).toSeq.distinct
+    if (affectedCols.isEmpty) return None
+    val preRows = tables(t).toDF.filter(cond)
+    val old = preRows.select(affectedCols.map(col): _*)
+    val both =
+      if (assigns.exists(a => affectedCols.contains(a._1)))
+        old.unionByName(assigns.foldLeft(preRows) { case (d, (c, e)) =>
+          d.withColumn(c, e)
+        }.select(affectedCols.map(col): _*))
+      else old
+    val pinned = both.distinct().localCheckpoint(true)
+    Some(cols => pinned.select(cols.map(col): _*).distinct())
+  }
+
+  /** Touched-group capture for a KEYED mutation (MERGE/upsert): the groups
+    * of pre-state rows matching the source keys (vacated by updates and
+    * deletes, pinned BEFORE the mutation) unioned with the groups of
+    * post-state rows matching them (received by updates and inserts —
+    * evaluated lazily by [[maintainTouched]] after the mutation). Two
+    * key semi-joins, O(batch) each — never a base rescan.
+    */
+  private def touchedGroupsPreKeys(t: String, source: DataFrame,
+      keys: Seq[String]): Option[Seq[String] => DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val affectedCols = mviews.values.filter(_.base == t)
+      .flatMap(_.mag.groupColumns).toSeq.distinct
+    if (affectedCols.isEmpty) return None
+    val srcKeys = source.select(keys.map(col): _*).distinct().localCheckpoint(true)
+    val preGroups = tables(t).toDF.join(srcKeys, keys, "left_semi")
+      .select(affectedCols.map(col): _*).distinct().localCheckpoint(true)
+    Some { cols =>
+      val post = tables(t).toDF.join(srcKeys, keys, "left_semi")
+        .select(cols.map(col): _*).distinct()
+      preGroups.select(cols.map(col): _*).unionByName(post).distinct()
+    }
+  }
 
   /** Persist every registered MV under `root`: one directory per view with
     * the O(groups) state as parquet (hidden AVG decomposition columns
@@ -559,6 +646,8 @@ final class Database(val spark: SparkSession) {
         // with the statement's USING alias makes both `s.op` and bare `op`
         // resolve (a target-column reference fails analysis loudly).
         val filled = srcAlias.fold(filled0)(filled0.alias)
+        // Pin touched groups BEFORE mutating (targeted MV maintenance).
+        val preTouched = touchedGroupsPreKeys(t, filled, keys)
         val matchedClauses = clauses.filter(_.matched)
         val insertClause = clauses.find(!_.matched)
         val unconditionalUpsert = clauses.isEmpty || (
@@ -603,14 +692,15 @@ final class Database(val spark: SparkSession) {
           delKeys.foreach(target.delete(_, keys))
         }
         refresh(t)
-        maintainRebuild(t)
+        preTouched.fold(maintainRebuild(t))(maintainTouched(t, _))
         return 1L
       case None =>
     }
     sql match {
       case DeleteRe(t, cond) =>
+        val pre = touchedGroupsPre(t, expr(cond), Nil)
         val n = ds(t).deleteWhere(expr(cond))
-        refresh(t); maintainRebuild(t); n.toLong
+        refresh(t); pre.fold(maintainRebuild(t))(maintainTouched(t, _)); n.toLong
       case UpdateRe(t, setList, condOrNull) =>
         val assignments = splitAssignments(setList).map { a =>
           a.split("=", 2) match {
@@ -622,8 +712,9 @@ final class Database(val spark: SparkSession) {
         }
         val cond = Option(condOrNull).map(expr)
           .getOrElse(org.apache.spark.sql.functions.lit(true))
+        val pre = touchedGroupsPre(t, cond, assignments)
         val n = ds(t).updateWhere(cond, assignments)
-        refresh(t); maintainRebuild(t); n.toLong
+        refresh(t); pre.fold(maintainRebuild(t))(maintainTouched(t, _)); n.toLong
       case DeleteAllRe(t) =>
         val n = ds(t).deleteWhere(org.apache.spark.sql.functions.lit(true))
         refresh(t); maintainRebuild(t); n.toLong

@@ -805,6 +805,38 @@ object ScaleSmoke {
           s" of table ($nRows)")
         require(logged < nRows / 10, "restore logged O(table), not O(drift)")
       }
+      // Targeted MV maintenance: when the mutation predicate AND the
+      // touched-group recompute both prune (here: the view groups by the
+      // table's bucket axis, so the IN-list prefilter of the few touched
+      // groups skips every other bucket cell), a predicate UPDATE
+      // maintains the view at touched-cell cost — the timing includes the
+      // update itself, and must land well under the full REFRESH (rebuild)
+      // it replaced. Also: MV save = O(groups), load = no base scan.
+      {
+        val db = new graft.lake.Database(spark)
+        db.register("mvt_scale", LakeDataset.fromDataFrame(spark,
+          mo11.withColumn("g", col("o_custkey") % 10000),
+          bucketCols = Seq("g"), nBuckets = 16))
+        time("CREATE MV (10k groups, full build)")(db.executeDml(
+          """CREATE MATERIALIZED VIEW mvt_v AS
+            |SELECT g, COUNT(*) AS n, SUM(o_totalprice) AS total,
+            |       MAX(o_totalprice) AS mx
+            |FROM mvt_scale GROUP BY g""".stripMargin))
+        val groups = spark.sql("SELECT COUNT(*) AS n FROM mvt_v").head().getLong(0)
+        time(s"targeted UPDATE (1 of $groups groups, bucket-pruned)")(
+          db.executeDml(
+            "UPDATE mvt_scale SET o_totalprice = o_totalprice + 1 WHERE g = 77"))
+        time("full REFRESH (the rebuild it replaced)")(
+          db.executeDml("REFRESH MATERIALIZED VIEW mvt_v"))
+        val mvRoot = java.nio.file.Files.createTempDirectory("graft_r12_mv").toString
+        try {
+          time(s"MV save ($groups groups)")(db.saveMaterializedViews(mvRoot))
+          val db2 = new graft.lake.Database(spark)
+          db2.register("mvt_scale", db.get("mvt_scale").get)
+          time("MV load (no base scan)")(db2.loadMaterializedViews(mvRoot))
+        } finally LakeDataset.deleteRecursively(java.nio.file.Paths.get(mvRoot))
+        db.executeDml("DROP MATERIALIZED VIEW mvt_v")
+      }
       mo11.unpersist(true)
     }
     if (onlyR11) { spark.stop(); return }

@@ -288,8 +288,28 @@ class CatalogDdlSpec extends SparkSpec {
       """INSERT INTO mv_t VALUES
         |(9900201, 5, 'O', 77.25, TIMESTAMP '2031-01-01 00:00:00', '1-URGENT', 18)""".stripMargin)
     assert(mv() == recompute())
-    // UPDATE (non-insert) rebuilds.
+    // UPDATE refreshes the touched groups only (targeted maintenance).
     d.executeDml("UPDATE mv_t SET o_totalprice = o_totalprice + 10 WHERE o_custkey % 11 = 0")
+    assert(mv() == recompute())
+    // An UPDATE that ASSIGNS the group column moves rows between groups —
+    // both the vacated and the receiving group must refresh ('X' is a
+    // brand-new group; the % 7 slice of every old group shrinks).
+    d.executeDml("UPDATE mv_t SET o_orderstatus = 'X' WHERE o_custkey % 7 = 0")
+    assert(mv() == recompute())
+    // DELETE refreshes touched groups; a group losing its last row vanishes.
+    d.executeDml("DELETE FROM mv_t WHERE o_orderstatus = 'X'")
+    assert(mv() == recompute())
+    assert(!mv().exists(_._1 == "X"))
+    // MERGE maintains through the keyed-touched path: updates move values,
+    // the CDC DELETE clause drops rows, inserts land in their groups.
+    d.executeDml(
+      """MERGE INTO mv_t USING (
+        |  SELECT o_orderkey, o_totalprice * 0 + 42.5 AS o_totalprice,
+        |         CASE WHEN o_orderkey % 2 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM mv_t WHERE o_orderkey <= 30) s
+        |ON mv_t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
     assert(mv() == recompute())
     // Engine-level write bypasses SQL maintenance → REFRESH is the contract.
     ds.insert(Fixtures.table(spark, sf(), "orders").limit(3)

@@ -275,9 +275,10 @@ class GrpcSpec extends SparkSpec {
       assert(rows == Seq((1L, "O", 11.5), (3L, "O", 30.0), (9L, null, 90.0)), rows)
 
       // A malformed statement is a loud gRPC error, not a hang.
+      // (TRUNCATE graduated to a supported verb — GRANT stays unsupported.)
       val e = intercept[Exception] {
         unaryCall(GrpcLakeServer.ExecuteDmlMethod,
-          PbSql("TRUNCATE TABLE dml_t").encode)
+          PbSql("GRANT SELECT ON dml_t TO nobody").encode)
       }
       assert(e.getMessage.contains("unsupported DML"), e.getMessage)
     } finally {
