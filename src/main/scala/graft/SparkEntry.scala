@@ -1087,6 +1087,49 @@ object SparkEntry {
           |GROUP BY o_batch ORDER BY o_batch""".stripMargin)
     }),
 
+    // HYBRID metadata aggregation: the upsert dirties a few cells — the
+    // vouched cells still fold from the catalog and ONE scan covers only
+    // the dirtied rest (all-or-nothing metadata answering would rescan the
+    // whole table for a single dirty cell). Identical to the full
+    // aggregation by construction; StatsSpec pins the one-cell scan.
+    "lake_stats_hybrid" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .withColumn("o_batch", (col("o_orderkey") / 6000).cast("int"))
+      val ds = LakeDataset.fromDataFrame(s, o, partitionCols = Seq("o_batch"))
+      ds.upsert(o.filter(col("o_orderkey") < 32)
+        .withColumn("o_totalprice", lit(0.125)), Seq("o_orderkey"))
+      graft.operators.Stats.tableStats(s, ds, Seq("o_orderkey", "o_totalprice"))
+    }),
+
+    // The SUM flavor of the hybrid: catalog-exact decimal sums over the
+    // vouched cells + the same exact accumulation over the scanned rest.
+    "lake_stats_hybrid_sum" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .withColumn("o_batch", (col("o_orderkey") / 6000).cast("int"))
+      val ds = LakeDataset.fromDataFrame(s, o, partitionCols = Seq("o_batch"))
+      ds.upsert(o.filter(col("o_orderkey") < 32)
+        .withColumn("o_custkey", col("o_custkey") + 1000000L), Seq("o_orderkey"))
+      graft.operators.Stats.tableSumStats(s, ds, Seq("o_custkey"))
+    }),
+
+    // Zone-seeded top-k: ORDER BY + LIMIT that reads only the cells whose
+    // zone interval can reach the k-th value — "latest N" over a
+    // range-partitioned table seeds from the extreme cell and prunes the
+    // rest pre-scan (Spark's TakeOrderedAndProject scans every file).
+    "lake_topk" -> ((s, dir) => {
+      Fixtures.ordersZoneLake(s, dir).topK("o_orderkey", 20)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // Top-k on a DATA column with a deterministic tie-break — zones on the
+    // ranking column prune whatever they can; the answer is the plain
+    // ordered limit either way.
+    "lake_topk_price" -> ((s, dir) => {
+      Fixtures.ordersZoneLake(s, dir)
+        .topK("o_totalprice", 15, asc = false, tieBreak = Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
     "lake_bucket_pruning" -> ((s, dir) => {
       val ds = Fixtures.lineitemLake(s, dir)
       ds.bucketPrunedDF(1042L)
@@ -2410,6 +2453,28 @@ object SparkEntry {
         |       COUNT(*) AS cnt, CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
         |FROM orders WHERE CAST(FLOOR(o_orderkey / 6000.0) AS INT) IN (0, 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_stats_hybrid" ->
+      """SELECT COUNT(*) AS cnt,
+        |       MIN(o_orderkey) AS min_o_orderkey, MAX(o_orderkey) AS max_o_orderkey,
+        |       MIN(CASE WHEN o_orderkey < 32 THEN 0.125 ELSE o_totalprice END) AS min_o_totalprice,
+        |       MAX(CASE WHEN o_orderkey < 32 THEN 0.125 ELSE o_totalprice END) AS max_o_totalprice
+        |FROM orders""".stripMargin,
+
+    "lake_stats_hybrid_sum" ->
+      """SELECT COUNT(*) AS cnt,
+        |       CAST(SUM(CASE WHEN o_orderkey < 32
+        |                     THEN o_custkey + 1000000 ELSE o_custkey END) AS BIGINT)
+        |         AS sum_o_custkey
+        |FROM orders""".stripMargin,
+
+    "lake_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey DESC LIMIT 20""".stripMargin,
+
+    "lake_topk_price" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 15""".stripMargin,
 
     "lake_sql_zone_pruning" ->
       s"""SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total

@@ -426,6 +426,24 @@ final class Database(val spark: SparkSession) {
     case _ => ()
     }
 
+  /** foreachBatch sink over a REGISTERED table: append each micro-batch,
+    * fold it into every dependent materialized view (O(batch + touched
+    * groups) per view — the base is never rescanned), and refresh the SQL
+    * views. The streaming analogue of `INSERT INTO` through [[executeDml]]:
+    * a dashboard MV over a streaming-ingested table stays current at
+    * per-batch cost. At-least-once like any plain foreachBatch append — an
+    * epoch replayed after a crash re-inserts AND re-folds together, so the
+    * view never drifts from its base (they move in the same callback).
+    */
+  def streamInsertSink(table: String): (org.apache.spark.sql.DataFrame, Long) => Unit = {
+    require(tables.contains(table), s"unknown lake table '$table'")
+    (batch, _) => {
+      tables(table).insert(batch)
+      refresh(table)
+      maintainInsert(table, batch)
+    }
+  }
+
   /** Rebuild every MV over `table` — the fallback for mutations whose
     * touched-group set is unknown (upsert/MERGE, RESTORE). Predicate
     * DELETE/UPDATE go through [[maintainTouched]] instead.
@@ -646,6 +664,24 @@ final class Database(val spark: SparkSession) {
         // with the statement's USING alias makes both `s.op` and bare `op`
         // resolve (a target-column reference fails analysis loudly).
         val filled = srcAlias.fold(filled0)(filled0.alias)
+        // ANSI MERGE cardinality check: two source rows with the same key
+        // make the statement ambiguous (the standard's "attempt to update
+        // the same row twice" violation; the engine upsert would silently
+        // keep an arbitrary one). One O(batch) aggregate probes for ANY
+        // duplicate — strictly cheaper than the mutation it guards — and
+        // errors loudly. `spark.graft.merge.checkSourceKeys=false` skips
+        // the probe for trusted-deduped CDC feeds.
+        if (spark.conf.get("spark.graft.merge.checkSourceKeys", "true").toBoolean) {
+          val dup = filled.groupBy(keys.map(col): _*)
+            .count().filter(col("count") > 1).limit(1).collect()
+          if (dup.nonEmpty)
+            throw new IllegalArgumentException(
+              "MERGE source has multiple rows for key (" +
+                keys.zipWithIndex.map { case (k, i) => s"$k=${dup(0).get(i)}" }
+                  .mkString(", ") +
+                ") — ANSI MERGE cardinality violation; dedupe the USING " +
+                "query or set spark.graft.merge.checkSourceKeys=false")
+        }
         // Pin touched groups BEFORE mutating (targeted MV maintenance).
         val preTouched = touchedGroupsPreKeys(t, filled, keys)
         val matchedClauses = clauses.filter(_.matched)

@@ -1310,6 +1310,144 @@ final class LakeDataset private (
     Some(out)
   }
 
+  /** Partial catalog fold for HYBRID aggregation: split the parts into the
+    * set whose stats can vouch for `cols` (tight, counted, zoned) and the
+    * rest; fold the vouched side entirely from the catalog and hand back a
+    * DataFrame covering ONLY the rest. `Some((cnt, zones, scanDf))` means
+    * `cnt`/`zones` exactly cover the vouched parts and `scanDf` (None when
+    * every part vouched) holds precisely the remaining rows — the caller
+    * combines one small scan with the fold for an answer identical to a
+    * full-table aggregation. None = nothing vouched (or a fold failed):
+    * fall back to the one full scan.
+    *
+    * The 100 TB shape this serves: one upsert dirties ONE cell of a
+    * 10k-cell table — all-or-nothing metadata answering then scans 10k
+    * cells for a count; the hybrid scans 1.
+    */
+  def metaStatsPartial(cols: Seq[String])
+      : Option[(Long, Map[String, Zone], Option[DataFrame])] = this.synchronized {
+    if (parts.isEmpty) return None
+    val all = parts.asScala.toList
+    val (vouched, rest) = all.partition { case (_, p) =>
+      p.statsTight.get && p.rows.get >= 0L &&
+        (cols.isEmpty || p.zones.exists(m => cols.forall(m.contains)))
+    }
+    if (vouched.isEmpty) return None
+    val cnt = vouched.map(_._2.rows.get).sum
+    val folded = scala.collection.mutable.Map[String, Zone]()
+    for (c <- cols) {
+      vouched.map(v => Option(v._2.zones.get(c)))
+        .reduce((a, b) => a.flatMap(x => b.flatMap(y => x.widen(y)))) match {
+        case Some(z) => folded(c) = z
+        case None => return None // incomparable bounds: fail open entirely
+      }
+    }
+    val scanDf =
+      if (rest.isEmpty) None
+      else Some(assembleSubset(all, rest))
+    Some((cnt, folded.toMap, scanDf))
+  }
+
+  /** [[metaStatsPartial]] for SUMs: fold exact per-part decimal sums over
+    * the vouched parts (each must carry a sum for every requested column)
+    * and return the rest as a DataFrame to scan. Same contract.
+    */
+  def metaSumsPartial(cols: Seq[String])
+      : Option[(Long, Map[String, ColSum], Option[DataFrame])] = this.synchronized {
+    if (parts.isEmpty) return None
+    val all = parts.asScala.toList
+    val (vouched, rest) = all.partition { case (_, p) =>
+      p.statsTight.get && p.rows.get >= 0L &&
+        p.sums.exists(m => cols.forall(m.contains))
+    }
+    if (vouched.isEmpty) return None
+    val cnt = vouched.map(_._2.rows.get).sum
+    val folded = cols.map { c =>
+      c -> vouched.map(_._2.sums.get.apply(c)).reduce((a, b) => a.add(b))
+    }.toMap
+    val scanDf = if (rest.isEmpty) None else Some(assembleSubset(all, rest))
+    Some((cnt, folded, scanDf))
+  }
+
+  /** One DataFrame over exactly `kept`'s rows — the multi-path single scan
+    * when the kept set is disk-resident with one schema, else a view union.
+    * Unlike [[assembleKept]] there is no most-parts-kept → whole-table
+    * shortcut: the caller needs EXACTLY these parts' rows.
+    */
+  private def assembleSubset(
+      all: List[(PartKey, LakePart)], kept: List[(PartKey, LakePart)]): DataFrame =
+    if (kept.isEmpty) emptyLike
+    else {
+      val dirs = kept.map { case (k, _) => diskDirs.get(k) }
+      if (storage.isDefined && dirs.forall(_ != null) && uniformSchema(kept))
+        multiPathScan(dirs)
+      else kept.map(_._2.view).reduce(_ unionByName (_, allowMissingColumns = true))
+    }
+
+  /** Zone-seeded top-k: the k extreme rows by `c` (desc by default, with
+    * optional deterministic tie-break columns), reading only the cells whose
+    * zone interval can reach the k-th value. NULL `c` rows are excluded by
+    * definition (`WHERE c IS NOT NULL ORDER BY c ... LIMIT k`).
+    *
+    * Two phases, both tiny:
+    *  1. SEED — scan the few cells whose zones sit at the extreme (ordered
+    *     by min desc for desc / max asc for asc, taking cells until their
+    *     exact row counters cover k) with ORDER BY + LIMIT k, collecting k
+    *     values of `c` only. The observed k-th value `t` is a certified
+    *     lower bound on the global k-th value: ≥k real rows are ≥ t.
+    *  2. PRUNE + FINAL — keep only cells whose zone overlaps [t, +inf)
+    *     (inclusive — a tie at exactly t may still win on tie-break) plus
+    *     cells with no zone for `c` (unknown never prunes), and run the
+    *     ordered limit over that subset.
+    *
+    * The 100 TB shape: "latest N events" over a 10k-cell time-partitioned
+    * table seeds from the newest cell and prunes the other 9,999 — Spark's
+    * own TakeOrderedAndProject still scans every file. Falls back to the
+    * plain full ordered limit whenever the seed cannot certify (no tight
+    * counters at the extreme, fewer than k observed rows, no zones).
+    */
+  def topK(c: String, k: Int, asc: Boolean = false,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(k > 0, "topK needs k > 0")
+    val sortCols = (col(c) :: tieBreak.toList.map(col)).map(x => if (asc) x.asc else x.desc)
+    def fullSort(df: DataFrame): DataFrame =
+      df.filter(col(c).isNotNull).sort(sortCols: _*).limit(k)
+    val all = this.synchronized { parts.asScala.toList }
+    if (all.isEmpty) return fullSort(toDF)
+    // Extreme-first cell order; a cell with no zone for `c` cannot seed
+    // (its bounds are unknown) and never prunes.
+    def zoneOf(p: LakePart): Option[Zone] = p.zones.flatMap(_.get(c))
+    val zoned = all.flatMap { case (key, p) =>
+      zoneOf(p).flatMap(z => (if (asc) z.max else z.min).map(b => (key, p, b, z)))
+    }
+    if (zoned.isEmpty) return fullSort(toDF)
+    val ordered = zoned.sortBy(_._3)(
+      (if (asc) Ordering.fromLessThan[Any]((a, b) => ZoneMap.cmp(a, b).exists(_ < 0))
+       else Ordering.fromLessThan[Any]((a, b) => ZoneMap.cmp(a, b).exists(_ > 0))))
+    // Seed prefix: exact (tight) counters only — a stale counter could
+    // overstate coverage and certify a too-high threshold (over-pruning,
+    // the one unsound direction). Nulls in `c` could eat into a counter,
+    // so the seed only counts cells whose zone covers every row (rows with
+    // NULL c are invisible to zones — accept the cell's counter only as an
+    // upper bound and verify with the OBSERVED row count in phase 1).
+    var cover = 0L
+    val seed = ordered.takeWhile { case (_, p, _, _) =>
+      val take = cover < k
+      if (take && p.statsTight.get && p.rows.get >= 0L) cover += p.rows.get
+      take
+    }
+    if (cover < k || seed.size > math.max(4, all.size / 8))
+      return fullSort(toDF) // seed can't certify cheaply — one plain sort
+    val seedDf = assembleSubset(all, seed.map(s => (s._1, s._2)))
+    val observed = seedDf.filter(col(c).isNotNull)
+      .sort(sortCols: _*).limit(k).select(col(c)).collect()
+    if (observed.length < k) return fullSort(toDF) // NULLs ate the counter
+    val t = observed.last.get(0)
+    val qZone = if (asc) Zone(None, Option(t)) else Zone(Option(t), None)
+    val kept = all.filter { case (_, p) => zoneOf(p).forall(_.overlaps(qZone)) }
+    fullSort(assembleSubset(all, kept))
+  }
+
   def schemaInfo: (List[(String, String)], Long, Int) = {
     val sample = parts.values().asScala.headOption
       .getOrElse(throw new IllegalStateException("dataset has no parts"))

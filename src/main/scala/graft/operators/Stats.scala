@@ -14,11 +14,14 @@ import graft.lake.{ColSum, LakeDataset}
   * [[tableStats]] answers `COUNT(*)` + per-column `MIN`/`MAX` from the
   * dataset's maintained statistics (per-part row counters + zone maps) when
   * they are provably exact — zero Spark jobs, zero file reads, a driver-side
-  * fold over the catalog. When any part's stats are not tight (a
-  * non-materialized upsert/delete in its history, or a manifest that did
-  * not vouch for them) it falls back to ONE aggregation scan producing the
-  * identical result. Same schema, same values either way — the fast path is
-  * an optimization, never a semantic.
+  * fold over the catalog. When SOME parts' stats are not tight (a
+  * non-materialized upsert/delete in their history, or a manifest that did
+  * not vouch for them) it degrades GRADUALLY: the vouched parts still fold
+  * from the catalog and ONE scan covers only the unvouched ones — a single
+  * dirty cell costs one cell's read, not the table's. Only when nothing can
+  * vouch (or a bound fold fails) does it run the full aggregation scan.
+  * Same schema, same values on every path — the fast paths are
+  * optimizations, never a semantic.
   *
   * At 100 TB: a 10k-cell table's count/min/max is a 10k-entry fold on the
   * driver versus a full-cluster scan — the difference between answering in
@@ -42,10 +45,40 @@ object Stats {
           n +: cols.flatMap(c => Seq(zones(c).min.orNull, zones(c).max.orNull)))
         spark.createDataFrame(java.util.Collections.singletonList(row), outSchema)
       case None =>
-        // Fallback: one aggregation over the table — identical result.
-        val aggs = count(lit(1)).cast(LongType).as("cnt") +:
-          cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-        ds.toDF.agg(aggs.head, aggs.tail: _*)
+        // HYBRID fallback: fold the vouched cells from the catalog and scan
+        // ONLY the rest — one upsert-dirtied cell in a 10k-cell table costs
+        // one cell's scan, not 10k. The scan side computes the same
+        // (count, min/max) state shape via ZoneMap.aggs and widens into the
+        // fold; any incomparable bound drops to the full scan (never wrong).
+        val hybrid: Option[Row] = ds.metaStatsPartial(cols).flatMap {
+          case (cnt0, zones0, scanOpt) =>
+            val (scanCnt, scanZones) = scanOpt match {
+              case None => (0L, Map.empty[String, graft.lake.Zone])
+              case Some(scan) =>
+                val aggs = count(lit(1)).cast(LongType) +: graft.lake.ZoneMap.aggs(cols)
+                val r = scan.agg(aggs.head, aggs.tail: _*).head()
+                (r.getLong(0), graft.lake.ZoneMap.fromRow(r, 1, cols))
+            }
+            val folded = cols.foldLeft(Option(Map.empty[String, graft.lake.Zone])) {
+              (acc, c) => acc.flatMap { m =>
+                // Widen only when the scan side HAS rows — an empty scan's
+                // (None, None) zone means "no values", which widens as-is.
+                if (scanCnt == 0L) Some(m + (c -> zones0(c)))
+                else zones0(c).widen(scanZones(c)).map(z => m + (c -> z))
+              }
+            }
+            folded.map(m => Row.fromSeq((cnt0 + scanCnt) +:
+              cols.flatMap(c => Seq(m(c).min.orNull, m(c).max.orNull))))
+        }
+        hybrid match {
+          case Some(row) =>
+            spark.createDataFrame(java.util.Collections.singletonList(row), outSchema)
+          case None =>
+            // Full fallback: one aggregation over the table — identical result.
+            val aggs = count(lit(1)).cast(LongType).as("cnt") +:
+              cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+            ds.toDF.agg(aggs.head, aggs.tail: _*)
+        }
     }
   }
 
@@ -106,9 +139,36 @@ object Stats {
       case Some(row) =>
         spark.createDataFrame(java.util.Collections.singletonList(row), outSchema)
       case None =>
-        val aggs = count(lit(1)).cast(LongType).as("cnt") +:
-          cols.map(c => sum(col(c)).as(s"sum_$c"))
-        ds.toDF.agg(aggs.head, aggs.tail: _*)
+        // HYBRID fallback: catalog-fold the vouched cells, scan the rest
+        // with SumMap.aggs (the same exact decimal accumulation the catalog
+        // maintains — ColSum.add keeps the fold associative and exact), and
+        // emit the combined row IF it fits the result type; anything less
+        // degrades to the one full scan.
+        val hybrid: Option[Row] =
+          if (!cols.forall(c => graft.lake.SumMap.summable(schema(c).dataType))) None
+          else ds.metaSumsPartial(cols).flatMap { case (cnt0, sums0, scanOpt) =>
+            val (scanCnt, scanSums) = scanOpt match {
+              case None => (0L, cols.map(_ -> graft.lake.SumMap.Zero).toMap)
+              case Some(scan) =>
+                val aggs = count(lit(1)).cast(LongType) +:
+                  graft.lake.SumMap.aggs(schema, cols)
+                val r = scan.agg(aggs.head, aggs.tail: _*).head()
+                (r.getLong(0), graft.lake.SumMap.fromRow(r, 1, cols))
+            }
+            val vals = cols.zip(rts).foldRight(Option(List.empty[Any])) {
+              case ((c, rt), acc) => acc.flatMap(rest =>
+                sumValue(sums0(c).add(scanSums(c)), rt).map(_.orNull :: rest))
+            }
+            vals.map(vs => Row.fromSeq((cnt0 + scanCnt) +: vs))
+          }
+        hybrid match {
+          case Some(row) =>
+            spark.createDataFrame(java.util.Collections.singletonList(row), outSchema)
+          case None =>
+            val aggs = count(lit(1)).cast(LongType).as("cnt") +:
+              cols.map(c => sum(col(c)).as(s"sum_$c"))
+            ds.toDF.agg(aggs.head, aggs.tail: _*)
+        }
     }
   }
 

@@ -95,6 +95,30 @@ class DmlSpec extends SparkSpec {
     }
   }
 
+  test("MERGE rejects duplicate source keys (ANSI cardinality violation)") {
+    val (db, _) = freshDb("dml_dupkey")
+    val dupMerge =
+      """MERGE INTO dml_dupkey USING (
+        |  SELECT CAST(1 AS BIGINT) AS o_orderkey, 1.0 AS o_totalprice
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT) AS o_orderkey, 2.0 AS o_totalprice) s
+        |ON dml_dupkey.o_orderkey = s.o_orderkey""".stripMargin
+    val e = intercept[IllegalArgumentException] { db.executeDml(dupMerge) }
+    assert(e.getMessage.contains("cardinality"))
+    assert(e.getMessage.contains("o_orderkey=1"))
+    // Table untouched by the rejected statement.
+    assert(db.executeSql(
+      "SELECT o_totalprice FROM dml_dupkey WHERE o_orderkey = 1").head().getDouble(0)
+      != 1.0)
+    // The probe is skippable for trusted-deduped feeds (engine last-wins).
+    spark.conf.set("spark.graft.merge.checkSourceKeys", "false")
+    try db.executeDml(dupMerge)
+    finally spark.conf.unset("spark.graft.merge.checkSourceKeys")
+    val got = db.executeSql(
+      "SELECT o_totalprice FROM dml_dupkey WHERE o_orderkey = 1").head().getDouble(0)
+    assert(got == 1.0 || got == 2.0)
+  }
+
   test("MERGE with conditional clauses applies a CDC batch in one statement") {
     val (db, _) = freshDb("dml_cdc")
     val before = Fixtures.table(spark, sf(), "orders")

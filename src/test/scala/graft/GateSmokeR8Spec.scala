@@ -32,6 +32,8 @@ class GateSmokeR8Spec extends SparkSpec {
     "lake_sql_restore",
     "lake_sql_ctas", "lake_sql_clone", "lake_sql_constraint",
     "lake_sql_detail", "lake_sql_analyze", "lake_sql_show_partitions",
-    "lake_sql_alter_columns", "lake_sql_matview", "lake_sql_merge_cdc"))
+    "lake_sql_alter_columns", "lake_sql_matview", "lake_sql_merge_cdc",
+    "lake_stats_hybrid", "lake_stats_hybrid_sum", "lake_topk",
+    "lake_topk_price"))
     test(s"$q matches its oracle") { check(q) }
 }

@@ -127,6 +127,41 @@ class IngestStreamingSpec extends SparkSpec {
     assert(got == Seq((1L, "b2", 10.0), (2L, "init", 0.0), (3L, "b1", 3.0)))
   }
 
+  test("streamInsertSink maintains registered SQL materialized views per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val ds = LakeDataset.fromDataFrame(spark,
+      Seq(("a", 1.0), ("b", 2.0)).toDF("g", "v"))
+    val db = new Database(spark)
+    db.register(TableName("public", "smv_t"), ds)
+    db.executeDml(
+      """CREATE MATERIALIZED VIEW smv_v AS
+        |SELECT g, COUNT(*) AS n, SUM(v) AS total FROM smv_t GROUP BY g""".stripMargin)
+
+    val mem = MemoryStream[(String, Double)]
+    val q = mem.toDF().toDF("g", "v").writeStream
+      .foreachBatch(db.streamInsertSink("smv_t"))
+      .start()
+    try {
+      mem.addData(("a", 10.0), ("c", 5.0))
+      q.processAllAvailable()
+      mem.addData(("c", 1.5), ("b", 0.25))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // The MV answered FROM ITS STATE (no base rescan) equals the one-shot
+    // group-by over everything the stream delivered (double SUMs maintain
+    // as exact decimals — compare through the same cast).
+    val got = spark.sql("SELECT g, n, total FROM smv_v ORDER BY g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSeq
+    val want = spark.sql(
+      """SELECT g, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(38,2))) AS total
+        |FROM smv_t GROUP BY g ORDER BY g""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSeq
+    assert(got == want)
+    assert(got.map(_._1) == Seq("a", "b", "c"))
+    assert(got.find(_._1 == "c").get._2 == 2L)
+  }
+
   test("streaming IVF maintenance self-heals: monitor fires, index heals, monitor quiet") {
     import graft.operators.Similarity
     implicit val sqlCtx = spark.sqlContext

@@ -99,6 +99,37 @@ class StatsSpec extends SparkSpec {
     assert(t(1).asInstanceOf[Long] > minKey) // deletion visible in tight min
   }
 
+  test("hybrid: one dirty cell scans alone while the rest folds from the catalog") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stats_hy").toString
+    val o = orders.withColumn("o_batch", (col("o_orderkey") / 100).cast("int"))
+    val ds = LakeDataset.fromDataFrame(spark, o, partitionCols = Seq("o_batch"),
+      storage = Some(graft.model.StorageSpec(root)))
+    ds.toStorage()
+    val loaded = LakeDataset.fromStorage(spark, root)
+    val total = loaded.numParts
+    assert(total >= 8)
+    // Dirty exactly one cell: an upsert of one existing key.
+    loaded.upsert(o.filter(col("o_orderkey") === 42)
+      .withColumn("o_totalprice", lit(0.125)), keys = Seq("o_orderkey"))
+    assert(!Stats.metaAnswerable(loaded, statCols))
+    // The partial fold hands back a scan covering ONLY the dirty cell.
+    val Some((cnt0, _, Some(scanDf))) = loaded.metaStatsPartial(statCols)
+    assert(cnt0 > 0)
+    assert(scanDf.count() < o.count() / 4, "hybrid scan must cover a small rest")
+    // The combined answer is exact — and so is the SUM flavor.
+    assert(statsRow(loaded) == truth(loaded))
+    assert(statsRow(loaded)(3).asInstanceOf[Double] == 0.125)
+    val sumGot = Stats.tableSumStats(spark, loaded, Seq("o_custkey")).head().toSeq
+    val sumWant = loaded.toDF
+      .agg(count(lit(1)).cast("long"), sum(col("o_custkey"))).head().toSeq
+    assert(sumGot == sumWant)
+    // Nothing vouched (single dirtied part) → None: full scan is the only path.
+    val none = LakeDataset.fromDataFrame(spark, o.limit(100))
+    none.upsert(o.limit(1), keys = Seq("o_orderkey"))
+    assert(none.metaStatsPartial(statCols).isEmpty)
+    assert(Stats.tableStats(spark, none, statCols).head().toSeq == truth(none))
+  }
+
   test("tightness survives the manifest round trip; untight parts stay untight") {
     val root = java.nio.file.Files.createTempDirectory("graft_stats_rt").toString
     val o = orders.withColumn("o_batch", (col("o_orderkey") / 500).cast("int"))
