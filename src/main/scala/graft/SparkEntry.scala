@@ -1112,6 +1112,58 @@ object SparkEntry {
       graft.operators.Stats.tableSumStats(s, ds, Seq("o_custkey"))
     }),
 
+    // The hybrid on the SQL surface: LakePruneRule folds the vouched cells
+    // into a LocalRelation of PARTIAL aggregates, scans ONLY the dirty
+    // cell, and re-aggregates the union — `SELECT count(*), sum(x)` after
+    // one upsert costs one cell's scan, not the table's.
+    "lake_sql_stats_hybrid" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .withColumn("o_batch", (col("o_orderkey") / 6000).cast("int"))
+      val ds = LakeDataset.fromDataFrame(s, o, partitionCols = Seq("o_batch"))
+      ds.upsert(o.filter(col("o_orderkey") < 32)
+        .withColumn("o_custkey", col("o_custkey") + 1000000L), Seq("o_orderkey"))
+      val db = new Database(s)
+      db.register("orders_sql_hy", ds)
+      db.executeSql(
+        """SELECT COUNT(*) AS cnt, SUM(o_custkey) AS sum_cust,
+          |       MIN(o_orderkey) AS min_key, COUNT(o_custkey) AS n_cust
+          |FROM orders_sql_hy""".stripMargin)
+    }),
+
+    // Grouped hybrid: vouched groups fold from the catalog; only the dirty
+    // cell's group re-aggregates from its one-cell scan, merged group-wise.
+    "lake_sql_stats_hybrid_grouped" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .withColumn("o_batch", (col("o_orderkey") / 6000).cast("int"))
+      val ds = LakeDataset.fromDataFrame(s, o, partitionCols = Seq("o_batch"))
+      ds.upsert(o.filter(col("o_orderkey") < 32)
+        .withColumn("o_custkey", col("o_custkey") + 1000000L), Seq("o_orderkey"))
+      val db = new Database(s)
+      db.register("orders_sql_hyg", ds)
+      db.executeSql(
+        """SELECT o_batch, COUNT(*) AS cnt, SUM(o_custkey) AS sum_cust
+          |FROM orders_sql_hyg GROUP BY o_batch ORDER BY o_batch""".stripMargin)
+    }),
+
+    // Metadata-only AVG: exact catalog sum / non-null count, behind the
+    // sign-uniform + 2^53 exactness guard (bit-identical to the scan's
+    // double accumulation under it) — integral columns only.
+    "lake_sql_stats_avg" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("orders_avg", Fixtures.ordersZoneLake(s, dir))
+      db.executeSql(
+        "SELECT COUNT(*) AS cnt, AVG(o_custkey) AS avg_cust FROM orders_avg")
+    }),
+
+    // Grouped by the partition column: per-group catalog AVG.
+    "lake_sql_stats_avg_grouped" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("orders_avg_g", Fixtures.ordersZoneLake(s, dir))
+      db.executeSql(
+        """SELECT o_batch, COUNT(*) AS cnt, AVG(o_custkey) AS avg_cust
+          |FROM orders_avg_g GROUP BY o_batch ORDER BY o_batch""".stripMargin)
+    }),
+
     // Zone-seeded top-k: ORDER BY + LIMIT that reads only the cells whose
     // zone interval can reach the k-th value — "latest N" over a
     // range-partitioned table seeds from the extreme cell and prunes the
@@ -2467,6 +2519,31 @@ object SparkEntry {
         |                     THEN o_custkey + 1000000 ELSE o_custkey END) AS BIGINT)
         |         AS sum_o_custkey
         |FROM orders""".stripMargin,
+
+    "lake_sql_stats_hybrid" ->
+      """SELECT COUNT(*) AS cnt,
+        |       CAST(SUM(CASE WHEN o_orderkey < 32
+        |                     THEN o_custkey + 1000000 ELSE o_custkey END) AS BIGINT)
+        |         AS sum_cust,
+        |       MIN(o_orderkey) AS min_key, COUNT(o_custkey) AS n_cust
+        |FROM orders""".stripMargin,
+
+    "lake_sql_stats_hybrid_grouped" ->
+      """SELECT CAST(FLOOR(o_orderkey / 6000.0) AS INT) AS o_batch,
+        |       COUNT(*) AS cnt,
+        |       CAST(SUM(CASE WHEN o_orderkey < 32
+        |                     THEN o_custkey + 1000000 ELSE o_custkey END) AS BIGINT)
+        |         AS sum_cust
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_sql_stats_avg" ->
+      """SELECT COUNT(*) AS cnt, AVG(o_custkey) AS avg_cust
+        |FROM orders""".stripMargin,
+
+    "lake_sql_stats_avg_grouped" ->
+      """SELECT CAST(FLOOR(o_orderkey / 6000.0) AS INT) AS o_batch,
+        |       COUNT(*) AS cnt, AVG(o_custkey) AS avg_cust
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice

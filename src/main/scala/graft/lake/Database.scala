@@ -519,6 +519,25 @@ final class Database(val spark: SparkSession) {
     Some(cols => pinned.select(cols.map(col): _*).distinct())
   }
 
+  /** foreachBatch sink for streaming CDC into a REGISTERED table: upsert
+    * each micro-batch by `keys`, refresh the SQL views, and maintain every
+    * dependent materialized view with the TARGETED group refresh the MERGE
+    * path uses — the batch's touched group memberships pin from the
+    * pre-state (two O(batch) key semi-joins), each view recomputes only
+    * those groups. A streaming dashboard over a CDC-merged table stays
+    * current at per-batch cost; the base is never rescanned.
+    */
+  def streamUpsertSink(table: String, keys: Seq[String])
+      : (org.apache.spark.sql.DataFrame, Long) => Unit = {
+    require(tables.contains(table), s"unknown lake table '$table'")
+    (batch, _) => {
+      val pre = touchedGroupsPreKeys(table, batch, keys)
+      tables(table).upsert(batch, keys)
+      refresh(table)
+      pre.fold(maintainRebuild(table))(maintainTouched(table, _))
+    }
+  }
+
   /** Touched-group capture for a KEYED mutation (MERGE/upsert): the groups
     * of pre-state rows matching the source keys (vacated by updates and
     * deletes, pinned BEFORE the mutation) unioned with the groups of

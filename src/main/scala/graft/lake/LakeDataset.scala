@@ -1325,49 +1325,131 @@ final class LakeDataset private (
     * cells for a count; the hybrid scans 1.
     */
   def metaStatsPartial(cols: Seq[String])
-      : Option[(Long, Map[String, Zone], Option[DataFrame])] = this.synchronized {
-    if (parts.isEmpty) return None
-    val all = parts.asScala.toList
-    val (vouched, rest) = all.partition { case (_, p) =>
-      p.statsTight.get && p.rows.get >= 0L &&
-        (cols.isEmpty || p.zones.exists(m => cols.forall(m.contains)))
-    }
-    if (vouched.isEmpty) return None
-    val cnt = vouched.map(_._2.rows.get).sum
-    val folded = scala.collection.mutable.Map[String, Zone]()
-    for (c <- cols) {
-      vouched.map(v => Option(v._2.zones.get(c)))
-        .reduce((a, b) => a.flatMap(x => b.flatMap(y => x.widen(y)))) match {
-        case Some(z) => folded(c) = z
-        case None => return None // incomparable bounds: fail open entirely
-      }
-    }
-    val scanDf =
-      if (rest.isEmpty) None
-      else Some(assembleSubset(all, rest))
-    Some((cnt, folded.toMap, scanDf))
-  }
+      : Option[(Long, Map[String, Zone], Option[DataFrame])] =
+    metaHybrid(cols, Nil).map { case (cnt, zones, _, rest) => (cnt, zones, rest) }
 
   /** [[metaStatsPartial]] for SUMs: fold exact per-part decimal sums over
     * the vouched parts (each must carry a sum for every requested column)
     * and return the rest as a DataFrame to scan. Same contract.
     */
   def metaSumsPartial(cols: Seq[String])
-      : Option[(Long, Map[String, ColSum], Option[DataFrame])] = this.synchronized {
-    if (parts.isEmpty) return None
-    val all = parts.asScala.toList
-    val (vouched, rest) = all.partition { case (_, p) =>
-      p.statsTight.get && p.rows.get >= 0L &&
-        p.sums.exists(m => cols.forall(m.contains))
+      : Option[(Long, Map[String, ColSum], Option[DataFrame])] =
+    metaHybrid(Nil, cols).map { case (cnt, _, sums, rest) => (cnt, sums, rest) }
+
+  /** The combined partial fold behind [[metaStatsPartial]]/[[metaSumsPartial]]:
+    * ONE vouched/rest classification covering both stat families (a cell is
+    * vouched iff tight with a known counter AND carrying zones for every
+    * `mmCols` AND sums for every `sumCols`) so a caller combining counts,
+    * bounds and sums never double-counts a cell that qualifies for one
+    * family but not the other. Returns the vouched fold plus the
+    * rest-covering DataFrame (None when every selected cell vouched).
+    */
+  def metaHybrid(mmCols: Seq[String], sumCols: Seq[String],
+      cellFilter: PartKey => Boolean = _ => true)
+      : Option[(Long, Map[String, Zone], Map[String, ColSum], Option[DataFrame])] =
+    this.synchronized {
+      if (parts.isEmpty) return None
+      val selected = parts.asScala.toList.filter(p => cellFilter(p._1))
+      if (selected.isEmpty)
+        return Some((0L, mmCols.map(_ -> Zone(None, None)).toMap,
+          sumCols.map(_ -> SumMap.Zero).toMap, None))
+      val (vouched, rest) = selected.partition { case (_, p) =>
+        p.statsTight.get && p.rows.get >= 0L &&
+          (mmCols.isEmpty || p.zones.exists(m => mmCols.forall(m.contains))) &&
+          (sumCols.isEmpty || p.sums.exists(m => sumCols.forall(m.contains)))
+      }
+      if (vouched.isEmpty) return None
+      val cnt = vouched.map(_._2.rows.get).sum
+      val zones = scala.collection.mutable.Map[String, Zone]()
+      for (c <- mmCols) {
+        vouched.map(v => Option(v._2.zones.get(c)))
+          .reduce((a, b) => a.flatMap(x => b.flatMap(y => x.widen(y)))) match {
+          case Some(z) => zones(c) = z
+          case None => return None // incomparable bounds: fail open entirely
+        }
+      }
+      val sums = sumCols.map { c =>
+        c -> vouched.map(_._2.sums.get.apply(c)).reduce((a, b) => a.add(b))
+      }.toMap
+      val scanDf = if (rest.isEmpty) None else Some(assembleSubset(selected, rest))
+      Some((cnt, zones.toMap, sums, scanDf))
     }
-    if (vouched.isEmpty) return None
-    val cnt = vouched.map(_._2.rows.get).sum
-    val folded = cols.map { c =>
-      c -> vouched.map(_._2.sums.get.apply(c)).reduce((a, b) => a.add(b))
-    }.toMap
-    val scanDf = if (rest.isEmpty) None else Some(assembleSubset(all, rest))
-    Some((cnt, folded, scanDf))
-  }
+
+  /** [[metaStatsPartial]] grouped by PARTITION columns: fold the vouched
+    * cells per group exactly like [[metaStatsGrouped]] and hand back a scan
+    * over the unvouched rest (whose groups the caller aggregates for real
+    * and merges). Gating mirrors [[metaStatsGrouped]] — grouping columns
+    * must be partition columns whose values decode; any vouched-side
+    * failure fails open entirely (None).
+    */
+  def metaStatsGroupedPartial(groupCols: Seq[String], cols: Seq[String])
+      : Option[(Seq[(Seq[Any], Long, Map[String, Zone])], Option[DataFrame])] =
+    this.synchronized {
+      if (parts.isEmpty) return None
+      if (groupCols.isEmpty || !groupCols.forall(partitionCols.contains)) return None
+      val all = parts.asScala.toList
+      val (vouched, rest) = all.partition { case (_, p) =>
+        p.statsTight.get && p.rows.get >= 0L &&
+          (cols.isEmpty || p.zones.exists(m => cols.forall(m.contains)))
+      }
+      if (vouched.isEmpty) return None
+      // Decode + fold the vouched side with the same machinery as the full
+      // grouped fold, restricted to the vouched cells.
+      val vouchedKeys = vouched.map(_._1).toSet
+      metaStatsGrouped(groupCols, cols, cellFilter = vouchedKeys.contains) match {
+        case Some(groups) =>
+          val scanDf = if (rest.isEmpty) None else Some(assembleSubset(all, rest))
+          Some((groups, scanDf))
+        case None => None
+      }
+    }
+
+  /** The grouped analogue of [[metaHybrid]], serving the SQL surface's
+    * grouped hybrid rewrite: ONE vouched/rest classification spanning both
+    * stat families, the vouched cells folded PER GROUP (counts, zones and
+    * sums keyed by the decoded partition-value tuple), and a scan covering
+    * only the unvouched rest. The caller runs the matching grouped
+    * partial aggregation over the rest and merges group-wise — groups
+    * whose cells all vouched never scan. Gating mirrors
+    * [[metaStatsGrouped]]: grouping columns must be partition columns
+    * whose catalog values decode; any vouched-side failure fails open.
+    */
+  def metaHybridGrouped(groupCols: Seq[String], mmCols: Seq[String],
+      sumCols: Seq[String], cellFilter: PartKey => Boolean = _ => true)
+      : Option[(Seq[(Seq[Any], Long, Map[String, Zone], Map[String, ColSum])],
+          Option[DataFrame])] =
+    this.synchronized {
+      if (parts.isEmpty) return None
+      if (groupCols.isEmpty || !groupCols.forall(partitionCols.contains)) return None
+      val selected = parts.asScala.toList.filter(p => cellFilter(p._1))
+      if (selected.isEmpty) return Some((Seq.empty, None))
+      val (vouched, rest) = selected.partition { case (_, p) =>
+        p.statsTight.get && p.rows.get >= 0L &&
+          (mmCols.isEmpty || p.zones.exists(m => mmCols.forall(m.contains))) &&
+          (sumCols.isEmpty || p.sums.exists(m => sumCols.forall(m.contains)))
+      }
+      if (vouched.isEmpty) return None
+      val vouchedKeys = vouched.map(_._1).toSet
+      val zonesG = metaStatsGrouped(groupCols, mmCols, vouchedKeys.contains)
+        .getOrElse(return None)
+      val sumsG: Map[Seq[Any], Map[String, ColSum]] =
+        if (sumCols.isEmpty) Map.empty
+        else metaSumsGrouped(groupCols, sumCols, vouchedKeys.contains) match {
+          case Some(gs) => gs.map { case (vals, _, sums) => vals -> sums }.toMap
+          case None => return None
+        }
+      // Both folds decode group values identically over the same vouched
+      // set, so the per-group join is total; a miss means a logic drift —
+      // fail open rather than answer wrong.
+      val merged = zonesG.map { case (vals, cnt, zones) =>
+        val sums =
+          if (sumCols.isEmpty) Map.empty[String, ColSum]
+          else sumsG.getOrElse(vals, return None)
+        (vals, cnt, zones, sums)
+      }
+      val scanDf = if (rest.isEmpty) None else Some(assembleSubset(selected, rest))
+      Some((merged, scanDf))
+    }
 
   /** One DataFrame over exactly `kept`'s rows — the multi-path single scan
     * when the kept set is disk-resident with one schema, else a view union.

@@ -205,9 +205,61 @@ object Stats {
         }
         spark.createDataFrame(rows, outSchema)
       case None =>
-        val aggs = count(lit(1)).cast(LongType).as("cnt") +:
-          cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-        ds.toDF.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        // HYBRID fallback, per group: the vouched cells' groups fold from
+        // the catalog; ONE grouped aggregation covers the unvouched rest
+        // and merges row-wise (counts add, zones widen). Any incomparable
+        // bound drops to the full grouped scan.
+        val hybrid: Option[Seq[Row]] =
+          ds.metaStatsGroupedPartial(groupCols, cols).flatMap {
+            case (groups, scanOpt) =>
+              val scanRows: Array[Row] = scanOpt match {
+                case None => Array.empty
+                case Some(scan) =>
+                  val aggs = count(lit(1)).cast(LongType) +:
+                    graft.lake.ZoneMap.aggs(cols)
+                  scan.groupBy(groupCols.map(col): _*)
+                    .agg(aggs.head, aggs.tail: _*).collect()
+              }
+              val merged = scala.collection.mutable.LinkedHashMap[Seq[Any],
+                (Long, Map[String, graft.lake.Zone])]()
+              groups.foreach { case (vals, cnt, zones) =>
+                merged(vals) = (cnt, zones)
+              }
+              val g = groupCols.length
+              var ok = true
+              scanRows.foreach { r =>
+                val vals = (0 until g).map(r.get)
+                val cnt = r.getLong(g)
+                val zones = graft.lake.ZoneMap.fromRow(r, g + 1, cols)
+                merged.get(vals) match {
+                  case None => merged(vals) = (cnt, zones)
+                  case Some((c0, z0)) =>
+                    val widened = cols.foldLeft(
+                      Option(Map.empty[String, graft.lake.Zone])) { (acc, c) =>
+                      acc.flatMap(m => z0(c).widen(zones(c)).map(z => m + (c -> z)))
+                    }
+                    widened match {
+                      case Some(m) => merged(vals) = (c0 + cnt, m)
+                      case None => ok = false
+                    }
+                }
+              }
+              if (!ok) None
+              else Some(merged.toSeq.map { case (vals, (cnt, zones)) =>
+                Row.fromSeq(vals ++ (cnt +:
+                  cols.flatMap(c => Seq(zones(c).min.orNull, zones(c).max.orNull))))
+              })
+          }
+        hybrid match {
+          case Some(rows) =>
+            val list: java.util.List[Row] = new java.util.ArrayList[Row]()
+            rows.foreach(list.add)
+            spark.createDataFrame(list, outSchema)
+          case None =>
+            val aggs = count(lit(1)).cast(LongType).as("cnt") +:
+              cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+            ds.toDF.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        }
     }
   }
 }

@@ -39,13 +39,19 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case agg @ Aggregate(Seq(), aggExprs, MetaAggChild((scan, cellF)), _) =>
       // Unsupported shapes return the node unchanged; transformDown then
       // descends and the leaf cases below resolve the scan as usual.
-      metaAnswer(aggExprs, scan, cellF).getOrElse(agg)
+      // When the full collapse can't vouch, the HYBRID rewrite still folds
+      // the vouched cells into a LocalRelation and scans only the rest.
+      metaAnswer(aggExprs, scan, cellF)
+        .orElse(hybridAnswer(aggExprs, scan, cellF)).getOrElse(agg)
     case agg @ Aggregate(groupings, aggExprs, MetaAggChild((scan, cellF)), _)
         if groupings.nonEmpty =>
       // GROUP BY partition column(s): cells carry their partition values in
       // the catalog key, so per-group count/min/max folds from the catalog
       // exactly like the ungrouped form — one LocalRelation row per group.
-      groupedMetaAnswer(groupings, aggExprs, scan, cellF).getOrElse(agg)
+      // The HYBRID form covers the dirty-cell case group-wise.
+      groupedMetaAnswer(groupings, aggExprs, scan, cellF)
+        .orElse(groupedHybridAnswer(groupings, aggExprs, scan, cellF))
+        .getOrElse(agg)
     case Filter(cond, scan: LakeScan) =>
       val pruned = dnfBranches(cond) match {
         // A disjunctive condition (`p='a' OR p='b'`, possibly AND-mixed):
@@ -178,14 +184,25 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Aggregate shapes the metadata rewrites serve: COUNT(*), MIN/MAX of a
     * scan column, SUM of an exactly-summable (integral/decimal) scan
-    * column, and COUNT(col) of the same column family (the non-null count
-    * rides in the maintained sum state).
+    * column, COUNT(col) of the same column family (the non-null count
+    * rides in the maintained sum state), and AVG of an INTEGRAL column
+    * (derived from the exact sum + non-null count, behind the
+    * [[avgValue]] exactness guard; full-collapse paths only).
     */
   private sealed trait MetaSpec
   private case object CntSpec extends MetaSpec
   private final case class MinMaxSpec(column: String, wantMin: Boolean) extends MetaSpec
   private final case class SumSpec(column: String) extends MetaSpec
   private final case class CntColSpec(column: String) extends MetaSpec
+  private final case class AvgSpec(column: String) extends MetaSpec
+
+  private def integralType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+  }
 
   private def specOf(fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction,
       scan: LakeScan): Option[MetaSpec] = {
@@ -202,8 +219,36 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Sum(a: AttributeReference, _)
           if scan.outputSet.contains(a) && graft.lake.SumMap.summable(a.dataType) =>
         Some(SumSpec(a.name))
+      case Average(a: AttributeReference, _)
+          if scan.outputSet.contains(a) && integralType(a.dataType) =>
+        Some(AvgSpec(a.name))
       case _ => None
     }
+  }
+
+  /** An AVG derived from the catalog (exact decimal sum / non-null count)
+    * equals the scan's double-accumulated average ONLY when every
+    * intermediate double addition the scan would perform is exact:
+    * sign-uniform values (zone min >= 0 or zone max <= 0 — partial sums
+    * are then monotone, so each is bounded by the total) whose total
+    * magnitude fits double's 2^53 integer range. Under the guard,
+    * `toDouble(total) / count` is bit-identical to the scan (one correctly
+    * rounded division of exactly represented operands, on both paths).
+    * Outer None = cannot guarantee, fail open; inner None = SQL NULL
+    * (no non-null rows).
+    */
+  private def avgValue(cs: graft.lake.ColSum, zone: graft.lake.Zone)
+      : Option[Option[Double]] = {
+    if (cs.nonNulls == 0L) return Some(None)
+    def num(a: Any): Option[Double] = a match {
+      case n: java.lang.Number => Some(n.doubleValue)
+      case _ => None
+    }
+    val signUniform = zone.min.flatMap(num).exists(_ >= 0) ||
+      zone.max.flatMap(num).exists(_ <= 0)
+    val exactLimit = new java.math.BigDecimal(1L << 53)
+    if (!signUniform || cs.sum.abs.compareTo(exactLimit) > 0) None
+    else Some(Some(cs.sum.doubleValue / cs.nonNulls))
   }
 
   /** A folded sum as a CATALYST value of the aggregate's result type, or
@@ -230,10 +275,15 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
     if (specs.exists(_.isEmpty)) return None
-    val mmCols = specs.flatten.collect { case MinMaxSpec(c, _) => c }.distinct
+    // AVG needs BOTH the zone (sign-uniformity guard) and the sum family.
+    val mmCols = specs.flatten.collect {
+      case MinMaxSpec(c, _) => c
+      case AvgSpec(c) => c
+    }.distinct
     val sumCols = specs.flatten.collect {
       case SumSpec(c) => c
       case CntColSpec(c) => c
+      case AvgSpec(c) => c
     }.distinct
     for {
       (cnt, zones) <- scan.ds.metaStats(mmCols, cellFilter)
@@ -251,11 +301,112 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 CatalystTypeConverters.createToCatalystConverter(e.dataType)(_)).orNull :: rest)
             case SumSpec(c) =>
               sumCatalystValue(sums(c), e.dataType).map(_ :: rest)
+            case AvgSpec(c) =>
+              avgValue(sums(c), zones(c)).map(
+                _.map(v => java.lang.Double.valueOf(v): Any).orNull :: rest)
           }
         }
       }
     } yield LocalRelation(aggExprs.map(_.toAttribute),
       Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(values)))
+  }
+
+  /** HYBRID metadata aggregation on the SQL surface: when [[metaAnswer]]
+    * cannot vouch for EVERY cell, fold the vouched cells into a one-row
+    * LocalRelation of PARTIAL aggregates, aggregate the unvouched rest with
+    * the matching partial shapes over a scan of ONLY those cells, and
+    * re-aggregate the union — the classic partial/final decomposition, with
+    * the partial side of the vouched cells precomputed from the catalog:
+    *
+    * {{{
+    * Aggregate(final)                    count(*)  -> coalesce(sum(p),0)
+    *   Union                             min/max   -> min/max(p)
+    *     LocalRelation(vouched partials) sum       -> cast(sum(p), origType)
+    *     Aggregate(partial, restScan)    count(c)  -> coalesce(sum(p),0)
+    * }}}
+    *
+    * One upsert-dirtied cell in a 10k-cell table costs one cell's scan on
+    * `SELECT count(*), sum(x) FROM t` instead of 10k. Decomposition is
+    * exact for this whole aggregate family; anything that cannot be made
+    * exact (no vouched cells, sum overflow vs the result type,
+    * incomparable zone bounds) returns None — the plain scan wins.
+    */
+  private def hybridAnswer(
+      aggExprs: Seq[NamedExpression], scan: LakeScan,
+      cellFilter: graft.model.PartKey => Boolean): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    import org.apache.spark.sql.types.LongType
+    val specs: Seq[Option[MetaSpec]] = aggExprs.map {
+      case Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
+        specOf(fn, scan)
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) return None
+    val sp = specs.flatten
+    // AVG never takes a hybrid: its exactness proof (avgValue) needs zone
+    // bounds over EVERY cell, and unvouched cells have none — fail open.
+    if (sp.exists(_.isInstanceOf[AvgSpec])) return None
+    val mmCols = sp.collect { case MinMaxSpec(c, _) => c }.distinct
+    val sumCols = sp.collect { case SumSpec(c) => c; case CntColSpec(c) => c }.distinct
+    scan.ds.metaHybrid(mmCols, sumCols, cellFilter).flatMap {
+      case (_, _, _, None) =>
+        None // everything vouched: metaAnswer's territory (it already declined)
+      case (cnt, zones, sums, Some(restDf)) =>
+        val rest = fragment(restDf)
+        val restByName = rest.output.map(a => a.name -> a).toMap
+        // Per aggregate: (vouched partial catalyst value, partial agg over
+        // the rest scan, final agg builder over the partial attribute).
+        def aggE(fn: AggregateFunction): AggregateExpression =
+          AggregateExpression(fn, Complete, isDistinct = false)
+        val built: Seq[Option[(Any, Expression, Attribute => Expression)]] =
+          sp.zip(aggExprs).map { case (spec, e) =>
+            spec match {
+              case CntSpec => Some((cnt,
+                aggE(Count(Seq(Literal(1)))),
+                (p: Attribute) => Coalesce(Seq(aggE(Sum(p)), Literal(0L)))))
+              case CntColSpec(c) => Some((sums(c).nonNulls,
+                aggE(Count(Seq(restByName(c)))),
+                (p: Attribute) => Coalesce(Seq(aggE(Sum(p)), Literal(0L)))))
+              case MinMaxSpec(c, wantMin) =>
+                val bound = if (wantMin) zones(c).min else zones(c).max
+                val v = bound.map(CatalystTypeConverters
+                  .createToCatalystConverter(e.dataType)(_)).orNull
+                Some((v,
+                  aggE(if (wantMin) Min(restByName(c)) else Max(restByName(c))),
+                  (p: Attribute) =>
+                    aggE(if (wantMin) Min(p) else Max(p))))
+              case SumSpec(c) =>
+                sumCatalystValue(sums(c), e.dataType).map(v => (v,
+                  aggE(Sum(restByName(c))),
+                  (p: Attribute) => {
+                    val s = aggE(Sum(p))
+                    if (s.dataType == e.dataType) s else Cast(s, e.dataType)
+                  }))
+              case AvgSpec(_) => None // guarded out above
+            }
+          }
+        if (built.exists(_.isEmpty)) return None
+        val rows = built.flatten
+        // Partial schema: one column per aggregate, typed as the PARTIAL
+        // aggregate's result (count partials are the count's long, sum
+        // partials the sum result type, min/max the column type).
+        val partialAliases = rows.zipWithIndex.map { case ((_, pe, _), i) =>
+          Alias(pe, s"__p$i")()
+        }
+        val innerAgg = Aggregate(Seq(), partialAliases, rest)
+        val localAttrs = partialAliases.map(a =>
+          AttributeReference(a.name, a.dataType, nullable = true)())
+        val local = LocalRelation(localAttrs,
+          Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(rows.map(_._1))))
+        // Union output binds to the FIRST child's attributes.
+        val union = Union(Seq(local, innerAgg), byName = false,
+          allowMissingCol = false)
+        val finalExprs = rows.zip(aggExprs).zipWithIndex.map {
+          case (((_, _, fin), orig), i) =>
+            Alias(fin(localAttrs(i)), orig.name)(exprId = orig.exprId)
+        }
+        Some(Aggregate(Seq(), finalExprs, union))
+    }
   }
 
   /** The grouped-by-partition-column analogue of [[metaAnswer]]: every
@@ -288,10 +439,14 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       case _ => return None
     }
-    val cols = specs.collect { case scala.util.Right(MinMaxSpec(c, _)) => c }.distinct
+    val cols = specs.collect {
+      case scala.util.Right(MinMaxSpec(c, _)) => c
+      case scala.util.Right(AvgSpec(c)) => c
+    }.distinct
     val sumCols = specs.collect {
       case scala.util.Right(SumSpec(c)) => c
       case scala.util.Right(CntColSpec(c)) => c
+      case scala.util.Right(AvgSpec(c)) => c
     }.distinct
     for {
       groups <- scan.ds.metaStatsGrouped(groupAttrs.map(_.name), cols, cellFilter)
@@ -322,6 +477,11 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
                     gs <- sumsByGroup.get(vals)
                     v <- sumCatalystValue(gs(c), e.dataType)
                   } yield v :: r2
+                case scala.util.Right(AvgSpec(c)) =>
+                  for {
+                    gs <- sumsByGroup.get(vals)
+                    v <- avgValue(gs(c), zones(c))
+                  } yield (v.map(java.lang.Double.valueOf(_): Any).orNull :: r2)
               }
             }
           }
@@ -330,6 +490,161 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       }
     } yield LocalRelation(aggExprs.map(_.toAttribute), rows)
+  }
+
+  /** The grouped HYBRID: when [[groupedMetaAnswer]] cannot vouch for every
+    * cell, fold the vouched cells into per-group PARTIAL rows (group values
+    * + one partial per aggregate), run the matching grouped partial
+    * aggregation over a scan of ONLY the unvouched cells, and re-aggregate
+    * the union on the group columns — groups whose cells all vouched never
+    * touch a file:
+    *
+    * {{{
+    * Aggregate(groupCols, final)            count -> coalesce(sum(p),0)
+    *   Union                                min/max -> min/max(p)
+    *     LocalRelation(gVals ++ partials)   sum -> cast(sum(p), origType)
+    *     Aggregate(groupCols, partials, restScan)
+    * }}}
+    *
+    * Exact for the same reason the ungrouped hybrid is (partial/final
+    * decomposition; NULL group values merge because grouping treats NULLs
+    * as equal); AVG is excluded as in [[hybridAnswer]]. Any vouch failure
+    * or sum-overflow returns None — the plain grouped scan wins.
+    */
+  private def groupedHybridAnswer(
+      groupings: Seq[Expression], aggExprs: Seq[NamedExpression],
+      scan: LakeScan,
+      cellFilter: graft.model.PartKey => Boolean): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    val partCols = scan.ds.partitionCols.toSet
+    val groupAttrs: Seq[AttributeReference] = groupings.map {
+      case a: AttributeReference if partCols.contains(a.name) => a
+      case _ => return None
+    }
+    val groupIdx = groupAttrs.map(_.name).zipWithIndex.toMap
+    val specs: Seq[Either[Int, MetaSpec]] = aggExprs.map {
+      case a: AttributeReference if groupIdx.contains(a.name) =>
+        scala.util.Left(groupIdx(a.name))
+      case Alias(a: AttributeReference, _) if groupIdx.contains(a.name) =>
+        scala.util.Left(groupIdx(a.name))
+      case Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
+        specOf(fn, scan) match {
+          case Some(_: AvgSpec) => return None // see hybridAnswer
+          case Some(s) => scala.util.Right(s)
+          case None => return None
+        }
+      case _ => return None
+    }
+    val aggSpecs = specs.collect { case scala.util.Right(s) => s }
+    if (aggSpecs.isEmpty) return None
+    val mmCols = aggSpecs.collect { case MinMaxSpec(c, _) => c }.distinct
+    val sumCols = aggSpecs.collect {
+      case SumSpec(c) => c
+      case CntColSpec(c) => c
+    }.distinct
+    scan.ds.metaHybridGrouped(
+        groupAttrs.map(_.name), mmCols, sumCols, cellFilter).flatMap {
+      case (_, None) =>
+        None // everything vouched: groupedMetaAnswer's territory
+      case (groups, Some(restDf)) =>
+        val rest = fragment(restDf)
+        val restByName = rest.output.map(a => a.name -> a).toMap
+        def aggE(fn: AggregateFunction): AggregateExpression =
+          AggregateExpression(fn, Complete, isDistinct = false)
+        // One partial column per AGGREGATE output (group outputs ride as
+        // plain grouping columns): the rest-side partial expression and the
+        // final merge builder; vouched values fill in per group below.
+        val shapes: Seq[(MetaSpec, NamedExpression, Expression, Attribute => Expression)] =
+          aggSpecs.zip(specs.zip(aggExprs).collect {
+            case (scala.util.Right(_), e) => e
+          }).map { case (spec, e) =>
+            spec match {
+              case CntSpec => (spec, e, aggE(Count(Seq(Literal(1)))): Expression,
+                (p: Attribute) => Coalesce(Seq(aggE(Sum(p)), Literal(0L))): Expression)
+              case CntColSpec(c) => (spec, e, aggE(Count(Seq(restByName(c)))),
+                (p: Attribute) => Coalesce(Seq(aggE(Sum(p)), Literal(0L))))
+              case MinMaxSpec(c, wantMin) => (spec, e,
+                aggE(if (wantMin) Min(restByName(c)) else Max(restByName(c))),
+                (p: Attribute) => aggE(if (wantMin) Min(p) else Max(p)))
+              case SumSpec(c) => (spec, e, aggE(Sum(restByName(c))),
+                (p: Attribute) => {
+                  val s = aggE(Sum(p))
+                  if (s.dataType == e.dataType) s else Cast(s, e.dataType)
+                })
+              case AvgSpec(_) => return None // unreachable (filtered above)
+            }
+          }
+        // Rest child: the grouped PARTIAL aggregation over only the
+        // unvouched cells — group columns first, partials after.
+        val restGroupAttrs = groupAttrs.map(a => restByName(a.name))
+        val restGroupAliases = restGroupAttrs.zip(groupAttrs).map {
+          case (ra, ga) => Alias(ra, ga.name)()
+        }
+        val partialAliases = shapes.zipWithIndex.map { case ((_, _, pe, _), i) =>
+          Alias(pe, s"__p$i")()
+        }
+        val restAgg = Aggregate(restGroupAttrs,
+          restGroupAliases ++ partialAliases, rest)
+        // Local child: one row per vouched group, positionally typed like
+        // the rest child so the union is exact.
+        val localGroupAttrs = groupAttrs.map(a =>
+          AttributeReference(a.name, a.dataType, nullable = true)())
+        val localPartialAttrs = partialAliases.map(a =>
+          AttributeReference(a.name, a.dataType, nullable = true)())
+        val groupConverters = groupAttrs.map(a =>
+          CatalystTypeConverters.createToCatalystConverter(a.dataType))
+        val localRowsOpt: Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] =
+          groups.foldRight(
+              Option(List.empty[org.apache.spark.sql.catalyst.InternalRow])) {
+            case ((vals, cnt, zones, sums), acc) => acc.flatMap { restRows =>
+              val partialsOpt = shapes.zipWithIndex
+                  .foldRight(Option(List.empty[Any])) {
+                case (((spec, e, _, _), pi), a2) => a2.flatMap { r2 =>
+                  spec match {
+                    case CntSpec => Some(cnt.asInstanceOf[Any] :: r2)
+                    case CntColSpec(c) =>
+                      Some(sums(c).nonNulls.asInstanceOf[Any] :: r2)
+                    case MinMaxSpec(c, wantMin) =>
+                      val bound = if (wantMin) zones(c).min else zones(c).max
+                      Some(bound.map(CatalystTypeConverters
+                        .createToCatalystConverter(e.dataType)(_)).orNull :: r2)
+                    case SumSpec(c) =>
+                      // Vouched partial typed as the PARTIAL's result (the
+                      // rest-side Sum), not the final output type.
+                      sumCatalystValue(sums(c), partialAliases(pi).dataType)
+                        .map(_ :: r2)
+                    case AvgSpec(_) => None // unreachable
+                  }
+                }
+              }
+              partialsOpt.map { ps =>
+                val gVals = vals.zip(groupConverters).map { case (v, conv) =>
+                  if (v == null) null else conv(v)
+                }
+                org.apache.spark.sql.catalyst.InternalRow
+                  .fromSeq(gVals ++ ps) :: restRows
+              }
+            }
+          }
+        localRowsOpt.map { localRows =>
+          val local = LocalRelation(
+            localGroupAttrs ++ localPartialAttrs, localRows)
+          val union = Union(Seq(local, restAgg), byName = false,
+            allowMissingCol = false)
+          // Final: group on the union's group columns; outputs mirror the
+          // original aggregate's order and attribute ids.
+          var aggIdx = -1
+          val finalExprs = specs.zip(aggExprs).map {
+            case (scala.util.Left(i), orig) =>
+              Alias(localGroupAttrs(i), orig.name)(exprId = orig.exprId)
+            case (scala.util.Right(_), orig) =>
+              aggIdx += 1
+              Alias(shapes(aggIdx)._4(localPartialAttrs(aggIdx)),
+                orig.name)(exprId = orig.exprId)
+          }
+          Aggregate(localGroupAttrs, finalExprs, union)
+        }
+    }
   }
 
   /** Split a pushed-down condition into per-column equality values,

@@ -162,6 +162,42 @@ class IngestStreamingSpec extends SparkSpec {
     assert(got.find(_._1 == "c").get._2 == 2L)
   }
 
+  test("streamUpsertSink maintains MVs with targeted group refresh per CDC batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val ds = LakeDataset.fromDataFrame(spark,
+      Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 30.0)).toDF("k", "g", "v"))
+    val db = new Database(spark)
+    db.register(TableName("public", "suv_t"), ds)
+    db.executeDml(
+      """CREATE MATERIALIZED VIEW suv_v AS
+        |SELECT g, COUNT(*) AS n, MAX(v) AS mx FROM suv_t GROUP BY g""".stripMargin)
+
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = mem.toDF().toDF("k", "g", "v").writeStream
+      .foreachBatch(db.streamUpsertSink("suv_t", Seq("k")))
+      .start()
+    try {
+      // Batch 1: update k=1 in place, insert k=4 into a NEW group.
+      mem.addData((1L, "a", 10.0), (4L, "c", 4.0))
+      q.processAllAvailable()
+      // Batch 2: MOVE k=3 from group b to group a (vacated + receiving
+      // groups must both refresh) and lower a max.
+      mem.addData((3L, "a", 0.5))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.sql("SELECT g, n, mx FROM suv_v ORDER BY g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = spark.sql(
+      "SELECT g, COUNT(*) AS n, MAX(v) AS mx FROM suv_t GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+    // Group b vanished (its only row moved out); group a max reflects the
+    // in-place update, not the moved row's old value.
+    assert(got.map(_._1) == Seq("a", "c"))
+    assert(got.head._3 == 10.0)
+  }
+
   test("streaming IVF maintenance self-heals: monitor fires, index heals, monitor quiet") {
     import graft.operators.Similarity
     implicit val sqlCtx = spark.sqlContext

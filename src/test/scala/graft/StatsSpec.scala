@@ -130,6 +130,159 @@ class StatsSpec extends SparkSpec {
     assert(Stats.tableStats(spark, none, statCols).head().toSeq == truth(none))
   }
 
+  test("SQL hybrid: count/sum/min over one dirty cell scans that cell only") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stats_sqlhy").toString
+    val o = orders.withColumn("o_batch", (col("o_orderkey") / 100).cast("int"))
+    val ds = LakeDataset.fromDataFrame(spark, o, partitionCols = Seq("o_batch"),
+      storage = Some(graft.model.StorageSpec(root)))
+    ds.toStorage()
+    val loaded = LakeDataset.fromStorage(spark, root)
+    val nCells = loaded.numParts
+    assert(nCells >= 8)
+    loaded.upsert(o.filter(col("o_orderkey") === 42)
+      .withColumn("o_custkey", col("o_custkey") + 777L), keys = Seq("o_orderkey"))
+    val db = new Database(spark)
+    db.register("sqlhy_t", loaded)
+    val df = db.executeSql(
+      """SELECT COUNT(*) AS cnt, SUM(o_custkey) AS sum_cust,
+        |       MIN(o_orderkey) AS min_key, COUNT(o_custkey) AS n_cust
+        |FROM sqlhy_t""".stripMargin)
+    // The plan folds the vouched cells into a LocalRelation and scans ONLY
+    // the dirty cell — not the table.
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.exists(_.isInstanceOf[LocalRelation]),
+      s"expected a LocalRelation partial, got:\n${df.queryExecution.optimizedPlan}")
+    // Rest side = the one dirty cell (an in-memory checkpointed slice after
+    // the upsert, or at most a couple of leaves) — never the table's
+    // multi-path scan over all cells.
+    val nonLocal = leaves.filterNot(_.isInstanceOf[LocalRelation])
+    assert(nonLocal.nonEmpty && nonLocal.size <= 2,
+      s"expected <=2 rest leaves of $nCells cells, got ${nonLocal.size}:\n" +
+        df.queryExecution.optimizedPlan)
+    assert(Bridge.scanRootPaths(df).size <= 2)
+    // And the answer is the full aggregation's, exactly.
+    val want = loaded.toDF.agg(count(lit(1)).as("cnt"),
+      sum(col("o_custkey")).as("sum_cust"), min(col("o_orderkey")).as("min_key"),
+      count(col("o_custkey")).as("n_cust")).head().toSeq
+    assert(df.head().toSeq == want)
+    // A partition-equality WHERE keeps the hybrid exact per selected cells.
+    loaded.upsert(o.filter(col("o_orderkey") === 742)
+      .withColumn("o_custkey", col("o_custkey") + 1L), keys = Seq("o_orderkey"))
+    val dfF = db.executeSql(
+      "SELECT COUNT(*) AS cnt, SUM(o_custkey) AS s FROM sqlhy_t WHERE o_batch IN (0, 7)")
+    val wantF = loaded.toDF.filter(col("o_batch").isin(0, 7))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_custkey")).as("s")).head().toSeq
+    assert(dfF.head().toSeq == wantF)
+  }
+
+  test("grouped hybrid: dirty cells rescan their groups, vouched groups fold") {
+    val o = orders.withColumn("o_batch", (col("o_orderkey") / 100).cast("int"))
+    val ds = LakeDataset.fromDataFrame(spark, o, partitionCols = Seq("o_batch"))
+    ds.upsert(o.filter(col("o_orderkey") === 42)
+      .withColumn("o_totalprice", lit(0.5)), keys = Seq("o_orderkey"))
+    // The partial grouped fold exposes vouched groups + a rest scan.
+    val Some((groups, Some(scanDf))) =
+      ds.metaStatsGroupedPartial(Seq("o_batch"), Seq("o_orderkey"))
+    assert(groups.nonEmpty)
+    assert(scanDf.count() < o.count() / 4)
+    // The public grouped answer equals the real grouped aggregation.
+    val got = Stats.tableStatsBy(spark, ds, Seq("o_batch"), statCols)
+      .orderBy("o_batch").collect().map(_.toSeq).toSeq
+    val aggs = count(lit(1)).cast("long") +:
+      statCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val want = ds.toDF.groupBy(col("o_batch")).agg(aggs.head, aggs.tail: _*)
+      .orderBy("o_batch").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // The dirtied group's new min price is visible through the hybrid.
+    assert(got.find(_.head == 0).get(4) == 0.5)
+  }
+
+  test("SQL grouped hybrid: dirty cell rescans its cell only, groups merge") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stats_ghy").toString
+    val o = orders.withColumn("o_batch", (col("o_orderkey") / 100).cast("int"))
+    val ds = LakeDataset.fromDataFrame(spark, o, partitionCols = Seq("o_batch"),
+      storage = Some(graft.model.StorageSpec(root)))
+    ds.toStorage()
+    val loaded = LakeDataset.fromStorage(spark, root)
+    val nCells = loaded.numParts
+    assert(nCells >= 8)
+    loaded.upsert(o.filter(col("o_orderkey") === 42)
+      .withColumn("o_custkey", col("o_custkey") + 9L), keys = Seq("o_orderkey"))
+    val db = new Database(spark)
+    db.register("ghy_t", loaded)
+    val df = db.executeSql(
+      """SELECT o_batch, COUNT(*) AS cnt, SUM(o_custkey) AS sum_cust,
+        |       MIN(o_orderkey) AS min_key, COUNT(o_custkey) AS n_cust
+        |FROM ghy_t GROUP BY o_batch""".stripMargin)
+    // Vouched groups fold into a LocalRelation; only the dirty cell scans.
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.exists(_.isInstanceOf[LocalRelation]),
+      s"expected a LocalRelation partial, got:\n${df.queryExecution.optimizedPlan}")
+    assert(Bridge.scanRootPaths(df).size <= 2,
+      s"expected <=2 scan roots of $nCells cells")
+    val want = loaded.toDF.groupBy(col("o_batch"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_custkey")).as("sum_cust"),
+        min(col("o_orderkey")).as("min_key"), count(col("o_custkey")).as("n_cust"))
+      .orderBy("o_batch").collect().map(_.toSeq).toSeq
+    assert(df.orderBy("o_batch").collect().map(_.toSeq).toSeq == want)
+  }
+
+  test("SQL AVG of an integral column collapses to the catalog exactly") {
+    val ds = freshLake()
+    val db = new Database(spark)
+    db.register("avg_t", ds)
+    val df = db.executeSql(
+      "SELECT AVG(o_custkey) AS avg_cust, COUNT(*) AS cnt FROM avg_t")
+    // Full collapse: zero scans, LocalRelation only.
+    assert(Bridge.scanRootPaths(df).isEmpty)
+    assert(df.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]))
+    val want = ds.toDF
+      .agg(avg(col("o_custkey")).as("avg_cust"), count(lit(1)).as("cnt"))
+      .head().toSeq
+    assert(df.head().toSeq == want)
+    // Grouped by the partition column: same collapse per group.
+    val dg = db.executeSql(
+      "SELECT o_batch, AVG(o_custkey) AS a FROM avg_t GROUP BY o_batch")
+    assert(dg.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]))
+    val wantG = ds.toDF.groupBy(col("o_batch")).agg(avg(col("o_custkey")).as("a"))
+      .orderBy("o_batch").collect().map(_.toSeq).toSeq
+    assert(dg.orderBy("o_batch").collect().map(_.toSeq).toSeq == wantG)
+  }
+
+  test("AVG fails open: double input, mixed signs, and dirty cells scan") {
+    import spark.implicits._
+    val db = new Database(spark)
+    // Double measure: never collapses (order-dependent sums by contract).
+    val ds = freshLake()
+    db.register("avgfo_t", ds)
+    val dd = db.executeSql("SELECT AVG(o_totalprice) AS a FROM avgfo_t")
+    assert(!dd.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]))
+    assert(dd.head().toSeq ==
+      ds.toDF.agg(avg(col("o_totalprice")).as("a")).head().toSeq)
+    // Mixed-sign integral: the sign-uniformity guard declines (no proof the
+    // scan's double accumulation is exact) — the scan answers.
+    val mixed = LakeDataset.fromDataFrame(spark,
+      Seq((1L, -5L, "a"), (2L, 9L, "a"), (3L, -2L, "b"), (4L, 4L, "b"))
+        .toDF("k", "v", "g"), partitionCols = Seq("g"))
+    db.register("avgmx_t", mixed)
+    val dm = db.executeSql("SELECT AVG(v) AS a FROM avgmx_t")
+    assert(!dm.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]))
+    assert(dm.head().getDouble(0) == 1.5)
+    // Dirty cell: AVG takes no hybrid — the full scan answers, exactly.
+    val dirty = freshLake()
+    dirty.upsert(orders.filter(col("o_orderkey") === 7)
+      .withColumn("o_batch", (col("o_orderkey") / 500).cast("int"))
+      .withColumn("o_custkey", col("o_custkey") + 3L), keys = Seq("o_orderkey"))
+    db.register("avgdy_t", dirty)
+    val dy = db.executeSql("SELECT AVG(o_custkey) AS a FROM avgdy_t")
+    assert(dy.head().toSeq ==
+      dirty.toDF.agg(avg(col("o_custkey")).as("a")).head().toSeq)
+  }
+
   test("tightness survives the manifest round trip; untight parts stay untight") {
     val root = java.nio.file.Files.createTempDirectory("graft_stats_rt").toString
     val o = orders.withColumn("o_batch", (col("o_orderkey") / 500).cast("int"))
