@@ -1155,6 +1155,15 @@ object SparkEntry {
         "SELECT COUNT(*) AS cnt, AVG(o_custkey) AS avg_cust FROM orders_avg")
     }),
 
+    // DISTINCT over a partition column: the catalog's live (non-empty)
+    // cell listing IS the answer — zero scans (dirty cells fall to the
+    // grouped hybrid: vouched values + a distinct over only those cells).
+    "lake_sql_distinct_cells" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("orders_dist", Fixtures.ordersZoneLake(s, dir))
+      db.executeSql("SELECT DISTINCT o_batch FROM orders_dist ORDER BY o_batch")
+    }),
+
     // Grouped by the partition column: per-group catalog AVG.
     "lake_sql_stats_avg_grouped" -> ((s, dir) => {
       val db = new Database(s)
@@ -2544,6 +2553,10 @@ object SparkEntry {
       """SELECT CAST(FLOOR(o_orderkey / 6000.0) AS INT) AS o_batch,
         |       COUNT(*) AS cnt, AVG(o_custkey) AS avg_cust
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_sql_distinct_cells" ->
+      """SELECT DISTINCT CAST(FLOOR(o_orderkey / 6000.0) AS INT) AS o_batch
+        |FROM orders ORDER BY o_batch""".stripMargin,
 
     "lake_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice

@@ -924,6 +924,27 @@ final class LakeDataset private (
     untight.size
   }
 
+  /** Auto re-tighten — the stats-only analogue of the auto-compaction and
+    * feed auto-checkpoint thresholds: when a mutation leaves MORE than
+    * `spark.graft.stats.autoAnalyzeCells` (default 64; <= 0 disables)
+    * cells unable to vouch for tight stats, re-analyze exactly those
+    * cells ([[analyze]] — read-only, parallel on the ioPool, O(dirty
+    * cells), no file rewrites). Amortized cost: one extra read of each
+    * dirtied cell per threshold crossing; in return the
+    * COUNT/MIN/MAX/SUM/AVG catalog collapse keeps answering under
+    * sustained mutation instead of degrading to ever-larger hybrid
+    * scans. The long-lived-table story: auto-compaction bounds plan
+    * depth, auto-checkpoint bounds feed history, auto-analyze bounds
+    * metadata staleness.
+    */
+  private def maybeAutoAnalyze(): Unit = {
+    val thr = spark.conf.get("spark.graft.stats.autoAnalyzeCells", "64").toInt
+    if (thr <= 0) return
+    val untight = parts.values().asScala
+      .count(p => !(p.statsTight.get && p.rows.get >= 0L))
+    if (untight > thr) analyze()
+  }
+
   // ------------------------------------------------------------------
   // SHALLOW CLONE — an independent table over the SAME data bytes.
   // ------------------------------------------------------------------
@@ -1200,10 +1221,16 @@ final class LakeDataset private (
         case BooleanType => Some(java.lang.Boolean.valueOf(s))
         case _ => None
       } catch { case scala.util.control.NonFatal(_) => None }
-    val ps = parts.asScala.toList.filter(p => cellFilter(p._1))
-    if (ps.isEmpty) return Some(Seq.empty)
-    if (!ps.forall { case (_, p) => p.statsTight.get && p.rows.get >= 0L })
+    val psAll = parts.asScala.toList.filter(p => cellFilter(p._1))
+    if (psAll.isEmpty) return Some(Seq.empty)
+    if (!psAll.forall { case (_, p) => p.statsTight.get && p.rows.get >= 0L })
       return None
+    // A provably EMPTY cell contributes no rows — and must contribute no
+    // GROUP: a real grouped aggregation emits nothing for a group with no
+    // rows, so a zero-count catalog row would be a phantom (reachable via
+    // DELETE emptying a cell + ANALYZE re-tightening it).
+    val ps = psAll.filter(_._2.rows.get > 0L)
+    if (ps.isEmpty) return Some(Seq.empty)
     if (cols.nonEmpty &&
         !ps.forall { case (_, p) => p.zones.exists(m => cols.forall(m.contains)) })
       return None
@@ -1283,10 +1310,13 @@ final class LakeDataset private (
         case BooleanType => Some(java.lang.Boolean.valueOf(s))
         case _ => None
       } catch { case scala.util.control.NonFatal(_) => None }
-    val ps = parts.asScala.toList.filter(p => cellFilter(p._1))
-    if (ps.isEmpty) return Some(Seq.empty)
-    if (!ps.forall { case (_, p) => p.statsTight.get && p.rows.get >= 0L })
+    val psAll = parts.asScala.toList.filter(p => cellFilter(p._1))
+    if (psAll.isEmpty) return Some(Seq.empty)
+    if (!psAll.forall { case (_, p) => p.statsTight.get && p.rows.get >= 0L })
       return None
+    // Zero-row cells contribute no groups — see [[metaStatsGrouped]].
+    val ps = psAll.filter(_._2.rows.get > 0L)
+    if (ps.isEmpty) return Some(Seq.empty)
     if (!ps.forall { case (_, p) => p.sums.exists(m => cols.forall(m.contains)) })
       return None
     val grouped = ps.groupBy { case (key, _) =>
@@ -1797,6 +1827,7 @@ final class LakeDataset private (
         retain(batch)
       }
     }
+    maybeAutoAnalyze()
     if (save) toStorage()
   }
 
@@ -2053,6 +2084,7 @@ final class LakeDataset private (
         }
       }
     }
+    maybeAutoAnalyze()
   }
 
   /** Predicate delete — SQL `DELETE FROM t WHERE cond`, pruned to the cells
@@ -2083,6 +2115,7 @@ final class LakeDataset private (
       diskDirs.remove(k); diskSchemas.remove(k)
       p.deleteWhere(cond)
     }
+    maybeAutoAnalyze()
     touched.size
   }
 
@@ -2138,6 +2171,7 @@ final class LakeDataset private (
         diskDirs.remove(k); diskSchemas.remove(k)
         p.updateWhere(cond, typed)
       }
+      maybeAutoAnalyze()
       touched.size
     }
 

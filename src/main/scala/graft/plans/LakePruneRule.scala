@@ -535,8 +535,10 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       case _ => return None
     }
+    // aggSpecs may be EMPTY: `SELECT DISTINCT partition_col` is an
+    // Aggregate with no aggregate functions — vouched distinct values +
+    // a distinct over the rest scan is still the right hybrid.
     val aggSpecs = specs.collect { case scala.util.Right(s) => s }
-    if (aggSpecs.isEmpty) return None
     val mmCols = aggSpecs.collect { case MinMaxSpec(c, _) => c }.distinct
     val sumCols = aggSpecs.collect {
       case SumSpec(c) => c

@@ -554,6 +554,28 @@ object ScaleSmoke {
             min(col("o_orderkey")), max(col("o_orderkey")),
             min(col("o_totalprice")), max(col("o_totalprice"))).collect()
         }
+        // HYBRID: dirty ONE cell (auto-analyze off to hold the dirty
+        // state) — count/sum/min must keep answering with a one-cell scan,
+        // not the table's.
+        spark.conf.set("spark.graft.stats.autoAnalyzeCells", "0")
+        val k = mo.select("o_orderkey").head().getLong(0)
+        loaded.upsert(mo.filter(col("o_orderkey") === k)
+          .withColumn("o_custkey", col("o_custkey") + 1L), Seq("o_orderkey"))
+        val hdb = new graft.lake.Database(spark)
+        hdb.register("scale_hy", loaded)
+        val hq = "SELECT COUNT(*) AS c, SUM(o_custkey) AS s, " +
+          "MIN(o_orderkey) AS mn FROM scale_hy"
+        val leaves = org.apache.spark.sql.graftbridge.Bridge
+          .scanRootPaths(hdb.executeSql(hq)).size
+        println(s"[scale] hybrid scan roots: $leaves of ${loaded.numParts} cells")
+        time("count/sum/min HYBRID (1 dirty cell)") {
+          hdb.executeSql(hq).collect()
+        }
+        time("count/sum/min full scan (same state)") {
+          loaded.toDF.agg(count(lit(1)), sum(col("o_custkey")),
+            min(col("o_orderkey"))).collect()
+        }
+        spark.conf.unset("spark.graft.stats.autoAnalyzeCells")
       } finally LakeDataset.deleteRecursively(java.nio.file.Paths.get(statsRoot))
 
       // Catalog DPP join: a COPIES× lineitem fact in orderkey-range cells

@@ -251,6 +251,51 @@ class StatsSpec extends SparkSpec {
     assert(dg.orderBy("o_batch").collect().map(_.toSeq).toSeq == wantG)
   }
 
+  test("a cell emptied by DELETE then re-tightened emits NO group row") {
+    import spark.implicits._
+    val ds = LakeDataset.fromDataFrame(spark,
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "c", 40L))
+        .toDF("k", "g", "v"), partitionCols = Seq("g"))
+    // Empty group b through a ROW predicate (the located-delete path can't
+    // prove the cell empty, so the cell object remains with zero rows).
+    ds.deleteWhere(col("v") === 30L)
+    ds.analyze() // re-tightens the emptied cell: rows=0, statsTight=true
+    val db = new Database(spark)
+    db.register("zero_g", ds)
+    val df = db.executeSql(
+      "SELECT g, COUNT(*) AS cnt FROM zero_g GROUP BY g ORDER BY g")
+    // The real grouped aggregation has NO row for b — neither must the
+    // catalog collapse (a zero-count group is a phantom).
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 2L), ("c", 1L)))
+    // DISTINCT must not resurrect the vacated partition value either.
+    val dv = db.executeSql("SELECT DISTINCT g FROM zero_g ORDER BY g")
+    assert(dv.collect().map(_.getString(0)).toSeq == Seq("a", "c"))
+  }
+
+  test("SELECT DISTINCT partition-col collapses to the catalog") {
+    val ds = freshLake()
+    val db = new Database(spark)
+    db.register("dist_t", ds)
+    val df = db.executeSql("SELECT DISTINCT o_batch FROM dist_t")
+    assert(df.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]),
+      s"expected catalog-only plan, got\n${df.queryExecution.optimizedPlan}")
+    val want = ds.toDF.select("o_batch").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == want)
+    // Dirty one cell: the hybrid answers DISTINCT from vouched values +
+    // the one-cell scan.
+    ds.upsert(orders.filter(col("o_orderkey") === 12)
+      .withColumn("o_batch", (col("o_orderkey") / 500).cast("int")),
+      keys = Seq("o_orderkey"))
+    val dh = db.executeSql("SELECT DISTINCT o_batch FROM dist_t")
+    assert(dh.queryExecution.optimizedPlan.collectLeaves()
+      .exists(_.isInstanceOf[LocalRelation]),
+      s"expected hybrid plan, got\n${dh.queryExecution.optimizedPlan}")
+    assert(dh.collect().map(_.getInt(0)).sorted.toSeq == want)
+  }
+
   test("AVG fails open: double input, mixed signs, and dirty cells scan") {
     import spark.implicits._
     val db = new Database(spark)
@@ -281,6 +326,34 @@ class StatsSpec extends SparkSpec {
     val dy = db.executeSql("SELECT AVG(o_custkey) AS a FROM avgdy_t")
     assert(dy.head().toSeq ==
       dirty.toDF.agg(avg(col("o_custkey")).as("a")).head().toSeq)
+  }
+
+  test("auto-analyze re-tightens once dirty cells exceed the threshold") {
+    val o = orders.withColumn("o_batch", (col("o_orderkey") / 100).cast("int"))
+    val ds = LakeDataset.fromDataFrame(spark, o, partitionCols = Seq("o_batch"))
+    // One EXISTING key per batch cell — each dirty() untightens exactly
+    // one distinct cell.
+    val keys = o.groupBy("o_batch").agg(min(col("o_orderkey")).as("k"))
+      .orderBy("o_batch").collect().map(_.getLong(1)).toSeq
+    assert(keys.size >= 7)
+    def dirty(key: Long): Unit =
+      ds.upsert(o.filter(col("o_orderkey") === key)
+        .withColumn("o_custkey", col("o_custkey") + 1L), keys = Seq("o_orderkey"))
+    spark.conf.set("spark.graft.stats.autoAnalyzeCells", "5")
+    try {
+      // 4 dirty cells: below the threshold — the vouch stays lost.
+      keys.take(4).foreach(dirty)
+      assert(!Stats.metaAnswerable(ds, statCols))
+      // Two more (6 > 5): the mutation itself triggers the re-analyze and
+      // the FULL catalog collapse is back, exactly.
+      keys.slice(4, 6).foreach(dirty)
+      assert(Stats.metaAnswerable(ds, statCols))
+      assert(statsRow(ds) == truth(ds))
+      // Disabled: staleness accumulates (the documented opt-out).
+      spark.conf.set("spark.graft.stats.autoAnalyzeCells", "0")
+      keys.take(7).foreach(dirty)
+      assert(!Stats.metaAnswerable(ds, statCols))
+    } finally spark.conf.unset("spark.graft.stats.autoAnalyzeCells")
   }
 
   test("tightness survives the manifest round trip; untight parts stay untight") {
