@@ -1164,6 +1164,15 @@ object SparkEntry {
       db.executeSql("SELECT DISTINCT o_batch FROM orders_dist ORDER BY o_batch")
     }),
 
+    // COUNT(DISTINCT partition_col): the distinct values are catalog keys
+    // — answered with the count family in one scan-free plan.
+    "lake_sql_count_distinct" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("orders_cd", Fixtures.ordersZoneLake(s, dir))
+      db.executeSql(
+        "SELECT COUNT(DISTINCT o_batch) AS n_batches, COUNT(*) AS cnt FROM orders_cd")
+    }),
+
     // Grouped by the partition column: per-group catalog AVG.
     "lake_sql_stats_avg_grouped" -> ((s, dir) => {
       val db = new Database(s)
@@ -2557,6 +2566,12 @@ object SparkEntry {
     "lake_sql_distinct_cells" ->
       """SELECT DISTINCT CAST(FLOOR(o_orderkey / 6000.0) AS INT) AS o_batch
         |FROM orders ORDER BY o_batch""".stripMargin,
+
+    "lake_sql_count_distinct" ->
+      """SELECT COUNT(DISTINCT CAST(FLOOR(o_orderkey / 6000.0) AS INT))
+        |         AS n_batches,
+        |       COUNT(*) AS cnt
+        |FROM orders""".stripMargin,
 
     "lake_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice

@@ -924,6 +924,27 @@ final class LakeDataset private (
     untight.size
   }
 
+  /** `COUNT(DISTINCT partition_col)` from the catalog: the number of
+    * distinct NON-NULL values of `c` across LIVE (non-empty) cells. Same
+    * vouch as [[metaStats]] — every selected cell tight with a known
+    * counter; a cell deleted to zero rows contributes no value (its
+    * directory may linger), and the NULL cell is excluded (SQL's
+    * COUNT(DISTINCT) ignores NULLs). None when any cell cannot vouch or
+    * `c` is not a partition column — fail open to the scan.
+    */
+  def metaDistinctPartition(c: String,
+      cellFilter: PartKey => Boolean = _ => true): Option[Long] =
+    this.synchronized {
+      if (!partitionCols.contains(c)) return None
+      val ps = parts.asScala.toList.filter(p => cellFilter(p._1))
+      if (ps.isEmpty) return Some(0L)
+      if (!ps.forall { case (_, p) => p.statsTight.get && p.rows.get >= 0L })
+        return None
+      Some(ps.filter(_._2.rows.get > 0L)
+        .map(_._1.partValues.collectFirst { case (k, v) if k == c => v }.orNull)
+        .filter(_ != null).distinct.size.toLong)
+    }
+
   /** Auto re-tighten — the stats-only analogue of the auto-compaction and
     * feed auto-checkpoint thresholds: when a mutation leaves MORE than
     * `spark.graft.stats.autoAnalyzeCells` (default 64; <= 0 disables)

@@ -195,6 +195,7 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private final case class SumSpec(column: String) extends MetaSpec
   private final case class CntColSpec(column: String) extends MetaSpec
   private final case class AvgSpec(column: String) extends MetaSpec
+  private final case class CntDistinctSpec(column: String) extends MetaSpec
 
   private def integralType(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
@@ -270,6 +271,12 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       cellFilter: graft.model.PartKey => Boolean): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate._
     val specs: Seq[Option[MetaSpec]] = aggExprs.map {
+      // COUNT(DISTINCT partition_col): the distinct values ARE catalog
+      // keys — the one DISTINCT aggregate the catalog can answer.
+      case Alias(AggregateExpression(
+          Count(Seq(a: AttributeReference)), Complete, true, None, _), _)
+          if scan.ds.partitionCols.contains(a.name) =>
+        Some(CntDistinctSpec(a.name))
       case Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
         specOf(fn, scan)
       case _ => None
@@ -304,6 +311,9 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case AvgSpec(c) =>
               avgValue(sums(c), zones(c)).map(
                 _.map(v => java.lang.Double.valueOf(v): Any).orNull :: rest)
+            case CntDistinctSpec(c) =>
+              scan.ds.metaDistinctPartition(c, cellFilter)
+                .map(_.asInstanceOf[Any] :: rest)
           }
         }
       }
@@ -382,7 +392,7 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
                     val s = aggE(Sum(p))
                     if (s.dataType == e.dataType) s else Cast(s, e.dataType)
                   }))
-              case AvgSpec(_) => None // guarded out above
+              case AvgSpec(_) | CntDistinctSpec(_) => None // no hybrid forms
             }
           }
         if (built.exists(_.isEmpty)) return None
@@ -573,7 +583,8 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   val s = aggE(Sum(p))
                   if (s.dataType == e.dataType) s else Cast(s, e.dataType)
                 })
-              case AvgSpec(_) => return None // unreachable (filtered above)
+              case AvgSpec(_) | CntDistinctSpec(_) =>
+                return None // no hybrid forms (specOf never emits these)
             }
           }
         // Rest child: the grouped PARTIAL aggregation over only the
@@ -615,7 +626,7 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
                       // rest-side Sum), not the final output type.
                       sumCatalystValue(sums(c), partialAliases(pi).dataType)
                         .map(_ :: r2)
-                    case AvgSpec(_) => None // unreachable
+                    case AvgSpec(_) | CntDistinctSpec(_) => None // unreachable
                   }
                 }
               }

@@ -34,6 +34,6 @@ class GateSmokeR8Spec extends SparkSpec {
     "lake_sql_detail", "lake_sql_analyze", "lake_sql_show_partitions",
     "lake_sql_alter_columns", "lake_sql_matview", "lake_sql_merge_cdc",
     "lake_stats_hybrid", "lake_stats_hybrid_sum", "lake_topk",
-    "lake_topk_price"))
+    "lake_topk_price", "lake_sql_count_distinct"))
     test(s"$q matches its oracle") { check(q) }
 }

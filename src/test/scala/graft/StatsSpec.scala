@@ -296,6 +296,32 @@ class StatsSpec extends SparkSpec {
     assert(dh.collect().map(_.getInt(0)).sorted.toSeq == want)
   }
 
+  test("COUNT(DISTINCT partition_col) collapses; vacated values drop out") {
+    import spark.implicits._
+    val ds = LakeDataset.fromDataFrame(spark,
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "c", 40L))
+        .toDF("k", "g", "v"), partitionCols = Seq("g"))
+    val db = new Database(spark)
+    db.register("cd_t", ds)
+    val df = db.executeSql(
+      "SELECT COUNT(DISTINCT g) AS n_groups, COUNT(*) AS cnt FROM cd_t")
+    assert(df.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]),
+      s"expected catalog-only plan, got\n${df.queryExecution.optimizedPlan}")
+    assert(df.head().toSeq == Seq(3L, 4L))
+    // Empty group b via DELETE + re-analyze: the distinct count excludes
+    // the vacated value, exactly like the real scan.
+    ds.deleteWhere(col("v") === 30L)
+    ds.analyze()
+    assert(db.executeSql("SELECT COUNT(DISTINCT g) AS n FROM cd_t")
+      .head().getLong(0) == 2L)
+    // Non-partition column: fail open to the scan, same answer.
+    val dn = db.executeSql("SELECT COUNT(DISTINCT v) AS n FROM cd_t")
+    assert(!dn.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]))
+    assert(dn.head().getLong(0) == 3L)
+  }
+
   test("AVG fails open: double input, mixed signs, and dirty cells scan") {
     import spark.implicits._
     val db = new Database(spark)
