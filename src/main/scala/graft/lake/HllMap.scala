@@ -1,0 +1,115 @@
+package graft.lake
+
+import java.util.Base64
+
+import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-part HLL distinct-count sketches — the fifth maintained statistic
+  * family beside row counters, zone maps, key blooms and column sums,
+  * closing the `SELECT approx-distinct(x)` dashboard query from the catalog
+  * alone (zero scan tasks).
+  *
+  * The exactness story differs from sums in a crucial way that makes it
+  * EASY: DataSketches HLL union is register-wise max, so
+  * `union(sketch(A), sketch(B))` carries the SAME registers as
+  * `sketch(A ++ B)` — the per-part fold is not an approximation OF the
+  * scan-side answer, it is bit-for-bit THE answer Spark's own distributed
+  * `hll_sketch_agg` would produce (Spark merges per-task partial sketches
+  * through the identical union). So the metadata answer == scan answer
+  * contract holds exactly for the estimate, even though the estimate itself
+  * approximates the true distinct count (±~2% at lgK=12).
+  *
+  * Maintenance rides the SAME tightness contract as the other families
+  * ([[LakePart.statsTight]]): pure appends UNION the batch's sketches in
+  * (exact — see above), upsert/delete invalidate (a removed row's register
+  * contribution cannot be subtracted), materialize / ANALYZE recompute from
+  * data, and the manifest persists sketches only for vouched-tight parts.
+  *
+  * Tracking is OPT-IN per column at table creation (`sketchCols`), like key
+  * blooms: each tracked column adds one `hll_sketch_agg` to every routing
+  * aggregation and ~1.5 KiB (lgK=12, HLL_4) per part to the manifest.
+  */
+object HllMap {
+
+  /** log2 of the register count — Spark's own `hll_sketch_agg` default, so
+    * the SQL shape `hll_sketch_estimate(hll_sketch_agg(c))` collapses
+    * without the caller spelling a parameter.
+    */
+  val LgK = 12
+
+  /** Types Spark's `HllSketchAgg` accepts. Anything else is refused at
+    * table creation (a late analysis error inside the routing aggregation
+    * would poison every ingest).
+    */
+  def sketchable(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | StringType | BinaryType => true
+    case _ => false
+  }
+
+  /** The aggregation columns maintaining sketches for `cols`, to append to
+    * a routing groupBy. Row layout contract: one binary column per tracked
+    * column, in `cols` order — parse back with [[fromRow]].
+    */
+  def aggs(cols: Seq[String]): Seq[Column] =
+    cols.map(c => hll_sketch_agg(col(c), lit(LgK)))
+
+  /** An empty sketch's bytes (what an all-NULL or zero-row group holds). */
+  def empty: Array[Byte] = new HllSketch(LgK).toUpdatableByteArray
+
+  /** Parse the sketches appended by [[aggs]] from a collected row. A NULL
+    * (group with no non-null values) reads as the empty sketch — the union
+    * identity, mirroring how the scan-side aggregate treats such groups.
+    */
+  def fromRow(row: org.apache.spark.sql.Row, offset: Int, cols: Seq[String])
+      : Map[String, Array[Byte]] =
+    cols.zipWithIndex.map { case (c, i) =>
+      val v = row.get(offset + i)
+      c -> (if (v == null) empty else v.asInstanceOf[Array[Byte]])
+    }.toMap
+
+  /** Union two sketches — associative, commutative, and EXACT (the result's
+    * registers equal those of a single sketch over the concatenated
+    * streams), which is what lets appends fold instead of invalidating.
+    */
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val u = new Union(LgK)
+    u.update(HllSketch.heapify(a))
+    u.update(HllSketch.heapify(b))
+    u.getResult(TgtHllType.HLL_4).toUpdatableByteArray
+  }
+
+  /** Fold an appended batch's sketches into a part's current ones — same
+    * directional soundness as [[SumMap.merge]]: tracked in both → union;
+    * current-only keeps (the batch lacked the column, so its rows read as
+    * NULL — the empty-sketch identity); delta-only is DROPPED (the part has
+    * no baseline, so adopting the delta's sketch alone would be falsely
+    * exact).
+    */
+  def merge(current: Map[String, Array[Byte]], delta: Map[String, Array[Byte]])
+      : Map[String, Array[Byte]] =
+    current.map { case (c, x) => c -> delta.get(c).map(union(x, _)).getOrElse(x) }
+
+  /** The rounded estimate of the union of `sketches` — for per-part folds
+    * this equals `hll_sketch_estimate(hll_sketch_agg(c))` over the whole
+    * table bit for bit (see class doc). Estimates are non-negative; an
+    * empty union estimates 0, matching the scan over an empty table.
+    */
+  def unionEstimate(sketches: Seq[Array[Byte]]): Long = {
+    val u = new Union(LgK)
+    sketches.foreach(b => u.update(HllSketch.heapify(b)))
+    Math.round(u.getResult.getEstimate)
+  }
+
+  /** Manifest encoding. */
+  def encode(b: Array[Byte]): String = Base64.getEncoder.encodeToString(b)
+
+  def decode(s: String): Option[Array[Byte]] =
+    try {
+      val b = Base64.getDecoder.decode(s)
+      HllSketch.heapify(b) // validates — corrupt bytes degrade to unknown
+      Some(b)
+    } catch { case scala.util.control.NonFatal(_) => None }
+}

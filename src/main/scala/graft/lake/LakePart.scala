@@ -39,13 +39,14 @@ final class LakePart private[lake] (
       */
     initialZones: Option[Map[String, Zone]] = None,
     /** The owning dataset's FIXED tracked-stat-column selector, returning
-      * (zone columns, bloom columns, sum columns) for a schema. Materialize
+      * (zone columns, bloom columns, sum columns, sketch columns) for a
+      * schema. Materialize
       * recomputes stats through it so the part never tracks a different set
       * than the routing aggregation widens with (set drift is unsound — see
       * LakeDataset.trackedZoneSet).
       */
-    statColsOf: org.apache.spark.sql.types.StructType => (Seq[String], Seq[String], Seq[String]) =
-      s => (ZoneMap.zoneCols(s), Nil, SumMap.sumCols(s)),
+    statColsOf: org.apache.spark.sql.types.StructType => (Seq[String], Seq[String], Seq[String], Seq[String]) =
+      s => (ZoneMap.zoneCols(s), Nil, SumMap.sumCols(s), Nil),
     /** Per-column key Bloom filters of this part's data (see [[Bloom]]);
       * None = no statistics (membership pruning fails open). Mutations OR
       * plane bits (sound superset); rebuilds recompute tight.
@@ -62,6 +63,13 @@ final class LakePart private[lake] (
       * there is no sound superset to widen to); materialize recomputes.
       */
     initialSums: Option[Map[String, ColSum]] = None,
+    /** Per-column HLL distinct sketches of this part's data (see
+      * [[HllMap]]); None = unknown (metadata approx-distinct answers fail
+      * open). Appends UNION the batch's sketches in (exact — union is
+      * register-wise max); upsert/delete invalidate; materialize/ANALYZE
+      * recompute.
+      */
+    initialSketches: Option[Map[String, Array[Byte]]] = None,
     /** Whether the initial statistics (zones, blooms, row counter) reflect
       * the part's data EXACTLY — true on every in-memory creation path (all
       * compute stats from the routed batch itself); false for parts loaded
@@ -90,11 +98,18 @@ final class LakePart private[lake] (
     new AtomicReference[Option[Map[String, Bloom]]](initialBlooms)
   private val sumsRef =
     new AtomicReference[Option[Map[String, ColSum]]](initialSums)
+  private val sketchesRef =
+    new AtomicReference[Option[Map[String, Array[Byte]]]](initialSketches)
 
   /** Current exact column sums; None = unknown (metadata sums fail open).
     * Meaningful only while [[statsTight]] — consumers must check both.
     */
   def sums: Option[Map[String, ColSum]] = sumsRef.get
+
+  /** Current HLL distinct sketches; None = unknown (metadata approx-distinct
+    * answers fail open). Meaningful only while [[statsTight]].
+    */
+  def sketches: Option[Map[String, Array[Byte]]] = sketchesRef.get
 
   /** Fold an appended batch's exact sums in (see [[SumMap.merge]]). A part
     * with unknown sums stays unknown.
@@ -102,6 +117,15 @@ final class LakePart private[lake] (
   private[lake] def addSums(delta: Map[String, ColSum]): Unit =
     sumsRef.updateAndGet {
       case Some(old) => Some(SumMap.merge(old, delta))
+      case None => None
+    }
+
+  /** Union an appended batch's sketches in (see [[HllMap.merge]] — exact
+    * under pure append). A part with unknown sketches stays unknown.
+    */
+  private[lake] def addSketches(delta: Map[String, Array[Byte]]): Unit =
+    sketchesRef.updateAndGet {
+      case Some(old) => Some(HllMap.merge(old, delta))
       case None => None
     }
 
@@ -196,6 +220,7 @@ final class LakePart private[lake] (
       ref.set(LakePart.upsertJoin(cur, other, keys, leftWins))
       statsTight.set(false) // superset zones + stale counter until materialize
       sumsRef.set(None) // a merge's post-state sum is not derivable
+      sketchesRef.set(None) // replaced rows' registers cannot be subtracted
       changes.addAndGet(otherRows)
       // rows counter intentionally unchanged (stale until materialize),
       // mirroring reference src/dataset.rs:144.
@@ -212,6 +237,7 @@ final class LakePart private[lake] (
     ref.set(cur.join(keysDf.select(keys.map(col): _*).distinct(), keys, "left_anti"))
     statsTight.set(false) // zones now a superset of the surviving rows
     sumsRef.set(None) // deleted rows' contribution is unknown
+    sketchesRef.set(None) // deleted rows' registers cannot be subtracted
     changes.addAndGet(1L)
     rows.set(-1L) // unknown until materialize/recount
     maybeCompact(false)
@@ -225,6 +251,7 @@ final class LakePart private[lake] (
     ref.set(cur.filter(!coalesce(cond, lit(false))))
     statsTight.set(false) // zones now a superset of the surviving rows
     sumsRef.set(None) // deleted rows' contribution is unknown
+    sketchesRef.set(None) // deleted rows' registers cannot be subtracted
     changes.addAndGet(1L)
     rows.set(-1L) // unknown until materialize/recount
     maybeCompact(false)
@@ -256,6 +283,7 @@ final class LakePart private[lake] (
       zonesRef.updateAndGet(_.map(_.filterNot { case (k, _) => assigned(k) }))
       bloomsRef.updateAndGet(_.map(_.filterNot { case (k, _) => assigned(k) }))
       sumsRef.updateAndGet(_.map(_.filterNot { case (k, _) => assigned(k) }))
+      sketchesRef.updateAndGet(_.map(_.filterNot { case (k, _) => assigned(k) }))
       changes.addAndGet(1L)
       maybeCompact(false)
     }
@@ -279,14 +307,17 @@ final class LakePart private[lake] (
       // (mutations in between only ever widened them), and parts that had
       // no stats at all (lazily loaded) gain them.
       import org.apache.spark.sql.functions.{count, lit}
-      val (zc, bc, sc) = statColsOf(m.schema)
+      val (zc, bc, sc, kc) = statColsOf(m.schema)
       val statAggs = count(lit(1)) +:
-        (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(m.schema, sc))
+        (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(m.schema, sc) ++
+          HllMap.aggs(kc))
       val row = m.agg(statAggs.head, statAggs.tail: _*).head()
       rows.set(row.getLong(0))
       zonesRef.set(Some(ZoneMap.fromRow(row, 1, zc)))
       if (bc.nonEmpty) bloomsRef.set(Some(Bloom.fromRow(row, 1 + 2 * zc.length, bc)))
       sumsRef.set(Some(SumMap.fromRow(row, 1 + 2 * zc.length + Bloom.Planes * bc.length, sc)))
+      if (kc.nonEmpty) sketchesRef.set(Some(HllMap.fromRow(row,
+        1 + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length, kc)))
       changes.set(0L)
       mutationOps.set(0L)
       statsTight.set(true) // count + zones just recomputed from data
@@ -312,6 +343,7 @@ final class LakePart private[lake] (
     zonesRef.updateAndGet(_.map(remap))
     bloomsRef.updateAndGet(_.map(remap))
     sumsRef.updateAndGet(_.map(remap))
+    sketchesRef.updateAndGet(_.map(remap))
     mutationOps.incrementAndGet() // plan depth grew by one
   }
 
@@ -325,14 +357,17 @@ final class LakePart private[lake] (
     if (statsTight.get && rows.get >= 0L) return
     import org.apache.spark.sql.functions.{count, lit}
     val d = cur
-    val (zc, bc, sc) = statColsOf(d.schema)
+    val (zc, bc, sc, kc) = statColsOf(d.schema)
     val statAggs = count(lit(1)) +:
-      (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(d.schema, sc))
+      (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(d.schema, sc) ++
+        HllMap.aggs(kc))
     val row = d.agg(statAggs.head, statAggs.tail: _*).head()
     rows.set(row.getLong(0))
     zonesRef.set(Some(ZoneMap.fromRow(row, 1, zc)))
     if (bc.nonEmpty) bloomsRef.set(Some(Bloom.fromRow(row, 1 + 2 * zc.length, bc)))
     sumsRef.set(Some(SumMap.fromRow(row, 1 + 2 * zc.length + Bloom.Planes * bc.length, sc)))
+    if (kc.nonEmpty) sketchesRef.set(Some(HllMap.fromRow(row,
+      1 + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length, kc)))
     statsTight.set(true)
   }
 

@@ -116,6 +116,15 @@ final case class Manifest(
       * without the field load the same way.
       */
     partSums: Map[String, Map[String, (String, Long)]] = Map.empty,
+    /** Columns carrying per-part HLL distinct sketches (opt-in at table
+      * creation, like [[bloomCols]]). */
+    sketchCols: List[String] = Nil,
+    /** Per-part HLL sketches (base64 bytes), written only for tight parts —
+      * the approx-distinct member of the tightness vouch, restored under
+      * the same [[partRows]] gate as [[partSums]]. Old manifests without
+      * the field load the same way (fail open to a scan).
+      */
+    partSketches: Map[String, Map[String, String]] = Map.empty,
     /** Table CHECK constraints: name → SQL boolean expression. Enforced on
       * every ingest (insert/upsert/update reject violating batches loudly);
       * persisted so a reloaded table keeps enforcing them. Old manifests
@@ -183,6 +192,17 @@ object Manifest {
         }
       }
     }
+    if (m.sketchCols.nonEmpty) {
+      val kc = node.putArray("sketch_cols")
+      m.sketchCols.foreach(kc.add)
+    }
+    if (m.partSketches.nonEmpty) {
+      val sk = node.putObject("part_sketches")
+      m.partSketches.foreach { case (rel, cols) =>
+        val pn = sk.putObject(rel)
+        cols.foreach { case (c, b64) => pn.put(c, b64) }
+      }
+    }
     if (m.checks.nonEmpty) {
       val checksN = node.putObject("checks")
       m.checks.foreach { case (name, e) => checksN.put(name, e) }
@@ -246,6 +266,14 @@ object Manifest {
             val cn = pn.get(c)
             c -> (cn.get("sum").asText(), cn.get("n").asLong())
           }.toMap
+        }.toMap
+      }.getOrElse(Map.empty),
+      sketchCols = Option(node.get("sketch_cols"))
+        .map(_.elements().asScala.map(_.asText()).toList).getOrElse(Nil),
+      partSketches = Option(node.get("part_sketches")).map { sk =>
+        sk.fieldNames().asScala.map { rel =>
+          val pn = sk.get(rel)
+          rel -> pn.fieldNames().asScala.map(c => c -> pn.get(c).asText()).toMap
         }.toMap
       }.getOrElse(Map.empty),
       checks = Option(node.get("checks")).map { cs =>
