@@ -266,6 +266,15 @@ object Fixtures {
     * NON-ADJACENT cells keeps 2 of 4, past the clean-scan-beats-most-parts
     * fallback, so the per-value prune is visible in the plan.
     */
+  /** [[ordersZoneLake]] with an HLL distinct sketch maintained on
+    * o_custkey — the approx-distinct metadata-collapse fixture.
+    */
+  def ordersSketchLake(s: SparkSession, dir: String): LakeDataset =
+    cache.getOrElseUpdate(s"$dir#orders_sketch", LakeDataset.fromDataFrame(
+      s, table(s, dir, "orders")
+        .withColumn("o_batch", (col("o_orderkey") / 6000).cast("int")),
+      partitionCols = Seq("o_batch"), sketchCols = Seq("o_custkey")))
+
   def ordersZoneLake4(s: SparkSession, dir: String): LakeDataset =
     cache.getOrElseUpdate(s"$dir#orders_zone4", LakeDataset.fromDataFrame(
       s, table(s, dir, "orders")

@@ -1065,6 +1065,20 @@ object SparkEntry {
         Seq("o_custkey", "o_orderkey"))
     }),
 
+    // Approx-distinct from the catalog: hll_sketch_estimate(hll_sketch_agg)
+    // over a sketch-tracked column collapses to a LocalRelation — the
+    // metadata estimate is bit-identical to the scan's (union of per-part
+    // sketches == one sketch over everything). Rows-only gate (DuckDB's
+    // HLL is a different sketch); q09_distinct_agg is the exact twin.
+    "lake_stats_approx_distinct" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("orders_sketch", Fixtures.ordersSketchLake(s, dir))
+      db.executeSql(
+        """SELECT COUNT(*) AS cnt,
+          |       hll_sketch_estimate(hll_sketch_agg(o_custkey)) AS approx_cust
+          |FROM orders_sketch""".stripMargin)
+    }),
+
     // The same on the SQL surface: LakePruneRule collapses COUNT/SUM/MIN
     // mixes over the view into a LocalRelation.
     "lake_sql_stats_sum" -> ((s, dir) => {

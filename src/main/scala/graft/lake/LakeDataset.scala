@@ -48,6 +48,13 @@ final class LakeDataset private (
       * parts. Maintained in the same routing aggregation as counts + zones.
       */
     val bloomCols: List[String] = Nil,
+    /** Columns with per-part HLL distinct sketches ([[HllMap]]) — opt-in,
+      * like [[bloomCols]]: each tracked column adds one `hll_sketch_agg` to
+      * every routing aggregation and ~1.5 KiB per part to the manifest, and
+      * buys `approx_count_distinct(col)` answers from the CATALOG alone
+      * (union of per-part sketches == the scan-side sketch, bit for bit).
+      */
+    val sketchCols: List[String] = Nil,
     /** When set, maintain CREATED_AT/CHANGED_AT audit stamps (the
       * reference's own TODO, src/main.rs:34): every ingested row is stamped
       * with this clock; upserts preserve the original `created_at` and renew
@@ -148,13 +155,21 @@ final class LakeDataset private (
     sc
   }
 
-  /** (zone columns, bloom columns, sum columns) for a frame — the per-part
-    * stat selector threaded into [[LakePart]] so materialize recomputes the
-    * same sets.
+  /** Declared sketch columns present in a frame's schema (and of a type
+    * `hll_sketch_agg` accepts — anything else would poison every routing
+    * aggregation with an analysis error).
+    */
+  private[lake] def sketchColsFor(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    sketchCols.filter(c => schema.fields.exists(f =>
+      f.name == c && HllMap.sketchable(f.dataType)))
+
+  /** (zone columns, bloom columns, sum columns, sketch columns) for a frame
+    * — the per-part stat selector threaded into [[LakePart]] so materialize
+    * recomputes the same sets.
     */
   private[lake] def statColsFor(schema: org.apache.spark.sql.types.StructType)
-      : (Seq[String], Seq[String], Seq[String]) =
-    (zoneColsFor(schema), bloomColsFor(schema), sumColsFor(schema))
+      : (Seq[String], Seq[String], Seq[String], Seq[String]) =
+    (zoneColsFor(schema), bloomColsFor(schema), sumColsFor(schema), sketchColsFor(schema))
 
   def partKeys: List[PartKey] = parts.keySet().asScala.toList.sortBy(_.relPath)
   def part(key: PartKey): Option[LakePart] = Option(parts.get(key))
@@ -432,12 +447,18 @@ final class LakeDataset private (
     val zc = retrackZones(snap.schema)
     val bc = bloomColsFor(snap.schema)
     val sc = retrackSums(snap.schema)
+    val kc = sketchColsFor(snap.schema)
     val statAggs = count(lit(1)) +:
-      (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(snap.schema, sc))
+      (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(snap.schema, sc) ++
+        HllMap.aggs(kc))
     def bloomsAt(row: Row, offset: Int): Option[Map[String, Bloom]] =
       if (bc.isEmpty) None else Some(Bloom.fromRow(row, offset, bc))
     def sumsAt(row: Row, zoneOffset: Int): Option[Map[String, ColSum]] =
       Some(SumMap.fromRow(row, zoneOffset + 2 * zc.length + Bloom.Planes * bc.length, sc))
+    def sketchesAt(row: Row, zoneOffset: Int): Option[Map[String, Array[Byte]]] =
+      if (kc.isEmpty) None
+      else Some(HllMap.fromRow(row,
+        zoneOffset + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length, kc))
     val cells: Array[Row] =
       if (partitionCols.isEmpty && bucketCols.isEmpty) Array.empty
       else {
@@ -456,7 +477,8 @@ final class LakeDataset private (
       parts.put(key, new LakePart(snap, key, bucketCols, nBuckets, row.getLong(0),
         retainDirect, initialZones = Some(ZoneMap.fromRow(row, 1, zc)),
         statColsOf = statColsFor, initialBlooms = bloomsAt(row, 1 + 2 * zc.length),
-        snapshot = partSnapshot, initialSums = sumsAt(row, 1)))
+        snapshot = partSnapshot, initialSums = sumsAt(row, 1),
+        initialSketches = sketchesAt(row, 1)))
     } else {
       val nKeyCols = partitionCols.length + (if (bucketCols.nonEmpty) 1 else 0)
       cells.foreach { row =>
@@ -481,7 +503,8 @@ final class LakeDataset private (
           new LakePart(snap.filter(cond.reduce(_ && _)), key, bucketCols, nBuckets, n,
             retainDirect, initialZones = Some(zones), statColsOf = statColsFor,
             initialBlooms = bloomsAt(row, nKeyCols + 1 + 2 * zc.length),
-            snapshot = partSnapshot, initialSums = sumsAt(row, nKeyCols + 1)))
+            snapshot = partSnapshot, initialSums = sumsAt(row, nKeyCols + 1),
+            initialSketches = sketchesAt(row, nKeyCols + 1)))
       }
     }
     cleanScan = Some(snap)
@@ -705,10 +728,19 @@ final class LakeDataset private (
   def writeManifest(): Unit = {
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
     val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
-    commitManifest(spec)(v =>
-      Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
-        bloomCols, serializedBlooms, serializedRows, serializedSums, checksMap, v))
+    commitManifest(spec)(v => fullManifest(spec, ddl, v))
   }
+
+  /** The one spelling of a stats-carrying manifest — named args so a new
+    * field can never silently bind into a neighboring slot (the positional
+    * 12-arg constructor is how round 8 shipped a 15-error build).
+    */
+  private def fullManifest(spec: StorageSpec, ddl: Option[String], v: Long): Manifest =
+    Manifest(partitionCols, bucketCols, nBuckets, spec, ddl,
+      partStats = serializedStats, bloomCols = bloomCols,
+      partBlooms = serializedBlooms, partRows = serializedRows,
+      partSums = serializedSums, sketchCols = sketchCols,
+      partSketches = serializedSketches, checks = checksMap, version = v)
 
   // ------------------------------------------------------------------
   // Optimistic concurrency — the manifest commit protocol.
@@ -836,6 +868,8 @@ final class LakeDataset private (
         "PARTITIONED BY/BUCKETED BY (a relayout) instead")
     require(!bloomCols.contains(name),
       s"column '$name' carries key Bloom statistics - relayout to change it")
+    require(!sketchCols.contains(name),
+      s"column '$name' carries HLL distinct sketches - relayout to change it")
     val referencing = checksMap.filter { case (_, e) =>
       try spark.sessionState.sqlParser.parseExpression(e).collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
@@ -1036,6 +1070,17 @@ final class LakeDataset private (
       case (key, part) if part.statsTight.get && part.rows.get >= 0L &&
           part.sums.isDefined =>
         key.relPath -> part.sums.get.map { case (c, cs) => c -> SumMap.encode(cs) }
+    }.toMap
+
+  /** Per-part HLL sketches, serialized ONLY for tight parts — same one-way
+    * discipline as [[serializedSums]] (a stale sketch is garbage; untight
+    * parts publish none and the loaded table fails open to a scan).
+    */
+  private def serializedSketches: Map[String, Map[String, String]] =
+    parts.asScala.collect {
+      case (key, part) if part.statsTight.get && part.rows.get >= 0L &&
+          part.sketches.exists(_.nonEmpty) =>
+        key.relPath -> part.sketches.get.map { case (c, b) => c -> HllMap.encode(b) }
     }.toMap
 
   /** Shared plan assembly + fallbacks for the prune paths: everything kept →
@@ -1308,6 +1353,30 @@ final class LakeDataset private (
         c -> maps.map(_(c)).reduce((a, b) => a.add(b))
       }.toMap
       Some((cnt, folded))
+    }
+
+  /** Metadata-only APPROX_COUNT_DISTINCT answer: per-column HLL union
+    * estimates folded ENTIRELY from the catalog — zero Spark jobs, zero
+    * file reads. Same tightness contract as [[metaSums]] (every selected
+    * part tight with a known counter AND a sketch for every requested
+    * column). The union of per-part sketches carries the same registers as
+    * one sketch over the whole table (register-wise max — see [[HllMap]]),
+    * so the returned estimate equals what a distributed
+    * `hll_sketch_estimate(hll_sketch_agg(c))` scan would print, bit for
+    * bit. Fail open (None) on anything less; never a divergent answer.
+    */
+  def metaApproxDistinct(cols: Seq[String],
+      cellFilter: PartKey => Boolean = _ => true): Option[Map[String, Long]] =
+    this.synchronized {
+      if (parts.isEmpty || cols.isEmpty) return None
+      if (!cols.forall(sketchCols.contains)) return None
+      val ps = parts.asScala.toList.filter(p => cellFilter(p._1)).map(_._2)
+      if (ps.isEmpty) return Some(cols.map(_ -> 0L).toMap)
+      if (!ps.forall(p => p.statsTight.get && p.rows.get >= 0L)) return None
+      val sketchMaps = ps.map(_.sketches)
+      if (!sketchMaps.forall(s => s.exists(m => cols.forall(m.contains)))) return None
+      val maps = sketchMaps.map(_.get)
+      Some(cols.map(c => c -> HllMap.unionEstimate(maps.map(_(c)))).toMap)
     }
 
   /** [[metaSums]] grouped by PARTITION columns — the grouped analogue,
@@ -1639,21 +1708,22 @@ final class LakeDataset private (
     * order.
     */
   private def cellCountsOf(p: DataFrame)
-      : (Array[Row], Seq[String], Seq[String], Seq[String]) =
-    if (cellKeyCols.isEmpty) (null, Nil, Nil, Nil)
+      : (Array[Row], Seq[String], Seq[String], Seq[String], Seq[String]) =
+    if (cellKeyCols.isEmpty) (null, Nil, Nil, Nil, Nil)
     else {
-      val (zc, bc, sc) = statColsFor(p.schema)
+      val (zc, bc, sc, kc) = statColsFor(p.schema)
       val aggCols = count(lit(1)) +:
-        (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(p.schema, sc))
+        (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(p.schema, sc) ++
+          HllMap.aggs(kc))
       (p.groupBy(cellKeyCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*).collect(),
-        zc, bc, sc)
+        zc, bc, sc, kc)
     }
 
   private def splitByCell(df0: DataFrame)
       : (DataFrame, List[LakeDataset.Slice]) = {
     val p = prepared(df0)
-    val (counts, zc, bc, sc) = cellCountsOf(p)
-    splitPrepared(p, counts, zc, bc, sc)
+    val (counts, zc, bc, sc, kc) = cellCountsOf(p)
+    splitPrepared(p, counts, zc, bc, sc, kc)
   }
 
   /** Checkpoint a prepared batch and slice it per cell using precomputed
@@ -1667,7 +1737,8 @@ final class LakeDataset private (
     * `Dataset::from_dataframe` split (src/dataset.rs:196-238).
     */
   private def splitPrepared(p: DataFrame, cellCounts: Array[Row],
-      zoneCols: Seq[String], bloomColsIn: Seq[String], sumColsIn: Seq[String])
+      zoneCols: Seq[String], bloomColsIn: Seq[String], sumColsIn: Seq[String],
+      sketchColsIn: Seq[String])
       : (DataFrame, List[LakeDataset.Slice]) = {
     // Big batches spill to parquet like whole-table snapshots (the cell
     // counts give the size for free); partition-less datasets have no
@@ -1681,16 +1752,20 @@ final class LakeDataset private (
       if (bc.isEmpty) None else Some(Bloom.fromRow(row, offset, bc))
 
     if (cellCounts == null) {
-      // Single-cell dataset: count + zones + blooms + sums in ONE
+      // Single-cell dataset: count + zones + blooms + sums + sketches in ONE
       // aggregation job over the snapshot (was a bare count).
-      val (zc, bc, sc) = statColsFor(snap.schema)
+      val (zc, bc, sc, kc) = statColsFor(snap.schema)
       val aggCols = count(lit(1)) +:
-        (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(snap.schema, sc))
+        (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(snap.schema, sc) ++
+          HllMap.aggs(kc))
       val row = snap.agg(aggCols.head, aggCols.tail: _*).head()
+      val sumOff = 1 + 2 * zc.length + Bloom.Planes * bc.length
       return (batch,
         List(LakeDataset.Slice(PartKey(Nil, None), snap, row.getLong(0),
           ZoneMap.fromRow(row, 1, zc), bloomsAt(row, 1 + 2 * zc.length, bc),
-          SumMap.fromRow(row, 1 + 2 * zc.length + Bloom.Planes * bc.length, sc))))
+          SumMap.fromRow(row, sumOff, sc),
+          if (kc.isEmpty) None
+          else Some(HllMap.fromRow(row, sumOff + 2 * sc.length, kc)))))
     }
 
     val keyCols = cellKeyCols
@@ -1709,9 +1784,12 @@ final class LakeDataset private (
       val n = row.getLong(keyCols.length)
       val zones = ZoneMap.fromRow(row, keyCols.length + 1, zoneCols)
       val blooms = bloomsAt(row, keyCols.length + 1 + 2 * zoneCols.length, bloomColsIn)
-      val sums = SumMap.fromRow(row,
-        keyCols.length + 1 + 2 * zoneCols.length + Bloom.Planes * bloomColsIn.length,
-        sumColsIn)
+      val sumOff =
+        keyCols.length + 1 + 2 * zoneCols.length + Bloom.Planes * bloomColsIn.length
+      val sums = SumMap.fromRow(row, sumOff, sumColsIn)
+      val sketches =
+        if (sketchColsIn.isEmpty) None
+        else Some(HllMap.fromRow(row, sumOff + 2 * sumColsIn.length, sketchColsIn))
       val cond = partitionCols.zipWithIndex.map { case (c, i) =>
         if (row.isNullAt(i)) snap(c).isNull
         else snap(c) === lit(row.get(i))
@@ -1720,7 +1798,8 @@ final class LakeDataset private (
         else snap(LakeDataset.BucketCol) === lit(b)
       }
       val slice = snap.filter(cond.reduce(_ && _)).drop(LakeDataset.BucketCol)
-      LakeDataset.Slice(PartKey(partVals.sortBy(_._1), bucketNr), slice, n, zones, blooms, sums)
+      LakeDataset.Slice(PartKey(partVals.sortBy(_._1), bucketNr), slice, n,
+        zones, blooms, sums, sketches)
     }
     (batch, slices)
   }
@@ -1747,12 +1826,13 @@ final class LakeDataset private (
             new LakePart(s.df, s.key, bucketCols, nBuckets, s.rows, retainDirect,
               initialZones = Some(s.zones), statColsOf = statColsFor,
               initialBlooms = s.blooms, snapshot = partSnapshot,
-              initialSums = Some(s.sums))
+              initialSums = Some(s.sums), initialSketches = s.sketches)
           else {
             existing.insert(s.df, s.rows)
             existing.widenZones(s.zones)
             s.blooms.foreach(existing.widenBlooms)
             existing.addSums(s.sums) // exact under pure append
+            s.sketches.foreach(existing.addSketches) // union: exact under append
             existing
           })
       }
@@ -1802,7 +1882,7 @@ final class LakeDataset private (
     // skipping a full batch write+read through the block store.
     enforceChecks(df, "upsert batch")
     val p = prepared(df)
-    val (counts, zoneCols, bloomColsP, sumColsP) = cellCountsOf(p)
+    val (counts, zoneCols, bloomColsP, sumColsP, sketchColsP) = cellCountsOf(p)
     val nCells = if (counts == null) 1 else counts.length
     this.synchronized {
       // Decide the path and capture the pre-merge snapshot BEFORE markDirty:
@@ -1824,17 +1904,18 @@ final class LakeDataset private (
         rebuildFromSnapshot(merged)
         retain(merged)
       } else {
-        val (batch, slices) = splitPrepared(p, counts, zoneCols, bloomColsP, sumColsP)
+        val (batch, slices) =
+          splitPrepared(p, counts, zoneCols, bloomColsP, sumColsP, sketchColsP)
         slices.foreach { s =>
           diskDirs.remove(s.key); diskSchemas.remove(s.key)
           parts.compute(s.key, (_, existing) =>
             if (existing == null)
               // A cell the upsert CREATES holds only fresh rows — its
-              // routed stats (count, zones, sums) are exact.
+              // routed stats (count, zones, sums, sketches) are exact.
               new LakePart(s.df, s.key, bucketCols, nBuckets, s.rows, retainDirect,
                 initialZones = Some(s.zones), statColsOf = statColsFor,
                 initialBlooms = s.blooms, snapshot = partSnapshot,
-                initialSums = Some(s.sums))
+                initialSums = Some(s.sums), initialSketches = s.sketches)
             else {
               existing.upsert(s.df, keys, s.rows, leftWins = leftWins)
               // Sound widening: surviving values ⊆ old ∪ delta. (Sums are
@@ -1887,7 +1968,7 @@ final class LakeDataset private (
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
     enforceChecks(df, "insertWritten batch")
     val p = prepared(df)
-    val (counts, zc, bc, sc) = profiled("iw:route")(cellCountsOf(p))
+    val (counts, zc, bc, sc, kc) = profiled("iw:route")(cellCountsOf(p))
     require(counts != null,
       "insertWritten needs a partitioned or bucketed layout (fresh cells)")
     require(!p.columns.contains("bucket") || bucketCols.isEmpty,
@@ -1967,13 +2048,16 @@ final class LakeDataset private (
         val zones = ZoneMap.fromRow(row, nKey + 1, zc)
         val blooms =
           if (bc.isEmpty) None else Some(Bloom.fromRow(row, nKey + 1 + 2 * zc.length, bc))
-        val sums = SumMap.fromRow(row,
-          nKey + 1 + 2 * zc.length + Bloom.Planes * bc.length, sc)
+        val sumOff = nKey + 1 + 2 * zc.length + Bloom.Planes * bc.length
+        val sums = SumMap.fromRow(row, sumOff, sc)
+        val sketches =
+          if (kc.isEmpty) None
+          else Some(HllMap.fromRow(row, sumOff + 2 * sc.length, kc))
         parts.put(key,
           new LakePart(restored, key, bucketCols, nBuckets, row.getLong(nKey),
             retainDirect, initialZones = Some(zones), statColsOf = statColsFor,
             initialBlooms = blooms, snapshot = partSnapshot,
-            initialSums = Some(sums)))
+            initialSums = Some(sums), initialSketches = sketches))
         diskDirs.put(key, dir)
         diskSchemas.put(key, target)
       }
@@ -2212,14 +2296,16 @@ final class LakeDataset private (
       newPartitionCols: Seq[String] = Nil,
       newBucketCols: Seq[String] = Nil,
       newNBuckets: Int = 5,
-      newBloomCols: Seq[String] = Nil): LakeDataset = {
+      newBloomCols: Seq[String] = Nil,
+      newSketchCols: Seq[String] = Nil): LakeDataset = {
     val schema = tableSchema
-    val missing = (newPartitionCols ++ newBucketCols ++ newBloomCols)
+    val missing = (newPartitionCols ++ newBucketCols ++ newBloomCols ++ newSketchCols)
       .filterNot(schema.fieldNames.contains)
     require(missing.isEmpty, s"unknown layout column(s): ${missing.mkString(", ")}")
     LakeDataset.fromDataFrame(spark, toDF,
       partitionCols = newPartitionCols, bucketCols = newBucketCols,
-      nBuckets = newNBuckets, storage = storage, bloomCols = newBloomCols)
+      nBuckets = newNBuckets, storage = storage, bloomCols = newBloomCols,
+      sketchCols = newSketchCols)
   }
 
   /** The user's `Column` predicate as a RESOLVED, constant-folded Catalyst
@@ -2421,7 +2507,8 @@ final class LakeDataset private (
       val emptyDdl = cleanScan.map(_.schema.toDDL)
       commitManifest(spec)(v =>
         Manifest(partitionCols, bucketCols, nBuckets, spec, emptyDdl,
-          bloomCols = bloomCols, checks = checksMap, version = v))
+          bloomCols = bloomCols, sketchCols = sketchCols,
+          checks = checksMap, version = v))
       return
     }
     val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
@@ -2459,9 +2546,7 @@ final class LakeDataset private (
         .partitionBy(dirCols: _*)
         .save(spec.root)
     }
-    commitManifest(spec)(v =>
-      Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
-        bloomCols, serializedBlooms, serializedRows, serializedSums, checksMap, v))
+    commitManifest(spec)(v => fullManifest(spec, ddl, v))
     // Every cell's directory now mirrors its content exactly. PartKey.escape
     // IS Spark's escapePathName, so the writer's directory and relPath agree
     // by construction; the existence check stays as a backstop (a mismatch
@@ -2490,9 +2575,7 @@ final class LakeDataset private (
       // Carry the tightness vouch (exact rows + sums) like toStorage does —
       // an incremental cell save must not cost every OTHER part its
       // metadata-answerability on the next load.
-      commitManifest(spec)(v =>
-        Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
-          bloomCols, serializedBlooms, serializedRows, serializedSums, checksMap, v))
+      commitManifest(spec)(v => fullManifest(spec, ddl, v))
     }
   }
 
@@ -2517,9 +2600,7 @@ final class LakeDataset private (
       diskSchemas.put(p.key, p.df.schema)
     }
     val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
-    commitManifest(spec)(v =>
-      Manifest(partitionCols, bucketCols, nBuckets, spec, ddl, serializedStats,
-        bloomCols, serializedBlooms, serializedRows, serializedSums, checksMap, v))
+    commitManifest(spec)(v => fullManifest(spec, ddl, v))
   }
 }
 
@@ -2531,7 +2612,8 @@ object LakeDataset {
   private[lake] final case class Slice(
       key: PartKey, df: DataFrame, rows: Long,
       zones: Map[String, Zone], blooms: Option[Map[String, Bloom]],
-      sums: Map[String, ColSum])
+      sums: Map[String, ColSum],
+      sketches: Option[Map[String, Array[Byte]]] = None)
 
   /** Internal bucket-id column, dropped before any user-visible output
     * (reference `$bucket`, src/dataset.rs:200-204).
@@ -2585,9 +2667,10 @@ object LakeDataset {
       storage: Option[StorageSpec] = None,
       auditColumns: Boolean = false,
       auditClock: () => Column = () => current_timestamp(),
-      bloomCols: Seq[String] = Nil): LakeDataset = {
+      bloomCols: Seq[String] = Nil,
+      sketchCols: Seq[String] = Nil): LakeDataset = {
     val ds = new LakeDataset(spark, partitionCols.toList, bucketCols.toList, nBuckets,
-      storage, bloomCols = bloomCols.toList,
+      storage, bloomCols = bloomCols.toList, sketchCols = sketchCols.toList,
       auditClock = if (auditColumns) Some(auditClock) else None)
     ds.insert(df)
     ds
@@ -2604,9 +2687,10 @@ object LakeDataset {
       bucketCols: Seq[String],
       nBuckets: Int,
       bloomCols: Seq[String],
-      storage: StorageSpec): LakeDataset =
+      storage: StorageSpec,
+      sketchCols: Seq[String] = Nil): LakeDataset =
     new LakeDataset(spark, partitionCols.toList, bucketCols.toList, nBuckets,
-      Some(storage), bloomCols = bloomCols.toList)
+      Some(storage), bloomCols = bloomCols.toList, sketchCols = sketchCols.toList)
 
   /** Load a dataset from storage: read manifest, walk the directory tree for
     * part directories, rebuild parts (reference `Dataset::from_storage`,
@@ -2617,7 +2701,7 @@ object LakeDataset {
     val manifest = Manifest.read(root)
     val ds = new LakeDataset(spark, manifest.partitions, manifest.buckets,
       manifest.nBuckets, Some(manifest.storage.copy(root = root)),
-      bloomCols = manifest.bloomCols)
+      bloomCols = manifest.bloomCols, sketchCols = manifest.sketchCols)
     ds.checksMap = manifest.checks // a reloaded table keeps its data contract
     ds.committedVersion.set(manifest.version)
 
@@ -2751,6 +2835,17 @@ object LakeDataset {
             }
           }
         }
+      // Sketches restore under the SAME tightness vouch as sums, restricted
+      // to the manifest's declared set; an undecodable sketch drops its
+      // column (approx-distinct fails open to a scan, never answers wrong).
+      val sketches: Option[Map[String, Array[Byte]]] =
+        if (!tight) None
+        else manifest.partSketches.get(key.relPath).map { cols =>
+          cols.flatMap { case (c, b64) =>
+            if (manifest.sketchCols.contains(c)) HllMap.decode(b64).map(c -> _)
+            else None
+          }
+        }.filter(_.nonEmpty)
       if (eager) {
         // Eager load: materialize NOW by contract (the caller asked for
         // resident parts); the thunk runs here, not on first touch.
@@ -2759,12 +2854,14 @@ object LakeDataset {
           new LakePart(c, key, manifest.buckets, manifest.nBuckets,
             exactRows.getOrElse(-1L), ds.retainDirect,
             initialZones = zones, statColsOf = ds.statColsFor, initialBlooms = blooms,
-            snapshot = ds.partSnapshot, initialSums = sums, initialTight = tight))
+            snapshot = ds.partSnapshot, initialSums = sums,
+            initialSketches = sketches, initialTight = tight))
       } else ds.parts.put(key,
         new LakePart(partDf(), key, manifest.buckets, manifest.nBuckets,
           exactRows.getOrElse(-1L), ds.retainDirect,
           initialZones = zones, statColsOf = ds.statColsFor, initialBlooms = blooms,
-          snapshot = ds.partSnapshot, initialSums = sums, initialTight = tight))
+          snapshot = ds.partSnapshot, initialSums = sums,
+          initialSketches = sketches, initialTight = tight))
       ds.diskDirs.put(key, dir.toString)
       target.foreach(t => ds.diskSchemas.put(key, t))
     }

@@ -196,6 +196,17 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private final case class CntColSpec(column: String) extends MetaSpec
   private final case class AvgSpec(column: String) extends MetaSpec
   private final case class CntDistinctSpec(column: String) extends MetaSpec
+  /** `hll_sketch_estimate(hll_sketch_agg(c))` of a sketch-tracked column:
+    * the catalog's per-part DataSketches HLL union carries the SAME
+    * registers as the scan-side aggregate (union is register-wise max), so
+    * the collapsed estimate is bit-identical to the scan's — the one
+    * approximate aggregate whose metadata answer still satisfies the
+    * "metadata == scan" contract. Only the default lgK collapses (a caller
+    * asking for different precision gets the scan's answer). Plain
+    * `approx_count_distinct` (HLL++, a different sketch) never collapses:
+    * its estimate would legitimately differ from ours — fail open.
+    */
+  private final case class ApproxDistinctSpec(column: String) extends MetaSpec
 
   private def integralType(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
@@ -277,6 +288,13 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
           Count(Seq(a: AttributeReference)), Complete, true, None, _), _)
           if scan.ds.partitionCols.contains(a.name) =>
         Some(CntDistinctSpec(a.name))
+      // hll_sketch_estimate(hll_sketch_agg(c)) at the default lgK over a
+      // sketch-tracked column — see [[ApproxDistinctSpec]].
+      case Alias(HllSketchEstimate(AggregateExpression(
+          aggregate.HllSketchAgg(a: AttributeReference, Literal(lgk: Int, _), _, _),
+          Complete, false, None, _)), _)
+          if lgk == graft.lake.HllMap.LgK && scan.ds.sketchCols.contains(a.name) =>
+        Some(ApproxDistinctSpec(a.name))
       case Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
         specOf(fn, scan)
       case _ => None
@@ -292,11 +310,17 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case CntColSpec(c) => c
       case AvgSpec(c) => c
     }.distinct
+    val approxCols = specs.flatten.collect {
+      case ApproxDistinctSpec(c) => c
+    }.distinct
     for {
       (cnt, zones) <- scan.ds.metaStats(mmCols, cellFilter)
       sums <-
         if (sumCols.isEmpty) Some(Map.empty[String, graft.lake.ColSum])
         else scan.ds.metaSums(sumCols, cellFilter).map(_._2)
+      approx <-
+        if (approxCols.isEmpty) Some(Map.empty[String, Long])
+        else scan.ds.metaApproxDistinct(approxCols, cellFilter)
       values <- specs.flatten.zip(aggExprs).foldRight(Option(List.empty[Any])) {
         case ((spec, e), acc) => acc.flatMap { rest =>
           spec match {
@@ -314,6 +338,8 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case CntDistinctSpec(c) =>
               scan.ds.metaDistinctPartition(c, cellFilter)
                 .map(_.asInstanceOf[Any] :: rest)
+            case ApproxDistinctSpec(c) =>
+              Some(approx(c).asInstanceOf[Any] :: rest)
           }
         }
       }

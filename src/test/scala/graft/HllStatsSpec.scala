@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.functions._
+
+import graft.lake.{Database, HllMap, LakeDataset}
+
+/** HLL distinct-sketch stat family: append-fold exactness (metadata answer
+  * == scan answer, bit for bit), mutation invalidation + re-tightening,
+  * manifest round trip, and the SQL-surface
+  * `hll_sketch_estimate(hll_sketch_agg(c))` → LocalRelation collapse.
+  */
+class HllStatsSpec extends SparkSpec {
+
+  private def orders: DataFrame =
+    spark.read.parquet(s"${sf()}/orders.parquet")
+
+  /** What a real distributed scan prints for the sketch estimate. */
+  private def scanEstimate(df: DataFrame, c: String): Long =
+    df.agg(hll_sketch_estimate(hll_sketch_agg(col(c), lit(HllMap.LgK))))
+      .head().getLong(0)
+
+  private def freshLake(): LakeDataset = {
+    val o = orders.withColumn("o_batch", (col("o_orderkey") / 500).cast("int"))
+    val ds = LakeDataset.fromDataFrame(spark, o.filter(col("o_orderkey") < 600),
+      partitionCols = Seq("o_batch"), sketchCols = Seq("o_custkey"))
+    ds.insert(o.filter(col("o_orderkey") >= 600))
+    ds
+  }
+
+  test("append-folded sketches answer approx-distinct exactly as the scan would") {
+    val ds = freshLake()
+    // Two insert batches later, the per-part unions still carry the exact
+    // registers of a one-shot sketch over everything (union = max).
+    val meta = ds.metaApproxDistinct(Seq("o_custkey"))
+    assert(meta.isDefined, "pure-append history must stay metadata-answerable")
+    assert(meta.get("o_custkey") == scanEstimate(ds.toDF, "o_custkey"))
+    // ±2.5% of the true distinct count at lgK=12 — sanity, not the contract.
+    val exact = ds.toDF.select(countDistinct(col("o_custkey"))).head().getLong(0)
+    assert(math.abs(meta.get("o_custkey") - exact).toDouble / exact < 0.025)
+  }
+
+  test("untracked columns and unknown columns fail open") {
+    val ds = freshLake()
+    assert(ds.metaApproxDistinct(Seq("o_orderkey")).isEmpty) // not tracked
+    assert(ds.metaApproxDistinct(Seq("nope")).isEmpty)
+  }
+
+  test("upsert invalidates; materialize / ANALYZE recompute tight") {
+    val ds = freshLake()
+    val minKey = orders.agg(min(col("o_orderkey"))).head().getLong(0)
+    ds.upsert(orders.filter(col("o_orderkey") === minKey)
+      .withColumn("o_custkey", lit(424242L))
+      .withColumn("o_batch", (col("o_orderkey") / 500).cast("int")),
+      keys = Seq("o_orderkey"))
+    assert(ds.metaApproxDistinct(Seq("o_custkey")).isEmpty,
+      "a merged cell's registers cannot be subtracted — must fail open")
+    ds.compact() // rebuild recomputes every cell's stats tight
+    val meta = ds.metaApproxDistinct(Seq("o_custkey"))
+    assert(meta.isDefined)
+    assert(meta.get("o_custkey") == scanEstimate(ds.toDF, "o_custkey"))
+  }
+
+  test("manifest round-trips sketches under the tightness vouch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    val ds = freshLake()
+    ds.storage = Some(graft.model.StorageSpec(root))
+    val expected = ds.metaApproxDistinct(Seq("o_custkey")).get("o_custkey")
+    ds.toStorage()
+    val loaded = LakeDataset.fromStorage(spark, root)
+    assert(loaded.sketchCols == List("o_custkey"))
+    val meta = loaded.metaApproxDistinct(Seq("o_custkey"))
+    assert(meta.isDefined, "vouched sketches must restore on load")
+    assert(meta.get("o_custkey") == expected)
+    LakeDataset.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("SQL hll_sketch_estimate(hll_sketch_agg(c)) collapses to a LocalRelation") {
+    val ds = freshLake()
+    val db = new Database(spark)
+    db.register("hll_sql_t", ds)
+    val df = db.executeSql(
+      "SELECT hll_sketch_estimate(hll_sketch_agg(o_custkey)) AS approx_cust " +
+        "FROM hll_sql_t")
+    assert(df.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      s"expected full collapse, got:\n${df.queryExecution.optimizedPlan}")
+    assert(df.head().getLong(0) == scanEstimate(ds.toDF, "o_custkey"))
+    // Mixed with exact metadata aggregates: still one LocalRelation.
+    val mixed = db.executeSql(
+      """SELECT COUNT(*) AS cnt,
+        |       hll_sketch_estimate(hll_sketch_agg(o_custkey)) AS approx_cust
+        |FROM hll_sql_t""".stripMargin)
+    assert(mixed.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(mixed.head().getLong(0) == ds.toDF.count())
+    // Partition-value filter selects whole cells: still collapses, and the
+    // folded union covers exactly the filtered cells.
+    val filtered = db.executeSql(
+      """SELECT hll_sketch_estimate(hll_sketch_agg(o_custkey)) AS approx_cust
+        |FROM hll_sql_t WHERE o_batch = 1""".stripMargin)
+    assert(filtered.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(filtered.head().getLong(0) ==
+      scanEstimate(ds.toDF.filter(col("o_batch") === 1), "o_custkey"))
+  }
+
+  test("non-default lgK, untracked column, and plain approx_count_distinct never collapse") {
+    val ds = freshLake()
+    val db = new Database(spark)
+    db.register("hll_sql_open_t", ds)
+    def opensToScan(sql: String): Unit = {
+      val df = db.executeSql(sql)
+      assert(!df.queryExecution.optimizedPlan.isInstanceOf[LocalRelation], sql)
+    }
+    // Different precision than the catalog maintains: the scan's answer wins.
+    opensToScan("SELECT hll_sketch_estimate(hll_sketch_agg(o_custkey, 14)) " +
+      "AS a FROM hll_sql_open_t")
+    // Untracked column: no sketches to fold.
+    opensToScan("SELECT hll_sketch_estimate(hll_sketch_agg(o_orderkey)) " +
+      "AS a FROM hll_sql_open_t")
+    // HLL++ is a DIFFERENT sketch — its estimate may differ from ours, so
+    // collapsing it would change a query's answer. Always the scan.
+    opensToScan("SELECT approx_count_distinct(o_custkey) AS a FROM hll_sql_open_t")
+  }
+}
