@@ -417,6 +417,12 @@ final class Database(val spark: SparkSession) {
     mviews.get(name).foreach(e =>
       e.derive(e.mag.state).createOrReplaceTempView(name))
 
+  /** Times the named MV's full rebuild has run — lets tests pin WHICH
+    * maintenance path a mutation took (targeted vs degenerate-case escape).
+    */
+  private[graft] def mvRebuildCount(name: String): Int =
+    mviews(name).mag.rebuildCount
+
   /** Fold an inserted batch into every MV over `table` — `O(batch) +
     * O(touched groups)` per view, the base is never rescanned.
     */
@@ -472,24 +478,51 @@ final class Database(val spark: SparkSession) {
     if (affected.isEmpty) return
     affected.foreach { case (name, e) =>
       val touched = preGroups(e.mag.groupColumns).localCheckpoint(true)
-      // The recompute's base read is the targeted path's only full-width
-      // scan — turn a SMALL single-column touched set into a literal
-      // IN-list prefilter so the engine's bucket/zone pruning can skip
-      // cells entirely (a semi-join never prunes the part union; a literal
-      // predicate does). Semantics unchanged: refreshGroups still
-      // semi-joins on the touched groups, the prefilter only narrows what
-      // it reads. NULL groups or wide sets keep the plain semi-join.
-      val base = e.mag.groupColumns match {
-        case Seq(g) =>
-          val vals = touched.limit(1001).collect().map(_.get(0))
-          if (vals.length <= 1000 && !vals.contains(null))
-            tables(table).toDF.filter(col(g).isin(vals: _*))
-          else tables(table).toDF
-        case _ => tables(table).toDF
+      // Degenerate-case escape: when the mutation touched ≈ all groups, the
+      // targeted path costs pin + per-group recompute + anti-join/union —
+      // roughly 2× the plain one-shot rebuild sitting one branch away. Both
+      // counts are over checkpointed |groups|-sized frames (one tiny job
+      // each); the small-touched short-circuit keeps the common incremental
+      // delete free of even that. Threshold ½: below it the targeted read
+      // (pruned to touched groups) beats a full base aggregate; at or above
+      // it the prefilter reads most of the base anyway and the extra merge
+      // work is pure overhead.
+      val touchedN = touched.count()
+      val escaped = touchedN > MvRebuildMinTouched && {
+        val groupsN = e.mag.state.count()
+        groupsN > 0 && touchedN * 2 >= groupsN
       }
-      e.mag.refreshGroups(base, touched)
+      if (escaped) e.mag.rebuild(tables(table).toDF)
+      else maintainTouchedOne(table, e, touched)
       publishMv(name)
     }
+  }
+
+  /** Touched-set size below which [[maintainTouched]] skips even the
+    * group-cardinality probe — an incremental delete of a handful of groups
+    * never pays an extra count job.
+    */
+  private val MvRebuildMinTouched = 32L
+
+  private def maintainTouchedOne(table: String, e: MvEntry,
+      touched: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    // The recompute's base read is the targeted path's only full-width
+    // scan — turn a SMALL single-column touched set into a literal
+    // IN-list prefilter so the engine's bucket/zone pruning can skip
+    // cells entirely (a semi-join never prunes the part union; a literal
+    // predicate does). Semantics unchanged: refreshGroups still
+    // semi-joins on the touched groups, the prefilter only narrows what
+    // it reads. NULL groups or wide sets keep the plain semi-join.
+    val base = e.mag.groupColumns match {
+      case Seq(g) =>
+        val vals = touched.limit(1001).collect().map(_.get(0))
+        if (vals.length <= 1000 && !vals.contains(null))
+          tables(table).toDF.filter(col(g).isin(vals: _*))
+        else tables(table).toDF
+      case _ => tables(table).toDF
+    }
+    e.mag.refreshGroups(base, touched)
   }
 
   /** Capture the touched GROUP memberships of a predicate DELETE/UPDATE

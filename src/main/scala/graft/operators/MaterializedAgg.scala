@@ -103,12 +103,22 @@ final class MaterializedAgg private (
     }
 
   /** Recompute from the full base — the escape hatch when the touched-group
-    * set is unknown.
+    * set is unknown, or when the touched set covers ≈ all groups (a
+    * targeted refresh would then pay pin + per-group recompute ≈ 2× this
+    * single aggregate).
     */
   def rebuild(base: DataFrame): Unit = this.synchronized {
     state0 = MaterializedAgg.aggregate(base, groupCols, aggs).localCheckpoint(true)
     merges = 0
+    rebuilds0 += 1
   }
+
+  private var rebuilds0 = 0
+
+  /** How many times [[rebuild]] ran — observability for maintenance-path
+    * selection (the SQL layer's degenerate-case escape asserts on it).
+    */
+  def rebuildCount: Int = this.synchronized(rebuilds0)
 }
 
 object MaterializedAgg {

@@ -141,6 +141,37 @@ class MatViewSpec extends SparkSpec {
       "fully-deleted groups (incl. the null group) must disappear")
   }
 
+  test("all-groups DELETE escapes to one-shot rebuild; narrow DELETE stays targeted") {
+    val d = new graft.lake.Database(spark)
+    // 100 groups × 4 rows — wide enough that an all-groups mutation clears
+    // the small-touched short-circuit in the maintenance path selector.
+    val base = (1 to 400).map(i => (s"g${i % 100}", i.toDouble)).toDF("g", "v")
+    d.register("mvdeg_t", graft.lake.LakeDataset.fromDataFrame(spark, base))
+    d.executeDml(
+      """CREATE MATERIALIZED VIEW mvdeg_v AS
+        |SELECT g, COUNT(*) AS n, SUM(v) AS total FROM mvdeg_t GROUP BY g""".stripMargin)
+    assert(d.mvRebuildCount("mvdeg_v") == 0)
+    def recompute(): Seq[org.apache.spark.sql.Row] = d.executeSql(
+      """SELECT g, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(38,2))) AS total
+        |FROM mvdeg_t GROUP BY g ORDER BY g""".stripMargin).collect().toSeq
+    def view(): Seq[org.apache.spark.sql.Row] = d.executeSql(
+      "SELECT g, n, total FROM mvdeg_v ORDER BY g").collect().toSeq
+
+    // Narrow delete (1 of 100 groups): must keep the targeted path.
+    d.executeDml("DELETE FROM mvdeg_t WHERE g = 'g7'")
+    assert(d.mvRebuildCount("mvdeg_v") == 0, "narrow delete must stay targeted")
+    assert(view() == recompute())
+
+    // v <= 350 hits every remaining group (residues 1..99,0 all appear in
+    // 1..350) — touched ≈ all, so the selector must take the one-shot
+    // rebuild, and the post-state (50 surviving groups) must stay exact.
+    d.executeDml("DELETE FROM mvdeg_t WHERE v <= 350")
+    assert(d.mvRebuildCount("mvdeg_v") == 1,
+      "all-groups delete must escape to the one-shot rebuild")
+    val after = view()
+    assert(after == recompute() && after.size == 50)
+  }
+
   test("delete then insert keeps composing correctly") {
     val base = Seq(("a", 1.0), ("b", 2.0), ("b", 4.0)).toDF("g", "v")
     val mv = MaterializedAgg.build(base, Seq("g"), specs)
