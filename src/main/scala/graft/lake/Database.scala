@@ -716,24 +716,10 @@ final class Database(val spark: SparkSession) {
         // with the statement's USING alias makes both `s.op` and bare `op`
         // resolve (a target-column reference fails analysis loudly).
         val filled = srcAlias.fold(filled0)(filled0.alias)
-        // ANSI MERGE cardinality check: two source rows with the same key
-        // make the statement ambiguous (the standard's "attempt to update
-        // the same row twice" violation; the engine upsert would silently
-        // keep an arbitrary one). One O(batch) aggregate probes for ANY
-        // duplicate — strictly cheaper than the mutation it guards — and
-        // errors loudly. `spark.graft.merge.checkSourceKeys=false` skips
-        // the probe for trusted-deduped CDC feeds.
-        if (spark.conf.get("spark.graft.merge.checkSourceKeys", "true").toBoolean) {
-          val dup = filled.groupBy(keys.map(col): _*)
-            .count().filter(col("count") > 1).limit(1).collect()
-          if (dup.nonEmpty)
-            throw new IllegalArgumentException(
-              "MERGE source has multiple rows for key (" +
-                keys.zipWithIndex.map { case (k, i) => s"$k=${dup(0).get(i)}" }
-                  .mkString(", ") +
-                ") — ANSI MERGE cardinality violation; dedupe the USING " +
-                "query or set spark.graft.merge.checkSourceKeys=false")
-        }
+        // ANSI MERGE cardinality check (shared with the engine upsert) —
+        // probed ONCE here on the filled source; the upserts below pass
+        // `checkKeys = false` so the batch is not aggregated twice.
+        LakeDataset.requireUniqueSourceKeys(spark, filled, keys, "MERGE source")
         // Pin touched groups BEFORE mutating (targeted MV maintenance).
         val preTouched = touchedGroupsPreKeys(t, filled, keys)
         val matchedClauses = clauses.filter(_.matched)
@@ -745,7 +731,7 @@ final class Database(val spark: SparkSession) {
         if (unconditionalUpsert) {
           // Fast path — UPDATE+INSERT with no conditions IS the engine's
           // native merge: one upsert, no extra key joins.
-          target.upsert(filled, keys)
+          target.upsert(filled, keys, checkKeys = false)
         } else {
           // Per-row clause routing, SQL's first-match-in-statement-order
           // semantics. Plain (non-null-safe) join semantics match SQL's ON:
@@ -776,7 +762,7 @@ final class Database(val spark: SparkSession) {
               Some(routed.filter(col("__merge_act") === "delete")
                 .select(keys.map(col): _*).localCheckpoint(true))
             else None
-          upserts.foreach(target.upsert(_, keys))
+          upserts.foreach(target.upsert(_, keys, checkKeys = false))
           delKeys.foreach(target.delete(_, keys))
         }
         refresh(t)

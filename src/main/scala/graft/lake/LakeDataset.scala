@@ -1872,7 +1872,14 @@ final class LakeDataset private (
     * two concurrent upserts serialize, each seeing the other's completed
     * changes (no lost updates).
     */
-  def upsert(df: DataFrame, keys: Seq[String], save: Boolean = false): Unit = {
+  def upsert(df: DataFrame, keys: Seq[String], save: Boolean = false,
+      checkKeys: Boolean = true): Unit = {
+    // Duplicate source keys make the merge ambiguous — same ANSI-style
+    // guard the SQL MERGE path applies, conf-gated for trusted feeds.
+    // Callers that ALREADY probed this batch (SQL MERGE) pass
+    // `checkKeys = false` so the batch is not aggregated twice.
+    if (checkKeys)
+      LakeDataset.requireUniqueSourceKeys(spark, df, keys, "upsert batch")
     val leftWins: Set[String] =
       if (auditClock.isDefined) Set(LakeDataset.CreatedAtCol) else Set.empty
     // One aggregation pass over the RAW batch yields the cell counts that
@@ -2893,6 +2900,30 @@ object LakeDataset {
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+
+  /** Source-key cardinality probe shared by SQL MERGE and the engine
+    * [[LakeDataset.upsert]]: two source rows with the same key make the
+    * merge ambiguous (ANSI MERGE's "attempt to update the same row twice"
+    * violation; an unchecked upsert's outer join fans out over the
+    * duplicates, silently leaving MORE than one row per key).
+    * One O(batch) aggregate finds ANY duplicate — strictly cheaper than the
+    * mutation it guards — and errors loudly naming the first offending key.
+    * `spark.graft.merge.checkSourceKeys=false` skips the probe for
+    * trusted-deduped feeds (e.g. a CDC stream that already merges per key).
+    */
+  private[graft] def requireUniqueSourceKeys(spark: SparkSession, df: DataFrame,
+      keys: Seq[String], what: String): Unit =
+    if (spark.conf.get("spark.graft.merge.checkSourceKeys", "true").toBoolean) {
+      val dup = df.groupBy(keys.map(col): _*)
+        .count().filter(col("count") > 1).limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalArgumentException(
+          s"$what has multiple rows for key (" +
+            keys.zipWithIndex.map { case (k, i) => s"$k=${dup(0).get(i)}" }
+              .mkString(", ") +
+            ") — merge-cardinality violation; dedupe the batch or set " +
+            "spark.graft.merge.checkSourceKeys=false")
+    }
 
   /** Driver-side pool for concurrent per-part Spark jobs (save/materialize).
     * Daemon threads — the pool must never keep the JVM alive after main.

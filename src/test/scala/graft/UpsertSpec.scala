@@ -30,6 +30,24 @@ class UpsertSpec extends SparkSpec {
     assert(row.getDouble(2) == 999.0)
   }
 
+  test("duplicate source keys error loudly; conf opts a trusted feed out") {
+    val dup = Seq((2L, "first", 1.0), (2L, "second", 2.0)).toDF("k", "name", "v")
+    val ds = freshDs()
+    val e = intercept[IllegalArgumentException](ds.upsert(dup, Seq("k")))
+    assert(e.getMessage.contains("k=2") &&
+      e.getMessage.contains("checkSourceKeys"), e.getMessage)
+    // nothing mutated: the probe fires BEFORE the merge
+    assert(ds.toDF.count() == 3)
+    // trusted-deduped feeds opt out per session — the probe is skipped and
+    // the merge runs; with ACTUAL duplicates the outcome is unspecified
+    // (the join fans out), which is exactly why the default probes.
+    spark.conf.set("spark.graft.merge.checkSourceKeys", "false")
+    try {
+      ds.upsert(dup, Seq("k"))
+      assert(ds.toDF.filter(col("k") === 2).count() >= 1)
+    } finally spark.conf.set("spark.graft.merge.checkSourceKeys", "true")
+  }
+
   test("upsert is idempotent: same batch twice == once") {
     val delta = Seq((2L, "B2", 200.0), (9L, "i", 90.0)).toDF("k", "name", "v")
     val once = freshDs()
