@@ -2002,6 +2002,19 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Exact word-tf cosine pairs — the hash-free oracle-checked twin for
+    // dedup_simhash (SimHash sketches exactly this tf vector;
+    // SimhashEquivSpec pins the hamming<->cosine bracketing). Bounded to
+    // every 10th doc (planted dups preserved): the corpus' 31-word shared
+    // vocabulary makes the word join quadratic in corpus size, and this is
+    // the verification twin, not the scale path.
+    "dedup_simhash_cosine" -> ((s, dir) => {
+      Dedup.wordCosinePairs(
+          Fixtures.nearDupDocuments(s, dir).filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", threshold = 0.95)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "dedup_embedding" -> ((s, dir) => {
       Dedup.embeddingNearDup(Fixtures.jitteredEmbeddings(s, dir),
           "embedding", "vec_id", threshold = 0.9)
@@ -3487,6 +3500,31 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
+
+    // Twin for dedup_simhash: integer tf arithmetic end-to-end, one double
+    // division + sqrt at the end (IEEE-deterministic on identical integer
+    // inputs), rounded to a 1e-6 grid.
+    "dedup_simhash_cosine" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graft near dup suffix' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |tf AS (
+        |  SELECT doc_id, w, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM corpus)
+        |  GROUP BY doc_id, w),
+        |norms AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM tf GROUP BY doc_id),
+        |dots AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.tf * b.tf) AS dot
+        |  FROM tf a JOIN tf b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6) AS cosine
+        |FROM dots
+        |JOIN norms na ON na.doc_id = doc_a
+        |JOIN norms nb ON nb.doc_id = doc_b
+        |WHERE round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6) >= 0.95""".stripMargin,
 
     "multimodal_features" ->
       """WITH pos AS (

@@ -593,6 +593,40 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Exact word-multiset (term-frequency) cosine pairs — the hash-free
+    * ground truth for [[simhashDedup]]: SimHash is a random-hyperplane
+    * sketch of exactly this tf vector, so hamming distance estimates this
+    * cosine's angle (P(bit differs) = angle/π per bit). All arithmetic is
+    * integer until the single final division (tf counts, dot products and
+    * squared norms are longs), and the cosine is rounded to a 1e-6 grid —
+    * the result is bit-reproducible by a plain SQL oracle, unlike anything
+    * downstream of xxhash64.
+    *
+    * Candidate generation joins on shared words, so ubiquitous words make
+    * this quadratic in documents-per-word: a VERIFICATION-scale tool (like
+    * [[embeddingExactPairs]]), not the scale path — [[simhashDedup]]'s
+    * chunk buckets are the 100 TB shape.
+    */
+  def wordCosinePairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.9): DataFrame = {
+    val words = df.filter(col(textCol).isNotNull).select(
+      col(idCol).as("doc"),
+      explode(split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")).as("w"))
+    val tf = words.groupBy("doc", "w").agg(count(lit(1)).as("tf")).cache()
+    val norms = tf.groupBy("doc").agg(sum(col("tf") * col("tf")).as("n2"))
+    val dots = tf.select(col("doc").as("doc_a"), col("w"), col("tf").as("tf_a"))
+      .join(tf.select(col("doc").as("doc_b"), col("w"), col("tf").as("tf_b")), "w")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+    dots
+      .join(norms.select(col("doc").as("doc_a"), col("n2").as("n2_a")), "doc_a")
+      .join(norms.select(col("doc").as("doc_b"), col("n2").as("n2_b")), "doc_b")
+      .withColumn("cosine", round(col("dot").cast("double") /
+        sqrt((col("n2_a") * col("n2_b")).cast("double")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("doc_a", "doc_b", "cosine")
+  }
+
   // ----------------------------------------------------- embedding near-dup
 
   /** ALL-pairs exact embedding near-dup: quantized double cosine over the
