@@ -15,12 +15,21 @@ import org.apache.spark.sql.types._
   * The exactness story differs from sums in a crucial way that makes it
   * EASY: DataSketches HLL union is register-wise max, so
   * `union(sketch(A), sketch(B))` carries the SAME registers as
-  * `sketch(A ++ B)` — the per-part fold is not an approximation OF the
-  * scan-side answer, it is bit-for-bit THE answer Spark's own distributed
-  * `hll_sketch_agg` would produce (Spark merges per-task partial sketches
-  * through the identical union). So the metadata answer == scan answer
-  * contract holds exactly for the estimate, even though the estimate itself
-  * approximates the true distinct count (±~2% at lgK=12).
+  * `sketch(A ++ B)` — the per-part fold loses nothing relative to a
+  * one-shot sketch over everything. The ESTIMATE contract is one notch
+  * subtler: DataSketches has two estimators — HIP, kept by a sketch fed
+  * directly (a union ADOPTS a lone input whole, HIP included, but merging
+  * a second stream drops it for good), and the composite estimator, which
+  * every multi-input union result uses. The catalog fold over 2+ parts
+  * estimates composite, and so does Spark's distributed `hll_sketch_agg`
+  * (per-task partials merge through the identical union), so metadata
+  * answer == scan answer holds for every multi-partial plan — the only
+  * shape a distributed table produces. A SINGLE-partial plan (one
+  * partition, no merge) evaluates the un-unioned direct sketch, whose HIP
+  * estimate can diverge from the composite once past the exact sparse
+  * regime (> ~2^LgK distinct) even on identical registers — HllStatsSpec
+  * pins both the multi-partial equality and this bounded divergence. Both
+  * estimators approximate the true distinct count within ±~2% at lgK=12.
   *
   * Maintenance rides the SAME tightness contract as the other families
   * ([[LakePart.statsTight]]): pure appends UNION the batch's sketches in
@@ -92,10 +101,12 @@ object HllMap {
       : Map[String, Array[Byte]] =
     current.map { case (c, x) => c -> delta.get(c).map(union(x, _)).getOrElse(x) }
 
-  /** The rounded estimate of the union of `sketches` — for per-part folds
-    * this equals `hll_sketch_estimate(hll_sketch_agg(c))` over the whole
-    * table bit for bit (see class doc). Estimates are non-negative; an
-    * empty union estimates 0, matching the scan over an empty table.
+  /** The rounded COMPOSITE estimate of the union of `sketches` — equals
+    * `hll_sketch_estimate(hll_sketch_agg(c))` over the whole table whenever
+    * that aggregate merges at least two partials (every distributed plan;
+    * see the class doc for the single-partial HIP caveat). Estimates are
+    * non-negative; an empty union estimates 0, matching the scan over an
+    * empty table.
     */
   def unionEstimate(sketches: Seq[Array[Byte]]): Long = {
     val u = new Union(LgK)

@@ -52,7 +52,8 @@ final class LakeDataset private (
       * like [[bloomCols]]: each tracked column adds one `hll_sketch_agg` to
       * every routing aggregation and ~1.5 KiB per part to the manifest, and
       * buys `approx_count_distinct(col)` answers from the CATALOG alone
-      * (union of per-part sketches == the scan-side sketch, bit for bit).
+      * (the per-part union carries the same registers as a one-shot
+      * sketch; see [[HllMap]] for the estimator contract).
       */
     val sketchCols: List[String] = Nil,
     /** When set, maintain CREATED_AT/CHANGED_AT audit stamps (the
@@ -1055,10 +1056,15 @@ final class LakeDataset private (
   /** Exact row counts of the parts whose stats are tight — the manifest's
     * persisted tightness vouch (see [[graft.model.Manifest.partRows]]).
     */
+  // The three serializers below each SNAPSHOT their mutable stat once per
+  // part: a guard read and a value read on the same AtomicReference would
+  // race a concurrent invalidation (upsert/delete setting unknown between
+  // the two reads) into a crash or a -1 row count persisted as vouched.
+
   private def serializedRows: Map[String, Long] =
-    parts.asScala.collect {
-      case (key, part) if part.statsTight.get && part.rows.get >= 0L =>
-        key.relPath -> part.rows.get
+    parts.asScala.flatMap { case (key, part) =>
+      val rows = part.rows.get
+      if (part.statsTight.get && rows >= 0L) Some(key.relPath -> rows) else None
     }.toMap
 
   /** Exact per-part column sums, serialized ONLY for tight parts (a stale
@@ -1066,10 +1072,11 @@ final class LakeDataset private (
     * for it, so untight parts simply don't publish one).
     */
   private def serializedSums: Map[String, Map[String, (String, Long)]] =
-    parts.asScala.collect {
-      case (key, part) if part.statsTight.get && part.rows.get >= 0L &&
-          part.sums.isDefined =>
-        key.relPath -> part.sums.get.map { case (c, cs) => c -> SumMap.encode(cs) }
+    parts.asScala.flatMap { case (key, part) =>
+      val sums = part.sums
+      if (part.statsTight.get && part.rows.get >= 0L && sums.isDefined)
+        Some(key.relPath -> sums.get.map { case (c, cs) => c -> SumMap.encode(cs) })
+      else None
     }.toMap
 
   /** Per-part HLL sketches, serialized ONLY for tight parts — same one-way
@@ -1077,10 +1084,11 @@ final class LakeDataset private (
     * parts publish none and the loaded table fails open to a scan).
     */
   private def serializedSketches: Map[String, Map[String, String]] =
-    parts.asScala.collect {
-      case (key, part) if part.statsTight.get && part.rows.get >= 0L &&
-          part.sketches.exists(_.nonEmpty) =>
-        key.relPath -> part.sketches.get.map { case (c, b) => c -> HllMap.encode(b) }
+    parts.asScala.flatMap { case (key, part) =>
+      val snap = part.sketches
+      if (part.statsTight.get && part.rows.get >= 0L && snap.exists(_.nonEmpty))
+        Some(key.relPath -> snap.get.map { case (c, b) => c -> HllMap.encode(b) })
+      else None
     }.toMap
 
   /** Shared plan assembly + fallbacks for the prune paths: everything kept →
@@ -2676,6 +2684,18 @@ object LakeDataset {
       auditClock: () => Column = () => current_timestamp(),
       bloomCols: Seq[String] = Nil,
       sketchCols: Seq[String] = Nil): LakeDataset = {
+    // Refuse an unsketchable DECLARED sketch column up front: routed
+    // sketch aggregation would otherwise fail open silently (the per-batch
+    // selector filters by type), and the user would discover the column is
+    // untracked only when a catalog query fails over to a scan. A declared
+    // column ABSENT from the initial schema stays legal — it may arrive by
+    // schema evolution and is tracked from then on.
+    sketchCols.foreach { c =>
+      df.schema.fields.find(_.name == c).foreach(f =>
+        require(HllMap.sketchable(f.dataType),
+          s"sketch column '$c' has type ${f.dataType.simpleString} — " +
+            "hll_sketch_agg accepts int, bigint, string, binary"))
+    }
     val ds = new LakeDataset(spark, partitionCols.toList, bucketCols.toList, nBuckets,
       storage, bloomCols = bloomCols.toList, sketchCols = sketchCols.toList,
       auditClock = if (auditColumns) Some(auditClock) else None)

@@ -41,6 +41,53 @@ class HllStatsSpec extends SparkSpec {
     assert(math.abs(meta.get("o_custkey") - exact).toDouble / exact < 0.025)
   }
 
+  test("estimator contract at high cardinality: catalog fold == distributed agg") {
+    // Past the sparse-exact regime (>> 2^LgK distinct) the two DataSketches
+    // estimators can differ: HIP (direct sketch only) vs composite (any
+    // union result). The catalog fold and Spark's multi-partial agg BOTH
+    // estimate through a union, so they agree even here.
+    val n = 300000L
+    val df = spark.range(n).toDF("id")
+      .withColumn("b", (col("id") % 4).cast("int"))
+    val ds = LakeDataset.fromDataFrame(spark, df,
+      partitionCols = Seq("b"), sketchCols = Seq("id"))
+    val meta = ds.metaApproxDistinct(Seq("id")).get("id")
+    assert(meta == scanEstimate(ds.toDF, "id"),
+      "catalog fold must equal the distributed (multi-partial) agg estimate")
+    // Pure-JVM demonstration of the caveat the docs carry. A union fed a
+    // SINGLE sketch adopts it whole — HIP state included — so it still
+    // answers the HIP estimate...
+    val direct = new org.apache.datasketches.hll.HllSketch(HllMap.LgK)
+    (0L until n).foreach(direct.update)
+    val hip = Math.round(direct.getEstimate)
+    assert(HllMap.unionEstimate(Seq(direct.toUpdatableByteArray)) == hip,
+      "a lone-input union must preserve the input's HIP estimate")
+    // ...but merging a SECOND stream kills HIP for good: the two-part fold
+    // answers the composite estimate, which here diverges from HIP even
+    // though the union's registers cover the identical stream. This is the
+    // divergence the class doc bounds — both sit within ±2% of the truth.
+    val halves = Seq(0L until n / 2, n / 2 until n).map { r =>
+      val s = new org.apache.datasketches.hll.HllSketch(HllMap.LgK)
+      r.foreach(s.update); s.toUpdatableByteArray
+    }
+    val composite = HllMap.unionEstimate(halves)
+    assert(composite != hip,
+      s"expected estimator divergence at n=$n (deterministic input)")
+    assert(math.abs(composite - n).toDouble / n < 0.02, s"composite=$composite")
+    assert(math.abs(hip - n).toDouble / n < 0.02, s"hip=$hip")
+  }
+
+  test("unsketchable declared sketch column is refused at creation") {
+    import spark.implicits._
+    val df = Seq((1.5, 1L)).toDF("d", "k")
+    val e = intercept[IllegalArgumentException](
+      LakeDataset.fromDataFrame(spark, df, sketchCols = Seq("d")))
+    assert(e.getMessage.contains("sketch column 'd'"), e.getMessage)
+    // a column ABSENT from the initial schema stays legal: it may arrive
+    // via schema evolution and is tracked from then on
+    LakeDataset.fromDataFrame(spark, df, sketchCols = Seq("later"))
+  }
+
   test("untracked columns and unknown columns fail open") {
     val ds = freshLake()
     assert(ds.metaApproxDistinct(Seq("o_orderkey")).isEmpty) // not tracked
