@@ -44,7 +44,8 @@ object ScaleSmoke {
       !sys.env.contains("SPARK_GRAFT_ONLY_R8") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R9") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R10") &&
-      !sys.env.contains("SPARK_GRAFT_ONLY_R11")
+      !sys.env.contains("SPARK_GRAFT_ONLY_R11") &&
+      !sys.env.contains("SPARK_GRAFT_ONLY_R12")
     if (runAll) {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val big = (0 until copies).map { i =>
@@ -862,6 +863,47 @@ object ScaleSmoke {
       mo11.unpersist(true)
     }
     if (onlyR11) { spark.stop(); return }
+
+    // ---- HLL sketch collapse at ~100-part scale ----------------------------
+    // The claim: a tracked column's approx-distinct answers from the CATALOG
+    // (union of ~100 per-part 1.5 KiB sketches — O(parts) driver work, zero
+    // scan tasks) and matches the distributed hll_sketch_agg scan exactly,
+    // at any table size — the fold cost tracks PART COUNT, not bytes.
+    // SPARK_GRAFT_ONLY_R12=1 runs just this section.
+    val onlyR12 = sys.env.contains("SPARK_GRAFT_ONLY_R12")
+    if (runAll || onlyR12) {
+      val mo12 = (0 until copies).map { i =>
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 10000000L))
+      }.reduce(_ unionByName _)
+        .withColumn("o_batch", (col("o_orderkey") / 15000L).cast("int"))
+        .localCheckpoint(true)
+      println(s"[scale] r12 orders: ${mo12.count()} rows (${copies}x)")
+      val d = time("create sketch-tracked (~100 parts)") {
+        LakeDataset.fromDataFrame(spark, mo12,
+          partitionCols = Seq("o_batch"), sketchCols = Seq("o_custkey"))
+      }
+      println(s"[scale] sketch dataset parts: ${d.numParts}")
+      val metaEst = time(s"catalog approx-distinct (${d.numParts}-part fold)") {
+        d.metaApproxDistinct(Seq("o_custkey")).get("o_custkey")
+      }
+      val scanEst = time("scan hll_sketch_agg (distributed)") {
+        d.toDF.agg(hll_sketch_estimate(
+          hll_sketch_agg(col("o_custkey"), lit(12)))).head().getLong(0)
+      }
+      require(metaEst == scanEst,
+        s"catalog fold $metaEst != scan estimate $scanEst")
+      // The SQL surface rides the same collapse (GraftExtensions rule):
+      // the aggregate plans to a LocalRelation, no scan stage at all.
+      val db12 = new graft.lake.Database(spark)
+      db12.register("orders_hll", d)
+      val sqlEst = time("SQL hll collapse (LocalRelation)") {
+        spark.sql("SELECT hll_sketch_estimate(hll_sketch_agg(o_custkey)) " +
+          "FROM orders_hll").head().getLong(0)
+      }
+      require(sqlEst == metaEst, s"SQL collapse $sqlEst != catalog $metaEst")
+    }
+    if (onlyR12) { spark.stop(); return }
 
     // ---- IVF ANN: probe cost vs corpus growth ------------------------------
     // The scale claim: an IVF probe reads nprobe inverted LISTS, whose size
