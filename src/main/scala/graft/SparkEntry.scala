@@ -1690,6 +1690,18 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
     }),
 
+    // Model-based quality filtering: an integer log-odds-surrogate lexicon
+    // trained on the even half of the corpus (label = single-digit source,
+    // a balanced 50/50 split), then every doc scored by its linear margin.
+    // Exact integer arithmetic end-to-end -> full DuckDB oracle.
+    "text_quality_classifier" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val labeled = d.filter(col("doc_id") % 2 === 0)
+        .withColumn("label", (length(col("source")) === 4).cast("int"))
+      val lex = TextAnalysis.trainQualityLexicon(labeled, "text", "label")
+      TextAnalysis.lexiconScore(d, "text", "doc_id", lex).orderBy("doc")
+    }),
+
     // Sequence packing: shard-parallel token-budget binning in id order —
     // pure integer arithmetic, windowed per shard (never a global window).
     "text_pack_sequences" -> ((s, dir) => {
@@ -2013,6 +2025,23 @@ object SparkEntry {
           Fixtures.nearDupDocuments(s, dir).filter(col("doc_id") % 10 === 0),
           "text", "doc_id", threshold = 0.95)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Exact substring-level dedup (the "exact substring deduplication"
+    // stage of LLM data pipelines): duplicated word 6-gram spans —
+    // templated boilerplate INJECTED onto every 4th doc — are stripped
+    // from every occurrence after the corpus-order first, so exactly one
+    // copy survives. Pure string machinery, no hashing -> full DuckDB
+    // oracle down to the rebuilt clean_text.
+    "dedup_substring_spans" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val injected = d.withColumn("text",
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"),
+            lit(" graft boiler plate sentence repeated across many documents verbatim today")))
+          .otherwise(col("text")))
+      Dedup.stripDuplicateSpans(injected, "text", "doc_id", n = 6)
+        .orderBy("doc")
     }),
 
     "dedup_embedding" -> ((s, dir) => {
@@ -3082,6 +3111,31 @@ object SparkEntry {
          |FROM c""".stripMargin
     },
 
+    "text_quality_classifier" ->
+      """WITH train AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN LENGTH(source) = 4 THEN 1 ELSE 0 END AS lab
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |pres AS (SELECT DISTINCT doc_id, lab, term FROM (
+        |  SELECT doc_id, lab,
+        |    unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM train)),
+        |lex AS (
+        |  SELECT term, SUM(CASE WHEN lab = 1 THEN 1 ELSE -1 END) AS weight
+        |  FROM pres GROUP BY term),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY doc_id, term)
+        |SELECT tf.doc_id AS doc,
+        |  CAST(SUM(tf.tf * COALESCE(lex.weight, 0)) AS BIGINT) AS score,
+        |  CAST(SUM(CASE WHEN lex.weight IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS terms_hit
+        |FROM tf LEFT JOIN lex ON lex.term = tf.term
+        |GROUP BY tf.doc_id
+        |ORDER BY doc""".stripMargin,
+
     "text_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 8 AS shard,
@@ -3525,6 +3579,49 @@ object SparkEntry {
         |JOIN norms na ON na.doc_id = doc_a
         |JOIN norms nb ON nb.doc_id = doc_b
         |WHERE round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6) >= 0.95""".stripMargin,
+
+    // stripDuplicateSpans: first occurrence per gram = MIN(struct(doc,pos))
+    // on the Spark side; the oracle encodes the same lexicographic order as
+    // doc_id*1000000+pos (pos < 1e6 always — it is bounded by doc length).
+    "dedup_substring_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 4 = 0
+        |    THEN text || ' graft boiler plate sentence repeated across many documents verbatim today'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |words AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+        |  FROM corpus),
+        |grams AS (
+        |  SELECT doc_id, i AS pos, array_to_string(ws[i:i+5], ' ') AS g
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 5)) AS i
+        |        FROM words WHERE len(ws) >= 6)),
+        |firsts AS (
+        |  SELECT g, MIN(doc_id * 1000000 + pos) AS fk
+        |  FROM grams GROUP BY g HAVING COUNT(*) > 1),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT gr.doc_id, unnest(generate_series(gr.pos, gr.pos + 5)) AS p
+        |    FROM grams gr JOIN firsts f ON gr.g = f.g
+        |    WHERE gr.doc_id * 1000000 + gr.pos <> f.fk)),
+        |toks AS (
+        |  SELECT doc_id, i AS p, ws[i] AS w
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM words)),
+        |kept AS (
+        |  SELECT t.doc_id, t.p, t.w FROM toks t
+        |  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+        |  WHERE c.doc_id IS NULL),
+        |clean AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |         string_agg(w, ' ' ORDER BY p) AS ct
+        |  FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id AS doc,
+        |  CAST(len(w.ws) AS BIGINT) AS tokens_total,
+        |  CAST(len(w.ws) - COALESCE(clean.n_kept, 0) AS BIGINT) AS tokens_removed,
+        |  COALESCE(clean.ct, '') AS clean_text
+        |FROM words w
+        |LEFT JOIN clean ON clean.doc_id = w.doc_id
+        |ORDER BY doc""".stripMargin,
 
     "multimodal_features" ->
       """WITH pos AS (

@@ -60,6 +60,97 @@ object Dedup {
       .drop("__graft_rn")
   }
 
+  // ------------------------------------------------- duplicate-span removal
+
+  /** Exact substring-level dedup: remove every LATER occurrence of any word
+    * n-gram span that appears more than once in the corpus, keeping the
+    * first occurrence in (doc, position) order — the span-level counterpart
+    * of whole-document dedup (the "exact substring deduplication" stage of
+    * LLM training-data pipelines: boilerplate sentences, license headers,
+    * templated paragraphs repeated across millions of pages survive
+    * document-level dedup because the surrounding text differs).
+    *
+    * Returns one row per input document:
+    * `(doc, tokens_total, tokens_removed, clean_text)` where `clean_text`
+    * is the whitespace-normalized text with every covered token dropped and
+    * the survivors rejoined in original order.
+    *
+    * Semantics: a position is covered when ANY duplicate n-gram occurrence
+    * overlaps it, so a duplicated run of m >= n consecutive tokens is
+    * removed wholesale (its m-n+1 overlapping n-grams each recur). The
+    * first occurrence of each gram — ordered by (doc, pos) — is never a
+    * remover, so exactly one copy of every duplicated span survives.
+    * Intra-document repeats count: the second occurrence inside the same
+    * document is stripped like any other.
+    *
+    * Scale shape: no windows, no all-pairs. First-occurrence detection is
+    * ONE aggregation on the gram (`min(struct(doc, pos))` + count — a
+    * partial-aggregated map-side combine, not a per-gram sort), duplicate
+    * marking is one equi-join back on the gram, and only DOCUMENTS THAT
+    * LOSE TOKENS pay the token-level regroup — the untouched majority of a
+    * clean corpus streams through a single anti-join without re-shuffling
+    * its tokens. Pathologically frequent grams (a page of one repeated
+    * word) fan out in the gram join; AQE's skew-join split handles the
+    * residual imbalance, and at 100 TB the gram string itself would be
+    * replaced by its xxhash64 to shrink the shuffle payload (kept as the
+    * raw string here so a SQL oracle reproduces the result bit-for-bit).
+    */
+  def stripDuplicateSpans(
+      df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"duplicate-span length must be >= 2 words, got $n")
+    val ws = split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")
+    val docs = df.select(col(idCol).as("doc"), ws.as("ws"))
+
+    // Positional n-grams; documents shorter than n words cannot contain a
+    // duplicated span and skip the gram pass entirely.
+    val grams = docs
+      .filter(size(col("ws")) >= n)
+      .select(col("doc"), posexplode(
+        transform(sequence(lit(1), size(col("ws")) - lit(n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(col("ws"), i + j)): _*)))
+        .as(Seq("p0", "gram")))
+      .select(col("doc"), (col("p0") + 1).as("pos"), col("gram"))
+
+    // First occurrence per recurring gram: one aggregation, lexicographic
+    // struct min — no per-gram window sort.
+    val firsts = grams.groupBy("gram")
+      .agg(min(struct(col("doc"), col("pos"))).as("first"),
+        count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+
+    val covered = grams.join(firsts, "gram")
+      .filter(struct(col("doc"), col("pos")) =!= col("first"))
+      .select(col("doc"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .distinct()
+
+    val removedPerDoc = covered.groupBy("doc")
+      .agg(count(lit(1)).as("tokens_removed"))
+
+    // Only touched documents re-shuffle their tokens to rebuild the text.
+    val touched = docs.join(removedPerDoc, "doc")
+    val kept = touched
+      .select(col("doc"), posexplode(col("ws")).as(Seq("p0", "word")))
+      .select(col("doc"), (col("p0") + 1).as("p"), col("word"))
+      .join(covered, Seq("doc", "p"), "left_anti")
+    val rebuilt = kept.groupBy("doc")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("p"), col("word")))),
+          s => s.getField("word")), " ").as("clean_text"))
+
+    val touchedOut = touched
+      .select(col("doc"), size(col("ws")).cast("long").as("tokens_total"),
+        col("tokens_removed"))
+      .join(rebuilt, Seq("doc"), "left")
+      .select(col("doc"), col("tokens_total"), col("tokens_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+    val untouchedOut = docs.join(removedPerDoc, Seq("doc"), "left_anti")
+      .select(col("doc"), size(col("ws")).cast("long").as("tokens_total"),
+        lit(0L).as("tokens_removed"),
+        array_join(col("ws"), " ").as("clean_text"))
+    touchedOut.unionByName(untouchedOut)
+  }
+
   // --------------------------------------------------------------- shingles
 
   /** Word n-gram shingles of the text (distinct). Documents shorter than n

@@ -221,6 +221,47 @@ object TextAnalysis {
       .select("doc", "w", "tf", "df", "score_int", "rk")
   }
 
+  // ------------------------------------------------ learned quality lexicon
+
+  /** Train an integer quality lexicon from labeled documents: for each
+    * word, `weight = (#positive docs containing it) − (#negative docs
+    * containing it)` — the exact-integer surrogate of the per-term
+    * log-odds that fastText-style quality classifiers learn (monotone in
+    * the log-odds at balanced classes), kept integral so the downstream
+    * scores are oracle-reproducible. One distinct-presence explode + one
+    * aggregation; the lexicon is vocabulary-sized, no corpus state.
+    */
+  def trainQualityLexicon(
+      df: DataFrame, textCol: String, labelCol: String): DataFrame =
+    df.select(col(labelCol).cast("int").as("lab"),
+        explode(array_distinct(
+          split(trim(regexp_replace(col(textCol), "\\s+", " ")), " "))).as("term"))
+      .groupBy("term")
+      .agg(sum(when(col("lab") === 1, 1L).otherwise(-1L)).as("weight"))
+
+  /** Model-based quality filtering: score every document against a trained
+    * lexicon, `score(doc) = Σ tf(term) · weight(term)` — a linear
+    * classifier margin, exact integer end-to-end. The lexicon broadcasts
+    * (it is vocabulary-sized no matter the corpus), so the only wide
+    * operation over the corpus is the (doc, term) tf aggregation — the
+    * same one-shuffle shape as [[documentFrequency]]. Terms outside the
+    * lexicon contribute 0; `terms_hit` counts the distinct lexicon terms
+    * each document touched (a coverage signal for threshold picking).
+    */
+  def lexiconScore(
+      df: DataFrame, textCol: String, idCol: String,
+      lexicon: DataFrame): DataFrame = {
+    val tf = df.select(col(idCol).as("doc"),
+        explode(
+          split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")).as("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(lexicon), Seq("term"), "left")
+      .groupBy("doc")
+      .agg(
+        sum(col("tf") * coalesce(col("weight"), lit(0L))).as("score"),
+        sum(when(col("weight").isNotNull, 1L).otherwise(0L)).as("terms_hit"))
+  }
+
   /** Winnowing fingerprints (the rolling-hash document-fingerprint scheme):
     * hash every word k-gram, then keep the minimum hash of each sliding
     * window of `window` consecutive k-grams; the distinct kept hashes are
