@@ -529,6 +529,40 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Multi-table ATOMIC transaction: a committed move of orders <=1000
+    // from ledger A to ledger B, then an ABORTED move of 1000<k<=2000 —
+    // the final per-side aggregate must show the committed move exactly
+    // and no trace of the aborted one (the oracle reconstructs the same
+    // end state relationally).
+    "lake_transaction" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .withColumn("o_batch", (col("o_orderkey") / 2000).cast("int"))
+      val db = new Database(s)
+      val a = LakeDataset.fromDataFrame(s, o, partitionCols = Seq("o_batch"))
+      val b = LakeDataset.fromDataFrame(s, o.limit(0))
+      db.register("tx_ledger_a", a)
+      db.register("tx_ledger_b", b)
+      val moved = o.filter(col("o_orderkey") <= 1000)
+      db.transaction(Seq("tx_ledger_a", "tx_ledger_b")) {
+        a.delete(moved.select("o_orderkey"), Seq("o_orderkey"))
+        b.insert(moved)
+      }
+      val aborted = o.filter(col("o_orderkey") > 1000 && col("o_orderkey") <= 2000)
+      try db.transaction(Seq("tx_ledger_a", "tx_ledger_b")) {
+        a.delete(aborted.select("o_orderkey"), Seq("o_orderkey"))
+        b.insert(aborted)
+        throw new RuntimeException("abort: simulate a mid-transaction failure")
+      } catch { case e: RuntimeException if e.getMessage.startsWith("abort:") => () }
+      db.executeSql(
+        s"""SELECT side, o_orderstatus, COUNT(*) AS n,
+           |       ${osum("o_totalprice")} AS total
+           |FROM (SELECT 'a' AS side, o_orderstatus, o_totalprice FROM tx_ledger_a
+           |      UNION ALL
+           |      SELECT 'b' AS side, o_orderstatus, o_totalprice FROM tx_ledger_b)
+           |GROUP BY side, o_orderstatus
+           |ORDER BY side, o_orderstatus""".stripMargin)
+    }),
+
     // SQL DML over the catalog: INSERT INTO / DELETE FROM route to engine
     // mutations (Spark's own SQL can't write a temp view). The INSERT
     // reads from the target's own view (snapshot-before-mutate), the
@@ -2050,6 +2084,21 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // SemDeDup: cluster-bucketed semantic dedup — the corpus pruned to one
+    // canonical member per semantic-duplicate group (k-means assignment,
+    // in-cluster exact cosine, connected components, keep group minimum).
+    // Float cosine + clustering -> rows-only; dedup_embedding_exact is the
+    // all-pairs ground truth and OperatorsSpec pins pair recall/precision.
+    "dedup_semantic" -> ((s, dir) => {
+      val emb = Fixtures.jitteredEmbeddings(s, dir)
+      Dedup.keepCanonical(emb,
+          Dedup.semanticDedup(emb, "embedding", "vec_id",
+            numClusters = 8, dim = 64, threshold = 0.9),
+          "vec_id")
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
     // All-pairs exact cosine near-dup (quantized double) — the oracle-checked
     // ground truth for the LSH-bucketed dedup_embedding above.
     "dedup_embedding_exact" -> ((s, dir) => {
@@ -2387,6 +2436,21 @@ object SparkEntry {
          |SELECT COUNT(*) AS n, ${osum("o_totalprice")} AS total
          |FROM u
          |WHERE NOT (o_orderstatus = 'O' AND o_orderkey BETWEEN 4000 AND 5000)""".stripMargin,
+
+    // lake_transaction: the committed move (keys <= 1000, A -> B) shows;
+    // the aborted move (1000 < k <= 2000) must leave no trace.
+    "lake_transaction" ->
+      s"""WITH u AS (
+         |  SELECT 'a' AS side, o_orderstatus, o_totalprice
+         |  FROM orders WHERE o_orderkey > 1000
+         |  UNION ALL
+         |  SELECT 'b' AS side, o_orderstatus, o_totalprice
+         |  FROM orders WHERE o_orderkey <= 1000)
+         |SELECT side, o_orderstatus, COUNT(*) AS n,
+         |       ${osum("o_totalprice")} AS total
+         |FROM u
+         |GROUP BY side, o_orderstatus
+         |ORDER BY side, o_orderstatus""".stripMargin,
 
     "lake_diff" ->
       """SELECT * FROM (

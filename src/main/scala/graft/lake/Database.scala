@@ -186,6 +186,67 @@ final class Database(val spark: SparkSession) {
   def tableInfo(name: String): Option[(List[(String, String)], Long, Int)] =
     tables.get(name).map(_.schemaInfo)
 
+  /** Multi-table ATOMIC transaction: every engine mutation the body
+    * performs on the named tables either fully applies or — on any
+    * exception out of the body — fully rolls back, across ALL of them.
+    * This is the cross-table atomicity mainstream lakehouse formats stop
+    * short of (their commit protocols are single-table): a debit-credit
+    * pair, a fact+dimension co-ingest, or a delete-then-reinsert migration
+    * lands as one unit or not at all.
+    *
+    * Mechanics: each named dataset's monitor is acquired in SORTED name
+    * order (one global order — concurrent transactions cannot deadlock)
+    * and held for the whole body, giving the touched tables serializable
+    * isolation: readers and writers of those tables wait, exactly like any
+    * single-table mutation already does. State capture is driver-side
+    * metadata (forked part handles + catalog maps — no data job runs to
+    * begin or commit); superseded snapshot generations are deferred until
+    * commit so a rollback can swap pre-transaction plans back in, and a
+    * rollback frees only the generations the aborted body created.
+    *
+    * Contract: the body mutates ONLY the tables named here (mutations to
+    * unnamed tables are not rolled back); tables with registered change
+    * feeds or dependent materialized views are refused (their side logs
+    * cannot be unwound); persistence (`toStorage`/`savePart`) inside the
+    * body is refused by the datasets themselves — commit first, then
+    * persist under the manifest protocol's own optimistic concurrency.
+    */
+  def transaction[A](names: Seq[String])(body: => A): A = {
+    val resolved = names.distinct.sorted.map { n =>
+      n -> tables.getOrElse(n,
+        throw new IllegalArgumentException(s"unknown table: $n"))
+    }
+    resolved.foreach { case (n, _) =>
+      if (feeds.contains(n)) throw new IllegalArgumentException(
+        s"table $n has a change feed — its log cannot be unwound by a rollback")
+      if (mviews.values.exists(_.base == n)) throw new IllegalArgumentException(
+        s"table $n has dependent materialized views — their maintained state " +
+          "cannot be unwound by a rollback")
+    }
+    def locked[B](ds: List[LakeDataset])(f: => B): B = ds match {
+      case Nil => f
+      case h :: t => h.synchronized(locked(t)(f))
+    }
+    locked(resolved.map(_._2).toList) {
+      // close over each dataset's path-dependent TxState at begin time
+      val snaps = resolved.map { case (_, ds) =>
+        val st = ds.txBegin()
+        (() => ds.txCommit(), () => ds.txRollback(st))
+      }
+      try {
+        val out = body
+        snaps.foreach(_._1())
+        resolved.foreach { case (n, _) => refresh(n) }
+        out
+      } catch {
+        case t: Throwable =>
+          snaps.reverse.foreach(_._2())
+          resolved.foreach { case (n, _) => refresh(n) }
+          throw t
+      }
+    }
+  }
+
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][\w]*)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val DeleteAllRe =

@@ -351,7 +351,102 @@ final class LakeDataset private (
       retainedSnaps.clear(); retainedSnaps ++= k
       d.toList
     }
-    dead.foreach(_.release())
+    // Inside a transaction the pre-transaction generations must survive
+    // until commit — a rollback swaps plans referencing them back in.
+    if (txDeferredDead != null) txDeferredDead = dead ::: txDeferredDead
+    else dead.foreach(_.release())
+  }
+
+  // ------------------------------------------------------------------
+  // Transaction seam — multi-table atomicity (Database.transaction).
+  // A transaction snapshots the dataset's in-memory state (forked parts +
+  // catalog maps + the snapshot-storage ledger), lets mutations run in
+  // place, and either commits (release the deferred dead generations) or
+  // rolls back (swap the forks in, free only the generations the aborted
+  // transaction created). Persistence (toStorage/savePart) is refused
+  // inside a transaction: the manifest commit protocol is a separate
+  // durability boundary with its own optimistic-concurrency story, and a
+  // half-persisted transaction could not be rolled back from memory.
+  // ------------------------------------------------------------------
+
+  /** Captured pre-transaction state — everything a rollback restores. */
+  private[lake] final class TxState(
+      private[LakeDataset] val parts0: Map[PartKey, LakePart],
+      private[LakeDataset] val dirs0: Map[PartKey, String],
+      private[LakeDataset] val schemas0: Map[PartKey, org.apache.spark.sql.types.StructType],
+      private[LakeDataset] val scan0: Option[DataFrame],
+      private[LakeDataset] val since0: Long,
+      private[LakeDataset] val checks0: Map[String, String],
+      private[LakeDataset] val zonesTracked0: Option[Set[String]],
+      private[LakeDataset] val sumsTracked0: Option[Set[String]],
+      private[LakeDataset] val pending0: List[SnapRef],
+      private[LakeDataset] val retained0: List[SnapRef])
+
+  /** Dead-generation releases deferred while a transaction is open
+    * (non-null = in transaction): a rebuild inside the transaction may NOT
+    * free the pre-transaction checkpoints a rollback would resurrect.
+    */
+  @volatile private var txDeferredDead: List[SnapRef] = null
+
+  private[lake] def inTransaction: Boolean = txDeferredDead != null
+
+  private[lake] def requireNotInTransaction(op: String): Unit =
+    if (inTransaction) throw new IllegalStateException(
+      s"$op is not allowed inside a transaction: persistence commits are a " +
+        "separate durability boundary (commit the transaction first)")
+
+  /** Begin: capture restorable state and start deferring releases.
+    * Callers (Database.transaction) hold this dataset's monitor for the
+    * whole transaction, so the deferred list is single-threaded.
+    */
+  private[lake] def txBegin(): TxState = this.synchronized {
+    require(txDeferredDead == null,
+      "nested transactions on one dataset are not supported")
+    txDeferredDead = Nil
+    val (p, r) = pendingSnaps.synchronized {
+      (pendingSnaps.toList, retainedSnaps.toList)
+    }
+    new TxState(
+      parts.asScala.toMap.map { case (k, part) => k -> part.fork() },
+      diskDirs.asScala.toMap, diskSchemas.asScala.toMap,
+      cleanScan, sinceCompact.get, checksMap,
+      trackedZoneSet, trackedSumSet, p, r)
+  }
+
+  /** Commit: the superseded generations deferred during the transaction
+    * are now genuinely dead — free them.
+    */
+  private[lake] def txCommit(): Unit = this.synchronized {
+    val dead = txDeferredDead
+    txDeferredDead = null
+    if (dead != null) dead.foreach(_.release())
+  }
+
+  /** Roll back: swap the forked pre-transaction state in, then free only
+    * the snapshot generations the aborted transaction itself created
+    * (identified by reference against the captured ledger — the restored
+    * plans reference none of them).
+    */
+  private[lake] def txRollback(st: TxState): Unit = this.synchronized {
+    val preRefs = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SnapRef, java.lang.Boolean]())
+    (st.pending0 ++ st.retained0).foreach(preRefs.add)
+    val createdInTx = pendingSnaps.synchronized {
+      val created = (pendingSnaps ++ retainedSnaps).filterNot(preRefs.contains).toList
+      pendingSnaps.clear(); pendingSnaps ++= st.pending0
+      retainedSnaps.clear(); retainedSnaps ++= st.retained0
+      created
+    }
+    parts.clear(); st.parts0.foreach { case (k, p) => parts.put(k, p) }
+    diskDirs.clear(); st.dirs0.foreach { case (k, d) => diskDirs.put(k, d) }
+    diskSchemas.clear(); st.schemas0.foreach { case (k, s) => diskSchemas.put(k, s) }
+    cleanScan = st.scan0
+    sinceCompact.set(st.since0)
+    checksMap = st.checks0
+    trackedZoneSet = st.zonesTracked0
+    trackedSumSet = st.sumsTracked0
+    txDeferredDead = null
+    createdInTx.foreach(_.release())
   }
 
   /** Union-of-parts view (reference `Dataset::to_lazyframe`,
@@ -2501,6 +2596,7 @@ final class LakeDataset private (
   }
 
   def toStorage(): Unit = {
+    requireNotInTransaction("toStorage")
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
     // A lazily loaded dataset's plans read the files this save is about to
     // delete — wiping first would make the write job scan a hole (a
@@ -2578,6 +2674,7 @@ final class LakeDataset private (
     * disk would be an UNSOUND zone on the next load).
     */
   def savePart(key: PartKey): Unit = {
+    requireNotInTransaction("savePart")
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
     Option(parts.get(key)).foreach { p =>
       // A lazily loaded part reads the very directory the overwrite-mode
@@ -2600,6 +2697,7 @@ final class LakeDataset private (
     * once per cell, and a bucketed ingest touches nBuckets cells per batch.
     */
   def saveParts(keys: Seq[PartKey]): Unit = {
+    requireNotInTransaction("saveParts")
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
     val ps = keys.flatMap(k => Option(parts.get(k)))
     if (ps.isEmpty) return

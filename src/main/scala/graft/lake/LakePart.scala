@@ -178,6 +178,28 @@ final class LakePart private[lake] (
   val mutationOps = new AtomicLong(0L)
   private val lock = new Object
 
+  /** A detached copy carrying this part's CURRENT plan, counters and
+    * statistics — the rollback unit of the dataset transaction seam
+    * ([[LakeDataset]] `txBegin`/`txRollback`): mutations keep mutating the
+    * live part in place, and an aborted transaction swaps the untouched
+    * fork back in. By-name `initial` forwarding keeps a never-touched
+    * lazily-loaded part lazy — forking never forces a storage read.
+    */
+  private[lake] def fork(): LakePart = lock.synchronized {
+    val cur0 = ref.get
+    val f = new LakePart(
+      initial = if (cur0 != null) cur0 else initial,
+      key = key, bucketCols = bucketCols, nBuckets = nBuckets,
+      initialRows = rows.get, onCheckpoint = onCheckpoint,
+      initialZones = zonesRef.get, statColsOf = statColsOf,
+      initialBlooms = bloomsRef.get, snapshot = snapshot,
+      initialSums = sumsRef.get, initialSketches = sketchesRef.get,
+      initialTight = statsTight.get)
+    f.changes.set(changes.get)
+    f.mutationOps.set(mutationOps.get)
+    f
+  }
+
   def df: DataFrame = cur
 
   /** Bucket-filtered view: re-filters to this part's bucket id so overlapping

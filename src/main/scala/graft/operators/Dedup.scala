@@ -743,6 +743,34 @@ object Dedup {
       .select("doc_a", "doc_b", "cos_q")
   }
 
+  /** SemDeDup-style semantic dedup (cluster-bucketed embedding near-dup):
+    * k-means-assign every vector to its nearest centroid (deterministic
+    * farthest-point seeds + bounded-sample Lloyd refinement via
+    * [[Similarity.buildIvf]]), then verify exact cosine ONLY within each
+    * cluster — the web-scale formulation where candidate generation is
+    * O(Σ cluster²) instead of all-pairs, with clusters sized ~n/k.
+    *
+    * Returns the candidate pair list `(doc_a, doc_b, cosine)` above
+    * `threshold`; compose with [[connectedComponents]] +
+    * [[keepCanonical]] for the pruned-corpus output. Same contract as
+    * [[embeddingNearDup]] with centroid buckets instead of hyperplane
+    * buckets: recall misses only pairs that straddle a cluster boundary
+    * (the SemDeDup trade by construction), measured against
+    * [[embeddingExactPairs]] in OperatorsSpec.
+    */
+  def semanticDedup(
+      df: DataFrame, vecCol: String, idCol: String,
+      numClusters: Int, dim: Int, threshold: Double = 0.95): DataFrame = {
+    val (_, assigned) = Similarity.buildIvf(df, vecCol, idCol, numClusters, dim)
+    val a = assigned.select(col("centroid"), col(idCol).as("doc_a"), col(vecCol).as("v_a"))
+    val b = assigned.select(col("centroid"), col(idCol).as("doc_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("centroid"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("doc_a", "doc_b", "cosine")
+  }
+
   /** Near-duplicate detection on an embedding column via random-hyperplane
     * LSH: `planes` fixed pseudo-random hyperplanes (deterministic seed) give
     * each vector a sign-bit signature; vectors sharing the signature land in

@@ -45,7 +45,8 @@ object ScaleSmoke {
       !sys.env.contains("SPARK_GRAFT_ONLY_R9") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R10") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R11") &&
-      !sys.env.contains("SPARK_GRAFT_ONLY_R12")
+      !sys.env.contains("SPARK_GRAFT_ONLY_R12") &&
+      !sys.env.contains("SPARK_GRAFT_ONLY_R12B")
     if (runAll) {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val big = (0 until copies).map { i =>
@@ -904,6 +905,83 @@ object ScaleSmoke {
       require(sqlEst == metaEst, s"SQL collapse $sqlEst != catalog $metaEst")
     }
     if (onlyR12) { spark.stop(); return }
+
+    // ---- R12b: substring dedup + multi-table transactions at scale --------
+    // stripDuplicateSpans claim: the only wide work is one gram aggregation
+    // + one gram join, and ONLY documents that lose tokens pay the token
+    // regroup — measured on a worst case (every copy duplicates every span)
+    // and a realistic 5%-duplication corpus.
+    // Transaction claim: begin/commit/rollback are driver-side metadata ops
+    // whose cost tracks PART COUNT, not table bytes — a rollback over a
+    // ~100-part table restores counters, stats and computable plans.
+    // SPARK_GRAFT_ONLY_R12B=1 runs just this section.
+    val onlyR12b = sys.env.contains("SPARK_GRAFT_ONLY_R12B")
+    if (runAll || onlyR12b) {
+      import graft.lake.Database
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      val bigDocs12 = (0 until copies).map { i =>
+        docs0.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      println(s"[scale] r12b docs: ${bigDocs12.count()} (${copies}x — every " +
+        "copy past the first is 100% duplicated spans)")
+      time(s"strip duplicate spans ${copies}x worst-case (all docs touched)") {
+        graft.operators.Dedup.stripDuplicateSpans(bigDocs12, "text", "doc_id", 6)
+          .agg(sum("tokens_removed")).head()
+      }
+      val mostlyClean = docs0.select(col("doc_id"), col("text")).unionByName(
+        docs0.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+        .localCheckpoint(true)
+      time("strip duplicate spans 5%-dup corpus (touched-docs-only regroup)") {
+        graft.operators.Dedup.stripDuplicateSpans(mostlyClean, "text", "doc_id", 6)
+          .agg(sum("tokens_removed")).head()
+      }
+
+      val mo12b = (0 until copies).map { i =>
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 10000000L))
+      }.reduce(_ unionByName _)
+        .withColumn("o_batch", (col("o_orderkey") / 15000L).cast("int"))
+        .localCheckpoint(true)
+      val txA = LakeDataset.fromDataFrame(spark, mo12b,
+        partitionCols = Seq("o_batch"))
+      val txB = LakeDataset.fromDataFrame(spark, mo12b.limit(0))
+      val db12b = new Database(spark)
+      db12b.register("tx_big_a", txA)
+      db12b.register("tx_big_b", txB)
+      println(s"[scale] tx table parts: ${txA.numParts}")
+      time(s"tx commit: move a key slice across ${txA.numParts}-part tables") {
+        db12b.transaction(Seq("tx_big_a", "tx_big_b")) {
+          txA.delete(mo12b.filter(col("o_orderkey") % 1000 === 0)
+            .select("o_orderkey"), Seq("o_orderkey"))
+          txB.insert(mo12b.filter(col("o_orderkey") % 1000 === 0))
+        }
+      }
+      val beforeRows = txA.rowsCount
+      // Time the ROLLBACK alone: the aborted body's mutation jobs are real
+      // work any transaction pays; the atomicity overhead is what remains.
+      var bodyNanos = 0L
+      val t0All = System.nanoTime
+      try db12b.transaction(Seq("tx_big_a", "tx_big_b")) {
+        val t0 = System.nanoTime
+        txA.delete(mo12b.filter(col("o_orderkey") % 7 === 0)
+          .select("o_orderkey"), Seq("o_orderkey"))
+        txB.insert(mo12b.limit(1000))
+        bodyNanos = System.nanoTime - t0
+        throw new RuntimeException("abort")
+      } catch { case e: RuntimeException if e.getMessage == "abort" => () }
+      val totalS = (System.nanoTime - t0All) / 1e9
+      println(f"[scale] tx aborted: body ${bodyNanos / 1e9}%.2fs, " +
+        f"begin+rollback ${totalS - bodyNanos / 1e9}%.2fs " +
+        f"(state swap over ${txA.numParts} parts)")
+      require(txA.rowsCount == beforeRows,
+        "rollback did not restore the row counter")
+      time("read after rollback (restored plans computable)") {
+        txA.toDF.agg(count(lit(1))).head()
+      }
+    }
+    if (onlyR12b) { spark.stop(); return }
 
     // ---- IVF ANN: probe cost vs corpus growth ------------------------------
     // The scale claim: an IVF probe reads nprobe inverted LISTS, whose size

@@ -58,6 +58,23 @@ class OperatorsSpec extends SparkSpec {
     assert(planted.subsetOf(exact), s"missing planted: ${planted -- exact}")
   }
 
+  test("semantic dedup: cluster-bucketed pairs ⊆ exact, all planted found") {
+    val emb = Fixtures.jitteredEmbeddings(spark, sf())
+    val sem = Dedup.semanticDedup(emb, "embedding", "vec_id",
+        numClusters = 8, dim = 64, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // in-cluster verification is exact cosine -> never a far pair (the
+    // 0.89 margin absorbs float-vs-quantized-double threshold ulps)
+    val nearish = Dedup.embeddingExactPairs(emb, "embedding", "vec_id",
+        threshold = 0.89)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert((sem -- nearish).isEmpty, s"false pairs: ${sem -- nearish}")
+    // the planted 1.001x copies are scale-invariant under cosine, so they
+    // share their original's nearest centroid and MUST co-cluster
+    val planted = (0L until 500L by 10).map(i => (i, i + 100000)).toSet
+    assert(planted.subsetOf(sem), s"missing planted: ${planted -- sem}")
+  }
+
   test("simhash: identical texts hamming 0, planted near-dups found") {
     val sh = Seq((1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5")).toDF("id", "text")
       .select(Dedup.simhash(col("text")).as("s")).as[Long].collect()
