@@ -563,6 +563,41 @@ object SparkEntry {
            |ORDER BY side, o_orderstatus""".stripMargin)
     }),
 
+    // The SQL face of the transaction above: a BEGIN/COMMIT script whose
+    // three statements (move + delete + in-place tag) land atomically, then
+    // an aborted script whose middle statement fails analysis (unknown
+    // table) — the failing script's earlier DELETE must roll back. The
+    // oracle reconstructs the committed-only end state relationally.
+    "lake_sql_transaction" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .withColumn("o_batch", (col("o_orderkey") / 2000).cast("int"))
+      val db = new Database(s)
+      db.register("txq_a",
+        LakeDataset.fromDataFrame(s, o, partitionCols = Seq("o_batch")))
+      db.register("txq_b", LakeDataset.fromDataFrame(s, o.limit(0)))
+      db.executeDml(
+        """BEGIN;
+          |INSERT INTO txq_b SELECT * FROM txq_a WHERE o_orderkey <= 1000;
+          |DELETE FROM txq_a WHERE o_orderkey <= 1000;
+          |UPDATE txq_b SET o_orderpriority = 'moved;kept' WHERE o_orderkey <= 500;
+          |COMMIT""".stripMargin)
+      try db.executeDml(
+        """BEGIN;
+          |DELETE FROM txq_a WHERE o_orderkey <= 3000;
+          |INSERT INTO txq_b SELECT * FROM txq_no_such_table;
+          |COMMIT""".stripMargin)
+      catch { case _: Exception => () }
+      db.executeSql(
+        s"""SELECT side, o_orderstatus, COUNT(*) AS n,
+           |       SUM(CASE WHEN o_orderpriority = 'moved;kept' THEN 1 ELSE 0 END) AS tagged,
+           |       ${osum("o_totalprice")} AS total
+           |FROM (SELECT 'a' AS side, o_orderstatus, o_totalprice, o_orderpriority FROM txq_a
+           |      UNION ALL
+           |      SELECT 'b' AS side, o_orderstatus, o_totalprice, o_orderpriority FROM txq_b)
+           |GROUP BY side, o_orderstatus
+           |ORDER BY side, o_orderstatus""".stripMargin)
+    }),
+
     // SQL DML over the catalog: INSERT INTO / DELETE FROM route to engine
     // mutations (Spark's own SQL can't write a temp view). The INSERT
     // reads from the target's own view (snapshot-before-mutate), the
@@ -2447,6 +2482,27 @@ object SparkEntry {
          |  SELECT 'b' AS side, o_orderstatus, o_totalprice
          |  FROM orders WHERE o_orderkey <= 1000)
          |SELECT side, o_orderstatus, COUNT(*) AS n,
+         |       ${osum("o_totalprice")} AS total
+         |FROM u
+         |GROUP BY side, o_orderstatus
+         |ORDER BY side, o_orderstatus""".stripMargin,
+
+    // lake_sql_transaction: the committed BEGIN/COMMIT script shows (keys
+    // <= 1000 moved a->b, keys <= 500 tagged — with a ';' inside the tag
+    // literal exercising the quote-aware script splitter); the aborted
+    // script (its middle INSERT fails analysis) must leave no trace.
+    "lake_sql_transaction" ->
+      s"""WITH u AS (
+         |  SELECT 'a' AS side, o_orderstatus, o_totalprice, o_orderpriority
+         |  FROM orders WHERE o_orderkey > 1000
+         |  UNION ALL
+         |  SELECT 'b' AS side, o_orderstatus, o_totalprice,
+         |         CASE WHEN o_orderkey <= 500 THEN 'moved;kept'
+         |              ELSE o_orderpriority END AS o_orderpriority
+         |  FROM orders WHERE o_orderkey <= 1000)
+         |SELECT side, o_orderstatus, COUNT(*) AS n,
+         |       CAST(SUM(CASE WHEN o_orderpriority = 'moved;kept' THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS tagged,
          |       ${osum("o_totalprice")} AS total
          |FROM u
          |GROUP BY side, o_orderstatus

@@ -247,6 +247,77 @@ final class Database(val spark: SparkSession) {
     }
   }
 
+  /** Split an SQL script into statements on TOP-LEVEL semicolons only — a
+    * `;` inside a single-quoted literal (SQL escapes a quote as `''`,
+    * which reads here as quote-close + quote-open and stays balanced)
+    * never splits.
+    */
+  private[lake] def splitSqlScript(script: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    script.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ';' if !inQuote => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.map(_.trim).filter(_.nonEmpty).toList
+  }
+
+  /** The lake table a mutation-DML statement targets — the lock set of an
+    * atomic script is the union of its statements' targets. Mutation DML
+    * only: DDL and maintenance verbs (CREATE/DROP/ALTER/OPTIMIZE/RESTORE/
+    * VACUUM/RENAME) restructure catalog state the transaction seam does
+    * not fork, so a script containing one refuses up front — before any
+    * lock is taken or any statement runs.
+    */
+  private def dmlTarget(sql: String): String =
+    parseMerge(sql).map(_._1).getOrElse(sql match {
+      case DeleteRe(t, _)    => t
+      case DeleteAllRe(t)    => t
+      case UpdateRe(t, _, _) => t
+      case InsertRe(t, _)    => t
+      case CopyRe(t, _, _)   => t
+      case TruncateRe(t)     => t
+      case other => throw new IllegalArgumentException(
+        "only mutation DML (INSERT INTO / UPDATE / DELETE FROM / MERGE INTO / " +
+          s"COPY INTO / TRUNCATE TABLE) can run inside a transaction; got: " +
+          s"'${other.trim.take(60)}'")
+    })
+
+  private val BeginRe = """(?is)^\s*BEGIN(?:\s+TRANSACTION)?\s*$""".r
+  private val CommitRe = """(?is)^\s*(?:COMMIT|END)(?:\s+TRANSACTION)?\s*$""".r
+  private val TxScriptRe = """(?is)^\s*BEGIN\b""".r
+
+  /** Atomic SQL transaction script:
+    * {{{ BEGIN; <dml>; <dml>; ...; COMMIT; }}}
+    * Every statement's mutation lands or none does — a statement failing
+    * mid-script (analysis error, arity mismatch, constraint violation,
+    * unknown table) rolls every earlier statement back and rethrows. The
+    * locked table set is derived from the statements themselves (each
+    * mutation verb names its target), acquired in sorted order up front —
+    * the SQL face of [[transaction]], sharing its refusals (feed-tracked /
+    * MV-base tables) and its isolation (serializable on the named tables).
+    * The BEGIN/COMMIT frame is optional: a bare statement list runs as one
+    * implicit transaction. Returns the sum of the statements'
+    * [[executeDml]] results.
+    */
+  def executeTransaction(script: String): Long = {
+    val stmts = splitSqlScript(script) match {
+      case first :: rest if BeginRe.matches(first) => rest match {
+        case init :+ last if CommitRe.matches(last) => init
+        case _ => throw new IllegalArgumentException(
+          "BEGIN without a closing COMMIT — an unterminated script would " +
+            "silently drop trailing statements")
+      }
+      case bare => bare
+    }
+    require(stmts.nonEmpty, "empty transaction: no statements between BEGIN and COMMIT")
+    val targets = stmts.map(dmlTarget).distinct
+    transaction(targets)(stmts.map(executeDml).sum)
+  }
+
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][\w]*)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val DeleteAllRe =
@@ -748,6 +819,8 @@ final class Database(val spark: SparkSession) {
     */
   def executeDml(sql: String): Long = {
     import org.apache.spark.sql.functions.{col, expr}
+    // A `BEGIN; ...; COMMIT` script is the atomic multi-statement form.
+    if (TxScriptRe.findFirstIn(sql).isDefined) return executeTransaction(sql)
     def ds(name: String): LakeDataset = tables.getOrElse(name,
       throw new IllegalArgumentException(s"unknown lake table '$name'"))
     parseMerge(sql) match {

@@ -126,6 +126,59 @@ class TransactionSpec extends SparkSpec {
     }
   }
 
+  test("SQL script: BEGIN/COMMIT applies every statement atomically") {
+    val (db, dsA, dsB) = freshPair("txsql_a", "txsql_b")
+    val before = dsA.rowsCount
+    // executeDml delegates a BEGIN script to executeTransaction; the tag
+    // literal carries a ';' to exercise the quote-aware splitter
+    db.executeDml(
+      """BEGIN TRANSACTION;
+        |INSERT INTO txsql_b SELECT * FROM txsql_a WHERE o_orderkey <= 50;
+        |DELETE FROM txsql_a WHERE o_orderkey <= 50;
+        |UPDATE txsql_b SET o_orderpriority = 'tag;v1' WHERE o_orderkey <= 20;
+        |COMMIT;""".stripMargin)
+    val moved = db.executeSql("SELECT COUNT(*) AS n FROM txsql_b").head().getLong(0)
+    assert(moved > 0)
+    assert(dsA.rowsCount == before - moved)
+    assert(db.executeSql(
+      "SELECT COUNT(*) AS n FROM txsql_b WHERE o_orderpriority = 'tag;v1'")
+      .head().getLong(0) ==
+      orders.filter(col("o_orderkey") <= 20).count())
+  }
+
+  test("SQL script: a failing mid-script statement rolls earlier ones back") {
+    val (db, dsA, dsB) = freshPair("txsf_a", "txsf_b")
+    val hashA = contentHash(dsA)
+    intercept[Exception] {
+      db.executeTransaction(
+        """BEGIN;
+          |DELETE FROM txsf_a WHERE o_orderkey <= 500;
+          |INSERT INTO txsf_b SELECT * FROM txsf_no_such_table;
+          |COMMIT""".stripMargin)
+    }
+    assert(contentHash(dsA) == hashA)
+    assert(dsB.rowsCount == 0L)
+  }
+
+  test("SQL script: DDL refuses up front — nothing runs, nothing locks") {
+    val (db, dsA, _) = freshPair("txsd_a", "txsd_b")
+    val rows = dsA.rowsCount
+    val e = intercept[IllegalArgumentException] {
+      db.executeTransaction(
+        """BEGIN;
+          |DELETE FROM txsd_a WHERE o_orderkey <= 500;
+          |DROP TABLE txsd_a;
+          |COMMIT""".stripMargin)
+    }
+    assert(e.getMessage.contains("only mutation DML"))
+    // the refusal happened BEFORE the DELETE executed
+    assert(dsA.rowsCount == rows)
+    // unterminated scripts refuse too (trailing statements would drop)
+    intercept[IllegalArgumentException] {
+      db.executeTransaction("BEGIN; DELETE FROM txsd_a WHERE o_orderkey <= 5")
+    }
+  }
+
   test("concurrent transactions on overlapping tables serialize (no deadlock)") {
     val (db, dsA, dsB) = freshPair("txp_a", "txp_b")
     val rowsA = dsA.rowsCount
