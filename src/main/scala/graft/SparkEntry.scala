@@ -1148,6 +1148,46 @@ object SparkEntry {
           |FROM orders_sketch""".stripMargin)
     }),
 
+    // GK quantile summaries (QuantileMap): approx median/p95 answered from
+    // the CATALOG alone (zero scan jobs), verified two ways in one gate —
+    // the exact discrete quantile (the k-th smallest value, k=ceil(q*n);
+    // identical relational definition on the DuckDB side, so bit-exact)
+    // plus a within_bound boolean holding the catalog answer's RANK to the
+    // GK bound (GK summaries answer within ~2eps of the true rank but never
+    // bit-identically across merge orders — the deterministic facts go in
+    // the output, the approximate value is asserted, not printed).
+    "lake_stats_quantile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = table(s, dir, "orders")
+        .withColumn("o_batch", (col("o_orderkey") / 3000).cast("int"))
+      val ds = LakeDataset.fromDataFrame(s, o, partitionCols = Seq("o_batch"),
+        quantileCols = Seq("o_totalprice"))
+      val qs = Seq(0.25, 0.50, 0.75, 0.95)
+      val approx = ds.metaApproxQuantile(Seq("o_totalprice"), qs)
+        .getOrElse(throw new IllegalStateException(
+          "catalog must answer quantiles on a pure-append table"))("o_totalprice")
+      val n = o.count()
+      // one scan: the exact rank of each catalog answer
+      val rankAggs = qs.zip(approx).map { case (q, v) =>
+        (sum(when(col("o_totalprice") <= lit(v), 1L).otherwise(0L))
+          .cast("double") / lit(n.toDouble)).as(s"r${(q * 100).toInt}")
+      }
+      val ranks = o.agg(rankAggs.head, rankAggs.tail: _*).head()
+      val bnd = 2 * graft.lake.QuantileMap.Eps + 2.0 / n
+      // gate-scale oracle-shaped exact quantiles (the global sort is the
+      // ORACLE's cost, not the operator's — the catalog answer above ran
+      // zero jobs)
+      val ranked = o.select(col("o_totalprice").as("v"),
+        row_number().over(Window.orderBy(col("o_totalprice"))).as("rn"))
+      val ks = qs.map(q => math.ceil(q * n).toLong)
+      val kth = ranked.filter(col("rn").isin(ks: _*))
+        .collect().map(r => r.getInt(1).toLong -> r.getDouble(0)).toMap
+      import s.implicits._
+      qs.zipWithIndex.map { case (q, i) =>
+        ((q * 100).toInt, kth(ks(i)), math.abs(ranks.getDouble(i) - q) <= bnd)
+      }.toDF("q_pct", "exact_disc", "within_bound").orderBy("q_pct")
+    }),
+
     // The same on the SQL surface: LakePruneRule collapses COUNT/SUM/MIN
     // mixes over the view into a LocalRelation.
     "lake_sql_stats_sum" -> ((s, dir) => {
@@ -2688,6 +2728,21 @@ object SparkEntry {
         |       CAST(SUM(o_custkey) AS BIGINT) AS sum_o_custkey,
         |       CAST(SUM(o_orderkey) AS BIGINT) AS sum_o_orderkey
         |FROM orders""".stripMargin,
+
+    // lake_stats_quantile: exact_disc is the k-th smallest (k=ceil(q*n)) —
+    // a value from the data, so bit-exact across engines; within_bound
+    // pins the catalog's GK answers to their rank bound on the Spark side.
+    "lake_stats_quantile" ->
+      """WITH ranked AS (
+        |  SELECT o_totalprice AS v,
+        |         ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn,
+        |         (SELECT COUNT(*) FROM orders) AS n
+        |  FROM orders)
+        |SELECT q_pct, MIN(v) AS exact_disc, TRUE AS within_bound
+        |FROM (VALUES (25), (50), (75), (95)) AS qs(q_pct), ranked
+        |WHERE rn = CAST(CEIL(q_pct * n / 100.0) AS BIGINT)
+        |GROUP BY q_pct
+        |ORDER BY q_pct""".stripMargin,
 
     "lake_sql_stats_sum" ->
       """SELECT COUNT(*) AS cnt, CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,

@@ -56,6 +56,14 @@ final class LakeDataset private (
       * sketch; see [[HllMap]] for the estimator contract).
       */
     val sketchCols: List[String] = Nil,
+    /** Columns with per-part Greenwald–Khanna quantile summaries
+      * ([[QuantileMap]]) — opt-in, like [[sketchCols]]: each tracked column
+      * adds one `gk_agg` to every routing aggregation and a few KB per part
+      * to the manifest, and buys `approx median / p95 / p99` answers from
+      * the CATALOG alone within the GK rank-error bound (see
+      * [[QuantileMap]] for the merge-order caveat).
+      */
+    val quantileCols: List[String] = Nil,
     /** When set, maintain CREATED_AT/CHANGED_AT audit stamps (the
       * reference's own TODO, src/main.rs:34): every ingested row is stamped
       * with this clock; upserts preserve the original `created_at` and renew
@@ -164,13 +172,21 @@ final class LakeDataset private (
     sketchCols.filter(c => schema.fields.exists(f =>
       f.name == c && HllMap.sketchable(f.dataType)))
 
-  /** (zone columns, bloom columns, sum columns, sketch columns) for a frame
+  /** Declared quantile columns present in a frame's schema (numeric — same
+    * late-analysis-error rationale as [[sketchColsFor]]).
+    */
+  private[lake] def quantileColsFor(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    quantileCols.filter(c => schema.fields.exists(f =>
+      f.name == c && QuantileMap.quantileable(f.dataType)))
+
+  /** (zone, bloom, sum, sketch, quantile columns) for a frame
     * — the per-part stat selector threaded into [[LakePart]] so materialize
     * recomputes the same sets.
     */
   private[lake] def statColsFor(schema: org.apache.spark.sql.types.StructType)
-      : (Seq[String], Seq[String], Seq[String], Seq[String]) =
-    (zoneColsFor(schema), bloomColsFor(schema), sumColsFor(schema), sketchColsFor(schema))
+      : (Seq[String], Seq[String], Seq[String], Seq[String], Seq[String]) =
+    (zoneColsFor(schema), bloomColsFor(schema), sumColsFor(schema),
+      sketchColsFor(schema), quantileColsFor(schema))
 
   def partKeys: List[PartKey] = parts.keySet().asScala.toList.sortBy(_.relPath)
   def part(key: PartKey): Option[LakePart] = Option(parts.get(key))
@@ -544,9 +560,10 @@ final class LakeDataset private (
     val bc = bloomColsFor(snap.schema)
     val sc = retrackSums(snap.schema)
     val kc = sketchColsFor(snap.schema)
+    val qc = quantileColsFor(snap.schema)
     val statAggs = count(lit(1)) +:
       (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(snap.schema, sc) ++
-        HllMap.aggs(kc))
+        HllMap.aggs(kc) ++ QuantileMap.aggs(qc))
     def bloomsAt(row: Row, offset: Int): Option[Map[String, Bloom]] =
       if (bc.isEmpty) None else Some(Bloom.fromRow(row, offset, bc))
     def sumsAt(row: Row, zoneOffset: Int): Option[Map[String, ColSum]] =
@@ -555,6 +572,11 @@ final class LakeDataset private (
       if (kc.isEmpty) None
       else Some(HllMap.fromRow(row,
         zoneOffset + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length, kc))
+    def quantsAt(row: Row, zoneOffset: Int): Option[Map[String, Array[Byte]]] =
+      if (qc.isEmpty) None
+      else Some(QuantileMap.fromRow(row,
+        zoneOffset + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length +
+          kc.length, qc))
     val cells: Array[Row] =
       if (partitionCols.isEmpty && bucketCols.isEmpty) Array.empty
       else {
@@ -574,7 +596,7 @@ final class LakeDataset private (
         retainDirect, initialZones = Some(ZoneMap.fromRow(row, 1, zc)),
         statColsOf = statColsFor, initialBlooms = bloomsAt(row, 1 + 2 * zc.length),
         snapshot = partSnapshot, initialSums = sumsAt(row, 1),
-        initialSketches = sketchesAt(row, 1)))
+        initialSketches = sketchesAt(row, 1), initialQuants = quantsAt(row, 1)))
     } else {
       val nKeyCols = partitionCols.length + (if (bucketCols.nonEmpty) 1 else 0)
       cells.foreach { row =>
@@ -600,7 +622,8 @@ final class LakeDataset private (
             retainDirect, initialZones = Some(zones), statColsOf = statColsFor,
             initialBlooms = bloomsAt(row, nKeyCols + 1 + 2 * zc.length),
             snapshot = partSnapshot, initialSums = sumsAt(row, nKeyCols + 1),
-            initialSketches = sketchesAt(row, nKeyCols + 1)))
+            initialSketches = sketchesAt(row, nKeyCols + 1),
+            initialQuants = quantsAt(row, nKeyCols + 1)))
       }
     }
     cleanScan = Some(snap)
@@ -836,7 +859,8 @@ final class LakeDataset private (
       partStats = serializedStats, bloomCols = bloomCols,
       partBlooms = serializedBlooms, partRows = serializedRows,
       partSums = serializedSums, sketchCols = sketchCols,
-      partSketches = serializedSketches, checks = checksMap, version = v)
+      partSketches = serializedSketches, quantileCols = quantileCols,
+      partQuants = serializedQuants, checks = checksMap, version = v)
 
   // ------------------------------------------------------------------
   // Optimistic concurrency — the manifest commit protocol.
@@ -966,6 +990,8 @@ final class LakeDataset private (
       s"column '$name' carries key Bloom statistics - relayout to change it")
     require(!sketchCols.contains(name),
       s"column '$name' carries HLL distinct sketches - relayout to change it")
+    require(!quantileCols.contains(name),
+      s"column '$name' carries quantile summaries - relayout to change it")
     val referencing = checksMap.filter { case (_, e) =>
       try spark.sessionState.sqlParser.parseExpression(e).collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
@@ -1183,6 +1209,17 @@ final class LakeDataset private (
       val snap = part.sketches
       if (part.statsTight.get && part.rows.get >= 0L && snap.exists(_.nonEmpty))
         Some(key.relPath -> snap.get.map { case (c, b) => c -> HllMap.encode(b) })
+      else None
+    }.toMap
+
+  /** Per-part GK quantile summaries, serialized ONLY for tight parts — same
+    * one-way discipline as [[serializedSketches]].
+    */
+  private def serializedQuants: Map[String, Map[String, String]] =
+    parts.asScala.flatMap { case (key, part) =>
+      val snap = part.quants
+      if (part.statsTight.get && part.rows.get >= 0L && snap.exists(_.nonEmpty))
+        Some(key.relPath -> snap.get.map { case (c, b) => c -> QuantileMap.encode(b) })
       else None
     }.toMap
 
@@ -1481,6 +1518,95 @@ final class LakeDataset private (
       val maps = sketchMaps.map(_.get)
       Some(cols.map(c => c -> HllMap.unionEstimate(maps.map(_(c)))).toMap)
     }
+
+  /** Metadata-only APPROX QUANTILE answers: per-column GK summaries folded
+    * ENTIRELY from the catalog — zero Spark jobs, zero file reads. Same
+    * tightness contract as [[metaApproxDistinct]] (every selected part
+    * tight with a known counter AND a summary for every requested column);
+    * parts fold in sorted key order, so the answer is a deterministic
+    * function of the catalog state, within the GK rank-error bound (~2ε,
+    * ε = [[QuantileMap.Eps]]) of the true quantile — see [[QuantileMap]]
+    * for why no mergeable quantile summary can promise bit-equality with a
+    * scan. Fail open (None) on anything less — including an empty table,
+    * where no quantile is defined; never a divergent answer.
+    */
+  def metaApproxQuantile(cols: Seq[String], qs: Seq[Double],
+      cellFilter: PartKey => Boolean = _ => true)
+      : Option[Map[String, Seq[Double]]] =
+    this.synchronized {
+      if (parts.isEmpty || cols.isEmpty || qs.isEmpty) return None
+      if (!cols.forall(quantileCols.contains)) return None
+      val ps = parts.asScala.toList.filter(p => cellFilter(p._1))
+        .sortBy(_._1.relPath).map(_._2)
+      if (ps.isEmpty) return None
+      if (!ps.forall(p => p.statsTight.get && p.rows.get >= 0L)) return None
+      val quantMaps = ps.map(_.quants)
+      if (!quantMaps.forall(s => s.exists(m => cols.forall(m.contains)))) return None
+      val maps = quantMaps.map(_.get)
+      val answers = cols.map { c =>
+        val folded = QuantileMap.fold(maps.map(_(c)))
+        c -> qs.map(q => folded.query(q))
+      }
+      if (answers.exists(_._2.exists(_.isEmpty))) None
+      else Some(answers.map { case (c, vs) => c -> vs.map(_.get) }.toMap)
+    }
+
+  /** [[metaApproxQuantile]] grouped by PARTITION columns — per-group
+    * approx quantiles folded from each group's member parts only, same
+    * gating as [[metaSumsGrouped]] (every part tight, summaries for every
+    * requested column; group values decoded from the partition path).
+    * Groups whose summarized stream is empty are omitted (no quantile is
+    * defined over zero non-null values).
+    */
+  def metaApproxQuantileGrouped(groupCols: Seq[String], cols: Seq[String],
+      qs: Seq[Double], cellFilter: PartKey => Boolean = _ => true)
+      : Option[Seq[(Seq[Any], Map[String, Seq[Double]])]] = this.synchronized {
+    if (parts.isEmpty || cols.isEmpty || qs.isEmpty) return None
+    if (groupCols.isEmpty || !groupCols.forall(partitionCols.contains)) return None
+    if (!cols.forall(quantileCols.contains)) return None
+    val schema = tableSchema
+    import org.apache.spark.sql.types._
+    def decode(s: String, dt: DataType): Option[Any] =
+      if (s == null) Some(null)
+      else try dt match {
+        case StringType => Some(s)
+        case IntegerType => Some(Integer.valueOf(s))
+        case LongType => Some(java.lang.Long.valueOf(s))
+        case ShortType => Some(java.lang.Short.valueOf(s))
+        case ByteType => Some(java.lang.Byte.valueOf(s))
+        case BooleanType => Some(java.lang.Boolean.valueOf(s))
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val psAll = parts.asScala.toList.filter(p => cellFilter(p._1))
+    if (psAll.isEmpty) return Some(Seq.empty)
+    if (!psAll.forall { case (_, p) => p.statsTight.get && p.rows.get >= 0L })
+      return None
+    val ps = psAll.filter(_._2.rows.get > 0L)
+    if (ps.isEmpty) return Some(Seq.empty)
+    if (!ps.forall { case (_, p) => p.quants.exists(m => cols.forall(m.contains)) })
+      return None
+    val grouped = ps.groupBy { case (key, _) =>
+      groupCols.map(c => key.partValues.collectFirst {
+        case (k, v) if k == c => v
+      }.orNull)
+    }
+    val out = grouped.toSeq.flatMap { case (strVals, members0) =>
+      val vals = strVals.zip(groupCols).map { case (s, c) =>
+        decode(s, schema(c).dataType) match {
+          case Some(v) => v
+          case None => return None
+        }
+      }
+      val members = members0.sortBy(_._1.relPath)
+      val answers = cols.map { c =>
+        val folded = QuantileMap.fold(members.map(_._2.quants.get.apply(c)))
+        c -> qs.map(q => folded.query(q))
+      }
+      if (answers.exists(_._2.exists(_.isEmpty))) None
+      else Some((vals, answers.map { case (c, vs) => c -> vs.map(_.get) }.toMap))
+    }
+    Some(out)
+  }
 
   /** [[metaSums]] grouped by PARTITION columns — the grouped analogue,
     * mirroring [[metaStatsGrouped]]'s gating and group-value decoding.
@@ -1811,22 +1937,22 @@ final class LakeDataset private (
     * order.
     */
   private def cellCountsOf(p: DataFrame)
-      : (Array[Row], Seq[String], Seq[String], Seq[String], Seq[String]) =
-    if (cellKeyCols.isEmpty) (null, Nil, Nil, Nil, Nil)
+      : (Array[Row], Seq[String], Seq[String], Seq[String], Seq[String], Seq[String]) =
+    if (cellKeyCols.isEmpty) (null, Nil, Nil, Nil, Nil, Nil)
     else {
-      val (zc, bc, sc, kc) = statColsFor(p.schema)
+      val (zc, bc, sc, kc, qc) = statColsFor(p.schema)
       val aggCols = count(lit(1)) +:
         (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(p.schema, sc) ++
-          HllMap.aggs(kc))
+          HllMap.aggs(kc) ++ QuantileMap.aggs(qc))
       (p.groupBy(cellKeyCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*).collect(),
-        zc, bc, sc, kc)
+        zc, bc, sc, kc, qc)
     }
 
   private def splitByCell(df0: DataFrame)
       : (DataFrame, List[LakeDataset.Slice]) = {
     val p = prepared(df0)
-    val (counts, zc, bc, sc, kc) = cellCountsOf(p)
-    splitPrepared(p, counts, zc, bc, sc, kc)
+    val (counts, zc, bc, sc, kc, qc) = cellCountsOf(p)
+    splitPrepared(p, counts, zc, bc, sc, kc, qc)
   }
 
   /** Checkpoint a prepared batch and slice it per cell using precomputed
@@ -1841,7 +1967,7 @@ final class LakeDataset private (
     */
   private def splitPrepared(p: DataFrame, cellCounts: Array[Row],
       zoneCols: Seq[String], bloomColsIn: Seq[String], sumColsIn: Seq[String],
-      sketchColsIn: Seq[String])
+      sketchColsIn: Seq[String], quantColsIn: Seq[String])
       : (DataFrame, List[LakeDataset.Slice]) = {
     // Big batches spill to parquet like whole-table snapshots (the cell
     // counts give the size for free); partition-less datasets have no
@@ -1857,10 +1983,10 @@ final class LakeDataset private (
     if (cellCounts == null) {
       // Single-cell dataset: count + zones + blooms + sums + sketches in ONE
       // aggregation job over the snapshot (was a bare count).
-      val (zc, bc, sc, kc) = statColsFor(snap.schema)
+      val (zc, bc, sc, kc, qc) = statColsFor(snap.schema)
       val aggCols = count(lit(1)) +:
         (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(snap.schema, sc) ++
-          HllMap.aggs(kc))
+          HllMap.aggs(kc) ++ QuantileMap.aggs(qc))
       val row = snap.agg(aggCols.head, aggCols.tail: _*).head()
       val sumOff = 1 + 2 * zc.length + Bloom.Planes * bc.length
       return (batch,
@@ -1868,7 +1994,10 @@ final class LakeDataset private (
           ZoneMap.fromRow(row, 1, zc), bloomsAt(row, 1 + 2 * zc.length, bc),
           SumMap.fromRow(row, sumOff, sc),
           if (kc.isEmpty) None
-          else Some(HllMap.fromRow(row, sumOff + 2 * sc.length, kc)))))
+          else Some(HllMap.fromRow(row, sumOff + 2 * sc.length, kc)),
+          if (qc.isEmpty) None
+          else Some(QuantileMap.fromRow(row,
+            sumOff + 2 * sc.length + kc.length, qc)))))
     }
 
     val keyCols = cellKeyCols
@@ -1893,6 +2022,10 @@ final class LakeDataset private (
       val sketches =
         if (sketchColsIn.isEmpty) None
         else Some(HllMap.fromRow(row, sumOff + 2 * sumColsIn.length, sketchColsIn))
+      val quants =
+        if (quantColsIn.isEmpty) None
+        else Some(QuantileMap.fromRow(row,
+          sumOff + 2 * sumColsIn.length + sketchColsIn.length, quantColsIn))
       val cond = partitionCols.zipWithIndex.map { case (c, i) =>
         if (row.isNullAt(i)) snap(c).isNull
         else snap(c) === lit(row.get(i))
@@ -1902,7 +2035,7 @@ final class LakeDataset private (
       }
       val slice = snap.filter(cond.reduce(_ && _)).drop(LakeDataset.BucketCol)
       LakeDataset.Slice(PartKey(partVals.sortBy(_._1), bucketNr), slice, n,
-        zones, blooms, sums, sketches)
+        zones, blooms, sums, sketches, quants)
     }
     (batch, slices)
   }
@@ -1929,13 +2062,15 @@ final class LakeDataset private (
             new LakePart(s.df, s.key, bucketCols, nBuckets, s.rows, retainDirect,
               initialZones = Some(s.zones), statColsOf = statColsFor,
               initialBlooms = s.blooms, snapshot = partSnapshot,
-              initialSums = Some(s.sums), initialSketches = s.sketches)
+              initialSums = Some(s.sums), initialSketches = s.sketches,
+              initialQuants = s.quants)
           else {
             existing.insert(s.df, s.rows)
             existing.widenZones(s.zones)
             s.blooms.foreach(existing.widenBlooms)
             existing.addSums(s.sums) // exact under pure append
             s.sketches.foreach(existing.addSketches) // union: exact under append
+            s.quants.foreach(existing.addQuants) // merge: in-bound under append
             existing
           })
       }
@@ -1992,7 +2127,8 @@ final class LakeDataset private (
     // skipping a full batch write+read through the block store.
     enforceChecks(df, "upsert batch")
     val p = prepared(df)
-    val (counts, zoneCols, bloomColsP, sumColsP, sketchColsP) = cellCountsOf(p)
+    val (counts, zoneCols, bloomColsP, sumColsP, sketchColsP, quantColsP) =
+      cellCountsOf(p)
     val nCells = if (counts == null) 1 else counts.length
     this.synchronized {
       // Decide the path and capture the pre-merge snapshot BEFORE markDirty:
@@ -2015,7 +2151,8 @@ final class LakeDataset private (
         retain(merged)
       } else {
         val (batch, slices) =
-          splitPrepared(p, counts, zoneCols, bloomColsP, sumColsP, sketchColsP)
+          splitPrepared(p, counts, zoneCols, bloomColsP, sumColsP, sketchColsP,
+            quantColsP)
         slices.foreach { s =>
           diskDirs.remove(s.key); diskSchemas.remove(s.key)
           parts.compute(s.key, (_, existing) =>
@@ -2025,7 +2162,8 @@ final class LakeDataset private (
               new LakePart(s.df, s.key, bucketCols, nBuckets, s.rows, retainDirect,
                 initialZones = Some(s.zones), statColsOf = statColsFor,
                 initialBlooms = s.blooms, snapshot = partSnapshot,
-                initialSums = Some(s.sums), initialSketches = s.sketches)
+                initialSums = Some(s.sums), initialSketches = s.sketches,
+                initialQuants = s.quants)
             else {
               existing.upsert(s.df, keys, s.rows, leftWins = leftWins)
               // Sound widening: surviving values ⊆ old ∪ delta. (Sums are
@@ -2078,7 +2216,7 @@ final class LakeDataset private (
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
     enforceChecks(df, "insertWritten batch")
     val p = prepared(df)
-    val (counts, zc, bc, sc, kc) = profiled("iw:route")(cellCountsOf(p))
+    val (counts, zc, bc, sc, kc, qc) = profiled("iw:route")(cellCountsOf(p))
     require(counts != null,
       "insertWritten needs a partitioned or bucketed layout (fresh cells)")
     require(!p.columns.contains("bucket") || bucketCols.isEmpty,
@@ -2163,11 +2301,15 @@ final class LakeDataset private (
         val sketches =
           if (kc.isEmpty) None
           else Some(HllMap.fromRow(row, sumOff + 2 * sc.length, kc))
+        val quants =
+          if (qc.isEmpty) None
+          else Some(QuantileMap.fromRow(row, sumOff + 2 * sc.length + kc.length, qc))
         parts.put(key,
           new LakePart(restored, key, bucketCols, nBuckets, row.getLong(nKey),
             retainDirect, initialZones = Some(zones), statColsOf = statColsFor,
             initialBlooms = blooms, snapshot = partSnapshot,
-            initialSums = Some(sums), initialSketches = sketches))
+            initialSums = Some(sums), initialSketches = sketches,
+            initialQuants = quants))
         diskDirs.put(key, dir)
         diskSchemas.put(key, target)
       }
@@ -2726,7 +2868,8 @@ object LakeDataset {
       key: PartKey, df: DataFrame, rows: Long,
       zones: Map[String, Zone], blooms: Option[Map[String, Bloom]],
       sums: Map[String, ColSum],
-      sketches: Option[Map[String, Array[Byte]]] = None)
+      sketches: Option[Map[String, Array[Byte]]] = None,
+      quants: Option[Map[String, Array[Byte]]] = None)
 
   /** Internal bucket-id column, dropped before any user-visible output
     * (reference `$bucket`, src/dataset.rs:200-204).
@@ -2781,7 +2924,8 @@ object LakeDataset {
       auditColumns: Boolean = false,
       auditClock: () => Column = () => current_timestamp(),
       bloomCols: Seq[String] = Nil,
-      sketchCols: Seq[String] = Nil): LakeDataset = {
+      sketchCols: Seq[String] = Nil,
+      quantileCols: Seq[String] = Nil): LakeDataset = {
     // Refuse an unsketchable DECLARED sketch column up front: routed
     // sketch aggregation would otherwise fail open silently (the per-batch
     // selector filters by type), and the user would discover the column is
@@ -2794,8 +2938,17 @@ object LakeDataset {
           s"sketch column '$c' has type ${f.dataType.simpleString} — " +
             "hll_sketch_agg accepts int, bigint, string, binary"))
     }
+    // Same up-front refusal for quantile columns: a quantile is only
+    // defined over numerics.
+    quantileCols.foreach { c =>
+      df.schema.fields.find(_.name == c).foreach(f =>
+        require(QuantileMap.quantileable(f.dataType),
+          s"quantile column '$c' has type ${f.dataType.simpleString} — " +
+            "gk_agg accepts numeric types"))
+    }
     val ds = new LakeDataset(spark, partitionCols.toList, bucketCols.toList, nBuckets,
       storage, bloomCols = bloomCols.toList, sketchCols = sketchCols.toList,
+      quantileCols = quantileCols.toList,
       auditClock = if (auditColumns) Some(auditClock) else None)
     ds.insert(df)
     ds
@@ -2813,9 +2966,11 @@ object LakeDataset {
       nBuckets: Int,
       bloomCols: Seq[String],
       storage: StorageSpec,
-      sketchCols: Seq[String] = Nil): LakeDataset =
+      sketchCols: Seq[String] = Nil,
+      quantileCols: Seq[String] = Nil): LakeDataset =
     new LakeDataset(spark, partitionCols.toList, bucketCols.toList, nBuckets,
-      Some(storage), bloomCols = bloomCols.toList, sketchCols = sketchCols.toList)
+      Some(storage), bloomCols = bloomCols.toList, sketchCols = sketchCols.toList,
+      quantileCols = quantileCols.toList)
 
   /** Load a dataset from storage: read manifest, walk the directory tree for
     * part directories, rebuild parts (reference `Dataset::from_storage`,
@@ -2826,7 +2981,8 @@ object LakeDataset {
     val manifest = Manifest.read(root)
     val ds = new LakeDataset(spark, manifest.partitions, manifest.buckets,
       manifest.nBuckets, Some(manifest.storage.copy(root = root)),
-      bloomCols = manifest.bloomCols, sketchCols = manifest.sketchCols)
+      bloomCols = manifest.bloomCols, sketchCols = manifest.sketchCols,
+      quantileCols = manifest.quantileCols)
     ds.checksMap = manifest.checks // a reloaded table keeps its data contract
     ds.committedVersion.set(manifest.version)
 
@@ -2971,6 +3127,16 @@ object LakeDataset {
             else None
           }
         }.filter(_.nonEmpty)
+      // Quantile summaries restore under the same tightness vouch; an
+      // undecodable summary drops its column (approx-quantile fails open).
+      val quants: Option[Map[String, Array[Byte]]] =
+        if (!tight) None
+        else manifest.partQuants.get(key.relPath).map { cols =>
+          cols.flatMap { case (c, b64) =>
+            if (manifest.quantileCols.contains(c)) QuantileMap.decode(b64).map(c -> _)
+            else None
+          }
+        }.filter(_.nonEmpty)
       if (eager) {
         // Eager load: materialize NOW by contract (the caller asked for
         // resident parts); the thunk runs here, not on first touch.
@@ -2980,13 +3146,15 @@ object LakeDataset {
             exactRows.getOrElse(-1L), ds.retainDirect,
             initialZones = zones, statColsOf = ds.statColsFor, initialBlooms = blooms,
             snapshot = ds.partSnapshot, initialSums = sums,
-            initialSketches = sketches, initialTight = tight))
+            initialSketches = sketches, initialQuants = quants,
+            initialTight = tight))
       } else ds.parts.put(key,
         new LakePart(partDf(), key, manifest.buckets, manifest.nBuckets,
           exactRows.getOrElse(-1L), ds.retainDirect,
           initialZones = zones, statColsOf = ds.statColsFor, initialBlooms = blooms,
           snapshot = ds.partSnapshot, initialSums = sums,
-          initialSketches = sketches, initialTight = tight))
+          initialSketches = sketches, initialQuants = quants,
+          initialTight = tight))
       ds.diskDirs.put(key, dir.toString)
       target.foreach(t => ds.diskSchemas.put(key, t))
     }

@@ -39,14 +39,14 @@ final class LakePart private[lake] (
       */
     initialZones: Option[Map[String, Zone]] = None,
     /** The owning dataset's FIXED tracked-stat-column selector, returning
-      * (zone columns, bloom columns, sum columns, sketch columns) for a
+      * (zone, bloom, sum, sketch, quantile columns) for a
       * schema. Materialize
       * recomputes stats through it so the part never tracks a different set
       * than the routing aggregation widens with (set drift is unsound — see
       * LakeDataset.trackedZoneSet).
       */
-    statColsOf: org.apache.spark.sql.types.StructType => (Seq[String], Seq[String], Seq[String], Seq[String]) =
-      s => (ZoneMap.zoneCols(s), Nil, SumMap.sumCols(s), Nil),
+    statColsOf: org.apache.spark.sql.types.StructType => (Seq[String], Seq[String], Seq[String], Seq[String], Seq[String]) =
+      s => (ZoneMap.zoneCols(s), Nil, SumMap.sumCols(s), Nil, Nil),
     /** Per-column key Bloom filters of this part's data (see [[Bloom]]);
       * None = no statistics (membership pruning fails open). Mutations OR
       * plane bits (sound superset); rebuilds recompute tight.
@@ -70,6 +70,13 @@ final class LakePart private[lake] (
       * recompute.
       */
     initialSketches: Option[Map[String, Array[Byte]]] = None,
+    /** Per-column Greenwald–Khanna quantile summaries of this part's data
+      * (see [[QuantileMap]]); None = unknown (metadata approx-quantile
+      * answers fail open). Appends MERGE the batch's summaries in (within
+      * the GK merge bound); upsert/delete invalidate; materialize/ANALYZE
+      * recompute.
+      */
+    initialQuants: Option[Map[String, Array[Byte]]] = None,
     /** Whether the initial statistics (zones, blooms, row counter) reflect
       * the part's data EXACTLY — true on every in-memory creation path (all
       * compute stats from the routed batch itself); false for parts loaded
@@ -100,6 +107,8 @@ final class LakePart private[lake] (
     new AtomicReference[Option[Map[String, ColSum]]](initialSums)
   private val sketchesRef =
     new AtomicReference[Option[Map[String, Array[Byte]]]](initialSketches)
+  private val quantsRef =
+    new AtomicReference[Option[Map[String, Array[Byte]]]](initialQuants)
 
   /** Current exact column sums; None = unknown (metadata sums fail open).
     * Meaningful only while [[statsTight]] — consumers must check both.
@@ -126,6 +135,22 @@ final class LakePart private[lake] (
   private[lake] def addSketches(delta: Map[String, Array[Byte]]): Unit =
     sketchesRef.updateAndGet {
       case Some(old) => Some(HllMap.merge(old, delta))
+      case None => None
+    }
+
+  /** Current GK quantile summaries; None = unknown (metadata
+    * approx-quantile answers fail open). Meaningful only while
+    * [[statsTight]].
+    */
+  def quants: Option[Map[String, Array[Byte]]] = quantsRef.get
+
+  /** Merge an appended batch's quantile summaries in (see
+    * [[QuantileMap.merge]] — covers the concatenated stream within the GK
+    * merge bound). A part with unknown summaries stays unknown.
+    */
+  private[lake] def addQuants(delta: Map[String, Array[Byte]]): Unit =
+    quantsRef.updateAndGet {
+      case Some(old) => Some(QuantileMap.merge(old, delta))
       case None => None
     }
 
@@ -194,7 +219,7 @@ final class LakePart private[lake] (
       initialZones = zonesRef.get, statColsOf = statColsOf,
       initialBlooms = bloomsRef.get, snapshot = snapshot,
       initialSums = sumsRef.get, initialSketches = sketchesRef.get,
-      initialTight = statsTight.get)
+      initialQuants = quantsRef.get, initialTight = statsTight.get)
     f.changes.set(changes.get)
     f.mutationOps.set(mutationOps.get)
     f
@@ -243,6 +268,7 @@ final class LakePart private[lake] (
       statsTight.set(false) // superset zones + stale counter until materialize
       sumsRef.set(None) // a merge's post-state sum is not derivable
       sketchesRef.set(None) // replaced rows' registers cannot be subtracted
+      quantsRef.set(None) // replaced rows' tuples cannot be subtracted
       changes.addAndGet(otherRows)
       // rows counter intentionally unchanged (stale until materialize),
       // mirroring reference src/dataset.rs:144.
@@ -260,6 +286,7 @@ final class LakePart private[lake] (
     statsTight.set(false) // zones now a superset of the surviving rows
     sumsRef.set(None) // deleted rows' contribution is unknown
     sketchesRef.set(None) // deleted rows' registers cannot be subtracted
+    quantsRef.set(None) // deleted rows' tuples cannot be subtracted
     changes.addAndGet(1L)
     rows.set(-1L) // unknown until materialize/recount
     maybeCompact(false)
@@ -274,6 +301,7 @@ final class LakePart private[lake] (
     statsTight.set(false) // zones now a superset of the surviving rows
     sumsRef.set(None) // deleted rows' contribution is unknown
     sketchesRef.set(None) // deleted rows' registers cannot be subtracted
+    quantsRef.set(None) // deleted rows' tuples cannot be subtracted
     changes.addAndGet(1L)
     rows.set(-1L) // unknown until materialize/recount
     maybeCompact(false)
@@ -329,10 +357,10 @@ final class LakePart private[lake] (
       // (mutations in between only ever widened them), and parts that had
       // no stats at all (lazily loaded) gain them.
       import org.apache.spark.sql.functions.{count, lit}
-      val (zc, bc, sc, kc) = statColsOf(m.schema)
+      val (zc, bc, sc, kc, qc) = statColsOf(m.schema)
       val statAggs = count(lit(1)) +:
         (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(m.schema, sc) ++
-          HllMap.aggs(kc))
+          HllMap.aggs(kc) ++ QuantileMap.aggs(qc))
       val row = m.agg(statAggs.head, statAggs.tail: _*).head()
       rows.set(row.getLong(0))
       zonesRef.set(Some(ZoneMap.fromRow(row, 1, zc)))
@@ -340,6 +368,8 @@ final class LakePart private[lake] (
       sumsRef.set(Some(SumMap.fromRow(row, 1 + 2 * zc.length + Bloom.Planes * bc.length, sc)))
       if (kc.nonEmpty) sketchesRef.set(Some(HllMap.fromRow(row,
         1 + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length, kc)))
+      if (qc.nonEmpty) quantsRef.set(Some(QuantileMap.fromRow(row,
+        1 + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length + kc.length, qc)))
       changes.set(0L)
       mutationOps.set(0L)
       statsTight.set(true) // count + zones just recomputed from data
@@ -366,6 +396,7 @@ final class LakePart private[lake] (
     bloomsRef.updateAndGet(_.map(remap))
     sumsRef.updateAndGet(_.map(remap))
     sketchesRef.updateAndGet(_.map(remap))
+    quantsRef.updateAndGet(_.map(remap))
     mutationOps.incrementAndGet() // plan depth grew by one
   }
 
@@ -379,10 +410,10 @@ final class LakePart private[lake] (
     if (statsTight.get && rows.get >= 0L) return
     import org.apache.spark.sql.functions.{count, lit}
     val d = cur
-    val (zc, bc, sc, kc) = statColsOf(d.schema)
+    val (zc, bc, sc, kc, qc) = statColsOf(d.schema)
     val statAggs = count(lit(1)) +:
       (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(d.schema, sc) ++
-        HllMap.aggs(kc))
+        HllMap.aggs(kc) ++ QuantileMap.aggs(qc))
     val row = d.agg(statAggs.head, statAggs.tail: _*).head()
     rows.set(row.getLong(0))
     zonesRef.set(Some(ZoneMap.fromRow(row, 1, zc)))
@@ -390,6 +421,8 @@ final class LakePart private[lake] (
     sumsRef.set(Some(SumMap.fromRow(row, 1 + 2 * zc.length + Bloom.Planes * bc.length, sc)))
     if (kc.nonEmpty) sketchesRef.set(Some(HllMap.fromRow(row,
       1 + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length, kc)))
+    if (qc.nonEmpty) quantsRef.set(Some(QuantileMap.fromRow(row,
+      1 + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length + kc.length, qc)))
     statsTight.set(true)
   }
 

@@ -1,0 +1,133 @@
+package graft.lake
+
+import java.util.Base64
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.util.QuantileSummaries
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{GkAgg, GkCodec}
+
+/** Per-part Greenwald–Khanna quantile summaries — the sixth maintained
+  * statistic family beside row counters, zone maps, key blooms, column sums
+  * and HLL distinct sketches, closing the `approx median / p95 / p99`
+  * dashboard query from the catalog alone (zero scan tasks).
+  *
+  * Summary algebra: GK summaries MERGE (Spark's own distributed
+  * `percentile_approx` is built on exactly this merge), and a merged
+  * summary's rank error stays within ~2ε of the ε each input carried — the
+  * bound the catalog fold inherits no matter how many parts it spans. What
+  * GK does NOT give (and no sublinear mergeable quantile summary can) is
+  * bit-identical answers across merge ORDERS: the catalog fold (sorted
+  * part order) and a scan aggregation (task completion order) both answer
+  * within the rank bound of the true quantile and of each other, but not
+  * bit-for-bit — so specs pin the BOUND against exact quantiles, and gate
+  * queries expose deterministic derived facts (exact values, bound checks),
+  * never raw summary output.
+  *
+  * Maintenance rides the SAME tightness contract as sums and sketches
+  * ([[LakePart.statsTight]]): pure appends MERGE the batch's summaries in
+  * (the merged summary covers the concatenated stream within bound),
+  * upsert/delete invalidate (a removed row's tuples cannot be subtracted),
+  * materialize / ANALYZE recompute from data, and the manifest persists
+  * summaries only for vouched-tight parts.
+  *
+  * Tracking is OPT-IN per column at table creation (`quantileCols`), like
+  * blooms and HLL sketches: each tracked column adds one [[GkAgg]] to every
+  * routing aggregation and a few KB (ε = 0.01) per part to the manifest.
+  */
+object QuantileMap {
+
+  /** Relative rank error of maintained summaries (see [[GkAgg.DefaultEps]]). */
+  val Eps: Double = GkAgg.DefaultEps
+
+  /** Types a quantile is defined over — numerics, cast to double in the
+    * aggregation. Anything else is refused at table creation (a late
+    * analysis error inside the routing aggregation would poison every
+    * ingest).
+    */
+  def quantileable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** The aggregation columns maintaining summaries for `cols`, to append to
+    * a routing groupBy. Row layout contract: one binary column per tracked
+    * column, in `cols` order — parse back with [[fromRow]].
+    */
+  def aggs(cols: Seq[String]): Seq[Column] = cols.map(c => GkAgg.agg(col(c)))
+
+  /** An empty summary's bytes (what a zero-row group holds; [[GkAgg]] also
+    * evaluates all-NULL groups to this — the merge identity).
+    */
+  def empty: Array[Byte] = GkCodec.serialize(
+    new QuantileSummaries(QuantileSummaries.defaultCompressThreshold, Eps))
+
+  /** Parse the summaries appended by [[aggs]] from a collected row. */
+  def fromRow(row: org.apache.spark.sql.Row, offset: Int, cols: Seq[String])
+      : Map[String, Array[Byte]] =
+    cols.zipWithIndex.map { case (c, i) =>
+      val v = row.get(offset + i)
+      c -> (if (v == null) empty else v.asInstanceOf[Array[Byte]])
+    }.toMap
+
+  /** Merge two summaries — covers the concatenated streams within the GK
+    * merge bound (~2ε), which is what lets appends fold instead of
+    * invalidating.
+    */
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    GkCodec.serialize(merge2(GkCodec.deserialize(a), GkCodec.deserialize(b)))
+
+  private def merge2(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries = {
+    val ac = if (a.compressed) a else a.compress()
+    val bc = if (b.compressed) b else b.compress()
+    ac.merge(bc)
+  }
+
+  /** Fold an appended batch's summaries into a part's current ones — same
+    * directional soundness as `HllMap.merge`: tracked in both → merge;
+    * current-only keeps (the batch lacked the column, so its rows read as
+    * NULL and contribute nothing); delta-only is DROPPED (the part has no
+    * baseline, so adopting the delta's summary alone would be falsely
+    * complete).
+    */
+  def merge(current: Map[String, Array[Byte]], delta: Map[String, Array[Byte]])
+      : Map[String, Array[Byte]] =
+    current.map { case (c, x) => c -> delta.get(c).map(union(x, _)).getOrElse(x) }
+
+  /** Fold per-part summaries into one — PAIRWISE tree merge, not a
+    * sequential reduce: GK merge is O(|a|+|b|) and does not compress, so a
+    * left fold's accumulator grows with every step (O(parts²) tuple work —
+    * measured 0.43 s at 213 parts), while the balanced tree does
+    * O(total·log parts) (sub-10 ms at the same width). Deterministic:
+    * callers pass parts in sorted catalog order and the tree shape is a
+    * pure function of the count.
+    */
+  def fold(sketches: Seq[Array[Byte]]): QuantileSummaries = {
+    var level = sketches.map(GkCodec.deserialize).toIndexedSeq
+    while (level.length > 1) {
+      level = level.grouped(2).map {
+        case Seq(a, b) => merge2(a, b)
+        case Seq(a) => a
+      }.toIndexedSeq
+    }
+    level.head
+  }
+
+  /** The approximate `q`-quantile of the folded summaries; None when the
+    * summarized stream was empty (no quantile is defined — callers fail
+    * open, never invent a value).
+    */
+  def quantile(sketches: Seq[Array[Byte]], q: Double): Option[Double] = {
+    require(q >= 0.0 && q <= 1.0, s"quantile out of [0,1]: $q")
+    fold(sketches).query(q)
+  }
+
+  /** Manifest encoding. */
+  def encode(b: Array[Byte]): String = Base64.getEncoder.encodeToString(b)
+
+  def decode(s: String): Option[Array[Byte]] =
+    try Some(Base64.getDecoder.decode(s)) catch { case _: Exception => None }
+}

@@ -125,6 +125,15 @@ final case class Manifest(
       * the field load the same way (fail open to a scan).
       */
     partSketches: Map[String, Map[String, String]] = Map.empty,
+    /** Columns carrying per-part GK quantile summaries (opt-in at table
+      * creation, like [[sketchCols]]). */
+    quantileCols: List[String] = Nil,
+    /** Per-part GK quantile summaries (base64 bytes), written only for
+      * tight parts — the approx-quantile member of the tightness vouch,
+      * restored under the same [[partRows]] gate. Old manifests without
+      * the field load the same way (fail open to a scan).
+      */
+    partQuants: Map[String, Map[String, String]] = Map.empty,
     /** Table CHECK constraints: name → SQL boolean expression. Enforced on
       * every ingest (insert/upsert/update reject violating batches loudly);
       * persisted so a reloaded table keeps enforcing them. Old manifests
@@ -203,6 +212,17 @@ object Manifest {
         cols.foreach { case (c, b64) => pn.put(c, b64) }
       }
     }
+    if (m.quantileCols.nonEmpty) {
+      val qc = node.putArray("quantile_cols")
+      m.quantileCols.foreach(qc.add)
+    }
+    if (m.partQuants.nonEmpty) {
+      val qn = node.putObject("part_quants")
+      m.partQuants.foreach { case (rel, cols) =>
+        val pn = qn.putObject(rel)
+        cols.foreach { case (c, b64) => pn.put(c, b64) }
+      }
+    }
     if (m.checks.nonEmpty) {
       val checksN = node.putObject("checks")
       m.checks.foreach { case (name, e) => checksN.put(name, e) }
@@ -273,6 +293,14 @@ object Manifest {
       partSketches = Option(node.get("part_sketches")).map { sk =>
         sk.fieldNames().asScala.map { rel =>
           val pn = sk.get(rel)
+          rel -> pn.fieldNames().asScala.map(c => c -> pn.get(c).asText()).toMap
+        }.toMap
+      }.getOrElse(Map.empty),
+      quantileCols = Option(node.get("quantile_cols"))
+        .map(_.elements().asScala.map(_.asText()).toList).getOrElse(Nil),
+      partQuants = Option(node.get("part_quants")).map { qn =>
+        qn.fieldNames().asScala.map { rel =>
+          val pn = qn.get(rel)
           rel -> pn.fieldNames().asScala.map(c => c -> pn.get(c).asText()).toMap
         }.toMap
       }.getOrElse(Map.empty),

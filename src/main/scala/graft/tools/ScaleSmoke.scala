@@ -46,7 +46,8 @@ object ScaleSmoke {
       !sys.env.contains("SPARK_GRAFT_ONLY_R10") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R11") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R12") &&
-      !sys.env.contains("SPARK_GRAFT_ONLY_R12B")
+      !sys.env.contains("SPARK_GRAFT_ONLY_R12B") &&
+      !sys.env.contains("SPARK_GRAFT_ONLY_R12C")
     if (runAll) {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val big = (0 until copies).map { i =>
@@ -982,6 +983,56 @@ object ScaleSmoke {
       }
     }
     if (onlyR12b) { spark.stop(); return }
+
+    // ---- R12c: GK quantile summaries at ~100 parts -------------------------
+    // Claim: the catalog fold answers approx quantiles in O(parts) driver
+    // work (zero scan jobs), within the GK rank bound of the true quantile;
+    // the alternative is a full percentile_approx scan. Run just this
+    // section with SPARK_GRAFT_ONLY_R12C=1.
+    val onlyR12c = sys.env.contains("SPARK_GRAFT_ONLY_R12C")
+    if (runAll || onlyR12c) {
+      val mo12c = (0 until copies).map { i =>
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 10000000L))
+      }.reduce(_ unionByName _)
+        .withColumn("o_batch", (col("o_orderkey") / 15000L).cast("int"))
+        .localCheckpoint(true)
+      val n12c = mo12c.count()
+      println(s"[scale] r12c orders: $n12c rows (${copies}x)")
+      val dq = time("create quantile-tracked (~100 parts)") {
+        LakeDataset.fromDataFrame(spark, mo12c,
+          partitionCols = Seq("o_batch"), quantileCols = Seq("o_totalprice"))
+      }
+      println(s"[scale] quantile dataset parts: ${dq.numParts}")
+      val qs12c = Seq(0.5, 0.95, 0.99)
+      val metaQ = time(s"catalog approx-quantile (${dq.numParts}-part fold)") {
+        dq.metaApproxQuantile(Seq("o_totalprice"), qs12c).get("o_totalprice")
+      }
+      // second fold: the first call pays one-time class loading
+      time(s"catalog approx-quantile (warm)") {
+        dq.metaApproxQuantile(Seq("o_totalprice"), qs12c).get("o_totalprice")
+      }
+      val scanQ = time("scan percentile_approx (distributed)") {
+        dq.toDF.agg(percentile_approx(col("o_totalprice"),
+          array(qs12c.map(lit): _*), lit(10000))).head()
+          .getSeq[Double](0)
+      }
+      // Both answer within the rank bound of the truth; check the catalog's
+      // answers against the exact CDF in one scan.
+      val rankAggs = qs12c.zip(metaQ).map { case (q, v) =>
+        (sum(when(col("o_totalprice") <= lit(v), 1L).otherwise(0L))
+          .cast("double") / lit(n12c.toDouble)).as(s"r${(q * 100).toInt}")
+      }
+      val ranks = dq.toDF.agg(rankAggs.head, rankAggs.tail: _*).head()
+      qs12c.zipWithIndex.foreach { case (q, i) =>
+        val err = math.abs(ranks.getDouble(i) - q)
+        println(f"[scale] q=$q catalog=${metaQ(i)}%.2f scan=${scanQ(i)}%.2f " +
+          f"rankErr=$err%.4f")
+        require(err <= 2 * graft.lake.QuantileMap.Eps + 2.0 / n12c,
+          s"catalog quantile q=$q out of bound: rank error $err")
+      }
+    }
+    if (onlyR12c) { spark.stop(); return }
 
     // ---- IVF ANN: probe cost vs corpus growth ------------------------------
     // The scale claim: an IVF probe reads nprobe inverted LISTS, whose size
