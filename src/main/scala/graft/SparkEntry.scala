@@ -1188,6 +1188,27 @@ object SparkEntry {
       }.toDF("q_pct", "exact_disc", "within_bound").orderBy("q_pct")
     }),
 
+    // SHOW STATS: every maintained stat family folded from the catalog in
+    // one verb — zero scan jobs. The gate projects the EXACT families
+    // (counts, zones, sums; deterministic and DuckDB-reproducible); the
+    // approx families (HLL distinct, GK quantiles) are bound-asserted in
+    // QuantileStatsSpec instead, since no oracle can reproduce their bits.
+    "lake_sql_show_stats" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .withColumn("o_batch", (col("o_orderkey") / 3000).cast("int"))
+      val db = new Database(s)
+      db.register("stats_show", LakeDataset.fromDataFrame(s, o,
+        partitionCols = Seq("o_batch"),
+        sketchCols = Seq("o_custkey"), quantileCols = Seq("o_totalprice")))
+      db.executeSql("SHOW STATS stats_show")
+        .filter(col("column").isin("o_orderkey", "o_custkey", "o_totalprice"))
+        .select(col("column"), col("n_rows"), col("non_nulls"),
+          col("min_value").cast("double").as("min_d"),
+          col("max_value").cast("double").as("max_d"),
+          col("sum_value").cast("double").as("sum_d"))
+        .orderBy("column")
+    }),
+
     // The same on the SQL surface: LakePruneRule collapses COUNT/SUM/MIN
     // mixes over the view into a LocalRelation.
     "lake_sql_stats_sum" -> ((s, dir) => {
@@ -2743,6 +2764,29 @@ object SparkEntry {
         |WHERE rn = CAST(CEIL(q_pct * n / 100.0) AS BIGINT)
         |GROUP BY q_pct
         |ORDER BY q_pct""".stripMargin,
+
+    // lake_sql_show_stats: the exact stat families per column. The double
+    // column (o_totalprice) has no sum family BY CONTRACT (float sums are
+    // never metadata-answered) — its non_nulls/sum_d are NULL.
+    "lake_sql_show_stats" ->
+      """SELECT * FROM (
+        |  SELECT 'o_custkey' AS "column", COUNT(*) AS n_rows,
+        |         COUNT(o_custkey) AS non_nulls,
+        |         CAST(MIN(o_custkey) AS DOUBLE) AS min_d,
+        |         CAST(MAX(o_custkey) AS DOUBLE) AS max_d,
+        |         CAST(SUM(CAST(o_custkey AS DECIMAL(38,0))) AS DOUBLE) AS sum_d
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderkey', COUNT(*), COUNT(o_orderkey),
+        |         CAST(MIN(o_orderkey) AS DOUBLE), CAST(MAX(o_orderkey) AS DOUBLE),
+        |         CAST(SUM(CAST(o_orderkey AS DECIMAL(38,0))) AS DOUBLE)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(*), CAST(NULL AS BIGINT),
+        |         CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+        |         CAST(NULL AS DOUBLE)
+        |  FROM orders)
+        |ORDER BY "column"""".stripMargin,
 
     "lake_sql_stats_sum" ->
       """SELECT COUNT(*) AS cnt, CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,

@@ -92,6 +92,8 @@ final class Database(val spark: SparkSession) {
     """(?is)^\s*SHOW\s+PARTITIONS\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val DescribeDetailRe =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val ShowStatsRe =
+    """(?is)^\s*SHOW\s+STATS\s+(?:FOR\s+)?([A-Za-z_][\w]*)\s*;?\s*$""".r
 
   /** Catalog listing: every registered table, its layout axes and cell
     * count — all driver-side metadata, zero jobs.
@@ -155,6 +157,59 @@ final class Database(val spark: SparkSession) {
         "num_constraints", "is_feed")
   }
 
+  /** `SHOW STATS [FOR] t` — one row per table column, every maintained
+    * statistic family folded from the CATALOG alone (zero scan jobs, zero
+    * file reads): exact row/non-null counts, min/max (zones), exact sums,
+    * HLL approx-distinct, GK approx p50/p95. A cell is NULL when its
+    * family cannot vouch — untracked column, untight part, inapplicable
+    * type — never stale or approximate-without-saying-so (the two approx
+    * families are named approx_*). min/max/sum render as strings: one
+    * output schema across column types.
+    */
+  private def showStats(name: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val d = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown lake table '$name'"))
+    val schema = d.tableSchema
+    val zc = d.zoneColsFor(schema)
+    val sc = d.sumColsFor(schema)
+    val kc = d.sketchColsFor(schema)
+    val qc = d.quantileColsFor(schema)
+    val zones = if (zc.isEmpty) None else d.metaStats(zc)
+    val sums = if (sc.isEmpty) None else d.metaSums(sc)
+    val dist = if (kc.isEmpty) None else d.metaApproxDistinct(kc)
+    val quants = if (qc.isEmpty) None else d.metaApproxQuantile(qc, Seq(0.5, 0.95))
+    val nRows: java.lang.Long =
+      zones.map(z => Long.box(z._1))
+        .orElse(d.knownRowsOption.map(Long.box)).orNull
+    val out = schema.fields.toSeq.map { f =>
+      val c = f.name
+      val z = zones.flatMap(_._2.get(c))
+      val cs = sums.flatMap(_._2.get(c))
+      val qv = quants.flatMap(_.get(c))
+      org.apache.spark.sql.Row(
+        c, nRows,
+        cs.map(x => Long.box(x.nonNulls)).orNull,
+        z.flatMap(_.min).map(_.toString).orNull,
+        z.flatMap(_.max).map(_.toString).orNull,
+        cs.map(_.sum.toPlainString).orNull,
+        dist.flatMap(_.get(c)).map(Long.box).orNull,
+        qv.map(v => Double.box(v.head)).orNull,
+        qv.map(v => Double.box(v(1))).orNull)
+    }
+    val outSchema = StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("n_rows", LongType),
+      StructField("non_nulls", LongType),
+      StructField("min_value", StringType),
+      StructField("max_value", StringType),
+      StructField("sum_value", StringType),
+      StructField("approx_distinct", LongType),
+      StructField("approx_p50", DoubleType),
+      StructField("approx_p95", DoubleType)))
+    spark.createDataFrame(new java.util.ArrayList(out.asJava), outSchema)
+  }
+
   /** Execute one SQL statement (reference `Database::execute_sql`,
     * src/database.rs:50-56). Lazy — returns the planned DataFrame.
     * Registered feeds additionally serve `FROM t VERSION AS OF n` and
@@ -165,6 +220,7 @@ final class Database(val spark: SparkSession) {
     case ShowTablesRe() => showTables
     case ShowPartitionsRe(t) if tables.contains(t) => showPartitions(t)
     case DescribeDetailRe(t) if tables.contains(t) => describeDetail(t)
+    case ShowStatsRe(t) if tables.contains(t) => showStats(t)
     case _ => spark.sql(if (feeds.isEmpty) sql else rewriteVersionAsOf(sql))
   }
 

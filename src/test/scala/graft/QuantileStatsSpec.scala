@@ -154,6 +154,39 @@ class QuantileStatsSpec extends SparkSpec {
     assert(GkCodec.deserialize(b3).query(0.5).isEmpty)
   }
 
+  test("SHOW STATS: approx families within bounds, exact families exact, untight NULLs") {
+    val o = orders.withColumn("o_batch", (col("o_orderkey") / 500).cast("int"))
+    val ds = graft.lake.LakeDataset.fromDataFrame(spark, o,
+      partitionCols = Seq("o_batch"),
+      sketchCols = Seq("o_custkey"), quantileCols = Seq("o_totalprice"))
+    val db = new graft.lake.Database(spark)
+    db.register("qss_t", ds)
+    val stats = db.executeSql("SHOW STATS FOR qss_t")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val n = o.count()
+    val price = stats("o_totalprice")
+    assert(price.getLong(1) == n)
+    assert(price.isNullAt(2) && price.isNullAt(5),
+      "double columns never metadata-answer sums, by contract")
+    val p50 = price.getDouble(7); val p95 = price.getDouble(8)
+    assert(math.abs(rankOf(o, "o_totalprice", p50) - 0.5) <= bound(n))
+    assert(math.abs(rankOf(o, "o_totalprice", p95) - 0.95) <= bound(n))
+    val cust = stats("o_custkey")
+    assert(cust.getLong(2) == o.filter(col("o_custkey").isNotNull).count())
+    val scanDistinct = o.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("o_custkey"),
+        lit(graft.lake.HllMap.LgK)))).head().getLong(0)
+    assert(cust.getLong(6) == scanDistinct, "HLL fold == scan, bit for bit")
+    assert(cust.isNullAt(7), "untracked quantile column stays NULL")
+    // a mutation untightens: approx columns go NULL, nothing stale served
+    ds.delete(o.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+      Seq("o_orderkey"))
+    val after = db.executeSql("SHOW STATS qss_t")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(after("o_totalprice").isNullAt(7) && after("o_custkey").isNullAt(6),
+      "untight parts must NULL the approx answers, never serve stale ones")
+  }
+
   test("QuantileMap.merge directional soundness (current-only keeps, delta-only drops)") {
     val a = spark.range(1000).select(col("id").cast("double").as("v"))
       .agg(GkAgg.agg(col("v"))).head().getAs[Array[Byte]](0)
