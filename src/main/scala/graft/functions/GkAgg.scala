@@ -38,6 +38,16 @@ object GkCodec {
     new QuantileSummaries(
       QuantileSummaries.defaultCompressThreshold, eps, stats, count, true)
   }
+
+  /** Compress-then-merge — THE one merge discipline, shared by the
+    * distributed aggregate ([[GkAgg.merge]]) and the catalog fold
+    * (`QuantileMap`), so the two paths cannot silently diverge.
+    */
+  def mergeCompressed(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries = {
+    val ac = if (a.compressed) a else a.compress()
+    val bc = if (b.compressed) b else b.compress()
+    ac.merge(bc)
+  }
 }
 
 /** `gk_agg(col)` — a native TypedImperativeAggregate producing a serialized
@@ -87,11 +97,8 @@ case class GkAgg(
     if (v == null) buffer else buffer.insert(v.asInstanceOf[Double])
   }
 
-  override def merge(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries = {
-    val ac = if (a.compressed) a else a.compress()
-    val bc = if (b.compressed) b else b.compress()
-    ac.merge(bc)
-  }
+  override def merge(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries =
+    GkCodec.mergeCompressed(a, b)
 
   override def eval(buffer: QuantileSummaries): Any = GkCodec.serialize(buffer)
 

@@ -279,27 +279,52 @@ final class Database(val spark: SparkSession) {
         s"table $n has dependent materialized views — their maintained state " +
           "cannot be unwound by a rollback")
     }
+    // Two names may alias ONE dataset (register allows it): begin/commit/
+    // rollback must run once per DATASET, so dedupe by reference (LakeDataset
+    // does not override equals — List.distinct is identity here). Locking
+    // stays per entry; monitors are reentrant, duplicates are harmless.
+    val distinctDs = resolved.map(_._2).distinct.toList
     def locked[B](ds: List[LakeDataset])(f: => B): B = ds match {
       case Nil => f
       case h :: t => h.synchronized(locked(t)(f))
     }
-    locked(resolved.map(_._2).toList) {
-      // close over each dataset's path-dependent TxState at begin time
-      val snaps = resolved.map { case (_, ds) =>
-        val st = ds.txBegin()
-        (() => ds.txCommit(), () => ds.txRollback(st))
-      }
-      try {
-        val out = body
-        snaps.foreach(_._1())
-        resolved.foreach { case (n, _) => refresh(n) }
-        out
-      } catch {
+    locked(distinctDs) {
+      // Begin fan-out is exception-safe: a mid-list txBegin failure (e.g. a
+      // dataset already inside another Database's transaction) unwinds the
+      // datasets already begun — none may be left in-transaction forever.
+      val begun = scala.collection.mutable.ListBuffer
+        .empty[(LakeDataset, LakeDataset#TxState)]
+      try distinctDs.foreach { ds => begun += ((ds, ds.txBegin())) }
+      catch {
         case t: Throwable =>
-          snaps.reverse.foreach(_._2())
-          resolved.foreach { case (n, _) => refresh(n) }
+          begun.toList.reverse.foreach { case (ds, st) =>
+            ds.txRollback(st.asInstanceOf[ds.TxState])
+          }
           throw t
       }
+      val out =
+        // ANY exit without completing the body aborts — including a
+        // non-local `return` out of the enclosing method (its
+        // ControlThrowable lands here): the mutations roll back and the
+        // control flow proceeds; don't `return` from inside a transaction
+        // you don't mean to abort.
+        try body
+        catch {
+          case t: Throwable =>
+            begun.toList.reverse.foreach { case (ds, st) =>
+              ds.txRollback(st.asInstanceOf[ds.TxState])
+            }
+            resolved.foreach { case (n, _) => refresh(n) }
+            throw t
+        }
+      // Commit phase runs OUTSIDE the rollback scope: once any dataset has
+      // committed (released its superseded generations), rolling others
+      // back to plans referencing freed checkpoints would corrupt them.
+      // txCommit itself cannot throw (releases are best-effort by
+      // construction — SnapRef.release swallows IO failures).
+      begun.foreach(_._1.txCommit())
+      resolved.foreach { case (n, _) => refresh(n) }
+      out
     }
   }
 
@@ -666,22 +691,30 @@ final class Database(val spark: SparkSession) {
     if (affected.isEmpty) return
     affected.foreach { case (name, e) =>
       val touched = preGroups(e.mag.groupColumns).localCheckpoint(true)
+      // ONE bounded collect serves every decision: the size short-circuit,
+      // the degenerate-case escape probe, and the targeted path's IN-list
+      // prefilter — the common incremental delete pays exactly one job over
+      // the checkpointed |groups|-sized frame. `sample` is the COMPLETE
+      // touched set whenever fewer than the limit came back.
+      val sample = touched.limit(1002).collect()
+      val complete = sample.length < 1002
       // Degenerate-case escape: when the mutation touched ≈ all groups, the
       // targeted path costs pin + per-group recompute + anti-join/union —
-      // roughly 2× the plain one-shot rebuild sitting one branch away. Both
-      // counts are over checkpointed |groups|-sized frames (one tiny job
-      // each); the small-touched short-circuit keeps the common incremental
-      // delete free of even that. Threshold ½: below it the targeted read
-      // (pruned to touched groups) beats a full base aggregate; at or above
-      // it the prefilter reads most of the base anyway and the extra merge
-      // work is pure overhead.
-      val touchedN = touched.count()
-      val escaped = touchedN > MvRebuildMinTouched && {
+      // roughly 2× the plain one-shot rebuild sitting one branch away.
+      // Threshold ½: below it the targeted read (pruned to touched groups)
+      // beats a full base aggregate; at or above it the prefilter reads
+      // most of the base anyway and the extra merge work is pure overhead.
+      // The exact touched count (a second job) is paid ONLY in the
+      // truncated-sample regime where the probe actually needs it.
+      val escaped = sample.length > MvRebuildMinTouched && {
         val groupsN = e.mag.state.count()
-        groupsN > 0 && touchedN * 2 >= groupsN
+        groupsN > 0 && {
+          val touchedN = if (complete) sample.length.toLong else touched.count()
+          touchedN * 2 >= groupsN
+        }
       }
       if (escaped) e.mag.rebuild(tables(table).toDF)
-      else maintainTouchedOne(table, e, touched)
+      else maintainTouchedOne(table, e, touched, if (complete) Some(sample) else None)
       publishMv(name)
     }
   }
@@ -693,7 +726,7 @@ final class Database(val spark: SparkSession) {
   private val MvRebuildMinTouched = 32L
 
   private def maintainTouchedOne(table: String, e: MvEntry,
-      touched: DataFrame): Unit = {
+      touched: DataFrame, sample: Option[Array[org.apache.spark.sql.Row]]): Unit = {
     import org.apache.spark.sql.functions.col
     // The recompute's base read is the targeted path's only full-width
     // scan — turn a SMALL single-column touched set into a literal
@@ -701,10 +734,12 @@ final class Database(val spark: SparkSession) {
     // cells entirely (a semi-join never prunes the part union; a literal
     // predicate does). Semantics unchanged: refreshGroups still
     // semi-joins on the touched groups, the prefilter only narrows what
-    // it reads. NULL groups or wide sets keep the plain semi-join.
-    val base = e.mag.groupColumns match {
-      case Seq(g) =>
-        val vals = touched.limit(1001).collect().map(_.get(0))
+    // it reads. NULL groups or wide sets keep the plain semi-join. The
+    // values come from the caller's already-collected complete sample —
+    // no second job.
+    val base = (e.mag.groupColumns, sample) match {
+      case (Seq(g), Some(rows)) =>
+        val vals = rows.map(_.get(0))
         if (vals.length <= 1000 && !vals.contains(null))
           tables(table).toDF.filter(col(g).isin(vals: _*))
         else tables(table).toDF

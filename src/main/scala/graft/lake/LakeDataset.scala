@@ -447,6 +447,12 @@ final class LakeDataset private (
     val preRefs = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[SnapRef, java.lang.Boolean]())
     (st.pending0 ++ st.retained0).foreach(preRefs.add)
+    // Created-in-tx generations live in the snapshot ledger OR — when a
+    // later in-tx mutation already superseded them — in the deferred-dead
+    // list. Both sets release; the deferred list's PRE-transaction refs do
+    // NOT (the restored plans reference them — that is the whole seam).
+    val deferredInTx =
+      Option(txDeferredDead).getOrElse(Nil).filterNot(preRefs.contains)
     val createdInTx = pendingSnaps.synchronized {
       val created = (pendingSnaps ++ retainedSnaps).filterNot(preRefs.contains).toList
       pendingSnaps.clear(); pendingSnaps ++= st.pending0
@@ -462,7 +468,7 @@ final class LakeDataset private (
     trackedZoneSet = st.zonesTracked0
     trackedSumSet = st.sumsTracked0
     txDeferredDead = null
-    createdInTx.foreach(_.release())
+    (createdInTx ++ deferredInTx).foreach(_.release())
   }
 
   /** Union-of-parts view (reference `Dataset::to_lazyframe`,
@@ -543,6 +549,7 @@ final class LakeDataset private (
     * scans per query.
     */
   def compact(): Unit = this.synchronized {
+    if (parts.isEmpty) return // nothing to collapse — a legal no-op
     val snap = materializeSnapshot(unionParts, knownRowsEstimate)
     rebuildFromSnapshot(snap)
     retain(snap)
@@ -3200,7 +3207,13 @@ object LakeDataset {
   private[graft] def requireUniqueSourceKeys(spark: SparkSession, df: DataFrame,
       keys: Seq[String], what: String): Unit =
     if (spark.conf.get("spark.graft.merge.checkSourceKeys", "true").toBoolean) {
-      val dup = df.groupBy(keys.map(col): _*)
+      // NULL-key rows are EXCLUDED from the probe: the merge join's key
+      // equality is null-unsafe, so NULL-key rows never match anything and
+      // insert as distinct rows — two of them is not a cardinality
+      // ambiguity (groupBy would lump them into one group and falsely
+      // reject the batch).
+      val dup = df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(keys.map(col): _*)
         .count().filter(col("count") > 1).limit(1).collect()
       if (dup.nonEmpty)
         throw new IllegalArgumentException(

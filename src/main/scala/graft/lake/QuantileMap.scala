@@ -75,16 +75,13 @@ object QuantileMap {
 
   /** Merge two summaries — covers the concatenated streams within the GK
     * merge bound (~2ε), which is what lets appends fold instead of
-    * invalidating.
+    * invalidating. Same discipline as the distributed aggregate
+    * ([[GkCodec.mergeCompressed]] — ONE shared implementation, so the
+    * catalog fold and the scan agg cannot silently diverge).
     */
   def union(a: Array[Byte], b: Array[Byte]): Array[Byte] =
-    GkCodec.serialize(merge2(GkCodec.deserialize(a), GkCodec.deserialize(b)))
-
-  private def merge2(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries = {
-    val ac = if (a.compressed) a else a.compress()
-    val bc = if (b.compressed) b else b.compress()
-    ac.merge(bc)
-  }
+    GkCodec.serialize(
+      GkCodec.mergeCompressed(GkCodec.deserialize(a), GkCodec.deserialize(b)))
 
   /** Fold an appended batch's summaries into a part's current ones — same
     * directional soundness as `HllMap.merge`: tracked in both → merge;
@@ -103,13 +100,16 @@ object QuantileMap {
     * measured 0.43 s at 213 parts), while the balanced tree does
     * O(total·log parts) (sub-10 ms at the same width). Deterministic:
     * callers pass parts in sorted catalog order and the tree shape is a
-    * pure function of the count.
+    * pure function of the count. Requires a non-empty input (an empty part
+    * LIST has no summary at all — distinct from a summary of zero values,
+    * which folds fine and queries to None).
     */
   def fold(sketches: Seq[Array[Byte]]): QuantileSummaries = {
+    require(sketches.nonEmpty, "fold of zero summaries — callers gate on parts")
     var level = sketches.map(GkCodec.deserialize).toIndexedSeq
     while (level.length > 1) {
       level = level.grouped(2).map {
-        case Seq(a, b) => merge2(a, b)
+        case Seq(a, b) => GkCodec.mergeCompressed(a, b)
         case Seq(a) => a
       }.toIndexedSeq
     }
@@ -117,12 +117,12 @@ object QuantileMap {
   }
 
   /** The approximate `q`-quantile of the folded summaries; None when the
-    * summarized stream was empty (no quantile is defined — callers fail
-    * open, never invent a value).
+    * summarized stream was empty OR no summaries were given (no quantile is
+    * defined — callers fail open, never invent a value).
     */
   def quantile(sketches: Seq[Array[Byte]], q: Double): Option[Double] = {
     require(q >= 0.0 && q <= 1.0, s"quantile out of [0,1]: $q")
-    fold(sketches).query(q)
+    if (sketches.isEmpty) None else fold(sketches).query(q)
   }
 
   /** Manifest encoding. */

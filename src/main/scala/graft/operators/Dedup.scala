@@ -102,7 +102,12 @@ object Dedup {
     val docs = df.select(col(idCol).as("doc"), ws.as("ws"))
 
     // Positional n-grams; documents shorter than n words cannot contain a
-    // duplicated span and skip the gram pass entirely.
+    // duplicated span and skip the gram pass entirely. `grams` feeds both
+    // the firsts aggregation and the covered join and is DELIBERATELY not
+    // materialized: the explode is a narrow re-derivation of `docs` (its
+    // parent is typically a checkpointed batch or a columnar scan), and
+    // re-running it twice is cheaper at corpus scale than writing an
+    // exploded-corpus-sized intermediate to storage.
     val grams = docs
       .filter(size(col("ws")) >= n)
       .select(col("doc"), posexplode(

@@ -179,6 +179,27 @@ class TransactionSpec extends SparkSpec {
     }
   }
 
+  test("two names aliasing ONE dataset begin once and commit once") {
+    val db = new Database(spark)
+    val ds = LakeDataset.fromDataFrame(spark, orders, partitionCols = Seq("o_batch"))
+    db.register("txa_x", ds)
+    db.register("txa_y", ds) // same handle under a second name
+    val before = ds.rowsCount
+    db.transaction(Seq("txa_x", "txa_y")) { ds.insert(orders.limit(5)) }
+    assert(ds.rowsCount == before + 5)
+    // and an aborted body still rolls the single dataset back cleanly
+    intercept[RuntimeException] {
+      db.transaction(Seq("txa_y", "txa_x")) {
+        ds.insert(orders.limit(3)); throw new RuntimeException("abort")
+      }
+    }
+    assert(ds.rowsCount == before + 5)
+    // the dataset is NOT left in-transaction: persistence works again
+    val root = java.nio.file.Files.createTempDirectory("graft_txa").toString
+    ds.storage = Some(graft.model.StorageSpec(root))
+    ds.toStorage()
+  }
+
   test("concurrent transactions on overlapping tables serialize (no deadlock)") {
     val (db, dsA, dsB) = freshPair("txp_a", "txp_b")
     val rowsA = dsA.rowsCount

@@ -48,6 +48,23 @@ class UpsertSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.merge.checkSourceKeys", "true")
   }
 
+  test("multiple NULL-key rows pass the probe (null-unsafe join never fans out)") {
+    // groupBy would lump NULL keys into one group; the probe must not,
+    // because the merge join's equality is null-unsafe — NULL-key rows
+    // match nothing and insert as distinct rows, no cardinality ambiguity.
+    val ds = freshDs()
+    val before = ds.toDF.count()
+    val nulls = Seq((Option.empty[Long], "n1", 1.0), (Option.empty[Long], "n2", 2.0))
+      .toDF("k", "name", "v")
+    ds.upsert(nulls, Seq("k")) // must NOT throw
+    assert(ds.toDF.filter(col("k").isNull).count() == 2)
+    assert(ds.toDF.count() == before + 2)
+    // a REAL duplicate alongside NULLs still trips the probe
+    val mixed = Seq((Some(2L), "a", 1.0), (Some(2L), "b", 2.0),
+      (Option.empty[Long], "n", 3.0)).toDF("k", "name", "v")
+    intercept[IllegalArgumentException](ds.upsert(mixed, Seq("k")))
+  }
+
   test("upsert is idempotent: same batch twice == once") {
     val delta = Seq((2L, "B2", 200.0), (9L, "i", 90.0)).toDF("k", "name", "v")
     val once = freshDs()
