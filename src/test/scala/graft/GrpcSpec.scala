@@ -281,6 +281,34 @@ class GrpcSpec extends SparkSpec {
           PbSql("GRANT SELECT ON dml_t TO nobody").encode)
       }
       assert(e.getMessage.contains("unsupported DML"), e.getMessage)
+
+      // The DML verb speaks atomic BEGIN/COMMIT scripts with no protocol
+      // change (executeDml delegates): the committed script lands...
+      val tx = PbMessage.decode(unaryCall(GrpcLakeServer.ExecuteDmlMethod,
+        PbSql("""BEGIN;
+                |INSERT INTO dml_t SELECT CAST(20 AS BIGINT), 'O', 200.0;
+                |UPDATE dml_t SET v = 201.0 WHERE k = 20;
+                |COMMIT""".stripMargin).encode))
+      assert(tx.message.startsWith("dml ok"))
+      // ...and an aborted one (failing mid-script) leaves no trace.
+      val e2 = intercept[Exception] {
+        unaryCall(GrpcLakeServer.ExecuteDmlMethod,
+          PbSql("""BEGIN;
+                  |DELETE FROM dml_t WHERE k = 20;
+                  |INSERT INTO dml_t SELECT * FROM no_such_src;
+                  |COMMIT""".stripMargin).encode)
+      }
+      assert(e2 != null)
+      val out2 = new Collector
+      val req2 = ClientCalls.asyncBidiStreamingCall(
+        channel.newCall(GrpcLakeServer.SelectIpcMethod, CallOptions.DEFAULT), out2)
+      req2.onNext(PbSql("SELECT k, v FROM dml_t WHERE k = 20", Some(1)).encode)
+      req2.onCompleted()
+      val r2 = out2.await().map(PbSqlResults.decode).head
+      val rows2 = ArrowInterchange.fromIpcBytes(spark, r2.data)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows2 == Seq((20L, 201.0)),
+        s"committed script must show, aborted delete must roll back: $rows2")
     } finally {
       channel.shutdownNow()
       server.close()
