@@ -1066,6 +1066,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
     }),
 
+    // The same deterministic shard layout as JSONL (format("json") writes
+    // one object per line) — the standard training-data interchange shape;
+    // the aggregate over the RE-READ files proves the export lossless.
+    "export_shards_jsonl" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_export_jl").toString
+      graft.operators.Export
+        .shardedWrite(table(s, dir, "documents"), "doc_id", 8, root,
+          hashed = false, format = "json")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+    }),
+
     // Catalog-driven dynamic partition pruning: the dimension's filtered
     // key set prunes FACT cells (zones+blooms+bucket routing) before any
     // fact byte is read, then the join broadcasts the driver-small dim.
@@ -2709,6 +2721,11 @@ object SparkEntry {
          |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin,
 
     "export_shards" ->
+      """SELECT doc_id % 8 AS shard, COUNT(*) AS docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "export_shards_jsonl" ->
       """SELECT doc_id % 8 AS shard, COUNT(*) AS docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY 1""".stripMargin,

@@ -64,14 +64,21 @@ object Export {
     * the pre-write plan.
     */
   def shardedWrite(df: DataFrame, idCol: String, nShards: Int, root: String,
-      hashed: Boolean = true): DataFrame = {
+      hashed: Boolean = true, format: String = "parquet"): DataFrame = {
     require(nShards > 0, "nShards must be positive")
     val withShard = df.withColumn("shard", shardColumn(col(idCol), nShards, hashed))
     val route = routeFor(nShards)
     withShard
       .repartition(nShards, element_at(lit(route), col("shard").cast("int") + 1))
       .sortWithinPartitions(col("shard"), xxhash64(col(idCol)), col(idCol))
-      .write.mode("overwrite").partitionBy("shard").parquet(root)
-    df.sparkSession.read.option("basePath", root).parquet(root)
+      .write.mode("overwrite").partitionBy("shard").format(format).save(root)
+    // `format("json")` writes JSONL (one object per line) — the standard
+    // LLM-training interchange shape; read back with the WRITTEN schema so
+    // inference can neither retype columns nor drop all-null ones.
+    val reader = df.sparkSession.read.option("basePath", root)
+    (if (format == "parquet") reader
+     else reader.schema(org.apache.spark.sql.types.StructType(
+       withShard.schema.fields.filterNot(_.name == "shard"))))
+      .format(format).load(root)
   }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -26,6 +28,24 @@ class ExportSpec extends SparkSpec {
     // Assignment law, recomputable by any engine.
     assert(out.filter(col("shard").cast("long") =!=
       pmod(col("doc_id"), lit(8L))).count() == 0L)
+  }
+
+  test("JSONL export: one object per line, lossless under the written schema") {
+    val root = java.nio.file.Files.createTempDirectory("graft_export_jl").toString
+    val out = Export.shardedWrite(docs, "doc_id", 8, root,
+      hashed = false, format = "json")
+    // lossless round trip including multi-line text (JSON escapes \n)
+    assert(out.count() == docs.count())
+    assert(out.drop("shard").exceptAll(docs).count() == 0L)
+    assert(docs.exceptAll(out.drop("shard")).count() == 0L)
+    // the files really are JSONL: one parseable object per non-empty line
+    val aFile = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/shard=0"))
+      .iterator().asScala.find(_.toString.endsWith(".json"))
+      .getOrElse(fail("no .json part file written"))
+    val lines = java.nio.file.Files.readAllLines(aFile).asScala.filter(_.nonEmpty)
+    assert(lines.nonEmpty)
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")),
+      "every line must be one JSON object")
   }
 
   test("two hashed exports produce identical per-shard ordered content") {
