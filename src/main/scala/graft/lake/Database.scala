@@ -250,8 +250,9 @@ final class Database(val spark: SparkSession) {
     * pair, a fact+dimension co-ingest, or a delete-then-reinsert migration
     * lands as one unit or not at all.
     *
-    * Mechanics: each named dataset's monitor is acquired in SORTED name
-    * order (one global order — concurrent transactions cannot deadlock)
+    * Mechanics: each named dataset's monitor is acquired in CREATION-RANK
+    * order (one global order even under aliasing — concurrent transactions
+    * cannot deadlock)
     * and held for the whole body, giving the touched tables serializable
     * isolation: readers and writers of those tables wait, exactly like any
     * single-table mutation already does. State capture is driver-side
@@ -281,9 +282,12 @@ final class Database(val spark: SparkSession) {
     }
     // Two names may alias ONE dataset (register allows it): begin/commit/
     // rollback must run once per DATASET, so dedupe by reference (LakeDataset
-    // does not override equals — List.distinct is identity here). Locking
-    // stays per entry; monitors are reentrant, duplicates are harmless.
-    val distinctDs = resolved.map(_._2).distinct.toList
+    // does not override equals — List.distinct is identity here). Monitors
+    // acquire in CREATION-RANK order — the one total order over datasets —
+    // because sorted-NAME order is not global under aliasing (two
+    // transactions naming the same two datasets through different aliases
+    // could otherwise lock them in opposite orders and deadlock).
+    val distinctDs = resolved.map(_._2).distinct.sortBy(_.lockRank).toList
     def locked[B](ds: List[LakeDataset])(f: => B): B = ds match {
       case Nil => f
       case h :: t => h.synchronized(locked(t)(f))

@@ -72,6 +72,11 @@ final class LakeDataset private (
       */
     val auditClock: Option[() => Column] = None) {
 
+  /** This dataset's position in the global lock order (see
+    * [[LakeDataset.nextRank]]).
+    */
+  private[lake] val lockRank: Long = LakeDataset.nextRank()
+
   private val parts = new ConcurrentHashMap[PartKey, LakePart]()
 
   /** Cells whose CURRENT content is exactly one on-disk directory (loaded
@@ -2882,6 +2887,16 @@ object LakeDataset {
     * (reference `$bucket`, src/dataset.rs:200-204).
     */
   val BucketCol = "__graft_bucket"
+
+  /** Monotonic creation rank — THE global lock order for multi-dataset
+    * operations ([[graft.lake.Database.transaction]]). Sorting by catalog
+    * NAME is not a global order when two names alias one dataset or two
+    * databases name the same datasets differently; creation rank is total
+    * and identity-stable, so transactions can never acquire two dataset
+    * monitors in opposite orders.
+    */
+  private val rankCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[lake] def nextRank(): Long = rankCounter.getAndIncrement()
 
   /** Sentinel bucket id for rows whose bucket column value hashes to NULL
     * (null numeric/temporal values). Such rows live in a dedicated cell per

@@ -200,6 +200,34 @@ class TransactionSpec extends SparkSpec {
     ds.toStorage()
   }
 
+  test("aliases cannot invert the lock order (creation-rank, not name, is global)") {
+    // dsA ranks before dsB; T1 names them so dsA sorts FIRST by name,
+    // T2 through aliases so dsB sorts first by name. Name order would
+    // acquire the two monitors in opposite orders — classic deadlock.
+    val db = new Database(spark)
+    val dsA = LakeDataset.fromDataFrame(spark, orders, partitionCols = Seq("o_batch"))
+    val dsB = LakeDataset.fromDataFrame(spark, orders.limit(0))
+    db.register("m_first", dsA); db.register("n_second", dsB)   // T1: A < B
+    db.register("a_alias", dsB); db.register("z_alias", dsA)    // T2: B < A
+    val rowsA = dsA.rowsCount
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val fs = (1 to 4).map { i =>
+      Future {
+        if (i % 2 == 0) db.transaction(Seq("m_first", "n_second")) {
+          dsA.insert(orders.limit(1)); dsB.insert(orders.limit(1))
+        } else db.transaction(Seq("a_alias", "z_alias")) {
+          dsB.insert(orders.limit(1)); dsA.insert(orders.limit(1))
+        }
+      }
+    }
+    fs.foreach(Await.result(_, 120.seconds)) // deadlock would time out here
+    assert(dsA.rowsCount == rowsA + 4)
+    assert(dsB.rowsCount == 4L)
+  }
+
   test("concurrent transactions on overlapping tables serialize (no deadlock)") {
     val (db, dsA, dsB) = freshPair("txp_a", "txp_b")
     val rowsA = dsA.rowsCount
