@@ -673,6 +673,25 @@ object SparkEntry {
           |FROM opt_t""".stripMargin)
     }),
 
+    // Selective compaction: OPTIMIZE ... WHERE collapses ONLY the cells
+    // the predicate prunes to (the petabyte move — compact the churned
+    // partitions, never the whole table); contents must be untouched and
+    // the compacted region's metadata answers return.
+    "lake_sql_optimize_where" -> ((s, dir) => {
+      val db = new Database(s)
+      val o = table(s, dir, "orders")
+        .withColumn("o_batch", (col("o_orderkey") / 6000).cast("int"))
+      db.register("optw_t", LakeDataset.fromDataFrame(s, o, partitionCols = Seq("o_batch")))
+      db.executeDml(
+        """UPDATE optw_t SET o_totalprice = o_totalprice + 25
+          |WHERE o_orderkey BETWEEN 100 AND 200""".stripMargin)
+      db.executeDml("OPTIMIZE optw_t WHERE o_batch = 0")
+      db.executeSql(
+        """SELECT o_batch, COUNT(*) AS cnt, MIN(o_totalprice) AS min_price,
+          |       MAX(o_totalprice) AS max_price
+          |FROM optw_t GROUP BY o_batch ORDER BY o_batch""".stripMargin)
+    }),
+
     // Layout evolution: ALTER TABLE rebuilds the table under a new
     // partition axis (one pass) and swaps the SQL registration — the
     // read-back here is a grouped+filtered aggregate the NEW layout
@@ -2610,6 +2629,17 @@ object SparkEntry {
         |       MAX(CASE WHEN o_orderkey BETWEEN 100 AND 200
         |                THEN o_totalprice + 25 ELSE o_totalprice END) AS max_price
         |FROM orders""".stripMargin,
+
+    // lake_sql_optimize_where: selective compaction must not change
+    // contents — the oracle reproduces the post-UPDATE state per batch.
+    "lake_sql_optimize_where" ->
+      """SELECT CAST(FLOOR(o_orderkey / 6000.0) AS INT) AS o_batch,
+        |       COUNT(*) AS cnt,
+        |       MIN(CASE WHEN o_orderkey BETWEEN 100 AND 200
+        |                THEN o_totalprice + 25 ELSE o_totalprice END) AS min_price,
+        |       MAX(CASE WHEN o_orderkey BETWEEN 100 AND 200
+        |                THEN o_totalprice + 25 ELSE o_totalprice END) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_relayout" ->
       """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key

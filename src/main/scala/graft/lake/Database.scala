@@ -418,6 +418,8 @@ final class Database(val spark: SparkSession) {
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+(.+?)\s*;?\s*$""".r
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val OptimizeWhereRe =
+    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][\w]*)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val OptimizeZorderRe =
     """(?is)^\s*OPTIMIZE\s+([A-Za-z_][\w]*)\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\)\s*;?\s*$""".r
   private val VacuumRe =
@@ -1096,6 +1098,15 @@ final class Database(val spark: SparkSession) {
           storage = old.storage)
         tables.put(t, z.dataset)
         refresh(t); 1L
+      case OptimizeWhereRe(t, cond) if !cond.trim.toUpperCase.startsWith("ZORDER") =>
+        // OPTIMIZE t WHERE <pred>: SELECTIVE compaction — only the cells
+        // the predicate can touch (catalog-pruned exactly like DELETE
+        // WHERE) collapse their plans and recompute stats tight. At
+        // petabyte scale this is how compaction actually runs: over the
+        // hot partitions a mutation stream churned, never the whole table.
+        // Returns cells compacted.
+        val n = ds(t).materializeWhere(expr(cond))
+        refresh(t); n.toLong
       case OptimizeRe(t) =>
         // OPTIMIZE: compact every cell's accumulated plan and recompute
         // its statistics tight (count + zones + blooms from data) — after

@@ -2663,6 +2663,32 @@ final class LakeDataset private (
       .foreach(Await.result(_, Duration.Inf))
   }
 
+  /** Selective compaction — materialize ONLY the cells `cond` can touch,
+    * pruned through the same catalog machinery as [[deleteWhere]]
+    * (partition values, bucket ids, zones, blooms, per-value IN). The
+    * 100 TB move: compacting a petabyte table means compacting the hot
+    * partitions a mutation stream actually churned, not rewriting every
+    * cell — untouched cells keep their plans, stats, and files. A part the
+    * predicate selects but that has no pending mutations is a no-op (the
+    * per-part guard already skips clean parts). Returns cells compacted.
+    */
+  def materializeWhere(cond: Column): Int = this.synchronized {
+    if (parts.isEmpty) return 0
+    val names = tableSchema.fieldNames.toSet
+    val (eqs, ranges, ins) = graft.plans.PredicateConstraints.of(
+      resolvedPredicate(cond), names.contains)
+    val all = parts.asScala.toList
+    val touched =
+      if (eqs.isEmpty && ranges.isEmpty && ins.isEmpty) all
+      else keptBy(all, eqs, ranges, ins)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = LakeDataset.ioPool
+    touched.map(p => Future(p._2.materialize()))
+      .foreach(Await.result(_, Duration.Inf))
+    touched.size
+  }
+
   // ----------------------------------------------------------------- storage
 
   /** Persist: wipe root, write the whole table as ONE partitioned write job,

@@ -261,6 +261,34 @@ class DmlSpec extends SparkSpec {
     assert(e.getMessage.contains("ALTER TABLE supports"))
   }
 
+  test("OPTIMIZE ... WHERE compacts only the predicate's cells") {
+    val (db, ds) = freshDb("dml_optw")
+    // dirty two disjoint regions
+    db.executeDml(
+      "UPDATE dml_optw SET o_totalprice = o_totalprice + 1 WHERE o_orderkey <= 150")
+    db.executeDml(
+      "UPDATE dml_optw SET o_totalprice = o_totalprice + 2 WHERE o_orderkey > 600")
+    val hashBefore = db.executeSql(
+      "SELECT CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS DOUBLE) AS h " +
+        "FROM dml_optw").head().getDouble(0)
+    // UPDATE drops the assigned column's per-part zone entry on the cells
+    // it touched — that absence is the per-cell "needs compaction" signal.
+    def dirty: Int = ds.partKeys.flatMap(ds.part)
+      .count(p => !p.zones.exists(_.contains("o_totalprice")))
+    val dirtyBefore = dirty
+    assert(dirtyBefore >= 2, s"need dirty cells on both sides, got $dirtyBefore")
+    // compact ONLY the low region (o_batch 0 covers keys < 200)
+    val compacted = db.executeDml("OPTIMIZE dml_optw WHERE o_batch = 0")
+    assert(compacted == 1L, s"predicate prunes to one cell, compacted $compacted")
+    assert(dirty == dirtyBefore - 1,
+      "exactly the selected cell re-tightened; untouched dirty cells stay")
+    // contents untouched
+    val hashAfter = db.executeSql(
+      "SELECT CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS DOUBLE) AS h " +
+        "FROM dml_optw").head().getDouble(0)
+    assert(hashAfter == hashBefore)
+  }
+
   test("OPTIMIZE re-tightens the catalog; VACUUM clears orphans") {
     val (db, ds) = freshDb("dml_opt")
     db.executeDml(
