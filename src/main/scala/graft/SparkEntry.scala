@@ -2327,6 +2327,34 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // FILTERED vector search, exact ground truth: top-k over only the rows
+    // passing a metadata predicate, scored on the oracle-portable 1e-6
+    // cosine grid. The filter lands on the scan (pre-filter), never on the
+    // ranked result — a post-filtered top-k could return < k survivors.
+    "ann_filtered_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .head().getSeq[Float](1).toSeq
+      Similarity.exactTopKQuantized(
+        e.filter(col("label").isin(2, 7)), "embedding", "vec_id", q, 10)
+    }),
+
+    // Filtered search THROUGH the persisted IVF index: the predicate is
+    // pushed into the probed inverted lists' parquet scans (PushedFilters —
+    // pinned in OperatorsSpec), so part pruning and row-group filtering
+    // compose. All-lists probe on the quantized grid == the exact filtered
+    // top-k, so the whole filter-pushdown probe path shares
+    // ann_filtered_topk's DuckDB oracle.
+    "ann_filtered_ivf" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .head().getSeq[Float](1).toSeq
+      val index = Fixtures.ivfLake(s, dir)
+      Similarity.ivfTopKLake(index, "embedding", "vec_id", q, 10,
+        nprobe = index.centroids.size, quantize = true,
+        pred = Some(col("label").isin(2, 7)))
+    }),
+
     // Batch ANN through the IVF lists: every query meets only its nprobe
     // probed lists via a centroid equi-join — a similarity JOIN, not
     // |queries| single scans. Float cosine + probe subset → rows-only;
@@ -3786,6 +3814,27 @@ object SparkEntry {
         |  CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) * 1000000)
         |       AS BIGINT) AS cos_q
         |FROM embeddings, q
+        |ORDER BY cos_q DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Filtered vector search: same grid, predicate applied BEFORE ranking.
+    // ann_filtered_ivf (all-lists probe + pushed filter) must reproduce the
+    // same rows, so both share this oracle.
+    "ann_filtered_topk" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) * 1000000)
+        |       AS BIGINT) AS cos_q
+        |FROM embeddings, q WHERE label IN (2, 7)
+        |ORDER BY cos_q DESC, vec_id LIMIT 10""".stripMargin,
+
+    "ann_filtered_ivf" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) * 1000000)
+        |       AS BIGINT) AS cos_q
+        |FROM embeddings, q WHERE label IN (2, 7)
         |ORDER BY cos_q DESC, vec_id LIMIT 10""".stripMargin,
 
     // Probing ALL inverted lists of the persisted index on the quantized

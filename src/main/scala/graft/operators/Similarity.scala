@@ -543,15 +543,30 @@ object Similarity {
     * engine-portable 1e-6 cosine grid of [[exactTopKQuantized]] (column
     * `cos_q`) — with `nprobe = numCentroids` that result is the exact top-k,
     * which is how the persisted path gets an oracle-checked gate query.
+    *
+    * `pred` is filtered vector search: a metadata predicate over the
+    * inverted lists' payload columns, applied to the probed scan BEFORE any
+    * cosine is computed. This is PRE-filtering — top-k ranks only the
+    * predicate's survivors — not post-filtering an unfiltered top-k, so a
+    * selective predicate narrows the candidate set instead of emptying the
+    * result. The predicate sits directly on the parquet scans of the probed
+    * partition directories, so Spark pushes it into the reader
+    * (`PushedFilters`, pinned in OperatorsSpec) and vectors failing it never
+    * pay a distance computation: at 100 TB the probe reads `nprobe` lists
+    * and decodes only the predicate's row groups, the two prunes composing.
     */
   def ivfTopKLake(
       index: IvfLake, vecCol: String, idCol: String,
       query: Seq[Float], k: Int, nprobe: Int,
-      quantize: Boolean = false): DataFrame = {
+      quantize: Boolean = false, pred: Option[Column] = None): DataFrame = {
     val probes = probeCentroids(index.centroids, query, nprobe)
-    val scan = probes
+    val pruned = probes
       .map(p => index.assigned.prunedDF(Map("centroid" -> p.toString)))
       .reduce(_ unionByName _)
+    val scan = pred match {
+      case Some(p) => pruned.filter(p)
+      case None    => pruned
+    }
     val scored =
       if (quantize) {
         val qLit = array(query.map(q => lit(q.toDouble)): _*)

@@ -293,6 +293,41 @@ class OperatorsSpec extends SparkSpec {
     assert(allProbe == exact)
   }
 
+  test("filtered vector search: predicate pre-filters, pushes to the list scans") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 3).head().getSeq[Float](1).toSeq
+    val pred = col("label").isin(2, 7)
+    val (centroids, assigned) = Similarity.buildIvf(e, "embedding", "vec_id", 16, 64)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_filt").toString
+    Similarity.saveIvf(spark, root, centroids, assigned)
+    val index = Similarity.loadIvf(spark, root)
+    // all-lists probe + filter == exact filtered top-k (the gate invariant)
+    val exact = Similarity.exactTopKQuantized(
+        e.filter(pred), "embedding", "vec_id", q, 10)
+      .as[(Long, Long)].collect().toSeq
+    val probed = Similarity.ivfTopKLake(index, "embedding", "vec_id", q, 10,
+        nprobe = 16, quantize = true, pred = Some(pred))
+      .as[(Long, Long)].collect().toSeq
+    assert(probed == exact)
+    // every survivor satisfies the predicate — pre-filter, not post-filter:
+    // a post-filtered unfiltered top-10 would keep only the (few) matching
+    // labels among the global winners instead of ranking the survivors
+    val labels = e.filter(pred).select("vec_id").as[Long].collect().toSet
+    assert(probed.map(_._1).forall(labels))
+    assert(probed.size == 10)
+    // the predicate reaches the parquet reader of the probed lists
+    val plan = Similarity.ivfTopKLake(index, "embedding", "vec_id", q, 10,
+        nprobe = 4, quantize = true, pred = Some(pred))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(label"), s"filter not pushed:\n$plan")
+    // partial probe keeps useful recall under the filter
+    val part = Similarity.ivfTopKLake(index, "embedding", "vec_id", q, 10,
+        nprobe = 4, quantize = true, pred = Some(pred))
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (part & exact.map(_._1).toSet).size / 10.0
+    assert(recall >= 0.5, s"filtered recall@10 = $recall")
+  }
+
   test("incremental IVF add: new vectors land in their lists, no rebuild, persisted") {
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val held = e.filter(col("vec_id") < 5)
