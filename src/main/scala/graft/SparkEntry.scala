@@ -1871,6 +1871,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Sliding-window chunking (RAG / context-window prep): 32-word chunks
+    // every 24 words, 8-word overlap — one codegen'd tokenize+transform+
+    // posexplode per row, no shuffle, integer arithmetic end-to-end.
+    "text_chunks" -> ((s, dir) => {
+      TextAnalysis.chunkWords(table(s, dir, "documents"),
+          "text", "doc_id", chunkSize = 32, stride = 24)
+        .orderBy("doc", "chunk_id")
+    }),
+
     // Benchmark decontamination: every 50th document plays the eval set;
     // training docs sharing any word trigram with it are flagged with
     // their contamination ratio (integer ratio -> oracle-exact double).
@@ -3429,6 +3438,18 @@ object SparkEntry {
         |FROM tf LEFT JOIN lex ON lex.term = tf.term
         |GROUP BY tf.doc_id
         |ORDER BY doc""".stripMargin,
+
+    "text_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(TRIM(text), ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, GREATEST(CAST(ceil(len(toks) / 24.0) AS BIGINT), 1))) AS i
+        |  FROM t)
+        |SELECT doc_id AS doc, i AS chunk_id,
+        |  array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' ') AS chunk,
+        |  LEAST(len(toks) - i*24, 32) AS n_words
+        |FROM c""".stripMargin,
 
     "text_pack_sequences" ->
       """WITH t AS (

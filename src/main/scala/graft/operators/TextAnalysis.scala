@@ -343,6 +343,41 @@ object TextAnalysis {
   /** US-shaped phone pattern (`555-123-4567` / `555.123.4567`), word-bounded. */
   val PhonePattern: String = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
 
+  /** SLIDING-WINDOW CHUNKING for RAG / context-window preparation: split
+    * every document into word chunks of `chunkSize`, starting every
+    * `stride` words (overlap = chunkSize - stride), the standard shape for
+    * embedding-index ingestion and long-document training examples.
+    *
+    * One codegen'd expression per row — tokenize once, `transform` over a
+    * chunk-index `sequence`, then `posexplode` — so the operator is a
+    * narrow map with no shuffle and no UDF; output size is the only cost.
+    * Chunk starts are `i*stride` for `i ∈ [0, ceil(nWords/stride))`: every
+    * word belongs to ≥1 chunk, consecutive chunks share `chunkSize-stride`
+    * words, the tail chunk may be short (its true length is `n_words`).
+    * Deterministic integer arithmetic end-to-end → DuckDB oracle
+    * `text_chunks` reproduces it bit-exact.
+    *
+    * Returns (doc, chunk_id, chunk, n_words).
+    */
+  def chunkWords(
+      df: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    val toks = split(trim(col(textCol)), " ")
+    val nChunks = greatest(
+      ceil(size(toks).cast("double") / stride).cast("long"), lit(1L))
+    df.select(col(idCol).as("doc"),
+        posexplode(transform(sequence(lit(0L), nChunks - 1), i =>
+          struct(
+            array_join(slice(toks, (i * stride + 1).cast("int"), lit(chunkSize)), " ")
+              .as("chunk"),
+            least(size(toks).cast("long") - i * stride, lit(chunkSize.toLong))
+              .as("n_words")))).as(Seq("chunk_id", "c")))
+      .select(col("doc"), col("chunk_id").cast("long").as("chunk_id"),
+        col("c.chunk").as("chunk"), col("c.n_words").as("n_words"))
+  }
+
   /** SEQUENCE PACKING for pretraining: assign each document to a
     * fixed-token-budget pack (the "fill each context window" step between
     * a cleaned corpus and a trainer). Documents are packed in deterministic

@@ -604,6 +604,31 @@ class OperatorsSpec extends SparkSpec {
     assert(sharded.filter(_._2 == 1).map(_._4).forall(_ >= (1L << 32)))
   }
 
+  test("chunking: full coverage, fixed overlap, short tail, no shuffle") {
+    // 10 words, chunkSize 4, stride 3 -> starts 0,3,6,9: four chunks, the
+    // last one word long. Every word covered; consecutive chunks share 1.
+    val docs = Seq((7L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkWords(docs, "text", "doc_id", 4, 3)
+      .orderBy("chunk_id").as[(Long, Long, String, Long)].collect().toSeq
+    assert(out.map(_._3) == Seq(
+      "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9"))
+    assert(out.map(_._4) == Seq(4L, 4L, 4L, 1L))
+    // Stride-prefixes concatenated reconstruct the document exactly.
+    val rebuilt = out.map(c => c._3.split(" ").take(3)).flatten.take(10)
+    assert(rebuilt.mkString(" ") == "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9")
+    // Corpus shape: the gate parameters cover every word of every doc and
+    // the operator plans as a narrow map (no exchange before the explode).
+    val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
+    val chunks = TextAnalysis.chunkWords(corpus, "text", "doc_id", 32, 24)
+    val plan = chunks.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking shuffled:\n$plan")
+    val covered = chunks.groupBy("doc")
+      .agg(max(col("chunk_id") * 24 + col("n_words")).as("cov"))
+    val words = corpus.select(col("doc_id").as("doc"),
+      size(split(trim(col("text")), " ")).cast("long").as("n"))
+    assert(covered.join(words, "doc").filter(col("cov") =!= col("n")).count() == 0)
+  }
+
   test("pii scrub redacts emails and phones with per-doc counts") {
     val docs = Seq(
       (1L, "reach me at alice@example.org or 555-123-4567 thanks"),
