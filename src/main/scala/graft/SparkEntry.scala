@@ -1219,6 +1219,50 @@ object SparkEntry {
       }.toDF("q_pct", "exact_disc", "within_bound").orderBy("q_pct")
     }),
 
+    // Metadata-only TOP-K: per-part Misra–Gries sketches folded from the
+    // CATALOG (zero scan jobs) across a create + an append (the merge
+    // path). o_orderstatus has 3 distinct values << the 64-counter budget,
+    // so the sketches are in the EXACT regime: counts are exact corpus
+    // counts, the fold is order-independent, and the certification column
+    // (exact = lower==upper bound) must read true — all DuckDB-checkable.
+    // The approx regime (cardinality > budget) is bound-pinned in
+    // FreqStatsSpec instead, since its stored set is merge-order dependent.
+    "lake_stats_topk" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .withColumn("o_batch", (col("o_orderkey") / 3000).cast("int"))
+      val first = o.filter(col("o_orderkey") % 2 === 0)
+      val second = o.filter(col("o_orderkey") % 2 === 1)
+      val ds = LakeDataset.fromDataFrame(s, first,
+        partitionCols = Seq("o_batch"), freqCols = Seq("o_orderstatus"))
+      ds.insert(second) // appends MERGE sketches — still exact under ≤k card.
+      val top = ds.metaTopK(Seq("o_orderstatus"), 3)
+        .getOrElse(throw new IllegalStateException(
+          "catalog must answer top-k on a pure-append table"))("o_orderstatus")
+      import s.implicits._
+      top.map { case (v, lo, hi, exact) => (v, lo, exact) }
+        .toDF("value", "cnt", "exact")
+        .orderBy(desc("cnt"), col("value"))
+    }),
+
+    // Grouped metadata top-k: the per-PARTITION-GROUP top value, folded
+    // from each group's member parts only — still zero scan jobs; exact
+    // regime makes it DuckDB-checkable like lake_stats_topk.
+    "lake_stats_topk_grouped" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .withColumn("o_batch", (col("o_orderkey") / 3000).cast("int"))
+      val ds = LakeDataset.fromDataFrame(s, o,
+        partitionCols = Seq("o_batch"), freqCols = Seq("o_orderstatus"))
+      val grouped = ds.metaTopKGrouped(Seq("o_batch"), Seq("o_orderstatus"), 1)
+        .getOrElse(throw new IllegalStateException(
+          "catalog must answer grouped top-k on a pure-append table"))
+      import s.implicits._
+      grouped.flatMap { case (vals, m) =>
+        m("o_orderstatus").map { case (v, lo, _, exact) =>
+          (vals.head.asInstanceOf[Int], v, lo, exact)
+        }
+      }.toDF("o_batch", "value", "cnt", "exact").orderBy("o_batch")
+    }),
+
     // SHOW STATS: every maintained stat family folded from the catalog in
     // one verb — zero scan jobs. The gate projects the EXACT families
     // (counts, zones, sums; deterministic and DuckDB-reproducible); the
@@ -1869,6 +1913,17 @@ object SparkEntry {
       TextAnalysis.packSequences(table(s, dir, "documents"),
           "text", "doc_id", budgetTokens = 2048, nShards = 8)
         .orderBy("doc_id")
+    }),
+
+    // DSIR-shaped data selection: score every document by its integer-rate
+    // unigram contrast against the English subcorpus (the "target domain"),
+    // keep the top 50 — domain-matching selection without labels. Exact
+    // integer arithmetic end-to-end -> full DuckDB oracle.
+    "text_dsir_select" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val scored = TextAnalysis.importanceContrast(
+        d, d.filter(col("lang") === "en"), "text", "doc_id")
+      TextAnalysis.importanceSelect(scored, 50)
     }),
 
     // Sliding-window chunking (RAG / context-window prep): 32-word chunks
@@ -2849,6 +2904,26 @@ object SparkEntry {
         |GROUP BY q_pct
         |ORDER BY q_pct""".stripMargin,
 
+    // lake_stats_topk: the catalog's MG top values in the exact regime are
+    // plain group-by counts; the certification column must be true.
+    "lake_stats_topk" ->
+      """SELECT o_orderstatus AS value, COUNT(*) AS cnt, TRUE AS exact
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY cnt DESC, value LIMIT 3""".stripMargin,
+
+    "lake_stats_topk_grouped" ->
+      """WITH counts AS (
+        |  SELECT CAST(FLOOR(o_orderkey / 3000.0) AS INT) AS o_batch, o_orderstatus AS value,
+        |         COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT o_batch, value, cnt, TRUE AS exact,
+        |         ROW_NUMBER() OVER (PARTITION BY o_batch
+        |                            ORDER BY cnt DESC, value) AS rk
+        |  FROM counts)
+        |SELECT o_batch, value, cnt, exact FROM ranked WHERE rk = 1
+        |ORDER BY o_batch""".stripMargin,
+
     // lake_sql_show_stats: the exact stat families per column. The double
     // column (o_totalprice) has no sum family BY CONTRACT (float sums are
     // never metadata-answered) — its non_nulls/sum_d are NULL.
@@ -3438,6 +3513,25 @@ object SparkEntry {
         |FROM tf LEFT JOIN lex ON lex.term = tf.term
         |GROUP BY tf.doc_id
         |ORDER BY doc""".stripMargin,
+
+    "text_dsir_select" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |nt AS (SELECT COUNT(*) AS n FROM tok WHERE lang = 'en'),
+        |nr AS (SELECT COUNT(*) AS n FROM tok),
+        |tr AS (SELECT term, (COUNT(*) * 1000000) // (SELECT n FROM nt) AS rate_t
+        |       FROM tok WHERE lang = 'en' GROUP BY term),
+        |rr AS (SELECT term, (COUNT(*) * 1000000) // (SELECT n FROM nr) AS rate_r
+        |       FROM tok GROUP BY term),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term)
+        |SELECT tf.doc_id AS doc,
+        |  CAST(SUM(tf.tf * (COALESCE(tr.rate_t, 0) - rr.rate_r)) AS BIGINT) AS weight,
+        |  CAST(SUM(tf.tf) AS BIGINT) AS n_tokens
+        |FROM tf LEFT JOIN tr USING (term) JOIN rr USING (term)
+        |GROUP BY tf.doc_id
+        |ORDER BY weight DESC, doc LIMIT 50""".stripMargin,
 
     "text_chunks" ->
       """WITH t AS (

@@ -160,7 +160,9 @@ final class Database(val spark: SparkSession) {
   /** `SHOW STATS [FOR] t` — one row per table column, every maintained
     * statistic family folded from the CATALOG alone (zero scan jobs, zero
     * file reads): exact row/non-null counts, min/max (zones), exact sums,
-    * HLL approx-distinct, GK approx p50/p95. A cell is NULL when its
+    * HLL approx-distinct, GK approx p50/p95, MG top values (rendered
+    * `v:count` when certified exact, `v:lo..hi` otherwise). A cell is NULL
+    * when its
     * family cannot vouch — untracked column, untight part, inapplicable
     * type — never stale or approximate-without-saying-so (the two approx
     * families are named approx_*). min/max/sum render as strings: one
@@ -175,10 +177,12 @@ final class Database(val spark: SparkSession) {
     val sc = d.sumColsFor(schema)
     val kc = d.sketchColsFor(schema)
     val qc = d.quantileColsFor(schema)
+    val fc = d.freqColsFor(schema)
     val zones = if (zc.isEmpty) None else d.metaStats(zc)
     val sums = if (sc.isEmpty) None else d.metaSums(sc)
     val dist = if (kc.isEmpty) None else d.metaApproxDistinct(kc)
     val quants = if (qc.isEmpty) None else d.metaApproxQuantile(qc, Seq(0.5, 0.95))
+    val tops = if (fc.isEmpty) None else d.metaTopK(fc, 5)
     val nRows: java.lang.Long =
       zones.map(z => Long.box(z._1))
         .orElse(d.knownRowsOption.map(Long.box)).orNull
@@ -195,7 +199,12 @@ final class Database(val spark: SparkSession) {
         cs.map(_.sum.toPlainString).orNull,
         dist.flatMap(_.get(c)).map(Long.box).orNull,
         qv.map(v => Double.box(v.head)).orNull,
-        qv.map(v => Double.box(v(1))).orNull)
+        qv.map(v => Double.box(v(1))).orNull,
+        tops.flatMap(_.get(c)).map(_.map {
+          // exact counts render bare; certified ranges show their bound
+          case (v, lo, hi, true) => s"$v:$lo"
+          case (v, lo, hi, false) => s"$v:$lo..$hi"
+        }.mkString(", ")).orNull)
     }
     val outSchema = StructType(Seq(
       StructField("column", StringType, nullable = false),
@@ -206,7 +215,8 @@ final class Database(val spark: SparkSession) {
       StructField("sum_value", StringType),
       StructField("approx_distinct", LongType),
       StructField("approx_p50", DoubleType),
-      StructField("approx_p95", DoubleType)))
+      StructField("approx_p95", DoubleType),
+      StructField("top_values", StringType)))
     spark.createDataFrame(new java.util.ArrayList(out.asJava), outSchema)
   }
 

@@ -64,6 +64,15 @@ final class LakeDataset private (
       * [[QuantileMap]] for the merge-order caveat).
       */
     val quantileCols: List[String] = Nil,
+    /** Columns with per-part Misra–Gries frequent-items sketches
+      * ([[FreqMap]]) — opt-in, like [[quantileCols]]: each tracked column
+      * adds one `freq_agg` to every routing aggregation and O(k) values per
+      * part to the manifest, and buys `top values / heavy hitters` answers
+      * from the CATALOG alone with certified error bounds — EXACT and
+      * order-independent while the column's cardinality stays ≤ k (see
+      * [[FreqMap]] for the two regimes).
+      */
+    val freqCols: List[String] = Nil,
     /** When set, maintain CREATED_AT/CHANGED_AT audit stamps (the
       * reference's own TODO, src/main.rs:34): every ingested row is stamped
       * with this clock; upserts preserve the original `created_at` and renew
@@ -184,14 +193,22 @@ final class LakeDataset private (
     quantileCols.filter(c => schema.fields.exists(f =>
       f.name == c && QuantileMap.quantileable(f.dataType)))
 
-  /** (zone, bloom, sum, sketch, quantile columns) for a frame
+  /** Declared frequent-items columns present in a frame's schema (string-
+    * canonical types — same late-analysis-error rationale as
+    * [[sketchColsFor]]).
+    */
+  private[lake] def freqColsFor(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    freqCols.filter(c => schema.fields.exists(f =>
+      f.name == c && FreqMap.freqable(f.dataType)))
+
+  /** (zone, bloom, sum, sketch, quantile, freq columns) for a frame
     * — the per-part stat selector threaded into [[LakePart]] so materialize
     * recomputes the same sets.
     */
   private[lake] def statColsFor(schema: org.apache.spark.sql.types.StructType)
-      : (Seq[String], Seq[String], Seq[String], Seq[String], Seq[String]) =
+      : (Seq[String], Seq[String], Seq[String], Seq[String], Seq[String], Seq[String]) =
     (zoneColsFor(schema), bloomColsFor(schema), sumColsFor(schema),
-      sketchColsFor(schema), quantileColsFor(schema))
+      sketchColsFor(schema), quantileColsFor(schema), freqColsFor(schema))
 
   def partKeys: List[PartKey] = parts.keySet().asScala.toList.sortBy(_.relPath)
   def part(key: PartKey): Option[LakePart] = Option(parts.get(key))
@@ -573,9 +590,10 @@ final class LakeDataset private (
     val sc = retrackSums(snap.schema)
     val kc = sketchColsFor(snap.schema)
     val qc = quantileColsFor(snap.schema)
+    val fc = freqColsFor(snap.schema)
     val statAggs = count(lit(1)) +:
       (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(snap.schema, sc) ++
-        HllMap.aggs(kc) ++ QuantileMap.aggs(qc))
+        HllMap.aggs(kc) ++ QuantileMap.aggs(qc) ++ FreqMap.aggs(fc))
     def bloomsAt(row: Row, offset: Int): Option[Map[String, Bloom]] =
       if (bc.isEmpty) None else Some(Bloom.fromRow(row, offset, bc))
     def sumsAt(row: Row, zoneOffset: Int): Option[Map[String, ColSum]] =
@@ -589,6 +607,11 @@ final class LakeDataset private (
       else Some(QuantileMap.fromRow(row,
         zoneOffset + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length +
           kc.length, qc))
+    def freqsAt(row: Row, zoneOffset: Int): Option[Map[String, Array[Byte]]] =
+      if (fc.isEmpty) None
+      else Some(FreqMap.fromRow(row,
+        zoneOffset + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length +
+          kc.length + qc.length, fc))
     val cells: Array[Row] =
       if (partitionCols.isEmpty && bucketCols.isEmpty) Array.empty
       else {
@@ -608,7 +631,8 @@ final class LakeDataset private (
         retainDirect, initialZones = Some(ZoneMap.fromRow(row, 1, zc)),
         statColsOf = statColsFor, initialBlooms = bloomsAt(row, 1 + 2 * zc.length),
         snapshot = partSnapshot, initialSums = sumsAt(row, 1),
-        initialSketches = sketchesAt(row, 1), initialQuants = quantsAt(row, 1)))
+        initialSketches = sketchesAt(row, 1), initialQuants = quantsAt(row, 1),
+        initialFreqs = freqsAt(row, 1)))
     } else {
       val nKeyCols = partitionCols.length + (if (bucketCols.nonEmpty) 1 else 0)
       cells.foreach { row =>
@@ -635,7 +659,8 @@ final class LakeDataset private (
             initialBlooms = bloomsAt(row, nKeyCols + 1 + 2 * zc.length),
             snapshot = partSnapshot, initialSums = sumsAt(row, nKeyCols + 1),
             initialSketches = sketchesAt(row, nKeyCols + 1),
-            initialQuants = quantsAt(row, nKeyCols + 1)))
+            initialQuants = quantsAt(row, nKeyCols + 1),
+            initialFreqs = freqsAt(row, nKeyCols + 1)))
       }
     }
     cleanScan = Some(snap)
@@ -872,7 +897,8 @@ final class LakeDataset private (
       partBlooms = serializedBlooms, partRows = serializedRows,
       partSums = serializedSums, sketchCols = sketchCols,
       partSketches = serializedSketches, quantileCols = quantileCols,
-      partQuants = serializedQuants, checks = checksMap, version = v)
+      partQuants = serializedQuants, freqCols = freqCols,
+      partFreqs = serializedFreqs, checks = checksMap, version = v)
 
   // ------------------------------------------------------------------
   // Optimistic concurrency — the manifest commit protocol.
@@ -1004,6 +1030,8 @@ final class LakeDataset private (
       s"column '$name' carries HLL distinct sketches - relayout to change it")
     require(!quantileCols.contains(name),
       s"column '$name' carries quantile summaries - relayout to change it")
+    require(!freqCols.contains(name),
+      s"column '$name' carries frequent-items sketches - relayout to change it")
     val referencing = checksMap.filter { case (_, e) =>
       try spark.sessionState.sqlParser.parseExpression(e).collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
@@ -1232,6 +1260,17 @@ final class LakeDataset private (
       val snap = part.quants
       if (part.statsTight.get && part.rows.get >= 0L && snap.exists(_.nonEmpty))
         Some(key.relPath -> snap.get.map { case (c, b) => c -> QuantileMap.encode(b) })
+      else None
+    }.toMap
+
+  /** Per-part MG frequent-items sketches, serialized ONLY for tight parts —
+    * same one-way discipline as [[serializedSketches]].
+    */
+  private def serializedFreqs: Map[String, Map[String, String]] =
+    parts.asScala.flatMap { case (key, part) =>
+      val snap = part.freqs
+      if (part.statsTight.get && part.rows.get >= 0L && snap.exists(_.nonEmpty))
+        Some(key.relPath -> snap.get.map { case (c, b) => c -> FreqMap.encode(b) })
       else None
     }.toMap
 
@@ -1561,6 +1600,92 @@ final class LakeDataset private (
       }
       if (answers.exists(_._2.exists(_.isEmpty))) None
       else Some(answers.map { case (c, vs) => c -> vs.map(_.get) }.toMap)
+    }
+
+  /** Metadata-only TOP-K / heavy-hitters answers: per-column Misra–Gries
+    * sketches folded ENTIRELY from the catalog — zero Spark jobs, zero file
+    * reads. Same tightness contract as [[metaApproxQuantile]]; parts fold
+    * in sorted key order (deterministic function of the catalog state).
+    *
+    * Returns per column the top-`k` stored values as
+    * (value, lower, upper, exact): `lower ≤ true count ≤ upper` is
+    * CERTIFIED by the sketch, and `exact = (lower == upper)` — true
+    * whenever the column's cardinality never exceeded the counter budget
+    * anywhere (then the counts are exact corpus counts and the fold is
+    * order-independent; see [[FreqMap]]). Fail open (None) on anything
+    * less — never a wrong or uncertified answer.
+    */
+  def metaTopK(cols: Seq[String], k: Int,
+      cellFilter: PartKey => Boolean = _ => true)
+      : Option[Map[String, Seq[(String, Long, Long, Boolean)]]] =
+    this.synchronized {
+      if (parts.isEmpty || cols.isEmpty || k <= 0) return None
+      if (!cols.forall(freqCols.contains)) return None
+      val ps = parts.asScala.toList.filter(p => cellFilter(p._1))
+        .sortBy(_._1.relPath).map(_._2)
+      if (ps.isEmpty) return None
+      if (!ps.forall(p => p.statsTight.get && p.rows.get >= 0L)) return None
+      val freqMaps = ps.map(_.freqs)
+      if (!freqMaps.forall(s => s.exists(m => cols.forall(m.contains)))) return None
+      val maps = freqMaps.map(_.get)
+      Some(cols.map { c =>
+        val folded = FreqMap.fold(maps.map(_(c)))
+        c -> folded.topK(k).map { case (v, lo, hi) => (v, lo, hi, lo == hi) }
+      }.toMap)
+    }
+
+  /** [[metaTopK]] grouped by PARTITION columns — per-group top values
+    * folded from each group's member parts only, same gating as
+    * [[metaApproxQuantileGrouped]] (every part tight, sketches for every
+    * requested column; group values decoded from the partition path).
+    * Zero-row groups answer an empty ranking (top-k over nothing is
+    * defined, unlike a quantile).
+    */
+  def metaTopKGrouped(groupCols: Seq[String], cols: Seq[String], k: Int,
+      cellFilter: PartKey => Boolean = _ => true)
+      : Option[Seq[(Seq[Any], Map[String, Seq[(String, Long, Long, Boolean)]])]] =
+    this.synchronized {
+      if (parts.isEmpty || cols.isEmpty || k <= 0) return None
+      if (groupCols.isEmpty || !groupCols.forall(partitionCols.contains)) return None
+      if (!cols.forall(freqCols.contains)) return None
+      val schema = tableSchema
+      import org.apache.spark.sql.types._
+      def decode(s: String, dt: DataType): Option[Any] =
+        if (s == null) Some(null)
+        else try dt match {
+          case StringType => Some(s)
+          case IntegerType => Some(Integer.valueOf(s))
+          case LongType => Some(java.lang.Long.valueOf(s))
+          case ShortType => Some(java.lang.Short.valueOf(s))
+          case ByteType => Some(java.lang.Byte.valueOf(s))
+          case BooleanType => Some(java.lang.Boolean.valueOf(s))
+          case _ => None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      val psAll = parts.asScala.toList.filter(p => cellFilter(p._1))
+      if (psAll.isEmpty) return Some(Seq.empty)
+      if (!psAll.forall { case (_, p) => p.statsTight.get && p.rows.get >= 0L })
+        return None
+      if (!psAll.forall { case (_, p) => p.freqs.exists(m => cols.forall(m.contains)) })
+        return None
+      val grouped = psAll.groupBy { case (key, _) =>
+        groupCols.map(c => key.partValues.collectFirst {
+          case (g, v) if g == c => v
+        }.orNull)
+      }
+      val out = grouped.toSeq.map { case (strVals, members0) =>
+        val vals = strVals.zip(groupCols).map { case (s, c) =>
+          decode(s, schema(c).dataType) match {
+            case Some(v) => v
+            case None => return None
+          }
+        }
+        val members = members0.sortBy(_._1.relPath)
+        (vals, cols.map { c =>
+          val folded = FreqMap.fold(members.map(_._2.freqs.get.apply(c)))
+          c -> folded.topK(k).map { case (v, lo, hi) => (v, lo, hi, lo == hi) }
+        }.toMap)
+      }
+      Some(out)
     }
 
   /** [[metaApproxQuantile]] grouped by PARTITION columns — per-group
@@ -1949,22 +2074,22 @@ final class LakeDataset private (
     * order.
     */
   private def cellCountsOf(p: DataFrame)
-      : (Array[Row], Seq[String], Seq[String], Seq[String], Seq[String], Seq[String]) =
-    if (cellKeyCols.isEmpty) (null, Nil, Nil, Nil, Nil, Nil)
+      : (Array[Row], Seq[String], Seq[String], Seq[String], Seq[String], Seq[String], Seq[String]) =
+    if (cellKeyCols.isEmpty) (null, Nil, Nil, Nil, Nil, Nil, Nil)
     else {
-      val (zc, bc, sc, kc, qc) = statColsFor(p.schema)
+      val (zc, bc, sc, kc, qc, fc) = statColsFor(p.schema)
       val aggCols = count(lit(1)) +:
         (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(p.schema, sc) ++
-          HllMap.aggs(kc) ++ QuantileMap.aggs(qc))
+          HllMap.aggs(kc) ++ QuantileMap.aggs(qc) ++ FreqMap.aggs(fc))
       (p.groupBy(cellKeyCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*).collect(),
-        zc, bc, sc, kc, qc)
+        zc, bc, sc, kc, qc, fc)
     }
 
   private def splitByCell(df0: DataFrame)
       : (DataFrame, List[LakeDataset.Slice]) = {
     val p = prepared(df0)
-    val (counts, zc, bc, sc, kc, qc) = cellCountsOf(p)
-    splitPrepared(p, counts, zc, bc, sc, kc, qc)
+    val (counts, zc, bc, sc, kc, qc, fc) = cellCountsOf(p)
+    splitPrepared(p, counts, zc, bc, sc, kc, qc, fc)
   }
 
   /** Checkpoint a prepared batch and slice it per cell using precomputed
@@ -1979,7 +2104,8 @@ final class LakeDataset private (
     */
   private def splitPrepared(p: DataFrame, cellCounts: Array[Row],
       zoneCols: Seq[String], bloomColsIn: Seq[String], sumColsIn: Seq[String],
-      sketchColsIn: Seq[String], quantColsIn: Seq[String])
+      sketchColsIn: Seq[String], quantColsIn: Seq[String],
+      freqColsIn: Seq[String])
       : (DataFrame, List[LakeDataset.Slice]) = {
     // Big batches spill to parquet like whole-table snapshots (the cell
     // counts give the size for free); partition-less datasets have no
@@ -1995,10 +2121,10 @@ final class LakeDataset private (
     if (cellCounts == null) {
       // Single-cell dataset: count + zones + blooms + sums + sketches in ONE
       // aggregation job over the snapshot (was a bare count).
-      val (zc, bc, sc, kc, qc) = statColsFor(snap.schema)
+      val (zc, bc, sc, kc, qc, fc) = statColsFor(snap.schema)
       val aggCols = count(lit(1)) +:
         (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(snap.schema, sc) ++
-          HllMap.aggs(kc) ++ QuantileMap.aggs(qc))
+          HllMap.aggs(kc) ++ QuantileMap.aggs(qc) ++ FreqMap.aggs(fc))
       val row = snap.agg(aggCols.head, aggCols.tail: _*).head()
       val sumOff = 1 + 2 * zc.length + Bloom.Planes * bc.length
       return (batch,
@@ -2009,7 +2135,10 @@ final class LakeDataset private (
           else Some(HllMap.fromRow(row, sumOff + 2 * sc.length, kc)),
           if (qc.isEmpty) None
           else Some(QuantileMap.fromRow(row,
-            sumOff + 2 * sc.length + kc.length, qc)))))
+            sumOff + 2 * sc.length + kc.length, qc)),
+          if (fc.isEmpty) None
+          else Some(FreqMap.fromRow(row,
+            sumOff + 2 * sc.length + kc.length + qc.length, fc)))))
     }
 
     val keyCols = cellKeyCols
@@ -2038,6 +2167,11 @@ final class LakeDataset private (
         if (quantColsIn.isEmpty) None
         else Some(QuantileMap.fromRow(row,
           sumOff + 2 * sumColsIn.length + sketchColsIn.length, quantColsIn))
+      val freqs =
+        if (freqColsIn.isEmpty) None
+        else Some(FreqMap.fromRow(row,
+          sumOff + 2 * sumColsIn.length + sketchColsIn.length +
+            quantColsIn.length, freqColsIn))
       val cond = partitionCols.zipWithIndex.map { case (c, i) =>
         if (row.isNullAt(i)) snap(c).isNull
         else snap(c) === lit(row.get(i))
@@ -2047,7 +2181,7 @@ final class LakeDataset private (
       }
       val slice = snap.filter(cond.reduce(_ && _)).drop(LakeDataset.BucketCol)
       LakeDataset.Slice(PartKey(partVals.sortBy(_._1), bucketNr), slice, n,
-        zones, blooms, sums, sketches, quants)
+        zones, blooms, sums, sketches, quants, freqs)
     }
     (batch, slices)
   }
@@ -2075,7 +2209,7 @@ final class LakeDataset private (
               initialZones = Some(s.zones), statColsOf = statColsFor,
               initialBlooms = s.blooms, snapshot = partSnapshot,
               initialSums = Some(s.sums), initialSketches = s.sketches,
-              initialQuants = s.quants)
+              initialQuants = s.quants, initialFreqs = s.freqs)
           else {
             existing.insert(s.df, s.rows)
             existing.widenZones(s.zones)
@@ -2083,6 +2217,7 @@ final class LakeDataset private (
             existing.addSums(s.sums) // exact under pure append
             s.sketches.foreach(existing.addSketches) // union: exact under append
             s.quants.foreach(existing.addQuants) // merge: in-bound under append
+            s.freqs.foreach(existing.addFreqs) // merge: bounds add under append
             existing
           })
       }
@@ -2139,8 +2274,8 @@ final class LakeDataset private (
     // skipping a full batch write+read through the block store.
     enforceChecks(df, "upsert batch")
     val p = prepared(df)
-    val (counts, zoneCols, bloomColsP, sumColsP, sketchColsP, quantColsP) =
-      cellCountsOf(p)
+    val (counts, zoneCols, bloomColsP, sumColsP, sketchColsP, quantColsP,
+      freqColsP) = cellCountsOf(p)
     val nCells = if (counts == null) 1 else counts.length
     this.synchronized {
       // Decide the path and capture the pre-merge snapshot BEFORE markDirty:
@@ -2164,7 +2299,7 @@ final class LakeDataset private (
       } else {
         val (batch, slices) =
           splitPrepared(p, counts, zoneCols, bloomColsP, sumColsP, sketchColsP,
-            quantColsP)
+            quantColsP, freqColsP)
         slices.foreach { s =>
           diskDirs.remove(s.key); diskSchemas.remove(s.key)
           parts.compute(s.key, (_, existing) =>
@@ -2175,7 +2310,7 @@ final class LakeDataset private (
                 initialZones = Some(s.zones), statColsOf = statColsFor,
                 initialBlooms = s.blooms, snapshot = partSnapshot,
                 initialSums = Some(s.sums), initialSketches = s.sketches,
-                initialQuants = s.quants)
+                initialQuants = s.quants, initialFreqs = s.freqs)
             else {
               existing.upsert(s.df, keys, s.rows, leftWins = leftWins)
               // Sound widening: surviving values ⊆ old ∪ delta. (Sums are
@@ -2228,7 +2363,7 @@ final class LakeDataset private (
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
     enforceChecks(df, "insertWritten batch")
     val p = prepared(df)
-    val (counts, zc, bc, sc, kc, qc) = profiled("iw:route")(cellCountsOf(p))
+    val (counts, zc, bc, sc, kc, qc, fc) = profiled("iw:route")(cellCountsOf(p))
     require(counts != null,
       "insertWritten needs a partitioned or bucketed layout (fresh cells)")
     require(!p.columns.contains("bucket") || bucketCols.isEmpty,
@@ -2316,12 +2451,16 @@ final class LakeDataset private (
         val quants =
           if (qc.isEmpty) None
           else Some(QuantileMap.fromRow(row, sumOff + 2 * sc.length + kc.length, qc))
+        val freqsP =
+          if (fc.isEmpty) None
+          else Some(FreqMap.fromRow(row,
+            sumOff + 2 * sc.length + kc.length + qc.length, fc))
         parts.put(key,
           new LakePart(restored, key, bucketCols, nBuckets, row.getLong(nKey),
             retainDirect, initialZones = Some(zones), statColsOf = statColsFor,
             initialBlooms = blooms, snapshot = partSnapshot,
             initialSums = Some(sums), initialSketches = sketches,
-            initialQuants = quants))
+            initialQuants = quants, initialFreqs = freqsP))
         diskDirs.put(key, dir)
         diskSchemas.put(key, target)
       }
@@ -2907,7 +3046,8 @@ object LakeDataset {
       zones: Map[String, Zone], blooms: Option[Map[String, Bloom]],
       sums: Map[String, ColSum],
       sketches: Option[Map[String, Array[Byte]]] = None,
-      quants: Option[Map[String, Array[Byte]]] = None)
+      quants: Option[Map[String, Array[Byte]]] = None,
+      freqs: Option[Map[String, Array[Byte]]] = None)
 
   /** Internal bucket-id column, dropped before any user-visible output
     * (reference `$bucket`, src/dataset.rs:200-204).
@@ -2973,7 +3113,8 @@ object LakeDataset {
       auditClock: () => Column = () => current_timestamp(),
       bloomCols: Seq[String] = Nil,
       sketchCols: Seq[String] = Nil,
-      quantileCols: Seq[String] = Nil): LakeDataset = {
+      quantileCols: Seq[String] = Nil,
+      freqCols: Seq[String] = Nil): LakeDataset = {
     // Refuse an unsketchable DECLARED sketch column up front: routed
     // sketch aggregation would otherwise fail open silently (the per-batch
     // selector filters by type), and the user would discover the column is
@@ -2994,9 +3135,17 @@ object LakeDataset {
           s"quantile column '$c' has type ${f.dataType.simpleString} — " +
             "gk_agg accepts numeric types"))
     }
+    // And for frequent-items columns: only string-canonical types (floats
+    // would split counters across representations).
+    freqCols.foreach { c =>
+      df.schema.fields.find(_.name == c).foreach(f =>
+        require(FreqMap.freqable(f.dataType),
+          s"frequent-items column '$c' has type ${f.dataType.simpleString} — " +
+            "freq_agg accepts string, boolean, date and integral types"))
+    }
     val ds = new LakeDataset(spark, partitionCols.toList, bucketCols.toList, nBuckets,
       storage, bloomCols = bloomCols.toList, sketchCols = sketchCols.toList,
-      quantileCols = quantileCols.toList,
+      quantileCols = quantileCols.toList, freqCols = freqCols.toList,
       auditClock = if (auditColumns) Some(auditClock) else None)
     ds.insert(df)
     ds
@@ -3015,10 +3164,11 @@ object LakeDataset {
       bloomCols: Seq[String],
       storage: StorageSpec,
       sketchCols: Seq[String] = Nil,
-      quantileCols: Seq[String] = Nil): LakeDataset =
+      quantileCols: Seq[String] = Nil,
+      freqCols: Seq[String] = Nil): LakeDataset =
     new LakeDataset(spark, partitionCols.toList, bucketCols.toList, nBuckets,
       Some(storage), bloomCols = bloomCols.toList, sketchCols = sketchCols.toList,
-      quantileCols = quantileCols.toList)
+      quantileCols = quantileCols.toList, freqCols = freqCols.toList)
 
   /** Load a dataset from storage: read manifest, walk the directory tree for
     * part directories, rebuild parts (reference `Dataset::from_storage`,
@@ -3030,7 +3180,7 @@ object LakeDataset {
     val ds = new LakeDataset(spark, manifest.partitions, manifest.buckets,
       manifest.nBuckets, Some(manifest.storage.copy(root = root)),
       bloomCols = manifest.bloomCols, sketchCols = manifest.sketchCols,
-      quantileCols = manifest.quantileCols)
+      quantileCols = manifest.quantileCols, freqCols = manifest.freqCols)
     ds.checksMap = manifest.checks // a reloaded table keeps its data contract
     ds.committedVersion.set(manifest.version)
 
@@ -3185,6 +3335,16 @@ object LakeDataset {
             else None
           }
         }.filter(_.nonEmpty)
+      // Frequent-items sketches restore under the same tightness vouch; an
+      // undecodable sketch drops its column (metadata top-k fails open).
+      val freqs: Option[Map[String, Array[Byte]]] =
+        if (!tight) None
+        else manifest.partFreqs.get(key.relPath).map { cols =>
+          cols.flatMap { case (c, b64) =>
+            if (manifest.freqCols.contains(c)) FreqMap.decode(b64).map(c -> _)
+            else None
+          }
+        }.filter(_.nonEmpty)
       if (eager) {
         // Eager load: materialize NOW by contract (the caller asked for
         // resident parts); the thunk runs here, not on first touch.
@@ -3195,13 +3355,14 @@ object LakeDataset {
             initialZones = zones, statColsOf = ds.statColsFor, initialBlooms = blooms,
             snapshot = ds.partSnapshot, initialSums = sums,
             initialSketches = sketches, initialQuants = quants,
-            initialTight = tight))
+            initialFreqs = freqs, initialTight = tight))
       } else ds.parts.put(key,
         new LakePart(partDf(), key, manifest.buckets, manifest.nBuckets,
           exactRows.getOrElse(-1L), ds.retainDirect,
           initialZones = zones, statColsOf = ds.statColsFor, initialBlooms = blooms,
           snapshot = ds.partSnapshot, initialSums = sums,
           initialSketches = sketches, initialQuants = quants,
+          initialFreqs = freqs,
           initialTight = tight))
       ds.diskDirs.put(key, dir.toString)
       target.foreach(t => ds.diskSchemas.put(key, t))

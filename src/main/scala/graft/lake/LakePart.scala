@@ -39,14 +39,14 @@ final class LakePart private[lake] (
       */
     initialZones: Option[Map[String, Zone]] = None,
     /** The owning dataset's FIXED tracked-stat-column selector, returning
-      * (zone, bloom, sum, sketch, quantile columns) for a
+      * (zone, bloom, sum, sketch, quantile, freq columns) for a
       * schema. Materialize
       * recomputes stats through it so the part never tracks a different set
       * than the routing aggregation widens with (set drift is unsound — see
       * LakeDataset.trackedZoneSet).
       */
-    statColsOf: org.apache.spark.sql.types.StructType => (Seq[String], Seq[String], Seq[String], Seq[String], Seq[String]) =
-      s => (ZoneMap.zoneCols(s), Nil, SumMap.sumCols(s), Nil, Nil),
+    statColsOf: org.apache.spark.sql.types.StructType => (Seq[String], Seq[String], Seq[String], Seq[String], Seq[String], Seq[String]) =
+      s => (ZoneMap.zoneCols(s), Nil, SumMap.sumCols(s), Nil, Nil, Nil),
     /** Per-column key Bloom filters of this part's data (see [[Bloom]]);
       * None = no statistics (membership pruning fails open). Mutations OR
       * plane bits (sound superset); rebuilds recompute tight.
@@ -77,6 +77,12 @@ final class LakePart private[lake] (
       * recompute.
       */
     initialQuants: Option[Map[String, Array[Byte]]] = None,
+    /** Per-column Misra–Gries frequent-items sketches of this part's data
+      * (see [[FreqMap]]); None = unknown (metadata top-k answers fail
+      * open). Appends MERGE the batch's sketches in (bounds add);
+      * upsert/delete invalidate; materialize/ANALYZE recompute.
+      */
+    initialFreqs: Option[Map[String, Array[Byte]]] = None,
     /** Whether the initial statistics (zones, blooms, row counter) reflect
       * the part's data EXACTLY — true on every in-memory creation path (all
       * compute stats from the routed batch itself); false for parts loaded
@@ -109,6 +115,8 @@ final class LakePart private[lake] (
     new AtomicReference[Option[Map[String, Array[Byte]]]](initialSketches)
   private val quantsRef =
     new AtomicReference[Option[Map[String, Array[Byte]]]](initialQuants)
+  private val freqsRef =
+    new AtomicReference[Option[Map[String, Array[Byte]]]](initialFreqs)
 
   /** Current exact column sums; None = unknown (metadata sums fail open).
     * Meaningful only while [[statsTight]] — consumers must check both.
@@ -151,6 +159,21 @@ final class LakePart private[lake] (
   private[lake] def addQuants(delta: Map[String, Array[Byte]]): Unit =
     quantsRef.updateAndGet {
       case Some(old) => Some(QuantileMap.merge(old, delta))
+      case None => None
+    }
+
+  /** Current MG frequent-items sketches; None = unknown (metadata top-k
+    * answers fail open). Meaningful only while [[statsTight]].
+    */
+  def freqs: Option[Map[String, Array[Byte]]] = freqsRef.get
+
+  /** Merge an appended batch's frequent-items sketches in (see
+    * [[FreqMap.merge]] — covers the concatenated stream, error bounds add).
+    * A part with unknown sketches stays unknown.
+    */
+  private[lake] def addFreqs(delta: Map[String, Array[Byte]]): Unit =
+    freqsRef.updateAndGet {
+      case Some(old) => Some(FreqMap.merge(old, delta))
       case None => None
     }
 
@@ -219,7 +242,8 @@ final class LakePart private[lake] (
       initialZones = zonesRef.get, statColsOf = statColsOf,
       initialBlooms = bloomsRef.get, snapshot = snapshot,
       initialSums = sumsRef.get, initialSketches = sketchesRef.get,
-      initialQuants = quantsRef.get, initialTight = statsTight.get)
+      initialQuants = quantsRef.get, initialFreqs = freqsRef.get,
+      initialTight = statsTight.get)
     f.changes.set(changes.get)
     f.mutationOps.set(mutationOps.get)
     f
@@ -269,6 +293,7 @@ final class LakePart private[lake] (
       sumsRef.set(None) // a merge's post-state sum is not derivable
       sketchesRef.set(None) // replaced rows' registers cannot be subtracted
       quantsRef.set(None) // replaced rows' tuples cannot be subtracted
+      freqsRef.set(None) // replaced rows' counts cannot be subtracted
       changes.addAndGet(otherRows)
       // rows counter intentionally unchanged (stale until materialize),
       // mirroring reference src/dataset.rs:144.
@@ -287,6 +312,7 @@ final class LakePart private[lake] (
     sumsRef.set(None) // deleted rows' contribution is unknown
     sketchesRef.set(None) // deleted rows' registers cannot be subtracted
     quantsRef.set(None) // deleted rows' tuples cannot be subtracted
+    freqsRef.set(None) // deleted rows' counts cannot be subtracted
     changes.addAndGet(1L)
     rows.set(-1L) // unknown until materialize/recount
     maybeCompact(false)
@@ -302,6 +328,7 @@ final class LakePart private[lake] (
     sumsRef.set(None) // deleted rows' contribution is unknown
     sketchesRef.set(None) // deleted rows' registers cannot be subtracted
     quantsRef.set(None) // deleted rows' tuples cannot be subtracted
+    freqsRef.set(None) // deleted rows' counts cannot be subtracted
     changes.addAndGet(1L)
     rows.set(-1L) // unknown until materialize/recount
     maybeCompact(false)
@@ -357,10 +384,10 @@ final class LakePart private[lake] (
       // (mutations in between only ever widened them), and parts that had
       // no stats at all (lazily loaded) gain them.
       import org.apache.spark.sql.functions.{count, lit}
-      val (zc, bc, sc, kc, qc) = statColsOf(m.schema)
+      val (zc, bc, sc, kc, qc, fc) = statColsOf(m.schema)
       val statAggs = count(lit(1)) +:
         (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(m.schema, sc) ++
-          HllMap.aggs(kc) ++ QuantileMap.aggs(qc))
+          HllMap.aggs(kc) ++ QuantileMap.aggs(qc) ++ FreqMap.aggs(fc))
       val row = m.agg(statAggs.head, statAggs.tail: _*).head()
       rows.set(row.getLong(0))
       zonesRef.set(Some(ZoneMap.fromRow(row, 1, zc)))
@@ -370,6 +397,8 @@ final class LakePart private[lake] (
         1 + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length, kc)))
       if (qc.nonEmpty) quantsRef.set(Some(QuantileMap.fromRow(row,
         1 + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length + kc.length, qc)))
+      if (fc.nonEmpty) freqsRef.set(Some(FreqMap.fromRow(row,
+        1 + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length + kc.length + qc.length, fc)))
       changes.set(0L)
       mutationOps.set(0L)
       statsTight.set(true) // count + zones just recomputed from data
@@ -397,6 +426,7 @@ final class LakePart private[lake] (
     sumsRef.updateAndGet(_.map(remap))
     sketchesRef.updateAndGet(_.map(remap))
     quantsRef.updateAndGet(_.map(remap))
+    freqsRef.updateAndGet(_.map(remap))
     mutationOps.incrementAndGet() // plan depth grew by one
   }
 
@@ -410,10 +440,10 @@ final class LakePart private[lake] (
     if (statsTight.get && rows.get >= 0L) return
     import org.apache.spark.sql.functions.{count, lit}
     val d = cur
-    val (zc, bc, sc, kc, qc) = statColsOf(d.schema)
+    val (zc, bc, sc, kc, qc, fc) = statColsOf(d.schema)
     val statAggs = count(lit(1)) +:
       (ZoneMap.aggs(zc) ++ Bloom.aggs(bc) ++ SumMap.aggs(d.schema, sc) ++
-        HllMap.aggs(kc) ++ QuantileMap.aggs(qc))
+        HllMap.aggs(kc) ++ QuantileMap.aggs(qc) ++ FreqMap.aggs(fc))
     val row = d.agg(statAggs.head, statAggs.tail: _*).head()
     rows.set(row.getLong(0))
     zonesRef.set(Some(ZoneMap.fromRow(row, 1, zc)))
@@ -423,6 +453,8 @@ final class LakePart private[lake] (
       1 + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length, kc)))
     if (qc.nonEmpty) quantsRef.set(Some(QuantileMap.fromRow(row,
       1 + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length + kc.length, qc)))
+    if (fc.nonEmpty) freqsRef.set(Some(FreqMap.fromRow(row,
+      1 + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length + kc.length + qc.length, fc)))
     statsTight.set(true)
   }
 

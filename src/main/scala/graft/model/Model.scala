@@ -134,6 +134,15 @@ final case class Manifest(
       * the field load the same way (fail open to a scan).
       */
     partQuants: Map[String, Map[String, String]] = Map.empty,
+    /** Columns carrying per-part Misra–Gries frequent-items sketches
+      * (opt-in at table creation, like [[sketchCols]]). */
+    freqCols: List[String] = Nil,
+    /** Per-part MG frequent-items sketches (base64 bytes), written only for
+      * tight parts — the top-values member of the tightness vouch, restored
+      * under the same [[partRows]] gate. Old manifests without the field
+      * load the same way (fail open to a scan).
+      */
+    partFreqs: Map[String, Map[String, String]] = Map.empty,
     /** Table CHECK constraints: name → SQL boolean expression. Enforced on
       * every ingest (insert/upsert/update reject violating batches loudly);
       * persisted so a reloaded table keeps enforcing them. Old manifests
@@ -223,6 +232,17 @@ object Manifest {
         cols.foreach { case (c, b64) => pn.put(c, b64) }
       }
     }
+    if (m.freqCols.nonEmpty) {
+      val fc = node.putArray("freq_cols")
+      m.freqCols.foreach(fc.add)
+    }
+    if (m.partFreqs.nonEmpty) {
+      val fn = node.putObject("part_freqs")
+      m.partFreqs.foreach { case (rel, cols) =>
+        val pn = fn.putObject(rel)
+        cols.foreach { case (c, b64) => pn.put(c, b64) }
+      }
+    }
     if (m.checks.nonEmpty) {
       val checksN = node.putObject("checks")
       m.checks.foreach { case (name, e) => checksN.put(name, e) }
@@ -301,6 +321,14 @@ object Manifest {
       partQuants = Option(node.get("part_quants")).map { qn =>
         qn.fieldNames().asScala.map { rel =>
           val pn = qn.get(rel)
+          rel -> pn.fieldNames().asScala.map(c => c -> pn.get(c).asText()).toMap
+        }.toMap
+      }.getOrElse(Map.empty),
+      freqCols = Option(node.get("freq_cols"))
+        .map(_.elements().asScala.map(_.asText()).toList).getOrElse(Nil),
+      partFreqs = Option(node.get("part_freqs")).map { fn =>
+        fn.fieldNames().asScala.map { rel =>
+          val pn = fn.get(rel)
           rel -> pn.fieldNames().asScala.map(c => c -> pn.get(c).asText()).toMap
         }.toMap
       }.getOrElse(Map.empty),

@@ -343,6 +343,70 @@ object TextAnalysis {
   /** US-shaped phone pattern (`555-123-4567` / `555.123.4567`), word-bounded. */
   val PhonePattern: String = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
 
+  /** DSIR-shaped IMPORTANCE WEIGHTS for corpus selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw document by how much its unigram distribution looks
+    * like a TARGET corpus vs the raw corpus — the standard way to select
+    * pretraining data matching a desired domain without labels (the
+    * supervised cousin is [[trainQualityLexicon]]).
+    *
+    * DSIR proper uses hashed-n-gram log-likelihood ratios; this is the
+    * EXACT-INTEGER twin: per-term rates scaled to an integer grid
+    * (`rate = (count * scale) div N`, integral division — both engines
+    * truncate identically on non-negatives) and a per-document
+    * tf-weighted LINEAR contrast `Σ tf·(rate_target − rate_raw)` instead
+    * of the log ratio — same ordering intuition (terms over-represented in
+    * the target pull a document up), bit-reproducible by any engine
+    * (`text_dsir_select` has a full DuckDB oracle; no libm ln() in sight).
+    *
+    * Scale shape: tokenization explodes map-side; the two rate tables are
+    * term-keyed aggregates (broadcastable for real vocabularies, shuffle
+    * joins otherwise — the same shape as [[documentFrequency]]); the final
+    * per-doc sum is one groupBy. The two corpus token totals are O(1)
+    * driver scalars inlined as literals. `scale` bounds: `count * scale`
+    * must fit a long — 1e6 leaves headroom to ~9e12 occurrences of one
+    * term per corpus; raise with care.
+    *
+    * Returns (doc, weight, n_tokens) for every raw document.
+    */
+  def importanceContrast(
+      raw: DataFrame, target: DataFrame, textCol: String, idCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    def tokens(d: DataFrame): Column =
+      explode(split(trim(regexp_replace(d(textCol), "\\s+", " ")), " "))
+    val tTok = target.select(tokens(target).as("term"))
+    val rTok = raw.select(tokens(raw).as("term"))
+    val nT = tTok.count()
+    val nR = rTok.count()
+    require(nT > 0 && nR > 0, "importance contrast needs non-empty corpora")
+    val tRate = tTok.groupBy("term").agg(count(lit(1)).as("ct"))
+      .select(col("term"), expr(s"(ct * $scale) div $nT").as("rate_t"))
+    val rRate = rTok.groupBy("term").agg(count(lit(1)).as("cr"))
+      .select(col("term"), expr(s"(cr * $scale) div $nR").as("rate_r"))
+    val tf = raw.select(col(idCol).as("doc"), tokens(raw).as("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    tf.join(tRate, Seq("term"), "left")
+      .join(rRate, Seq("term"), "left") // never misses: raw terms ⊆ raw
+      .groupBy("doc")
+      .agg(
+        sum(col("tf") *
+          (coalesce(col("rate_t"), lit(0L)) - coalesce(col("rate_r"), lit(0L))))
+          .as("weight"),
+        sum(col("tf")).as("n_tokens"))
+  }
+
+  /** Deterministic selection of the `n` highest-importance documents —
+    * the resampling step of DSIR made reproducible: rank by
+    * (weight desc, doc), which plans as a TakeOrdered over the scored
+    * frame (no global sort materialization; k rows per partition, one
+    * driver merge). DSIR's Gumbel-noise diversity draw is deliberately
+    * NOT the default — an RNG would make selection irreproducible across
+    * engines and runs; callers wanting it can add a seeded jitter column
+    * before ranking.
+    */
+  def importanceSelect(scored: DataFrame, n: Int): DataFrame =
+    scored.orderBy(desc("weight"), col("doc")).limit(n)
+
   /** SLIDING-WINDOW CHUNKING for RAG / context-window preparation: split
     * every document into word chunks of `chunkSize`, starting every
     * `stride` words (overlap = chunkSize - stride), the standard shape for

@@ -47,7 +47,8 @@ object ScaleSmoke {
       !sys.env.contains("SPARK_GRAFT_ONLY_R11") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R12") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R12B") &&
-      !sys.env.contains("SPARK_GRAFT_ONLY_R12C")
+      !sys.env.contains("SPARK_GRAFT_ONLY_R12C") &&
+      !sys.env.contains("SPARK_GRAFT_ONLY_R12D")
     if (runAll) {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val big = (0 until copies).map { i =>
@@ -1033,6 +1034,45 @@ object ScaleSmoke {
       }
     }
     if (onlyR12c) { spark.stop(); return }
+
+    // ---- R12d: MG frequent-items sketches at ~100 parts ---------------------
+    // Claim: the catalog fold answers top-k values in O(parts·k) driver work
+    // (zero scan jobs); in the exact regime (cardinality ≤ 64) the counts
+    // equal a full groupBy-count scan's. Run just this section with
+    // SPARK_GRAFT_ONLY_R12D=1.
+    val onlyR12d = sys.env.contains("SPARK_GRAFT_ONLY_R12D")
+    if (runAll || onlyR12d) {
+      val mo12d = (0 until copies).map { i =>
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 10000000L))
+      }.reduce(_ unionByName _)
+        .withColumn("o_batch", (col("o_orderkey") / 15000L).cast("int"))
+        .localCheckpoint(true)
+      val n12d = mo12d.count()
+      println(s"[scale] r12d orders: $n12d rows (${copies}x)")
+      val df12d = time("create freq-tracked (~100 parts)") {
+        LakeDataset.fromDataFrame(spark, mo12d,
+          partitionCols = Seq("o_batch"), freqCols = Seq("o_orderstatus"))
+      }
+      println(s"[scale] freq dataset parts: ${df12d.numParts}")
+      val metaT = time(s"catalog top-k (${df12d.numParts}-part fold)") {
+        df12d.metaTopK(Seq("o_orderstatus"), 5).get("o_orderstatus")
+      }
+      time("catalog top-k (warm)") {
+        df12d.metaTopK(Seq("o_orderstatus"), 5).get("o_orderstatus")
+      }
+      val scanT = time("scan groupBy-count top-k (distributed)") {
+        df12d.toDF.groupBy("o_orderstatus").count()
+          .orderBy(desc("count"), col("o_orderstatus")).limit(5)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      }
+      println(s"[scale] catalog=$metaT")
+      require(metaT.forall(_._4),
+        "3-value status column must stay in the exact regime at 100 parts")
+      require(metaT.map(t => t._1 -> t._2) == scanT,
+        s"exact-regime catalog top-k must equal the scan: $metaT vs $scanT")
+    }
+    if (onlyR12d) { spark.stop(); return }
 
     // ---- IVF ANN: probe cost vs corpus growth ------------------------------
     // The scale claim: an IVF probe reads nprobe inverted LISTS, whose size

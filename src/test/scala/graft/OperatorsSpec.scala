@@ -604,6 +604,43 @@ class OperatorsSpec extends SparkSpec {
     assert(sharded.filter(_._2 == 1).map(_._4).forall(_ >= (1L << 32)))
   }
 
+  test("importance contrast selects target-domain-like documents") {
+    // Tiny planted corpus: target speaks "alpha", the rest speaks "beta".
+    // alpha: rate_t = (4*1M) div 4 = 1M; rate_r = (4*1M) div 12 = 333333.
+    // beta: rate_t = 0; rate_r = (8*1M) div 12 = 666666.
+    val docs = Seq(
+      (1L, "alpha alpha", "tgt"), (2L, "alpha alpha", "tgt"),
+      (3L, "beta beta", "raw"), (4L, "beta beta", "raw"),
+      (5L, "beta beta", "raw"), (6L, "beta beta", "raw"))
+      .toDF("doc_id", "text", "dom")
+    val scored = TextAnalysis.importanceContrast(
+      docs, docs.filter(col("dom") === "tgt"), "text", "doc_id")
+      .orderBy("doc").as[(Long, Long, Long)].collect().toSeq
+    // alpha docs: 2 * (1000000 - 333333) = 1333334; beta: 2 * (0 - 666666)
+    assert(scored.filter(_._1 <= 2).forall(_._2 == 1333334L), scored.toString)
+    assert(scored.filter(_._1 >= 3).forall(_._2 == -1333332L), scored.toString)
+    val picked = TextAnalysis.importanceSelect(
+      TextAnalysis.importanceContrast(
+        docs, docs.filter(col("dom") === "tgt"), "text", "doc_id"), 2)
+      .select("doc").as[Long].collect().toSet
+    assert(picked == Set(1L, 2L))
+    // Corpus-scale property. The synthetic corpus shares ONE 31-word
+    // vocabulary across languages (lang is metadata, not a distribution
+    // shift — the same quirk the SimHash twin hit), so the target must be
+    // content-distinct: plant 50 docs salted with domain tokens, target
+    // them, and the selection must recover them.
+    val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
+    val planted = corpus.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" graftium graftium lakeium" * 4)).as("text"))
+    val mixed = corpus.select("doc_id", "text").unionByName(planted)
+    val sel = TextAnalysis.importanceSelect(TextAnalysis.importanceContrast(
+        mixed, planted, "text", "doc_id"), 50)
+      .select("doc").as[Long].collect().toSet
+    val recovered = sel.count(_ >= 100000L) / 50.0
+    assert(recovered >= 0.9, s"planted-domain recovery: $recovered")
+  }
+
   test("chunking: full coverage, fixed overlap, short tail, no shuffle") {
     // 10 words, chunkSize 4, stride 3 -> starts 0,3,6,9: four chunks, the
     // last one word long. Every word covered; consecutive chunks share 1.
