@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Bucketing
 import graft.lake.{Database, LakeDataset}
-import graft.operators.{Clustering, DataQuality, Dedup, ExactDedupIndex, HeavyHitters, MaterializedAgg, MinhashIndex, Multimodal, Pq, Sampling, Similarity, StringCache, TextAnalysis, TextSearch}
+import graft.operators.{Clustering, DataQuality, Dedup, ExactDedupIndex, HeavyHitters, MaterializedAgg, MinhashIndex, Multimodal, Pq, Sampling, Similarity, Sq, StringCache, TextAnalysis, TextSearch}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), with a DuckDB-equivalent oracle where SQL-expressible.
@@ -2382,6 +2382,18 @@ object SparkEntry {
         Fixtures.pqModel(s, dir), "embedding", "vec_id", q, 10, nprobe = 4)
     }),
 
+    // SQ8 scalar quantization: int8 codes (4x smaller vectors), code-space
+    // cosine = exact integer dot/norms + one deterministic division on the
+    // 1e-6 grid — approximate vs float cosine (SqSpec pins recall) but a
+    // pure function of the data, so the WHOLE quantize+score+rank path has
+    // a DuckDB oracle (PQ's ADC path, by contrast, is rows-only).
+    "ann_sq8_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .head().getSeq[Float](1).toSeq
+      Sq.sq8TopK(Sq.sq8Encode(e, "embedding", "vec_id"), "vec_id", q, 10)
+    }),
+
     // Batch ANN, exact: top-k for a whole query TABLE on the quantized
     // grid — oracle-checked ground truth for the IVF similarity join below.
     "ann_batch_exact" -> ((s, dir) => {
@@ -3929,6 +3941,29 @@ object SparkEntry {
         |  CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) * 1000000)
         |       AS BIGINT) AS cos_q
         |FROM embeddings, q
+        |ORDER BY cos_q DESC, vec_id LIMIT 10""".stripMargin,
+
+    // SQ8: quantization replicated in SQL (elementwise floor + list-order
+    // maxabs), code-space cosine from exact integer dot/norms.
+    "ann_sq8_topk" ->
+      """WITH enc AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(FLOOR(x *
+        |      (CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) = 0
+        |            THEN 0 ELSE 127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) END)
+        |      + 0.5) AS BIGINT)) AS codes
+        |  FROM embeddings),
+        |q AS (SELECT codes AS qc FROM enc WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |    list_dot_product(codes, qc) AS dot,
+        |    list_dot_product(codes, codes) AS nv,
+        |    list_dot_product(qc, qc) AS nq
+        |  FROM enc, q)
+        |SELECT vec_id,
+        |  CASE WHEN nv = 0 OR nq = 0 THEN 0
+        |       ELSE CAST(round(dot / (sqrt(nv) * sqrt(nq)) * 1000000.0) AS BIGINT) END AS cos_q
+        |FROM scored
         |ORDER BY cos_q DESC, vec_id LIMIT 10""".stripMargin,
 
     // Filtered vector search: same grid, predicate applied BEFORE ranking.
