@@ -1498,6 +1498,25 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // CSV lake: the remaining format axis (parquet/orc/arrowipc have their
+    // own gates). Text format round-trips through the manifest DDL schema
+    // (shortest-repr doubles reparse exactly; quoting covers embedded
+    // delimiters); compression is per-file gzip.
+    "lake_csv_roundtrip" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val root = Files.createTempDirectory("graft_rt_csv").toString
+      val ds = LakeDataset.fromDataFrame(s, li,
+        partitionCols = Seq("l_returnflag"), bucketCols = Seq("l_partkey"),
+        nBuckets = 5,
+        storage = Some(graft.model.StorageSpec(root, format = "csv",
+          compression = "gzip")))
+      ds.toStorage()
+      val back = LakeDataset.fromStorage(s, root)
+      back.toDF.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+        .orderBy("l_returnflag")
+    }),
+
     // Z-order clustering: orders binned by the interleaved quantile-rank
     // bits of (o_custkey, o_totalprice) — the catalog's per-bin zone
     // intervals are then tight on BOTH columns, so this 2-D range query
@@ -3049,6 +3068,10 @@ object SparkEntry {
          |   OR CAST(FLOOR(o_orderkey / 4000.0) AS INT) = 3""".stripMargin,
 
     "lake_orc_roundtrip" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n, ${osum("l_extendedprice")} AS total
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "lake_csv_roundtrip" ->
       s"""SELECT l_returnflag, COUNT(*) AS n, ${osum("l_extendedprice")} AS total
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 

@@ -221,6 +221,23 @@ object StreamingIngest {
     (sink, () => cur.get)
   }
 
+  /** Native BOUNDED-STATE streaming dedup: Spark's
+    * `dropDuplicatesWithinWatermark` behind the engine's event-time
+    * contract — duplicates of a key arriving within the watermark horizon
+    * are dropped, and state for keys older than the watermark is EVICTED,
+    * so an unbounded stream holds O(keys-per-horizon) state instead of
+    * O(all keys ever). This is the complement of the INDEX-backed dedup
+    * sinks above ([[exactDedupBatches]] / [[dedupBatches]]): those answer
+    * "has the corpus EVER seen this content" at per-batch cost against a
+    * persisted lake index; this answers "did this key arrive twice within
+    * the delivery-jitter window" — the at-least-once-transport dedup a
+    * feed applies BEFORE content-level dedup, with no index to maintain.
+    */
+  def dedupWithinWatermark(stream: DataFrame, keyCols: Seq[String],
+      tsCol: String, watermark: String = "10 minutes"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Watermarked tumbling-window aggregation — the stream-relational
     * operator set the reference lacks entirely (SURVEY.md §2.B last row),
     * provided as the engine's native stream-analytics path. Works on both

@@ -347,4 +347,29 @@ class IngestStreamingSpec extends SparkSpec {
     assert(res("SELECT COUNT(*) AS n FROM sqls_t").head.getLong(0) == 2L)
     assert(res("SELECT MAX(k) AS m FROM sqls_t").head.getLong(0) == 2L)
   }
+
+  test("watermark dedup: within-horizon replays drop, state stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val deduped = StreamingIngest.dedupWithinWatermark(
+      mem.toDF().toDF("doc_id", "ts", "text"), Seq("doc_id"), "ts",
+      watermark = "10 minutes")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, _) =>
+      seen ++= b.select("doc_id", "text").as[(Long, String)].collect()
+    val q = deduped.writeStream.foreachBatch(sink).start()
+    try {
+      mem.addData((1L, ts(0), "a"), (2L, ts(1), "b"))
+      q.processAllAvailable()
+      // replay doc 1 within the watermark horizon + one fresh doc
+      mem.addData((1L, ts(2), "a"), (3L, ts(3), "c"))
+      q.processAllAvailable()
+      // duplicate INSIDE one batch dedups too
+      mem.addData((4L, ts(4), "d"), (4L, ts(4), "d"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(seen.sorted == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+      s"each key exactly once: $seen")
+  }
 }
