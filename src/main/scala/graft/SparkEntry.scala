@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Bucketing
 import graft.lake.{Database, LakeDataset}
-import graft.operators.{Clustering, DataQuality, Dedup, ExactDedupIndex, HeavyHitters, MaterializedAgg, MinhashIndex, Multimodal, Pq, Sampling, Similarity, Sq, StringCache, TextAnalysis, TextSearch}
+import graft.operators.{Bpe, Clustering, DataQuality, Dedup, ExactDedupIndex, HeavyHitters, MaterializedAgg, MinhashIndex, Multimodal, Pq, Sampling, Similarity, Sq, StringCache, TextAnalysis, TextSearch}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), with a DuckDB-equivalent oracle where SQL-expressible.
@@ -1934,6 +1934,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BPE tokenizer training, round-1 statistics: exact integer adjacent-
+    // pair frequencies over the corpus word-count table — full DuckDB
+    // oracle for the counting machinery every merge round reuses.
+    "text_bpe_pairs" -> ((s, dir) => {
+      val words = Bpe.wordCounts(table(s, dir, "documents"), "text")
+      Bpe.pairStats(words.withColumn("s", Bpe.charSymbols(col("word"))))
+        .orderBy(desc("freq"), col("left_sym"), col("right_sym"))
+        .limit(10)
+    }),
+
+    // The trained merge table (8 rounds): deterministic (total-order tie
+    // break) but inherently iterative — no single SQL oracle can replay 8
+    // dependent rounds, so rows-only here; BpeSpec hand-verifies the
+    // classic planted corpus and pins round-1 == text_bpe_pairs' argmax.
+    "text_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      Bpe.train(Bpe.wordCounts(table(s, dir, "documents"), "text"), 8)
+        .toDF("rank", "left_sym", "right_sym", "freq")
+        .orderBy("rank")
+    }),
+
     // DSIR-shaped data selection: score every document by its integer-rate
     // unigram contrast against the English subcorpus (the "target domain"),
     // keep the top 50 — domain-matching selection without labels. Exact
@@ -3548,6 +3569,19 @@ object SparkEntry {
         |FROM tf LEFT JOIN lex ON lex.term = tf.term
         |GROUP BY tf.doc_id
         |ORDER BY doc""".stripMargin,
+
+    "text_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT word, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents) t
+        |  WHERE word <> '' GROUP BY word),
+        |sym AS (SELECT word, cnt, string_split(word, '') AS s FROM words),
+        |pairs AS (
+        |  SELECT s[i] AS left_sym, s[i+1] AS right_sym, cnt
+        |  FROM sym, LATERAL unnest(range(1, len(s))) AS g(i))
+        |SELECT left_sym, right_sym, CAST(SUM(cnt) AS BIGINT) AS freq
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY freq DESC, left_sym, right_sym LIMIT 10""".stripMargin,
 
     "text_dsir_select" ->
       """WITH tok AS (

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) merge training — the vocabulary-
+  * learning step of every modern tokenizer (Sennrich et al. 2016; GPT-2's
+  * tokenizer trains exactly this way), over the corpus the engine curates.
+  *
+  * The scalable formulation: the corpus first reduces to a WORD-COUNT
+  * table (one groupBy — at 100 TB the vocabulary is millions of rows where
+  * the corpus is trillions of tokens), and every merge round is one
+  * explode+groupBy over that vocabulary, never the corpus. Rounds are
+  * inherently sequential (round r's pair counts depend on round r-1's
+  * merge — that is BPE's definition), so training R merges costs R small
+  * Spark jobs; per-round plans stay flat via localCheckpoint.
+  *
+  * Determinism: pair counts are exact integers; the merge pick orders by
+  * (freq DESC, left, right) — a total order, so training is reproducible
+  * and the round-1 statistics have a DuckDB oracle (`text_bpe_pairs`).
+  */
+object Bpe {
+
+  /** A word as its initial symbol sequence: one UTF-8 character each. */
+  def charSymbols(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
+  /** Adjacent-pair statistics of a (cnt, s: array<string>) symbols frame:
+    * (left_sym, right_sym, freq) where freq sums word counts over every
+    * adjacent occurrence. Single-symbol words contribute nothing (the
+    * size guard matters: Spark's `sequence(1, 0)` counts DOWN).
+    */
+  def pairStats(sym: DataFrame): DataFrame = {
+    val s = col("s")
+    val prs = when(size(s) > 1,
+      transform(sequence(lit(1), size(s) - 1), i =>
+        struct(element_at(s, i).as("l"), element_at(s, i + 1).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+    sym.select(col("cnt"), explode(prs).as("p"))
+      .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+      .agg(sum(col("cnt")).as("freq"))
+  }
+
+  /** One greedy left-to-right merge pass: every adjacent (a, b) in the
+    * symbol array becomes the fused symbol a+b. A codegen'd array fold —
+    * the merged symbol can seed the NEXT merge's left side (a b a b folds
+    * to ab ab), which is BPE's apply semantics.
+    */
+  def mergePass(sym: Column, a: String, b: String): Column =
+    aggregate(sym, array().cast("array<string>"),
+      (out, x) => when(
+          size(out) > 0 && element_at(out, -1) === lit(a) && x === lit(b),
+          concat(slice(out, lit(1), size(out) - 1), array(lit(a + b))))
+        .otherwise(concat(out, array(x))))
+
+  /** The corpus word-count table: (word, cnt), whitespace-tokenized the
+    * same way as every other text operator here.
+    */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(trim(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Train `rounds` BPE merges: returns (rank, left_sym, right_sym, freq)
+    * in training order. Ties in a round break by (left, right) — a total
+    * order, so the learned merge table is a pure function of the corpus.
+    * Stops early if no pair remains (every word fused to one symbol).
+    */
+  def train(words: DataFrame, rounds: Int): Seq[(Int, String, String, Long)] = {
+    val spark = words.sparkSession
+    var sym = words.select(col("cnt"), charSymbols(col("word")).as("s"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val top = pairStats(sym)
+        .orderBy(desc("freq"), col("left_sym"), col("right_sym"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, f) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        merges += ((r, a, b, f))
+        val prev = sym
+        sym = sym.select(col("cnt"), mergePass(col("s"), a, b).as("s"))
+          .localCheckpoint(true)
+        prev.unpersist()
+        r += 1
+      }
+    }
+    sym.unpersist()
+    merges.toSeq
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** BPE merge training: the classic planted corpus learns the textbook
+  * merges in the textbook order; the merge pass applies greedily
+  * left-to-right; round 1 agrees with the oracle-checked pair stats.
+  */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("planted corpus learns ug, un, hug in order (the textbook example)") {
+    // hug×10, pug×5, pun×12, bun×4, hugs×5 — round-1 pairs: ug=20, pu=17,
+    // un=16, hu=15 → merge (u,g). Round 2: un=16 wins. Round 3: h+ug=15.
+    val words = Seq(("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L),
+      ("hugs", 5L)).toDF("word", "cnt")
+    val merges = Bpe.train(words, 3)
+    assert(merges == Seq(
+      (1, "u", "g", 20L), (2, "u", "n", 16L), (3, "h", "ug", 15L)), merges)
+  }
+
+  test("merge pass is greedy left-to-right; fused symbols seed later merges") {
+    val df = Seq(Seq("a", "b", "a", "b", "c")).toDF("s")
+    val out = df.select(Bpe.mergePass(col("s"), "a", "b")).head().getSeq[String](0)
+    assert(out == Seq("ab", "ab", "c"))
+    // the fused symbol participates as the LEFT of a later round's merge
+    val df2 = Seq(Seq("ab", "c", "ab", "c")).toDF("s")
+    val out2 = df2.select(Bpe.mergePass(col("s"), "ab", "c")).head().getSeq[String](0)
+    assert(out2 == Seq("abc", "abc"))
+    // overlapping occurrences never double-consume: a a a -> aa a
+    val df3 = Seq(Seq("a", "a", "a")).toDF("s")
+    val out3 = df3.select(Bpe.mergePass(col("s"), "a", "a")).head().getSeq[String](0)
+    assert(out3 == Seq("aa", "a"))
+  }
+
+  test("round 1 on the corpus equals the oracle-checked pair-stat argmax") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    val words = Bpe.wordCounts(d, "text")
+    val top = Bpe.pairStats(words.withColumn("s", Bpe.charSymbols(col("word"))))
+      .orderBy(desc("freq"), col("left_sym"), col("right_sym"))
+      .limit(1).head()
+    val merges = Bpe.train(words, 1)
+    assert(merges.head == ((1, top.getString(0), top.getString(1), top.getLong(2))))
+    // training exhausts cleanly when every word fuses to one symbol
+    val tiny = Seq(("ab", 3L)).toDF("word", "cnt")
+    assert(Bpe.train(tiny, 5) == Seq((1, "a", "b", 3L)))
+  }
+}
