@@ -87,16 +87,24 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
     val baseline = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", out)
     regressionTable(baseline, results)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    // A SPARK_GRAFT_ONLY subset run must never clobber the FULL baseline:
+    // the next full run would "regress" against 4 queries and the driver's
+    // history would lose a round. Subset payloads go to a sidecar instead.
+    val outFinal = if (only.isEmpty) out else {
+      val p = out.stripSuffix(".json") + ".subset.json"
+      System.err.println(s"[bench] subset run — writing $p, keeping $out")
+      p
+    }
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFinal), json + "\n")
     catch {
       case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] could not write $out: $e")
+        System.err.println(s"[bench] could not write $outFinal: $e")
     }
     // ...and print, LAST, a compact self-contained line guaranteed to sit
     // intact inside the tail: headline total + the slowest queries, per-query
     // map capped well under the tail budget, with a pointer to the full map.
     val sortedQ = results.sortBy(-_._2)
-    val head = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_full":"$out","queries":{"""
+    val head = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_full":"$outFinal","queries":{"""
     val sb = new StringBuilder(head)
     var first = true
     sortedQ.foreach { case (k, v) =>

@@ -61,6 +61,30 @@ object Bpe {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
+  /** ENCODE with a trained merge table: apply the merges to every word of
+    * every document in training order (BPE's apply semantics) and return
+    * (doc, n_words, n_tokens) — the real token count a context-window
+    * budget or a price estimate needs, where [[TextAnalysis.tokenCount]]
+    * is the whitespace proxy. One narrow map: the merge folds compose into
+    * a single codegen'd expression per row, no shuffle, no dictionary
+    * broadcast (the merge table is literals in the plan — it is tokenizer
+    * CONFIG, a few hundred entries, not data).
+    */
+  def encode(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val words = split(trim(col(textCol)), " ")
+    val perWord = transform(words, w => {
+      val sym0 = charSymbols(w)
+      val fused = merges.sortBy(_._1).foldLeft(sym0) { case (s, (_, a, b, _)) =>
+        mergePass(s, a, b)
+      }
+      size(fused)
+    })
+    df.select(col(idCol).as("doc"),
+      size(words).cast("long").as("n_words"),
+      aggregate(perWord, lit(0L), (acc, x) => acc + x).as("n_tokens"))
+  }
+
   /** Train `rounds` BPE merges: returns (rank, left_sym, right_sym, freq)
     * in training order. Ties in a round break by (left, right) — a total
     * order, so the learned merge table is a pure function of the corpus.

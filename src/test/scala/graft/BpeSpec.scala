@@ -36,6 +36,21 @@ class BpeSpec extends SparkSpec {
     assert(out3 == Seq("aa", "a"))
   }
 
+  test("encode applies the merge table in training order, per word") {
+    val words = Seq(("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L),
+      ("hugs", 5L)).toDF("word", "cnt")
+    val merges = Bpe.train(words, 3) // (u,g), (u,n), (h,ug)
+    // "hug pun hugs" -> hug=[hug](1), pun=[p,un](2), hugs=[hug,s](2) -> 5
+    val docs = Seq((1L, "hug pun hugs"), (2L, "bun")).toDF("doc_id", "text")
+    val out = Bpe.encode(docs, "text", "doc_id", merges)
+      .orderBy("doc").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 5L), (2L, 1L, 2L)), out.toString)
+    // zero merges degrade to character count
+    val none = Bpe.encode(docs, "text", "doc_id", Nil)
+      .orderBy("doc").as[(Long, Long, Long)].collect().toSeq
+    assert(none.head._3 == 10L) // h u g p u n h u g s
+  }
+
   test("round 1 on the corpus equals the oracle-checked pair-stat argmax") {
     val d = spark.read.parquet(s"${sf()}/documents.parquet")
     val words = Bpe.wordCounts(d, "text")
