@@ -1244,6 +1244,22 @@ object SparkEntry {
         .orderBy(desc("cnt"), col("value"))
     }),
 
+    // The SQL surface of the frequent-items family: GROUP BY a tracked
+    // low-cardinality column + COUNT collapses to a LocalRelation (zero
+    // scan tasks) — sound only in the certified-exact regime, which this
+    // 3-value column is in. SqlPruneSpec pins the plan shape (no scan) and
+    // the fail-open above budget.
+    "lake_sql_stats_topk" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .withColumn("o_batch", (col("o_orderkey") / 3000).cast("int"))
+      val db = new Database(s)
+      db.register("freq_sql", LakeDataset.fromDataFrame(s, o,
+        partitionCols = Seq("o_batch"), freqCols = Seq("o_orderstatus")))
+      db.executeSql(
+        """SELECT o_orderstatus, COUNT(*) AS cnt FROM freq_sql
+          |GROUP BY o_orderstatus ORDER BY cnt DESC, o_orderstatus LIMIT 3""".stripMargin)
+    }),
+
     // Grouped metadata top-k: the per-PARTITION-GROUP top value, folded
     // from each group's member parts only — still zero scan jobs; exact
     // regime makes it DuckDB-checkable like lake_stats_topk.
@@ -2962,6 +2978,10 @@ object SparkEntry {
       """SELECT o_orderstatus AS value, COUNT(*) AS cnt, TRUE AS exact
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY cnt DESC, value LIMIT 3""".stripMargin,
+
+    "lake_sql_stats_topk" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt FROM orders
+        |GROUP BY o_orderstatus ORDER BY cnt DESC, o_orderstatus LIMIT 3""".stripMargin,
 
     "lake_stats_topk_grouped" ->
       """WITH counts AS (

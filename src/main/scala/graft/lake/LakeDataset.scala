@@ -1634,6 +1634,37 @@ final class LakeDataset private (
       }.toMap)
     }
 
+  /** EXACT group-by-count answers from the frequent-items catalog: the
+    * complete (value → count) table of `column`, CERTIFIED exact — only
+    * answered when every selected part is tight AND the folded sketch
+    * never evicted (`dec == 0`, so it holds EVERY distinct value with its
+    * exact count and the fold is merge-order independent). The null group
+    * comes from the row counters (`rows − sketch.n`; the sketch skips
+    * NULLs by aggregate semantics), keyed `None`. This is what lets the
+    * SQL rewrite collapse `GROUP BY col + COUNT` over a low-cardinality
+    * tracked column to a LocalRelation with zero scan tasks
+    * ([[graft.plans.LakePruneRule]]). Fail open (None) on anything less —
+    * an evicted sketch answers nothing rather than an uncertified count.
+    */
+  def metaGroupCounts(column: String, cellFilter: PartKey => Boolean = _ => true)
+      : Option[Seq[(Option[String], Long)]] = this.synchronized {
+    if (parts.isEmpty) return None
+    if (!freqCols.contains(column)) return None
+    val ps = parts.asScala.toList.filter(p => cellFilter(p._1))
+      .sortBy(_._1.relPath).map(_._2)
+    if (ps.isEmpty) return Some(Seq.empty)
+    if (!ps.forall(p => p.statsTight.get && p.rows.get >= 0L)) return None
+    val maps = ps.map(_.freqs)
+    if (!maps.forall(_.exists(_.contains(column)))) return None
+    val folded = FreqMap.fold(maps.map(_.get.apply(column)))
+    if (!folded.isExact) return None
+    val rows = ps.map(_.rows.get).sum
+    val nulls = rows - folded.n
+    val base = folded.counters.toSeq.sortBy(_._1)
+      .map { case (v, c) => (Some(v): Option[String], c) }
+    Some(if (nulls > 0) base :+ ((None: Option[String]) -> nulls) else base)
+  }
+
   /** [[metaTopK]] grouped by PARTITION columns — per-group top values
     * folded from each group's member parts only, same gating as
     * [[metaApproxQuantileGrouped]] (every part tight, sketches for every

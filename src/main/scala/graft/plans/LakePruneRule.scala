@@ -50,6 +50,7 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // exactly like the ungrouped form — one LocalRelation row per group.
       // The HYBRID form covers the dirty-cell case group-wise.
       groupedMetaAnswer(groupings, aggExprs, scan, cellF)
+        .orElse(freqGroupAnswer(groupings, aggExprs, scan, cellF))
         .orElse(groupedHybridAnswer(groupings, aggExprs, scan, cellF))
         .getOrElse(agg)
     case Filter(cond, scan: LakeScan) =>
@@ -523,6 +524,80 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
           values.map(vs =>
             org.apache.spark.sql.catalyst.InternalRow.fromSeq(vs) :: rest)
+        }
+      }
+    } yield LocalRelation(aggExprs.map(_.toAttribute), rows)
+  }
+
+  /** Collapse `GROUP BY <freq-tracked column> + COUNT` to a LocalRelation
+    * from the frequent-items catalog — the non-partition-column sibling of
+    * [[groupedMetaAnswer]]. Sound ONLY in the certified-exact regime
+    * ([[graft.lake.LakeDataset.metaGroupCounts]] fails open otherwise):
+    * the folded sketch never evicted, so its counter table IS the
+    * complete exact group-by — including the NULL group, derived from the
+    * row counters (`COUNT(col)` there is 0 by SQL semantics). A column
+    * whose cardinality ever exceeded the budget keeps its normal scan
+    * plan and its normal (identical) answer — the rewrite can only remove
+    * work, never change a result.
+    */
+  private def freqGroupAnswer(
+      groupings: Seq[Expression], aggExprs: Seq[NamedExpression],
+      scan: LakeScan,
+      cellFilter: graft.model.PartKey => Boolean): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    val groupAttr = groupings match {
+      case Seq(a: AttributeReference) if scan.ds.freqCols.contains(a.name) &&
+          scan.outputSet.contains(a) => a
+      case _ => return None
+    }
+    sealed trait FSpec
+    object GroupVal extends FSpec
+    object CountStar extends FSpec
+    object CountGroupCol extends FSpec
+    val specs: Seq[FSpec] = aggExprs.map {
+      case a: AttributeReference if a.name == groupAttr.name => GroupVal
+      case Alias(a: AttributeReference, _) if a.name == groupAttr.name => GroupVal
+      case Alias(AggregateExpression(
+          Count(Seq(Literal(v, _))), Complete, false, None, _), _) if v != null =>
+        CountStar
+      case Alias(AggregateExpression(
+          Count(Seq(a: AttributeReference)), Complete, false, None, _), _)
+          if a.name == groupAttr.name =>
+        CountGroupCol
+      case _ => return None
+    }
+    // Invert the sketch's cast-to-string canonicalization; any value that
+    // does not round-trip fails the WHOLE answer open, never one row.
+    def decode(s: String): Option[Any] = {
+      import org.apache.spark.sql.types._
+      try groupAttr.dataType match {
+        case StringType => Some(s)
+        case IntegerType => Some(Integer.valueOf(s))
+        case LongType => Some(java.lang.Long.valueOf(s))
+        case ShortType => Some(java.lang.Short.valueOf(s))
+        case ByteType => Some(java.lang.Byte.valueOf(s))
+        case BooleanType => Some(java.lang.Boolean.valueOf(s))
+        case DateType => Some(java.sql.Date.valueOf(s))
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    val conv = CatalystTypeConverters.createToCatalystConverter(groupAttr.dataType)
+    for {
+      counts <- scan.ds.metaGroupCounts(groupAttr.name, cellFilter)
+      rows <- counts.foldRight(
+          Option(List.empty[org.apache.spark.sql.catalyst.InternalRow])) {
+        case ((vOpt, cnt), acc) => acc.flatMap { rest =>
+          val gv: Option[Any] = vOpt match {
+            case Some(s) => decode(s)
+            case None => Some(null)
+          }
+          gv.map { g =>
+            org.apache.spark.sql.catalyst.InternalRow.fromSeq(specs.map {
+              case GroupVal => Option(g).map(conv).orNull
+              case CountStar => cnt
+              case CountGroupCol => if (vOpt.isEmpty) 0L else cnt
+            }) :: rest
+          }
         }
       }
     } yield LocalRelation(aggExprs.map(_.toAttribute), rows)

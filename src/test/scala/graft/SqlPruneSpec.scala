@@ -204,4 +204,50 @@ class SqlPruneSpec extends SparkSpec {
     }
     assert(Bucketing.localBucketId(null, LongType, 7).isEmpty)
   }
+
+  test("GROUP BY freq column + COUNT collapses to LocalRelation in the exact regime") {
+    val db = new Database(spark)
+    val rows = (0 until 90).map(i => (s"s${i % 3}", i.toLong)) ++
+      Seq((null.asInstanceOf[String], 90L), (null.asInstanceOf[String], 91L))
+    val ds = LakeDataset.fromDataFrame(spark, rows.toDF("status", "k"),
+      partitionCols = Seq(), freqCols = Seq("status"))
+    db.register("t_freq", ds)
+    val q = spark.sql(
+      "SELECT status, COUNT(*) AS n, COUNT(status) AS nn FROM t_freq GROUP BY status")
+    assert(q.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      q.queryExecution.optimizedPlan.treeString)
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("s0", 30L, 30L), ("s1", 30L, 30L), ("s2", 30L, 30L),
+      (null, 2L, 0L)), got.toString)
+
+    // a typed (integer) freq column decodes back to its type
+    val ints = (0 until 60).map(i => (i % 4, i.toLong)).toDF("lbl", "k")
+    db.register("t_freq_int", LakeDataset.fromDataFrame(spark, ints,
+      freqCols = Seq("lbl")))
+    val qi = spark.sql("SELECT lbl, COUNT(*) AS n FROM t_freq_int GROUP BY lbl")
+    assert(qi.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    assert(qi.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+      (0 until 4).map(v => (v, 15L)).toSet)
+
+    // above the counter budget the sketch evicts -> NOT collapsed, answer
+    // unchanged (the rewrite can only remove work, never change results)
+    val wide = (0 until 2000).map(i => (s"v${i % 200}", i.toLong)).toDF("status", "k")
+    db.register("t_freq_wide", LakeDataset.fromDataFrame(spark, wide,
+      freqCols = Seq("status")))
+    val qw = spark.sql("SELECT status, COUNT(*) AS n FROM t_freq_wide GROUP BY status")
+    assert(!qw.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "an evicted sketch must fail open to the scan")
+    assert(qw.count() == 200)
+
+    // a mutation breaks the vouch -> fail open, still correct
+    ds.delete(Seq(0L).toDF("k"), Seq("k"))
+    db.refresh("t_freq")
+    val qm = spark.sql("SELECT status, COUNT(*) AS n FROM t_freq GROUP BY status")
+    assert(!qm.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    assert(qm.filter(col("status") === "s0").head().getLong(1) == 29L)
+  }
 }
