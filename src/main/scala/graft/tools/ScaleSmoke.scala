@@ -1071,6 +1071,19 @@ object ScaleSmoke {
         "3-value status column must stay in the exact regime at 100 parts")
       require(metaT.map(t => t._1 -> t._2) == scanT,
         s"exact-regime catalog top-k must equal the scan: $metaT vs $scanT")
+      // The SQL surface: GROUP BY the tracked column plans as a
+      // LocalRelation over the same fold — zero scan tasks at 213 parts.
+      val dbF = new graft.lake.Database(spark)
+      dbF.register("freq_scale", df12d)
+      val qSql = spark.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM freq_scale GROUP BY o_orderstatus")
+      require(qSql.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "SQL GROUP BY over the freq column must collapse at scale")
+      val sqlT = time("SQL GROUP BY collapse (LocalRelation)") {
+        qSql.collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(-_._2).toSeq
+      }
+      require(sqlT == scanT.sortBy(-_._2), s"SQL collapse must equal the scan: $sqlT")
     }
     if (onlyR12d) { spark.stop(); return }
 

@@ -242,6 +242,21 @@ class SqlPruneSpec extends SparkSpec {
       "an evicted sketch must fail open to the scan")
     assert(qw.count() == 200)
 
+    // a partition-equality WHERE composes: only the selected cells' sketches
+    // fold, so the collapsed counts are the filtered counts
+    val parted = (0 until 80).map(i => (i % 2, s"s${i % 4}", i.toLong))
+      .toDF("cell", "status", "k")
+    db.register("t_freq_part", LakeDataset.fromDataFrame(spark, parted,
+      partitionCols = Seq("cell"), freqCols = Seq("status")))
+    val qp = spark.sql(
+      "SELECT status, COUNT(*) AS n FROM t_freq_part WHERE cell = 0 GROUP BY status")
+    assert(qp.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      qp.queryExecution.optimizedPlan.treeString)
+    // cell 0 holds the even i: statuses s0 and s2, 20 each
+    assert(qp.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("s0", 20L), ("s2", 20L)))
+
     // a mutation breaks the vouch -> fail open, still correct
     ds.delete(Seq(0L).toDF("k"), Seq("k"))
     db.refresh("t_freq")
