@@ -2514,6 +2514,23 @@ object SparkEntry {
         .orderBy("media_id", "slot")
     }),
 
+    // Perceptual-hash near-dup detection over media payloads: every tenth
+    // document replays with a length-preserving byte perturbation
+    // (translate e->f); pairs within hamming 3 of the 32-bit dHash-shaped
+    // hash. Integer arithmetic + COMPLETE chunk bucketing -> the bucketed
+    // engine answer equals DuckDB's all-pairs answer bit-for-bit.
+    "multimodal_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            translate(col("text"), "e", "f").as("text")))
+      val media = Multimodal.mediaFromDocuments(corpus)
+        .as[Multimodal.MediaRow]
+      Multimodal.phashNearDups(media, maxHamming = 3).orderBy("id_a", "id_b")
+    }),
+
     "multimodal_frames" -> ((s, dir) => {
       import s.implicits._
       val media = Multimodal.mediaFromDocuments(table(s, dir, "documents"))
@@ -4164,6 +4181,35 @@ object SparkEntry {
         |FROM words w
         |LEFT JOIN clean ON clean.doc_id = w.doc_id
         |ORDER BY doc""".stripMargin,
+
+    // multimodal_phash_dedup: the all-pairs SQL answer — the engine's
+    // chunk-bucketed candidates are COMPLETE to hamming 3, so the sets match.
+    "multimodal_phash_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, translate(text, 'e', 'f')
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |pos AS (
+        |  SELECT doc_id, LENGTH(text) AS len, text,
+        |         unnest(generate_series(1, LENGTH(text))) AS i
+        |  FROM corpus),
+        |agg AS (
+        |  SELECT doc_id, ((i-1) * 33) // len AS w,
+        |         SUM(ascii(substr(text, CAST(i AS INTEGER), 1))) AS s,
+        |         COUNT(*) AS c
+        |  FROM pos GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT a.doc_id,
+        |         (CASE WHEN a.s * b.c < b.s * a.c THEN CAST(1 AS BIGINT) ELSE 0 END
+        |            << CAST(a.w AS INTEGER)) AS bit
+        |  FROM agg a JOIN agg b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+        |  WHERE a.w < 32),
+        |hashes AS (SELECT doc_id, SUM(bit) AS phash FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
 
     "multimodal_features" ->
       """WITH pos AS (

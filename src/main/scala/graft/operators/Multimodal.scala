@@ -127,6 +127,71 @@ object Multimodal {
     }.toDF("media_id", "frame_nr", "frame")
   }
 
+  /** Perceptual hash (dHash-shaped) of a payload: the byte signal
+    * downsamples to 33 evenly-spaced window means (the stand-in for an
+    * 8×8+1 downscaled grayscale image) and bit w of the 32-bit hash is set
+    * when window w's mean < window w+1's — gradient direction, the dHash
+    * construction. Integer arithmetic end-to-end: window sums compare
+    * CROSS-MULTIPLIED (`sum_w · cnt_{w+1} < sum_{w+1} · cnt_w`), so there
+    * is no division rounding and the DuckDB oracle reproduces every bit.
+    * A real deployment swaps the byte windows for decoded pixels at the
+    * same seam; the hash/bucket/verify plumbing downstream is unchanged.
+    */
+  def perceptualHash(payload: Array[Byte], bits: Int = 32): Long = {
+    val n = bits + 1
+    val len = payload.length
+    val sums = new Array[Long](n)
+    val cnts = new Array[Long](n)
+    var i = 0
+    while (i < len) {
+      val w = (i.toLong * n / len).toInt
+      sums(w) += (payload(i) & 0xFF).toLong
+      cnts(w) += 1
+      i += 1
+    }
+    var h = 0L
+    var w = 0
+    while (w < bits) {
+      if (cnts(w) > 0 && cnts(w + 1) > 0 &&
+          sums(w) * cnts(w + 1) < sums(w + 1) * cnts(w)) h |= (1L << w)
+      w += 1
+    }
+    h
+  }
+
+  /** Near-duplicate media pairs by perceptual hash: hamming(phash) ≤
+    * `maxHamming`. Candidates come from 4 × 8-bit chunk buckets — by
+    * pigeonhole, two hashes within hamming 3 share at least one unchanged
+    * chunk, so the bucketing is COMPLETE (the engine finds exactly the
+    * all-pairs answer, which is how the gate gets a DuckDB oracle) while
+    * candidate cost stays Σ bucket², never |media|². The same
+    * explode-by-chunk / shuffle-by-(chunk,value) layout as SimHash text
+    * dedup — 100 TB-shaped.
+    */
+  def phashNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x8-bit bucketing is complete only to hamming 3, got $maxHamming")
+    import media.sparkSession.implicits._
+    val hashes = media.mapPartitions(rows =>
+        rows.map(r => (r.media_id, perceptualHash(r.payload))))
+      .toDF("media_id", "phash")
+    val chunks = hashes.select(col("media_id"), col("phash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"),
+          shiftright(col("phash"), 8 * c).bitwiseAND(lit(255L)).as("v"))): _*))
+        .as("ch"))
+      .select(col("media_id"), col("phash"), col("ch.c"), col("ch.v"))
+    val a = chunks.as("a")
+    val b = chunks.as("b")
+    a.join(b, col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Build a media table from the documents fixture: the text bytes stand in
     * for an encoded payload; metadata is derived. Real pipelines read the
     * binary column straight from parquet.

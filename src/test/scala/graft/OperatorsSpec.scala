@@ -604,6 +604,38 @@ class OperatorsSpec extends SparkSpec {
     assert(sharded.filter(_._2 == 1).map(_._4).forall(_ >= (1L << 32)))
   }
 
+  test("phash near-dups: chunk bucketing is complete; planted pairs recovered") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 50000L).as("doc_id"),
+          translate(col("text"), "a", "o").as("text")))
+    val media = Multimodal.mediaFromDocuments(corpus).as[Multimodal.MediaRow]
+    val bucketed = Multimodal.phashNearDups(media, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute-force ground truth over the collected hashes
+    val hs = media.collect().map(r => r.media_id -> Multimodal.perceptualHash(r.payload))
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(bucketed == brute,
+      s"bucketing must be complete to hamming 3: ${brute.diff(bucketed)} missed")
+    // translate(a->o) shifts many window means: not all plants survive at
+    // hamming<=3, but exact copies always do (docs with no 'a')
+    val planted = bucketed.count { case (a, b) => b - a == 50000L }
+    assert(planted >= 1, "at least the byte-identical plants must pair")
+    // hamming is symmetric-free output: a < b always
+    assert(bucketed.forall { case (a, b) => a < b })
+    // a monotone byte ramp sets every gradient bit; its reverse sets none
+    val ramp = Array.tabulate(330)(i => (i % 128).toByte)
+    assert(Multimodal.perceptualHash(Array.tabulate(330)(i => (i / 10).toByte))
+      == 0xFFFFFFFFL)
+    assert(Multimodal.perceptualHash(
+      Array.tabulate(330)(i => ((329 - i) / 10).toByte)) == 0L)
+    assert(ramp.length == 330) // keep the fixture honest
+  }
+
   test("importance contrast selects target-domain-like documents") {
     // Tiny planted corpus: target speaks "alpha", the rest speaks "beta".
     // alpha: rate_t = (4*1M) div 4 = 1M; rate_r = (4*1M) div 12 = 333333.
