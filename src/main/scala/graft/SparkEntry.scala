@@ -2282,6 +2282,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Quality-aware survivor selection: per near-dup cluster keep the
+    // LONGEST member (ties min id) — the near-dup fixture's replays carry
+    // an appended suffix, so keepBest keeps the REPLAY where
+    // dedup_keep_canonical keeps the original: the two policies are
+    // distinguishable in the gate, both oracle-exact.
+    "dedup_keep_best" -> ((s, dir) => {
+      val corpus = Fixtures.nearDupDocuments(s, dir)
+      Dedup.keepBest(corpus,
+          Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+            shingleSize = 3, threshold = 0.5),
+          corpus.select(col("doc_id"), length(col("text")).as("q")),
+          "doc_id", "q")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Exact all-pairs n-gram Jaccard (no hashing) — the oracle-checked
     // ground truth the MinHash-LSH path is measured against.
     "dedup_ngram_jaccard" -> ((s, dir) => {
@@ -4282,6 +4298,46 @@ object SparkEntry {
         |SELECT c.doc_id FROM corpus c
         |LEFT JOIN comps k ON c.doc_id = k.doc_id AND k.doc_id <> k.component
         |WHERE k.doc_id IS NULL
+        |ORDER BY c.doc_id""".stripMargin,
+
+    // dedup_keep_best: same component construction as dedup_keep_canonical,
+    // but the survivor is the component's (length DESC, id ASC) argmax.
+    "dedup_keep_best" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graft near dup suffix' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |words AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM corpus),
+        |idx AS (SELECT doc_id, ws,
+        |        unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM words),
+        |grams AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM grams x JOIN grams y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(v, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v),
+        |comps AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v),
+        |ranked AS (
+        |  SELECT k.doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY k.component
+        |                            ORDER BY LENGTH(c.text) DESC, k.doc_id) AS rk
+        |  FROM comps k JOIN corpus c ON c.doc_id = k.doc_id)
+        |SELECT c.doc_id FROM corpus c
+        |LEFT JOIN ranked r ON c.doc_id = r.doc_id AND r.rk > 1
+        |WHERE r.doc_id IS NULL
         |ORDER BY c.doc_id""".stripMargin,
 
     "dedup_exact" ->

@@ -526,6 +526,38 @@ object Dedup {
     corpus.join(comp, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware survivor selection: keep, per duplicate component, the
+    * member with the HIGHEST score (ties break by lowest id) — the
+    * curation policy a real pipeline wants (keep the best-quality copy of
+    * each near-dup cluster), where [[keepCanonical]] keeps the min-id
+    * member regardless of quality. `scores` is an (idCol, scoreCol) frame
+    * (a quality-classifier output, a length heuristic, any total order);
+    * the (score DESC, id ASC) ranking is total, so the survivor set is a
+    * pure function of the inputs and SQL-oracle reproducible whenever the
+    * score is.
+    *
+    * Scale shape mirrors [[keepCanonical]]: components ∝ the DUPLICATE
+    * set, one window partitioned by component ranks members, and the
+    * corpus anti-joins the losers (broadcastable when the dup fraction is
+    * small — the common case).
+    */
+  def keepBest(
+      corpus: DataFrame, pairs: DataFrame, scores: DataFrame,
+      idCol: String, scoreCol: String,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val ranked = comp.join(
+        scores.select(col(idCol).as("doc_id"), col(scoreCol).as("__score")),
+        "doc_id")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("component")
+          .orderBy(desc("__score"), col("doc_id"))))
+    val losers = ranked.filter(col("__rk") > 1)
+      .select(col("doc_id").as(idCol))
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark DECONTAMINATION: flag every training document sharing at
     * least one word n-gram with a benchmark/eval set — the "did the eval
     * leak into the training set" check every serious training-data pipeline
