@@ -936,6 +936,45 @@ object SparkEntry {
 
     // REAL Structured Streaming ingest through the correctness gate: two
     // deterministic MemoryStream micro-batches of delta keys run through a
+    // Native bounded-state streaming dedup under the oracle: document ids
+    // arrive with cross-batch replays and in-batch duplicates; Spark's
+    // dropDuplicatesWithinWatermark (StreamingIngest.dedupWithinWatermark)
+    // must pass each id exactly once into the lake, so the final content
+    // joined back to documents is the plain distinct set — any leaked
+    // duplicate doubles a count and fails the hash.
+    "stream_dedup" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val root = Files.createTempDirectory("graft_sdedup").toString
+      val ds = LakeDataset.forStorage(s, partitionCols = Nil, bucketCols = Nil,
+        nBuckets = 1, bloomCols = Nil,
+        storage = graft.model.StorageSpec(root))
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+      val deduped = graft.streaming.StreamingIngest.dedupWithinWatermark(
+        mem.toDF().toDF("doc_id", "ts"), Seq("doc_id"), "ts", "10 minutes")
+      val q = deduped.writeStream.foreachBatch(
+        (b: DataFrame, _: Long) => ds.insert(b.select("doc_id"))).start()
+      val ids = docs.select("doc_id").as[Long].collect().sorted
+      require(ids.length <= 100000, s"gate fixture grew: ${ids.length} ids")
+      try {
+        mem.addData(ids.filter(_ % 3 == 0).map(i => (i, ts(0))).toSeq: _*)
+        q.processAllAvailable()
+        // cross-batch replay of batch 1 + fresh ids
+        mem.addData(ids.filter(_ % 3 <= 1).map(i => (i, ts(2))).toSeq: _*)
+        q.processAllAvailable()
+        // in-batch duplicates of the remaining ids
+        val rest = ids.filter(_ % 3 == 2)
+        mem.addData((rest ++ rest).map(i => (i, ts(4))).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      ds.toDF.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("lang")
+    }),
+
     // streaming query whose foreachBatch applies the SAME upsert path the
     // batch API uses (StreamingIngest.upsertBatches shape); the merged table
     // state is SQL-expressible.
@@ -3544,6 +3583,11 @@ object SparkEntry {
          |FROM (SELECT * FROM events
          |      UNION ALL SELECT * FROM events WHERE event_id % 13 = 0) t
          |GROUP BY event_type""".stripMargin,
+
+    // Every id exactly once despite cross-batch replays and in-batch dups.
+    "stream_dedup" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "stream_ingest_upsert" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total
