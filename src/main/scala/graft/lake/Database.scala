@@ -220,12 +220,55 @@ final class Database(val spark: SparkSession) {
     spark.createDataFrame(new java.util.ArrayList(out.asJava), outSchema)
   }
 
+  /** `EXPLAIN PRUNING <select>` — did the engine's catalog actually prune
+    * this query? One row per referenced lake table: its total catalog
+    * parts, plus the query-level leaf count AFTER optimization (the pruned
+    * part union, pushed-filter file scans, or a single LocalRelation when
+    * a metadata rewrite collapsed the whole aggregate — `collapsed` true).
+    * Plan-only: nothing executes, no jobs run. The operational check for
+    * "my WHERE should touch 3 partitions, why is this slow" — at 10k parts
+    * the difference between `leaves_planned = 3` and `= 10000` IS the
+    * incident.
+    */
+  private def explainPruning(sql: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val df = spark.sql(if (feeds.isEmpty) sql else rewriteVersionAsOf(sql))
+    val scans = df.queryExecution.analyzed.collect {
+      case s: graft.plans.LakeScan => s.ds
+    }.distinct
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    val planned = leaves.size.toLong
+    val collapsed = leaves.nonEmpty && leaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val rows = scans.map { ds =>
+      val name = tables.collectFirst { case (n, d) if d eq ds => n }.orNull
+      org.apache.spark.sql.Row(name, Long.box(ds.numParts.toLong),
+        Long.box(planned), Boolean.box(collapsed))
+    } match {
+      case Nil => // no lake table referenced: one query-level row
+        Seq(org.apache.spark.sql.Row(null, null, Long.box(planned),
+          Boolean.box(collapsed)))
+      case rs => rs
+    }
+    val schema = StructType(Seq(
+      StructField("table", StringType),
+      StructField("parts_total", LongType),
+      StructField("leaves_planned", LongType),
+      StructField("collapsed", BooleanType, nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.toSeq).asJava), schema)
+  }
+
+  private val ExplainPruningRe = """(?is)\s*EXPLAIN\s+PRUNING\s+(.+)""".r
+
   /** Execute one SQL statement (reference `Database::execute_sql`,
     * src/database.rs:50-56). Lazy — returns the planned DataFrame.
     * Registered feeds additionally serve `FROM t VERSION AS OF n` and
     * `DESCRIBE HISTORY t` ([[registerFeed]]).
     */
   def executeSql(sql: String): DataFrame = sql match {
+    case ExplainPruningRe(inner) => explainPruning(inner)
     case DescribeHistoryRe(t) if feeds.contains(t) => feeds(t)._1.history
     case ShowTablesRe() => showTables
     case ShowPartitionsRe(t) if tables.contains(t) => showPartitions(t)

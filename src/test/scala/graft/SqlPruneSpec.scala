@@ -265,4 +265,32 @@ class SqlPruneSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
     assert(qm.filter(col("status") === "s0").head().getLong(1) == 29L)
   }
+
+  test("EXPLAIN PRUNING reports catalog parts vs planned leaves, plan-only") {
+    val db = new Database(spark)
+    val rows = (0 until 100).map(i => (('A' + i % 4).toChar.toString, i.toLong))
+    val ds = LakeDataset.fromDataFrame(spark, rows.toDF("p", "k"),
+      partitionCols = Seq("p"))
+    // drop the clean-scan fast path so the union-of-parts shape is visible
+    // (insert only into B: part A keeps a single plan leg, so the pruned
+    // leaf count below is exactly 1 — leaves count plan LEGS, and a part
+    // accumulates one per unmaterialized mutation)
+    ds.insert(Seq(("B", 1001L)).toDF("p", "k"))
+    db.register("t_explain", ds)
+    // a partition-equality WHERE plans exactly one leaf of the four parts
+    val one = db.executeSql(
+      "EXPLAIN PRUNING SELECT k FROM t_explain WHERE p = 'A'").head()
+    assert(one.getString(0) == "t_explain")
+    assert(one.getLong(1) == 4L && one.getLong(2) == 1L && !one.getBoolean(3), one)
+    // an unfiltered scan plans every part
+    val all = db.executeSql("EXPLAIN PRUNING SELECT k FROM t_explain").head()
+    assert(all.getLong(2) >= 4L, all)
+    // a metadata-collapsible aggregate reports collapsed with one LocalRelation
+    val coll = db.executeSql(
+      "EXPLAIN PRUNING SELECT COUNT(*) AS n FROM t_explain").head()
+    assert(coll.getLong(2) == 1L && coll.getBoolean(3), coll)
+    // no lake table referenced: a query-level row with a null table
+    val none = db.executeSql("EXPLAIN PRUNING SELECT 1 AS x").head()
+    assert(none.isNullAt(0) && none.isNullAt(1))
+  }
 }
