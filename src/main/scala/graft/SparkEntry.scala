@@ -954,8 +954,16 @@ object SparkEntry {
       def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
       val deduped = graft.streaming.StreamingIngest.dedupWithinWatermark(
         mem.toDF().toDF("doc_id", "ts"), Seq("doc_id"), "ts", "10 minutes")
-      val q = deduped.writeStream.foreachBatch(
-        (b: DataFrame, _: Long) => ds.insert(b.select("doc_id"))).start()
+      // The stateful dedup keys by doc_id over spark.sql.shuffle.partitions
+      // STATE STORES, fixed at query start; 32 stores × per-batch commit
+      // dominates this small stream's wall clock (measured ~2×). 4 stores
+      // carry the same state volume; the session conf restores after.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q =
+        try deduped.writeStream.foreachBatch(
+          (b: DataFrame, _: Long) => ds.insert(b.select("doc_id"))).start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       val ids = docs.select("doc_id").as[Long].collect().sorted
       require(ids.length <= 100000, s"gate fixture grew: ${ids.length} ids")
       try {

@@ -1612,8 +1612,10 @@ final class LakeDataset private (
     * CERTIFIED by the sketch, and `exact = (lower == upper)` — true
     * whenever the column's cardinality never exceeded the counter budget
     * anywhere (then the counts are exact corpus counts and the fold is
-    * order-independent; see [[FreqMap]]). Fail open (None) on anything
-    * less — never a wrong or uncertified answer.
+    * order-independent; see [[FreqMap]]). NULLs are not values: the
+    * ranking covers non-null values only (SQL aggregate semantics — the
+    * null-group count lives in [[metaGroupCounts]]). Fail open (None) on
+    * anything less — never a wrong or uncertified answer.
     */
   def metaTopK(cols: Seq[String], k: Int,
       cellFilter: PartKey => Boolean = _ => true)
