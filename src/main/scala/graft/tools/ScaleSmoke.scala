@@ -48,7 +48,8 @@ object ScaleSmoke {
       !sys.env.contains("SPARK_GRAFT_ONLY_R12") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R12B") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R12C") &&
-      !sys.env.contains("SPARK_GRAFT_ONLY_R12D")
+      !sys.env.contains("SPARK_GRAFT_ONLY_R12D") &&
+      !sys.env.contains("SPARK_GRAFT_ONLY_R12E")
     if (runAll) {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val big = (0 until copies).map { i =>
@@ -1086,6 +1087,50 @@ object ScaleSmoke {
       require(sqlT == scanT.sortBy(-_._2), s"SQL collapse must equal the scan: $sqlT")
     }
     if (onlyR12d) { spark.stop(); return }
+
+    // ---- R12e: continuation operators at 20x corpus ------------------------
+    // Claims: phash dedup candidates stay Σ bucket² (wall clock tracks the
+    // duplicate set, not |media|²); chunking is a narrow map (scales with
+    // output rows, no shuffle); BPE rounds are vocabulary-bound (flat as the
+    // corpus multiplies — the word-count reduction absorbs the growth).
+    // Run just this section with SPARK_GRAFT_ONLY_R12E=1.
+    val onlyR12e = sys.env.contains("SPARK_GRAFT_ONLY_R12E")
+    if (runAll || onlyR12e) {
+      import spark.implicits._
+      import graft.operators.{Bpe, Multimodal, TextAnalysis}
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs20 = (0 until copies).map { i =>
+        docs0.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      val nDocs = docs20.count()
+      println(s"[scale] r12e docs: $nDocs (${copies}x)")
+      // phash: plant dups on one slice only — candidates bound to buckets
+      val corpus = docs20.unionByName(
+        docs20.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 500000000L).as("doc_id"),
+            translate(col("text"), "e", "f").as("text")))
+      val media = Multimodal.mediaFromDocuments(corpus)
+        .as[graft.operators.Multimodal.MediaRow]
+      val nPairs = time(s"phash near-dups over ${nDocs + nDocs / 50} media") {
+        Multimodal.phashNearDups(media, maxHamming = 3).count()
+      }
+      println(s"[scale] phash pairs: $nPairs")
+      require(nPairs >= nDocs / 50,
+        "every planted perturbed replay must pair with its original")
+      val nChunks = time(s"chunk $nDocs docs (32/24 windows)") {
+        TextAnalysis.chunkWords(docs20, "text", "doc_id", 32, 24).count()
+      }
+      println(s"[scale] chunks: $nChunks")
+      val words = Bpe.wordCounts(docs20, "text").localCheckpoint(true)
+      val vocab = words.count()
+      val merges = time(s"BPE 4 rounds over $vocab-word vocab ($nDocs docs)") {
+        Bpe.train(words, 4)
+      }
+      println(s"[scale] merges: $merges")
+      require(merges.length == 4 && merges.head._4 > 0)
+    }
+    if (onlyR12e) { spark.stop(); return }
 
     // ---- IVF ANN: probe cost vs corpus growth ------------------------------
     // The scale claim: an IVF probe reads nprobe inverted LISTS, whose size
