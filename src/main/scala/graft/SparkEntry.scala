@@ -1307,6 +1307,21 @@ object SparkEntry {
           |GROUP BY o_orderstatus ORDER BY cnt DESC, o_orderstatus LIMIT 3""".stripMargin)
     }),
 
+    // The two-dimensional collapse: GROUP BY (partition col, freq col) +
+    // COUNT plans as a LocalRelation — per-group certified-exact value
+    // counts from the catalog, zero scan tasks ("status counts per day").
+    "lake_sql_stats_group_counts" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .withColumn("o_batch", (col("o_orderkey") / 3000).cast("int"))
+      val db = new Database(s)
+      db.register("freq_sql2", LakeDataset.fromDataFrame(s, o,
+        partitionCols = Seq("o_batch"), freqCols = Seq("o_orderstatus")))
+      db.executeSql(
+        """SELECT o_batch, o_orderstatus, COUNT(*) AS cnt FROM freq_sql2
+          |GROUP BY o_batch, o_orderstatus
+          |ORDER BY o_batch, o_orderstatus""".stripMargin)
+    }),
+
     // Grouped metadata top-k: the per-PARTITION-GROUP top value, folded
     // from each group's member parts only — still zero scan jobs; exact
     // regime makes it DuckDB-checkable like lake_stats_topk.
@@ -3062,6 +3077,11 @@ object SparkEntry {
     "lake_sql_stats_topk" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt FROM orders
         |GROUP BY o_orderstatus ORDER BY cnt DESC, o_orderstatus LIMIT 3""".stripMargin,
+
+    "lake_sql_stats_group_counts" ->
+      """SELECT CAST(FLOOR(o_orderkey / 3000.0) AS INT) AS o_batch,
+        |       o_orderstatus, COUNT(*) AS cnt
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "lake_stats_topk_grouped" ->
       """WITH counts AS (

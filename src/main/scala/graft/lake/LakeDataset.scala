@@ -1667,6 +1667,64 @@ final class LakeDataset private (
     Some(if (nulls > 0) base :+ ((None: Option[String]) -> nulls) else base)
   }
 
+  /** [[metaGroupCounts]] grouped by PARTITION columns: per partition group
+    * the complete certified-exact (value → count) table of `column`, null
+    * group included per group (group rows − group sketch n). Same gating
+    * as [[metaTopKGrouped]], PLUS the exactness certificate per group —
+    * any group whose fold evicted fails the WHOLE answer open. This backs
+    * the two-dimensional SQL collapse (`GROUP BY partition_col, freq_col
+    * + COUNT` → LocalRelation — the "status counts per day" dashboard
+    * query with zero scan tasks).
+    */
+  def metaGroupCountsGrouped(groupCols: Seq[String], column: String,
+      cellFilter: PartKey => Boolean = _ => true)
+      : Option[Seq[(Seq[Any], Seq[(Option[String], Long)])]] = this.synchronized {
+    if (parts.isEmpty) return None
+    if (groupCols.isEmpty || !groupCols.forall(partitionCols.contains)) return None
+    if (!freqCols.contains(column)) return None
+    val schema = tableSchema
+    import org.apache.spark.sql.types._
+    def decode(s: String, dt: DataType): Option[Any] =
+      if (s == null) Some(null)
+      else try dt match {
+        case StringType => Some(s)
+        case IntegerType => Some(Integer.valueOf(s))
+        case LongType => Some(java.lang.Long.valueOf(s))
+        case ShortType => Some(java.lang.Short.valueOf(s))
+        case ByteType => Some(java.lang.Byte.valueOf(s))
+        case BooleanType => Some(java.lang.Boolean.valueOf(s))
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val psAll = parts.asScala.toList.filter(p => cellFilter(p._1))
+    if (psAll.isEmpty) return Some(Seq.empty)
+    if (!psAll.forall { case (_, p) => p.statsTight.get && p.rows.get >= 0L })
+      return None
+    if (!psAll.forall { case (_, p) => p.freqs.exists(_.contains(column)) })
+      return None
+    val grouped = psAll.groupBy { case (key, _) =>
+      groupCols.map(c => key.partValues.collectFirst {
+        case (g, v) if g == c => v
+      }.orNull)
+    }
+    val out = grouped.toSeq.map { case (strVals, members0) =>
+      val vals = strVals.zip(groupCols).map { case (s, c) =>
+        decode(s, schema(c).dataType) match {
+          case Some(v) => v
+          case None => return None
+        }
+      }
+      val members = members0.sortBy(_._1.relPath)
+      val folded = FreqMap.fold(members.map(_._2.freqs.get.apply(column)))
+      if (!folded.isExact) return None
+      val rows = members.map(_._2.rows.get).sum
+      val nulls = rows - folded.n
+      val base = folded.counters.toSeq.sortBy(_._1)
+        .map { case (v, c) => (Some(v): Option[String], c) }
+      (vals, if (nulls > 0) base :+ ((None: Option[String]) -> nulls) else base)
+    }
+    Some(out)
+  }
+
   /** [[metaTopK]] grouped by PARTITION columns — per-group top values
     * folded from each group's member parts only, same gating as
     * [[metaApproxQuantileGrouped]] (every part tight, sketches for every

@@ -51,6 +51,7 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // The HYBRID form covers the dirty-cell case group-wise.
       groupedMetaAnswer(groupings, aggExprs, scan, cellF)
         .orElse(freqGroupAnswer(groupings, aggExprs, scan, cellF))
+        .orElse(freqPartitionGroupAnswer(groupings, aggExprs, scan, cellF))
         .orElse(groupedHybridAnswer(groupings, aggExprs, scan, cellF))
         .getOrElse(agg)
     case Filter(cond, scan: LakeScan) =>
@@ -597,6 +598,94 @@ final case class LakePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
               case CountStar => cnt
               case CountGroupCol => if (vOpt.isEmpty) 0L else cnt
             }) :: rest
+          }
+        }
+      }
+    } yield LocalRelation(aggExprs.map(_.toAttribute), rows)
+  }
+
+  /** The two-dimensional freq collapse: `GROUP BY <partition col(s)>,
+    * <freq col> + COUNT` → one LocalRelation row per (partition group,
+    * value) — the "status counts per day" dashboard query from the catalog
+    * alone. Same exact-regime soundness as [[freqGroupAnswer]], certified
+    * PER partition group ([[graft.lake.LakeDataset.metaGroupCountsGrouped]]
+    * fails the whole answer open if any group's fold evicted).
+    */
+  private def freqPartitionGroupAnswer(
+      groupings: Seq[Expression], aggExprs: Seq[NamedExpression],
+      scan: LakeScan,
+      cellFilter: graft.model.PartKey => Boolean): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    val partCols = scan.ds.partitionCols.toSet
+    val attrs = groupings.map {
+      case a: AttributeReference if scan.outputSet.contains(a) => a
+      case _ => return None
+    }
+    val (partAttrs, freqAttrs) = attrs.partition(a => partCols.contains(a.name))
+    val freqAttr = freqAttrs match {
+      case Seq(a) if scan.ds.freqCols.contains(a.name) => a
+      case _ => return None
+    }
+    if (partAttrs.isEmpty) return None // the one-dimensional case's territory
+    val partIdx = partAttrs.map(_.name).zipWithIndex.toMap
+    sealed trait FSpec
+    case class PartVal(i: Int) extends FSpec
+    object FreqVal extends FSpec
+    object CountStar extends FSpec
+    object CountFreqCol extends FSpec
+    val specs: Seq[FSpec] = aggExprs.map {
+      case a: AttributeReference if partIdx.contains(a.name) => PartVal(partIdx(a.name))
+      case Alias(a: AttributeReference, _) if partIdx.contains(a.name) =>
+        PartVal(partIdx(a.name))
+      case a: AttributeReference if a.name == freqAttr.name => FreqVal
+      case Alias(a: AttributeReference, _) if a.name == freqAttr.name => FreqVal
+      case Alias(AggregateExpression(
+          Count(Seq(Literal(v, _))), Complete, false, None, _), _) if v != null =>
+        CountStar
+      case Alias(AggregateExpression(
+          Count(Seq(a: AttributeReference)), Complete, false, None, _), _)
+          if a.name == freqAttr.name =>
+        CountFreqCol
+      case _ => return None
+    }
+    def decodeFreq(s: String): Option[Any] = {
+      import org.apache.spark.sql.types._
+      try freqAttr.dataType match {
+        case StringType => Some(s)
+        case IntegerType => Some(Integer.valueOf(s))
+        case LongType => Some(java.lang.Long.valueOf(s))
+        case ShortType => Some(java.lang.Short.valueOf(s))
+        case ByteType => Some(java.lang.Byte.valueOf(s))
+        case BooleanType => Some(java.lang.Boolean.valueOf(s))
+        case DateType => Some(java.sql.Date.valueOf(s))
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    val freqConv = CatalystTypeConverters.createToCatalystConverter(freqAttr.dataType)
+    val partConvs = partAttrs.map(a =>
+      CatalystTypeConverters.createToCatalystConverter(a.dataType))
+    for {
+      groups <- scan.ds.metaGroupCountsGrouped(
+        partAttrs.map(_.name), freqAttr.name, cellFilter)
+      rows <- groups.foldRight(
+          Option(List.empty[org.apache.spark.sql.catalyst.InternalRow])) {
+        case ((vals, counts), acc) => acc.flatMap { outer =>
+          counts.foldRight(Option(outer)) { case ((vOpt, cnt), acc2) =>
+            acc2.flatMap { rest =>
+              val gv: Option[Any] = vOpt match {
+                case Some(s) => decodeFreq(s)
+                case None => Some(null)
+              }
+              gv.map { g =>
+                org.apache.spark.sql.catalyst.InternalRow.fromSeq(specs.map {
+                  case PartVal(i) =>
+                    Option(vals(i)).map(partConvs(i)).orNull
+                  case FreqVal => Option(g).map(freqConv).orNull
+                  case CountStar => cnt
+                  case CountFreqCol => if (vOpt.isEmpty) 0L else cnt
+                }) :: rest
+              }
+            }
           }
         }
       }

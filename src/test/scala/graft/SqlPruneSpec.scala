@@ -293,4 +293,40 @@ class SqlPruneSpec extends SparkSpec {
     val none = db.executeSql("EXPLAIN PRUNING SELECT 1 AS x").head()
     assert(none.isNullAt(0) && none.isNullAt(1))
   }
+
+  test("GROUP BY (partition col, freq col) collapses to per-group exact counts") {
+    val db = new Database(spark)
+    val rows = (0 until 120).map(i => (i % 3, s"s${i % 4}", i.toLong))
+      .toDF("cell", "status", "k")
+    val ds = LakeDataset.fromDataFrame(spark, rows,
+      partitionCols = Seq("cell"), freqCols = Seq("status"))
+    db.register("t_freq2", ds)
+    val q = spark.sql(
+      """SELECT cell, status, COUNT(*) AS n, COUNT(status) AS nn
+        |FROM t_freq2 GROUP BY cell, status""".stripMargin)
+    assert(q.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      q.queryExecution.optimizedPlan.treeString)
+    val got = q.collect()
+      .map(r => ((r.getInt(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // 120 rows over (3 cells x 4 statuses): each (cell, status) pair gets 10
+    assert(got.size == 12 && got.values.forall(_ == ((10L, 10L))), got.toString)
+    // composed with a partition WHERE: only the selected group's rows
+    val qw = spark.sql(
+      """SELECT cell, status, COUNT(*) AS n FROM t_freq2
+        |WHERE cell = 1 GROUP BY cell, status""".stripMargin)
+    assert(qw.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    assert(qw.collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet ==
+      (0 until 4).map(v => (1, s"s$v", 10L)).toSet)
+    // a mutation fails the collapse open, answers stay correct
+    import spark.implicits._
+    ds.delete(Seq(0L).toDF("k"), Seq("k"))
+    db.refresh("t_freq2")
+    val qm = spark.sql(
+      "SELECT cell, status, COUNT(*) AS n FROM t_freq2 GROUP BY cell, status")
+    assert(!qm.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    assert(qm.collect().map(_.getLong(2)).sum == 119L)
+  }
 }
