@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tails `sbt runMain` stdout and JSON-parses the last line;
+// sbt's default LoggedOutput prefixes every forked-process line with
+// "[info] ", which breaks that parse (BENCH_r12 recorded parsed:null).
+// StdoutOutput passes the forked JVM's stdout/stderr through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

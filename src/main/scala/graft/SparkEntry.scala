@@ -960,23 +960,27 @@ object SparkEntry {
       // carry the same state volume; the session conf restores after.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q =
-        try deduped.writeStream.foreachBatch(
-          (b: DataFrame, _: Long) => ds.insert(b.select("doc_id"))).start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      val ids = docs.select("doc_id").as[Long].collect().sorted
-      require(ids.length <= 100000, s"gate fixture grew: ${ids.length} ids")
+      // The streaming engine clones the session (capturing the conf) on the
+      // stream thread AFTER start() returns, so the conf must stay at 4
+      // until the query has stopped — restoring right after start() races
+      // the clone and the 4-store trim silently may not apply.
       try {
-        mem.addData(ids.filter(_ % 3 == 0).map(i => (i, ts(0))).toSeq: _*)
-        q.processAllAvailable()
-        // cross-batch replay of batch 1 + fresh ids
-        mem.addData(ids.filter(_ % 3 <= 1).map(i => (i, ts(2))).toSeq: _*)
-        q.processAllAvailable()
-        // in-batch duplicates of the remaining ids
-        val rest = ids.filter(_ % 3 == 2)
-        mem.addData((rest ++ rest).map(i => (i, ts(4))).toSeq: _*)
-        q.processAllAvailable()
-      } finally q.stop()
+        val q = deduped.writeStream.foreachBatch(
+          (b: DataFrame, _: Long) => ds.insert(b.select("doc_id"))).start()
+        val ids = docs.select("doc_id").as[Long].collect().sorted
+        require(ids.length <= 100000, s"gate fixture grew: ${ids.length} ids")
+        try {
+          mem.addData(ids.filter(_ % 3 == 0).map(i => (i, ts(0))).toSeq: _*)
+          q.processAllAvailable()
+          // cross-batch replay of batch 1 + fresh ids
+          mem.addData(ids.filter(_ % 3 <= 1).map(i => (i, ts(2))).toSeq: _*)
+          q.processAllAvailable()
+          // in-batch duplicates of the remaining ids
+          val rest = ids.filter(_ % 3 == 2)
+          mem.addData((rest ++ rest).map(i => (i, ts(4))).toSeq: _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       ds.toDF.join(docs, "doc_id")
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))

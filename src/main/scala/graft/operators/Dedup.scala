@@ -534,7 +534,10 @@ object Dedup {
     * (a quality-classifier output, a length heuristic, any total order);
     * the (score DESC, id ASC) ranking is total, so the survivor set is a
     * pure function of the inputs and SQL-oracle reproducible whenever the
-    * score is.
+    * score is. A component member MISSING from `scores` ranks LAST (null
+    * score, nulls-last ordering) — it can only survive when its entire
+    * component is unscored (lowest id wins), never by silently escaping
+    * the ranking the way an inner join would let it.
     *
     * Scale shape mirrors [[keepCanonical]]: components ∝ the DUPLICATE
     * set, one window partitioned by component ranks members, and the
@@ -549,10 +552,10 @@ object Dedup {
     val comp = connectedComponents(pairs, aCol, bCol)
     val ranked = comp.join(
         scores.select(col(idCol).as("doc_id"), col(scoreCol).as("__score")),
-        "doc_id")
+        Seq("doc_id"), "left")
       .withColumn("__rk", row_number().over(
         Window.partitionBy("component")
-          .orderBy(desc("__score"), col("doc_id"))))
+          .orderBy(desc_nulls_last("__score"), col("doc_id"))))
     val losers = ranked.filter(col("__rk") > 1)
       .select(col("doc_id").as(idCol))
     corpus.join(losers, Seq(idCol), "left_anti")
@@ -798,10 +801,41 @@ object Dedup {
   def semanticDedup(
       df: DataFrame, vecCol: String, idCol: String,
       numClusters: Int, dim: Int, threshold: Double = 0.95): DataFrame = {
-    val (_, assigned) = Similarity.buildIvf(df, vecCol, idCol, numClusters, dim)
-    val a = assigned.select(col("centroid"), col(idCol).as("doc_a"), col(vecCol).as("v_a"))
-    val b = assigned.select(col("centroid"), col(idCol).as("doc_b"), col(vecCol).as("v_b"))
-    a.join(b, Seq("centroid"))
+    val spark = df.sparkSession
+    val (_, assigned0) = Similarity.buildIvf(df, vecCol, idCol, numClusters, dim)
+    // Cluster-skew guard (same fail-open discipline as the driver edge cap
+    // in connectedComponents): the in-cluster self-join is O(cluster²), so
+    // one k-means mega-cluster — skewed embeddings routinely produce one —
+    // turns the candidate stage quadratic in the corpus. Membership above
+    // `spark.graft.dedup.clusterCap` sub-buckets by a deterministic
+    // random-hyperplane signature with just enough planes to bring the
+    // EXPECTED sub-bucket size under the cap; clusters under the cap keep
+    // the exact in-cluster pass (sub-bucket 0, plan unchanged). The price
+    // of the guard is one map-side count over the assignment table (k
+    // result rows); the trade above the cap is SemDeDup's own by
+    // construction — pairs straddling a sub-bucket boundary are missed,
+    // but identical vectors always share a signature, so exact copies are
+    // never lost (SemanticCapSpec pins a planted mega-cluster).
+    val cap = spark.conf.get("spark.graft.dedup.clusterCap", "100000").toInt
+    val sizes = assigned0.groupBy("centroid").agg(count(lit(1)).as("__csz"))
+    val maxSz = sizes.agg(max(col("__csz"))).head.getLong(0)
+    val (assigned, joinKeys) = if (maxSz <= cap) (assigned0, Seq("centroid"))
+    else {
+      val planes = math.min(16,
+        math.ceil(math.log(maxSz.toDouble / cap) / math.log(2)).toInt)
+      val rnd = new scala.util.Random(2026L)
+      val planeVecs: Seq[Seq[Double]] =
+        Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+      val sub = assigned0.join(broadcast(sizes), "centroid")
+        .withColumn("__sub", when(col("__csz") <= cap, lit(0L))
+          .otherwise(graft.functions.HyperplaneSig(col(vecCol), planeVecs)))
+        .drop("__csz")
+      (sub, Seq("centroid", "__sub"))
+    }
+    val keyCols = joinKeys.map(col)
+    val a = assigned.select(keyCols :+ col(idCol).as("doc_a") :+ col(vecCol).as("v_a"): _*)
+    val b = assigned.select(keyCols :+ col(idCol).as("doc_b") :+ col(vecCol).as("v_b"): _*)
+    a.join(b, joinKeys)
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)

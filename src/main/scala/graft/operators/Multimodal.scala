@@ -159,6 +159,28 @@ object Multimodal {
     h
   }
 
+  /** Whether the payload populates at least one ADJACENT window pair —
+    * the effective domain of the hash. A payload below ~bits/2 bytes
+    * lands its bytes in non-adjacent windows, every gradient comparison
+    * is undefined, and the hash degenerates to 0; such payloads must be
+    * DROPPED (not hashed to 0 and allowed to pair at hamming 0), which is
+    * also exactly the domain the SQL oracle's adjacent-window join keeps.
+    */
+  def phashDefined(payload: Array[Byte], bits: Int = 32): Boolean = {
+    val n = bits + 1
+    val len = payload.length
+    if (len == 0) return false
+    val cnts = new Array[Long](n)
+    var i = 0
+    while (i < len) { cnts((i.toLong * n / len).toInt) += 1; i += 1 }
+    var w = 0
+    while (w < bits) {
+      if (cnts(w) > 0 && cnts(w + 1) > 0) return true
+      w += 1
+    }
+    false
+  }
+
   /** Near-duplicate media pairs by perceptual hash: hamming(phash) ≤
     * `maxHamming`. Candidates come from 4 × 8-bit chunk buckets — by
     * pigeonhole, two hashes within hamming 3 share at least one unchanged
@@ -173,7 +195,8 @@ object Multimodal {
       s"4x8-bit bucketing is complete only to hamming 3, got $maxHamming")
     import media.sparkSession.implicits._
     val hashes = media.mapPartitions(rows =>
-        rows.map(r => (r.media_id, perceptualHash(r.payload))))
+        rows.filter(r => phashDefined(r.payload))
+          .map(r => (r.media_id, perceptualHash(r.payload))))
       .toDF("media_id", "phash")
     val chunks = hashes.select(col("media_id"), col("phash"),
       explode(array((0 until 4).map(c =>

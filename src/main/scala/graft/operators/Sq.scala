@@ -68,10 +68,19 @@ object Sq {
   /** Code-space cosine of a codes column against fixed query codes, on the
     * 1e-6 grid: `round(dot / (sqrt(|v|²)·sqrt(|q|²)) · 1e6)` with dot and
     * norms exact integers. Zero-norm rows score 0 (same as [[Similarity]]).
+    *
+    * Dimension guard: `zip_with` pads a length mismatch with nulls, which
+    * would silently null the dot product and return an empty/short top-k;
+    * instead a stored row whose dimensionality differs from the query
+    * raises (via `raise_error`) so the mismatch fails LOUDLY at scan time.
     */
   def cosQ(codes: Column, qCodes: Seq[Int]): Column = {
     val q = array(qCodes.map(lit): _*)
-    val dot = aggregate(zip_with(codes, q, (a, b) => (a * b).cast("long")),
+    val checked = when(size(codes) === qCodes.length, codes)
+      .otherwise(raise_error(concat(
+        lit(s"SQ8 dimension mismatch: query has ${qCodes.length} dims, stored codes have "),
+        size(codes).cast("string"))))
+    val dot = aggregate(zip_with(checked, q, (a, b) => (a * b).cast("long")),
       lit(0L), (acc, x) => acc + x)
     val nv = aggregate(codes, lit(0L), (acc, x) => acc + (x * x).cast("long"))
     val nq = lit(qCodes.map(c => c.toLong * c).sum)
