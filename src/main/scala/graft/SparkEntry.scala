@@ -33,6 +33,16 @@ object SparkEntry {
   private def osum(expr: String, scale: Int = 2): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(38,$scale))) AS DOUBLE)"
 
+  /** Tokenizer CONFIG for the token-id gates: a fixed merge table applied
+    * in order (each left ≠ right, so one merge pass has no overlapping
+    * occurrences and the oracle's two-pass string replace reproduces the
+    * greedy fold exactly — see the `text_bpe_ids` oracle). Chained merges
+    * ("t a"→ta, "ta b"→tab, "l e"→le, "tab le"→table) exercise multi-char
+    * fusion on the corpus's most frequent word.
+    */
+  private val BpeConfigMerges: Seq[(String, String)] =
+    Seq(("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"), ("e", "r"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises the whole lake core: partition+bucket split, upsert
     * (outer-join-coalesce), union view, aggregate.
@@ -2037,6 +2047,36 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Token-ID encoding against a CONFIG merge table (tokenizer config =
+    // literals in both engine and oracle, like the PII regexes): apply the
+    // merges per word, map final symbols to dense ids from the
+    // deterministic corpus vocabulary (distinct symbols, lexicographic).
+    // Ids are a pure function of corpus + config -> full DuckDB oracle;
+    // the exploded stream is bounded to every 25th doc.
+    "text_bpe_ids" -> ((s, dir) => {
+      val symd = Bpe.symbolize(table(s, dir, "documents"), "text", "doc_id",
+        BpeConfigMerges)
+      val voc = Bpe.vocab(symd)
+      symd.filter(col("doc") % 25 === 0)
+        .select(col("doc"), posexplode(col("syms")).as(Seq("pos", "symbol")))
+        .join(broadcast(voc), "symbol")
+        .select(col("doc"), col("pos").cast("long").as("pos"),
+          col("token_id"), col("symbol"))
+        .orderBy("doc", "pos")
+    }),
+
+    // Sequence packing on REAL tokenizer counts: the BPE token-id arrays
+    // (not the whitespace proxy) feed the shard-parallel token-budget
+    // binning — the tokenize -> pack loop closed end-to-end.
+    "text_pack_bpe" -> ((s, dir) => {
+      val symd = Bpe.symbolize(table(s, dir, "documents"), "text", "doc_id",
+        BpeConfigMerges)
+      val ids = Bpe.tokenIds(symd, Bpe.vocab(symd))
+      TextAnalysis.packCounts(ids.select(col("doc"), col("n_tokens")),
+          "doc", "n_tokens", budgetTokens = 1024, nShards = 8)
+        .orderBy("doc_id")
+    }),
+
     // DSIR-shaped data selection: score every document by its integer-rate
     // unigram contrast against the English subcorpus (the "target domain"),
     // keep the top 50 — domain-matching selection without labels. Exact
@@ -3711,6 +3751,63 @@ object SparkEntry {
         |SELECT left_sym, right_sym, CAST(SUM(cnt) AS BIGINT) AS freq
         |FROM pairs GROUP BY 1, 2
         |ORDER BY freq DESC, left_sym, right_sym LIMIT 10""".stripMargin,
+
+    // text_bpe_ids / text_pack_bpe: the config merge table applies per
+    // word as TWO nested replaces on the space-joined symbol string —
+    // with left != right a merge's occurrences never overlap in symbols,
+    // pass 1's only misses are boundary-space consumptions between
+    // back-to-back occurrences, and pass 2 (misses now flanked by fused
+    // tokens) catches every one, reproducing the engine's greedy
+    // left-to-right fold exactly.
+    "text_bpe_ids" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        |w AS (SELECT doc_id, i AS word_i, ws[i] AS word
+        |      FROM t, LATERAL unnest(generate_series(1, len(ws))) AS g(i)
+        |      WHERE ws[i] <> ''),
+        |s0 AS (SELECT doc_id, word_i,
+        |       ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s FROM w),
+        |s1 AS (SELECT doc_id, word_i, replace(replace(s, ' t a ', ' ta '), ' t a ', ' ta ') AS s FROM s0),
+        |s2 AS (SELECT doc_id, word_i, replace(replace(s, ' ta b ', ' tab '), ' ta b ', ' tab ') AS s FROM s1),
+        |s3 AS (SELECT doc_id, word_i, replace(replace(s, ' l e ', ' le '), ' l e ', ' le ') AS s FROM s2),
+        |s4 AS (SELECT doc_id, word_i, replace(replace(s, ' tab le ', ' table '), ' tab le ', ' table ') AS s FROM s3),
+        |s5 AS (SELECT doc_id, word_i, replace(replace(s, ' e r ', ' er '), ' e r ', ' er ') AS s FROM s4),
+        |toks AS (SELECT doc_id, word_i, string_split(trim(s), ' ') AS syms FROM s5),
+        |seq AS (SELECT doc_id, word_i, j, syms[j] AS symbol
+        |        FROM toks, LATERAL unnest(generate_series(1, len(syms))) AS g(j)),
+        |voc AS (SELECT symbol,
+        |          CAST(row_number() OVER (ORDER BY symbol) - 1 AS INTEGER) AS token_id
+        |        FROM (SELECT DISTINCT symbol FROM seq)),
+        |pos AS (SELECT doc_id, word_i, j, symbol,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY word_i, j) - 1 AS pos
+        |        FROM seq)
+        |SELECT p.doc_id AS doc, CAST(p.pos AS BIGINT) AS pos, v.token_id, p.symbol
+        |FROM pos p JOIN voc v USING (symbol)
+        |WHERE p.doc_id % 25 = 0
+        |ORDER BY doc, pos""".stripMargin,
+
+    "text_pack_bpe" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        |w AS (SELECT doc_id, i AS word_i, ws[i] AS word
+        |      FROM t, LATERAL unnest(generate_series(1, len(ws))) AS g(i)
+        |      WHERE ws[i] <> ''),
+        |s0 AS (SELECT doc_id, word_i,
+        |       ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s FROM w),
+        |s1 AS (SELECT doc_id, word_i, replace(replace(s, ' t a ', ' ta '), ' t a ', ' ta ') AS s FROM s0),
+        |s2 AS (SELECT doc_id, word_i, replace(replace(s, ' ta b ', ' tab '), ' ta b ', ' tab ') AS s FROM s1),
+        |s3 AS (SELECT doc_id, word_i, replace(replace(s, ' l e ', ' le '), ' l e ', ' le ') AS s FROM s2),
+        |s4 AS (SELECT doc_id, word_i, replace(replace(s, ' tab le ', ' table '), ' tab le ', ' table ') AS s FROM s3),
+        |s5 AS (SELECT doc_id, word_i, replace(replace(s, ' e r ', ' er '), ' e r ', ' er ') AS s FROM s4),
+        |cnt AS (SELECT doc_id, SUM(len(string_split(trim(s), ' '))) AS n_tokens
+        |        FROM s5 GROUP BY doc_id),
+        |r AS (SELECT d.doc_id, d.doc_id % 8 AS shard, COALESCE(c.n_tokens, 0) AS n_tokens
+        |      FROM documents d LEFT JOIN cnt c USING (doc_id)),
+        |win AS (SELECT doc_id, shard, n_tokens,
+        |          SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+        |        FROM r)
+        |SELECT doc_id, CAST(shard AS INTEGER) AS shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(shard * 4294967296 + CAST(FLOOR(start_off / 1024.0) AS BIGINT) AS BIGINT) AS pack
+        |FROM win ORDER BY doc_id""".stripMargin,
 
     "text_dsir_select" ->
       """WITH tok AS (

@@ -85,6 +85,63 @@ object Bpe {
       aggregate(perWord, lit(0L), (acc, x) => acc + x).as("n_tokens"))
   }
 
+  /** Apply a merge table (in training order) to one word's char symbols —
+    * the fold every encode entry point shares.
+    */
+  private def applyMerges(w: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(charSymbols(w)) { case (s, (a, b)) => mergePass(s, a, b) }
+
+  /** SYMBOLIZE: each document's final symbol stream after applying a merge
+    * table in training order — (doc, syms: array&lt;string&gt;), word symbol
+    * runs concatenated in word order. Split artifacts (empty words from
+    * repeated whitespace) drop, so every symbol is non-empty. One narrow
+    * codegen'd map, no shuffle; the merge table is tokenizer CONFIG
+    * (literals in the plan), not data.
+    */
+  def symbolize(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = filter(split(trim(col(textCol)), " "), w => w =!= "")
+    df.select(col(idCol).as("doc"),
+      flatten(transform(words, w => applyMerges(w, merges))).as("syms"))
+  }
+
+  /** The deterministic vocabulary of a symbolized corpus: DISTINCT final
+    * symbols in lexicographic (binary) order, dense `token_id`s from 0 —
+    * (token_id: int, symbol). Bounded by |charset| + |merges| by
+    * construction (a final symbol is a base character or a fused merge
+    * output), so the driver-side materialization is config-sized; `cap`
+    * turns a violated assumption into a loud failure, not a silent
+    * truncation.
+    */
+  def vocab(symbolized: DataFrame, cap: Int = 1 << 16): DataFrame = {
+    val spark = symbolized.sparkSession
+    import spark.implicits._
+    val syms = symbolized.select(explode(col("syms")).as("s"))
+      .distinct().orderBy("s").limit(cap + 1).as[String].collect()
+    require(syms.length <= cap,
+      s"BPE vocabulary exceeded $cap symbols — not a char+merge vocabulary")
+    syms.toSeq.zipWithIndex.map { case (s, i) => (i, s) }
+      .toDF("token_id", "symbol")
+  }
+
+  /** Token-ID encoding: (doc, token_ids: array&lt;int&gt;, n_tokens) — the
+    * sequence a trainer's packing/shuffling stages consume. The symbol→id
+    * map rides the plan as a LITERAL map expression (the vocabulary is
+    * config-sized per [[vocab]] — no broadcast join, no shuffle); a symbol
+    * missing from the vocabulary raises instead of silently yielding null
+    * ids.
+    */
+  def tokenIds(symbolized: DataFrame, vocab: DataFrame): DataFrame = {
+    val entries = vocab.select("symbol", "token_id").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val m = map(entries.flatMap { case (s, i) => Seq(lit(s), lit(i)) }.toSeq: _*)
+    symbolized.select(col("doc"),
+        transform(col("syms"), s => coalesce(try_element_at(m, s),
+          raise_error(concat(lit("BPE symbol not in vocabulary: "), s))))
+          .as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
   /** Train `rounds` BPE merges: returns (rank, left_sym, right_sym, freq)
     * in training order. Ties in a round break by (left, right) — a total
     * order, so the learned merge table is a pure function of the corpus.

@@ -462,13 +462,25 @@ object TextAnalysis {
     */
   def packSequences(
       df: DataFrame, textCol: String, idCol: String,
+      budgetTokens: Long, nShards: Int = 32): DataFrame =
+    packCounts(df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens")),
+      idCol, "n_tokens", budgetTokens, nShards)
+
+  /** [[packSequences]] generalized to a PRECOMPUTED token-count column —
+    * the entry point for packing on REAL tokenizer counts (e.g.
+    * [[Bpe.tokenIds]]'s n_tokens) instead of the whitespace proxy. Same
+    * contract and scale shape: shard-partitioned running sum, never a
+    * global window.
+    */
+  def packCounts(
+      counts: DataFrame, idCol: String, tokensCol: String,
       budgetTokens: Long, nShards: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol).as("doc_id"),
+    counts.select(col(idCol).as("doc_id"),
         pmod(col(idCol), lit(nShards)).cast("int").as("shard"),
-        tokenCount(col(textCol)).as("n_tokens"))
+        col(tokensCol).cast("long").as("n_tokens"))
       .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("pack",
         col("shard").cast("long") * lit(1L << 32) +

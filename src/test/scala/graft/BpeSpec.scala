@@ -51,6 +51,56 @@ class BpeSpec extends SparkSpec {
     assert(none.head._3 == 10L) // h u g p u n h u g s
   }
 
+  test("symbolize + vocab + tokenIds: dense ids, loud on unknown symbols") {
+    val merges = Seq(("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"))
+    val docs = Seq((1L, "table tale"), (2L, "bat")).toDF("doc_id", "text")
+    val symd = Bpe.symbolize(docs, "text", "doc_id", merges)
+    val syms = symd.orderBy("doc").as[(Long, Seq[String])].collect().toSeq
+    // table -> [t,a,b,l,e] -> [ta,b,l,e] -> [tab,l,e] -> [tab,le] -> [table]
+    // tale  -> [ta,le]; bat -> [b,a,t] (no adjacent merge fires)
+    assert(syms == Seq((1L, Seq("table", "ta", "le")), (2L, Seq("b", "a", "t"))), syms)
+    val voc = Bpe.vocab(symd)
+    val entries = voc.orderBy("token_id").as[(Int, String)].collect().toSeq
+    // lexicographic: a, b, le, t, ta, table
+    assert(entries == Seq((0, "a"), (1, "b"), (2, "le"), (3, "t"),
+      (4, "ta"), (5, "table")), entries)
+    val ids = Bpe.tokenIds(symd, voc).orderBy("doc")
+      .select("doc", "token_ids", "n_tokens")
+      .as[(Long, Seq[Int], Long)].collect().toSeq
+    assert(ids == Seq((1L, Seq(5, 4, 2), 3L), (2L, Seq(1, 0, 3), 3L)), ids)
+    // a vocabulary that does not cover the corpus fails loudly, never null
+    val tinyVoc = Seq((0, "a")).toDF("token_id", "symbol")
+    val err = intercept[Exception] {
+      Bpe.tokenIds(symd, tinyVoc).collect()
+    }
+    assert(err.getMessage.contains("not in vocabulary"), err.getMessage)
+    // empty/whitespace-only text encodes to an empty sequence, not a crash
+    val empty = Bpe.symbolize(Seq((9L, "  ")).toDF("doc_id", "text"),
+      "text", "doc_id", merges).as[(Long, Seq[String])].head()
+    assert(empty == ((9L, Seq.empty[String])))
+  }
+
+  test("packCounts on BPE n_tokens agrees with packSequences on the proxy") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    // whitespace proxy through packCounts == packSequences (same engine)
+    val proxy = graft.operators.TextAnalysis.packSequences(
+      d, "text", "doc_id", budgetTokens = 512, nShards = 4)
+    val viaCounts = graft.operators.TextAnalysis.packCounts(
+      d.select(col("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).as("n")),
+      "doc_id", "n", budgetTokens = 512, nShards = 4)
+    assert(proxy.exceptAll(viaCounts).isEmpty && viaCounts.exceptAll(proxy).isEmpty)
+    // BPE counts: merges only ever SHRINK a word's symbol count, and pack
+    // assignments stay a pure function of the counts
+    val merges = Seq(("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"), ("e", "r"))
+    val symd = Bpe.symbolize(d, "text", "doc_id", merges)
+    val ids = Bpe.tokenIds(symd, Bpe.vocab(symd))
+    val chars = Bpe.symbolize(d, "text", "doc_id", Nil)
+      .select(col("doc"), size(col("syms")).cast("long").as("n_chars"))
+    val grew = ids.join(chars, "doc").filter(col("n_tokens") > col("n_chars")).count()
+    assert(grew == 0)
+  }
+
   test("round 1 on the corpus equals the oracle-checked pair-stat argmax") {
     val d = spark.read.parquet(s"${sf()}/documents.parquet")
     val words = Bpe.wordCounts(d, "text")
