@@ -2572,6 +2572,19 @@ object SparkEntry {
       Sq.sq8TopK(Sq.sq8Encode(e, "embedding", "vec_id"), "vec_id", q, 10)
     }),
 
+    // FILTERED quantized search: the metadata pre-filter composes with the
+    // SQ8 code-space scorer — filter before scoring (never post-rank), and
+    // because SQ8 scoring is deterministic integer arithmetic the whole
+    // filter+quantize+rank path is oracle-checkable (the float IVF filtered
+    // path shares ann_filtered_topk's oracle instead).
+    "ann_filtered_sq8" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .head().getSeq[Float](1).toSeq
+      Sq.sq8TopK(Sq.sq8Encode(e, "embedding", "vec_id", keepCols = Seq("label")),
+        "vec_id", q, 10, pred = Some(col("label").isin(2, 7)))
+    }),
+
     // Batch ANN, exact: top-k for a whole query TABLE on the quantized
     // grid — oracle-checked ground truth for the IVF similarity join below.
     "ann_batch_exact" -> ((s, dir) => {
@@ -4243,6 +4256,30 @@ object SparkEntry {
         |    list_dot_product(codes, codes) AS nv,
         |    list_dot_product(qc, qc) AS nq
         |  FROM enc, q)
+        |SELECT vec_id,
+        |  CASE WHEN nv = 0 OR nq = 0 THEN 0
+        |       ELSE CAST(round(dot / (sqrt(nv) * sqrt(nq)) * 1000000.0) AS BIGINT) END AS cos_q
+        |FROM scored
+        |ORDER BY cos_q DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Filtered SQ8: the sq8 oracle with the predicate applied before
+    // scoring — the query vector still comes from the UNFILTERED corpus
+    // (vec_id 0), exactly as the engine reads it.
+    "ann_filtered_sq8" ->
+      """WITH enc AS (
+        |  SELECT vec_id, label,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(FLOOR(x *
+        |      (CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) = 0
+        |            THEN 0 ELSE 127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) END)
+        |      + 0.5) AS BIGINT)) AS codes
+        |  FROM embeddings),
+        |q AS (SELECT codes AS qc FROM enc WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |    list_dot_product(codes, qc) AS dot,
+        |    list_dot_product(codes, codes) AS nv,
+        |    list_dot_product(qc, qc) AS nq
+        |  FROM enc, q WHERE label IN (2, 7))
         |SELECT vec_id,
         |  CASE WHEN nv = 0 OR nq = 0 THEN 0
         |       ELSE CAST(round(dot / (sqrt(nv) * sqrt(nq)) * 1000000.0) AS BIGINT) END AS cos_q

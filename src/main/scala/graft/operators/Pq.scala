@@ -145,10 +145,15 @@ object Pq {
     }
   }
 
-  /** Approximate top-k by ADC score alone — never touches a vector. */
+  /** Approximate top-k by ADC score alone — never touches a vector.
+    * `pred` is a metadata PRE-filter applied before scoring (the same
+    * filtered-search seam as [[Sq.sq8TopK]] / `ivfTopKLake(pred=)`).
+    */
   def adcTopK(encoded: DataFrame, idCol: String, model: PqModel,
-      query: Seq[Float], k: Int, codeCol: String = "pq_code"): DataFrame =
-    encoded.select(col(idCol), PqAdcDot(col(codeCol), lutFor(model, query)).as("adc"))
+      query: Seq[Float], k: Int, codeCol: String = "pq_code",
+      pred: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    pred.map(encoded.filter).getOrElse(encoded)
+      .select(col(idCol), PqAdcDot(col(codeCol), lutFor(model, query)).as("adc"))
       .orderBy(desc("adc"), col(idCol))
       .limit(k)
 
@@ -159,9 +164,10 @@ object Pq {
     */
   def rerankTopK(encoded: DataFrame, vecCol: String, idCol: String,
       model: PqModel, query: Seq[Float], k: Int, refine: Int = 10,
-      codeCol: String = "pq_code"): DataFrame = {
+      codeCol: String = "pq_code",
+      pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val qLit = array(query.map(q => lit(q.toDouble)): _*)
-    encoded
+    pred.map(encoded.filter).getOrElse(encoded)
       .select(col(idCol), col(vecCol),
         PqAdcDot(col(codeCol), lutFor(model, query)).as("adc"))
       .orderBy(desc("adc"), col(idCol))

@@ -45,15 +45,16 @@ object Sq {
     * reads them straight back into integer arithmetic — a storage sink
     * would cast to tinyint/byte for the 4× on disk.
     */
-  def sq8Encode(df: DataFrame, vecCol: String, idCol: String): DataFrame =
-    df.select(col(idCol), col(vecCol),
-        maxAbs(col(vecCol)).as("__maxabs"))
-      .select(col(idCol),
+  def sq8Encode(df: DataFrame, vecCol: String, idCol: String,
+      keepCols: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol) +: keepCols.map(col) :+ col(vecCol) :+
+        maxAbs(col(vecCol)).as("__maxabs"): _*)
+      .select(col(idCol) +: keepCols.map(col) :+
         transform(col(vecCol), x =>
           floor(x.cast("double") *
             when(col("__maxabs") === 0.0, lit(0.0))
               .otherwise(lit(127.0) / col("__maxabs")) + lit(0.5))
-            .cast("int")).as("codes"))
+            .cast("int")).as("codes"): _*)
 
   /** Quantize one query vector driver-side — the same arithmetic as
     * [[sq8Encode]], in doubles, so a query drawn from the corpus gets the
@@ -92,10 +93,15 @@ object Sq {
 
   /** Top-k by quantized code-space cosine over an encoded corpus — a
     * narrow scan of the 4×-smaller codes + TakeOrdered, no shuffle.
+    * `pred` is a metadata PRE-filter (a [[sq8Encode]] `keepCols` column):
+    * it lands before scoring — on the parquet scan as a pushed filter when
+    * the encoded corpus is stored — never on the ranked result, where a
+    * post-filter could return fewer than k survivors.
     */
   def sq8TopK(encoded: DataFrame, idCol: String,
-      query: Seq[Float], k: Int): DataFrame =
-    encoded.select(col(idCol), cosQ(col("codes"), sq8Codes(query)).as("cos_q"))
+      query: Seq[Float], k: Int, pred: Option[Column] = None): DataFrame =
+    pred.map(encoded.filter).getOrElse(encoded)
+      .select(col(idCol), cosQ(col("codes"), sq8Codes(query)).as("cos_q"))
       .orderBy(desc("cos_q"), col(idCol))
       .limit(k)
 }

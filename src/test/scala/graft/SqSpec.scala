@@ -27,6 +27,24 @@ class SqSpec extends SparkSpec {
       s"self-query must rank itself first at cos 1.0: $top")
   }
 
+  test("filtered search: pre-filter before scoring, k survivors, ids in the filter set") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val enc = Sq.sq8Encode(e, "embedding", "vec_id", keepCols = Seq("label"))
+    val q = e.filter(col("vec_id") === 0).head().getSeq[Float](1).toSeq
+    val got = Sq.sq8TopK(enc, "vec_id", q, 10, pred = Some(col("label").isin(2, 7)))
+      .collect()
+    assert(got.length == 10, "pre-filter must still return k survivors")
+    val allowed = e.filter(col("label").isin(2, 7))
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.forall(r => allowed(r.getLong(0))))
+    // identical to filtering the corpus FIRST then encoding + ranking
+    val viaPrefilter = Sq.sq8TopK(
+      Sq.sq8Encode(e.filter(col("label").isin(2, 7)), "embedding", "vec_id"),
+      "vec_id", q, 10).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      viaPrefilter.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("recall@10 vs exact float cosine stays high at 8 bits") {
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val enc = Sq.sq8Encode(e, "embedding", "vec_id").cache()
