@@ -320,6 +320,14 @@ final class Database(val spark: SparkSession) {
     * cannot be unwound); persistence (`toStorage`/`savePart`) inside the
     * body is refused by the datasets themselves — commit first, then
     * persist under the manifest protocol's own optimistic concurrency.
+    *
+    * ACTIVE STREAMING SINKS: a streaming query whose foreachBatch writes a
+    * named table serializes BEHIND the transaction — its micro-batch
+    * blocks at the dataset monitor the body holds and lands after commit
+    * or rollback, and is never unwound by a rollback (pinned in
+    * TransactionStreamSpec). Do NOT await stream progress
+    * (`processAllAvailable`) inside the body: the micro-batch cannot
+    * acquire the monitor the body holds, so the await deadlocks.
     */
   def transaction[A](names: Seq[String])(body: => A): A = {
     val resolved = names.distinct.sorted.map { n =>

@@ -237,6 +237,14 @@ final class LakeDataset private (
   private sealed trait SnapRef {
     def matches(keepIds: Set[Int], keepPaths: Seq[String]): Boolean
     def release(): Unit
+    /** Thread that created this ref — how a rollback tells the aborted
+      * body's generations from a CONCURRENT writer's pre-monitor batch
+      * snapshot (a blocked streaming micro-batch registers its pending
+      * snapshot before it can acquire the dataset monitor; freeing it
+      * with the transaction's would corrupt the batch it is about to
+      * apply — TransactionStreamSpec pins this).
+      */
+    val ownerThread: Long = Thread.currentThread().getId
   }
   private final class RddRef(val rdd: org.apache.spark.rdd.RDD[_]) extends SnapRef {
     def matches(keepIds: Set[Int], keepPaths: Seq[String]): Boolean =
@@ -418,7 +426,8 @@ final class LakeDataset private (
       private[LakeDataset] val zonesTracked0: Option[Set[String]],
       private[LakeDataset] val sumsTracked0: Option[Set[String]],
       private[LakeDataset] val pending0: List[SnapRef],
-      private[LakeDataset] val retained0: List[SnapRef])
+      private[LakeDataset] val retained0: List[SnapRef],
+      private[LakeDataset] val txThread: Long)
 
   /** Dead-generation releases deferred while a transaction is open
     * (non-null = in transaction): a rebuild inside the transaction may NOT
@@ -448,7 +457,8 @@ final class LakeDataset private (
       parts.asScala.toMap.map { case (k, part) => k -> part.fork() },
       diskDirs.asScala.toMap, diskSchemas.asScala.toMap,
       cleanScan, sinceCompact.get, checksMap,
-      trackedZoneSet, trackedSumSet, p, r)
+      trackedZoneSet, trackedSumSet, p, r,
+      Thread.currentThread().getId)
   }
 
   /** Commit: the superseded generations deferred during the transaction
@@ -473,11 +483,21 @@ final class LakeDataset private (
     // later in-tx mutation already superseded them — in the deferred-dead
     // list. Both sets release; the deferred list's PRE-transaction refs do
     // NOT (the restored plans reference them — that is the whole seam).
+    // A new ref owned by ANOTHER thread is a concurrent writer's batch
+    // snapshot, registered before it blocked on the monitor this rollback
+    // holds: it must neither release (the writer's about-to-apply plan
+    // references it) nor drop from the ledger (it would leak forever) —
+    // it stays pending and retires through the writer's own retain/
+    // supersede lifecycle after the rollback returns.
+    val mine = (r: SnapRef) =>
+      !preRefs.contains(r) && r.ownerThread == st.txThread
     val deferredInTx =
-      Option(txDeferredDead).getOrElse(Nil).filterNot(preRefs.contains)
+      Option(txDeferredDead).getOrElse(Nil).filter(mine)
     val createdInTx = pendingSnaps.synchronized {
-      val created = (pendingSnaps ++ retainedSnaps).filterNot(preRefs.contains).toList
-      pendingSnaps.clear(); pendingSnaps ++= st.pending0
+      val created = (pendingSnaps ++ retainedSnaps).filter(mine).toList
+      val foreignPending = pendingSnaps
+        .filterNot(preRefs.contains).filterNot(mine).toList
+      pendingSnaps.clear(); pendingSnaps ++= st.pending0 ++= foreignPending
       retainedSnaps.clear(); retainedSnaps ++= st.retained0
       created
     }
