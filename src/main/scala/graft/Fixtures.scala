@@ -300,6 +300,21 @@ object Fixtures {
       .withColumn("text", concat(col("text"), lit(" graft near dup suffix"))))
   }
 
+  /** documents ∪ byte-exact copies (every 20th, +200000) ∪ near-dup
+    * copies (every 10th, +100000, appended suffix) — the planted corpus
+    * for the full dedup-pipeline composition gate: the exact stage must
+    * drop the +200000 copies, the near-dup stage the suffix replays'
+    * losers.
+    */
+  def pipelineDedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" graft near dup suffix"))))
+      .unionByName(d.filter(col("doc_id") % 20 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000))
+  }
+
   /** embeddings ∪ jittered copies of every 10th vector (×1.001 per element,
     * cosine ≈ 1 with the original) — known embedding near-duplicates.
     */

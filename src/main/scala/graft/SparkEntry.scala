@@ -2404,6 +2404,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The FULL dedup pipeline composed end-to-end on a corpus planting
+    // both exact copies and near-dup replays: exact stage drops the
+    // byte-identical +200000 copies (min-id survivor), near-dup stage
+    // groups the +100000 suffix replays and keeps the longest member.
+    // Every stage is exact arithmetic -> the composed survivor set has a
+    // single chained DuckDB oracle; PipelineDedupSpec pins idempotence.
+    "pipeline_dedup_full" -> ((s, dir) => {
+      val corpus = Fixtures.pipelineDedupCorpus(s, dir)
+      Dedup.pipelineDedup(corpus, "text", "doc_id",
+          corpus.select(col("doc_id"), length(col("text")).as("q")), "q")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // Exact all-pairs n-gram Jaccard (no hashing) — the oracle-checked
     // ground truth the MinHash-LSH path is measured against.
     "dedup_ngram_jaccard" -> ((s, dir) => {
@@ -4557,6 +4570,51 @@ object SparkEntry {
         |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
         |SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
         |FROM corpus GROUP BY text""".stripMargin,
+
+    // pipeline_dedup_full: exact stage (min-id per identical text) chained
+    // into the keep-best near-dup stage — the dedup_keep_best oracle over
+    // the exact stage's survivors.
+    "pipeline_dedup_full" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graft near dup suffix' AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        |ex AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text),
+        |c2 AS (SELECT c.doc_id, c.text FROM corpus c JOIN ex USING (doc_id)),
+        |words AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM c2),
+        |idx AS (SELECT doc_id, ws,
+        |        unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM words),
+        |grams AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM grams x JOIN grams y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(v, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v),
+        |comps AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v),
+        |ranked AS (
+        |  SELECT k.doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY k.component
+        |                            ORDER BY LENGTH(c.text) DESC, k.doc_id) AS rk
+        |  FROM comps k JOIN c2 c ON c.doc_id = k.doc_id)
+        |SELECT c.doc_id FROM c2 c
+        |LEFT JOIN ranked r ON c.doc_id = r.doc_id AND r.rk > 1
+        |WHERE r.doc_id IS NULL
+        |ORDER BY c.doc_id""".stripMargin,
 
     "embed_mean_pool" ->
       """SELECT label, CAST(i AS BIGINT) AS pos,

@@ -60,6 +60,27 @@ object Dedup {
       .drop("__graft_rn")
   }
 
+  /** The COMPOSED dedup pipeline a training-data run actually executes:
+    * stage 1 drops byte-exact duplicates (min-id survivor per identical
+    * text — one shuffle by content); stage 2 finds near-duplicates among
+    * the stage-1 survivors (exact n-gram Jaccard pairs), groups them
+    * transitively ([[connectedComponents]] inside [[keepBest]]), and keeps
+    * the highest-`scoreCol` member per group. Stage ORDER matters: exact
+    * dedup first shrinks the quadratic-ish near-dup candidate space by the
+    * duplicate fraction for free. The composition is IDEMPOTENT — after
+    * [[keepBest]] each component holds one survivor, and two survivors of
+    * distinct components can share no qualifying pair (a pair would have
+    * merged their components) — pinned in PipelineDedupSpec. Output =
+    * surviving corpus rows.
+    */
+  def pipelineDedup(corpus: DataFrame, textCol: String, idCol: String,
+      scores: DataFrame, scoreCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val exactKept = keepFirst(corpus, Seq(textCol), Seq(col(idCol)))
+    val pairs = ngramJaccardPairs(exactKept, textCol, idCol, shingleSize, threshold)
+    keepBest(exactKept, pairs, scores, idCol, scoreCol)
+  }
+
   // ------------------------------------------------- duplicate-span removal
 
   /** Exact substring-level dedup: remove every LATER occurrence of any word
