@@ -49,7 +49,8 @@ object ScaleSmoke {
       !sys.env.contains("SPARK_GRAFT_ONLY_R12B") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R12C") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R12D") &&
-      !sys.env.contains("SPARK_GRAFT_ONLY_R12E")
+      !sys.env.contains("SPARK_GRAFT_ONLY_R12E") &&
+      !sys.env.contains("SPARK_GRAFT_ONLY_R13A")
     if (runAll) {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val big = (0 until copies).map { i =>
@@ -1131,6 +1132,77 @@ object ScaleSmoke {
       require(merges.length == 4 && merges.head._4 > 0)
     }
     if (onlyR12e) { spark.stop(); return }
+
+    // ---- R13a: quantile + freq folds at ~1k parts ---------------------------
+    // Claim: the driver-side catalog folds stay sub-second an order of
+    // magnitude past the ~100-part sections above — the pairwise-tree
+    // quantile reduce is O(parts·log parts) summary merges and the freq
+    // fold O(parts·k) counter merges, so ~1k parts is milliseconds of
+    // driver work and the ceiling (10k+ parts ≈ a 100 TB table's manifest)
+    // is manifest IO, not fold CPU. Run just this section with
+    // SPARK_GRAFT_ONLY_R13A=1.
+    val onlyR13a = sys.env.contains("SPARK_GRAFT_ONLY_R13A")
+    if (runAll || onlyR13a) {
+      val mo13 = (0 until copies).map { i =>
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 10000000L))
+      }.reduce(_ unionByName _)
+        // 5x finer cells than R12c/d: same corpus, ~1k parts
+        .withColumn("o_batch", (col("o_orderkey") / 3000L).cast("int"))
+        .localCheckpoint(true)
+      val n13 = mo13.count()
+      println(s"[scale] r13a orders: $n13 rows (${copies}x)")
+      val d13 = time("create quantile+freq-tracked (~1k parts)") {
+        LakeDataset.fromDataFrame(spark, mo13,
+          partitionCols = Seq("o_batch"),
+          quantileCols = Seq("o_totalprice"), freqCols = Seq("o_orderstatus"))
+      }
+      println(s"[scale] r13a dataset parts: ${d13.numParts}")
+      require(d13.numParts >= 900, s"expected ~1k parts, got ${d13.numParts}")
+      val qs13 = Seq(0.5, 0.95, 0.99)
+      def timed[T](label: String)(f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] $label%-26s $s%8.2fs")
+        (r, s)
+      }
+      time(s"catalog approx-quantile (${d13.numParts}-part fold, cold)") {
+        d13.metaApproxQuantile(Seq("o_totalprice"), qs13).get("o_totalprice")
+      }
+      val (metaQ13, secQ) = timed("catalog approx-quantile (warm)") {
+        d13.metaApproxQuantile(Seq("o_totalprice"), qs13).get("o_totalprice")
+      }
+      require(secQ < 1.0,
+        f"1k-part quantile fold must stay sub-second, took $secQ%.2fs")
+      // rank-bound check against the exact CDF (one scan)
+      val rankAggs13 = qs13.zip(metaQ13).map { case (q, v) =>
+        (sum(when(col("o_totalprice") <= lit(v), 1L).otherwise(0L))
+          .cast("double") / lit(n13.toDouble)).as(s"r${(q * 100).toInt}")
+      }
+      val ranks13 = d13.toDF.agg(rankAggs13.head, rankAggs13.tail: _*).head()
+      qs13.zipWithIndex.foreach { case (q, i) =>
+        val err = math.abs(ranks13.getDouble(i) - q)
+        println(f"[scale] r13a q=$q catalog=${metaQ13(i)}%.2f rankErr=$err%.4f")
+        require(err <= 2 * graft.lake.QuantileMap.Eps + 2.0 / n13,
+          s"1k-part catalog quantile q=$q out of bound: rank error $err")
+      }
+      time(s"catalog top-k (${d13.numParts}-part fold, cold)") {
+        d13.metaTopK(Seq("o_orderstatus"), 5).get("o_orderstatus")
+      }
+      val (metaT13, secT) = timed("catalog top-k (warm)") {
+        d13.metaTopK(Seq("o_orderstatus"), 5).get("o_orderstatus")
+      }
+      require(secT < 1.0,
+        f"1k-part freq fold must stay sub-second, took $secT%.2fs")
+      require(metaT13.forall(_._4),
+        "3-value status column must stay in the exact regime at 1k parts")
+      val scanT13 = d13.toDF.groupBy("o_orderstatus").count()
+        .orderBy(desc("count"), col("o_orderstatus")).limit(5)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      require(metaT13.map(t => t._1 -> t._2) == scanT13,
+        s"exact-regime 1k-part catalog top-k must equal the scan: $metaT13 vs $scanT13")
+    }
+    if (onlyR13a) { spark.stop(); return }
 
     // ---- IVF ANN: probe cost vs corpus growth ------------------------------
     // The scale claim: an IVF probe reads nprobe inverted LISTS, whose size
