@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Bucketing
 import graft.lake.{Database, LakeDataset}
-import graft.operators.{Bpe, Clustering, DataQuality, Dedup, ExactDedupIndex, HeavyHitters, MaterializedAgg, MinhashIndex, Multimodal, Pq, Sampling, Similarity, Sq, StringCache, TextAnalysis, TextSearch}
+import graft.operators.{Bpe, Clustering, DataQuality, Dedup, ExactDedupIndex, Fusion, HeavyHitters, MaterializedAgg, MinhashIndex, Multimodal, Pq, Sampling, Similarity, Sq, StringCache, TextAnalysis, TextSearch}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), with a DuckDB-equivalent oracle where SQL-expressible.
@@ -2069,9 +2069,10 @@ object SparkEntry {
     // (not the whitespace proxy) feed the shard-parallel token-budget
     // binning — the tokenize -> pack loop closed end-to-end.
     "text_pack_bpe" -> ((s, dir) => {
-      val symd = Bpe.symbolize(table(s, dir, "documents"), "text", "doc_id",
-        BpeConfigMerges)
-      val ids = Bpe.tokenIds(symd, Bpe.vocab(symd))
+      val docs = table(s, dir, "documents")
+      val symd = Bpe.symbolize(docs, "text", "doc_id", BpeConfigMerges)
+      val ids = Bpe.tokenIds(docs, "text", "doc_id", BpeConfigMerges,
+        Bpe.vocab(symd))
       TextAnalysis.packCounts(ids.select(col("doc"), col("n_tokens")),
           "doc", "n_tokens", budgetTokens = 1024, nShards = 8)
         .orderBy("doc_id")
@@ -2193,6 +2194,28 @@ object SparkEntry {
     // end-to-end including the ranking.
     "text_bm25_int" -> ((s, dir) =>
       TextSearch.searchTopKInt(Fixtures.bm25Index(s, dir), "spark join window", 20)),
+
+    // HYBRID retrieval: reciprocal-rank fusion of the integer-BM25 lexical
+    // top-20 and the SQ8 code-space-cosine vector top-20 (vec_id keys the
+    // same synthetic corpus) — both inputs are oracle-exact, the fusion is
+    // integer arithmetic, so the whole hybrid ranking has a DuckDB oracle.
+    "search_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .head().getSeq[Float](1).toSeq
+      val lex = TextSearch.searchTopKInt(
+          Fixtures.bm25Index(s, dir), "spark join window", 20)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(desc("score_int"), col("doc"))))
+      val vec = Sq.sq8TopK(Sq.sq8Encode(e, "embedding", "vec_id"),
+          "vec_id", q, 20)
+        .withColumnRenamed("vec_id", "doc")
+        .withColumn("rk", row_number().over(
+          Window.orderBy(desc("cos_q"), col("doc"))))
+      Fusion.rrf(Seq(lex.select("doc", "rk"), vec.select("doc", "rk")),
+        "doc", "rk", 15)
+    }),
 
     // BM25 SIMILARITY JOIN: top-5 corpus docs for every row of a query
     // table in ONE plan (query terms explode into a single equi-join on
@@ -2402,6 +2425,15 @@ object SparkEntry {
           "doc_id", "q")
         .select("doc_id")
         .orderBy("doc_id")
+    }),
+
+    // Dedup observability: cluster-size histogram over the exact near-dup
+    // components — the "is this organic duplication or a template?" report.
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      Dedup.componentSizeHistogram(
+          Dedup.ngramJaccardPairs(Fixtures.nearDupDocuments(s, dir),
+            "text", "doc_id", shingleSize = 3, threshold = 0.5))
+        .orderBy("members")
     }),
 
     // The FULL dedup pipeline composed end-to-end on a corpus planting
@@ -4124,6 +4156,62 @@ object SparkEntry {
         |  SELECT unnest(string_split(TRIM(text), ' ')) AS w FROM documents) t
         |GROUP BY w ORDER BY cnt DESC, value LIMIT 15""".stripMargin,
 
+    // search_hybrid_rrf: the text_bm25_int and ann_sq8_topk oracles at
+    // k=20 with explicit ranks, fused on the integer RRF grid.
+    "search_hybrid_rrf" ->
+      """WITH tf AS (
+        |  SELECT doc, w, COUNT(*) AS tf FROM (
+        |    SELECT doc_id AS doc, unnest(string_split(TRIM(text), ' ')) AS w
+        |    FROM documents) t
+        |  GROUP BY doc, w),
+        |dl AS (SELECT doc, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc),
+        |corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |                  CAST(SUM(dl) AS BIGINT) AS l FROM dl),
+        |qt AS (SELECT UNNEST(['spark', 'join', 'window']) AS w),
+        |p AS (SELECT tf.doc, tf.w, tf.tf, dl.dl
+        |      FROM tf JOIN dl USING (doc)
+        |      WHERE tf.w IN (SELECT w FROM qt)),
+        |dft AS (SELECT w, COUNT(*) AS df FROM p GROUP BY w),
+        |lex AS (
+        |  SELECT doc, ROW_NUMBER() OVER (ORDER BY score_int DESC, doc) AS rk
+        |  FROM (
+        |    SELECT p.doc,
+        |      CAST(SUM(((1000 * (2 * n - 2 * df + 1)) // (2 * df + 1)) *
+        |               ((44 * l * tf * 1000000) //
+        |                (20 * l * tf + 6 * l + 18 * dl * n))) AS BIGINT) AS score_int
+        |    FROM p JOIN dft USING (w) CROSS JOIN corpus
+        |    GROUP BY p.doc
+        |    ORDER BY score_int DESC, doc LIMIT 20)),
+        |enc AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(FLOOR(x *
+        |      (CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) = 0
+        |            THEN 0 ELSE 127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) END)
+        |      + 0.5) AS BIGINT)) AS codes
+        |  FROM embeddings),
+        |qv AS (SELECT codes AS qc FROM enc WHERE vec_id = 0),
+        |vecscored AS (
+        |  SELECT vec_id,
+        |    list_dot_product(codes, qc) AS dot,
+        |    list_dot_product(codes, codes) AS nv,
+        |    list_dot_product(qc, qc) AS nq
+        |  FROM enc, qv),
+        |vec AS (
+        |  SELECT vec_id AS doc, ROW_NUMBER() OVER (ORDER BY cos_q DESC, doc) AS rk
+        |  FROM (
+        |    SELECT vec_id,
+        |      CASE WHEN nv = 0 OR nq = 0 THEN 0
+        |           ELSE CAST(round(dot / (sqrt(nv) * sqrt(nq)) * 1000000.0) AS BIGINT) END AS cos_q
+        |    FROM vecscored
+        |    ORDER BY cos_q DESC, vec_id LIMIT 20) s(vec_id, cos_q)),
+        |contrib AS (
+        |  SELECT doc, 1000000 // (60 + rk) AS c FROM lex
+        |  UNION ALL
+        |  SELECT doc, 1000000 // (60 + rk) AS c FROM vec)
+        |SELECT doc, CAST(SUM(c) AS BIGINT) AS rrf_int
+        |FROM contrib GROUP BY doc
+        |ORDER BY rrf_int DESC, doc LIMIT 15""".stripMargin,
+
     // Batch BM25: same integer ladders as text_bm25_int, per-query window.
     "text_bm25_batch" ->
       """WITH tf AS (
@@ -4522,6 +4610,40 @@ object SparkEntry {
         |LEFT JOIN comps k ON c.doc_id = k.doc_id AND k.doc_id <> k.component
         |WHERE k.doc_id IS NULL
         |ORDER BY c.doc_id""".stripMargin,
+
+    // dedup_cluster_sizes: the dedup_components recursive CTE, histogrammed.
+    "dedup_cluster_sizes" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graft near dup suffix' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |words AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM corpus),
+        |idx AS (SELECT doc_id, ws,
+        |        unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM words),
+        |grams AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM grams x JOIN grams y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(v, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v),
+        |comps AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v),
+        |csz AS (SELECT component, COUNT(*) AS members FROM comps GROUP BY component)
+        |SELECT CAST(members AS BIGINT) AS members,
+        |       CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |FROM csz GROUP BY members ORDER BY members""".stripMargin,
 
     // dedup_keep_best: same component construction as dedup_keep_canonical,
     // but the survivor is the component's (length DESC, id ASC) argmax.

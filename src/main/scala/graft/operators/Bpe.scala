@@ -99,6 +99,17 @@ object Bpe {
     * (literals in the plan), not data.
     */
   def symbolize(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    df.select(col(idCol).as("doc"),
+      graft.functions.BpeSymbols(col(textCol), merges).as("syms"))
+
+  /** The composed higher-order-function spelling of [[symbolize]] — kept
+    * as the equivalence witness for the native [[graft.functions.BpeSymbols]]
+    * expression (BpeSpec pins element-equality): HOF lambdas evaluate
+    * interpreted and the fold copies its accumulator per symbol, which
+    * measured 23 s on the sf0.1 corpus vs sub-second for the native form.
+    */
+  private[graft] def symbolizeHof(df: DataFrame, textCol: String, idCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val words = filter(split(trim(col(textCol)), " "), w => w =!= "")
     df.select(col(idCol).as("doc"),
@@ -125,20 +136,19 @@ object Bpe {
   }
 
   /** Token-ID encoding: (doc, token_ids: array&lt;int&gt;, n_tokens) — the
-    * sequence a trainer's packing/shuffling stages consume. The symbol→id
-    * map rides the plan as a LITERAL map expression (the vocabulary is
-    * config-sized per [[vocab]] — no broadcast join, no shuffle); a symbol
-    * missing from the vocabulary raises instead of silently yielding null
-    * ids.
+    * sequence a trainer's packing/shuffling stages consume. One native
+    * codegen'd pass over the TEXT (tokenize + merge fold + vocabulary
+    * lookup fused — [[graft.functions.BpeIds]]); the symbol→id map rides
+    * the plan as a constant (the vocabulary is config-sized per [[vocab]]
+    * — no broadcast join, no shuffle); a symbol missing from the
+    * vocabulary raises instead of silently yielding null ids.
     */
-  def tokenIds(symbolized: DataFrame, vocab: DataFrame): DataFrame = {
+  def tokenIds(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)], vocab: DataFrame): DataFrame = {
     val entries = vocab.select("symbol", "token_id").collect()
-      .map(r => (r.getString(0), r.getInt(1)))
-    val m = map(entries.flatMap { case (s, i) => Seq(lit(s), lit(i)) }.toSeq: _*)
-    symbolized.select(col("doc"),
-        transform(col("syms"), s => coalesce(try_element_at(m, s),
-          raise_error(concat(lit("BPE symbol not in vocabulary: "), s))))
-          .as("token_ids"))
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    df.select(col(idCol).as("doc"),
+        graft.functions.BpeIds(col(textCol), merges, entries).as("token_ids"))
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
   }
 

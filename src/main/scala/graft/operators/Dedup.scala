@@ -60,6 +60,19 @@ object Dedup {
       .drop("__graft_rn")
   }
 
+  /** Dedup OBSERVABILITY: the duplicate-cluster size histogram
+    * (members → how many clusters have that many) — the first report a
+    * pipeline operator reads after a dedup pass (a fat tail here means a
+    * boilerplate template or a crawler loop, not organic duplication).
+    * Two map-side-combining aggregations over the component table, which
+    * is ∝ the duplicate set — never corpus-scale.
+    */
+  def componentSizeHistogram(pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .groupBy("component").agg(count(lit(1)).as("members"))
+      .groupBy("members").agg(count(lit(1)).as("n_clusters"))
+
   /** The COMPOSED dedup pipeline a training-data run actually executes:
     * stage 1 drops byte-exact duplicates (min-id survivor per identical
     * text — one shuffle by content); stage 2 finds near-duplicates among
@@ -571,9 +584,17 @@ object Dedup {
       aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val comp = connectedComponents(pairs, aCol, bCol)
-    val ranked = comp.join(
-        scores.select(col(idCol).as("doc_id"), col(scoreCol).as("__score")),
-        Seq("doc_id"), "left")
+    // Join shape: `scores` is corpus-sized, `comp` ∝ the duplicate set. A
+    // direct left join would stream ALL of scores through a shuffle (the
+    // small left side of a left-outer cannot be the broadcast build side);
+    // instead the component ids BROADCAST-semi-prune scores down to the
+    // duplicate set first, and the pruned frame broadcasts into the left
+    // join — corpus-scale rows never shuffle here.
+    val compIds = comp.select("doc_id")
+    val prunedScores = scores
+      .select(col(idCol).as("doc_id"), col(scoreCol).as("__score"))
+      .join(broadcast(compIds), Seq("doc_id"), "left_semi")
+    val ranked = comp.join(broadcast(prunedScores), Seq("doc_id"), "left")
       .withColumn("__rk", row_number().over(
         Window.partitionBy("component")
           .orderBy(desc_nulls_last("__score"), col("doc_id"))))

@@ -64,16 +64,23 @@ class BpeSpec extends SparkSpec {
     // lexicographic: a, b, le, t, ta, table
     assert(entries == Seq((0, "a"), (1, "b"), (2, "le"), (3, "t"),
       (4, "ta"), (5, "table")), entries)
-    val ids = Bpe.tokenIds(symd, voc).orderBy("doc")
+    val ids = Bpe.tokenIds(docs, "text", "doc_id", merges, voc).orderBy("doc")
       .select("doc", "token_ids", "n_tokens")
       .as[(Long, Seq[Int], Long)].collect().toSeq
     assert(ids == Seq((1L, Seq(5, 4, 2), 3L), (2L, Seq(1, 0, 3), 3L)), ids)
     // a vocabulary that does not cover the corpus fails loudly, never null
     val tinyVoc = Seq((0, "a")).toDF("token_id", "symbol")
     val err = intercept[Exception] {
-      Bpe.tokenIds(symd, tinyVoc).collect()
+      Bpe.tokenIds(docs, "text", "doc_id", merges, tinyVoc).collect()
     }
     assert(err.getMessage.contains("not in vocabulary"), err.getMessage)
+    // the native expression equals the composed HOF spelling on the corpus
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    val fast = Bpe.symbolize(d, "text", "doc_id", merges)
+    val hof = Bpe.symbolizeHof(d, "text", "doc_id", merges)
+      .withColumnRenamed("syms", "syms2")
+    val ne = fast.join(hof, "doc").filter(col("syms") =!= col("syms2")).count()
+    assert(ne == 0, "native BpeSymbols diverges from the HOF form")
     // empty/whitespace-only text encodes to an empty sequence, not a crash
     val empty = Bpe.symbolize(Seq((9L, "  ")).toDF("doc_id", "text"),
       "text", "doc_id", merges).as[(Long, Seq[String])].head()
@@ -94,7 +101,7 @@ class BpeSpec extends SparkSpec {
     // assignments stay a pure function of the counts
     val merges = Seq(("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"), ("e", "r"))
     val symd = Bpe.symbolize(d, "text", "doc_id", merges)
-    val ids = Bpe.tokenIds(symd, Bpe.vocab(symd))
+    val ids = Bpe.tokenIds(d, "text", "doc_id", merges, Bpe.vocab(symd))
     val chars = Bpe.symbolize(d, "text", "doc_id", Nil)
       .select(col("doc"), size(col("syms")).cast("long").as("n_chars"))
     val grew = ids.join(chars, "doc").filter(col("n_tokens") > col("n_chars")).count()
