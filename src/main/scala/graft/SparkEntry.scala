@@ -2078,6 +2078,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Lossless tokenize→detokenize round trip: the </w>-marked symbol
+    // stream decodes back to the whitespace-normalized text exactly —
+    // the property that makes token-id exports reversible.
+    "text_bpe_roundtrip" -> ((s, dir) => {
+      Bpe.decode(Bpe.symbolizeMarked(table(s, dir, "documents"),
+          "text", "doc_id", BpeConfigMerges))
+        .orderBy("doc")
+    }),
+
     // DSIR-shaped data selection: score every document by its integer-rate
     // unigram contrast against the English subcorpus (the "target domain"),
     // keep the top 50 — domain-matching selection without labels. Exact
@@ -3866,6 +3875,13 @@ object SparkEntry {
         |SELECT doc_id, CAST(shard AS INTEGER) AS shard, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  CAST(shard * 4294967296 + CAST(FLOOR(start_off / 1024.0) AS BIGINT) AS BIGINT) AS pack
         |FROM win ORDER BY doc_id""".stripMargin,
+
+    // text_bpe_roundtrip: decode(encode(text)) == whitespace-normalized
+    // text — the oracle IS the normalization, no tokenizer replay needed.
+    "text_bpe_roundtrip" ->
+      """SELECT doc_id AS doc,
+        |  trim(regexp_replace(text, ' +', ' ', 'g')) AS rebuilt_text
+        |FROM documents ORDER BY doc""".stripMargin,
 
     "text_dsir_select" ->
       """WITH tok AS (

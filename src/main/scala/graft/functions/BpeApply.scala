@@ -55,8 +55,12 @@ object BpeApply {
     * Tokenization matches `split(trim(text), " ")` exactly: only the
     * SPACE character trims and splits (Java's `String.trim` also strips
     * tabs/newlines — a silent divergence from the SQL oracle's `trim`).
+    * A non-null `marker` is appended as each word's terminal symbol
+    * (Sennrich's `&lt;/w&gt;`), making the stream LOSSLESSLY decodable —
+    * concatenate symbols, turn each marker into a space.
     */
-  def symbolsOf(text: UTF8String, merges: Array[Array[String]]): java.util.ArrayList[String] = {
+  def symbolsOf(text: UTF8String, merges: Array[Array[String]],
+      marker: String = null): java.util.ArrayList[String] = {
     val out = new java.util.ArrayList[String](64)
     val s = text.toString
     var start = 0
@@ -64,7 +68,10 @@ object BpeApply {
     var i = 0
     while (i <= n) {
       if (i == n || s.charAt(i) == ' ') {
-        if (i > start) applyToWord(s.substring(start, i), merges, out)
+        if (i > start) {
+          applyToWord(s.substring(start, i), merges, out)
+          if (marker != null) out.add(marker)
+        }
         start = i + 1
       }
       i += 1
@@ -73,8 +80,9 @@ object BpeApply {
   }
 
   /** Entry point used by generated code for [[BpeSymbols]]. */
-  def evalSymbols(text: UTF8String, merges: Array[Array[String]]): ArrayData = {
-    val syms = symbolsOf(text, merges)
+  def evalSymbols(text: UTF8String, merges: Array[Array[String]],
+      marker: String): ArrayData = {
+    val syms = symbolsOf(text, merges, marker)
     val arr = new Array[Any](syms.size)
     var i = 0
     while (i < syms.size) { arr(i) = UTF8String.fromString(syms.get(i)); i += 1 }
@@ -84,7 +92,7 @@ object BpeApply {
   /** Entry point used by generated code for [[BpeIds]]. */
   def evalIds(text: UTF8String, merges: Array[Array[String]],
       vocab: java.util.HashMap[String, Integer]): ArrayData = {
-    val syms = symbolsOf(text, merges)
+    val syms = symbolsOf(text, merges, null)
     val arr = new Array[Any](syms.size)
     var i = 0
     while (i < syms.size) {
@@ -101,8 +109,8 @@ object BpeApply {
     merges.map { case (a, b) => Array(a, b, a + b) }.toArray
 }
 
-case class BpeSymbols(child: Expression, merges: Array[Array[String]])
-    extends UnaryExpression {
+case class BpeSymbols(child: Expression, merges: Array[Array[String]],
+    marker: String) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -113,12 +121,14 @@ case class BpeSymbols(child: Expression, merges: Array[Array[String]])
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(t: Any): Any =
-    BpeApply.evalSymbols(t.asInstanceOf[UTF8String], merges)
+    BpeApply.evalSymbols(t.asInstanceOf[UTF8String], merges, marker)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t => {
       val m = ctx.addReferenceObj("merges", merges, "java.lang.String[][]")
-      s"${ev.value} = graft.functions.BpeApply.evalSymbols($t, $m);"
+      val mk = if (marker == null) "null"
+        else ctx.addReferenceObj("marker", marker, "java.lang.String")
+      s"${ev.value} = graft.functions.BpeApply.evalSymbols($t, $m, $mk);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): BpeSymbols =
@@ -127,7 +137,13 @@ case class BpeSymbols(child: Expression, merges: Array[Array[String]])
 
 object BpeSymbols {
   def apply(text: Column, merges: Seq[(String, String)]): Column =
-    Bridge.column(BpeSymbols(Bridge.expression(text), BpeApply.mergeMatrix(merges)))
+    Bridge.column(BpeSymbols(Bridge.expression(text),
+      BpeApply.mergeMatrix(merges), null))
+
+  /** Marked variant: each word ends with `marker` — losslessly decodable. */
+  def marked(text: Column, merges: Seq[(String, String)], marker: String): Column =
+    Bridge.column(BpeSymbols(Bridge.expression(text),
+      BpeApply.mergeMatrix(merges), marker))
 }
 
 case class BpeIds(child: Expression, merges: Array[Array[String]],

@@ -116,6 +116,29 @@ object Bpe {
       flatten(transform(words, w => applyMerges(w, merges))).as("syms"))
   }
 
+  /** Marked symbolize: each word's symbol run ends with `marker`
+    * (Sennrich's `&lt;/w&gt;` terminal), which makes the stream LOSSLESSLY
+    * decodable by [[decode]] — the classic BPE framing where word
+    * boundaries are part of the alphabet. Merges never touch the marker
+    * (it is appended after the fold), so segmentation equals the unmarked
+    * [[symbolize]] plus terminals.
+    */
+  def symbolizeMarked(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)], marker: String = "</w>"): DataFrame =
+    df.select(col(idCol).as("doc"),
+      graft.functions.BpeSymbols.marked(col(textCol), merges, marker).as("syms"))
+
+  /** DECODE a marked symbol stream back to text: concatenate the symbols
+    * (merges change segmentation, never content, so the symbols spell the
+    * original words exactly) and turn each terminal marker into a space.
+    * Output equals the whitespace-normalized input — the lossless
+    * tokenize→detokenize round trip `text_bpe_roundtrip` oracle-checks.
+    */
+  def decode(symbolized: DataFrame, marker: String = "</w>"): DataFrame =
+    symbolized.select(col("doc"),
+      rtrim(replace(concat_ws("", col("syms")), lit(marker), lit(" ")))
+        .as("rebuilt_text"))
+
   /** The deterministic vocabulary of a symbolized corpus: DISTINCT final
     * symbols in lexicographic (binary) order, dense `token_id`s from 0 —
     * (token_id: int, symbol). Bounded by |charset| + |merges| by
