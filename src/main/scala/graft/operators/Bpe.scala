@@ -175,6 +175,32 @@ object Bpe {
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
   }
 
+  /** Persist a tokenizer — the ORDERED merge table and the vocabulary —
+    * as two tiny parquet tables under `root` (`merges/`, `vocab/`): the
+    * artifact a training run ships so every downstream consumer (packing,
+    * decontamination, serving) encodes with byte-identical ids. Both are
+    * config-sized (hundreds of rows), written single-file.
+    */
+  def saveTokenizer(spark: org.apache.spark.sql.SparkSession, root: String,
+      merges: Seq[(String, String)], vocab: DataFrame): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) }
+      .toDF("rank", "left_sym", "right_sym")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/merges")
+    vocab.coalesce(1).write.mode("overwrite").parquet(s"$root/vocab")
+  }
+
+  /** Load a persisted tokenizer: (merges in training order, vocab frame).
+    * BpeSpec pins the round trip — reloaded config encodes identically.
+    */
+  def loadTokenizer(spark: org.apache.spark.sql.SparkSession,
+      root: String): (Seq[(String, String)], DataFrame) = {
+    val m = spark.read.parquet(s"$root/merges").orderBy("rank")
+      .select("left_sym", "right_sym")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    (m, spark.read.parquet(s"$root/vocab"))
+  }
+
   /** Train `rounds` BPE merges: returns (rank, left_sym, right_sym, freq)
     * in training order. Ties in a round break by (left, right) — a total
     * order, so the learned merge table is a pure function of the corpus.

@@ -50,7 +50,8 @@ object ScaleSmoke {
       !sys.env.contains("SPARK_GRAFT_ONLY_R12C") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R12D") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R12E") &&
-      !sys.env.contains("SPARK_GRAFT_ONLY_R13A")
+      !sys.env.contains("SPARK_GRAFT_ONLY_R13A") &&
+      !sys.env.contains("SPARK_GRAFT_ONLY_R13B")
     if (runAll) {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val big = (0 until copies).map { i =>
@@ -1203,6 +1204,50 @@ object ScaleSmoke {
         s"exact-regime 1k-part catalog top-k must equal the scan: $metaT13 vs $scanT13")
     }
     if (onlyR13a) { spark.stop(); return }
+
+    // ---- R13b: native BPE encode + pack at 20x corpus ----------------------
+    // Claim: the native BpeSymbols/BpeIds expressions keep tokenize→ids→
+    // pack a LINEAR narrow map (no shuffle until the pack window, which is
+    // shard-partitioned): 20x documents should cost ~20x the sf0.1 gate's
+    // sub-second, not the interpreted HOF fold's minutes. Run just this
+    // section with SPARK_GRAFT_ONLY_R13B=1.
+    val onlyR13b = sys.env.contains("SPARK_GRAFT_ONLY_R13B")
+    if (runAll || onlyR13b) {
+      import graft.operators.{Bpe, TextAnalysis}
+      val bigDocs13 = (0 until copies).map { i =>
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      val nd13 = bigDocs13.count()
+      println(s"[scale] r13b documents: $nd13 rows (${copies}x)")
+      val merges13 = Seq(("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"), ("e", "r"))
+      val symd13 = Bpe.symbolize(bigDocs13, "text", "doc_id", merges13)
+      val voc13 = time("bpe vocab over 20x corpus (distinct symbols)") {
+        Bpe.vocab(symd13)
+      }
+      val ids13 = Bpe.tokenIds(bigDocs13, "text", "doc_id", merges13, voc13)
+      val totTok = time("bpe tokenIds full pass (native, no shuffle)") {
+        ids13.agg(sum(col("n_tokens"))).head().getLong(0)
+      }
+      println(s"[scale] r13b total tokens: $totTok")
+      val packs = time("packCounts on real token counts (sharded window)") {
+        TextAnalysis.packCounts(ids13.select(col("doc"), col("n_tokens")),
+            "doc", "n_tokens", budgetTokens = 2048, nShards = 32)
+          .agg(countDistinct(col("pack"))).head().getLong(0)
+      }
+      println(s"[scale] r13b packs: $packs (expect ~${totTok / 2048})")
+      require(packs >= totTok / 2048,
+        "pack count below the token-budget floor — packing lost tokens")
+      // roundtrip at scale: decode(encode) == normalized text, 0 mismatches
+      val mism = time("decode roundtrip check (20x)") {
+        Bpe.decode(Bpe.symbolizeMarked(bigDocs13, "text", "doc_id", merges13))
+          .join(bigDocs13.select(col("doc_id").as("doc"),
+            regexp_replace(trim(col("text")), " +", " ").as("norm")), "doc")
+          .filter(col("rebuilt_text") =!= col("norm")).count()
+      }
+      require(mism == 0, s"r13b decode roundtrip mismatches: $mism")
+    }
+    if (onlyR13b) { spark.stop(); return }
 
     // ---- IVF ANN: probe cost vs corpus growth ------------------------------
     // The scale claim: an IVF probe reads nprobe inverted LISTS, whose size

@@ -87,6 +87,21 @@ class BpeSpec extends SparkSpec {
     assert(empty == ((9L, Seq.empty[String])))
   }
 
+  test("tokenizer save/load round trip encodes identically") {
+    val merges = Seq(("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"))
+    val docs = Seq((1L, "table tale"), (2L, "bat")).toDF("doc_id", "text")
+    val voc = Bpe.vocab(Bpe.symbolize(docs, "text", "doc_id", merges))
+    val root = java.nio.file.Files.createTempDirectory("graft_bpe_tok").toString
+    Bpe.saveTokenizer(spark, root, merges, voc)
+    val (m2, v2) = Bpe.loadTokenizer(spark, root)
+    assert(m2 == merges)
+    val a = Bpe.tokenIds(docs, "text", "doc_id", merges, voc)
+      .orderBy("doc").select("token_ids").as[Seq[Int]].collect().toSeq
+    val b = Bpe.tokenIds(docs, "text", "doc_id", m2, v2)
+      .orderBy("doc").select("token_ids").as[Seq[Int]].collect().toSeq
+    assert(a == b)
+  }
+
   test("packCounts on BPE n_tokens agrees with packSequences on the proxy") {
     val d = spark.read.parquet(s"${sf()}/documents.parquet")
     // whitespace proxy through packCounts == packSequences (same engine)
