@@ -1093,6 +1093,40 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // As-of FORWARD (polars strategy="forward"): earliest snapshot
+    // at-or-after each event — the same one-shuffle running-last plan over
+    // descending time.
+    "asof_join_forward" -> ((s, dir) => {
+      import graft.operators.Joins
+      val ev = table(s, dir, "events")
+      val snaps = ev.filter(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("ts").as("snap_ts"), col("value").as("budget"))
+      Joins.asofJoin(
+          ev.select("event_id", "user_id", "ts", "value"),
+          snaps, Seq("user_id"), "ts", "snap_ts", Seq("budget"),
+          strategy = "forward")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"), col("budget"))
+        .orderBy("event_id")
+    }),
+
+    // As-of with TOLERANCE (polars tolerance=): a nearest-preceding
+    // snapshot farther than 2 days is NO match — the whole payload nulls,
+    // left rows survive.
+    "asof_join_tolerance" -> ((s, dir) => {
+      import graft.operators.Joins
+      val ev = table(s, dir, "events")
+      val snaps = ev.filter(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("ts").as("snap_ts"), col("value").as("budget"))
+      Joins.asofJoin(
+          ev.select("event_id", "user_id", "ts", "value"),
+          snaps, Seq("user_id"), "ts", "snap_ts", Seq("budget"),
+          tolerance = Some(expr("INTERVAL 2 DAYS")))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"), col("budget"))
+        .orderBy("event_id")
+    }),
+
     // Range join (grid-binned equi-join, not a nested-loop inequality join):
     // events matched to same-user value bands around budget snapshots.
     "range_join" -> ((s, dir) => {
@@ -3593,6 +3627,25 @@ object SparkEntry {
         |  SELECT user_id, ts AS snap_ts, value AS budget
         |  FROM events WHERE event_id % 10 = 0)
         |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.value, s.budget
+        |FROM events e ASOF LEFT JOIN snaps s
+        |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts""".stripMargin,
+
+    "asof_join_forward" ->
+      """WITH snaps AS (
+        |  SELECT user_id, ts AS snap_ts, value AS budget
+        |  FROM events WHERE event_id % 10 = 0)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.value, s.budget
+        |FROM events e ASOF LEFT JOIN snaps s
+        |  ON e.user_id = s.user_id AND e.ts <= s.snap_ts""".stripMargin,
+
+    // tolerance: ASOF already picked the NEAREST preceding snapshot, so
+    // out-of-tolerance means no match at all — a CASE null is exact.
+    "asof_join_tolerance" ->
+      """WITH snaps AS (
+        |  SELECT user_id, ts AS snap_ts, value AS budget
+        |  FROM events WHERE event_id % 10 = 0)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.value,
+        |  CASE WHEN e.ts - s.snap_ts <= INTERVAL 2 DAY THEN s.budget END AS budget
         |FROM events e ASOF LEFT JOIN snaps s
         |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts""".stripMargin,
 

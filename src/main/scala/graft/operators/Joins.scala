@@ -103,28 +103,55 @@ object Joins {
     */
   def asofJoin(
       left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, payload: Seq[String],
+      strategy: String = "backward",
+      tolerance: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(strategy == "backward" || strategy == "forward",
+      s"asof strategy must be backward or forward, got $strategy")
     val ts = "__graft_asof_ts"
     val side = "__graft_asof_side"
     val snap = "__graft_asof_snap"
+    val mts = "__graft_asof_mts"
+    // The matched right timestamp rides INSIDE the payload struct: the
+    // tolerance check and any debugging need it, and carrying it in the
+    // same struct keeps the whole snapshot row-atomic.
+    val rightTsType = right.schema(rightTs).dataType
+    val snapType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(mts, rightTsType) +:
+        right.select(payload.map(col): _*).schema.fields)
     val l = left
       .withColumn(ts, col(leftTs))
       .withColumn(side, lit(1))
-      .withColumn(snap, lit(null).cast(
-        org.apache.spark.sql.types.StructType(
-          right.select(payload.map(col): _*).schema.fields)))
+      .withColumn(snap, lit(null).cast(snapType))
     val r = right.select(
       keys.map(col) ++ Seq(
         col(rightTs).as(ts), lit(0).as(side),
-        struct(payload.map(col): _*).as(snap)): _*)
+        struct(col(rightTs).as(mts) +: payload.map(col): _*).as(snap)): _*)
+    // backward: ascending ts, right-before-left on ties -> latest snapshot
+    // at-or-BEFORE the event. forward (polars `strategy="forward"`): the
+    // SAME running-last over descending ts -> earliest snapshot at-or-AFTER.
+    val ord = if (strategy == "backward") Seq(col(ts).asc, col(side).asc)
+      else Seq(col(ts).desc, col(side).asc)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts), col(side))
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r, allowMissingColumns = true)
+    val joined = l.unionByName(r, allowMissingColumns = true)
       .withColumn(snap, last(col(snap), ignoreNulls = true).over(w))
       .filter(col(side) === 1)
-      .select(left.columns.map(col) ++ payload.map(p => col(s"$snap.$p").as(p)): _*)
+    // Tolerance (polars `tolerance=`): the nearest qualifying snapshot
+    // farther than `tolerance` means NO match (anything else is farther
+    // still) — null the whole snapshot, preserving left semantics.
+    val bounded = tolerance match {
+      case None => joined
+      case Some(tol) =>
+        val diff = if (strategy == "backward") col(leftTs) - col(s"$snap.$mts")
+          else col(s"$snap.$mts") - col(leftTs)
+        joined.withColumn(snap,
+          when(col(s"$snap.$mts").isNotNull && diff <= tol, col(snap)))
+    }
+    bounded.select(
+      left.columns.map(col) ++ payload.map(p => col(s"$snap.$p").as(p)): _*)
   }
 
   /** Range (interval) join: pair each left row with the right intervals

@@ -507,6 +507,32 @@ class OperatorsSpec extends SparkSpec {
       (2L, 5L, "d", None, None)))             // no snapshot for uid 2
   }
 
+  test("asofJoin forward + tolerance: polars parity semantics") {
+    import graft.operators.Joins
+    val events = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 35L, "c"))
+      .toDF("uid", "ts", "tag")
+    val snaps = Seq((1L, 20L, 200.0), (1L, 30L, 300.0))
+      .toDF("uid", "sts", "budget")
+    // forward: EARLIEST snapshot at-or-after; equal ts qualifies
+    val fwd = Joins.asofJoin(events, snaps, Seq("uid"), "ts", "sts",
+        Seq("budget"), strategy = "forward")
+      .orderBy("ts").collect()
+      .map(r => (r.getLong(1), Option(r.get(3)))).toSeq
+    assert(fwd == Seq((10L, Some(200.0)), (20L, Some(200.0)), (35L, None)))
+    // tolerance: a nearest-preceding match farther than 10 nulls out
+    val tol = Joins.asofJoin(events, snaps, Seq("uid"), "ts", "sts",
+        Seq("budget"), tolerance = Some(lit(10L)))
+      .orderBy("ts").collect()
+      .map(r => (r.getLong(1), Option(r.get(3)))).toSeq
+    // ts=10: no preceding; ts=20: snap 20, diff 0 <= 10; ts=35: snap 30, diff 5
+    assert(tol == Seq((10L, None), (20L, Some(200.0)), (35L, Some(300.0))))
+    val tolTight = Joins.asofJoin(events, snaps, Seq("uid"), "ts", "sts",
+        Seq("budget"), tolerance = Some(lit(3L)))
+      .orderBy("ts").collect()
+      .map(r => (r.getLong(1), Option(r.get(3)))).toSeq
+    assert(tolTight == Seq((10L, None), (20L, Some(200.0)), (35L, None)))
+  }
+
   // ------------------------------------------------------------------- text
 
   test("token count: empty, single, multi") {
