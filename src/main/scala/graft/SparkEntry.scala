@@ -2404,6 +2404,47 @@ object SparkEntry {
         .orderBy("canonical_id")
     }),
 
+    // CONTENT-level streaming dedup: real Structured Streaming micro-
+    // batches drain through the persisted ExactDedupIndex — epoch 0 seeds,
+    // epoch 1 mixes fresh docs with normalized-noisy replays (caught),
+    // epoch 2 replays epoch 0 wholesale and must add NOTHING: the
+    // cross-micro-batch state lives in the index lake, not stream memory.
+    // Exact normalized keys -> the same DuckDB oracle shape as
+    // dedup_incr_exact, with the empty third epoch proving durability.
+    "stream_dedup_content" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val d = table(s, dir, "documents")
+      val corpus = d.select("doc_id", "text")
+        .unionByName(d.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(upper(col("text")), lit("  !!")).as("text")))
+      val idx = ExactDedupIndex.open(s,
+        Files.createTempDirectory("graft_sdc_idx").toString, nBuckets = 8)
+      val out = LakeDataset.forStorage(s, partitionCols = Nil,
+        bucketCols = Nil, nBuckets = 1, bloomCols = Nil,
+        storage = graft.model.StorageSpec(
+          Files.createTempDirectory("graft_sdc_out").toString))
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val q = mem.toDF().toDF("doc_id").writeStream.foreachBatch(
+        (b: DataFrame, epoch: Long) =>
+          out.insert(idx.addBatch(b.join(corpus, "doc_id"), "text", "doc_id")
+            .select(lit(epoch).as("batch"), col("doc").as("doc_id")))).start()
+      val ids = d.select("doc_id").as[Long].collect().sorted
+      require(ids.length <= 100000, s"gate fixture grew: ${ids.length} ids")
+      val noisyIds = ids.filter(_ % 9 == 0).map(_ + 1000000)
+      try {
+        mem.addData(ids.filter(_ < 250).toSeq: _*)
+        q.processAllAvailable()
+        mem.addData((ids.filter(_ >= 250) ++ noisyIds).toSeq: _*)
+        q.processAllAvailable()
+        // wholesale replay of epoch 0 — zero new uniques expected
+        mem.addData(ids.filter(_ < 250).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      out.toDF.orderBy("batch", "doc_id")
+    }),
+
     // MinHash-LSH near-dup with exact-Jaccard verify — no SQL oracle
     // (xxhash64 signatures); DedupSpec asserts the planted pairs are found.
     "dedup_minhash" -> ((s, dir) => {
@@ -4106,6 +4147,31 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 1000000, upper(text) || '  !!'
         |  FROM documents WHERE doc_id < 250 AND doc_id % 9 = 0),
+        |n1 AS (
+        |  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |              ' +', ' ', 'g')) AS norm,
+        |         min(doc_id) AS doc_id
+        |  FROM b1 GROUP BY norm),
+        |n2 AS (
+        |  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |              ' +', ' ', 'g')) AS norm,
+        |         min(doc_id) AS doc_id
+        |  FROM b2 GROUP BY norm)
+        |SELECT CAST(0 AS BIGINT) AS batch, doc_id FROM n1
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), n2.doc_id FROM n2
+        |WHERE norm NOT IN (SELECT norm FROM n1)
+        |ORDER BY batch, doc_id""".stripMargin,
+
+    // stream_dedup_content: the dedup_incr_exact oracle shape — epoch 2
+    // (the wholesale replay) contributes no rows by construction.
+    "stream_dedup_content" ->
+      """WITH b1 AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |b2 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) || '  !!'
+        |  FROM documents WHERE doc_id % 9 = 0),
         |n1 AS (
         |  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
         |              ' +', ' ', 'g')) AS norm,
