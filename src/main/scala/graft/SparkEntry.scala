@@ -1110,6 +1110,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // As-of NEAREST (polars strategy="nearest"): closer of the preceding
+    // and following snapshots, ties to preceding — both candidate frames
+    // ride ONE sorted shuffle.
+    "asof_join_nearest" -> ((s, dir) => {
+      import graft.operators.Joins
+      val ev = table(s, dir, "events")
+      val snaps = ev.filter(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("ts").as("snap_ts"), col("value").as("budget"))
+      Joins.asofJoin(
+          ev.select("event_id", "user_id", "ts", "value"),
+          snaps, Seq("user_id"), "ts", "snap_ts", Seq("budget"),
+          strategy = "nearest")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"), col("budget"))
+        .orderBy("event_id")
+    }),
+
     // As-of with TOLERANCE (polars tolerance=): a nearest-preceding
     // snapshot farther than 2 days is NO match — the whole payload nulls,
     // left rows survive.
@@ -3678,6 +3695,26 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.value, s.budget
         |FROM events e ASOF LEFT JOIN snaps s
         |  ON e.user_id = s.user_id AND e.ts <= s.snap_ts""".stripMargin,
+
+    // nearest: both directed ASOFs, pick the closer, ties to preceding.
+    "asof_join_nearest" ->
+      """WITH snaps AS (
+        |  SELECT user_id, ts AS snap_ts, value AS budget
+        |  FROM events WHERE event_id % 10 = 0),
+        |b AS (
+        |  SELECT e.event_id, e.user_id, e.ts, e.value,
+        |         s.snap_ts AS bts, s.budget AS bb
+        |  FROM events e ASOF LEFT JOIN snaps s
+        |    ON e.user_id = s.user_id AND e.ts >= s.snap_ts),
+        |f AS (
+        |  SELECT e.event_id, s.snap_ts AS fts, s.budget AS fb
+        |  FROM events e ASOF LEFT JOIN snaps s
+        |    ON e.user_id = s.user_id AND e.ts <= s.snap_ts)
+        |SELECT b.event_id, b.user_id, epoch_us(b.ts) AS ts_us, b.value,
+        |  CASE WHEN fts IS NULL THEN bb
+        |       WHEN bts IS NULL THEN fb
+        |       WHEN b.ts - bts <= fts - b.ts THEN bb ELSE fb END AS budget
+        |FROM b JOIN f USING (event_id)""".stripMargin,
 
     // tolerance: ASOF already picked the NEAREST preceding snapshot, so
     // out-of-tolerance means no match at all — a CASE null is exact.

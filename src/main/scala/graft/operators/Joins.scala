@@ -107,8 +107,8 @@ object Joins {
       strategy: String = "backward",
       tolerance: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(strategy == "backward" || strategy == "forward",
-      s"asof strategy must be backward or forward, got $strategy")
+    require(Seq("backward", "forward", "nearest").contains(strategy),
+      s"asof strategy must be backward, forward or nearest, got $strategy")
     val ts = "__graft_asof_ts"
     val side = "__graft_asof_side"
     val snap = "__graft_asof_snap"
@@ -131,22 +131,56 @@ object Joins {
     // backward: ascending ts, right-before-left on ties -> latest snapshot
     // at-or-BEFORE the event. forward (polars `strategy="forward"`): the
     // SAME running-last over descending ts -> earliest snapshot at-or-AFTER.
-    val ord = if (strategy == "backward") Seq(col(ts).asc, col(side).asc)
-      else Seq(col(ts).desc, col(side).asc)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = l.unionByName(r, allowMissingColumns = true)
-      .withColumn(snap, last(col(snap), ignoreNulls = true).over(w))
-      .filter(col(side) === 1)
+    // nearest: BOTH frames over ONE ascending sort (preceding running-last
+    // = backward candidate, following first = forward candidate — Spark
+    // computes both windows on the same sorted partition, so nearest still
+    // costs one shuffle), then pick the closer, ties to backward — polars'
+    // `strategy="nearest"`.
+    val union = l.unionByName(r, allowMissingColumns = true)
+    val joined = if (strategy != "nearest") {
+      val ord = if (strategy == "backward") Seq(col(ts).asc, col(side).asc)
+        else Seq(col(ts).desc, col(side).asc)
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      union.withColumn(snap, last(col(snap), ignoreNulls = true).over(w))
+        .filter(col(side) === 1)
+    } else {
+      val wb = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(ts).asc, col(side).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(ts).asc, col(side).asc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val snapB = "__graft_asof_b"
+      val snapF = "__graft_asof_f"
+      // An equal-ts snapshot sorts BEFORE the event (side 0 first), so the
+      // backward frame owns it at distance zero — and distance-zero ties
+      // choose backward, so the forward frame missing it never shows.
+      union
+        .withColumn(snapB, last(col(snap), ignoreNulls = true).over(wb))
+        .withColumn(snapF, first(col(snap), ignoreNulls = true).over(wf))
+        .filter(col(side) === 1)
+        .withColumn(snap,
+          when(col(s"$snapF.$mts").isNull, col(snapB))
+            .when(col(s"$snapB.$mts").isNull, col(snapF))
+            .when(col(leftTs) - col(s"$snapB.$mts") <=
+              col(s"$snapF.$mts") - col(leftTs), col(snapB))
+            .otherwise(col(snapF)))
+        .drop(snapB, snapF)
+    }
     // Tolerance (polars `tolerance=`): the nearest qualifying snapshot
     // farther than `tolerance` means NO match (anything else is farther
     // still) — null the whole snapshot, preserving left semantics.
     val bounded = tolerance match {
       case None => joined
       case Some(tol) =>
-        val diff = if (strategy == "backward") col(leftTs) - col(s"$snap.$mts")
-          else col(s"$snap.$mts") - col(leftTs)
+        val diff = strategy match {
+          case "backward" => col(leftTs) - col(s"$snap.$mts")
+          case "forward" => col(s"$snap.$mts") - col(leftTs)
+          case _ => greatest(col(leftTs) - col(s"$snap.$mts"),
+            col(s"$snap.$mts") - col(leftTs))
+        }
         joined.withColumn(snap,
           when(col(s"$snap.$mts").isNotNull && diff <= tol, col(snap)))
     }

@@ -531,6 +531,18 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("ts").collect()
       .map(r => (r.getLong(1), Option(r.get(3)))).toSeq
     assert(tolTight == Seq((10L, None), (20L, Some(200.0)), (35L, None)))
+    // nearest: closer side wins; equal-distance ties go backward
+    val near = Joins.asofJoin(events, snaps, Seq("uid"), "ts", "sts",
+        Seq("budget"), strategy = "nearest")
+      .orderBy("ts").collect()
+      .map(r => (r.getLong(1), Option(r.get(3)))).toSeq
+    // ts=10: only following (20) -> 200; ts=20: exact hit -> 200;
+    // ts=35: preceding 30 (d=5), no following -> 300
+    assert(near == Seq((10L, Some(200.0)), (20L, Some(200.0)), (35L, Some(300.0))))
+    val tie = Joins.asofJoin(Seq((1L, 25L, "t")).toDF("uid", "ts", "tag"),
+        snaps, Seq("uid"), "ts", "sts", Seq("budget"), strategy = "nearest")
+      .collect().map(r => Option(r.get(3))).toSeq
+    assert(tie == Seq(Some(200.0)), "equidistant tie must choose backward")
   }
 
   // ------------------------------------------------------------------- text
