@@ -365,6 +365,19 @@ object SparkEntry {
         .orderBy("ws", "event_type")
     }),
 
+    // SLIDING (hopping) window aggregation — polars group_by_dynamic
+    // (every=1h, period=3h) / streaming hop windows: every event lands in
+    // period/slide = 3 epoch-aligned windows; one explode-by-window
+    // groupBy, the same shape Structured Streaming plans for hop windows.
+    "q34_hop_window" -> ((s, dir) => {
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "3 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("total_value"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"),
+          col("total_value"))
+        .orderBy("ws", "event_type")
+    }),
+
     // Audit-stamped upsert with an injected deterministic clock: changed
     // rows carry changed_at > created_at, so the post-merge audit counts are
     // SQL-expressible.
@@ -3826,6 +3839,14 @@ object SparkEntry {
       s"""SELECT date_trunc('hour', ts) AS ws, event_type,
          |  COUNT(*) AS n, ${osum("value", 4)} AS total_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // q34: each event replicates into the 3 hourly-started windows that
+    // contain it — epoch-aligned like Spark's window(ts, period, slide).
+    "q34_hop_window" ->
+      s"""SELECT date_trunc('hour', ts) - (i * INTERVAL 1 HOUR) AS ws,
+         |  event_type, COUNT(*) AS n, ${osum("value", 4)} AS total_value
+         |FROM events, range(0, 3) t(i)
+         |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
 
     "lake_audit_upsert" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
