@@ -40,6 +40,24 @@ object Fixtures {
       graft.operators.Similarity.loadIvf(s, root)
     }).asInstanceOf[graft.operators.Similarity.IvfLake]
 
+  /** A SECOND persisted IVF index with every `vec_id % 10 == 0` vector
+    * ERASED through [[graft.operators.Similarity.removeFromIvf]] and then
+    * reloaded from disk — so the ann_ivf_removed gate oracle-checks the
+    * PERSISTED post-erasure state (GDPR-delete path), not just the
+    * in-memory handle. Built once per scale factor.
+    */
+  def ivfLakeRemoved(s: SparkSession, dir: String): graft.operators.Similarity.IvfLake =
+    memo.getOrElseUpdate(s"$dir#ivf_lake_removed", {
+      val (c, a) = ivfIndex(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_ivf_removed").toString
+      graft.operators.Similarity.saveIvf(s, root, c, a)
+      val idx = graft.operators.Similarity.loadIvf(s, root)
+      val doomed = table(s, dir, "embeddings")
+        .select("vec_id").filter(col("vec_id") % 10 === 0)
+      graft.operators.Similarity.removeFromIvf(idx, doomed, "vec_id")
+      graft.operators.Similarity.loadIvf(s, root)
+    }).asInstanceOf[graft.operators.Similarity.IvfLake]
+
   /** PQ codebooks over the embeddings table (dim 64, 16 subspaces of 4
     * elements, 256 sub-centroids) — trained once per scale factor from the
     * deterministic bounded sample; a PQ model amortizes over every encode
@@ -83,6 +101,31 @@ object Fixtures {
         "text", "doc_id", nBuckets = 16,
         storage = Some(graft.model.StorageSpec(root)))
       graft.operators.TextSearch.open(s, root)
+    }).asInstanceOf[graft.operators.TextSearch.Bm25Index]
+
+  /** A SECOND persisted BM25 index with every `doc_id % 10 == 0` document
+    * ERASED through [[graft.operators.TextSearch.removeFromIndex]] and then
+    * REOPENED from disk — [[graft.operators.TextSearch.open]] re-derives
+    * the corpus scalars from the surviving postings, so the require below
+    * cross-checks the erasure path's integer subtraction against the
+    * persisted ground truth, and the text_bm25_removed gate oracle-checks
+    * the ranking over the survivors.
+    */
+  def bm25IndexRemoved(s: SparkSession, dir: String): graft.operators.TextSearch.Bm25Index =
+    memo.getOrElseUpdate(s"$dir#bm25_removed", {
+      val root = java.nio.file.Files.createTempDirectory("graft_bm25_removed").toString
+      graft.operators.TextSearch.buildIndex(s, table(s, dir, "documents"),
+        "text", "doc_id", nBuckets = 16,
+        storage = Some(graft.model.StorageSpec(root)))
+      val idx = graft.operators.TextSearch.open(s, root)
+      val doomed = table(s, dir, "documents")
+        .select("doc_id").filter(col("doc_id") % 10 === 0)
+      val removed = graft.operators.TextSearch.removeFromIndex(idx, doomed, "doc_id")
+      val reopened = graft.operators.TextSearch.open(s, root)
+      require(reopened.n == removed.n && reopened.totalLen == removed.totalLen,
+        s"erasure drift: persisted (${reopened.n}, ${reopened.totalLen}) " +
+          s"vs subtracted (${removed.n}, ${removed.totalLen})")
+      reopened
     }).asInstanceOf[graft.operators.TextSearch.Bm25Index]
 
   /** Positional (phrase) index over documents — persisted once per scale

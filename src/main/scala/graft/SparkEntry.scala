@@ -2268,6 +2268,15 @@ object SparkEntry {
     "text_bm25_int" -> ((s, dir) =>
       TextSearch.searchTopKInt(Fixtures.bm25Index(s, dir), "spark join window", 20)),
 
+    // INDEX ERASURE: doc_id % 10 == 0 deleted from the persisted inverted
+    // index (removeFromIndex rewrites only the bucket cells that held the
+    // doomed postings), index reopened from disk, then the integer-BM25
+    // ranking must equal the oracle computed over the SURVIVING documents
+    // alone — erased docs must influence neither df, nor the corpus
+    // scalars, nor the ranking.
+    "text_bm25_removed" -> ((s, dir) =>
+      TextSearch.searchTopKInt(Fixtures.bm25IndexRemoved(s, dir), "spark join window", 20)),
+
     // HYBRID retrieval: reciprocal-rank fusion of the integer-BM25 lexical
     // top-20 and the SQ8 code-space-cosine vector top-20 (vec_id keys the
     // same synthetic corpus) — both inputs are oracle-exact, the fusion is
@@ -2677,6 +2686,20 @@ object SparkEntry {
       val q = e.filter(col("vec_id") === 0)
         .head().getSeq[Float](1).toSeq
       val index = Fixtures.ivfLake(s, dir)
+      Similarity.ivfTopKLake(index, "embedding", "vec_id", q, 10,
+        nprobe = index.centroids.size, quantize = true)
+    }),
+
+    // INDEX ERASURE: vec_id % 10 == 0 deleted from the persisted inverted
+    // lists (removeFromIvf rewrites only the touched list directories),
+    // index reloaded from disk, then the all-lists quantized probe must
+    // equal the exact top-k over the SURVIVING vectors — so the whole
+    // delete -> incremental-save -> reload -> probe path is oracle-checked.
+    "ann_ivf_removed" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 1)
+        .head().getSeq[Float](1).toSeq
+      val index = Fixtures.ivfLakeRemoved(s, dir)
       Similarity.ivfTopKLake(index, "embedding", "vec_id", q, 10,
         nprobe = index.centroids.size, quantize = true)
     }),
@@ -4344,6 +4367,31 @@ object SparkEntry {
         |ORDER BY score_int DESC, doc
         |LIMIT 20""".stripMargin,
 
+    // text_bm25_int over the documents that SURVIVED the erasure — the
+    // removed docs must be absent from tf, df, dl, and the corpus scalars.
+    "text_bm25_removed" ->
+      """WITH tf AS (
+        |  SELECT doc, w, COUNT(*) AS tf FROM (
+        |    SELECT doc_id AS doc, unnest(string_split(TRIM(text), ' ')) AS w
+        |    FROM documents WHERE doc_id % 10 <> 0) t
+        |  GROUP BY doc, w),
+        |dl AS (SELECT doc, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc),
+        |corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |                  CAST(SUM(dl) AS BIGINT) AS l FROM dl),
+        |q AS (SELECT UNNEST(['spark', 'join', 'window']) AS w),
+        |p AS (SELECT tf.doc, tf.w, tf.tf, dl.dl
+        |      FROM tf JOIN dl USING (doc)
+        |      WHERE tf.w IN (SELECT w FROM q)),
+        |dft AS (SELECT w, COUNT(*) AS df FROM p GROUP BY w)
+        |SELECT p.doc AS doc,
+        |  CAST(SUM(((1000 * (2 * n - 2 * df + 1)) // (2 * df + 1)) *
+        |           ((44 * l * tf * 1000000) //
+        |            (20 * l * tf + 6 * l + 18 * dl * n))) AS BIGINT) AS score_int
+        |FROM p JOIN dft USING (w) CROSS JOIN corpus
+        |GROUP BY p.doc
+        |ORDER BY score_int DESC, doc
+        |LIMIT 20""".stripMargin,
+
     "text_heavy_terms" ->
       """SELECT w AS value, COUNT(*) AS cnt FROM (
         |  SELECT unnest(string_split(TRIM(text), ' ')) AS w FROM documents) t
@@ -4610,6 +4658,17 @@ object SparkEntry {
         |  CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) * 1000000)
         |       AS BIGINT) AS cos_q
         |FROM embeddings, q
+        |ORDER BY cos_q DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Post-erasure probe == exact top-k over the vectors that SURVIVED the
+    // removeFromIvf delete (vec_id % 10 == 0 erased, index reloaded).
+    "ann_ivf_removed" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 1)
+        |SELECT vec_id,
+        |  CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) * 1000000)
+        |       AS BIGINT) AS cos_q
+        |FROM embeddings, q WHERE vec_id % 10 <> 0
         |ORDER BY cos_q DESC, vec_id LIMIT 10""".stripMargin,
 
     "dedup_ngram_jaccard" ->

@@ -2874,6 +2874,15 @@ final class LakeDataset private (
     * to keys + cell columns, semi-joined against the key rows, grouped by
     * cell. Runs inside the dataset monitor.
     */
+  /** The cells a key-set mutation would touch — the pruning probe behind
+    * [[delete]]/[[upsert]] routing, exposed for index-maintenance callers
+    * that must persist exactly the rewritten cells (an inverted-index
+    * erasure rewrites the bucket directories that held the doomed keys,
+    * and only those).
+    */
+  def cellsHolding(keyRows: DataFrame, keys: Seq[String]): List[PartKey] =
+    locateCells(keyRows, keys)
+
   private def locateCells(keyRows: DataFrame, keys: Seq[String]): List[PartKey] = {
     val old = probeBase(keyRows, keys)
     val withB =

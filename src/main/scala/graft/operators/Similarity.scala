@@ -314,10 +314,30 @@ object Similarity {
     // save touched cells: new parts, plus existing parts the batch routed into
     val touched = routed.select("centroid").distinct().collect()
       .map(_.get(0).toString).toSet
-    index.assigned.partKeys
+    index.assigned.saveParts(index.assigned.partKeys
       .filter(k => !before.contains(k) ||
-        k.partValues.exists { case (c, v) => c == "centroid" && touched(v) })
-      .foreach(index.assigned.savePart)
+        k.partValues.exists { case (c, v) => c == "centroid" && touched(v) }))
+  }
+
+  /** Index maintenance, the DELETE side of [[addToIvf]]: drop vectors by
+    * id from their inverted lists (GDPR erasure, content retraction,
+    * corpus re-curation). The delete batch first probes which lists hold
+    * a doomed id (one semi-join — the batch side broadcasts; a delete
+    * batch is operator-sized, not corpus-sized), the lake routes the
+    * anti-join delete, and ONLY the touched list directories rewrite —
+    * untouched lists keep their files byte-identical, mirroring the add
+    * path's incremental save.
+    */
+  def removeFromIvf(index: IvfLake, ids: DataFrame, idCol: String): Unit = {
+    val keyed = ids.select(col(idCol)).distinct()
+    val touched = index.assigned.toDF
+      .join(broadcast(keyed), Seq(idCol), "left_semi")
+      .select("centroid").distinct().collect()
+      .map(_.get(0).toString).toSet
+    if (touched.isEmpty) return
+    index.assigned.delete(keyed, Seq(idCol))
+    index.assigned.saveParts(index.assigned.partKeys
+      .filter(_.partValues.exists { case (c, v) => c == "centroid" && touched(v) }))
   }
 
   /** [[addToIvf]] with the maintenance loop CLOSED: after the batch lands,

@@ -132,6 +132,36 @@ object TextSearch {
       index.totalLen + row.getLong(1))
   }
 
+  /** Index erasure, the DELETE side of [[addToIndex]]: drop documents from
+    * the inverted index by id (GDPR erasure, content retraction, corpus
+    * re-curation). One semi-join measures the doomed docs' contribution to
+    * the corpus scalars BEFORE the delete (n and totalLen update by exact
+    * integer subtraction — the same numbers [[open]] would re-derive from
+    * the surviving postings); the lake's key-routed delete rewrites only
+    * the (batch, term-bucket) cells that actually held a doomed doc's
+    * postings, located by the same pruning probe the delete itself uses —
+    * untouched bucket directories keep their files byte-identical. Per-term
+    * df needs no maintenance: it derives from the pruned scan at query
+    * time, so it is correct the moment the cells land.
+    */
+  def removeFromIndex(index: Bm25Index, ids: DataFrame, idCol: String): Bm25Index = {
+    val keyed = ids.select(col(idCol).as("doc")).distinct()
+    val gone = index.postings.toDF
+      .join(broadcast(keyed), Seq("doc"), "left_semi")
+      .groupBy("doc").agg(sum("tf").as("len"))
+      .agg(count(lit(1)).as("n"), sum("len").as("l"))
+      .head()
+    if (gone.getLong(0) == 0L) return index
+    val touched =
+      if (index.postings.storage.isDefined)
+        index.postings.cellsHolding(keyed, Seq("doc"))
+      else Nil
+    index.postings.delete(keyed, Seq("doc"))
+    if (touched.nonEmpty) index.postings.saveParts(touched)
+    Bm25Index(index.postings, index.n - gone.getLong(0),
+      index.totalLen - gone.getLong(1))
+  }
+
   /** Whitespace tokenization of a query, mirroring the index's convention. */
   def queryTerms(query: String): Seq[String] =
     query.trim.split(" ").toSeq.filter(_.nonEmpty).distinct

@@ -378,6 +378,58 @@ class OperatorsSpec extends SparkSpec {
     assert(Similarity.needsRecluster(index), "3000 identical vectors must skew one list")
   }
 
+  test("IVF remove: ids vanish from probes, untouched lists byte-identical, persisted") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val (centroids, assigned) = Similarity.buildIvf(e, "embedding", "vec_id", 16, 64)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_rm").toString
+    Similarity.saveIvf(spark, root, centroids, assigned)
+    val index = Similarity.loadIvf(spark, root)
+
+    def dirFiles(): Map[String, Set[String]] = {
+      import scala.jdk.CollectionConverters._
+      index.assigned.partKeys.map { k =>
+        val d = java.nio.file.Paths.get(s"$root/assigned/${k.relPath}")
+        k.relPath -> scala.util.Using.resource(java.nio.file.Files.list(d))(
+          _.iterator().asScala.map(_.getFileName.toString).toSet)
+      }.toMap
+    }
+    val before = dirFiles()
+
+    // vec 7 is present before the delete: self-probe hits it
+    val q = e.filter(col("vec_id") === 7).head().getSeq[Float](1).toSeq
+    val hit = Similarity.ivfTopKLake(index, "embedding", "vec_id", q, 1, nprobe = 1)
+      .select("vec_id").as[Long].head()
+    assert(hit == 7L)
+
+    val doomed = spark.range(0, 10).select(col("id").as("vec_id"))
+    Similarity.removeFromIvf(index, doomed, "vec_id")
+
+    // gone from an ALL-lists probe (not just its own list)
+    val all = Similarity.ivfTopKLake(index, "embedding", "vec_id", q, 500,
+        nprobe = index.centroids.size)
+      .select("vec_id").as[Long].collect().toSet
+    assert((all & (0L until 10L).toSet).isEmpty, "removed ids still probed")
+
+    // only the lists that HELD a doomed id rewrote
+    val after = dirFiles()
+    val touched = before.keySet.filter(k => after(k) != before(k))
+    assert(touched.nonEmpty && touched.size < before.size,
+      s"expected a strict subset of lists to rewrite, got ${touched.size}/${before.size}")
+
+    // the deletion survives a fresh load from disk
+    val reloaded = Similarity.loadIvf(spark, root)
+    val all2 = Similarity.ivfTopKLake(reloaded, "embedding", "vec_id", q, 500,
+        nprobe = reloaded.centroids.size)
+      .select("vec_id").as[Long].collect().toSet
+    assert((all2 & (0L until 10L).toSet).isEmpty, "removal lost on reload")
+
+    // removing ids the index never held is a no-op: zero rewrites
+    val ghost = spark.range(9000000, 9000050).select(col("id").as("vec_id"))
+    Similarity.removeFromIvf(index, ghost, "vec_id")
+    assert(dirFiles() == after, "ghost delete must not rewrite any list")
+  }
+
   test("recluster splits the overflowing list; untouched lists byte-identical; probes stay exact") {
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
       .select("vec_id", "embedding")

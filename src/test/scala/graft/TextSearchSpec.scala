@@ -166,6 +166,61 @@ class TextSearchSpec extends SparkSpec {
     assert(r == f)
   }
 
+  test("index erasure: removed docs answer like a rebuild without them, persisted") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ftidx_rm").toString
+    TextSearch.buildIndex(spark, corpus, "text", "doc_id",
+      nBuckets = 8, storage = Some(StorageSpec(root)))
+    val idx = TextSearch.open(spark, root)
+
+    def dirFiles(): Map[String, Set[String]] = {
+      import scala.jdk.CollectionConverters._
+      idx.postings.partKeys.map { k =>
+        val d = java.nio.file.Paths.get(s"$root/${k.relPath}")
+        k.relPath -> scala.util.Using.resource(java.nio.file.Files.list(d))(
+          _.iterator().asScala.map(_.getFileName.toString).toSet)
+      }.toMap
+    }
+    val before = dirFiles()
+
+    // erase docs 1 and 6 (both carry 'spark'); doc 2 survives
+    val doomed = Seq(1L, 6L).toDF("doc_id")
+    val removed = TextSearch.removeFromIndex(idx, doomed, "doc_id")
+    val rebuilt = TextSearch.buildIndex(
+      spark, corpus.filter(!$"doc_id".isin(1L, 6L)), "text", "doc_id", nBuckets = 8)
+    assert(removed.n == rebuilt.n && removed.totalLen == rebuilt.totalLen,
+      s"scalars: (${removed.n}, ${removed.totalLen}) vs rebuild " +
+        s"(${rebuilt.n}, ${rebuilt.totalLen})")
+    for (q <- Seq("spark join", "batch merge sort", "window")) {
+      val a = TextSearch.searchTopK(removed, q, 10).collect()
+        .map(r => (r.getAs[Long]("doc"), r.getAs[Double]("score"))).toSeq
+      val b = TextSearch.searchTopK(rebuilt, q, 10).collect()
+        .map(r => (r.getAs[Long]("doc"), r.getAs[Double]("score"))).toSeq
+      assert(a == b, s"query '$q'")
+    }
+
+    // only the bucket cells that HELD a doomed doc's postings rewrote
+    val after = dirFiles()
+    val touched = before.keySet.filter(k => after(k) != before(k))
+    assert(touched.nonEmpty && touched.size < before.size,
+      s"expected a strict subset of cells to rewrite, got ${touched.size}/${before.size}")
+
+    // the erasure is durable: a reopened index re-derives the same scalars
+    // from the surviving postings and ranks identically
+    val reopened = TextSearch.open(spark, root)
+    assert(reopened.n == removed.n && reopened.totalLen == removed.totalLen)
+    val r = TextSearch.searchTopK(reopened, "spark join", 10).collect()
+      .map(_.getAs[Long]("doc")).toSeq
+    val w = TextSearch.searchTopK(rebuilt, "spark join", 10).collect()
+      .map(_.getAs[Long]("doc")).toSeq
+    assert(r == w)
+
+    // removing ids the index never held is a no-op: same handle, no rewrites
+    val ghost = Seq(999L).toDF("doc_id")
+    val same = TextSearch.removeFromIndex(reopened, ghost, "doc_id")
+    assert(same.n == reopened.n && same.totalLen == reopened.totalLen)
+    assert(dirFiles() == after, "ghost erasure must not rewrite any cell")
+  }
+
   test("batch retrieval equals the single-query path for every query row") {
     val idx = TextSearch.buildIndex(spark, corpus, "text", "doc_id", nBuckets = 8)
     val queries = Seq(
