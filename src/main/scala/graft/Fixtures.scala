@@ -128,6 +128,23 @@ object Fixtures {
       reopened
     }).asInstanceOf[graft.operators.TextSearch.Bm25Index]
 
+  /** A SECOND persisted positional index with `doc_id % 10 == 0` erased
+    * through [[graft.operators.TextSearch.removeFromPositional]] and
+    * reopened from disk — same stance as [[bm25IndexRemoved]].
+    */
+  def posIndexRemoved(s: SparkSession, dir: String): graft.operators.TextSearch.PositionalIndex =
+    memo.getOrElseUpdate(s"$dir#posidx_removed", {
+      val root = java.nio.file.Files.createTempDirectory("graft_posidx_removed").toString
+      graft.operators.TextSearch.buildPositional(s, table(s, dir, "documents"),
+        "text", "doc_id", nBuckets = 16,
+        storage = Some(graft.model.StorageSpec(root)))
+      val idx = graft.operators.TextSearch.openPositional(s, root)
+      val doomed = table(s, dir, "documents")
+        .select("doc_id").filter(col("doc_id") % 10 === 0)
+      graft.operators.TextSearch.removeFromPositional(idx, doomed, "doc_id")
+      graft.operators.TextSearch.openPositional(s, root)
+    }).asInstanceOf[graft.operators.TextSearch.PositionalIndex]
+
   /** Positional (phrase) index over documents — persisted once per scale
     * factor and reopened, same stance as [[bm25Index]].
     */

@@ -73,7 +73,13 @@ object SparkEntry {
     "text_bm25_topk" -> ((s, dir) => { Fixtures.bm25Index(s, dir); () }),
     "text_bm25_int" -> ((s, dir) => { Fixtures.bm25Index(s, dir); () }),
     "text_phrase_search" -> ((s, dir) => { Fixtures.posIndex(s, dir); () }),
-    "text_bm25_batch" -> ((s, dir) => { Fixtures.bm25Index(s, dir); () })
+    "text_bm25_batch" -> ((s, dir) => { Fixtures.bm25Index(s, dir); () }),
+    // Erasure fixtures: build + erase + reopen are index MAINTENANCE
+    // (amortized like any index bootstrap); the timed query is the probe
+    // over the post-erasure index.
+    "ann_ivf_removed" -> ((s, dir) => { Fixtures.ivfLakeRemoved(s, dir); () }),
+    "text_bm25_removed" -> ((s, dir) => { Fixtures.bm25IndexRemoved(s, dir); () }),
+    "text_phrase_removed" -> ((s, dir) => { Fixtures.posIndexRemoved(s, dir); () })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2318,6 +2324,12 @@ object SparkEntry {
     "text_phrase_search" -> ((s, dir) =>
       TextSearch.phraseSearchTopK(Fixtures.posIndex(s, dir), "batch batch", 20)),
 
+    // Erasure through the POSITIONAL index: doc_id % 10 == 0 deleted from
+    // the persisted occurrence lists, index reopened from disk, same
+    // phrase ranking over the survivors.
+    "text_phrase_removed" -> ((s, dir) =>
+      TextSearch.phraseSearchTopK(Fixtures.posIndexRemoved(s, dir), "batch batch", 20)),
+
     // Heavy hitters: exact global top-k terms (one map-side-combined
     // aggregation + TakeOrdered).
     "text_heavy_terms" -> ((s, dir) =>
@@ -4495,6 +4507,19 @@ object SparkEntry {
         |         generate_subscripts(string_split(TRIM(text), ' '), 1) AS pos,
         |         unnest(string_split(TRIM(text), ' ')) AS w
         |  FROM documents),
+        |ph AS (SELECT * FROM (VALUES ('batch', 0), ('batch', 1)) t(w, idx)),
+        |cand AS (SELECT doc, pos - idx AS s FROM words JOIN ph USING (w)),
+        |occ AS (SELECT doc, s FROM cand GROUP BY doc, s HAVING COUNT(*) = 2)
+        |SELECT doc, COUNT(*) AS n_occ FROM occ
+        |GROUP BY doc ORDER BY n_occ DESC, doc LIMIT 20""".stripMargin,
+
+    // text_phrase_search over the documents that SURVIVED the erasure.
+    "text_phrase_removed" ->
+      """WITH words AS (
+        |  SELECT doc_id AS doc,
+        |         generate_subscripts(string_split(TRIM(text), ' '), 1) AS pos,
+        |         unnest(string_split(TRIM(text), ' ')) AS w
+        |  FROM documents WHERE doc_id % 10 <> 0),
         |ph AS (SELECT * FROM (VALUES ('batch', 0), ('batch', 1)) t(w, idx)),
         |cand AS (SELECT doc, pos - idx AS s FROM words JOIN ph USING (w)),
         |occ AS (SELECT doc, s FROM cand GROUP BY doc, s HAVING COUNT(*) = 2)

@@ -241,6 +241,23 @@ object TextSearch {
   def openPositional(spark: SparkSession, root: String): PositionalIndex =
     PositionalIndex(LakeDataset.fromStorage(spark, root))
 
+  /** [[removeFromIndex]] for the positional index: drop every occurrence
+    * row of the doomed documents. Same shape — locate the touched
+    * (term-bucket) cells with the pruning probe, key-routed delete, one
+    * saveParts — and no scalars to maintain (phrase search derives
+    * everything from the postings at query time).
+    */
+  def removeFromPositional(
+      index: PositionalIndex, ids: DataFrame, idCol: String): Unit = {
+    val keyed = ids.select(col(idCol).as("doc")).distinct()
+    val touched =
+      if (index.postings.storage.isDefined)
+        index.postings.cellsHolding(keyed, Seq("doc"))
+      else Nil
+    index.postings.delete(keyed, Seq("doc"))
+    if (touched.nonEmpty) index.postings.saveParts(touched)
+  }
+
   private def prunedPositional(index: PositionalIndex, terms: Seq[String]): DataFrame = {
     val cells = terms.distinct
       .flatMap(t => Bucketing.localBucketId(t, StringType, index.nBuckets))

@@ -221,6 +221,29 @@ class TextSearchSpec extends SparkSpec {
     assert(dirFiles() == after, "ghost erasure must not rewrite any cell")
   }
 
+  test("positional erasure: phrase hits vanish, persisted, other docs unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("graft_posidx_rm").toString
+    TextSearch.buildPositional(spark, corpus, "text", "doc_id",
+      nBuckets = 8, storage = Some(StorageSpec(root)))
+    val idx = TextSearch.openPositional(spark, root)
+    // docs 3 and 5 both contain the phrase
+    val pre = TextSearch.phraseSearchTopK(idx, "batch merge sort", 10).collect()
+      .map(_.getAs[Long]("doc")).toSet
+    assert(pre == Set(3L, 5L))
+    TextSearch.removeFromPositional(idx, Seq(3L).toDF("doc_id"), "doc_id")
+    val post = TextSearch.phraseSearchTopK(idx, "batch merge sort", 10).collect()
+      .map(_.getAs[Long]("doc")).toSet
+    assert(post == Set(5L))
+    // durable: a reopened index agrees
+    val reopened = TextSearch.openPositional(spark, root)
+    val re = TextSearch.phraseSearchTopK(reopened, "batch merge sort", 10).collect()
+      .map(_.getAs[Long]("doc")).toSet
+    assert(re == Set(5L))
+    // other docs' rankings untouched
+    assert(TextSearch.phraseSearchTopK(reopened, "join join", 10).collect()
+      .map(_.getAs[Long]("doc")).toSeq == Seq(1L))
+  }
+
   test("batch retrieval equals the single-query path for every query row") {
     val idx = TextSearch.buildIndex(spark, corpus, "text", "doc_id", nBuckets = 8)
     val queries = Seq(
