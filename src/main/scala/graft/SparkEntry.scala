@@ -1016,6 +1016,62 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // STREAM-STREAM interval join (impression→click): every event streams
+    // on the left; a delayed click stream (event_id % 3 == 0, delayed by
+    // event_id % 7 minutes) arrives in a LATER micro-batch, so every match
+    // crosses batch boundaries through the join state. Clicks delayed past
+    // the 5-minute window must NOT match — the oracle recomputes the
+    // interval join relationally over the same derived click table.
+    "stream_interval_join" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev = table(s, dir, "events")
+      // The driver array is the harness's stream SOURCE, not the operator;
+      // it must not grow O(table) silently. Epoch-micros longs, NOT
+      // java.sql.Timestamp: Timestamp arithmetic via getTime drops the
+      // sub-millisecond micros and a delay-0 click would land strictly
+      // before its impression.
+      val rows = ev.select(col("event_id"), unix_micros(col("ts")))
+        .as[(Long, Long)].collect()
+      require(rows.length <= 200000, s"gate fixture grew: ${rows.length} events")
+      val memA = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val memB = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val joined = graft.streaming.StreamingIngest.intervalJoin(
+        memA.toDF().toDF("event_id", "us_a")
+          .select(col("event_id"), timestamp_micros(col("us_a")).as("ts_a")),
+        memB.toDF().toDF("evt_b", "us_b")
+          .select(col("evt_b"), timestamp_micros(col("us_b")).as("ts_b")),
+        "event_id", "evt_b", "ts_a", "ts_b", "5 minutes", "10 minutes")
+      val root = Files.createTempDirectory("graft_ssj").toString
+      val ds = LakeDataset.forStorage(s, partitionCols = Nil, bucketCols = Nil,
+        nBuckets = 1, bloomCols = Nil, storage = graft.model.StorageSpec(root))
+      // Same state-store trim as stream_dedup: 4 stores carry this state
+      // volume; the conf restores only after the stream has stopped (the
+      // engine clones the session conf asynchronously on the stream thread).
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = joined.writeStream.foreachBatch(
+          (b: DataFrame, _: Long) =>
+            ds.insert(b.select("event_id", "ts_a", "ts_b"))).start()
+        try {
+          memA.addData(rows.toSeq: _*)
+          q.processAllAvailable()
+          val clicks = rows.filter(_._1 % 3 == 0).map { case (id, us) =>
+            (id, us + (id % 7) * 60000000L)
+          }
+          memB.addData(clicks.toSeq: _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      ds.toDF.join(ev, "event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(((unix_timestamp(col("ts_b")) - unix_timestamp(col("ts_a"))) / 60)
+            .cast("long")).as("total_delay_min"))
+        .orderBy("event_type")
+    }),
+
     // streaming query whose foreachBatch applies the SAME upsert path the
     // batch API uses (StreamingIngest.upsertBatches shape); the merged table
     // state is SQL-expressible.
@@ -3914,6 +3970,19 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The stream-stream interval join recomputed relationally: the click
+    // table is the same deterministic derivation (event_id % 3 == 0,
+    // delayed event_id % 7 minutes), and only delays <= 5 minutes match.
+    "stream_interval_join" ->
+      """WITH b AS (
+        |  SELECT event_id, event_id % 7 AS delay_min
+        |  FROM events WHERE event_id % 3 = 0)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |       CAST(SUM(delay_min) AS BIGINT) AS total_delay_min
+        |FROM events e JOIN b USING (event_id)
+        |WHERE delay_min <= 5
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "stream_ingest_upsert" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total

@@ -291,7 +291,10 @@ final class LakeDataset private (
       val c = df.localCheckpoint(true)
       val refs = Bridge.checkpointRdds(c).map(new RddRef(_))
       pendingSnaps.synchronized { pendingSnaps ++= refs }
-      c
+      // The snapshot outlives its source plan; drop the origin constraints
+      // localCheckpoint copied over (a streaming-batch origin's watermark
+      // attrs would poison later Union constraint rewrites).
+      Bridge.severCheckpoint(c)
     }
 
   /** Spill directory for big snapshots — deliberately NOT under the storage
@@ -340,7 +343,7 @@ final class LakeDataset private (
     * frames (they carry no checkpoint RDDs).
     */
   private[lake] def partSnapshot(df: DataFrame): DataFrame =
-    if (!reliableSnapshots) df.localCheckpoint(true)
+    if (!reliableSnapshots) Bridge.severCheckpoint(df.localCheckpoint(true))
     else {
       val dir = s"$spillDir/gen-${snapshotGen.incrementAndGet()}"
       df.write.mode("overwrite").parquet(dir)

@@ -56,7 +56,9 @@ final class LakePart private[lake] (
       * dataset's snapshot policy (local checkpoint, or parquet spill in
       * reliable mode; see `LakeDataset.partSnapshot`).
       */
-    snapshot: DataFrame => DataFrame = _.localCheckpoint(true),
+    snapshot: DataFrame => DataFrame =
+      df => org.apache.spark.sql.graftbridge.Bridge.severCheckpoint(
+        df.localCheckpoint(true)),
     /** Per-column exact SUM state of this part's data (see [[SumMap]]);
       * None = unknown (metadata-sum answers fail open). Appends FOLD the
       * batch's sums in; upsert/delete invalidate outright (unlike zones

@@ -238,6 +238,27 @@ object StreamingIngest {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Watermarked stream-stream INNER interval join — the impression→click
+    * shape: a left row (key, tsL) matches right rows (key', tsR) with
+    * key = key' and tsR in [tsL, tsL + upper]. Both sides watermark, and
+    * the time-range predicate is exactly the shape Structured Streaming's
+    * planner mines for state eviction bounds: left rows evict once the
+    * right watermark passes tsL + upper, right rows once the left
+    * watermark passes tsR — state is O(keys per horizon), never O(stream).
+    * Inner matches emit as soon as both sides arrive (append mode, no
+    * watermark wait). Column names must be disjoint across the two sides.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      keyLeft: String, keyRight: String,
+      tsLeft: String, tsRight: String,
+      upper: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    left.withWatermark(tsLeft, watermark)
+      .join(right.withWatermark(tsRight, watermark),
+        col(keyLeft) === col(keyRight) &&
+          col(tsRight) >= col(tsLeft) &&
+          col(tsRight) <= col(tsLeft) + expr(s"interval $upper"))
+
   /** Watermarked tumbling-window aggregation — the stream-relational
     * operator set the reference lacks entirely (SURVEY.md §2.B last row),
     * provided as the engine's native stream-analytics path. Works on both

@@ -32,6 +32,27 @@ object Bridge {
   def unpersistCheckpoint(df: Dataset[_], blocking: Boolean = false): Unit =
     checkpointRdds(df).foreach(_.unpersist(blocking))
 
+  /** Re-wrap a locally-checkpointed Dataset's LogicalRDD WITHOUT the origin
+    * plan's constraints and stats. `localCheckpoint` copies the origin
+    * plan's constraint set onto the LogicalRDD; when the origin was a
+    * streaming micro-batch (e.g. a stream-stream join output inside
+    * foreachBatch), those constraints carry watermark-tagged attribute
+    * instances that are not in the node's output, and a later Union
+    * constraint rewrite over the retained snapshot dies with
+    * `key not found: ts#N`. The snapshot's data is already inert — this
+    * makes its metadata inert too. Identity on non-LogicalRDD plans.
+    */
+  def severCheckpoint(df: Dataset[_]): org.apache.spark.sql.DataFrame =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        ofRows(df.sparkSession,
+          LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+            lr.outputOrdering, lr.isStreaming, lr.stream)(
+            df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+            None, None))
+      case _ => df.toDF()
+    }
+
   /** Wrap a logical plan as a DataFrame — the seam that lets the lake
     * register a custom leaf node (graft.plans.LakeScan) as a SQL temp view.
     */

@@ -26,6 +26,70 @@ class IngestStreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 11.0), (2L, 20.0), (3L, 30.0)))
   }
 
+  test("interval join: cross-batch matches emit, out-of-window clicks never match") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00").getTime * 1000L
+    val memA = MemoryStream[(Long, Long)]
+    val memB = MemoryStream[(Long, Long)]
+    val joined = StreamingIngest.intervalJoin(
+      memA.toDF().toDF("imp_id", "us_a")
+        .select(col("imp_id"), timestamp_micros(col("us_a")).as("ts_a")),
+      memB.toDF().toDF("clk_id", "us_b")
+        .select(col("clk_id"), timestamp_micros(col("us_b")).as("ts_b")),
+      "imp_id", "clk_id", "ts_a", "ts_b", "5 minutes", "10 minutes")
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = joined.writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+      got ++= b.select(col("imp_id"),
+          ((unix_micros(col("ts_b")) - unix_micros(col("ts_a"))) / 60000000L).cast("long"))
+        .as[(Long, Long)].collect()
+      ()
+    }.start()
+    try {
+      // impressions in batch 1
+      memA.addData((1L, ts(0)), (2L, ts(0)), (3L, ts(0)))
+      q.processAllAvailable()
+      // clicks in batch 2: id 1 at +3min (match), id 2 at +7min (outside
+      // the 5-minute window — must NOT match), id 3 exactly on the bound
+      memB.addData((1L, ts(3)), (2L, ts(7)), (3L, ts(5)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.sorted.toSeq == Seq((1L, 3L), (3L, 5L)), s"got: $got")
+  }
+
+  test("join-output micro-batches retained by a lake stay readable after the stream") {
+    // Regression: localCheckpoint copies the micro-batch plan's constraints
+    // (watermark-tagged attributes) onto the LogicalRDD; a later Union
+    // constraint rewrite over the retained snapshot died with
+    // `key not found: ts_a#N` until Bridge.severCheckpoint dropped them.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00").getTime * 1000L
+    val memA = MemoryStream[(Long, Long)]
+    val memB = MemoryStream[(Long, Long)]
+    val joined = StreamingIngest.intervalJoin(
+      memA.toDF().toDF("imp_id", "us_a")
+        .select(col("imp_id"), timestamp_micros(col("us_a")).as("ts_a")),
+      memB.toDF().toDF("clk_id", "us_b")
+        .select(col("clk_id"), timestamp_micros(col("us_b")).as("ts_b")),
+      "imp_id", "clk_id", "ts_a", "ts_b", "5 minutes", "10 minutes")
+    val ds = LakeDataset.fromDataFrame(spark,
+      Seq((0L, java.sql.Timestamp.valueOf("2026-01-01 09:00:00"),
+        java.sql.Timestamp.valueOf("2026-01-01 09:01:00")))
+        .toDF("imp_id", "ts_a", "ts_b"))
+    val q = joined.writeStream.foreachBatch(
+      (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        ds.insert(b.select("imp_id", "ts_a", "ts_b"))).start()
+    try {
+      memA.addData((1L, ts(0)), (2L, ts(0)))
+      q.processAllAvailable()
+      memB.addData((1L, ts(3)), (2L, ts(7)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the union view must survive a constraint-bearing query (join + agg)
+    val n = ds.toDF.join(Seq(1L, 2L).toDF("imp_id"), "imp_id")
+      .groupBy("imp_id").count().count()
+    assert(n == 1L, s"expected only imp 1 joined, got $n groups")
+  }
+
   test("ingestor auto-flushes when buffered rows cross the threshold") {
     val ds = LakeDataset.fromDataFrame(spark, Seq((1L, 1.0)).toDF("k", "v"))
     val ing = new Ingestor(ds, None, flushThresholdRows = 3)
