@@ -384,6 +384,40 @@ object SparkEntry {
         .orderBy("ws", "event_type")
     }),
 
+    // Analytic window functions beyond rank/lag: lead, ntile, percent_rank,
+    // cume_dist, first_value — the remaining polars `over(...)` surface.
+    // The rational-valued functions land on a 1e-6 integer grid (identical
+    // IEEE division on identical integers both sides).
+    "q35_window_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      table(s, dir, "orders")
+        .filter(col("o_custkey") % 50 === 0)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w) * 1000000).cast("long").as("pct_rank_ppm"),
+          round(cume_dist().over(w) * 1000000).cast("long").as("cume_ppm"),
+          first(col("o_orderkey"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("first_order"))
+    }),
+
+    // TIME-RANGE rolling aggregation (polars rolling_* / group_by_rolling):
+    // per-user trailing 1-hour count and sum, RANGE frame over epoch-micros
+    // so the window bound is exact integer arithmetic on both sides.
+    "q36_rolling_time" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      table(s, dir, "events")
+        .filter(col("user_id") % 20 === 0)
+        .select(
+          col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast(DecimalType(38, 4))).over(w)
+            .cast("double").as("sum_1h"))
+    }),
+
     // Audit-stamped upsert with an injected deterministic clock: changed
     // rows carry changed_at > created_at, so the post-merge audit counts are
     // SQL-expressible.
@@ -3872,6 +3906,25 @@ object SparkEntry {
         |  CAST(RANK() OVER (PARTITION BY o_custkey
         |                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank
         |FROM orders WHERE o_custkey % 50 = 0""".stripMargin,
+
+    "q35_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(round(PERCENT_RANK() OVER w * 1000000) AS BIGINT) AS pct_rank_ppm,
+        |  CAST(round(CUME_DIST() OVER w * 1000000) AS BIGINT) AS cume_ppm,
+        |  FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order
+        |FROM orders WHERE o_custkey % 50 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin,
+
+    "q36_rolling_time" ->
+      """SELECT user_id, event_id,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events WHERE user_id % 20 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q22_grouping_sets" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
