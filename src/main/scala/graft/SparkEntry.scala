@@ -1106,6 +1106,64 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // LEFT-OUTER stream-stream join: an impression with no in-window click
+    // must null-extend — but only once the watermark PROVES no match can
+    // still arrive. Two far-future sentinel batches drive the watermark
+    // past all data (the first advances it, the second runs a batch under
+    // it so the evicted unmatched rows emit); the oracle is the relational
+    // left join with matched/unmatched splits.
+    "stream_outer_join" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev = table(s, dir, "events")
+      val rows = ev.select(col("event_id"), unix_micros(col("ts")))
+        .as[(Long, Long)].collect()
+      require(rows.length <= 200000, s"gate fixture grew: ${rows.length} events")
+      val maxUs = rows.map(_._2).max
+      val memA = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val memB = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val joined = graft.streaming.StreamingIngest.intervalJoin(
+        memA.toDF().toDF("event_id", "us_a")
+          .select(col("event_id"), timestamp_micros(col("us_a")).as("ts_a")),
+        memB.toDF().toDF("evt_b", "us_b")
+          .select(col("evt_b"), timestamp_micros(col("us_b")).as("ts_b")),
+        "event_id", "evt_b", "ts_a", "ts_b", "5 minutes", "10 minutes",
+        joinType = "leftOuter")
+      val root = Files.createTempDirectory("graft_ssoj").toString
+      val ds = LakeDataset.forStorage(s, partitionCols = Nil, bucketCols = Nil,
+        nBuckets = 1, bloomCols = Nil, storage = graft.model.StorageSpec(root))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = joined.writeStream.foreachBatch(
+          (b: DataFrame, _: Long) =>
+            ds.insert(b.select("event_id", "ts_a", "ts_b"))).start()
+        try {
+          memA.addData(rows.toSeq: _*)
+          q.processAllAvailable()
+          val clicks = rows.filter(_._1 % 3 == 0).map { case (id, us) =>
+            (id, us + (id % 7) * 60000000L)
+          }
+          memB.addData(clicks.toSeq: _*)
+          q.processAllAvailable()
+          val day = 86400000000L
+          memA.addData((-1L, maxUs + day)); memB.addData((-1L, maxUs + day))
+          q.processAllAvailable()
+          memA.addData((-2L, maxUs + 2 * day)); memB.addData((-2L, maxUs + 2 * day))
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      ds.toDF.filter(col("event_id") >= 0)
+        .join(ev, "event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          count(col("ts_b")).as("n_matched"),
+          sum(when(col("ts_b").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+          sum(((unix_timestamp(col("ts_b")) - unix_timestamp(col("ts_a"))) / 60)
+            .cast("long")).as("total_delay_min"))
+        .orderBy("event_type")
+    }),
+
     // streaming query whose foreachBatch applies the SAME upsert path the
     // batch API uses (StreamingIngest.upsertBatches shape); the merged table
     // state is SQL-expressible.
@@ -4035,6 +4093,21 @@ object SparkEntry {
         |       CAST(SUM(delay_min) AS BIGINT) AS total_delay_min
         |FROM events e JOIN b USING (event_id)
         |WHERE delay_min <= 5
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    // The left-outer variant: every event appears once; in-window clicks
+    // match, everything else null-extends after the watermark flush.
+    "stream_outer_join" ->
+      """WITH b AS (
+        |  SELECT event_id, event_id % 7 AS delay_min
+        |  FROM events WHERE event_id % 3 = 0 AND event_id % 7 <= 5)
+        |SELECT e.event_type,
+        |  COUNT(*) AS n_total,
+        |  COUNT(b.event_id) AS n_matched,
+        |  CAST(SUM(CASE WHEN b.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unmatched,
+        |  CAST(SUM(delay_min) AS BIGINT) AS total_delay_min
+        |FROM events e LEFT JOIN b USING (event_id)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "stream_ingest_upsert" ->

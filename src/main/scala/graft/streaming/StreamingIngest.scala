@@ -252,12 +252,17 @@ object StreamingIngest {
       left: DataFrame, right: DataFrame,
       keyLeft: String, keyRight: String,
       tsLeft: String, tsRight: String,
-      upper: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+      upper: String = "5 minutes", watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame =
     left.withWatermark(tsLeft, watermark)
       .join(right.withWatermark(tsRight, watermark),
         col(keyLeft) === col(keyRight) &&
           col(tsRight) >= col(tsLeft) &&
-          col(tsRight) <= col(tsLeft) + expr(s"interval $upper"))
+          col(tsRight) <= col(tsLeft) + expr(s"interval $upper"),
+        // leftOuter: an unmatched left row null-extends ONLY once the right
+        // watermark proves no in-window match can still arrive — the emit
+        // is delayed by the horizon, the state bound is the same.
+        joinType)
 
   /** Watermarked tumbling-window aggregation — the stream-relational
     * operator set the reference lacks entirely (SURVEY.md §2.B last row),

@@ -56,6 +56,47 @@ class IngestStreamingSpec extends SparkSpec {
     assert(got.sorted.toSeq == Seq((1L, 3L), (3L, 5L)), s"got: $got")
   }
 
+  test("leftOuter interval join: null-extend after watermark; late click stays dead") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00").getTime * 1000L
+    val memA = MemoryStream[(Long, Long)]
+    val memB = MemoryStream[(Long, Long)]
+    val joined = StreamingIngest.intervalJoin(
+      memA.toDF().toDF("imp_id", "us_a")
+        .select(col("imp_id"), timestamp_micros(col("us_a")).as("ts_a")),
+      memB.toDF().toDF("clk_id", "us_b")
+        .select(col("clk_id"), timestamp_micros(col("us_b")).as("ts_b")),
+      "imp_id", "clk_id", "ts_a", "ts_b", "5 minutes", "10 minutes",
+      joinType = "leftOuter")
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Boolean)]()
+    val q = joined.writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+      got ++= b.select(col("imp_id"), col("ts_b").isNotNull)
+        .as[(Long, Boolean)].collect()
+      ()
+    }.start()
+    try {
+      memA.addData((1L, ts(0)), (2L, ts(0)))
+      q.processAllAvailable()
+      memB.addData((1L, ts(3)))          // imp 1 matches; imp 2 has no click
+      q.processAllAvailable()
+      assert(got.toSet == Set((1L, true)),
+        s"imp 2 must NOT null-extend before the watermark proves it: $got")
+      // watermark flush: first sentinel advances it, second runs a batch
+      // under it so the evicted unmatched row emits
+      memA.addData((-1L, ts(0) + 86400000000L)); memB.addData((-1L, ts(0) + 86400000000L))
+      q.processAllAvailable()
+      memA.addData((-2L, ts(0) + 2 * 86400000000L)); memB.addData((-2L, ts(0) + 2 * 86400000000L))
+      q.processAllAvailable()
+      assert(got.filter(_._1 == 2L).toSeq == Seq((2L, false)),
+        s"imp 2 must null-extend exactly once after the flush: $got")
+      // a LATE click for imp 2 (event time long past the watermark) must
+      // not resurrect it — the row already null-extended
+      memB.addData((2L, ts(4)))
+      q.processAllAvailable()
+      assert(got.count(_._1 == 2L) == 1, s"late click resurrected imp 2: $got")
+    } finally q.stop()
+  }
+
   test("join-output micro-batches retained by a lake stay readable after the stream") {
     // Regression: localCheckpoint copies the micro-batch plan's constraints
     // (watermark-tagged attributes) onto the LogicalRDD; a later Union
