@@ -89,6 +89,24 @@ object Fixtures {
         pqModel(s, dir), "embedding")
     }).asInstanceOf[LakeDataset]
 
+  /** The PQ-coded inverted lists with `vec_id % 10 == 0` ERASED through
+    * [[graft.operators.Similarity.removeFromIvf]] (the coded lake is
+    * centroid-partitioned exactly like the float lists, so the same
+    * locate-delete-saveParts maintenance applies) and reloaded from disk.
+    */
+  def ivfPqListsRemoved(s: SparkSession, dir: String): LakeDataset =
+    memo.getOrElseUpdate(s"$dir#ivfpq_removed", {
+      val root = java.nio.file.Files.createTempDirectory("graft_ivfpq_rm").toString
+      val lists = graft.operators.Pq.encodeIvfLists(s, root, ivfLake(s, dir),
+        pqModel(s, dir), "embedding")
+      val doomed = table(s, dir, "embeddings")
+        .select("vec_id").filter(col("vec_id") % 10 === 0)
+      graft.operators.Similarity.removeFromIvf(
+        graft.operators.Similarity.IvfLake(ivfLake(s, dir).centroids, lists),
+        doomed, "vec_id")
+      LakeDataset.fromStorage(s, s"$root/assigned_pq")
+    }).asInstanceOf[LakeDataset]
+
   /** BM25 inverted index over the documents table — built and persisted
     * once per scale factor, then REOPENED from disk so gate queries
     * exercise the production path: driver-side bucket pruning into the

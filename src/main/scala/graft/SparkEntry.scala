@@ -78,6 +78,7 @@ object SparkEntry {
     // (amortized like any index bootstrap); the timed query is the probe
     // over the post-erasure index.
     "ann_ivf_removed" -> ((s, dir) => { Fixtures.ivfLakeRemoved(s, dir); () }),
+    "ann_ivfpq_removed" -> ((s, dir) => { Fixtures.ivfPqListsRemoved(s, dir); () }),
     "text_bm25_removed" -> ((s, dir) => { Fixtures.bm25IndexRemoved(s, dir); () }),
     "text_phrase_removed" -> ((s, dir) => { Fixtures.posIndexRemoved(s, dir); () })
   )
@@ -2864,6 +2865,20 @@ object SparkEntry {
         nprobe = index.centroids.size, quantize = true)
     }),
 
+    // Erasure through the QUANTIZED lists: the same delete applied to the
+    // PQ-coded lake (centroid-partitioned like the float lists), reloaded,
+    // then the all-lists ADC + exact-rerank probe equals the exact top-k
+    // over the survivors — shares ann_ivf_removed's oracle.
+    "ann_ivfpq_removed" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 1)
+        .head().getSeq[Float](1).toSeq
+      val index = Fixtures.ivfLake(s, dir)
+      Pq.ivfPqTopK(Fixtures.ivfPqListsRemoved(s, dir), index.centroids,
+        Fixtures.pqModel(s, dir), "embedding", "vec_id", q, 10,
+        nprobe = index.centroids.size)
+    }),
+
     // Product quantization, ADC-only: 16-byte codes stand in for 256-byte
     // vectors; the scan reads codes alone. Approximate by construction →
     // rows-only; PqSpec pins recall and ann_pq_rerank below is the
@@ -4878,6 +4893,16 @@ object SparkEntry {
         |  CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) * 1000000)
         |       AS BIGINT) AS cos_q
         |FROM embeddings, q
+        |ORDER BY cos_q DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Same survivors through the PQ-coded lists (ADC + exact rerank).
+    "ann_ivfpq_removed" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 1)
+        |SELECT vec_id,
+        |  CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) * 1000000)
+        |       AS BIGINT) AS cos_q
+        |FROM embeddings, q WHERE vec_id % 10 <> 0
         |ORDER BY cos_q DESC, vec_id LIMIT 10""".stripMargin,
 
     // Post-erasure probe == exact top-k over the vectors that SURVIVED the
