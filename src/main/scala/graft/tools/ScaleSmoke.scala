@@ -51,7 +51,8 @@ object ScaleSmoke {
       !sys.env.contains("SPARK_GRAFT_ONLY_R12D") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R12E") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R13A") &&
-      !sys.env.contains("SPARK_GRAFT_ONLY_R13B")
+      !sys.env.contains("SPARK_GRAFT_ONLY_R13B") &&
+      !sys.env.contains("SPARK_GRAFT_ONLY_R13C")
     if (runAll) {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val big = (0 until copies).map { i =>
@@ -1248,6 +1249,77 @@ object ScaleSmoke {
       require(mism == 0, s"r13b decode roundtrip mismatches: $mism")
     }
     if (onlyR13b) { spark.stop(); return }
+
+    // ---- R13c: index erasure cost vs index size ----------------------------
+    // Claim: erasing k ids costs one locate probe (a scan with the key set
+    // broadcast) + a rewrite of ONLY the cells that held them — never a
+    // rebuild. The BM25 postings lake partitions by ingest batch (_b) on
+    // top of 16 term buckets, so erasing documents from ONE ingest batch of
+    // a `copies`-batch index touches ≤ 16 cells of that batch regardless of
+    // how many batches the index holds: the REWRITE cost is flat while the
+    // index grows `copies`×. IVF: erasing an operator-sized vector batch
+    // rewrites only the lists those vectors sat in.
+    // Run just this section with SPARK_GRAFT_ONLY_R13C=1.
+    val onlyR13c = sys.env.contains("SPARK_GRAFT_ONLY_R13C")
+    if (runAll || onlyR13c) {
+      import graft.operators.{Similarity, TextSearch}
+      val docs0r = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      // one index, `copies` incremental ingest batches (salted per copy)
+      val bmRoot = java.nio.file.Files.createTempDirectory("graft_sc_bm_rm").toString
+      TextSearch.buildIndex(spark, docs0r, "text", "doc_id",
+        nBuckets = 16, storage = Some(graft.model.StorageSpec(bmRoot)))
+      var idx13 = TextSearch.open(spark, bmRoot)
+      (1 until copies).foreach { i =>
+        val batch = docs0r.select(
+          (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "\\w+", s"$$0s$i").as("text"))
+        idx13 = TextSearch.addToIndex(idx13, batch, "text", "doc_id")
+      }
+      val cellsBefore = idx13.postings.partKeys.size
+      println(s"[scale] r13c bm25 index: n=${idx13.n} cells=$cellsBefore")
+      val doomed13 = docs0r.filter(col("doc_id") % 10 === 0).select("doc_id")
+      val nDoomed = doomed13.count()
+      val touched13 = time(s"bm25 locate probe (${nDoomed} ids vs ${copies}x index)") {
+        idx13.postings.cellsHolding(
+          doomed13.select(col("doc_id").as("doc")), Seq("doc")).size
+      }
+      require(touched13 <= 17,
+        s"batch-0 erasure must stay inside batch 0's term buckets: $touched13")
+      val erased13 = time(s"bm25 erase $nDoomed docs from ${copies}x index") {
+        TextSearch.removeFromIndex(idx13, doomed13, "doc_id")
+      }
+      println(s"[scale] r13c bm25 erase: touched $touched13/$cellsBefore cells, " +
+        s"n ${idx13.n} -> ${erased13.n}")
+      require(erased13.n == idx13.n - nDoomed, "scalar subtraction drifted")
+      LakeDataset.deleteRecursively(java.nio.file.Paths.get(bmRoot))
+
+      // IVF: 20x vectors, erase an operator-sized batch, only its lists save
+      val emb0r = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val e20 = (0 until copies).map { i =>
+        emb0r.select((col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+          transform(col("embedding"),
+            x => (x * (lit(1.0f) + lit(i.toFloat) * lit(1e-4f))).cast("float"))
+            .as("embedding"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      val kLists13 = 16 * math.max(1, math.sqrt(copies.toDouble).toInt)
+      val ivfRoot13 = java.nio.file.Files.createTempDirectory("graft_sc_ivf_rm").toString
+      val (c13, a13) = Similarity.buildIvf(e20, "embedding", "vec_id", kLists13, 64)
+      Similarity.saveIvf(spark, ivfRoot13, c13, a13)
+      val ivf13 = Similarity.loadIvf(spark, ivfRoot13)
+      val doomedV = e20.filter(col("vec_id") % 1000 === 0).select("vec_id")
+        .localCheckpoint(true)
+      val nDoomedV = doomedV.count()
+      time(s"ivf erase $nDoomedV vecs from ${copies}x/$kLists13-list index") {
+        Similarity.removeFromIvf(ivf13, doomedV, "vec_id")
+      }
+      val left = Similarity.ivfListSizes(ivf13).values.sum
+      println(s"[scale] r13c ivf erase: ${e20.count()} -> $left vectors")
+      require(left == e20.count() - nDoomedV, "ivf erase lost or kept rows")
+      LakeDataset.deleteRecursively(java.nio.file.Paths.get(ivfRoot13))
+    }
+    if (onlyR13c) { spark.stop(); return }
 
     // ---- IVF ANN: probe cost vs corpus growth ------------------------------
     // The scale claim: an IVF probe reads nprobe inverted LISTS, whose size
