@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Bucketing
 import graft.lake.{Database, LakeDataset}
-import graft.operators.{Bpe, Clustering, DataQuality, Dedup, ExactDedupIndex, Fusion, HeavyHitters, MaterializedAgg, MinhashIndex, Multimodal, Pq, Sampling, Similarity, Sq, StringCache, TextAnalysis, TextSearch}
+import graft.operators.{Bpe, Clustering, DataQuality, Dedup, ExactDedupIndex, Fusion, HeavyHitters, Joins, MaterializedAgg, MinhashIndex, Multimodal, Pq, Sampling, Similarity, Sq, StringCache, TextAnalysis, TextSearch}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), with a DuckDB-equivalent oracle where SQL-expressible.
@@ -2326,6 +2326,27 @@ object SparkEntry {
         .orderBy("doc", "chunk_id")
     }),
 
+    // SymSpell fuzzy self-join: all customer-name pairs within Levenshtein
+    // distance 1, via deletion-neighborhood equi-join (complete by theorem,
+    // no nested-loop plan). Oracle is the INDEPENDENT all-pairs ground
+    // truth — DuckDB's own levenshtein over a length-banded join.
+    "fuzzy_join_names" -> ((s, dir) => {
+      Joins.fuzzySelfPairs(table(s, dir, "customer").select("c_name"), "c_name")
+        .orderBy("name_a", "name_b")
+    }),
+
+    // CCNet-style bigram LM quality scoring: train integer-rate bigram
+    // model on the reference slice (en × src0), score every document by
+    // modeled-bigram mass + OOV mass. Narrow-map bigram build, vocab-
+    // bounded model, exact integers end-to-end -> full DuckDB oracle.
+    "text_lm_score" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      TextAnalysis.bigramLmScore(
+          d, d.filter(col("lang") === "en" && col("source") === "src0"),
+          "text", "doc_id")
+        .orderBy("doc")
+    }),
+
     // Benchmark decontamination: every 50th document plays the eval set;
     // training docs sharing any word trigram with it are flagged with
     // their contamination ratio (integer ratio -> oracle-exact double).
@@ -4298,6 +4319,37 @@ object SparkEntry {
         |FROM tf LEFT JOIN tr USING (term) JOIN rr USING (term)
         |GROUP BY tf.doc_id
         |ORDER BY weight DESC, doc LIMIT 50""".stripMargin,
+
+    "fuzzy_join_names" ->
+      """WITH d AS (SELECT DISTINCT c_name AS name FROM customer)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+        |FROM d a JOIN d b
+        |  ON a.name < b.name AND abs(length(a.name) - length(b.name)) <= 1
+        |WHERE levenshtein(a.name, b.name) <= 1
+        |ORDER BY 1, 2""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+        |  FROM documents),
+        |bg AS (SELECT doc_id, lang, source, ws[i] || ' ' || ws[i+1] AS bg
+        |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) g),
+        |refbg AS (SELECT bg FROM bg WHERE lang = 'en' AND source = 'src0'),
+        |big AS (SELECT bg, COUNT(*) AS c2 FROM refbg GROUP BY bg),
+        |uni AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1
+        |        FROM refbg GROUP BY 1),
+        |model AS (SELECT bg, (c2 * 1000000) // c1 AS rate
+        |          FROM big JOIN uni ON split_part(big.bg, ' ', 1) = uni.w1),
+        |tf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM bg GROUP BY 1, 2)
+        |SELECT tf.doc_id AS doc,
+        |  CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN rate IS NULL THEN tf ELSE 0 END) AS BIGINT) AS oov_bigrams,
+        |  CAST(SUM(tf * COALESCE(rate, 0)) AS BIGINT) AS lm_score,
+        |  CAST(SUM(tf * COALESCE(rate, 0)) // SUM(tf) AS BIGINT) AS lm_avg
+        |FROM tf LEFT JOIN model USING (bg)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_chunks" ->
       """WITH t AS (

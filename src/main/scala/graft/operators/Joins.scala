@@ -215,6 +215,75 @@ object Joins {
       .drop(bin)
   }
 
+  /** FUZZY (edit-distance) EQUI-JOINIZATION, SymSpell-style: join two
+    * frames on strings within Levenshtein distance `maxDist` WITHOUT the
+    * O(n×m) nested-loop plan a `levenshtein(l, r) <= k` predicate gets.
+    *
+    * Candidate generation is the deletion-neighborhood theorem: if
+    * lev(a, b) <= k then a and b share at least one string in their
+    * "delete up to k characters" neighborhoods (any edit script can be
+    * canceled by deleting the touched positions from both sides). So each
+    * side explodes into its deletion variants — O(len) of them for k=1,
+    * O(len²) for k=2 — the join becomes a pure EQUI-join on the variant
+    * key, and one exact `levenshtein` filter on the candidate pairs
+    * removes the false positives. Completeness is the theorem; no
+    * recall knob.
+    *
+    * Scale shape: variant generation is a narrow map (one codegen'd
+    * `transform`/`flatten` per row, no UDF); the equi-join shuffles on the
+    * variant key, so cost is Σ bucket² over strings SHARING a variant —
+    * near-dup density, never |left|×|right|. Duplicate candidates (a pair
+    * can meet in several variants) dedup BEFORE the levenshtein filter.
+    * Distance is capped at 2: k=3 deletion neighborhoods are O(len³) per
+    * row and real typo/OCR joins use 1-2.
+    *
+    * Returns the distinct matched pairs `(left_str, right_str, dist)` —
+    * join back to the full rows by string equality caller-side (keeps this
+    * operator's output narrow instead of carrying both row payloads
+    * through the variant shuffle).
+    */
+  def fuzzyJoin(
+      left: DataFrame, leftCol: String,
+      right: DataFrame, rightCol: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"fuzzyJoin supports maxDist 1 or 2, got $maxDist")
+    // All single-character-deletion variants of s; empty-safe (sequence()
+    // would go DESCENDING for an empty string — guard it to an empty set).
+    def dels(s: Column): Column =
+      when(length(s) >= 1,
+        transform(sequence(lit(1), length(s)), i =>
+          concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s) - i))))
+        .otherwise(array().cast("array<string>"))
+    def variants(s: Column): Column = {
+      val d1 = dels(s)
+      val all =
+        if (maxDist == 1) concat(array(s), d1)
+        else concat(array(s), d1, flatten(transform(d1, x => dels(x))))
+      array_distinct(all)
+    }
+    val l = left.select(left(leftCol).as("__graft_ls")).na.drop().distinct()
+      .select(col("__graft_ls"), explode(variants(col("__graft_ls"))).as("__graft_key"))
+    val r = right.select(right(rightCol).as("__graft_rs")).na.drop().distinct()
+      .select(col("__graft_rs"), explode(variants(col("__graft_rs"))).as("__graft_key"))
+    l.join(r, "__graft_key")
+      .select(col("__graft_ls").as(s"${leftCol}_l"), col("__graft_rs").as(s"${rightCol}_r"))
+      .distinct()
+      .withColumn("dist", levenshtein(col(s"${leftCol}_l"), col(s"${rightCol}_r")))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** [[fuzzyJoin]] specialized to near-duplicate string pairs WITHIN one
+    * frame: distinct unordered pairs `a < b` within `maxDist` — the typo /
+    * OCR-noise clustering primitive (feed the pairs to
+    * [[Dedup.connectedComponents]] like any other candidate generator).
+    */
+  def fuzzySelfPairs(df: DataFrame, strCol: String, maxDist: Int = 1): DataFrame =
+    fuzzyJoin(df, strCol, df, strCol, maxDist)
+      .filter(col(s"${strCol}_l") < col(s"${strCol}_r"))
+      .select(col(s"${strCol}_l").as("name_a"), col(s"${strCol}_r").as("name_b"),
+        col("dist"))
+
   /** Co-located inner equi-join of two lake datasets hash-bucketed on their
     * join keys with the SAME bucket count: join bucket-by-bucket and union.
     * Each sub-join handles only 1/nBuckets of either side, so AQE sizes (and

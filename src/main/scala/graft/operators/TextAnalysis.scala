@@ -407,6 +407,69 @@ object TextAnalysis {
   def importanceSelect(scored: DataFrame, n: Int): DataFrame =
     scored.orderBy(desc("weight"), col("doc")).limit(n)
 
+  /** N-GRAM LANGUAGE-MODEL QUALITY SCORING (CCNet-style): train a bigram
+    * model on a REFERENCE corpus (the "good" slice — wiki-like sources,
+    * a target language), then score every raw document by how well the
+    * model predicts its bigrams. CCNet proper trains a KenLM 5-gram and
+    * ranks by perplexity; this is the exact-integer formulation of the
+    * same signal, chosen so the whole path is bit-reproducible by an
+    * ANSI-SQL oracle (no libm `log`): the model stores per-bigram
+    * conditional rates on an integer grid — `rate(w1 w2) = (count(w1 w2)
+    * * scale) div count(w1 ·)` with both counts over the reference's
+    * bigram stream, so rate ∈ [0, scale] — and a document scores
+    *   n_bigrams   = Σ tf                  (its bigram volume)
+    *   oov_bigrams = Σ tf · [model miss]   (unmodeled-bigram mass — the
+    *                                        "not like the reference" signal)
+    *   lm_score    = Σ tf · rate           (higher = more reference-like;
+    *                                        the monotone stand-in for
+    *                                        negative log-perplexity)
+    *   lm_avg      = lm_score div n_bigrams (length-normalized, the value
+    *                                        a filter thresholds on)
+    *
+    * Scale shape: bigram construction is a NARROW map (per-row
+    * slice+zip_with over the token array — no window, no shuffle); the
+    * model is two vocabulary-bounded aggregates (broadcastable for any
+    * real corpus: |model| ≤ distinct bigrams of the REFERENCE, not the
+    * corpus); scoring is one shuffle on the bigram key + one groupBy(doc).
+    * Division only happens model-side (|model| rows) and in the final
+    * per-doc select — never per corpus bigram. `scale` bounds: count *
+    * scale must fit a long (1e6 leaves headroom to ~9e12 reference
+    * occurrences of one bigram).
+    *
+    * Documents with fewer than two words have no bigrams and are absent
+    * from the output (the oracle drops them identically); score them as
+    * unconditionally low-quality caller-side if they can occur.
+    *
+    * Returns (doc, n_bigrams, oov_bigrams, lm_score, lm_avg).
+    */
+  def bigramLmScore(
+      raw: DataFrame, ref: DataFrame, textCol: String, idCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    def bigrams(d: DataFrame): Column = {
+      val t = split(trim(regexp_replace(d(textCol), "\\s+", " ")), " ")
+      val n = greatest(size(t) - 1, lit(0))
+      explode(zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
+        (a, b) => concat(a, lit(" "), b)))
+    }
+    val refBg = ref.select(bigrams(ref).as("bg"))
+    val big = refBg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val uni = refBg.select(substring_index(col("bg"), " ", 1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val model = big.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(uni, "w1")
+      .select(col("bg"), expr(s"(c2 * $scale) div c1").as("rate"))
+    val tf = raw.select(col(idCol).as("doc"), bigrams(raw).as("bg"))
+      .groupBy("doc", "bg").agg(count(lit(1)).as("tf"))
+    tf.join(model, Seq("bg"), "left")
+      .groupBy("doc")
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        sum(when(col("rate").isNull, col("tf")).otherwise(lit(0L)))
+          .as("oov_bigrams"),
+        sum(col("tf") * coalesce(col("rate"), lit(0L))).as("lm_score"))
+      .withColumn("lm_avg", expr("lm_score div n_bigrams"))
+  }
+
   /** SLIDING-WINDOW CHUNKING for RAG / context-window preparation: split
     * every document into word chunks of `chunkSize`, starting every
     * `stride` words (overlap = chunkSize - stride), the standard shape for
