@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Bucketing
 import graft.lake.{Database, LakeDataset}
-import graft.operators.{Bpe, Clustering, DataQuality, Dedup, ExactDedupIndex, Fusion, HeavyHitters, Joins, MaterializedAgg, MinhashIndex, Multimodal, Pq, Sampling, Similarity, Sq, StringCache, TextAnalysis, TextSearch}
+import graft.operators.{Bpe, Clustering, DataQuality, Dedup, ExactDedupIndex, Fusion, HeavyHitters, Joins, MaterializedAgg, MinhashIndex, Multimodal, Pq, Sampling, Similarity, Sq, StringCache, TextAnalysis, TextSearch, Urls}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), with a DuckDB-equivalent oracle where SQL-expressible.
@@ -42,6 +42,43 @@ object SparkEntry {
     */
   private val BpeConfigMerges: Seq[(String, String)] =
     Seq(("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"), ("e", "r"))
+
+  /** Deterministic messy-URL synthesis for the curation gates (the corpus
+    * has no URL column): mixed-case scheme/host, www, default ports,
+    * tracking params, unsorted params, trailing slash, fragment — every
+    * case [[graft.operators.Urls.normalizeUrl]] must handle. Both engines
+    * build the identical string, so the gate tests the NORMALIZER, not the
+    * synthesis.
+    */
+  private def syntheticUrl: Column = concat(
+    when(col("doc_id") % 5 === 0, lit("HTTP://")).otherwise(lit("HTTPS://")),
+    when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+    col("source"),
+    when(col("doc_id") % 4 === 0, lit(".CO.UK")).otherwise(lit(".Example.COM")),
+    when(col("doc_id") % 5 === 0, lit(":80")).otherwise(lit(":443")),
+    lit("/Articles/"), col("doc_id").cast("string"),
+    when(col("doc_id") % 2 === 0, lit("/?utm_source=feed&b=2&a=1"))
+      .otherwise(lit("?z=9&gclid=abc123")),
+    lit("#Section-2"))
+
+  /** Oracle-side spelling of [[syntheticUrl]]. */
+  private val UrlSynthSql: String =
+    """(CASE WHEN doc_id % 5 = 0 THEN 'HTTP://' ELSE 'HTTPS://' END) ||
+      |(CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) || source ||
+      |(CASE WHEN doc_id % 4 = 0 THEN '.CO.UK' ELSE '.Example.COM' END) ||
+      |(CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE ':443' END) ||
+      |'/Articles/' || CAST(doc_id AS VARCHAR) ||
+      |(CASE WHEN doc_id % 2 = 0 THEN '/?utm_source=feed&b=2&a=1'
+      |      ELSE '?z=9&gclid=abc123' END) || '#Section-2'""".stripMargin
+
+  /** Oracle-side registered-domain CASE over a host's label list `ls`. */
+  private val DomainCaseSql: String =
+    """CASE WHEN len(ls) >= 3 AND array_to_string(list_slice(ls, len(ls)-1, len(ls)), '.')
+      |       IN ('co.uk','org.uk','ac.uk','co.jp','com.au','com.br',
+      |           'co.in','com.cn','co.kr','com.mx','co.nz','com.sg')
+      |     THEN array_to_string(list_slice(ls, len(ls)-2, len(ls)), '.')
+      |     WHEN len(ls) >= 2 THEN array_to_string(list_slice(ls, len(ls)-1, len(ls)), '.')
+      |     ELSE host END""".stripMargin
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises the whole lake core: partition+bucket split, upsert
@@ -2326,6 +2363,34 @@ object SparkEntry {
         .orderBy("doc", "chunk_id")
     }),
 
+    // URL canonicalization + registered-domain extraction over a messy
+    // synthesized URL per document (mixed case, www, default ports,
+    // tracking params, fragments, trailing slashes). One codegen'd
+    // narrow map — no shuffle; RE2-safe regexes mirrored by the oracle.
+    "curate_url_normalize" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"), syntheticUrl.as("url"))
+        .select(col("doc_id"), col("url"),
+          Urls.normalizeUrl(col("url")).as("norm_url"),
+          Urls.registeredDomain(col("url")).as("domain"))
+        .orderBy("doc_id")
+    }),
+
+    // Domain-level curation: blocklist anti-join (broadcast) + per-domain
+    // document cap under a deterministic md5 rank — the C4/RefinedWeb
+    // "cap any one site's share of the corpus" pass.
+    "curate_domain_cap" -> ((s, dir) => {
+      import s.implicits._
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), Urls.registeredDomain(syntheticUrl).as("domain"))
+      val block = Seq("src3.co.uk", "src7.co.uk").toDF("domain")
+      val kept = d.join(broadcast(block), Seq("domain"), "left_anti")
+      Sampling.topKPerGroup(kept, Seq("domain"),
+          Seq(Sampling.hashKey(col("doc_id")), col("doc_id")), 8)
+        .select("domain", "doc_id")
+        .orderBy("domain", "doc_id")
+    }),
+
     // SymSpell fuzzy self-join: all customer-name pairs within Levenshtein
     // distance 1, via deletion-neighborhood equi-join (complete by theorem,
     // no nested-loop plan). Oracle is the INDEPENDENT all-pairs ground
@@ -4319,6 +4384,54 @@ object SparkEntry {
         |FROM tf LEFT JOIN tr USING (term) JOIN rr USING (term)
         |GROUP BY tf.doc_id
         |ORDER BY weight DESC, doc LIMIT 50""".stripMargin,
+
+    "curate_url_normalize" ->
+      s"""WITH u0 AS (SELECT doc_id, $UrlSynthSql AS url FROM documents),
+        |p AS (SELECT doc_id, url,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$$', 1) AS rest
+        |FROM u0),
+        |h AS (SELECT *,
+        |  CASE WHEN scheme = 'http'
+        |         THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$$', '')
+        |       WHEN scheme = 'https'
+        |         THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$$', '')
+        |       ELSE regexp_replace(hostport, '^www\\.', '') END AS host,
+        |  regexp_replace(rest, '#.*$$', '') AS nofrag FROM p),
+        |q AS (SELECT *,
+        |  regexp_replace(regexp_replace(nofrag, '\\?.*$$', ''), '/+$$', '') AS path,
+        |  regexp_extract(nofrag, '\\?(.*)$$', 1) AS qs FROM h),
+        |f AS (SELECT *, array_to_string(list_sort(list_filter(string_split(qs, '&'),
+        |  x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'fbclid=')
+        |            OR starts_with(x, 'gclid=') OR starts_with(x, 'msclkid=')
+        |            OR x = ''))), '&') AS sq FROM q),
+        |n AS (SELECT doc_id, url, host,
+        |  scheme || '://' || host || path ||
+        |  (CASE WHEN sq = '' THEN '' ELSE '?' || sq END) AS norm_url FROM f),
+        |dom AS (SELECT *, string_split(host, '.') AS ls FROM n)
+        |SELECT doc_id, url, norm_url, $DomainCaseSql AS domain
+        |FROM dom ORDER BY doc_id""".stripMargin,
+
+    "curate_domain_cap" ->
+      s"""WITH u0 AS (SELECT doc_id, $UrlSynthSql AS url FROM documents),
+        |hp AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport
+        |  FROM u0),
+        |h AS (SELECT doc_id,
+        |  CASE WHEN scheme = 'http'
+        |         THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$$', '')
+        |       WHEN scheme = 'https'
+        |         THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$$', '')
+        |       ELSE regexp_replace(hostport, '^www\\.', '') END AS host FROM hp),
+        |dom AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h),
+        |dd AS (SELECT doc_id, $DomainCaseSql AS domain FROM dom),
+        |ranked AS (SELECT domain, doc_id, row_number() OVER (PARTITION BY domain
+        |  ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS rn
+        |  FROM dd WHERE domain NOT IN ('src3.co.uk', 'src7.co.uk'))
+        |SELECT domain, doc_id FROM ranked WHERE rn <= 8
+        |ORDER BY domain, doc_id""".stripMargin,
 
     "fuzzy_join_names" ->
       """WITH d AS (SELECT DISTINCT c_name AS name FROM customer)
