@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Bucketing
 import graft.lake.{Database, LakeDataset}
-import graft.operators.{Bpe, Clustering, DataQuality, Dedup, ExactDedupIndex, Fusion, HeavyHitters, Joins, MaterializedAgg, MinhashIndex, Multimodal, Pq, Sampling, Similarity, Sq, StringCache, TextAnalysis, TextSearch, Urls}
+import graft.operators.{Bpe, Clustering, DataQuality, Dedup, ExactDedupIndex, Fusion, Graphs, HeavyHitters, Joins, MaterializedAgg, MinhashIndex, Multimodal, Pq, Sampling, Similarity, Sq, StringCache, TextAnalysis, TextSearch, Urls}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), with a DuckDB-equivalent oracle where SQL-expressible.
@@ -2363,6 +2363,31 @@ object SparkEntry {
         .orderBy("doc", "chunk_id")
     }),
 
+    // Bipartite projection: the weighted co-purchase graph (users sharing
+    // bought items). One self equi-join on the item key — Σ degree² over
+    // items, never |users|²; hub caps available for web-scale skew.
+    "graph_copurchase_edges" -> ((s, dir) => {
+      val bip = table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+      Graphs.projectBipartite(bip, "user_id", "item")
+        .orderBy("ua", "ub")
+    }),
+
+    // Per-vertex triangle counts on the strong (w>=2) co-purchase graph,
+    // via degree-ordered orientation (each triangle found exactly once,
+    // O(m^1.5) wedge volume). Oracle = INDEPENDENT naive three-way join.
+    "graph_triangles" -> ((s, dir) => {
+      val bip = table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val strong = Graphs.projectBipartite(bip, "user_id", "item")
+        .filter(col("w") >= 2)
+      Graphs.triangleCounts(strong, "ua", "ub").orderBy("v")
+    }),
+
     // URL canonicalization + registered-domain extraction over a messy
     // synthesized URL per document (mixed case, www, default ports,
     // tracking params, fragments, trailing slashes). One codegen'd
@@ -4384,6 +4409,32 @@ object SparkEntry {
         |FROM tf LEFT JOIN tr USING (term) JOIN rr USING (term)
         |GROUP BY tf.doc_id
         |ORDER BY weight DESC, doc LIMIT 50""".stripMargin,
+
+    "graph_copurchase_edges" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS item
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT a.u AS ua, b2.u AS ub, COUNT(*) AS w
+        |FROM b a JOIN b b2 USING (item)
+        |WHERE a.u < b2.u
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "graph_triangles" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS item
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT a.u AS x, b2.u AS y
+        |      FROM b a JOIN b b2 USING (item)
+        |      WHERE a.u < b2.u GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |t AS (SELECT e1.x AS v1, e1.y AS v2, e2.y AS v3
+        |      FROM e e1
+        |      JOIN e e2 ON e2.x = e1.y
+        |      JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |pv AS (SELECT unnest([v1, v2, v3]) AS v FROM t)
+        |SELECT v, COUNT(*) AS triangles FROM pv
+        |GROUP BY v ORDER BY v""".stripMargin,
 
     "curate_url_normalize" ->
       s"""WITH u0 AS (SELECT doc_id, $UrlSynthSql AS url FROM documents),

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph operators for corpus/web-graph curation: bipartite projection
+  * (co-occurrence graphs), degrees, and triangle counting — the signals a
+  * web-scale data pipeline derives from link or interaction structure
+  * (site authority, community density, spam-farm detection).
+  *
+  * Everything is DataFrame equi-joins and aggregates — no vertex-program
+  * framework, no driver-side adjacency, no iteration: these are the
+  * single-pass structural measures. Connected components (iterative) lives
+  * in [[Dedup.connectedComponents]]; these compose with it.
+  *
+  * Beyond-reference superset: the reference engine has no graph surface.
+  */
+object Graphs {
+
+  /** Project a bipartite (left, right) relation onto its LEFT side: a
+    * weighted co-occurrence graph where `(ua, ub, w)` means ua and ub
+    * share `w` distinct right-values (users co-purchasing items, docs
+    * sharing hosts, authors sharing papers). Pairs are canonical
+    * (`ua < ub`), inputs dedup to DISTINCT (left, right) memberships
+    * first, so `w` is a set-intersection size, not an event count.
+    *
+    * Scale shape: one self equi-join on the right key — cost is
+    * Σ degree(right)² over right-values, never |left|². That sum is the
+    * graph's true output size EXCEPT under hub right-values (an item
+    * everyone bought contributes degree² pairs while telling you nothing
+    * about affinity): `maxRightDegree` drops right-values above the cap
+    * BEFORE the join — the standard stop-word treatment for projection
+    * hubs. The cap changes semantics (documented, explicit), not silently:
+    * default keeps everything.
+    */
+  def projectBipartite(
+      df: DataFrame, leftCol: String, rightCol: String,
+      maxRightDegree: Int = Int.MaxValue): DataFrame = {
+    val b = df.select(col(leftCol).as("u"), col(rightCol).as("item"))
+      .na.drop().distinct()
+    val bounded =
+      if (maxRightDegree == Int.MaxValue) b
+      else b.join(
+        b.groupBy("item").agg(count(lit(1)).as("__deg"))
+          .filter(col("__deg") <= maxRightDegree).select("item"),
+        "item")
+    val l = bounded.select(col("u").as("ua"), col("item"))
+    val r = bounded.select(col("u").as("ub"), col("item"))
+    l.join(r, "item")
+      .filter(col("ua") < col("ub"))
+      .groupBy("ua", "ub").agg(count(lit(1)).as("w"))
+  }
+
+  /** Undirected degree per vertex of an edge list (each edge contributes
+    * to both endpoints; self-loops would double-count — feed canonical
+    * `a < b` edges).
+    */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(col(srcCol).as("v"))
+      .unionAll(edges.select(col(dstCol).as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+
+  /** Per-vertex triangle participation counts — the local clustering /
+    * community-density signal (a vertex in `t` triangles with degree `d`
+    * has clustering coefficient `2t/(d(d-1))`).
+    *
+    * Degree-ordered orientation (the MapReduce "node-iterator++"
+    * algorithm): orient every undirected edge from its lower-(degree, id)
+    * endpoint to the higher one; every triangle then has EXACTLY ONE
+    * vertex with out-edges to the other two, so wedges built from shared
+    * out-neighbors count each triangle once — no post-hoc division by 3,
+    * no duplicate elimination. The orientation is also what makes the
+    * plan survive skew: hubs RECEIVE their edges (low-degree neighbors
+    * out-rank into them) and can point only at the ≤O(√m) vertices of
+    * equal-or-higher degree, so every vertex's out-degree is O(√m) and
+    * wedge volume meets the optimal O(m^1.5) bound instead of Σ d² — THE
+    * difference between a web graph finishing and not.
+    *
+    * Three equi-join shuffles total (degree attach, wedge build, wedge
+    * close); no nested loop, no driver state.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).na.drop().distinct()
+    val deg = degrees(und, "a", "b")
+    val ranked = und
+      .join(deg.select(col("v").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("degree").as("db")), "b")
+    val oriented = ranked.select(
+      when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("s"), col("b").as("t")))
+        .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    val wedges = oriented.select(col("s"), col("t").as("v1"))
+      .join(oriented.select(col("s"), col("t").as("v2")), "s")
+      .filter(col("v1") < col("v2"))
+    val closing = und.select(col("a").as("v1"), col("b").as("v2"))
+    wedges.join(closing, Seq("v1", "v2"))
+      .select(explode(array(col("s"), col("v1"), col("v2"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("triangles"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.Graphs
+
+/** [[Graphs]] — bipartite projection, degrees, triangle counts. The
+  * `graph_copurchase_edges` / `graph_triangles` gates check the corpus
+  * path against DuckDB (the triangle oracle is an independent naive
+  * three-way join); this suite pins hand-computable structures and the
+  * exactly-once counting property.
+  */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bipartite projection: weights are shared-item set sizes, pairs canonical") {
+    // u1,u2 share {a,b}; u1,u3 share {a}; u2,u3 share {a}. Duplicate
+    // memberships must not inflate weights.
+    val bip = Seq(
+      (1L, "a"), (1L, "b"), (1L, "b"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a")).toDF("user", "item")
+    val got = Graphs.projectBipartite(bip, "user", "item")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("maxRightDegree drops hub items before the join") {
+    // "hub" is shared by all three users; cap 2 keeps only "x" (degree 2).
+    val bip = Seq(
+      (1L, "hub"), (2L, "hub"), (3L, "hub"),
+      (1L, "x"), (2L, "x")).toDF("user", "item")
+    val got = Graphs.projectBipartite(bip, "user", "item", maxRightDegree = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L)))
+  }
+
+  test("degrees count both endpoints") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = Graphs.degrees(e, "a", "b").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+  }
+
+  test("K4: every vertex sits in 3 of the 4 triangles") {
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val got = Graphs.triangleCounts(e, "a", "b").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("a 4-cycle has no triangles; adding one diagonal makes two") {
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    assert(Graphs.triangleCounts(square, "a", "b").count() == 0)
+    val withDiag = square.unionAll(Seq((1L, 3L)).toDF("a", "b"))
+    val got = Graphs.triangleCounts(withDiag, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    // triangles {1,2,3} and {1,3,4}: 1 and 3 in both, 2 and 4 in one.
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("duplicate, reversed and self-loop edges do not change the counts") {
+    val noisy = Seq(
+      (1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (1L, 3L), (3L, 3L))
+      .toDF("a", "b")
+    val got = Graphs.triangleCounts(noisy, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("exactly-once counting on a deterministic pseudo-random graph") {
+    // Edges (i, j) where (i*7 + j*13) % 5 == 0 over 20 vertices — dense
+    // enough for hundreds of triangles. Ground truth: driver-side naive
+    // enumeration over all vertex triples.
+    val vs = 0L until 20L
+    val edges = (for {
+      i <- vs; j <- vs if i < j && (i * 7 + j * 13) % 5 == 0
+    } yield (i, j)).toSeq
+    val adj = edges.toSet
+    def conn(x: Long, y: Long) = adj((math.min(x, y), math.max(x, y)))
+    val naive = (for {
+      x <- vs; y <- vs if x < y; z <- vs if y < z
+      if conn(x, y) && conn(y, z) && conn(x, z)
+    } yield Seq(x, y, z)).flatten
+      .groupBy(identity).map { case (v, l) => v -> l.size.toLong }
+    val got = Graphs.triangleCounts(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == naive)
+    assert(got.values.sum % 3 == 0) // each triangle contributes 3 rows
+  }
+}
