@@ -2388,6 +2388,47 @@ object SparkEntry {
       Graphs.triangleCounts(strong, "ua", "ub").orderBy("v")
     }),
 
+    // END-TO-END CURATION PIPELINE: URL → registered domain → blocklist →
+    // per-domain cap → LM-quality filter → sequence packing, one composed
+    // gate with a single chained DuckDB oracle (every stage exact-integer).
+    // Proves the round's curation operators COMPOSE, orderings included.
+    "pipeline_curation_full" -> ((s, dir) => {
+      import s.implicits._
+      val d = table(s, dir, "documents")
+      val withDom = d.select(col("doc_id"), col("text"),
+        Urls.registeredDomain(syntheticUrl).as("domain"))
+      val block = Seq("src3.co.uk", "src7.co.uk").toDF("domain")
+      val kept = withDom.join(broadcast(block), Seq("domain"), "left_anti")
+      val capped = Sampling.topKPerGroup(kept, Seq("domain"),
+        Seq(Sampling.hashKey(col("doc_id")), col("doc_id")), 20)
+      val scored = TextAnalysis.bigramLmScore(capped,
+        d.filter(col("lang") === "en" && col("source") === "src0"),
+        "text", "doc_id")
+      val good = scored.filter(col("lm_avg") >= 34000)
+      val packed = TextAnalysis.packCounts(
+        good.select(col("doc"), col("n_bigrams")),
+        "doc", "n_bigrams", budgetTokens = 256, nShards = 8)
+      packed
+        .join(capped.select(col("doc_id"), col("domain")), "doc_id")
+        .join(good.select(col("doc").as("doc_id"), col("lm_avg")), "doc_id")
+        .select("doc_id", "domain", "lm_avg", "pack")
+        .orderBy("doc_id")
+    }),
+
+    // Integer-grid PageRank (3 iterations, damping 0.85 as the exact
+    // rational 850000/1e6) on the strong co-purchase graph — the site-
+    // authority curation signal, bit-reproducible: the oracle unrolls the
+    // SAME iterations in DuckDB. One join + one groupBy per iteration.
+    "graph_pagerank_int" -> ((s, dir) => {
+      val bip = table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val strong = Graphs.projectBipartite(bip, "user_id", "item")
+        .filter(col("w") >= 2)
+      Graphs.pageRankInt(strong, "ua", "ub", iters = 3).orderBy("v")
+    }),
+
     // URL canonicalization + registered-domain extraction over a messy
     // synthesized URL per document (mixed case, www, default ports,
     // tracking params, fragments, trailing slashes). One codegen'd
@@ -4435,6 +4476,75 @@ object SparkEntry {
         |pv AS (SELECT unnest([v1, v2, v3]) AS v FROM t)
         |SELECT v, COUNT(*) AS triangles FROM pv
         |GROUP BY v ORDER BY v""".stripMargin,
+
+    "pipeline_curation_full" ->
+      s"""WITH u0 AS (SELECT doc_id, $UrlSynthSql AS url FROM documents),
+        |hp AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport
+        |  FROM u0),
+        |h AS (SELECT doc_id,
+        |  CASE WHEN scheme = 'http'
+        |         THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$$', '')
+        |       WHEN scheme = 'https'
+        |         THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$$', '')
+        |       ELSE regexp_replace(hostport, '^www\\.', '') END AS host FROM hp),
+        |dom AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h),
+        |dd AS (SELECT doc_id, $DomainCaseSql AS domain FROM dom),
+        |ranked AS (SELECT domain, doc_id, row_number() OVER (PARTITION BY domain
+        |  ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS rn
+        |  FROM dd WHERE domain NOT IN ('src3.co.uk', 'src7.co.uk')),
+        |capped AS (SELECT domain, doc_id FROM ranked WHERE rn <= 20),
+        |t AS (SELECT doc_id, lang, source,
+        |    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+        |  FROM documents),
+        |bg AS (SELECT doc_id, lang, source, ws[i] || ' ' || ws[i+1] AS bg
+        |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) g),
+        |refbg AS (SELECT bg FROM bg WHERE lang = 'en' AND source = 'src0'),
+        |big AS (SELECT bg, COUNT(*) AS c2 FROM refbg GROUP BY bg),
+        |uni AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1
+        |        FROM refbg GROUP BY 1),
+        |model AS (SELECT bg, (c2 * 1000000) // c1 AS rate
+        |          FROM big JOIN uni ON split_part(big.bg, ' ', 1) = uni.w1),
+        |tf AS (SELECT bg.doc_id, bg.bg, COUNT(*) AS tf
+        |       FROM bg JOIN capped ON capped.doc_id = bg.doc_id GROUP BY 1, 2),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |         CAST(SUM(tf * COALESCE(rate, 0)) // SUM(tf) AS BIGINT) AS lm_avg
+        |       FROM tf LEFT JOIN model USING (bg) GROUP BY 1),
+        |good AS (SELECT * FROM sc WHERE lm_avg >= 34000),
+        |packed AS (SELECT doc_id, n_bigrams, lm_avg,
+        |  (doc_id % 8) * 4294967296 +
+        |  (SUM(n_bigrams) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |     ROWS UNBOUNDED PRECEDING) - n_bigrams) // 256 AS pack
+        |  FROM good)
+        |SELECT p.doc_id, c.domain, p.lm_avg, CAST(p.pack AS BIGINT) AS pack
+        |FROM packed p JOIN capped c ON c.doc_id = p.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
+
+    "graph_pagerank_int" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS item
+        |  FROM events WHERE event_type = 'purchase'),
+        |e0 AS (SELECT a.u AS x, b2.u AS y FROM b a JOIN b b2 USING (item)
+        |       WHERE a.u < b2.u GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT x AS u, y AS v FROM e0 UNION ALL SELECT y AS u, x AS v FROM e0),
+        |deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u),
+        |s0 AS (SELECT u, CAST(1000000 AS BIGINT) AS s FROM deg),
+        |i1 AS (SELECT e.v AS u, SUM(s0.s // deg.d) AS m
+        |       FROM e JOIN s0 ON s0.u = e.u JOIN deg ON deg.u = e.u GROUP BY e.v),
+        |s1 AS (SELECT deg.u, 150000 + (850000 * COALESCE(i1.m, 0)) // 1000000 AS s
+        |       FROM deg LEFT JOIN i1 ON i1.u = deg.u),
+        |i2 AS (SELECT e.v AS u, SUM(s1.s // deg.d) AS m
+        |       FROM e JOIN s1 ON s1.u = e.u JOIN deg ON deg.u = e.u GROUP BY e.v),
+        |s2 AS (SELECT deg.u, 150000 + (850000 * COALESCE(i2.m, 0)) // 1000000 AS s
+        |       FROM deg LEFT JOIN i2 ON i2.u = deg.u),
+        |i3 AS (SELECT e.v AS u, SUM(s2.s // deg.d) AS m
+        |       FROM e JOIN s2 ON s2.u = e.u JOIN deg ON deg.u = e.u GROUP BY e.v),
+        |s3 AS (SELECT deg.u, 150000 + (850000 * COALESCE(i3.m, 0)) // 1000000 AS s
+        |       FROM deg LEFT JOIN i3 ON i3.u = deg.u)
+        |SELECT u AS v, CAST(s AS BIGINT) AS pr FROM s3 ORDER BY v""".stripMargin,
 
     "curate_url_normalize" ->
       s"""WITH u0 AS (SELECT doc_id, $UrlSynthSql AS url FROM documents),

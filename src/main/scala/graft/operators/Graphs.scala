@@ -60,6 +60,55 @@ object Graphs {
       .unionAll(edges.select(col(dstCol).as("v")))
       .groupBy("v").agg(count(lit(1)).as("degree"))
 
+  /** PageRank on an exact-integer grid — the site-authority signal web
+    * curation ranks by (the ancestor of CommonCrawl's harmonic-centrality
+    * ordering), made bit-reproducible: scores live on a `scale` grid,
+    * damping is the exact rational `dampNum / scale`, and every division
+    * is integral (both engines truncate identically on non-negatives), so
+    * a fixed iteration count is a pure function of the edge set — the
+    * `graph_pagerank_int` gate unrolls the same iterations in DuckDB.
+    *
+    * Semantics: undirected (each edge walks both ways — canonicalized and
+    * deduped like [[triangleCounts]]); uniform teleport `scale - dampNum`;
+    * per-iteration update `s'(v) = (scale-dampNum) + dampNum·Σ_{u~v}
+    * (s(u) div deg(u)) div scale`. Isolated vertices (no edges) are not in
+    * the output — they'd hold the teleport constant.
+    *
+    * Scale shape: one degree aggregate, then per iteration ONE equi-join
+    * shuffle (contribs to neighbors) + ONE groupBy(v) — the canonical
+    * distributed PageRank plan. Iterations chain lazily; pass
+    * `checkpointEach = true` on a real cluster run so lineage doesn't grow
+    * with `iters` (the gate's 3 iterations don't need it).
+    */
+  def pageRankInt(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, scale: Long = 1000000L, dampNum: Long = 850000L,
+      checkpointEach: Boolean = false): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    require(dampNum >= 0 && dampNum <= scale,
+      s"damping numerator must sit in [0, scale]: $dampNum vs $scale")
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("x"),
+        greatest(col(srcCol), col(dstCol)).as("y"))
+      .filter(col("x") =!= col("y")).na.drop().distinct()
+    val dir = und.select(col("x").as("u"), col("y").as("v"))
+      .unionAll(und.select(col("y").as("u"), col("x").as("v")))
+    val deg = dir.groupBy("u").agg(count(lit(1)).as("d"))
+    var score = deg.select(col("u"), lit(scale).as("s"))
+    for (_ <- 1 to iters) {
+      val contrib = score.join(deg, "u").select(col("u"), expr("s div d").as("c"))
+      val incoming = dir.join(contrib, "u")
+        .groupBy("v").agg(sum("c").as("m"))
+        .withColumnRenamed("v", "u")
+      val next = deg.select(col("u")).join(incoming, Seq("u"), "left")
+        .select(col("u"),
+          (lit(scale - dampNum) +
+            expr(s"($dampNum * coalesce(m, 0)) div $scale")).as("s"))
+      score = if (checkpointEach) next.localCheckpoint(true) else next
+    }
+    score.select(col("u").as("v"), col("s").as("pr"))
+  }
+
   /** Per-vertex triangle participation counts — the local clustering /
     * community-density signal (a vertex in `t` triangles with degree `d`
     * has clustering coefficient `2t/(d(d-1))`).

@@ -65,6 +65,48 @@ class GraphsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("pageRankInt: hand-computed path graph, two iterations") {
+    // Path a-b-c (deg 1,2,1). s0 = 1e6 everywhere.
+    // iter1: contribs a=1e6, b=5e5, c=1e6 -> s1 = (575000, 1850000, 575000)
+    // iter2: contribs a=575000, b=925000, c=575000
+    //        -> s2 = (936250, 1127500, 936250)
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val pr = Graphs.pageRankInt(e, "a", "b", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(pr == Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L))
+  }
+
+  test("pageRankInt: regular graphs are a fixed point at the scale value") {
+    // Triangle: every vertex degree 2 -> scores never move off 1e6.
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val pr = Graphs.pageRankInt(tri, "a", "b", iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(pr.values.toSet == Set(1000000L))
+  }
+
+  test("pageRankInt: reversed/duplicate edges don't change scores; checkpointEach agrees") {
+    val clean = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L)).toDF("a", "b")
+    val noisy = clean.unionAll(Seq((2L, 1L), (1L, 2L), (4L, 3L)).toDF("a", "b"))
+    val a = Graphs.pageRankInt(clean, "a", "b").as[(Long, Long)].collect().toMap
+    val b = Graphs.pageRankInt(noisy, "a", "b").as[(Long, Long)].collect().toMap
+    val c = Graphs.pageRankInt(clean, "a", "b", checkpointEach = true)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a == c)
+    // higher-degree vertices outrank lower-degree ones on this graph
+    assert(a(1L) > a(2L))
+  }
+
+  test("pageRankInt rejects bad iteration/damping arguments") {
+    val e = Seq((1L, 2L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Graphs.pageRankInt(e, "a", "b", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graphs.pageRankInt(e, "a", "b", dampNum = 2000000L)
+    }
+  }
+
   test("exactly-once counting on a deterministic pseudo-random graph") {
     // Edges (i, j) where (i*7 + j*13) % 5 == 0 over 20 vertices — dense
     // enough for hundreds of triangles. Ground truth: driver-side naive
