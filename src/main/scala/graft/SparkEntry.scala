@@ -2375,16 +2375,20 @@ object SparkEntry {
         .orderBy("ua", "ub")
     }),
 
-    // Per-vertex triangle counts on the strong (w>=2) co-purchase graph,
-    // via degree-ordered orientation (each triangle found exactly once,
-    // O(m^1.5) wedge volume). Oracle = INDEPENDENT naive three-way join.
+    // Per-vertex triangle counts on the strong (w>=5) co-purchase
+    // backbone, via degree-ordered orientation (each triangle found
+    // exactly once, O(m^1.5) wedge volume). The threshold matters for the
+    // RIGHT reason: triangle counting is superlinear in density, and the
+    // fixed 100-item space makes the w>=2 graph ~50% dense at sf0.1 —
+    // backbone-thinning before triangles is exactly what a real
+    // co-occurrence analysis does. Oracle = INDEPENDENT naive 3-way join.
     "graph_triangles" -> ((s, dir) => {
       val bip = table(s, dir, "events")
         .filter(col("event_type") === "purchase")
         .select(col("user_id"),
           get_json_object(col("props"), "$.k").cast("long").as("item"))
       val strong = Graphs.projectBipartite(bip, "user_id", "item")
-        .filter(col("w") >= 2)
+        .filter(col("w") >= 5)
       Graphs.triangleCounts(strong, "ua", "ub").orderBy("v")
     }),
 
@@ -4468,7 +4472,7 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase'),
         |e AS (SELECT a.u AS x, b2.u AS y
         |      FROM b a JOIN b b2 USING (item)
-        |      WHERE a.u < b2.u GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |      WHERE a.u < b2.u GROUP BY 1, 2 HAVING COUNT(*) >= 5),
         |t AS (SELECT e1.x AS v1, e1.y AS v2, e2.y AS v3
         |      FROM e e1
         |      JOIN e e2 ON e2.x = e1.y
