@@ -33,23 +33,33 @@ object Bridge {
     checkpointRdds(df).foreach(_.unpersist(blocking))
 
   /** Re-wrap a locally-checkpointed Dataset's LogicalRDD WITHOUT the origin
-    * plan's constraints and stats. `localCheckpoint` copies the origin
-    * plan's constraint set onto the LogicalRDD; when the origin was a
-    * streaming micro-batch (e.g. a stream-stream join output inside
+    * plan's constraints or per-attribute stats. `localCheckpoint` copies
+    * the origin plan's constraint set onto the LogicalRDD; when the origin
+    * was a streaming micro-batch (e.g. a stream-stream join output inside
     * foreachBatch), those constraints carry watermark-tagged attribute
     * instances that are not in the node's output, and a later Union
     * constraint rewrite over the retained snapshot dies with
     * `key not found: ts#N`. The snapshot's data is already inert — this
     * makes its metadata inert too. Identity on non-LogicalRDD plans.
+    *
+    * The SIZE stats survive, attribute-free: `sizeInBytes`/`rowCount` are
+    * plain numbers (no attribute references, nothing to poison) and they
+    * are load-bearing — joins against lake snapshots pick broadcast-vs-SMJ
+    * from them, and dropping them silently turned provably-small dimension
+    * sides into sort-merge joins (caught by SqlPruneSpec's broadcast pin).
+    * Only `attributeStats` (keyed by origin attribute instances) is
+    * discarded with the constraints.
     */
   def severCheckpoint(df: Dataset[_]): org.apache.spark.sql.DataFrame =
     df.queryExecution.analyzed match {
       case lr: LogicalRDD =>
+        val sizeOnly = org.apache.spark.sql.catalyst.plans.logical.Statistics(
+          sizeInBytes = lr.stats.sizeInBytes, rowCount = lr.stats.rowCount)
         ofRows(df.sparkSession,
           LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
             lr.outputOrdering, lr.isStreaming, lr.stream)(
             df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-            None, None))
+            Some(sizeOnly), None))
       case _ => df.toDF()
     }
 
