@@ -2392,6 +2392,24 @@ object SparkEntry {
       Graphs.triangleCounts(strong, "ua", "ub").orderBy("v")
     }),
 
+    // Personalized, edge-weighted PageRank: trust propagates from the
+    // seed users (id % 10 == 0) over shared-item weights — TrustRank-style
+    // quality curation; unreachable vertices score exactly 0. Oracle
+    // unrolls the identical 3 integer-grid iterations.
+    "graph_ppr_weighted" -> ((s, dir) => {
+      val bip = table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val strong = Graphs.projectBipartite(bip, "user_id", "item")
+        .filter(col("w") >= 2)
+      val seeds = bip.select(col("user_id")).distinct()
+        .filter(col("user_id") % 10 === 0)
+      Graphs.personalizedPageRankInt(strong, "ua", "ub", "w",
+          seeds, "user_id", iters = 3)
+        .orderBy("v")
+    }),
+
     // END-TO-END CURATION PIPELINE: URL → registered domain → blocklist →
     // per-domain cap → LM-quality filter → sequence packing, one composed
     // gate with a single chained DuckDB oracle (every stage exact-integer).
@@ -4480,6 +4498,36 @@ object SparkEntry {
         |pv AS (SELECT unnest([v1, v2, v3]) AS v FROM t)
         |SELECT v, COUNT(*) AS triangles FROM pv
         |GROUP BY v ORDER BY v""".stripMargin,
+
+    "graph_ppr_weighted" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS item
+        |  FROM events WHERE event_type = 'purchase'),
+        |e0 AS (SELECT a.u AS x, b2.u AS y, COUNT(*) AS w
+        |       FROM b a JOIN b b2 USING (item)
+        |       WHERE a.u < b2.u GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT x AS u, y AS v, w FROM e0
+        |      UNION ALL SELECT y AS u, x AS v, w FROM e0),
+        |wt AS (SELECT u, SUM(w) AS wt FROM e GROUP BY u),
+        |s0 AS (SELECT u, CASE WHEN u % 10 = 0 THEN CAST(1000000 AS BIGINT)
+        |                      ELSE CAST(0 AS BIGINT) END AS s FROM wt),
+        |i1 AS (SELECT e.v AS u, SUM((s0.s * e.w) // wt.wt) AS m
+        |       FROM e JOIN s0 ON s0.u = e.u JOIN wt ON wt.u = e.u GROUP BY e.v),
+        |s1 AS (SELECT wt.u, (CASE WHEN wt.u % 10 = 0 THEN 150000 ELSE 0 END)
+        |         + (850000 * COALESCE(i1.m, 0)) // 1000000 AS s
+        |       FROM wt LEFT JOIN i1 ON i1.u = wt.u),
+        |i2 AS (SELECT e.v AS u, SUM((s1.s * e.w) // wt.wt) AS m
+        |       FROM e JOIN s1 ON s1.u = e.u JOIN wt ON wt.u = e.u GROUP BY e.v),
+        |s2 AS (SELECT wt.u, (CASE WHEN wt.u % 10 = 0 THEN 150000 ELSE 0 END)
+        |         + (850000 * COALESCE(i2.m, 0)) // 1000000 AS s
+        |       FROM wt LEFT JOIN i2 ON i2.u = wt.u),
+        |i3 AS (SELECT e.v AS u, SUM((s2.s * e.w) // wt.wt) AS m
+        |       FROM e JOIN s2 ON s2.u = e.u JOIN wt ON wt.u = e.u GROUP BY e.v),
+        |s3 AS (SELECT wt.u, (CASE WHEN wt.u % 10 = 0 THEN 150000 ELSE 0 END)
+        |         + (850000 * COALESCE(i3.m, 0)) // 1000000 AS s
+        |       FROM wt LEFT JOIN i3 ON i3.u = wt.u)
+        |SELECT u AS v, CAST(s AS BIGINT) AS pr FROM s3 ORDER BY v""".stripMargin,
 
     "pipeline_curation_full" ->
       s"""WITH u0 AS (SELECT doc_id, $UrlSynthSql AS url FROM documents),

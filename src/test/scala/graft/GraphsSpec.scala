@@ -97,6 +97,39 @@ class GraphsSpec extends SparkSpec {
     assert(a(1L) > a(2L))
   }
 
+  test("personalizedPageRankInt: hand-computed weighted trust spread") {
+    // Graph 1-2 (w=1), 2-3 (w=3); seed {1}. Totals: W(1)=1, W(2)=4, W(3)=3.
+    // s0 = (1e6, 0, 0)
+    // iter1: 1 sends 1e6 to 2 -> s1 = (150000, 850000, 0)
+    // iter2: 2 splits 850000 as 212500->1, 637500->3; 1 sends 150000->2
+    //        -> s2 = (330625, 127500, 541875)
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 3L)).toDF("a", "b", "w")
+    val seeds = Seq(1L).toDF("id")
+    val pr = Graphs.personalizedPageRankInt(e, "a", "b", "w", seeds, "id",
+        iters = 2, scale = 1000000L, dampNum = 850000L)
+      .as[(Long, Long)].collect().toMap
+    assert(pr == Map(1L -> 330625L, 2L -> 127500L, 3L -> 541875L))
+  }
+
+  test("personalizedPageRankInt: vertices unreachable from every seed score 0") {
+    val e = Seq((1L, 2L, 1L), (3L, 4L, 5L)).toDF("a", "b", "w")
+    val seeds = Seq(1L).toDF("id")
+    val pr = Graphs.personalizedPageRankInt(e, "a", "b", "w", seeds, "id",
+        iters = 4).as[(Long, Long)].collect().toMap
+    assert(pr(3L) == 0L && pr(4L) == 0L)
+    assert(pr(1L) > 0L && pr(2L) > 0L)
+  }
+
+  test("personalizedPageRankInt: heavier edges carry proportionally more trust") {
+    // Star: seed 1 linked to 2 (w=9) and 3 (w=1) — after one hop the
+    // heavy neighbor holds 9x the light one.
+    val e = Seq((1L, 2L, 9L), (1L, 3L, 1L)).toDF("a", "b", "w")
+    val seeds = Seq(1L).toDF("id")
+    val pr = Graphs.personalizedPageRankInt(e, "a", "b", "w", seeds, "id",
+        iters = 1).as[(Long, Long)].collect().toMap
+    assert(pr(2L) == 9L * pr(3L))
+  }
+
   test("pageRankInt rejects bad iteration/damping arguments") {
     val e = Seq((1L, 2L)).toDF("a", "b")
     intercept[IllegalArgumentException] {
