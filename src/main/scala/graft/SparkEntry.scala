@@ -2392,6 +2392,33 @@ object SparkEntry {
       Graphs.triangleCounts(strong, "ua", "ub").orderBy("v")
     }),
 
+    // ENTITY RESOLUTION PIPELINE: noisy records → fuzzy name pairs →
+    // connected components → canonical entity id. Corpus = customers at
+    // key%11 (multiples of 11 NEVER differ in one digit — 11 ∤ d·10^p —
+    // so base names can't chain) + planted one-char typos at key%22.
+    // Completeness is the deletion theorem; the oracle recomputes with
+    // independent all-pairs levenshtein + recursive-CTE components.
+    "pipeline_entity_resolution" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val base = c.filter(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey").cast("long").as("rid"), col("c_name").as("name"))
+      val typos = c.filter(col("c_custkey") % 22 === 0)
+        .select((col("c_custkey") + 100000L).cast("long").as("rid"),
+          concat(substring(col("c_name"), 1, 9), lit("x"),
+            substring(col("c_name"), 11, 100)).as("name"))
+      val rows = base.unionByName(typos)
+      val nameIds = rows.groupBy("name").agg(min("rid").as("nid"))
+      val pairs = Joins.fuzzySelfPairs(rows.select("name"), "name", maxDist = 1)
+        .join(nameIds.select(col("name").as("name_a"), col("nid").as("ida")), "name_a")
+        .join(nameIds.select(col("name").as("name_b"), col("nid").as("idb")), "name_b")
+        .select("ida", "idb")
+      val comps = Dedup.connectedComponents(pairs, "ida", "idb")
+      rows.join(nameIds, "name")
+        .join(comps.withColumnRenamed("doc_id", "nid"), Seq("nid"), "left")
+        .select(col("rid"), coalesce(col("component"), col("nid")).as("entity"))
+        .orderBy("rid")
+    }),
+
     // Personalized, edge-weighted PageRank: trust propagates from the
     // seed users (id % 10 == 0) over shared-item weights — TrustRank-style
     // quality curation; unreachable vertices score exactly 0. Oracle
@@ -4498,6 +4525,30 @@ object SparkEntry {
         |pv AS (SELECT unnest([v1, v2, v3]) AS v FROM t)
         |SELECT v, COUNT(*) AS triangles FROM pv
         |GROUP BY v ORDER BY v""".stripMargin,
+
+    "pipeline_entity_resolution" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS rid, c_name AS name
+        |  FROM customer WHERE c_custkey % 11 = 0),
+        |typo AS (
+        |  SELECT CAST(c_custkey + 100000 AS BIGINT) AS rid,
+        |         substring(c_name, 1, 9) || 'x' || substring(c_name, 11) AS name
+        |  FROM customer WHERE c_custkey % 22 = 0),
+        |rws AS (SELECT * FROM base UNION ALL SELECT * FROM typo),
+        |nid AS (SELECT name, MIN(rid) AS nid FROM rws GROUP BY name),
+        |p AS (SELECT a.nid AS ida, b.nid AS idb FROM nid a JOIN nid b
+        |      ON a.name < b.name AND abs(length(a.name) - length(b.name)) <= 1
+        |         AND levenshtein(a.name, b.name) <= 1),
+        |edges AS (SELECT ida AS a, idb AS b FROM p
+        |          UNION SELECT idb, ida FROM p),
+        |reach(v, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v),
+        |comps AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v)
+        |SELECT r.rid, COALESCE(c.component, n.nid) AS entity
+        |FROM rws r JOIN nid n USING (name) LEFT JOIN comps c ON c.v = n.nid
+        |ORDER BY r.rid""".stripMargin,
 
     "graph_ppr_weighted" ->
       """WITH b AS (
