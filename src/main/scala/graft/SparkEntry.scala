@@ -510,6 +510,46 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Theta-sketch distinct SET ALGEBRA — the overlap questions HLL cannot
+    // answer (intersection / A-not-B): viewers ∩ buyers, view-only mass,
+    // union audience, from ONE pass + k-row set ops. Sketch-valued ->
+    // rows-only; exact twin q34_overlap_exact is the oracle-checked truth
+    // and ThetaSpec pins <2% error against it.
+    "q34_theta_overlap" -> ((s, dir) => {
+      import graft.functions.ThetaAgg
+      val sk = table(s, dir, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(ThetaAgg.sketch(col("user_id")).as("sk"))
+      sk.agg(
+          ThetaAgg.unionAgg(when(col("event_type") === "view", col("sk"))).as("sv"),
+          ThetaAgg.unionAgg(when(col("event_type") === "purchase", col("sk"))).as("sp"),
+          ThetaAgg.unionAgg(col("sk")).as("sall"))
+        .select(
+          round(ThetaAgg.estimate(col("sv"))).cast("long").as("viewers"),
+          round(ThetaAgg.estimate(col("sp"))).cast("long").as("buyers"),
+          round(ThetaAgg.intersectEstimate(col("sv"), col("sp"))).cast("long").as("both_vp"),
+          round(ThetaAgg.aNotBEstimate(col("sv"), col("sp"))).cast("long").as("view_only"),
+          round(ThetaAgg.estimate(col("sall"))).cast("long").as("all_users"))
+    }),
+
+    // Exact twin for q34_theta_overlap: one distinct + one flag aggregate
+    // computes every overlap count the sketches estimate.
+    "q34_overlap_exact" -> ((s, dir) => {
+      val tagged = table(s, dir, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("v"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+      tagged.agg(
+        sum("v").cast("long").as("viewers"),
+        sum("p").cast("long").as("buyers"),
+        sum(col("v") * col("p")).cast("long").as("both_vp"),
+        sum(col("v") * (lit(1) - col("p"))).cast("long").as("view_only"),
+        count(lit(1)).cast("long").as("all_users"))
+    }),
+
     "q30_corr_manual" -> ((s, dir) => {
       // Pearson correlation from exact decimal moments: built-in corr() is
       // summation-order dependent; this formulation is reproducible anywhere.
@@ -4525,6 +4565,20 @@ object SparkEntry {
         |pv AS (SELECT unnest([v1, v2, v3]) AS v FROM t)
         |SELECT v, COUNT(*) AS triangles FROM pv
         |GROUP BY v ORDER BY v""".stripMargin,
+
+    "q34_overlap_exact" ->
+      """WITH tagged AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY user_id)
+        |SELECT CAST(SUM(v) AS BIGINT) AS viewers,
+        |  CAST(SUM(p) AS BIGINT) AS buyers,
+        |  CAST(SUM(v * p) AS BIGINT) AS both_vp,
+        |  CAST(SUM(v * (1 - p)) AS BIGINT) AS view_only,
+        |  CAST(COUNT(*) AS BIGINT) AS all_users
+        |FROM tagged""".stripMargin,
 
     "pipeline_entity_resolution" ->
       """WITH RECURSIVE base AS (
