@@ -1407,6 +1407,52 @@ object ScaleSmoke {
       }
       println(s"[scale] r13d projection: capped=$capped edges, " +
         s"uncapped candidate volume=$predicted")
+
+      // (5) personalized PageRank on the same 1M-edge sparse graph:
+      // 3 iterations = 3 joins + 3 groupBys regardless of graph size;
+      // seed mass must stay on the seeds' reachable set.
+      val sparseW = sparse.withColumn("w", lit(1L))
+      val seeds13 = spark.range(0, nV, 1000).select(col("id"))
+      val ppr = time("personalized PageRank, 3 iters, 1M edges") {
+        Graphs.personalizedPageRankInt(sparseW, "a", "b", "w",
+          seeds13, "id", iters = 3, checkpointEach = true).localCheckpoint(true)
+      }
+      val pprStats = ppr.agg(
+        sum(when(col("pr") > 0, 1L).otherwise(0L)),
+        sum(col("pr"))).head()
+      println(s"[scale] r13d ppr: ${pprStats.getLong(0)} reached of $nV, " +
+        s"mass=${pprStats.getLong(1)}")
+      require(pprStats.getLong(0) > 0, "seeds must reach someone")
+      // truncation only ever LOSES mass: total <= seeds * scale
+      require(pprStats.getLong(1) <= (nV / 1000 + 1) * 1000000L,
+        "PPR mass exceeded the teleport budget — integer walk broke")
+
+      // (6) theta overlap over copies× events: sketch size is CONSTANT in
+      // corpus size (4096 retained hashes), so the overlap answer costs
+      // one pass + k-row algebra at ANY scale.
+      import graft.functions.ThetaAgg
+      val ev13 = (0 until copies).map { i =>
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .select((col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
+            col("event_type"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      val thetaRow = time(s"theta overlap over ${copies}x events") {
+        ev13.filter(col("event_type").isin("view", "purchase"))
+          .groupBy("event_type").agg(ThetaAgg.sketch(col("user_id")).as("sk"))
+          .agg(
+            ThetaAgg.unionAgg(when(col("event_type") === "view", col("sk"))).as("sv"),
+            ThetaAgg.unionAgg(when(col("event_type") === "purchase", col("sk"))).as("sp"))
+          .select(
+            ThetaAgg.estimate(col("sv")).as("v"),
+            ThetaAgg.intersectEstimate(col("sv"), col("sp")).as("i"))
+          .head()
+      }
+      val exactViewers = ev13.filter(col("event_type") === "view")
+        .select("user_id").distinct().count()
+      val err = math.abs(thetaRow.getDouble(0) - exactViewers) / exactViewers.toDouble
+      println(f"[scale] r13d theta: viewers=${thetaRow.getDouble(0)}%.0f " +
+        f"exact=$exactViewers err=${err * 100}%.2f%% overlap=${thetaRow.getDouble(1)}%.0f")
+      require(err < 0.05, f"theta viewer estimate off by ${err * 100}%.1f%%")
       // At copies×20 every item is a hub (~380 distinct buyers each), so
       // the cap drops them ALL — the degenerate-projection guard working
       // as designed — while the uncapped candidate volume sits in the
