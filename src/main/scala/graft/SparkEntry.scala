@@ -533,6 +533,36 @@ object SparkEntry {
           round(ThetaAgg.estimate(col("sall"))).cast("long").as("all_users"))
     }),
 
+    // Retention/overlap MATRIX: every pairwise segment overlap from ONE
+    // scan (k sketches -> k^2 driver-side set algebra) — the dashboard the
+    // exact path pays one self-join per question for. Sketch-valued ->
+    // rows-only; exact twin retention_matrix_exact is the oracle.
+    "theta_retention_matrix" -> ((s, dir) => {
+      import graft.functions.ThetaAgg
+      ThetaAgg.overlapMatrix(table(s, dir, "events"), "event_type", "user_id")
+        .orderBy("g_a", "g_b")
+    }),
+
+    // Exact twin for the retention matrix: distinct (group, user) tags,
+    // one equi-join on user for all co-occurring pairs, counts by flags.
+    "retention_matrix_exact" -> ((s, dir) => {
+      val d = table(s, dir, "events")
+        .select(col("event_type").as("g"), col("user_id").as("u")).distinct()
+      val c = d.groupBy("g").agg(count(lit(1)).as("n"))
+      val p = d.select(col("g").as("g_a"), col("u"))
+        .join(d.select(col("g").as("g_b"), col("u")), "u")
+        .filter(col("g_a") < col("g_b"))
+        .groupBy("g_a", "g_b").agg(count(lit(1)).as("both_ab"))
+      p.join(c.select(col("g").as("g_a"), col("n").as("na")), "g_a")
+        .join(c.select(col("g").as("g_b"), col("n").as("nb")), "g_b")
+        .select(col("g_a"), col("g_b"),
+          (col("na") - col("both_ab")).as("only_a"),
+          (col("nb") - col("both_ab")).as("only_b"),
+          col("both_ab"),
+          (col("na") + col("nb") - col("both_ab")).as("union_ab"))
+        .orderBy("g_a", "g_b")
+    }),
+
     // Exact twin for q34_theta_overlap: one distinct + one flag aggregate
     // computes every overlap count the sketches estimate.
     "q34_overlap_exact" -> ((s, dir) => {
@@ -4565,6 +4595,19 @@ object SparkEntry {
         |pv AS (SELECT unnest([v1, v2, v3]) AS v FROM t)
         |SELECT v, COUNT(*) AS triangles FROM pv
         |GROUP BY v ORDER BY v""".stripMargin,
+
+    "retention_matrix_exact" ->
+      """WITH d AS (SELECT DISTINCT event_type AS g, user_id AS u FROM events),
+        |c AS (SELECT g, COUNT(*) AS n FROM d GROUP BY g),
+        |p AS (SELECT a.g AS g_a, b.g AS g_b, COUNT(*) AS both_ab
+        |      FROM d a JOIN d b ON a.u = b.u AND a.g < b.g GROUP BY 1, 2)
+        |SELECT p.g_a, p.g_b,
+        |  ca.n - p.both_ab AS only_a,
+        |  cb.n - p.both_ab AS only_b,
+        |  p.both_ab,
+        |  ca.n + cb.n - p.both_ab AS union_ab
+        |FROM p JOIN c ca ON ca.g = p.g_a JOIN c cb ON cb.g = p.g_b
+        |ORDER BY 1, 2""".stripMargin,
 
     "q34_overlap_exact" ->
       """WITH tagged AS (

@@ -196,6 +196,51 @@ case class ThetaANotBEstimate(left: Expression, right: Expression)
 }
 
 object ThetaAgg {
+
+  /** ALL pairwise overlaps between groups from ONE scan: per-group theta
+    * sketches, then the k² set-algebra matrix — the day-over-day /
+    * segment-retention dashboard. The exact computation is a self-join of
+    * the distinct (group, id) table PER QUESTION; this answers every pair
+    * at once and never rescans.
+    *
+    * The matrix itself folds on the DRIVER: k sketches collect (k = group
+    * count — a dashboard dimension, bounded by the loud `maxGroups`
+    * require, same discipline as the catalog stat folds), pairs compute
+    * locally in O(k²) sketch ops. Returns every unordered pair `g_a <
+    * g_b` with rounded (only_a, only_b, both_ab, union_ab) estimates —
+    * including never-co-occurring pairs (both_ab = 0), which a join-based
+    * exact query silently drops.
+    */
+  def overlapMatrix(
+      df: org.apache.spark.sql.DataFrame, groupCol: String, idCol: String,
+      lgK: Int = ThetaCodec.LgK, maxGroups: Int = 1000)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val rows = df.groupBy(groupCol)
+      .agg(sketch(col(idCol), lgK).as("sk"))
+      .collect()
+    require(rows.length <= maxGroups,
+      s"overlapMatrix: ${rows.length} groups exceed maxGroups=$maxGroups — " +
+        "this operator is for dashboard-sized dimensions; raise the cap " +
+        "explicitly if the k^2 matrix is really wanted")
+    val sks = rows.map(r => r.get(0).toString ->
+      ThetaCodec.wrap(r.getAs[Array[Byte]](1))).sortBy(_._1)
+    val out = for {
+      i <- sks.indices; j <- (i + 1) until sks.length
+      (ga, a) = sks(i); (gb, b) = sks(j)
+    } yield {
+      val both = SetOperation.builder().buildIntersection().intersect(a, b).getEstimate
+      val aOnly = SetOperation.builder().buildANotB().aNotB(a, b).getEstimate
+      val bOnly = SetOperation.builder().buildANotB().aNotB(b, a).getEstimate
+      val u = ThetaCodec.emptyUnion(); u.union(a); u.union(b)
+      (ga, gb, math.round(aOnly), math.round(bOnly),
+        math.round(both), math.round(u.getResult.getEstimate))
+    }
+    import spark.implicits._
+    out.toSeq.toDF("g_a", "g_b", "only_a", "only_b", "both_ab", "union_ab")
+  }
+
   def sketch(c: Column, lgK: Int = ThetaCodec.LgK): Column =
     Bridge.column(ThetaSketchAgg(Bridge.expression(c), lgK).toAggregateExpression())
   def unionAgg(c: Column, lgK: Int = ThetaCodec.LgK): Column =

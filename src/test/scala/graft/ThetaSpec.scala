@@ -77,6 +77,27 @@ class ThetaSpec extends SparkSpec {
     assert(est.toSeq == Seq(0.0, 0.0))
   }
 
+  test("overlapMatrix: sparse regime equals hand-computed set sizes, all pairs present") {
+    // a={0..299}, b={200..499}, c={1000..1099} (disjoint from both).
+    val df = ((0L until 300L).map(("a", _)) ++
+      (200L until 500L).map(("b", _)) ++
+      (1000L until 1100L).map(("c", _))).toDF("g", "id")
+    val m = graft.functions.ThetaAgg.overlapMatrix(df, "g", "id")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    assert(m(("a", "b")) == ((200L, 200L, 100L, 500L)))
+    assert(m(("a", "c")) == ((300L, 100L, 0L, 400L)))  // zero-overlap pair PRESENT
+    assert(m(("b", "c")) == ((300L, 100L, 0L, 400L)))
+    assert(m.size == 3)
+  }
+
+  test("overlapMatrix refuses unbounded group dimensions loudly") {
+    val df = (0L until 2000L).map(i => (s"g$i", i)).toDF("g", "id")
+    intercept[IllegalArgumentException] {
+      graft.functions.ThetaAgg.overlapMatrix(df, "g", "id", maxGroups = 100)
+    }
+  }
+
   test("string and long inputs both sketch; disjoint domains don't intersect") {
     val longs = (0L until 100L).toDF("id").agg(ThetaAgg.sketch(col("id")).as("sk"))
     val strs = (0 until 100).map(i => s"user_$i").toDF("id")
