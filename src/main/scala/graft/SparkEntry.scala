@@ -543,6 +543,23 @@ object SparkEntry {
         .orderBy("g_a", "g_b")
     }),
 
+    // ZERO-SCAN retention matrix: the same pairwise-overlap dashboard
+    // answered from the catalog's per-cell HLL sketches alone (no Spark
+    // jobs at answer time) via inclusion-exclusion — exact here (sparse
+    // regime), honest-approximate at scale; the theta operator is the
+    // precise one-scan path. Twin: retention_matrix_exact.
+    "lake_stats_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val ev = table(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("event_id"))
+      val ds = LakeDataset.fromDataFrame(s, ev,
+        partitionCols = Seq("event_type"), sketchCols = Seq("user_id"))
+      val m = ds.metaPartitionOverlap("user_id", "event_type")
+        .getOrElse(sys.error("catalog overlap failed open — parts not tight"))
+      m.toDF("g_a", "g_b", "distinct_a", "distinct_b", "both_ab")
+        .orderBy("g_a", "g_b")
+    }),
+
     // Exact twin for the retention matrix: distinct (group, user) tags,
     // one equi-join on user for all co-occurring pairs, counts by flags.
     "retention_matrix_exact" -> ((s, dir) => {

@@ -1593,6 +1593,47 @@ final class LakeDataset private (
       Some(cols.map(c => c -> HllMap.unionEstimate(maps.map(_(c)))).toMap)
     }
 
+  /** Metadata-only PARTITION-OVERLAP matrix: how many distinct `c` values
+    * each pair of `partitionCol` values SHARES — the day-over-day /
+    * segment-retention dashboard — folded ENTIRELY from the catalog's
+    * per-cell HLL sketches: zero Spark jobs, zero file reads, at any part
+    * count. Per partition value the cell sketches union losslessly
+    * (register-wise max); the pairwise intersection is the standard HLL
+    * inclusion-exclusion `max(0, |A|+|B|-|A∪B|)`, whose error scales with
+    * the UNION's RSE — honest for overlaps that are a meaningful fraction
+    * of the union, drowned for tiny ones (HLL fundamentally cannot
+    * intersect; [[graft.functions.ThetaAgg.overlapMatrix]] is the
+    * one-scan precise path when that matters; in the exact sparse regime
+    * — under 2^LgK distinct per side — both agree with the truth).
+    *
+    * Same fail-open tightness contract as [[metaApproxDistinct]]. Returns
+    * every unordered pair of partition values `(v_a < v_b, |A|, |B|,
+    * both)`, including zero-overlap pairs.
+    */
+  def metaPartitionOverlap(c: String, partitionCol: String)
+      : Option[Seq[(String, String, Long, Long, Long)]] = this.synchronized {
+    if (!sketchCols.contains(c)) return None
+    if (!partitionCols.contains(partitionCol)) return None
+    val ps = parts.asScala.toList
+    if (ps.isEmpty) return Some(Seq.empty)
+    if (!ps.forall(p => p._2.statsTight.get && p._2.rows.get >= 0L)) return None
+    if (!ps.forall(_._2.sketches.exists(_.contains(c)))) return None
+    val groups: Seq[(String, Seq[Array[Byte]])] = ps
+      .groupBy(_._1.partValues.toMap.getOrElse(partitionCol, ""))
+      .map { case (v, cells) => v -> cells.map(_._2.sketches.get(c)) }
+      .toSeq.sortBy(_._1)
+    val out = for {
+      i <- groups.indices; j <- (i + 1) until groups.length
+      (va, sa) = groups(i); (vb, sb) = groups(j)
+    } yield {
+      val a = HllMap.unionEstimate(sa)
+      val b = HllMap.unionEstimate(sb)
+      val u = HllMap.unionEstimate(sa ++ sb)
+      (va, vb, a, b, math.max(0L, a + b - u))
+    }
+    Some(out)
+  }
+
   /** Metadata-only APPROX QUANTILE answers: per-column GK summaries folded
     * ENTIRELY from the catalog — zero Spark jobs, zero file reads. Same
     * tightness contract as [[metaApproxDistinct]] (every selected part

@@ -168,4 +168,42 @@ class HllStatsSpec extends SparkSpec {
     // collapsing it would change a query's answer. Always the scan.
     opensToScan("SELECT approx_count_distinct(o_custkey) AS a FROM hll_sql_open_t")
   }
+
+  test("zero-scan partition overlap: exact in the sparse regime, all pairs present") {
+    import spark.implicits._
+    // Partition A holds users 0..49, B holds 25..74 (25 shared), C holds
+    // 1000..1019 (disjoint). Well under 2^LgK -> sketches exact.
+    val rows = ((0L until 50L).map(("a", _)) ++
+      (25L until 75L).map(("b", _)) ++
+      (1000L until 1020L).map(("c", _))).toDF("seg", "uid")
+    val ds = LakeDataset.fromDataFrame(spark, rows,
+      partitionCols = Seq("seg"), sketchCols = Seq("uid"))
+    val m = ds.metaPartitionOverlap("uid", "seg")
+    assert(m.isDefined)
+    val byPair = m.get.map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(byPair(("a", "b")) == ((50L, 50L, 25L)))
+    assert(byPair(("a", "c")) == ((50L, 20L, 0L)))  // zero-overlap pair present
+    assert(byPair(("b", "c")) == ((50L, 20L, 0L)))
+    assert(byPair.size == 3)
+  }
+
+  test("partition overlap fails open on untight stats and untracked columns") {
+    import spark.implicits._
+    val rows = (0L until 50L).map(i => (s"s${i % 2}", i)).toDF("seg", "uid")
+    val ds = LakeDataset.fromDataFrame(spark, rows,
+      partitionCols = Seq("seg"), sketchCols = Seq("uid"))
+    assert(ds.metaPartitionOverlap("uid", "seg").isDefined)
+    // Untracked column / non-partition column: None, never a wrong answer.
+    assert(ds.metaPartitionOverlap("seg", "seg").isEmpty)
+    assert(ds.metaPartitionOverlap("uid", "uid").isEmpty)
+    // An upsert makes the touched cells untight -> the whole matrix fails
+    // open (a half-fresh overlap would silently undercount).
+    ds.upsert(Seq(("s0", 999L)).toDF("seg", "uid"), Seq("uid"))
+    assert(ds.metaPartitionOverlap("uid", "seg").isEmpty)
+    // ANALYZE re-tightens; the new user is visible in the re-fold.
+    ds.analyze()
+    val m = ds.metaPartitionOverlap("uid", "seg")
+    assert(m.isDefined)
+    assert(m.get.head._3 == 26L || m.get.head._4 == 26L) // s0 gained uid 999
+  }
 }
