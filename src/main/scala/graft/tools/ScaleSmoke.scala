@@ -1453,6 +1453,34 @@ object ScaleSmoke {
       println(f"[scale] r13d theta: viewers=${thetaRow.getDouble(0)}%.0f " +
         f"exact=$exactViewers err=${err * 100}%.2f%% overlap=${thetaRow.getDouble(1)}%.0f")
       require(err < 0.05, f"theta viewer estimate off by ${err * 100}%.1f%%")
+
+      // (7) zero-scan retention: the catalog's per-cell HLL sketches
+      // answer the full pairwise partition-overlap matrix with NO Spark
+      // jobs — vs the exact one-join scan over the same 20x corpus.
+      val ovDs = LakeDataset.fromDataFrame(spark,
+        ev13.withColumn("event_id", monotonically_increasing_id()),
+        partitionCols = Seq("event_type"),
+        bucketCols = Seq("user_id"), nBuckets = 5,
+        sketchCols = Seq("user_id"))
+      val ovMeta = time("catalog overlap matrix (zero scan jobs)") {
+        ovDs.metaPartitionOverlap("user_id", "event_type").get
+      }
+      val ovScan = time("exact overlap matrix (distinct + self-join scan)") {
+        val d = ev13.select(col("event_type").as("g"), col("user_id").as("u")).distinct()
+        d.select(col("g").as("ga"), col("u"))
+          .join(d.select(col("g").as("gb"), col("u")), "u")
+          .filter(col("ga") < col("gb"))
+          .groupBy("ga", "gb").agg(count(lit(1)).as("b")).collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      }
+      val ovErrs = ovMeta.map { case (a, b, _, _, both) =>
+        val ex = ovScan.getOrElse((a, b), 0L)
+        if (ex == 0) 0.0 else math.abs(both - ex).toDouble / ex
+      }
+      println(f"[scale] r13d catalog overlap: ${ovMeta.length} pairs, " +
+        f"max err ${ovErrs.max * 100}%.2f%% vs exact")
+      require(ovErrs.max < 0.10,
+        f"catalog overlap error ${ovErrs.max * 100}%.1f%% exceeds 10%%")
       // At copies×20 every item is a hub (~380 distinct buyers each), so
       // the cap drops them ALL — the degenerate-projection guard working
       // as designed — while the uncapped candidate volume sits in the
