@@ -2551,6 +2551,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Local clustering coefficients on the strong co-purchase backbone —
+    // the "abnormally cliquish neighborhood" spam/farm signal. Exact
+    // integers + one IEEE division -> fully oracle-checkable.
+    "graph_clustering_coeff" -> ((s, dir) => {
+      val bip = table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val strong = Graphs.projectBipartite(bip, "user_id", "item")
+        .filter(col("w") >= 5)
+      Graphs.clusteringCoefficients(strong, "ua", "ub").orderBy("v")
+    }),
+
     // Integer-grid PageRank (3 iterations, damping 0.85 as the exact
     // rational 850000/1e6) on the strong co-purchase graph — the site-
     // authority curation signal, bit-reproducible: the oracle unrolls the
@@ -4738,6 +4751,30 @@ object SparkEntry {
         |SELECT p.doc_id, c.domain, p.lm_avg, CAST(p.pack AS BIGINT) AS pack
         |FROM packed p JOIN capped c ON c.doc_id = p.doc_id
         |ORDER BY p.doc_id""".stripMargin,
+
+    "graph_clustering_coeff" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS item
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT a.u AS x, b2.u AS y
+        |      FROM b a JOIN b b2 USING (item)
+        |      WHERE a.u < b2.u GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |both_dir AS (SELECT x AS v FROM e UNION ALL SELECT y FROM e),
+        |deg AS (SELECT v, COUNT(*) AS degree FROM both_dir GROUP BY v),
+        |t AS (SELECT e1.x AS v1, e1.y AS v2, e2.y AS v3
+        |      FROM e e1
+        |      JOIN e e2 ON e2.x = e1.y
+        |      JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |pv AS (SELECT unnest([v1, v2, v3]) AS v FROM t),
+        |tri AS (SELECT v, COUNT(*) AS triangles FROM pv GROUP BY v)
+        |SELECT deg.v, deg.degree,
+        |  COALESCE(tri.triangles, 0) AS triangles,
+        |  CASE WHEN deg.degree > 1
+        |       THEN COALESCE(tri.triangles, 0) * 2.0 / (deg.degree * (deg.degree - 1))
+        |       ELSE 0.0 END AS coeff
+        |FROM deg LEFT JOIN tri ON tri.v = deg.v
+        |ORDER BY deg.v""".stripMargin,
 
     "graph_pagerank_int" ->
       """WITH b AS (

@@ -60,6 +60,33 @@ object Graphs {
       .unionAll(edges.select(col(dstCol).as("v")))
       .groupBy("v").agg(count(lit(1)).as("degree"))
 
+  /** Local clustering coefficient per vertex: `2t / (d(d-1))` for a vertex
+    * in `t` triangles with degree `d` — how close each vertex's
+    * neighborhood is to a clique (spam rings and scraped-content farms
+    * cluster abnormally; organic link neighborhoods don't). Degree-1
+    * vertices have no possible wedge and emit coefficient 0. Both inputs
+    * are exact integers from [[triangleCounts]]/[[degrees]], and the one
+    * double division computes identically in any IEEE engine — so the
+    * coefficient is fully oracle-checkable despite being fractional.
+    */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).na.drop().distinct()
+    val deg = degrees(und, "a", "b")
+    val tri = triangleCounts(und, "a", "b")
+    // Left join: a triangle-free vertex is a coefficient-0 ROW, not a gap —
+    // the "no clustering" signal is exactly what the filter reads.
+    deg.join(tri, Seq("v"), "left")
+      .select(col("v"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .select(col("v"), col("degree"), col("triangles"),
+        when(col("degree") > 1,
+          col("triangles") * 2.0 / (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)).as("coeff"))
+  }
+
   /** PageRank on an exact-integer grid — the site-authority signal web
     * curation ranks by (the ancestor of CommonCrawl's harmonic-centrality
     * ordering), made bit-reproducible: scores live on a `scale` grid,

@@ -65,6 +65,20 @@ class GraphsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("clustering coefficients: clique = 1, path interior = 0, mixed by hand") {
+    // K3 plus pendant 4-3: vertices 1,2 have coeff 1 (their whole
+    // neighborhood is the triangle); 3 has degree 3, 1 triangle -> 1/3;
+    // 4 has degree 1 -> 0 (no possible wedge), still a ROW.
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = Graphs.clusteringCoefficients(e, "a", "b")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 1L, 1.0 * 2 / 6)))
+    assert(got(4L) == ((1L, 0L, 0.0)))
+  }
+
   test("pageRankInt: hand-computed path graph, two iterations") {
     // Path a-b-c (deg 1,2,1). s0 = 1e6 everywhere.
     // iter1: contribs a=1e6, b=5e5, c=1e6 -> s1 = (575000, 1850000, 575000)
