@@ -58,6 +58,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)"), s"no whole-stage codegen span:\n$p")
   }
 
+  test("curate_domain_cap: blocklist broadcasts as anti-join; cap rides WindowGroupLimit") {
+    val p = plan("curate_domain_cap")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"blocklist should broadcast anti-join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-domain cap should push the rank limit into map tasks:\n$p")
+  }
+
   test("asof_join: one data shuffle (the window), no join operator at all") {
     val p = plan("asof_join")
     val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
