@@ -2615,6 +2615,15 @@ object SparkEntry {
         .orderBy("name_a", "name_b")
     }),
 
+    // The k=2 deletion neighborhood (nested deletes) under the same
+    // independent all-pairs oracle — supplier names make the COMPLETE
+    // distance-<=2 graph at sf0.01, so any missed candidate fails the gate.
+    "fuzzy_join_names2" -> ((s, dir) => {
+      Joins.fuzzySelfPairs(table(s, dir, "supplier").select("s_name"),
+          "s_name", maxDist = 2)
+        .orderBy("name_a", "name_b")
+    }),
+
     // CCNet-style bigram LM quality scoring: train integer-rate bigram
     // model on the reference slice (en × src0), score every document by
     // modeled-bigram mass + OOV mass. Narrow-map bigram build, vocab-
@@ -4855,6 +4864,15 @@ object SparkEntry {
         |FROM d a JOIN d b
         |  ON a.name < b.name AND abs(length(a.name) - length(b.name)) <= 1
         |WHERE levenshtein(a.name, b.name) <= 1
+        |ORDER BY 1, 2""".stripMargin,
+
+    "fuzzy_join_names2" ->
+      """WITH d AS (SELECT DISTINCT s_name AS name FROM supplier)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+        |FROM d a JOIN d b
+        |  ON a.name < b.name AND abs(length(a.name) - length(b.name)) <= 2
+        |WHERE levenshtein(a.name, b.name) <= 2
         |ORDER BY 1, 2""".stripMargin,
 
     "text_lm_score" ->
