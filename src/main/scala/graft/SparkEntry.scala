@@ -560,6 +560,18 @@ object SparkEntry {
         .orderBy("g_a", "g_b")
     }),
 
+    // The same zero-scan matrix as a SQL verb: SHOW OVERLAP t.col BY part.
+    // Refuses (never silently scans) when the contract can't be met.
+    "lake_sql_overlap" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("event_id"))
+      val db = new Database(s)
+      db.register("ov_events", LakeDataset.fromDataFrame(s, ev,
+        partitionCols = Seq("event_type"), sketchCols = Seq("user_id")))
+      db.executeSql("SHOW OVERLAP ov_events.user_id BY event_type")
+        .orderBy("value_a", "value_b")
+    }),
+
     // Exact twin for the retention matrix: distinct (group, user) tags,
     // one equi-join on user for all co-occurring pairs, counts by flags.
     "retention_matrix_exact" -> ((s, dir) => {

@@ -94,6 +94,8 @@ final class Database(val spark: SparkSession) {
     """(?is)^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val ShowStatsRe =
     """(?is)^\s*SHOW\s+STATS\s+(?:FOR\s+)?([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val ShowOverlapRe =
+    """(?is)^\s*SHOW\s+OVERLAP\s+([A-Za-z_][\w]*)\s*\.\s*([A-Za-z_][\w]*)\s+BY\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
 
   /** Catalog listing: every registered table, its layout axes and cell
     * count — all driver-side metadata, zero jobs.
@@ -155,6 +157,26 @@ final class Database(val spark: SparkSession) {
       .toDF("table_name", "format", "location", "partition_columns",
         "bucket_columns", "num_buckets", "num_cells", "num_rows",
         "num_constraints", "is_feed")
+  }
+
+  /** `SHOW OVERLAP t.col BY partitionCol` — the zero-scan segment-overlap
+    * matrix ([[LakeDataset.metaPartitionOverlap]]) as a SQL verb: one row
+    * per unordered partition-value pair with HLL distinct counts and the
+    * inclusion-exclusion overlap estimate, folded from the catalog with
+    * no Spark jobs. Refuses loudly (rather than answering from a scan)
+    * when the column is untracked or the stats are untight — the verb's
+    * contract IS the zero-scan answer.
+    */
+  private def showOverlap(name: String, c: String, partitionCol: String): DataFrame = {
+    val d = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown lake table '$name'"))
+    val m = d.metaPartitionOverlap(c, partitionCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"SHOW OVERLAP needs '$c' sketch-tracked, '$partitionCol' a partition " +
+          s"column, and tight stats on every part of '$name' (run ANALYZE)"))
+    import spark.implicits._
+    m.toDF("value_a", "value_b", "approx_distinct_a", "approx_distinct_b",
+      "approx_overlap")
   }
 
   /** `SHOW STATS [FOR] t` — one row per table column, every maintained
@@ -274,6 +296,7 @@ final class Database(val spark: SparkSession) {
     case ShowPartitionsRe(t) if tables.contains(t) => showPartitions(t)
     case DescribeDetailRe(t) if tables.contains(t) => describeDetail(t)
     case ShowStatsRe(t) if tables.contains(t) => showStats(t)
+    case ShowOverlapRe(t, c, p) if tables.contains(t) => showOverlap(t, c, p)
     case _ => spark.sql(if (feeds.isEmpty) sql else rewriteVersionAsOf(sql))
   }
 

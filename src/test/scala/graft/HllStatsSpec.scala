@@ -187,6 +187,21 @@ class HllStatsSpec extends SparkSpec {
     assert(byPair.size == 3)
   }
 
+  test("SHOW OVERLAP verb: zero-scan matrix as SQL; refuses untracked loudly") {
+    import spark.implicits._
+    val rows = ((0L until 50L).map(("a", _)) ++
+      (25L until 75L).map(("b", _))).toDF("seg", "uid")
+    val db = new Database(spark)
+    db.register("ov_t", LakeDataset.fromDataFrame(spark, rows,
+      partitionCols = Seq("seg"), sketchCols = Seq("uid")))
+    val m = db.executeSql("SHOW OVERLAP ov_t.uid BY seg")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(m.toSeq == Seq(("a", "b", 50L, 50L, 25L)))
+    intercept[IllegalArgumentException] {
+      db.executeSql("SHOW OVERLAP ov_t.seg BY seg")
+    }
+  }
+
   test("partition overlap fails open on untight stats and untracked columns") {
     import spark.implicits._
     val rows = (0L until 50L).map(i => (s"s${i % 2}", i)).toDF("seg", "uid")
