@@ -28,6 +28,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Ad-hoc conf passthrough for profiling runs, e.g.
+// SPARK_GRAFT_CONF="spark.graft.minhash.profile=true" sbt "runMain graft.Bench"
+javaOptions ++= sys.env.get("SPARK_GRAFT_CONF").toSeq
+  .flatMap(_.split(";")).filter(_.nonEmpty).map(kv => s"-D$kv")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -2590,6 +2590,25 @@ object SparkEntry {
       Graphs.pageRankInt(strong, "ua", "ub", iters = 3).orderBy("v")
     }),
 
+    // DIRECTED PageRank: the real link-graph semantics (authority ≠ hub).
+    // Edges = the strong co-purchase pairs directed by (x+y) parity — a
+    // deterministic mixed-direction graph WITH genuine dangling vertices
+    // (pure sinks), whose mass redistributes uniformly on the integer grid
+    // each round (D div n, exact rational). Oracle unrolls the identical
+    // 3 iterations, dangling aggregate included, in DuckDB.
+    "graph_pagerank_directed" -> ((s, dir) => {
+      val bip = table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val strong = Graphs.projectBipartite(bip, "user_id", "item")
+        .filter(col("w") >= 2)
+      val directed = strong.select(
+        when((col("ua") + col("ub")) % 2 === 0, col("ua")).otherwise(col("ub")).as("src"),
+        when((col("ua") + col("ub")) % 2 === 0, col("ub")).otherwise(col("ua")).as("dst"))
+      Graphs.pageRankDirectedInt(directed, "src", "dst", iters = 3).orderBy("v")
+    }),
+
     // URL canonicalization + registered-domain extraction over a messy
     // synthesized URL per document (mixed case, www, default ports,
     // tracking params, fragments, trailing slashes). One codegen'd
@@ -2918,6 +2937,53 @@ object SparkEntry {
       val r2 = idx.addBatch(b2, "text", "doc_id")
         .select(lit(1L).as("batch"), col("doc").as("doc_id"))
       r1.unionByName(r2).orderBy("batch", "doc_id")
+    }),
+
+    // INDEX ERASURE through the exact-dedup index (right-to-be-forgotten):
+    // batch 0 seeds, every id % 7 == 0 is then ERASED, and batch 1 replays
+    // batch 0 wholesale — exactly the forgotten keys must come back as NEW
+    // (the ghost no longer suppresses them) while every still-remembered
+    // replay adds nothing. Only cells that held a doomed row rewrite.
+    // Doc-id output -> the whole erase+replay path is oracle-checked.
+    "dedup_incr_removed" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val root = Files.createTempDirectory("graft_exact_rm").toString
+      val idx = ExactDedupIndex.open(s, root, nBuckets = 8)
+      val b1 = d.filter(col("doc_id") < 250).select("doc_id", "text")
+      // Pin batch 0's result rows before the erase rewrites its cells —
+      // the lazy plan reads the index's live files.
+      val r1 = idx.addBatch(b1, "text", "doc_id")
+        .select(lit(0L).as("batch"), col("doc").as("doc_id"))
+        .localCheckpoint(true)
+      idx.remove(
+        d.filter(col("doc_id") < 250 && col("doc_id") % 7 === 0)
+          .select("doc_id"), "doc_id")
+      val r2 = idx.addBatch(b1, "text", "doc_id")
+        .select(lit(1L).as("batch"), col("doc").as("doc_id"))
+      r1.unionByName(r2).orderBy("batch", "doc_id")
+    }),
+
+    // INDEX ERASURE through the persisted MinHash index: erase a GDPR-
+    // realistic handful of near-dup ORIGINALS from the bootstrapped corpus
+    // index, then ingest the near-dup copies — pairs with erased partners
+    // must vanish (no ghost candidates) while surviving partners still
+    // pair. The erase set is deliberately SMALL (erasure requests are, and
+    // cost must track touched cells, not the corpus — the % 20 erase-half
+    // variant measured 13 s of legitimate whole-table rewrite at sf0.1).
+    // xxhash-based -> rows-only; dedup_incr_removed is the exact-index
+    // twin of the same erase+replay contract.
+    "dedup_minhash_removed" -> ((s, dir) => {
+      val corpus = Fixtures.nearDupDocuments(s, dir)
+      val root = Files.createTempDirectory("graft_mh_rm").toString
+      Fixtures.copyDir(Fixtures.minhashIndexRoot(s, dir), root)
+      val idx = MinhashIndex.open(s, root)
+      idx.remove(
+        corpus.filter(col("doc_id") < 100000 && col("doc_id") % 250 === 0)
+          .select("doc_id"), "doc_id")
+      idx.addBatch(corpus.filter(col("doc_id") >= 100000), "text", "doc_id",
+          threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
     }),
 
     "dedup_exact" -> ((s, dir) => {
@@ -4821,6 +4887,42 @@ object SparkEntry {
         |       FROM deg LEFT JOIN i3 ON i3.u = deg.u)
         |SELECT u AS v, CAST(s AS BIGINT) AS pr FROM s3 ORDER BY v""".stripMargin,
 
+    "graph_pagerank_directed" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS item
+        |  FROM events WHERE event_type = 'purchase'),
+        |e0 AS (SELECT a.u AS x, b2.u AS y FROM b a JOIN b b2 USING (item)
+        |       WHERE a.u < b2.u GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT CASE WHEN (x + y) % 2 = 0 THEN x ELSE y END AS u,
+        |             CASE WHEN (x + y) % 2 = 0 THEN y ELSE x END AS v FROM e0),
+        |verts AS (SELECT u FROM e UNION SELECT v FROM e),
+        |nv AS (SELECT COUNT(*) AS n FROM verts),
+        |od AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u),
+        |s0 AS (SELECT u, CAST(1000000 AS BIGINT) AS s FROM verts),
+        |d1 AS (SELECT COALESCE(SUM(s), 0) AS dm FROM s0
+        |       WHERE u NOT IN (SELECT u FROM od)),
+        |i1 AS (SELECT e.v AS u, SUM(s0.s // od.d) AS m
+        |       FROM e JOIN s0 ON s0.u = e.u JOIN od ON od.u = e.u GROUP BY e.v),
+        |s1 AS (SELECT verts.u, 150000 + (850000 * (COALESCE(i1.m, 0) +
+        |         (SELECT dm FROM d1) // (SELECT n FROM nv))) // 1000000 AS s
+        |       FROM verts LEFT JOIN i1 ON i1.u = verts.u),
+        |d2 AS (SELECT COALESCE(SUM(s), 0) AS dm FROM s1
+        |       WHERE u NOT IN (SELECT u FROM od)),
+        |i2 AS (SELECT e.v AS u, SUM(s1.s // od.d) AS m
+        |       FROM e JOIN s1 ON s1.u = e.u JOIN od ON od.u = e.u GROUP BY e.v),
+        |s2 AS (SELECT verts.u, 150000 + (850000 * (COALESCE(i2.m, 0) +
+        |         (SELECT dm FROM d2) // (SELECT n FROM nv))) // 1000000 AS s
+        |       FROM verts LEFT JOIN i2 ON i2.u = verts.u),
+        |d3 AS (SELECT COALESCE(SUM(s), 0) AS dm FROM s2
+        |       WHERE u NOT IN (SELECT u FROM od)),
+        |i3 AS (SELECT e.v AS u, SUM(s2.s // od.d) AS m
+        |       FROM e JOIN s2 ON s2.u = e.u JOIN od ON od.u = e.u GROUP BY e.v),
+        |s3 AS (SELECT verts.u, 150000 + (850000 * (COALESCE(i3.m, 0) +
+        |         (SELECT dm FROM d3) // (SELECT n FROM nv))) // 1000000 AS s
+        |       FROM verts LEFT JOIN i3 ON i3.u = verts.u)
+        |SELECT u AS v, CAST(s AS BIGINT) AS pr FROM s3 ORDER BY v""".stripMargin,
+
     "curate_url_normalize" ->
       s"""WITH u0 AS (SELECT doc_id, $UrlSynthSql AS url FROM documents),
         |p AS (SELECT doc_id, url,
@@ -5074,6 +5176,21 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(1 AS BIGINT), n2.doc_id FROM n2
         |WHERE norm NOT IN (SELECT norm FROM n1)
+        |ORDER BY batch, doc_id""".stripMargin,
+
+    // Erase-then-replay contract: batch 1 returns EXACTLY the canonicals
+    // the erase forgot (id % 7 == 0) — a suppressed replay (ghost) or a
+    // leaked non-forgotten replay both break the row set.
+    "dedup_incr_removed" ->
+      """WITH b1 AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |n1 AS (
+        |  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |              ' +', ' ', 'g')) AS norm,
+        |         min(doc_id) AS doc_id
+        |  FROM b1 GROUP BY norm)
+        |SELECT CAST(0 AS BIGINT) AS batch, doc_id FROM n1
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), doc_id FROM n1 WHERE doc_id % 7 = 0
         |ORDER BY batch, doc_id""".stripMargin,
 
     // stream_dedup_content: the dedup_incr_exact oracle shape — epoch 2

@@ -955,11 +955,122 @@ final class LakeDataset private (
           s"version $expected but disk holds $onDisk — reload and retry")
   }
 
+  // -- Optimistic REBASE state: two fingerprint baselines let a stale
+  // handle commit DISJOINT work over a concurrent writer instead of
+  // aborting (the loser of the old abort-only CAS reran everything; at
+  // 100 TB with parallel ingest that was the first operational wall).
+  //
+  //  - `commitBaseMem`: per-cell fingerprint of the manifest this handle's
+  //    MEMORY last agreed with (set at load and advanced at each commit) —
+  //    diffing the would-be manifest against it yields exactly the cells
+  //    THIS handle changed, by construction: the diff is computed from the
+  //    same maps being committed, so no mutation path can slip past it.
+  //  - `commitBaseDisk`: per-cell fingerprint of the manifest version this
+  //    handle last reconciled with — diffing the on-disk manifest against
+  //    it yields the cells OTHER writers changed since.
+  //
+  // Disjoint change sets merge cell-wise (parts are membership-by-
+  // directory, so the concurrent writers' FILES already coexist — only
+  // the stats manifest needed the merge); overlapping sets still abort
+  // loudly. After a first rebase the handle's memory no longer mirrors
+  // the root (it never loaded the other writer's cells), so every later
+  // commit stays on the merge path — the full-manifest fast path would
+  // serialize stale entries over the other writer's cells.
+  //
+  // Design boundary (documented, not detected): a mutation that rewrites
+  // a cell's FILES while leaving every stat entry bit-identical (e.g. a
+  // pure re-layout of identical rows) is fingerprint-invisible; two such
+  // writers racing one cell keep whichever layout landed last — sound,
+  // since both describe the same rows. Every row-changing mutation moves
+  // the cell's partRows entry (value or tightness-presence) and is seen.
+  @volatile private[lake] var commitBaseMem: Map[String, String] = Map.empty
+  @volatile private[lake] var commitBaseDisk: Map[String, String] = Map.empty
+  @volatile private[lake] var commitBaseChecks: Map[String, String] = Map.empty
+  @volatile private[lake] var mergeCommits: Boolean = false
+
+  private[lake] def initCommitBase(m: Manifest): Unit = {
+    val fp = LakeDataset.statFingerprints(m)
+    commitBaseMem = fp
+    commitBaseDisk = fp
+    commitBaseChecks = m.checks
+  }
+
   private def commitManifest(spec: StorageSpec)(build: Long => Manifest): Unit = {
-    checkCommitToken(spec)
-    val next = math.max(0L, math.max(onDiskVersion(spec), committedVersion.get)) + 1L
-    Manifest.write(build(next), spec.root)
+    val expected = committedVersion.get
+    val onDisk = onDiskVersion(spec)
+    val conflicted = expected >= 0L && onDisk >= 0L && onDisk != expected
+    if (!conflicted && !(mergeCommits && onDisk >= 0L)) {
+      val next = math.max(0L, math.max(onDisk, expected)) + 1L
+      val m = build(next)
+      Manifest.write(m, spec.root)
+      committedVersion.set(next)
+      val fp = LakeDataset.statFingerprints(m)
+      commitBaseMem = fp
+      commitBaseDisk = fp
+      commitBaseChecks = m.checks
+    } else rebaseCommit(spec, build)
+  }
+
+  /** Merge-commit a stale handle's changes over a concurrent writer's.
+    * Aborts (same exception as the plain CAS) when the two change sets
+    * touch a common cell, when the table layout/schema diverged, or when
+    * both sides changed the CHECK-constraint set differently — everything
+    * else re-commits without rerunning any work.
+    */
+  private def rebaseCommit(spec: StorageSpec, build: Long => Manifest): Unit = {
+    val disk = Manifest.read(spec.root)
+    val mine = build(0L)
+    def layoutOf(m: Manifest) = (m.partitions, m.buckets, m.nBuckets,
+      m.bloomCols, m.sketchCols, m.quantileCols, m.freqCols, m.storage.format)
+    if (layoutOf(disk) != layoutOf(mine))
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit on ${spec.root}: table layout diverged " +
+          s"(${layoutOf(disk)} vs ${layoutOf(mine)}) — reload and retry")
+    if (disk.schemaDdl != mine.schemaDdl &&
+        disk.schemaDdl.nonEmpty && mine.schemaDdl.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit on ${spec.root}: schema diverged — reload and retry")
+    val fpMine = LakeDataset.statFingerprints(mine)
+    val fpDisk = LakeDataset.statFingerprints(disk)
+    val myTouched = (commitBaseMem.keySet ++ fpMine.keySet)
+      .filter(p => fpMine.get(p) != commitBaseMem.get(p))
+    val theirChanged = (commitBaseDisk.keySet ++ fpDisk.keySet)
+      .filter(p => fpDisk.get(p) != commitBaseDisk.get(p))
+    val overlap = myTouched & theirChanged
+    if (overlap.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit on ${spec.root}: both writers touched " +
+          s"${overlap.take(5).mkString(", ")}${if (overlap.size > 5) ", …" else ""}" +
+          s" — reload and retry")
+    // CHECK constraints merge three-way: an unchanged side adopts the
+    // changed side's set (and this handle starts ENFORCING a concurrently
+    // added constraint immediately); both-changed-differently aborts.
+    val mergedChecks =
+      if (mine.checks == commitBaseChecks) disk.checks
+      else if (disk.checks == commitBaseChecks || disk.checks == mine.checks) mine.checks
+      else throw new java.util.ConcurrentModificationException(
+        s"concurrent commit on ${spec.root}: CHECK constraints diverged — reload and retry")
+    def merge[V](diskM: Map[String, V], mineM: Map[String, V]): Map[String, V] =
+      (diskM -- myTouched) ++ mineM.view.filterKeys(myTouched).toMap
+    val next = math.max(disk.version, committedVersion.get) + 1L
+    val merged = mine.copy(
+      schemaDdl = mine.schemaDdl.orElse(disk.schemaDdl),
+      partStats = merge(disk.partStats, mine.partStats),
+      partBlooms = merge(disk.partBlooms, mine.partBlooms),
+      partRows = merge(disk.partRows, mine.partRows),
+      partSums = merge(disk.partSums, mine.partSums),
+      partSketches = merge(disk.partSketches, mine.partSketches),
+      partQuants = merge(disk.partQuants, mine.partQuants),
+      partFreqs = merge(disk.partFreqs, mine.partFreqs),
+      checks = mergedChecks,
+      version = next)
+    Manifest.write(merged, spec.root)
     committedVersion.set(next)
+    mergeCommits = true
+    commitBaseMem = fpMine
+    commitBaseDisk = LakeDataset.statFingerprints(merged)
+    commitBaseChecks = mergedChecks
+    checksMap = mergedChecks
   }
 
   // ------------------------------------------------------------------
@@ -2715,39 +2826,50 @@ final class LakeDataset private (
     * LOCATED (projected key+cell-column scan) and only the cells that
     * actually hold them get an anti join — never a whole-table rebuild.
     */
-  def delete(keysDf: DataFrame, keys: Seq[String]): Unit = {
-    if (cellStable(keys)) {
+  def delete(keysDf: DataFrame, keys: Seq[String]): List[PartKey] = {
+    // Returns the touched cells so index-erasure callers can persist
+    // exactly the rewritten directories WITHOUT a second locate probe —
+    // the keysDf plan can be expensive (a recomputed signature pipeline),
+    // and running it once here instead of again in cellsHolding halved
+    // the measured erase cost.
+    val touched = if (cellStable(keys)) {
       val (batch, slices) = splitByCell(keysDf)
       this.synchronized {
         markDirty()
         // Zones/blooms intentionally untouched: post-delete data is a
         // subset, so the existing stats stay a sound (if loose) superset.
-        slices.foreach { s =>
-          Option(parts.get(s.key)).foreach { p =>
+        val hit = slices.flatMap { s =>
+          Option(parts.get(s.key)).map { p =>
             diskDirs.remove(s.key); diskSchemas.remove(s.key)
             p.delete(s.df, keys)
+            s.key
           }
         }
         retain(batch)
+        hit.toList
       }
     } else {
       val keyRows = ckpt(keysDf.select(keys.map(col): _*).distinct())
       this.synchronized {
-        if (!parts.isEmpty) {
+        if (parts.isEmpty) Nil
+        else {
           // locate BEFORE markDirty — the probe scans cleanScan when present
           val located = locateCells(keyRows, keys)
           markDirty()
-          located.foreach { key =>
-            Option(parts.get(key)).foreach { p =>
+          val hit = located.flatMap { key =>
+            Option(parts.get(key)).map { p =>
               diskDirs.remove(key); diskSchemas.remove(key)
               p.delete(keyRows, keys)
+              key
             }
           }
           retain(keyRows)
+          hit
         }
       }
     }
     maybeAutoAnalyze()
+    touched
   }
 
   /** Predicate delete — SQL `DELETE FROM t WHERE cond`, pruned to the cells
@@ -3184,6 +3306,21 @@ final class LakeDataset private (
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
     val ps = keys.flatMap(k => Option(parts.get(k)))
     if (ps.isEmpty) return
+    val onePassMin = spark.conf
+      .get("spark.graft.lake.onePassSaveMinCells", "8").toInt
+    if (ps.size >= onePassMin && onePassRewrite(spec, ps)) ()
+    else perPartSave(spec, ps)
+    val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
+    commitManifest(spec)(v => fullManifest(spec, ddl, v))
+  }
+
+  /** The classic per-cell save: one (materialize-if-self-reading +
+    * overwrite) job pair per cell, concurrent over [[LakeDataset.ioPool]].
+    * Right for a handful of large cells; past
+    * `spark.graft.lake.onePassSaveMinCells` the fixed two-jobs-per-cell
+    * cost dominates and [[onePassRewrite]] takes over.
+    */
+  private def perPartSave(spec: StorageSpec, ps: Seq[LakePart]): Unit = {
     // Lazily loaded parts read the directories the overwrite deletes first.
     ps.foreach(p => if (dfReadsUnder(p.df, spec.root)) p.materialize())
     import scala.concurrent.{Await, Future}
@@ -3195,12 +3332,118 @@ final class LakeDataset private (
       diskDirs.put(p.key, s"${spec.root}/${p.key.relPath}")
       diskSchemas.put(p.key, p.df.schema)
     }
-    val ddl = parts.values().asScala.headOption.map(_.df.schema.toDDL)
-    commitManifest(spec)(v => fullManifest(spec, ddl, v))
+  }
+
+  /** ONE dynamic-partitioned write job rewrites every touched cell through
+    * a staging directory, then each staged leaf swaps over its live
+    * directory and the part's plan REPOINTS to the fresh files. Replaces N
+    * (materialize + overwrite) job pairs with one job + O(N) renames — the
+    * index-erasure paths measured 12 s of per-cell job overhead at ~47
+    * touched cells; this is their scale shape (cost ∝ rows rewritten, one
+    * scheduler round trip). The staged union reads the LIVE files (staging
+    * is a sibling `_staging_*` tree the leaf discovery ignores), so no
+    * pre-materialize is needed; a crash mid-swap leaves the underscore-
+    * prefixed staging dir that loads skip and the next save deletes.
+    *
+    * Returns false (having written nothing) for shapes whose directory
+    * rendering could diverge from `PartKey.relPath` — timestamp partition
+    * values (the insertWritten contract), an un-partitioned un-bucketed
+    * table, or a staged leaf set that fails the 1:1 mapping check — and
+    * the caller falls back to the per-part path.
+    */
+  private def onePassRewrite(spec: StorageSpec, ps: Seq[LakePart]): Boolean = {
+    import org.apache.spark.sql.types.{StructType, TimestampNTZType, TimestampType}
+    val dirCols = partitionCols.sorted ++
+      (if (bucketCols.nonEmpty) List("bucket") else Nil)
+    val renderSafe = dirCols.nonEmpty && partitionCols.forall { c =>
+      val dt = tableSchema(c).dataType
+      dt != TimestampType && dt != TimestampNTZType
+    }
+    if (!renderSafe) return false
+    val staged = ps.map { p =>
+      p.key.bucketNr match {
+        case Some(b) => p.view.withColumn("bucket",
+          if (b == LakeDataset.NullBucket) lit(null).cast("int") else lit(b))
+        case None => p.view
+      }
+    }.reduce(_ unionByName (_, allowMissingColumns = true))
+    val stagingRoot =
+      s"${spec.root}/_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    staged
+      // One writer task per cell (the insertWritten discipline): without
+      // this every input partition opens a file in every cell it touches.
+      .repartition(dirCols.map(col): _*)
+      .write.mode("overwrite").format(spec.format)
+      .option("compression", spec.compression)
+      .partitionBy(dirCols: _*)
+      .save(stagingRoot)
+    // Verify the 1:1 leaf mapping BEFORE destroying anything: every staged
+    // leaf must be an expected cell (a value-rendering mismatch aborts to
+    // the safe path); an expected cell MISSING from staging is a
+    // legitimately empty cell (zero surviving rows).
+    val expected = ps.map(_.key.relPath).toSet
+    val stagedLeafs = LakeDataset.discoverLeafDirs(Paths.get(stagingRoot))
+      .map(d => Paths.get(stagingRoot).relativize(d).toString).toSet
+    if (!stagedLeafs.subsetOf(expected)) {
+      LakeDataset.deleteRecursively(Paths.get(stagingRoot))
+      return false
+    }
+    ps.foreach { p =>
+      val live = Paths.get(s"${spec.root}/${p.key.relPath}")
+      val from = Paths.get(s"$stagingRoot/${p.key.relPath}")
+      LakeDataset.deleteRecursively(live)
+      Files.createDirectories(live.getParent)
+      if (Files.isDirectory(from)) Files.move(from, live)
+      else Files.createDirectories(live) // empty cell: zero surviving rows
+      val full = p.df.schema
+      val fileSchema = StructType(
+        full.fields.filterNot(f => partitionCols.contains(f.name)))
+      val raw = spark.read.schema(fileSchema).format(spec.format)
+        .load(live.toString)
+      val fresh = p.key.partValues
+        .foldLeft(raw) { case (d, (k, v)) =>
+          d.withColumn(k, lit(v).cast(full(k).dataType))
+        }
+        .select(full.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      p.repoint(fresh)
+      diskDirs.put(p.key, live.toString)
+      diskSchemas.put(p.key, full)
+    }
+    LakeDataset.deleteRecursively(Paths.get(stagingRoot))
+    true
   }
 }
 
 object LakeDataset {
+
+  /** Per-cell fingerprint of a manifest's statistics entries — the commit
+    * protocol's change detector ([[LakeDataset.rebaseCommit]]): a cell's
+    * fingerprint moves iff any of its seven stat-family entries changed
+    * (value, presence, or tightness-presence), so diffing two manifests'
+    * fingerprint maps yields exactly the cells a writer changed between
+    * them. MD5 over a deterministic serialization (sorted column order,
+    * field separator) — collision-safe at any realistic cell count.
+    */
+  private[lake] def statFingerprints(m: Manifest): Map[String, String] = {
+    val keys = m.partStats.keySet ++ m.partBlooms.keySet ++ m.partRows.keySet ++
+      m.partSums.keySet ++ m.partSketches.keySet ++ m.partQuants.keySet ++
+      m.partFreqs.keySet
+    keys.iterator.map { p =>
+      val sb = new StringBuilder
+      def add(x: Any): Unit = { sb.append(x); sb.append('\u0001') }
+      add(m.partStats.get(p).map(_.toList.sortBy(_._1)))
+      add(m.partBlooms.get(p).map(_.toList.sortBy(_._1)))
+      add(m.partRows.get(p))
+      add(m.partSums.get(p).map(_.toList.sortBy(_._1)))
+      add(m.partSketches.get(p).map(_.toList.sortBy(_._1)))
+      add(m.partQuants.get(p).map(_.toList.sortBy(_._1)))
+      add(m.partFreqs.get(p).map(_.toList.sortBy(_._1)))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      p -> md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    }.toMap
+  }
+
   /** One routed cell of an incoming batch: key, lazy slice, row count, and
     * the cell's stats (zones + blooms + exact sums) from the routing
     * aggregation.
@@ -3347,6 +3590,7 @@ object LakeDataset {
       quantileCols = manifest.quantileCols, freqCols = manifest.freqCols)
     ds.checksMap = manifest.checks // a reloaded table keeps its data contract
     ds.committedVersion.set(manifest.version)
+    ds.initCommitBase(manifest) // rebase baselines: what this handle loaded
 
     val leafDirs = discoverLeafDirs(Paths.get(root))
     val target: Option[StructType] = manifest.schemaDdl.map(StructType.fromDDL)
@@ -3550,7 +3794,16 @@ object LakeDataset {
             n.endsWith(".parquet") || n.endsWith(".csv") || n.endsWith(".json"))
       }
       if (hasData) out += dir
-      entries.filter(Files.isDirectory(_)).foreach(walk)
+      // Skip `_`/`.`-prefixed NON-cell directories (the Hive/Spark
+      // convention for job-temporary and metadata trees): a crash-leftover
+      // `_staging_*` or an in-flight writer's `_temporary` must never
+      // register its files as live cells. `k=v` cell directories always
+      // walk, even for partition columns named with a leading underscore.
+      entries.filter { p =>
+        val n = p.getFileName.toString
+        Files.isDirectory(p) &&
+          (n.contains("=") || !(n.startsWith("_") || n.startsWith(".")))
+      }.foreach(walk)
     }
     walk(root)
     out.toList

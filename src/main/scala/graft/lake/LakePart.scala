@@ -484,6 +484,17 @@ final class LakePart private[lake] (
       .option("compression", storage.compression)
       .save(path)
   }
+
+  /** Swap the part's plan for a fresh disk-backed read after a one-pass
+    * staged rewrite landed its files ([[LakeDataset.saveParts]]): the
+    * accumulated mutation lineage references the REPLACED files and must
+    * retire. Stats are left as-is — the mutation already set them to a
+    * sound superset / unknown, and the rewrite changed bytes, not rows.
+    */
+  private[lake] def repoint(fresh: DataFrame): Unit = lock.synchronized {
+    ref.set(fresh)
+    changes.set(0L)
+  }
 }
 
 object LakePart {

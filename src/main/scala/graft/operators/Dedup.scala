@@ -587,14 +587,26 @@ object Dedup {
     // Join shape: `scores` is corpus-sized, `comp` ∝ the duplicate set. A
     // direct left join would stream ALL of scores through a shuffle (the
     // small left side of a left-outer cannot be the broadcast build side);
-    // instead the component ids BROADCAST-semi-prune scores down to the
-    // duplicate set first, and the pruned frame broadcasts into the left
-    // join — corpus-scale rows never shuffle here.
+    // instead the component ids semi-prune scores down to the duplicate
+    // set first, and the pruned frame joins into the left join — with the
+    // broadcast hints applied ONLY when the component table is COUNTED
+    // under `spark.graft.dedup.broadcastIdCap`. The count is one agg over
+    // a table that is usually already checkpointed (nearly free), and the
+    // guard matters: a web crawl is routinely 30–50% duplicates, so at
+    // 100 TB the component set is billions of ids — an unconditional
+    // broadcast hint would build that as a single driver-collected hash
+    // relation and OOM where plain AQE would have picked a shuffle join.
+    // Over the cap, fall open to un-hinted joins (corpus-scale scores then
+    // shuffle once — the correct plan when the duplicate set is huge).
+    val broadcastIdCap = corpus.sparkSession.conf
+      .get("spark.graft.dedup.broadcastIdCap", (1 << 22).toString).toLong
     val compIds = comp.select("doc_id")
+    val compSmall = comp.count() <= broadcastIdCap
+    def hinted(df: DataFrame): DataFrame = if (compSmall) broadcast(df) else df
     val prunedScores = scores
       .select(col(idCol).as("doc_id"), col(scoreCol).as("__score"))
-      .join(broadcast(compIds), Seq("doc_id"), "left_semi")
-    val ranked = comp.join(broadcast(prunedScores), Seq("doc_id"), "left")
+      .join(hinted(compIds), Seq("doc_id"), "left_semi")
+    val ranked = comp.join(hinted(prunedScores), Seq("doc_id"), "left")
       .withColumn("__rk", row_number().over(
         Window.partitionBy("component")
           .orderBy(desc_nulls_last("__score"), col("doc_id"))))

@@ -30,8 +30,17 @@ object Graphs {
     * everyone bought contributes degree² pairs while telling you nothing
     * about affinity): `maxRightDegree` drops right-values above the cap
     * BEFORE the join — the standard stop-word treatment for projection
-    * hubs. The cap changes semantics (documented, explicit), not silently:
-    * default keeps everything.
+    * hubs. The cap changes semantics (documented, explicit), not silently.
+    *
+    * The UNCAPPED call does not silently pay the blowup either: the pair
+    * volume Σ deg·(deg-1)/2 is predicted by ONE aggregate over the
+    * membership table (trivially cheaper than materializing the pairs)
+    * and the call fails LOUDLY above
+    * `spark.graft.graph.projectionVolumeCap` (default 2^31) naming the
+    * worst hub, so "forgot the cap on a crawl-scale graph" is an
+    * actionable error message, not a 709M-row surprise shuffle. Passing
+    * an explicit `maxRightDegree` skips the probe — the caller has
+    * already bounded per-hub volume by construction.
     */
   def projectBipartite(
       df: DataFrame, leftCol: String, rightCol: String,
@@ -39,8 +48,21 @@ object Graphs {
     val b = df.select(col(leftCol).as("u"), col(rightCol).as("item"))
       .na.drop().distinct()
     val bounded =
-      if (maxRightDegree == Int.MaxValue) b
-      else b.join(
+      if (maxRightDegree == Int.MaxValue) {
+        val volumeCap = df.sparkSession.conf
+          .get("spark.graft.graph.projectionVolumeCap", (1L << 31).toString).toLong
+        val probe = b.groupBy("item").agg(count(lit(1)).as("__deg"))
+          .agg(sum(expr("__deg * (__deg - 1) div 2")).as("vol"),
+            max(col("__deg")).as("maxDeg"))
+          .head()
+        val vol = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+        require(vol <= volumeCap,
+          s"uncapped bipartite projection would emit ~$vol candidate pairs " +
+            s"(> spark.graft.graph.projectionVolumeCap=$volumeCap); the worst " +
+            s"hub has degree ${probe.get(1)} — pass maxRightDegree to drop " +
+            "projection hubs, or raise the cap if the volume is intended")
+        b
+      } else b.join(
         b.groupBy("item").agg(count(lit(1)).as("__deg"))
           .filter(col("__deg") <= maxRightDegree).select("item"),
         "item")
@@ -132,6 +154,66 @@ object Graphs {
           (lit(scale - dampNum) +
             expr(s"($dampNum * coalesce(m, 0)) div $scale")).as("s"))
       score = if (checkpointEach) next.localCheckpoint(true) else next
+    }
+    score.select(col("u").as("v"), col("s").as("pr"))
+  }
+
+  /** DIRECTED PageRank on the same exact-integer grid as [[pageRankInt]] —
+    * the real link-graph shape: authority ≠ hub, a page voted FOR by many
+    * ranks high even when it links to nothing. [[pageRankInt]]
+    * canonicalizes to an undirected walk (right for co-occurrence graphs);
+    * this variant keeps edge direction, which changes two things:
+    *
+    *  - mass flows along out-edges only: `u` spreads `s(u) div outdeg(u)`
+    *    to each out-neighbor;
+    *  - DANGLING vertices (out-degree 0 — every crawl frontier has them)
+    *    would leak their mass out of the system; instead each round their
+    *    total mass redistributes uniformly, `D div n` per vertex, on the
+    *    SAME integer grid (exact rational: integral division, remainder
+    *    dropped identically by any engine that truncates non-negatives —
+    *    the `graph_pagerank_directed` oracle unrolls the identical rounds
+    *    in DuckDB with `//`).
+    *
+    * Update: `s'(v) = (scale-dampNum) + dampNum·(Σ_{u→v} s(u) div d(u) +
+    * D div n) div scale` over the full endpoint vertex set (sources AND
+    * sinks — a pure sink must accumulate authority).
+    *
+    * Scale shape per iteration: ONE equi-join shuffle (contribs along
+    * out-edges) + ONE groupBy(v) + one scalar aggregate for the dangling
+    * mass (a tree-reduce — noise next to the join; it does make each
+    * round eager, which `checkpointEach` wants anyway on a real cluster).
+    * `n` is one count up front.
+    */
+  def pageRankDirectedInt(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, scale: Long = 1000000L, dampNum: Long = 850000L,
+      checkpointEach: Boolean = false): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    require(dampNum >= 0 && dampNum <= scale,
+      s"damping numerator must sit in [0, scale]: $dampNum vs $scale")
+    val dir = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u") =!= col("v")).na.drop().distinct()
+      .localCheckpoint(true)
+    val verts = dir.select("u")
+      .unionAll(dir.select(col("v").as("u"))).distinct()
+      .localCheckpoint(true)
+    val n = verts.count()
+    val outDeg = dir.groupBy("u").agg(count(lit(1)).as("d"))
+    var score = verts.withColumn("s", lit(scale))
+    for (i <- 1 to iters) {
+      // dangling mass: total score sitting on vertices with no out-edges
+      val dangling = score.join(outDeg, Seq("u"), "left_anti")
+        .agg(coalesce(sum("s"), lit(0L))).head().getLong(0)
+      val perVertex = dangling / n // integral: exact-grid redistribution
+      val contrib = dir
+        .join(score.join(outDeg, "u").select(col("u"), expr("s div d").as("c")), "u")
+        .groupBy("v").agg(sum("c").as("m"))
+        .withColumnRenamed("v", "u")
+      val next = verts.join(contrib, Seq("u"), "left")
+        .select(col("u"),
+          (lit(scale - dampNum) +
+            expr(s"($dampNum * (coalesce(m, 0) + $perVertex)) div $scale")).as("s"))
+      score = if (checkpointEach || i < iters) next.localCheckpoint(true) else next
     }
     score.select(col("u").as("v"), col("s").as("pr"))
   }

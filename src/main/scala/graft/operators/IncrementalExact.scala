@@ -126,6 +126,38 @@ final class ExactDedupIndex private (
         .filter(col("batch") === b).select("doc", "h")
     }
 
+  /** Index erasure — right-to-be-forgotten for the exact-dedup index:
+    * drop every `(h, t, doc)` row whose canonical `doc` is in `ids`, so
+    * the content key disappears from the corpus memory entirely and a
+    * future ingest of the same text comes back NEW instead of being
+    * suppressed as a duplicate of an erased ghost.
+    *
+    * The docs table routes on the content hash `h` (bucket + Bloom), not
+    * on `doc`, so the doomed rows' cells are LOCATED by one projected
+    * key+cell-column scan ([[LakeDataset.cellsHolding]] — the same probe
+    * the delete itself uses) and ONLY those cells rewrite and re-save;
+    * untouched bucket directories keep their files byte-identical — the
+    * same touched-cell-only shape as the BM25/positional/IVF erasure
+    * paths. Erasing an id that is not a canonical keeper (or not present)
+    * is a no-op. Returns the number of rewritten cells.
+    *
+    * Note the semantic: `doc` is the content key's canonical (min) id —
+    * erasing it forgets the CONTENT KEY. If other corpus documents carried
+    * the same text, the next ingest of that text re-registers it fresh
+    * under a new canonical id (the correct fail direction for erasure:
+    * never suppress by a ghost; at worst re-admit one duplicate).
+    */
+  def remove(ids: DataFrame, idCol: String): Int = this.synchronized {
+    docsDs match {
+      case None => 0
+      case Some(ds) =>
+        val keyed = ids.select(col(idCol).cast("long").as("doc")).distinct()
+        val touched = ds.delete(keyed, Seq("doc"))
+        if (touched.nonEmpty) ds.saveParts(touched)
+        touched.size
+    }
+  }
+
   /** Fold every committed batch into ONE fresh batch partition. A
     * long-lived index accumulates one directory set per ingest, and the
     * per-probe driver prune walks every cell's Bloom — folding restores

@@ -116,6 +116,93 @@ final class MinhashIndex private (
     case None => ds.toDF
   }
 
+  /** The banded-signature rows (doc, sz, band, bh) of a (doc, h) shingle
+    * table — THE hash grid of the persisted band table. One function, two
+    * callers: [[addBatch]] builds the batch's band rows with it, and
+    * [[remove]] RECOMPUTES a doomed doc's band hashes from its stored
+    * shingle hashes with it — sharing the expression tree is what makes
+    * the erasure's recomputed keys bit-identical to the stored rows.
+    */
+  private def bandRowsOf(shingles: DataFrame): DataFrame = {
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val agg = shingles.groupBy("doc").agg(count(lit(1)).as("sz"), mins: _*)
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => col(s"m$i").cast("string"))
+      struct(lit(b).as("band"), xxhash64(concat_ws(",", cols: _*), lit(b)).as("bh"))
+    }
+    agg
+      .select(col("doc"), col("sz"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc"), col("sz"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  /** Index erasure — the right-to-be-forgotten path for the near-dup
+    * index: drop every persisted trace of the given doc ids, so a future
+    * ingest of similar (or identical) content can never be suppressed as
+    * a "duplicate of a ghost" the corpus no longer contains.
+    *
+    * Cost shape is touched-cell-only, like the BM25/IVF erasure paths:
+    *
+    *   1. the doomed docs' shingle rows read PRUNED by `doc` (the shingle
+    *      table buckets AND blooms on doc — cells provably holding none
+    *      of the ids never open);
+    *   2. their band hashes RECOMPUTE from the stored shingle hashes on
+    *      the same grid [[addBatch]] used ([[bandRowsOf]] is shared, so
+    *      the keys are bit-identical to the stored rows);
+    *   3. the band delete keys on (doc, band, bh) — the locate probe
+    *      bloom-prunes on `bh`, the band table's bucket key, so only
+    *      cells that actually held a doomed band row rewrite;
+    *   4. the shingle delete keys on `doc` with the same bloom prune.
+    *
+    * Bands delete BEFORE shingles: candidates are generated from the band
+    * join (shingles only verify already-found candidates), so a crash
+    * between the two deletes leaves orphan shingle rows that can never
+    * make the ghost a candidate again — and re-running the remove finishes
+    * the job (erasure is idempotent; the orphan rows still carry the
+    * shingle hashes the band recompute needs).
+    *
+    * Durable pair results spilled by earlier [[addBatch]] calls under
+    * `root/pairs/` hold doc IDS only (no content, no signatures) and are
+    * the caller's artifacts — erase them with the corpus rows they
+    * describe.
+    */
+  def remove(ids: DataFrame, idCol: String): Unit = this.synchronized {
+    val keyed = ids.select(col(idCol).cast("long").as("doc")).distinct()
+    shingleDs.foreach { sds =>
+      val probe: Option[Seq[Any]] = {
+        val cap = maxProbeKeys
+        val rows = keyed.limit(cap + 1).collect()
+        if (rows.length > cap) None else Some(rows.iterator.map(_.get(0)).toSeq)
+      }
+      val doomedShingles = prunedRead(sds, "doc", probe)
+        .join(broadcast(keyed), Seq("doc"), "left_semi")
+        .select("doc", "h")
+      // Pin the recomputed band keys BEFORE anything mutates the shingle
+      // table they derive from; the two table erasures are then
+      // independent and overlap on the shared scheduler (the same
+      // discipline as addBatch's three write pipelines).
+      val doomedBands = bandDs.map(_ => timed("remove:derive-bands")(
+        bandRowsOf(doomedShingles).select("doc", "band", "bh")
+          .localCheckpoint(true)))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val fb = Future(bandDs.foreach { bds =>
+        val touched = timed("remove:bands")(
+          bds.delete(doomedBands.get, Seq("doc", "band", "bh")))
+        if (touched.nonEmpty)
+          timed(s"remove:save-bands(${touched.size})")(bds.saveParts(touched))
+      })
+      val fs = Future {
+        val touchedS = timed("remove:shingles")(sds.delete(keyed, Seq("doc")))
+        if (touchedS.nonEmpty)
+          timed(s"remove:save-shingles(${touchedS.size})")(sds.saveParts(touchedS))
+      }
+      val done = Seq(fb, fs).map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+      done.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
+    }
+  }
+
   /** Ingest one batch of documents; returns the verified near-dup pairs
     * (doc_a, doc_b, jaccard) involving at least one batch document. The
     * result is parquet-backed under the index root before this method
@@ -129,16 +216,7 @@ final class MinhashIndex private (
     val expl = Dedup.shingleRows(batch, textCol, idCol, shingleSize)
       .select(col("doc"), xxhash64(col("s")).as("h"))
       .cache()
-    val mins = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    val agg = expl.groupBy("doc").agg(count(lit(1)).as("sz"), mins: _*)
-    val bandStructs = (0 until bands).map { b =>
-      val cols = (b * r until (b + 1) * r).map(i => col(s"m$i").cast("string"))
-      struct(lit(b).as("band"), xxhash64(concat_ws(",", cols: _*), lit(b)).as("bh"))
-    }
-    val bandedNew = agg
-      .select(col("doc"), col("sz"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc"), col("sz"), col("b.band").as("band"), col("b.bh").as("bh"))
-      .cache()
+    val bandedNew = bandRowsOf(expl).cache()
 
     // Corpus side read PRUNED by the batch's band hashes — matching hashes
     // are rare (only near-dups collide), so nearly every cell's Bloom proves

@@ -152,12 +152,9 @@ object TextSearch {
       .agg(count(lit(1)).as("n"), sum("len").as("l"))
       .head()
     if (gone.getLong(0) == 0L) return index
-    val touched =
-      if (index.postings.storage.isDefined)
-        index.postings.cellsHolding(keyed, Seq("doc"))
-      else Nil
-    index.postings.delete(keyed, Seq("doc"))
-    if (touched.nonEmpty) index.postings.saveParts(touched)
+    val touched = index.postings.delete(keyed, Seq("doc"))
+    if (touched.nonEmpty && index.postings.storage.isDefined)
+      index.postings.saveParts(touched)
     Bm25Index(index.postings, index.n - gone.getLong(0),
       index.totalLen - gone.getLong(1))
   }
@@ -250,12 +247,9 @@ object TextSearch {
   def removeFromPositional(
       index: PositionalIndex, ids: DataFrame, idCol: String): Unit = {
     val keyed = ids.select(col(idCol).as("doc")).distinct()
-    val touched =
-      if (index.postings.storage.isDefined)
-        index.postings.cellsHolding(keyed, Seq("doc"))
-      else Nil
-    index.postings.delete(keyed, Seq("doc"))
-    if (touched.nonEmpty) index.postings.saveParts(touched)
+    val touched = index.postings.delete(keyed, Seq("doc"))
+    if (touched.nonEmpty && index.postings.storage.isDefined)
+      index.postings.saveParts(touched)
   }
 
   private def prunedPositional(index: PositionalIndex, terms: Seq[String]): DataFrame = {

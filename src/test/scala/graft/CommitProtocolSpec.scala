@@ -79,6 +79,59 @@ class CommitProtocolSpec extends SparkSpec {
     assert(LakeDataset.fromStorage(spark, root).rowsCount == 20L)
   }
 
+  test("disjoint-partition writers both commit via optimistic rebase") {
+    val root = Files.createTempDirectory("graft_occ_rebase").toString
+    freshLake(root)
+    val v0 = Manifest.read(root).version
+
+    val a = LakeDataset.fromStorage(spark, root)
+    val b = LakeDataset.fromStorage(spark, root)
+
+    // A rewrites ONLY partition 0, commits first.
+    a.deleteWhere(col("o_batch") === 0 && col("o_orderkey") <= 100)
+    a.saveParts(a.partKeys.filter(_.partValues.contains("o_batch" -> "0")))
+    assert(Manifest.read(root).version == v0 + 1)
+
+    // B (stale, loaded at v0) rewrites ONLY partition 2 — disjoint cells:
+    // the commit REBASES over A's instead of aborting (the loser no longer
+    // reruns everything).
+    b.deleteWhere(col("o_batch") === 2 && col("o_orderkey") > 200)
+    b.saveParts(b.partKeys.filter(_.partValues.contains("o_batch" -> "2")))
+    assert(Manifest.read(root).version == v0 + 2)
+
+    // BOTH effects visible to a fresh reader — neither commit clobbered.
+    val r = LakeDataset.fromStorage(spark, root)
+    assert(r.toDF.filter(col("o_batch") === 0 && col("o_orderkey") <= 100).count() == 0)
+    assert(r.toDF.filter(col("o_batch") === 2 && col("o_orderkey") > 200).count() == 0)
+    assert(r.toDF.filter(col("o_batch") === 1).count() > 0, "untouched partition intact")
+
+    // A rebased handle keeps committing (merge mode): another disjoint
+    // change from B lands cleanly.
+    b.deleteWhere(col("o_batch") === 2 && col("o_orderkey") <= 20)
+    b.saveParts(b.partKeys.filter(_.partValues.contains("o_batch" -> "2")))
+    assert(Manifest.read(root).version == v0 + 3)
+    val r2 = LakeDataset.fromStorage(spark, root)
+    assert(r2.toDF.filter(col("o_batch") === 0 && col("o_orderkey") <= 100).count() == 0)
+    assert(r2.toDF.filter(col("o_batch") === 2 && col("o_orderkey") <= 20).count() == 0)
+  }
+
+  test("overlapping-cell writers still abort loudly") {
+    val root = Files.createTempDirectory("graft_occ_overlap").toString
+    freshLake(root)
+    val a = LakeDataset.fromStorage(spark, root)
+    val b = LakeDataset.fromStorage(spark, root)
+    a.deleteWhere(col("o_batch") === 1 && col("o_orderkey") <= 100)
+    a.saveParts(a.partKeys.filter(_.partValues.contains("o_batch" -> "1")))
+    // B touches the SAME partition — rebase must refuse (lost update).
+    b.deleteWhere(col("o_batch") === 1 && col("o_orderkey") > 200)
+    val ex = intercept[java.util.ConcurrentModificationException](
+      b.saveParts(b.partKeys.filter(_.partValues.contains("o_batch" -> "1"))))
+    assert(ex.getMessage.contains("both writers touched"), ex.getMessage)
+    // A's commit stands untouched by the aborted writer.
+    val r = LakeDataset.fromStorage(spark, root)
+    assert(r.toDF.filter(col("o_batch") === 1 && col("o_orderkey") <= 100).count() == 0)
+  }
+
   test("incremental cell saves carry the token too") {
     val root = Files.createTempDirectory("graft_occ_cell").toString
     freshLake(root)

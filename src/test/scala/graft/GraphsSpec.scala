@@ -111,6 +111,56 @@ class GraphsSpec extends SparkSpec {
     assert(a(1L) > a(2L))
   }
 
+  test("pageRankDirectedInt: hand-computed dangling redistribution") {
+    // 1->2, 1->3, 2->3. Vertex 3 is DANGLING (pure sink); n=3.
+    // iter1: D=1e6, pv=333333; contribs 2<-500000, 3<-1500000
+    //   -> s1 = (433333, 858333, 1708333)
+    // iter2: D=1708333, pv=569444; contribs 2<-216666, 3<-1074999
+    //   -> s2 = (634027, 818193, 1547776)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("s", "t")
+    val pr = Graphs.pageRankDirectedInt(e, "s", "t", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(pr == Map(1L -> 634027L, 2L -> 818193L, 3L -> 1547776L))
+  }
+
+  test("pageRankDirectedInt: a cycle is a fixed point; direction matters") {
+    // 3-cycle: every vertex out-degree 1 and in-degree 1, no dangling ->
+    // scores hold at scale forever.
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "t")
+    val pr = Graphs.pageRankDirectedInt(cyc, "s", "t", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(pr.values.toSet == Set(1000000L))
+    // star IN vs OUT: authority accrues to the vote target, not the voter
+    val in = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("s", "t") // all vote FOR 1
+    val out = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "t") // 1 votes for all
+    val prIn = Graphs.pageRankDirectedInt(in, "s", "t").as[(Long, Long)].collect().toMap
+    val prOut = Graphs.pageRankDirectedInt(out, "s", "t").as[(Long, Long)].collect().toMap
+    assert(prIn(1L) > prIn(2L), s"in-star center must outrank leaves: $prIn")
+    assert(prOut(1L) < prOut(2L), s"out-star center must NOT collect authority: $prOut")
+    // checkpointEach is plan-only
+    val c = Graphs.pageRankDirectedInt(in, "s", "t", checkpointEach = true)
+      .as[(Long, Long)].collect().toMap
+    assert(c == prIn)
+  }
+
+  test("uncapped projection over a hub fails loudly; capped passes") {
+    // hub item shared by 12 users -> 66 candidate pairs; cap at 50.
+    val bip = ((1L to 12L).map(u => (u, "hub")) ++ Seq((1L, "x"), (2L, "x")))
+      .toDF("user", "item")
+    spark.conf.set("spark.graft.graph.projectionVolumeCap", "50")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Graphs.projectBipartite(bip, "user", "item")
+      }
+      assert(ex.getMessage.contains("projectionVolumeCap"), ex.getMessage)
+      assert(ex.getMessage.contains("degree 12"), ex.getMessage)
+      // explicit cap bounds per-hub volume by construction: no probe, no error
+      val got = Graphs.projectBipartite(bip, "user", "item", maxRightDegree = 5)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L, 1L)))
+    } finally spark.conf.unset("spark.graft.graph.projectionVolumeCap")
+  }
+
   test("personalizedPageRankInt: hand-computed weighted trust spread") {
     // Graph 1-2 (w=1), 2-3 (w=3); seed {1}. Totals: W(1)=1, W(2)=4, W(3)=3.
     // s0 = (1e6, 0, 0)

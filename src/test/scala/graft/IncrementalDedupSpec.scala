@@ -283,4 +283,65 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(before.sameElements(after), "batch=0 files must be untouched")
     assert(Files.exists(java.nio.file.Paths.get(s"$root/bands/batch=1")))
   }
+
+  test("exact erasure: a re-ingested forgotten doc is NOT a duplicate of its ghost") {
+    val corpus = Fixtures.table(spark, sf(), "documents").select("doc_id", "text")
+    val root = Files.createTempDirectory("graft_ex_rm").toString
+    val idx = ExactDedupIndex.open(spark, root, nBuckets = 8)
+    val b1 = corpus.filter(col("doc_id") < 200)
+    idx.addBatch(b1, "text", "doc_id")
+    val doomed = b1.filter(col("doc_id") % 7 === 0).select("doc_id")
+    val doomedIds = doomed.as[Long].collect().toSet
+    assert(idx.remove(doomed, "doc_id") > 0, "erase must rewrite at least one cell")
+    // erasure is idempotent: the second pass finds nothing to rewrite
+    assert(idx.remove(doomed, "doc_id") == 0)
+    // wholesale replay: EXACTLY the forgotten keys come back as new —
+    // no ghost suppression, and no leak of still-remembered content
+    val replay = idx.addBatch(b1, "text", "doc_id")
+      .select("doc").as[Long].collect().toSet
+    assert(replay == doomedIds, s"replay=$replay expected=$doomedIds")
+    // a reopened handle sees the post-erase state
+    val reopened = ExactDedupIndex.open(spark, root, nBuckets = 8)
+    assert(reopened.addBatch(b1, "text", "doc_id").count() == 0)
+  }
+
+  test("minhash erasure: pairs with erased partners vanish; survivors still pair") {
+    val corpus = Fixtures.nearDupDocuments(spark, sf())
+    val root = Files.createTempDirectory("graft_mh_rm_spec").toString
+    val idx = MinhashIndex.open(spark, root)
+    idx.addBatch(corpus.filter(col("doc_id") < 100000), "text", "doc_id")
+
+    // Baseline: which originals the copies WOULD pair with, from a twin
+    // index that erases nothing.
+    val twinRoot = Files.createTempDirectory("graft_mh_rm_twin").toString
+    val twin = MinhashIndex.open(spark, twinRoot)
+    twin.addBatch(corpus.filter(col("doc_id") < 100000), "text", "doc_id")
+    val baseline = pairs(twin.addBatch(
+      corpus.filter(col("doc_id") >= 100000), "text", "doc_id", threshold = 0.5))
+    // only ORIGINALS (< 100000) are erased — new-vs-new pairs whose doc_a
+    // happens to be divisible by 20 must survive untouched
+    val partners = baseline.map(_._1).filter(_ < 100000)
+    assert(partners.nonEmpty, "fixture must produce near-dup pairs")
+    val (erased, kept) = partners.partition(_ % 20 == 0)
+    assert(erased.nonEmpty && kept.nonEmpty, "fixture must split on % 20")
+
+    idx.remove(
+      corpus.filter(col("doc_id") < 100000 && col("doc_id") % 20 === 0)
+        .select("doc_id"), "doc_id")
+    // physical erasure: no band or shingle row of an erased doc survives
+    val erasedList = erased.toSeq
+    assert(idx.bandRows.get.filter(col("doc").isin(erasedList: _*)).count() == 0)
+    assert(idx.shingleRows.get.filter(col("doc").isin(erasedList: _*)).count() == 0)
+
+    val got = pairs(idx.addBatch(
+      corpus.filter(col("doc_id") >= 100000), "text", "doc_id", threshold = 0.5))
+    assert(got == baseline.filterNot(p => p._1 < 100000 && p._1 % 20 == 0),
+      "exactly the erased partners' pairs must vanish")
+    // erasure is idempotent and survives reopen
+    idx.remove(
+      corpus.filter(col("doc_id") < 100000 && col("doc_id") % 20 === 0)
+        .select("doc_id"), "doc_id")
+    val reopened = MinhashIndex.open(spark, root)
+    assert(reopened.bandRows.get.filter(col("doc").isin(erasedList: _*)).count() == 0)
+  }
 }

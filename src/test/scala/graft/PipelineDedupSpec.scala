@@ -43,6 +43,37 @@ class PipelineDedupSpec extends SparkSpec {
     assert(out == manual)
   }
 
+  test("over-cap component set plans a shuffle join, same survivors") {
+    // Plant an over-cap duplicate set: broadcastIdCap=0 makes EVERY
+    // component table "too big to broadcast", and killing the planner's
+    // own threshold proves keepBest degrades to a shuffle join instead of
+    // forcing a driver-sized build — the 100 TB crawl shape, where the
+    // duplicate set is billions of ids and an unconditional broadcast
+    // hint would OOM the driver.
+    val savedAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.graft.dedup.broadcastIdCap", "0")
+    try {
+      val c = corpus
+      val pairs = Dedup.ngramJaccardPairs(c, "text", "doc_id", 3, 0.5)
+      val scores = c.select(col("doc_id"), length(col("text")).as("q"))
+      val out = Dedup.keepBest(c, pairs, scores, "doc_id", "q")
+      val plan = out.queryExecution.sparkPlan.toString
+      assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+        plan)
+      val got = out.select("doc_id").as[Long].collect().toSet
+      // fall-open path is plan-only: survivors identical to the hinted path
+      spark.conf.unset("spark.graft.dedup.broadcastIdCap")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedAuto)
+      val hintedOut = Dedup.keepBest(c, pairs, scores, "doc_id", "q")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == hintedOut)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedAuto)
+      spark.conf.unset("spark.graft.dedup.broadcastIdCap")
+    }
+  }
+
   test("idempotent: re-running the pipeline over its survivors drops nothing") {
     val once = run(corpus)
     val twice = run(once).select("doc_id").as[Long].collect().toSet
