@@ -544,10 +544,12 @@ object SparkEntry {
     }),
 
     // ZERO-SCAN retention matrix: the same pairwise-overlap dashboard
-    // answered from the catalog's per-cell HLL sketches alone (no Spark
-    // jobs at answer time) via inclusion-exclusion — exact here (sparse
-    // regime), honest-approximate at scale; the theta operator is the
-    // precise one-scan path. Twin: retention_matrix_exact.
+    // answered from the catalog's per-cell THETA twins alone (no Spark
+    // jobs at answer time) — intersection is first-class, EXACT while
+    // groups stay under nominal entries (they do here at every SF), so
+    // the gate carries a full DuckDB oracle; at saturation the error is
+    // ~1/√k on the smaller side, vastly tighter than the r13 HLL
+    // inclusion-exclusion this replaced.
     "lake_stats_overlap" -> ((s, dir) => {
       import s.implicits._
       val ev = table(s, dir, "events")
@@ -555,6 +557,30 @@ object SparkEntry {
       val ds = LakeDataset.fromDataFrame(s, ev,
         partitionCols = Seq("event_type"), sketchCols = Seq("user_id"))
       val m = ds.metaPartitionOverlap("user_id", "event_type")
+        .getOrElse(sys.error("catalog overlap failed open — parts not tight"))
+      m.toDF("g_a", "g_b", "distinct_a", "distinct_b", "both_ab")
+        .orderBy("g_a", "g_b")
+    }),
+
+    // MAINTAINED theta catalog family end-to-end: per-cell theta twins ride
+    // the sketch family ([[HllMap.ThetaPrefix]]) through routing, APPEND
+    // FOLDS (the second half lands via insert and the twins union in), the
+    // manifest round-trip, and the zero-scan matrix — and because every
+    // group here stays under the sketch's nominal entries, the answers are
+    // EXACT and the whole path has a full DuckDB oracle (the r13 design
+    // routed small intersections to a one-scan fallback; this closes it).
+    "lake_stats_theta_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val ev = table(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("event_id"))
+      val ds = LakeDataset.fromDataFrame(s, ev.filter(col("event_id") % 2 === 0),
+        partitionCols = Seq("event_type"), sketchCols = Seq("user_id"),
+        storage = Some(graft.model.StorageSpec(
+          Files.createTempDirectory("graft_theta_ov").toString)))
+      ds.toStorage()
+      val re = LakeDataset.fromStorage(s, ds.storage.get.root)
+      re.insert(ev.filter(col("event_id") % 2 === 1))
+      val m = re.metaPartitionOverlap("user_id", "event_type")
         .getOrElse(sys.error("catalog overlap failed open — parts not tight"))
       m.toDF("g_a", "g_b", "distinct_a", "distinct_b", "both_ab")
         .orderBy("g_a", "g_b")
@@ -1241,6 +1267,53 @@ object SparkEntry {
           sum(((unix_timestamp(col("ts_b")) - unix_timestamp(col("ts_a"))) / 60)
             .cast("long")).as("total_delay_min"))
         .orderBy("event_type")
+    }),
+
+    // STREAMING SESSION WINDOWS: gap-based sessions through Spark's native
+    // session_window state store, APPEND mode — a session emits only once
+    // the watermark proves no event can still extend it. Two far-future
+    // sentinel batches close every real session (first advances the
+    // watermark, second flushes under it; the sentinels' own sessions are
+    // filtered by key). The emitted set then equals the batch
+    // sessionization of the final events — one DuckDB lag/cumsum oracle.
+    "stream_session_window" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev = table(s, dir, "events").filter(col("user_id") % 20 === 0)
+      val rows = ev.select(col("user_id"), unix_micros(col("ts")), col("value"))
+        .as[(Long, Long, Double)].collect().sortBy(_._2)
+      require(rows.length <= 200000, s"gate fixture grew: ${rows.length} events")
+      val maxUs = rows.map(_._2).max
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)]
+      val sess = graft.streaming.StreamingIngest.sessionWindows(
+        mem.toDF().toDF("user_id", "us", "value")
+          .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value")),
+        "ts", "user_id", "value", gap = "30 minutes", watermark = "1 hour")
+      val root = Files.createTempDirectory("graft_ssw").toString
+      val ds = LakeDataset.forStorage(s, partitionCols = Nil, bucketCols = Nil,
+        nBuckets = 1, bloomCols = Nil, storage = graft.model.StorageSpec(root))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = sess.writeStream.outputMode("append").foreachBatch(
+          (b: DataFrame, _: Long) =>
+            ds.insert(b.select("sess_start", "user_id", "n", "total_value"))).start()
+        try {
+          val (h1, h2) = rows.splitAt(rows.length / 2)
+          mem.addData(h1.toSeq: _*)
+          q.processAllAvailable()
+          mem.addData(h2.toSeq: _*)
+          q.processAllAvailable()
+          mem.addData((-1L, maxUs + 86400000000L, 0.0))
+          q.processAllAvailable()
+          mem.addData((-1L, maxUs + 2 * 86400000000L, 0.0))
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      ds.toDF.filter(col("user_id") >= 0)
+        .select(unix_micros(col("sess_start")).as("sess_start_us"),
+          col("user_id"), col("n"), col("total_value"))
+        .orderBy("user_id", "sess_start_us")
     }),
 
     // LEFT-OUTER stream-stream join: an impression with no in-window click
@@ -4474,6 +4547,26 @@ object SparkEntry {
          |  COUNT(*) AS n, ${osum("value", 4)} AS total_value
          |FROM s GROUP BY user_id, sid""".stripMargin,
 
+    // The streaming session windows, once every session is watermark-closed,
+    // equal the batch sessionization of the final event set.
+    "stream_session_window" ->
+      s"""WITH e AS (SELECT * FROM events WHERE user_id % 20 = 0),
+         |t AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+         |           (PARTITION BY user_id ORDER BY ts, event_id)
+         |         >= 1800000000 THEN 1 ELSE 0 END AS brk
+         |  FROM e),
+         |s AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |                   ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM t)
+         |SELECT epoch_us(MIN(ts)) AS sess_start_us, user_id,
+         |  COUNT(*) AS n, ${osum("value", 4)} AS total_value
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, sess_start_us""".stripMargin,
+
     "lake_materialize" ->
       s"""SELECT event_type, COUNT(*) AS n, ${osum("value", 4)} AS total_value
          |FROM (SELECT * FROM events
@@ -4724,6 +4817,47 @@ object SparkEntry {
         |  p.both_ab,
         |  ca.n + cb.n - p.both_ab AS union_ab
         |FROM p JOIN c ca ON ca.g = p.g_a JOIN c cb ON cb.g = p.g_b
+        |ORDER BY 1, 2""".stripMargin,
+
+    // The catalog theta matrix is EXACT while every group stays under the
+    // sketch's nominal entries (this fixture does at every SF) — so the
+    // zero-scan answer has a full relational oracle, incremental appends
+    // included.
+    "lake_stats_theta_overlap" ->
+      """WITH d AS (SELECT DISTINCT event_type AS g, user_id AS u FROM events),
+        |c AS (SELECT g, COUNT(*) AS n FROM d GROUP BY g),
+        |p AS (SELECT a.g AS g_a, b.g AS g_b, COUNT(*) AS both_ab
+        |      FROM d a JOIN d b ON a.u = b.u AND a.g < b.g GROUP BY 1, 2)
+        |SELECT ca.g AS g_a, cb.g AS g_b,
+        |  CAST(ca.n AS BIGINT) AS distinct_a, CAST(cb.n AS BIGINT) AS distinct_b,
+        |  CAST(COALESCE(p.both_ab, 0) AS BIGINT) AS both_ab
+        |FROM c ca JOIN c cb ON ca.g < cb.g
+        |LEFT JOIN p ON p.g_a = ca.g AND p.g_b = cb.g
+        |ORDER BY 1, 2""".stripMargin,
+
+    "lake_stats_overlap" ->
+      """WITH d AS (SELECT DISTINCT event_type AS g, user_id AS u FROM events),
+        |c AS (SELECT g, COUNT(*) AS n FROM d GROUP BY g),
+        |p AS (SELECT a.g AS g_a, b.g AS g_b, COUNT(*) AS both_ab
+        |      FROM d a JOIN d b ON a.u = b.u AND a.g < b.g GROUP BY 1, 2)
+        |SELECT ca.g AS g_a, cb.g AS g_b,
+        |  CAST(ca.n AS BIGINT) AS distinct_a, CAST(cb.n AS BIGINT) AS distinct_b,
+        |  CAST(COALESCE(p.both_ab, 0) AS BIGINT) AS both_ab
+        |FROM c ca JOIN c cb ON ca.g < cb.g
+        |LEFT JOIN p ON p.g_a = ca.g AND p.g_b = cb.g
+        |ORDER BY 1, 2""".stripMargin,
+
+    "lake_sql_overlap" ->
+      """WITH d AS (SELECT DISTINCT event_type AS g, user_id AS u FROM events),
+        |c AS (SELECT g, COUNT(*) AS n FROM d GROUP BY g),
+        |p AS (SELECT a.g AS g_a, b.g AS g_b, COUNT(*) AS both_ab
+        |      FROM d a JOIN d b ON a.u = b.u AND a.g < b.g GROUP BY 1, 2)
+        |SELECT ca.g AS value_a, cb.g AS value_b,
+        |  CAST(ca.n AS BIGINT) AS approx_distinct_a,
+        |  CAST(cb.n AS BIGINT) AS approx_distinct_b,
+        |  CAST(COALESCE(p.both_ab, 0) AS BIGINT) AS approx_overlap
+        |FROM c ca JOIN c cb ON ca.g < cb.g
+        |LEFT JOIN p ON p.g_a = ca.g AND p.g_b = cb.g
         |ORDER BY 1, 2""".stripMargin,
 
     "q34_overlap_exact" ->

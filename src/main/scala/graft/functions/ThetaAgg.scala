@@ -29,10 +29,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * intersections on the same groups); ThetaSpec pins <2% error vs exact
   * and merge associativity.
   *
-  * Not a maintained catalog family (yet): these are OPERATOR-level
-  * aggregates — a per-cell catalog variant would ride the same tightness
-  * contract as HllMap and is the documented next step if overlap
-  * dashboards need zero-scan answers.
+  * ALSO a maintained catalog family since r14: every sketch-tracked lake
+  * column carries a per-cell theta TWIN beside its HLL entry
+  * ([[graft.lake.HllMap.ThetaPrefix]]), same tightness/fold/severing
+  * contract, so `SHOW OVERLAP` answers zero-scan at ALL intersection
+  * sizes — exactly, while groups stay under nominal entries.
   */
 object ThetaCodec {
   /** log2 nominal entries — 4096 retained hashes, ~1.6% RSE. */

@@ -58,25 +58,55 @@ object HllMap {
     case _ => false
   }
 
+  /** Key prefix of the PAIRED per-part Theta sketch riding beside each
+    * column's HLL entry in the same per-part map. HLL answers the
+    * approx-distinct dashboard but cannot intersect; the theta twin gives
+    * the catalog SET ALGEBRA — `SHOW OVERLAP` / [[LakeDataset
+    * .metaPartitionOverlap]] intersect per-cell thetas zero-scan, with the
+    * crucial exactness property that a group whose distinct count stays
+    * under the sketch's nominal 2^lgK entries is answered EXACTLY (theta
+    * retains raw hashes until saturation), so small intersections no
+    * longer drown in HLL inclusion-exclusion error. Same tightness vouch,
+    * fold rules, severing and manifest discipline — the theta entry is
+    * just a second key in the existing family. Cost: up to ~32 KiB per
+    * part per tracked column in the manifest at lgK=12 saturation (HLL's
+    * ~1.5 KiB stays the cheap member; tracking stays opt-in per column).
+    */
+  val ThetaPrefix = "theta:"
+  def thetaKey(c: String): String = ThetaPrefix + c
+  def isThetaKey(k: String): Boolean = k.startsWith(ThetaPrefix)
+
   /** The aggregation columns maintaining sketches for `cols`, to append to
-    * a routing groupBy. Row layout contract: one binary column per tracked
-    * column, in `cols` order — parse back with [[fromRow]].
+    * a routing groupBy. Row layout contract: TWO binary columns per tracked
+    * column — the HLL sketch then its theta twin — in `cols` order; parse
+    * back with [[fromRow]] (offset consumers account `2 * cols.length`).
     */
   def aggs(cols: Seq[String]): Seq[Column] =
-    cols.map(c => hll_sketch_agg(col(c), lit(LgK)))
+    cols.flatMap(c => Seq(
+      hll_sketch_agg(col(c), lit(LgK)),
+      graft.functions.ThetaAgg.sketch(col(c))))
 
   /** An empty sketch's bytes (what an all-NULL or zero-row group holds). */
   def empty: Array[Byte] = new HllSketch(LgK).toUpdatableByteArray
 
-  /** Parse the sketches appended by [[aggs]] from a collected row. A NULL
-    * (group with no non-null values) reads as the empty sketch — the union
-    * identity, mirroring how the scan-side aggregate treats such groups.
+  /** An empty theta sketch's bytes — the theta-union identity. */
+  def emptyTheta: Array[Byte] =
+    graft.functions.ThetaCodec.emptyUnion().getResult.toByteArray
+
+  /** Parse the sketches appended by [[aggs]] from a collected row: per
+    * tracked column the HLL entry under the column name AND the theta twin
+    * under [[thetaKey]]. A NULL (group with no non-null values) reads as
+    * the respective empty sketch — the union identity, mirroring how the
+    * scan-side aggregates treat such groups.
     */
   def fromRow(row: org.apache.spark.sql.Row, offset: Int, cols: Seq[String])
       : Map[String, Array[Byte]] =
-    cols.zipWithIndex.map { case (c, i) =>
-      val v = row.get(offset + i)
-      c -> (if (v == null) empty else v.asInstanceOf[Array[Byte]])
+    cols.zipWithIndex.flatMap { case (c, i) =>
+      val h = row.get(offset + 2 * i)
+      val t = row.get(offset + 2 * i + 1)
+      Seq(
+        c -> (if (h == null) empty else h.asInstanceOf[Array[Byte]]),
+        thetaKey(c) -> (if (t == null) emptyTheta else t.asInstanceOf[Array[Byte]]))
     }.toMap
 
   /** Union two sketches — associative, commutative, and EXACT (the result's
@@ -90,16 +120,52 @@ object HllMap {
     u.getResult(TgtHllType.HLL_4).toUpdatableByteArray
   }
 
+  /** Union two theta sketches — same exactness story (retained-hash union;
+    * below nominal entries nothing is even approximate).
+    */
+  def thetaUnion(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val u = graft.functions.ThetaCodec.emptyUnion()
+    u.union(graft.functions.ThetaCodec.wrap(a))
+    u.union(graft.functions.ThetaCodec.wrap(b))
+    u.getResult.toByteArray
+  }
+
   /** Fold an appended batch's sketches into a part's current ones — same
-    * directional soundness as [[SumMap.merge]]: tracked in both → union;
-    * current-only keeps (the batch lacked the column, so its rows read as
-    * NULL — the empty-sketch identity); delta-only is DROPPED (the part has
-    * no baseline, so adopting the delta's sketch alone would be falsely
-    * exact).
+    * directional soundness as [[SumMap.merge]]: tracked in both → union
+    * (dispatching HLL vs theta by key); current-only keeps (the batch
+    * lacked the column, so its rows read as NULL — the empty-sketch
+    * identity); delta-only is DROPPED (the part has no baseline, so
+    * adopting the delta's sketch alone would be falsely exact).
     */
   def merge(current: Map[String, Array[Byte]], delta: Map[String, Array[Byte]])
       : Map[String, Array[Byte]] =
-    current.map { case (c, x) => c -> delta.get(c).map(union(x, _)).getOrElse(x) }
+    current.map { case (c, x) =>
+      c -> delta.get(c)
+        .map(d => if (isThetaKey(c)) thetaUnion(x, d) else union(x, d))
+        .getOrElse(x)
+    }
+
+  /** Rounded estimate of the theta-union of per-part theta twins. Exact
+    * (not an estimate) while the union stays under nominal entries.
+    */
+  def thetaUnionEstimate(sketches: Seq[Array[Byte]]): Long = {
+    val u = graft.functions.ThetaCodec.emptyUnion()
+    sketches.foreach(b => u.union(graft.functions.ThetaCodec.wrap(b)))
+    Math.round(u.getResult.getEstimate)
+  }
+
+  /** Rounded |A ∩ B| estimate of two theta-union results (each side the
+    * fold of one group's per-cell twins). Exact while both sides stay
+    * under nominal entries.
+    */
+  def thetaIntersectEstimate(
+      sa: Seq[Array[Byte]], sb: Seq[Array[Byte]]): Long = {
+    import graft.functions.ThetaCodec
+    val ua = ThetaCodec.emptyUnion(); sa.foreach(b => ua.union(ThetaCodec.wrap(b)))
+    val ub = ThetaCodec.emptyUnion(); sb.foreach(b => ub.union(ThetaCodec.wrap(b)))
+    Math.round(org.apache.datasketches.theta.SetOperation.builder()
+      .buildIntersection().intersect(ua.getResult, ub.getResult).getEstimate)
+  }
 
   /** The rounded COMPOSITE estimate of the union of `sketches` — equals
     * `hll_sketch_estimate(hll_sketch_agg(c))` over the whole table whenever

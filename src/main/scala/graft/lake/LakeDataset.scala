@@ -629,12 +629,12 @@ final class LakeDataset private (
       if (qc.isEmpty) None
       else Some(QuantileMap.fromRow(row,
         zoneOffset + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length +
-          kc.length, qc))
+          2 * kc.length, qc))
     def freqsAt(row: Row, zoneOffset: Int): Option[Map[String, Array[Byte]]] =
       if (fc.isEmpty) None
       else Some(FreqMap.fromRow(row,
         zoneOffset + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length +
-          kc.length + qc.length, fc))
+          2 * kc.length + qc.length, fc))
     val cells: Array[Row] =
       if (partitionCols.isEmpty && bucketCols.isEmpty) Array.empty
       else {
@@ -1729,14 +1729,29 @@ final class LakeDataset private (
     if (ps.isEmpty) return Some(Seq.empty)
     if (!ps.forall(p => p._2.statsTight.get && p._2.rows.get >= 0L)) return None
     if (!ps.forall(_._2.sketches.exists(_.contains(c)))) return None
+    // Preferred path: per-cell THETA twins (maintained beside every HLL
+    // entry since they shipped — see HllMap.ThetaPrefix). Theta
+    // intersection answers the overlap DIRECTLY with ~1/√k relative error
+    // on the smaller operand — and EXACTLY while a group stays under the
+    // sketch's nominal entries — where HLL inclusion-exclusion subtracts
+    // two large estimates and drowns small intersections in their error.
+    // Pre-theta manifests (no twins persisted) fall back to the HLL path.
+    val tk = HllMap.thetaKey(c)
+    val haveTheta = ps.forall(_._2.sketches.exists(_.contains(tk)))
     val groups: Seq[(String, Seq[Array[Byte]])] = ps
       .groupBy(_._1.partValues.toMap.getOrElse(partitionCol, ""))
-      .map { case (v, cells) => v -> cells.map(_._2.sketches.get(c)) }
+      .map { case (v, cells) =>
+        v -> cells.map(_._2.sketches.get(if (haveTheta) tk else c))
+      }
       .toSeq.sortBy(_._1)
     val out = for {
       i <- groups.indices; j <- (i + 1) until groups.length
       (va, sa) = groups(i); (vb, sb) = groups(j)
-    } yield {
+    } yield if (haveTheta) {
+      val a = HllMap.thetaUnionEstimate(sa)
+      val b = HllMap.thetaUnionEstimate(sb)
+      (va, vb, a, b, HllMap.thetaIntersectEstimate(sa, sb))
+    } else {
       val a = HllMap.unionEstimate(sa)
       val b = HllMap.unionEstimate(sb)
       val u = HllMap.unionEstimate(sa ++ sb)
@@ -2401,10 +2416,10 @@ final class LakeDataset private (
           else Some(HllMap.fromRow(row, sumOff + 2 * sc.length, kc)),
           if (qc.isEmpty) None
           else Some(QuantileMap.fromRow(row,
-            sumOff + 2 * sc.length + kc.length, qc)),
+            sumOff + 2 * sc.length + 2 * kc.length, qc)),
           if (fc.isEmpty) None
           else Some(FreqMap.fromRow(row,
-            sumOff + 2 * sc.length + kc.length + qc.length, fc)))))
+            sumOff + 2 * sc.length + 2 * kc.length + qc.length, fc)))))
     }
 
     val keyCols = cellKeyCols
@@ -2432,11 +2447,11 @@ final class LakeDataset private (
       val quants =
         if (quantColsIn.isEmpty) None
         else Some(QuantileMap.fromRow(row,
-          sumOff + 2 * sumColsIn.length + sketchColsIn.length, quantColsIn))
+          sumOff + 2 * sumColsIn.length + 2 * sketchColsIn.length, quantColsIn))
       val freqs =
         if (freqColsIn.isEmpty) None
         else Some(FreqMap.fromRow(row,
-          sumOff + 2 * sumColsIn.length + sketchColsIn.length +
+          sumOff + 2 * sumColsIn.length + 2 * sketchColsIn.length +
             quantColsIn.length, freqColsIn))
       val cond = partitionCols.zipWithIndex.map { case (c, i) =>
         if (row.isNullAt(i)) snap(c).isNull
@@ -2716,11 +2731,11 @@ final class LakeDataset private (
           else Some(HllMap.fromRow(row, sumOff + 2 * sc.length, kc))
         val quants =
           if (qc.isEmpty) None
-          else Some(QuantileMap.fromRow(row, sumOff + 2 * sc.length + kc.length, qc))
+          else Some(QuantileMap.fromRow(row, sumOff + 2 * sc.length + 2 * kc.length, qc))
         val freqsP =
           if (fc.isEmpty) None
           else Some(FreqMap.fromRow(row,
-            sumOff + 2 * sc.length + kc.length + qc.length, fc))
+            sumOff + 2 * sc.length + 2 * kc.length + qc.length, fc))
         parts.put(key,
           new LakePart(restored, key, bucketCols, nBuckets, row.getLong(nKey),
             retainDirect, initialZones = Some(zones), statColsOf = statColsFor,
@@ -3729,7 +3744,11 @@ object LakeDataset {
         if (!tight) None
         else manifest.partSketches.get(key.relPath).map { cols =>
           cols.flatMap { case (c, b64) =>
-            if (manifest.sketchCols.contains(c)) HllMap.decode(b64).map(c -> _)
+            // Theta twins restore under their base column's declaration —
+            // a `theta:c` key rides the same opt-in as `c` (see HllMap).
+            val base =
+              if (HllMap.isThetaKey(c)) c.stripPrefix(HllMap.ThetaPrefix) else c
+            if (manifest.sketchCols.contains(base)) HllMap.decode(b64).map(c -> _)
             else None
           }
         }.filter(_.nonEmpty)

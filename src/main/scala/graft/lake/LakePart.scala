@@ -398,9 +398,9 @@ final class LakePart private[lake] (
       if (kc.nonEmpty) sketchesRef.set(Some(HllMap.fromRow(row,
         1 + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length, kc)))
       if (qc.nonEmpty) quantsRef.set(Some(QuantileMap.fromRow(row,
-        1 + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length + kc.length, qc)))
+        1 + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length + 2 * kc.length, qc)))
       if (fc.nonEmpty) freqsRef.set(Some(FreqMap.fromRow(row,
-        1 + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length + kc.length + qc.length, fc)))
+        1 + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length + 2 * kc.length + qc.length, fc)))
       changes.set(0L)
       mutationOps.set(0L)
       statsTight.set(true) // count + zones just recomputed from data
@@ -454,9 +454,9 @@ final class LakePart private[lake] (
     if (kc.nonEmpty) sketchesRef.set(Some(HllMap.fromRow(row,
       1 + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length, kc)))
     if (qc.nonEmpty) quantsRef.set(Some(QuantileMap.fromRow(row,
-      1 + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length + kc.length, qc)))
+      1 + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length + 2 * kc.length, qc)))
     if (fc.nonEmpty) freqsRef.set(Some(FreqMap.fromRow(row,
-      1 + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length + kc.length + qc.length, fc)))
+      1 + 2 * zc.length + Bloom.Planes * bc.length + 2 * sc.length + 2 * kc.length + qc.length, fc)))
     statsTight.set(true)
   }
 

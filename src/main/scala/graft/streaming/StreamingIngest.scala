@@ -412,4 +412,32 @@ object StreamingIngest {
           SessionUpdate(user, st.sessions, st.events)
       }
   }
+
+  /** Gap-based SESSION windows — the stream-relational sessionization verb
+    * (Spark's native `session_window`, planned as the merging-session state
+    * store): events of one key whose gaps stay under `gap` merge into one
+    * session row `(sess_start, key, n, total_value)`; a gap ≥ `gap` starts
+    * a new session. In APPEND mode a session emits only once the watermark
+    * proves no event can still extend it (watermark > session end), so the
+    * output is exactly the batch sessionization of the final event set —
+    * the `stream_session_window` gate hash-matches a DuckDB lag/cumsum
+    * oracle on it.
+    *
+    * The value sum accumulates in DECIMAL(38,4) and casts back to double,
+    * the engine-wide discipline that keeps float aggregates bit-equal to
+    * the oracle. State is O(open sessions per watermark horizon) — closed
+    * sessions evict with their emission, the same bound as every windowed
+    * aggregate here.
+    */
+  def sessionWindows(
+      events: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+      gap: String, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+          .as("__dec"))
+      .select(col("session_window.start").as("sess_start"), col(keyCol),
+        col("n"), col("__dec").cast("double").as("total_value"))
 }

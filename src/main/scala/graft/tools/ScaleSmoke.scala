@@ -53,7 +53,8 @@ object ScaleSmoke {
       !sys.env.contains("SPARK_GRAFT_ONLY_R13A") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R13B") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R13C") &&
-      !sys.env.contains("SPARK_GRAFT_ONLY_R13D")
+      !sys.env.contains("SPARK_GRAFT_ONLY_R13D") &&
+      !sys.env.contains("SPARK_GRAFT_ONLY_R14")
     if (runAll) {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val big = (0 until copies).map { i =>
@@ -1454,9 +1455,12 @@ object ScaleSmoke {
         f"exact=$exactViewers err=${err * 100}%.2f%% overlap=${thetaRow.getDouble(1)}%.0f")
       require(err < 0.05, f"theta viewer estimate off by ${err * 100}%.1f%%")
 
-      // (7) zero-scan retention: the catalog's per-cell HLL sketches
-      // answer the full pairwise partition-overlap matrix with NO Spark
-      // jobs — vs the exact one-join scan over the same 20x corpus.
+      // (7) zero-scan retention: the catalog's per-cell THETA twins (r14 —
+      // first-class intersection; the r13 HLL inclusion-exclusion is the
+      // pre-theta fallback) answer the full pairwise partition-overlap
+      // matrix with NO Spark jobs — vs the exact one-join scan over the
+      // same 20x corpus. Past nominal entries (they are here) the answer
+      // degrades to ~1/√k honest-approximate; the error bound below pins it.
       val ovDs = LakeDataset.fromDataFrame(spark,
         ev13.withColumn("event_id", monotonically_increasing_id()),
         partitionCols = Seq("event_type"),
@@ -1490,6 +1494,86 @@ object ScaleSmoke {
         s"uncapped candidate volume should exceed 1e8 at 20x: $predicted")
     }
     if (onlyR13d) { spark.stop(); return }
+
+    // ---- r14: write/commit-path scale probes -------------------------------
+    // (1) one-pass staged rewrite vs per-part save at a cell count where the
+    //     per-cell fixed job cost dominates;
+    // (2) optimistic rebase: two stale handles over a many-cell root commit
+    //     DISJOINT work without rerunning (fingerprint diff cost at 100s of
+    //     cells is driver-side milliseconds);
+    // (3) directed PageRank on the 1M-edge sparse graph — per-iteration plan
+    //     is one join + one groupBy + one dangling tree-reduce, graph-size
+    //     independent;
+    // (4) index erasure cost vs a copies× index: removing a handful of docs
+    //     must track their touched cells, not the corpus.
+    // Run just this section with SPARK_GRAFT_ONLY_R14=1.
+    val onlyR14 = sys.env.contains("SPARK_GRAFT_ONLY_R14")
+    if (runAll || onlyR14) {
+      import graft.model.StorageSpec
+      // (1) + (2): a 64-cell stored table, every cell mutated.
+      val o14 = (0 until copies).map { i =>
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 10000000L))
+      }.reduce(_ unionByName _)
+        .withColumn("o_cell", pmod(col("o_orderkey"), lit(64)).cast("int"))
+        .localCheckpoint(true)
+      val root14 = java.nio.file.Files.createTempDirectory("graft_r14_save").toString
+      val ds14 = LakeDataset.fromDataFrame(spark, o14,
+        partitionCols = Seq("o_cell"), storage = Some(StorageSpec(root14)))
+      time(s"r14 initial save (${ds14.numParts} cells)")(ds14.toStorage())
+      val h1 = LakeDataset.fromStorage(spark, root14)
+      h1.deleteWhere(col("o_orderkey") % 97 === 0) // touches every cell
+      spark.conf.set("spark.graft.lake.onePassSaveMinCells", "1000000")
+      time(s"r14 per-part save (${h1.partKeys.length} cells)") {
+        h1.saveParts(h1.partKeys)
+      }
+      val h2 = LakeDataset.fromStorage(spark, root14)
+      h2.deleteWhere(col("o_orderkey") % 89 === 0)
+      spark.conf.unset("spark.graft.lake.onePassSaveMinCells")
+      time(s"r14 ONE-PASS save (${h2.partKeys.length} cells)") {
+        h2.saveParts(h2.partKeys)
+      }
+      val expect14 = o14.filter(col("o_orderkey") % 97 =!= 0 &&
+        col("o_orderkey") % 89 =!= 0).count()
+      require(LakeDataset.fromStorage(spark, root14).rowsCount == expect14,
+        "one-pass rewrite must persist exactly the surviving rows")
+      // (2) rebase: two fresh handles, DISJOINT partitions, interleaved
+      // commits — the second must merge, not abort, not rerun.
+      val wA = LakeDataset.fromStorage(spark, root14)
+      val wB = LakeDataset.fromStorage(spark, root14)
+      wA.deleteWhere(col("o_cell") === 3 && col("o_orderkey") % 11 === 0)
+      wA.saveParts(wA.partKeys.filter(_.partValues.contains("o_cell" -> "3")))
+      wB.deleteWhere(col("o_cell") === 40 && col("o_orderkey") % 11 === 0)
+      time("r14 stale-handle REBASE commit (64-cell root)") {
+        wB.saveParts(wB.partKeys.filter(_.partValues.contains("o_cell" -> "40")))
+      }
+      val r14r = LakeDataset.fromStorage(spark, root14)
+      require(r14r.toDF.filter(col("o_cell") === 3 &&
+        col("o_orderkey") % 11 === 0).count() == 0, "writer A's commit lost")
+      require(r14r.toDF.filter(col("o_cell") === 40 &&
+        col("o_orderkey") % 11 === 0).count() == 0, "writer B's rebase lost")
+      LakeDataset.deleteRecursively(java.nio.file.Paths.get(root14))
+
+      // (3) directed PageRank on the same web-shaped sparse graph as r13d.
+      val nV14 = 200000L
+      val sparse14 = spark.range(nV14).select(col("id").as("a"),
+          explode(array((1 to 5).map(j =>
+            pmod(col("id") * 131L + lit(j * 65537L), lit(nV14))): _*)).as("b"))
+        .filter(col("a") =!= col("b"))
+      val dpr = time("r14 directed PageRank, 3 iters, 1M edges") {
+        graft.operators.Graphs.pageRankDirectedInt(sparse14, "a", "b", iters = 3)
+          .localCheckpoint(true)
+      }
+      val dprStats = dpr.agg(count(lit(1)), min("pr"), sum("pr")).head()
+      println(s"[scale] r14 directed pr: ${dprStats.getLong(0)} vertices, " +
+        s"min=${dprStats.getLong(1)}, mass=${dprStats.getLong(2)}")
+      // every vertex holds at least the teleport constant; integral
+      // truncation only LOSES mass vs the n*scale invariant
+      require(dprStats.getLong(1) >= 150000L, "teleport floor violated")
+      require(dprStats.getLong(2) <= dprStats.getLong(0) * 1000000L,
+        "directed walk created mass — integer grid broke")
+    }
+    if (onlyR14) { spark.stop(); return }
 
     // ---- IVF ANN: probe cost vs corpus growth ------------------------------
     // The scale claim: an IVF probe reads nprobe inverted LISTS, whose size
