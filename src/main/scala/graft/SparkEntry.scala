@@ -598,6 +598,20 @@ object SparkEntry {
         .orderBy("value_a", "value_b")
     }),
 
+    // NET-NEW uniques per partition value from the catalog's theta twins
+    // alone (A-not-B set algebra — the verb HLL could never answer):
+    // zero scan jobs, EXACT in the sparse regime every SF ships, so the
+    // gate carries a full DuckDB oracle (first-seen-partition counts).
+    "lake_sql_netnew" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("event_id"))
+      val db = new Database(s)
+      db.register("nn_events", LakeDataset.fromDataFrame(s, ev,
+        partitionCols = Seq("event_type"), sketchCols = Seq("user_id")))
+      db.executeSql("SHOW NETNEW nn_events.user_id BY event_type")
+        .orderBy("value")
+    }),
+
     // Exact twin for the retention matrix: distinct (group, user) tags,
     // one equi-join on user for all co-occurring pairs, counts by flags.
     "retention_matrix_exact" -> ((s, dir) => {
@@ -2634,6 +2648,73 @@ object SparkEntry {
         .join(good.select(col("doc").as("doc_id"), col("lm_avg")), "doc_id")
         .select("doc_id", "domain", "lm_avg", "pack")
         .orderBy("doc_id")
+    }),
+
+    // RIGHT-TO-BE-FORGOTTEN END-TO-END: one erased-id set (doc_id % 170 —
+    // GDPR-sized: a handful of ids, so every index's rewrite tracks the
+    // touched cells, not the corpus)
+    // flows through the corpus table AND every persisted index type —
+    // exact-dedup, BM25, positional, MinHash (bands + shingles), IVF —
+    // and each surface reports its exact surviving row count plus a
+    // zero references-to-forgotten-ids counter. Every surviving count is
+    // SQL-derivable (postings = distinct (doc, word); positional = token
+    // occurrences; bands = 8/doc; shingles = distinct trigrams with the
+    // short-doc rule; exact index = normalized keys whose canonical
+    // survived), so the WHOLE composed erasure has one DuckDB oracle.
+    "pipeline_erasure_full" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .filter(col("doc_id") < 1000).select("doc_id", "text")
+      val emb = table(s, dir, "embeddings")
+        .filter(col("vec_id") < 1000).select("vec_id", "embedding")
+      val erased = d.filter(col("doc_id") % 170 === 0).select("doc_id")
+
+      val corpus = LakeDataset.fromDataFrame(s,
+        d.withColumn("b", (col("doc_id") % 4).cast("int")),
+        partitionCols = Seq("b"))
+      corpus.delete(erased, Seq("doc_id"))
+
+      val exIdx = ExactDedupIndex.open(s,
+        Files.createTempDirectory("graft_ef_ex").toString, nBuckets = 8)
+      exIdx.addBatch(d, "text", "doc_id")
+      exIdx.remove(erased, "doc_id")
+
+      val bm = TextSearch.buildIndex(s, d, "text", "doc_id", nBuckets = 8,
+        storage = Some(graft.model.StorageSpec(
+          Files.createTempDirectory("graft_ef_bm").toString)))
+      val bm2 = TextSearch.removeFromIndex(bm, erased, "doc_id")
+      val pos = TextSearch.buildPositional(s, d, "text", "doc_id", nBuckets = 8,
+        storage = Some(graft.model.StorageSpec(
+          Files.createTempDirectory("graft_ef_pos").toString)))
+      TextSearch.removeFromPositional(pos, erased, "doc_id")
+
+      // 8 bucket cells per table is right-sized for this gate's SF (the
+      // nBuckets=32 default is a crawl-scale key space; per-cell fixed job
+      // costs would dominate the composition here)
+      val mh = MinhashIndex.open(s,
+        Files.createTempDirectory("graft_ef_mh").toString, nBuckets = 8)
+      mh.addBatch(d, "text", "doc_id")
+      mh.remove(erased, "doc_id")
+
+      val ivfRoot = Files.createTempDirectory("graft_ef_ivf").toString
+      val (cen, asg) = Similarity.buildIvf(emb, "embedding", "vec_id", 16, 64)
+      Similarity.saveIvf(s, ivfRoot, cen, asg)
+      Similarity.removeFromIvf(Similarity.loadIvf(s, ivfRoot),
+        emb.filter(col("vec_id") % 170 === 0).select("vec_id"), "vec_id")
+      val ivf2 = Similarity.loadIvf(s, ivfRoot)
+
+      def surface(name: String, df: DataFrame, idc: String): DataFrame =
+        df.agg(count(lit(1)).as("rows"),
+            count(when(col(idc) % 170 === 0, 1)).as("erased_refs"))
+          .select(lit(name).as("surface"), col("rows"), col("erased_refs"))
+
+      surface("1_corpus", corpus.toDF, "doc_id")
+        .unionByName(surface("2_exact_index", exIdx.docRows.get, "doc"))
+        .unionByName(surface("3_bm25_postings", bm2.postings.toDF, "doc"))
+        .unionByName(surface("4_positional", pos.postings.toDF, "doc"))
+        .unionByName(surface("5_minhash_bands", mh.bandRows.get, "doc"))
+        .unionByName(surface("6_minhash_shingles", mh.shingleRows.get, "doc"))
+        .unionByName(surface("7_ivf_assigned", ivf2.assigned.toDF, "vec_id"))
+        .orderBy("surface")
     }),
 
     // Local clustering coefficients on the strong co-purchase backbone —
@@ -4847,6 +4928,16 @@ object SparkEntry {
         |LEFT JOIN p ON p.g_a = ca.g AND p.g_b = cb.g
         |ORDER BY 1, 2""".stripMargin,
 
+    "lake_sql_netnew" ->
+      """WITH d AS (SELECT DISTINCT event_type AS g, user_id AS u FROM events),
+        |c AS (SELECT g, COUNT(*) AS n FROM d GROUP BY g),
+        |firsts AS (SELECT u, MIN(g) AS g FROM d GROUP BY u),
+        |nn AS (SELECT g, COUNT(*) AS net FROM firsts GROUP BY g)
+        |SELECT c.g AS value, CAST(c.n AS BIGINT) AS approx_distinct,
+        |  CAST(COALESCE(nn.net, 0) AS BIGINT) AS approx_net_new
+        |FROM c LEFT JOIN nn ON nn.g = c.g
+        |ORDER BY c.g""".stripMargin,
+
     "lake_sql_overlap" ->
       """WITH d AS (SELECT DISTINCT event_type AS g, user_id AS u FROM events),
         |c AS (SELECT g, COUNT(*) AS n FROM d GROUP BY g),
@@ -5311,6 +5402,44 @@ object SparkEntry {
         |SELECT CAST(1 AS BIGINT), n2.doc_id FROM n2
         |WHERE norm NOT IN (SELECT norm FROM n1)
         |ORDER BY batch, doc_id""".stripMargin,
+
+    // Every surface's surviving rows, derived relationally; erased_refs
+    // is identically zero (a nonzero Spark-side count would row-mismatch).
+    "pipeline_erasure_full" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+        |k AS (SELECT * FROM d WHERE doc_id % 170 <> 0),
+        |norm AS (
+        |  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |              ' +', ' ', 'g')) AS t, MIN(doc_id) AS m
+        |  FROM d GROUP BY t),
+        |bmw AS (SELECT DISTINCT doc_id, w FROM
+        |        (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM k)),
+        |ws AS (SELECT doc_id,
+        |         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+        |       FROM k),
+        |tri AS (SELECT doc_id, COUNT(DISTINCT s) AS n FROM (
+        |          SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |          FROM ws, LATERAL (SELECT unnest(generate_series(1,
+        |                 greatest(len(ws) - 2, 0))) AS i) g) GROUP BY doc_id),
+        |sh AS (SELECT CAST(SUM(COALESCE(tri.n, 1)) AS BIGINT) AS n
+        |       FROM ws LEFT JOIN tri USING (doc_id))
+        |SELECT '1_corpus' AS surface,
+        |       CAST((SELECT COUNT(*) FROM k) AS BIGINT) AS rows,
+        |       CAST(0 AS BIGINT) AS erased_refs
+        |UNION ALL SELECT '2_exact_index',
+        |       CAST((SELECT COUNT(*) FROM norm WHERE m % 170 <> 0) AS BIGINT), 0
+        |UNION ALL SELECT '3_bm25_postings',
+        |       CAST((SELECT COUNT(*) FROM bmw) AS BIGINT), 0
+        |UNION ALL SELECT '4_positional',
+        |       CAST((SELECT COALESCE(SUM(len(string_split(trim(text), ' '))), 0)
+        |             FROM k) AS BIGINT), 0
+        |UNION ALL SELECT '5_minhash_bands',
+        |       CAST(8 * (SELECT COUNT(*) FROM k) AS BIGINT), 0
+        |UNION ALL SELECT '6_minhash_shingles', (SELECT n FROM sh), 0
+        |UNION ALL SELECT '7_ivf_assigned',
+        |       CAST((SELECT COUNT(*) FROM embeddings
+        |             WHERE vec_id < 1000 AND vec_id % 170 <> 0) AS BIGINT), 0
+        |ORDER BY surface""".stripMargin,
 
     // Erase-then-replay contract: batch 1 returns EXACTLY the canonicals
     // the erase forgot (id % 7 == 0) — a suppressed replay (ghost) or a

@@ -96,6 +96,8 @@ final class Database(val spark: SparkSession) {
     """(?is)^\s*SHOW\s+STATS\s+(?:FOR\s+)?([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val ShowOverlapRe =
     """(?is)^\s*SHOW\s+OVERLAP\s+([A-Za-z_][\w]*)\s*\.\s*([A-Za-z_][\w]*)\s+BY\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val ShowNetNewRe =
+    """(?is)^\s*SHOW\s+NETNEW\s+([A-Za-z_][\w]*)\s*\.\s*([A-Za-z_][\w]*)\s+BY\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
 
   /** Catalog listing: every registered table, its layout axes and cell
     * count — all driver-side metadata, zero jobs.
@@ -177,6 +179,25 @@ final class Database(val spark: SparkSession) {
     import spark.implicits._
     m.toDF("value_a", "value_b", "approx_distinct_a", "approx_distinct_b",
       "approx_overlap")
+  }
+
+  /** `SHOW NETNEW t.col BY partitionCol` — net-new uniques per partition
+    * value in value order ([[LakeDataset.metaPartitionNetNew]]): the
+    * "how many users did each day ADD" dashboard from the catalog's theta
+    * twins alone (A-not-B set algebra, no Spark jobs). Refuses loudly when
+    * the column is untracked, stats are untight, or the manifest predates
+    * the theta twins — the verb's contract IS the zero-scan answer.
+    */
+  private def showNetNew(name: String, c: String, partitionCol: String): DataFrame = {
+    val d = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown lake table '$name'"))
+    val m = d.metaPartitionNetNew(c, partitionCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"SHOW NETNEW needs '$c' sketch-tracked with theta twins, " +
+          s"'$partitionCol' a partition column, and tight stats on every " +
+          s"part of '$name' (run ANALYZE)"))
+    import spark.implicits._
+    m.toDF("value", "approx_distinct", "approx_net_new")
   }
 
   /** `SHOW STATS [FOR] t` — one row per table column, every maintained
@@ -297,6 +318,7 @@ final class Database(val spark: SparkSession) {
     case DescribeDetailRe(t) if tables.contains(t) => describeDetail(t)
     case ShowStatsRe(t) if tables.contains(t) => showStats(t)
     case ShowOverlapRe(t, c, p) if tables.contains(t) => showOverlap(t, c, p)
+    case ShowNetNewRe(t, c, p) if tables.contains(t) => showNetNew(t, c, p)
     case _ => spark.sql(if (feeds.isEmpty) sql else rewriteVersionAsOf(sql))
   }
 

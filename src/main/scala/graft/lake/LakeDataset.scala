@@ -1721,6 +1721,50 @@ final class LakeDataset private (
     * every unordered pair of partition values `(v_a < v_b, |A|, |B|,
     * both)`, including zero-overlap pairs.
     */
+  /** Metadata-only NET-NEW uniques per partition value: for partition
+    * values in sorted order, `|v_i \ (v_0 ∪ … ∪ v_{i-1})|` — the
+    * "how many users did each day actually ADD" dashboard, answered
+    * entirely from the catalog's per-cell theta twins (A-not-B is
+    * first-class theta algebra; HLL cannot subtract, so there is no HLL
+    * fallback — pre-theta manifests fail open). Zero Spark jobs, zero
+    * file reads; EXACT while the running union stays under the sketch's
+    * nominal entries, ~1/√k honest-approximate past it. Same tightness
+    * contract as [[metaPartitionOverlap]]. Returns
+    * (value, distinct, net_new) rows in value order; the first value's
+    * net_new equals its distinct count.
+    */
+  def metaPartitionNetNew(c: String, partitionCol: String)
+      : Option[Seq[(String, Long, Long)]] = this.synchronized {
+    if (!sketchCols.contains(c)) return None
+    if (!partitionCols.contains(partitionCol)) return None
+    val ps = parts.asScala.toList
+    if (ps.isEmpty) return Some(Seq.empty)
+    if (!ps.forall(p => p._2.statsTight.get && p._2.rows.get >= 0L)) return None
+    val tk = HllMap.thetaKey(c)
+    if (!ps.forall(_._2.sketches.exists(_.contains(tk)))) return None
+    import graft.functions.ThetaCodec
+    val groups = ps
+      .groupBy(_._1.partValues.toMap.getOrElse(partitionCol, ""))
+      .map { case (v, cells) => v -> cells.map(_._2.sketches.get(tk)) }
+      .toSeq.sortBy(_._1)
+    val seen = ThetaCodec.emptyUnion()
+    var first = true
+    val out = groups.map { case (v, sks) =>
+      val g = ThetaCodec.emptyUnion()
+      sks.foreach(b => g.union(ThetaCodec.wrap(b)))
+      val gc = g.getResult
+      val distinct = Math.round(gc.getEstimate)
+      val netNew =
+        if (first) distinct
+        else Math.round(org.apache.datasketches.theta.SetOperation.builder()
+          .buildANotB().aNotB(gc, seen.getResult).getEstimate)
+      seen.union(gc)
+      first = false
+      (v, distinct, netNew)
+    }
+    Some(out)
+  }
+
   def metaPartitionOverlap(c: String, partitionCol: String)
       : Option[Seq[(String, String, Long, Long, Long)]] = this.synchronized {
     if (!sketchCols.contains(c)) return None

@@ -64,7 +64,8 @@ final class MinhashIndex private (
     val numHashes: Int, val bands: Int, val shingleSize: Int, val nBuckets: Int,
     private var shingleDs: Option[LakeDataset],
     private var bandDs: Option[LakeDataset],
-    private var nextBatch: Long) {
+    private var nextBatch: Long,
+    private var compactedBelow: Long = 0L) {
   require(numHashes % bands == 0, "numHashes must divide into bands")
   private val r = numHashes / bands
 
@@ -203,6 +204,51 @@ final class MinhashIndex private (
     }
   }
 
+  /** Fold every committed batch of BOTH tables into ONE fresh batch
+    * partition each. A long-lived index accumulates one directory set per
+    * ingest, and every probe's driver prune walks every cell's Bloom —
+    * folding restores O(nBuckets) cells per table without changing any
+    * answer (the shingle/band ROWS are identical; only their batch
+    * placement changes, and batch is never a probe key). Crash-safe in the
+    * same currency as [[ExactDedupIndex.compact]]: the folded copies land
+    * as a NEW batch (a crash before the params commit replays as an
+    * uncommitted batch and the originals stand), `compactedBelow` persists
+    * strictly AFTER both copies, and a crash mid-deletion finishes on the
+    * next [[MinhashIndex.open]]. Result frames returned by earlier
+    * addBatch calls live under `root/pairs/` (parquet-backed, untouched by
+    * the fold) and stay readable.
+    */
+  def compact(): Unit = this.synchronized {
+    (shingleDs, bandDs) match {
+      case (Some(sds), Some(bds)) =>
+        val oldS = sds.partKeys
+        val oldB = bds.partKeys
+        val k = nextBatch
+        if (oldS.nonEmpty && k > 1) {
+          try {
+            sds.insertWritten(
+              sds.toDF.select("doc", "h").withColumn("batch", lit(k)))
+            bds.insertWritten(
+              bds.toDF.select("doc", "sz", "band", "bh").withColumn("batch", lit(k)))
+            MinhashIndex.writeParams(root, numHashes, bands, shingleSize,
+              nBuckets, k + 1, k)
+          } catch {
+            case e: Throwable =>
+              Seq(sds, bds).foreach { ds =>
+                val ks = ds.partKeys.filter(_.partValues.contains("batch" -> k.toString))
+                if (ks.nonEmpty) ds.dropParts(ks)
+              }
+              throw e
+          }
+          nextBatch = k + 1
+          compactedBelow = k
+          sds.dropParts(oldS)
+          bds.dropParts(oldB)
+        }
+      case _ => ()
+    }
+  }
+
   /** Ingest one batch of documents; returns the verified near-dup pairs
     * (doc_a, doc_b, jaccard) involving at least one batch document. The
     * result is parquet-backed under the index root before this method
@@ -327,7 +373,8 @@ final class MinhashIndex private (
         }
       }
       val result = spark.read.schema(resultSchema).parquet(pairsDir)
-      MinhashIndex.writeParams(root, numHashes, bands, shingleSize, nBuckets, b + 1)
+      MinhashIndex.writeParams(root, numHashes, bands, shingleSize, nBuckets,
+        b + 1, compactedBelow)
       nextBatch = b + 1
       result
     } finally {
@@ -406,22 +453,31 @@ object MinhashIndex {
       // trust the bands table, reproducing the old nextBatch inference.
       val committed = committedOpt.getOrElse(
         batchDirs(s"$root/bands").maxOption.map(_ + 1).getOrElse(0L))
-      dropUncommitted(root, committed)
+      val compactedBelow = {
+        val saved = if (Files.exists(paramsPath)) Files.readString(paramsPath) else ""
+        """"compactedBelow"\s*:\s*(\d+)""".r.findFirstMatchIn(saved)
+          .map(_.group(1).toLong).getOrElse(0L)
+      }
+      dropUncommitted(root, committed, compactedBelow)
       val sh = LakeDataset.fromStorage(spark, s"$root/shingles")
       val bd = LakeDataset.fromStorage(spark, s"$root/bands")
       new MinhashIndex(spark, root, numHashes, bands, shingleSize, nBuckets,
-        Some(sh), Some(bd), committed)
+        Some(sh), Some(bd), committed, compactedBelow)
     }
   }
 
-  /** Atomically (re)write the params + committed-batch-count marker. */
+  /** Atomically (re)write the params + committed-batch-count marker (and
+    * the compaction low-water mark — batches below it were folded into a
+    * fresh batch and their directories are disposable).
+    */
   private[operators] def writeParams(
       root: String, numHashes: Int, bands: Int, shingleSize: Int,
-      nBuckets: Int, batches: Long): Unit = {
+      nBuckets: Int, batches: Long, compactedBelow: Long = 0L): Unit = {
     val tmp = Paths.get(s"$root/params.json.tmp")
     Files.writeString(tmp,
       s"""{"numHashes":$numHashes,"bands":$bands,"shingleSize":$shingleSize,""" +
-        s""""nBuckets":$nBuckets,"batches":$batches}""")
+        s""""nBuckets":$nBuckets,"batches":$batches,""" +
+        s""""compactedBelow":$compactedBelow}""")
     Files.move(tmp, Paths.get(s"$root/params.json"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
@@ -440,15 +496,20 @@ object MinhashIndex {
     finally stream.close()
   }
 
-  /** Drop any `batch=N` directory at-or-past the committed count from both
-    * tables — state a crash left half-saved. The reopened index re-ingests
-    * that batch; keeping it would double its (doc, h) rows and silently
-    * inflate every Jaccard it participates in.
+  /** Drop any `batch=N` directory the params commit does not cover from
+    * both tables: at-or-past the committed count (a crash left it
+    * half-saved — the reopened index re-ingests that batch; keeping it
+    * would double its (doc, h) rows and silently inflate every Jaccard it
+    * participates in), and below `compactedBelow` (originals a crash
+    * interrupted [[MinhashIndex.compact]] while deleting — their folded
+    * copy IS committed, so deletion just finishes the fold).
     */
-  private def dropUncommitted(root: String, committed: Long): Unit =
+  private def dropUncommitted(
+      root: String, committed: Long, compactedBelow: Long = 0L): Unit =
     Seq("shingles", "bands").foreach { t =>
-      batchDirs(s"$root/$t").filter(_ >= committed).foreach { n =>
-        LakeDataset.deleteRecursively(Paths.get(s"$root/$t/batch=$n"))
-      }
+      batchDirs(s"$root/$t")
+        .filter(n => n >= committed || n < compactedBelow).foreach { n =>
+          LakeDataset.deleteRecursively(Paths.get(s"$root/$t/batch=$n"))
+        }
     }
 }

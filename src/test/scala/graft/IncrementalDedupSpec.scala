@@ -284,6 +284,43 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(Files.exists(java.nio.file.Paths.get(s"$root/bands/batch=1")))
   }
 
+  test("minhash compaction folds batches without changing any answer") {
+    val corpus = Fixtures.nearDupDocuments(spark, sf())
+    val b0 = corpus.filter(col("doc_id") < 200)
+    val b1 = corpus.filter(col("doc_id") >= 200 && col("doc_id") < 100000)
+    val probe = corpus.filter(col("doc_id") >= 100000)
+
+    val rootA = Files.createTempDirectory("graft_mh_cpt").toString
+    val a = MinhashIndex.open(spark, rootA)
+    a.addBatch(b0, "text", "doc_id"); a.addBatch(b1, "text", "doc_id")
+    val rootB = Files.createTempDirectory("graft_mh_cpt_twin").toString
+    val b = MinhashIndex.open(spark, rootB)
+    b.addBatch(b0, "text", "doc_id"); b.addBatch(b1, "text", "doc_id")
+
+    a.compact()
+    // folded layout: ONE live (file-holding) batch per table — dropParts
+    // removes the old cells' files; empty parent dirs are load-invisible
+    def liveBatchesOf(t: String) =
+      scala.util.Using.resource(
+          Files.walk(java.nio.file.Paths.get(s"$rootA/$t"))) {
+        _.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          .flatMap(_.iterator().asScala.map(_.toString)
+            .find(_.startsWith("batch=")))
+          .toSet
+      }
+    assert(liveBatchesOf("shingles").size == 1, liveBatchesOf("shingles"))
+    assert(liveBatchesOf("bands").size == 1, liveBatchesOf("bands"))
+    // identical probe answers vs the uncompacted twin
+    val got = pairs(a.addBatch(probe, "text", "doc_id", threshold = 0.5))
+    val want = pairs(b.addBatch(probe, "text", "doc_id", threshold = 0.5))
+    assert(got == want, "compaction changed a probe answer")
+    // reopen sees the folded state and keeps numbering past the fold
+    val re = MinhashIndex.open(spark, rootA)
+    assert(re.batches == a.batches)
+    assert(re.bandRows.get.count() == b.bandRows.get.count())
+  }
+
   test("exact erasure: a re-ingested forgotten doc is NOT a duplicate of its ghost") {
     val corpus = Fixtures.table(spark, sf(), "documents").select("doc_id", "text")
     val root = Files.createTempDirectory("graft_ex_rm").toString

@@ -76,6 +76,28 @@ class ThetaStatsSpec extends SparkSpec {
     assert(got == exactMatrix(events.filter(col("user_id") % 3 =!= 0)))
   }
 
+  test("NETNEW: first-seen counts zero-scan; exact in the sparse regime") {
+    val ds = LakeDataset.fromDataFrame(spark, events,
+      partitionCols = Seq("event_type"), sketchCols = Seq("user_id"))
+    val got = ds.metaPartitionNetNew("user_id", "event_type")
+      .getOrElse(fail("tight sketch-tracked table must answer"))
+    // ground truth: a user is NET-NEW in the first (sorted) partition
+    // value that saw them
+    val d = events.select(col("event_type").as("g"), col("user_id").as("u"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val firstSeen = d.groupBy(_._2).map { case (u, xs) => u -> xs.map(_._1).min }
+    val exactNet = firstSeen.groupBy(_._2).map { case (g, xs) => g -> xs.size.toLong }
+    val exactDist = d.groupBy(_._1).map { case (g, xs) => g -> xs.length.toLong }
+    got.foreach { case (g, dist, net) =>
+      assert(dist == exactDist(g), s"$g distinct")
+      assert(net == exactNet.getOrElse(g, 0L), s"$g net-new")
+    }
+    assert(got.map(_._1) == got.map(_._1).sorted, "values must emit in order")
+    // untracked column / non-partition column refuse (fail open)
+    assert(ds.metaPartitionNetNew("event_id", "event_type").isEmpty)
+    assert(ds.metaPartitionNetNew("user_id", "user_id").isEmpty)
+  }
+
   test("manifest round-trips the theta twins under the tightness vouch") {
     val root = java.nio.file.Files.createTempDirectory("graft_theta_rt").toString
     val ds = LakeDataset.fromDataFrame(spark, events,
