@@ -2744,6 +2744,29 @@ object SparkEntry {
       Graphs.pageRankInt(strong, "ua", "ub", iters = 3).orderBy("v")
     }),
 
+    // DIRECTED weighted PERSONALIZED PageRank — the full TrustRank shape,
+    // completing the 2x2 (direction x personalization): trust spreads from
+    // seed users along parity-directed weighted co-purchase edges; dangling
+    // mass returns to the SEEDS (damped), not to arbitrary vertices.
+    // Oracle unrolls the identical 3 integer-grid rounds.
+    "graph_ppr_directed" -> ((s, dir) => {
+      val bip = table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val strong = Graphs.projectBipartite(bip, "user_id", "item")
+        .filter(col("w") >= 2)
+      val directed = strong.select(
+        when((col("ua") + col("ub")) % 2 === 0, col("ua")).otherwise(col("ub")).as("src"),
+        when((col("ua") + col("ub")) % 2 === 0, col("ub")).otherwise(col("ua")).as("dst"),
+        col("w"))
+      val seeds = bip.select(col("user_id")).distinct()
+        .filter(col("user_id") % 10 === 0)
+      Graphs.personalizedPageRankDirectedInt(directed, "src", "dst", "w",
+          seeds, "user_id", iters = 3)
+        .orderBy("v")
+    }),
+
     // DIRECTED PageRank: the real link-graph semantics (authority ≠ hub).
     // Edges = the strong co-purchase pairs directed by (x+y) parity — a
     // deterministic mixed-direction graph WITH genuine dangling vertices
@@ -5110,6 +5133,57 @@ object SparkEntry {
         |       FROM e JOIN s2 ON s2.u = e.u JOIN deg ON deg.u = e.u GROUP BY e.v),
         |s3 AS (SELECT deg.u, 150000 + (850000 * COALESCE(i3.m, 0)) // 1000000 AS s
         |       FROM deg LEFT JOIN i3 ON i3.u = deg.u)
+        |SELECT u AS v, CAST(s AS BIGINT) AS pr FROM s3 ORDER BY v""".stripMargin,
+
+    "graph_ppr_directed" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS item
+        |  FROM events WHERE event_type = 'purchase'),
+        |e0 AS (SELECT a.u AS x, b2.u AS y, COUNT(*) AS w
+        |       FROM b a JOIN b b2 USING (item)
+        |       WHERE a.u < b2.u GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT CASE WHEN (x + y) % 2 = 0 THEN x ELSE y END AS u,
+        |             CASE WHEN (x + y) % 2 = 0 THEN y ELSE x END AS v, w FROM e0),
+        |verts AS (SELECT u FROM e UNION SELECT v FROM e),
+        |wt AS (SELECT u, SUM(w) AS wt FROM e GROUP BY u),
+        |seeds AS (SELECT u FROM verts WHERE u % 10 = 0),
+        |ns AS (SELECT COUNT(*) AS n FROM seeds),
+        |s0 AS (SELECT u, CASE WHEN u IN (SELECT u FROM seeds)
+        |                 THEN CAST(1000000 AS BIGINT) ELSE 0 END AS s FROM verts),
+        |d1 AS (SELECT COALESCE(SUM(s), 0) AS dm FROM s0
+        |       WHERE u NOT IN (SELECT u FROM wt)),
+        |i1 AS (SELECT e.v AS u, SUM((s0.s * e.w) // wt.wt) AS m
+        |       FROM e JOIN s0 ON s0.u = e.u JOIN wt ON wt.u = e.u GROUP BY e.v),
+        |s1 AS (SELECT verts.u,
+        |         (CASE WHEN verts.u IN (SELECT u FROM seeds) THEN 150000 ELSE 0 END) +
+        |         (850000 * (COALESCE(i1.m, 0) +
+        |            CASE WHEN verts.u IN (SELECT u FROM seeds)
+        |            THEN (SELECT dm FROM d1) // (SELECT n FROM ns) ELSE 0 END))
+        |           // 1000000 AS s
+        |       FROM verts LEFT JOIN i1 ON i1.u = verts.u),
+        |d2 AS (SELECT COALESCE(SUM(s), 0) AS dm FROM s1
+        |       WHERE u NOT IN (SELECT u FROM wt)),
+        |i2 AS (SELECT e.v AS u, SUM((s1.s * e.w) // wt.wt) AS m
+        |       FROM e JOIN s1 ON s1.u = e.u JOIN wt ON wt.u = e.u GROUP BY e.v),
+        |s2 AS (SELECT verts.u,
+        |         (CASE WHEN verts.u IN (SELECT u FROM seeds) THEN 150000 ELSE 0 END) +
+        |         (850000 * (COALESCE(i2.m, 0) +
+        |            CASE WHEN verts.u IN (SELECT u FROM seeds)
+        |            THEN (SELECT dm FROM d2) // (SELECT n FROM ns) ELSE 0 END))
+        |           // 1000000 AS s
+        |       FROM verts LEFT JOIN i2 ON i2.u = verts.u),
+        |d3 AS (SELECT COALESCE(SUM(s), 0) AS dm FROM s2
+        |       WHERE u NOT IN (SELECT u FROM wt)),
+        |i3 AS (SELECT e.v AS u, SUM((s2.s * e.w) // wt.wt) AS m
+        |       FROM e JOIN s2 ON s2.u = e.u JOIN wt ON wt.u = e.u GROUP BY e.v),
+        |s3 AS (SELECT verts.u,
+        |         (CASE WHEN verts.u IN (SELECT u FROM seeds) THEN 150000 ELSE 0 END) +
+        |         (850000 * (COALESCE(i3.m, 0) +
+        |            CASE WHEN verts.u IN (SELECT u FROM seeds)
+        |            THEN (SELECT dm FROM d3) // (SELECT n FROM ns) ELSE 0 END))
+        |           // 1000000 AS s
+        |       FROM verts LEFT JOIN i3 ON i3.u = verts.u)
         |SELECT u AS v, CAST(s AS BIGINT) AS pr FROM s3 ORDER BY v""".stripMargin,
 
     "graph_pagerank_directed" ->

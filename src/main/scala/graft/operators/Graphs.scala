@@ -278,6 +278,69 @@ object Graphs {
     score.select(col("u").as("v"), col("s").as("pr"))
   }
 
+  /** DIRECTED, edge-weighted, PERSONALIZED PageRank — the full TrustRank
+    * shape on real link graphs, completing the 2×2 with [[pageRankInt]]
+    * (undirected uniform), [[pageRankDirectedInt]] (directed uniform) and
+    * [[personalizedPageRankInt]] (undirected weighted seeded): trust
+    * flows along OUT-edges only, proportional to edge weight
+    * (`s(u)·w(u,v) div W(u)`, `W(u)` = u's total out-weight), teleport
+    * mass `scale - dampNum` lands only on seed vertices — and DANGLING
+    * mass returns to the seeds (`D div |seeds|` each, damped like every
+    * other inbound unit), the personalized counterpart of
+    * [[pageRankDirectedInt]]'s uniform redistribution: trust that walks
+    * off a page with no outlinks restarts at the trusted set, it does not
+    * leak to arbitrary vertices. Same exact-integer grid and
+    * bit-reproducibility contract (the `graph_ppr_directed` oracle
+    * unrolls identical rounds); vertices unreachable from every seed
+    * score exactly 0. Seeds restrict to graph vertices (a seed outside
+    * the edge set holds no mass to spread). Per iteration: ONE equi-join
+    * shuffle + ONE groupBy + one scalar dangling aggregate.
+    */
+  def personalizedPageRankDirectedInt(
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      seeds: DataFrame, seedCol: String,
+      iters: Int = 3, scale: Long = 1000000L, dampNum: Long = 850000L,
+      checkpointEach: Boolean = false): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    require(dampNum >= 0 && dampNum <= scale,
+      s"damping numerator must sit in [0, scale]: $dampNum vs $scale")
+    val dir = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"), col(weightCol).cast("long").as("w"))
+      .filter(col("u") =!= col("v") && col("w") > 0).na.drop()
+      .groupBy("u", "v").agg(max(col("w")).as("w"))
+      .localCheckpoint(true)
+    val verts = dir.select("u")
+      .unionAll(dir.select(col("v").as("u"))).distinct()
+      .localCheckpoint(true)
+    val wTot = dir.groupBy("u").agg(sum(col("w")).as("wt"))
+    val seedSet = seeds.select(col(seedCol).cast("long").as("u")).na.drop()
+      .distinct().join(verts, Seq("u"), "left_semi")
+      .withColumn("t", lit(1)).localCheckpoint(true)
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0, "no seed is a vertex of the edge set")
+    var score = verts.join(seedSet, Seq("u"), "left")
+      .select(col("u"),
+        when(col("t").isNotNull, lit(scale)).otherwise(lit(0L)).as("s"))
+    for (i <- 1 to iters) {
+      val dangling = score.join(wTot, Seq("u"), "left_anti")
+        .agg(coalesce(sum("s"), lit(0L))).head().getLong(0)
+      val perSeed = dangling / nSeeds
+      val contrib = dir.join(score, "u").join(wTot, "u")
+        .select(col("v"), expr("(s * w) div wt").as("c"))
+      val incoming = contrib.groupBy("v").agg(sum("c").as("m"))
+        .withColumnRenamed("v", "u")
+      val next = verts.join(seedSet, Seq("u"), "left")
+        .join(incoming, Seq("u"), "left")
+        .select(col("u"),
+          (when(col("t").isNotNull, lit(scale - dampNum)).otherwise(lit(0L)) +
+            expr(s"($dampNum * (coalesce(m, 0) + " +
+              s"(CASE WHEN t IS NOT NULL THEN $perSeed ELSE 0 END))) div $scale"))
+            .as("s"))
+      score = if (checkpointEach || i < iters) next.localCheckpoint(true) else next
+    }
+    score.select(col("u").as("v"), col("s").as("pr"))
+  }
+
   /** Per-vertex triangle participation counts — the local clustering /
     * community-density signal (a vertex in `t` triangles with degree `d`
     * has clustering coefficient `2t/(d(d-1))`).

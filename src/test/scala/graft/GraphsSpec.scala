@@ -161,6 +161,36 @@ class GraphsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.graph.projectionVolumeCap")
   }
 
+  test("personalizedPageRankDirectedInt: hand-computed dangling-to-seeds") {
+    // 1->2 (w=1), 2->3 (w=3); seed {1}; 3 is DANGLING — its mass restarts
+    // at the seed (damped). W(1)=1, W(2)=3, nSeeds=1.
+    // s0=(1e6,0,0)
+    // i1: D=0; 1 sends 1e6 -> 2.          s1=(150000, 850000, 0)
+    // i2: D=0; 1->2: 150000; 2->3: 850000. s2=(150000, 127500, 722500)
+    // i3: D=722500 -> seed; 1->2: 150000; 2->3: 127500.
+    //     v1 = 150000 + 850000*722500 div 1e6 = 764125
+    //     v2 = 850000*150000 div 1e6 = 127500
+    //     v3 = 850000*127500 div 1e6 = 108375
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 3L)).toDF("s", "t", "w")
+    val seeds = Seq(1L).toDF("id")
+    val pr = Graphs.personalizedPageRankDirectedInt(e, "s", "t", "w",
+        seeds, "id", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(pr == Map(1L -> 764125L, 2L -> 127500L, 3L -> 108375L))
+    // vertices unreachable from every seed score exactly 0; non-vertex
+    // seeds are ignored and an all-outside seed set is refused loudly
+    val e2 = Seq((1L, 2L, 1L), (3L, 4L, 1L)).toDF("s", "t", "w")
+    val pr2 = Graphs.personalizedPageRankDirectedInt(e2, "s", "t", "w",
+        Seq(1L, 99L).toDF("id"), "id", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(pr2(3L) == 0L && pr2(4L) == 0L, s"unreachable must score 0: $pr2")
+    assert(pr2(1L) > 0L && pr2(2L) > 0L)
+    intercept[IllegalArgumentException] {
+      Graphs.personalizedPageRankDirectedInt(e2, "s", "t", "w",
+        Seq(99L).toDF("id"), "id")
+    }
+  }
+
   test("personalizedPageRankInt: hand-computed weighted trust spread") {
     // Graph 1-2 (w=1), 2-3 (w=3); seed {1}. Totals: W(1)=1, W(2)=4, W(3)=3.
     // s0 = (1e6, 0, 0)
