@@ -570,12 +570,22 @@ final class LakeDataset private (
     val spec = storage.getOrElse(throw new IllegalStateException("no storage spec"))
     val target = tableSchema
     val reader0 = spark.read.format(spec.format).option("basePath", spec.root)
-    // Parquet is self-describing; csv/json load with the file schema.
-    val reader =
-      if (spec.format == "parquet") reader0
-      else reader0.schema(org.apache.spark.sql.types.StructType(
-        target.fields.filterNot(f => partitionCols.contains(f.name))))
-    reader.load(dirs: _*)
+    // The explicit file schema (parquet included): a cell whose rows were
+    // ALL erased persists as a fileless directory, and schema inference
+    // over an all-fileless path set throws UNABLE_TO_INFER_SCHEMA — with
+    // the schema given, such dirs read as the empty relation they are.
+    // (Parquet with a user schema also null-fills columns added after a
+    // file was written — the same evolution semantics the cast below
+    // already assumes.)
+    val reader = reader0.schema(org.apache.spark.sql.types.StructType(
+      target.fields.filterNot(f => partitionCols.contains(f.name))))
+    val loaded = reader.load(dirs: _*)
+    // An all-fileless path set also discovers no path partitions — restore
+    // any missing partition column as a typed null (the scan is empty, so
+    // the nulls never reach a row).
+    val withParts = partitionCols.foldLeft(loaded)((d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+    withParts
       .select(target.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
   }
 

@@ -75,7 +75,7 @@ final class ExactDedupIndex private (
       // later batches read it three times (probe collect, anti-join build,
       // write), so only those pay for a cache.
       val keyed = if (docsDs.isEmpty) keyedPlan else keyedPlan.cache()
-      val fresh = docsDs match {
+      val fresh = docsDs.filter(_.numParts > 0) match {
         case None => keyed
         case Some(ds) =>
           // Capped probe: over the cap, fall back to the full table (fail
@@ -148,7 +148,8 @@ final class ExactDedupIndex private (
     * never suppress by a ghost; at worst re-admit one duplicate).
     */
   def remove(ids: DataFrame, idCol: String): Int = this.synchronized {
-    docsDs match {
+    // zero-part docs table (only-ever-empty ingest) holds nothing to erase
+    docsDs.filter(_.numParts > 0) match {
       case None => 0
       case Some(ds) =>
         val keyed = ids.select(col(idCol).cast("long").as("doc")).distinct()

@@ -168,7 +168,8 @@ final class MinhashIndex private (
     */
   def remove(ids: DataFrame, idCol: String): Unit = this.synchronized {
     val keyed = ids.select(col(idCol).cast("long").as("doc")).distinct()
-    shingleDs.foreach { sds =>
+    // zero-part tables (only-ever-empty ingest) hold nothing to erase
+    shingleDs.filter(_.numParts > 0).foreach { sds =>
       val probe: Option[Seq[Any]] = {
         val cap = maxProbeKeys
         val rows = keyed.limit(cap + 1).collect()
@@ -269,8 +270,9 @@ final class MinhashIndex private (
     // absence and the probe reads cells ∝ matches, not ∝ corpus. The raw
     // (non-distinct) collect spares the probe job a distinct shuffle; the
     // row count is 8×docs, so the cap trips at the same batch sizes, and
-    // the driver dedups a bounded array.
-    val corpusBands = bandDs.map(ds =>
+    // the driver dedups a bounded array. A ZERO-PART table (the only-ever
+    // batch was empty) is schema-less and unprobeable — treat it as absent.
+    val corpusBands = bandDs.filter(_.numParts > 0).map(ds =>
       prunedRead(ds, "bh", timed("probe:bands") {
         val rows = bandedNew.select("bh").limit(cap + 1).collect()
         if (rows.length > cap) None else Some(rows.iterator.map(_.get(0)).toSet.toSeq)
@@ -300,7 +302,7 @@ final class MinhashIndex private (
     // Candidate docs collected as the (already-distinct) pairs themselves —
     // two ids per row, so half the cap bounds the collect and the explode +
     // distinct job the old probe ran disappears into a driver-side flatten.
-    val corpusShingles = shingleDs.map(ds =>
+    val corpusShingles = shingleDs.filter(_.numParts > 0).map(ds =>
       prunedRead(ds, "doc", timed("probe:cands") {
         val rows = cands.select("doc_a", "doc_b").limit(cap / 2 + 1).collect()
         if (rows.length > cap / 2) None

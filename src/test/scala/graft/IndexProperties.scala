@@ -86,6 +86,35 @@ object IndexProperties extends Properties("Indexes") {
       ((p1 ++ p2) == full) :| s"incremental ${(p1 ++ p2).size} != full ${full.size}"
     }
 
+  // ------------------------------------------------------- erasure algebra
+
+  private val eraseGen: Gen[(List[(Long, String)], Set[Long])] = for {
+    c <- corpusGen
+    erased <- Gen.someOf(c.map(_._1))
+  } yield (c, erased.toSet)
+
+  property("minhashIndex: remove(S) == an index never containing S") =
+    Prop.forAll(eraseGen) { case (corpus, erased) =>
+      val df = corpus.toDF("doc_id", "text")
+      // Index A ingests everything then ERASES S; index B never saw S.
+      // Their persisted state must answer identically for any future
+      // batch — the ghost-freedom invariant under RANDOM erase sets.
+      val a = MinhashIndex.open(spark,
+        Files.createTempDirectory("graft_prop_rm_a").toString)
+      a.addBatch(df, "text", "doc_id", 0.4)
+      a.remove(erased.toSeq.toDF("doc_id"), "doc_id")
+      val b = MinhashIndex.open(spark,
+        Files.createTempDirectory("graft_prop_rm_b").toString)
+      val bSurvivors = df.filter(!$"doc_id".isin(erased.toSeq: _*))
+      b.addBatch(bSurvivors, "text", "doc_id", 0.4)
+      val probe = df.withColumn("doc_id", $"doc_id" + 1000L)
+      val pa = a.addBatch(probe, "text", "doc_id", 0.4)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val pb = b.addBatch(probe, "text", "doc_id", 0.4)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      (pa == pb) :| s"erased-index pairs $pa != never-contained pairs $pb"
+    }
+
   // ScalaCheck default is 100 runs/property; each of these runs several
   // Spark jobs, so trim to keep the suite's wall time sane.
   override def overrideParameters(p: org.scalacheck.Test.Parameters)
