@@ -1668,6 +1668,25 @@ object SparkEntry {
         Seq("o_custkey", "o_orderkey"))
     }),
 
+    // Zero-scan drift between two lake snapshots: the "after" lake drops
+    // every 4th order and ingests every 10th re-keyed — counts, exact
+    // sums, and net change per column fold from BOTH manifests' SumMap
+    // state; no scan task reads either table's rows.
+    "lake_stats_drift" -> ((s, dir) => {
+      val before = Fixtures.ordersZoneLake(s, dir)
+      val o = table(s, dir, "orders")
+        .withColumn("o_batch", (col("o_orderkey") / 6000).cast("int"))
+      val mutated = o.filter(col("o_orderkey") % 4 =!= 0)
+        .unionByName(o.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 3000000)
+          .withColumn("o_custkey", col("o_custkey") + 1000))
+      val after = LakeDataset.fromDataFrame(s, mutated,
+        partitionCols = Seq("o_batch"))
+      graft.operators.Stats.driftStats(s, before, after,
+          Seq("o_custkey", "o_orderkey"))
+        .orderBy("col_name")
+    }),
+
     // Approx-distinct from the catalog: hll_sketch_estimate(hll_sketch_agg)
     // over a sketch-tracked column collapses to a LocalRelation — the
     // metadata estimate is bit-identical to the scan's (union of per-part
@@ -2335,6 +2354,22 @@ object SparkEntry {
       DataQuality.profile(table(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus")).orderBy("column")),
 
+    // Distribution drift between a corpus and its "next crawl" (every
+    // length%7==0 doc dropped, every 5th doc re-crawled longer): per-bin
+    // doc-length histogram counts plus the exact integer TVD numerator —
+    // the promote-or-hold gate a pipeline runs on each incoming batch.
+    "dq_drift" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      val after = d.filter(length(col("text")) % 7 =!= 0)
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            concat(col("text"), lit(" extended by a synthetic crawl pass"))
+              .as("text")))
+      DataQuality.histogramDrift(d, after, length(col("text")),
+          binWidth = 50L, nBins = 12)
+        .orderBy("bin")
+    }),
+
     // Constraint suite (DataQuality.check): row-local checks share one
     // scan; uniqueness adds one groupBy; referential integrity one
     // broadcast anti-join. Exact violation counts, oracle-mirrored.
@@ -2576,6 +2611,20 @@ object SparkEntry {
       val strong = Graphs.projectBipartite(bip, "user_id", "item")
         .filter(col("w") >= 5)
       Graphs.triangleCounts(strong, "ua", "ub").orderBy("v")
+    }),
+
+    // 3-core of the strong co-purchase backbone: parallel peeling to the
+    // fixed point (3 rounds at sf0.01, peeling 57 of 100 vertices), each
+    // survivor reported with its in-core degree. Oracle = the same rounds
+    // unrolled in DuckDB (extra rounds are no-ops past the fixed point).
+    "graph_kcore" -> ((s, dir) => {
+      val bip = table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val strong = Graphs.projectBipartite(bip, "user_id", "item")
+        .filter(col("w") >= 5)
+      Graphs.kCore(strong, "ua", "ub", k = 3).orderBy("v")
     }),
 
     // ENTITY RESOLUTION PIPELINE: noisy records → fuzzy name pairs →
@@ -3027,6 +3076,26 @@ object SparkEntry {
       Sampling.stratifiedSample(table(s, dir, "documents"), "doc_id", "lang",
           Map("en" -> "7fff"), default = "1999")
         .select("doc_id", "lang").orderBy("doc_id")),
+
+    // Leak-proof split: hash-split on the near-dup CANONICAL id so whole
+    // clusters land in one split — the near-dup fixture's planted replays
+    // (+100000 suffix copies) must land in the same split as their
+    // originals, which raw-id hashing cannot guarantee.
+    "sample_split_leakproof" -> ((s, dir) => {
+      val corpus = Fixtures.nearDupDocuments(s, dir)
+      Sampling.leakproofSplit(corpus,
+          Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+            shingleSize = 3, threshold = 0.5),
+          "doc_id", valHexThreshold = "3fff")
+        .select("doc_id", "canon", "split").orderBy("doc_id")
+    }),
+
+    // Contrastive negatives: 4 deterministic shard-local pseudo-random
+    // negatives per document — no cartesian, one window + one equi-join.
+    "sample_negatives" -> ((s, dir) =>
+      Sampling.negativePairs(table(s, dir, "documents"), "doc_id",
+          k = 4, shards = 16)
+        .orderBy("anchor", "slot")),
 
     // Per-source token shares and the sampling weights for a uniform blend.
     "text_mixture_weights" -> ((s, dir) =>
@@ -4222,6 +4291,49 @@ object SparkEntry {
          |SELECT op, COUNT(*) AS n, ${osum("o_totalprice")} AS total
          |FROM ch GROUP BY op ORDER BY op""".stripMargin,
 
+    "dq_drift" ->
+      """WITH before_t AS (SELECT doc_id, text FROM documents),
+        |after_t AS (
+        |  SELECT doc_id, text FROM documents WHERE LENGTH(text) % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text || ' extended by a synthetic crawl pass'
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |hb AS (SELECT LEAST(GREATEST(LENGTH(text) // 50, 0), 11) AS bin,
+        |              COUNT(*) AS n_before FROM before_t GROUP BY 1),
+        |ha AS (SELECT LEAST(GREATEST(LENGTH(text) // 50, 0), 11) AS bin,
+        |              COUNT(*) AS n_after FROM after_t GROUP BY 1),
+        |j AS (SELECT COALESCE(hb.bin, ha.bin) AS bin,
+        |             COALESCE(n_before, 0) AS n_before,
+        |             COALESCE(n_after, 0) AS n_after
+        |      FROM hb FULL OUTER JOIN ha ON hb.bin = ha.bin),
+        |t AS (SELECT bin, n_before, n_after,
+        |             SUM(n_before) OVER () AS tb, SUM(n_after) OVER () AS ta
+        |      FROM j)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(n_before AS BIGINT) AS n_before,
+        |  CAST(n_after AS BIGINT) AS n_after,
+        |  CAST(ABS(n_before * ta - n_after * tb) AS BIGINT) AS dev
+        |FROM t ORDER BY bin""".stripMargin,
+
+    "lake_stats_drift" ->
+      """WITH after_t AS (
+        |  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 4 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 3000000, o_custkey + 1000 FROM orders
+        |  WHERE o_orderkey % 10 = 0),
+        |b AS (SELECT COUNT(*) AS cb, SUM(o_custkey) AS sbc,
+        |             SUM(o_orderkey) AS sbo FROM orders),
+        |a AS (SELECT COUNT(*) AS ca, SUM(o_custkey) AS sac,
+        |             SUM(o_orderkey) AS sao FROM after_t)
+        |SELECT * FROM (
+        |  SELECT 'o_custkey' AS col_name, cb AS cnt_before, ca AS cnt_after,
+        |    CAST(sbc AS DOUBLE) AS sum_before, CAST(sac AS DOUBLE) AS sum_after,
+        |    CAST(sac - sbc AS DOUBLE) AS net_sum FROM b, a
+        |  UNION ALL
+        |  SELECT 'o_orderkey', cb, ca, CAST(sbo AS DOUBLE),
+        |    CAST(sao AS DOUBLE), CAST(sao - sbo AS DOUBLE) FROM b, a)
+        |ORDER BY col_name""".stripMargin,
+
     "dq_profile" ->
       """SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
         |       COUNT(*) - COUNT(o_orderkey) AS n_nulls,
@@ -5111,6 +5223,35 @@ object SparkEntry {
         |FROM deg LEFT JOIN tri ON tri.v = deg.v
         |ORDER BY deg.v""".stripMargin,
 
+    "graph_kcore" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS item
+        |  FROM events WHERE event_type = 'purchase'),
+        |e0 AS MATERIALIZED (SELECT a.u AS a, b2.u AS b FROM b a JOIN b b2 USING (item)
+        |       WHERE a.u < b2.u GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |d1 AS MATERIALIZED (SELECT v, COUNT(*) AS dg FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+        |a1 AS MATERIALIZED (SELECT v FROM d1 WHERE dg >= 3),
+        |e1 AS MATERIALIZED (SELECT e.a, e.b FROM e0 e JOIN a1 x ON e.a = x.v JOIN a1 y ON e.b = y.v),
+        |d2 AS MATERIALIZED (SELECT v, COUNT(*) AS dg FROM (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1) GROUP BY v),
+        |a2 AS MATERIALIZED (SELECT v FROM d2 WHERE dg >= 3),
+        |e2 AS MATERIALIZED (SELECT e.a, e.b FROM e1 e JOIN a2 x ON e.a = x.v JOIN a2 y ON e.b = y.v),
+        |d3 AS MATERIALIZED (SELECT v, COUNT(*) AS dg FROM (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2) GROUP BY v),
+        |a3 AS MATERIALIZED (SELECT v FROM d3 WHERE dg >= 3),
+        |e3 AS MATERIALIZED (SELECT e.a, e.b FROM e2 e JOIN a3 x ON e.a = x.v JOIN a3 y ON e.b = y.v),
+        |d4 AS MATERIALIZED (SELECT v, COUNT(*) AS dg FROM (SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3) GROUP BY v),
+        |a4 AS MATERIALIZED (SELECT v FROM d4 WHERE dg >= 3),
+        |e4 AS MATERIALIZED (SELECT e.a, e.b FROM e3 e JOIN a4 x ON e.a = x.v JOIN a4 y ON e.b = y.v),
+        |d5 AS MATERIALIZED (SELECT v, COUNT(*) AS dg FROM (SELECT a AS v FROM e4 UNION ALL SELECT b FROM e4) GROUP BY v),
+        |a5 AS MATERIALIZED (SELECT v FROM d5 WHERE dg >= 3),
+        |e5 AS MATERIALIZED (SELECT e.a, e.b FROM e4 e JOIN a5 x ON e.a = x.v JOIN a5 y ON e.b = y.v),
+        |d6 AS MATERIALIZED (SELECT v, COUNT(*) AS dg FROM (SELECT a AS v FROM e5 UNION ALL SELECT b FROM e5) GROUP BY v),
+        |a6 AS MATERIALIZED (SELECT v FROM d6 WHERE dg >= 3),
+        |e6 AS MATERIALIZED (SELECT e.a, e.b FROM e5 e JOIN a6 x ON e.a = x.v JOIN a6 y ON e.b = y.v)
+        |SELECT v, CAST(COUNT(*) AS BIGINT) AS core_deg
+        |FROM (SELECT a AS v FROM e6 UNION ALL SELECT b FROM e6)
+        |GROUP BY v ORDER BY v""".stripMargin,
+
     "graph_pagerank_int" ->
       """WITH b AS (
         |  SELECT DISTINCT user_id AS u,
@@ -5437,6 +5578,64 @@ object SparkEntry {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <=
         |  CASE WHEN lang = 'en' THEN '7fff' ELSE '1999' END
         |ORDER BY doc_id""".stripMargin,
+
+    "sample_split_leakproof" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graft near dup suffix' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |words AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM corpus),
+        |idx AS (SELECT doc_id, ws,
+        |        unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM words),
+        |grams AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM grams x JOIN grams y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(v, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v),
+        |comps AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v)
+        |SELECT c.doc_id, COALESCE(k.component, c.doc_id) AS canon,
+        |  CASE WHEN substr(md5(CAST(COALESCE(k.component, c.doc_id) AS VARCHAR)), 1, 4)
+        |            <= '3fff'
+        |       THEN 'val' ELSE 'train' END AS split
+        |FROM corpus c LEFT JOIN comps k ON c.doc_id = k.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
+
+    "sample_negatives" ->
+      """WITH base AS (
+        |  SELECT doc_id AS anchor,
+        |    CAST(((doc_id % 2147483647) * 48271) % 2147483647 % 16 AS INTEGER) AS shard
+        |  FROM documents),
+        |idx AS (
+        |  SELECT anchor, shard,
+        |    CAST(row_number() OVER (PARTITION BY shard ORDER BY anchor) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY shard) AS n
+        |  FROM base),
+        |slotted AS (
+        |  SELECT anchor, shard, rn, n,
+        |    CAST(unnest(generate_series(1, 4)) AS BIGINT) AS slot
+        |  FROM idx WHERE n >= 2),
+        |cand AS (
+        |  SELECT anchor, shard, slot,
+        |    ((rn + (((anchor % 2147483647) * 40503 + slot * 69621) % 2147483647) % (n - 1))
+        |      % n) + 1 AS neg_rn
+        |  FROM slotted)
+        |SELECT c.anchor, c.slot, i.anchor AS negative
+        |FROM cand c JOIN idx i ON i.shard = c.shard AND i.rn = c.neg_rn
+        |ORDER BY 1, 2""".stripMargin,
 
     "text_mixture_weights" ->
       """WITH t AS (

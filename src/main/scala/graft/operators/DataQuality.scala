@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{NumericType, StringType}
 
@@ -67,6 +68,48 @@ object DataQuality {
         col(s"__mx_$c").as("max_long"))
     }
     wide.select(explode(array(stacked: _*)).as("r")).select("r.*")
+  }
+
+  // ----------------------------------------------------------------- drift
+
+  /** Distribution-drift report between two snapshots of one numeric
+    * signal — the "did this crawl/ingest change the data's shape?" monitor
+    * a pipeline runs before promoting a batch. Values bin into `nBins`
+    * fixed-width bins (clamped to the first/last bin, so outliers drift
+    * the TAILS instead of vanishing); each bin reports both counts plus
+    * `dev = |n_before·N_after − n_after·N_before|`, the EXACT integer
+    * numerator of that bin's contribution to total-variation distance
+    * (TVD = Σ dev / (2·N_before·N_after)). Keeping the report on integer
+    * counts makes it bit-reproducible across engines — the fractional
+    * normalization is one driver-side division the caller applies to a
+    * dozen rows, not something the distributed job needs.
+    *
+    * Scale shape: one narrow map + one `nBins`-row aggregate per side —
+    * no join against the other snapshot's rows, so the two scans
+    * parallelize independently and the merge is a bin-keyed outer join of
+    * two tiny frames. Values must be non-negative and below 2^53 (the
+    * binning floor is IEEE-exact there; lengths, counts, and scores all
+    * qualify).
+    */
+  def histogramDrift(before: DataFrame, after: DataFrame, value: Column,
+      binWidth: Long, nBins: Int): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(nBins >= 2, "need at least 2 bins")
+    def hist(df: DataFrame, as: String): DataFrame = df
+      .select(least(greatest(floor(value / binWidth), lit(0L)),
+        lit(nBins - 1L)).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(as))
+    val j = hist(before, "n_before")
+      .join(hist(after, "n_after"), Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_before", "n_after"))
+    // The totals window runs over the post-aggregation nBins-row frame —
+    // a single-partition window over ≤ nBins rows, not a data-sized sort.
+    val all = Window.partitionBy(lit(1))
+    j.withColumn("__tb", sum("n_before").over(all))
+      .withColumn("__ta", sum("n_after").over(all))
+      .select(col("bin"), col("n_before"), col("n_after"),
+        abs(col("n_before") * col("__ta") - col("n_after") * col("__tb"))
+          .as("dev"))
   }
 
   // ------------------------------------------------------------ constraints

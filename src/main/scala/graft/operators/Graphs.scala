@@ -109,6 +109,66 @@ object Graphs {
           .otherwise(lit(0.0)).as("coeff"))
   }
 
+  /** k-core decomposition by parallel peeling: repeatedly drop every
+    * vertex with fewer than `k` neighbors until none remains, and return
+    * the surviving vertices with their IN-CORE degree. The k-core is the
+    * classic "dense backbone" filter — spam farms and template rings
+    * survive high k while organically-linked pages do not, and it is the
+    * standard pre-filter before triangle/community analysis because it
+    * shrinks the graph without touching any vertex of the answer.
+    *
+    * Edges canonicalize like [[triangleCounts]] (undirected, self-loops
+    * dropped, deduped). Each peeling round is ONE degree aggregate + two
+    * semi-joins against the shrinking survivor set — no vertex programs,
+    * no driver adjacency; the edge table only ever shrinks, so round cost
+    * is monotone non-increasing. Lineage snapshots every 3 rounds (the
+    * [[Dedup.connectedComponents]] policy) keep Catalyst analysis flat on
+    * deep peels. Round COUNT is the graph's peeling depth: small (tens)
+    * on real web/co-occurrence graphs, but linear in pathological chains —
+    * `maxIters` fails loudly rather than returning a half-peeled set,
+    * because a non-fixed-point "core" silently breaks the invariant
+    * downstream filters rely on (every returned vertex has ≥ k in-core
+    * neighbors).
+    *
+    * The fixed point is a pure function of the edge set (no tie-breaks:
+    * all sub-k vertices drop together), so a DuckDB oracle unrolling the
+    * same rounds reproduces it bit-for-bit.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIters: Int = 100): DataFrame = {
+    require(k >= 1, "k-core needs k >= 1")
+    var und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).na.drop().distinct()
+      .cache()
+    var n = und.count()
+    var i = 0
+    var converged = n == 0L
+    while (!converged && i < maxIters) {
+      val alive = degrees(und, "a", "b").filter(col("degree") >= k)
+        .select("v")
+      val next0 = und
+        .join(alive.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(alive.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+      val next = (if (i % 3 == 2) next0.localCheckpoint(true) else next0).cache()
+      val m = next.count()
+      und.unpersist()
+      und = next
+      converged = m == n
+      n = m
+      i += 1
+    }
+    require(converged, s"k-core did not reach a fixed point in $maxIters " +
+      "peeling rounds — raise maxIters (pathological chain-shaped graph)")
+    // At the fixed point every remaining endpoint has in-core degree >= k.
+    val result = degrees(und, "a", "b")
+      .select(col("v"), col("degree").as("core_deg"))
+      .localCheckpoint(true)
+    und.unpersist()
+    result
+  }
+
   /** PageRank on an exact-integer grid — the site-authority signal web
     * curation ranks by (the ancestor of CommonCrawl's harmonic-centrality
     * ordering), made bit-reproducible: scores live on a `scale` grid,

@@ -55,6 +55,84 @@ object Sampling {
     df.filter(hashKey(col(idCol)) <= thr)
   }
 
+  /** Leak-proof train/val split: hash-split the corpus on each document's
+    * near-dup CANONICAL id rather than its own id, so an entire near-dup
+    * cluster always lands in ONE split. Splitting on raw ids leaks: a
+    * template page and its 40 near-copies straddle train and val, and the
+    * eval set silently scores memorization. `pairs` is any near-dup pair
+    * table ([[Dedup.ngramJaccardPairs]], MinHash/SimHash buckets, an
+    * incremental index's hits); its transitive closure
+    * ([[Dedup.connectedComponents]]) defines the clusters.
+    *
+    * Scale shape: the component table is ∝ the DUPLICATE set, not the
+    * corpus — the left join broadcasts at typical duplicate fractions and
+    * falls open to a key-partitioned shuffle join above; the split itself
+    * stays the same narrow md5 filter as [[hashSample]] (stable under
+    * corpus growth, so the holdout survives dataset versioning). Columns
+    * added: `canon` (the split key) and `split` ("val"/"train").
+    */
+  def leakproofSplit(
+      corpus: DataFrame, pairs: DataFrame, idCol: String,
+      valHexThreshold: String,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    require(valHexThreshold.matches("[0-9a-f]{4}"),
+      s"bad hex threshold: $valHexThreshold")
+    val comp = Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("doc_id").as(idCol), col("component"))
+    corpus.join(comp, Seq(idCol), "left")
+      .withColumn("canon", coalesce(col("component"), col(idCol).cast("long")))
+      .drop("component")
+      .withColumn("split",
+        when(hashKey(col("canon")) <= lit(valHexThreshold), lit("val"))
+          .otherwise(lit("train")))
+  }
+
+  /** Deterministic negative sampling for contrastive training: k
+    * pseudo-random negatives per anchor, never the anchor itself, no
+    * cartesian product anywhere. Rows are sharded by a Lehmer hash of the
+    * id, ranked WITHIN their shard, and each (anchor, slot) draws a
+    * shard-local offset from a second Lehmer stream — so the whole draw is
+    * a per-shard window plus ONE equi-join on (shard, rank). Shard-local
+    * draws are the scale design, not a shortcut: no global sort or dense
+    * global index is ever built, shuffles are keyed by shard, and shard
+    * count scales with the corpus (use ~|corpus|/1e6 shards at 100 TB so
+    * each window sorts ~1M rows). Uniformity within a shard is exact:
+    * offset ∈ [1, n-1] uniformly under the hash, self-pairing impossible
+    * by construction. Fully deterministic — reruns, repartitions, and
+    * resumed jobs reproduce the same pairs bit-for-bit.
+    *
+    * All arithmetic is reduced mod 2^31-1 BEFORE multiplying, so every
+    * intermediate fits in an int64 — the same expressions run unchanged
+    * (and bit-identically) in any ANSI SQL engine, which is what the
+    * DuckDB oracle leans on.
+    */
+  def negativePairs(df: DataFrame, idCol: String, k: Int,
+      shards: Int = 64): DataFrame = {
+    require(k >= 1, "need k >= 1 negatives per anchor")
+    require(shards >= 1, "need shards >= 1")
+    val M = 2147483647L // 2^31 - 1
+    val base = df.select(col(idCol).cast("long").as("anchor"))
+      .withColumn("shard",
+        pmod(pmod(pmod(col("anchor"), lit(M)) * 48271L, lit(M)), lit(shards))
+          .cast("int"))
+    val w = Window.partitionBy("shard").orderBy("anchor")
+    val indexed = base
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("shard")))
+      .filter(col("n") >= 2) // a 1-row shard has no possible negative
+    val h = pmod(
+      pmod(col("anchor"), lit(M)) * 40503L + col("slot") * 69621L, lit(M))
+    val cand = indexed
+      .withColumn("slot", explode(sequence(lit(1L), lit(k.toLong))))
+      .withColumn("neg_rn",
+        pmod(col("rn") + pmod(h, col("n") - 1), col("n")) + 1)
+    cand.join(
+        indexed.select(col("shard"), col("rn").as("neg_rn"),
+          col("anchor").as("negative")),
+        Seq("shard", "neg_rn"))
+      .select("anchor", "slot", "negative")
+  }
+
   /** Top-k rows per group under a deterministic order — the curation pass
     * that keeps the k best documents per language/source/domain. Expressed
     * as a rank-filter window so Spark's WindowGroupLimit optimization

@@ -172,6 +172,55 @@ object Stats {
     }
   }
 
+  /** Snapshot-drift monitor answered from the CATALOG: per requested
+    * column, row count and exact sum of two lake tables (a snapshot and
+    * its successor, a source and its replica, yesterday's root and
+    * today's) with the exact net change — ZERO scan jobs when both tables
+    * vouch for their maintained sums, because both sides are
+    * [[tableSumStats]] folds of manifest state. This is the always-on
+    * ingest-gate check at 100 TB: "did this batch move the totals the way
+    * the upstream said it would?" costs two manifest reads, not two table
+    * scans, and falls back (per side, hybrid-then-scan) with the identical
+    * answer when a cell can't vouch.
+    *
+    * Sums surface as doubles cast from the exact decimal fold — both
+    * engines round the same decimal to the same double, keeping the gate
+    * oracle-exact — and each side's one-row fold is collected (bounded by
+    * construction: ONE row) to emit the per-column report.
+    */
+  def driftStats(spark: SparkSession, before: LakeDataset, after: LakeDataset,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "drift needs at least one column")
+    val bdf = tableSumStats(spark, before, cols)
+    val adf = tableSumStats(spark, after, cols)
+    val (b, a) = (bdf.head(), adf.head())
+    def num(r: Row, i: Int): java.math.BigDecimal = r.get(i) match {
+      case null => null
+      case l: java.lang.Long => java.math.BigDecimal.valueOf(l.longValue())
+      case d: java.math.BigDecimal => d
+      case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+      case other => throw new IllegalStateException(
+        s"unexpected sum type ${other.getClass}")
+    }
+    val rows: Seq[Row] = cols.zipWithIndex.map { case (c, i) =>
+      val (sb, sa) = (num(b, i + 1), num(a, i + 1))
+      Row(c, b.getLong(0), a.getLong(0),
+        if (sb == null) null else java.lang.Double.valueOf(sb.doubleValue()),
+        if (sa == null) null else java.lang.Double.valueOf(sa.doubleValue()),
+        if (sb == null || sa == null) null
+        else java.lang.Double.valueOf(sa.subtract(sb).doubleValue()))
+    }
+    val schema = StructType(Seq(
+      StructField("col_name", org.apache.spark.sql.types.StringType, nullable = false),
+      StructField("cnt_before", LongType, nullable = false),
+      StructField("cnt_after", LongType, nullable = false),
+      StructField("sum_before", org.apache.spark.sql.types.DoubleType),
+      StructField("sum_after", org.apache.spark.sql.types.DoubleType),
+      StructField("net_sum", org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+  }
+
   /** Whether [[tableSumStats]] would take the metadata-only path right now. */
   def sumAnswerable(ds: LakeDataset, cols: Seq[String]): Boolean = {
     val schema = ds.tableSchema

@@ -77,6 +77,25 @@ class DataQualitySpec extends SparkSpec {
     assert(report.collect().forall(_.getAs[Boolean]("passed")))
   }
 
+  test("histogramDrift: hand-computed bins, clamped tails, exact TVD numerators") {
+    import spark.implicits._
+    // width 50, 3 bins: 5→0, 55→1, 105→2, 9999→2 (clamped into the last
+    // bin, not dropped). after: 5→0, 5→0, 200→2.
+    val before = Seq(5L, 55L, 105L, 9999L).toDF("v")
+    val after = Seq(5L, 5L, 200L).toDF("v")
+    val got = DataQuality.histogramDrift(before, after, col("v"), 50L, 3)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // dev = |n_before·N_after − n_after·N_before| with N_before=4, N_after=3.
+    assert(got == Seq((0L, 1L, 2L, 5L), (1L, 1L, 0L, 3L), (2L, 2L, 1L, 2L)))
+    // Σdev/(2·Na·Nb) is the total-variation distance: 10/24 = 5/12.
+    assert(got.map(_._4).sum == 10L)
+    // Identical snapshots drift zero in every bin.
+    val same = DataQuality.histogramDrift(before, before, col("v"), 50L, 3)
+      .agg(sum("dev")).head().getLong(0)
+    assert(same == 0L)
+  }
+
   test("empty table: zero rows, zero violations, everything passes") {
     val empty = fixture.limit(0)
     val report = DataQuality.check(empty,

@@ -254,4 +254,32 @@ class GraphsSpec extends SparkSpec {
     assert(got == naive)
     assert(got.values.sum % 3 == 0) // each triangle contributes 3 rows
   }
+
+  test("kCore: pendant chain peels away, the clique core survives with in-core degrees") {
+    // 4-clique {1,2,3,4} plus a chain 4-5-6 hanging off it. The 2-core is
+    // the clique ONLY: 6 peels first (degree 1), which drops 5 to degree 1,
+    // which peels next round — a genuinely multi-round peel. In-core
+    // degrees are the clique's 3, not the original degrees (4 had 4).
+    val clique = for { i <- 1L to 4L; j <- 1L to 4L if i < j } yield (i, j)
+    val e = (clique ++ Seq((4L, 5L), (5L, 6L))).toDF("a", "b")
+    val got2 = Graphs.kCore(e, "a", "b", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=1 keeps everything (no isolated vertices in an edge list); k=4
+    // peels the whole graph — empty result, not an error.
+    assert(Graphs.kCore(e, "a", "b", k = 1).count() == 6)
+    assert(Graphs.kCore(e, "a", "b", k = 4).count() == 0)
+  }
+
+  test("kCore: non-convergence within maxIters fails loudly, not half-peeled") {
+    // A 12-chain under k=2 peels two endpoints per round — needs ~6 rounds.
+    val chain = (1L to 11L).map(i => (i, i + 1))
+    val e = chain.toDF("a", "b")
+    val err = intercept[IllegalArgumentException] {
+      Graphs.kCore(e, "a", "b", k = 2, maxIters = 2).count()
+    }
+    assert(err.getMessage.contains("fixed point"))
+    // With room to converge the chain's 2-core is empty.
+    assert(Graphs.kCore(e, "a", "b", k = 2).count() == 0)
+  }
 }

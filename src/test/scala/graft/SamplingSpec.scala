@@ -161,6 +161,59 @@ class SamplingSpec extends SparkSpec {
     assert(m(2L) == ((1.0 / 3, 3L)))
   }
 
+  test("leakproofSplit: no near-dup cluster straddles the split; loners match hashSample") {
+    val corpus = Fixtures.nearDupDocuments(spark, sf())
+    val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+      shingleSize = 3, threshold = 0.5)
+    val split = Sampling.leakproofSplit(corpus, pairs, "doc_id", "3fff")
+    val byId = split.select("doc_id", "split").as[(Long, String)]
+      .collect().toMap
+    // The leak-proofing invariant: both ends of every near-dup pair land
+    // in the SAME split.
+    val ps = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(ps.nonEmpty, "fixture must plant near-dup pairs")
+    ps.foreach { case (a, b) =>
+      assert(byId(a) == byId(b), s"pair ($a,$b) straddles the split")
+    }
+    // Docs in no pair split exactly as a raw hashSample of their own id.
+    val paired = ps.flatMap(p => Seq(p._1, p._2)).toSet
+    val rawVal = Sampling.hashSample(corpus, "doc_id", "3fff")
+      .select("doc_id").as[Long].collect().toSet
+    byId.keySet.filterNot(paired).foreach { id =>
+      assert((byId(id) == "val") == rawVal(id), s"loner $id split drifted")
+    }
+    // Both splits populated, determinism under repartitioning.
+    assert(byId.values.toSet == Set("train", "val"))
+    val again = Sampling.leakproofSplit(corpus.repartition(7), pairs,
+      "doc_id", "3fff").select("doc_id", "split").as[(Long, String)]
+      .collect().toMap
+    assert(again == byId)
+  }
+
+  test("negativePairs: k per anchor, never self, negatives are real ids, rerun-stable") {
+    val k = 3
+    val got = Sampling.negativePairs(docs, "doc_id", k, shards = 4)
+      .as[(Long, Long, Long)].collect()
+    val ids = docs.select("doc_id").as[Long].collect().toSet
+    // Every shard of 4 holds >= 2 of the fixture's ids, so every anchor
+    // draws exactly k negatives.
+    val perAnchor = got.groupBy(_._1)
+    assert(perAnchor.keySet == ids)
+    perAnchor.foreach { case (a, rows) =>
+      assert(rows.length == k, s"anchor $a drew ${rows.length} negatives")
+      assert(rows.map(_._2).toSet == (1L to k).toSet)
+      rows.foreach { case (_, _, neg) =>
+        assert(neg != a, s"anchor $a drew itself")
+        assert(ids(neg), s"anchor $a drew unknown id $neg")
+      }
+    }
+    // Deterministic under repartitioning (the training-resume property).
+    val again = Sampling.negativePairs(docs.repartition(11), "doc_id", k,
+      shards = 4).as[(Long, Long, Long)].collect()
+    assert(again.sortBy(r => (r._1, r._2)).toSeq ==
+      got.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("exactNormalized folds case/punctuation/whitespace noise") {
     val df = Seq(
       (1L, "Hello, World!"),

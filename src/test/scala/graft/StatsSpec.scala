@@ -690,4 +690,28 @@ class StatsSpec extends SparkSpec {
     assert(resumed.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
     assert(resumed.head().getLong(0) == ds.toDF.count())
   }
+
+  test("driftStats: catalog-only drift equals the scan truth on both sides") {
+    val cols = Seq("o_custkey", "o_orderkey")
+    val o = orders.withColumn("o_batch", (col("o_orderkey") / 500).cast("int"))
+    val before = LakeDataset.fromDataFrame(spark, o, partitionCols = Seq("o_batch"))
+    val mutated = o.filter(col("o_orderkey") % 3 =!= 0)
+      .unionByName(o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_custkey", col("o_custkey") + 500))
+    val after = LakeDataset.fromDataFrame(spark, mutated, partitionCols = Seq("o_batch"))
+    // Both sides vouch → the drift report is two manifest folds, no scan.
+    assert(Stats.sumAnswerable(before, cols) && Stats.sumAnswerable(after, cols))
+    val got = Stats.driftStats(spark, before, after, cols)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    def truth(df: org.apache.spark.sql.DataFrame, c: String): (Long, Double) = {
+      val r = df.agg(count(lit(1)), sum(col(c).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1).doubleValue())
+    }
+    for (c <- cols) {
+      val (nb, sb) = truth(o, c)
+      val (na, sa) = truth(mutated, c)
+      assert(got(c) == ((nb, na, sb, sa, sa - sb)), s"drift row for $c")
+    }
+  }
 }
