@@ -3279,6 +3279,37 @@ object SparkEntry {
       out.toDF.orderBy("batch", "doc_id")
     }),
 
+    // STREAMING BM25 maintenance: the index bootstraps from the first 150
+    // docs, the REST of the corpus streams in through two foreachBatch
+    // epochs (each batch appends postings + updates the corpus scalars),
+    // and the measured search over the final handle must equal the
+    // text_bm25_int oracle computed over the WHOLE corpus — a batch-built
+    // and a stream-grown index are indistinguishable to queries.
+    "stream_bm25_ingest" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      val root = Files.createTempDirectory("graft_sbm25").toString
+      TextSearch.buildIndex(s, d.filter(col("doc_id") < 150), "text",
+        "doc_id", nBuckets = 16,
+        storage = Some(graft.model.StorageSpec(root)))
+      val (sink, current) = graft.streaming.StreamingIngest.bm25Batches(
+        TextSearch.open(s, root), "text", "doc_id")
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val q = mem.toDF().toDF("doc_id").writeStream.foreachBatch(
+        (b: DataFrame, epoch: Long) => sink(b.join(d, "doc_id"), epoch)).start()
+      val rest = d.filter(col("doc_id") >= 150).select("doc_id")
+        .as[Long].collect().sorted
+      require(rest.length <= 100000, s"gate fixture grew: ${rest.length} ids")
+      try {
+        mem.addData(rest.filter(_ < 300).toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(rest.filter(_ >= 300).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      TextSearch.searchTopKInt(current(), "spark join window", 20)
+    }),
+
     // MinHash-LSH near-dup with exact-Jaccard verify — no SQL oracle
     // (xxhash64 signatures); DedupSpec asserts the planted pairs are found.
     "dedup_minhash" -> ((s, dir) => {
@@ -5830,6 +5861,31 @@ object SparkEntry {
     // integer division (`div` in Spark, `//` here), so the full ranking
     // hash-matches. dl/l/score sums CAST from DuckDB's HUGEINT to BIGINT.
     "text_bm25_int" ->
+      """WITH tf AS (
+        |  SELECT doc, w, COUNT(*) AS tf FROM (
+        |    SELECT doc_id AS doc, unnest(string_split(TRIM(text), ' ')) AS w
+        |    FROM documents) t
+        |  GROUP BY doc, w),
+        |dl AS (SELECT doc, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc),
+        |corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |                  CAST(SUM(dl) AS BIGINT) AS l FROM dl),
+        |q AS (SELECT UNNEST(['spark', 'join', 'window']) AS w),
+        |p AS (SELECT tf.doc, tf.w, tf.tf, dl.dl
+        |      FROM tf JOIN dl USING (doc)
+        |      WHERE tf.w IN (SELECT w FROM q)),
+        |dft AS (SELECT w, COUNT(*) AS df FROM p GROUP BY w)
+        |SELECT p.doc AS doc,
+        |  CAST(SUM(((1000 * (2 * n - 2 * df + 1)) // (2 * df + 1)) *
+        |           ((44 * l * tf * 1000000) //
+        |            (20 * l * tf + 6 * l + 18 * dl * n))) AS BIGINT) AS score_int
+        |FROM p JOIN dft USING (w) CROSS JOIN corpus
+        |GROUP BY p.doc
+        |ORDER BY score_int DESC, doc
+        |LIMIT 20""".stripMargin,
+
+    // stream_bm25_ingest: identical to text_bm25_int — a stream-grown
+    // index must answer exactly like a batch-built one over the same docs.
+    "stream_bm25_ingest" ->
       """WITH tf AS (
         |  SELECT doc, w, COUNT(*) AS tf FROM (
         |    SELECT doc_id AS doc, unnest(string_split(TRIM(text), ' ')) AS w

@@ -221,6 +221,33 @@ object StreamingIngest {
     (sink, () => cur.get)
   }
 
+  /** foreachBatch sink maintaining a persisted BM25 inverted index
+    * ([[graft.operators.TextSearch]]): each micro-batch's postings append
+    * as a fresh batch partition routed into the existing term-bucket cells
+    * (cost ∝ batch — existing cells never rewrite), and the corpus scalars
+    * update from one batch-sized aggregate, so searches are correct the
+    * moment a batch lands: continuous index freshness under ingest, no
+    * rebuild jobs. This completes the set — every persisted index family in
+    * the engine (exact dedup, MinHash, IVF, BM25) now has a streaming
+    * maintenance sink. Contract: ids must be NEW to the index (route the
+    * stream through [[exactDedupBatches]] first; re-adding double-counts,
+    * as with any append-only search index). On an unbounded stream fold the
+    * accumulated batch partitions periodically via
+    * `index.postings.materialize()` — same discipline as the dedup
+    * indexes' `compact()`.
+    */
+  def bm25Batches(
+      initial: graft.operators.TextSearch.Bm25Index,
+      textCol: String, idCol: String)
+      : ((DataFrame, Long) => Unit, () => graft.operators.TextSearch.Bm25Index) = {
+    val cur = new java.util.concurrent.atomic.AtomicReference(initial)
+    val sink: (DataFrame, Long) => Unit = (batch, _) =>
+      if (!batch.isEmpty)
+        cur.set(graft.operators.TextSearch.addToIndex(
+          cur.get, batch, textCol, idCol))
+    (sink, () => cur.get)
+  }
+
   /** Native BOUNDED-STATE streaming dedup: Spark's
     * `dropDuplicatesWithinWatermark` behind the engine's event-time
     * contract — duplicates of a key arriving within the watermark horizon

@@ -287,6 +287,26 @@ class TextSearchSpec extends SparkSpec {
     }
   }
 
+  test("bm25Batches: a stream-grown index is indistinguishable from a batch-built one") {
+    val all = Fixtures.table(spark, sf(), "documents").select("doc_id", "text")
+    val batchBuilt = TextSearch.buildIndex(spark, all, "text", "doc_id", nBuckets = 8)
+    val (sink, current) = graft.streaming.StreamingIngest.bm25Batches(
+      TextSearch.buildIndex(spark, all.filter(col("doc_id") % 3 === 0),
+        "text", "doc_id", nBuckets = 8),
+      "text", "doc_id")
+    sink(all.filter(col("doc_id") % 3 === 1), 1L)
+    sink(all.limit(0), 2L) // empty micro-batch is a no-op
+    sink(all.filter(col("doc_id") % 3 === 2), 3L)
+    val grown = current()
+    assert(grown.n == batchBuilt.n && grown.totalLen == batchBuilt.totalLen)
+    // The postings themselves agree row-for-row (batch partition aside).
+    def rows(i: TextSearch.Bm25Index) = i.postings.toDF
+      .select("doc", "w", "tf", "dl").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(rows(grown) == rows(batchBuilt))
+  }
+
   test("terms absent from the corpus contribute nothing; all-absent is empty") {
     val idx = TextSearch.buildIndex(spark, corpus, "text", "doc_id", nBuckets = 8)
     val withGhost = TextSearch.searchTopK(idx, "spark zzz_ghost", 10).collect()
