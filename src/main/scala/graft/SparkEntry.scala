@@ -1687,6 +1687,24 @@ object SparkEntry {
         .orderBy("col_name")
     }),
 
+    // The same zero-scan drift monitor as a catalog SQL verb:
+    // `SHOW DRIFT before VS after (cols)` — dashboards ask in SQL, the
+    // answer still folds from the two manifests.
+    "lake_sql_drift" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("drift_before", Fixtures.ordersZoneLake(s, dir))
+      val o = table(s, dir, "orders")
+        .withColumn("o_batch", (col("o_orderkey") / 6000).cast("int"))
+      val mutated = o.filter(col("o_orderkey") % 4 =!= 0)
+        .unionByName(o.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 3000000)
+          .withColumn("o_custkey", col("o_custkey") + 1000))
+      db.register("drift_after", LakeDataset.fromDataFrame(s, mutated,
+        partitionCols = Seq("o_batch")))
+      db.executeSql("SHOW DRIFT drift_before VS drift_after (o_custkey, o_orderkey)")
+        .orderBy("col_name")
+    }),
+
     // Approx-distinct from the catalog: hll_sketch_estimate(hll_sketch_agg)
     // over a sketch-tracked column collapses to a LocalRelation — the
     // metadata estimate is bit-identical to the scan's (union of per-part
@@ -4347,6 +4365,25 @@ object SparkEntry {
         |FROM t ORDER BY bin""".stripMargin,
 
     "lake_stats_drift" ->
+      """WITH after_t AS (
+        |  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 4 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 3000000, o_custkey + 1000 FROM orders
+        |  WHERE o_orderkey % 10 = 0),
+        |b AS (SELECT COUNT(*) AS cb, SUM(o_custkey) AS sbc,
+        |             SUM(o_orderkey) AS sbo FROM orders),
+        |a AS (SELECT COUNT(*) AS ca, SUM(o_custkey) AS sac,
+        |             SUM(o_orderkey) AS sao FROM after_t)
+        |SELECT * FROM (
+        |  SELECT 'o_custkey' AS col_name, cb AS cnt_before, ca AS cnt_after,
+        |    CAST(sbc AS DOUBLE) AS sum_before, CAST(sac AS DOUBLE) AS sum_after,
+        |    CAST(sac - sbc AS DOUBLE) AS net_sum FROM b, a
+        |  UNION ALL
+        |  SELECT 'o_orderkey', cb, ca, CAST(sbo AS DOUBLE),
+        |    CAST(sao AS DOUBLE), CAST(sao - sbo AS DOUBLE) FROM b, a)
+        |ORDER BY col_name""".stripMargin,
+
+    "lake_sql_drift" ->
       """WITH after_t AS (
         |  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 4 <> 0
         |  UNION ALL

@@ -98,6 +98,8 @@ final class Database(val spark: SparkSession) {
     """(?is)^\s*SHOW\s+OVERLAP\s+([A-Za-z_][\w]*)\s*\.\s*([A-Za-z_][\w]*)\s+BY\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val ShowNetNewRe =
     """(?is)^\s*SHOW\s+NETNEW\s+([A-Za-z_][\w]*)\s*\.\s*([A-Za-z_][\w]*)\s+BY\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val ShowDriftRe =
+    """(?is)^\s*SHOW\s+DRIFT\s+([A-Za-z_][\w]*)\s+VS\s+([A-Za-z_][\w]*)\s*\(\s*([A-Za-z_][\w]*(?:\s*,\s*[A-Za-z_][\w]*)*)\s*\)\s*;?\s*$""".r
 
   /** Catalog listing: every registered table, its layout axes and cell
     * count — all driver-side metadata, zero jobs.
@@ -319,6 +321,9 @@ final class Database(val spark: SparkSession) {
     case ShowStatsRe(t) if tables.contains(t) => showStats(t)
     case ShowOverlapRe(t, c, p) if tables.contains(t) => showOverlap(t, c, p)
     case ShowNetNewRe(t, c, p) if tables.contains(t) => showNetNew(t, c, p)
+    case ShowDriftRe(a, b, cs) if tables.contains(a) && tables.contains(b) =>
+      graft.operators.Stats.driftStats(spark, tables(a), tables(b),
+        cs.split(",").map(_.trim).toSeq)
     case _ => spark.sql(if (feeds.isEmpty) sql else rewriteVersionAsOf(sql))
   }
 

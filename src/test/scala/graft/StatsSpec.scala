@@ -713,5 +713,17 @@ class StatsSpec extends SparkSpec {
       val (na, sa) = truth(mutated, c)
       assert(got(c) == ((nb, na, sb, sa, sa - sb)), s"drift row for $c")
     }
+    // The SQL verb answers identically through the catalog registry.
+    val db = new graft.lake.Database(spark)
+    db.register("drift_b", before)
+    db.register("drift_a", after)
+    val viaSql = db.executeSql("SHOW DRIFT drift_b VS drift_a (o_custkey, o_orderkey)")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(viaSql == got)
+    // An unregistered table falls through to Spark SQL and fails loudly.
+    intercept[Exception] {
+      db.executeSql("SHOW DRIFT drift_b VS no_such_table (o_custkey)").collect()
+    }
   }
 }
