@@ -118,9 +118,12 @@ object Graphs {
     * shrinks the graph without touching any vertex of the answer.
     *
     * Edges canonicalize like [[triangleCounts]] (undirected, self-loops
-    * dropped, deduped). Each peeling round is ONE degree aggregate + two
-    * semi-joins against the shrinking survivor set — no vertex programs,
-    * no driver adjacency; the edge table only ever shrinks, so round cost
+    * dropped, deduped). Each peeling round is ONE degree aggregate + one
+    * anti-join against the round's DEAD frontier (the vertices that just
+    * fell below k) — after round one the frontier is the cascade's edge,
+    * typically tiny, so it broadcasts (counted guard; a mass-extinction
+    * round falls open to a shuffled anti-join). No vertex programs, no
+    * driver adjacency; the edge table only ever shrinks, so round cost
     * is monotone non-increasing. Lineage snapshots every 3 rounds (the
     * [[Dedup.connectedComponents]] policy) keep Catalyst analysis flat on
     * deep peels. Round COUNT is the graph's peeling depth: small (tens)
@@ -137,26 +140,37 @@ object Graphs {
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxIters: Int = 100): DataFrame = {
     require(k >= 1, "k-core needs k >= 1")
+    val spark = edges.sparkSession
     var und = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).na.drop().distinct()
       .cache()
-    var n = und.count()
+    // Peel by ANTI-joining the round's DEAD frontier (vertices that just
+    // fell below k) instead of semi-joining the whole survivor set: after
+    // the first round the frontier is the cascade's edge — typically tiny —
+    // so it BROADCASTS (under the usual counted guard; a mass-extinction
+    // first round falls open to a shuffled anti-join), and convergence is
+    // "the frontier is empty", with no edge-count job per round.
+    val bcast = spark.conf
+      .get("spark.graft.graph.broadcastFrontierCap", (1 << 22).toString).toLong
     var i = 0
-    var converged = n == 0L
+    var converged = false
     while (!converged && i < maxIters) {
-      val alive = degrees(und, "a", "b").filter(col("degree") >= k)
-        .select("v")
-      val next0 = und
-        .join(alive.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
-        .join(alive.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-      val next = (if (i % 3 == 2) next0.localCheckpoint(true) else next0).cache()
-      val m = next.count()
-      und.unpersist()
-      und = next
-      converged = m == n
-      n = m
+      val dead = degrees(und, "a", "b").filter(col("degree") < k)
+        .select("v").localCheckpoint(true)
+      val nDead = dead.count()
+      if (nDead == 0L) converged = true
+      else {
+        val d = if (nDead <= bcast) broadcast(dead) else dead
+        val next0 = und
+          .join(d.withColumnRenamed("v", "a"), Seq("a"), "left_anti")
+          .join(d.withColumnRenamed("v", "b"), Seq("b"), "left_anti")
+        val next = (if (i % 3 == 2) next0.localCheckpoint(true) else next0)
+          .cache()
+        und.unpersist()
+        und = next
+      }
       i += 1
     }
     require(converged, s"k-core did not reach a fixed point in $maxIters " +

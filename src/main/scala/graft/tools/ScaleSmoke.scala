@@ -54,7 +54,8 @@ object ScaleSmoke {
       !sys.env.contains("SPARK_GRAFT_ONLY_R13B") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R13C") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R13D") &&
-      !sys.env.contains("SPARK_GRAFT_ONLY_R14")
+      !sys.env.contains("SPARK_GRAFT_ONLY_R14") &&
+      !sys.env.contains("SPARK_GRAFT_ONLY_R14B")
     if (runAll) {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val big = (0 until copies).map { i =>
@@ -1574,6 +1575,77 @@ object ScaleSmoke {
         "directed walk created mass — integer grid broke")
     }
     if (onlyR14) { spark.stop(); return }
+
+    // ---- R14B: second wave — k-core / negatives / split / drift at 20× ----
+    // Run just this section with SPARK_GRAFT_ONLY_R14B=1.
+    val onlyR14b = sys.env.contains("SPARK_GRAFT_ONLY_R14B")
+    if (runAll || onlyR14b) {
+      // (1) k-core on the web-shaped 1M-edge graph: peeling is a degree
+      // aggregate + two semi-joins per round on a strictly shrinking edge
+      // table; every survivor must hold >= k in-core neighbors.
+      // Out-degree varies 1..9 by id (uniform 5-regular graphs have no
+      // sub-k vertices to peel — the k-core would be the whole graph).
+      val nV14b = 200000L
+      val sparse14b = spark.range(nV14b)
+        .select(col("id").as("a"),
+          explode(sequence(lit(1L), pmod(col("id"), lit(9L)) + 1L)).as("j"))
+        .select(col("a"),
+          pmod(col("a") * 131L + col("j") * 65537L, lit(nV14b)).as("b"))
+        .filter(col("a") =!= col("b"))
+      val core = time("r14b 6-core, 1M edges") {
+        graft.operators.Graphs.kCore(sparse14b, "a", "b", k = 6)
+          .localCheckpoint(true)
+      }
+      val cs = core.agg(count(lit(1)), min("core_deg")).head()
+      println(s"[scale] r14b 6-core: ${cs.getLong(0)} of $nV14b vertices, " +
+        s"min in-core degree ${if (cs.getLong(0) == 0L) -1 else cs.getLong(1)}")
+      require(cs.getLong(0) == 0L || cs.getLong(1) >= 6L,
+        "k-core returned a vertex below k in-core neighbors")
+
+      // (2) contrastive negatives: per-shard windows + one equi-join —
+      // no global sort, no cartesian; every anchor draws exactly k.
+      val anchors14 = spark.range(3000000L).select(col("id").as("doc_id"))
+        .localCheckpoint(true)
+      val nNeg = time("r14b negativePairs k=4, 3M anchors, 256 shards") {
+        graft.operators.Sampling.negativePairs(anchors14, "doc_id",
+          k = 4, shards = 256).count()
+      }
+      println(s"[scale] r14b negatives: $nNeg pairs")
+      require(nNeg == 3000000L * 4L, "every anchor must draw exactly k")
+
+      // (3) leak-proof split over 3M docs with 30k planted near-dup pairs:
+      // the pair table is ∝ duplicates, the split a narrow md5 filter; no
+      // cluster may straddle train/val.
+      val pairs14 = spark.range(0L, 3000000L, 100L)
+        .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+      val split14 = time("r14b leakproofSplit, 3M docs, 30k pairs") {
+        graft.operators.Sampling.leakproofSplit(anchors14, pairs14,
+          "doc_id", "3fff").localCheckpoint(true)
+      }
+      val straddle = pairs14
+        .join(split14.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+        .join(split14.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+        .filter(col("sa") =!= col("sb")).count()
+      val valN = split14.filter(col("split") === "val").count()
+      println(s"[scale] r14b split: $valN val of 3M, $straddle straddling pairs")
+      require(straddle == 0L, "a near-dup cluster straddled the split")
+      require(valN > 600000L && valN < 900000L, "0x3fff ≈ 25% val drifted")
+
+      // (4) snapshot drift at 3M vs 2M rows: two independent narrow scans
+      // + a 12-row merge; the report is exact integers.
+      val beforeBig = anchors14.select((col("doc_id") % 997L).as("v"))
+      val afterBig = anchors14.filter(col("doc_id") % 3 =!= 0)
+        .select((col("doc_id") % 1013L).as("v"))
+      val dd = time("r14b histogramDrift, 3M vs 2M rows") {
+        graft.operators.DataQuality.histogramDrift(
+          beforeBig, afterBig, col("v"), 100L, 12).collect()
+      }
+      println(s"[scale] r14b drift: ${dd.length} bins, " +
+        s"total dev ${dd.map(_.getAs[Long]("dev")).sum}")
+      require(dd.map(_.getAs[Long]("dev")).sum > 0L,
+        "a reshaped snapshot must register drift")
+    }
+    if (onlyR14b) { spark.stop(); return }
 
     // ---- IVF ANN: probe cost vs corpus growth ------------------------------
     // The scale claim: an IVF probe reads nprobe inverted LISTS, whose size
