@@ -1600,6 +1600,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
     }),
 
+    // WebDataset tar shards — the sequential-archive layout streaming
+    // training loaders consume. The manifest's byte counts are exact USTAR
+    // framing arithmetic (512-byte header + payload padded to 512 per
+    // member + 1024 trailer), so DuckDB reproduces them from LENGTH(text)
+    // alone (the synthetic corpus is ASCII: chars == bytes); ExportSpec
+    // parses the archives back byte-for-byte.
+    "export_webdataset" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_export_wd").toString
+      graft.operators.Export
+        .webdatasetWrite(table(s, dir, "documents"), "doc_id", "text", 8, root)
+        .select("shard", "n_samples", "n_bytes")
+        .orderBy("shard")
+    }),
+
     // Catalog-driven dynamic partition pruning: the dimension's filtered
     // key set prunes FACT cells (zones+blooms+bucket routing) before any
     // fact byte is read, then the join broadcasts the driver-small dim.
@@ -4111,6 +4125,15 @@ object SparkEntry {
       """SELECT doc_id % 8 AS shard, COUNT(*) AS docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // export_webdataset: exact USTAR framing — 512-byte header + payload
+    // padded to a 512 multiple per member, 1024-byte end-of-archive.
+    "export_webdataset" ->
+      """SELECT doc_id % 8 AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(512 + LENGTH(text) + (512 - LENGTH(text) % 512) % 512)
+        |       + 1024 AS BIGINT) AS n_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_dpp_join" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n,

@@ -81,4 +81,102 @@ object Export {
        withShard.schema.fields.filterNot(_.name == "shard"))))
       .format(format).load(root)
   }
+
+  /** One deterministic 512-byte USTAR header. All metadata fields are
+    * constants (mode 0644, uid/gid 0, mtime 0) so a re-export of the same
+    * corpus produces byte-identical shards — the property that makes tar
+    * shards diffable and resumable like the parquet/JSONL exports above.
+    */
+  private[graft] def tarHeader(name: String, size: Long): Array[Byte] = {
+    val h = new Array[Byte](512)
+    def put(s: String, off: Int, len: Int): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      require(b.length <= len, s"tar field overflow: $s")
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    put(name, 0, 100)
+    put("0000644", 100, 8)
+    put("0000000", 108, 8)
+    put("0000000", 116, 8)
+    put(f"$size%011o", 124, 12)
+    put("00000000000", 136, 12)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum = spaces while summing
+    h(156) = '0' // regular file
+    put("ustar", 257, 6)
+    put("00", 263, 2)
+    var sum = 0L
+    var i = 0
+    while (i < 512) { sum += h(i) & 0xff; i += 1 }
+    put(f"$sum%06o", 148, 7) // 6 octal digits + NUL (zero fill) ...
+    h(155) = ' '.toByte      // ... + the trailing space POSIX prescribes
+    h
+  }
+
+  /** WebDataset-style tar-shard export: each shard is ONE `.tar` whose
+    * members are `{id}.txt` sample files in deterministic id order — the
+    * layout streaming training loaders consume sequentially (no seeks, no
+    * per-sample open cost; multimodal samples extend the same archive with
+    * more extensions per key). Assignment uses the PORTABLE residue shard
+    * (`id % nShards`) so any engine can recompute which shard holds a
+    * document.
+    *
+    * Scale shape: the same ONE shuffle as [[shardedWrite]] (routed so every
+    * task holds exactly one shard), then each task streams its archive
+    * straight to the DRIVER-configured FileSystem (s3a/HDFS/local) — tar is
+    * a sequential format, which is exactly why the per-partition imperative
+    * seam (`mapPartitions`) is the right tool here and a columnar committer
+    * is not. Returns the per-shard manifest (shard, n_samples, n_bytes,
+    * path), with byte counts exact from the USTAR framing: 512-byte header
+    * + payload padded to 512 per member, two zero blocks per archive.
+    */
+  def webdatasetWrite(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int, root: String): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val spark = df.sparkSession
+    val route = routeFor(nShards)
+    val confF = org.apache.spark.sql.graftbridge.Bridge.hadoopConfFactory(spark)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(rootPath)
+    val rows = df
+      .select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("payload"))
+      .withColumn("shard", shardColumn(col("id"), nShards, hashed = false))
+      .repartition(nShards, element_at(lit(route), col("shard").cast("int") + 1))
+      .sortWithinPartitions(col("shard"), col("id"))
+    import spark.implicits._
+    rows.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val conf = confF()
+        val zeros = new Array[Byte](512)
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        var shard = -1L
+        var n = 0L
+        var bytes = 0L
+        var path: String = null
+        it.foreach { r =>
+          if (out == null) {
+            shard = r.getLong(2)
+            path = s"$root/shard-${"%05d".format(shard)}.tar"
+            val p = new org.apache.hadoop.fs.Path(path)
+            out = p.getFileSystem(conf).create(p, true)
+          }
+          val payload = r.getString(1)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          out.write(tarHeader(f"${r.getLong(0)}%09d.txt", payload.length.toLong))
+          out.write(payload)
+          val pad = (512 - payload.length % 512) % 512
+          out.write(zeros, 0, pad)
+          n += 1
+          bytes += 512L + payload.length + pad
+        }
+        out.write(zeros); out.write(zeros) // end-of-archive marker
+        out.close()
+        Iterator.single((shard, n, bytes + 1024L, path))
+      }
+    }.toDF("shard", "n_samples", "n_bytes", "path")
+      // Materialize NOW: the manifest both reports and FORCES the write —
+      // a lazy plan would re-run the archive job on every downstream read.
+      .localCheckpoint(true)
+  }
 }

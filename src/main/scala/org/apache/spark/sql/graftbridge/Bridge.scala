@@ -72,6 +72,19 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** A serializable factory for the session's Hadoop configuration —
+    * executors writing files directly (the tar-shard exporter) must open
+    * the DRIVER-configured FileSystem (s3a credentials, defaultFS), and
+    * `Configuration` itself is not serializable. Wraps Spark's own
+    * `SerializableConfiguration` (private[spark], hence this bridge).
+    */
+  def hadoopConfFactory(spark: org.apache.spark.sql.SparkSession)
+      : () => org.apache.hadoop.conf.Configuration = {
+    val sc = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    () => sc.value
+  }
+
   /** Root paths of the file-source scans a Dataset's plan reads — lets the
     * lake identify which parquet-spilled snapshot directories back a plan.
     */

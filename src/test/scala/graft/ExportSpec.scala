@@ -93,6 +93,65 @@ class ExportSpec extends SparkSpec {
     } finally spark.conf.set(coalesceKey, prev)
   }
 
+  test("webdataset tars round-trip: members parse, order holds, manifest bytes exact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_wd_spec").toString
+    val manifest = Export.webdatasetWrite(docs, "doc_id", "text", 4, root)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val truth = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(manifest.keySet == truth.keySet.map(_ % 4))
+    // Minimal independent USTAR parser (not the writer's code path).
+    def parseTar(path: String): Seq[(String, Array[Byte])] = {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val out = Seq.newBuilder[(String, Array[Byte])]
+      var off = 0
+      while (off + 512 <= bytes.length &&
+          bytes.slice(off, off + 512).exists(_ != 0)) {
+        val name = new String(bytes.slice(off, off + 100).takeWhile(_ != 0),
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val size = java.lang.Long.parseLong(new String(
+          bytes.slice(off + 124, off + 135)).trim, 8)
+        assert(new String(bytes.slice(off + 257, off + 262)) == "ustar")
+        // Verify the header checksum the POSIX way (chksum field as spaces).
+        val hdr = bytes.slice(off, off + 512)
+        for (i <- 148 until 156) hdr(i) = ' '.toByte
+        val want = java.lang.Integer.parseInt(new String(
+          bytes.slice(off + 148, off + 154)).trim, 8)
+        assert(hdr.map(_ & 0xff).sum == want, s"checksum broke for $name")
+        out += name -> bytes.slice(off + 512, off + 512 + size.toInt)
+        off += 512 + ((size.toInt + 511) / 512) * 512
+      }
+      out.result()
+    }
+    var parsed = 0L
+    for ((shard, (n, nBytes, path)) <- manifest) {
+      assert(new java.io.File(path).length() == nBytes,
+        s"manifest bytes drift for shard $shard")
+      val members = parseTar(path)
+      assert(members.length.toLong == n)
+      // Deterministic id order inside the archive.
+      assert(members.map(_._1) == members.map(_._1).sorted)
+      members.foreach { case (name, payload) =>
+        val id = name.stripSuffix(".txt").toLong
+        assert(id % 4 == shard, s"member $name in wrong shard")
+        assert(new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+          == truth(id), s"payload drift for $name")
+      }
+      parsed += members.length
+    }
+    assert(parsed == truth.size.toLong, "every document lands in exactly one shard")
+    // Re-export is byte-identical (deterministic headers, order, framing).
+    val root2 = java.nio.file.Files.createTempDirectory("graft_wd_spec2").toString
+    val again = Export.webdatasetWrite(docs, "doc_id", "text", 4, root2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    for ((shard, (_, _, path)) <- manifest) {
+      val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(again(shard)))
+      assert(java.util.Arrays.equals(a, b), s"re-export drifted for shard $shard")
+    }
+  }
+
   test("hashed shards are balanced and each shard is one file") {
     val (root, out) = writeOnce(hashed = true)
     val sizes = out.groupBy("shard").count().collect()
