@@ -115,8 +115,11 @@ object Export {
   /** WebDataset-style tar-shard export: each shard is ONE `.tar` whose
     * members are `{id}.txt` sample files in deterministic id order — the
     * layout streaming training loaders consume sequentially (no seeks, no
-    * per-sample open cost; multimodal samples extend the same archive with
-    * more extensions per key). Assignment uses the PORTABLE residue shard
+    * per-sample open cost). With `binCol` set, each sample additionally
+    * carries its paired opaque-binary modality as `{id}.bin` ADJACENT to
+    * its text member (the WebDataset key-prefix grouping loaders rely on);
+    * null modalities skip the member. Assignment uses the PORTABLE residue
+    * shard
     * (`id % nShards`) so any engine can recompute which shard holds a
     * document.
     *
@@ -130,7 +133,7 @@ object Export {
     * + payload padded to 512 per member, two zero blocks per archive.
     */
   def webdatasetWrite(df: DataFrame, idCol: String, textCol: String,
-      nShards: Int, root: String): DataFrame = {
+      nShards: Int, root: String, binCol: Option[String] = None): DataFrame = {
     require(nShards > 0, "nShards must be positive")
     val spark = df.sparkSession
     val route = routeFor(nShards)
@@ -138,11 +141,13 @@ object Export {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(rootPath)
     val rows = df
-      .select(col(idCol).cast("long").as("id"),
-        col(textCol).cast("string").as("payload"))
+      .select((Seq(col(idCol).cast("long").as("id"),
+          col(textCol).cast("string").as("payload")) ++
+        binCol.map(c => col(c).cast("binary").as("bin"))): _*)
       .withColumn("shard", shardColumn(col("id"), nShards, hashed = false))
       .repartition(nShards, element_at(lit(route), col("shard").cast("int") + 1))
       .sortWithinPartitions(col("shard"), col("id"))
+    val shardIdx = if (binCol.isDefined) 3 else 2
     import spark.implicits._
     rows.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
@@ -154,21 +159,30 @@ object Export {
         var n = 0L
         var bytes = 0L
         var path: String = null
+        def member(name: String, payload: Array[Byte]): Unit = {
+          out.write(tarHeader(name, payload.length.toLong))
+          out.write(payload)
+          val pad = (512 - payload.length % 512) % 512
+          out.write(zeros, 0, pad)
+          bytes += 512L + payload.length + pad
+        }
         it.foreach { r =>
           if (out == null) {
-            shard = r.getLong(2)
+            shard = r.getLong(shardIdx)
             path = s"$root/shard-${"%05d".format(shard)}.tar"
             val p = new org.apache.hadoop.fs.Path(path)
             out = p.getFileSystem(conf).create(p, true)
           }
-          val payload = r.getString(1)
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          out.write(tarHeader(f"${r.getLong(0)}%09d.txt", payload.length.toLong))
-          out.write(payload)
-          val pad = (512 - payload.length % 512) % 512
-          out.write(zeros, 0, pad)
+          val key = f"${r.getLong(0)}%09d"
+          // WebDataset groups a sample's members by shared key prefix —
+          // the paired modality (when present) precedes the text member.
+          // A null modality SKIPS its member (absent, not empty); a null
+          // text exports as an empty member so the sample's KEY survives.
+          if (shardIdx == 3 && !r.isNullAt(2))
+            member(s"$key.bin", r.getAs[Array[Byte]](2))
+          member(s"$key.txt", (if (r.isNullAt(1)) "" else r.getString(1))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           n += 1
-          bytes += 512L + payload.length + pad
         }
         out.write(zeros); out.write(zeros) // end-of-archive marker
         out.close()

@@ -152,6 +152,52 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("webdataset multimodal members pair by key prefix; null modality skips its member") {
+    val withBin = docs.select(col("doc_id"), col("text"),
+      when(col("doc_id") % 3 === 0, lit(null).cast("binary"))
+        .otherwise(unhex(md5(col("text")))).as("img"))
+    val root = java.nio.file.Files.createTempDirectory("graft_wd_mm").toString
+    val manifest = Export.webdatasetWrite(withBin, "doc_id", "text", 2, root,
+      binCol = Some("img")).collect()
+    val nDocs = docs.count()
+    assert(manifest.map(_.getAs[Long]("n_samples")).sum == nDocs)
+    for (row <- manifest) {
+      val path = row.getAs[String]("path")
+      assert(new java.io.File(path).length() == row.getAs[Long]("n_bytes"))
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      // Walk member names in order; bin (16 md5 bytes) precedes its txt.
+      var off = 0
+      var names = List.empty[String]
+      while (off + 512 <= bytes.length &&
+          bytes.slice(off, off + 512).exists(_ != 0)) {
+        val name = new String(bytes.slice(off, off + 100).takeWhile(_ != 0),
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val size = java.lang.Long.parseLong(new String(
+          bytes.slice(off + 124, off + 135)).trim, 8)
+        if (name.endsWith(".bin")) assert(size == 16L, s"$name md5 size")
+        names ::= name
+        off += 512 + ((size.toInt + 511) / 512) * 512
+      }
+      val ordered = names.reverse
+      ordered.sliding(2).foreach {
+        case List(a, b) if a.endsWith(".bin") =>
+          assert(b == a.stripSuffix(".bin") + ".txt",
+            s"modality $a not adjacent to its text member")
+        case _ =>
+      }
+      val keys = ordered.map(_.take(9).toLong)
+      ordered.foreach { nm =>
+        val id = nm.take(9).toLong
+        assert(nm.endsWith(".txt") || id % 3 != 0,
+          s"null-modality doc $id must not emit a .bin member")
+      }
+      assert(keys.filter(_ % 3 == 0).distinct.forall(id =>
+        ordered.count(_.startsWith(f"$id%09d")) == 1))
+      assert(keys.filterNot(_ % 3 == 0).distinct.forall(id =>
+        ordered.count(_.startsWith(f"$id%09d")) == 2))
+    }
+  }
+
   test("hashed shards are balanced and each shard is one file") {
     val (root, out) = writeOnce(hashed = true)
     val sizes = out.groupBy("shard").count().collect()
