@@ -33,6 +33,17 @@ object SparkEntry {
   private def osum(expr: String, scale: Int = 2): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(38,$scale))) AS DOUBLE)"
 
+  /** Base series for the ts_* gates: per-(user, day) purchase value as
+    * exact 1e-4-tick longs. Purchases are ~13/user/month, so the daily
+    * series has real gaps for upsample/fill/interpolate to close.
+    */
+  private def dailyPurchases(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg((sum(col("value").cast(DecimalType(38, 4))) * 10000)
+        .cast(LongType).as("v_ticks"))
+
   /** Tokenizer CONFIG for the token-id gates: a fixed merge table applied
     * in order (each left ≠ right, so one merge pass has no overlapping
     * occurrences and the oracle's two-pass string replace reproduces the
@@ -2416,6 +2427,67 @@ object SparkEntry {
         RefIntegrity("o_custkey", table(s, dir, "customer"), "c_custkey")))
     }),
 
+    // ---- time-series toolkit (TimeSeries.scala): polars upsample /
+    // fill_null(forward) / interpolate / diff / rle parity over the events
+    // stream, all on exact integer grids so DuckDB mirrors bit-for-bit.
+    // Base series: per-(user, day) purchase value in 1e-4 ticks — sparse
+    // (~13 purchases per user per month), so gaps are real.
+
+    "ts_upsample" -> ((s, dir) => {
+      graft.operators.TimeSeries.upsample(
+          dailyPurchases(s, dir), "user_id", "day", 86400L)
+        .select(col("user_id"), col("day"), col("v_ticks"),
+          col("v_ticks").isNull.cast("long").as("is_gap"))
+        .orderBy("user_id", "day")
+    }),
+
+    "ts_fill_forward" -> ((s, dir) => {
+      graft.operators.TimeSeries.fillForward(
+          graft.operators.TimeSeries.upsample(
+            dailyPurchases(s, dir), "user_id", "day", 86400L),
+          "user_id", "day", Seq("v_ticks"))
+        .select(col("user_id"), col("day"), col("v_ticks"))
+        .orderBy("user_id", "day")
+    }),
+
+    "ts_interpolate" -> ((s, dir) => {
+      graft.operators.TimeSeries.interpolateLinear(
+          graft.operators.TimeSeries.upsample(
+            dailyPurchases(s, dir), "user_id", "day", 86400L),
+          "user_id", "day", "v_ticks")
+        .select(col("user_id"), col("day"), col("v_ticks"))
+        .orderBy("user_id", "day")
+    }),
+
+    "ts_diff" -> ((s, dir) => {
+      graft.operators.TimeSeries.diffPct(
+          dailyPurchases(s, dir), "user_id", "day", "v_ticks")
+        .select(col("user_id"), col("day"), col("v_ticks"),
+          col("diff"), col("pct_bps"))
+        .orderBy("user_id", "day")
+    }),
+
+    "ts_rle" -> ((s, dir) => {
+      graft.operators.TimeSeries.rle(
+          table(s, dir, "events"), "user_id", Seq("ts", "event_id"), "event_type")
+        .select(col("user_id"), col("run_id"), col("value"),
+          col("run_len"), col("run_start"))
+        .orderBy("user_id", "run_id")
+    }),
+
+    // Quantile binning (polars qcut): documents into length deciles over a
+    // total (n_chars, doc_id) order — ntile bin assignment is a pure
+    // function of rank and n, so the per-bin report is engine-exact.
+    "text_qcut" -> ((s, dir) => {
+      graft.operators.DataQuality.qcut(
+          table(s, dir, "documents"), "n_chars", 10, Seq("doc_id"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("lo_chars"),
+          max(col("n_chars")).as("hi_chars"))
+        .orderBy("bin")
+    }),
+
     // SCD Type-2 dimension history from the feed: one interval row per
     // state, one window pass over the log. The report aggregates interval
     // counts + the CURRENT slice's prices per status; the oracle derives
@@ -3438,6 +3510,17 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Prefix-filter set-similarity join (AllPairs/PPJoin): the EXACT
+    // threshold join — provably no false negatives, unlike MinHash LSH —
+    // with candidate volume paid only on each doc's rarest shingles. Same
+    // corpus, threshold, and output contract as dedup_ngram_jaccard, so
+    // the all-pairs oracle doubles as the completeness proof.
+    "dedup_setsim_prefix" -> ((s, dir) => {
+      Dedup.setSimJoinPrefix(Fixtures.nearDupDocuments(s, dir), "text", "doc_id",
+          shingleSize = 3, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashDedup(Fixtures.nearDupDocuments(s, dir), "text", "doc_id")
         .orderBy("doc_a", "doc_b")
@@ -4386,6 +4469,112 @@ object SparkEntry {
         |  CAST(n_after AS BIGINT) AS n_after,
         |  CAST(ABS(n_before * ta - n_after * tb) AS BIGINT) AS dev
         |FROM t ORDER BY bin""".stripMargin,
+
+    // ts_* family: shared obs/bounds/grid CTEs mirror dailyPurchases +
+    // TimeSeries.upsample. DuckDB generate_series is inclusive like
+    // Spark's sequence; v_ticks sums have exactly 4 decimals so *10000
+    // casts are integral on both engines.
+    "ts_upsample" ->
+      """WITH obs AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,4))) * 10000 AS BIGINT) AS v_ticks
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |  UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds)
+        |SELECT g.user_id, g.day, o.v_ticks,
+        |  CAST(CASE WHEN o.v_ticks IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+        |FROM grid g
+        |LEFT JOIN obs o ON o.user_id = g.user_id AND o.day = g.day""".stripMargin,
+
+    "ts_fill_forward" ->
+      """WITH obs AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,4))) * 10000 AS BIGINT) AS v_ticks
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |  UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds),
+        |up AS (SELECT g.user_id, g.day, o.v_ticks FROM grid g
+        |       LEFT JOIN obs o ON o.user_id = g.user_id AND o.day = g.day)
+        |SELECT user_id, day,
+        |  LAST_VALUE(v_ticks IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ticks
+        |FROM up""".stripMargin,
+
+    // Interpolation arithmetic runs in DAY units here vs SECONDS in Spark:
+    // floor(a*c / (b*c)) = floor(a/b), so scaling numerator and
+    // denominator by 86400 cannot change the floor division's result.
+    "ts_interpolate" ->
+      """WITH obs AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,4))) * 10000 AS BIGINT) AS v_ticks
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |  UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds),
+        |up AS (SELECT g.user_id, g.day, o.v_ticks FROM grid g
+        |       LEFT JOIN obs o ON o.user_id = g.user_id AND o.day = g.day),
+        |anch AS (SELECT user_id, day, v_ticks,
+        |    LAST_VALUE(v_ticks IGNORE NULLS) OVER w_back AS pv,
+        |    LAST_VALUE(CASE WHEN v_ticks IS NOT NULL THEN
+        |      date_diff('day', TIMESTAMP '2024-01-01', day) END IGNORE NULLS)
+        |      OVER w_back AS pt,
+        |    FIRST_VALUE(v_ticks IGNORE NULLS) OVER w_fwd AS nv,
+        |    FIRST_VALUE(CASE WHEN v_ticks IS NOT NULL THEN
+        |      date_diff('day', TIMESTAMP '2024-01-01', day) END IGNORE NULLS)
+        |      OVER w_fwd AS nt,
+        |    date_diff('day', TIMESTAMP '2024-01-01', day) AS t
+        |  FROM up
+        |  WINDOW w_back AS (PARTITION BY user_id ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         w_fwd AS (PARTITION BY user_id ORDER BY day
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day,
+        |  CASE WHEN v_ticks IS NOT NULL THEN v_ticks
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |         pv + ((nv - pv) * (t - pt)
+        |               - (((((nv - pv) * (t - pt)) % (nt - pt)) + (nt - pt)) % (nt - pt)))
+        |              // (nt - pt)
+        |  END AS v_ticks
+        |FROM anch""".stripMargin,
+
+    "ts_diff" ->
+      """WITH obs AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,4))) * 10000 AS BIGINT) AS v_ticks
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |d AS (SELECT user_id, day, v_ticks,
+        |    v_ticks - LAG(v_ticks) OVER w AS diff,
+        |    LAG(v_ticks) OVER w AS prev
+        |  FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY day))
+        |SELECT user_id, day, v_ticks, diff,
+        |  CASE WHEN prev > 0 THEN
+        |    (diff * 10000 - ((((diff * 10000) % prev) + prev) % prev)) // prev
+        |  END AS pct_bps
+        |FROM d""".stripMargin,
+
+    "ts_rle" ->
+      """WITH flg AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN LAG(event_type) OVER w IS NULL
+        |           OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (
+        |  SELECT user_id, ts, event_type,
+        |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM flg)
+        |SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+        |  MIN(event_type) AS value, COUNT(*) AS run_len, MIN(ts) AS run_start
+        |FROM runs GROUP BY user_id, run_id""".stripMargin,
+
+    "text_qcut" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+        |  NTILE(10) OVER (ORDER BY n_chars, doc_id) AS bin FROM documents)
+        |SELECT bin, COUNT(*) AS n_docs,
+        |  MIN(n_chars) AS lo_chars, MAX(n_chars) AS hi_chars
+        |FROM b GROUP BY bin""".stripMargin,
 
     "lake_stats_drift" ->
       """WITH after_t AS (
@@ -6296,6 +6485,31 @@ object SparkEntry {
         |ORDER BY cos_q DESC, vec_id LIMIT 10""".stripMargin,
 
     "dedup_ngram_jaccard" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graft near dup suffix' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |words AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM corpus),
+        |idx AS (SELECT doc_id, ws,
+        |        unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM words),
+        |grams AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM grams x JOIN grams y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
+
+    // The prefix-filter join must return EXACTLY the all-pairs result —
+    // completeness is the theorem under test, so the oracle is the same
+    // quadratic ground truth as dedup_ngram_jaccard.
+    "dedup_setsim_prefix" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL

@@ -112,6 +112,32 @@ object DataQuality {
           .as("dev"))
   }
 
+  /** Quantile binning (polars `qcut` / pandas `qcut`): assign each row a
+    * bin 1..k so the bins hold (as close as integers allow) equal row
+    * counts — the standard "length decile" / "score quartile" bucketing a
+    * curation pipeline stratifies on before sampling. Implemented as
+    * `ntile(k)` over a TOTAL order (`valueCol`, then `tieCols`): ntile's
+    * floor-based bin boundaries are a pure function of (rank, n), so with a
+    * deterministic total order the assignment is engine-portable and
+    * reproducible — unlike quantile-boundary binning, whose float boundary
+    * estimates differ across engines. The caller must make the order total
+    * (pass the row id as a tie-break); equal values CAN straddle a bin
+    * boundary, which is what makes exact equal-count bins possible at all.
+    *
+    * Scale note: a global ntile is a single total sort — the right tool up
+    * to the sort capacity of the cluster (Spark's range-partitioned sort,
+    * no single-node bottleneck). For per-group binning partition the window
+    * by the group instead; for 100 TB-scale APPROXIMATE deciles use the
+    * catalog's quantile sketches (`QuantileMap`) and a broadcast-boundary
+    * filter — this operator is the exact path.
+    */
+  def qcut(df: DataFrame, valueCol: String, k: Int, tieCols: Seq[String]): DataFrame = {
+    require(k >= 2, s"need at least 2 bins: $k")
+    require(tieCols.nonEmpty, "qcut needs a tie-break column for a total order")
+    val ord: Seq[Column] = col(valueCol) +: tieCols.map(col)
+    df.withColumn("bin", ntile(k).over(Window.orderBy(ord: _*)))
+  }
+
   // ------------------------------------------------------------ constraints
 
   /** One verifiable expectation over a table. `name` keys the report row. */

@@ -103,4 +103,34 @@ class DataQualitySpec extends SparkSpec {
     assert(report.forall(r => r.getAs[Long]("n_rows") == 0L &&
       r.getAs[Long]("n_violations") == 0L && r.getAs[Boolean]("passed")))
   }
+
+  test("qcut: balanced bins, ordered boundaries, deterministic under ties") {
+    import spark.implicits._
+    // 23 rows into 5 bins: first 23%5=3 bins get 5 rows, the rest 4.
+    val df = (1 to 23).map(i => (i.toLong, (i * 7) % 10)).toDF("id", "v")
+    val binned = DataQuality.qcut(df, "v", 5, Seq("id"))
+    val sizes = binned.groupBy("bin").count().orderBy("bin")
+      .as[(Int, Long)].collect()
+    assert(sizes.map(_._1) === (1 to 5).toArray)
+    assert(sizes.map(_._2) === Array(5L, 5L, 5L, 4L, 4L))
+    // Bins respect the total (v, id) order: no row in bin k+1 sorts before
+    // a row in bin k.
+    val rows = binned.select($"bin", $"v", $"id").as[(Int, Int, Long)]
+      .collect().sortBy(r => (r._2, r._3))
+    assert(rows.map(_._1).toSeq === rows.map(_._1).toSeq.sorted)
+    // Ties straddle boundaries deterministically: rerun and a repartitioned
+    // run assign identical bins.
+    val again = DataQuality.qcut(df.repartition(7), "v", 5, Seq("id"))
+      .select("id", "bin").as[(Long, Int)].collect().toMap
+    val first = binned.select("id", "bin").as[(Long, Int)].collect().toMap
+    assert(again === first)
+  }
+
+  test("qcut: more bins than rows degrades to one row per bin") {
+    import spark.implicits._
+    val df = Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "v")
+    val bins = DataQuality.qcut(df, "v", 10, Seq("id"))
+      .orderBy("v").select("bin").as[Int].collect()
+    assert(bins === Array(1, 2, 3))
+  }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Prefix-filter set-similarity join (AllPairs/PPJoin) vs the all-pairs
+  * ground truth: the filter is a completeness THEOREM, so on every corpus —
+  * fixture or randomized — the result must EQUAL the quadratic join's, not
+  * approximate it (the contrast with MinHash LSH, whose recall is a tuning
+  * outcome measured by OperatorsSpec).
+  */
+class SetSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def allPairs(df: DataFrame, t: Double): Set[(Long, Long)] =
+    Dedup.ngramJaccardPairs(df, "text", "doc_id", shingleSize = 3, threshold = t)
+      .select($"doc_a".cast("long"), $"doc_b".cast("long"))
+      .as[(Long, Long)].collect().toSet
+
+  private def prefixPairs(df: DataFrame, t: Double): Set[(Long, Long)] =
+    Dedup.setSimJoinPrefix(df, "text", "doc_id", shingleSize = 3, threshold = t)
+      .select($"doc_a".cast("long"), $"doc_b".cast("long"))
+      .as[(Long, Long)].collect().toSet
+
+  test("equals the all-pairs join on the planted near-dup corpus") {
+    val corpus = Fixtures.nearDupDocuments(spark, sf())
+    val truth = allPairs(corpus, 0.5)
+    assert(truth.nonEmpty, "fixture must plant near-dup pairs")
+    assert(prefixPairs(corpus, 0.5) === truth)
+  }
+
+  test("equals the all-pairs join on randomized corpora across thresholds") {
+    val rnd = new Random(42)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    // 40 base docs; every 4th gets a near-copy with a small mutation —
+    // plus organic collisions from the tiny vocabulary.
+    val base = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val mutated = base.collect { case (i, t) if i % 4 == 0 =>
+      (i + 1000L, t + " " + vocab(rnd.nextInt(vocab.size)))
+    }
+    val corpus = (base ++ mutated).toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val truth = allPairs(corpus, t)
+      assert(prefixPairs(corpus, t) === truth, s"threshold $t")
+      if (t == 0.3) assert(truth.nonEmpty, "low threshold must match something")
+    }
+  }
+
+  test("threshold 1.0 returns exactly the identical-shingle-set pairs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),      // exact copy of 1
+      (3L, "the  quick   brown fox jumps"),   // whitespace-canonicalized copy
+      (4L, "an entirely different document here")).toDF("doc_id", "text")
+    assert(prefixPairs(corpus, 1.0) === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("single-shingle (short) documents are joinable, not dropped") {
+    val corpus = Seq(
+      (1L, "tiny doc"),   // < 3 words: whole text is the one shingle
+      (2L, "tiny doc"),
+      (3L, "other")).toDF("doc_id", "text")
+    assert(prefixPairs(corpus, 0.5) === Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeries
+
+/** Hand-computed ground truths for the time-series toolkit: grid rendering,
+  * fill semantics at the series edges, exact floor-division interpolation
+  * (floor, NOT truncation — the negative-slope case distinguishes them),
+  * and partitioning independence.
+  */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-${day}%02d 00:00:00")
+
+  private def series(rows: (Long, Int, java.lang.Long)*): DataFrame =
+    rows.map { case (k, d, v) => (k, ts(d), v) }.toDF("k", "day", "v")
+
+  test("upsample renders a dense inclusive per-key grid with null gaps") {
+    val df = series((1L, 1, 10L), (1L, 3, 30L), (1L, 6, 60L), (2L, 4, 40L))
+    val up = TimeSeries.upsample(df, "k", "day", 86400L)
+      .select($"k", $"day", $"v").as[(Long, Timestamp, Option[Long])]
+      .collect().sortBy(r => (r._1, r._2.getTime))
+    // key 1 spans days 1..6 (6 ticks); key 2 is a single tick.
+    assert(up.map(r => (r._1, r._2)) === Array(
+      (1L, ts(1)), (1L, ts(2)), (1L, ts(3)), (1L, ts(4)), (1L, ts(5)), (1L, ts(6)),
+      (2L, ts(4))))
+    assert(up.map(_._3) === Array(
+      Some(10L), None, Some(30L), None, None, Some(60L), Some(40L)))
+  }
+
+  test("upsample predicts the worst key and refuses an exploding grid") {
+    val df = series((7L, 1, 1L), (7L, 30, 2L))
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.upsample(df, "k", "day", 1L, maxTicksPerKey = 1000L)
+    }
+    assert(e.getMessage.contains("key 7"), e.getMessage)
+    assert(e.getMessage.contains("ticks"), e.getMessage)
+    // The same span is fine on a grid the cap admits.
+    assert(TimeSeries.upsample(df, "k", "day", 86400L, maxTicksPerKey = 1000L)
+      .count() === 30L)
+  }
+
+  test("fillForward holds the last observation; leading nulls stay null") {
+    val up = TimeSeries.upsample(
+      series((1L, 1, 10L), (1L, 4, 40L), (2L, 2, 2L), (2L, 5, 5L)),
+      "k", "day", 86400L)
+    // Erase key 2's first observation to manufacture a leading null.
+    val gappy = up.withColumn("v",
+      when($"k" === 2 && $"day" === lit(ts(2)), lit(null: java.lang.Long))
+        .otherwise($"v"))
+    val filled = TimeSeries.fillForward(gappy, "k", "day", Seq("v"))
+      .select($"k", $"day", $"v").as[(Long, Timestamp, Option[Long])]
+      .collect().sortBy(r => (r._1, r._2.getTime))
+    assert(filled.map(_._3) === Array(
+      Some(10L), Some(10L), Some(10L), Some(40L), // key 1: held through the gap
+      None, None, None, Some(5L)))                // key 2: nothing to hold yet
+  }
+
+  test("interpolateLinear: exact grid, floor (not truncation) on negative slopes") {
+    val up = TimeSeries.upsample(
+      series((1L, 1, 100L), (1L, 5, 300L),   // even spacing: 150/200/250
+        (2L, 1, 0L), (2L, 4, 10L),           // non-divisible: floor(10/3)=3, floor(20/3)=6
+        (3L, 1, 10L), (3L, 4, 0L)),          // negative slope: 10+floor(-10/3) = 6 (trunc would say 7)
+      "k", "day", 86400L)
+    val interp = TimeSeries.interpolateLinear(up, "k", "day", "v")
+      .select($"k", $"day", $"v").as[(Long, Timestamp, Option[Long])]
+      .collect().sortBy(r => (r._1, r._2.getTime))
+    assert(interp.filter(_._1 == 1L).map(_._3) ===
+      Array(Some(100L), Some(150L), Some(200L), Some(250L), Some(300L)))
+    assert(interp.filter(_._1 == 2L).map(_._3) ===
+      Array(Some(0L), Some(3L), Some(6L), Some(10L)))
+    assert(interp.filter(_._1 == 3L).map(_._3) ===
+      Array(Some(10L), Some(6L), Some(3L), Some(0L)))
+  }
+
+  test("interpolateLinear leaves leading/trailing nulls null (polars parity)") {
+    val df = Seq(
+      (1L, ts(1), null: java.lang.Long),
+      (1L, ts(2), java.lang.Long.valueOf(10L)),
+      (1L, ts(3), null: java.lang.Long),
+      (1L, ts(4), java.lang.Long.valueOf(20L)),
+      (1L, ts(5), null: java.lang.Long)).toDF("k", "day", "v")
+    val interp = TimeSeries.interpolateLinear(df, "k", "day", "v")
+      .select($"v").as[Option[Long]].collect()
+    assert(interp.sorted === Array(None, None, Some(10L), Some(15L), Some(20L)).sorted)
+    assert(TimeSeries.interpolateLinear(df, "k", "day", "v")
+      .orderBy("day").select($"v").as[Option[Long]].collect() ===
+      Array(None, Some(10L), Some(15L), Some(20L), None))
+  }
+
+  test("diffPct: lagged diff and floor-division basis points") {
+    val out = TimeSeries.diffPct(
+        series((1L, 1, 100L), (1L, 2, 150L), (1L, 3, 120L)),
+        "k", "day", "v")
+      .orderBy("day")
+      .select($"diff", $"pct_bps").as[(Option[Long], Option[Long])].collect()
+    assert(out === Array(
+      (None, None),
+      (Some(50L), Some(5000L)),
+      (Some(-30L), Some(-2000L))))  // floor(-300000/150) — exact here
+  }
+
+  test("rle collapses runs deterministically under a total order") {
+    val df = Seq(
+      (1L, 1, "a"), (1L, 2, "a"), (1L, 3, "b"), (1L, 4, "a"), (1L, 5, "a"),
+      (2L, 1, "x")).toDF("k", "seq", "state")
+    val runs = TimeSeries.rle(df, "k", Seq("seq"), "state")
+      .orderBy("k", "run_id")
+      .select($"k", $"run_id", $"value", $"run_len", $"run_start")
+      .as[(Long, Long, String, Long, Int)].collect()
+    assert(runs === Array(
+      (1L, 1L, "a", 2L, 1), (1L, 2L, "b", 1L, 3), (1L, 3L, "a", 2L, 4),
+      (2L, 1L, "x", 1L, 1)))
+    // run lengths partition the input
+    assert(runs.map(_._4).sum === df.count())
+  }
+
+  test("results are partitioning-independent") {
+    val base = series((1L, 1, 100L), (1L, 4, 400L), (2L, 2, 7L), (2L, 9, 70L))
+    def run(df: DataFrame): Seq[(Long, Timestamp, Option[Long])] =
+      TimeSeries.interpolateLinear(
+          TimeSeries.upsample(df, "k", "day", 86400L), "k", "day", "v")
+        .select($"k", $"day", $"v").as[(Long, Timestamp, Option[Long])]
+        .collect().sortBy(r => (r._1, r._2.getTime)).toSeq
+    assert(run(base) === run(base.repartition(7)))
+  }
+}
