@@ -1625,6 +1625,29 @@ object SparkEntry {
         .orderBy("shard")
     }),
 
+    // WebDataset round trip: export multimodal tar shards (every 3rd doc
+    // carries a paired binary member), stream-parse them back, and report
+    // per shard — counts, id sums, text chars, paired-bin counts and
+    // bytes. The oracle recomputes all five from the corpus and the
+    // portable residue shard, so the gate proves the READER inverts the
+    // writer byte-for-byte, not just that files appeared.
+    "import_webdataset" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_import_wd").toString
+      val docs = table(s, dir, "documents")
+        .withColumn("bin",
+          when(col("doc_id") % 3 === 0, encode(substring(col("text"), 1, 16), "UTF-8")))
+      graft.operators.Export.webdatasetWrite(docs, "doc_id", "text", 8, root,
+        binCol = Some("bin"))
+      graft.operators.Export.webdatasetRead(s, root)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(length(col("text"))).as("sum_chars"),
+          count(col("bin")).as("n_bins"),
+          coalesce(sum(length(col("bin"))), lit(0L)).as("sum_bin_bytes"))
+        .orderBy("shard")
+    }),
+
     // Catalog-driven dynamic partition pruning: the dimension's filtered
     // key set prunes FACT cells (zones+blooms+bucket routing) before any
     // fact byte is read, then the join broadcasts the driver-small dim.
@@ -1782,6 +1805,27 @@ object SparkEntry {
       qs.zipWithIndex.map { case (q, i) =>
         ((q * 100).toInt, kth(ks(i)), math.abs(ranks.getDouble(i) - q) <= bnd)
       }.toDF("q_pct", "exact_disc", "within_bound").orderBy("q_pct")
+    }),
+
+    // Catalog-approximate quantile BINNING (qcut's 100 TB path): decile
+    // boundaries fold from the manifest's GK sketches with zero scan jobs;
+    // binning is one chained-CASE narrow pass. The gate certifies every
+    // bin's population share against the GK rank bound (2·(2ε+2/n) per
+    // share — each share is a difference of two rank-bounded boundaries);
+    // the oracle pins the certified outcome per bin.
+    "lake_qcut_approx" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .withColumn("o_batch", (col("o_orderkey") / 3000).cast("int"))
+      val ds = LakeDataset.fromDataFrame(s, o, partitionCols = Seq("o_batch"),
+        quantileCols = Seq("o_totalprice"))
+      val binned = graft.operators.DataQuality.qcutApprox(ds, "o_totalprice", 10)
+      val n = o.count()
+      val bnd = 2 * (2 * graft.lake.QuantileMap.Eps + 2.0 / n)
+      binned.groupBy("bin").agg(count(lit(1)).as("nb"))
+        .select(col("bin").cast("long").as("bin"),
+          (abs(col("nb").cast("double") / lit(n.toDouble) - 0.1) <= lit(bnd))
+            .as("within_bound"))
+        .orderBy("bin")
     }),
 
     // Metadata-only TOP-K: per-part Misra–Gries sketches folded from the
@@ -2467,12 +2511,80 @@ object SparkEntry {
         .orderBy("user_id", "day")
     }),
 
+    "ts_ewma" -> ((s, dir) => {
+      graft.operators.TimeSeries.ewmaWindowed(
+          dailyPurchases(s, dir), "user_id", "day", "v_ticks")
+        .select(col("user_id"), col("day"), col("v_ticks"), col("ewma"))
+        .orderBy("user_id", "day")
+    }),
+
     "ts_rle" -> ((s, dir) => {
       graft.operators.TimeSeries.rle(
           table(s, dir, "events"), "user_id", Seq("ts", "event_id"), "event_type")
         .select(col("user_id"), col("run_id"), col("value"),
           col("run_len"), col("run_start"))
         .orderBy("user_id", "run_id")
+    }),
+
+    // Composed time-series pipeline (the polars chain
+    // upsample().interpolate().ewm_mean() as one gate): sparse per-user
+    // purchases -> dense day grid -> exact linear interpolation -> windowed
+    // EWMA over the FILLED series, all under ONE chained DuckDB oracle.
+    "pipeline_timeseries" -> ((s, dir) => {
+      val up = graft.operators.TimeSeries.upsample(
+        dailyPurchases(s, dir), "user_id", "day", 86400L)
+      val interp = graft.operators.TimeSeries.interpolateLinear(
+        up, "user_id", "day", "v_ticks")
+      graft.operators.TimeSeries.ewmaWindowed(interp, "user_id", "day", "v_ticks")
+        .select(col("user_id"), col("day"), col("v_ticks"), col("ewma"))
+        .orderBy("user_id", "day")
+    }),
+
+    // Drift-gated streaming ingest: the promote-or-hold admission gate as
+    // a foreachBatch sink. Batch 1 is a true subsample of the corpus's
+    // length distribution (TVD ~0.1) and must land in the main table;
+    // batch 2 shifts every document +400 chars (TVD ~0.9) and must be
+    // quarantined WHOLE. The oracle hardcodes those two outcomes, so an
+    // engine that admits the drifted batch (or holds the conforming one)
+    // hash-mismatches — the DECISION is what's under test.
+    "stream_drift_gate" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val d = table(s, dir, "documents").select("doc_id", "n_chars")
+      val main = LakeDataset.fromDataFrame(s, d)
+      val quarantine = LakeDataset.fromDataFrame(s, d.limit(0))
+      val gate = graft.streaming.StreamingIngest.driftGatedBatches(
+        main, quarantine, "n_chars", binWidth = 50L, nBins = 12,
+        maxDevPerMille = 400L)
+      // MemoryStream fixture rows: bounded, deterministic, loud cap (the
+      // documented harness pattern — the driver array is the stream
+      // source, not the operator).
+      def rows(m: Int, idShift: Long, lenShift: Long): Seq[(Long, Long)] = {
+        val cap = 200000
+        val r = d.filter(col("doc_id") % 5 === m)
+          .select((col("doc_id") + idShift).as("doc_id"),
+            (col("n_chars") + lenShift).as("n_chars"))
+          .orderBy("doc_id").limit(cap + 1).as[(Long, Long)].collect().toSeq
+        require(r.length <= cap,
+          s"stream_drift_gate fixture: > $cap rows at this scale factor")
+        r
+      }
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val q = mem.toDF().toDF("doc_id", "n_chars")
+        .writeStream.foreachBatch(gate).start()
+      try {
+        mem.addData(rows(1, 700000L, 0L))
+        q.processAllAvailable()
+        mem.addData(rows(2, 800000L, 400L))
+        q.processAllAvailable()
+      } finally q.stop()
+      main.toDF.select(lit("main").as("dst"), col("doc_id"), col("n_chars"))
+        .unionByName(quarantine.toDF
+          .select(lit("quarantine").as("dst"), col("doc_id"), col("n_chars")))
+        .groupBy("dst")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("dst")
     }),
 
     // Quantile binning (polars qcut): documents into length deciles over a
@@ -4218,6 +4330,17 @@ object SparkEntry {
         |       + 1024 AS BIGINT) AS n_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "import_webdataset" ->
+      """SELECT doc_id % 8 AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bins,
+        |  CAST(SUM(CASE WHEN doc_id % 3 = 0
+        |           THEN LENGTH(SUBSTRING(text, 1, 16)) ELSE 0 END) AS BIGINT)
+        |    AS sum_bin_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "lake_dpp_join" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n,
          |       ${osum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
@@ -4254,6 +4377,12 @@ object SparkEntry {
         |       CAST(SUM(o_custkey) AS BIGINT) AS sum_o_custkey,
         |       CAST(SUM(o_orderkey) AS BIGINT) AS sum_o_orderkey
         |FROM orders""".stripMargin,
+
+    // lake_qcut_approx: the engine emits a CERTIFIED verdict per bin (share
+    // within the GK rank bound); the oracle pins all ten verdicts true.
+    "lake_qcut_approx" ->
+      """SELECT CAST(UNNEST(generate_series(1, 10)) AS BIGINT) AS bin,
+        |  TRUE AS within_bound ORDER BY 1""".stripMargin,
 
     // lake_stats_quantile: exact_disc is the k-th smallest (k=ceil(q*n)) —
     // a value from the data, so bit-exact across engines; within_bound
@@ -4554,6 +4683,32 @@ object SparkEntry {
         |  END AS pct_bps
         |FROM d""".stripMargin,
 
+    // Weights (s−a)^k·s^(N−1−k) for α = 3/10, N = 8, generated with the
+    // same integer fold as TimeSeries.ewmaWindowed; LAG-present terms only,
+    // exact floor division via the portable pmod spelling.
+    "ts_ewma" -> {
+      def pw(b: Long, e: Int): Long = (0 until e).foldLeft(1L)((acc, _) => acc * b)
+      val terms = (0 until 8).map { k =>
+        val w = pw(7L, k) * pw(10L, 7 - k)
+        val xk = if (k == 0) "v_ticks" else s"LAG(v_ticks, $k) OVER w"
+        (s"CASE WHEN $xk IS NOT NULL THEN $xk * $w ELSE 0 END",
+          s"CASE WHEN $xk IS NOT NULL THEN $w ELSE 0 END")
+      }
+      s"""WITH obs AS (
+         |  SELECT user_id, date_trunc('day', ts) AS day,
+         |    CAST(SUM(CAST(value AS DECIMAL(38,4))) * 10000 AS BIGINT) AS v_ticks
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         |e AS (SELECT user_id, day, v_ticks,
+         |    CAST(${terms.map(_._1).mkString(" + ")} AS BIGINT) AS num,
+         |    CAST(${terms.map(_._2).mkString(" + ")} AS BIGINT) AS den
+         |  FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY day))
+         |SELECT user_id, day, v_ticks,
+         |  CASE WHEN den > 0 THEN
+         |    (num - (((num % den) + den) % den)) // den
+         |  END AS ewma
+         |FROM e""".stripMargin
+    },
+
     "ts_rle" ->
       """WITH flg AS (
         |  SELECT user_id, ts, event_id, event_type,
@@ -4575,6 +4730,79 @@ object SparkEntry {
         |SELECT bin, COUNT(*) AS n_docs,
         |  MIN(n_chars) AS lo_chars, MAX(n_chars) AS hi_chars
         |FROM b GROUP BY bin""".stripMargin,
+
+    // The ts_interpolate CTE chain feeding the ts_ewma polynomial — one
+    // chained oracle for the composed upsample→interpolate→ewm_mean gate.
+    "pipeline_timeseries" -> {
+      def pw(b: Long, e: Int): Long = (0 until e).foldLeft(1L)((acc, _) => acc * b)
+      val terms = (0 until 8).map { k =>
+        val w = pw(7L, k) * pw(10L, 7 - k)
+        val xk = if (k == 0) "v_ticks" else s"LAG(v_ticks, $k) OVER w2"
+        (s"CASE WHEN $xk IS NOT NULL THEN $xk * $w ELSE 0 END",
+          s"CASE WHEN $xk IS NOT NULL THEN $w ELSE 0 END")
+      }
+      s"""WITH obs AS (
+         |  SELECT user_id, date_trunc('day', ts) AS day,
+         |    CAST(SUM(CAST(value AS DECIMAL(38,4))) * 10000 AS BIGINT) AS v_ticks
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         |bounds AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM obs GROUP BY 1),
+         |grid AS (SELECT user_id,
+         |  UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds),
+         |up AS (SELECT g.user_id, g.day, o.v_ticks FROM grid g
+         |       LEFT JOIN obs o ON o.user_id = g.user_id AND o.day = g.day),
+         |anch AS (SELECT user_id, day, v_ticks,
+         |    LAST_VALUE(v_ticks IGNORE NULLS) OVER w_back AS pv,
+         |    LAST_VALUE(CASE WHEN v_ticks IS NOT NULL THEN
+         |      date_diff('day', TIMESTAMP '2024-01-01', day) END IGNORE NULLS)
+         |      OVER w_back AS pt,
+         |    FIRST_VALUE(v_ticks IGNORE NULLS) OVER w_fwd AS nv,
+         |    FIRST_VALUE(CASE WHEN v_ticks IS NOT NULL THEN
+         |      date_diff('day', TIMESTAMP '2024-01-01', day) END IGNORE NULLS)
+         |      OVER w_fwd AS nt,
+         |    date_diff('day', TIMESTAMP '2024-01-01', day) AS t
+         |  FROM up
+         |  WINDOW w_back AS (PARTITION BY user_id ORDER BY day
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         w_fwd AS (PARTITION BY user_id ORDER BY day
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         |interp AS (SELECT user_id, day,
+         |    CASE WHEN v_ticks IS NOT NULL THEN v_ticks
+         |         WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         |           pv + ((nv - pv) * (t - pt)
+         |                 - (((((nv - pv) * (t - pt)) % (nt - pt)) + (nt - pt)) % (nt - pt)))
+         |                // (nt - pt)
+         |    END AS v_ticks
+         |  FROM anch),
+         |e AS (SELECT user_id, day, v_ticks,
+         |    CAST(${terms.map(_._1).mkString(" + ")} AS BIGINT) AS num,
+         |    CAST(${terms.map(_._2).mkString(" + ")} AS BIGINT) AS den
+         |  FROM interp WINDOW w2 AS (PARTITION BY user_id ORDER BY day))
+         |SELECT user_id, day, v_ticks,
+         |  CASE WHEN den > 0 THEN
+         |    (num - (((num % den) + den) % den)) // den
+         |  END AS ewma
+         |FROM e""".stripMargin
+    },
+
+    // The oracle HARDCODES the admit/quarantine outcomes the drift gate
+    // must reach: batch 1 (a distribution-true subsample) lands in main,
+    // batch 2 (+400 chars, TVD ~0.9 against the snapshot) lands whole in
+    // quarantine.
+    "stream_drift_gate" ->
+      """WITH mainr AS (
+        |  SELECT doc_id, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 700000, n_chars FROM documents WHERE doc_id % 5 = 1),
+        |quar AS (
+        |  SELECT doc_id + 800000 AS doc_id, n_chars + 400 AS n_chars
+        |  FROM documents WHERE doc_id % 5 = 2),
+        |u AS (SELECT 'main' AS dst, doc_id, n_chars FROM mainr
+        |      UNION ALL
+        |      SELECT 'quarantine' AS dst, doc_id, n_chars FROM quar)
+        |SELECT dst, COUNT(*) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM u GROUP BY dst ORDER BY dst""".stripMargin,
 
     "lake_stats_drift" ->
       """WITH after_t AS (

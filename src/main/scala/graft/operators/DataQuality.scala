@@ -138,6 +138,33 @@ object DataQuality {
     df.withColumn("bin", ntile(k).over(Window.orderBy(ord: _*)))
   }
 
+  /** Catalog-approximate quantile binning — the 100 TB path [[qcut]]'s doc
+    * points at: the k−1 bin BOUNDARIES fold from the lake manifest's GK
+    * quantile sketches with ZERO scan jobs, and the binning itself is one
+    * narrow codegen'd pass (a chained CASE against broadcast literal
+    * boundaries) — no global sort, no shuffle, cost one scan of the one
+    * column. The trade: bin populations are equal only within the GK rank
+    * bound (each boundary's true rank is within 2ε + 2/n of its target —
+    * the same certificate `metaApproxQuantile` carries), where [[qcut]]'s
+    * total sort makes them exact. Refuses loudly when the catalog cannot
+    * vouch tight sketches for the column (run ANALYZE, or pay the exact
+    * path) — approximate deciles from a stale sketch would silently skew
+    * every stratified decision downstream.
+    */
+  def qcutApprox(
+      ds: graft.lake.LakeDataset, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 bins: $k")
+    val qs = (1 until k).map(_.toDouble / k)
+    val bounds = ds.metaApproxQuantile(Seq(valueCol), qs)
+      .getOrElse(throw new IllegalStateException(
+        s"catalog cannot vouch tight quantile sketches for '$valueCol' — " +
+          "ANALYZE the table or use the exact qcut"))(valueCol)
+    val bin = bounds.zipWithIndex.foldRight(lit(k): Column) {
+      case ((b, i), acc) => when(col(valueCol) <= lit(b), lit(i + 1)).otherwise(acc)
+    }
+    ds.toDF.withColumn("bin", bin)
+  }
+
   // ------------------------------------------------------------ constraints
 
   /** One verifiable expectation over a table. `name` keys the report row. */

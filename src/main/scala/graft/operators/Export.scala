@@ -193,4 +193,108 @@ object Export {
       // a lazy plan would re-run the archive job on every downstream read.
       .localCheckpoint(true)
   }
+
+  /** WebDataset tar-shard IMPORT — the reader that completes
+    * [[webdatasetWrite]]'s round trip, so tar shards are a SOURCE, not just
+    * a sink (re-ingest an exported corpus, audit what a training run
+    * actually consumed, or adopt shards produced by an external loader
+    * pipeline).
+    *
+    * Scale shape mirrors the writer: one task per shard file, each task
+    * STREAM-parses its archive sequentially from the driver-configured
+    * FileSystem — tar has no index, sequential is the format's contract,
+    * and the parse is a lazy iterator so a 1 GB shard never materializes
+    * as a 1 GB task buffer; rows flow to the consumer as members decode.
+    * This is the documented imperative seam (`mapPartitions`), exactly like
+    * the writer's.
+    *
+    * Emits (doc_id, text, bin, shard): a `{key}.bin` member pairs into the
+    * row of its adjacent-following `{key}.txt` (the WebDataset key-prefix
+    * grouping); samples without a modality carry a null `bin`. A text
+    * exported from NULL returns as the empty string — the writer's
+    * documented contract (the KEY survives the round trip, the null does
+    * not). Each member's ustar magic is verified and framing arithmetic is
+    * strict (truncated archives fail loudly, never yield partial rows).
+    */
+  def webdatasetRead(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shards = fs.globStatus(new org.apache.hadoop.fs.Path(rootPath, "shard-*.tar"))
+      .map(_.getPath.toString).sorted.toSeq
+    require(shards.nonEmpty, s"no shard-*.tar files under $root")
+    val confF = org.apache.spark.sql.graftbridge.Bridge.hadoopConfFactory(spark)
+    val shardRe = "shard-(\\d+)\\.tar$".r
+    import spark.implicits._
+    // parallelize with numSlices = nShards pins one archive per task — the
+    // reader's parallelism equals the writer's, at any cluster size.
+    spark.createDataset(spark.sparkContext.parallelize(shards, shards.size))
+      .mapPartitions { paths =>
+        val conf = confF()
+        paths.flatMap { pathStr =>
+          val shard = shardRe.findFirstMatchIn(pathStr)
+            .map(_.group(1).toLong)
+            .getOrElse(sys.error(s"unrecognized shard file name: $pathStr"))
+          val p = new org.apache.hadoop.fs.Path(pathStr)
+          val in = p.getFileSystem(conf).open(p)
+          new Iterator[(Long, String, Array[Byte], Long)] {
+            private val hdr = new Array[Byte](512)
+            private var pendingKey = -1L
+            private var pendingBin: Array[Byte] = null
+            private var nextRow: (Long, String, Array[Byte], Long) = null
+            private var closed = false
+            private def readFully(buf: Array[Byte], len: Int): Unit = {
+              var off = 0
+              while (off < len) {
+                val r = in.read(buf, off, len - off)
+                require(r > 0, s"truncated tar archive: $pathStr")
+                off += r
+              }
+            }
+            private def advance(): Unit = {
+              while (nextRow == null && !closed) {
+                readFully(hdr, 512)
+                if (hdr.forall(_ == 0)) { in.close(); closed = true }
+                else {
+                  var nameEnd = 0
+                  while (nameEnd < 100 && hdr(nameEnd) != 0) nameEnd += 1
+                  val name = new String(hdr, 0, nameEnd,
+                    java.nio.charset.StandardCharsets.US_ASCII)
+                  require(new String(hdr, 257, 5,
+                    java.nio.charset.StandardCharsets.US_ASCII) == "ustar",
+                    s"member '$name' in $pathStr is not ustar")
+                  val size = java.lang.Long.parseLong(
+                    new String(hdr, 124, 12,
+                      java.nio.charset.StandardCharsets.US_ASCII)
+                      .replaceAll("[^0-7]", ""), 8)
+                  require(size >= 0 && size < (1L << 30),
+                    s"member '$name' size $size out of range in $pathStr")
+                  val payload = new Array[Byte](size.toInt)
+                  readFully(payload, size.toInt)
+                  val pad = ((512 - size % 512) % 512).toInt
+                  if (pad > 0) readFully(hdr, pad)
+                  val dot = name.lastIndexOf('.')
+                  require(dot > 0, s"member '$name' has no extension in $pathStr")
+                  val key = name.substring(0, dot).toLong
+                  name.substring(dot) match {
+                    case ".bin" =>
+                      pendingKey = key; pendingBin = payload
+                    case ".txt" =>
+                      val bin = if (pendingKey == key) pendingBin else null
+                      pendingKey = -1L; pendingBin = null
+                      nextRow = (key, new String(payload,
+                        java.nio.charset.StandardCharsets.UTF_8), bin, shard)
+                    case ext => sys.error(s"unexpected member extension '$ext' in $pathStr")
+                  }
+                }
+              }
+            }
+            override def hasNext: Boolean = { advance(); nextRow != null }
+            override def next(): (Long, String, Array[Byte], Long) = {
+              advance()
+              val r = nextRow; nextRow = null; r
+            }
+          }
+        }
+      }.toDF("doc_id", "text", "bin", "shard")
+  }
 }

@@ -153,6 +153,54 @@ object TimeSeries {
     * session/state-dwell primitive: "how long did each user stay in state
     * X" is exactly the run table.
     */
+  /** Windowed exponentially-weighted moving average on the exact integer
+    * grid: with smoothing α = a/s as an exact rational and window N,
+    *
+    *   ewma_t = floorDiv( Σ_{k=0..N−1} x_{t−k}·(s−a)^k·s^(N−1−k),
+    *                      Σ_{k: x_{t−k} present} (s−a)^k·s^(N−1−k) )
+    *
+    * — polars `ewm_mean(adjust=true)` TRUNCATED to the last N observations.
+    * At the defaults (α=0.3, N=8) the dropped tail carries (1−α)^8 ≈ 5.8%
+    * of the weight mass, and because the denominator sums only the PRESENT
+    * terms the result is an exactly-renormalized weighted mean, not a
+    * biased estimate. The truncation is what buys both properties that
+    * matter here: the value is a finite integer polynomial any ANSI engine
+    * reproduces bit-for-bit, and the state is N lag columns over the one
+    * (key, ts) exchange every op in this file shares — infinite-history
+    * EWMA is a sequential per-key scan, which is exactly the shape a
+    * distributed engine should refuse.
+    *
+    * Null observations are EXCLUDED from both sums (missing, not zero); a
+    * row whose whole window is null yields null. Overflow guard:
+    * weights ≤ s^(N−1) are required under 2^31 so x·weight stays in a
+    * long for any |x| < 2^31.
+    */
+  def ewmaWindowed(
+      df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      alphaNum: Int = 3, alphaDen: Int = 10, window: Int = 8): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen, s"need 0 < α < 1: $alphaNum/$alphaDen")
+    require(window >= 1, s"window must be >= 1: $window")
+    val maxW = BigInt(alphaDen).pow(window - 1)
+    require(maxW < BigInt(Int.MaxValue),
+      s"alphaDen^(window-1) = $maxW overflows the weight grid — shrink window or α's denominator")
+    val s = alphaDen.toLong
+    val a = alphaNum.toLong
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    def pw(base: Long, e: Int): Long = (0 until e).foldLeft(1L)((acc, _) => acc * base)
+    val terms = (0 until window).map { k =>
+      val weight = pw(s - a, k) * pw(s, window - 1 - k)
+      val xk = lag(col(valueCol), k).over(w)
+      (when(xk.isNotNull, xk * lit(weight)).otherwise(lit(0L)),
+        when(xk.isNotNull, lit(weight)).otherwise(lit(0L)))
+    }
+    df.withColumn("__num", terms.map(_._1).reduce(_ + _))
+      .withColumn("__den", terms.map(_._2).reduce(_ + _))
+      .withColumn("ewma",
+        when(col("__den") > 0L,
+          expr("(__num - pmod(__num, __den)) div __den")))
+      .drop("__num", "__den")
+  }
+
   def rle(
       df: DataFrame, keyCol: String, orderCols: Seq[String], valueCol: String): DataFrame = {
     require(orderCols.nonEmpty, "rle needs at least one ordering column")

@@ -116,6 +116,45 @@ object StreamingIngest {
       }
     }
 
+  /** Drift-gated ingest — the promote-or-hold admission gate as a
+    * streaming sink, the DISTRIBUTION-level sibling of [[validatedBatches]]
+    * (constraints ask "is each row well-formed?"; this asks "does the
+    * batch still look like the corpus?"). Each micro-batch's value
+    * histogram is compared against the CURRENT table snapshot via
+    * `DataQuality.histogramDrift` (exact integer TVD numerators); a batch
+    * whose total-variation distance exceeds `maxDevPerMille`/1000 is
+    * QUARANTINED whole into the side dataset for review — a re-crawl that
+    * suddenly returns truncated pages must not silently shift the corpus —
+    * while conforming batches insert normally. The comparison stays in
+    * exact integers (`Σdev·1000 > maxDevPerMille·2·N_table·N_batch`), so
+    * the admit/hold decision is bit-reproducible by any engine; the
+    * products fit a long for any micro-batch-sized N_batch against a
+    * 100 TB-scale table (N_t·N_b < 2^63 up to ~10^12 rows × ~10^6 batch).
+    * Cost per batch: one narrow scan of each side + a bin-keyed merge of
+    * two nBins-row frames. An EMPTY table admits its first batch — the
+    * bootstrap batch defines the distribution rather than drifting from a
+    * nonexistent one.
+    */
+  def driftGatedBatches(
+      ds: LakeDataset, quarantine: LakeDataset, valueCol: String,
+      binWidth: Long, nBins: Int, maxDevPerMille: Long): (DataFrame, Long) => Unit = {
+    require(maxDevPerMille > 0 && maxDevPerMille < 1000,
+      s"maxDevPerMille must be in (0, 1000): $maxDevPerMille")
+    (batch, _) => {
+      if (!batch.isEmpty) {
+        val b = batch.localCheckpoint(true)
+        val r = graft.operators.DataQuality
+          .histogramDrift(ds.toDF, b, col(valueCol), binWidth, nBins)
+          .agg(sum("dev"), sum("n_before"), sum("n_after")).head()
+        val sumDev = r.getLong(0)
+        val nTable = r.getLong(1)
+        val nBatch = r.getLong(2)
+        val drifted = sumDev * 1000L > maxDevPerMille * 2L * nTable * nBatch
+        if (drifted) quarantine.insert(b) else ds.insert(b)
+      }
+    }
+  }
+
   /** foreachBatch sink APPLYING a change feed
     * ([[graft.lake.TrackedLake#streamChanges]]) to a REPLICA lake — CDC
     * replication from feed + streaming + merge, no bespoke machinery.

@@ -55,7 +55,8 @@ object ScaleSmoke {
       !sys.env.contains("SPARK_GRAFT_ONLY_R13C") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R13D") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R14") &&
-      !sys.env.contains("SPARK_GRAFT_ONLY_R14B")
+      !sys.env.contains("SPARK_GRAFT_ONLY_R14B") &&
+      !sys.env.contains("SPARK_GRAFT_ONLY_R14C")
     if (runAll) {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val big = (0 until copies).map { i =>
@@ -1646,6 +1647,95 @@ object ScaleSmoke {
         "a reshaped snapshot must register drift")
     }
     if (onlyR14b) { spark.stop(); return }
+
+    // ---- R14C: third wave — prefix set-sim / ts grid / tar import at 20× ---
+    // Run just this section with SPARK_GRAFT_ONLY_R14C=1.
+    val onlyR14c = sys.env.contains("SPARK_GRAFT_ONLY_R14C")
+    if (runAll || onlyR14c) {
+      // (1) prefix-filter set-similarity join on a corpus engineered so the
+      // naive any-shared-shingle join is quadratic: every doc opens with the
+      // same 9-word boilerplate (those shingles have df == corpus size); the
+      // discriminating signal is 3 rare trailing tokens. The prefix filter
+      // pays candidates only on each doc's RAREST shingles, so the planted
+      // near-dups surface without ever joining on the boilerplate. The
+      // quadratic volume the naive join would pay is PREDICTED from one
+      // aggregate (Σ df·(df−1)/2), not paid.
+      val nDocs14c = 10000L * copies
+      val m14c = nDocs14c * 2
+      val base14c = spark.range(nDocs14c).select(col("id").as("doc_id"),
+        concat(lit("the quick brown fox jumps over the lazy dog tok"),
+          pmod(col("id") * 7L, lit(m14c)), lit(" tok"),
+          pmod(col("id") * 13L + 5L, lit(m14c)), lit(" tok"),
+          pmod(col("id") * 29L + 11L, lit(m14c))).as("text"))
+      val planted14c = base14c.filter(col("doc_id") % 100L === 0L)
+        .select((col("doc_id") + nDocs14c * 10L).as("doc_id"),
+          concat(col("text"), lit(" trailer")).as("text"))
+      val corpus14c = base14c.unionByName(planted14c).localCheckpoint(true)
+      val shingleTable = graft.operators.Dedup.shingleRows(corpus14c, "text", "doc_id", 3)
+      val naiveVolume = shingleTable.groupBy("s").agg(count(lit(1)).as("df"))
+        .agg(sum(col("df") * (col("df") - 1L) / 2L)).head().getAs[Any](0)
+      println(s"[scale] r14c naive any-shingle join volume (predicted, NOT paid): $naiveVolume")
+      val pairs14c = time(s"r14c setSimJoinPrefix, ${nDocs14c + nDocs14c / 100} docs") {
+        graft.operators.Dedup.setSimJoinPrefix(corpus14c, "text", "doc_id",
+          shingleSize = 3, threshold = 0.8).localCheckpoint(true)
+      }
+      val nPlantedFound = pairs14c
+        .filter(col("doc_b") - col("doc_a") === nDocs14c * 10L).count()
+      println(s"[scale] r14c pairs: ${pairs14c.count()} total, " +
+        s"$nPlantedFound of ${nDocs14c / 100} planted")
+      require(nPlantedFound == nDocs14c / 100,
+        "prefix filter missed a planted near-dup — completeness violated")
+
+      // (2) dense-grid time series at 20×: 100k sparse per-key series →
+      // upsample to the dense grid, forward-fill, interpolate. The unit of
+      // parallelism is the KEY; all three ops share one (key, ts) exchange.
+      val nKeys14c = 5000L * copies
+      val obs14c = spark.range(nKeys14c).select(col("id").as("k"),
+          explode(sequence(lit(0L), lit(14L))).as("j"))
+        .select(col("k"),
+          timestamp_seconds(lit(1704067200L) +
+            pmod(col("k") * 31L + col("j") * 170000L, lit(60L)) * 86400L).as("day"),
+          (pmod(col("k") + col("j") * 7L, lit(1000L)) + 1L).as("v"))
+        .groupBy("k", "day").agg(max("v").as("v")).localCheckpoint(true)
+      val nObs = obs14c.count()
+      val up14c = time(s"r14c upsample ($nKeys14c keys, $nObs obs)") {
+        graft.operators.TimeSeries.upsample(obs14c, "k", "day", 86400L)
+          .localCheckpoint(true)
+      }
+      val nGrid = up14c.count()
+      val interp14c = time(s"r14c interpolate ($nGrid grid rows)") {
+        graft.operators.TimeSeries.interpolateLinear(up14c, "k", "day", "v")
+          .localCheckpoint(true)
+      }
+      val unfilled = interp14c.filter(col("v").isNull).count()
+      println(s"[scale] r14c grid: $nObs obs -> $nGrid ticks, $unfilled unfilled")
+      require(unfilled == 0L,
+        "grid spans run min..max per key — every gap is interior and must fill")
+      require(nGrid >= nObs, "the dense grid cannot be smaller than the observations")
+
+      // (3) WebDataset tar round trip at 20×: 32 shards, one task each on
+      // both sides; the reader must reproduce ids and payload bytes exactly.
+      val nWds = 25000L * copies
+      val wdsDocs = spark.range(nWds).select(col("id").as("doc_id"),
+        concat(lit("sample payload for document "), col("id"),
+          lit(" padded with a deterministic sentence for realistic member sizes"))
+          .as("text"))
+      val wdsRoot = java.nio.file.Files.createTempDirectory("graft_wds_scale").toString
+      val manifest14c = time(s"r14c webdatasetWrite ($nWds docs, 32 shards)") {
+        graft.operators.Export.webdatasetWrite(wdsDocs, "doc_id", "text", 32, wdsRoot)
+      }
+      val back14c = time(s"r14c webdatasetRead (32 tasks)") {
+        graft.operators.Export.webdatasetRead(spark, wdsRoot)
+          .agg(count(lit(1)), sum("doc_id"), sum(length(col("text")))).head()
+      }
+      val expect14c = wdsDocs
+        .agg(count(lit(1)), sum("doc_id"), sum(length(col("text")))).head()
+      println(s"[scale] r14c tar round trip: ${back14c.getLong(0)} docs, " +
+        s"${manifest14c.agg(sum("n_bytes")).head().getLong(0)} bytes")
+      require(back14c == expect14c, "tar round trip must be exact")
+      LakeDataset.deleteRecursively(java.nio.file.Paths.get(wdsRoot))
+    }
+    if (onlyR14c) { spark.stop(); return }
 
     // ---- IVF ANN: probe cost vs corpus growth ------------------------------
     // The scale claim: an IVF probe reads nprobe inverted LISTS, whose size

@@ -126,6 +126,32 @@ class DataQualitySpec extends SparkSpec {
     assert(again === first)
   }
 
+  test("qcutApprox: catalog boundaries bin within the GK rank bound; refuses untracked") {
+    import spark.implicits._
+    val n = 4000
+    val df = (1 to n).map(i => (i.toLong, ((i * 2654435761L) % 100000).toDouble))
+      .toDF("id", "v")
+    val ds = graft.lake.LakeDataset.fromDataFrame(spark, df,
+      quantileCols = Seq("v"))
+    val k = 5
+    val shares = graft.operators.DataQuality.qcutApprox(ds, "v", k)
+      .groupBy("bin").count().orderBy("bin")
+      .as[(Int, Long)].collect()
+    assert(shares.map(_._1) === (1 to k).toArray, "every bin must be populated")
+    val bnd = 2 * (2 * graft.lake.QuantileMap.Eps + 2.0 / n)
+    shares.foreach { case (b, c) =>
+      assert(math.abs(c.toDouble / n - 1.0 / k) <= bnd,
+        s"bin $b share ${c.toDouble / n} off target beyond the rank bound")
+    }
+    // Zero scan jobs for the boundaries themselves: metaApproxQuantile is
+    // catalog state (pinned by QuantileStatsSpec); here pin the refusal.
+    val untracked = graft.lake.LakeDataset.fromDataFrame(spark, df)
+    val e = intercept[IllegalStateException] {
+      graft.operators.DataQuality.qcutApprox(untracked, "v", k)
+    }
+    assert(e.getMessage.contains("ANALYZE"), e.getMessage)
+  }
+
   test("qcut: more bins than rows degrades to one row per bin") {
     import spark.implicits._
     val df = Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "v")

@@ -26,6 +26,35 @@ class IngestStreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 11.0), (2L, 20.0), (3L, 30.0)))
   }
 
+  test("drift gate: bootstrap admits, subsample admits, shifted batch quarantines whole") {
+    import graft.streaming.StreamingIngest
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    val main = LakeDataset.fromDataFrame(spark, empty)
+    val quarantine = LakeDataset.fromDataFrame(spark, empty)
+    val gate = StreamingIngest.driftGatedBatches(main, quarantine, "v",
+      binWidth = 10L, nBins = 8, maxDevPerMille = 300L)
+    // Bootstrap: the empty table has no distribution to drift from.
+    val boot = (1L to 400L).map(i => (i, (i * 7) % 80)).toDF("id", "v")
+    gate(boot, 0L)
+    assert(main.toDF.count() == 400L && quarantine.toDF.count() == 0L)
+    // A distribution-true subsample admits (same residue grid, new ids).
+    val sub = (1L to 400L).filter(_ % 4 == 0).map(i => (i + 1000L, (i * 7) % 80)).toDF("id", "v")
+    gate(sub, 1L)
+    assert(main.toDF.count() == 500L && quarantine.toDF.count() == 0L)
+    // A +60 shift clamps most mass into the top bin: TVD far over 30%.
+    val shifted = (1L to 100L).map(i => (i + 2000L, (i * 7) % 80 + 60L)).toDF("id", "v")
+    gate(shifted, 2L)
+    assert(main.toDF.count() == 500L, "drifted batch must not reach the main table")
+    assert(quarantine.toDF.count() == 100L, "drifted batch must be quarantined whole")
+    // Empty batches are a no-op on both tables.
+    gate(empty.toDF("id", "v"), 3L)
+    assert(main.toDF.count() == 500L && quarantine.toDF.count() == 100L)
+    // Threshold is validated eagerly.
+    intercept[IllegalArgumentException] {
+      StreamingIngest.driftGatedBatches(main, quarantine, "v", 10L, 8, 0L)
+    }
+  }
+
   test("interval join: cross-batch matches emit, out-of-window clicks never match") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00").getTime * 1000L

@@ -105,6 +105,41 @@ class TimeSeriesSpec extends SparkSpec {
       (Some(-30L), Some(-2000L))))  // floor(-300000/150) — exact here
   }
 
+  test("ewmaWindowed: hand-computed integer grid, truncation renormalizes") {
+    // α = 1/2, N = 2: weights are (s−a)^k·s^(N−1−k) = [2, 1].
+    // x = [10, 20, 40]: t0 = 20/2 = 10 (one present term — renormalized,
+    // not biased toward a phantom zero); t1 = (40+10)/3 = 16; t2 = (80+20)/3 = 33.
+    val out = TimeSeries.ewmaWindowed(
+        series((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 40L)),
+        "k", "day", "v", alphaNum = 1, alphaDen = 2, window = 2)
+      .orderBy("day").select($"ewma").as[Long].collect()
+    assert(out === Array(10L, 16L, 33L))
+    // window = 1 degenerates to the identity.
+    val id = TimeSeries.ewmaWindowed(
+        series((1L, 1, 10L), (1L, 2, 20L)),
+        "k", "day", "v", alphaNum = 1, alphaDen = 2, window = 1)
+      .orderBy("day").select($"ewma").as[Long].collect()
+    assert(id === Array(10L, 20L))
+  }
+
+  test("ewmaWindowed: null observations are excluded, not zeroed; overflow guard fires") {
+    val df = Seq(
+      (1L, ts(1), java.lang.Long.valueOf(10L)),
+      (1L, ts(2), null: java.lang.Long),
+      (1L, ts(3), java.lang.Long.valueOf(30L))).toDF("k", "day", "v")
+    val out = TimeSeries.ewmaWindowed(df, "k", "day", "v",
+        alphaNum = 1, alphaDen = 2, window = 2)
+      .orderBy("day").select($"ewma").as[Option[Long]].collect()
+    // t1's window is [null, 10]: only the k=1 term (weight 1) is present →
+    // 10, not 10/3. t2's is [30, null] → 30.
+    assert(out === Array(Some(10L), Some(10L), Some(30L)))
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.ewmaWindowed(df, "k", "day", "v",
+        alphaNum = 1, alphaDen = 10, window = 11)
+    }
+    assert(e.getMessage.contains("overflows"), e.getMessage)
+  }
+
   test("rle collapses runs deterministically under a total order") {
     val df = Seq(
       (1L, 1, "a"), (1L, 2, "a"), (1L, 3, "b"), (1L, 4, "a"), (1L, 5, "a"),
