@@ -2518,6 +2518,17 @@ object SparkEntry {
         .orderBy("user_id", "day")
     }),
 
+    // Batch sessionization — the relational twin of stream_session_window
+    // (same gap semantics, same oracle shape, no state store): 30-minute
+    // gap sessions over each user's event stream.
+    "ts_sessions" -> ((s, dir) => {
+      graft.operators.TimeSeries.sessions(
+          table(s, dir, "events"), "user_id", "ts", gapSeconds = 1800L)
+        .select(col("user_id"), col("session_id"), col("session_start"),
+          col("session_end"), col("n_events"))
+        .orderBy("user_id", "session_id")
+    }),
+
     "ts_rle" -> ((s, dir) => {
       graft.operators.TimeSeries.rle(
           table(s, dir, "events"), "user_id", Seq("ts", "event_id"), "event_type")
@@ -4708,6 +4719,23 @@ object SparkEntry {
          |  END AS ewma
          |FROM e""".stripMargin
     },
+
+    "ts_sessions" ->
+      """WITH flg AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS newses
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |runs AS (
+        |  SELECT user_id, ts,
+        |    SUM(newses) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flg)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM runs GROUP BY user_id, session_id""".stripMargin,
 
     "ts_rle" ->
       """WITH flg AS (

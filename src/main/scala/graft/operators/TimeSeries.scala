@@ -40,23 +40,24 @@ object TimeSeries {
     * [[interpolateLinear]]).
     *
     * The input's `tsCol` must already be aligned to the grid (e.g.
-    * `date_trunc('day', ts)` for a daily grid) — the grid join is an exact
-    * equi-join on (key, ts), and an unaligned observation would silently
-    * never match its tick. Plan shape: one groupBy for per-key bounds, a
-    * narrow `sequence`+`explode` to render ticks, one left join back on
-    * (key, ts). Grid size is Σ per-key spans / step — predicted from the
-    * bounds aggregate and guarded by `maxTicksPerKey` (a 10-year span on a
-    * 1-second grid is a 315M-row key no one meant to ask for).
+    * `date_trunc('day', ts)` for a daily grid) and unique per (key, ts) —
+    * aggregate first. Plan shape: NO grid join. Each observation row
+    * renders its own gap with `lead` + `explode(sequence(ts, next−step))`,
+    * so the only exchange is the window's hashpartitioning(key) — which
+    * every downstream fill/interpolation/EWMA window then REUSES (an
+    * equi-join on (key, ts) would partition by both and force a second
+    * exchange before the first window). Grid size is Σ per-key spans /
+    * step — predicted from one bounds aggregate and guarded by
+    * `maxTicksPerKey` (a 10-year span on a 1-second grid is a 315M-row
+    * key no one meant to ask for; the aggregate names the worst key
+    * instead of discovering it as an executor OOM inside the explode).
     */
   def upsample(
       df: DataFrame, keyCol: String, tsCol: String, stepSeconds: Long,
       maxTicksPerKey: Long = 2000000L): DataFrame = {
     require(stepSeconds > 0, s"stepSeconds must be positive: $stepSeconds")
-    val bounds = df.groupBy(col(keyCol))
+    val worst = df.groupBy(col(keyCol))
       .agg(min(col(tsCol)).as("__lo"), max(col(tsCol)).as("__hi"))
-    // Predict-before-pay: one tiny aggregate names the worst key instead of
-    // discovering it as an executor OOM inside the explode.
-    val worst = bounds
       .select(col(keyCol),
         (((unix_micros(col("__hi")) - unix_micros(col("__lo")))
           / lit(stepSeconds * 1000000L)).cast("long") + 1L).as("__ticks"))
@@ -67,10 +68,19 @@ object TimeSeries {
         s"upsample: key ${r.get(0)} spans $ticks ticks at step ${stepSeconds}s " +
           s"(cap $maxTicksPerKey) — widen the step or raise maxTicksPerKey")
     }
-    val grid = bounds.select(col(keyCol),
-      explode(sequence(col("__lo"), col("__hi"),
-        expr(s"INTERVAL $stepSeconds SECONDS"))).as(tsCol))
-    grid.join(df, Seq(keyCol, tsCol), "left")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val step = expr(s"INTERVAL $stepSeconds SECONDS")
+    val valueCols = df.columns.filter(c => c != keyCol && c != tsCol)
+    df.withColumn("__nxt", lead(col(tsCol), 1).over(w))
+      .withColumn("__tick", explode(
+        // gaps under one step (duplicate or unaligned neighbors) render
+        // only their own tick — sequence() would refuse start > stop
+        when(col("__nxt").isNull || col("__nxt") - step < col(tsCol),
+          array(col(tsCol)))
+          .otherwise(sequence(col(tsCol), col("__nxt") - step, step))))
+      .select((col(keyCol) +: col("__tick").as(tsCol) +:
+        valueCols.toSeq.map(c =>
+          when(col("__tick") === col(tsCol), col(c)).as(c))): _*)
   }
 
   /** Forward fill: each null observation takes the most recent non-null
@@ -143,6 +153,34 @@ object TimeSeries {
         when(col("__prev") > 0L,
           expr("(__num - pmod(__num, __prev)) div __prev")))
       .drop("__prev", "__num")
+  }
+
+  /** Gap-based sessionization in BATCH — the relational twin of the
+    * streaming `session_window` path (`StreamingIngest.sessionWindows`):
+    * a new session starts when the gap from the key's previous event
+    * exceeds `gapSeconds`; output is one row per session with start, end,
+    * and event count. Same plan family as [[rle]] — one lag flag, one
+    * running sum, one groupBy, all on the shared (key, ts) exchange.
+    * Safe under timestamp ties (equal timestamps have gap 0, so the flag
+    * sequence — and therefore the session segmentation — is invariant
+    * under tie permutation; no tie-break column needed, unlike rle).
+    */
+  def sessions(
+      df: DataFrame, keyCol: String, tsCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive: $gapSeconds")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val run = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col(tsCol), 1).over(w)
+    df.withColumn("__new",
+        when(prev.isNull ||
+          unix_micros(col(tsCol)) - unix_micros(prev) > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(run))
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
   }
 
   /** Run-length encoding (polars `rle` / `rle_id`): collapse each key's

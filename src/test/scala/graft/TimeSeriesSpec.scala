@@ -155,6 +155,38 @@ class TimeSeriesSpec extends SparkSpec {
     assert(runs.map(_._4).sum === df.count())
   }
 
+  test("sessions: gap rule, boundary-exact (gap == threshold stays in-session)") {
+    def at(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    val df = Seq(
+      (1L, at(0)), (1L, at(10)), (1L, at(40)),  // 30-min gap == threshold: SAME session
+      (1L, at(71)),                             // 31-min gap: new session
+      (2L, at(5))).toDF("k", "ts")
+    val got = TimeSeries.sessions(df, "k", "ts", gapSeconds = 1800L)
+      .orderBy("k", "session_id")
+      .select($"k", $"session_id", $"n_events").as[(Long, Long, Long)].collect()
+    assert(got === Array((1L, 1L, 3L), (1L, 2L, 1L), (2L, 1L, 1L)))
+    // Timestamp ties are gap-0: one session regardless of tie order.
+    val ties = Seq((1L, at(0)), (1L, at(0)), (1L, at(0))).toDF("k", "ts")
+    assert(TimeSeries.sessions(ties, "k", "ts", 1800L).count() === 1L)
+  }
+
+  test("upsample→interpolate→ewma over a stored series is ONE exchange") {
+    // The design claim of the whole family: no grid join (upsample renders
+    // gaps from each row via lead+explode), so every window reuses the one
+    // hashpartitioning(key) exchange end to end.
+    val tmp = java.nio.file.Files.createTempDirectory("ts_plan").toString
+    series((1L, 1, 10L), (1L, 4, 40L), (2L, 2, 7L))
+      .write.mode("overwrite").parquet(tmp)
+    val stored = spark.read.parquet(tmp)
+    val chain = TimeSeries.ewmaWindowed(
+      TimeSeries.interpolateLinear(
+        TimeSeries.upsample(stored, "k", "day", 86400L), "k", "day", "v"),
+      "k", "day", "v")
+    val plan = chain.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected exactly one exchange, got $exchanges:\n$plan")
+  }
+
   test("results are partitioning-independent") {
     val base = series((1L, 1, 100L), (1L, 4, 400L), (2L, 2, 7L), (2L, 9, 70L))
     def run(df: DataFrame): Seq[(Long, Timestamp, Option[Long])] =
