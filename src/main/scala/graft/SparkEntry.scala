@@ -3317,6 +3317,18 @@ object SparkEntry {
         .select("doc_id", "canon", "split").orderBy("doc_id")
     }),
 
+    // K-fold leak-proof assignment: folds by Lehmer(canonical id) mod 5 —
+    // an entire near-dup cluster shares one fold, loners fold by their own
+    // id, and the integer arithmetic is engine-portable.
+    "sample_folds_leakproof" -> ((s, dir) => {
+      val corpus = Fixtures.nearDupDocuments(s, dir)
+      Sampling.leakproofFolds(corpus,
+          Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+            shingleSize = 3, threshold = 0.5),
+          "doc_id", k = 5)
+        .select("doc_id", "canon", "fold").orderBy("doc_id")
+    }),
+
     // Contrastive negatives: 4 deterministic shard-local pseudo-random
     // negatives per document — no cartesian, one window + one equi-join.
     "sample_negatives" -> ((s, dir) =>
@@ -3640,6 +3652,21 @@ object SparkEntry {
     // the all-pairs oracle doubles as the completeness proof.
     "dedup_setsim_prefix" -> ((s, dir) => {
       Dedup.setSimJoinPrefix(Fixtures.nearDupDocuments(s, dir), "text", "doc_id",
+          shingleSize = 3, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Eval-set decontamination as a CROSS-corpus exact-threshold join:
+    // every (training doc, benchmark doc) pair with Jaccard >= 0.5, no
+    // false negatives by the prefix theorem. The benchmark plants every
+    // 7th doc's derivative; the oracle is the full A x B quadratic ground
+    // truth, so completeness across corpora is gate-checked.
+    "decontaminate_setsim" -> ((s, dir) => {
+      val train = table(s, dir, "documents")
+      val bench = train.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" eval prompt suffix")).as("text"))
+      Dedup.setSimJoinPrefixAB(train, bench, "text", "doc_id",
           shingleSize = 3, threshold = 0.5)
         .orderBy("doc_a", "doc_b")
     }),
@@ -6150,6 +6177,42 @@ object SparkEntry {
         |FROM corpus c LEFT JOIN comps k ON c.doc_id = k.doc_id
         |ORDER BY c.doc_id""".stripMargin,
 
+    // Same recursive-CTE components as sample_split_leakproof; fold =
+    // Lehmer(canon) mod 5 in the identical reduced-mod integer arithmetic.
+    "sample_folds_leakproof" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graft near dup suffix' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |words AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM corpus),
+        |idx AS (SELECT doc_id, ws,
+        |        unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM words),
+        |grams AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM grams x JOIN grams y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(v, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v),
+        |comps AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v)
+        |SELECT c.doc_id, COALESCE(k.component, c.doc_id) AS canon,
+        |  CAST(((COALESCE(k.component, c.doc_id) % 2147483647) * 48271)
+        |       % 2147483647 % 5 AS INTEGER) AS fold
+        |FROM corpus c LEFT JOIN comps k ON c.doc_id = k.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
+
     "sample_negatives" ->
       """WITH base AS (
         |  SELECT doc_id AS anchor,
@@ -6760,6 +6823,32 @@ object SparkEntry {
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
+
+    // The cross-corpus join's oracle is the full A x B quadratic ground
+    // truth over the train corpus and the planted benchmark derivatives.
+    "decontaminate_setsim" ->
+      """WITH bench AS (
+        |  SELECT doc_id + 500000 AS doc_id, text || ' eval prompt suffix' AS text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |wa AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        |wb AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM bench),
+        |ia AS (SELECT doc_id, ws,
+        |       unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM wa),
+        |ib AS (SELECT doc_id, ws,
+        |       unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM wb),
+        |ga AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s FROM ia),
+        |gb AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s FROM ib),
+        |sa AS (SELECT doc_id, COUNT(*) AS sz FROM ga GROUP BY doc_id),
+        |sb AS (SELECT doc_id, COUNT(*) AS sz FROM gb GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM ga x JOIN gb y ON x.s = y.s GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+        |FROM inter
+        |JOIN sa ON sa.doc_id = doc_a
+        |JOIN sb ON sb.doc_id = doc_b
         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
 
     // The prefix-filter join must return EXACTLY the all-pairs result —

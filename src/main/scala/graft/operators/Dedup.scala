@@ -498,6 +498,66 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** CROSS-corpus prefix-filter set-similarity join — [[setSimJoinPrefix]]
+    * generalized from a self-join to A × B, which is the shape eval-set
+    * DECONTAMINATION actually needs: every (training doc, benchmark doc)
+    * pair with shingle Jaccard >= threshold, no false negatives. A missed
+    * pair here is a contaminated benchmark silently inflating eval
+    * numbers, so the complete-by-theorem join is the right tool and the
+    * LSH approximation is not.
+    *
+    * The prefix theorem needs ONE token order consistent across BOTH sets:
+    * document frequencies are computed over the UNION of the two shingle
+    * tables (a per-side order would let a pair's prefixes rank tokens
+    * differently and miss). Everything else is the self-join machinery
+    * with a side tag instead of the `a < b` tiebreak: per-doc rarest-first
+    * prefixes, A-prefix ⋈ B-prefix on the shingle hash, two-way length
+    * pruning, exact verify on the candidate pairs only. Ids may collide
+    * across corpora — the side tag, not the id, separates them.
+    */
+  def setSimJoinPrefixAB(
+      dfA: DataFrame, dfB: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"bad threshold: $threshold")
+    val toks = shingleRows(dfA, textCol, idCol, shingleSize)
+      .select(col("doc"), xxhash64(col("s")).as("s"), lit(0).as("side"))
+      .unionByName(shingleRows(dfB, textCol, idCol, shingleSize)
+        .select(col("doc"), xxhash64(col("s")).as("s"), lit(1).as("side")))
+      .cache()
+    val sizes = toks.groupBy("side", "doc").agg(count(lit(1)).as("sz"))
+    val dfreq = toks.groupBy("s").agg(count(lit(1)).as("dfreq"))
+    val prefix = toks.join(dfreq, "s")
+      .join(sizes, Seq("side", "doc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("side"), col("doc")).orderBy(col("dfreq"), col("s"))))
+      .filter(col("rn") <=
+        col("sz") - ceil(lit(threshold) * col("sz")).cast("long") + 1L)
+      .select(col("side"), col("doc"), col("s"), col("sz"))
+    val cand = prefix.filter(col("side") === 0)
+      .select(col("doc").as("doc_a"), col("s"), col("sz").as("sz_a"))
+      .join(prefix.filter(col("side") === 1)
+        .select(col("doc").as("doc_b"), col("s"), col("sz").as("sz_b")), "s")
+      .filter(col("sz_a") >= ceil(lit(threshold) * col("sz_b")).cast("long") &&
+        col("sz_b") >= ceil(lit(threshold) * col("sz_a")).cast("long"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val inter = cand
+      .join(toks.filter(col("side") === 0)
+        .select(col("doc").as("doc_a"), col("s")), "doc_a")
+      .join(toks.filter(col("side") === 1)
+        .select(col("doc").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.filter(col("side") === 0)
+        .select(col("doc").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.filter(col("side") === 1)
+        .select(col("doc").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Connected components over a near-dup PAIR table: the step that turns
     * pairwise matches into duplicate GROUPS so a pipeline can keep one
     * canonical document per group (pairs alone can't — near-duplication is

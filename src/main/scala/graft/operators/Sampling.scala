@@ -87,6 +87,32 @@ object Sampling {
           .otherwise(lit("train")))
   }
 
+  /** Leak-proof K-FOLD assignment — [[leakproofSplit]] generalized from a
+    * binary holdout to k cross-validation folds: every document's fold is
+    * a Lehmer hash of its near-dup CANONICAL id mod k, so an entire
+    * near-dup cluster shares ONE fold and no rotation of the folds ever
+    * trains on a near-copy of its eval slice. Lehmer (the `negativePairs`
+    * arithmetic, everything reduced mod 2^31−1 before multiplying) rather
+    * than the md5 hex prefix because a mod-k needs integer arithmetic any
+    * ANSI engine reproduces bit-for-bit. Loners fold by their own id, so
+    * a document's fold never changes as the corpus grows. Same narrow
+    * plan as the binary split: the component join is ∝ duplicates, the
+    * fold expression is one codegen'd filterless projection.
+    */
+  def leakproofFolds(
+      corpus: DataFrame, pairs: DataFrame, idCol: String, k: Int,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    require(k >= 2 && k <= 1024, s"fold count out of range: $k")
+    val comp = Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("doc_id").as(idCol), col("component"))
+    corpus.join(comp, Seq(idCol), "left")
+      .withColumn("canon", coalesce(col("component"), col(idCol).cast("long")))
+      .drop("component")
+      .withColumn("fold",
+        pmod(pmod(pmod(col("canon"), lit(2147483647L)) * lit(48271L),
+          lit(2147483647L)), lit(k.toLong)).cast("int"))
+  }
+
   /** Deterministic negative sampling for contrastive training: k
     * pseudo-random negatives per anchor, never the anchor itself, no
     * cartesian product anywhere. Rows are sharded by a Lehmer hash of the

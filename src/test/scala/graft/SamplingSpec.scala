@@ -190,6 +190,35 @@ class SamplingSpec extends SparkSpec {
     assert(again == byId)
   }
 
+  test("leakproofFolds: clusters share a fold, loners match the Lehmer model, all folds populated") {
+    val corpus = Fixtures.nearDupDocuments(spark, sf())
+    val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+      shingleSize = 3, threshold = 0.5)
+    val k = 5
+    val folds = Sampling.leakproofFolds(corpus, pairs, "doc_id", k)
+    val byId = folds.select("doc_id", "fold").as[(Long, Int)].collect().toMap
+    val ps = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(ps.nonEmpty)
+    ps.foreach { case (a, b) =>
+      assert(byId(a) == byId(b), s"pair ($a,$b) straddles folds")
+    }
+    // Loners fold by the documented Lehmer arithmetic of their own id.
+    val paired = ps.flatMap(p => Seq(p._1, p._2)).toSet
+    byId.keySet.filterNot(paired).foreach { id =>
+      val expect = ((id % 2147483647L) * 48271L % 2147483647L % k).toInt
+      assert(byId(id) == expect, s"loner $id fold drifted")
+    }
+    assert(byId.values.toSet == (0 until k).toSet, "every fold populated")
+    assert(byId.values.forall(f => f >= 0 && f < k))
+    // Determinism under repartitioning.
+    val again = Sampling.leakproofFolds(corpus.repartition(7), pairs, "doc_id", k)
+      .select("doc_id", "fold").as[(Long, Int)].collect().toMap
+    assert(again == byId)
+    intercept[IllegalArgumentException] {
+      Sampling.leakproofFolds(corpus, pairs, "doc_id", 1)
+    }
+  }
+
   test("negativePairs: k per anchor, never self, negatives are real ids, rerun-stable") {
     val k = 3
     val got = Sampling.negativePairs(docs, "doc_id", k, shards = 4)

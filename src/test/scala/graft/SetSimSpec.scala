@@ -62,6 +62,53 @@ class SetSimSpec extends SparkSpec {
     assert(prefixPairs(corpus, 1.0) === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("cross-corpus AB join: planted matches found, within-side pairs excluded, colliding ids kept apart") {
+    val train = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot"),
+      (2L, "alpha bravo charlie delta echo foxtrot"),   // within-side dup of 1 — must NOT emit
+      (3L, "golf hotel india juliet kilo lima")).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "golf hotel india juliet kilo lima mike"),   // id collides with train 1; matches train 3
+      (9L, "entirely unrelated words here now")).toDF("doc_id", "text")
+    val got = Dedup.setSimJoinPrefixAB(train, bench, "text", "doc_id",
+        shingleSize = 3, threshold = 0.5)
+      .select($"doc_a".cast("long"), $"doc_b".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((3L, 1L)))
+  }
+
+  test("AB join equals the quadratic cross ground truth on randomized corpora") {
+    val rnd = new Random(7)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet")
+    val train = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val bench = train.collect { case (i, t) if i % 3 == 0 =>
+      (i + 500L, t + " " + vocab(rnd.nextInt(vocab.size)))
+    } ++ Seq((900L, "zulu yankee xray whiskey victor uniform"))
+    val (ta, tb) = (train.toDF("doc_id", "text"), bench.toDF("doc_id", "text"))
+    for (t <- Seq(0.4, 0.6)) {
+      // ground truth: quadratic join of the two shingle tables
+      val ga = Dedup.shingleRows(ta, "text", "doc_id", 3)
+        .select($"doc".as("doc_a"), $"s")
+      val gb = Dedup.shingleRows(tb, "text", "doc_id", 3)
+        .select($"doc".as("doc_b"), $"s")
+      val szA = ga.groupBy("doc_a").count().withColumnRenamed("count", "sza")
+      val szB = gb.groupBy("doc_b").count().withColumnRenamed("count", "szb")
+      val truth = ga.join(gb, "s").groupBy("doc_a", "doc_b").count()
+        .join(szA, "doc_a").join(szB, "doc_b")
+        .filter($"count".cast("double") / ($"sza" + $"szb" - $"count") >= t)
+        .select($"doc_a".cast("long"), $"doc_b".cast("long"))
+        .as[(Long, Long)].collect().toSet
+      val got = Dedup.setSimJoinPrefixAB(ta, tb, "text", "doc_id", 3, t)
+        .select($"doc_a".cast("long"), $"doc_b".cast("long"))
+        .as[(Long, Long)].collect().toSet
+      assert(got === truth, s"threshold $t")
+      assert(truth.nonEmpty, s"threshold $t must match something")
+    }
+  }
+
   test("single-shingle (short) documents are joinable, not dropped") {
     val corpus = Seq(
       (1L, "tiny doc"),   // < 3 words: whole text is the one shingle
