@@ -85,6 +85,20 @@ object TimeSeriesProperties extends Properties("TimeSeries") {
         rebuilt == states
     }
 
+  property("sessions equals the gap-count model; sessions partition the events") =
+    Prop.forAll(seriesGen, Gen.oneOf(86400L, 2L * 86400L, 3L * 86400L)) {
+      (series, gapSec) =>
+        val df = series.map { case (d, _) => (1L, ts(d)) }.toDF("k", "day")
+        val got = TimeSeries.sessions(df, "k", "day", gapSec)
+          .select($"session_id", $"n_events").as[(Long, Long)].collect()
+        val days = series.map(_._1).sorted
+        val expectedSessions = 1 + days.sliding(2).count {
+          case Seq(a, b) => (b - a).toLong * 86400L > gapSec
+          case _ => false
+        }
+        got.length == expectedSessions && got.map(_._2).sum == days.length
+    }
+
   property("fillForward is idempotent and nulls survive only as a per-key prefix") =
     Prop.forAll(seriesGen) { series =>
       val df = series.map { case (d, v) => (1L, ts(d), v) }.toDF("k", "day", "v")

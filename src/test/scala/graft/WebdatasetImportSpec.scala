@@ -40,6 +40,22 @@ class WebdatasetImportSpec extends SparkSpec {
     }
   }
 
+  test("multi-byte UTF-8, empty, and newline-rich payloads round-trip byte-exactly") {
+    val root = Files.createTempDirectory("wds_utf8").toString
+    val df = Seq(
+      (1L, "naïve café — übergroße 模型 🚀"),
+      (2L, ""),
+      (3L, "line one\nline two\r\nline three\ttabbed"),
+      (4L, "x" * 511),   // payload one byte under the block boundary
+      (5L, "y" * 512))   // payload exactly one block
+      .toDF("doc_id", "text")
+    Export.webdatasetWrite(df, "doc_id", "text", 2, root)
+    val back = Export.webdatasetRead(spark, root)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val src = df.as[(Long, String)].collect().toMap
+    assert(back === src)
+  }
+
   test("null text exports as an empty member and reads back as the empty string") {
     val root = Files.createTempDirectory("wds_null").toString
     val df = Seq((1L, "alpha"), (2L, null: String), (3L, "gamma"))
