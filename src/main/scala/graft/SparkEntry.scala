@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Bucketing
 import graft.lake.{Database, LakeDataset}
-import graft.operators.{Bpe, Clustering, DataQuality, Dedup, ExactDedupIndex, Fusion, Graphs, HeavyHitters, Joins, MaterializedAgg, MinhashIndex, Multimodal, Pq, Sampling, Similarity, Sq, StringCache, TextAnalysis, TextSearch, Urls}
+import graft.operators.{Bpe, Clustering, DataQuality, Dedup, ExactDedupIndex, Fusion, Graphs, HeavyHitters, Joins, MaterializedAgg, MinhashIndex, Multimodal, Pq, Recall, Sampling, Similarity, Sq, StringCache, TextAnalysis, TextSearch, Urls}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), with a DuckDB-equivalent oracle where SQL-expressible.
@@ -719,6 +719,34 @@ object SparkEntry {
           |       COUNT(*) AS n,
           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
           |FROM graft_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // Curation verbs on the catalog: exact quantile binning as
+    // `QCUT t.col INTO k TIE BY id` — same engine path as text_qcut (the
+    // range-partitioned distributed rank), surfaced through Database so
+    // the stratify step needs no Scala.
+    "lake_sql_qcut" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("graft_docs",
+        LakeDataset.fromDataFrame(s, table(s, dir, "documents")))
+      db.executeSql("QCUT graft_docs.n_chars INTO 10 TIE BY doc_id")
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("lo_chars"),
+          max(col("n_chars")).as("hi_chars"))
+        .orderBy("bin")
+    }),
+
+    // `TOPK k PER t.group ORDER BY col DESC TIE BY id` — the per-group
+    // curation cap as a verb (WindowGroupLimit-shaped underneath).
+    "lake_sql_topk" -> ((s, dir) => {
+      val db = new Database(s)
+      db.register("graft_orders",
+        LakeDataset.fromDataFrame(s, table(s, dir, "orders")))
+      db.executeSql(
+          "TOPK 3 PER graft_orders.o_orderstatus ORDER BY o_totalprice DESC TIE BY o_orderkey")
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderstatus", "o_orderkey")
     }),
 
     // Categorical dtype / global string cache (reference enable_string_cache,
@@ -2993,6 +3021,70 @@ object SparkEntry {
         .orderBy("surface")
     }),
 
+    // STREAMING right-to-be-forgotten: the same seven-surface erasure
+    // composition, but the erase requests arrive as a STREAM (two
+    // micro-batches through a foreachBatch sink) — deletion requests
+    // trickle in continuously in a real GDPR pipeline. The final state
+    // must hash-match pipeline_erasure_full's batch oracle exactly: the
+    // sink's incremental, touched-cell-bounded removes converge to the
+    // same state as one batch erase.
+    "stream_erasure" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val d = table(s, dir, "documents")
+        .filter(col("doc_id") < 1000).select("doc_id", "text")
+      val emb = table(s, dir, "embeddings")
+        .filter(col("vec_id") < 1000).select("vec_id", "embedding")
+
+      val corpus = LakeDataset.fromDataFrame(s,
+        d.withColumn("b", (col("doc_id") % 4).cast("int")),
+        partitionCols = Seq("b"))
+      val exIdx = ExactDedupIndex.open(s,
+        Files.createTempDirectory("graft_se_ex").toString, nBuckets = 8)
+      exIdx.addBatch(d, "text", "doc_id")
+      val bm = TextSearch.buildIndex(s, d, "text", "doc_id", nBuckets = 8,
+        storage = Some(graft.model.StorageSpec(
+          Files.createTempDirectory("graft_se_bm").toString)))
+      val pos = TextSearch.buildPositional(s, d, "text", "doc_id", nBuckets = 8,
+        storage = Some(graft.model.StorageSpec(
+          Files.createTempDirectory("graft_se_pos").toString)))
+      val mh = MinhashIndex.open(s,
+        Files.createTempDirectory("graft_se_mh").toString, nBuckets = 8)
+      mh.addBatch(d, "text", "doc_id")
+      val ivfRoot = Files.createTempDirectory("graft_se_ivf").toString
+      val (cen, asg) = Similarity.buildIvf(emb, "embedding", "vec_id", 16, 64)
+      Similarity.saveIvf(s, ivfRoot, cen, asg)
+
+      val (sink, current) = graft.streaming.StreamingIngest.erasureBatches(
+        corpus, "doc_id", exIdx, mh, bm, pos, ivfRoot)
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val q = mem.toDF().toDF("doc_id").writeStream
+        .foreachBatch(sink).start()
+      val erased = d.filter(col("doc_id") % 170 === 0)
+        .select("doc_id").as[Long].collect().sorted
+      try {
+        mem.addData(erased.filter(_ < 500).toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(erased.filter(_ >= 500).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val bmFinal = current()
+      val ivf2 = Similarity.loadIvf(s, ivfRoot)
+      def surface(name: String, df: DataFrame, idc: String): DataFrame =
+        df.agg(count(lit(1)).as("rows"),
+            count(when(col(idc) % 170 === 0, 1)).as("erased_refs"))
+          .select(lit(name).as("surface"), col("rows"), col("erased_refs"))
+      surface("1_corpus", corpus.toDF, "doc_id")
+        .unionByName(surface("2_exact_index", exIdx.docRows.get, "doc"))
+        .unionByName(surface("3_bm25_postings", bmFinal.postings.toDF, "doc"))
+        .unionByName(surface("4_positional", pos.postings.toDF, "doc"))
+        .unionByName(surface("5_minhash_bands", mh.bandRows.get, "doc"))
+        .unionByName(surface("6_minhash_shingles", mh.shingleRows.get, "doc"))
+        .unionByName(surface("7_ivf_assigned", ivf2.assigned.toDF, "vec_id"))
+        .orderBy("surface")
+    }),
+
     // Local clustering coefficients on the strong co-purchase backbone —
     // the "abnormally cliquish neighborhood" spam/farm signal. Exact
     // integers + one IEEE division -> fully oracle-checkable.
@@ -3558,6 +3650,20 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // RECALL GATE for MinHash LSH banding: pair recall of the 32-hash /
+    // 8-band pipeline against the exact all-pairs Jaccard truth at t=0.5
+    // (measured 1.0 at sf0.01; floor 0.95 — LSH contracts 1-2% misses, a
+    // banding/signature regression drops far below that). The truth count
+    // is the dedup_ngram_jaccard oracle's own cardinality.
+    "dedup_recall_minhash" -> ((s, dir) => {
+      val docs = Fixtures.nearDupDocuments(s, dir)
+      val approx = Dedup.minhashDedup(docs, "text", "doc_id", threshold = 0.5)
+      val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleSize = 3, threshold = 0.5)
+      Recall.gate(approx, exact, Seq("doc_a", "doc_b"),
+        minPermille = 950, minTruth = 40)
+    }),
+
     // Incremental MinHash through the PERSISTED index: the corpus index is
     // bootstrapped once (Fixtures); the measured query reopens a copy and
     // adds ONE small batch (the near-dup copies) — signing only the batch
@@ -3922,6 +4028,39 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // RECALL GATE for the approximate IVF path: measured recall@5 of the
+    // nprobe=5 batch probe against the exact twin, judged against a 0.60
+    // floor (measured 0.71 at sf0.01) — a quantizer/probe regression flips
+    // the status row and hash-mismatches; the oracle derives the truth
+    // count from the exact twin's own SQL. Plumbing twins can't see a
+    // QUALITY drop; this gate exists exactly for that.
+    "ann_recall_ivf" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") % 25 === 0)
+      val (centroids, assigned) = Fixtures.ivfIndex(s, dir)
+      val approx = Similarity.ivfBatchTopK(queries, assigned, centroids,
+        "embedding", "vec_id", k = 5, nprobe = 5)
+      val exact = Similarity.exactBatchTopKQuantized(queries, e,
+        "embedding", "vec_id", k = 5)
+      Recall.gate(approx, exact, Seq("query_id", "vec_id"),
+        minPermille = 600, minTruth = 50)
+    }),
+
+    // RECALL GATE for the PQ ADC scan: recall@10 of the 16x256 ADC ranking
+    // against the exact top-10 (measured 0.8 at sf0.01; floor 0.60). The
+    // rerank path recovers exactness (ann_pq_rerank); this pins the raw
+    // code-space scan's quality.
+    "ann_recall_pq" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .head().getSeq[Float](1).toSeq
+      val model = Fixtures.pqModel(s, dir)
+      val approx = Pq.adcTopK(Fixtures.pqEncoded(s, dir), "vec_id", model, q, 10)
+      val exact = Similarity.exactTopKQuantized(e, "embedding", "vec_id", q, 10)
+      Recall.gate(approx, exact, Seq("vec_id"),
+        minPermille = 600, minTruth = 10)
+    }),
+
     // Integer byte-slot features through the typed mapPartitions decode seam
     // — exactly reproducible in SQL (the float feature path stays spec-only:
     // float accumulation order isn't portable, and an array column can't
@@ -3963,6 +4102,47 @@ object SparkEntry {
         .orderBy("media_id", "frame_nr")
     })
   )
+
+  /** Seven-surface right-to-be-forgotten oracle, shared by the batch
+    * composition (`pipeline_erasure_full`) and its streaming twin
+    * (`stream_erasure`) — the streaming sink's incremental removes must
+    * converge to the exact state one batch erase produces.
+    */
+  private val erasureFullOracle: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+      |k AS (SELECT * FROM d WHERE doc_id % 170 <> 0),
+      |norm AS (
+      |  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |              ' +', ' ', 'g')) AS t, MIN(doc_id) AS m
+      |  FROM d GROUP BY t),
+      |bmw AS (SELECT DISTINCT doc_id, w FROM
+      |        (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM k)),
+      |ws AS (SELECT doc_id,
+      |         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+      |       FROM k),
+      |tri AS (SELECT doc_id, COUNT(DISTINCT s) AS n FROM (
+      |          SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |          FROM ws, LATERAL (SELECT unnest(generate_series(1,
+      |                 greatest(len(ws) - 2, 0))) AS i) g) GROUP BY doc_id),
+      |sh AS (SELECT CAST(SUM(COALESCE(tri.n, 1)) AS BIGINT) AS n
+      |       FROM ws LEFT JOIN tri USING (doc_id))
+      |SELECT '1_corpus' AS surface,
+      |       CAST((SELECT COUNT(*) FROM k) AS BIGINT) AS rows,
+      |       CAST(0 AS BIGINT) AS erased_refs
+      |UNION ALL SELECT '2_exact_index',
+      |       CAST((SELECT COUNT(*) FROM norm WHERE m % 170 <> 0) AS BIGINT), 0
+      |UNION ALL SELECT '3_bm25_postings',
+      |       CAST((SELECT COUNT(*) FROM bmw) AS BIGINT), 0
+      |UNION ALL SELECT '4_positional',
+      |       CAST((SELECT COALESCE(SUM(len(string_split(trim(text), ' '))), 0)
+      |             FROM k) AS BIGINT), 0
+      |UNION ALL SELECT '5_minhash_bands',
+      |       CAST(8 * (SELECT COUNT(*) FROM k) AS BIGINT), 0
+      |UNION ALL SELECT '6_minhash_shingles', (SELECT n FROM sh), 0
+      |UNION ALL SELECT '7_ivf_assigned',
+      |       CAST((SELECT COUNT(*) FROM embeddings
+      |             WHERE vec_id < 1000 AND vec_id % 170 <> 0) AS BIGINT), 0
+      |ORDER BY surface""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4785,6 +4965,22 @@ object SparkEntry {
         |SELECT bin, COUNT(*) AS n_docs,
         |  MIN(n_chars) AS lo_chars, MAX(n_chars) AS hi_chars
         |FROM b GROUP BY bin""".stripMargin,
+
+    // The QCUT verb routes through the same exact ntile assignment.
+    "lake_sql_qcut" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+        |  NTILE(10) OVER (ORDER BY n_chars, doc_id) AS bin FROM documents)
+        |SELECT bin, COUNT(*) AS n_docs,
+        |  MIN(n_chars) AS lo_chars, MAX(n_chars) AS hi_chars
+        |FROM b GROUP BY bin""".stripMargin,
+
+    "lake_sql_topk" ->
+      """WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |SELECT o_orderstatus, o_orderkey, o_totalprice FROM r WHERE rk <= 3
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
 
     // The ts_interpolate CTE chain feeding the ts_ewma polynomial — one
     // chained oracle for the composed upsample→interpolate→ewm_mean gate.
@@ -6277,41 +6473,11 @@ object SparkEntry {
 
     // Every surface's surviving rows, derived relationally; erased_refs
     // is identically zero (a nonzero Spark-side count would row-mismatch).
-    "pipeline_erasure_full" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
-        |k AS (SELECT * FROM d WHERE doc_id % 170 <> 0),
-        |norm AS (
-        |  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-        |              ' +', ' ', 'g')) AS t, MIN(doc_id) AS m
-        |  FROM d GROUP BY t),
-        |bmw AS (SELECT DISTINCT doc_id, w FROM
-        |        (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM k)),
-        |ws AS (SELECT doc_id,
-        |         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
-        |       FROM k),
-        |tri AS (SELECT doc_id, COUNT(DISTINCT s) AS n FROM (
-        |          SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-        |          FROM ws, LATERAL (SELECT unnest(generate_series(1,
-        |                 greatest(len(ws) - 2, 0))) AS i) g) GROUP BY doc_id),
-        |sh AS (SELECT CAST(SUM(COALESCE(tri.n, 1)) AS BIGINT) AS n
-        |       FROM ws LEFT JOIN tri USING (doc_id))
-        |SELECT '1_corpus' AS surface,
-        |       CAST((SELECT COUNT(*) FROM k) AS BIGINT) AS rows,
-        |       CAST(0 AS BIGINT) AS erased_refs
-        |UNION ALL SELECT '2_exact_index',
-        |       CAST((SELECT COUNT(*) FROM norm WHERE m % 170 <> 0) AS BIGINT), 0
-        |UNION ALL SELECT '3_bm25_postings',
-        |       CAST((SELECT COUNT(*) FROM bmw) AS BIGINT), 0
-        |UNION ALL SELECT '4_positional',
-        |       CAST((SELECT COALESCE(SUM(len(string_split(trim(text), ' '))), 0)
-        |             FROM k) AS BIGINT), 0
-        |UNION ALL SELECT '5_minhash_bands',
-        |       CAST(8 * (SELECT COUNT(*) FROM k) AS BIGINT), 0
-        |UNION ALL SELECT '6_minhash_shingles', (SELECT n FROM sh), 0
-        |UNION ALL SELECT '7_ivf_assigned',
-        |       CAST((SELECT COUNT(*) FROM embeddings
-        |             WHERE vec_id < 1000 AND vec_id % 170 <> 0) AS BIGINT), 0
-        |ORDER BY surface""".stripMargin,
+    "pipeline_erasure_full" -> erasureFullOracle,
+
+    // Streaming erasure converges to the batch erasure's exact state: the
+    // two gates share one oracle by construction.
+    "stream_erasure" -> erasureFullOracle,
 
     // Erase-then-replay contract: batch 1 returns EXACTLY the canonicals
     // the erase forgot (id % 7 == 0) — a suppressed replay (ghost) or a
@@ -6675,6 +6841,60 @@ object SparkEntry {
         |       AS BIGINT) AS cos_q
         |FROM embeddings, q
         |ORDER BY cos_q DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Recall gates: the healthy state is the literal 'ok' status plus the
+    // exact twin's own cardinality — a recall regression in the
+    // approximate path flips the status and hash-mismatches; a fixture
+    // break flips it to truth_too_small or moves the count.
+    "ann_recall_ivf" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+        |         * 1000000) AS BIGINT) AS cos_q
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |         ORDER BY cos_q DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT 'ok' AS status,
+        |  CAST((SELECT COUNT(*) FROM ranked WHERE rk <= 5) AS BIGINT) AS truth""".stripMargin,
+
+    "ann_recall_pq" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |topk AS (
+        |  SELECT vec_id FROM embeddings, q
+        |  ORDER BY CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe)
+        |       * 1000000) AS BIGINT) DESC, vec_id LIMIT 10)
+        |SELECT 'ok' AS status,
+        |  CAST((SELECT COUNT(*) FROM topk) AS BIGINT) AS truth""".stripMargin,
+
+    "dedup_recall_minhash" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graft near dup suffix' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |words AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM corpus),
+        |idx AS (SELECT doc_id, ws,
+        |        unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM words),
+        |grams AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM grams x JOIN grams y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)
+        |SELECT 'ok' AS status,
+        |  CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS truth""".stripMargin,
 
     "ann_batch_exact" ->
       """WITH q AS (

@@ -100,6 +100,10 @@ final class Database(val spark: SparkSession) {
     """(?is)^\s*SHOW\s+NETNEW\s+([A-Za-z_][\w]*)\s*\.\s*([A-Za-z_][\w]*)\s+BY\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val ShowDriftRe =
     """(?is)^\s*SHOW\s+DRIFT\s+([A-Za-z_][\w]*)\s+VS\s+([A-Za-z_][\w]*)\s*\(\s*([A-Za-z_][\w]*(?:\s*,\s*[A-Za-z_][\w]*)*)\s*\)\s*;?\s*$""".r
+  private val QcutRe =
+    """(?is)^\s*QCUT\s+([A-Za-z_][\w]*)\s*\.\s*([A-Za-z_][\w]*)\s+INTO\s+(\d+)\s+TIE\s+BY\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val TopkRe =
+    """(?is)^\s*TOPK\s+(\d+)\s+PER\s+([A-Za-z_][\w]*)\s*\.\s*([A-Za-z_][\w]*)\s+ORDER\s+BY\s+([A-Za-z_][\w]*)\s*(DESC)?\s*(?:TIE\s+BY\s+([A-Za-z_][\w]*))?\s*;?\s*$""".r
 
   /** Catalog listing: every registered table, its layout axes and cell
     * count — all driver-side metadata, zero jobs.
@@ -324,6 +328,20 @@ final class Database(val spark: SparkSession) {
     case ShowDriftRe(a, b, cs) if tables.contains(a) && tables.contains(b) =>
       graft.operators.Stats.driftStats(spark, tables(a), tables(b),
         cs.split(",").map(_.trim).toSeq)
+    // `QCUT t.col INTO k TIE BY id` — exact equal-count quantile binning
+    // (the curation stratifier) as a catalog verb: the table's rows plus a
+    // `bin` column 1..k, computed by the range-partitioned distributed
+    // rank (never a single-partition ntile sort).
+    case QcutRe(t, c, k, tie) if tables.contains(t) =>
+      graft.operators.DataQuality.qcut(tables(t).toDF, c, k.toInt, Seq(tie))
+    // `TOPK k PER t.group ORDER BY col [DESC] [TIE BY id]` — the per-group
+    // curation cap as a verb; WindowGroupLimit pushes the k-bound into the
+    // shuffle, so map tasks ship k rows per group, never the group.
+    case TopkRe(k, t, g, o, desc, tie) if tables.contains(t) =>
+      import org.apache.spark.sql.functions.col
+      val ord0 = if (desc == null) col(o) else col(o).desc
+      val ord = if (tie == null) Seq(ord0) else Seq(ord0, col(tie))
+      graft.operators.Sampling.topKPerGroup(tables(t).toDF, Seq(g), ord, k.toInt)
     case _ => spark.sql(if (feeds.isEmpty) sql else rewriteVersionAsOf(sql))
   }
 

@@ -1012,12 +1012,16 @@ final class LakeDataset private (
     if (!conflicted && !(mergeCommits && onDisk >= 0L)) {
       val next = math.max(0L, math.max(onDisk, expected)) + 1L
       val m = build(next)
-      Manifest.write(m, spec.root)
-      committedVersion.set(next)
-      val fp = LakeDataset.statFingerprints(m)
-      commitBaseMem = fp
-      commitBaseDisk = fp
-      commitBaseChecks = m.checks
+      // Conditional on the version we based `next` on: a writer landing
+      // between the read above and here flips this to the merge path
+      // instead of being clobbered.
+      if (Manifest.writeIfVersion(m, spec.root, onDisk)) {
+        committedVersion.set(next)
+        val fp = LakeDataset.statFingerprints(m)
+        commitBaseMem = fp
+        commitBaseDisk = fp
+        commitBaseChecks = m.checks
+      } else rebaseCommit(spec, build)
     } else rebaseCommit(spec, build)
   }
 
@@ -1026,61 +1030,85 @@ final class LakeDataset private (
     * touch a common cell, when the table layout/schema diverged, or when
     * both sides changed the CHECK-constraint set differently — everything
     * else re-commits without rerunning any work.
+    *
+    * BOUNDED RETRY: under 3+-writer contention a merge can lose the write
+    * race itself (another writer commits between this handle's manifest
+    * read and its conditional write). Losing the race invalidates nothing
+    * about OUR changes — `mine` and its fingerprints are computed once —
+    * so the loop re-reads the fresh manifest, re-validates disjointness
+    * against it, re-merges, and retries the conditional write, up to
+    * `spark.graft.commit.maxRetries` (default 5) attempts. Every retry is
+    * driver-side manifest arithmetic; no Spark job reruns. Genuine
+    * conflicts (overlapping cells, diverged layout/schema/checks) still
+    * abort on whichever attempt observes them — retrying cannot fix a
+    * lost-update hazard, only a lost race.
     */
   private def rebaseCommit(spec: StorageSpec, build: Long => Manifest): Unit = {
-    val disk = Manifest.read(spec.root)
     val mine = build(0L)
+    val fpMine = LakeDataset.statFingerprints(mine)
     def layoutOf(m: Manifest) = (m.partitions, m.buckets, m.nBuckets,
       m.bloomCols, m.sketchCols, m.quantileCols, m.freqCols, m.storage.format)
-    if (layoutOf(disk) != layoutOf(mine))
-      throw new java.util.ConcurrentModificationException(
-        s"concurrent commit on ${spec.root}: table layout diverged " +
-          s"(${layoutOf(disk)} vs ${layoutOf(mine)}) — reload and retry")
-    if (disk.schemaDdl != mine.schemaDdl &&
-        disk.schemaDdl.nonEmpty && mine.schemaDdl.nonEmpty)
-      throw new java.util.ConcurrentModificationException(
-        s"concurrent commit on ${spec.root}: schema diverged — reload and retry")
-    val fpMine = LakeDataset.statFingerprints(mine)
-    val fpDisk = LakeDataset.statFingerprints(disk)
-    val myTouched = (commitBaseMem.keySet ++ fpMine.keySet)
-      .filter(p => fpMine.get(p) != commitBaseMem.get(p))
-    val theirChanged = (commitBaseDisk.keySet ++ fpDisk.keySet)
-      .filter(p => fpDisk.get(p) != commitBaseDisk.get(p))
-    val overlap = myTouched & theirChanged
-    if (overlap.nonEmpty)
-      throw new java.util.ConcurrentModificationException(
-        s"concurrent commit on ${spec.root}: both writers touched " +
-          s"${overlap.take(5).mkString(", ")}${if (overlap.size > 5) ", …" else ""}" +
-          s" — reload and retry")
-    // CHECK constraints merge three-way: an unchanged side adopts the
-    // changed side's set (and this handle starts ENFORCING a concurrently
-    // added constraint immediately); both-changed-differently aborts.
-    val mergedChecks =
-      if (mine.checks == commitBaseChecks) disk.checks
-      else if (disk.checks == commitBaseChecks || disk.checks == mine.checks) mine.checks
-      else throw new java.util.ConcurrentModificationException(
-        s"concurrent commit on ${spec.root}: CHECK constraints diverged — reload and retry")
-    def merge[V](diskM: Map[String, V], mineM: Map[String, V]): Map[String, V] =
-      (diskM -- myTouched) ++ mineM.view.filterKeys(myTouched).toMap
-    val next = math.max(disk.version, committedVersion.get) + 1L
-    val merged = mine.copy(
-      schemaDdl = mine.schemaDdl.orElse(disk.schemaDdl),
-      partStats = merge(disk.partStats, mine.partStats),
-      partBlooms = merge(disk.partBlooms, mine.partBlooms),
-      partRows = merge(disk.partRows, mine.partRows),
-      partSums = merge(disk.partSums, mine.partSums),
-      partSketches = merge(disk.partSketches, mine.partSketches),
-      partQuants = merge(disk.partQuants, mine.partQuants),
-      partFreqs = merge(disk.partFreqs, mine.partFreqs),
-      checks = mergedChecks,
-      version = next)
-    Manifest.write(merged, spec.root)
-    committedVersion.set(next)
-    mergeCommits = true
-    commitBaseMem = fpMine
-    commitBaseDisk = LakeDataset.statFingerprints(merged)
-    commitBaseChecks = mergedChecks
-    checksMap = mergedChecks
+    val maxRetries = spark.conf.getOption("spark.graft.commit.maxRetries")
+      .map(_.toInt).getOrElse(5)
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      val disk = Manifest.read(spec.root)
+      if (layoutOf(disk) != layoutOf(mine))
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit on ${spec.root}: table layout diverged " +
+            s"(${layoutOf(disk)} vs ${layoutOf(mine)}) — reload and retry")
+      if (disk.schemaDdl != mine.schemaDdl &&
+          disk.schemaDdl.nonEmpty && mine.schemaDdl.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit on ${spec.root}: schema diverged — reload and retry")
+      val fpDisk = LakeDataset.statFingerprints(disk)
+      val myTouched = (commitBaseMem.keySet ++ fpMine.keySet)
+        .filter(p => fpMine.get(p) != commitBaseMem.get(p))
+      val theirChanged = (commitBaseDisk.keySet ++ fpDisk.keySet)
+        .filter(p => fpDisk.get(p) != commitBaseDisk.get(p))
+      val overlap = myTouched & theirChanged
+      if (overlap.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit on ${spec.root}: both writers touched " +
+            s"${overlap.take(5).mkString(", ")}${if (overlap.size > 5) ", …" else ""}" +
+            s" — reload and retry")
+      // CHECK constraints merge three-way: an unchanged side adopts the
+      // changed side's set (and this handle starts ENFORCING a concurrently
+      // added constraint immediately); both-changed-differently aborts.
+      val mergedChecks =
+        if (mine.checks == commitBaseChecks) disk.checks
+        else if (disk.checks == commitBaseChecks || disk.checks == mine.checks) mine.checks
+        else throw new java.util.ConcurrentModificationException(
+          s"concurrent commit on ${spec.root}: CHECK constraints diverged — reload and retry")
+      def merge[V](diskM: Map[String, V], mineM: Map[String, V]): Map[String, V] =
+        (diskM -- myTouched) ++ mineM.view.filterKeys(myTouched).toMap
+      val next = math.max(disk.version, committedVersion.get) + 1L
+      val merged = mine.copy(
+        schemaDdl = mine.schemaDdl.orElse(disk.schemaDdl),
+        partStats = merge(disk.partStats, mine.partStats),
+        partBlooms = merge(disk.partBlooms, mine.partBlooms),
+        partRows = merge(disk.partRows, mine.partRows),
+        partSums = merge(disk.partSums, mine.partSums),
+        partSketches = merge(disk.partSketches, mine.partSketches),
+        partQuants = merge(disk.partQuants, mine.partQuants),
+        partFreqs = merge(disk.partFreqs, mine.partFreqs),
+        checks = mergedChecks,
+        version = next)
+      committed = Manifest.writeIfVersion(merged, spec.root, disk.version)
+      if (committed) {
+        committedVersion.set(next)
+        mergeCommits = true
+        commitBaseMem = fpMine
+        commitBaseDisk = LakeDataset.statFingerprints(merged)
+        commitBaseChecks = mergedChecks
+        checksMap = mergedChecks
+      } else if (attempt >= maxRetries)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit on ${spec.root}: lost the commit race " +
+            s"$maxRetries times — reload and retry")
+    }
   }
 
   // ------------------------------------------------------------------

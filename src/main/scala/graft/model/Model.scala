@@ -165,6 +165,29 @@ object Manifest {
 
   private val om = new ObjectMapper()
 
+  // Per-root commit serialization for same-process writers. On an object
+  // store the conditional write below is a conditional put (ETag/if-match,
+  // generation preconditions); on a local filesystem that primitive does
+  // not exist, so same-JVM writers serialize on this lock and the check
+  // stays best-effort TOCTOU across PROCESSES — the same boundary the
+  // optimistic-concurrency doc in LakeDataset states.
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Conditional manifest write: commit `m` only if the root's current
+    * version still equals `expected` (-1 = no manifest yet). Returns false
+    * on a lost race — the caller re-reads and re-merges. Atomic for
+    * writers in this JVM; conditional-put semantics elsewhere.
+    */
+  def writeIfVersion(m: Manifest, root: String, expected: Long): Boolean = {
+    val lock = commitLocks.computeIfAbsent(root, _ => new Object)
+    lock.synchronized {
+      val cur = try read(root).version catch { case _: Exception => -1L }
+      if (cur != expected) false
+      else { write(m, root); true }
+    }
+  }
+
   def write(m: Manifest, root: String): Unit = {
     val node: ObjectNode = om.createObjectNode()
     val parts = node.putArray("partitions")

@@ -124,18 +124,56 @@ object DataQuality {
     * (pass the row id as a tie-break); equal values CAN straddle a bin
     * boundary, which is what makes exact equal-count bins possible at all.
     *
-    * Scale note: a global ntile is a single total sort — the right tool up
-    * to the sort capacity of the cluster (Spark's range-partitioned sort,
-    * no single-node bottleneck). For per-group binning partition the window
-    * by the group instead; for 100 TB-scale APPROXIMATE deciles use the
-    * catalog's quantile sketches (`QuantileMap`) and a broadcast-boundary
-    * filter — this operator is the exact path.
+    * Scale note: `ntile` over an unpartitioned window is NOT the tool —
+    * Spark satisfies an empty partitionSpec with Exchange SinglePartition,
+    * moving every row to one task. This implementation computes the same
+    * assignment from a RANGE-PARTITIONED sort instead: repartitionByRange
+    * on the total order spreads the sort across the cluster; row_number
+    * within each range partition gives a local rank; the per-partition
+    * counts (≤ shuffle-partitions rows) aggregate into offsets that a
+    * broadcast join adds back, so global rank = offset + local rank; the
+    * bin is then ntile's own front-loaded arithmetic on (rank, n, k) in
+    * exact integer `div`. The only single-partition exchange left in the
+    * plan carries the ≤ P aggregated count rows, never the data. The whole
+    * thing is ONE query, so the range exchange is planned once and reused
+    * by both consumers (ReuseExchange) — the sampled range boundaries
+    * cannot drift between the rank pass and the count pass. For per-group
+    * binning partition by the group instead; for 100 TB-scale APPROXIMATE
+    * deciles use the catalog's quantile sketches ([[qcutApprox]]) — this
+    * operator is the exact path.
     */
   def qcut(df: DataFrame, valueCol: String, k: Int, tieCols: Seq[String]): DataFrame = {
     require(k >= 2, s"need at least 2 bins: $k")
     require(tieCols.nonEmpty, "qcut needs a tie-break column for a total order")
     val ord: Seq[Column] = col(valueCol) +: tieCols.map(col)
-    df.withColumn("bin", ntile(k).over(Window.orderBy(ord: _*)))
+    val p = math.max(1, df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt)
+    val ranged = df.repartitionByRange(p, ord: _*)
+      .withColumn("__qcut_pid", spark_partition_id())
+    val local = Window.partitionBy(col("__qcut_pid")).orderBy(ord: _*)
+    val withRn = ranged.withColumn("__qcut_rn", row_number().over(local))
+    // P-row offsets frame: rows ranked before each range partition, plus
+    // the global total. The unpartitioned running-sum window here is over
+    // the ≤ P aggregated rows — the same bounded shape histogramDrift uses.
+    val offs = ranged.groupBy(col("__qcut_pid")).agg(count(lit(1)).as("__qcut_cnt"))
+      .withColumn("__qcut_off", coalesce(sum("__qcut_cnt").over(
+        Window.orderBy("__qcut_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__qcut_n", sum("__qcut_cnt").over(Window.partitionBy(lit(1))))
+      .select("__qcut_pid", "__qcut_off", "__qcut_n")
+    // ntile's assignment as a pure function of (global rank r, n, k):
+    // the first n % k buckets take ceil(n/k) rows, the rest floor(n/k) —
+    // exact integer `div`, no float boundary to misround. The ELSE branch's
+    // divisor q is 0 only when k > n, and then r <= cut always holds.
+    withRn.join(broadcast(offs), "__qcut_pid")
+      .withColumn("__qcut_r", col("__qcut_off") + col("__qcut_rn"))
+      .withColumn("bin", expr(
+        s"""CASE WHEN __qcut_r <= (__qcut_n div $k + 1) * (__qcut_n % $k)
+           |THEN (__qcut_r - 1) div (__qcut_n div $k + 1) + 1
+           |ELSE __qcut_n % $k +
+           |  (__qcut_r - (__qcut_n div $k + 1) * (__qcut_n % $k) - 1)
+           |    div (__qcut_n div $k) + 1 END""".stripMargin).cast("int"))
+      .drop("__qcut_pid", "__qcut_rn", "__qcut_off", "__qcut_n", "__qcut_r")
   }
 
   /** Catalog-approximate quantile binning — the 100 TB path [[qcut]]'s doc

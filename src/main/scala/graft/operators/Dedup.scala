@@ -428,13 +428,70 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** The threshold a caller hands us as a `Double`, decomposed into the
+    * EXACT rational it denotes (num/den, den a power of two, reduced): every
+    * finite double IS a dyadic rational, so the decomposition is lossless.
+    * The prefix/length bounds must never prune a pair the verify predicate
+    * (`jaccard >= t` in doubles — the same comparison the exact all-pairs
+    * twin and the SQL oracle run) would accept. Computing `ceil(t * sz)` in
+    * floating point violates that: for t = 0.07, sz = 100,
+    * fl(0.07 * 100) = 7.000…0001 and ceil of it is 8, so a pair at exactly
+    * 7/100 = 0.07 passes the verify (7.0/100 >= 0.07 in doubles) yet is
+    * pruned by the bound — a silent false negative in an operator sold on
+    * "no false negatives". The bounds below therefore run in integer
+    * arithmetic against [[boundRational]].
+    */
+  private[graft] def exactRational(t: Double): (Long, Long) = {
+    require(t > 0.0 && t <= 1.0, s"bad threshold: $t")
+    if (t == 1.0) (1L, 1L)
+    else {
+      val bits  = java.lang.Double.doubleToLongBits(t)
+      val exp   = ((bits >> 52) & 0x7ffL).toInt // biased; t in (0,1) is normal
+      var num   = (bits & 0xfffffffffffffL) | (1L << 52)
+      var shift = 1075 - exp // t == num / 2^shift exactly
+      val red   = math.min(java.lang.Long.numberOfTrailingZeros(num), shift)
+      num >>= red; shift -= red
+      require(shift <= 62, s"threshold too small for exact arithmetic: $t")
+      (num, 1L << shift)
+    }
+  }
+
+  /** The rational the pruning bounds use: one unit in the last place BELOW
+    * the threshold's exact value (num-1)/den. Soundness: a pair the double
+    * verify accepts has true ratio J with fl(J) >= t, so J > t − ulp(t)/2;
+    * and (num−1)/den = t − 2^−shift <= t − ulp(t) < J because the reduced
+    * dyadic's last set bit is at or above t's ulp position. So every
+    * verify-accepted pair satisfies J > boundRational and the prefix/length
+    * theorems (instantiated at boundRational) keep it. Cost: the bounds are
+    * one ulp looser than ideal — invisible in candidate volume. For t = 1.0
+    * the exact value is used (fl(1.0·sz) = sz was never wrong).
+    */
+  private def boundRational(t: Double): (Long, Long) = {
+    val (num, den) = exactRational(t)
+    if (den == 1L) (num, den) else (num - 1L, den)
+  }
+
+  /** `ceil((num/den) * sz) <= m`, exactly: for integer m, that is
+    * `num*sz <= m*den` — multiplication only, no division to round. The
+    * products run in Decimal(38,0) (num,den < 2^62 are 19 digits; set
+    * sizes add ≤ 19 more — exact, and codegen'd like any arithmetic).
+    */
+  private def ceilLeq(num: Long, den: Long, sz: Column, m: Column): Column = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    sz.cast(dec) * lit(num).cast(dec) <= m.cast(dec) * lit(den).cast(dec)
+  }
+
   /** EXACT set-similarity self-join via prefix filtering (AllPairs/PPJoin,
     * Bayardo et al. WWW'07; Xiao et al. WWW'08): every pair with shingle
     * Jaccard >= threshold, with NO false negatives — the exact complement
     * to [[minhashDedup]], whose LSH bands trade a small recall loss for
     * speed. Use this when the dedup decision must be provably complete
     * (eval-set decontamination, legal holds); use MinHash when 1–2% missed
-    * pairs are acceptable.
+    * pairs are acceptable. The verify predicate is the same double
+    * comparison the all-pairs twin and the SQL oracle run; the pruning
+    * bounds are evaluated in exact integer arithmetic at [[boundRational]]
+    * (one ulp under the threshold), so the no-false-negative theorem holds
+    * at the boundary too (J exactly == t — see the float-ceil trap there).
     *
     * Why this beats the naive token self-join at scale: joining docs on ANY
     * shared shingle costs Σ df(s)² over all shingles — stopword-like grams
@@ -462,7 +519,7 @@ object Dedup {
   def setSimJoinPrefix(
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0, s"bad threshold: $threshold")
+    val (num, den) = boundRational(threshold)
     val expl = shingleRows(df, textCol, idCol, shingleSize)
       .select(col("doc"), xxhash64(col("s")).as("s"))
       .cache()
@@ -471,18 +528,20 @@ object Dedup {
     // hash itself — any consistent TOTAL order is correct; rarest-first is
     // the one that minimizes candidate volume.
     val dfreq = expl.groupBy("s").agg(count(lit(1)).as("dfreq"))
+    // Prefix bound rn <= sz - ceil(t*sz) + 1  ⇔  ceil(t*sz) <= sz - rn + 1,
+    // evaluated exactly by ceilLeq (same (num, den) as the verify below).
     val prefix = expl.join(dfreq, "s")
       .join(sizes, "doc")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc")).orderBy(col("dfreq"), col("s"))))
-      .filter(col("rn") <=
-        col("sz") - ceil(lit(threshold) * col("sz")).cast("long") + 1L)
+      .filter(ceilLeq(num, den, col("sz"), col("sz") - col("rn") + 1L))
       .select(col("doc"), col("s"), col("sz"))
+    // Length filter sz_a >= ceil(t*sz_b)  ⇔  ceil(t*sz_b) <= sz_a, exact.
     val cand = prefix.select(col("doc").as("doc_a"), col("s"), col("sz").as("sz_a"))
       .join(prefix.select(col("doc").as("doc_b"), col("s"), col("sz").as("sz_b")), "s")
       .filter(col("doc_a") < col("doc_b"))
-      .filter(col("sz_a") >= ceil(lit(threshold) * col("sz_b")).cast("long") &&
-        col("sz_b") >= ceil(lit(threshold) * col("sz_a")).cast("long"))
+      .filter(ceilLeq(num, den, col("sz_b"), col("sz_a")) &&
+        ceilLeq(num, den, col("sz_a"), col("sz_b")))
       .select("doc_a", "doc_b")
       .distinct()
     val inter = cand
@@ -518,7 +577,7 @@ object Dedup {
   def setSimJoinPrefixAB(
       dfA: DataFrame, dfB: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0, s"bad threshold: $threshold")
+    val (num, den) = boundRational(threshold)
     val toks = shingleRows(dfA, textCol, idCol, shingleSize)
       .select(col("doc"), xxhash64(col("s")).as("s"), lit(0).as("side"))
       .unionByName(shingleRows(dfB, textCol, idCol, shingleSize)
@@ -530,15 +589,14 @@ object Dedup {
       .join(sizes, Seq("side", "doc"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("side"), col("doc")).orderBy(col("dfreq"), col("s"))))
-      .filter(col("rn") <=
-        col("sz") - ceil(lit(threshold) * col("sz")).cast("long") + 1L)
+      .filter(ceilLeq(num, den, col("sz"), col("sz") - col("rn") + 1L))
       .select(col("side"), col("doc"), col("s"), col("sz"))
     val cand = prefix.filter(col("side") === 0)
       .select(col("doc").as("doc_a"), col("s"), col("sz").as("sz_a"))
       .join(prefix.filter(col("side") === 1)
         .select(col("doc").as("doc_b"), col("s"), col("sz").as("sz_b")), "s")
-      .filter(col("sz_a") >= ceil(lit(threshold) * col("sz_b")).cast("long") &&
-        col("sz_b") >= ceil(lit(threshold) * col("sz_a")).cast("long"))
+      .filter(ceilLeq(num, den, col("sz_b"), col("sz_a")) &&
+        ceilLeq(num, den, col("sz_a"), col("sz_b")))
       .select("doc_a", "doc_b")
       .distinct()
     val inter = cand

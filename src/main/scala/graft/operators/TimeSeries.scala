@@ -209,18 +209,25 @@ object TimeSeries {
     * distributed engine should refuse.
     *
     * Null observations are EXCLUDED from both sums (missing, not zero); a
-    * row whose whole window is null yields null. Overflow guard:
-    * weights ≤ s^(N−1) are required under 2^31 so x·weight stays in a
-    * long for any |x| < 2^31.
+    * row whose whole window is null yields null. Overflow guard: the SUM
+    * of all N weights (computed exactly in BigInt at plan-build time) is
+    * required to satisfy Σw · (2^31−1) ≤ Long.MaxValue, so the whole __num
+    * accumulation stays in a long for any |x| < 2^31 — bounding only the
+    * single largest weight under 2^31 is not enough, because __num sums N
+    * terms and their combined mass can overflow even when each term fits
+    * (e.g. α=1/10, N=10: max weight 10^9 < 2^31 but Σw ≈ 6.5e9).
     */
   def ewmaWindowed(
       df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
       alphaNum: Int = 3, alphaDen: Int = 10, window: Int = 8): DataFrame = {
     require(alphaNum > 0 && alphaNum < alphaDen, s"need 0 < α < 1: $alphaNum/$alphaDen")
     require(window >= 1, s"window must be >= 1: $window")
-    val maxW = BigInt(alphaDen).pow(window - 1)
-    require(maxW < BigInt(Int.MaxValue),
-      s"alphaDen^(window-1) = $maxW overflows the weight grid — shrink window or α's denominator")
+    val weightSum = (0 until window)
+      .map(k => BigInt(alphaDen - alphaNum).pow(k) * BigInt(alphaDen).pow(window - 1 - k))
+      .sum
+    require(weightSum * Int.MaxValue <= BigInt(Long.MaxValue),
+      s"Σ weights = $weightSum overflows the integer grid for 32-bit values — " +
+        "shrink window or α's denominator")
     val s = alphaDen.toLong
     val a = alphaNum.toLong
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))

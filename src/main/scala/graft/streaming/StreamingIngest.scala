@@ -127,9 +127,13 @@ object StreamingIngest {
     * suddenly returns truncated pages must not silently shift the corpus —
     * while conforming batches insert normally. The comparison stays in
     * exact integers (`Σdev·1000 > maxDevPerMille·2·N_table·N_batch`), so
-    * the admit/hold decision is bit-reproducible by any engine; the
-    * products fit a long for any micro-batch-sized N_batch against a
-    * 100 TB-scale table (N_t·N_b < 2^63 up to ~10^12 rows × ~10^6 batch).
+    * the admit/hold decision is bit-reproducible by any engine. Both sides
+    * are evaluated in BigInt on the driver (the inputs are three
+    * already-aggregated scalars, so the cost is nil): Σdev itself can
+    * reach 2·N_t·N_b when the histograms are disjoint, and a Long product
+    * would silently wrap — flipping admit/quarantine — once N_t·N_b
+    * passes ~4.6e15, i.e. exactly the 100 TB-scale tables this gate
+    * guards.
     * Cost per batch: one narrow scan of each side + a bin-keyed merge of
     * two nBins-row frames. An EMPTY table admits its first batch — the
     * bootstrap batch defines the distribution rather than drifting from a
@@ -149,7 +153,8 @@ object StreamingIngest {
         val sumDev = r.getLong(0)
         val nTable = r.getLong(1)
         val nBatch = r.getLong(2)
-        val drifted = sumDev * 1000L > maxDevPerMille * 2L * nTable * nBatch
+        val drifted = BigInt(sumDev) * 1000 >
+          BigInt(maxDevPerMille) * 2 * BigInt(nTable) * BigInt(nBatch)
         if (drifted) quarantine.insert(b) else ds.insert(b)
       }
     }
@@ -285,6 +290,60 @@ object StreamingIngest {
         cur.set(graft.operators.TextSearch.addToIndex(
           cur.get, batch, textCol, idCol))
     (sink, () => cur.get)
+  }
+
+  /** foreachBatch sink routing a STREAM of erase requests through every
+    * persisted surface at once — the right-to-be-forgotten composition
+    * ([[graft.SparkEntry]]'s `pipeline_erasure_full`) as it arrives in a
+    * real GDPR pipeline: deletion requests trickle in continuously, and
+    * each micro-batch of ids must disappear from the corpus table AND all
+    * five index families (exact-dedup, MinHash bands+shingles, BM25
+    * postings, positional postings, IVF inverted lists) before the batch
+    * is acknowledged. Per batch, every remove is touched-cell-bounded —
+    * each index's own erase path locates the doomed cells by its pruning
+    * probe and rewrites only those — so the sink's cost is ∝ batch and the
+    * cells it hits, never the corpus.
+    *
+    * State: the BM25 handle carries corpus scalars (n, totalLen), so the
+    * sink threads it through an AtomicReference exactly like
+    * [[bm25Batches]]; the IVF handle is reloaded from its root per batch
+    * (removeFromIvf rewrites list directories on disk, staling any held
+    * handle). All other surfaces are self-rooted and mutate in place.
+    * Idempotent per id (every surface's remove is a delete-by-key), so the
+    * file stream's at-least-once replay of an erase batch is harmless —
+    * the same property [[applyFeedBatches]] leans on.
+    *
+    * `vecIds` maps a batch of document ids to the vector ids to drop from
+    * the IVF index (identity by default — shared id space).
+    */
+  def erasureBatches(
+      corpus: LakeDataset, corpusKey: String,
+      exact: graft.operators.ExactDedupIndex,
+      minhash: graft.operators.MinhashIndex,
+      bm25Initial: graft.operators.TextSearch.Bm25Index,
+      positional: graft.operators.TextSearch.PositionalIndex,
+      ivfRoot: String, vecCol: String = "vec_id")
+      : ((DataFrame, Long) => Unit, () => graft.operators.TextSearch.Bm25Index) = {
+    val bm = new java.util.concurrent.atomic.AtomicReference(bm25Initial)
+    val sink: (DataFrame, Long) => Unit = (batch, _) =>
+      if (!batch.isEmpty) {
+        // seven consumers; one materialization of the (small) id batch
+        val ids = batch.select(col(batch.columns.head).as(corpusKey))
+          .localCheckpoint(true)
+        val touched = corpus.delete(ids, Seq(corpusKey))
+        if (touched.nonEmpty && corpus.storage.isDefined)
+          corpus.saveParts(touched)
+        exact.remove(ids, corpusKey)
+        minhash.remove(ids, corpusKey)
+        bm.set(graft.operators.TextSearch.removeFromIndex(
+          bm.get, ids, corpusKey))
+        graft.operators.TextSearch.removeFromPositional(
+          positional, ids, corpusKey)
+        graft.operators.Similarity.removeFromIvf(
+          graft.operators.Similarity.loadIvf(batch.sparkSession, ivfRoot),
+          ids.select(col(corpusKey).as(vecCol)), vecCol)
+      }
+    (sink, () => bm.get)
   }
 
   /** Native BOUNDED-STATE streaming dedup: Spark's

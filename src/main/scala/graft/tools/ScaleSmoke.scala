@@ -56,7 +56,8 @@ object ScaleSmoke {
       !sys.env.contains("SPARK_GRAFT_ONLY_R13D") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R14") &&
       !sys.env.contains("SPARK_GRAFT_ONLY_R14B") &&
-      !sys.env.contains("SPARK_GRAFT_ONLY_R14C")
+      !sys.env.contains("SPARK_GRAFT_ONLY_R14C") &&
+      !sys.env.contains("SPARK_GRAFT_ONLY_R15")
     if (runAll) {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val big = (0 until copies).map { i =>
@@ -1586,7 +1587,9 @@ object ScaleSmoke {
       // table; every survivor must hold >= k in-core neighbors.
       // Out-degree varies 1..9 by id (uniform 5-regular graphs have no
       // sub-k vertices to peel — the k-core would be the whole graph).
-      val nV14b = 200000L
+      // Scales with COPIES: 200k vertices / ~1M edges at the default 20×,
+      // 1M vertices / ~5M edges at COPIES=100.
+      val nV14b = 10000L * copies
       val sparse14b = spark.range(nV14b)
         .select(col("id").as("a"),
           explode(sequence(lit(1L), pmod(col("id"), lit(9L)) + 1L)).as("j"))
@@ -1715,10 +1718,12 @@ object ScaleSmoke {
 
       // (3) WebDataset tar round trip at 20×: 32 shards, one task each on
       // both sides; the reader must reproduce ids and payload bytes exactly.
+      // ~1 KB per member: 0.5 GB of tar at the default 20×, ~2.6 GB at
+      // COPIES=100 — the multi-GB shard-shaped round trip.
       val nWds = 25000L * copies
       val wdsDocs = spark.range(nWds).select(col("id").as("doc_id"),
         concat(lit("sample payload for document "), col("id"),
-          lit(" padded with a deterministic sentence for realistic member sizes"))
+          repeat(lit(" padded with a deterministic sentence for realistic member sizes"), 15))
           .as("text"))
       val wdsRoot = java.nio.file.Files.createTempDirectory("graft_wds_scale").toString
       val manifest14c = time(s"r14c webdatasetWrite ($nWds docs, 32 shards)") {
@@ -1736,6 +1741,73 @@ object ScaleSmoke {
       LakeDataset.deleteRecursively(java.nio.file.Paths.get(wdsRoot))
     }
     if (onlyR14c) { spark.stop(); return }
+
+    // ---- R15: RECALL at scale — the quality curve, not the cost curve -----
+    // The per-round gates pin recall at sf0.01; this section tracks it at
+    // COPIES× so a quantizer that happens to hold at small corpora but
+    // collapses as lists fill (or as LSH buckets saturate) is caught here.
+    // Run just this section with SPARK_GRAFT_ONLY_R15=1.
+    val onlyR15 = sys.env.contains("SPARK_GRAFT_ONLY_R15")
+    if (runAll || onlyR15) {
+      import graft.operators.{Dedup, Similarity}
+      // (1) IVF batch recall@10, nprobe=4, lists ∝ corpus (the same growth
+      // contract the probe-cost section uses): recall must hold as the
+      // corpus scales because each list's size — and the probe's blind
+      // spot — stays ~constant.
+      val emb0r = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val er = (0 until copies).map { i =>
+        emb0r.select((col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+          transform(col("embedding"),
+            x => (x * (lit(1.0f) + lit(i.toFloat) * lit(1e-4f))).cast("float"))
+            .as("embedding"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      val kListsR = 16 * math.max(1, math.sqrt(copies.toDouble).toInt)
+      val (cR, aR) = time(s"r15 IVF build ${copies}x ($kListsR lists)")(
+        Similarity.buildIvf(er, "embedding", "vec_id", kListsR, 64))
+      val queriesR = er.filter(col("vec_id") % 25000L === 0L).localCheckpoint(true)
+      val approxR = time(s"r15 IVF batch probe nprobe=4 (${queriesR.count()} queries)")(
+        Similarity.ivfBatchTopK(queriesR, aR, cR, "embedding", "vec_id",
+          k = 10, nprobe = 4).localCheckpoint(true))
+      val exactR = time("r15 exact batch top-10 (ground truth)")(
+        Similarity.exactBatchTopKQuantized(queriesR, er, "embedding", "vec_id",
+          k = 10).localCheckpoint(true))
+      val hitsR = exactR.select("query_id", "vec_id")
+        .join(approxR.select("query_id", "vec_id"),
+          Seq("query_id", "vec_id"), "left_semi").count()
+      val truthR = exactR.count()
+      println(s"[scale] r15 IVF recall@10 at ${copies}x: " +
+        s"$hitsR/$truthR = ${hitsR.toDouble / truthR}")
+      require(hitsR * 1000L >= truthR * 550L,
+        s"IVF recall collapsed at scale: $hitsR/$truthR")
+
+      // (2) MinHash LSH planted-pair recall at COPIES×: every 200th doc of
+      // copy 0 gets a near-dup twin; the banding must surface >= 95% of
+      // the planted pairs against the full salted corpus (LSH contracts
+      // 1-2% misses; a signature/banding regression collapses far below).
+      val docs0r = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val corpusR = (0 until copies).map { i =>
+        docs0r.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "\\w+", s"$$0c$i").as("text"))
+      }.reduce(_ unionByName _)
+      val plantedR = corpusR
+        .filter(col("doc_id") < 1000000L && col("doc_id") % 200 === 0)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          concat(col("text"), lit(" graft near dup suffix")).as("text"))
+      val nPlantedR = plantedR.count()
+      val allR = corpusR.unionByName(plantedR).localCheckpoint(true)
+      val pairsR = time(s"r15 minhashDedup ${copies}x corpus + $nPlantedR planted")(
+        Dedup.minhashDedup(allR, "text", "doc_id", threshold = 0.5)
+          .localCheckpoint(true))
+      val foundR = pairsR
+        .filter(col("doc_b") - col("doc_a") === 900000000L).count()
+      println(s"[scale] r15 MinHash planted recall at ${copies}x: " +
+        s"$foundR/$nPlantedR = ${foundR.toDouble / nPlantedR}")
+      require(foundR * 100L >= nPlantedR * 95L,
+        s"MinHash LSH planted recall collapsed at scale: $foundR/$nPlantedR")
+    }
+    if (onlyR15) { spark.stop(); return }
 
     // ---- IVF ANN: probe cost vs corpus growth ------------------------------
     // The scale claim: an IVF probe reads nprobe inverted LISTS, whose size

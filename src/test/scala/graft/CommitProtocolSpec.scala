@@ -115,6 +115,37 @@ class CommitProtocolSpec extends SparkSpec {
     assert(r2.toDF.filter(col("o_batch") === 2 && col("o_orderkey") <= 20).count() == 0)
   }
 
+  test("three CONCURRENT disjoint writers all commit via bounded rebase retry") {
+    val root = Files.createTempDirectory("graft_occ_three").toString
+    freshLake(root)
+    val v0 = Manifest.read(root).version
+    val handles = (0 to 2).map(_ => LakeDataset.fromStorage(spark, root))
+    // Race the whole mutate+commit path from three threads at once: the
+    // first conditional write wins, the losers must re-read + re-merge
+    // (possibly more than once — writer 3 can lose to both others) and
+    // still land without an abort, because the cells are disjoint.
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = handles.zipWithIndex.map { case (h, b) =>
+      new Thread(() => {
+        try {
+          latch.await()
+          h.deleteWhere(col("o_batch") === b && col("o_orderkey") <= 100)
+          h.saveParts(h.partKeys.filter(_.partValues.contains("o_batch" -> b.toString)))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); latch.countDown(); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.toArray.mkString("\n"))
+    assert(Manifest.read(root).version == v0 + 3,
+      s"three commits must land as three versions, got ${Manifest.read(root).version}")
+    val r = LakeDataset.fromStorage(spark, root)
+    (0 to 2).foreach { b =>
+      assert(r.toDF.filter(col("o_batch") === b && col("o_orderkey") <= 100)
+        .count() == 0, s"writer $b's commit was lost")
+    }
+  }
+
   test("overlapping-cell writers still abort loudly") {
     val root = Files.createTempDirectory("graft_occ_overlap").toString
     freshLake(root)

@@ -152,6 +152,31 @@ class DataQualitySpec extends SparkSpec {
     assert(e.getMessage.contains("ANALYZE"), e.getMessage)
   }
 
+  test("qcut: matches ntile exactly on randomized data, without the single-partition sort") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    // sizes chosen so n % k != 0 exercises the front-loaded split
+    for ((n, k) <- Seq((997, 7), (1000, 10), (53, 8))) {
+      val df = (1 to n).map(i => (i.toLong, rnd.nextInt(40))).toDF("id", "v")
+        .repartition(11)
+      val got = DataQuality.qcut(df, "v", k, Seq("id"))
+        .select("id", "bin").as[(Long, Int)].collect().toMap
+      // ground truth: the single-partition ntile this operator replaces
+      val truth = df.withColumn("bin", org.apache.spark.sql.functions.ntile(k)
+          .over(org.apache.spark.sql.expressions.Window.orderBy($"v", $"id")))
+        .select("id", "bin").as[(Long, Int)].collect().toMap
+      assert(got === truth, s"n=$n k=$k")
+    }
+    // Plan pin: the data path is a range-partitioned sort — no ntile, and
+    // the only SinglePartition exchange feeds the <= P-row offsets frame,
+    // whose input is an aggregate, never the raw data.
+    val big = (1 to 1000).map(i => (i.toLong, i % 40)).toDF("id", "v")
+    val plan = DataQuality.qcut(big, "v", 10, Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("ntile"), plan.take(2000))
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(2000))
+  }
+
   test("qcut: more bins than rows degrades to one row per bin") {
     import spark.implicits._
     val df = Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "v")

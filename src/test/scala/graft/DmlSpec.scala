@@ -418,6 +418,30 @@ class DmlSpec extends SparkSpec {
     assert(e.getMessage.contains("feed-registered"))
   }
 
+  test("QCUT and TOPK verbs: equal-count bins; per-group cap with tiebreak") {
+    import spark.implicits._
+    val (db, ds) = freshDb("verb_cur")
+    val n = ds.toDF.count()
+    val binned = db.executeSql("QCUT verb_cur.o_totalprice INTO 4 TIE BY o_orderkey")
+    val sizes = binned.groupBy("bin").count().orderBy("bin")
+      .as[(Int, Long)].collect()
+    assert(sizes.map(_._1).toSeq === (1 to 4))
+    assert(sizes.map(_._2).sum === n)
+    assert(sizes.map(_._2).max - sizes.map(_._2).min <= 1,
+      s"equal-count contract: ${sizes.toSeq}")
+    val top = db.executeSql(
+      "TOPK 2 PER verb_cur.o_orderstatus ORDER BY o_totalprice DESC TIE BY o_orderkey")
+    val truth = ds.toDF.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rk") <= 2).drop("rk")
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(top.select("o_orderkey").as[Long].collect().toSet === truth)
+    // grammar: a malformed verb falls through to the SQL parser and fails
+    intercept[Exception](db.executeSql("QCUT verb_cur.o_totalprice INTO four").collect())
+  }
+
   test("arity mismatch and unknown statements fail loudly") {
     val (db, _) = freshDb("dml_err")
     val e1 = intercept[IllegalArgumentException] {

@@ -55,6 +55,59 @@ class IngestStreamingSpec extends SparkSpec {
     }
   }
 
+  test("erasure sink: each batch scrubs every surface; a replayed batch is a no-op") {
+    import java.nio.file.Files
+    import graft.operators.{ExactDedupIndex, MinhashIndex, Similarity, TextSearch}
+    val d = Fixtures.table(spark, sf(), "documents")
+      .filter(col("doc_id") < 200).select("doc_id", "text")
+    val emb = Fixtures.table(spark, sf(), "embeddings")
+      .filter(col("vec_id") < 200).select("vec_id", "embedding")
+    val corpus = LakeDataset.fromDataFrame(spark,
+      d.withColumn("b", (col("doc_id") % 4).cast("int")), partitionCols = Seq("b"))
+    val ex = ExactDedupIndex.open(spark,
+      Files.createTempDirectory("graft_ses_ex").toString, nBuckets = 4)
+    ex.addBatch(d, "text", "doc_id")
+    val bm = TextSearch.buildIndex(spark, d, "text", "doc_id", nBuckets = 4,
+      storage = Some(graft.model.StorageSpec(
+        Files.createTempDirectory("graft_ses_bm").toString)))
+    val pos = TextSearch.buildPositional(spark, d, "text", "doc_id", nBuckets = 4,
+      storage = Some(graft.model.StorageSpec(
+        Files.createTempDirectory("graft_ses_pos").toString)))
+    val mh = MinhashIndex.open(spark,
+      Files.createTempDirectory("graft_ses_mh").toString, nBuckets = 4)
+    mh.addBatch(d, "text", "doc_id")
+    val ivfRoot = Files.createTempDirectory("graft_ses_ivf").toString
+    val (cen, asg) = Similarity.buildIvf(emb, "embedding", "vec_id", 8, 16)
+    Similarity.saveIvf(spark, ivfRoot, cen, asg)
+
+    val (sink, current) = StreamingIngest.erasureBatches(
+      corpus, "doc_id", ex, mh, bm, pos, ivfRoot)
+    def state(): (Long, Long, Long, Long, Long, Long, Long) = (
+      corpus.toDF.count(), ex.docRows.get.count(),
+      current().postings.toDF.count(), pos.postings.toDF.count(),
+      mh.bandRows.get.count(), mh.shingleRows.get.count(),
+      Similarity.loadIvf(spark, ivfRoot).assigned.toDF.count())
+    val before = state()
+    val ids = Seq(0L, 50L, 150L).toDF("doc_id")
+    sink(ids, 0L)
+    val after = state()
+    assert(after._1 == before._1 - 3, s"corpus: $before -> $after")
+    assert(after._7 == before._7 - 3, "ivf lists must drop the erased vectors")
+    assert(after._2 < before._2 && after._3 < before._3 &&
+      after._4 < before._4 && after._5 < before._5 && after._6 < before._6,
+      s"every index surface must shrink: $before -> $after")
+    // nothing references the forgotten ids on any surface
+    assert(corpus.toDF.filter(col("doc_id").isin(0L, 50L, 150L)).count() == 0)
+    assert(current().postings.toDF.filter(col("doc").isin(0L, 50L, 150L)).count() == 0)
+    assert(mh.bandRows.get.filter(col("doc").isin(0L, 50L, 150L)).count() == 0)
+    // at-least-once transport: the SAME batch replayed changes nothing
+    sink(ids, 1L)
+    assert(state() === after, "replayed erase batch must be idempotent")
+    // empty batches are a no-op
+    sink(Seq.empty[Long].toDF("doc_id"), 2L)
+    assert(state() === after)
+  }
+
   test("interval join: cross-batch matches emit, out-of-window clicks never match") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00").getTime * 1000L

@@ -195,9 +195,11 @@ class PlanSpec extends SparkSpec {
   test("no query plans a cartesian product or nested-loop join") {
     // dedup_embedding_exact and ann_batch_exact are all-pairs BY CONTRACT
     // (the exact ground truths the LSH/IVF paths are measured against) —
-    // their nested-loop joins are the point, not an accident. Everything
-    // else must stay out of quadratic plans.
-    val quadraticByDesign = Set("dedup_embedding_exact", "ann_batch_exact")
+    // their nested-loop joins are the point, not an accident; the IVF
+    // recall gate embeds that same exact ground truth as its truth side.
+    // Everything else must stay out of quadratic plans.
+    val quadraticByDesign =
+      Set("dedup_embedding_exact", "ann_batch_exact", "ann_recall_ivf")
     val offenders = SparkEntry.queries.keys.toList.sorted
       .filterNot(quadraticByDesign)
       .flatMap { name =>

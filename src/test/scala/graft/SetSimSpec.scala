@@ -109,6 +109,37 @@ class SetSimSpec extends SparkSpec {
     }
   }
 
+  test("boundary pairs at exactly J == t survive float-hostile thresholds") {
+    // For t = 0.07, fl(0.07 * 100) = 7.000…001, so a float ceil in the
+    // length filter demands sz_a >= 8 and silently drops the pair at
+    // exactly 7/100 = 0.07 — the advice-r14 false negative. The exact
+    // integer bounds must keep it, at every threshold whose double
+    // product overshoots. Doc 1's shingles are a prefix-subset of doc 2's,
+    // so J = szA/szB exactly; (szA, szB) chosen per threshold so
+    // szA/szB == t as a decimal.
+    val w = (1 to 102).map(i => s"w$i")
+    def pair(szA: Int, szB: Int): DataFrame = Seq(
+      (1L, w.take(szA + 2).mkString(" ")),  // n words → n-2 shingles
+      (2L, w.take(szB + 2).mkString(" "))).toDF("doc_id", "text")
+    for ((t, szA, szB) <- Seq((0.07, 7, 100), (0.14, 7, 50),
+        (0.28, 7, 25), (0.56, 14, 25))) {
+      val sub = pair(szA, szB)
+      val truth = allPairs(sub, t)
+      assert(truth === Set((1L, 2L)), s"planted boundary pair must verify at $t")
+      assert(prefixPairs(sub, t) === truth, s"threshold $t")
+    }
+  }
+
+  test("exactRational decomposes doubles losslessly") {
+    for (t <- Seq(0.07, 0.14, 0.28, 0.3, 0.5, 0.56, 0.8, 1.0, 0.001)) {
+      val (num, den) = Dedup.exactRational(t)
+      assert(num.toDouble / den.toDouble === t, s"t=$t -> $num/$den")
+      // reduced: power-of-two denominator with odd numerator (or 1/1)
+      assert(den == 1L || (den & (den - 1)) == 0L)
+      assert(den == 1L || (num & 1L) == 1L)
+    }
+  }
+
   test("single-shingle (short) documents are joinable, not dropped") {
     val corpus = Seq(
       (1L, "tiny doc"),   // < 3 words: whole text is the one shingle

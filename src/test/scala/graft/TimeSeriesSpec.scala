@@ -138,6 +138,16 @@ class TimeSeriesSpec extends SparkSpec {
         alphaNum = 1, alphaDen = 10, window = 11)
     }
     assert(e.getMessage.contains("overflows"), e.getMessage)
+    // advice-r15 case: each single weight fits (10^9 < 2^31) but the SUM of
+    // window terms (~6.5e9) times a 2^31-scale value wraps a Long — the
+    // guard must bound the weight SUM, not the largest weight.
+    val e2 = intercept[IllegalArgumentException] {
+      TimeSeries.ewmaWindowed(df, "k", "day", "v",
+        alphaNum = 1, alphaDen = 10, window = 10)
+    }
+    assert(e2.getMessage.contains("overflows"), e2.getMessage)
+    // the shipped defaults stay comfortably inside the guard
+    TimeSeries.ewmaWindowed(df, "k", "day", "v").collect()
   }
 
   test("rle collapses runs deterministically under a total order") {
