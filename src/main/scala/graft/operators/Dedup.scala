@@ -456,20 +456,20 @@ object Dedup {
     }
   }
 
-  /** The rational the pruning bounds use: one unit in the last place BELOW
-    * the threshold's exact value (num-1)/den. Soundness: a pair the double
-    * verify accepts has true ratio J with fl(J) >= t, so J > t − ulp(t)/2;
-    * and (num−1)/den = t − 2^−shift <= t − ulp(t) < J because the reduced
-    * dyadic's last set bit is at or above t's ulp position. So every
-    * verify-accepted pair satisfies J > boundRational and the prefix/length
-    * theorems (instantiated at boundRational) keep it. Cost: the bounds are
-    * one ulp looser than ideal — invisible in candidate volume. For t = 1.0
-    * the exact value is used (fl(1.0·sz) = sz was never wrong).
+  /** The rational the pruning bounds use: the DOUBLE one ulp below the
+    * threshold, decomposed exactly. Soundness: a pair the double verify
+    * accepts has true ratio J with fl(J) >= t, so J > t − ulp(t)/2 >
+    * nextDown(t); the prefix/length theorems instantiated at nextDown(t)
+    * therefore keep every verify-accepted pair. Cost: the bounds are one
+    * ulp looser than ideal — invisible in candidate volume. (NOT
+    * (num−1)/den on the reduced rational: for an exactly-representable
+    * t like 1/2 that subtracts 1/den = HALF the threshold, collapsing the
+    * bound to 0 and the prefix filter to the full quadratic join — a 2–5×
+    * blowup measured on the set-sim gates.) For t = 1.0 the exact value
+    * is used (fl(1.0·sz) = sz was never wrong).
     */
-  private def boundRational(t: Double): (Long, Long) = {
-    val (num, den) = exactRational(t)
-    if (den == 1L) (num, den) else (num - 1L, den)
-  }
+  private def boundRational(t: Double): (Long, Long) =
+    if (t == 1.0) (1L, 1L) else exactRational(Math.nextDown(t))
 
   /** `ceil((num/den) * sz) <= m`, exactly: for integer m, that is
     * `num*sz <= m*den` — multiplication only, no division to round. The
