@@ -3039,20 +3039,24 @@ object SparkEntry {
       val corpus = LakeDataset.fromDataFrame(s,
         d.withColumn("b", (col("doc_id") % 4).cast("int")),
         partitionCols = Seq("b"))
+      // 4 buckets / 8 IVF lists: the surface COUNTS this gate reports are
+      // layout-independent (same oracle as the batch capstone), and the
+      // gate's cost at this fixed 1000-doc fixture is per-cell job count —
+      // two streaming epochs × six surfaces × cells — not data volume.
       val exIdx = ExactDedupIndex.open(s,
-        Files.createTempDirectory("graft_se_ex").toString, nBuckets = 8)
+        Files.createTempDirectory("graft_se_ex").toString, nBuckets = 4)
       exIdx.addBatch(d, "text", "doc_id")
-      val bm = TextSearch.buildIndex(s, d, "text", "doc_id", nBuckets = 8,
+      val bm = TextSearch.buildIndex(s, d, "text", "doc_id", nBuckets = 4,
         storage = Some(graft.model.StorageSpec(
           Files.createTempDirectory("graft_se_bm").toString)))
-      val pos = TextSearch.buildPositional(s, d, "text", "doc_id", nBuckets = 8,
+      val pos = TextSearch.buildPositional(s, d, "text", "doc_id", nBuckets = 4,
         storage = Some(graft.model.StorageSpec(
           Files.createTempDirectory("graft_se_pos").toString)))
       val mh = MinhashIndex.open(s,
-        Files.createTempDirectory("graft_se_mh").toString, nBuckets = 8)
+        Files.createTempDirectory("graft_se_mh").toString, nBuckets = 4)
       mh.addBatch(d, "text", "doc_id")
       val ivfRoot = Files.createTempDirectory("graft_se_ivf").toString
-      val (cen, asg) = Similarity.buildIvf(emb, "embedding", "vec_id", 16, 64)
+      val (cen, asg) = Similarity.buildIvf(emb, "embedding", "vec_id", 8, 32)
       Similarity.saveIvf(s, ivfRoot, cen, asg)
 
       val (sink, current) = graft.streaming.StreamingIngest.erasureBatches(
