@@ -163,6 +163,24 @@ class CommitProtocolSpec extends SparkSpec {
     assert(r.toDF.filter(col("o_batch") === 1 && col("o_orderkey") <= 100).count() == 0)
   }
 
+  test("writeIfVersion: conditional semantics (the rebase loop's CAS primitive)") {
+    val root = Files.createTempDirectory("graft_occ_cas").toString
+    freshLake(root)
+    val m = Manifest.read(root)
+    // stale expectation: refused, manifest untouched
+    assert(!Manifest.writeIfVersion(m.copy(version = m.version + 1), root,
+      expected = m.version - 1))
+    assert(Manifest.read(root).version == m.version)
+    // current expectation: lands
+    assert(Manifest.writeIfVersion(m.copy(version = m.version + 1), root,
+      expected = m.version))
+    assert(Manifest.read(root).version == m.version + 1)
+    // fresh root: expected = -1 is the only accepted token
+    val empty = Files.createTempDirectory("graft_occ_cas2").toString
+    assert(!Manifest.writeIfVersion(m, empty, expected = 0L))
+    assert(Manifest.writeIfVersion(m, empty, expected = -1L))
+  }
+
   test("incremental cell saves carry the token too") {
     val root = Files.createTempDirectory("graft_occ_cell").toString
     freshLake(root)
