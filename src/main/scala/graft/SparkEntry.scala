@@ -1469,6 +1469,61 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // STREAMING materialized-view maintenance: inserts arrive as a stream
+    // through the CATALOG sink (Database.streamInsertSink), and every
+    // micro-batch folds into the registered MV at O(batch)+O(groups) — the
+    // MV is never rebuilt and the base is never rescanned. The final answer
+    // is read FROM THE MV STATE; the oracle recomputes the group-by over
+    // everything the base + stream delivered, so a missed or double-folded
+    // batch hash-mismatches. (The Delta-Live-Tables composition: the batch
+    // MV gate is lake_sql_matview, the batch fold spec is MatViewSpec,
+    // this gate is the streaming closure.)
+    "stream_mv_maintenance" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val o = table(s, dir, "orders")
+      // Base table holds o_orderkey % 5 in {0, 3, 4}; epochs stream in
+      // %5==1 then %5==2, so the final state is exactly the full table.
+      val base = o.filter(col("o_orderkey") % 5 === 0 ||
+        col("o_orderkey") % 5 >= 3)
+      val ds = LakeDataset.fromDataFrame(s, base,
+        partitionCols = Seq("o_orderstatus"))
+      val db = new Database(s)
+      db.register("mvs_t", ds)
+      db.executeDml(
+        """CREATE MATERIALIZED VIEW mvs_v AS
+          |SELECT o_orderstatus, COUNT(*) AS n, SUM(o_totalprice) AS total
+          |FROM mvs_t GROUP BY o_orderstatus""".stripMargin)
+      // Delta keys for the MemoryStream: bounded deterministic collect —
+      // the driver array is the harness's stream source, not the operator
+      // (same loud-cap contract as stream_ingest_upsert).
+      def streamKeys(m: Int): Seq[Long] = {
+        val cap = 1000000
+        val keys = o.select("o_orderkey").filter(col("o_orderkey") % 5 === m)
+          .orderBy("o_orderkey").limit(cap + 1).as[Long].collect().toSeq
+        require(keys.length <= cap,
+          s"stream_mv_maintenance fixture: > $cap delta keys at this " +
+            "scale factor; the MemoryStream harness stops here rather " +
+            "than silently diverge from the oracle")
+        keys
+      }
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val sink = db.streamInsertSink("mvs_t")
+      val apply: (DataFrame, Long) => Unit = (batch, id) =>
+        sink(o.join(broadcast(batch), o("o_orderkey") === col("delta_key"))
+          .drop("delta_key"), id)
+      val q = mem.toDF().toDF("delta_key").writeStream.foreachBatch(apply).start()
+      try {
+        mem.addData(streamKeys(1))
+        q.processAllAvailable()
+        mem.addData(streamKeys(2))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.sql(
+        """SELECT o_orderstatus, n, CAST(total AS DOUBLE) AS total
+          |FROM mvs_v ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // EXACTLY-ONCE streaming append: epoch-partitioned cells, overwrite on
     // replay (StreamingIngest.exactlyOnceInsert scaladoc). The query
     // re-delivers epoch 0 after the stream — the oracle (each slice once)
@@ -5593,6 +5648,12 @@ object SparkEntry {
          |                             THEN 250 ELSE 0 END AS o_totalprice
          |  FROM orders) t
          |GROUP BY o_orderstatus""".stripMargin,
+
+    // Final MV state == group-by over base + both streamed epochs = the
+    // whole table (the %5 classes partition the keys).
+    "stream_mv_maintenance" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${osum("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "lake_server_flow" ->
       s"""WITH delta AS (

@@ -128,37 +128,74 @@ object DataQuality {
     * Spark satisfies an empty partitionSpec with Exchange SinglePartition,
     * moving every row to one task. This implementation computes the same
     * assignment from a RANGE-PARTITIONED sort instead: repartitionByRange
-    * on the total order spreads the sort across the cluster; row_number
-    * within each range partition gives a local rank; the per-partition
-    * counts (≤ shuffle-partitions rows) aggregate into offsets that a
-    * broadcast join adds back, so global rank = offset + local rank; the
-    * bin is then ntile's own front-loaded arithmetic on (rank, n, k) in
-    * exact integer `div`. The only single-partition exchange left in the
-    * plan carries the ≤ P aggregated count rows, never the data. The whole
-    * thing is ONE query, so the range exchange is planned once and reused
-    * by both consumers (ReuseExchange) — the sampled range boundaries
-    * cannot drift between the rank pass and the count pass. For per-group
-    * binning partition by the group instead; for 100 TB-scale APPROXIMATE
-    * deciles use the catalog's quantile sketches ([[qcutApprox]]) — this
-    * operator is the exact path.
+    * on the total order spreads the sort across the cluster; the local
+    * rank within each range partition reads off `monotonically_increasing_
+    * id()` applied AFTER `sortWithinPartitions` (the value is by contract
+    * `partition id << 33 | in-order record number` — a partition-local
+    * rank with NO window, so no second data-sized Exchange: a
+    * `row_number() over (partition by pid)` here would re-shuffle every
+    * row by pid hash, since hash-by-pid is a different partitioning than
+    * the range exchange satisfies). The per-partition counts (≤
+    * shuffle-partitions rows) aggregate into offsets that a broadcast
+    * join adds back, so global rank = offset + local rank; the bin is
+    * then ntile's own front-loaded arithmetic on (rank, n, k) in exact
+    * integer `div`. The data is exchanged ONCE (the range shuffle); the
+    * only single-partition exchange carries the ≤ P aggregated count
+    * rows. The whole thing is ONE query, so the range exchange is planned
+    * once and reused by both consumers (ReuseExchange) — the sampled
+    * range boundaries cannot drift between the rank pass and the count
+    * pass (and the reuse precondition is enforced below). The counts come
+    * from `spark_partition_id()` independently of the id encoding, and an
+    * `assert_true` on them refuses partitions at the 2^33-row encoding
+    * limit instead of silently wrapping the rank. For per-group binning
+    * partition by the group instead; for 100 TB-scale APPROXIMATE deciles
+    * use the catalog's quantile sketches ([[qcutApprox]]) — this operator
+    * is the exact path.
     */
   def qcut(df: DataFrame, valueCol: String, k: Int, tieCols: Seq[String]): DataFrame = {
     require(k >= 2, s"need at least 2 bins: $k")
     require(tieCols.nonEmpty, "qcut needs a tie-break column for a total order")
+    // The one-query reuse argument above is a PRECONDITION, not a hope:
+    // with exchange reuse disabled the rank branch and the offsets branch
+    // would each re-run the range exchange, and RangePartitioner re-SAMPLES
+    // its boundaries per execution (the sample seed derives from the RDD
+    // id) — the two passes could disagree on which partition a row belongs
+    // to, silently mis-aligning every offset. Refuse loudly instead.
+    require(df.sparkSession.conf.get("spark.sql.exchange.reuse", "true").toBoolean,
+      "qcut requires spark.sql.exchange.reuse=true: the rank and offset " +
+        "passes must read ONE materialized range shuffle — re-executed " +
+        "exchanges re-sample their boundaries and the offsets mis-align")
     val ord: Seq[Column] = col(valueCol) +: tieCols.map(col)
     val p = math.max(1, df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt)
     val ranged = df.repartitionByRange(p, ord: _*)
-      .withColumn("__qcut_pid", spark_partition_id())
-    val local = Window.partitionBy(col("__qcut_pid")).orderBy(ord: _*)
-    val withRn = ranged.withColumn("__qcut_rn", row_number().over(local))
+    // Local rank with no window: after the partition-local sort,
+    // monotonically_increasing_id() is `pid << 33 | record number` in
+    // iteration (= sorted) order. The nondeterministic projection also
+    // BLOCKS EliminateSorts from dropping the sort underneath it.
+    val withRn = ranged.sortWithinPartitions(ord: _*)
+      .withColumn("__qcut_mid", monotonically_increasing_id())
+      .withColumn("__qcut_pid", shiftright(col("__qcut_mid"), 33).cast("int"))
+      .withColumn("__qcut_rn",
+        col("__qcut_mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+      .drop("__qcut_mid")
     // P-row offsets frame: rows ranked before each range partition, plus
     // the global total. The unpartitioned running-sum window here is over
     // the ≤ P aggregated rows — the same bounded shape histogramDrift uses.
-    val offs = ranged.groupBy(col("__qcut_pid")).agg(count(lit(1)).as("__qcut_cnt"))
+    // Counted by spark_partition_id(), NOT the id encoding, so the
+    // assert_true below soundly refuses a partition that would overflow
+    // the 33-bit record number (8.6 B rows in ONE range partition).
+    val offs = ranged.select(spark_partition_id().as("__qcut_pid"))
+      .groupBy(col("__qcut_pid")).agg(count(lit(1)).as("__qcut_cnt"))
+      // The guard rides INSIDE the kept offset expression (null + 0 when
+      // healthy) — a standalone dropped column would be pruned unevaluated.
       .withColumn("__qcut_off", coalesce(sum("__qcut_cnt").over(
         Window.orderBy("__qcut_pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
+        coalesce(assert_true(
+          col("__qcut_cnt") <= lit((1L << 33) - 1L),
+          lit("qcut: a range partition exceeds 2^33 rows — raise the " +
+            "partition count")).cast("long"), lit(0L)))
       .withColumn("__qcut_n", sum("__qcut_cnt").over(Window.partitionBy(lit(1))))
       .select("__qcut_pid", "__qcut_off", "__qcut_n")
     // ntile's assignment as a pure function of (global rank r, n, k):

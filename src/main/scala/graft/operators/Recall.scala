@@ -31,6 +31,13 @@ object Recall {
 
   /** One-row recall judgment of `approx` against ground truth `exact` on
     * the key tuple `keyCols`. Columns: (status, truth).
+    *
+    * Null keys: a truth row with a NULL key component can never match
+    * (SQL join semantics) — it counts toward `truth` and permanently
+    * depresses recall, which is the conservative direction (a gate can
+    * only read healthier than reality by EXCLUDING truth, never by null
+    * keys). Retrieval keys here are ids/top-k members and non-null by
+    * construction; pass keys through `coalesce` first if yours are not.
     */
   def gate(
       approx: DataFrame, exact: DataFrame, keyCols: Seq[String],

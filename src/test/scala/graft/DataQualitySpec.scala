@@ -177,6 +177,39 @@ class DataQualitySpec extends SparkSpec {
     assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(2000))
   }
 
+  test("qcut: ONE reused range exchange, no second data-sized shuffle") {
+    import spark.implicits._
+    // Execute, then read the FINAL adaptive plan: the offsets branch must
+    // reuse the rank branch's range shuffle (one sampled boundary set) —
+    // a second independent range exchange would re-sample its boundaries
+    // and could disagree on row placement. And the rank must come from the
+    // sorted-partition id encoding, not a window: `row_number() over
+    // (partition by pid)` would add a second DATA-sized hash exchange.
+    val df = (1 to 500).map(i => (i.toLong, i % 23)).toDF("id", "v")
+    val q = DataQuality.qcut(df, "v", 8, Seq("id"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val ranges = plan.linesIterator
+      .filter(l => l.contains("Exchange rangepartitioning") &&
+        !l.contains("ReusedExchange")).size
+    assert(ranges == 1, s"expected ONE range exchange:\n${plan.take(3000)}")
+    assert(plan.contains("ReusedExchange"), plan.take(3000))
+    assert(!plan.contains("row_number"), plan.take(3000))
+  }
+
+  test("qcut: refuses loudly when exchange reuse is disabled") {
+    import spark.implicits._
+    val df = Seq((1L, 1), (2L, 2)).toDF("id", "v")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        DataQuality.qcut(df, "v", 2, Seq("id"))
+      }
+      assert(e.getMessage.contains("exchange.reuse"))
+    } finally spark.conf.set("spark.sql.exchange.reuse", "true")
+  }
+
   test("qcut: more bins than rows degrades to one row per bin") {
     import spark.implicits._
     val df = Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "v")
