@@ -2537,6 +2537,10 @@ object SparkEntry {
               .as("text")))
       DataQuality.histogramDrift(d, after, length(col("text")),
           binWidth = 50L, nBins = 12)
+        // dev is Decimal(38,0) for the >9.2e18 row-product regime; at any
+        // gate scale it fits a long exactly, and the long keeps the oracle
+        // on portable BIGINT arithmetic.
+        .withColumn("dev", col("dev").cast("long"))
         .orderBy("bin")
     }),
 
@@ -2598,6 +2602,19 @@ object SparkEntry {
       graft.operators.TimeSeries.ewmaWindowed(
           dailyPurchases(s, dir), "user_id", "day", "v_ticks")
         .select(col("user_id"), col("day"), col("v_ticks"), col("ewma"))
+        .orderBy("user_id", "day")
+    }),
+
+    // Rolling anomaly flags: (x−μ)² > k²σ² over each user's trailing
+    // 5-observation window as the exact integer predicate
+    // kd²·(N·x−S1)² > kn²·(N·S2−S1²) — no sqrt, no float variance, so
+    // the oracle reproduces every flag bit-for-bit in HUGEINT. Rows with
+    // fewer than 5 prior observations emit NULL (don't-know, not normal).
+    "ts_anomaly" -> ((s, dir) => {
+      graft.operators.TimeSeries.anomalies(
+          dailyPurchases(s, dir), "user_id", "day", "v_ticks",
+          window = 5, kNum = 2, kDen = 1)
+        .select(col("user_id"), col("day"), col("v_ticks"), col("anomaly"))
         .orderBy("user_id", "day")
     }),
 
@@ -4985,6 +5002,27 @@ object SparkEntry {
          |  END AS ewma
          |FROM e""".stripMargin
     },
+
+    // kd=1, kn=2: flag ⇔ 1·(5·x − S1)² > 4·(5·S2 − S1²), every product in
+    // HUGEINT — the identical integer predicate the engine evaluates in
+    // Decimal(38,0).
+    "ts_anomaly" ->
+      """WITH obs AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,4))) * 10000 AS BIGINT) AS v_ticks
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |win AS (SELECT user_id, day, v_ticks,
+        |    COUNT(v_ticks) OVER w AS m,
+        |    SUM(CAST(v_ticks AS HUGEINT)) OVER w AS s1,
+        |    SUM(CAST(v_ticks AS HUGEINT) * CAST(v_ticks AS HUGEINT)) OVER w AS s2
+        |  FROM obs
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, day, v_ticks,
+        |  CASE WHEN v_ticks IS NULL OR m < 5 THEN NULL
+        |       ELSE (5*v_ticks - s1)*(5*v_ticks - s1) > 4*(5*s2 - s1*s1) END
+        |    AS anomaly
+        |FROM win""".stripMargin,
 
     "ts_sessions" ->
       """WITH flg AS (

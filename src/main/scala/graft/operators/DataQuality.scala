@@ -90,6 +90,12 @@ object DataQuality {
     * two tiny frames. Values must be non-negative and below 2^53 (the
     * binning floor is IEEE-exact there; lengths, counts, and scores all
     * qualify).
+    *
+    * `dev` is Decimal(38,0), NOT long: a single bin's numerator can reach
+    * N_before·N_after, which wraps a 64-bit product once the table×batch
+    * row product passes ~9.2e18 — a 1e12-row table against a 1e7-row
+    * batch is over it. The decimal products are exact to 38 digits
+    * (counts are ≤ 19 digits each) and codegen like any arithmetic.
     */
   def histogramDrift(before: DataFrame, after: DataFrame, value: Column,
       binWidth: Long, nBins: Int): DataFrame = {
@@ -105,10 +111,12 @@ object DataQuality {
     // The totals window runs over the post-aggregation nBins-row frame —
     // a single-partition window over ≤ nBins rows, not a data-sized sort.
     val all = Window.partitionBy(lit(1))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     j.withColumn("__tb", sum("n_before").over(all))
       .withColumn("__ta", sum("n_after").over(all))
       .select(col("bin"), col("n_before"), col("n_after"),
-        abs(col("n_before") * col("__ta") - col("n_after") * col("__tb"))
+        abs(col("n_before").cast(dec) * col("__ta").cast(dec) -
+          col("n_after").cast(dec) * col("__tb").cast(dec))
           .as("dev"))
   }
 

@@ -51,11 +51,24 @@ object Graphs {
       if (maxRightDegree == Int.MaxValue) {
         val volumeCap = df.sparkSession.conf
           .get("spark.graft.graph.projectionVolumeCap", (1L << 31).toString).toLong
+        // The prediction runs in Decimal(38,0): deg·(deg−1) wraps a LONG
+        // once one hub's degree passes ~4.3e9 and the Σ wraps far earlier
+        // — i.e. the guard itself would overflow exactly on the
+        // crawl-scale graph it exists to refuse, and a wrapped (negative
+        // or small) volume silently PASSES the cap check.
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
         val probe = b.groupBy("item").agg(count(lit(1)).as("__deg"))
-          .agg(sum(expr("__deg * (__deg - 1) div 2")).as("vol"),
-            max(col("__deg")).as("maxDeg"))
+          .agg(sum(col("__deg").cast(dec) * (col("__deg") - 1L).cast(dec))
+            .as("vol2"), max(col("__deg")).as("maxDeg"))
           .head()
-        val vol = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+        // Null vol2 with a non-null maxDeg is a decimal-sum OVERFLOW
+        // (> 10^38 candidate pairs), not an empty input — refuse loudly
+        // rather than reading null as zero.
+        require(probe.isNullAt(1) || !probe.isNullAt(0),
+          "bipartite projection volume exceeds 10^38 candidate pairs — " +
+            "pass maxRightDegree")
+        val vol = if (probe.isNullAt(0)) BigInt(0)
+          else BigInt(probe.getDecimal(0).toBigInteger) / 2
         require(vol <= volumeCap,
           s"uncapped bipartite projection would emit ~$vol candidate pairs " +
             s"(> spark.graft.graph.projectionVolumeCap=$volumeCap); the worst " +
@@ -104,8 +117,12 @@ object Graphs {
       .select(col("v"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
       .select(col("v"), col("degree"), col("triangles"),
+        // Denominator in DOUBLE: deg·(deg−1) as a long product wraps past
+        // deg ~3e9 (the coefficient is a double ratio anyway, so the
+        // 2^53 mantissa is the only precision that ever mattered here).
         when(col("degree") > 1,
-          col("triangles") * 2.0 / (col("degree") * (col("degree") - 1)))
+          col("triangles") * 2.0 /
+            (col("degree").cast("double") * (col("degree") - 1).cast("double")))
           .otherwise(lit(0.0)).as("coeff"))
   }
 

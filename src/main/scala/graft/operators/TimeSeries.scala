@@ -246,6 +246,72 @@ object TimeSeries {
       .drop("__num", "__den")
   }
 
+  /** Rolling anomaly flags on the exact integer grid: a row is anomalous
+    * when its value deviates from its key's TRAILING window (the N rows
+    * strictly before it — the current row is excluded so a spike cannot
+    * mask itself) by more than k standard deviations. The test
+    * `(x − μ)² > k²·σ²` is evaluated as the equivalent integer predicate
+    *
+    *   kd²·(N·x − S1)²  >  kn²·(N·S2 − S1²)        (k = kn/kd, S1 = Σxᵢ,
+    *                                                S2 = Σxᵢ² over the window)
+    *
+    * — multiply both sides of the float form by kd²·N² and every term is
+    * an integer, so the flag is bit-reproducible by any exact engine (the
+    * DuckDB oracle runs the same products in HUGEINT; no sqrt, no float
+    * variance). A CONSTANT window (σ = 0) flags any deviation from it —
+    * the "sensor unstuck" signal. Rows with fewer than `window` prior
+    * observations (or a null value) emit a NULL flag: insufficient
+    * history is "don't know", never "normal".
+    *
+    * Scale shape: two running window sums + one comparison over the SAME
+    * partitionBy(key) exchange every op in this file shares — anomaly
+    * scanning a filled series adds zero shuffles to the upsample →
+    * interpolate chain. Overflow is excluded STATICALLY: the products run
+    * in Decimal(38,0) and a plan-build BigInt guard requires
+    * 4·kd²·N²·X² < 10^38 and 2·kn²·N²·X² < 10^38 for X = `maxAbsValue`
+    * (a decimal overflow in non-ANSI mode would silently NULL the flag —
+    * the guard makes that unreachable), while an `assert_true` riding the
+    * flag column enforces |x| ≤ X on every row at run time.
+    */
+  def anomalies(
+      df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      window: Int, kNum: Int = 3, kDen: Int = 1,
+      maxAbsValue: Long = 1000000000000000L): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    require(kNum > 0 && kDen > 0, s"need k = kNum/kDen > 0: $kNum/$kDen")
+    require(maxAbsValue > 0, s"maxAbsValue must be positive: $maxAbsValue")
+    val lim = BigInt(10).pow(38)
+    val nB = BigInt(window); val xB = BigInt(maxAbsValue)
+    require(BigInt(kDen).pow(2) * 4 * nB.pow(2) * xB.pow(2) < lim &&
+      BigInt(kNum).pow(2) * 2 * nB.pow(2) * xB.pow(2) < lim,
+      s"anomalies: window=$window, k=$kNum/$kDen, maxAbsValue=$maxAbsValue " +
+        "exceeds the Decimal(38,0) grid — shrink the window, k, or the " +
+        "value bound")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+      .rowsBetween(-window, -1)
+    val x = col(valueCol).cast(dec)
+    val m = count(col(valueCol)).over(w)
+    val s1 = sum(x).over(w)
+    val s2 = sum(x * x).over(w)
+    val n = lit(window.toLong).cast(dec)
+    val d = n * x - s1
+    val v = n * s2 - s1 * s1
+    val flag = when(col(valueCol).isNull || m < lit(window.toLong),
+        lit(null).cast("boolean"))
+      .otherwise(lit(kDen.toLong * kDen).cast(dec) * d * d >
+        lit(kNum.toLong * kNum).cast(dec) * v)
+    // Domain guard evaluated on EVERY row (a when() that is always true
+    // or throws): rows with a null flag still feed later windows, so the
+    // bound must hold for them too.
+    val guard = coalesce(assert_true(
+      col(valueCol).isNull || abs(col(valueCol)) <= lit(maxAbsValue),
+      lit(s"anomalies: |$valueCol| exceeds maxAbsValue=$maxAbsValue — " +
+        "raise the bound (the overflow guard re-derives)")).cast("boolean"),
+      lit(true))
+    df.withColumn("anomaly", when(guard, flag))
+  }
+
   def rle(
       df: DataFrame, keyCol: String, orderCols: Seq[String], valueCol: String): DataFrame = {
     require(orderCols.nonEmpty, "rle needs at least one ordering column")

@@ -150,10 +150,13 @@ object StreamingIngest {
         val r = graft.operators.DataQuality
           .histogramDrift(ds.toDF, b, col(valueCol), binWidth, nBins)
           .agg(sum("dev"), sum("n_before"), sum("n_after")).head()
-        val sumDev = r.getLong(0)
+        // dev is Decimal(38,0) (per-bin numerators overflow a long once
+        // the table×batch row product passes ~9.2e18); the whole decision
+        // stays in exact big-integer arithmetic.
+        val sumDev = BigInt(r.getDecimal(0).toBigInteger)
         val nTable = r.getLong(1)
         val nBatch = r.getLong(2)
-        val drifted = BigInt(sumDev) * 1000 >
+        val drifted = sumDev * 1000 >
           BigInt(maxDevPerMille) * 2 * BigInt(nTable) * BigInt(nBatch)
         if (drifted) quarantine.insert(b) else ds.insert(b)
       }

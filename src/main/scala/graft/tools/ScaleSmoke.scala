@@ -1644,10 +1644,10 @@ object ScaleSmoke {
         graft.operators.DataQuality.histogramDrift(
           beforeBig, afterBig, col("v"), 100L, 12).collect()
       }
-      println(s"[scale] r14b drift: ${dd.length} bins, " +
-        s"total dev ${dd.map(_.getAs[Long]("dev")).sum}")
-      require(dd.map(_.getAs[Long]("dev")).sum > 0L,
-        "a reshaped snapshot must register drift")
+      val totalDev = dd.map(r =>
+        BigInt(r.getAs[java.math.BigDecimal]("dev").toBigInteger)).sum
+      println(s"[scale] r14b drift: ${dd.length} bins, total dev $totalDev")
+      require(totalDev > 0, "a reshaped snapshot must register drift")
     }
     if (onlyR14b) { spark.stop(); return }
 
@@ -1818,6 +1818,29 @@ object ScaleSmoke {
         s"$foundR/$nPlantedR = ${foundR.toDouble / nPlantedR}")
       require(foundR * 100L >= nPlantedR * 95L,
         s"MinHash LSH planted recall collapsed at scale: $foundR/$nPlantedR")
+
+      // (3) Exact qcut at COPIES×: the one-exchange distributed rank (rank
+      // read off the sorted-partition id encoding — the r15 rewrite that
+      // dropped the second data-sized pid-hash shuffle). Equal-count bins
+      // are EXACT by construction: max spread across 100 bins must be 1.
+      val ord0q = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+      val ordersQ = (0 until copies).map { i =>
+        ord0q.select(
+          (col("o_orderkey") + lit(i.toLong * 100000000L)).as("o_orderkey"),
+          col("o_totalprice"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      val nOrdQ = ordersQ.count()
+      val binsQ = time(s"r15 exact qcut INTO 100 over $nOrdQ rows")(
+        graft.operators.DataQuality
+          .qcut(ordersQ, "o_totalprice", 100, Seq("o_orderkey"))
+          .groupBy("bin").agg(count(lit(1)).as("n")).localCheckpoint(true))
+      val sprQ = binsQ.agg(max("n"), min("n"), sum("n"), count(lit(1))).head()
+      require(sprQ.getLong(3) == 100L && sprQ.getLong(2) == nOrdQ &&
+        sprQ.getLong(0) - sprQ.getLong(1) <= 1L,
+        s"qcut bins unbalanced at scale: $sprQ")
+      println(s"[scale] r15 exact qcut at ${copies}x: " +
+        s"${sprQ.getLong(1)}..${sprQ.getLong(0)} rows/bin over $nOrdQ")
     }
     if (onlyR15) { spark.stop(); return }
 

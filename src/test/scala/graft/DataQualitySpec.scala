@@ -83,7 +83,13 @@ class DataQualitySpec extends SparkSpec {
     // bin, not dropped). after: 5→0, 5→0, 200→2.
     val before = Seq(5L, 55L, 105L, 9999L).toDF("v")
     val after = Seq(5L, 5L, 200L).toDF("v")
-    val got = DataQuality.histogramDrift(before, after, col("v"), 50L, 3)
+    val raw = DataQuality.histogramDrift(before, after, col("v"), 50L, 3)
+    // dev is Decimal(38,0): a bin numerator reaches N_before·N_after,
+    // which wraps a 64-bit product past ~9.2e18 row-products — the
+    // 1e12-row-table × 1e7-row-batch regime the drift gate guards.
+    assert(raw.schema("dev").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 0))
+    val got = raw.withColumn("dev", col("dev").cast("long"))
       .orderBy("bin")
       .as[(Long, Long, Long, Long)].collect().toSeq
     // dev = |n_before·N_after − n_after·N_before| with N_before=4, N_after=3.
@@ -92,7 +98,7 @@ class DataQualitySpec extends SparkSpec {
     assert(got.map(_._4).sum == 10L)
     // Identical snapshots drift zero in every bin.
     val same = DataQuality.histogramDrift(before, before, col("v"), 50L, 3)
-      .agg(sum("dev")).head().getLong(0)
+      .agg(sum("dev").cast("long")).head().getLong(0)
     assert(same == 0L)
   }
 

@@ -150,6 +150,69 @@ class TimeSeriesSpec extends SparkSpec {
     TimeSeries.ewmaWindowed(df, "k", "day", "v").collect()
   }
 
+  test("anomalies: hand case — trailing window, constant-window deviation flags") {
+    // window=2, k=1: flag ⇔ (2x − S1)² > (2·S2 − S1²) over the 2 PRIOR rows.
+    val out = TimeSeries.anomalies(
+        series((1L, 1, 10L), (1L, 2, 10L), (1L, 3, 10L), (1L, 4, 25L)),
+        "k", "day", "v", window = 2, kNum = 1, kDen = 1)
+      .orderBy("day").select($"anomaly").as[Option[Boolean]].collect()
+    // t1/t2: < 2 prior observations → NULL (don't-know, not normal).
+    // t3: prior [10,10] constant, x on it → no deviation. t4: x=25 off a
+    // constant window (σ=0) → any deviation flags.
+    assert(out === Array(None, None, Some(false), Some(true)))
+  }
+
+  test("anomalies: randomized series matches a BigInt reference; nulls don't count") {
+    val rnd = new scala.util.Random(31)
+    val rows = for (k <- 1 to 3; d <- 1 to 20) yield {
+      val v: java.lang.Long =
+        if (rnd.nextInt(7) == 0) null
+        else java.lang.Long.valueOf(rnd.nextLong() % 100000L)
+      (k.toLong, d, v)
+    }
+    val (win, kn, kd) = (4, 3, 2)
+    val got = TimeSeries.anomalies(series(rows: _*), "k", "day", "v",
+        window = win, kNum = kn, kDen = kd)
+      .orderBy("k", "day")
+      .select($"k", $"day", $"v", $"anomaly")
+      .as[(Long, Timestamp, Option[Long], Option[Boolean])].collect().toSeq
+    // Reference: same predicate in driver-side BigInt over the sorted
+    // series. The rowsBetween frame holds the last `win` PHYSICAL rows
+    // (null-valued rows are frame members, excluded from count/sums) —
+    // mirror exactly.
+    val byKey = rows.groupBy(_._1)
+    val want = rows.sortBy(r => (r._1, r._2)).map { case (k, d, v) =>
+      val frame = byKey(k).filter(_._2 < d).sortBy(_._2).takeRight(win)
+      val xs = frame.flatMap(r => Option(r._3).map(x => BigInt(x.longValue())))
+      if (v == null || frame.size < win || xs.size < win) None
+      else {
+        val s1 = xs.sum; val s2 = xs.map(x => x * x).sum
+        val x = BigInt(v.longValue()); val n = BigInt(win)
+        val dterm = n * x - s1
+        Some(BigInt(kd) * kd * dterm * dterm > BigInt(kn) * kn * (n * s2 - s1 * s1))
+      }
+    }
+    assert(got.map(_._4) === want)
+  }
+
+  test("anomalies: overflow guard and runtime domain assert both fire") {
+    val df = series((1L, 1, 10L), (1L, 2, 10L), (1L, 3, 10L))
+    // Plan-build guard: kn²·2·N²·X² ≥ 10^38 at the default X = 10^15.
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.anomalies(df, "k", "day", "v", window = 5, kNum = 2000)
+    }
+    assert(e.getMessage.contains("Decimal(38,0)"))
+    // Runtime assert: a row past maxAbsValue fails loudly on every row,
+    // including rows whose own flag is NULL.
+    val thrown = intercept[Exception] {
+      TimeSeries.anomalies(series((1L, 1, 100L), (1L, 2, 5L)),
+        "k", "day", "v", window = 2, kNum = 1, maxAbsValue = 10L)
+        .collect()
+    }
+    assert(thrown.getMessage.contains("maxAbsValue") ||
+      Option(thrown.getCause).exists(_.getMessage.contains("maxAbsValue")))
+  }
+
   test("rle collapses runs deterministically under a total order") {
     val df = Seq(
       (1L, 1, "a"), (1L, 2, "a"), (1L, 3, "b"), (1L, 4, "a"), (1L, 5, "a"),

@@ -1,7 +1,7 @@
 import duckdb, json, glob, sys
 import pandas as pd
 sf = '/root/testdata/sf0.01'
-out = '/tmp/verify_out'
+out = __import__('sys').argv[1] if len(__import__('sys').argv) > 1 else '/tmp/verify_out'
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
