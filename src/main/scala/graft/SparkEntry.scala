@@ -1329,6 +1329,43 @@ object SparkEntry {
     // watermark, second flushes under it; the sentinels' own sessions are
     // filtered by key). The emitted set then equals the batch
     // sessionization of the final events — one DuckDB lag/cumsum oracle.
+    // STREAMING rolling anomaly flags — the stream twin of ts_anomaly:
+    // same integer predicate over a per-key ring of the last 5
+    // observations (flatMapGroupsWithState, state O(keys·N)), fed the same
+    // series in two event-time-ordered epochs; the final flag table
+    // hash-matches ts_anomaly's HUGEINT oracle bit-for-bit.
+    "stream_anomaly" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import graft.streaming.StreamingIngest
+      val series = dailyPurchases(s, dir)
+        .select(col("user_id"), unix_micros(col("day")), col("v_ticks"))
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._1))
+      require(series.length <= 200000, s"gate fixture grew: ${series.length} points")
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+      val flags = StreamingIngest.anomalyFlags(
+        mem.toDS().map { case (k, us, v) => StreamingIngest.SeriesPoint(k, us, v) },
+        window = 5, kNum = 2, kDen = 1)
+      val root = Files.createTempDirectory("graft_sanom").toString
+      val ds = LakeDataset.forStorage(s, partitionCols = Nil, bucketCols = Nil,
+        nBuckets = 1, bloomCols = Nil, storage = graft.model.StorageSpec(root))
+      val q = flags.toDF.writeStream.outputMode("append").foreachBatch(
+        (b: DataFrame, _: Long) => ds.insert(b)).start()
+      try {
+        // Global event-time order makes every key monotone across epochs —
+        // the contract the stateful ring requires.
+        val (h1, h2) = series.splitAt(series.length / 2)
+        mem.addData(h1.toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(h2.toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      ds.toDF.select(col("key").as("user_id"),
+          timestamp_micros(col("ts_us")).as("day"),
+          col("v").as("v_ticks"), col("anomaly"))
+        .orderBy("user_id", "day")
+    }),
+
     "stream_session_window" -> ((s, dir) => {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
@@ -5007,6 +5044,25 @@ object SparkEntry {
     // HUGEINT — the identical integer predicate the engine evaluates in
     // Decimal(38,0).
     "ts_anomaly" ->
+      """WITH obs AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,4))) * 10000 AS BIGINT) AS v_ticks
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |win AS (SELECT user_id, day, v_ticks,
+        |    COUNT(v_ticks) OVER w AS m,
+        |    SUM(CAST(v_ticks AS HUGEINT)) OVER w AS s1,
+        |    SUM(CAST(v_ticks AS HUGEINT) * CAST(v_ticks AS HUGEINT)) OVER w AS s2
+        |  FROM obs
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, day, v_ticks,
+        |  CASE WHEN v_ticks IS NULL OR m < 5 THEN NULL
+        |       ELSE (5*v_ticks - s1)*(5*v_ticks - s1) > 4*(5*s2 - s1*s1) END
+        |    AS anomaly
+        |FROM win""".stripMargin,
+
+    // The stream twin must converge to the batch flags exactly.
+    "stream_anomaly" ->
       """WITH obs AS (
         |  SELECT user_id, date_trunc('day', ts) AS day,
         |    CAST(SUM(CAST(value AS DECIMAL(38,4))) * 10000 AS BIGINT) AS v_ticks

@@ -142,15 +142,27 @@ object TimeSeries {
     * [[interpolateLinear]]. First row per key and non-positive previous
     * values yield null (a percent change against zero or negative base has
     * no meaning). One lag window over the shared (key, ts) exchange.
+    * Domain: |diff| must stay within Long.MaxValue/10⁴ (~9.2e14 ticks) on
+    * rows where the change is computed — enforced per row by a loud
+    * `assert_true`, since the wrapped numerator would otherwise produce a
+    * silently wrong basis-point value in non-ANSI mode.
     */
   def diffPct(
       df: DataFrame, keyCol: String, tsCol: String, valueCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    // Domain guard: diff·10⁴ must fit a long — |diff| past ~9.2e14 ticks
+    // would wrap the basis-point numerator silently in non-ANSI mode.
+    // Rides the kept column (always-true-or-throws), evaluated per row.
+    val guard = coalesce(assert_true(
+      col("__prev").isNull || col("__prev") <= 0L ||
+        abs(col("diff")) <= lit(Long.MaxValue / 10000L),
+      lit("diffPct: |diff| exceeds Long.MaxValue/10^4 ticks — rescale the " +
+        "series before taking basis points")).cast("boolean"), lit(true))
     df.withColumn("__prev", lag(col(valueCol), 1).over(w))
       .withColumn("diff", col(valueCol) - col("__prev"))
       .withColumn("__num", col("diff") * 10000L)
       .withColumn("pct_bps",
-        when(col("__prev") > 0L,
+        when(guard && col("__prev") > 0L,
           expr("(__num - pmod(__num, __prev)) div __prev")))
       .drop("__prev", "__num")
   }

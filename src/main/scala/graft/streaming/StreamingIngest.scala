@@ -541,6 +541,69 @@ object StreamingIngest {
       }
   }
 
+  /** One observation on the streaming-anomaly path. */
+  final case class SeriesPoint(key: Long, ts_us: Long, v: Long)
+
+  /** Per-key trailing-window state: the last event time (order guard) and
+    * the last ≤ N observed values, oldest first. */
+  final case class AnomalyRing(lastTsUs: Long, ring: Seq[Long])
+
+  /** One flagged observation: `anomaly` is None when the key had fewer
+    * than N prior observations (don't-know, never "normal"). */
+  final case class AnomalyFlag(key: Long, ts_us: Long, v: Long,
+    anomaly: Option[Boolean])
+
+  /** Streaming rolling anomaly flags — the stream twin of
+    * [[graft.operators.TimeSeries.anomalies]], same integer predicate
+    * `kd²·(N·x−S1)² > kn²·(N·S2−S1²)` over each key's last `window`
+    * observations, evaluated in BigInt inside the state function (window
+    * values are a handful of longs; no float variance, so the streamed
+    * flags hash-match the batch operator and its HUGEINT oracle exactly).
+    *
+    * State per key is the ring of the last ≤ N values plus one timestamp —
+    * O(keys·N), independent of stream length. The trailing-window
+    * semantics REQUIRE per-key event-time-monotone arrival across batches
+    * (the same contract the incremental-index sinks state for replay):
+    * an out-of-order event would need history this state no longer holds,
+    * so it REFUSES loudly instead of emitting a silently wrong flag.
+    * Within a batch, events sort by event time first. Append mode; also
+    * runs on batch Datasets for tests.
+    */
+  def anomalyFlags(
+      points: Dataset[SeriesPoint], window: Int,
+      kNum: Int = 3, kDen: Int = 1): Dataset[AnomalyFlag] = {
+    require(window >= 2, s"window must be >= 2: $window")
+    require(kNum > 0 && kDen > 0, s"need k = kNum/kDen > 0: $kNum/$kDen")
+    import points.sparkSession.implicits._
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState[AnomalyRing, AnomalyFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, batch, state: GroupState[AnomalyRing]) =>
+          val sorted = batch.toSeq.sortBy(_.ts_us)
+          var st = state.getOption.getOrElse(AnomalyRing(Long.MinValue, Vector.empty))
+          val out = sorted.map { p =>
+            if (p.ts_us <= st.lastTsUs) throw new IllegalStateException(
+              s"anomalyFlags: out-of-order event for key $key at ts ${p.ts_us}" +
+                s" (state already at ${st.lastTsUs}) — trailing-window flags " +
+                "need per-key event-time-monotone batches")
+            val flag =
+              if (st.ring.size < window) None
+              else {
+                val n = BigInt(window)
+                val s1 = st.ring.iterator.map(BigInt(_)).sum
+                val s2 = st.ring.iterator.map(x => BigInt(x) * BigInt(x)).sum
+                val d = n * BigInt(p.v) - s1
+                Some(BigInt(kDen) * kDen * d * d >
+                  BigInt(kNum) * kNum * (n * s2 - s1 * s1))
+              }
+            st = AnomalyRing(p.ts_us, (st.ring :+ p.v).takeRight(window))
+            AnomalyFlag(key, p.ts_us, p.v, flag)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Gap-based SESSION windows — the stream-relational sessionization verb
     * (Spark's native `session_window`, planned as the merging-session state
     * store): events of one key whose gaps stay under `gap` merge into one

@@ -559,4 +559,53 @@ class IngestStreamingSpec extends SparkSpec {
     assert(seen.sorted == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
       s"each key exactly once: $seen")
   }
+
+  test("anomalyFlags: stream flags equal the batch operator across epochs") {
+    import graft.streaming.StreamingIngest.{AnomalyFlag, SeriesPoint}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    val pts = (for (k <- 1L to 3L; t <- 1 to 30) yield
+      SeriesPoint(k, t.toLong * 1000000L, rnd.nextLong() % 1000L)).toSeq
+    val mem = MemoryStream[SeriesPoint]
+    val got = scala.collection.mutable.ArrayBuffer.empty[AnomalyFlag]
+    val q = StreamingIngest.anomalyFlags(mem.toDS(), window = 4, kNum = 3, kDen = 2)
+      .writeStream.outputMode("append").foreachBatch(
+        (b: org.apache.spark.sql.Dataset[AnomalyFlag], _: Long) =>
+          { got ++= b.collect(); () }).start()
+    try {
+      val sorted = pts.sortBy(_.ts_us)
+      val (h1, h2) = sorted.splitAt(sorted.length / 2)
+      mem.addData(h1: _*); q.processAllAvailable()
+      mem.addData(h2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.operators.TimeSeries.anomalies(
+        pts.map(p => (p.key, p.ts_us, p.v)).toDF("k", "t", "v"),
+        "k", "t", "v", window = 4, kNum = 3, kDen = 2)
+      .select($"k", $"t", $"v", $"anomaly")
+      .as[(Long, Long, Long, Option[Boolean])].collect()
+      .map(r => AnomalyFlag(r._1, r._2, r._3, r._4)).toSet
+    assert(got.size == want.size && got.toSet == want)
+    // the first `window` points of each key carry the don't-know NULL
+    assert(got.count(_.anomaly.isEmpty) == 3 * 4)
+  }
+
+  test("anomalyFlags: out-of-order arrival refuses loudly, never flags wrong") {
+    import graft.streaming.StreamingIngest.{AnomalyFlag, SeriesPoint}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[SeriesPoint]
+    val q = StreamingIngest.anomalyFlags(mem.toDS(), window = 2)
+      .writeStream.outputMode("append").foreachBatch(
+        (b: org.apache.spark.sql.Dataset[AnomalyFlag], _: Long) =>
+          { b.count(); () }).start()
+    try {
+      mem.addData(SeriesPoint(1L, 100L, 1L))
+      q.processAllAvailable()
+      mem.addData(SeriesPoint(1L, 50L, 2L))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+      assert(chain(e).exists(m => m != null && m.contains("monotone")),
+        chain(e).mkString(" | "))
+    } finally q.stop()
+  }
 }

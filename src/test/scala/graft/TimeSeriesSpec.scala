@@ -103,6 +103,19 @@ class TimeSeriesSpec extends SparkSpec {
       (None, None),
       (Some(50L), Some(5000L)),
       (Some(-30L), Some(-2000L))))  // floor(-300000/150) — exact here
+    // Domain guard: a diff past Long.MaxValue/10^4 must fail LOUDLY, never
+    // compute wrapped. Under ANSI (the Spark 4 default) the multiply's own
+    // ARITHMETIC_OVERFLOW fires; with ANSI off the per-row assert_true
+    // ("rescale") catches the same rows — either way, no silent wrap.
+    val big = intercept[Exception] {
+      TimeSeries.diffPct(
+        series((1L, 1, 1L), (1L, 2, Long.MaxValue / 10000L + 2L)),
+        "k", "day", "v").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(big).exists(m =>
+      m.contains("rescale") || m.contains("ARITHMETIC_OVERFLOW")))
   }
 
   test("ewmaWindowed: hand-computed integer grid, truncation renormalizes") {
