@@ -264,10 +264,12 @@ class TimeSeriesSpec extends SparkSpec {
     series((1L, 1, 10L), (1L, 4, 40L), (2L, 2, 7L))
       .write.mode("overwrite").parquet(tmp)
     val stored = spark.read.parquet(tmp)
-    val chain = TimeSeries.ewmaWindowed(
-      TimeSeries.interpolateLinear(
-        TimeSeries.upsample(stored, "k", "day", 86400L), "k", "day", "v"),
-      "k", "day", "v")
+    val chain = TimeSeries.anomalies(
+      TimeSeries.ewmaWindowed(
+        TimeSeries.interpolateLinear(
+          TimeSeries.upsample(stored, "k", "day", 86400L), "k", "day", "v"),
+        "k", "day", "v"),
+      "k", "day", "v", window = 2)
     val plan = chain.queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges === 1, s"expected exactly one exchange, got $exchanges:\n$plan")
