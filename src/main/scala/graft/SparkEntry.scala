@@ -2748,6 +2748,20 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // Per-group quantile binning (polars qcut().over(group)) — price
+    // quartiles WITHIN each order status: ntile over a group-partitioned
+    // window, one hashpartitioning(status) exchange, each stratum ranks
+    // inside its own partition.
+    "text_qcut_group" -> ((s, dir) => {
+      graft.operators.DataQuality.qcutPerGroup(
+          table(s, dir, "orders"), "o_orderstatus", "o_totalprice", 4,
+          Seq("o_orderkey"))
+        .groupBy("o_orderstatus", "bin")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus", "bin")
+    }),
+
     // SCD Type-2 dimension history from the feed: one interval row per
     // state, one window pass over the log. The report aggregates interval
     // counts + the CURRENT slice's prices per status; the oracle derives
@@ -5118,6 +5132,15 @@ object SparkEntry {
         |SELECT bin, COUNT(*) AS n_docs,
         |  MIN(n_chars) AS lo_chars, MAX(n_chars) AS hi_chars
         |FROM b GROUP BY bin""".stripMargin,
+
+    "text_qcut_group" ->
+      s"""WITH b AS (SELECT o_orderstatus, o_totalprice,
+         |  NTILE(4) OVER (PARTITION BY o_orderstatus
+         |                 ORDER BY o_totalprice, o_orderkey) AS bin
+         |  FROM orders)
+         |SELECT o_orderstatus, bin, COUNT(*) AS n,
+         |  ${osum("o_totalprice")} AS total
+         |FROM b GROUP BY o_orderstatus, bin""".stripMargin,
 
     // The QCUT verb routes through the same exact ntile assignment.
     "lake_sql_qcut" ->

@@ -221,6 +221,28 @@ object DataQuality {
       .drop("__qcut_pid", "__qcut_rn", "__qcut_off", "__qcut_n", "__qcut_r")
   }
 
+  /** PER-GROUP quantile binning (polars `qcut().over(group)`): bin 1..k
+    * within each group over the (value, tie) total order — "score deciles
+    * within each language/domain", the stratify-within-stratum step a
+    * mixture-curation pipeline runs before per-domain sampling. Here
+    * `ntile` IS the right tool (unlike the global [[qcut]]): the window
+    * partitions by the GROUP, so Spark plans one hashpartitioning(group)
+    * exchange and every group ranks inside its own partition — the unit
+    * of parallelism is the group, the same shape as every per-key series
+    * op. A single group much larger than a partition's memory is the
+    * caller's cue to use [[qcut]] on that group's slice (or the catalog
+    * sketches); groups at that scale are no longer "strata".
+    */
+  def qcutPerGroup(
+      df: DataFrame, groupCol: String, valueCol: String, k: Int,
+      tieCols: Seq[String]): DataFrame = {
+    require(k >= 2, s"need at least 2 bins: $k")
+    require(tieCols.nonEmpty, "qcutPerGroup needs a tie-break column")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol) +: tieCols.map(col): _*)
+    df.withColumn("bin", ntile(k).over(w))
+  }
+
   /** Catalog-approximate quantile binning — the 100 TB path [[qcut]]'s doc
     * points at: the k−1 bin BOUNDARIES fold from the lake manifest's GK
     * quantile sketches with ZERO scan jobs, and the binning itself is one

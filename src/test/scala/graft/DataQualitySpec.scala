@@ -216,6 +216,24 @@ class DataQualitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.exchange.reuse", "true")
   }
 
+  test("qcutPerGroup: per-stratum ntile, group-partitioned, no single-partition move") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i.toLong, "g" + i % 3, i * 7 % 97))
+      .toDF("id", "g", "v")
+    val out = DataQuality.qcutPerGroup(df, "g", "v", 4, Seq("id"))
+    // Every stratum's bins are balanced within 1 row.
+    val counts = out.groupBy("g", "bin").count().select("count").as[Long].collect()
+    assert(counts.length == 12 && counts.max - counts.min <= 1)
+    // Bit-equality with the window truth.
+    val truth = df.withColumn("bin", ntile(4).over(
+      org.apache.spark.sql.expressions.Window.partitionBy($"g").orderBy($"v", $"id")))
+    assert(out.orderBy("id").collect() === truth.orderBy("id").collect())
+    // The data moves through hashpartitioning(g) only — no SinglePartition.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(g"), plan.take(2000))
+    assert(!plan.contains("SinglePartition"), plan.take(2000))
+  }
+
   test("qcut: more bins than rows degrades to one row per bin") {
     import spark.implicits._
     val df = Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "v")
