@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Bucketing
 import graft.lake.{Database, LakeDataset}
-import graft.operators.{Bpe, Clustering, DataQuality, Dedup, ExactDedupIndex, Fusion, Graphs, HeavyHitters, Joins, MaterializedAgg, MinhashIndex, Multimodal, Pq, Recall, Sampling, Similarity, Sq, StringCache, TextAnalysis, TextSearch, Urls}
+import graft.operators.{Bpe, Clustering, DataQuality, Dedup, ExactDedupIndex, Fusion, Graphs, HeavyHitters, Joins, MaterializedAgg, MaterializedJoin, MinhashIndex, Multimodal, Pq, Recall, Sampling, Similarity, Sq, StringCache, TextAnalysis, TextSearch, Urls}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), with a DuckDB-equivalent oracle where SQL-expressible.
@@ -1561,6 +1561,47 @@ object SparkEntry {
           |FROM mvs_v ORDER BY o_orderstatus""".stripMargin)
     }),
 
+    // STREAMING heavy hitters: the stream twin of text_heavy_terms. Each
+    // micro-batch of documents explodes to terms and folds its per-term
+    // counts into a MaterializedAgg keyed by term — O(batch)+O(vocab per
+    // merge), the corpus is never rescanned — and the final top-15 is read
+    // from the VIEW STATE with the batch operator's exact (cnt DESC, value)
+    // order. The oracle is the one-shot count over the whole corpus, so a
+    // dropped batch, a double fold, or a tie-order drift hash-mismatches.
+    "stream_heavy_terms" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val counter = MaterializedAgg.build(
+        docs.filter(lit(false))
+          .select(explode(split(trim(col("text")), " ")).as("w")),
+        Seq("w"), Seq(MaterializedAgg.count("cnt")))
+      def epochIds(m: Long): Seq[Long] = {
+        val cap = 1000000
+        val ids = docs.select("doc_id").filter(col("doc_id") % 2 === m)
+          .orderBy("doc_id").limit(cap + 1).as[Long].collect().toSeq
+        require(ids.length <= cap,
+          s"stream_heavy_terms fixture: > $cap doc ids at this scale " +
+            "factor; the MemoryStream harness stops here rather than " +
+            "silently diverge from the oracle")
+        ids
+      }
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val apply: (DataFrame, Long) => Unit = (batch, _) =>
+        counter.applyInsert(
+          docs.join(broadcast(batch), docs("doc_id") === col("delta_id"))
+            .select(explode(split(trim(col("text")), " ")).as("w")))
+      val q = mem.toDF().toDF("delta_id").writeStream.foreachBatch(apply).start()
+      try {
+        mem.addData(epochIds(0L))
+        q.processAllAvailable()
+        mem.addData(epochIds(1L))
+        q.processAllAvailable()
+      } finally q.stop()
+      counter.state.select(col("w").as("value"), col("cnt"))
+        .orderBy(desc("cnt"), asc("value")).limit(15)
+    }),
+
     // EXACTLY-ONCE streaming append: epoch-partitioned cells, overwrite on
     // replay (StreamingIngest.exactlyOnceInsert scaladoc). The query
     // re-delivers epoch 0 after the stream — the oracle (each slice once)
@@ -2317,6 +2358,52 @@ object SparkEntry {
         .select(col("o_orderstatus"), col("n"),
           col("total").cast(DoubleType).as("total"), col("mn"), col("mx"))
         .orderBy("o_orderstatus")
+    }),
+
+    // Incrementally-maintained equi-JOIN view (the join complement to
+    // lake_mat_view's aggregate state): orders ⋈ customer kept current
+    // through a fact-side insert, a dimension-side update, a delete, and a
+    // join-key REASSIGNMENT — each folded from the touched-key delta alone:
+    // stale output rows anti-join out by primary key, the touched rows
+    // re-derive against the CURRENT other side, and neither base is ever
+    // rescanned (rebuildCount stays 0). The oracle replays the same
+    // mutation script as SQL CTEs and joins the final tables, so a missed
+    // stale row, a double fold, or mishandled key movement hash-mismatches.
+    "mv_join_incremental" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          col("o_totalprice"))
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_name"), col("c_acctbal"))
+      var aCur = o.filter(col("o_orderkey") % 7 < 3)
+      var bCur = c
+      val view = MaterializedJoin.build(aCur, bCur,
+        Seq("custkey"), Seq("o_orderkey"), Seq("custkey"))
+      // fact-side insert
+      val ins = o.filter(col("o_orderkey") % 7 === 3)
+      aCur = aCur.unionByName(ins)
+      view.refreshA(aCur, ins.select("o_orderkey"), bCur)
+      // dimension-side update: every 10th customer's balance moves, and
+      // every joined output row for those customers must follow
+      val bTouched = bCur.filter(col("custkey") % 10 === 0).select("custkey")
+      bCur = bCur.withColumn("c_acctbal",
+        when(col("custkey") % 10 === 0, col("c_acctbal") + 100)
+          .otherwise(col("c_acctbal")))
+      view.refreshB(bCur, bTouched, aCur)
+      // fact-side delete
+      val del = aCur.filter(col("o_orderkey") % 5 === 0).select("o_orderkey")
+      aCur = aCur.filter(col("o_orderkey") % 5 =!= 0)
+      view.refreshA(aCur, del, bCur)
+      // join-key reassignment: the old output row dies under the old
+      // customer, the new one is born under custkey+1 (or vanishes if no
+      // such customer exists — inner-join semantics, same as the oracle)
+      val moved = aCur.filter(col("o_orderkey") % 11 === 3).select("o_orderkey")
+      aCur = aCur.withColumn("custkey",
+        when(col("o_orderkey") % 11 === 3, col("custkey") + 1)
+          .otherwise(col("custkey")))
+      view.refreshA(aCur, moved, bCur)
+      assert(view.rebuildCount == 0, "mv_join_incremental must never rebuild")
+      view.state
     }),
 
     // Row-level change feed: every mutation logs stamped image batches
@@ -5490,6 +5577,31 @@ object SparkEntry {
          |   OR (o_orderkey % 3 = 2 AND o_custkey % 2 = 0)
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // The final tables after the gate's whole mutation script (insert,
+    // dimension update, delete, key reassignment), joined one-shot — the
+    // incremental view must land on exactly this multiset.
+    "mv_join_incremental" ->
+      """WITH a0 AS (
+        |  SELECT o_orderkey, o_custkey AS custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 < 3),
+        |a1 AS (
+        |  SELECT * FROM a0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey AS custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 3),
+        |a2 AS (SELECT * FROM a1 WHERE o_orderkey % 5 <> 0),
+        |a3 AS (SELECT o_orderkey,
+        |              CASE WHEN o_orderkey % 11 = 3 THEN custkey + 1
+        |                   ELSE custkey END AS custkey,
+        |              o_totalprice
+        |       FROM a2),
+        |b1 AS (SELECT c_custkey AS custkey, c_name,
+        |              CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
+        |                   ELSE c_acctbal END AS c_acctbal
+        |       FROM customer)
+        |SELECT custkey, o_orderkey, o_totalprice, c_name, c_acctbal
+        |FROM a3 JOIN b1 USING (custkey)""".stripMargin,
+
     "lake_colocated_join" ->
       s"""SELECT p_brand, COUNT(*) AS n, ${osum("l_extendedprice")} AS revenue
          |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -6850,6 +6962,13 @@ object SparkEntry {
         |LIMIT 20""".stripMargin,
 
     "text_heavy_terms" ->
+      """SELECT w AS value, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split(TRIM(text), ' ')) AS w FROM documents) t
+        |GROUP BY w ORDER BY cnt DESC, value LIMIT 15""".stripMargin,
+
+    // stream_heavy_terms: the stream fold must converge on the one-shot
+    // whole-corpus count — identical SQL to text_heavy_terms.
+    "stream_heavy_terms" ->
       """SELECT w AS value, COUNT(*) AS cnt FROM (
         |  SELECT unnest(string_split(TRIM(text), ' ')) AS w FROM documents) t
         |GROUP BY w ORDER BY cnt DESC, value LIMIT 15""".stripMargin,
