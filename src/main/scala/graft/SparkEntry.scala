@@ -2580,6 +2580,42 @@ object SparkEntry {
           |FROM mv_rev ORDER BY o_orderstatus""".stripMargin)
     }),
 
+    // SQL-managed incremental JOIN view: `CREATE MATERIALIZED VIEW ... AS
+    // SELECT ... FROM f JOIN d USING (k)` maintained by the catalog through
+    // every DML verb — INSERT appends its join output, predicate UPDATE /
+    // DELETE recompute only the touched JOIN KEYS (riding the same
+    // pre-state pin as the aggregate MVs), including a fact-side UPDATE
+    // that MOVES rows to another key. rebuildCount is pinned 0 — the
+    // incremental paths, not the escape hatch, do all the maintenance; the
+    // oracle replays the script as CTEs and joins the final tables.
+    "lake_sql_matview_join" -> ((s, dir) => {
+      val db = new Database(s)
+      val ordSlim = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          col("o_totalprice"))
+      db.register("mvj_f", LakeDataset.fromDataFrame(
+        s, ordSlim.filter(col("o_orderkey") % 4 < 2)))
+      db.register("mvj_d", LakeDataset.fromDataFrame(
+        s, table(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_name"),
+            col("c_acctbal"))))
+      db.register("mvj_src", LakeDataset.fromDataFrame(
+        s, ordSlim.filter(col("o_orderkey") % 4 === 2)))
+      db.executeDml(
+        """CREATE MATERIALIZED VIEW mvj AS
+          |SELECT custkey, o_orderkey, o_totalprice, c_name, c_acctbal
+          |FROM mvj_f JOIN mvj_d USING (custkey)""".stripMargin)
+      db.executeDml("INSERT INTO mvj_f SELECT * FROM mvj_src")
+      db.executeDml(
+        "UPDATE mvj_d SET c_acctbal = c_acctbal + 100 WHERE custkey % 10 = 0")
+      db.executeDml("DELETE FROM mvj_f WHERE o_orderkey % 5 = 0")
+      db.executeDml(
+        "UPDATE mvj_f SET custkey = custkey + 1 WHERE o_orderkey % 11 = 3")
+      assert(db.mvRebuildCount("mvj") == 0,
+        "lake_sql_matview_join: maintenance must stay incremental")
+      db.executeSql("SELECT * FROM mvj")
+    }),
+
     // Column DDL: ADD COLUMN (plan-level, existing rows read NULL) →
     // populate via UPDATE → RENAME COLUMN → DROP COLUMN, then aggregate
     // through the evolved schema; the oracle recomputes relationally over
@@ -5601,6 +5637,30 @@ object SparkEntry {
         |       FROM customer)
         |SELECT custkey, o_orderkey, o_totalprice, c_name, c_acctbal
         |FROM a3 JOIN b1 USING (custkey)""".stripMargin,
+
+    // Same replay shape as mv_join_incremental, but over the SQL verbs'
+    // script (base slice %4<2, insert %4=2).
+    "lake_sql_matview_join" ->
+      """WITH f0 AS (
+        |  SELECT o_orderkey, o_custkey AS custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 < 2),
+        |f1 AS (
+        |  SELECT * FROM f0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey AS custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 = 2),
+        |f2 AS (SELECT * FROM f1 WHERE o_orderkey % 5 <> 0),
+        |f3 AS (SELECT o_orderkey,
+        |              CASE WHEN o_orderkey % 11 = 3 THEN custkey + 1
+        |                   ELSE custkey END AS custkey,
+        |              o_totalprice
+        |       FROM f2),
+        |d1 AS (SELECT c_custkey AS custkey, c_name,
+        |              CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
+        |                   ELSE c_acctbal END AS c_acctbal
+        |       FROM customer)
+        |SELECT custkey, o_orderkey, o_totalprice, c_name, c_acctbal
+        |FROM f3 JOIN d1 USING (custkey)""".stripMargin,
 
     "lake_colocated_join" ->
       s"""SELECT p_brand, COUNT(*) AS n, ${osum("l_extendedprice")} AS revenue

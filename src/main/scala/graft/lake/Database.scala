@@ -405,9 +405,11 @@ final class Database(val spark: SparkSession) {
     resolved.foreach { case (n, _) =>
       if (feeds.contains(n)) throw new IllegalArgumentException(
         s"table $n has a change feed — its log cannot be unwound by a rollback")
-      if (mviews.values.exists(_.base == n)) throw new IllegalArgumentException(
-        s"table $n has dependent materialized views — their maintained state " +
-          "cannot be unwound by a rollback")
+      if (mviews.values.exists(_.base == n) ||
+          mvJoins.values.exists(e => e.baseA == n || e.baseB == n))
+        throw new IllegalArgumentException(
+          s"table $n has dependent materialized views — their maintained state " +
+            "cannot be unwound by a rollback")
     }
     // Two names may alias ONE dataset (register allows it): begin/commit/
     // rollback must run once per DATASET, so dedupe by reference (LakeDataset
@@ -692,6 +694,21 @@ final class Database(val spark: SparkSession) {
   /** Registered MVs: view name → entry. */
   private val mviews = TrieMap[String, MvEntry]()
 
+  /** One registered JOIN MV: the two base tables, the defining query, the
+    * USING keys, the maintained [[graft.operators.MaterializedJoin]] state,
+    * and the publish projection. Maintenance keys the view's rows by the
+    * JOIN KEY (pkA = pkB = keys): a predicate mutation's touched join-key
+    * set rides the same pre-state pin the aggregate MVs use, and each
+    * affected view recomputes only those keys' output rows against the
+    * current other side — never a base rescan.
+    */
+  private case class MvJoinEntry(baseA: String, baseB: String, query: String,
+      keys: Seq[String], mj: graft.operators.MaterializedJoin,
+      publish: DataFrame => DataFrame)
+
+  /** Registered join MVs: view name → entry. */
+  private val mvJoins = TrieMap[String, MvJoinEntry]()
+
   private val CreateMvRe =
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][\w]*)\s+AS\s+(.+?)\s*;?\s*$""".r
   private val DropMvRe =
@@ -700,6 +717,8 @@ final class Database(val spark: SparkSession) {
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val MvQueryRe =
     """(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([A-Za-z_][\w]*)\s+GROUP\s+BY\s+(.+?)\s*$""".r
+  private val MvJoinQueryRe =
+    """(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([A-Za-z_][\w]*)\s+JOIN\s+([A-Za-z_][\w]*)\s+USING\s*\(\s*(.+?)\s*\)\s*$""".r
   private val MvAggRe =
     """(?i)^(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(\*|[A-Za-z_][\w]*)\s*\)\s+AS\s+([A-Za-z_][\w]*)$""".r
 
@@ -765,20 +784,65 @@ final class Database(val spark: SparkSession) {
     mviews.get(name).foreach(e =>
       e.derive(e.mag.state).createOrReplaceTempView(name))
 
+  /** Parse the supported join-MV shape — `SELECT <*|plain cols> FROM <a>
+    * JOIN <b> USING (<keys>)` over two distinct registered tables. The
+    * USING form is the supported one BY DESIGN: it carries the one-name-
+    * per-key contract [[graft.operators.MaterializedJoin]] maintains under
+    * (an ON a.x = b.y equi-join with differently-named keys is the same
+    * view over a renamed registration). Returns (baseA, baseB, keys,
+    * publish projection).
+    */
+  private def parseMvJoinQuery(q: String): (String, String, Seq[String],
+      DataFrame => DataFrame) = {
+    val m = MvJoinQueryRe.findFirstMatchIn(q).get
+    val (items, a, b) = (m.group(1).trim, m.group(2), m.group(3))
+    require(a != b, "self-join materialized views are not supported")
+    for (t <- Seq(a, b)) require(tables.contains(t), s"unknown lake table '$t'")
+    val keys = splitAssignments(m.group(4))
+    require(keys.nonEmpty && keys.forall(_.matches("[A-Za-z_][\\w]*")),
+      "USING must list plain key columns")
+    val publish: DataFrame => DataFrame =
+      if (items == "*") identity
+      else {
+        import org.apache.spark.sql.functions.col
+        val cols = splitAssignments(items)
+        require(cols.forall(_.matches("[A-Za-z_][\\w]*")),
+          "join MV SELECT items must be plain columns (or *) — aggregates " +
+            "belong in an aggregate MV over this view's bases")
+        df => df.select(cols.map(col): _*)
+      }
+    (a, b, keys, publish)
+  }
+
+  private def publishMvJoin(name: String): Unit =
+    mvJoins.get(name).foreach(e =>
+      e.publish(e.mj.state).createOrReplaceTempView(name))
+
   /** Times the named MV's full rebuild has run — lets tests pin WHICH
     * maintenance path a mutation took (targeted vs degenerate-case escape).
     */
   private[graft] def mvRebuildCount(name: String): Int =
-    mviews(name).mag.rebuildCount
+    mviews.get(name).map(_.mag.rebuildCount)
+      .getOrElse(mvJoins(name).mj.rebuildCount)
 
   /** Fold an inserted batch into every MV over `table` — `O(batch) +
     * O(touched groups)` per view, the base is never rescanned.
     */
-  private def maintainInsert(table: String, batch: org.apache.spark.sql.DataFrame): Unit =
+  private def maintainInsert(table: String, batch: org.apache.spark.sql.DataFrame): Unit = {
     mviews.foreach { case (name, e) if e.base == table =>
       e.mag.applyInsert(batch); publishMv(name)
     case _ => ()
     }
+    // Join MVs: an insert-only batch appends its join output directly
+    // (state ∪ batch ⋈ other side) — no anti-join pass, the bag semantics
+    // of INSERT make the plain append exact.
+    mvJoins.foreach { case (name, e) if e.baseA == table || e.baseB == table =>
+      if (e.baseA == table) e.mj.appendA(batch, tables(e.baseB).toDF)
+      else e.mj.appendB(batch, tables(e.baseA).toDF)
+      publishMvJoin(name)
+    case _ => ()
+    }
+  }
 
   /** foreachBatch sink over a REGISTERED table: append each micro-batch,
     * fold it into every dependent materialized view (O(batch + touched
@@ -802,11 +866,17 @@ final class Database(val spark: SparkSession) {
     * touched-group set is unknown (upsert/MERGE, RESTORE). Predicate
     * DELETE/UPDATE go through [[maintainTouched]] instead.
     */
-  private def maintainRebuild(table: String): Unit =
+  private def maintainRebuild(table: String): Unit = {
     mviews.foreach { case (name, e) if e.base == table =>
       e.mag.rebuild(tables(e.base).toDF); publishMv(name)
     case _ => ()
     }
+    mvJoins.foreach { case (name, e) if e.baseA == table || e.baseB == table =>
+      e.mj.rebuild(tables(e.baseA).toDF, tables(e.baseB).toDF)
+      publishMvJoin(name)
+    case _ => ()
+    }
+  }
 
   /** Targeted maintenance for a predicate DELETE/UPDATE: `preGroups(cols)`
     * must return the mutation's touched rows projected to `cols` — evaluated
@@ -823,7 +893,22 @@ final class Database(val spark: SparkSession) {
       preGroups: Seq[String] => DataFrame): Unit = {
     import org.apache.spark.sql.functions.col
     val affected = mviews.filter(_._2.base == table)
-    if (affected.isEmpty) return
+    val affectedJoins = mvJoins.filter { case (_, e) =>
+      e.baseA == table || e.baseB == table }
+    if (affected.isEmpty && affectedJoins.isEmpty) return
+    // Join MVs: the touched JOIN-KEY set rides the same pre-state pin
+    // (preGroups projects the pinned touched rows onto any requested
+    // columns — key columns included, see touchedGroupsPre). Each view
+    // recomputes only those keys' output rows against the current other
+    // side — O(touched keys' rows), never a base rescan.
+    affectedJoins.foreach { case (name, e) =>
+      val touched = preGroups(e.keys).localCheckpoint(true)
+      if (e.baseA == table)
+        e.mj.refreshA(tables(e.baseA).toDF, touched, tables(e.baseB).toDF)
+      else
+        e.mj.refreshB(tables(e.baseB).toDF, touched, tables(e.baseA).toDF)
+      publishMvJoin(name)
+    }
     affected.foreach { case (name, e) =>
       val touched = preGroups(e.mag.groupColumns).localCheckpoint(true)
       // ONE bounded collect serves every decision: the size short-circuit,
@@ -895,8 +980,10 @@ final class Database(val spark: SparkSession) {
       assigns: Seq[(String, org.apache.spark.sql.Column)])
       : Option[Seq[String] => DataFrame] = {
     import org.apache.spark.sql.functions.col
-    val affectedCols = mviews.values.filter(_.base == t)
-      .flatMap(_.mag.groupColumns).toSeq.distinct
+    val affectedCols = (mviews.values.filter(_.base == t)
+      .flatMap(_.mag.groupColumns) ++
+      mvJoins.values.filter(e => e.baseA == t || e.baseB == t)
+        .flatMap(_.keys)).toSeq.distinct
     if (affectedCols.isEmpty) return None
     val preRows = tables(t).toDF.filter(cond)
     val old = preRows.select(affectedCols.map(col): _*)
@@ -939,8 +1026,10 @@ final class Database(val spark: SparkSession) {
   private def touchedGroupsPreKeys(t: String, source: DataFrame,
       keys: Seq[String]): Option[Seq[String] => DataFrame] = {
     import org.apache.spark.sql.functions.col
-    val affectedCols = mviews.values.filter(_.base == t)
-      .flatMap(_.mag.groupColumns).toSeq.distinct
+    val affectedCols = (mviews.values.filter(_.base == t)
+      .flatMap(_.mag.groupColumns) ++
+      mvJoins.values.filter(e => e.baseA == t || e.baseB == t)
+        .flatMap(_.keys)).toSeq.distinct
     if (affectedCols.isEmpty) return None
     val srcKeys = source.select(keys.map(col): _*).distinct().localCheckpoint(true)
     val preGroups = tables(t).toDF.join(srcKeys, keys, "left_semi")
@@ -969,7 +1058,17 @@ final class Database(val spark: SparkSession) {
       java.nio.file.Files.writeString(dir.resolve("_mv.json"),
         om.writerWithDefaultPrettyPrinter().writeValueAsString(node))
     }
-    mviews.size
+    mvJoins.foreach { case (name, e) =>
+      val dir = java.nio.file.Paths.get(root, name)
+      // The state may exceed one file's worth of rows (it is a join
+      // result, not a |groups| frame) — no coalesce(1) here.
+      e.mj.state.write.mode("overwrite").parquet(dir.resolve("state").toString)
+      val node = om.createObjectNode()
+      node.put("name", name); node.put("query", e.query); node.put("join", true)
+      java.nio.file.Files.writeString(dir.resolve("_mv.json"),
+        om.writerWithDefaultPrettyPrinter().writeValueAsString(node))
+    }
+    mviews.size + mvJoins.size
   }
 
   /** Re-register every MV saved under `root` by [[saveMaterializedViews]].
@@ -989,11 +1088,18 @@ final class Database(val spark: SparkSession) {
       val name = node.get("name").asText()
       val query = node.get("query").asText()
       require(!tables.contains(name), s"name '$name' already in use by a table")
-      val (base, groupCols, aggs, derive) = parseMvQuery(query)
       val state = spark.read.parquet(d.resolve("state").toString)
-      val mag = graft.operators.MaterializedAgg.fromState(state, groupCols, aggs)
-      mviews.put(name, MvEntry(base, query, mag, derive))
-      publishMv(name)
+      if (node.has("join") && node.get("join").asBoolean()) {
+        val (a, b, keys, publish) = parseMvJoinQuery(query)
+        val mj = graft.operators.MaterializedJoin.fromState(state, keys, keys, keys)
+        mvJoins.put(name, MvJoinEntry(a, b, query, keys, mj, publish))
+        publishMvJoin(name)
+      } else {
+        val (base, groupCols, aggs, derive) = parseMvQuery(query)
+        val mag = graft.operators.MaterializedAgg.fromState(state, groupCols, aggs)
+        mviews.put(name, MvEntry(base, query, mag, derive))
+        publishMv(name)
+      }
     }
     dirs.size
   }
@@ -1161,8 +1267,8 @@ final class Database(val spark: SparkSession) {
         val from = Option(alterName).getOrElse(renameName)
         val d = tables.getOrElse(from,
           throw new IllegalArgumentException(s"unknown lake table '$from'"))
-        require(!tables.contains(to) && !mviews.contains(to),
-          s"name '$to' already in use")
+        require(!tables.contains(to) && !mviews.contains(to) &&
+          !mvJoins.contains(to), s"name '$to' already in use")
         tables.remove(from); tables.put(to, d)
         feeds.remove(from).foreach(feeds.put(to, _))
         mviews.foreach { case (mv, e) if e.base == from =>
@@ -1170,6 +1276,18 @@ final class Database(val spark: SparkSession) {
           // so a later save/load resolves the renamed base.
           mviews.put(mv, e.copy(base = to, query = e.query.replaceAll(
             s"(?i)\\bFROM\\s+$from\\b", s"FROM $to")))
+        case _ => ()
+        }
+        mvJoins.foreach { case (mv, e) if e.baseA == from || e.baseB == from =>
+          // Either side may be the renamed table: rewrite both the FROM and
+          // the JOIN position in the durable query text.
+          val q2 = e.query
+            .replaceAll(s"(?i)\\bFROM\\s+$from\\b", s"FROM $to")
+            .replaceAll(s"(?i)\\bJOIN\\s+$from\\b", s"JOIN $to")
+          mvJoins.put(mv, e.copy(
+            baseA = if (e.baseA == from) to else e.baseA,
+            baseB = if (e.baseB == from) to else e.baseB,
+            query = q2))
         case _ => ()
         }
         spark.catalog.dropTempView(from)
@@ -1287,6 +1405,10 @@ final class Database(val spark: SparkSession) {
         mviews.filter(_._2.base == t).keys.foreach { mv =>
           mviews.remove(mv); spark.catalog.dropTempView(mv)
         }
+        mvJoins.filter { case (_, e) => e.baseA == t || e.baseB == t }
+          .keys.foreach { mv =>
+            mvJoins.remove(mv); spark.catalog.dropTempView(mv)
+          }
         // PURGE additionally deletes the storage root — without it the
         // files survive (an unregister, like dropping an external table).
         if (purgeOrNull != null)
@@ -1294,19 +1416,29 @@ final class Database(val spark: SparkSession) {
             LakeDataset.deleteRecursively(java.nio.file.Paths.get(s.root)))
         1L
       case CreateMvRe(name, query) =>
-        // CREATE MATERIALIZED VIEW: build the per-group state once, then
-        // every SQL INSERT/COPY folds its batch in (O(batch)+O(groups));
-        // non-insert mutations rebuild by the operator's contract.
-        require(!tables.contains(name) && !mviews.contains(name),
-          s"name '$name' already in use")
-        val (base, groupCols, aggs, derive) = parseMvQuery(query)
-        val mag = graft.operators.MaterializedAgg.build(
-          tables(base).toDF, groupCols, aggs)
-        mviews.put(name, MvEntry(base, query, mag, derive))
-        publishMv(name)
+        // CREATE MATERIALIZED VIEW: build the state once, then every SQL
+        // mutation maintains it incrementally — aggregate MVs fold inserts
+        // at O(batch)+O(groups) and refresh touched groups on predicate
+        // mutations; join MVs (SELECT ... FROM a JOIN b USING (k)) append
+        // insert batches' join output and recompute touched JOIN KEYS.
+        require(!tables.contains(name) && !mviews.contains(name) &&
+          !mvJoins.contains(name), s"name '$name' already in use")
+        if (MvJoinQueryRe.findFirstMatchIn(query).isDefined) {
+          val (a, b, keys, publish) = parseMvJoinQuery(query)
+          val mj = graft.operators.MaterializedJoin.build(
+            tables(a).toDF, tables(b).toDF, keys, keys, keys)
+          mvJoins.put(name, MvJoinEntry(a, b, query, keys, mj, publish))
+          publishMvJoin(name)
+        } else {
+          val (base, groupCols, aggs, derive) = parseMvQuery(query)
+          val mag = graft.operators.MaterializedAgg.build(
+            tables(base).toDF, groupCols, aggs)
+          mviews.put(name, MvEntry(base, query, mag, derive))
+          publishMv(name)
+        }
         1L
       case DropMvRe(name) =>
-        require(mviews.remove(name).isDefined,
+        require(mviews.remove(name).isDefined || mvJoins.remove(name).isDefined,
           s"unknown materialized view '$name'")
         spark.catalog.dropTempView(name)
         1L
@@ -1314,10 +1446,17 @@ final class Database(val spark: SparkSession) {
         // Manual full refresh — the escape hatch for base mutations made
         // through the ENGINE API rather than SQL (the SQL surface
         // maintains automatically).
-        val e = mviews.getOrElse(name,
-          throw new IllegalArgumentException(s"unknown materialized view '$name'"))
-        e.mag.rebuild(tables(e.base).toDF)
-        publishMv(name)
+        mviews.get(name) match {
+          case Some(e) =>
+            e.mag.rebuild(tables(e.base).toDF)
+            publishMv(name)
+          case None =>
+            val e = mvJoins.getOrElse(name,
+              throw new IllegalArgumentException(
+                s"unknown materialized view '$name'"))
+            e.mj.rebuild(tables(e.baseA).toDF, tables(e.baseB).toDF)
+            publishMvJoin(name)
+        }
         1L
       case AnalyzeRe(t) =>
         // ANALYZE TABLE t COMPUTE STATISTICS: restore the catalog's
