@@ -1561,6 +1561,69 @@ object SparkEntry {
           |FROM mvs_v ORDER BY o_orderstatus""".stripMargin)
     }),
 
+    // STREAMING join-MV maintenance: CDC upserts stream into the FACT side
+    // of a registered `a JOIN b USING (k)` materialized view through the
+    // catalog's upsert sink — epoch 1 inserts new orders, epoch 2 rewrites
+    // existing ones INCLUDING a join-key move (custkey+1), and every batch
+    // maintains the view by recomputing only its touched join keys (the
+    // same targeted path the SQL verbs use; never a rebuild, never a base
+    // rescan). The answer is read FROM THE VIEW STATE, so a missed batch,
+    // a double fold, or mishandled key movement hash-mismatches the
+    // oracle's one-shot join over everything delivered.
+    "stream_mv_join" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          col("o_totalprice"))
+      val db = new Database(s)
+      db.register("mvjs_f", LakeDataset.fromDataFrame(
+        s, o.filter(col("o_orderkey") % 4 < 2)))
+      db.register("mvjs_d", LakeDataset.fromDataFrame(
+        s, table(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_name"))))
+      db.executeDml(
+        """CREATE MATERIALIZED VIEW mvjs AS
+          |SELECT custkey, o_orderkey, o_totalprice, c_name
+          |FROM mvjs_f JOIN mvjs_d USING (custkey)""".stripMargin)
+      def epochKeys(pred: Column): Seq[Long] = {
+        val cap = 1000000
+        val keys = o.select("o_orderkey").filter(pred)
+          .orderBy("o_orderkey").limit(cap + 1).as[Long].collect().toSeq
+        require(keys.length <= cap,
+          s"stream_mv_join fixture: > $cap delta keys at this scale " +
+            "factor; the MemoryStream harness stops here rather than " +
+            "silently diverge from the oracle")
+        keys
+      }
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val sink = db.streamUpsertSink("mvjs_f", Seq("o_orderkey"))
+      val apply: (DataFrame, Long) => Unit = (batch, id) => {
+        // Epoch 2's keys (%8==1) rewrite price AND custkey — a CDC image
+        // that moves rows to another join key; epoch 1's insert as-is.
+        val delta = o.join(broadcast(batch), o("o_orderkey") === col("delta_key"))
+          .drop("delta_key")
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 8 === 1, col("o_totalprice") + 250)
+              .otherwise(col("o_totalprice")))
+          .withColumn("custkey",
+            when(col("o_orderkey") % 8 === 1, col("custkey") + 1)
+              .otherwise(col("custkey")))
+          .select("o_orderkey", "custkey", "o_totalprice")
+        sink(delta, id)
+      }
+      val q = mem.toDF().toDF("delta_key").writeStream.foreachBatch(apply).start()
+      try {
+        mem.addData(epochKeys(col("o_orderkey") % 4 === 2))
+        q.processAllAvailable()
+        mem.addData(epochKeys(col("o_orderkey") % 8 === 1))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(db.mvRebuildCount("mvjs") == 0,
+        "stream_mv_join: maintenance must stay incremental")
+      s.sql("SELECT * FROM mvjs")
+    }),
+
     // STREAMING heavy hitters: the stream twin of text_heavy_terms. Each
     // micro-batch of documents explodes to terms and folds its per-term
     // counts into a MaterializedAgg keyed by term — O(batch)+O(vocab per
@@ -5661,6 +5724,23 @@ object SparkEntry {
         |       FROM customer)
         |SELECT custkey, o_orderkey, o_totalprice, c_name, c_acctbal
         |FROM f3 JOIN d1 USING (custkey)""".stripMargin,
+
+    // stream_mv_join: the view state after base %4<2, epoch-1 insert of
+    // %4=2, epoch-2 CDC rewrite of %8=1 (price+250, custkey+1 — a key
+    // move). %8=1 implies %4=1, so every epoch-2 key exists in the table.
+    "stream_mv_join" ->
+      """WITH f1 AS (
+        |  SELECT o_orderkey, o_custkey AS custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 < 2 OR o_orderkey % 4 = 2),
+        |f2 AS (SELECT o_orderkey,
+        |              CASE WHEN o_orderkey % 8 = 1 THEN custkey + 1
+        |                   ELSE custkey END AS custkey,
+        |              CASE WHEN o_orderkey % 8 = 1 THEN o_totalprice + 250
+        |                   ELSE o_totalprice END AS o_totalprice
+        |       FROM f1),
+        |d AS (SELECT c_custkey AS custkey, c_name FROM customer)
+        |SELECT custkey, o_orderkey, o_totalprice, c_name
+        |FROM f2 JOIN d USING (custkey)""".stripMargin,
 
     "lake_colocated_join" ->
       s"""SELECT p_brand, COUNT(*) AS n, ${osum("l_extendedprice")} AS revenue
