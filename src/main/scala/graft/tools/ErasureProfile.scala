@@ -1,0 +1,120 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Fixtures
+import graft.lake.LakeDataset
+import graft.operators.{ExactDedupIndex, MinhashIndex, Similarity, TextSearch}
+
+/** Stage breakdown of the `pipeline_erasure_full` bench gate: the five
+  * index BUILDS vs the erases vs the final seven-surface aggregate. Run
+  * twice — iteration 2 is the steady-state (codegen-warm) cost the
+  * min-of-3 bench actually records.
+  */
+object ErasureProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.buffer.pageSize", "2m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("ONE_PASS_MIN")
+      .foreach(v => spark.conf.set("spark.graft.lake.onePassSaveMinCells", v))
+    val s = spark
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val traceJobs = sys.env.contains("ERASE_TRACE_JOBS")
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          if (traceJobs) {
+            val cs = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+            val nstages = j.stageInfos.size
+            val ntasks = j.stageInfos.map(_.numTasks).sum
+            println(f"[erasejob] ${j.jobId}%5d stages=$nstages tasks=$ntasks $cs")
+          }
+        }
+      })
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val j0 = jobs.get(); val r = f
+      println(f"[eraseprofile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs  ${jobs.get() - j0}%4d jobs")
+      r
+    }
+
+    Fixtures.table(s, sfDir, "documents").count() // warm-up
+
+    (1 to 2).foreach { i =>
+      val d = Fixtures.table(s, sfDir, "documents")
+        .filter(col("doc_id") < 1000).select("doc_id", "text")
+      val emb = Fixtures.table(s, sfDir, "embeddings")
+        .filter(col("vec_id") < 1000).select("vec_id", "embedding")
+      val erased = d.filter(col("doc_id") % 170 === 0).select("doc_id")
+
+      val corpus = time(s"corpus-fromDataFrame#$i")(LakeDataset.fromDataFrame(s,
+        d.withColumn("b", (col("doc_id") % 4).cast("int")),
+        partitionCols = Seq("b")))
+      time(s"corpus-delete#$i")(corpus.delete(erased, Seq("doc_id")))
+
+      val exIdx = ExactDedupIndex.open(s,
+        Files.createTempDirectory("graft_efp_ex").toString, nBuckets = 8)
+      time(s"exact-addBatch#$i")(exIdx.addBatch(d, "text", "doc_id"))
+      time(s"exact-remove#$i")(exIdx.remove(erased, "doc_id"))
+
+      val bm = time(s"bm25-build#$i")(TextSearch.buildIndex(s, d, "text",
+        "doc_id", nBuckets = 8,
+        storage = Some(graft.model.StorageSpec(
+          Files.createTempDirectory("graft_efp_bm").toString))))
+      val bm2 = time(s"bm25-remove#$i")(
+        TextSearch.removeFromIndex(bm, erased, "doc_id"))
+      val pos = time(s"pos-build#$i")(TextSearch.buildPositional(s, d, "text",
+        "doc_id", nBuckets = 8,
+        storage = Some(graft.model.StorageSpec(
+          Files.createTempDirectory("graft_efp_pos").toString))))
+      time(s"pos-remove#$i")(TextSearch.removeFromPositional(pos, erased, "doc_id"))
+
+      val mh = MinhashIndex.open(s,
+        Files.createTempDirectory("graft_efp_mh").toString, nBuckets = 8)
+      time(s"mh-addBatch#$i")(mh.addBatch(d, "text", "doc_id"))
+      time(s"mh-remove#$i")(mh.remove(erased, "doc_id"))
+
+      val ivfRoot = Files.createTempDirectory("graft_efp_ivf").toString
+      val (cen, asg) = time(s"ivf-build#$i")(
+        Similarity.buildIvf(emb, "embedding", "vec_id", 16, 64))
+      time(s"ivf-save#$i")(Similarity.saveIvf(s, ivfRoot, cen, asg))
+      time(s"ivf-remove#$i")(Similarity.removeFromIvf(Similarity.loadIvf(s, ivfRoot),
+        emb.filter(col("vec_id") % 170 === 0).select("vec_id"), "vec_id"))
+      val ivf2 = Similarity.loadIvf(s, ivfRoot)
+
+      def surface(name: String, df: DataFrame, idc: String): DataFrame =
+        df.agg(count(lit(1)).as("rows"),
+            count(when(col(idc) % 170 === 0, 1)).as("erased_refs"))
+          .select(lit(name).as("surface"), col("rows"), col("erased_refs"))
+
+      time(s"final-agg#$i") {
+        surface("1_corpus", corpus.toDF, "doc_id")
+          .unionByName(surface("2_exact_index", exIdx.docRows.get, "doc"))
+          .unionByName(surface("3_bm25_postings", bm2.postings.toDF, "doc"))
+          .unionByName(surface("4_positional", pos.postings.toDF, "doc"))
+          .unionByName(surface("5_minhash_bands", mh.bandRows.get, "doc"))
+          .unionByName(surface("6_minhash_shingles", mh.shingleRows.get, "doc"))
+          .unionByName(surface("7_ivf_assigned", ivf2.assigned.toDF, "vec_id"))
+          .orderBy("surface").count()
+      }
+      Fixtures.clear()
+    }
+    spark.stop()
+  }
+}
