@@ -1349,17 +1349,27 @@ object SparkEntry {
       val root = Files.createTempDirectory("graft_sanom").toString
       val ds = LakeDataset.forStorage(s, partitionCols = Nil, bucketCols = Nil,
         nBuckets = 1, bloomCols = Nil, storage = graft.model.StorageSpec(root))
-      val q = flags.toDF.writeStream.outputMode("append").foreachBatch(
-        (b: DataFrame, _: Long) => ds.insert(b)).start()
+      // Same state-store trim as stream_dedup: the per-key ring keys over
+      // spark.sql.shuffle.partitions STATE STORES fixed at query start, and
+      // 32 stores x per-epoch commit dominates this small stream's wall
+      // clock. 4 stores carry the same state; the conf restores only after
+      // the stream has stopped (the engine clones the session conf
+      // asynchronously on the stream thread).
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
-        // Global event-time order makes every key monotone across epochs —
-        // the contract the stateful ring requires.
-        val (h1, h2) = series.splitAt(series.length / 2)
-        mem.addData(h1.toSeq: _*)
-        q.processAllAvailable()
-        mem.addData(h2.toSeq: _*)
-        q.processAllAvailable()
-      } finally q.stop()
+        val q = flags.toDF.writeStream.outputMode("append").foreachBatch(
+          (b: DataFrame, _: Long) => ds.insert(b)).start()
+        try {
+          // Global event-time order makes every key monotone across epochs —
+          // the contract the stateful ring requires.
+          val (h1, h2) = series.splitAt(series.length / 2)
+          mem.addData(h1.toSeq: _*)
+          q.processAllAvailable()
+          mem.addData(h2.toSeq: _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       ds.toDF.select(col("key").as("user_id"),
           timestamp_micros(col("ts_us")).as("day"),
           col("v").as("v_ticks"), col("anomaly"))

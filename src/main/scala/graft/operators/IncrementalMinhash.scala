@@ -296,35 +296,19 @@ final class MinhashIndex private (
       .distinct()
       .cache()
 
-    // Shingle verify against the same per-value prune: all of a doc's
-    // shingle rows live in ONE (batch, bucket-of-doc) cell, so keeping every
-    // cell that may hold a candidate doc keeps every row the Jaccard needs.
-    // Candidate docs collected as the (already-distinct) pairs themselves —
-    // two ids per row, so half the cap bounds the collect and the explode +
-    // distinct job the old probe ran disappears into a driver-side flatten.
-    val corpusShingles = shingleDs.filter(_.numParts > 0).map(ds =>
-      prunedRead(ds, "doc", timed("probe:cands") {
-        val rows = cands.select("doc_a", "doc_b").limit(cap / 2 + 1).collect()
-        if (rows.length > cap / 2) None
-        else Some(rows.iterator.flatMap(r => Iterator(r.get(0), r.get(1))).toSet.toSeq)
-      }).select("doc", "h"))
-    val shinglesAll = corpusShingles.map(_.unionByName(expl)).getOrElse(expl)
-
-    val verified = cands
-      .join(shinglesAll.select(col("doc").as("doc_a"), col("h")), "doc_a")
-      .join(shinglesAll.select(col("doc").as("doc_b"), col("h")), Seq("doc_b", "h"))
-      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-
     // Three independent write pipelines — the pairs verify, the shingle
     // append, the band append — all read only the cached batch tables (and
     // disjoint pruned corpus cells) and write disjoint directories, so they
     // overlap on the shared scheduler: each alone is mostly fixed job
     // overhead, and the wall-clock floor drops to the slowest of the three.
+    // The appends additionally overlap the CANDIDATE PROBE below: the band
+    // append launches as soon as its pruned corpus read is pinned (a
+    // multi-path plan resolves its cell directories at build time, so a
+    // concurrent batch=N append — fresh directories only — cannot leak into
+    // it), and the shingle append launches once the verify's corpus read is
+    // pinned the same way. Sequencing the probes before all three writes
+    // was measured at ~1.1 s/batch of pure wait (probe:bands 0.78 +
+    // probe:cands 0.62 ahead of a 2.0 s write phase).
     // Commit semantics survive the overlap: the batch COMMITS only when
     // writeParams runs AFTER all three complete, and a crash or failure
     // before it leaves uncommitted `batch=N` directories that open() drops
@@ -336,19 +320,45 @@ final class MinhashIndex private (
     // reads.
     val b = nextBatch
     val pairsDir = s"$root/pairs/batch=$b"
-    val resultSchema = verified.schema
+    var pairsSchema: Option[org.apache.spark.sql.types.StructType] = None
     try {
       timed("write:all3") {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.global
-        val fp = Future(timed("verify+write:pairs")(
-          verified.write.mode("overwrite").parquet(pairsDir)))
-        val fs = Future(timed("append:shingles")(
-          appendBatch(expl, "shingles", "doc", b, ds => shingleDs = Some(ds))))
         val fb = Future(timed("append:bands")(
           appendBatch(bandedNew, "bands", "bh", b, ds => bandDs = Some(ds))))
+
+        // Shingle verify against the same per-value prune: all of a doc's
+        // shingle rows live in ONE (batch, bucket-of-doc) cell, so keeping
+        // every cell that may hold a candidate doc keeps every row the
+        // Jaccard needs. Candidate docs collected as the (already-distinct)
+        // pairs themselves — two ids per row, so half the cap bounds the
+        // collect and the explode + distinct job the old probe ran
+        // disappears into a driver-side flatten.
+        val corpusShingles = shingleDs.filter(_.numParts > 0).map(ds =>
+          prunedRead(ds, "doc", timed("probe:cands") {
+            val rows = cands.select("doc_a", "doc_b").limit(cap / 2 + 1).collect()
+            if (rows.length > cap / 2) None
+            else Some(rows.iterator.flatMap(r => Iterator(r.get(0), r.get(1))).toSet.toSeq)
+          }).select("doc", "h"))
+        val shinglesAll = corpusShingles.map(_.unionByName(expl)).getOrElse(expl)
+        val fs = Future(timed("append:shingles")(
+          appendBatch(expl, "shingles", "doc", b, ds => shingleDs = Some(ds))))
+
+        val verified = cands
+          .join(shinglesAll.select(col("doc").as("doc_a"), col("h")), "doc_a")
+          .join(shinglesAll.select(col("doc").as("doc_b"), col("h")), Seq("doc_b", "h"))
+          .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+          .agg(count(lit(1)).as("inter"))
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+          .filter(col("jaccard") >= threshold)
+          .select("doc_a", "doc_b", "jaccard")
+        pairsSchema = Some(verified.schema)
+        val fp = Future(timed("verify+write:pairs")(
+          verified.write.mode("overwrite").parquet(pairsDir)))
         val done = Seq(fp, fs, fb).map(f => scala.util.Try(Await.result(f, Duration.Inf)))
         done.collectFirst { case scala.util.Failure(e) => e }.foreach { e =>
           // A failed sibling must not leave THIS batch registered in the
@@ -374,7 +384,7 @@ final class MinhashIndex private (
           throw e
         }
       }
-      val result = spark.read.schema(resultSchema).parquet(pairsDir)
+      val result = spark.read.schema(pairsSchema.get).parquet(pairsDir)
       MinhashIndex.writeParams(root, numHashes, bands, shingleSize, nBuckets,
         b + 1, compactedBelow)
       nextBatch = b + 1

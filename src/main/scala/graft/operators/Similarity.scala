@@ -330,14 +330,13 @@ object Similarity {
     */
   def removeFromIvf(index: IvfLake, ids: DataFrame, idCol: String): Unit = {
     val keyed = ids.select(col(idCol)).distinct()
-    val touched = index.assigned.toDF
-      .join(broadcast(keyed), Seq(idCol), "left_semi")
-      .select("centroid").distinct().collect()
-      .map(_.get(0).toString).toSet
-    if (touched.isEmpty) return
-    index.assigned.delete(keyed, Seq(idCol))
-    index.assigned.saveParts(index.assigned.partKeys
-      .filter(_.partValues.exists { case (c, v) => c == "centroid" && touched(v) }))
+    // delete() locates the lists holding a doomed id itself and RETURNS
+    // them — the previous explicit semi-join probe re-scanned the whole
+    // assigned table to compute the same set, i.e. a second full-index
+    // pass per erase batch (the 100 TB cost: erase cost must be touched
+    // lists, not corpus scans).
+    val touched = index.assigned.delete(keyed, Seq(idCol))
+    if (touched.nonEmpty) index.assigned.saveParts(touched)
   }
 
   /** [[addToIvf]] with the maintenance loop CLOSED: after the batch lands,

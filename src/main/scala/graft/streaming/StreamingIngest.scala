@@ -328,6 +328,13 @@ object StreamingIngest {
       ivfRoot: String, vecCol: String = "vec_id")
       : ((DataFrame, Long) => Unit, () => graft.operators.TextSearch.Bm25Index) = {
     val bm = new java.util.concurrent.atomic.AtomicReference(bm25Initial)
+    // The IVF handle loads ONCE and is reused across batches: remove only
+    // rewrites inverted-list cells (saveParts persists them per batch), it
+    // never moves a centroid — so re-collecting the centroid table and
+    // re-registering the assigned lake per micro-batch was pure fixed cost
+    // per batch, O(batches) manifest reads on an unbounded erase stream.
+    val ivf = new java.util.concurrent.atomic.AtomicReference[
+      graft.operators.Similarity.IvfLake](null)
     val sink: (DataFrame, Long) => Unit = (batch, _) =>
       if (!batch.isEmpty) {
         // seven consumers; one materialization of the (small) id batch
@@ -342,9 +349,10 @@ object StreamingIngest {
           bm.get, ids, corpusKey))
         graft.operators.TextSearch.removeFromPositional(
           positional, ids, corpusKey)
+        if (ivf.get == null)
+          ivf.set(graft.operators.Similarity.loadIvf(batch.sparkSession, ivfRoot))
         graft.operators.Similarity.removeFromIvf(
-          graft.operators.Similarity.loadIvf(batch.sparkSession, ivfRoot),
-          ids.select(col(corpusKey).as(vecCol)), vecCol)
+          ivf.get, ids.select(col(corpusKey).as(vecCol)), vecCol)
       }
     (sink, () => bm.get)
   }

@@ -30,6 +30,8 @@ object ErasureProfile {
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("ONE_PASS_MIN")
       .foreach(v => spark.conf.set("spark.graft.lake.onePassSaveMinCells", v))
+    if (sys.env.contains("ERASE_MH_PROFILE"))
+      spark.conf.set("spark.graft.minhash.profile", "true")
     val s = spark
 
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
